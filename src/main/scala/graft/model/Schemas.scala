@@ -1,0 +1,81 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Canonical schemas for the time-keyed GeoJSON document stream.
+  *
+  * Mirrors the reference's record shape (see SURVEY.md §1.2; authoritative
+  * flatten code: /root/reference/stores/apache_parquet.py:28-59) as explicit
+  * Spark StructTypes — never inferred on the hot path (§1.6).
+  */
+object Schemas {
+
+  /** geometry: {type: "Point", coordinates: [lon, lat]} */
+  val geometry: StructType = StructType(Seq(
+    StructField("type", StringType, nullable = false),
+    StructField("coordinates", ArrayType(DoubleType, containsNull = false))
+  ))
+
+  /** properties of one vehicle observation
+    * (/root/reference/stores/apache_parquet.py:45-59). `direction` is kept in
+    * decoded {1,2} form here; the bool encoding is an explicit operator
+    * (graft.operators.Encodings). */
+  val properties: StructType = StructType(Seq(
+    StructField("uuid", StringType),
+    StructField("id", IntegerType),
+    StructField("color", StringType),
+    StructField("direction", IntegerType),
+    StructField("distance", FloatType),
+    StructField("distanceFromPoint", IntegerType),
+    StructField("lineId", StringType),
+    StructField("pointId", IntegerType)
+  ))
+
+  val feature: StructType = StructType(Seq(
+    StructField("type", StringType, nullable = false),
+    StructField("id", StringType),
+    StructField("properties", properties),
+    StructField("geometry", geometry)
+  ))
+
+  /** One document = one FeatureCollection snapshot, keyed by `timestamp`
+    * (ISO-8601 string key at the file layer, TimestampType inside the
+    * engine; /root/reference/get_data.py:26). */
+  val featureCollection: StructType = StructType(Seq(
+    StructField("timestamp", TimestampType),
+    StructField("ts_str", StringType), // exact key round-trip (SURVEY.md §7)
+    StructField("type", StringType, nullable = false),
+    StructField("features", ArrayType(feature, containsNull = false))
+  ))
+
+  /** Snapshot-major flat row (SURVEY.md §1.2 superset). */
+  val flatObs: StructType = StructType(Seq(
+    StructField("timestamp", TimestampType),
+    StructField("uuid", StringType),
+    StructField("id", IntegerType),
+    StructField("color", StringType),
+    StructField("direction", IntegerType),
+    StructField("distance", FloatType),
+    StructField("distanceFromPoint", IntegerType),
+    StructField("lineId", StringType),
+    StructField("pointId", IntegerType),
+    StructField("coordinates_0", DoubleType),
+    StructField("coordinates_1", DoubleType)
+  ))
+}
+
+/** Typed views for Dataset[T] paths. */
+case class GeoPoint(`type`: String, coordinates: Seq[Double])
+case class ObsProperties(
+    uuid: String, id: Int, color: String, direction: Int,
+    distance: Float, distanceFromPoint: Int, lineId: String, pointId: Int)
+case class GeoFeature(
+    `type`: String, id: String, properties: ObsProperties, geometry: GeoPoint)
+case class FeatureCollection(
+    timestamp: java.sql.Timestamp, ts_str: String, `type`: String,
+    features: Seq[GeoFeature])
+
+/** One instant of a temporal property: MobilityDB `v@t`
+  * (/root/reference/stores/mobility_db_batch.py:104-120) modeled as a
+  * struct; a trajectory is a time-sorted array of these. */
+case class Instant[T](t: java.sql.Timestamp, v: T)

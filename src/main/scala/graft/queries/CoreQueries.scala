@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Encodings, Flatten, Normalize, Stats, Trajectory}
+import graft.sources.Tables
+
+/** One registered, oracle-checked query. `oracle` is ANSI-ish SQL runnable
+  * by DuckDB over the same parquet tables; None → driver falls back to a
+  * rows-only check (used for ops SQL cannot express, e.g. binary pairing).
+  *
+  * Determinism rules for the hash compare (driver sorts columns by name,
+  * then hashes values):
+  *  - identical column names on both sides;
+  *  - an ORDER BY giving a total order on both sides;
+  *  - timestamps surfaced as epoch-µs BIGINTs (parquet µs/ns and pandas
+  *    tz-awareness make raw timestamp columns hash-unstable);
+  *  - double SUMs made order-independent: either integral-valued doubles
+  *    (exact in IEEE754 regardless of order) or pre-truncated to BIGINT
+  *    via floor(x*scale) per row.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Core operator queries: point/bucket/range scans, as-of, trajectory
+  * pivot, tumbling windows, bbox stats, normalization joins, encodings,
+  * GeoJSON round-trip (SURVEY.md §2.2-§2.8).
+  */
+object CoreQueries {
+
+  private val AsOfT = "2024-01-15 00:00:00"
+  private val RangeLo = "2024-01-10 00:00:00"
+  private val RangeHi = "2024-01-12 00:00:00"
+  private val HourBucket = "2024-01-01 00:00:00"
+
+  val all: Seq[Q] = Seq(
+
+    // -- scans ----------------------------------------------------------
+    Q("q_point_lookup",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        // point lookup by key: at scale this is a partition-pruned scan on
+        // the ts bucket; here the key itself comes from a broadcast 1-row agg
+        val m = e.agg(min(col("ts")).as("_mts"))
+        e.join(broadcast(m), e("ts") === m("_mts"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), expr("unix_micros(ts)").as("ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+             |FROM events WHERE ts = (SELECT min(ts) FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("q_bucket_scan",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(Encodings.hourBucket(col("ts")) === to_timestamp(lit(HourBucket)))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), expr("unix_micros(ts)").as("ts_us"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+              |FROM events WHERE date_trunc('hour', ts) = TIMESTAMP '$HourBucket'
+              |ORDER BY event_id""".stripMargin)),
+
+    Q("q_range_scan",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("ts") >= to_timestamp(lit(RangeLo)) && col("ts") < to_timestamp(lit(RangeHi)))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), expr("unix_micros(ts)").as("ts_us"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+              |FROM events
+              |WHERE ts >= TIMESTAMP '$RangeLo' AND ts < TIMESTAMP '$RangeHi'
+              |ORDER BY event_id""".stripMargin)),
+
+    // -- temporal -------------------------------------------------------
+    Q("q_asof_lookup",
+      (s, dir) =>
+        Trajectory.asOfJoin(Tables.events(s, dir), "user_id", "ts",
+            to_timestamp(lit(AsOfT)))
+          .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"), col("value"))
+          .orderBy("user_id"),
+      Some(s"""SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
+              |  SELECT user_id, ts, value,
+              |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+              |  FROM events WHERE ts <= TIMESTAMP '$AsOfT') t
+              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    Q("q_traj_stats",
+      (s, dir) => {
+        // real pivot: entity-keyed trajectory arrays, then array-level stats
+        val traj = Trajectory.pivot(Tables.events(s, dir), "user_id", "ts", Seq("value"))
+        traj.select(
+          col("user_id"),
+          size(col("value_traj")).cast("long").as("n_obs"),
+          expr("unix_micros(value_traj[0].t)").as("first_ts_us"),
+          expr("unix_micros(element_at(value_traj, -1).t)").as("last_ts_us"),
+          col("value_traj").getItem(0).getField("v").as("first_value"),
+          element_at(col("value_traj"), -1).getField("v").as("last_value")
+        ).orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_obs,
+             |       epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us,
+             |       arg_min(value, ts) AS first_value, arg_max(value, ts) AS last_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("q_window_hourly",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(
+            expr("unix_micros(date_trunc('hour', ts))").as("bucket_us"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+          .orderBy("bucket_us", "event_type"),
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q_stats_bbox",
+      (s, dir) =>
+        Stats.bbox(
+          Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)")),
+          "event_type", Seq("value", "ts_us"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+             |       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+             |       count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- aggregation / joins (TPC-H-ish tables) --------------------------
+    Q("q1_agg",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            count(lit(1)).as("count_order"),
+            sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+            avg(col("l_quantity")).as("avg_qty"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |       count(*) AS count_order,
+             |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+             |       avg(l_quantity) AS avg_qty
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q_join_snowflake",
+      (s, dir) => {
+        // fact ⋈ dims: customer co-shuffles with orders; nation/region are
+        // broadcast (Normalize.reassemble) — fact side never re-shuffles per dim
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val fact = o.join(c, o("o_custkey") === c("c_custkey"))
+          .withColumnRenamed("c_nationkey", "n_nationkey")
+        Normalize.reassemble(fact,
+            Seq((Tables.nation(s, dir).withColumnRenamed("n_regionkey", "r_regionkey"), "n_nationkey"),
+                (Tables.region(s, dir), "r_regionkey")))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_orders,
+             |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q_semi_join",
+      (s, dir) => {
+        val heavy = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+        Tables.part(s, dir)
+          .join(heavy, col("p_partkey") === col("l_partkey"), "left_semi")
+          .select(col("p_partkey"), col("p_name"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_partkey = p_partkey AND l_quantity > 45)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    Q("q_anti_join",
+      (s, dir) => {
+        val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+        Tables.customer(s, dir)
+          .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_topk",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q_dim_surrogate",
+      (s, dir) =>
+        Normalize.extractDim(Tables.customer(s, dir), 8,
+            Seq("c_mktsegment", "c_nationkey"))
+          .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT
+             |  substr(md5(concat(c_mktsegment, '|', CAST(c_nationkey AS VARCHAR))), 1, 8) AS dim_hash,
+             |  c_mktsegment, c_nationkey
+             |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    Q("q_group_collect",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            element_at(sort_array(collect_list(col("l_linenumber"))), 1).as("first_line"),
+            element_at(sort_array(collect_list(col("l_linenumber"))), -1).as("last_line"))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, count(*) AS n_lines,
+             |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |       min(l_linenumber) AS first_line, max(l_linenumber) AS last_line
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- encodings --------------------------------------------------------
+    Q("q_encodings",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+        val direction = (col("event_id") % 2) + 1
+        Tables.events(s, dir).select(
+          col("event_id"),
+          Encodings.decodeDirection(Encodings.encodeDirection(direction)).as("direction_dec"),
+          Encodings.fixedPointEncode(col("value"), min(col("value")).over(w)).as("value_enc"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN ((event_id % 2) + 1) = 2 THEN 2 ELSE 1 END AS direction_dec,
+             |  CAST(floor((value - min(value) OVER (PARTITION BY event_type)) * 100000000.0) AS BIGINT) AS value_enc
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // -- GeoJSON nest/flatten round-trip ---------------------------------
+    Q("q_geojson_roundtrip",
+      (s, dir) => {
+        val flat = Tables.events(s, dir).select(
+          expr("unix_micros(date_trunc('hour', ts))").as("bucket_us"),
+          col("event_id"),
+          col("user_id").cast("string").as("uuid"),
+          col("event_type"),
+          col("value"),
+          col("value").as("lon"),
+          (col("value") * 0.5).as("lat"))
+        val docs = Flatten.nest(flat, "bucket_us", "event_id",
+          Seq("uuid", "event_type", "value"), "lon", "lat")
+        Flatten.flatten(docs, "bucket_us")
+          .select(
+            col("bucket_us"),
+            col("feature_id").cast("long").as("event_id"),
+            col("uuid"), col("event_type"), col("value"),
+            col("coordinates_0").as("lon"), col("coordinates_1").as("lat"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_id,
+             |       CAST(user_id AS VARCHAR) AS uuid, event_type, value,
+             |       value AS lon, value * 0.5 AS lat
+             |FROM events ORDER BY event_id""".stripMargin))
+  )
+}
