@@ -1,5 +1,23 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.store.SnapshotStore
+
+/** Benchmark main: one JSON line with per-query wall seconds.
+  *
+  * Measurement: every query is fully materialized through a noop-format
+  * write — unlike `.count()`, this forces evaluation of every column and
+  * keeps sorts/projections in the timed plan (Catalyst would delete them
+  * under a count; VERDICT r1).
+  *
+  * Extra workload beyond the registry: `lookup_1000` mirrors the
+  * reference's 1000 seeded random point lookups
+  * (/root/reference/benchmark.py:73-80) the distributed way — a broadcast
+  * semi-join of the hour-partitioned store against 1000 deterministic
+  * probe keys, not 1000 driver round-trips.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +25,55 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warm up codegen/executors so the first timed query isn't charged
+    // for JVM startup
+    materialize(spark.range(1000).toDF("i"))
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // the write path is its own metric (the reference times writes and
+    // reads separately, benchmark.py:55-80); building it here also means
+    // lookup queries below time *reads*, not a first-touch store build.
+    // Delete any prior store so the write is actually measured.
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(SnapshotStore.root))
+    results("store_write") = time(SnapshotStore.ensureEventsStore(spark, sfDir))
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time(materialize(fn(spark, sfDir)))
+    }
+
+    // 1000 seeded random point lookups against the written store: probe
+    // keys = the 1000 smallest xxhash64(ts) timestamps (deterministic),
+    // answered in one broadcast-join pass.
+    val storePath = SnapshotStore.ensureEventsStore(spark, sfDir)
+    results("lookup_1000") = time {
+      val store = SnapshotStore.read(spark, storePath)
+      val probes = store.select(col("ts"))
+        .orderBy(xxhash64(col("ts")))
+        .limit(1000)
+      materialize(store.join(broadcast(probes), Seq("ts"), "left_semi"))
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

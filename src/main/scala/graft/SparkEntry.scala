@@ -2,13 +2,13 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Q}
+import graft.queries.{CoreQueries, PipelineQueries, Q, StoreQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All registered operator queries (each a `graft.queries.Q`). */
-  def registry: Seq[Q] = CoreQueries.all
+  def registry: Seq[Q] = CoreQueries.all ++ StoreQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

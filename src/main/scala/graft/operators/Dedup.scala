@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Document deduplication for large-scale training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * Everything is declarative Catalyst (higher-order array functions, no
+  * per-row Scala UDFs) so the hot path stays inside whole-stage codegen.
+  *
+  * Scale notes (the 100 TB contract):
+  *  - exact dedup = one map-side-combinable groupBy on md5(text) — one
+  *    shuffle of (16-byte hash, counters), never of document text.
+  *  - minhash/LSH NEVER does all-pairs: signatures are per-row projections
+  *    (no shuffle), candidate generation is a self-equi-join on the band
+  *    key (shuffle on band hash), and the exact-Jaccard verify runs only
+  *    on within-bucket candidates. A band whose bucket exceeds
+  *    `maxBucket` would quadratically blow up (every doc identical); cap
+  *    with a count filter before pairing.
+  *  - simhash is a pure per-row projection; near-dup candidates come from
+  *    banding the fingerprint (same join shape as LSH).
+  */
+object Dedup {
+
+  private def emptyStrArray: Column = array().cast(ArrayType(StringType))
+
+  /** Word n-gram shingles from a token-array column (shingle i =
+    * toks[i..i+n-1] joined by one space).
+    *
+    * `toks` MUST be a pre-materialized column (bind `split(text, " ")`
+    * with a withColumn first), never the split expression itself: HOF
+    * lambdas evaluate interpreted, and a captured split would re-run once
+    * PER ELEMENT — O(tokens²) per document.
+    *
+    * Duplicates are KEPT — an interpreted O(n²) array_distinct per row
+    * costs more than it saves, and every consumer is set-semantic
+    * (min-hash ignores dups, jaccardPpm's intersect/distinct dedup
+    * internally, fingerprintFrame counts distinct after the explode). */
+  def tokenShingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    when(size(toks) >= n, grams).otherwise(emptyStrArray)
+  }
+
+  /** Distinct character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), length(text) - (n - 1)),
+      i => text.substr(i, lit(n)))
+    array_distinct(when(length(text) >= n, grams).otherwise(emptyStrArray))
+  }
+
+  /** k-permutation MinHash signatures, computed the distributed way:
+    * explode shingles → k codegen'd xxhash64(shingle, i) per row → k
+    * map-side-combined `min` aggregates per doc. One shuffle of
+    * (id, k longs) per doc — shingle text never shuffles. A per-row
+    * `aggregate()` lambda would be interpreted (HOFs skip codegen) and is
+    * ~100× slower; docs with no shingles drop out (they cannot pair).
+    * Output: idCol, sig: array<long>[k]. */
+  def minhashSignatures(docs: DataFrame, idCol: String, shingles: Column, k: Int): DataFrame = {
+    val mins = (0 until k).map(i => min(xxhash64(col("_sh"), lit(i))).as(s"_h$i"))
+    // repartition by id BEFORE the explode: compact doc rows shuffle once,
+    // the k·|shingles| hash work fans out across the cluster, and the
+    // groupBy reuses the hash distribution (no second shuffle)
+    docs.repartition(col(idCol))
+      .select(col(idCol), explode(shingles).as("_sh"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys: the signature split into `bands` rows of `r` values,
+    * each band hashed with its band index. Two docs sharing any band key
+    * are candidates (prob 1-(1-s^r)^bands for Jaccard s). */
+  def lshBandKeys(sig: Column, bands: Int, r: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      j => concat_ws(":", j.cast("string"), xxhash64(slice(sig, j * r + 1, lit(r))).cast("string")))
+
+  /** Candidate pairs (idA < idB) via band-key self-equi-join. `maxBucket`
+    * drops degenerate buckets (everything-identical skew guard) — at the
+    * default it is a no-op on sane corpora. */
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      bandKeys: Column,
+      maxBucket: Int = 10000): DataFrame = {
+    val exploded = docs.select(col(idCol).as("_id"), explode(bandKeys).as("_band"))
+    val capped = exploded
+      .withColumn("_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("_band"))))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
+    capped.as("l")
+      .join(capped.as("r"), col("l._band") === col("r._band") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity (set semantics) in parts-per-million, pure
+    * integer output so oracle comparison is FP-free. Doubles below 2^53 and
+    * divisors in the thousands ⇒ floor(double-div) ≡ integer div. */
+  def jaccardPpm(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    val union = size(array_distinct(concat(a, b))).cast("long")
+    floor((inter * lit(1000000L)) / union).cast("long")
+  }
+
+  /** Exact dedup groups: one row per distinct text, with multiplicity and
+    * the kept representative (min id). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  private val hiNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** 32-bit SimHash per doc, using the 32 md5 hex nibbles of each token as
+    * the per-bit hash family (bit j votes +1 iff nibble j ≥ 8; MSB =
+    * nibble 1). md5-based so an external SQL engine reproduces it
+    * bit-for-bit. Same distributed shape as minhashSignatures: explode →
+    * one codegen'd md5 per token → 32 map-side-combined sign-sums per doc
+    * → bit-pack. Output: idCol, fp: long. */
+  def simhash32Frame(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val votes = (1 to 32).map { j =>
+      sum(when(substring(col("_h"), j, 1).isin(hiNibbles: _*), 1).otherwise(-1)).as(s"_v$j")
+    }
+    val pack = (1 to 32).foldLeft(lit(0L)) { (acc, j) =>
+      acc * 2 + when(col(s"_v$j") > 0, 1L).otherwise(0L)
+    }
+    docs.repartition(col(idCol))
+      .select(col(idCol), explode(tokens).as("_t"))
+      .select(col(idCol), md5(col("_t").cast("binary")).as("_h"))
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), pack.as("fp"))
+  }
+
+  /** 64-bit SimHash with seeded xxhash64 sign bits (bit j votes by the
+    * sign of xxhash64(token, j)) — the wider production fingerprint. */
+  def simhash64Frame(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val votes = (1 to 64).map { j =>
+      sum(when(xxhash64(col("_t"), lit(j)) > 0, 1).otherwise(-1)).as(s"_v$j")
+    }
+    val pack = (1 to 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc * 2 + when(col(s"_v$j") > 0, 1L).otherwise(0L)
+    }
+    docs.repartition(col(idCol))
+      .select(col(idCol), explode(tokens).as("_t"))
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), pack.as("fp"))
+  }
+
+  /** Hamming distance between two fingerprint columns. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

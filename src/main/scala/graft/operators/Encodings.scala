@@ -20,9 +20,13 @@ object Encodings {
   /** md5-prefix surrogate key for dimension dedup
     * (/root/reference/stores/postgresql_velocity.py:64-67 len 8;
     * _2levels.py:77-85 len 6/3). Columns are joined with a separator so
-    * ("ab","c") and ("a","bc") never collide. */
+    * ("ab","c") and ("a","bc") never collide; NULLs coalesce to "" so the
+    * separator (and thus the key) is well-defined under NULL attributes.
+    * An 8-hex prefix is 32 bits — birthday collisions likely past ~10^4
+    * distinct tuples, so dedup must key on the full tuple (Normalize) and
+    * treat this prefix as a display/storage key only. */
   def surrogateKey(len: Int, cols: Column*): Column =
-    substring(md5(concat_ws("|", cols.map(_.cast("string")): _*)), 1, len)
+    substring(md5(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit(""))): _*)), 1, len)
 
   /** Fixed-point delta-vs-min encode: int((x - min) * scale)
     * (/root/reference/stores/postgresql_velocity_split.py:121-122).

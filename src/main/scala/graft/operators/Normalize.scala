@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
 object Normalize {
 
   /** Extract the distinct dimension rows of `cols`, keyed by an md5-prefix
-    * surrogate hash (/root/reference/stores/postgresql_velocity.py:64-67). */
+    * surrogate hash (/root/reference/stores/postgresql_velocity.py:64-67).
+    * Dedup is on the FULL tuple, not the truncated hash — a 32-bit prefix
+    * collision must never silently drop a distinct dim row at scale. */
   def extractDim(df: DataFrame, hashLen: Int, cols: Seq[String], hashCol: String = "dim_hash"): DataFrame =
     df.select(Encodings.surrogateKey(hashLen, cols.map(col): _*).as(hashCol) +: cols.map(col): _*)
-      .dropDuplicates(hashCol)
+      .dropDuplicates(cols)
 
   /** Fact table re-keyed onto the dim: original cols replaced by the
     * surrogate hash. */

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * exact brute-force cosine top-k against a small broadcast query set, and
+  * an LSH-bucketed (random-hyperplane) approximate variant for scale.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions in
+  * double precision — codegen'd, no UDFs, no shuffle for the per-row part.
+  *
+  * Scale notes:
+  *  - topKExact is a BroadcastNestedLoopJoin against the tiny query set
+  *    (q rows), NOT an all-pairs crossJoin of the corpus with itself:
+  *    cost is q·N row-local dot products. Top-k is two-phase (shard-local
+  *    rank, then rank over the surviving shards·k rows) so no single task
+  *    ever sorts a whole query's N candidates.
+  *  - annTopK prunes the corpus to rows sharing an LSH signature band
+  *    with a query: the join is a shuffle on the band key over a
+  *    candidate set ≪ N; the plan contains no full-corpus crossJoin.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision, sequential fold in array order (bit-stable
+    * across engines that fold the same way). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine in integer parts-per-million: the FP-free comparison and
+    * ranking currency for oracle-checked top-k. */
+  def cosinePpm(a: Column, b: Column): Column =
+    floor(cosine(a, b) * 1e6).cast("long")
+
+  /** Exact top-k per query vector. Output: one row per (query, rank≤k)
+    * with columns qIdCol, rank, idCol, sim_ppm. */
+  def topKExact(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      shards: Int = 32): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qIdCol)) // exclude self-match
+      .withColumn("sim_ppm", cosinePpm(col(vecCol), col(qVecCol)))
+      .select(col(qIdCol), col(idCol), col("sim_ppm"))
+    val shard = pmod(xxhash64(col(idCol)), lit(shards))
+    val w1 = Window.partitionBy(col(qIdCol), shard)
+      .orderBy(col("sim_ppm").desc, col(idCol))
+    val partial = scored
+      .withColumn("_r", row_number().over(w1))
+      .filter(col("_r") <= k)
+      .drop("_r")
+    val w2 = Window.partitionBy(col(qIdCol)).orderBy(col("sim_ppm").desc, col(idCol))
+    partial
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("sim_ppm"))
+  }
+
+  /** Random-hyperplane signatures: bit j = sign of Σᵢ vᵢ·hᵢⱼ where the
+    * plane coefficients hᵢⱼ = ±1 derive from xxhash64(j, i).
+    * Deterministic, data-independent (no training pass — unlike IVF).
+    * Distributed shape: posexplode the vector → nbits codegen'd projection
+    * sums per doc (map-side combined) → bit-pack; per-row HOF lambdas
+    * would run interpreted. Output: df + sig column. */
+  def rhpSignatures(df: DataFrame, idCol: String, vec: Column, nbits: Int): DataFrame = {
+    val projs = (0 until nbits).map { j =>
+      sum(col("_v").cast("double") *
+        when(xxhash64(lit(j), col("_i")) > 0, 1.0).otherwise(-1.0)).as(s"_p$j")
+    }
+    val pack = (0 until nbits).foldLeft(lit(0L)) { (acc, j) =>
+      acc * 2 + when(col(s"_p$j") > 0, 1L).otherwise(0L)
+    }
+    df.repartition(col(idCol))
+      .select(col(idCol), posexplode(vec))
+      .withColumnRenamed("pos", "_i")
+      .withColumnRenamed("col", "_v")
+      .groupBy(col(idCol))
+      .agg(projs.head, projs.tail: _*)
+      .select(col(idCol), pack.as("sig"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = corpus rows sharing ≥1
+    * signature band with the query, verified by exact cosine, ranked. */
+  def annTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nbits: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val width = nbits / bands
+    def bandKeys(sig: Column): Column =
+      array((0 until bands).map { b =>
+        concat_ws(":", lit(b).cast("string"),
+          pmod(shiftright(sig, b * width), lit(1L << width)).cast("string"))
+      }: _*)
+
+    val corpusBandRows = rhpSignatures(corpus, idCol, col(vecCol), nbits)
+      .select(col(idCol), explode(bandKeys(col("sig"))).as("_band"))
+    val queryBandRows = rhpSignatures(queries, qIdCol, col(qVecCol), nbits)
+      .select(col(qIdCol), explode(bandKeys(col("sig"))).as("_band"))
+
+    // candidate ids first (small shuffle payload), vectors joined back after
+    val candIds = corpusBandRows
+      .join(broadcast(queryBandRows), Seq("_band"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol))
+      .distinct()
+    val candidates = candIds
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("sim_ppm").desc, col(idCol))
+    candidates
+      .withColumn("sim_ppm", cosinePpm(col(vecCol), col(qVecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("sim_ppm"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting (whitespace
+  * and BPE-ish regex), quality scoring (length/punct/stopword ratios),
+  * n-gram-profile language ID, and rolling-hash document fingerprints.
+  *
+  * All pure column expressions (codegen'd, shuffle-free per-row), with
+  * integer ppm outputs so oracle comparison never touches floats.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space convention of the corpus).
+    *
+    * IMPORTANT: bind this as a real column (withColumn) before passing it
+    * to any function here that filters/maps over it — interpreted HOF
+    * lambdas re-evaluate captured expressions per element, so a captured
+    * split is O(tokens²) per document. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(toks: Column): Column = size(toks).cast("long")
+
+  /** BPE-ish subword pre-tokenization count: runs of letters, runs of
+    * digits, or single non-alphanumeric-non-space chars (the usual
+    * byte-pair pre-split regex family). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+
+  /** Punctuation chars per million text chars. */
+  def punctRatioPpm(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    floor(punct.cast("long") * lit(1000000L) / length(text)).cast("long")
+  }
+
+  /** Mean token length in thousandths of a char. */
+  def avgTokenLenMilli(text: Column, toks: Column): Column =
+    floor(length(regexp_replace(text, " ", "")).cast("long") * lit(1000L) / size(toks)).cast("long")
+
+  /** Stopword lists for the n-gram-free language-ID heuristic: score each
+    * language by the fraction of tokens in its list, argmax with a fixed
+    * priority order for ties. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "de", "y", "un", "una", "es", "que", "para", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "dass", "für", "im"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** #tokens in `words`, duplicates counted (filter+size, not intersect). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  def stopwordRatioPpm(toks: Column): Column = {
+    val all = stopwords.flatMap(_._2)
+    floor(stopwordHits(toks, all) * lit(1000000L) / size(toks)).cast("long")
+  }
+
+  /** Language ID: argmax over per-language stopword hit counts; ties fall
+    * to the declaration order above (en first) — mirrored verbatim in the
+    * SQL oracle, so the tie-break is part of the contract. */
+  def langId(toks: Column): Column = {
+    val scores = stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0, 1e6]: 40% length band (50..5000
+    * chars), 30% stopword presence band (≥2% tokens), 30% punctuation
+    * sanity band (≤20% chars). Deterministic integer arithmetic. */
+  def qualityScorePpm(text: Column, toks: Column): Column = {
+    val lenOk = length(text).between(50, 5000)
+    val stopOk = stopwordRatioPpm(toks) >= 20000
+    val punctOk = punctRatioPpm(text) <= 200000
+    (when(lenOk, 400000L).otherwise(0L)
+      + when(stopOk, 300000L).otherwise(0L)
+      + when(punctOk, 300000L).otherwise(0L)).cast("long")
+  }
+
+  /** Rolling-hash document fingerprints over word shingles: min/max md5
+    * (winnowing-style selection) plus shingle cardinality. Same
+    * distributed shape as Dedup.minhashSignatures — explode → codegen'd
+    * md5 → map-side-combined min/max per doc (HOF lambdas would run
+    * interpreted). Docs with no shingles drop out. */
+  def fingerprintFrame(docs: org.apache.spark.sql.DataFrame, idCol: String, shingles: Column): org.apache.spark.sql.DataFrame =
+    docs.repartition(col(idCol))
+      .select(col(idCol), explode(shingles).as("_s"))
+      .select(col(idCol), col("_s"), md5(col("_s").cast("binary")).as("_h"))
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("_s")).as("n_shingles"),
+        min(col("_h")).as("fp_min"),
+        max(col("_h")).as("fp_max"))
+}

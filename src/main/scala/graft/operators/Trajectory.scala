@@ -61,9 +61,12 @@ object Trajectory {
       t <= element_at(trajCol, -1).getField("t")
 
   /** As-of lookup on the FLAT table: per key, the latest row with
-    * tsCol <= t. One shuffle (window on key). */
-  def asOfJoin(flat: DataFrame, keyCol: String, tsCol: String, t: Column): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc)
+    * tsCol <= t. One shuffle (window on key). `tieCols` deterministically
+    * break duplicate-timestamp ties (ADVICE r1). */
+  def asOfJoin(flat: DataFrame, keyCol: String, tsCol: String, t: Column,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc +: tieCols.map(col(_).desc): _*)
     flat
       .filter(col(tsCol) <= t)
       .withColumn("_rn", row_number().over(w))

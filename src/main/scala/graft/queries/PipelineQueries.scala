@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline queries over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+  * search (exact cosine top-k + LSH-bucketed ANN), text analysis, and
+  * multimodal blob plumbing.
+  *
+  * Oracle notes: every similarity/ratio is emitted as integer ppm so the
+  * DuckDB compare is FP-free; the SimHash oracle works because simhash32
+  * is defined over md5 hex nibbles, which both engines compute
+  * identically. Minhash-LSH candidate recall at the 0.8 verify threshold
+  * is 1-(1-s⁴)¹⁶ ≥ 0.9998 (observed corpus: near-dup pairs all ≥ 0.95 →
+  * miss prob < 1e-11), so the LSH+verify output equals the all-pairs
+  * oracle.
+  */
+object PipelineQueries {
+
+  private val MinhashK = 64
+  private val Bands = 16
+  private val RowsPerBand = 4
+  private val JaccardThresholdPpm = 800000L
+
+  /** DuckDB-side word-3-shingle set (mirrors Dedup.wordShingles(_, 3)). */
+  private val duckShingles =
+    """SELECT doc_id,
+      |       list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |                      for i in range(1, len(s)-1)]) AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)""".stripMargin
+
+  // SQL fragments mirroring TextAnalysis (single source of truth for lists)
+  private def duckHits(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val all: Seq[Q] = Seq(
+
+    // -- deduplication ---------------------------------------------------
+    Q("q_dedup_exact",
+      (s, dir) =>
+        Dedup.exactDupGroups(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy("text_md5"),
+      Some("""SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q_dedup_minhash",
+      (s, dir) => {
+        // _toks bound as a real column BEFORE the shingle HOF (see
+        // Dedup.tokenShingles: a captured split would re-run per element)
+        val docs = Tables.documents(s, dir)
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        val sh = docs.repartition(col("doc_id"))
+          .select(col("doc_id"), Dedup.tokenShingles(col("_toks"), 3).as("sh"))
+        val sig = Dedup.minhashSignatures(docs, "doc_id",
+          Dedup.tokenShingles(col("_toks"), 3), MinhashK)
+        val cands = Dedup.candidatePairs(
+          sig, "doc_id", Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand))
+        cands
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("jaccard_ppm", Dedup.jaccardPpm(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard_ppm") >= JaccardThresholdPpm)
+          .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH sh AS ($duckShingles)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |                  / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS jaccard_ppm
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |                 / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= $JaccardThresholdPpm
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q_dedup_simhash",
+      (s, dir) => {
+        val fp = Dedup.simhash32Frame(Tables.documents(s, dir), "doc_id",
+          TextAnalysis.tokens(col("text")))
+        val q0 = fp.filter(col("doc_id") === 0).select(col("fp").as("fp0"))
+        fp.crossJoin(broadcast(q0))
+          .select(col("doc_id"), col("fp"),
+            Dedup.hamming(col("fp"), col("fp0")).cast("long").as("hamming_to_doc0"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+             |  FROM documents
+             |), fp AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(range(1, 33), j ->
+             |      CASE WHEN list_sum(list_transform(hs, h ->
+             |             CASE WHEN substr(h, j::INT, 1) IN ('8','9','a','b','c','d','e','f')
+             |                  THEN 1 ELSE -1 END)) > 0
+             |           THEN (1::BIGINT << (32 - j::INT)) ELSE 0 END)) AS BIGINT) AS fp
+             |  FROM h
+             |)
+             |SELECT a.doc_id, a.fp, CAST(bit_count(xor(a.fp, b.fp0)) AS BIGINT) AS hamming_to_doc0
+             |FROM fp a, (SELECT fp AS fp0 FROM fp WHERE doc_id = 0) b
+             |ORDER BY a.doc_id""".stripMargin)),
+
+    Q("q_ngram_jaccard",
+      (s, dir) => {
+        // repartition: the interpreted char-shingle + set-intersect work
+        // otherwise runs in the raw file's single input partition
+        val g = Tables.documents(s, dir).repartition(col("doc_id"))
+          .select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("g"))
+        val q0 = g.filter(col("doc_id") === 0).select(col("g").as("g0"))
+        g.crossJoin(broadcast(q0))
+          .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+            Dedup.jaccardPpm(col("g"), col("g0")).as("jaccard_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |         list_distinct([substr(text, i::INT, 5) for i in range(1, len(text)-3)]) AS g
+             |  FROM documents
+             |)
+             |SELECT a.doc_id, CAST(len(a.g) AS BIGINT) AS n_grams,
+             |       CAST(floor(len(list_intersect(a.g, b.g0)) * 1000000.0
+             |                  / len(list_distinct(a.g || b.g0))) AS BIGINT) AS jaccard_ppm
+             |FROM g a, (SELECT g AS g0 FROM g WHERE doc_id = 0) b
+             |ORDER BY a.doc_id""".stripMargin)),
+
+    // -- similarity search ----------------------------------------------
+    Q("q_cosine_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.topKExact(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 10)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5
+             |), s AS (
+             |  SELECT q.q_id, e.vec_id,
+             |    CAST(floor(
+             |      list_dot_product(e.embedding::DOUBLE[], q.q_vec::DOUBLE[])
+             |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             |         * sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[])))
+             |      * 1000000.0) AS BIGINT) AS sim_ppm
+             |  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+             |), r AS (
+             |  SELECT q_id, vec_id, sim_ppm,
+             |         row_number() OVER (PARTITION BY q_id ORDER BY sim_ppm DESC, vec_id) AS rank
+             |  FROM s
+             |)
+             |SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 10
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    // LSH-bucketed ANN: probabilistic recall → rows-only driver check; the
+    // plan (no full-corpus crossJoin) is the point, asserted in tests.
+    Q("q_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.annTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 10)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // -- text analysis ---------------------------------------------------
+    Q("q_text_stats",
+      (s, dir) => {
+        val t = col("text")
+        val tk = col("_toks")
+        Tables.documents(s, dir)
+          .repartition(col("doc_id"))
+          .withColumn("_toks", TextAnalysis.tokens(t))
+          .select(
+            col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(tk).as("n_tokens"),
+            TextAnalysis.bpeishTokenCount(t).as("n_bpeish"),
+            TextAnalysis.punctRatioPpm(t).as("punct_ppm"),
+            TextAnalysis.avgTokenLenMilli(t, tk).as("avg_tok_len_milli"),
+            TextAnalysis.stopwordRatioPpm(tk).as("stop_ppm"),
+            TextAnalysis.qualityScorePpm(t, tk).as("quality_ppm"),
+            TextAnalysis.langId(tk).as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val hits = TextAnalysis.stopwords.map { case (lang, words) =>
+          s"${duckHits(words)} AS s_$lang"
+        }.mkString(",\n    ")
+        val langs = TextAnalysis.stopwords.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val langCase = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'")
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        val allWords = TextAnalysis.stopwords.flatMap(_._2)
+        s"""WITH tk AS (
+           |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+           |), m AS (
+           |  SELECT doc_id, lang, text, toks,
+           |    len(toks)::BIGINT AS n_tokens,
+           |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))::BIGINT AS n_bpeish,
+           |    CAST(floor((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1000000.0 / len(text)) AS BIGINT) AS punct_ppm,
+           |    CAST(floor(len(replace(text, ' ', '')) * 1000.0 / len(toks)) AS BIGINT) AS avg_tok_len_milli,
+           |    CAST(floor(${duckHits(allWords)} * 1000000.0 / len(toks)) AS BIGINT) AS stop_ppm,
+           |    $hits
+           |  FROM tk
+           |)
+           |SELECT doc_id, lang, n_tokens, n_bpeish, punct_ppm, avg_tok_len_milli, stop_ppm,
+           |  (CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 400000 ELSE 0 END
+           |   + CASE WHEN stop_ppm >= 20000 THEN 300000 ELSE 0 END
+           |   + CASE WHEN punct_ppm <= 200000 THEN 300000 ELSE 0 END)::BIGINT AS quality_ppm,
+           |  $langCase AS lang_pred
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q_doc_fingerprint",
+      (s, dir) =>
+        TextAnalysis.fingerprintFrame(
+            Tables.documents(s, dir).withColumn("_toks", TextAnalysis.tokens(col("text"))),
+            "doc_id", Dedup.tokenShingles(col("_toks"), 3))
+          .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+            col("fp_min"), col("fp_max"))
+          .orderBy("doc_id"),
+      Some(s"""WITH sh AS ($duckShingles)
+              |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+              |       list_min(list_transform(sh, x -> md5(x))) AS fp_min,
+              |       list_max(list_transform(sh, x -> md5(x))) AS fp_max
+              |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    // -- multimodal blob plumbing ---------------------------------------
+    Q("q_multimodal",
+      (s, dir) => {
+        val blobs = Multimodal.toBlobTable(Tables.documents(s, dir), "doc_id", "text", "text")
+        val frames = Multimodal.sampleFrames(blobs, 64)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"), sum(col("frame_val")).as("frame_sum"))
+        blobs.select(col("doc_id"), col("n_bytes"), col("content_md5"))
+          .join(frames, Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes, md5(text) AS content_md5,
+             |         [ascii(substr(text, o::INT + 1, 1)) for o in range(0, octet_length(text::BLOB), 64)] AS vals
+             |  FROM documents
+             |)
+             |SELECT doc_id, n_bytes, content_md5,
+             |       CAST(len(vals) AS BIGINT) AS n_frames,
+             |       CAST(list_sum(vals) AS BIGINT) AS frame_sum
+             |FROM f ORDER BY doc_id""".stripMargin))
+  )
+}

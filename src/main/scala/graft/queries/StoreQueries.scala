@@ -1,0 +1,184 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Pairing
+import graft.operators.Normalize
+import graft.sources.Tables
+import graft.store.{CompressedStore, MergeStore, SnapshotStore}
+
+/** Write/store-path queries: hour-partitioned snapshot store with pruned
+  * lookup, MERGE-semantics dim upsert, compressed column-vector store,
+  * pairing-function round-trip, WKT rendering and string-agg JSON
+  * serialization (SURVEY.md §2.1, §2.8).
+  */
+object StoreQueries {
+
+  private val LookupBucket = "2024-01-15-12"
+  private val LookupBucketTs = "2024-01-15 12:00:00"
+
+  val all: Seq[Q] = Seq(
+
+    // Write → read-back equality through the partitioned store
+    // (/root/reference/stores/apache_parquet.py:62-109).
+    Q("q_store_roundtrip",
+      (s, dir) => {
+        val path = SnapshotStore.ensureEventsStore(s, dir)
+        SnapshotStore.read(s, path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            expr("unix_micros(ts)").as("ts_us"), col("bucket"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us,
+             |       strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS bucket
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Point lookup against the written store: the partition-column filter
+    // prunes to ONE hour directory (PartitionFilters in the plan), then
+    // parquet row-group pushdown finds the row — the reference's pruned
+    // lookup (/root/reference/stores/apache_parquet.py:113-117) at scale.
+    Q("q_point_lookup",
+      (s, dir) => {
+        val path = SnapshotStore.ensureEventsStore(s, dir)
+        val part = SnapshotStore.lookupBucket(s, path, LookupBucket)
+        val probe = part.agg(max(col("ts")).as("_mts"))
+        part.join(broadcast(probe), col("ts") === col("_mts"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), expr("unix_micros(ts)").as("ts_us"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+              |FROM events
+              |WHERE date_trunc('hour', ts) = TIMESTAMP '$LookupBucketTs'
+              |  AND ts = (SELECT max(ts) FROM events
+              |            WHERE date_trunc('hour', ts) = TIMESTAMP '$LookupBucketTs')
+              |ORDER BY event_id""".stripMargin)),
+
+    // Storage-size stat (/root/reference/stores/file_store.py:26-27);
+    // codec-dependent bytes → rows-only driver check.
+    Q("q_store_size",
+      (s, dir) => {
+        val snappy = SnapshotStore.ensureEventsStore(s, dir, "snappy")
+        import s.implicits._
+        Seq(("events_snappy", SnapshotStore.totalSizeBytes(snappy)))
+          .toDF("store", "size_bytes")
+          .filter(col("size_bytes") > 0)
+      },
+      None),
+
+    // MERGE-semantics dim upsert + write + read-back
+    // (/root/reference/stores/postgresql_velocity.py:98-113 via parquet).
+    Q("q_dim_upsert",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        def dims(f: org.apache.spark.sql.DataFrame) =
+          Normalize.extractDim(f, 8, Seq("c_mktsegment", "c_nationkey"))
+        val existing = dims(c.filter(col("c_custkey") % 2 === 0))
+        val incoming = dims(c.filter(col("c_custkey") % 2 === 1))
+        val merged = MergeStore.upsertInsertOnly(existing, incoming, "dim_hash")
+        val path = s"${SnapshotStore.root}/dims_${Paths.get(dir).getFileName}"
+        MergeStore.writeDim(merged, path)
+        s.read.parquet(path).orderBy("c_mktsegment", "c_nationkey")
+      },
+      Some("""SELECT DISTINCT
+             |  substr(md5(coalesce(c_mktsegment, '') || '|' || coalesce(CAST(c_nationkey AS VARCHAR), '')), 1, 8) AS dim_hash,
+             |  c_mktsegment, c_nationkey
+             |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // Compressed column-vector store round-trip: pivot per user, render
+    // CSV, gzip + snappy compress, decompress back
+    // (/root/reference/stores/postgresql_compressed_snappy.py:68-117).
+    Q("q_compressed_roundtrip",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("value_mils", floor(col("value") * 1000).cast("long"))
+          .withColumn("ts_us", expr("unix_micros(ts)"))
+        e.groupBy(col("user_id"))
+          .agg(
+            CompressedStore.gzipCompress(
+              CompressedStore.vectorCsv(col("ts"), col("value_mils"))).as("v_gz"),
+            CompressedStore.snappyCompress(
+              CompressedStore.vectorCsv(col("ts"), col("ts_us"))).as("t_sn"))
+          .select(col("user_id"),
+            CompressedStore.gzipDecompress(col("v_gz")).as("values_csv"),
+            CompressedStore.snappyDecompress(col("t_sn")).as("ts_csv"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  string_agg(CAST(CAST(floor(value * 1000) AS BIGINT) AS VARCHAR), ',' ORDER BY ts) AS values_csv,
+             |  string_agg(CAST(epoch_us(ts) AS VARCHAR), ',' ORDER BY ts) AS ts_csv
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Szudzik + Cantor pairing round-trip on fixed-point coords
+    // (/root/reference/stores/apache_parquet_cantor.py:18-55,86-89); the
+    // oracle is the identity — decode(encode(x,y)) must give back exactly
+    // the fixed-point inputs, plus the 15-byte width contract.
+    Q("q_pairing_roundtrip",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("x", floor(col("value") * 1000000.0).cast("long"))
+          .withColumn("y", floor(col("value") * 0.5 * 1000000.0).cast("long"))
+        val sz = Pairing.szudzikUnpairCol(Pairing.szudzikPairCol(col("x"), col("y")))
+        val ca = Pairing.cantorUnpairCol(Pairing.cantorPairCol(col("x"), col("y")))
+        e.select(
+          col("event_id"), col("x"), col("y"),
+          sz.getField("x").as("sz_x"), sz.getField("y").as("sz_y"),
+          length(Pairing.szudzikPairCol(col("x"), col("y"))).cast("long").as("sz_len"),
+          ca.getField("x").as("ca_x"), ca.getField("y").as("ca_y"),
+          length(Pairing.cantorPairCol(col("x"), col("y"))).cast("long").as("ca_len"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(floor(value * 1000000.0) AS BIGINT) AS x,
+             |  CAST(floor(value * 0.5 * 1000000.0) AS BIGINT) AS y,
+             |  CAST(floor(value * 1000000.0) AS BIGINT) AS sz_x,
+             |  CAST(floor(value * 0.5 * 1000000.0) AS BIGINT) AS sz_y,
+             |  CAST(15 AS BIGINT) AS sz_len,
+             |  CAST(floor(value * 1000000.0) AS BIGINT) AS ca_x,
+             |  CAST(floor(value * 0.5 * 1000000.0) AS BIGINT) AS ca_y,
+             |  CAST(15 AS BIGINT) AS ca_len
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // WKT point rendering (/root/reference/stores/mobility_db_batch.py:88,108).
+    Q("q_wkt_render",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("x", floor(col("value") * 1000000.0).cast("long"))
+          .withColumn("y", floor(col("value") * 0.5 * 1000000.0).cast("long"))
+          .select(col("event_id"),
+            format_string("POINT(%d %d)", col("x"), col("y")).as("wkt"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  'POINT(' || CAST(CAST(floor(value * 1000000.0) AS BIGINT) AS VARCHAR)
+             |   || ' ' || CAST(CAST(floor(value * 0.5 * 1000000.0) AS BIGINT) AS VARCHAR) || ')' AS wkt
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // String-agg JSON serialization
+    // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the
+    // document is assembled by string concatenation, ordered by id.
+    Q("q_stringagg_json",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(
+          col("event_type"), col("event_id"),
+          concat(lit("{\"id\":"), col("event_id"),
+            lit(",\"u\":"), col("user_id"), lit("}")).as("j"))
+        e.groupBy(col("event_type"))
+          .agg(
+            concat(lit("["),
+              array_join(
+                transform(
+                  sort_array(collect_list(struct(col("event_id").as("k"), col("j").as("j")))),
+                  x => x.getField("j")),
+                ","),
+              lit("]")).as("json_arr"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  '[' || string_agg('{"id":' || event_id || ',"u":' || user_id || '}', ',' ORDER BY event_id) || ']' AS json_arr,
+             |  count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -29,7 +29,15 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /** events with `ts` normalized to TimestampType (µs, session TZ pinned
-    * UTC). Handles all three ways Spark may surface parquet NANOS. */
+    * UTC). Handles all three ways Spark may surface parquet NANOS.
+    *
+    * NOTE the conf set below is session-global and STICKY by design
+    * (ADVICE r1): the flag must still hold at execution time (the scan
+    * captures hadoop conf lazily), so a set/restore scope would break the
+    * read. Graft's own entrypoints (Verify/Bench/tests) also set it at
+    * session build; this set is a safety net for driver-owned sessions.
+    * It only affects parquet files that physically carry TIMESTAMP(NANOS)
+    * — all graft-written stores use µs. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")

@@ -1,0 +1,37 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Normalize
+
+/** MERGE-semantics upsert over plain parquet (delta-spark is not on the
+  * offline classpath, so the Delta-store contract —
+  * /root/reference/stores/delta_lake.py:31-40 append + filtered read, and
+  * the dim upsert of /root/reference/stores/postgresql_velocity.py:98-113 —
+  * is expressed as left_anti + union + atomic overwrite).
+  *
+  * Scale notes: insert-only upsert shuffles only on the surrogate key of
+  * the *incoming* slice (existing side streams through the anti-join);
+  * with AQE the anti-join broadcasts whichever side is small. The write is
+  * an overwrite of the dim table only — dims are orders of magnitude
+  * smaller than facts (that is the point of normalization), so rewriting
+  * them wholesale is cheap at any fact scale.
+  */
+object MergeStore {
+
+  /** WHEN NOT MATCHED THEN INSERT: existing rows win, unseen-key incoming
+    * rows are appended (the reference dim registry's first-seen rule,
+    * postgresql_velocity.py:104-106). */
+  def upsertInsertOnly(existing: DataFrame, incoming: DataFrame, keyCol: String): DataFrame =
+    existing.unionByName(Normalize.newDims(incoming, existing, keyCol))
+
+  /** WHEN MATCHED THEN UPDATE ∪ WHEN NOT MATCHED THEN INSERT: incoming
+    * rows replace same-key existing rows (SCD-0 overwrite). */
+  def upsertReplace(existing: DataFrame, incoming: DataFrame, keyCol: String): DataFrame =
+    incoming.unionByName(Normalize.newDims(existing, incoming, keyCol))
+
+  /** Persist an upserted dim table (atomic via parquet overwrite commit
+    * protocol: _temporary staging + rename, then _SUCCESS). */
+  def writeDim(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

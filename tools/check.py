@@ -19,6 +19,13 @@ for t in "region nation customer supplier part orders lineitem events documents 
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# Iterate over the FULL query manifest (not just output dirs that exist):
+# a query that crashed in Verify writes no dir and must count as a failure.
+try:
+    manifest = json.load(open(f"{outdir}/queries.json"))
+except FileNotFoundError:
+    manifest = sorted(set(list(oracles) + [os.path.basename(d.rstrip("/")) for d in glob.glob(f"{outdir}/*/")]))
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize ints and floats
@@ -31,8 +38,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 fails = 0
-for d in sorted(glob.glob(f"{outdir}/*/")):
-    name = os.path.basename(d.rstrip("/"))
+for name in manifest:
+    d = f"{outdir}/{name}/"
+    if not os.path.isdir(d):
+        print(f"{name:24s} MISSING OUTPUT (query crashed in Verify?)")
+        fails += 1
+        continue
     spark_df = con.sql(f"SELECT * FROM '{d}*.parquet'").df()
     if name not in oracles:
         print(f"{name:24s} rows={len(spark_df):7d} (no oracle; rows-only) {'OK' if len(spark_df)>0 else 'EMPTY!'}")
