@@ -127,7 +127,7 @@ object Dedup {
       sum(when(substring(col("_h"), j, 1).isin(hiNibbles: _*), 1).otherwise(-1)).as(s"_v$j")
     }
     val pack = (1 to 32).foldLeft(lit(0L)) { (acc, j) =>
-      acc * 2 + when(col(s"_v$j") > 0, 1L).otherwise(0L)
+      shiftleft(acc, 1) + when(col(s"_v$j") > 0, 1L).otherwise(0L)
     }
     docs.repartition(col(idCol))
       .select(col(idCol), explode(tokens).as("_t"))
@@ -143,8 +143,10 @@ object Dedup {
     val votes = (1 to 64).map { j =>
       sum(when(xxhash64(col("_t"), lit(j)) > 0, 1).otherwise(-1)).as(s"_v$j")
     }
+    // shiftleft, not *2: packing bit 1 into the sign bit must wrap, and
+    // ANSI mode (Spark 4 default) makes long multiplication overflow throw
     val pack = (1 to 64).foldLeft(lit(0L)) { (acc, j) =>
-      acc * 2 + when(col(s"_v$j") > 0, 1L).otherwise(0L)
+      shiftleft(acc, 1) + when(col(s"_v$j") > 0, 1L).otherwise(0L)
     }
     docs.repartition(col(idCol))
       .select(col(idCol), explode(tokens).as("_t"))

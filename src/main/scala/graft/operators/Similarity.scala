@@ -82,7 +82,7 @@ object Similarity {
         when(xxhash64(lit(j), col("_i")) > 0, 1.0).otherwise(-1.0)).as(s"_p$j")
     }
     val pack = (0 until nbits).foldLeft(lit(0L)) { (acc, j) =>
-      acc * 2 + when(col(s"_p$j") > 0, 1L).otherwise(0L)
+      shiftleft(acc, 1) + when(col(s"_p$j") > 0, 1L).otherwise(0L)
     }
     df.repartition(col(idCol))
       .select(col(idCol), posexplode(vec))

@@ -46,13 +46,14 @@ object Trajectory {
   /** Last instant at-or-before `t` in a sorted trajectory column — MobilityDB
     * `atTimestamp`/`getValue` generalized to as-of semantics
     * (/root/reference/stores/mobility_db.py:104-109). Null if the trajectory
-    * starts after `t`. Shuffle-free. */
+    * starts after `t` (try_element_at: ANSI mode would throw on the empty
+    * filter result). Shuffle-free. */
   def asOfSlice(trajCol: Column, t: Column): Column =
-    element_at(filter(trajCol, x => x.getField("t") <= t), -1)
+    try_element_at(filter(trajCol, x => x.getField("t") <= t), lit(-1))
 
-  /** Exact-instant slice (strict MobilityDB atTimestamp). */
+  /** Exact-instant slice (strict MobilityDB atTimestamp); null on miss. */
   def atInstant(trajCol: Column, t: Column): Column =
-    element_at(filter(trajCol, x => x.getField("t") === t), 1)
+    try_element_at(filter(trajCol, x => x.getField("t") === t), lit(1))
 
   /** Does the trajectory's validity span cover t? (tsrange `@>`,
     * /root/reference/stores/mobility_db.py:111). */

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different words entirely here now today"),
+    (3L, "the quick brown fox jumps over the lazy dog")  // exact dup of 0
+  ).toDF("id", "text").withColumn("_toks", split($"text", " "))
+
+  test("tokenShingles builds n-grams; short texts give empty array") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+      .withColumn("_toks", split($"text", " "))
+      .select($"id", Dedup.tokenShingles($"_toks", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("exactDupGroups groups identical texts and keeps min id") {
+    val g = Dedup.exactDupGroups(docs, "id", "text")
+    val dup = g.filter($"n_copies" === 2).select($"keeper_id").as[Long].collect()
+    assert(dup.toSeq == Seq(0L))
+    assert(g.count() == 3) // 3 distinct texts
+  }
+
+  test("jaccardPpm: identical sets 1e6, disjoint 0, known overlap exact") {
+    val df = Seq((Seq("a", "b", "c"), Seq("a", "b", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccardPpm($"x", $"y")).as[Long].head()
+    assert(j == 2L * 1000000L / 4L) // |∩|=2, |∪|=4
+    assert(df.select(Dedup.jaccardPpm($"x", $"x")).as[Long].head() == 1000000L)
+    val dis = Seq((Seq("a"), Seq("b"))).toDF("x", "y")
+    assert(dis.select(Dedup.jaccardPpm($"x", $"y")).as[Long].head() == 0L)
+  }
+
+  test("minhash LSH surfaces near-dup and exact-dup candidate pairs") {
+    val sig = Dedup.minhashSignatures(docs, "id", Dedup.tokenShingles($"_toks", 3), 64)
+    val cands = Dedup.candidatePairs(sig, "id", Dedup.lshBandKeys($"sig", 16, 4))
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 3L))) // identical signature → all bands collide
+    assert(cands.contains((0L, 1L))) // jaccard 7/11 ≈ 0.64 → ≥1 of 16 bands w.h.p.
+    assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)))
+  }
+
+  test("identical docs get identical minhash signatures") {
+    val sig = Dedup.minhashSignatures(docs, "id", Dedup.tokenShingles($"_toks", 3), 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(0L) == sig(3L))
+    assert(sig(0L) != sig(2L))
+  }
+
+  test("simhash32: exact dup → distance 0; near-dup closer than unrelated") {
+    val fp = Dedup.simhash32Frame(docs, "id", $"_toks").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(3L)) == 0)
+    assert(ham(fp(0L), fp(1L)) < ham(fp(0L), fp(2L)))
+  }
+
+  test("simhash64: same invariants with the xxhash64 family") {
+    val fp = Dedup.simhash64Frame(docs, "id", $"_toks").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(3L)) == 0)
+    assert(ham(fp(0L), fp(1L)) < ham(fp(0L), fp(2L)))
+  }
+
+  test("charShingles: known 5-grams") {
+    val g = Seq((1L, "abcdef")).toDF("id", "text")
+      .select(Dedup.charShingles($"text", 5).as("g")).as[Seq[String]].head()
+    assert(g == Seq("abcde", "bcdef"))
+  }
+
+  test("candidatePairs skew guard drops oversized buckets") {
+    // 5 identical docs → every band bucket has 5 ids → maxBucket=4 kills all
+    val many = (0 until 5).map(i => (i.toLong, "x y z w v u t s r q")).toDF("id", "text")
+      .withColumn("_toks", split($"text", " "))
+    val sig = Dedup.minhashSignatures(many, "id", Dedup.tokenShingles($"_toks", 3), 16)
+    val capped = Dedup.candidatePairs(sig, "id", Dedup.lshBandKeys($"sig", 4, 4), maxBucket = 4)
+    assert(capped.count() == 0)
+  }
+}

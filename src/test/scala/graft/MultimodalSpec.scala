@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "abcdef"),
+    (2L, "0123456789" * 10)
+  ).toDF("doc_id", "text")
+
+  test("toBlobTable: binary content + typed metadata") {
+    val blobs = Multimodal.toBlobTable(docs, "doc_id", "text", "text")
+    assert(blobs.columns.toSeq ==
+      Seq("doc_id", "kind", "content", "n_bytes", "content_md5"))
+    val r = blobs.select($"doc_id", $"n_bytes", $"content_md5").as[(Long, Long, String)]
+      .collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(1L)._1 == 6L && r(2L)._1 == 100L)
+    // md5 of utf-8 bytes matches the well-known digest of "abcdef"
+    assert(r(1L)._2 == "e80b5017098950fc58aad83c8c14978e")
+    val bytes = blobs.filter($"doc_id" === 1L).select($"content").as[Array[Byte]].head()
+    assert(new String(bytes, "UTF-8") == "abcdef")
+  }
+
+  test("sampleFrames: every step-th byte becomes a frame with its value") {
+    val blobs = Multimodal.toBlobTable(docs, "doc_id", "text", "text")
+    val frames = Multimodal.sampleFrames(blobs, 4)
+      .filter($"doc_id" === 1L)
+      .select($"frame_idx", $"byte_offset", $"frame_val")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // "abcdef" step 4 → offsets 0 ('a'=97) and 4 ('e'=101)
+    assert(frames.toSeq == Seq((0, 0L, 97L), (1, 4L, 101L)))
+  }
+
+  test("decodeFeaturesStub: deterministic, batch-shaped, right schema") {
+    val blobs = Multimodal.toBlobTable(docs, "doc_id", "text", "text")
+    val f1 = Multimodal.decodeFeaturesStub(spark, blobs).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeFeaturesStub(spark, blobs).collect().sortBy(_.doc_id)
+    assert(f1.length == 2)
+    assert(f1.forall(_.features.length == 8))
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(f => f.features.forall(v => v >= 0f && v < 1f)))
+    val byId = f1.map(f => f.doc_id -> f).toMap
+    assert(byId(1L).n_frames == 1 && byId(2L).n_frames == 1) // 6/64=0→max(1); 100/64=1
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Encodings, Flatten, Normalize}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- Flatten ------------------------------------------------------------
+
+  test("nest → flatten round-trips flat observations") {
+    val flat = Seq(
+      (10L, 1L, "u1", "t", 1.5, 4.1, 50.1),
+      (10L, 2L, "u2", "t", 2.5, 4.2, 50.2),
+      (20L, 3L, "u3", "s", 3.5, 4.3, 50.3)
+    ).toDF("bucket", "fid", "uuid", "etype", "v", "lon", "lat")
+    val docs = Flatten.nest(flat, "bucket", "fid", Seq("uuid", "etype", "v"), "lon", "lat")
+    assert(docs.count() == 2)
+    val d10 = docs.filter($"bucket" === 10L).select($"type", size($"features")).head()
+    assert(d10.getString(0) == "FeatureCollection" && d10.getInt(1) == 2)
+    val back = Flatten.flatten(docs, "bucket")
+      .select($"bucket", $"feature_id".cast("long"), $"uuid", $"etype", $"v",
+        $"coordinates_0", $"coordinates_1")
+      .as[(Long, Long, String, String, Double, Double, Double)].collect().toSet
+    assert(back == flat.as[(Long, Long, String, String, Double, Double, Double)].collect().toSet)
+  }
+
+  test("features arrays are sorted by the id key (deterministic)") {
+    val flat = Seq(
+      (1L, 9L, "z", "t", 0.0, 0.0, 0.0),
+      (1L, 1L, "a", "t", 0.0, 0.0, 0.0)
+    ).toDF("bucket", "fid", "uuid", "etype", "v", "lon", "lat")
+    val ids = Flatten.nest(flat, "bucket", "fid", Seq("uuid", "etype", "v"), "lon", "lat")
+      .select(transform($"features", f => f.getField("id")).as("ids"))
+      .as[Seq[String]].head()
+    assert(ids == Seq("1", "9"))
+  }
+
+  test("toGeoJson renders a parseable FeatureCollection string") {
+    val flat = Seq((1L, 1L, "u", "t", 1.0, 4.5, 50.5)).toDF(
+      "bucket", "fid", "uuid", "etype", "v", "lon", "lat")
+    val s = Flatten.toGeoJson(
+      Flatten.nest(flat, "bucket", "fid", Seq("uuid", "etype", "v"), "lon", "lat"))
+      .select($"geojson").as[String].head()
+    assert(s.contains("\"FeatureCollection\"") && s.contains("\"coordinates\":[4.5,50.5]"))
+  }
+
+  // -- Encodings ----------------------------------------------------------
+
+  test("direction encode/decode round-trip on {1,2}") {
+    val df = Seq(1, 2).toDF("d")
+    val r = df.select($"d",
+      Encodings.decodeDirection(Encodings.encodeDirection($"d")).as("rt"))
+      .as[(Int, Int)].collect().toMap
+    assert(r == Map(1 -> 1, 2 -> 2))
+  }
+
+  test("fixed-point encode/decode round-trip within 1e-8") {
+    val df = Seq(4.123456789, 4.2, 5.0).toDF("x").withColumn("m", lit(4.0))
+    val r = df.select($"x",
+      Encodings.fixedPointDecode(Encodings.fixedPointEncode($"x", $"m"), $"m").as("d"))
+      .as[(Double, Double)].collect()
+    r.foreach { case (x, d) => assert(math.abs(x - d) < 1e-8) }
+  }
+
+  test("surrogateKey: separator prevents concat collisions; NULL-safe") {
+    val df = Seq(("ab", "c"), ("a", "bc"), (null, "c")).toDF("p", "q")
+    val keys = df.select(Encodings.surrogateKey(8, $"p", $"q")).as[String].collect()
+    assert(keys.distinct.length == 3)
+    assert(keys.forall(_.length == 8))
+  }
+
+  // -- Normalize ----------------------------------------------------------
+
+  test("extractDim dedups on the full tuple; factWithKey re-keys") {
+    val facts = Seq(("x", 1, 10.0), ("x", 1, 20.0), ("y", 2, 30.0)).toDF("a", "b", "v")
+    val dims = Normalize.extractDim(facts, 8, Seq("a", "b"))
+    assert(dims.count() == 2)
+    val fact = Normalize.factWithKey(facts, 8, Seq("a", "b"))
+    assert(fact.columns.toSet == Set("v", "dim_hash"))
+    val joined = fact.join(dims, "dim_hash")
+    assert(joined.count() == 3)
+    assert(joined.filter($"a" === "x").agg(sum($"v")).as[Double].head() == 30.0)
+  }
+
+  test("newDims returns only unseen keys") {
+    val existing = Seq(("k1", "v1")).toDF("k", "v")
+    val incoming = Seq(("k1", "v1"), ("k2", "v2")).toDF("k", "v")
+    val nd = Normalize.newDims(incoming, existing, "k").as[(String, String)].collect()
+    assert(nd.toSeq == Seq(("k2", "v2")))
+  }
+
+  test("reassemble chains broadcast joins without losing fact rows") {
+    val fact = Seq((1, 100), (2, 200)).toDF("dk", "v")
+    val dim = Seq((1, "a"), (2, "b")).toDF("dk", "name")
+    val r = Normalize.reassemble(fact, Seq((dim, "dk")))
+    assert(r.count() == 2)
+    assert(r.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+}

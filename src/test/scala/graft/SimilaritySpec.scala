@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),  // close to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Seq(-1.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Seq(2.0f, 0.0f, 0.0f))   // same direction as 0, different norm
+  ).toDF("id", "vec")
+
+  test("dot / norm / cosine basics") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    assert(df.select(Similarity.dot($"a", $"b")).as[Double].head() == 32.0)
+    assert(df.select(Similarity.l2norm($"a")).as[Double].head() == math.sqrt(14.0))
+    val c = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    assert(c.select(Similarity.cosine($"a", $"b")).as[Double].head() == 0.0)
+    assert(c.select(Similarity.cosine($"a", $"a")).as[Double].head() == 1.0)
+  }
+
+  test("topKExact ranks by cosine, excludes self, deterministic ties") {
+    val queries = emb.filter($"id" === 0L).select($"id".as("qid"), $"vec".as("qvec"))
+    val top = Similarity.topKExact(emb, queries, "id", "vec", "qid", "qvec", 4)
+      .orderBy($"rank").select($"id", $"sim_ppm").as[(Long, Long)].collect()
+    // cosine(0,4)=1 > cosine(0,1)≈0.994 > cosine(0,2)=0 > cosine(0,3)=-1
+    assert(top.map(_._1).toSeq == Seq(4L, 1L, 2L, 3L))
+    assert(top(0)._2 == 1000000L)
+    assert(top(2)._2 == 0L)
+    assert(top(3)._2 == -1000000L)
+  }
+
+  test("rhpSignatures: deterministic, identical for same-direction vectors") {
+    val sig = Similarity.rhpSignatures(emb, "id", $"vec", 16).as[(Long, Long)].collect().toMap
+    val sig2 = Similarity.rhpSignatures(emb, "id", $"vec", 16).as[(Long, Long)].collect().toMap
+    assert(sig == sig2)
+    assert(sig(0L) == sig(4L)) // colinear ⇒ same signs on every hyperplane
+    assert(sig(0L) != sig(3L)) // opposite ⇒ every sign flips
+  }
+
+  test("annTopK finds the colinear neighbor and never the opposite one at rank 1") {
+    val queries = emb.filter($"id" === 0L).select($"id".as("qid"), $"vec".as("qvec"))
+    val r = Similarity.annTopK(emb, queries, "id", "vec", "qid", "qvec", 3)
+      .orderBy($"rank").select($"id").as[Long].collect()
+    assert(r.head == 4L) // same bucket guaranteed (identical signature)
+    assert(r.nonEmpty && r.toSet.contains(4L))
+  }
+
+  test("annTopK plan has no full-corpus cartesian product") {
+    val queries = emb.filter($"id" < 2L).select($"id".as("qid"), $"vec".as("qvec"))
+    val plan = Similarity.annTopK(emb, queries, "id", "vec", "qid", "qvec", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.store.{CompressedStore, MergeStore, SnapshotStore}
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), prefix).toString
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    (1L, ts("2024-01-01 10:15:00"), 1.0),
+    (2L, ts("2024-01-01 10:45:00"), 2.0),
+    (3L, ts("2024-01-01 11:05:00"), 3.0),
+    (4L, ts("2024-01-02 09:00:00"), 4.0)
+  ).toDF("id", "ts", "v")
+
+  test("snapshot store: write → read-back equality, bucket column correct") {
+    val path = tmp("snap")
+    SnapshotStore.write(events, path, "ts")
+    val back = SnapshotStore.read(spark, path)
+    assert(back.count() == 4)
+    val buckets = back.select($"id", $"bucket".cast("string")).as[(Long, String)].collect().toMap
+    assert(buckets(1L) == "2024-01-01-10" && buckets(3L) == "2024-01-01-11")
+    val vals = back.select($"id", $"v").as[(Long, Double)].collect().toMap
+    assert(vals == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+  }
+
+  test("bucket lookup prunes partitions (PartitionFilters in the plan)") {
+    val path = tmp("snap")
+    SnapshotStore.write(events, path, "ts")
+    val lookup = SnapshotStore.lookupBucket(spark, path, "2024-01-01-10")
+    assert(lookup.count() == 2)
+    val plan = lookup.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+    // pruned scan must not read the other buckets' files
+    val scanned = lookup.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("2024-01-02"))
+  }
+
+  test("one file per hour bucket (repartition before partitionBy)") {
+    val path = tmp("snap")
+    SnapshotStore.write(events, path, "ts")
+    val dirs = new java.io.File(path).listFiles.filter(_.getName.startsWith("bucket="))
+    assert(dirs.length == 3)
+    dirs.foreach { d =>
+      assert(d.listFiles.count(_.getName.endsWith(".parquet")) == 1, d.getName)
+    }
+  }
+
+  test("store size stat is positive after write") {
+    val path = tmp("snap")
+    SnapshotStore.write(events, path, "ts")
+    assert(SnapshotStore.totalSizeBytes(path) > 0)
+  }
+
+  test("merge store: insert-only keeps existing, adds unseen") {
+    val existing = Seq(("h1", "a"), ("h2", "b")).toDF("k", "v")
+    val incoming = Seq(("h2", "B"), ("h3", "c")).toDF("k", "v")
+    val m = MergeStore.upsertInsertOnly(existing, incoming, "k")
+      .as[(String, String)].collect().toMap
+    assert(m == Map("h1" -> "a", "h2" -> "b", "h3" -> "c"))
+  }
+
+  test("merge store: replace prefers incoming on key match") {
+    val existing = Seq(("h1", "a"), ("h2", "b")).toDF("k", "v")
+    val incoming = Seq(("h2", "B"), ("h3", "c")).toDF("k", "v")
+    val m = MergeStore.upsertReplace(existing, incoming, "k")
+      .as[(String, String)].collect().toMap
+    assert(m == Map("h1" -> "a", "h2" -> "B", "h3" -> "c"))
+  }
+
+  test("gzip and snappy UDFs round-trip arbitrary strings") {
+    val df = Seq("hello,1,2,3", "", "unicode: déjà vu ☃").toDF("s")
+    val r = df.select($"s",
+      CompressedStore.gzipDecompress(CompressedStore.gzipCompress($"s")).as("g"),
+      CompressedStore.snappyDecompress(CompressedStore.snappyCompress($"s")).as("n"))
+      .as[(String, String, String)].collect()
+    r.foreach { case (s, g, n) => assert(g == s && n == s) }
+  }
+
+  test("pivotCompressed: per-key time-ordered CSV survives the codec") {
+    val comp = CompressedStore.pivotCompressed(
+      events.withColumn("vm", floor($"v" * 1000).cast("long")), "id", "ts", Seq("vm"))
+    assert(comp.columns.toSet == Set("id", "vm_blob"))
+    val all = events.withColumn("k", lit(1))
+    val vec = CompressedStore.pivotCompressed(
+      all.withColumn("vm", floor($"v" * 1000).cast("long")), "k", "ts", Seq("vm"))
+      .select(CompressedStore.gzipDecompress($"vm_blob")).as[String].head()
+    assert(vec == "1000,2000,3000,4000")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Trajectory
+
+class TrajectorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val flat = Seq(
+    ("a", ts("2024-01-01 00:00:00"), 1.0),
+    ("a", ts("2024-01-01 01:00:00"), 2.0),
+    ("a", ts("2024-01-01 02:00:00"), 3.0),
+    ("b", ts("2024-01-01 03:00:00"), 9.0)
+  ).toDF("k", "ts", "v")
+
+  test("pivot builds time-sorted trajectories; unpivot inverts it") {
+    val traj = Trajectory.pivot(flat, "k", "ts", Seq("v"))
+    val a = traj.filter($"k" === "a").select($"v_traj").as[Seq[(Timestamp, Double)]].head()
+    assert(a == Seq((ts("2024-01-01 00:00:00"), 1.0), (ts("2024-01-01 01:00:00"), 2.0),
+      (ts("2024-01-01 02:00:00"), 3.0)))
+    val back = Trajectory.unpivot(traj, "k", "v_traj")
+      .select($"k", $"t", $"v").as[(String, Timestamp, Double)].collect().toSet
+    assert(back == flat.as[(String, Timestamp, Double)].collect().toSet)
+  }
+
+  test("asOfSlice returns last instant at-or-before t; null before start") {
+    val traj = Trajectory.pivot(flat, "k", "ts", Seq("v"))
+    val sliced = traj.select($"k",
+      Trajectory.asOfSlice($"v_traj", lit("2024-01-01 01:30:00").cast("timestamp")).as("s"))
+    val byK = sliced.collect().map(r => r.getString(0) -> Option(r.getStruct(1))).toMap
+    assert(byK("a").get.getDouble(1) == 2.0)
+    assert(byK("b").isEmpty) // b starts after t
+  }
+
+  test("atInstant matches only exact instants") {
+    val traj = Trajectory.pivot(flat, "k", "ts", Seq("v")).filter($"k" === "a")
+    val exact = traj.select(
+      Trajectory.atInstant($"v_traj", lit("2024-01-01 01:00:00").cast("timestamp")).as("s"))
+    assert(exact.head().getStruct(0).getDouble(1) == 2.0)
+    val miss = traj.select(
+      Trajectory.atInstant($"v_traj", lit("2024-01-01 01:00:01").cast("timestamp")).as("s"))
+    assert(miss.head().isNullAt(0))
+  }
+
+  test("contains = validity span covers t") {
+    val traj = Trajectory.pivot(flat, "k", "ts", Seq("v"))
+    val c = traj.select($"k",
+      Trajectory.contains($"v_traj", lit("2024-01-01 01:30:00").cast("timestamp")).as("c"))
+      .as[(String, Boolean)].collect().toMap
+    assert(c("a") && !c("b"))
+  }
+
+  test("validityRange aggregates per-key tsrange") {
+    val r = Trajectory.validityRange(flat, "k", "ts")
+      .select($"k", $"validity.lo", $"validity.hi").collect()
+      .map(x => (x.getString(0), (x.getTimestamp(1), x.getTimestamp(2)))).toMap
+    assert(r("a") == ((ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00"))))
+    assert(r("b") == ((ts("2024-01-01 03:00:00"), ts("2024-01-01 03:00:00"))))
+  }
+
+  test("asOfJoin picks latest row per key with deterministic tie-break") {
+    val dup = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1L, 1.0),
+      ("a", ts("2024-01-01 00:00:00"), 2L, 2.0), // same ts, higher id wins
+      ("b", ts("2024-01-02 00:00:00"), 3L, 3.0)  // after t → excluded
+    ).toDF("k", "ts", "id", "v")
+    val r = Trajectory.asOfJoin(dup, "k", "ts",
+        lit("2024-01-01 12:00:00").cast("timestamp"), tieCols = Seq("id"))
+      .select($"k", $"v").as[(String, Double)].collect().toMap
+    assert(r == Map("a" -> 2.0))
+  }
+}
