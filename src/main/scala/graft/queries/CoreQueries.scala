@@ -65,6 +65,37 @@ object CoreQueries {
               |WHERE ts >= TIMESTAMP '$RangeLo' AND ts < TIMESTAMP '$RangeHi'
               |ORDER BY event_id""".stripMargin)),
 
+    // Range/interval predicate JOIN (a ⋈ ts∈[lo,hi)) — the tsrange/
+    // get_items_between shape (/root/reference/stores/mobility_db_batch.py:107,
+    // motion_lake.py:31-34). Tiny interval side broadcast ⇒ the plan is a
+    // BroadcastNestedLoopJoin streaming the fact side once, no shuffle.
+    Q("q_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val intervals = Seq(
+          ("w1", "2024-01-05 00:00:00", "2024-01-08 00:00:00"),
+          ("w2", "2024-01-10 12:00:00", "2024-01-11 12:00:00"),
+          ("w3", "2024-01-20 00:00:00", "2024-01-28 00:00:00"))
+          .toDF("iname", "lo_s", "hi_s")
+          .select(col("iname"), to_timestamp(col("lo_s")).as("lo"),
+            to_timestamp(col("hi_s")).as("hi"))
+        Tables.events(s, dir)
+          .join(broadcast(intervals), col("ts") >= col("lo") && col("ts") < col("hi"))
+          .groupBy(col("iname"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+          .orderBy("iname")
+      },
+      Some("""SELECT iname, count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events
+             |JOIN (VALUES ('w1', TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
+             |             ('w2', TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-11 12:00:00'),
+             |             ('w3', TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-28 00:00:00'))
+             |       AS iv(iname, lo, hi)
+             |  ON ts >= lo AND ts < hi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -- temporal -------------------------------------------------------
     Q("q_asof_lookup",
       (s, dir) =>

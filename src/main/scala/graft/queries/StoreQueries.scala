@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.Pairing
 import graft.operators.Normalize
 import graft.sources.Tables
-import graft.store.{CompressedStore, MergeStore, SnapshotStore}
+import graft.store.{CompressedStore, JsonStore, MergeStore, SnapshotStore}
+import graft.streaming.Replay
 
 /** Write/store-path queries: hour-partitioned snapshot store with pruned
   * lookup, MERGE-semantics dim upsert, compressed column-vector store,
@@ -154,6 +155,69 @@ object StoreQueries {
              |  'POINT(' || CAST(CAST(floor(value * 1000000.0) AS BIGINT) AS VARCHAR)
              |   || ' ' || CAST(CAST(floor(value * 0.5 * 1000000.0) AS BIGINT) AS VARCHAR) || ')' AS wkt
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // JSON file store round-trip: one JSON file per hour bucket
+    // (/root/reference/stores/file_store.py:8-27), explicit schema on read.
+    Q("q_json_roundtrip",
+      (s, dir) => {
+        val path = JsonStore.ensureEventsJsonStore(s, dir)
+        JsonStore.read(s, path)
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"), col("bucket"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+             |       strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS bucket
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Concat-all gzip single file; lookup = full linear scan + first match
+    // (/root/reference/stores/all_in_one_gzip_file_store.py:21-32).
+    Q("q_json_linear_scan",
+      (s, dir) => {
+        val path = JsonStore.ensureConcatAllStore(s, dir)
+        val all = JsonStore.readConcatAll(s, path)
+        val lo = expr(s"unix_micros(timestamp'$LookupBucketTs')")
+        val hi = expr(s"unix_micros(timestamp'$LookupBucketTs' + interval 1 hour)")
+        val probe = all.filter(col("ts_us") >= lo && col("ts_us") < hi)
+          .agg(max(col("ts_us")).as("_t"))
+        all.join(broadcast(probe), col("ts_us") === col("_t"))
+          .select(col("event_id"), col("ts_us"), col("event_type"), col("value"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+              |FROM events
+              |WHERE epoch_us(ts) = (SELECT max(epoch_us(ts)) FROM events
+              |                      WHERE ts >= TIMESTAMP '$LookupBucketTs'
+              |                        AND ts < TIMESTAMP '$LookupBucketTs' + INTERVAL 1 HOUR)
+              |ORDER BY event_id""".stripMargin)),
+
+    // Ordered directory scan with ingestion cap
+    // (/root/reference/benchmark.py:28-39: walk, sort filenames asc, cap).
+    Q("q_dir_scan_ordered",
+      (s, dir) => {
+        val path = JsonStore.ensureEventsJsonStore(s, dir)
+        JsonStore.read(s, path)
+          .orderBy("ts_us", "event_id")
+          .limit(500)
+          .select(col("event_id"), col("ts_us"), col("value"))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, value
+             |FROM events ORDER BY ts, event_id LIMIT 500""".stripMargin)),
+
+    // Structured-Streaming replay of the store: availableNow micro-batches
+    // over the hour-partitioned files, tumbling-window aggregation —
+    // SURVEY.md §2.10; must equal the equivalent batch aggregation.
+    Q("q_stream_replay",
+      (s, dir) => {
+        val store = SnapshotStore.ensureEventsStore(s, dir)
+        val sink = "stream_replay_" + Paths.get(dir).getFileName.toString.replace('.', '_')
+        Replay.windowedReplay(s, store, sink)
+          .orderBy("bucket_us", "event_type")
+      },
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the

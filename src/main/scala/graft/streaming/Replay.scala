@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming replay of the reference's simulated stream
+  * (SURVEY.md §2.10): ordered micro-batch ingest (benchmark.py:33,
+  * buffered 500-doc flushes mobility_db_batch.py:67-79) re-expressed as a
+  * file-source stream with an availableNow trigger — every observable
+  * semantic of the reference's batch loop, on the streaming engine.
+  *
+  * Scale notes: the windowed aggregation is the standard
+  * watermark-compatible tumbling window (state = one row per
+  * (window, type)); the stateful trajectory builder keeps one bounded
+  * per-key state object and emits increments, never an unbounded
+  * collect.
+  */
+object Replay {
+
+  /** Replay a parquet events store as a stream and compute hourly
+    * tumbling-window counts/sums (complete mode → the memory sink holds
+    * the final answer; availableNow processes the whole backlog then
+    * stops). maxFilesPerTrigger bounds each micro-batch (the reference's
+    * buffer-then-flush). */
+  def windowedReplay(
+      spark: SparkSession,
+      storePath: String,
+      sinkName: String,
+      filesPerBatch: Int = 64): DataFrame = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(storePath)
+    val agg = src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+      .select(expr("unix_micros(w.start)").as("bucket_us"), col("event_type"),
+        col("n"), col("value_mils"))
+    spark.catalog.dropTempView(sinkName) // idempotent re-run in one session
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
+  // ---- stateful per-key trajectory accumulation -------------------------
+
+  final case class Obs(k: String, ts: Timestamp, v: Double)
+  final case class TrajState(n: Long, first: Timestamp, last: Timestamp, lastV: Double)
+  final case class TrajUpdate(k: String, n: Long, first: Timestamp, last: Timestamp, lastV: Double)
+
+  implicit val obsEnc: Encoder[Obs] = Encoders.product[Obs]
+  implicit val stEnc: Encoder[TrajState] = Encoders.product[TrajState]
+  implicit val upEnc: Encoder[TrajUpdate] = Encoders.product[TrajUpdate]
+  implicit val strEnc: Encoder[String] = Encoders.STRING
+
+  /** The reference's per-uuid `appendinstant` incremental state
+    * (mobility_db.py:71-78, hash_table apache_parquet_velocity.py:81-85)
+    * as mapGroupsWithState: bounded per-key summary state (count + first/
+    * last instant), updated per micro-batch. */
+  def updateTraj(key: String, obs: Iterator[Obs], state: GroupState[TrajState]): TrajUpdate = {
+    val sorted = obs.toSeq.sortBy(_.ts.getTime)
+    val prev = state.getOption
+    val next = sorted.foldLeft(prev) { (acc, o) =>
+      acc match {
+        case None => Some(TrajState(1L, o.ts, o.ts, o.v))
+        case Some(s) => Some(
+          if (o.ts.getTime >= s.last.getTime) TrajState(s.n + 1, s.first, o.ts, o.v)
+          else TrajState(s.n + 1, s.first, s.last, s.lastV))
+      }
+    }.get
+    state.update(next)
+    TrajUpdate(key, next.n, next.first, next.last, next.lastV)
+  }
+
+  /** Streaming per-key trajectory summary over a memory/file stream. */
+  def statefulTrajectories(obs: Dataset[Obs]): Dataset[TrajUpdate] =
+    obs.groupByKey(_.k)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateTraj)
+}
