@@ -55,6 +55,8 @@ object Bench {
     }
     rmrf(new java.io.File(SnapshotStore.root))
     results("store_write") = time(SnapshotStore.ensureEventsStore(spark, sfDir))
+    results("json_store_write") = time(graft.store.JsonStore.ensureEventsJsonStore(spark, sfDir))
+    results("json_concat_write") = time(graft.store.JsonStore.ensureConcatAllStore(spark, sfDir))
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time(materialize(fn(spark, sfDir)))

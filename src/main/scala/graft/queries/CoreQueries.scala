@@ -53,10 +53,15 @@ object CoreQueries {
               |FROM events WHERE date_trunc('hour', ts) = TIMESTAMP '$HourBucket'
               |ORDER BY event_id""".stripMargin)),
 
+    // Range scan against the written store: the loader's raw table carries
+    // nanos-as-long ts (predicate can't push through the µs conversion),
+    // while the store has a real timestamp column + a derived bucket
+    // partition predicate → PartitionFilters AND PushedFilters both hit.
     Q("q_range_scan",
       (s, dir) =>
-        Tables.events(s, dir)
-          .filter(col("ts") >= to_timestamp(lit(RangeLo)) && col("ts") < to_timestamp(lit(RangeHi)))
+        graft.store.SnapshotStore.rangeScan(s,
+            graft.store.SnapshotStore.ensureEventsStore(s, dir),
+            to_timestamp(lit(RangeLo)), to_timestamp(lit(RangeHi)))
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"), expr("unix_micros(ts)").as("ts_us"))
           .orderBy("event_id"),

@@ -50,6 +50,16 @@ object SnapshotStore {
   def lookupBucket(spark: SparkSession, path: String, bucket: String): DataFrame =
     read(spark, path).filter(col("bucket") === bucket)
 
+  /** Time-range scan with the partition predicate DERIVED from the ts
+    * bounds: the bucket between-filter prunes hour directories (partition
+    * pruning), the exact ts filter pushes to parquet row groups. Without
+    * the derived predicate a ts-only filter scans every partition. */
+  def rangeScan(spark: SparkSession, path: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame =
+    read(spark, path)
+      .filter(col("bucket").between(bucketExpr(lo), bucketExpr(hi)))
+      .filter(col("ts") >= lo && col("ts") < hi)
+
   private def sfName(sfDir: String) = Paths.get(sfDir).getFileName.toString
 
   /** Idempotent per-(sf,codec) events store; written once per JVM+disk

@@ -29,7 +29,7 @@ object Replay {
       spark: SparkSession,
       storePath: String,
       sinkName: String,
-      filesPerBatch: Int = 64): DataFrame = {
+      filesPerBatch: Int = 256): DataFrame = {
     val src = spark.readStream
       .schema(spark.read.parquet(storePath).schema)
       .option("maxFilesPerTrigger", filesPerBatch)
