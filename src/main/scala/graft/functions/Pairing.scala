@@ -83,26 +83,26 @@ object Pairing {
   def fromLittleEndian(bytes: Array[Byte]): BigInteger =
     new BigInteger(1, bytes.reverse)
 
-  // ---- Spark UDF surface -------------------------------------------------
+  // ---- Spark Column surface ---------------------------------------------
+  // Native codegen Expressions (PairingExpressions.scala), not UDFs: the
+  // projection stays in whole-stage codegen with a direct static call.
 
-  private val szudzikPairUdf = udf { (x: Long, y: Long) =>
+  import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+
+  def szudzikPairCol(x: Column, y: Column): Column =
+    columnOf(SzudzikPair(expressionOf(x), expressionOf(y)))
+  /** binary(15) → struct(x: Long, y: Long) */
+  def szudzikUnpairCol(b: Column): Column = columnOf(SzudzikUnpair(expressionOf(b)))
+  def cantorPairCol(x: Column, y: Column): Column =
+    columnOf(CantorPair(expressionOf(x), expressionOf(y)))
+  def cantorUnpairCol(b: Column): Column = columnOf(CantorUnpair(expressionOf(b)))
+
+  // UDF reference implementations (kept for differential testing)
+  val szudzikPairUdf = udf { (x: Long, y: Long) =>
     toLittleEndian(szudzikPair(BigInteger.valueOf(x), BigInteger.valueOf(y)), PairBytes)
   }
-  private val szudzikUnpairUdf = udf { (b: Array[Byte]) =>
+  val szudzikUnpairUdf = udf { (b: Array[Byte]) =>
     val (x, y) = szudzikUnpair(fromLittleEndian(b))
     XY(x.longValueExact(), y.longValueExact())
   }
-  private val cantorPairUdf = udf { (x: Long, y: Long) =>
-    toLittleEndian(cantorPair(BigInteger.valueOf(x), BigInteger.valueOf(y)), PairBytes)
-  }
-  private val cantorUnpairUdf = udf { (b: Array[Byte]) =>
-    val (x, y) = cantorUnpair(fromLittleEndian(b))
-    XY(x.longValueExact(), y.longValueExact())
-  }
-
-  def szudzikPairCol(x: Column, y: Column): Column = szudzikPairUdf(x, y)
-  /** binary(15) → struct(x: Long, y: Long) */
-  def szudzikUnpairCol(b: Column): Column = szudzikUnpairUdf(b)
-  def cantorPairCol(x: Column, y: Column): Column = cantorPairUdf(x, y)
-  def cantorUnpairCol(b: Column): Column = cantorUnpairUdf(b)
 }

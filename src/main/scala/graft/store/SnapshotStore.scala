@@ -42,23 +42,23 @@ object SnapshotStore {
       .mode("overwrite")
       .parquet(path)
 
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    graft.plans.GraftRules.install(spark)
     spark.read.parquet(path)
+  }
 
   /** Point/bucket lookup: equality on the partition column prunes to one
     * hour directory (PartitionFilters in the physical plan). */
   def lookupBucket(spark: SparkSession, path: String, bucket: String): DataFrame =
     read(spark, path).filter(col("bucket") === bucket)
 
-  /** Time-range scan with the partition predicate DERIVED from the ts
-    * bounds: the bucket between-filter prunes hour directories (partition
-    * pruning), the exact ts filter pushes to parquet row groups. Without
-    * the derived predicate a ts-only filter scans every partition. */
+  /** Time-range scan: only the ts bounds are written here — the bucket
+    * partition predicate is DERIVED by the DeriveBucketPredicate optimizer
+    * rule (installed by read()), so hour directories prune and the ts
+    * filter pushes to parquet row groups. */
   def rangeScan(spark: SparkSession, path: String,
       lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame =
-    read(spark, path)
-      .filter(col("bucket").between(bucketExpr(lo), bucketExpr(hi)))
-      .filter(col("ts") >= lo && col("ts") < hi)
+    read(spark, path).filter(col("ts") >= lo && col("ts") < hi)
 
   private def sfName(sfDir: String) = Paths.get(sfDir).getFileName.toString
 

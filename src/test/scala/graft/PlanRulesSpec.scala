@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Pairing
+import graft.store.SnapshotStore
+
+class PlanRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("DeriveBucketPredicate: ts-only range filter gains bucket partition pruning") {
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "rule").toString
+    val events = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 1.0),
+      (2L, ts("2024-01-01 23:45:00"), 2.0),
+      (3L, ts("2024-01-03 11:05:00"), 3.0)
+    ).toDF("id", "ts", "v")
+    SnapshotStore.write(events, path, "ts")
+
+    val scan = SnapshotStore.rangeScan(spark, path,
+      lit("2024-01-01 10:00:00").cast("timestamp"),
+      lit("2024-01-02 00:00:00").cast("timestamp"))
+    assert(scan.select($"id").as[Long].collect().toSet == Set(1L, 2L))
+
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("bucket") && plan.contains("2024-01-01-10"), plan)
+    // data filter on ts is still pushed to parquet
+    assert(plan.contains("GreaterThanOrEqual(ts"), plan)
+  }
+
+  test("DeriveBucketPredicate: point EqualTo(ts) derives bucket equality") {
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "rule").toString
+    val events = Seq((1L, ts("2024-01-01 10:15:00"), 1.0)).toDF("id", "ts", "v")
+    SnapshotStore.write(events, path, "ts")
+    val q = SnapshotStore.read(spark, path)
+      .filter($"ts" === lit("2024-01-01 10:15:00").cast("timestamp"))
+    assert(q.count() == 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("bucket") && plan.contains("= 2024-01-01-10"), plan)
+  }
+
+  test("DeriveBucketPredicate is idempotent and leaves bucket-aware filters alone") {
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "rule").toString
+    val events = Seq((1L, ts("2024-01-01 10:15:00"), 1.0)).toDF("id", "ts", "v")
+    SnapshotStore.write(events, path, "ts")
+    val q = SnapshotStore.lookupBucket(spark, path, "2024-01-01-10")
+      .filter($"ts" >= lit("2024-01-01 00:00:00").cast("timestamp"))
+    assert(q.count() == 1) // no conflict / double-derivation
+  }
+
+  test("native pairing expressions agree with the UDF reference implementation") {
+    val df = Seq((4100000L, 50800000L), (0L, 0L), (123456789L, 987654321L))
+      .toDF("x", "y")
+    val r = df.select(
+      Pairing.szudzikUnpairCol(Pairing.szudzikPairCol($"x", $"y")).as("n"),
+      Pairing.szudzikUnpairUdf(Pairing.szudzikPairUdf($"x", $"y")).as("u"),
+      $"x", $"y")
+    r.collect().foreach { row =>
+      val n = row.getStruct(0); val u = row.getStruct(1)
+      assert(n.getLong(0) == row.getLong(2) && n.getLong(1) == row.getLong(3))
+      assert(u.getLong(0) == n.getLong(0) && u.getLong(1) == n.getLong(1))
+    }
+  }
+
+  test("native cantor expressions round-trip") {
+    val df = Seq((7L, 9L), (41000000000000000L, 508000000000000000L)).toDF("x", "y")
+    val r = df.select($"x", $"y",
+      Pairing.cantorUnpairCol(Pairing.cantorPairCol($"x", $"y")).as("n"),
+      length(Pairing.cantorPairCol($"x", $"y")).as("len"))
+    r.collect().foreach { row =>
+      assert(row.getStruct(2).getLong(0) == row.getLong(0))
+      assert(row.getStruct(2).getLong(1) == row.getLong(1))
+      assert(row.getInt(3) == 15)
+    }
+  }
+}
