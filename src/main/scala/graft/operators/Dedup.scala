@@ -114,7 +114,10 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
-  private val hiNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+  // nibble ≥ 8 ⟺ ascii(hex char) ≥ '8' (56): '0'-'7' are 48-55, '8'/'9'
+  // are 56/57, 'a'-'f' are 97-102 — one integer compare per nibble instead
+  // of an 8-way string IN
+  private def hiNibble(h: Column, j: Int): Column = ascii(substring(h, j, 1)) >= 56
 
   /** 32-bit SimHash per doc, using the 32 md5 hex nibbles of each token as
     * the per-bit hash family (bit j votes +1 iff nibble j ≥ 8; MSB =
@@ -124,7 +127,7 @@ object Dedup {
     * → bit-pack. Output: idCol, fp: long. */
   def simhash32Frame(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
     val votes = (1 to 32).map { j =>
-      sum(when(substring(col("_h"), j, 1).isin(hiNibbles: _*), 1).otherwise(-1)).as(s"_v$j")
+      sum(when(hiNibble(col("_h"), j), 1).otherwise(-1)).as(s"_v$j")
     }
     val pack = (1 to 32).foldLeft(lit(0L)) { (acc, j) =>
       shiftleft(acc, 1) + when(col(s"_v$j") > 0, 1L).otherwise(0L)
