@@ -37,6 +37,16 @@ class OperatorsSpec extends SparkSpec {
     assert(ids == Seq("1", "9"))
   }
 
+  test("nestSalted (two-phase, skew-safe) ≡ nest") {
+    val flat = (1 to 100).map(i => ((i % 3).toLong, i.toLong, s"u$i", "t", i * 1.5, 4.0 + i, 50.0 + i))
+      .toDF("bucket", "fid", "uuid", "etype", "v", "lon", "lat")
+    val plain = Flatten.nest(flat, "bucket", "fid", Seq("uuid", "etype", "v"), "lon", "lat")
+    val salted = Flatten.nestSalted(flat, "bucket", "fid", Seq("uuid", "etype", "v"), "lon", "lat", 4)
+    val a = plain.orderBy("bucket").collect().map(_.toString).toSeq
+    val b = salted.orderBy("bucket").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("toGeoJson renders a parseable FeatureCollection string") {
     val flat = Seq((1L, 1L, "u", "t", 1.0, 4.5, 50.5)).toDF(
       "bucket", "fid", "uuid", "etype", "v", "lon", "lat")

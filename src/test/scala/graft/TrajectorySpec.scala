@@ -63,6 +63,17 @@ class TrajectorySpec extends SparkSpec {
     assert(r("b") == ((ts("2024-01-01 03:00:00"), ts("2024-01-01 03:00:00"))))
   }
 
+  test("typed TrajAggregator ≡ untyped pivot") {
+    import graft.operators.{TrajAggregator, TypedObs}
+    val ds = flat.as[(String, Timestamp, Double)]
+      .map { case (k, t, v) => TypedObs(k, t, v) }
+    val typed = ds.groupByKey(_.k).agg(TrajAggregator.column).collect()
+      .map { case (k, traj) => k -> traj }.toMap
+    val untyped = Trajectory.pivot(flat, "k", "ts", Seq("v"))
+      .as[(String, Seq[(Timestamp, Double)])].collect().toMap
+    assert(typed == untyped)
+  }
+
   test("asOfJoin picks latest row per key with deterministic tie-break") {
     val dup = Seq(
       ("a", ts("2024-01-01 00:00:00"), 1L, 1.0),
