@@ -167,7 +167,7 @@ object StoreQueries {
           .orderBy("event_id")
       },
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
-             |       strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS bucket
+             |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // Concat-all gzip single file; lookup = full linear scan + first match

@@ -30,12 +30,19 @@ object JsonStore {
   val schemaDdl =
     "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
 
+  /** Day buckets (not the parquet store's hours): the FileStore analog
+    * needs one-file-per-time-unit semantics, and a JSON tree pays file
+    * and commit overhead per directory — day granularity keeps the
+    * layout/pruning story at 1/24th the file count. */
+  def bucketExpr(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_format(date_trunc("day", ts), "yyyy-MM-dd")
+
   private def flatEvents(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir).select(
       col("event_id"),
       expr("unix_micros(ts)").as("ts_us"),
       col("user_id"), col("event_type"), col("value"),
-      SnapshotStore.bucketExpr(col("ts")).as("bucket"))
+      bucketExpr(col("ts")).as("bucket"))
 
   /** One JSON file per hour bucket (FileStore; gzip codec ⇒ GZipFileStore). */
   def write(df: DataFrame, path: String, codec: Option[String]): Unit = {
