@@ -51,10 +51,15 @@ object Similarity {
       qVecCol: String,
       k: Int,
       shards: Int = 32): DataFrame = {
-    val scored = corpus
-      .crossJoin(broadcast(queries))
+    // precompute each side's norm ONCE (a per-pair cosine would fold the
+    // corpus vector q extra times per row)
+    val corpusN = corpus.withColumn("_n", l2norm(col(vecCol)))
+    val queriesN = queries.withColumn("_qn", l2norm(col(qVecCol)))
+    val scored = corpusN
+      .crossJoin(broadcast(queriesN))
       .filter(col(idCol) =!= col(qIdCol)) // exclude self-match
-      .withColumn("sim_ppm", cosinePpm(col(vecCol), col(qVecCol)))
+      .withColumn("sim_ppm",
+        floor(dot(col(vecCol), col(qVecCol)) / (col("_n") * col("_qn")) * 1e6).cast("long"))
       .select(col(qIdCol), col(idCol), col("sim_ppm"))
     val shard = pmod(xxhash64(col(idCol)), lit(shards))
     val w1 = Window.partitionBy(col(qIdCol), shard)
