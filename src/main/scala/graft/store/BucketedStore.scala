@@ -1,0 +1,42 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** Entity-bucketed storage (Spark bucketBy) — the co-location strategy the
+  * trajectory scale notes call for (Trajectory.scala: "Pre-bucketing the
+  * flat table by the entity key makes repeated pivots shuffle-free").
+  *
+  * Writing `bucketBy(n, user_id).sortBy(ts)` persists the hash
+  * distribution in the table metadata, so every later
+  * groupBy/window/join on the entity key reads pre-clustered buckets and
+  * plans NO Exchange — at 100 TB that deletes the one unavoidable
+  * shuffle of the snapshot→trajectory pivot for every query after the
+  * first. The sortBy clusters each bucket by time, so per-entity
+  * trajectories read back in order.
+  */
+object BucketedStore {
+
+  def bucketedTableName(sfDir: String): String =
+    "events_bucketed_" + java.nio.file.Paths.get(sfDir).getFileName.toString.replace('.', '_')
+
+  /** Idempotent per-session bucketed events table (saveAsTable — bucket
+    * metadata lives in the session catalog). */
+  def ensureBucketedEvents(spark: SparkSession, sfDir: String, buckets: Int = 16): String =
+    synchronized {
+      val name = bucketedTableName(sfDir)
+      if (!spark.catalog.tableExists(name)) {
+        Tables.events(spark, sfDir)
+          .write
+          .bucketBy(buckets, "user_id")
+          .sortBy("ts")
+          .mode("overwrite")
+          .saveAsTable(name)
+      }
+      name
+    }
+
+  def read(spark: SparkSession, sfDir: String): DataFrame =
+    spark.table(ensureBucketedEvents(spark, sfDir))
+}

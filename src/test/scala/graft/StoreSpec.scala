@@ -61,6 +61,18 @@ class StoreSpec extends SparkSpec {
     assert(SnapshotStore.totalSizeBytes(path) > 0)
   }
 
+  test("bucketed store: per-entity aggregation plans no shuffle") {
+    val df = graft.store.BucketedStore.read(spark, "/root/testdata/sf0.001")
+    val agg = df.groupBy($"user_id").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(agg.count() > 0)
+    // pivot over the bucketed table is also exchange-free up to the agg
+    val pivoted = graft.operators.Trajectory.pivot(df, "user_id", "ts", Seq("value"))
+    val pplan = pivoted.queryExecution.executedPlan.toString
+    assert(!pplan.contains("Exchange hashpartitioning"), pplan)
+  }
+
   test("merge store: insert-only keeps existing, adds unseen") {
     val existing = Seq(("h1", "a"), ("h2", "b")).toDF("k", "v")
     val incoming = Seq(("h2", "B"), ("h3", "c")).toDF("k", "v")
