@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Pairing
 import graft.operators.Normalize
 import graft.sources.Tables
-import graft.store.{CompressedStore, JsonStore, MergeStore, SnapshotStore}
+import graft.store.{BucketedStore, CompressedStore, JsonStore, MergeStore, SnapshotStore}
 import graft.streaming.Replay
 
 /** Write/store-path queries: hour-partitioned snapshot store with pruned
@@ -87,6 +87,20 @@ object StoreQueries {
              |  substr(md5(coalesce(c_mktsegment, '') || '|' || coalesce(CAST(c_nationkey AS VARCHAR), '')), 1, 8) AS dim_hash,
              |  c_mktsegment, c_nationkey
              |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // Trajectory pivot over the ENTITY-BUCKETED table: bucketBy(user_id)
+    // persists the hash distribution, so the pivot's groupBy plans no
+    // Exchange (asserted in StoreSpec) — the shuffle-free co-located path.
+    Q("q_bucketed_pivot",
+      (s, dir) => {
+        val traj = graft.operators.Trajectory.pivot(
+          BucketedStore.read(s, dir), "user_id", "ts", Seq("value"))
+        graft.operators.Trajectory.unpivot(traj, "user_id", "value_traj")
+          .select(col("user_id"), expr("unix_micros(t)").as("ts_us"), col("v").as("value"))
+          .orderBy("user_id", "ts_us")
+      },
+      Some("""SELECT user_id, epoch_us(ts) AS ts_us, value
+             |FROM events ORDER BY user_id, ts_us""".stripMargin)),
 
     // Compressed column-vector store round-trip: pivot per user, render
     // CSV, gzip + snappy compress, decompress back

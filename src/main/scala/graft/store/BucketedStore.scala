@@ -22,11 +22,22 @@ object BucketedStore {
     "events_bucketed_" + java.nio.file.Paths.get(sfDir).getFileName.toString.replace('.', '_')
 
   /** Idempotent per-session bucketed events table (saveAsTable — bucket
-    * metadata lives in the session catalog). */
+    * metadata lives in the session catalog). The in-memory catalog forgets
+    * tables across JVMs while the warehouse directory persists, so a stale
+    * location from a previous run is deleted before re-creating (the table
+    * is a derived cache of the source parquet — always safe to rebuild). */
   def ensureBucketedEvents(spark: SparkSession, sfDir: String, buckets: Int = 16): String =
     synchronized {
       val name = bucketedTableName(sfDir)
       if (!spark.catalog.tableExists(name)) {
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val stale = new java.io.File(warehouse, name)
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rmrf)
+          f.delete(); ()
+        }
+        if (stale.exists()) rmrf(stale)
         Tables.events(spark, sfDir)
           .write
           .bucketBy(buckets, "user_id")
