@@ -160,4 +160,45 @@ object Dedup {
 
   /** Hamming distance between two fingerprint columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over near-dup pairs — the dedup pipeline's real
+    * output is one keeper per CLUSTER, not per pair (A≈B, B≈C must
+    * collapse to one group even when A≈C was never a candidate).
+    *
+    * Min-label propagation to fixpoint: each vertex repeatedly takes the
+    * smallest component id among itself and its neighbors. Converges in
+    * O(cluster diameter) rounds — near-dup clusters are shallow (dup
+    * families, not long chains), so a handful of iterations; each round
+    * is one shuffle join + aggregate, lineage truncated per round.
+    * Output: (id, component) for every vertex in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dcomp")).as("ncomp"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
 }

@@ -75,6 +75,48 @@ object PipelineQueries {
               |                 / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= $JaccardThresholdPpm
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Near-dup CLUSTERS: verified minhash pairs → connected components →
+    // (doc, component, cluster size). Oracle: transitive closure via a
+    // recursive CTE over the identical pair set.
+    Q("q_dedup_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        val sh = docs.repartition(col("doc_id"))
+          .select(col("doc_id"), Dedup.tokenShingles(col("_toks"), 3).as("sh"))
+        val sig = Dedup.minhashSignatures(docs, "doc_id",
+          Dedup.tokenShingles(col("_toks"), 3), MinhashK)
+        val pairs = Dedup.candidatePairs(
+            sig, "doc_id", Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand))
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .filter(Dedup.jaccardPpm(col("sh_a"), col("sh_b")) >= JaccardThresholdPpm)
+          .select(col("id_a"), col("id_b"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+        Dedup.connectedComponents(pairs)
+          .withColumnRenamed("id", "doc_id")
+          .withColumnRenamed("comp", "component")
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE sh AS ($duckShingles
+              |), pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |             / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= $JaccardThresholdPpm
+              |), edges AS (
+              |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+              |), reach(a, b) AS (
+              |  SELECT a, b FROM edges
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+              |), comp AS (
+              |  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+              |)
+              |SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS cluster_size
+              |FROM comp ORDER BY doc_id""".stripMargin)),
+
     Q("q_dedup_simhash",
       (s, dir) => {
         val fp = Dedup.simhash32Frame(Tables.documents(s, dir), "doc_id",

@@ -75,6 +75,15 @@ class DedupSpec extends SparkSpec {
     assert(g == Seq("abcde", "bcdef"))
   }
 
+  test("connectedComponents: chain, triangle, isolated pair, transitivity") {
+    // chain 1-2-3-4 (1≈4 never directly paired), triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("candidatePairs skew guard drops oversized buckets") {
     // 5 identical docs → every band bucket has 5 ids → maxBucket=4 kills all
     val many = (0 until 5).map(i => (i.toLong, "x y z w v u t s r q")).toDF("id", "text")
