@@ -325,6 +325,22 @@ object CoreQueries {
              |  CAST(floor((value - min(value) OVER (PARTITION BY event_type)) * 100000000.0) AS BIGINT) AS value_enc
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // JSON field extraction from a string column (the document-parse
+    // scalar family, /root/reference/stores/file_store.py:22-24 json.load;
+    // SURVEY.md §2.8 to_json/from_json) — codegen'd get_json_object, plus
+    // a from_json struct parse of the same payload.
+    Q("q_json_extract",
+      (s, dir) =>
+        Tables.events(s, dir).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          from_json(col("props"), "STRUCT<k: BIGINT>", Map.empty[String, String])
+            .getField("k").as("k2"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(props->>'k' AS BIGINT) AS k,
+             |       CAST(props->>'k' AS BIGINT) AS k2
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Fixed-point encode → decode round-trip (decode side of
     // /root/reference/stores/postgresql_velocity_split.py:177-179): both
     // engines run the identical double ops, so the decoded value is
