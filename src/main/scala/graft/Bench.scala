@@ -49,11 +49,7 @@ object Bench {
     // reads separately, benchmark.py:55-80); building it here also means
     // lookup queries below time *reads*, not a first-touch store build.
     // Delete any prior store so the write is actually measured.
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmrf)
-      f.delete(); ()
-    }
-    rmrf(new java.io.File(SnapshotStore.root))
+    SnapshotStore.deleteRecursively(new java.io.File(SnapshotStore.root))
     results("store_write") = time(SnapshotStore.ensureEventsStore(spark, sfDir))
     results("json_store_write") = time(graft.store.JsonStore.ensureEventsJsonStore(spark, sfDir))
     results("json_concat_write") = time(graft.store.JsonStore.ensureConcatAllStore(spark, sfDir))

@@ -170,8 +170,10 @@ object Dedup {
     * O(cluster diameter) rounds — near-dup clusters are shallow (dup
     * families, not long chains), so a handful of iterations; each round
     * is one shuffle join + aggregate, lineage truncated per round.
-    * Output: (id, component) for every vertex in `pairs`. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Throws if maxIter rounds don't converge — a silently split cluster
+    * would make a dedup pipeline keep multiple copies of one family.
+    * Output: (id, comp) for every vertex in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -199,6 +201,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — raise maxIter")
     labels
   }
 }

@@ -44,7 +44,13 @@ object Multimodal {
       .select(
         col("doc_id"),
         col("content"),
-        posexplode(sequence(lit(0L), col("n_bytes") - 1, lit(step.toLong))))
+        // empty blob → empty offsets (sequence(0,-1) would throw), and the
+        // posexplode then drops the row. frame_val decodes ONE BYTE — for
+        // multi-byte text content this is byte-level, not char-level.
+        posexplode(
+          when(col("n_bytes") > 0,
+            sequence(lit(0L), col("n_bytes") - 1, lit(step.toLong)))
+            .otherwise(array().cast("array<bigint>"))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "byte_offset")
       .select(

@@ -33,9 +33,14 @@ object Normalize {
       .drop(cols: _*)
 
   /** Dim rows not yet present in `existing` — the incremental dim upsert's
-    * read side (/root/reference/stores/postgresql_velocity.py:98-113). */
+    * read side (/root/reference/stores/postgresql_velocity.py:98-113).
+    * Key on the FULL dim tuple where possible — a truncated-hash key
+    * silently drops colliding dims (same bound as extractDim). */
+  def newDims(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String]): DataFrame =
+    incoming.join(existing.select(keyCols.map(col): _*), keyCols, "left_anti")
+
   def newDims(incoming: DataFrame, existing: DataFrame, keyCol: String): DataFrame =
-    incoming.join(existing.select(col(keyCol)), Seq(keyCol), "left_anti")
+    newDims(incoming, existing, Seq(keyCol))
 
   /** Snowflake reassembly: chained broadcast joins fact ⋈ dim₁ ⋈ dim₂ ⋈ …
     * (/root/reference/stores/postgresql_velocity_2levels.py:155-196). */

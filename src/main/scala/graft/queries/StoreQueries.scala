@@ -78,7 +78,10 @@ object StoreQueries {
           Normalize.extractDim(f, 8, Seq("c_mktsegment", "c_nationkey"))
         val existing = dims(c.filter(col("c_custkey") % 2 === 0))
         val incoming = dims(c.filter(col("c_custkey") % 2 === 1))
-        val merged = MergeStore.upsertInsertOnly(existing, incoming, "dim_hash")
+        // upsert keyed on the full dim tuple (dim_hash is a display key —
+        // a 32-bit prefix collision must not drop a dim)
+        val merged = MergeStore.upsertInsertOnly(existing, incoming,
+          Seq("c_mktsegment", "c_nationkey"))
         val path = s"${SnapshotStore.root}/dims_${Paths.get(dir).getFileName}"
         MergeStore.writeDim(merged, path)
         s.read.parquet(path).orderBy("c_mktsegment", "c_nationkey")

@@ -33,11 +33,7 @@ object BucketedStore {
         val warehouse = spark.conf.get("spark.sql.warehouse.dir")
           .stripPrefix("file:")
         val stale = new java.io.File(warehouse, name)
-        def rmrf(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rmrf)
-          f.delete(); ()
-        }
-        if (stale.exists()) rmrf(stale)
+        if (stale.exists()) SnapshotStore.deleteRecursively(stale)
         Tables.events(spark, sfDir)
           .write
           .bucketBy(buckets, "user_id")

@@ -10,14 +10,14 @@ import graft.sources.Tables
 /** JSON file stores — the reference's FileStore / GZipFileStore /
   * AllInOneGZipFileStore family (/root/reference/stores/file_store.py:8-27,
   * gzip_file_store.py:9-28, all_in_one_gzip_file_store.py:9-37):
-  * one JSON file (tree) per hour bucket with optional gzip codec, plus the
+  * one JSON file (tree) per DAY bucket with optional gzip codec, plus the
   * degenerate concat-everything single file whose lookup is a linear scan.
   *
   * Timestamps are stored as epoch-µs longs (`ts_us`) — JSON has no
   * timestamp type, and a round-trip through ISO strings would re-open the
   * ns/µs ambiguity the parquet path already solved.
   *
-  * Scale notes: the per-bucket layout scans only matching hour dirs when
+  * Scale notes: the per-bucket layout scans only matching day dirs when
   * filtered on `bucket` (partition pruning works for JSON sources too);
   * the concat-all store is kept deliberately degenerate — `coalesce(1)`
   * funnels everything through one task, which is exactly the behavior the
@@ -44,7 +44,7 @@ object JsonStore {
       col("user_id"), col("event_type"), col("value"),
       bucketExpr(col("ts")).as("bucket"))
 
-  /** One JSON file per hour bucket (FileStore; gzip codec ⇒ GZipFileStore). */
+  /** One JSON file per day bucket (FileStore; gzip codec ⇒ GZipFileStore). */
   def write(df: DataFrame, path: String, codec: Option[String]): Unit = {
     val w = df.repartition(col("bucket")).write.partitionBy("bucket").mode("overwrite")
     codec.fold(w)(c => w.option("compression", c)).json(path)

@@ -21,14 +21,21 @@ object MergeStore {
 
   /** WHEN NOT MATCHED THEN INSERT: existing rows win, unseen-key incoming
     * rows are appended (the reference dim registry's first-seen rule,
-    * postgresql_velocity.py:104-106). */
+    * postgresql_velocity.py:104-106). Key on the full natural tuple, not
+    * a truncated surrogate hash — hash collisions must not drop dims. */
+  def upsertInsertOnly(existing: DataFrame, incoming: DataFrame, keyCols: Seq[String]): DataFrame =
+    existing.unionByName(Normalize.newDims(incoming, existing, keyCols))
+
   def upsertInsertOnly(existing: DataFrame, incoming: DataFrame, keyCol: String): DataFrame =
-    existing.unionByName(Normalize.newDims(incoming, existing, keyCol))
+    upsertInsertOnly(existing, incoming, Seq(keyCol))
 
   /** WHEN MATCHED THEN UPDATE ∪ WHEN NOT MATCHED THEN INSERT: incoming
     * rows replace same-key existing rows (SCD-0 overwrite). */
+  def upsertReplace(existing: DataFrame, incoming: DataFrame, keyCols: Seq[String]): DataFrame =
+    incoming.unionByName(Normalize.newDims(existing, incoming, keyCols))
+
   def upsertReplace(existing: DataFrame, incoming: DataFrame, keyCol: String): DataFrame =
-    incoming.unionByName(Normalize.newDims(existing, incoming, keyCol))
+    upsertReplace(existing, incoming, Seq(keyCol))
 
   /** Persist an upserted dim table (atomic via parquet overwrite commit
     * protocol: _temporary staging + rename, then _SUCCESS). */

@@ -26,6 +26,13 @@ object SnapshotStore {
   /** All store output stays inside the repo (driver sandbox contract). */
   val root = "/root/repo/target/graftstore"
 
+  /** Recursive delete (shared by bench re-baselining and stale-location
+    * cleanup). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   def bucketExpr(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     date_format(date_trunc("hour", ts), "yyyy-MM-dd-HH")
 

@@ -72,9 +72,12 @@ object Replay {
     val next = sorted.foldLeft(prev) { (acc, o) =>
       acc match {
         case None => Some(TrajState(1L, o.ts, o.ts, o.v))
-        case Some(s) => Some(
-          if (o.ts.getTime >= s.last.getTime) TrajState(s.n + 1, s.first, o.ts, o.v)
-          else TrajState(s.n + 1, s.first, s.last, s.lastV))
+        case Some(s) =>
+          // late data may extend EITHER bound across micro-batches
+          val first = if (o.ts.getTime < s.first.getTime) o.ts else s.first
+          val (last, lastV) =
+            if (o.ts.getTime >= s.last.getTime) (o.ts, o.v) else (s.last, s.lastV)
+          Some(TrajState(s.n + 1, first, last, lastV))
       }
     }.get
     state.update(next)

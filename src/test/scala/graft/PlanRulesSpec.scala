@@ -13,9 +13,15 @@ class PlanRulesSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  // the rule only rewrites relations rooted under the graft store
+  private def storeTmp(): String = {
+    val root = java.nio.file.Paths.get(SnapshotStore.root)
+    Files.createDirectories(root)
+    Files.createTempDirectory(root, "rule").toString
+  }
+
   test("DeriveBucketPredicate: ts-only range filter gains bucket partition pruning") {
-    val path = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "rule").toString
+    val path = storeTmp()
     val events = Seq(
       (1L, ts("2024-01-01 10:15:00"), 1.0),
       (2L, ts("2024-01-01 23:45:00"), 2.0),
@@ -36,8 +42,7 @@ class PlanRulesSpec extends SparkSpec {
   }
 
   test("DeriveBucketPredicate: point EqualTo(ts) derives bucket equality") {
-    val path = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "rule").toString
+    val path = storeTmp()
     val events = Seq((1L, ts("2024-01-01 10:15:00"), 1.0)).toDF("id", "ts", "v")
     SnapshotStore.write(events, path, "ts")
     val q = SnapshotStore.read(spark, path)
@@ -47,9 +52,16 @@ class PlanRulesSpec extends SparkSpec {
     assert(plan.contains("bucket") && plan.contains("= 2024-01-01-10"), plan)
   }
 
+  test("DeriveBucketPredicate does not touch non-store tables with bucket/ts columns") {
+    // a foreign table whose columns happen to be named bucket and ts
+    val foreign = Seq(("s3-bucket-a", ts("2024-01-01 10:15:00"), 1.0))
+      .toDF("bucket", "ts", "v")
+    val out = foreign.filter($"ts" >= lit("2024-01-01 00:00:00").cast("timestamp"))
+    assert(out.count() == 1) // a derived hour-string predicate would drop the row
+  }
+
   test("DeriveBucketPredicate is idempotent and leaves bucket-aware filters alone") {
-    val path = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "rule").toString
+    val path = storeTmp()
     val events = Seq((1L, ts("2024-01-01 10:15:00"), 1.0)).toDF("id", "ts", "v")
     SnapshotStore.write(events, path, "ts")
     val q = SnapshotStore.lookupBucket(spark, path, "2024-01-01-10")

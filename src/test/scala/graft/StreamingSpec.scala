@@ -68,6 +68,25 @@ class StreamingSpec extends SparkSpec {
     assert(byKey("b").n == 1 && byKey("b").lastV == 9.0)
   }
 
+  test("late data ACROSS micro-batches extends both trajectory bounds") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Replay.Obs]
+    val sink = "t_traj_late"
+    spark.catalog.dropTempView(sink)
+    val q = Replay.statefulTrajectories(input.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update)
+      .start()
+    input.addData(Replay.Obs("k", ts("2024-01-01 12:00:00"), 5.0))
+    q.processAllAvailable()
+    input.addData(Replay.Obs("k", ts("2024-01-01 09:00:00"), 1.0)) // late, earlier batch
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table(sink).as[Replay.TrajUpdate].collect().maxBy(_.n)
+    assert(r.n == 2 && r.first == ts("2024-01-01 09:00:00") &&
+      r.last == ts("2024-01-01 12:00:00") && r.lastV == 5.0)
+  }
+
   test("out-of-order instants within a batch keep the max-ts value as last") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Replay.Obs]
