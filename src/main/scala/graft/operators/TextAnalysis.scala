@@ -80,6 +80,12 @@ object TextAnalysis {
       + when(punctOk, 300000L).otherwise(0L)).cast("long")
   }
 
+  /** Normalization scrub for training corpora: lowercase, strip
+    * non-alphanumeric (keeping spaces), collapse whitespace runs, trim.
+    * Pure codegen'd regexp_replace chain. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Rolling-hash document fingerprints over word shingles: min/max md5
     * (winnowing-style selection) plus shingle cardinality. Same
     * distributed shape as Dedup.minhashSignatures — explode → codegen'd

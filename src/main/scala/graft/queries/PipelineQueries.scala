@@ -253,6 +253,22 @@ object PipelineQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    // Scrub/normalize pass every training pipeline runs before dedup:
+    // lowercase, strip punctuation, collapse whitespace. Output includes
+    // how many chars the scrub removed (cheap quality signal).
+    Q("q_text_clean",
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.cleanText(col("text")).as("clean"),
+          (length(col("text")) - length(TextAnalysis.cleanText(col("text"))))
+            .cast("long").as("n_removed"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean,
+             |  CAST(len(text) - len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_removed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("q_doc_fingerprint",
       (s, dir) =>
         TextAnalysis.fingerprintFrame(
