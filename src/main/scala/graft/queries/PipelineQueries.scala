@@ -61,7 +61,7 @@ object PipelineQueries {
         cands
           .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
           .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-          .withColumn("jaccard_ppm", Dedup.jaccardPpm(col("sh_a"), col("sh_b")))
+          .withColumn("jaccard_ppm", graft.functions.SetOps.jaccardPpmCol(col("sh_a"), col("sh_b")))
           .filter(col("jaccard_ppm") >= JaccardThresholdPpm)
           .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
           .orderBy("id_a", "id_b")
@@ -90,7 +90,7 @@ object PipelineQueries {
             sig, "doc_id", Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand))
           .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
           .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-          .filter(Dedup.jaccardPpm(col("sh_a"), col("sh_b")) >= JaccardThresholdPpm)
+          .filter(graft.functions.SetOps.jaccardPpmCol(col("sh_a"), col("sh_b")) >= JaccardThresholdPpm)
           .select(col("id_a"), col("id_b"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
         Dedup.connectedComponents(pairs)
@@ -152,7 +152,7 @@ object PipelineQueries {
         val q0 = g.filter(col("doc_id") === 0).select(col("g").as("g0"))
         g.crossJoin(broadcast(q0))
           .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
-            Dedup.jaccardPpm(col("g"), col("g0")).as("jaccard_ppm"))
+            graft.functions.SetOps.jaccardPpmCol(col("g"), col("g0")).as("jaccard_ppm"))
           .orderBy("doc_id")
       },
       Some("""WITH g AS (

@@ -39,6 +39,23 @@ class DedupSpec extends SparkSpec {
     assert(dis.select(Dedup.jaccardPpm($"x", $"y")).as[Long].head() == 0L)
   }
 
+  test("native jaccard_ppm expression ≡ declarative jaccardPpm (differential)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(8))(s"w${rnd.nextInt(6)}")
+      (arr(), arr())
+    }.filter { case (a, b) => a.nonEmpty || b.nonEmpty } // 0/0 → NULL vs 0 differ by design
+    val df = rows.toDF("a", "b")
+    val cmp = df.select(
+      graft.functions.SetOps.jaccardPpmCol($"a", $"b").as("native"),
+      Dedup.jaccardPpm($"a", $"b").as("decl"))
+      .collect()
+    cmp.foreach { r =>
+      val decl = if (r.isNullAt(1)) 0L else r.getLong(1) // both empty: declarative NULL
+      assert(r.getLong(0) == decl, r)
+    }
+  }
+
   test("minhash LSH surfaces near-dup and exact-dup candidate pairs") {
     val sig = Dedup.minhashSignatures(docs, "id", Dedup.tokenShingles($"_toks", 3), 64)
     val cands = Dedup.candidatePairs(sig, "id", Dedup.lshBandKeys($"sig", 16, 4))
