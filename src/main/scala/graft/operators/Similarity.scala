@@ -98,8 +98,34 @@ object Similarity {
       .select(col(idCol), pack.as("sig"))
   }
 
+  /** md5-derived ±1 plane coefficients — same signatures are computable in
+    * an external SQL engine (oracle parity); the xxhash64 family above is
+    * the faster production default. Coefficient h_ij = sign of the first
+    * md5 nibble of "j:i". */
+  def rhpSignaturesMd5(df: DataFrame, idCol: String, vec: Column, nbits: Int): DataFrame = {
+    def coef(j: Int, i: Column): Column =
+      when(ascii(substring(md5(
+        concat(lit(j.toString), lit(":"), i.cast("string")).cast("binary")), 1, 1)) >= 56, 1.0)
+        .otherwise(-1.0)
+    val projs = (0 until nbits).map { j =>
+      sum(col("_v").cast("double") * coef(j, col("_i"))).as(s"_p$j")
+    }
+    val pack = (0 until nbits).foldLeft(lit(0L)) { (acc, j) =>
+      shiftleft(acc, 1) + when(col(s"_p$j") > 0, 1L).otherwise(0L)
+    }
+    df.repartition(col(idCol))
+      .select(col(idCol), posexplode(vec))
+      .withColumnRenamed("pos", "_i")
+      .withColumnRenamed("col", "_v")
+      .groupBy(col(idCol))
+      .agg(projs.head, projs.tail: _*)
+      .select(col(idCol), pack.as("sig"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing ≥1
-    * signature band with the query, verified by exact cosine, ranked. */
+    * signature band with the query, verified by exact cosine, ranked.
+    * `signatures` picks the hash family (xxhash64 default; md5 for
+    * external-oracle reproducibility). */
   def annTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -109,7 +135,8 @@ object Similarity {
       qVecCol: String,
       k: Int,
       nbits: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      signatures: (DataFrame, String, Column, Int) => DataFrame = rhpSignatures): DataFrame = {
     val width = nbits / bands
     def bandKeys(sig: Column): Column =
       array((0 until bands).map { b =>
@@ -117,9 +144,9 @@ object Similarity {
           pmod(shiftright(sig, b * width), lit(1L << width)).cast("string"))
       }: _*)
 
-    val corpusBandRows = rhpSignatures(corpus, idCol, col(vecCol), nbits)
+    val corpusBandRows = signatures(corpus, idCol, col(vecCol), nbits)
       .select(col(idCol), explode(bandKeys(col("sig"))).as("_band"))
-    val queryBandRows = rhpSignatures(queries, qIdCol, col(qVecCol), nbits)
+    val queryBandRows = signatures(queries, qIdCol, col(qVecCol), nbits)
       .select(col(qIdCol), explode(bandKeys(col("sig"))).as("_band"))
 
     // candidate ids first (small shuffle payload), vectors joined back after
