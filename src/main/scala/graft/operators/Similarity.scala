@@ -98,6 +98,30 @@ object Similarity {
       .select(col(idCol), pack.as("sig"))
   }
 
+  /** Per-vector int8 quantization — the storage path for embedding
+    * corpora at scale (4× smaller than float32, 8× than float64).
+    * q_i = floor(x_i / maxabs · 127) with the per-vector maxabs kept as
+    * the dequant scale. `maxabs` MUST be a bound column (withColumn), not
+    * an expression — interpreted HOF lambdas re-evaluate captures per
+    * element. */
+  def vecMaxAbs(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  def int8Quantize(vec: Column, maxabs: Column): Column =
+    transform(vec, x => floor(x.cast("double") / maxabs * lit(127.0)).cast("long"))
+
+  /** Reconstruction error of the quantized vector in ppm of total
+    * magnitude: Σ|x_i − q_i·maxabs/127| / Σ|x_i| · 1e6. */
+  def int8ErrPpm(vec: Column, quant: Column, maxabs: Column): Column = {
+    val errSum = aggregate(
+      zip_with(vec, quant, (x, q) => abs(x.cast("double") - q * maxabs / lit(127.0))),
+      lit(0.0), (a, e) => a + e)
+    val absSum = aggregate(
+      transform(vec, x => abs(x.cast("double"))),
+      lit(0.0), (a, e) => a + e)
+    floor(errSum / absSum * 1e6).cast("long")
+  }
+
   /** md5-derived ±1 plane coefficients — same signatures are computable in
     * an external SQL engine (oracle parity); the xxhash64 family above is
     * the faster production default. Coefficient h_ij = sign of the first

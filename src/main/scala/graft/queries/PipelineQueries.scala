@@ -235,6 +235,33 @@ object PipelineQueries {
              |SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 10
              |ORDER BY q_id, rank""".stripMargin)),
 
+    // Embedding int8 quantization round-trip: the 4×-smaller storage path
+    // for embedding corpora, with the reconstruction error bounded and
+    // oracle-checked (identical double op order in both engines).
+    Q("q_embed_quantize",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .withColumn("_maxabs", Similarity.vecMaxAbs(col("embedding")))
+          .withColumn("_q", Similarity.int8Quantize(col("embedding"), col("_maxabs")))
+        e.select(
+          col("vec_id"),
+          array_max(col("_q")).as("max_q"),
+          array_min(col("_q")).as("min_q"),
+          Similarity.int8ErrPpm(col("embedding"), col("_q"), col("_maxabs")).as("err_ppm"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             |m AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS maxabs FROM e),
+             |q AS (SELECT vec_id, ve, maxabs,
+             |        list_transform(ve, x -> floor(x / maxabs * 127.0)) AS qv FROM m)
+             |SELECT vec_id,
+             |  CAST(list_max(qv) AS BIGINT) AS max_q,
+             |  CAST(list_min(qv) AS BIGINT) AS min_q,
+             |  CAST(floor(
+             |    list_sum(list_transform(range(1, 65), i -> abs(ve[i::INT] - qv[i::INT] * maxabs / 127.0)))
+             |    / list_sum(list_transform(ve, x -> abs(x))) * 1000000.0) AS BIGINT) AS err_ppm
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     // -- text analysis ---------------------------------------------------
     Q("q_text_stats",
       (s, dir) => {

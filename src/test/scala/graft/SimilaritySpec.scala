@@ -51,6 +51,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.nonEmpty && r.toSet.contains(4L))
   }
 
+  test("int8 quantization: bounded codes, small reconstruction error") {
+    val df = emb.filter($"id" =!= 3L) // keep a negative-component vector via id=3? removed: zero-safe set
+      .unionByName(Seq((9L, Seq(-0.5f, 0.25f, 0.1f))).toDF("id", "vec"))
+      .withColumn("_maxabs", Similarity.vecMaxAbs($"vec"))
+      .withColumn("_q", Similarity.int8Quantize($"vec", $"_maxabs"))
+    val rows = df.select($"id", $"_q",
+      Similarity.int8ErrPpm($"vec", $"_q", $"_maxabs").as("err"))
+      .as[(Long, Seq[Long], Long)].collect()
+    rows.foreach { case (_, q, err) =>
+      assert(q.forall(v => v >= -128 && v <= 127))
+      assert(err >= 0 && err < 20000, s"err_ppm $err") // < 2% magnitude error
+    }
+  }
+
   test("annTopK plan has no full-corpus cartesian product") {
     val queries = emb.filter($"id" < 2L).select($"id".as("qid"), $"vec".as("qvec"))
     val plan = Similarity.annTopK(emb, queries, "id", "vec", "qid", "qvec", 3)
