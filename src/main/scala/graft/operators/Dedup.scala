@@ -72,6 +72,17 @@ object Dedup {
       .select(col(idCol), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
   }
 
+  /** MinHash similarity ESTIMATE from two signatures: the fraction of
+    * agreeing components, in ppm. E[estimate] = Jaccard(a, b) — lets a
+    * pipeline rank candidate pairs without ever touching shingle sets
+    * (signatures are k longs; sets are the whole document). */
+  def minhashEstimatePpm(sigA: Column, sigB: Column): Column = {
+    val agree = aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    floor(agree * lit(1000000L) / size(sigA)).cast("long")
+  }
+
   /** LSH band keys: the signature split into `bands` rows of `r` values,
     * each band hashed with its band index. Two docs sharing any band key
     * are candidates (prob 1-(1-s^r)^bands for Jaccard s). */

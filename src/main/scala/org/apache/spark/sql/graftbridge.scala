@@ -10,4 +10,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 package object graftbridge {
   def columnOf(e: Expression): Column = ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's native expressions as SQL functions on a session,
+    * so `spark.sql("SELECT szudzik_pair(x, y) ...")` works alongside the
+    * Column API (SURVEY.md §3.2: same query from SQL plans identically
+    * after parsing). Idempotent. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("szudzik_pair",
+      es => graft.functions.SzudzikPair(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("szudzik_unpair",
+      es => graft.functions.SzudzikUnpair(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cantor_pair",
+      es => graft.functions.CantorPair(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cantor_unpair",
+      es => graft.functions.CantorUnpair(es.head), "built-in")
+    reg.createOrReplaceTempFunction("jaccard_ppm",
+      es => graft.functions.JaccardPpmExpr(es(0), es(1)), "built-in")
+  }
 }

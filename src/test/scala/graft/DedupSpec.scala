@@ -92,6 +92,41 @@ class DedupSpec extends SparkSpec {
     assert(g == Seq("abcde", "bcdef"))
   }
 
+  test("minhash estimator tracks exact jaccard (statistical property)") {
+    // synthetic near-dup families with known overlap ratios
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(60)(s"w${rnd.nextInt(5000)}")
+    def mutate(frac: Double) =
+      base.map(w => if (rnd.nextDouble() < frac) s"m${rnd.nextInt(5000)}" else w).mkString(" ")
+    val docs = (0 until 6).map(i => (i.toLong, mutate(i * 0.15))).toDF("id", "text")
+      .withColumn("_toks", split($"text", " "))
+    val sh = docs.select($"id", Dedup.tokenShingles($"_toks", 3).as("sh"))
+    val sig = Dedup.minhashSignatures(docs, "id", Dedup.tokenShingles($"_toks", 3), 128)
+    val pairs = sh.select($"id".as("ia"), $"sh".as("sa"))
+      .crossJoin(sh.select($"id".as("ib"), $"sh".as("sb"))).filter($"ia" < $"ib")
+      .join(sig.select($"id".as("ia"), $"sig".as("ga")), "ia")
+      .join(sig.select($"id".as("ib"), $"sig".as("gb")), "ib")
+      .select(
+        Dedup.jaccardPpm($"sa", $"sb").as("exact"),
+        Dedup.minhashEstimatePpm($"ga", $"gb").as("est"))
+      .as[(Long, Long)].collect()
+    // k=128 ⇒ se ≈ sqrt(j(1-j)/128) ≤ 0.044; allow 4σ
+    pairs.foreach { case (exact, est) =>
+      assert(math.abs(exact - est) < 180000, s"exact=$exact est=$est")
+    }
+  }
+
+  test("expressions registered as SQL functions work from spark.sql") {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.registerFunctions(spark)
+    val r = sql("""SELECT szudzik_unpair(szudzik_pair(7L, 9L)) AS p,
+                  |       cantor_unpair(cantor_pair(3L, 4L)) AS c,
+                  |       jaccard_ppm(array('a','b'), array('b','c')) AS j""".stripMargin).head()
+    assert(r.getStruct(0).getLong(0) == 7L && r.getStruct(0).getLong(1) == 9L)
+    assert(r.getStruct(1).getLong(0) == 3L && r.getStruct(1).getLong(1) == 4L)
+    assert(r.getLong(2) == 1000000L / 3L)
+  }
+
   test("connectedComponents: chain, triangle, isolated pair, transitivity") {
     // chain 1-2-3-4 (1≈4 never directly paired), triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
