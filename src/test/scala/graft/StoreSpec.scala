@@ -89,6 +89,27 @@ class StoreSpec extends SparkSpec {
     assert(m == Map("h1" -> "a", "h2" -> "B", "h3" -> "c"))
   }
 
+  test("per-bucket gzip JSON store round-trips") {
+    val path = tmp("jsongz")
+    val df = events.select($"id".as("event_id"), expr("unix_micros(ts)").as("ts_us"),
+      lit(1L).as("user_id"), lit("t").as("event_type"), $"v".as("value"),
+      graft.store.JsonStore.bucketExpr($"ts").as("bucket"))
+    graft.store.JsonStore.write(df, path, codec = Some("gzip"))
+    assert(new java.io.File(path).listFiles.exists(_.getName.startsWith("bucket=")))
+    val back = graft.store.JsonStore.read(spark, path)
+    assert(back.count() == 4)
+    assert(back.select($"event_id", $"value").as[(Long, Double)].collect().toMap ==
+      Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+  }
+
+  test("pivotCompressed with snappy codec round-trips") {
+    val all = events.withColumn("k", lit(1))
+      .withColumn("vm", floor($"v" * 1000).cast("long"))
+    val vec = CompressedStore.pivotCompressed(all, "k", "ts", Seq("vm"), codec = "snappy")
+      .select(CompressedStore.snappyDecompress($"vm_blob")).as[String].head()
+    assert(vec == "1000,2000,3000,4000")
+  }
+
   test("gzip and snappy UDFs round-trip arbitrary strings") {
     val df = Seq("hello,1,2,3", "", "unicode: déjà vu ☃").toDF("s")
     val r = df.select($"s",
