@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -43,6 +43,40 @@ object SetOps {
 
   def jaccardPpmCol(a: Column, b: Column): Column =
     columnOf(JaccardPpmExpr(expressionOf(a), expressionOf(b)))
+
+  /** static entry point for generated code: distinct character n-gram
+    * shingles in ONE pass. Char byte-offsets are computed once (O(bytes)),
+    * each shingle is a byte-range slice, and a LinkedHashSet dedups while
+    * preserving first-occurrence order — the same output as the
+    * declarative `array_distinct(transform(sequence, substr))` but
+    * without the interpreted HOF lambda (re-evaluated per element) or the
+    * O(grams²) interpreted array_distinct. */
+  def charShingles(text: UTF8String, n: Int): ArrayData = {
+    val numChars = text.numChars()
+    if (numChars < n) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    // offs(i) = byte offset where char i starts; offs(numChars) = end
+    val offs = new Array[Int](numChars + 1)
+    var i = 0
+    var b = 0
+    while (i < numChars) {
+      offs(i) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    offs(numChars) = bytes.length
+    val nGrams = numChars - n + 1
+    val out = new java.util.LinkedHashSet[UTF8String](Math.max(8, nGrams * 2))
+    i = 0
+    while (i < nGrams) {
+      out.add(UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  def charShinglesCol(text: Column, n: Int): Column =
+    columnOf(CharShinglesExpr(expressionOf(text), n))
 }
 
 /** (array<string>, array<string>) → bigint ppm. */
@@ -63,4 +97,28 @@ case class JaccardPpmExpr(left: Expression, right: Expression) extends BinaryExp
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** (string) → array<string>: distinct char n-gram shingles, n baked in at
+  * plan time (it is a structural parameter, not data). NULL text → NULL,
+  * text shorter than n → empty array — matching the DuckDB oracle's
+  * `list_distinct([substr(text, i, n) for i in range(...)])`. */
+case class CharShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_shingles expects STRING, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SetOps.charShingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SetOps.charShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

@@ -48,6 +48,27 @@ object Schemas {
     StructField("features", ArrayType(feature, containsNull = false))
   ))
 
+  /** The STORED flat form exactly as the reference's pyarrow schema pins
+    * it (/root/reference/stores/apache_parquet.py:28-59): `direction` as
+    * bool (encoded `direction - 1`), float32 `distance` and coordinates,
+    * and the `uuidx` duplicate of uuid kept for fidelity
+    * (apache_parquet.py:41,57). q_geojson_canonical round-trips this
+    * schema through nest → flatten → parquet → nest; GeoJsonSpec asserts
+    * the written parquet carries these exact physical types. */
+  val flatStored: StructType = StructType(Seq(
+    StructField("uuid", StringType),
+    StructField("id", IntegerType),
+    StructField("color", StringType),
+    StructField("direction", BooleanType),
+    StructField("distance", FloatType),
+    StructField("distanceFromPoint", IntegerType),
+    StructField("lineId", StringType),
+    StructField("pointId", IntegerType),
+    StructField("uuidx", StringType),
+    StructField("coordinates_0", FloatType),
+    StructField("coordinates_1", FloatType)
+  ))
+
   /** Snapshot-major flat row (SURVEY.md §1.2 superset). */
   val flatObs: StructType = StructType(Seq(
     StructField("timestamp", TimestampType),

@@ -45,8 +45,21 @@ object Dedup {
     when(size(toks) >= n, grams).otherwise(emptyStrArray)
   }
 
-  /** Distinct character n-gram shingles. */
-  def charShingles(text: Column, n: Int): Column = {
+  /** Distinct character n-gram shingles — native one-pass codegen kernel
+    * ([[graft.functions.SetOps.charShingles]]). The declarative
+    * `transform` + `array_distinct` form it replaced evaluated the HOF
+    * lambda interpreted and paid an O(grams²) array_distinct per row;
+    * the kernel is O(|text|·n) with a single hash-set pass. Kept below as
+    * [[charShinglesDeclarative]] for differential testing. */
+  def charShingles(text: Column, n: Int): Column =
+    graft.functions.SetOps.charShinglesCol(text, n)
+
+  /** Reference implementation of [[charShingles]] in pure declarative
+    * Catalyst — interpreted and quadratic, used only to differentially
+    * test the native kernel. NULL text yields an empty array here (the
+    * `when` swallows the NULL); the native kernel is null-in → null-out
+    * like every SQL function. */
+  def charShinglesDeclarative(text: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), length(text) - (n - 1)),
       i => text.substr(i, lit(n)))
@@ -65,6 +78,25 @@ object Dedup {
     // repartition by id BEFORE the explode: compact doc rows shuffle once,
     // the k·|shingles| hash work fans out across the cluster, and the
     // groupBy reuses the hash distribution (no second shuffle)
+    docs.repartition(col(idCol))
+      .select(col(idCol), explode(shingles).as("_sh"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
+  }
+
+  /** md5-hex-string MinHash signatures — the oracle-reproducible family:
+    * component i = min over shingles of md5("i:" + shingle), compared as
+    * hex STRINGS (both Spark and any ANSI engine order ASCII hex
+    * identically, so the min — and therefore the estimator's
+    * agreement count — is bit-reproducible end-to-end). Production code
+    * uses the ~10× cheaper xxhash64 family ([[minhashSignatures]]); this
+    * one exists so the estimator contract is checkable outside Spark.
+    * Same distributed shape: explode → k codegen'd md5 → map-side-combined
+    * mins; shingle text never shuffles. */
+  def minhashSignaturesMd5(docs: DataFrame, idCol: String, shingles: Column, k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("_sh")).cast("binary"))).as(s"_h$i"))
     docs.repartition(col(idCol))
       .select(col(idCol), explode(shingles).as("_sh"))
       .groupBy(col(idCol))
@@ -200,16 +232,17 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dcomp")).as("ncomp"))
-      val next = labels
+      // carry (prev, new) label in one row: the convergence check becomes
+      // a cheap scan of the just-checkpointed partitions instead of a
+      // second join+count job per round (labels only ever decrease, so
+      // changed ⟺ comp < prev)
+      val step = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("_prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
-      labels = next
+      changed = step.filter(col("comp") < col("_prev")).count()
+      labels = step.select(col("id"), col("comp"))
       i += 1
     }
     if (changed > 0)

@@ -118,6 +118,10 @@ object CoreQueries {
     // the pivot's collect_list (an unbounded per-key array is an OOM on a
     // hot entity at 100 TB; VERDICT r1). The pivot itself is correctness-
     // covered by q_traj_pivot below on the same data.
+    // first/last value = lexicographic struct min/max, NOT min_by/arg_min:
+    // with duplicate timestamps in a key those pick an arbitrary row on
+    // each engine; (ts, value) struct ordering is a total order both
+    // engines share (ADVICE r2).
     Q("q_traj_stats",
       (s, dir) =>
         Tables.events(s, dir)
@@ -126,12 +130,13 @@ object CoreQueries {
             count(lit(1)).as("n_obs"),
             expr("unix_micros(min(ts))").as("first_ts_us"),
             expr("unix_micros(max(ts))").as("last_ts_us"),
-            min_by(col("value"), col("ts")).as("first_value"),
-            max_by(col("value"), col("ts")).as("last_value"))
+            min(struct(col("ts"), col("value"))).getField("value").as("first_value"),
+            max(struct(col("ts"), col("value"))).getField("value").as("last_value"))
           .orderBy("user_id"),
       Some("""SELECT user_id, count(*) AS n_obs,
              |       epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us,
-             |       arg_min(value, ts) AS first_value, arg_max(value, ts) AS last_value
+             |       min(struct_pack(t := ts, v := value)).v AS first_value,
+             |       max(struct_pack(t := ts, v := value)).v AS last_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Pivot → inverse-pivot round-trip: snapshot-major → trajectory-major
@@ -168,13 +173,24 @@ object CoreQueries {
             expr("unix_micros(validity.hi)").as("hi_us"))
           .orderBy("user_id")
       },
-      Some(s"""SELECT user_id,
+      // Oracle tie semantics mirror the sorted-array ops exactly (ADVICE
+      // r2): asOfSlice takes the LAST sorted (t,v) with t ≤ T — i.e.
+      // max(struct(ts,value)) — while atInstant takes the FIRST element at
+      // that instant — i.e. min(value) at the as-of ts. arg_max(value, ts)
+      // would pick an arbitrary row under duplicate timestamps.
+      Some(s"""WITH r AS (
+              |  SELECT user_id, ts, value,
+              |         max(CASE WHEN ts <= TIMESTAMP '$AsOfT' THEN ts END)
+              |           OVER (PARTITION BY user_id) AS asof_t
+              |  FROM events
+              |)
+              |SELECT user_id,
               |  (min(ts) <= TIMESTAMP '$AsOfT' AND TIMESTAMP '$AsOfT' <= max(ts)) AS covers,
               |  epoch_us(max(ts) FILTER (WHERE ts <= TIMESTAMP '$AsOfT')) AS asof_ts_us,
-              |  arg_max(value, ts) FILTER (WHERE ts <= TIMESTAMP '$AsOfT') AS asof_value,
-              |  arg_max(value, ts) FILTER (WHERE ts <= TIMESTAMP '$AsOfT') AS at_value,
+              |  (max(struct_pack(t := ts, v := value)) FILTER (WHERE ts <= TIMESTAMP '$AsOfT')).v AS asof_value,
+              |  min(value) FILTER (WHERE ts = asof_t) AS at_value,
               |  epoch_us(min(ts)) AS lo_us, epoch_us(max(ts)) AS hi_us
-              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+              |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     Q("q_window_hourly",
       (s, dir) =>

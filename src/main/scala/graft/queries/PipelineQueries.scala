@@ -143,10 +143,72 @@ object PipelineQueries {
              |FROM fp a, (SELECT fp AS fp0 FROM fp WHERE doc_id = 0) b
              |ORDER BY a.doc_id""".stripMargin)),
 
+    // MinHash estimator contract, end-to-end checked: with the md5
+    // string family (Dedup.minhashSignaturesMd5) the per-component mins
+    // are bit-reproducible in an external engine, so the oracle verifies
+    // the estimator's agreement count itself — not just the exact
+    // Jaccard it tracks. Pairs: all (a < b) among doc_id < 30 with
+    // non-empty shingle sets (docs without shingles cannot pair).
+    Q("q_minhash_estimate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 30)
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        val sh = docs.repartition(col("doc_id"))
+          .select(col("doc_id"), Dedup.tokenShingles(col("_toks"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sig = Dedup.minhashSignaturesMd5(docs, "doc_id",
+          Dedup.tokenShingles(col("_toks"), 3), 32)
+        val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+          .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+          .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            Dedup.minhashEstimatePpm(col("sig_a"), col("sig_b")).as("est_ppm"),
+            graft.functions.SetOps.jaccardPpmCol(col("sh_a"), col("sh_b")).as("exact_ppm"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH sh0 AS ($duckShingles),
+              |sh AS (SELECT doc_id, sh FROM sh0 WHERE doc_id < 30 AND len(sh) > 0),
+              |sig AS (
+              |  SELECT doc_id,
+              |         [list_min(list_transform(sh, x -> md5(i || ':' || x))) for i in range(0, 32)] AS sig
+              |  FROM sh
+              |)
+              |SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+              |  CAST(floor(len(list_filter(range(1, 33), i -> sga.sig[i::INT] = sgb.sig[i::INT]))
+              |             * 1000000.0 / 32) AS BIGINT) AS est_ppm,
+              |  CAST(floor(len(list_intersect(sa.sh, sb.sh)) * 1000000.0
+              |             / len(list_distinct(sa.sh || sb.sh))) AS BIGINT) AS exact_ppm
+              |FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+              |JOIN sig sga ON sga.doc_id = sa.doc_id
+              |JOIN sig sgb ON sgb.doc_id = sb.doc_id
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // 64-bit xxhash64-family SimHash — the production-width fingerprint.
+    // No external engine reproduces Spark's seeded xxhash64, so fp VALUES
+    // are unverifiable outside Spark; the oracle instead pins the defining
+    // determinism invariant end-to-end: every group of identical texts
+    // collapses to exactly one fingerprint. (The 32-bit md5 family in
+    // q_dedup_simhash is value-checked; same explode→vote→pack plumbing.)
+    Q("q_dedup_simhash64",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val fp = Dedup.simhash64Frame(docs, "doc_id", TextAnalysis.tokens(col("text")))
+        docs.select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+          .join(fp, Seq("doc_id"))
+          .groupBy(col("text_md5"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_distinct_fp"))
+          .orderBy("text_md5")
+      },
+      Some("""SELECT md5(text) AS text_md5, count(*) AS n_docs, CAST(1 AS BIGINT) AS n_distinct_fp
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("q_ngram_jaccard",
       (s, dir) => {
-        // repartition: the interpreted char-shingle + set-intersect work
-        // otherwise runs in the raw file's single input partition
+        // repartition: the shingle + set-intersect work otherwise runs in
+        // the raw file's single input partition
         val g = Tables.documents(s, dir).repartition(col("doc_id"))
           .select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("g"))
         val q0 = g.filter(col("doc_id") === 0).select(col("g").as("g0"))
@@ -235,6 +297,63 @@ object PipelineQueries {
              |SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 10
              |ORDER BY q_id, rank""".stripMargin)),
 
+    // Recall@k of the approximate path vs the exact one — the ANN's only
+    // failure mode (a band miss) is invisible on a tiny corpus unless
+    // measured explicitly. One row per query: what fraction of the exact
+    // top-10 the ANN returned, in ppm. The oracle derives from the same
+    // two already-verified pipelines, so this row documents the
+    // approximation contract rather than re-deriving either side.
+    Q("q_ann_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val exact = Similarity.topKExact(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 10)
+        val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 10,
+          signatures = Similarity.rhpSignaturesMd5)
+        exact.as("e")
+          .join(ann.as("a"),
+            col("e.q_id") === col("a.q_id") && col("e.vec_id") === col("a.vec_id"), "left")
+          .groupBy(col("e.q_id").as("q_id"))
+          .agg(floor(sum(when(col("a.vec_id").isNotNull, 1L).otherwise(0L))
+            * lit(1000000L) / count(lit(1))).cast("long").as("recall_ppm"))
+          .orderBy("q_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
+             |exact AS (
+             |  SELECT q.q_id, e.vec_id,
+             |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |           CAST(floor(list_dot_product(e.ve, q.qe)
+             |             / (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe)))
+             |             * 1000000.0) AS BIGINT) DESC, e.vec_id) AS rank
+             |  FROM v e, q WHERE e.vec_id <> q.q_id),
+             |sig AS (
+             |  SELECT vec_id,
+             |    CAST(list_sum(list_transform(range(0, 16), j ->
+             |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+             |             ve[i::INT + 1] * CASE WHEN ascii(substr(md5(j || ':' || i), 1, 1)) >= 56
+             |                                   THEN 1.0 ELSE -1.0 END)) > 0
+             |           THEN (1::BIGINT << (15 - j::INT)) ELSE 0 END)) AS BIGINT) AS sig
+             |  FROM v),
+             |cbands AS (SELECT vec_id, b, (sig >> (b::INT * 4)) & 15 AS bv FROM sig, range(0, 4) t(b)),
+             |qbands AS (SELECT vec_id AS q_id, b, bv FROM cbands WHERE vec_id < 5),
+             |cand AS (
+             |  SELECT DISTINCT q.q_id, c.vec_id
+             |  FROM cbands c JOIN qbands q ON c.b = q.b AND c.bv = q.bv AND c.vec_id <> q.q_id),
+             |ann AS (
+             |  SELECT cand.q_id, cand.vec_id,
+             |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
+             |           CAST(floor(list_dot_product(cv.ve, qv.ve)
+             |             / (sqrt(list_dot_product(cv.ve, cv.ve)) * sqrt(list_dot_product(qv.ve, qv.ve)))
+             |             * 1000000.0) AS BIGINT) DESC, cand.vec_id) AS rank
+             |  FROM cand JOIN v cv ON cand.vec_id = cv.vec_id JOIN v qv ON cand.q_id = qv.vec_id)
+             |SELECT e.q_id, CAST(floor(count(a.vec_id) * 1000000.0 / count(*)) AS BIGINT) AS recall_ppm
+             |FROM (SELECT * FROM exact WHERE rank <= 10) e
+             |LEFT JOIN (SELECT * FROM ann WHERE rank <= 10) a
+             |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
+
     // Embedding int8 quantization round-trip: the 4×-smaller storage path
     // for embedding corpora, with the reconstruction error bounded and
     // oracle-checked (identical double op order in both engines).
@@ -315,11 +434,14 @@ object PipelineQueries {
     // how many chars the scrub removed (cheap quality signal).
     Q("q_text_clean",
       (s, dir) =>
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          TextAnalysis.cleanText(col("text")).as("clean"),
-          (length(col("text")) - length(TextAnalysis.cleanText(col("text"))))
-            .cast("long").as("n_removed"))
+        // cleanText bound ONCE: a projection referencing the regex chain
+        // twice (clean + n_removed) would run the regexes twice per row if
+        // subexpression elimination doesn't fuse them
+        Tables.documents(s, dir)
+          .withColumn("clean", TextAnalysis.cleanText(col("text")))
+          .select(
+            col("doc_id"), col("clean"),
+            (length(col("text")) - length(col("clean"))).cast("long").as("n_removed"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean,

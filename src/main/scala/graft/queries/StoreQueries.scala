@@ -236,6 +236,27 @@ object StoreQueries {
              |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Watermarked APPEND-mode replay (SURVEY §2.10's watermark row; the
+    // scale-safe streaming shape — state dropped at watermark, file sink,
+    // no Complete-mode re-emission). One availableNow batch ⇒ the final
+    // watermark is max(ts) − 1 min and the emitted set is exactly the
+    // windows with end ≤ watermark (boundary inequality pinned by
+    // StreamingSpec's 13:01 fixture); the oracle states that predicate.
+    Q("q_stream_watermark",
+      (s, dir) => {
+        val store = SnapshotStore.ensureEventsStore(s, dir)
+        val out = store + "_wm_out"
+        Replay.windowedReplayAppend(s, store, out, "1 minute")
+          .orderBy("bucket_us", "event_type")
+      },
+      Some("""WITH wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events)
+             |SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events, wm
+             |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the
     // document is assembled by string concatenation, ordered by id.

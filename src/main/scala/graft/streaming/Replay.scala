@@ -51,6 +51,53 @@ object Replay {
     spark.table(sinkName)
   }
 
+  /** Watermarked APPEND-mode replay — the shape that actually scales
+    * (SURVEY.md §2.10's watermark row; VERDICT r2 "What's wrong #2").
+    * Complete mode keeps every window in state forever and re-emits the
+    * whole result to driver memory each trigger; here state for a
+    * (window, type) group is DROPPED once the watermark passes the window
+    * end, each finalized group is appended exactly once to a file sink,
+    * and rows later than `delayThreshold` behind the watermark are
+    * discarded by the engine (late-drop semantics unit-tested with
+    * controlled MemoryStream batches in StreamingSpec).
+    *
+    * Determinism contract for the oracle: the whole backlog is processed
+    * as ONE availableNow batch, so the watermark is at its initial value
+    * (epoch 0) while rows are aggregated — no mid-replay drops — and
+    * advances to max(ts) − delay at batch end. The emitted set is then
+    * exactly the windows with `window.end ≤ final watermark`, a predicate
+    * plain batch SQL can state. Returns the file-sink contents. */
+  def windowedReplayAppend(
+      spark: SparkSession,
+      storePath: String,
+      outPath: String,
+      delayThreshold: String = "1 minute"): DataFrame = {
+    // idempotent re-run: sink AND checkpoint must go together (a stale
+    // checkpoint would mark the backlog already-processed against an
+    // empty sink)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath + "_chk"))
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .parquet(storePath)
+    val agg = src
+      .withWatermark("ts", delayThreshold)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+      .select(expr("unix_micros(w.start)").as("bucket_us"), col("event_type"),
+        col("n"), col("value_mils"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", outPath + "_chk")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   // ---- stateful per-key trajectory accumulation -------------------------
 
   final case class Obs(k: String, ts: Timestamp, v: Double)

@@ -27,5 +27,12 @@ package object graftbridge {
       es => graft.functions.CantorUnpair(es.head), "built-in")
     reg.createOrReplaceTempFunction("jaccard_ppm",
       es => graft.functions.JaccardPpmExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("char_shingles",
+      es => graft.functions.CharShinglesExpr(es(0), es(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"char_shingles(text, n): n must be an integer literal, got $other")
+      }), "built-in")
   }
 }

@@ -92,6 +92,35 @@ class DedupSpec extends SparkSpec {
     assert(g == Seq("abcde", "bcdef"))
   }
 
+  test("native charShingles ≡ declarative (differential, incl. unicode + dups)") {
+    val rnd = new scala.util.Random(13)
+    // small alphabet forces duplicate shingles; multibyte chars exercise
+    // the byte-offset path (substr counts chars, not bytes)
+    val alphabet = "abcde éλ中"
+    val rows = (1 to 300).map { i =>
+      val len = rnd.nextInt(40)
+      (i.toLong, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    for (n <- Seq(2, 3, 5)) {
+      val cmp = rows.toDF("id", "text")
+        .select(
+          Dedup.charShingles($"text", n).as("native"),
+          Dedup.charShinglesDeclarative($"text", n).as("decl"))
+        .as[(Seq[String], Seq[String])].collect()
+      cmp.foreach { case (native, decl) => assert(native == decl) }
+    }
+  }
+
+  test("charShingles: NULL text → NULL; short text → empty; SQL registration") {
+    org.apache.spark.sql.graftbridge.registerFunctions(spark)
+    val r = sql(
+      """SELECT char_shingles(CAST(NULL AS STRING), 3) AS a, char_shingles('ab', 3) AS b,
+        |       char_shingles('abab', 2) AS c""".stripMargin).head()
+    assert(r.isNullAt(0))
+    assert(r.getSeq[String](1).isEmpty)
+    assert(r.getSeq[String](2) == Seq("ab", "ba")) // dedup keeps first occurrence
+  }
+
   test("minhash estimator tracks exact jaccard (statistical property)") {
     // synthetic near-dup families with known overlap ratios
     val rnd = new scala.util.Random(7)

@@ -38,6 +38,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._3).sum == 4)
   }
 
+  test("windowedReplayAppend: emits exactly the windows closed by the final watermark") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:15:00"), "a", 1.5),
+      (2L, ts("2024-01-01 10:45:00"), "a", 2.5),
+      (3L, ts("2024-01-01 11:05:00"), "b", 3.5),
+      // max ts 13:01:00, delay 1 min → final watermark 13:00:00: the
+      // 12:00-13:00 window sits exactly ON the boundary (end == wm) and
+      // pins the emission inequality the oracle must use
+      (4L, ts("2024-01-01 12:30:00"), "a", 4.5),
+      (5L, ts("2024-01-01 13:01:00"), "b", 9.9)
+    ).toDF("id", "ts", "event_type", "value")
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "wmstream").toString
+    SnapshotStore.write(events, s"$base/store", "ts")
+
+    val emitted = Replay.windowedReplayAppend(spark, s"$base/store", s"$base/out")
+      .orderBy("bucket_us", "event_type")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val hours = emitted.map(r => new Timestamp(r._1 / 1000).toString).toSet
+    // 10:00 and 11:00 windows are closed; 13:00 (holding the 13:01 row) is
+    // open. Whether 12:00 appears resolves the <= vs < boundary question.
+    assert(hours.exists(_.startsWith("2024-01-01 10:00")))
+    assert(hours.exists(_.startsWith("2024-01-01 11:00")))
+    assert(!hours.exists(_.startsWith("2024-01-01 13:00")))
+    info(s"boundary window 12:00 emitted: ${hours.exists(_.startsWith("2024-01-01 12:00"))}")
+    assert(emitted.filter(_._2 == "a").map(_._3).sum >= 2)
+  }
+
+  test("windowedReplayAppend drops rows later than the watermark delay (MemoryStream)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val sink = "t_wm_drop"
+    spark.catalog.dropTempView(sink)
+    val q = input.toDF().toDF("id", "ts", "event_type", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(w.start)").as("bucket_us"), $"event_type", $"n")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .start()
+    // batch 1 advances the watermark to 13:59
+    input.addData((1L, ts("2024-01-01 10:30:00"), "a", 1.0),
+      (2L, ts("2024-01-01 14:00:00"), "b", 2.0))
+    q.processAllAvailable()
+    // batch 2: a 10:40 row is 3h19m behind the watermark → engine drops it;
+    // a 14:10 row is on time
+    input.addData((3L, ts("2024-01-01 10:40:00"), "a", 9.0),
+      (4L, ts("2024-01-01 14:10:00"), "b", 3.0))
+    q.processAllAvailable()
+    // batch 3 pushes the watermark past every window end so all state drains
+    input.addData((5L, ts("2024-01-01 16:30:00"), "c", 0.0))
+    q.processAllAvailable()
+    val lastProgress = q.lastProgress
+    q.stop()
+    val rows = spark.table(sink).as[(Long, String, Long)].collect()
+      .map(r => (new Timestamp(r._1 / 1000).toString.take(13), r._2) -> r._3).toMap
+    // the dropped 10:40 row must NOT be counted: 10:00 window has n=1
+    assert(rows(("2024-01-01 10", "a")) == 1L)
+    assert(rows(("2024-01-01 14", "b")) == 2L)
+    // bounded state: after draining, the state store holds no leftover rows
+    // beyond the single open 16:00 window
+    val stateRows = lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows <= 1, s"state not bounded: $stateRows rows")
+  }
+
   test("statefulTrajectories accumulates per-key state across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Replay.Obs]
