@@ -48,25 +48,29 @@ object Schemas {
     StructField("features", ArrayType(feature, containsNull = false))
   ))
 
-  /** The STORED flat form exactly as the reference's pyarrow schema pins
-    * it (/root/reference/stores/apache_parquet.py:28-59): `direction` as
-    * bool (encoded `direction - 1`), float32 `distance` and coordinates,
-    * and the `uuidx` duplicate of uuid kept for fidelity
-    * (apache_parquet.py:41,57). q_geojson_canonical round-trips this
-    * schema through nest → flatten → parquet → nest; GeoJsonSpec asserts
-    * the written parquet carries these exact physical types. */
+  /** The STORED flat form as the reference's pyarrow schema pins it
+    * (/root/reference/stores/apache_parquet.py:45-59), same field ORDER:
+    * leading ISO-string `timestamp` key, int64 `id`, `direction` as bool
+    * (encoded `direction - 1`, :35), float32 `distance` and coordinates,
+    * and the `uuidx` duplicate of uuid kept last for fidelity (:41,57).
+    * One deliberate divergence: the reference's uint16
+    * `distanceFromPoint` (:53) becomes int32 — Spark/parquet-mr has no
+    * unsigned types; the [0, 65535] domain is asserted in GeoJsonSpec.
+    * q_geojson_canonical round-trips this schema through nest → flatten
+    * → parquet → read-back; GeoJsonSpec asserts the written file carries
+    * these exact physical types. */
   val flatStored: StructType = StructType(Seq(
+    StructField("timestamp", StringType),
     StructField("uuid", StringType),
-    StructField("id", IntegerType),
+    StructField("id", LongType),
     StructField("color", StringType),
     StructField("direction", BooleanType),
     StructField("distance", FloatType),
     StructField("distanceFromPoint", IntegerType),
     StructField("lineId", StringType),
-    StructField("pointId", IntegerType),
-    StructField("uuidx", StringType),
     StructField("coordinates_0", FloatType),
-    StructField("coordinates_1", FloatType)
+    StructField("coordinates_1", FloatType),
+    StructField("uuidx", StringType)
   ))
 
   /** Snapshot-major flat row (SURVEY.md §1.2 superset). */

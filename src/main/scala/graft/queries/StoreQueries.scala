@@ -224,11 +224,16 @@ object StoreQueries {
     // Structured-Streaming replay of the store: availableNow micro-batches
     // over the hour-partitioned files, tumbling-window aggregation —
     // SURVEY.md §2.10; must equal the equivalent batch aggregation.
+    // Runs against the COARSE day-partitioned replay layout: the
+    // FileStreamSource re-lists the source per micro-batch, so the
+    // hour-partitioned read store (720 dirs at sf0.1, 8.8k/yr) is the
+    // wrong stream source; day files bound the listing (VERDICT r3).
+    // filesPerBatch=8 still exercises multi-micro-batch ingest.
     Q("q_stream_replay",
       (s, dir) => {
-        val store = SnapshotStore.ensureEventsStore(s, dir)
+        val store = SnapshotStore.ensureReplayStore(s, dir)
         val sink = "stream_replay_" + Paths.get(dir).getFileName.toString.replace('.', '_')
-        Replay.windowedReplay(s, store, sink)
+        Replay.windowedReplay(s, store, sink, filesPerBatch = 8)
           .orderBy("bucket_us", "event_type")
       },
       Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
@@ -244,7 +249,7 @@ object StoreQueries {
     // StreamingSpec's 13:01 fixture); the oracle states that predicate.
     Q("q_stream_watermark",
       (s, dir) => {
-        val store = SnapshotStore.ensureEventsStore(s, dir)
+        val store = SnapshotStore.ensureReplayStore(s, dir)
         val out = store + "_wm_out"
         Replay.windowedReplayAppend(s, store, out, "1 minute")
           .orderBy("bucket_us", "event_type")

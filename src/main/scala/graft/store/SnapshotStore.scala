@@ -36,6 +36,9 @@ object SnapshotStore {
   def bucketExpr(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     date_format(date_trunc("hour", ts), "yyyy-MM-dd-HH")
 
+  def dayBucketExpr(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_format(date_trunc("day", ts), "yyyy-MM-dd")
+
   /** Write a flat frame as an hour-partitioned store. The repartition on
     * the bucket key means each hour directory gets ONE file instead of
     * one per (task × bucket) — without it a 32-task write of a year of
@@ -76,6 +79,29 @@ object SnapshotStore {
       val path = s"$root/events_${sfName(sfDir)}_$codec"
       if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
         write(Tables.events(spark, sfDir), path, "ts", codec)
+      }
+      path
+    }
+
+  /** Day-partitioned single-file-per-day copy of events — the COARSE
+    * replay layout for the streaming queries. The hour-partitioned store
+    * is the right read-path layout (point lookups prune to one dir), but
+    * a FileStreamSource re-lists the whole store per micro-batch: at
+    * sf0.1 that is 720 one-file hour dirs (~2.2 s/listing, VERDICT r3);
+    * at a year of data it is 8.8k dirs per batch. Day granularity bounds
+    * the listing to 365 dirs/files per year while keeping ordered
+    * time-bucket ingest semantics. */
+  def ensureReplayStore(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = s"$root/events_${sfName(sfDir)}_replay"
+      if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+        Tables.events(spark, sfDir)
+          .withColumn("bucket", dayBucketExpr(col("ts")))
+          .repartition(col("bucket"))
+          .write
+          .partitionBy("bucket")
+          .mode("overwrite")
+          .parquet(path)
       }
       path
     }

@@ -20,6 +20,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Replay {
 
+  /** Shuffle partitions sized for streaming STATE, not batch scans: a
+    * stateful streaming query allocates (and checkpoints) one state store
+    * per shuffle partition per trigger, a fixed per-batch cost paid even
+    * when the group cardinality is tiny. The hourly (window, type) state
+    * here is a few thousand rows — 32 state partitions is pure overhead
+    * (VERDICT r3 What's-wrong #2). Scoped set/restore is safe here
+    * because the streaming query runs to completion inside `body`
+    * (awaitTermination), unlike lazily-executed batch plans. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Replay a parquet events store as a stream and compute hourly
     * tumbling-window counts/sums (complete mode → the memory sink holds
     * the final answer; availableNow processes the whole backlog then
@@ -41,13 +56,15 @@ object Replay {
       .select(expr("unix_micros(w.start)").as("bucket_us"), col("event_type"),
         col("n"), col("value_mils"))
     spark.catalog.dropTempView(sinkName) // idempotent re-run in one session
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sinkName)
   }
 
@@ -87,14 +104,25 @@ object Replay {
         sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
       .select(expr("unix_micros(w.start)").as("bucket_us"), col("event_type"),
         col("n"), col("value_mils"))
-    val q = agg.writeStream
-      .format("parquet")
-      .option("path", outPath)
-      .option("checkpointLocation", outPath + "_chk")
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", outPath + "_chk")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // The oracle's `window.end <= max(ts) - delay` predicate is only
+      // valid if the whole backlog was ONE batch (the watermark would
+      // otherwise advance mid-replay and drop late rows). Nothing here
+      // sets maxFilesPerTrigger, but a source that split the backlog
+      // anyway (e.g. a Delta source's own batch cap) must fail loudly,
+      // not silently diverge from the oracle (ADVICE r3).
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"windowedReplayAppend determinism contract broken: backlog split into $dataBatches batches")
+    }
     spark.read.parquet(outPath)
   }
 

@@ -28,11 +28,20 @@ package object graftbridge {
     reg.createOrReplaceTempFunction("jaccard_ppm",
       es => graft.functions.JaccardPpmExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("char_shingles",
-      es => graft.functions.CharShinglesExpr(es(0), es(1).eval() match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"char_shingles(text, n): n must be an integer literal, got $other")
-      }), "built-in")
+      es => {
+        // n is baked into the expression at construction, so it must be a
+        // foldable literal; check arity + foldability up front so a bad
+        // call gets this message, not a raw unbound-attribute or
+        // index-out-of-bounds error at analysis time (ADVICE r3)
+        if (es.length != 2 || !es(1).foldable)
+          throw new IllegalArgumentException(
+            s"char_shingles(text, n): expects 2 args with n an integer literal, got (${es.mkString(", ")})")
+        graft.functions.CharShinglesExpr(es(0), es(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"char_shingles(text, n): n must be an integer literal, got $other")
+        })
+      }, "built-in")
   }
 }

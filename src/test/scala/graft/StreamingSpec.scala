@@ -62,7 +62,13 @@ class StreamingSpec extends SparkSpec {
     assert(hours.exists(_.startsWith("2024-01-01 10:00")))
     assert(hours.exists(_.startsWith("2024-01-01 11:00")))
     assert(!hours.exists(_.startsWith("2024-01-01 13:00")))
-    info(s"boundary window 12:00 emitted: ${hours.exists(_.startsWith("2024-01-01 12:00"))}")
+    // The q_stream_watermark oracle commits to `window.end <= watermark`:
+    // the 12:00 window (end == final watermark 13:00) MUST be emitted. If
+    // a Spark version ever changes the eviction inequality to strict <,
+    // this fails here instead of silently diverging from the oracle
+    // (ADVICE r3).
+    assert(hours.exists(_.startsWith("2024-01-01 12:00")),
+      s"boundary window (end == watermark) not emitted — oracle's <= predicate broken; emitted: $hours")
     assert(emitted.filter(_._2 == "a").map(_._3).sum >= 2)
   }
 
