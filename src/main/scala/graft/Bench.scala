@@ -56,6 +56,8 @@ object Bench {
     // coarse day-bucketed replay source for the streaming queries —
     // built here so q_stream_* time STREAMING, not a first-touch write
     results("replay_store_write") = time(SnapshotStore.ensureReplayStore(spark, sfDir))
+    results("geojson_store_write") =
+      time(graft.queries.CoreQueries.ensureCanonicalGeoStore(spark, sfDir))
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time(materialize(fn(spark, sfDir)))

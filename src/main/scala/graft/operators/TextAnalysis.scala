@@ -57,23 +57,42 @@ object TextAnalysis {
     floor(stopwordHits(toks, all) * lit(1000000L) / size(toks)).cast("long")
   }
 
-  /** Language ID: argmax over per-language stopword hit counts; ties fall
-    * to the declaration order above (en first) — mirrored verbatim in the
-    * SQL oracle, so the tie-break is part of the contract. */
-  def langId(toks: Column): Column = {
-    val scores = stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+  /** stopword ppm from a PRE-BOUND hit-count column (see langIdFromScores
+    * for why binding matters). */
+  def stopwordRatioPpmFromHits(allHits: Column, toks: Column): Column =
+    floor(allHits * lit(1000000L) / size(toks)).cast("long")
+
+  /** Language ID argmax from PRE-BOUND per-language hit-count columns.
+    *
+    * Bind each `stopwordHits` as a real column (withColumn) before calling
+    * this: the argmax references every score once in `greatest` and twice
+    * per `when` arm — with raw expressions that duplicates each
+    * interpreted HOF filter pass ~7× per language per row (this was
+    * q_text_stats at 27 s/sf0.1; bound: ~2 s). Ties fall to declaration
+    * order (en first) — mirrored verbatim in the SQL oracle. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === best && s > 0, lit(lang)).otherwise(acc)
     }
   }
 
+  /** Language ID over a token column (convenience for tests/small data;
+    * hot paths should bind scores and use langIdFromScores). */
+  def langId(toks: Column): Column =
+    langIdFromScores(stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) })
+
   /** Composite quality score in [0, 1e6]: 40% length band (50..5000
     * chars), 30% stopword presence band (≥2% tokens), 30% punctuation
     * sanity band (≤20% chars). Deterministic integer arithmetic. */
-  def qualityScorePpm(text: Column, toks: Column): Column = {
+  def qualityScorePpm(text: Column, toks: Column): Column =
+    qualityScorePpmFromHits(text, toks, stopwordHits(toks, stopwords.flatMap(_._2)))
+
+  /** Quality score from a PRE-BOUND all-stopword hit column (one filter
+    * pass shared with stopwordRatioPpmFromHits instead of two). */
+  def qualityScorePpmFromHits(text: Column, toks: Column, allHits: Column): Column = {
     val lenOk = length(text).between(50, 5000)
-    val stopOk = stopwordRatioPpm(toks) >= 20000
+    val stopOk = stopwordRatioPpmFromHits(allHits, toks) >= 20000
     val punctOk = punctRatioPpm(text) <= 200000
     (when(lenOk, 400000L).otherwise(0L)
       + when(stopOk, 300000L).otherwise(0L)

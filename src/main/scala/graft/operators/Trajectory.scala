@@ -34,6 +34,30 @@ object Trajectory {
     flat.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Skew-safe two-phase pivot: `pivot` builds each entity's whole array
+    * in ONE reduce task's collect_list, so a hot entity (a vehicle
+    * emitting 100M observations) concentrates its trajectory in a single
+    * task. Phase 1 collects partial arrays per (key, salt-of-ts) —
+    * bounding any task's array to ~1/saltBuckets of the key's rows and
+    * distributing struct construction; phase 2 concatenates the partials
+    * and sorts once. Output ≡ pivot (same lexicographic (t, v) order);
+    * equivalence property-tested in TrajectorySpec. Same pattern as
+    * Flatten.nestSalted. */
+  def pivotSalted(flat: DataFrame, keyCol: String, tsCol: String,
+      valueCols: Seq[String], saltBuckets: Int = 16): DataFrame = {
+    val salt = pmod(xxhash64(col(tsCol)), lit(saltBuckets))
+    val partialAggs = valueCols.map { v =>
+      collect_list(struct(col(tsCol).as("t"), col(v).as("v"))).as(s"_p_$v")
+    }
+    val finalAggs = valueCols.map { v =>
+      sort_array(flatten(collect_list(col(s"_p_$v")))).as(s"${v}_traj")
+    }
+    flat.groupBy(col(keyCol), salt.as("_salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(col(keyCol))
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
   /** Inverse pivot: trajectory rows → flat (t, key, v) observations. This is
     * the *intended* trajectory→snapshot direction the reference's batch
     * stores leave broken (SURVEY.md §0 honesty note); store 21 implements it

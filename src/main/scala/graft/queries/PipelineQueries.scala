@@ -386,18 +386,31 @@ object PipelineQueries {
       (s, dir) => {
         val t = col("text")
         val tk = col("_toks")
+        // Every stopword hit count is bound ONCE as a real column before
+        // the projection: the langId argmax + ratio + quality score
+        // otherwise duplicate each interpreted HOF filter pass ~7× per
+        // reference (27 s → ~2 s at sf0.1; same trap as the r2 jaccard
+        // hotspot, via common-subexpression duplication instead of
+        // lambda capture — fallback-mode projections get no CSE).
+        val langHitCols = TextAnalysis.stopwords.map { case (lang, words) =>
+          s"_s_$lang" -> TextAnalysis.stopwordHits(tk, words)
+        }
+        val allHits = TextAnalysis.stopwordHits(tk, TextAnalysis.stopwords.flatMap(_._2))
         Tables.documents(s, dir)
           .repartition(col("doc_id"))
           .withColumn("_toks", TextAnalysis.tokens(t))
+          .withColumns(langHitCols.toMap + ("_s_all" -> allHits))
           .select(
             col("doc_id"), col("lang"),
             TextAnalysis.tokenCount(tk).as("n_tokens"),
             TextAnalysis.bpeishTokenCount(t).as("n_bpeish"),
             TextAnalysis.punctRatioPpm(t).as("punct_ppm"),
             TextAnalysis.avgTokenLenMilli(t, tk).as("avg_tok_len_milli"),
-            TextAnalysis.stopwordRatioPpm(tk).as("stop_ppm"),
-            TextAnalysis.qualityScorePpm(t, tk).as("quality_ppm"),
-            TextAnalysis.langId(tk).as("lang_pred"))
+            TextAnalysis.stopwordRatioPpmFromHits(col("_s_all"), tk).as("stop_ppm"),
+            TextAnalysis.qualityScorePpmFromHits(t, tk, col("_s_all")).as("quality_ppm"),
+            TextAnalysis.langIdFromScores(
+              TextAnalysis.stopwords.map { case (lang, _) => lang -> col(s"_s_$lang") })
+              .as("lang_pred"))
           .orderBy("doc_id")
       },
       Some {

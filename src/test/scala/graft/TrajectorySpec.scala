@@ -74,6 +74,27 @@ class TrajectorySpec extends SparkSpec {
     assert(typed == untyped)
   }
 
+  test("pivotSalted ≡ pivot (incl. duplicate timestamps) and plans two-phase") {
+    val rnd = new scala.util.Random(7)
+    // skewed fixture: one hot key with 500 rows incl. duplicate ts
+    val rows = (1 to 500).map { i =>
+      ("hot", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i.toDouble)
+    } ++ Seq(("cold", ts("2024-01-02 00:00:00"), 1.0))
+    val df = rows.toDF("k", "ts", "v")
+    val salted = Trajectory.pivotSalted(df, "k", "ts", Seq("v"), saltBuckets = 8)
+    val plain = Trajectory.pivot(df, "k", "ts", Seq("v"))
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    val s = salted.as[(String, Seq[(Timestamp, Double)])].collect().toMap
+    val p = plain.as[(String, Seq[(Timestamp, Double)])].collect().toMap
+    assert(s == p)
+    // two-phase: the optimized plan must hold TWO aggregates (partial
+    // per-salt arrays, then concat+sort), not one giant collect_list
+    val nAggs = salted.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs == 2, s"expected two-phase aggregation, got $nAggs Aggregate nodes")
+  }
+
   test("asOfJoin picks latest row per key with deterministic tie-break") {
     val dup = Seq(
       ("a", ts("2024-01-01 00:00:00"), 1L, 1.0),
