@@ -262,6 +262,24 @@ object StoreQueries {
              |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Stateful per-key trajectory accumulation over the replayed stream —
+    // the reference's per-uuid `appendinstant` hash_table
+    // (/root/reference/stores/apache_parquet_velocity.py:38-44,81-85,
+    // mobility_db.py:71-78) as mapGroupsWithState: bounded per-key state,
+    // final summary per key must equal the batch aggregation. last_value
+    // follows the shared lexicographic (ts, value) max, so duplicate
+    // max-timestamps cannot diverge between engines.
+    Q("q_stream_traj_state",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        val sink = "stream_traj_" + Paths.get(dir).getFileName.toString.replace('.', '_')
+        Replay.statefulTrajectoryReplay(s, store, sink).orderBy("k")
+      },
+      Some("""SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n_obs,
+             |       epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+             |       (max(struct_pack(t := ts, v := value))).v AS last_value
+             |FROM events GROUP BY user_id ORDER BY k""".stripMargin)),
+
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the
     // document is assembled by string concatenation, ordered by id.

@@ -140,9 +140,14 @@ object Replay {
   /** The reference's per-uuid `appendinstant` incremental state
     * (mobility_db.py:71-78, hash_table apache_parquet_velocity.py:81-85)
     * as mapGroupsWithState: bounded per-key summary state (count + first/
-    * last instant), updated per micro-batch. */
+    * last instant), updated per micro-batch.
+    *
+    * Determinism: `last`/`lastV` follow lexicographic (ts, v) max — under
+    * duplicate max-timestamps the larger value wins, regardless of
+    * arrival/iterator order. Same total order the batch oracles use
+    * (max(struct(ts, value)); ADVICE r2 tie rule). */
   def updateTraj(key: String, obs: Iterator[Obs], state: GroupState[TrajState]): TrajUpdate = {
-    val sorted = obs.toSeq.sortBy(_.ts.getTime)
+    val sorted = obs.toSeq.sortBy(o => (o.ts.getTime, o.v))
     val prev = state.getOption
     val next = sorted.foldLeft(prev) { (acc, o) =>
       acc match {
@@ -151,7 +156,9 @@ object Replay {
           // late data may extend EITHER bound across micro-batches
           val first = if (o.ts.getTime < s.first.getTime) o.ts else s.first
           val (last, lastV) =
-            if (o.ts.getTime >= s.last.getTime) (o.ts, o.v) else (s.last, s.lastV)
+            if (o.ts.getTime > s.last.getTime ||
+              (o.ts.getTime == s.last.getTime && o.v >= s.lastV)) (o.ts, o.v)
+            else (s.last, s.lastV)
           Some(TrajState(s.n + 1, first, last, lastV))
       }
     }.get
@@ -163,4 +170,39 @@ object Replay {
   def statefulTrajectories(obs: Dataset[Obs]): Dataset[TrajUpdate] =
     obs.groupByKey(_.k)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateTraj)
+
+  /** File-sourced stateful replay: the events store as an availableNow
+    * stream through `statefulTrajectories` (Update mode, memory sink),
+    * reduced to the FINAL state per key. `n` strictly increases across a
+    * key's updates, so taking the max-n row is robust to the backlog
+    * splitting into multiple micro-batches — unlike the windowed append
+    * replay, this query's contract does not depend on batch count. */
+  def statefulTrajectoryReplay(
+      spark: SparkSession,
+      storePath: String,
+      sinkName: String): DataFrame = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .parquet(storePath)
+      .select(col("user_id").cast("string").as("k"), col("ts"),
+        col("value").as("v"))
+      .as[Obs]
+    spark.catalog.dropTempView(sinkName) // idempotent re-run in one session
+    withStatePartitions(spark, 8) {
+      val q = statefulTrajectories(src).writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(sinkName)
+      .groupBy(col("k"))
+      .agg(max(struct(col("n"), col("last"), col("lastV"), col("first"))).as("_m"))
+      .select(col("k"), col("_m.n").as("n_obs"),
+        expr("unix_micros(_m.first)").as("first_us"),
+        expr("unix_micros(_m.last)").as("last_us"),
+        col("_m.lastV").as("last_value"))
+  }
 }

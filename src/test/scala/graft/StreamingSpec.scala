@@ -159,6 +159,28 @@ class StreamingSpec extends SparkSpec {
       r.last == ts("2024-01-01 12:00:00") && r.lastV == 5.0)
   }
 
+  test("duplicate max-timestamps resolve deterministically to the larger value") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Replay.Obs]
+    val sink = "t_traj_dupts"
+    spark.catalog.dropTempView(sink)
+    val q = Replay.statefulTrajectories(input.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update)
+      .start()
+    // larger value arrives FIRST — arrival order must not decide the tie
+    input.addData(
+      Replay.Obs("k", ts("2024-01-01 12:00:00"), 9.0),
+      Replay.Obs("k", ts("2024-01-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    // and a same-ts row in a LATER batch must not displace the larger one
+    input.addData(Replay.Obs("k", ts("2024-01-01 12:00:00"), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table(sink).as[Replay.TrajUpdate].collect().maxBy(_.n)
+    assert(r.n == 3 && r.lastV == 9.0)
+  }
+
   test("out-of-order instants within a batch keep the max-ts value as last") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Replay.Obs]
