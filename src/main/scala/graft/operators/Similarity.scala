@@ -146,6 +146,73 @@ object Similarity {
       .select(col(idCol), pack.as("sig"))
   }
 
+  /** IVF-style (inverted-file) approximate top-k — the data-DEPENDENT
+    * coarse-quantizer scale path, complementing the data-independent
+    * random-hyperplane LSH above. Every corpus vector is assigned to its
+    * nearest centroid (the inverted file); a query probes only its
+    * `nprobe` nearest centroid buckets and verifies exact cosine within
+    * them.
+    *
+    * Centroids are seeded deterministically from the corpus rows with
+    * id < nCentroids rather than a k-means loop: at 100 TB the quantizer
+    * is trained offline on a sample anyway, and seeding keeps every
+    * stage reproducible in plain SQL — like the md5 LSH family, the
+    * whole approximate pipeline is oracle-checked end-to-end, and the
+    * recall loss of the cheaper quantizer is measurable the same way as
+    * q_ann_recall. Tie-breaks: assignment and probe prefer the SMALLER
+    * centroid id on equal similarity (max(struct(sim, -cid))).
+    *
+    * Scale shapes: assignment is a broadcast of C centroid rows against
+    * the corpus with a map-side-combined per-id argmax — corpus vectors
+    * never shuffle to get assigned; search shuffles only the candidate
+    * (cid-bucket ⋈ probe) rows. No full-corpus crossJoin (asserted in
+    * SimilaritySpec). */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nCentroids: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    val cent = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("_cvec"))
+      .withColumn("_cn", l2norm(col("_cvec")))
+    def simPpm(vec: Column, n: Column): Column =
+      floor(dot(vec, col("_cvec")) / (n * col("_cn")) * 1e6).cast("long")
+
+    // inverted file: per-id argmax over the C broadcast centroids; the
+    // (id, vec, norm) grouping keys ride through the map-side combine so
+    // no join-back is needed for the verify phase
+    val corpusN = corpus.select(col(idCol), col(vecCol)).withColumn("_n", l2norm(col(vecCol)))
+    val assigned = corpusN.crossJoin(broadcast(cent))
+      .withColumn("_csim", simPpm(col(vecCol), col("_n")))
+      .groupBy(col(idCol), col(vecCol), col("_n"))
+      .agg(max(struct(col("_csim").as("s"), (-col("cid")).as("nc"))).as("_m"))
+      .select(col(idCol), col(vecCol), col("_n"), (-col("_m.nc")).as("cid"))
+
+    val queriesN = queries.withColumn("_qn", l2norm(col(qVecCol)))
+    val wp = Window.partitionBy(col(qIdCol)).orderBy(col("_qsim").desc, col("cid"))
+    val probes = queriesN.crossJoin(broadcast(cent))
+      .withColumn("_qsim", simPpm(col(qVecCol), col("_qn")))
+      .withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nprobe)
+      .select(col(qIdCol), col("cid"))
+
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("sim_ppm").desc, col(idCol))
+    assigned
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .join(broadcast(queriesN.select(col(qIdCol), col(qVecCol), col("_qn"))), Seq(qIdCol))
+      .withColumn("sim_ppm",
+        floor(dot(col(vecCol), col(qVecCol)) / (col("_n") * col("_qn")) * 1e6).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("sim_ppm"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing ≥1
     * signature band with the query, verified by exact cosine, ranked.
     * `signatures` picks the hash family (xxhash64 default; md5 for

@@ -354,6 +354,50 @@ object PipelineQueries {
              |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
              |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
 
+    // IVF-style inverted-file ANN — the data-DEPENDENT coarse quantizer
+    // (centroids seeded from corpus rows id < 8; a k-means loop would be
+    // trained offline at scale). Assignment, probing (nprobe=2), bucket
+    // search and ranks are all deterministic, so like q_ann_lsh the whole
+    // approximate pipeline is oracle-checked END-TO-END. No full-corpus
+    // crossJoin (asserted in SimilaritySpec).
+    Q("q_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 10,
+            nCentroids = 8, nprobe = 2)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
+             |cent AS (SELECT vec_id AS cid, ve AS cv, nn AS cn FROM n WHERE vec_id < 8),
+             |asg AS (
+             |  SELECT n.vec_id, n.ve, n.nn,
+             |    -((max(struct_pack(s := CAST(floor(list_dot_product(n.ve, cent.cv)
+             |                                       / (n.nn * cent.cn) * 1000000.0) AS BIGINT),
+             |                       nc := -cent.cid))).nc) AS cid
+             |  FROM n, cent GROUP BY n.vec_id, n.ve, n.nn),
+             |q AS (SELECT vec_id AS q_id, ve AS qv, nn AS qn FROM n WHERE vec_id < 5),
+             |probe AS (
+             |  SELECT q_id, cid FROM (
+             |    SELECT q.q_id, cent.cid,
+             |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |        CAST(floor(list_dot_product(q.qv, cent.cv)
+             |                   / (q.qn * cent.cn) * 1000000.0) AS BIGINT) DESC, cent.cid) AS pr
+             |    FROM q, cent) WHERE pr <= 2),
+             |cand AS (
+             |  SELECT q.q_id, a.vec_id,
+             |    CAST(floor(list_dot_product(a.ve, q.qv) / (a.nn * q.qn) * 1000000.0) AS BIGINT) AS sim_ppm
+             |  FROM asg a JOIN probe p ON a.cid = p.cid JOIN q ON q.q_id = p.q_id
+             |  WHERE a.vec_id <> q.q_id),
+             |r AS (
+             |  SELECT q_id, vec_id, sim_ppm,
+             |         row_number() OVER (PARTITION BY q_id ORDER BY sim_ppm DESC, vec_id) AS rank
+             |  FROM cand)
+             |SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 10
+             |ORDER BY q_id, rank""".stripMargin)),
+
     // Embedding int8 quantization round-trip: the 4×-smaller storage path
     // for embedding corpora, with the reconstruction error bounded and
     // oracle-checked (identical double op order in both engines).

@@ -65,6 +65,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK probes only the nearest centroid bucket at nprobe=1") {
+    // centroids = ids {0,1}; bucket c0 = {0, 4} (colinear), everything
+    // else lands in c1. Query 0 with nprobe=1 must see ONLY bucket c0 →
+    // candidate {4}; the orthogonal/opposite vectors are pruned.
+    val queries = emb.filter($"id" === 0L).select($"id".as("qid"), $"vec".as("qvec"))
+    val r1 = Similarity.ivfTopK(emb, queries, "id", "vec", "qid", "qvec", 4,
+        nCentroids = 2, nprobe = 1)
+      .orderBy($"rank").select($"id", $"sim_ppm").as[(Long, Long)].collect()
+    assert(r1.map(_._1).toSeq == Seq(4L) && r1.head._2 == 1000000L)
+    // nprobe=2 opens both buckets → full exact ranking
+    val r2 = Similarity.ivfTopK(emb, queries, "id", "vec", "qid", "qvec", 4,
+        nCentroids = 2, nprobe = 2)
+      .orderBy($"rank").select($"id").as[Long].collect()
+    assert(r2.toSeq == Seq(4L, 1L, 2L, 3L))
+  }
+
+  test("ivfTopK plan has no full-corpus cartesian product") {
+    val queries = emb.filter($"id" < 2L).select($"id".as("qid"), $"vec".as("qvec"))
+    val plan = Similarity.ivfTopK(emb, queries, "id", "vec", "qid", "qvec", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("annTopK plan has no full-corpus cartesian product") {
     val queries = emb.filter($"id" < 2L).select($"id".as("qid"), $"vec".as("qvec"))
     val plan = Similarity.annTopK(emb, queries, "id", "vec", "qid", "qvec", 3)
