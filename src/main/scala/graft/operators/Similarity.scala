@@ -125,14 +125,26 @@ object Similarity {
   /** md5-derived ±1 plane coefficients — same signatures are computable in
     * an external SQL engine (oracle parity); the xxhash64 family above is
     * the faster production default. Coefficient h_ij = sign of the first
-    * md5 nibble of "j:i". */
+    * md5 nibble of "j:i".
+    *
+    * h_ij depends only on (j, i) — it is DATA-INDEPENDENT — so the matrix
+    * is computed once on the driver and inlined as array literals: the
+    * per-row work is an O(1) array lookup instead of an md5 + substring +
+    * ascii chain per (row, bit), which at a billion 64-dim vectors would
+    * be 10¹² runtime md5 calls for a constant matrix. Values are
+    * bit-identical to the SQL oracle's md5 (first hex nibble ≥ '8' ⟺
+    * first digest byte ≥ 0x80). Supports vectors up to 1024 dims
+    * (element_at past that throws under ANSI — loudly, not wrongly). */
   def rhpSignaturesMd5(df: DataFrame, idCol: String, vec: Column, nbits: Int): DataFrame = {
-    def coef(j: Int, i: Column): Column =
-      when(ascii(substring(md5(
-        concat(lit(j.toString), lit(":"), i.cast("string")).cast("binary")), 1, 1)) >= 56, 1.0)
-        .otherwise(-1.0)
+    val maxDim = 1024
+    def coefRow(j: Int): Seq[Double] = (0 until maxDim).map { i =>
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+      if ((b & 0xFF) >= 0x80) 1.0 else -1.0
+    }
     val projs = (0 until nbits).map { j =>
-      sum(col("_v").cast("double") * coef(j, col("_i"))).as(s"_p$j")
+      sum(col("_v").cast("double") *
+        element_at(typedlit(coefRow(j)), col("_i").cast("int") + 1)).as(s"_p$j")
     }
     val pack = (0 until nbits).foldLeft(lit(0L)) { (acc, j) =>
       shiftleft(acc, 1) + when(col(s"_p$j") > 0, 1L).otherwise(0L)

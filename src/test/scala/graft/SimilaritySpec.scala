@@ -65,6 +65,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("precomputed md5 plane coefficients equal the declarative md5 sign") {
+    // the SQL oracle derives h_ij from md5('j:i') at query time; the
+    // driver-side precompute in rhpSignaturesMd5 must agree on every
+    // (j, i) it inlines, or the ANN family silently diverges
+    val pairs = for { j <- 0 until 16; i <- Seq(0, 1, 7, 63, 255, 1023) } yield (j, i)
+    val sqlSign = pairs.toDF("j", "i").select($"j", $"i",
+      when(ascii(substring(md5(concat($"j".cast("string"), lit(":"),
+        $"i".cast("string")).cast("binary")), 1, 1)) >= 56, 1.0)
+        .otherwise(-1.0).as("c"))
+      .as[(Int, Int, Double)].collect()
+    sqlSign.foreach { case (j, i, c) =>
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+      val scalaSide = if ((b & 0xFF) >= 0x80) 1.0 else -1.0
+      assert(scalaSide == c, s"coefficient mismatch at ($j, $i)")
+    }
+  }
+
+  test("rhpSignaturesMd5: colinear vectors share signatures, opposite differ") {
+    val sig = Similarity.rhpSignaturesMd5(emb, "id", $"vec", 16)
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(4L))
+    assert(sig(0L) != sig(3L))
+  }
+
   test("ivfTopK probes only the nearest centroid bucket at nprobe=1") {
     // centroids = ids {0,1}; bucket c0 = {0, 4} (colinear), everything
     // else lands in c1. Query 0 with nprobe=1 must see ONLY bucket c0 →
