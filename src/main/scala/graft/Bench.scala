@@ -28,6 +28,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // v2 commit: tasks move output directly instead of a second
+      // job-commit rename pass — the hour-partitioned stores write 720
+      // one-file directories, so the bench otherwise times 1440 renames
+      // per store build. (Trade-off: failed jobs may leave partial
+      // output; fine for a bench whose stores are rebuilt from scratch.)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
