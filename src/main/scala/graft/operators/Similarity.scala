@@ -24,8 +24,19 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Σ aᵢ·bᵢ in double precision, sequential fold in array order (bit-stable
-    * across engines that fold the same way). */
-  def dot(a: Column, b: Column): Column =
+    * across engines that fold the same way). Native codegen kernel
+    * (graft.functions.DotProductExpr) — the declarative HOF chain below
+    * evaluates its lambda interpreted per element; both produce identical
+    * doubles (differential-tested in SimilaritySpec). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.columnOf(graft.functions.DotProductExpr(
+      graftbridge.expressionOf(a), graftbridge.expressionOf(b)))
+  }
+
+  /** The declarative zip_with/aggregate form of [[dot]] — kept as the
+    * differential-test reference for the native kernel. */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -27,6 +27,8 @@ package object graftbridge {
       es => graft.functions.CantorUnpair(es.head), "built-in")
     reg.createOrReplaceTempFunction("jaccard_ppm",
       es => graft.functions.JaccardPpmExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => graft.functions.DotProductExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("char_shingles",
       es => {
         // n is baked into the expression at construction, so it must be a

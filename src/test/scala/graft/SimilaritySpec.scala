@@ -65,6 +65,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native vec_dot ≡ declarative zip_with/aggregate fold, bit for bit") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat),
+        Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = rows.toDF("id", "a", "b")
+    // float × float
+    assert(df.select(Similarity.dot($"a", $"b").as("n"),
+        Similarity.dotDeclarative($"a", $"b").as("d"))
+      .filter($"n" =!= $"d").count() == 0)
+    // double × double and mixed float × double
+    val dd = df.select($"a", $"b",
+      transform($"a", x => x.cast("double")).as("ad"),
+      transform($"b", x => x.cast("double")).as("bd"))
+    assert(dd.select(Similarity.dot($"ad", $"bd").as("n"),
+        Similarity.dotDeclarative($"ad", $"bd").as("d"))
+      .filter($"n" =!= $"d").count() == 0)
+    assert(dd.select(Similarity.dot($"a", $"bd").as("n"),
+        Similarity.dotDeclarative($"a", $"bd").as("d"))
+      .filter($"n" =!= $"d").count() == 0)
+    // null contract: mismatched lengths → null (as zip_with's null pad)
+    val m = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+    assert(m.select(Similarity.dot($"a", $"b")).head().isNullAt(0))
+  }
+
   test("precomputed md5 plane coefficients equal the declarative md5 sign") {
     // the SQL oracle derives h_ij from md5('j:i') at query time; the
     // driver-side precompute in rhpSignaturesMd5 must agree on every
