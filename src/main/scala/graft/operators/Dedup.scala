@@ -142,6 +142,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Simhash block keys for Manku-style hamming-radius candidate search:
+    * the nbits fingerprint split into `blocks` contiguous bit-blocks,
+    * each keyed with its position. By pigeonhole, ANY pair within
+    * hamming ≤ blocks − 1 leaves at least one block untouched — candidate
+    * recall at that radius is EXACT, not probabilistic (unlike minhash
+    * banding). The classic web-scale near-dup shape: bucket join on
+    * block value, verify bit_count only within buckets. */
+  def simhashBlockKeys(fp: Column, nbits: Int, blocks: Int): Column = {
+    val width = nbits / blocks
+    array((0 until blocks).map { b =>
+      concat_ws(":", lit(b).cast("string"),
+        pmod(shiftright(fp, b * width), lit(1L << width)).cast("string"))
+    }: _*)
+  }
+
+  /** Near-dup pairs (id_a < id_b) within a simhash hamming radius:
+    * block-bucketed candidates (exact recall for
+    * maxHamming ≤ blocks − 1), verified by bit_count, never all-pairs. */
+  def simhashNearDupPairs(
+      fps: DataFrame,
+      idCol: String,
+      fpCol: String,
+      nbits: Int,
+      blocks: Int,
+      maxHamming: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming <= blocks - 1,
+      s"pigeonhole recall requires maxHamming ($maxHamming) <= blocks - 1 (${blocks - 1})")
+    candidatePairs(fps, idCol, simhashBlockKeys(col(fpCol), nbits, blocks), maxBucket)
+      .join(fps.select(col(idCol).as("id_a"), col(fpCol).as("fp_a")), Seq("id_a"))
+      .join(fps.select(col(idCol).as("id_b"), col(fpCol).as("fp_b")), Seq("id_b"))
+      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact Jaccard similarity (set semantics) in parts-per-million, pure
     * integer output so oracle comparison is FP-free. Doubles below 2^53 and
     * divisors in the thousands ⇒ floor(double-div) ≡ integer div. */

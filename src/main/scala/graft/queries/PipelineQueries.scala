@@ -205,6 +205,42 @@ object PipelineQueries {
       Some("""SELECT md5(text) AS text_md5, count(*) AS n_docs, CAST(1 AS BIGINT) AS n_distinct_fp
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Manku-style simhash near-dup pairs: fingerprints split into 4
+    // 8-bit blocks, candidates bucket-joined on (block, value), verified
+    // by hamming ≤ 3 — by pigeonhole a pair within 3 bits ALWAYS shares
+    // a block, so recall at that radius is exact while comparisons stay
+    // within buckets (never all-pairs). md5-nibble family ⇒ the whole
+    // pipeline (fp, blocks, pairs, hamming) is value-checked in DuckDB.
+    Q("q_dedup_simhash_neardup",
+      (s, dir) => {
+        val fps = Dedup.simhash32Frame(Tables.documents(s, dir), "doc_id",
+          TextAnalysis.tokens(col("text")))
+        Dedup.simhashNearDupPairs(fps, "doc_id", "fp",
+            nbits = 32, blocks = 4, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+             |  FROM documents
+             |), fp AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(range(1, 33), j ->
+             |      CASE WHEN list_sum(list_transform(hs, h ->
+             |             CASE WHEN substr(h, j::INT, 1) IN ('8','9','a','b','c','d','e','f')
+             |                  THEN 1 ELSE -1 END)) > 0
+             |           THEN (1::BIGINT << (32 - j::INT)) ELSE 0 END)) AS BIGINT) AS fp
+             |  FROM h
+             |), blk AS (
+             |  SELECT doc_id, fp, b, (fp >> (b::INT * 8)) & 255 AS bv
+             |  FROM fp, range(0, 4) t(b)
+             |), cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+             |  FROM blk a JOIN blk b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+             |)
+             |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("q_ngram_jaccard",
       (s, dir) => {
         // repartition: the shingle + set-intersect work otherwise runs in

@@ -173,4 +173,31 @@ class DedupSpec extends SparkSpec {
     val capped = Dedup.candidatePairs(sig, "id", Dedup.lshBandKeys($"sig", 4, 4), maxBucket = 4)
     assert(capped.count() == 0)
   }
+
+  test("simhashNearDupPairs: exact recall within the pigeonhole radius") {
+    // 4 blocks of 8 bits: any pair within hamming ≤ 3 must leave one
+    // block untouched and therefore MUST be found; a 4-bit spread (one
+    // flip per block) is beyond the radius and correctly absent
+    val base = 0x12345678L
+    val fps = Seq(
+      (1L, base),
+      (2L, base ^ 0x3L),        // 2 flips, same block
+      (3L, base ^ 0x01010100L), // 3 flips across 3 blocks, block 0 shared
+      (4L, base ^ 0x01010101L), // 4 flips, one per block → beyond radius
+      (5L, 0x0FED0BA9L)         // distant
+    ).toDF("id", "fp")
+    val pairs = Dedup.simhashNearDupPairs(fps, "id", "fp",
+        nbits = 32, blocks = 4, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // (3,4) differ only in bit 0 → hamming 1, also found; (2,3), (2,4)
+    // and everything involving 5 are beyond the radius
+    assert(pairs == Set((1L, 2L, 2L), (1L, 3L, 3L), (3L, 4L, 1L)))
+  }
+
+  test("simhashNearDupPairs rejects a radius the block count cannot cover") {
+    val fps = Seq((1L, 0L)).toDF("id", "fp")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(fps, "id", "fp", nbits = 32, blocks = 4, maxHamming = 4)
+    }
+  }
 }
