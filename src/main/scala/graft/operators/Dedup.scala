@@ -171,10 +171,13 @@ object Dedup {
     require(maxHamming <= blocks - 1,
       s"pigeonhole recall requires maxHamming ($maxHamming) <= blocks - 1 (${blocks - 1})")
     // the fingerprint frame feeds THREE plan branches (block join + both
-    // fp look-backs); without materialization the upstream fingerprint
-    // computation re-executes per branch. localCheckpoint keeps the tiny
-    // (id, fp) frame — ~12 bytes/doc, the production path would persist
-    // it to a store — and cuts the triple recompute (8.8 s → ~5 s sf0.1).
+    // fp look-backs); materializing the tiny (id, fp) frame — ~12
+    // bytes/doc, the production path would persist it to a store —
+    // guarantees the explode-and-vote fingerprint computation runs once
+    // regardless of exchange reuse. Measured sf0.1 cost is dominated by
+    // candidate VERIFICATION, not the frame: a near-dup-dense corpus
+    // yields large buckets and a large pair set (honest work; maxBucket
+    // is the valve for degenerate skew).
     val fpMat = fps.select(col(idCol), col(fpCol)).localCheckpoint()
     candidatePairs(fpMat, idCol, simhashBlockKeys(col(fpCol), nbits, blocks), maxBucket)
       .join(fpMat.select(col(idCol).as("id_a"), col(fpCol).as("fp_a")), Seq("id_a"))
