@@ -82,6 +82,23 @@ object TextAnalysis {
   def langId(toks: Column): Column =
     langIdFromScores(stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) })
 
+  /** Character-bigram profiles for the N-GRAM language-ID heuristic,
+    * derived deterministically from the stopword lists (distinct bigrams
+    * of each word; words shorter than 2 chars — the zh single-char
+    * function words — contribute themselves). Being a Scala constant,
+    * the profile is inlined identically into the Spark plan and the SQL
+    * oracle text — no cross-engine derivation to diverge. */
+  val bigramProfiles: Seq[(String, Seq[String])] = stopwords.map { case (lang, words) =>
+    lang -> words.flatMap(w => if (w.length < 2) Seq(w) else w.sliding(2).toSeq).distinct
+  }
+
+  /** |text bigrams ∩ profile| — the n-gram-profile score. `bigrams`
+    * should be a bound column of DISTINCT char 2-grams
+    * (Dedup.charShingles(text, 2)); array_intersect is a native set op,
+    * not an interpreted HOF. */
+  def bigramHits(bigrams: Column, profile: Seq[String]): Column =
+    size(array_intersect(bigrams, typedlit(profile))).cast("long")
+
   /** Composite quality score in [0, 1e6]: 40% length band (50..5000
     * chars), 30% stopword presence band (≥2% tokens), 30% punctuation
     * sanity band (≤20% chars). Deterministic integer arithmetic. */

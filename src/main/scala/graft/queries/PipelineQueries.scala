@@ -36,6 +36,9 @@ object PipelineQueries {
   private def duckHits(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  private def duckList(items: Seq[String]): String =
+    items.map(s => s"'$s'").mkString("[", ", ", "]")
+
   val all: Seq[Q] = Seq(
 
     // -- deduplication ---------------------------------------------------
@@ -519,6 +522,54 @@ object PipelineQueries {
            |   + CASE WHEN stop_ppm >= 20000 THEN 300000 ELSE 0 END
            |   + CASE WHEN punct_ppm <= 200000 THEN 300000 ELSE 0 END)::BIGINT AS quality_ppm,
            |  $langCase AS lang_pred
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
+    // N-GRAM-heuristic language ID (the builder brief's wording; the
+    // stopword argmax in q_text_stats is the token-based family): score =
+    // |distinct char bigrams of the text ∩ per-language profile|, argmax
+    // with the shared declaration-order tie rule. Profiles derive from
+    // the stopword lists in Scala and are inlined as LITERALS into both
+    // the Spark plan and this oracle — nothing to diverge cross-engine.
+    // Bigrams come from the native CharShinglesExpr; scores are bound
+    // once (langIdFromScores binding contract).
+    Q("q_lang_bigram",
+      (s, dir) => {
+        val bg = col("_bg")
+        val scoreCols = TextAnalysis.bigramProfiles.map { case (lang, prof) =>
+          s"b_$lang" -> TextAnalysis.bigramHits(bg, prof)
+        }
+        Tables.documents(s, dir)
+          .repartition(col("doc_id"))
+          .withColumn("_bg", Dedup.charShingles(col("text"), 2))
+          .withColumns(scoreCols.toMap)
+          .select(
+            (col("doc_id") +: col("lang") +:
+              TextAnalysis.bigramProfiles.map { case (lang, _) => col(s"b_$lang") }) :+
+              TextAnalysis.langIdFromScores(
+                TextAnalysis.bigramProfiles.map { case (lang, _) => lang -> col(s"b_$lang") })
+                .as("lang_bigram_pred"): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val scores = TextAnalysis.bigramProfiles.map { case (lang, prof) =>
+          s"CAST(len(list_intersect(bg, ${duckList(prof)})) AS BIGINT) AS b_$lang"
+        }.mkString(",\n    ")
+        val langs = TextAnalysis.bigramProfiles.map(_._1)
+        val best = s"greatest(${langs.map("b_" + _).mkString(", ")})"
+        val pred = langs.map(l => s"WHEN b_$l = $best AND b_$l > 0 THEN '$l'")
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH g AS (
+           |  SELECT doc_id, lang,
+           |         list_distinct([substr(text, i::INT, 2) for i in range(1, len(text))]) AS bg
+           |  FROM documents
+           |), m AS (
+           |  SELECT doc_id, lang,
+           |    $scores
+           |  FROM g
+           |)
+           |SELECT doc_id, lang, ${langs.map("b_" + _).mkString(", ")},
+           |  $pred AS lang_bigram_pred
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
