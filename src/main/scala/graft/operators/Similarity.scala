@@ -236,6 +236,41 @@ object Similarity {
       .select(col(qIdCol), col("rank"), col(idCol), col("sim_ppm"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector-space member of
+    * the dedup family (exact/minhash/simhash/jaccard cover text):
+    * candidates are distinct id pairs sharing ≥1 random-hyperplane LSH
+    * band (bucket self-join, skew-capped — never all-pairs), verified by
+    * exact cosine ≥ `minSimPpm` within buckets. With the md5 hyperplane
+    * family every stage (signature, band, candidate, cosine) reproduces
+    * bit-identically in an external SQL engine, so the approximate
+    * pipeline is oracle-checkable end-to-end.
+    *
+    * Scale shape: the signature frame is (id, long) — materialized once
+    * (it feeds the band join; production would persist it); candidate ids
+    * shuffle first and vectors join back after, so full embeddings ride
+    * only the candidate-sized joins. Output (id_a, id_b, sim_ppm),
+    * id_a < id_b. */
+  def embedNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minSimPpm: Long,
+      nbits: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 10000,
+      signatures: (DataFrame, String, Column, Int) => DataFrame = rhpSignatures): DataFrame = {
+    val sigs = signatures(corpus, idCol, col(vecCol), nbits).localCheckpoint()
+    val vecs = corpus.select(col(idCol), col(vecCol)).withColumn("_n", l2norm(col(vecCol)))
+    Dedup.candidatePairs(sigs, idCol,
+        Dedup.simhashBlockKeys(col("sig"), nbits, bands), maxBucket)
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("_va"), col("_n").as("_na")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("_vb"), col("_n").as("_nb")), Seq("id_b"))
+      .withColumn("sim_ppm",
+        floor(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) * 1e6).cast("long"))
+      .filter(col("sim_ppm") >= minSimPpm)
+      .select(col("id_a"), col("id_b"), col("sim_ppm"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing ≥1
     * signature band with the query, verified by exact cosine, ranked.
     * `signatures` picks the hash family (xxhash64 default; md5 for
@@ -251,12 +286,8 @@ object Similarity {
       nbits: Int = 16,
       bands: Int = 4,
       signatures: (DataFrame, String, Column, Int) => DataFrame = rhpSignatures): DataFrame = {
-    val width = nbits / bands
-    def bandKeys(sig: Column): Column =
-      array((0 until bands).map { b =>
-        concat_ws(":", lit(b).cast("string"),
-          pmod(shiftright(sig, b * width), lit(1L << width)).cast("string"))
-      }: _*)
+    // same "<band>:<value>" key layout as the simhash block join
+    def bandKeys(sig: Column): Column = Dedup.simhashBlockKeys(sig, nbits, bands)
 
     val corpusBandRows = signatures(corpus, idCol, col(vecCol), nbits)
       .select(col(idCol), explode(bandKeys(col("sig"))).as("_band"))

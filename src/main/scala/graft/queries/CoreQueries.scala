@@ -265,6 +265,46 @@ object CoreQueries {
              |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Gap-based sessionization via the built-in session_window: per-user
+    // sessions close after 2h of inactivity; window.end = last event + gap.
+    // Boundary semantics (pinned in WindowSpec, measured on Spark 4.1): an
+    // event EXACTLY `gap` after its predecessor still merges — only
+    // diff > gap breaks — so the oracle's break predicate is `> gap`.
+    // Scale shape: one shuffle on user_id, then sort-merge session
+    // assembly per key — no per-session state on the driver.
+    Q("q_session_window",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+          .select(
+            col("user_id"),
+            expr("unix_micros(session_window.start)").as("session_start_us"),
+            expr("unix_micros(session_window.end)").as("session_end_us"),
+            col("n_events"),
+            col("value_mils"))
+          .orderBy("user_id", "session_start_us"),
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+             |              OVER (PARTITION BY user_id ORDER BY ts) > 7200000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, ts, value,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |                   ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id,
+             |       min(epoch_us(ts)) AS session_start_us,
+             |       max(epoch_us(ts)) + 7200000000 AS session_end_us,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
     Q("q_stats_bbox",
       (s, dir) =>
         Stats.bbox(

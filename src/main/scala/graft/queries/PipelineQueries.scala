@@ -244,6 +244,40 @@ object PipelineQueries {
              |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Embedding-cosine near-dup pairs — the vector-space dedup variant:
+    // candidates share ≥1 md5-hyperplane LSH band, exact cosine ≥ 0.35
+    // verifies within buckets (never all-pairs). Like q_ann_lsh, the md5
+    // family makes every stage reproduce in DuckDB — the approximate
+    // pipeline is oracle-checked end-to-end, not rows-only.
+    Q("q_dedup_embed",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.embedNearDupPairs(emb, "vec_id", "embedding",
+            minSimPpm = 350000L, signatures = Similarity.rhpSignaturesMd5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             |sig AS (
+             |  SELECT vec_id,
+             |    CAST(list_sum(list_transform(range(0, 16), j ->
+             |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+             |             ve[i::INT + 1] * CASE WHEN ascii(substr(md5(j || ':' || i), 1, 1)) >= 56
+             |                                   THEN 1.0 ELSE -1.0 END)) > 0
+             |           THEN (1::BIGINT << (15 - j::INT)) ELSE 0 END)) AS BIGINT) AS sig
+             |  FROM v),
+             |bands AS (SELECT vec_id, b, (sig >> (b::INT * 4)) & 15 AS bv FROM sig, range(0, 4) t(b)),
+             |cand AS (
+             |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+             |sc AS (
+             |  SELECT id_a, id_b,
+             |    CAST(floor(list_dot_product(x.ve, y.ve)
+             |      / (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve)))
+             |      * 1000000.0) AS BIGINT) AS sim_ppm
+             |  FROM cand JOIN v x ON id_a = x.vec_id JOIN v y ON id_b = y.vec_id)
+             |SELECT id_a, id_b, sim_ppm FROM sc WHERE sim_ppm >= 350000
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("q_ngram_jaccard",
       (s, dir) => {
         // repartition: the shingle + set-intersect work otherwise runs in

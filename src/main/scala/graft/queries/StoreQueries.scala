@@ -280,6 +280,46 @@ object StoreQueries {
              |       (max(struct_pack(t := ts, v := value))).v AS last_value
              |FROM events GROUP BY user_id ORDER BY k""".stripMargin)),
 
+    // Gap-session replay via flatMapGroupsWithState + event-time timeout —
+    // the third streaming state shape after the windowed agg and
+    // mapGroupsWithState: state holds ONLY the open session per key; a
+    // session emits on an in-batch gap (> 2h breaks, matching the batch
+    // session_window merge pinned in WindowSpec) or when the watermark
+    // passes its close-due instant. Timeouts and watermark run in MS, and
+    // due == wm fires (non-strict, pinned in StreamingSpec) — the oracle
+    // states the emission predicate at exactly that granularity. One
+    // availableNow batch ⇒ final watermark = max(ts) − 1 min.
+    Q("q_stream_sessions",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        val sink = "stream_sessions_" + Paths.get(dir).getFileName.toString.replace('.', '_')
+        Replay.sessionReplay(s, store, sink)
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""WITH wm AS (
+             |  SELECT epoch_us(max(ts)) // 1000 - 60000 AS wm_ms FROM events),
+             |o AS (
+             |  SELECT user_id, epoch_us(ts) AS us,
+             |         CAST(floor(value * 1000) AS BIGINT) AS vmil,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+             |              OVER (PARTITION BY user_id ORDER BY ts) > 7200000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, us, vmil,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+             |                   ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o),
+             |sess AS (
+             |  SELECT user_id, min(us) AS session_start_us,
+             |         max(us) + 7200000000 AS session_end_us,
+             |         count(*) AS n_events, CAST(sum(vmil) AS BIGINT) AS value_mils
+             |  FROM g GROUP BY user_id, sid)
+             |SELECT user_id, session_start_us, session_end_us, n_events, value_mils
+             |FROM sess, wm
+             |WHERE session_end_us // 1000 <= wm.wm_ms
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the
     // document is assembled by string concatenation, ordered by id.

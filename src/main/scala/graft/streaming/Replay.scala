@@ -171,6 +171,116 @@ object Replay {
     obs.groupByKey(_.k)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateTraj)
 
+  // ---- gap-based streaming sessionization (flatMapGroupsWithState) ------
+
+  final case class SEvent(k: Long, ts: Timestamp, tsUs: Long, vMil: Long)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, valueMils: Long)
+  final case class SessionRow(
+      user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, value_mils: Long)
+
+  implicit val sevEnc: Encoder[SEvent] = Encoders.product[SEvent]
+  implicit val sstEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit val srowEnc: Encoder[SessionRow] = Encoders.product[SessionRow]
+  implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Gap-session builder: state = ONLY the open session per key (bounded —
+    * the whole point of streaming sessionization; closed sessions leave
+    * state immediately). A session closes either when a later event
+    * arrives more than `gapUs` after its last event (emitted in that
+    * batch) or when the event-time watermark passes its close-due
+    * timestamp (emitted by the timeout path). Sessions still within the
+    * watermark delay at end of replay are OPEN and never emitted — the
+    * same append-mode contract as windowedReplayAppend.
+    *
+    * Milliseconds: GroupState timeouts and the watermark both run in ms
+    * (Spark floors event-time µs to ms), so the close-due instant is
+    * floor((last + gap) / 1000) — the oracle must state its emission
+    * predicate at ms granularity or boundary sessions diverge.
+    * WindowSpec/StreamingSpec pin the merge (`diff > gap` breaks) and
+    * timeout (`due_ms <= watermark_ms` fires — NON-strict, measured)
+    * inequalities. */
+  def sessionizeGroup(gapUs: Long)(
+      key: Long,
+      events: Iterator[SEvent],
+      state: GroupState[SessionState]): Iterator[SessionRow] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(SessionRow(key, s.startUs, s.lastUs + gapUs, s.n, s.valueMils))
+    } else {
+      // iterator order within a batch is not guaranteed — sort like the
+      // batch engines do ((ts, value) total order)
+      val sorted = events.toIndexedSeq.sortBy(e => (e.tsUs, e.vMil))
+      val out = List.newBuilder[SessionRow]
+      var open = state.getOption
+      sorted.foreach { e =>
+        open match {
+          case Some(s) if e.tsUs - s.lastUs <= gapUs => // gap-equal MERGES (WindowSpec)
+            open = Some(SessionState(math.min(s.startUs, e.tsUs),
+              math.max(s.lastUs, e.tsUs), s.n + 1, s.valueMils + e.vMil))
+          case Some(s) =>
+            out += SessionRow(key, s.startUs, s.lastUs + gapUs, s.n, s.valueMils)
+            open = Some(SessionState(e.tsUs, e.tsUs, 1L, e.vMil))
+          case None =>
+            open = Some(SessionState(e.tsUs, e.tsUs, 1L, e.vMil))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        // due may already be behind the watermark (late-closing session in
+        // a later batch); Spark rejects a timeout ≤ current watermark, so
+        // clamp to wm+1 — it is past due and fires at the next advance
+        state.setTimeoutTimestamp(
+          math.max((s.lastUs + gapUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming sessionization of a keyed event stream (must carry a
+    * watermark on `ts`). Append output: one row per CLOSED session. */
+  def gapSessions(events: Dataset[SEvent], gapUs: Long): Dataset[SessionRow] =
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(
+        sessionizeGroup(gapUs))
+
+  /** File-sourced session replay: the events store as an availableNow
+    * stream through [[gapSessions]]. Single-data-batch contract as
+    * windowedReplayAppend: the final watermark is max(ts) − delay and the
+    * emitted set is exactly the sessions with
+    * floor((last + gap)/1000) <= watermark_ms — a predicate plain batch
+    * SQL can state. */
+  def sessionReplay(
+      spark: SparkSession,
+      storePath: String,
+      sinkName: String,
+      gapUs: Long = 7200000000L,
+      delayThreshold: String = "1 minute"): DataFrame = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .parquet(storePath)
+      .withWatermark("ts", delayThreshold)
+      .select(col("user_id").as("k"), col("ts"),
+        expr("unix_micros(ts)").as("tsUs"),
+        floor(col("value") * 1000).cast("long").as("vMil"))
+      .as[SEvent]
+    spark.catalog.dropTempView(sinkName) // idempotent re-run in one session
+    withStatePartitions(spark, 8) {
+      val q = gapSessions(src, gapUs).writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"sessionReplay determinism contract broken: backlog split into $dataBatches batches")
+    }
+    spark.table(sinkName)
+  }
+
   /** File-sourced stateful replay: the events store as an availableNow
     * stream through `statefulTrajectories` (Update mode, memory sink),
     * reduced to the FINAL state per key. `n` strictly increases across a

@@ -139,6 +139,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("embedNearDupPairs finds colinear near-dups, ordered pairs only") {
+    val pairs = Similarity.embedNearDupPairs(emb, "id", "vec", minSimPpm = 900000L)
+      .select($"id_a", $"id_b", $"sim_ppm").as[(Long, Long, Long)].collect().toSeq
+    // identical direction ⇒ identical signature ⇒ every band shared:
+    // the (0,4) pair is guaranteed, at exactly cosine 1.0
+    assert(pairs.contains((0L, 4L, 1000000L)))
+    // opposite/orthogonal pairs are below threshold regardless of banding
+    assert(pairs.forall { case (_, _, s) => s >= 900000L })
+    assert(pairs.forall { case (a, b, _) => a < b })
+  }
+
+  test("embedNearDupPairs plan has no full-corpus cartesian product") {
+    val plan = Similarity.embedNearDupPairs(emb, "id", "vec", 900000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("annTopK plan has no full-corpus cartesian product") {
     val queries = emb.filter($"id" < 2L).select($"id".as("qid"), $"vec".as("qvec"))
     val plan = Similarity.annTopK(emb, queries, "id", "vec", "qid", "qvec", 3)

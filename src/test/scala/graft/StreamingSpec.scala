@@ -110,6 +110,67 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows <= 1, s"state not bounded: $stateRows rows")
   }
 
+  test("gapSessions: gap closes in-batch, watermark timeout closes across batches (<=)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sink = "t_sessions"
+    spark.catalog.dropTempView(sink)
+    val gapUs = 3600000000L // 1 hour
+    val src = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 minute")
+      .select($"user_id".as("k"), $"ts", expr("unix_micros(ts)").as("tsUs"),
+        floor($"value" * 1000).cast("long").as("vMil"))
+      .as[Replay.SEvent]
+    val q = Replay.gapSessions(src, gapUs).writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    def sessions(): Set[(Long, String, String, Long, Long)] =
+      spark.table(sink).as[Replay.SessionRow].collect().toSet
+        .map { r: Replay.SessionRow =>
+          (r.user_id, new Timestamp(r.session_start_us / 1000).toString,
+            new Timestamp(r.session_end_us / 1000).toString, r.n_events, r.value_mils) }
+
+    // batch 1: user 1's 10:00 event is >1h before its 12:00 event → the
+    // first session closes IN BATCH; the 12:00 session stays open with
+    // close-due exactly 13:00:00.000 — and user 2's 13:01 event pins the
+    // post-batch watermark to exactly 13:00:00.000 (boundary probe)
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 2.0),
+      (2L, ts("2024-01-01 13:01:00"), 3.0))
+    q.processAllAvailable()
+    assert(sessions() == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", 1L, 1000L)))
+
+    // batch 2 (wm = 13:00:00.000): due == wm FIRES — the timeout
+    // inequality is non-strict (due_ms <= wm_ms), measured on Spark 4.1
+    // and mirrored by the q_stream_sessions oracle
+    input.addData((3L, ts("2024-01-01 15:00:00"), 4.0))
+    q.processAllAvailable()
+    assert(sessions().exists(s => s._1 == 1L && s._2 == "2024-01-01 12:00:00.0"),
+      "due == watermark did not fire — timeout inequality changed to strict")
+
+    // batch 3: user 4's 20:00 event advances the watermark to 19:59, and
+    // the engine's trailing NO-DATA batch then fires every timeout with
+    // due <= 19:59 — users 2 (14:01) and 3 (16:00) close; only user 4's
+    // open session (due 21:00 > final wm) is never emitted. This is the
+    // q_stream_sessions contract: emitted ⟺ due_ms <= final watermark_ms.
+    input.addData((4L, ts("2024-01-01 20:00:00"), 5.0))
+    q.processAllAvailable()
+    val lastProgress = q.lastProgress
+    q.stop()
+    assert(sessions() == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", 1L, 1000L),
+      (1L, "2024-01-01 12:00:00.0", "2024-01-01 13:00:00.0", 1L, 2000L),
+      (2L, "2024-01-01 13:01:00.0", "2024-01-01 14:01:00.0", 1L, 3000L),
+      (3L, "2024-01-01 15:00:00.0", "2024-01-01 16:00:00.0", 1L, 4000L)))
+    // bounded state: only user 4's still-open session remains
+    val stateRows = lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows == 1, s"state not bounded to open sessions: $stateRows rows")
+  }
+
   test("statefulTrajectories accumulates per-key state across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Replay.Obs]
