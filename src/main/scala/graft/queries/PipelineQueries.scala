@@ -499,6 +499,27 @@ object PipelineQueries {
              |FROM q ORDER BY vec_id""".stripMargin)),
 
     // -- text analysis ---------------------------------------------------
+    // Exact nearest-rank percentiles of document length per language —
+    // the quality-threshold statistic (e.g. "truncate above the p99
+    // length"). Nearest-rank selection (value at sorted row ceil(q·n)) is
+    // pure integer work, so unlike interpolated `percentile` / sketch
+    // `approx_percentile` the result reproduces exactly in DuckDB.
+    Q("q_doc_percentiles",
+      (s, dir) =>
+        graft.operators.Stats.nearestRankPercentiles(
+            Tables.documents(s, dir), "lang", "n_chars", "doc_id", Seq(50, 90, 99))
+          .orderBy("lang"),
+      Some("""WITH r AS (
+             |  SELECT lang, n_chars,
+             |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS r,
+             |         count(*) OVER (PARTITION BY lang) AS n
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |       max(CASE WHEN r = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50_n_chars,
+             |       max(CASE WHEN r = CAST(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90_n_chars,
+             |       max(CASE WHEN r = CAST(ceil(n * 0.99) AS BIGINT) THEN n_chars END) AS p99_n_chars
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("q_text_stats",
       (s, dir) => {
         val t = col("text")

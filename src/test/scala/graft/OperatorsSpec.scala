@@ -108,4 +108,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r.count() == 2)
     assert(r.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("nearestRankPercentiles selects the value at row ceil(q*n)") {
+    // group a: values 1..10 → p50 = row ceil(5.0) = 5, p90 = row 9,
+    // p99 = row ceil(9.9) = 10; group b: duplicate values make the
+    // selection tie-independent
+    val df = ((1 to 10).map(v => ("a", v.toLong, v.toLong)) ++
+      Seq(("b", 7L, 1L), ("b", 7L, 2L), ("b", 9L, 3L))).toDF("g", "v", "id")
+    val r = graft.operators.Stats
+      .nearestRankPercentiles(df, "g", "v", "id", Seq(50, 90, 99))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("a", 10L, 5L, 9L, 10L),
+      // n=3: p50 → row ceil(1.5)=2 → 7; p90/p99 → row 3 → 9
+      ("b", 3L, 7L, 9L, 9L)))
+  }
 }
