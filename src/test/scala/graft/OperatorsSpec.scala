@@ -123,5 +123,11 @@ class OperatorsSpec extends SparkSpec {
       ("a", 10L, 5L, 9L, 10L),
       // n=3: p50 → row ceil(1.5)=2 → 7; p90/p99 → row 3 → 9
       ("b", 3L, 7L, 9L, 9L)))
+    // the window rank and the final agg share ONE hash partitioning on
+    // the group key — a second exchange would re-shuffle for nothing
+    val plan = graft.operators.Stats
+      .nearestRankPercentiles(df, "g", "v", "id", Seq(50, 90, 99))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length == 1, plan)
   }
 }
