@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -497,6 +497,27 @@ object PipelineQueries {
              |    list_sum(list_transform(range(1, 65), i -> abs(ve[i::INT] - qv[i::INT] * maxabs / 127.0)))
              |    / list_sum(list_transform(ve, x -> abs(x))) * 1000000.0) AS BIGINT) AS err_ppm
              |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Deterministic hash-based train/val/test split (12/2/2 by md5
+    // nibble band) + a ~6.25% dev-sample flag: assignment is a pure
+    // function of the id, so it is stable across runs/engines/cluster
+    // sizes — no RNG, no shuffle, one codegen'd hash per row. Hex md5
+    // digits sort '0'<'9'<'a'<'f', so the oracle's nibble bands are
+    // plain char comparisons.
+    Q("q_data_split",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            Sampling.hashSplit(col("doc_id"), 12, 14).as("split"),
+            Sampling.hashSample(col("doc_id"), 1).cast("int").as("in_dev_sample"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+             |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' THEN 1
+             |       ELSE 0 END AS in_dev_sample
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // -- text analysis ---------------------------------------------------
     // Exact nearest-rank percentiles of document length per language —

@@ -130,4 +130,23 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length == 1, plan)
   }
+
+  test("hashSplit is the md5-nibble band of the id's decimal string") {
+    val ids = (0L until 64L).toSeq
+    val got = ids.toDF("id")
+      .select($"id", graft.operators.Sampling.hashNibble($"id").as("nib"),
+        graft.operators.Sampling.hashSplit($"id", 12, 14).as("split"),
+        graft.operators.Sampling.hashSample($"id", 1).as("dev"))
+      .as[(Long, Int, String, Boolean)].collect().toSeq.sortBy(_._1)
+    got.foreach { case (id, nib, split, dev) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val expect = (h(0) & 0xF0) >> 4
+      assert(nib == expect, s"id $id")
+      assert(split == (if (nib < 12) "train" else if (nib < 14) "val" else "test"))
+      assert(dev == (nib == 0))
+    }
+    // all three bands are populated over 64 sequential ids
+    assert(got.map(_._3).toSet == Set("train", "val", "test"))
+  }
 }
