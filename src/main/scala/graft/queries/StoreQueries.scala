@@ -292,8 +292,7 @@ object StoreQueries {
     Q("q_stream_sessions",
       (s, dir) => {
         val store = SnapshotStore.ensureReplayStore(s, dir)
-        val sink = "stream_sessions_" + Paths.get(dir).getFileName.toString.replace('.', '_')
-        Replay.sessionReplay(s, store, sink)
+        Replay.sessionReplay(s, store, store + "_sessions_out")
           .orderBy("user_id", "session_start_us")
       },
       Some("""WITH wm AS (

@@ -254,9 +254,15 @@ object Replay {
   def sessionReplay(
       spark: SparkSession,
       storePath: String,
-      sinkName: String,
+      outPath: String,
       gapUs: Long = 7200000000L,
       delayThreshold: String = "1 minute"): DataFrame = {
+    // parquet sink, not memory: closed sessions append to files on the
+    // executors — the driver never collects the result (the same
+    // scale-correct shape as windowedReplayAppend). Sink and checkpoint
+    // are deleted together for idempotent re-runs.
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath + "_chk"))
     val src = spark.readStream
       .schema(spark.read.parquet(storePath).schema)
       .parquet(storePath)
@@ -265,11 +271,11 @@ object Replay {
         expr("unix_micros(ts)").as("tsUs"),
         floor(col("value") * 1000).cast("long").as("vMil"))
       .as[SEvent]
-    spark.catalog.dropTempView(sinkName) // idempotent re-run in one session
     withStatePartitions(spark, 8) {
       val q = gapSessions(src, gapUs).writeStream
-        .format("memory")
-        .queryName(sinkName)
+        .format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", outPath + "_chk")
         .outputMode(OutputMode.Append)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -278,7 +284,7 @@ object Replay {
       require(dataBatches <= 1,
         s"sessionReplay determinism contract broken: backlog split into $dataBatches batches")
     }
-    spark.table(sinkName)
+    spark.read.parquet(outPath)
   }
 
   /** File-sourced stateful replay: the events store as an availableNow
