@@ -601,6 +601,52 @@ object PipelineQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    // Grouped top-k — "keep the best k documents per group" (here: top 3
+    // per language by quality score), the per-domain selection step of a
+    // training pipeline. Unlike the global q_topk (TakeOrderedAndProject),
+    // this is a window rank inside each group: one shuffle on the group
+    // key, rank, filter ≤ k — no global sort, no driver collect.
+    Q("q_quality_topk",
+      (s, dir) => {
+        val t = col("text")
+        val tk = col("_toks")
+        val docs = Tables.documents(s, dir)
+          .repartition(col("doc_id"))
+          .withColumn("_toks", TextAnalysis.tokens(t))
+          .withColumn("_s_all",
+            TextAnalysis.stopwordHits(tk, TextAnalysis.stopwords.flatMap(_._2)))
+          .withColumn("q_ppm", TextAnalysis.qualityScorePpmFromHits(t, tk, col("_s_all")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("q_ppm").desc, col("doc_id"))
+        docs
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("lang"), col("rank"), col("doc_id"), col("q_ppm"))
+          .orderBy("lang", "rank")
+      },
+      Some {
+        val allWords = TextAnalysis.stopwords.flatMap(_._2)
+        s"""WITH tk AS (
+           |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+           |), s AS (
+           |  SELECT doc_id, lang, len(text) AS nc,
+           |    CAST(floor(${duckHits(allWords)} * 1000000.0 / len(toks)) AS BIGINT) AS stop_ppm,
+           |    CAST(floor((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1000000.0 / len(text)) AS BIGINT) AS punct_ppm
+           |  FROM tk
+           |), q AS (
+           |  SELECT doc_id, lang,
+           |    (CASE WHEN nc BETWEEN 50 AND 5000 THEN 400000 ELSE 0 END
+           |     + CASE WHEN stop_ppm >= 20000 THEN 300000 ELSE 0 END
+           |     + CASE WHEN punct_ppm <= 200000 THEN 300000 ELSE 0 END)::BIGINT AS q_ppm
+           |  FROM s
+           |), r AS (
+           |  SELECT lang, doc_id, q_ppm,
+           |    row_number() OVER (PARTITION BY lang ORDER BY q_ppm DESC, doc_id) AS rank
+           |  FROM q)
+           |SELECT lang, rank, doc_id, q_ppm FROM r WHERE rank <= 3
+           |ORDER BY lang, rank""".stripMargin
+      }),
+
     // N-GRAM-heuristic language ID (the builder brief's wording; the
     // stopword argmax in q_text_stats is the token-based family): score =
     // |distinct char bigrams of the text ∩ per-language profile|, argmax
