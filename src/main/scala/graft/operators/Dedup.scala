@@ -187,6 +187,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Eval-set decontamination — flag corpus documents whose char-shingle
+    * sets overlap a benchmark/eval document (training pipelines drop
+    * these to avoid test-set leakage). Candidates come from an
+    * inverted-index join on the shingle itself, so recall is EXACT by
+    * construction: any pair with Jaccard > 0 shares at least one shingle
+    * (no LSH probability). `maxDf` drops shingles present in more than
+    * that many documents — the standard frequent-n-gram filter, and the
+    * skew valve for the join (a stop-phrase shingle would otherwise
+    * fan out |corpus|×|eval| rows); Jaccard is then over the CAPPED sets
+    * on both sides, a predicate the oracle states identically.
+    *
+    * Scale shape: the df count and the intersect count are map-side
+    * combined; the hot-shingle set (df > maxDf) is tiny by construction
+    * and broadcast anti-joined; the eval side (small by definition of an
+    * eval set) broadcasts into the per-pair size join. Output: one row
+    * per corpus doc with any (capped-)shingle overlap — its best eval
+    * match (max Jaccard, ties to the smaller eval id) and a 0/1
+    * contaminated flag at `minJacPpm`. */
+  def contaminationFlags(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minJacPpm: Long,
+      maxDf: Int = 100000): DataFrame = {
+    val cs = corpus.repartition(col(idCol))
+      .select(col(idCol), explode(charShingles(col(textCol), n)).as("_s"))
+    val es = evalSet
+      .select(col(idCol).as("_eid"), explode(charShingles(col(textCol), n)).as("_s"))
+    val dfCount = cs.select(col("_s"), col(idCol).as("_d"))
+      .union(es.select(col("_s"), col("_eid").as("_d")))
+      .groupBy(col("_s")).agg(countDistinct(col("_d")).as("_df"))
+    val hot = dfCount.filter(col("_df") > maxDf).select(col("_s"))
+    val csf = cs.join(broadcast(hot), Seq("_s"), "left_anti")
+    val esf = es.join(broadcast(hot), Seq("_s"), "left_anti")
+    val na = csf.groupBy(col(idCol)).agg(count(lit(1)).as("_na"))
+    val nb = esf.groupBy(col("_eid")).agg(count(lit(1)).as("_nb"))
+    val inter = csf.join(esf, Seq("_s"))
+      .groupBy(col(idCol), col("_eid")).agg(count(lit(1)).as("_i"))
+    inter
+      .join(na, Seq(idCol))
+      .join(broadcast(nb), Seq("_eid"))
+      .withColumn("jac_ppm",
+        floor(col("_i") * lit(1000000L) / (col("_na") + col("_nb") - col("_i"))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("jac_ppm").as("j"), (-col("_eid")).as("ne"))).as("_m"))
+      .select(col(idCol), (-col("_m.ne")).as("eval_id"), col("_m.j").as("jac_ppm"),
+        (col("_m.j") >= minJacPpm).cast("int").as("contaminated"))
+  }
+
   /** Exact Jaccard similarity (set semantics) in parts-per-million, pure
     * integer output so oracle comparison is FP-free. Doubles below 2^53 and
     * divisors in the thousands ⇒ floor(double-div) ≡ integer div. */

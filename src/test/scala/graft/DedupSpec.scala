@@ -200,4 +200,21 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashNearDupPairs(fps, "id", "fp", nbits = 32, blocks = 4, maxHamming = 4)
     }
   }
+
+  test("contaminationFlags flags a planted eval duplicate, exact recall, df cap") {
+    val eval = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact dup of eval 1
+      (11L, "zzzzz yyyyy xxxxx wwwww vvvvv uuuuu ttttt")    // zero shingle overlap
+    ).toDF("id", "text")
+    val r = Dedup.contaminationFlags(corpus, eval, "id", "text", 5, 500000L)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // doc 11 shares no shingle → absent; doc 10 is identical → jac 1e6
+    assert(r == Seq((10L, 1L, 1000000L, 1)))
+    // df cap: at maxDf = 1 every shared shingle (df = 2) is dropped, so
+    // even the exact dup loses its candidates — the valve really prunes
+    val capped = Dedup.contaminationFlags(corpus, eval, "id", "text", 5, 500000L, maxDf = 1)
+      .collect()
+    assert(capped.isEmpty)
+  }
 }
