@@ -319,6 +319,24 @@ object StoreQueries {
              |WHERE session_end_us // 1000 <= wm.wm_ms
              |ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // Stream-stream interval self-join — the remaining streaming join
+    // shape (both sides streaming; the event-time range bound lets the
+    // watermark evict buffered join state). Single availableNow batch ⇒
+    // result ≡ the batch interval join, which is the oracle verbatim.
+    Q("q_stream_join",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.intervalJoinReplay(s, store, store + "_join_out")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.event_id AS id_a, b.event_id AS id_b,
+             |       a.user_id AS user_id,
+             |       epoch_us(a.ts) AS a_us, epoch_us(b.ts) AS b_us
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND b.ts > a.ts
+             | AND b.ts <= a.ts + INTERVAL 30 MINUTE
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the
     // document is assembled by string concatenation, ordered by id.

@@ -126,6 +126,59 @@ object Replay {
     spark.read.parquet(outPath)
   }
 
+  // ---- stream-stream interval join --------------------------------------
+
+  /** Stream-stream interval self-join: pair each event with this user's
+    * events in the following `intervalMinutes` — the remaining Structured
+    * Streaming join shape (both sides streaming, watermark-bounded state:
+    * the event-time range condition lets the engine evict buffered rows
+    * once the other side's watermark passes them; an unbounded condition
+    * would buffer both streams forever).
+    *
+    * Determinism contract: one availableNow data batch ⇒ every pair is
+    * emitted in that batch (the watermark only drives state cleanup), so
+    * the result equals the plain BATCH interval join — the oracle states
+    * exactly that. Ties: `b.ts > a.ts` strictly, so same-timestamp events
+    * never pair (in either order) — mirrored in the oracle. */
+  def intervalJoinReplay(
+      spark: SparkSession,
+      storePath: String,
+      outPath: String,
+      intervalMinutes: Int = 30,
+      delayThreshold: String = "1 minute"): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath + "_chk"))
+    val schema = spark.read.parquet(storePath).schema
+    def side(alias: String) = spark.readStream
+      .schema(schema)
+      .parquet(storePath)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", delayThreshold)
+      .alias(alias)
+    val joined = side("a").join(side("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr(s"INTERVAL $intervalMinutes MINUTE"))
+      .select(
+        col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
+        col("a.user_id").as("user_id"),
+        expr("unix_micros(a.ts)").as("a_us"), expr("unix_micros(b.ts)").as("b_us"))
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", outPath + "_chk")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"intervalJoinReplay determinism contract broken: backlog split into $dataBatches batches")
+    }
+    spark.read.parquet(outPath)
+  }
+
   // ---- stateful per-key trajectory accumulation -------------------------
 
   final case class Obs(k: String, ts: Timestamp, v: Double)

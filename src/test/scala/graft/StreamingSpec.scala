@@ -171,6 +171,38 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows == 1, s"state not bounded to open sessions: $stateRows rows")
   }
 
+  test("stream-stream interval join pairs in-window rows and evicts old state") {
+    implicit val sq = spark.sqlContext
+    val inA = MemoryStream[(Long, Long, Timestamp)]
+    val inB = MemoryStream[(Long, Long, Timestamp)]
+    val sink = "t_ssjoin"
+    spark.catalog.dropTempView(sink)
+    def side(s: MemoryStream[(Long, Long, Timestamp)], n: String) =
+      s.toDF().toDF("id", "k", "ts").withWatermark("ts", "1 minute").alias(n)
+    val q = side(inA, "a").join(side(inB, "b"),
+        $"a.k" === $"b.k" && $"b.ts" > $"a.ts" &&
+          $"b.ts" <= $"a.ts" + expr("INTERVAL 30 MINUTE"))
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // in-window pair (10:00 → 10:10) joins; the 11:00 b-row is outside
+    inA.addData((1L, 7L, ts("2024-01-01 10:00:00")))
+    inB.addData((2L, 7L, ts("2024-01-01 10:10:00")),
+      (3L, 7L, ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    assert(spark.table(sink).as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    // advancing the watermark far past the buffered rows evicts them:
+    // only the two fresh 20:00 rows may remain in join state
+    inA.addData((4L, 7L, ts("2024-01-01 20:00:00")))
+    inB.addData((5L, 7L, ts("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(stateRows <= 2, s"join state not evicted behind the watermark: $stateRows rows")
+  }
+
   test("statefulTrajectories accumulates per-key state across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Replay.Obs]
