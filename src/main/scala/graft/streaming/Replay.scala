@@ -89,11 +89,6 @@ object Replay {
       storePath: String,
       outPath: String,
       delayThreshold: String = "1 minute"): DataFrame = {
-    // idempotent re-run: sink AND checkpoint must go together (a stale
-    // checkpoint would mark the backlog already-processed against an
-    // empty sink)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath + "_chk"))
     val src = spark.readStream
       .schema(spark.read.parquet(storePath).schema)
       .parquet(storePath)
@@ -104,8 +99,26 @@ object Replay {
         sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
       .select(expr("unix_micros(w.start)").as("bucket_us"), col("event_type"),
         col("n"), col("value_mils"))
+    appendReplayToFiles(spark, agg, outPath, "windowedReplayAppend")
+  }
+
+  /** Shared Append-replay sink: delete sink AND checkpoint together (a
+    * stale checkpoint would mark the backlog already-processed against an
+    * empty sink), run the plan availableNow into a parquet sink with 8
+    * state partitions, and enforce the single-data-batch determinism
+    * contract every file-replay oracle depends on — the watermark must
+    * not advance mid-replay (dropping late rows / firing timeouts early),
+    * so a source that splits the backlog (e.g. a Delta source's own batch
+    * cap) fails loudly instead of silently diverging (ADVICE r3). */
+  private def appendReplayToFiles(
+      spark: SparkSession,
+      plan: DataFrame,
+      outPath: String,
+      what: String): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath + "_chk"))
     withStatePartitions(spark, 8) {
-      val q = agg.writeStream
+      val q = plan.writeStream
         .format("parquet")
         .option("path", outPath)
         .option("checkpointLocation", outPath + "_chk")
@@ -113,15 +126,9 @@ object Replay {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // The oracle's `window.end <= max(ts) - delay` predicate is only
-      // valid if the whole backlog was ONE batch (the watermark would
-      // otherwise advance mid-replay and drop late rows). Nothing here
-      // sets maxFilesPerTrigger, but a source that split the backlog
-      // anyway (e.g. a Delta source's own batch cap) must fail loudly,
-      // not silently diverge from the oracle (ADVICE r3).
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       require(dataBatches <= 1,
-        s"windowedReplayAppend determinism contract broken: backlog split into $dataBatches batches")
+        s"$what determinism contract broken: backlog split into $dataBatches batches")
     }
     spark.read.parquet(outPath)
   }
@@ -146,8 +153,6 @@ object Replay {
       outPath: String,
       intervalMinutes: Int = 30,
       delayThreshold: String = "1 minute"): DataFrame = {
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath + "_chk"))
     val schema = spark.read.parquet(storePath).schema
     def side(alias: String) = spark.readStream
       .schema(schema)
@@ -163,20 +168,7 @@ object Replay {
         col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
         col("a.user_id").as("user_id"),
         expr("unix_micros(a.ts)").as("a_us"), expr("unix_micros(b.ts)").as("b_us"))
-    withStatePartitions(spark, 8) {
-      val q = joined.writeStream
-        .format("parquet")
-        .option("path", outPath)
-        .option("checkpointLocation", outPath + "_chk")
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches <= 1,
-        s"intervalJoinReplay determinism contract broken: backlog split into $dataBatches batches")
-    }
-    spark.read.parquet(outPath)
+    appendReplayToFiles(spark, joined, outPath, "intervalJoinReplay")
   }
 
   // ---- stateful per-key trajectory accumulation -------------------------
@@ -311,11 +303,7 @@ object Replay {
       gapUs: Long = 7200000000L,
       delayThreshold: String = "1 minute"): DataFrame = {
     // parquet sink, not memory: closed sessions append to files on the
-    // executors — the driver never collects the result (the same
-    // scale-correct shape as windowedReplayAppend). Sink and checkpoint
-    // are deleted together for idempotent re-runs.
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath + "_chk"))
+    // executors — the driver never collects the result
     val src = spark.readStream
       .schema(spark.read.parquet(storePath).schema)
       .parquet(storePath)
@@ -324,20 +312,7 @@ object Replay {
         expr("unix_micros(ts)").as("tsUs"),
         floor(col("value") * 1000).cast("long").as("vMil"))
       .as[SEvent]
-    withStatePartitions(spark, 8) {
-      val q = gapSessions(src, gapUs).writeStream
-        .format("parquet")
-        .option("path", outPath)
-        .option("checkpointLocation", outPath + "_chk")
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches <= 1,
-        s"sessionReplay determinism contract broken: backlog split into $dataBatches batches")
-    }
-    spark.read.parquet(outPath)
+    appendReplayToFiles(spark, gapSessions(src, gapUs).toDF(), outPath, "sessionReplay")
   }
 
   /** File-sourced stateful replay: the events store as an availableNow
