@@ -638,6 +638,27 @@ object PipelineQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    // Corpus vocabulary statistic: the 20 tokens with the highest
+    // document frequency (distinct-doc count, not raw occurrences) — the
+    // classic map-reduce shape, and what a pipeline derives stopword /
+    // frequent-n-gram filters from. Per-doc distinct tokens first
+    // (array_distinct before explode ⇒ df not tf), map-side-combined
+    // count, TakeOrdered top-k — no global sort. Ties break by token.
+    Q("q_vocab_topdf",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("tok"))
+          .limit(20),
+      Some("""SELECT tok, count(*) AS df
+             |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |      FROM documents)
+             |GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin)),
+
     // Grouped top-k — "keep the best k documents per group" (here: top 3
     // per language by quality score), the per-domain selection step of a
     // training pipeline. Unlike the global q_topk (TakeOrderedAndProject),
