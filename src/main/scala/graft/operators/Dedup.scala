@@ -213,10 +213,16 @@ object Dedup {
       n: Int,
       minJacPpm: Long,
       maxDf: Int = 100000): DataFrame = {
+    // each shingle frame feeds TWO branches (the df count and the capped
+    // join/size aggregates) — materialize once so the explode+shingle
+    // computation doesn't run per branch (same reasoning as fpMat in
+    // simhashNearDupPairs; production would persist the inverted index)
     val cs = corpus.repartition(col(idCol))
       .select(col(idCol), explode(charShingles(col(textCol), n)).as("_s"))
+      .localCheckpoint()
     val es = evalSet
       .select(col(idCol).as("_eid"), explode(charShingles(col(textCol), n)).as("_s"))
+      .localCheckpoint()
     val dfCount = cs.select(col("_s"), col(idCol).as("_d"))
       .union(es.select(col("_s"), col("_eid").as("_d")))
       .groupBy(col("_s")).agg(countDistinct(col("_d")).as("_df"))
