@@ -337,6 +337,41 @@ object StoreQueries {
              | AND b.ts <= a.ts + INTERVAL 30 MINUTE
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // LEFT-OUTER stream-stream join: matched pairs emit like the inner
+    // join; an UNMATCHED a-row emits one null-extended row — but only
+    // once the watermark strictly exceeds a.ts + interval (probed in
+    // StreamingSpec: wm == due does NOT emit, unlike the GroupState
+    // timeout's non-strict compare), and the watermark is ms-floored —
+    // the oracle states exactly that µs-level predicate. Unmatched rows
+    // within interval+delay of the end of the replay are never emitted.
+    // Nulls are coalesced to -1 on both engines (hash-compare safety).
+    Q("q_stream_join_outer",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.intervalJoinReplay(s, store, store + "_ljoin_out", joinType = "left_outer")
+          .select(col("id_a"), coalesce(col("id_b"), lit(-1L)).as("id_b"),
+            col("user_id"), col("a_us"), coalesce(col("b_us"), lit(-1L)).as("b_us"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH wm AS (
+             |  SELECT ((epoch_us(max(ts)) // 1000) - 60000) * 1000 AS wm_us FROM events),
+             |ij AS (
+             |  SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS user_id,
+             |         epoch_us(a.ts) AS a_us, epoch_us(b.ts) AS b_us
+             |  FROM events a JOIN events b
+             |    ON a.user_id = b.user_id AND b.ts > a.ts
+             |   AND b.ts <= a.ts + INTERVAL 30 MINUTE),
+             |um AS (
+             |  SELECT a.event_id AS id_a, CAST(-1 AS BIGINT) AS id_b, a.user_id AS user_id,
+             |         epoch_us(a.ts) AS a_us, CAST(-1 AS BIGINT) AS b_us
+             |  FROM events a, wm
+             |  WHERE NOT EXISTS (SELECT 1 FROM events b
+             |                    WHERE b.user_id = a.user_id AND b.ts > a.ts
+             |                      AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+             |    AND epoch_us(a.ts) + 1800000000 < wm.wm_us)
+             |SELECT * FROM ij UNION ALL SELECT * FROM um
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the
     // document is assembled by string concatenation, ordered by id.

@@ -147,12 +147,19 @@ object Replay {
     * the result equals the plain BATCH interval join — the oracle states
     * exactly that. Ties: `b.ts > a.ts` strictly, so same-timestamp events
     * never pair (in either order) — mirrored in the oracle. */
+  /** joinType "inner" emits exactly the batch interval join. "left_outer"
+    * additionally emits one null-extended row per UNMATCHED a-row — but
+    * only once the b-side watermark proves no match can still arrive
+    * (wm passes a.ts + interval); unmatched rows closer than that to the
+    * end of the replay are never emitted (same append contract as
+    * sessions). The emission inequality is probed in StreamingSpec. */
   def intervalJoinReplay(
       spark: SparkSession,
       storePath: String,
       outPath: String,
       intervalMinutes: Int = 30,
-      delayThreshold: String = "1 minute"): DataFrame = {
+      delayThreshold: String = "1 minute",
+      joinType: String = "inner"): DataFrame = {
     val schema = spark.read.parquet(storePath).schema
     def side(alias: String) = spark.readStream
       .schema(schema)
@@ -163,7 +170,8 @@ object Replay {
     val joined = side("a").join(side("b"),
         col("a.user_id") === col("b.user_id") &&
           col("b.ts") > col("a.ts") &&
-          col("b.ts") <= col("a.ts") + expr(s"INTERVAL $intervalMinutes MINUTE"))
+          col("b.ts") <= col("a.ts") + expr(s"INTERVAL $intervalMinutes MINUTE"),
+        joinType)
       .select(
         col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
         col("a.user_id").as("user_id"),

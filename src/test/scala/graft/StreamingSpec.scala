@@ -203,6 +203,46 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows <= 2, s"join state not evicted behind the watermark: $stateRows rows")
   }
 
+  test("left-outer stream-stream join emits null rows once the watermark proves no match") {
+    implicit val sq = spark.sqlContext
+    val inA = MemoryStream[(Long, Long, Timestamp)]
+    val inB = MemoryStream[(Long, Long, Timestamp)]
+    val sink = "t_ssjoin_outer"
+    spark.catalog.dropTempView(sink)
+    def side(s: MemoryStream[(Long, Long, Timestamp)], n: String) =
+      s.toDF().toDF("id", "k", "ts").withWatermark("ts", "1 minute").alias(n)
+    val q = side(inA, "a").join(side(inB, "b"),
+        $"a.k" === $"b.k" && $"b.ts" > $"a.ts" &&
+          $"b.ts" <= $"a.ts" + expr("INTERVAL 30 MINUTE"),
+        "left_outer")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def rows(): Set[(Long, Option[Long])] =
+      spark.table(sink).as[(Long, Option[Long])].collect().toSet
+    // matched pair emits immediately; A2 (k=8) has no match and its null
+    // row is due once wm passes 10:05 + 30min = 10:35
+    inA.addData((1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 8L, ts("2024-01-01 10:05:00")))
+    inB.addData((10L, 7L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    assert(rows() == Set((1L, Some(10L))), s"got ${rows()}")
+    // advance wm exactly TO the due instant (11:36 - 1min = 10:35): probe
+    // whether the eviction inequality is strict
+    inB.addData((11L, 9L, ts("2024-01-01 11:36:00")))
+    q.processAllAvailable()
+    val atBoundary = rows().contains((2L, None))
+    // push wm well past the due instant: the null row must be out now;
+    // A1 matched, so it never gets a null row
+    inA.addData((3L, 9L, ts("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows() == Set((1L, Some(10L)), (2L, None)), s"got ${rows()}")
+    info(s"outer row emitted at wm == due: $atBoundary")
+  }
+
   test("statefulTrajectories accumulates per-key state across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Replay.Obs]
