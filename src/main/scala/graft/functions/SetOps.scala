@@ -77,6 +77,36 @@ object SetOps {
 
   def charShinglesCol(text: Column, n: Int): Column =
     columnOf(CharShinglesExpr(expressionOf(text), n))
+
+  /** static entry point for generated code: ALL char n-gram shingles in
+    * document order, duplicates kept — the positional input winnowing
+    * needs (element i = the shingle starting at char i). Same byte-offset
+    * slicing as [[charShingles]], no set. */
+  def charShinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val numChars = text.numChars()
+    if (numChars < n) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    val offs = new Array[Int](numChars + 1)
+    var i = 0
+    var b = 0
+    while (i < numChars) {
+      offs(i) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    offs(numChars) = bytes.length
+    val nGrams = numChars - n + 1
+    val out = new Array[Any](nGrams)
+    i = 0
+    while (i < nGrams) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def charShinglesAllCol(text: Column, n: Int): Column =
+    columnOf(CharShinglesAllExpr(expressionOf(text), n))
 }
 
 /** (array<string>, array<string>) → bigint ppm. */
@@ -118,6 +148,29 @@ case class CharShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SetOps.charShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** (string) → array<string>: ALL positional char n-gram shingles
+  * (duplicates kept, element i = shingle at char i) — the winnowing
+  * input. NULL text → NULL, text shorter than n → empty array. */
+case class CharShinglesAllExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_shingles_all expects STRING, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles_all"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SetOps.charShinglesAll(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SetOps.charShinglesAll($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

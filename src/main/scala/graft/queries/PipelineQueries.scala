@@ -638,6 +638,29 @@ object PipelineQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    // Winnowing fingerprints (the MOSS scheme): hash every positional
+    // 5-gram, slide a 4-hash window, keep each window's min — any shared
+    // substring of length >= k+w-1 = 8 shares a fingerprint while only
+    // ~1/w of hashes survive. Full windows only; Spark pos is 0-based
+    // (pos <= tot-4), the oracle's is 1-based (p <= tot-3) — same set.
+    Q("q_doc_winnow",
+      (s, dir) =>
+        TextAnalysis.winnowFrame(Tables.documents(s, dir), "doc_id", "text", k = 5, w = 4)
+          .orderBy("doc_id"),
+      Some("""WITH g AS (
+             |  SELECT doc_id, [{'p': i, 'h': md5(substr(text, i::INT, 5))} for i in range(1, len(text) - 3)] AS hs
+             |  FROM documents WHERE len(text) >= 5),
+             |sh AS (SELECT doc_id, unnest(hs, recursive := true) FROM g),
+             |w AS (SELECT doc_id, p, h,
+             |             min(h) OVER (PARTITION BY doc_id ORDER BY p
+             |                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             |             count(*) OVER (PARTITION BY doc_id) AS tot
+             |      FROM sh)
+             |SELECT doc_id, count(DISTINCT wmin) AS n_fp,
+             |       min(wmin) AS fp_min, max(wmin) AS fp_max
+             |FROM w WHERE p <= tot - 3
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Corpus vocabulary statistic: the 20 tokens with the highest
     // document frequency (distinct-doc count, not raw occurrences) — the
     // classic map-reduce shape, and what a pipeline derives stopword /

@@ -121,6 +121,47 @@ class DedupSpec extends SparkSpec {
     assert(r.getSeq[String](2) == Seq("ab", "ba")) // dedup keeps first occurrence
   }
 
+  test("charShinglesAll keeps every position (differential vs sliding)") {
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abcé中"
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    for (n <- Seq(2, 4)) {
+      val cmp = rows.toDF("id", "text")
+        .select($"text", graft.functions.SetOps.charShinglesAllCol($"text", n).as("all"))
+        .as[(String, Seq[String])].collect()
+      cmp.foreach { case (text, all) =>
+        val expect = if (text.length < n) Seq.empty else text.sliding(n).toSeq
+        assert(all == expect, s"text '$text' n=$n")
+      }
+    }
+  }
+
+  test("winnowFrame equals a reference winnowing implementation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val k = 3
+    val w = 2
+    val docs = Seq((1L, "abcabcabd"), (2L, "xy"), (3L, "zzzz")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.winnowFrame(docs, "doc_id", "text", k, w)
+      .orderBy("doc_id").as[(Long, Long, String, String)].collect().toSeq
+    def reference(text: String): Option[(Long, String, String)] = {
+      val hashes = text.sliding(k).toSeq.map(md5hex)
+      if (hashes.length < w) None
+      else {
+        val mins = hashes.sliding(w).map(_.min).toSeq.distinct
+        Some((mins.length.toLong, mins.min, mins.max))
+      }
+    }
+    val expect = Seq(1L -> "abcabcabd", 3L -> "zzzz").flatMap { case (id, t) =>
+      reference(t).map { case (n, lo, hi) => (id, n, lo, hi) }
+    }
+    // doc 2 is shorter than k + w - 1 → no full window → absent
+    assert(got == expect)
+  }
+
   test("minhash estimator tracks exact jaccard (statistical property)") {
     // synthetic near-dup families with known overlap ratios
     val rnd = new scala.util.Random(7)
