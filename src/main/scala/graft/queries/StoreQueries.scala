@@ -372,6 +372,50 @@ object StoreQueries {
              |SELECT * FROM ij UNION ALL SELECT * FROM um
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // FULL-OUTER stream-stream join: adds the b-side null rows (events
+    // with no PREDECESSOR within the interval). Both evictions measured
+    // STRICT in StreamingSpec: an unmatched a-row needs wm > a.ts +
+    // interval, an unmatched b-row needs wm > b.ts (µs predicates with
+    // the ms-floored watermark); rows within delay of the replay's end
+    // never emit their null row. Nulls coalesced to -1 on both engines.
+    Q("q_stream_join_full",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.intervalJoinReplay(s, store, store + "_fjoin_out", joinType = "full_outer")
+          .select(coalesce(col("id_a"), lit(-1L)).as("id_a"),
+            coalesce(col("id_b"), lit(-1L)).as("id_b"),
+            col("user_id"),
+            coalesce(col("a_us"), lit(-1L)).as("a_us"),
+            coalesce(col("b_us"), lit(-1L)).as("b_us"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH wm AS (
+             |  SELECT ((epoch_us(max(ts)) // 1000) - 60000) * 1000 AS wm_us FROM events),
+             |ij AS (
+             |  SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS user_id,
+             |         epoch_us(a.ts) AS a_us, epoch_us(b.ts) AS b_us
+             |  FROM events a JOIN events b
+             |    ON a.user_id = b.user_id AND b.ts > a.ts
+             |   AND b.ts <= a.ts + INTERVAL 30 MINUTE),
+             |ua AS (
+             |  SELECT a.event_id AS id_a, CAST(-1 AS BIGINT) AS id_b, a.user_id AS user_id,
+             |         epoch_us(a.ts) AS a_us, CAST(-1 AS BIGINT) AS b_us
+             |  FROM events a, wm
+             |  WHERE NOT EXISTS (SELECT 1 FROM events b
+             |                    WHERE b.user_id = a.user_id AND b.ts > a.ts
+             |                      AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+             |    AND epoch_us(a.ts) + 1800000000 < wm.wm_us),
+             |ub AS (
+             |  SELECT CAST(-1 AS BIGINT) AS id_a, b.event_id AS id_b, b.user_id AS user_id,
+             |         CAST(-1 AS BIGINT) AS a_us, epoch_us(b.ts) AS b_us
+             |  FROM events b, wm
+             |  WHERE NOT EXISTS (SELECT 1 FROM events a
+             |                    WHERE a.user_id = b.user_id AND b.ts > a.ts
+             |                      AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+             |    AND epoch_us(b.ts) < wm.wm_us)
+             |SELECT * FROM ij UNION ALL SELECT * FROM ua UNION ALL SELECT * FROM ub
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the
     // document is assembled by string concatenation, ordered by id.

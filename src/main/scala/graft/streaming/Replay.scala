@@ -174,7 +174,9 @@ object Replay {
         joinType)
       .select(
         col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
-        col("a.user_id").as("user_id"),
+        // a full-outer's b-only rows have no a side — take the key from
+        // whichever side exists
+        coalesce(col("a.user_id"), col("b.user_id")).as("user_id"),
         expr("unix_micros(a.ts)").as("a_us"), expr("unix_micros(b.ts)").as("b_us"))
     appendReplayToFiles(spark, joined, outPath, "intervalJoinReplay")
   }

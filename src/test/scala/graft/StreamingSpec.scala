@@ -243,6 +243,55 @@ class StreamingSpec extends SparkSpec {
     info(s"outer row emitted at wm == due: $atBoundary")
   }
 
+  test("full-outer stream-stream join: b-side null rows emit once wm passes b.ts") {
+    implicit val sq = spark.sqlContext
+    val inA = MemoryStream[(Long, Long, Timestamp)]
+    val inB = MemoryStream[(Long, Long, Timestamp)]
+    val sink = "t_ssjoin_full"
+    spark.catalog.dropTempView(sink)
+    def side(s: MemoryStream[(Long, Long, Timestamp)], n: String) =
+      s.toDF().toDF("id", "k", "ts").withWatermark("ts", "1 minute").alias(n)
+    val q = side(inA, "a").join(side(inB, "b"),
+        $"a.k" === $"b.k" && $"b.ts" > $"a.ts" &&
+          $"b.ts" <= $"a.ts" + expr("INTERVAL 30 MINUTE"),
+        "full_outer")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def rows(): Set[(Option[Long], Option[Long])] =
+      spark.table(sink).as[(Option[Long], Option[Long])].collect().toSet
+    // matched pair (k=7); B1 (k=8) has no predecessor and never will
+    inA.addData((1L, 7L, ts("2024-01-01 10:00:00")))
+    inB.addData((10L, 7L, ts("2024-01-01 10:10:00")),
+      (20L, 8L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    assert(rows() == Set((Some(1L), Some(10L))), s"got ${rows()}")
+    // advance wm exactly TO b.ts (10:10): boundary probe for the b-side
+    // eviction inequality
+    inA.addData((2L, 9L, ts("2024-01-01 10:11:00")))
+    q.processAllAvailable()
+    val atBoundary = rows().contains((None, Some(20L)))
+    // far advance on BOTH inputs (the replay query feeds both sides from
+    // the same store): B1's null row must be out; A2 (no successor
+    // within 30min, due 10:41 < new wm 22:59) gets its null row too. The
+    // trailing no-data batch that flushes evictions can land just after
+    // processAllAvailable returns — poll briefly before asserting.
+    inA.addData((4L, 6L, ts("2024-01-01 23:00:00")))
+    inB.addData((30L, 5L, ts("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    val expect = Set((Some(1L), Some(10L)), (None, Some(20L)), (Some(2L), None))
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (rows() != expect && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(rows() == expect, s"got ${rows()}")
+    info(s"b-side null row emitted at wm == b.ts: $atBoundary")
+  }
+
   test("statefulTrajectories accumulates per-key state across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Replay.Obs]
