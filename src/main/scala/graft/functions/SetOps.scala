@@ -107,6 +107,63 @@ object SetOps {
 
   def charShinglesAllCol(text: Column, n: Int): Column =
     columnOf(CharShinglesAllExpr(expressionOf(text), n))
+
+  /** static entry point for generated code: winnowing fingerprint
+    * selection in ONE pass per document — md5 each positional k-gram,
+    * slide a window of w hashes, keep each window's min, dedup
+    * (first-occurrence order). Equivalent to explode → window-min →
+    * distinct, but row-local: no 5M-row explode, no per-doc sort, no
+    * shuffle (measured 9.4 s → sub-second at sf0.1). Text shorter than
+    * k + w − 1 (no full window) → empty array. */
+  def winnowHashes(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val numChars = text.numChars()
+    if (numChars < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    val offs = new Array[Int](numChars + 1)
+    var i = 0
+    var b = 0
+    while (i < numChars) {
+      offs(i) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    offs(numChars) = bytes.length
+    val nGrams = numChars - k + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    val hashes = new Array[String](nGrams)
+    i = 0
+    while (i < nGrams) {
+      md.reset()
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      val d = md.digest()
+      val cs = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        cs(2 * j) = hex((d(j) >> 4) & 0xF)
+        cs(2 * j + 1) = hex(d(j) & 0xF)
+        j += 1
+      }
+      hashes(i) = new String(cs)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var start = 0
+    while (start <= nGrams - w) {
+      var m = hashes(start)
+      var j = start + 1
+      while (j < start + w) {
+        if (hashes(j).compareTo(m) < 0) m = hashes(j)
+        j += 1
+      }
+      out.add(UTF8String.fromString(m))
+      start += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  def winnowHashesCol(text: Column, k: Int, w: Int): Column =
+    columnOf(WinnowExpr(expressionOf(text), k, w))
 }
 
 /** (array<string>, array<string>) → bigint ppm. */
@@ -148,6 +205,28 @@ case class CharShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SetOps.charShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** (string) → array<string>: the winnowing fingerprint set (distinct
+  * selected window-min md5 hex hashes, first-occurrence order). NULL
+  * text → NULL; no full window → empty array. */
+case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow expects STRING, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SetOps.winnowHashes(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SetOps.winnowHashes($c, $k, $w)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
