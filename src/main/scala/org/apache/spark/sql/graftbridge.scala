@@ -29,21 +29,36 @@ package object graftbridge {
       es => graft.functions.JaccardPpmExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       es => graft.functions.DotProductExpr(es(0), es(1)), "built-in")
+    // structural int parameters (shingle width, window size) are baked
+    // into the expression at construction, so they must be foldable
+    // literals; check arity + foldability up front so a bad call gets
+    // this message, not a raw unbound-attribute or index-out-of-bounds
+    // error at analysis time (ADVICE r3)
+    def intLit(fn: String, usage: String)(e: Expression): Int = e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn$usage: parameters must be integer literals, got $other")
+    }
+    def checkArity(fn: String, usage: String, n: Int, es: Seq[Expression]): Unit =
+      if (es.length != n || !es.drop(1).forall(_.foldable))
+        throw new IllegalArgumentException(
+          s"$fn$usage: expects $n args with integer literals after the text, got (${es.mkString(", ")})")
     reg.createOrReplaceTempFunction("char_shingles",
       es => {
-        // n is baked into the expression at construction, so it must be a
-        // foldable literal; check arity + foldability up front so a bad
-        // call gets this message, not a raw unbound-attribute or
-        // index-out-of-bounds error at analysis time (ADVICE r3)
-        if (es.length != 2 || !es(1).foldable)
-          throw new IllegalArgumentException(
-            s"char_shingles(text, n): expects 2 args with n an integer literal, got (${es.mkString(", ")})")
-        graft.functions.CharShinglesExpr(es(0), es(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"char_shingles(text, n): n must be an integer literal, got $other")
-        })
+        checkArity("char_shingles", "(text, n)", 2, es)
+        graft.functions.CharShinglesExpr(es(0), intLit("char_shingles", "(text, n)")(es(1)))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("char_shingles_all",
+      es => {
+        checkArity("char_shingles_all", "(text, n)", 2, es)
+        graft.functions.CharShinglesAllExpr(es(0), intLit("char_shingles_all", "(text, n)")(es(1)))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("winnow",
+      es => {
+        checkArity("winnow", "(text, k, w)", 3, es)
+        val lit = intLit("winnow", "(text, k, w)") _
+        graft.functions.WinnowExpr(es(0), lit(es(1)), lit(es(2)))
       }, "built-in")
   }
 }

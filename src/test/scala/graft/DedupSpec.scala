@@ -162,6 +162,19 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("winnow and char_shingles_all SQL registration with arity checks") {
+    org.apache.spark.sql.graftbridge.registerFunctions(spark)
+    val r = sql("""SELECT winnow('abcabcabd', 3, 2) AS w,
+                  |       char_shingles_all('abab', 2) AS s""".stripMargin).head()
+    // matches the Column-API kernel exactly
+    val viaCol = Seq(Tuple1("abcabcabd")).toDF("t")
+      .select(graft.functions.SetOps.winnowHashesCol($"t", 3, 2)).as[Seq[String]].head()
+    assert(r.getSeq[String](0) == viaCol)
+    assert(r.getSeq[String](1) == Seq("ab", "ba", "ab")) // positional: dups kept
+    intercept[IllegalArgumentException] { sql("SELECT winnow('x', 3)").head() }
+    intercept[IllegalArgumentException] { sql("SELECT char_shingles_all('x', n) FROM (SELECT 2 AS n)").collect() }
+  }
+
   test("minhash estimator tracks exact jaccard (statistical property)") {
     // synthetic near-dup families with known overlap ratios
     val rnd = new scala.util.Random(7)
