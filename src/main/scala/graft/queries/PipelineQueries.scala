@@ -244,6 +244,51 @@ object PipelineQueries {
              |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // The PRODUCTION near-dup path: 64-bit xxhash64 simhash (the 32-bit
+    // md5 family above is the oracle-checkable demo; its fingerprint
+    // space saturates at billions of docs), 6 blocks × 10 bits, verified
+    // hamming ≤ 5. Recall at the radius is still exact: ≤5 differing
+    // covered bits ruin at most 5 of the 6 blocks, and diffs in the 4
+    // uncovered top bits ruin none, so some block always matches.
+    // No external engine reproduces seeded xxhash64, so like
+    // q_dedup_simhash64 the oracle pins the determinism/recall invariant
+    // instead of fp values: identical texts hash to identical
+    // fingerprints, so EVERY same-text pair must surface with hamming 0
+    // (a missed pair drops a row → red; a nonzero hamming → hash red).
+    // The corpus has no exact-dup texts below sf0.1, so 10 duplicates are
+    // PLANTED (docs 0-9 unioned back under offset ids — the standard
+    // known-answer recall fixture); the oracle derives the same-text pair
+    // set generically over the same augmented corpus, so natural dups
+    // (8 groups at sf0.1) are covered too. DedupSpec additionally
+    // differential-tests the 64-bit pipeline against brute-force
+    // all-pairs bit_count.
+    Q("q_dedup_simhash_neardup64",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val docs = base.unionByName(
+          base.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val fps = Dedup.simhash64Frame(docs, "doc_id", TextAnalysis.tokens(col("text")))
+        val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "fp",
+          nbits = 64, blocks = 6, maxHamming = 5)
+        val keyed = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("_m"))
+        val sameText = keyed.select(col("doc_id").as("id_a"), col("_m"))
+          .join(keyed.select(col("doc_id").as("id_b"), col("_m")), Seq("_m"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        pairs.join(sameText, Seq("id_a", "id_b"))
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+             |FROM corpus a JOIN corpus b
+             |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Eval-set decontamination: corpus docs (doc_id >= 25) whose 5-gram
     // shingle sets overlap an eval doc (doc_id < 25) — the test-set
     // leakage check every training pipeline runs. Candidates via
@@ -507,6 +552,64 @@ object PipelineQueries {
              |  FROM cand)
              |SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 10
              |ORDER BY q_id, rank""".stripMargin)),
+
+    // Recall@10 of the IVF path vs exact — the companion to q_ann_recall
+    // (which measures the LSH pipeline): the IVF quantizer's recall loss
+    // (seeded centroids, nprobe=2) was asserted correct but never
+    // MEASURED, and recall is the number a user needs to choose LSH vs
+    // IVF on their data (VERDICT r4 next #5). Same shape: one row per
+    // query, fraction of the exact top-10 the IVF top-10 returned, ppm.
+    Q("q_ann_recall_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val exact = Similarity.topKExact(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 10)
+        val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 10,
+          nCentroids = 8, nprobe = 2)
+        exact.as("e")
+          .join(ivf.as("a"),
+            col("e.q_id") === col("a.q_id") && col("e.vec_id") === col("a.vec_id"), "left")
+          .groupBy(col("e.q_id").as("q_id"))
+          .agg(floor(sum(when(col("a.vec_id").isNotNull, 1L).otherwise(0L))
+            * lit(1000000L) / count(lit(1))).cast("long").as("recall_ppm"))
+          .orderBy("q_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
+             |q AS (SELECT vec_id AS q_id, ve AS qv, nn AS qn FROM n WHERE vec_id < 5),
+             |exact AS (
+             |  SELECT q.q_id, e.vec_id,
+             |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |           CAST(floor(list_dot_product(e.ve, q.qv)
+             |             / (e.nn * q.qn) * 1000000.0) AS BIGINT) DESC, e.vec_id) AS rank
+             |  FROM n e, q WHERE e.vec_id <> q.q_id),
+             |cent AS (SELECT vec_id AS cid, ve AS cv, nn AS cn FROM n WHERE vec_id < 8),
+             |asg AS (
+             |  SELECT n.vec_id, n.ve, n.nn,
+             |    -((max(struct_pack(s := CAST(floor(list_dot_product(n.ve, cent.cv)
+             |                                       / (n.nn * cent.cn) * 1000000.0) AS BIGINT),
+             |                       nc := -cent.cid))).nc) AS cid
+             |  FROM n, cent GROUP BY n.vec_id, n.ve, n.nn),
+             |probe AS (
+             |  SELECT q_id, cid FROM (
+             |    SELECT q.q_id, cent.cid,
+             |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |        CAST(floor(list_dot_product(q.qv, cent.cv)
+             |                   / (q.qn * cent.cn) * 1000000.0) AS BIGINT) DESC, cent.cid) AS pr
+             |    FROM q, cent) WHERE pr <= 2),
+             |ivf AS (
+             |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim_ppm DESC, vec_id) AS rank
+             |  FROM (
+             |    SELECT q.q_id, a.vec_id,
+             |      CAST(floor(list_dot_product(a.ve, q.qv) / (a.nn * q.qn) * 1000000.0) AS BIGINT) AS sim_ppm
+             |    FROM asg a JOIN probe p ON a.cid = p.cid JOIN q ON q.q_id = p.q_id
+             |    WHERE a.vec_id <> q.q_id))
+             |SELECT e.q_id, CAST(floor(count(a.vec_id) * 1000000.0 / count(*)) AS BIGINT) AS recall_ppm
+             |FROM (SELECT * FROM exact WHERE rank <= 10) e
+             |LEFT JOIN (SELECT * FROM ivf WHERE rank <= 10) a
+             |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
 
     // Embedding int8 quantization round-trip: the 4×-smaller storage path
     // for embedding corpora, with the reconstruction error bounded and

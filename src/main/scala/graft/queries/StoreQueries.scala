@@ -416,6 +416,24 @@ object StoreQueries {
              |SELECT * FROM ij UNION ALL SELECT * FROM ua UNION ALL SELECT * FROM ub
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Streaming first-seen dim registry — the reference's per-hour hash
+    // registry (apache_parquet_velocity.py:81-121: uuid → id dict, reset
+    // on each hour-bucket change) as watermarked streaming dedup, the
+    // last SURVEY §2.10 mapping row. Dedup key = (hour window, user_id);
+    // the window carries the event-time watermark so per-hour registry
+    // state is EVICTED once the watermark passes the hour (bounded state,
+    // asserted in StreamingSpec). Only the dedup key survives the
+    // pre-dedup projection, so output is arrival-order-independent and
+    // the oracle is a plain SELECT DISTINCT.
+    Q("q_stream_dedup",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.dedupReplay(s, store, store + "_dedup_out")
+          .orderBy("bucket_us", "user_id")
+      },
+      Some("""SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS bucket_us, user_id
+             |FROM events ORDER BY bucket_us, user_id""".stripMargin)),
+
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the
     // document is assembled by string concatenation, ordered by id.

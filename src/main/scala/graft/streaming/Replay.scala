@@ -133,6 +133,42 @@ object Replay {
     spark.read.parquet(outPath)
   }
 
+  // ---- streaming first-seen dim registry (watermarked dedup) ------------
+
+  /** The reference's first-seen hash registry
+    * (apache_parquet_velocity.py:81-85 `get_l1_id`, reset each hour bucket
+    * at store_document:88-121) as STREAMING deduplication — the last
+    * SURVEY §2.10 mapping-table row (`dropDuplicates` w/ watermark).
+    *
+    * A key registers once per hour bucket: dedup key = (hour window,
+    * user_id), so the registry "resets" at each hour exactly like the
+    * reference's `self.hash_table = {}` on a timestamp[:13] change. The
+    * window column is derived from the watermarked event-time column, so
+    * it carries event-time metadata and the engine EVICTS registry state
+    * for hours fully behind the watermark — bounded state, the property
+    * the reference's unbounded in-process dict lacks (asserted in
+    * StreamingSpec).
+    *
+    * Determinism: only (window, user_id) survive the projection before
+    * dedup, so whichever physical row wins arrival order, the emitted
+    * tuple is identical — the batch oracle is a plain SELECT DISTINCT.
+    * Dedup emits rows as they are first seen (not held for the
+    * watermark), so one availableNow batch emits every distinct pair. */
+  def dedupReplay(
+      spark: SparkSession,
+      storePath: String,
+      outPath: String,
+      delayThreshold: String = "1 minute"): DataFrame = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .parquet(storePath)
+      .withWatermark("ts", delayThreshold)
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+    val registry = src.dropDuplicates("user_id", "w")
+      .select(expr("unix_micros(w.start)").as("bucket_us"), col("user_id"))
+    appendReplayToFiles(spark, registry, outPath, "dedupReplay")
+  }
+
   // ---- stream-stream interval join --------------------------------------
 
   /** Stream-stream interval self-join: pair each event with this user's

@@ -248,6 +248,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 2L), (1L, 3L, 3L), (3L, 4L, 1L)))
   }
 
+  test("simhashNearDupPairs at 64 bits equals brute-force all-pairs (6 blocks, radius 5)") {
+    // differential test for the production config: the blocked pipeline's
+    // pair set must equal all-pairs bit_count filtering — including pairs
+    // whose differing bits land in the 4 bits the 6×10-bit blocks leave
+    // uncovered (id 6: flips in bits 60-63 only)
+    val base = 0x123456789ABCDEFL
+    val fpRows = Seq(
+      (1L, base),
+      (2L, base ^ 0x1FL),                 // 5 flips, one block
+      (3L, base ^ 0x8421084210L),         // 5 flips spread across 5 blocks
+      (4L, base ^ 0x0041041041041041L),   // beyond radius (> 5 flips)
+      (5L, -base),                        // distant
+      (6L, base ^ 0xF000000000000000L)    // 4 flips, all in uncovered bits
+    )
+    val pairs = Dedup.simhashNearDupPairs(fpRows.toDF("id", "fp"), "id", "fp",
+        nbits = 64, blocks = 6, maxHamming = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (ia, fa) <- fpRows; (ib, fb) <- fpRows
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 5
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb).toLong)).toSet
+    assert(pairs == brute)
+    assert(pairs.contains((1L, 6L, 4L)), "uncovered-bit pair must still be recalled")
+  }
+
   test("simhashNearDupPairs rejects a radius the block count cannot cover") {
     val fps = Seq((1L, 0L)).toDF("id", "fp")
     intercept[IllegalArgumentException] {

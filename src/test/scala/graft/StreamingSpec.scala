@@ -171,6 +171,49 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows == 1, s"state not bounded to open sessions: $stateRows rows")
   }
 
+  test("streaming dedup registry: once per (hour, key), state evicted behind the watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sink = "t_dedup_reg"
+    spark.catalog.dropTempView(sink)
+    // the exact q_stream_dedup plan: watermarked (hour window, key) dedup
+    val q = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 minute")
+      .select(window($"ts", "1 hour").as("w"), $"user_id")
+      .dropDuplicates("user_id", "w")
+      .select(expr("unix_micros(w.start)").as("bucket_us"), $"user_id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def registry(): Set[(String, Long)] =
+      spark.table(sink).as[(Long, Long)].collect().toSet
+        .map { r: (Long, Long) => (new Timestamp(r._1 / 1000).toString.take(13), r._2) }
+
+    // batch 1: key 7 registers once in the 10:00 bucket despite two events
+    input.addData((7L, ts("2024-01-01 10:00:00")), (7L, ts("2024-01-01 10:30:00")),
+      (8L, ts("2024-01-01 10:45:00")))
+    q.processAllAvailable()
+    assert(registry() == Set(("2024-01-01 10", 7L), ("2024-01-01 10", 8L)))
+
+    // batch 2: key 7 again in the SAME bucket → no re-emission; key 7 in
+    // the NEXT hour re-registers (the reference's hour-reset hash_table)
+    input.addData((7L, ts("2024-01-01 10:50:00")), (7L, ts("2024-01-01 11:10:00")))
+    q.processAllAvailable()
+    assert(registry() == Set(("2024-01-01 10", 7L), ("2024-01-01 10", 8L),
+      ("2024-01-01 11", 7L)))
+
+    // batch 3: advance the watermark far past both buckets — registry
+    // state for closed hours must be EVICTED (bounded state: at most the
+    // single fresh 20:00 registration may remain)
+    input.addData((9L, ts("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(registry().size == 4)
+    assert(stateRows <= 1, s"dedup registry state not evicted behind the watermark: $stateRows rows")
+  }
+
   test("stream-stream interval join pairs in-window rows and evicts old state") {
     implicit val sq = spark.sqlContext
     val inA = MemoryStream[(Long, Long, Timestamp)]
