@@ -171,14 +171,15 @@ object Dedup {
     require(maxHamming <= blocks - 1,
       s"pigeonhole recall requires maxHamming ($maxHamming) <= blocks - 1 (${blocks - 1})")
     // the fingerprint frame feeds THREE plan branches (block join + both
-    // fp look-backs); materializing the tiny (id, fp) frame — ~12
-    // bytes/doc, the production path would persist it to a store —
-    // guarantees the explode-and-vote fingerprint computation runs once
-    // regardless of exchange reuse. Measured sf0.1 cost is dominated by
-    // candidate VERIFICATION, not the frame: a near-dup-dense corpus
-    // yields large buckets and a large pair set (honest work; maxBucket
-    // is the valve for degenerate skew).
-    val fpMat = fps.select(col(idCol), col(fpCol)).localCheckpoint()
+    // fp look-backs); staging the tiny (id, fp) frame — ~12 bytes/doc —
+    // through the parquet store guarantees the explode-and-vote
+    // fingerprint computation runs once regardless of exchange reuse,
+    // and every branch reads replicated storage, not executor-resident
+    // localCheckpoint blocks an executor loss would vaporize. Measured
+    // sf0.1 cost is dominated by candidate VERIFICATION, not the frame:
+    // a near-dup-dense corpus yields large buckets and a large pair set
+    // (honest work; maxBucket is the valve for degenerate skew).
+    val fpMat = graft.store.Staging.stage(fps.select(col(idCol), col(fpCol)), "simhash_fp")
     candidatePairs(fpMat, idCol, simhashBlockKeys(col(fpCol), nbits, blocks), maxBucket)
       .join(fpMat.select(col(idCol).as("id_a"), col(fpCol).as("fp_a")), Seq("id_a"))
       .join(fpMat.select(col(idCol).as("id_b"), col(fpCol).as("fp_b")), Seq("id_b"))
@@ -214,15 +215,19 @@ object Dedup {
       minJacPpm: Long,
       maxDf: Int = 100000): DataFrame = {
     // each shingle frame feeds TWO branches (the df count and the capped
-    // join/size aggregates) — materialize once so the explode+shingle
-    // computation doesn't run per branch (same reasoning as fpMat in
-    // simhashNearDupPairs; production would persist the inverted index)
-    val cs = corpus.repartition(col(idCol))
-      .select(col(idCol), explode(charShingles(col(textCol), n)).as("_s"))
-      .localCheckpoint()
-    val es = evalSet
-      .select(col(idCol).as("_eid"), explode(charShingles(col(textCol), n)).as("_s"))
-      .localCheckpoint()
+    // join/size aggregates) — stage each through the parquet store so the
+    // explode+shingle computation runs once, both branches feed from file
+    // scans, and the staged frame IS the persisted inverted index the
+    // production pipeline keeps (same reasoning as fpMat in
+    // simhashNearDupPairs)
+    val cs = graft.store.Staging.stage(
+      corpus.repartition(col(idCol))
+        .select(col(idCol), explode(charShingles(col(textCol), n)).as("_s")),
+      "decon_corpus_shingles")
+    val es = graft.store.Staging.stage(
+      evalSet
+        .select(col(idCol).as("_eid"), explode(charShingles(col(textCol), n)).as("_s")),
+      "decon_eval_shingles")
     val dfCount = cs.select(col("_s"), col(idCol).as("_d"))
       .union(es.select(col("_s"), col("_eid").as("_d")))
       .groupBy(col("_s")).agg(countDistinct(col("_d")).as("_df"))
@@ -314,19 +319,24 @@ object Dedup {
     * smallest component id among itself and its neighbors. Converges in
     * O(cluster diameter) rounds — near-dup clusters are shallow (dup
     * families, not long chains), so a handful of iterations; each round
-    * is one shuffle join + aggregate, lineage truncated per round.
+    * is one shuffle join + aggregate, lineage truncated per round by
+    * staging each round's labels through the parquet store (durable —
+    * unlike localCheckpoint, a lost executor costs a re-read, not the
+    * whole iteration).
     * Throws if maxIter rounds don't converge — a silently split cluster
     * would make a dedup pipeline keep multiple copies of one family.
     * Output: (id, comp) for every vertex in `pairs`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    val edges = graft.store.Staging.stage(
+      pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct(),
+      "cc_edges")
+    var labels = graft.store.Staging.stage(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")),
+      "cc_labels")
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -335,14 +345,15 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("dcomp")).as("ncomp"))
       // carry (prev, new) label in one row: the convergence check becomes
-      // a cheap scan of the just-checkpointed partitions instead of a
-      // second join+count job per round (labels only ever decrease, so
+      // a cheap scan of the just-staged parquet instead of a second
+      // join+count job per round (labels only ever decrease, so
       // changed ⟺ comp < prev)
-      val step = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("_prev"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+      val step = graft.store.Staging.stage(
+        labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("comp").as("_prev"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")),
+        "cc_step")
       changed = step.filter(col("comp") < col("_prev")).count()
       labels = step.select(col("id"), col("comp"))
       i += 1
