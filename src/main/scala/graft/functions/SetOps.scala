@@ -164,6 +164,89 @@ object SetOps {
 
   def winnowHashesCol(text: Column, k: Int, w: Int): Column =
     columnOf(WinnowExpr(expressionOf(text), k, w))
+
+  // murmur3's 64-bit avalanche finalizer (public-domain constants): the
+  // raw polynomial prefix hash changes slowly between adjacent k-grams,
+  // which would bias the window-min selection; the finalizer spreads each
+  // positional hash over the full 64-bit space first.
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** static entry point for generated code: winnowing with a polynomial
+    * ROLLING hash — the PRODUCTION family (same dual-family pattern as
+    * minhash xxhash64-vs-md5 and simhash 64-vs-32: the md5 kernel above
+    * stays as the externally-reproducible oracle family). One
+    * multiply-add per char position instead of one full MD5 per k-gram —
+    * the ~5M MD5s/doc-corpus that dominated the md5 kernel's remaining
+    * CPU at sf0.1 become O(chars) rolling updates.
+    *
+    * Definition: per-char values are the char's UTF-8 bytes packed
+    * big-endian (injective per char); positional hash i rolls with base
+    * B = the FNV-1a 64 prime (odd ⇒ multiplication invertible mod 2^64)
+    * over chars i..i+k−1 and is finalized with [[fmix64]]; each window of
+    * w consecutive finalized hashes contributes its UNSIGNED min; mins
+    * dedup in first-occurrence order. Same selection guarantee as the md5
+    * family (any shared substring of length ≥ k + w − 1 shares ≥ 1
+    * fingerprint — the order the mins are taken in is total either way).
+    * Output array<long>; no full window → empty array. */
+  def winnowHashesRoll(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val numChars = text.numChars()
+    if (numChars < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    val vals = new Array[Long](numChars)
+    var i = 0
+    var b = 0
+    while (i < numChars) {
+      val len = UTF8String.numBytesForFirstByte(bytes(b))
+      var v = 0L
+      var j = 0
+      while (j < len) { v = (v << 8) | (bytes(b + j) & 0xFFL); j += 1 }
+      vals(i) = v
+      b += len
+      i += 1
+    }
+    val nGrams = numChars - k + 1
+    val B = 0x100000001B3L
+    var bk = 1L // B^(k-1): the outgoing char's removal factor
+    i = 1
+    while (i < k) { bk *= B; i += 1 }
+    val hashes = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + vals(i); i += 1 }
+    hashes(0) = fmix64(h)
+    i = 1
+    while (i < nGrams) {
+      h = (h - vals(i - 1) * bk) * B + vals(i + k - 1)
+      hashes(i) = fmix64(h)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var start = 0
+    while (start <= nGrams - w) {
+      var m = hashes(start)
+      var j = start + 1
+      while (j < start + w) {
+        if (java.lang.Long.compareUnsigned(hashes(j), m) < 0) m = hashes(j)
+        j += 1
+      }
+      out.add(m)
+      start += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next().longValue(); x += 1 }
+    new GenericArrayData(arr)
+  }
+
+  def winnowHashesRollCol(text: Column, k: Int, w: Int): Column =
+    columnOf(WinnowRollExpr(expressionOf(text), k, w))
 }
 
 /** (array<string>, array<string>) → bigint ppm. */
@@ -227,6 +310,28 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SetOps.winnowHashes($c, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** (string) → array<bigint>: the rolling-hash winnowing fingerprint set
+  * (production family; see [[SetOps.winnowHashesRoll]]). NULL text →
+  * NULL; no full window → empty array. */
+case class WinnowRollExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow_roll expects STRING, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_roll"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SetOps.winnowHashesRoll(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SetOps.winnowHashesRoll($c, $k, $w)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

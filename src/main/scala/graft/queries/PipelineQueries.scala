@@ -764,6 +764,44 @@ object PipelineQueries {
              |FROM w WHERE p <= tot - 3
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing, PRODUCTION family: the rolling-polynomial-hash kernel
+    // (one multiply-add per char + fmix64, vs one MD5 per position in the
+    // oracle family above — same dual-family pattern as minhash).
+    // No external engine reproduces the hash, so the oracle pins the
+    // fingerprint determinism invariant on planted duplicates (docs 0-9
+    // unioned back under offset ids, like q_dedup_simhash_neardup64):
+    // identical texts must produce ELEMENT-WISE identical fingerprint
+    // arrays (values AND selection order). Both sides of the self-join
+    // recompute the winnow — the honest cost of the check, and the bench
+    // number that demonstrates the rolling kernel's speed. DedupSpec
+    // differential-tests the kernel against an independent
+    // reimplementation and ties both families' shared-substring
+    // guarantee.
+    Q("q_doc_winnow_roll",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val docs = base.unionByName(
+          base.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val fp = docs.repartition(col("doc_id"))
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("_m"),
+            graft.functions.SetOps.winnowHashesRollCol(col("text"), 5, 4).as("_fp"))
+        fp.select(col("doc_id").as("id_a"), col("_m"), col("_fp").as("_fa"))
+          .join(fp.select(col("doc_id").as("id_b"), col("_m"), col("_fp").as("_fb")), Seq("_m"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (col("_fa") === col("_fb")).cast("int").as("fp_equal"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS fp_equal
+             |FROM corpus a JOIN corpus b
+             |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Corpus vocabulary statistic: the 20 tokens with the highest
     // document frequency (distinct-doc count, not raw occurrences) — the
     // classic map-reduce shape, and what a pipeline derives stopword /

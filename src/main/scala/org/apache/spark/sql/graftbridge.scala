@@ -60,5 +60,11 @@ package object graftbridge {
         val lit = intLit("winnow", "(text, k, w)") _
         graft.functions.WinnowExpr(es(0), lit(es(1)), lit(es(2)))
       }, "built-in")
+    reg.createOrReplaceTempFunction("winnow_roll",
+      es => {
+        checkArity("winnow_roll", "(text, k, w)", 3, es)
+        val lit = intLit("winnow_roll", "(text, k, w)") _
+        graft.functions.WinnowRollExpr(es(0), lit(es(1)), lit(es(2)))
+      }, "built-in")
   }
 }

@@ -175,6 +175,73 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { sql("SELECT char_shingles_all('x', n) FROM (SELECT 2 AS n)").collect() }
   }
 
+  test("winnowHashesRoll equals an independent rolling-winnow reimplementation") {
+    def fmix(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+      x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+      x ^= x >>> 33
+      x
+    }
+    val unsignedLt = (a: Long, b: Long) => java.lang.Long.compareUnsigned(a, b) < 0
+    def ref(text: String, k: Int, w: Int): Seq[Long] = {
+      val cps = text.codePoints().toArray
+      if (cps.length < k + w - 1) return Seq.empty
+      val vals = cps.map(cp =>
+        new String(Character.toChars(cp)).getBytes("UTF-8")
+          .foldLeft(0L)((v, b) => (v << 8) | (b & 0xFFL)))
+      val B = 0x100000001B3L
+      val bk = (1 until k).foldLeft(1L)((a, _) => a * B)
+      val n = cps.length - k + 1
+      val hs = new Array[Long](n)
+      var h = 0L
+      (0 until k).foreach(i => h = h * B + vals(i))
+      hs(0) = fmix(h)
+      (1 until n).foreach { i =>
+        h = (h - vals(i - 1) * bk) * B + vals(i + k - 1)
+        hs(i) = fmix(h)
+      }
+      (0 to n - w).map(s => (s until s + w).map(hs).reduce((a, b) => if (unsignedLt(b, a)) b else a))
+        .distinct
+    }
+    val texts = Seq("abcabcabd", "zzzz", "héllo wörld ünïcode🌍 text", "xy",
+      "the quick brown fox jumps over the lazy dog")
+    texts.foreach { t =>
+      val got = Seq(Tuple1(t)).toDF("t")
+        .select(graft.functions.SetOps.winnowHashesRollCol($"t", 3, 2)).as[Seq[Long]].head()
+      assert(got == ref(t, 3, 2), s"text=$t")
+    }
+  }
+
+  test("both winnow families share a fingerprint across docs sharing a long substring") {
+    // the winnowing guarantee (shared substring of length >= k + w - 1
+    // => >= 1 shared fingerprint) must hold for the md5 oracle family AND
+    // the rolling production family — k=5, w=4 needs >= 8 shared chars
+    val shared = "commonsubstringxyz"
+    val docs = Seq(("a", "AAAA" + shared + "BBBB"), ("b", "CCCCCC" + shared + "DDD")).toDF("id", "t")
+    val md5Fps = docs.select($"id", graft.functions.SetOps.winnowHashesCol($"t", 5, 4).as("fp"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(md5Fps("a").toSet.intersect(md5Fps("b").toSet).nonEmpty, "md5 family lost the guarantee")
+    val rollFps = docs.select($"id", graft.functions.SetOps.winnowHashesRollCol($"t", 5, 4).as("fp"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(rollFps("a").toSet.intersect(rollFps("b").toSet).nonEmpty, "rolling family lost the guarantee")
+    // and identical texts produce element-wise identical arrays (the
+    // q_doc_winnow_roll oracle invariant)
+    val dup = Seq(("x", "abcdefghij klmnop"), ("y", "abcdefghij klmnop")).toDF("id", "t")
+      .select($"id", graft.functions.SetOps.winnowHashesRollCol($"t", 5, 4).as("fp"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(dup("x") == dup("y") && dup("x").nonEmpty)
+  }
+
+  test("winnow_roll SQL registration with arity checks") {
+    org.apache.spark.sql.graftbridge.registerFunctions(spark)
+    val viaSql = sql("SELECT winnow_roll('abcabcabd', 3, 2) AS w").head().getSeq[Long](0)
+    val viaCol = Seq(Tuple1("abcabcabd")).toDF("t")
+      .select(graft.functions.SetOps.winnowHashesRollCol($"t", 3, 2)).as[Seq[Long]].head()
+    assert(viaSql == viaCol)
+    intercept[IllegalArgumentException] { sql("SELECT winnow_roll('x', 3)").head() }
+  }
+
   test("minhash estimator tracks exact jaccard (statistical property)") {
     // synthetic near-dup families with known overlap ratios
     val rnd = new scala.util.Random(7)
