@@ -29,4 +29,25 @@ object Sampling {
 
   /** Deterministic ~nOf16/16 sample predicate (e.g. 1 → ~6.25%). */
   def hashSample(idCol: Column, nOf16: Int): Column = hashNibble(idCol) < nOf16
+
+  /** Per-stratum deterministic sampling — the domain/language REBALANCING
+    * step of a training pipeline (downsample over-represented strata,
+    * keep rare ones whole): a row is kept iff its hash nibble falls below
+    * its stratum's rate (in 16ths). Same md5 nibble as [[hashSample]], so
+    * per-stratum subsets are NESTED (raising a rate only ever ADDS rows —
+    * a rebalance never reshuffles what an earlier run kept) and the
+    * assignment reproduces in any engine. Strata not in `rates` fall back
+    * to `defaultOf16`. */
+  def stratifiedSampleFlag(
+      idCol: Column,
+      stratumCol: Column,
+      rates: Seq[(String, Int)],
+      defaultOf16: Int): Column = {
+    require((defaultOf16 +: rates.map(_._2)).forall(r => r >= 0 && r <= 16),
+      s"rates must be in [0, 16]: $rates default=$defaultOf16")
+    val nib = hashNibble(idCol)
+    rates.foldRight(nib < defaultOf16: Column) { case ((stratum, r), acc) =>
+      when(stratumCol === stratum, nib < r).otherwise(acc)
+    }
+  }
 }

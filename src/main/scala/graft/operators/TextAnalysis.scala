@@ -137,6 +137,77 @@ object TextAnalysis {
         min(col("_h")).as("fp_min"),
         max(col("_h")).as("fp_max"))
 
+  /** Log-free tf-idf top terms per document — the term-salience ranking a
+    * curation pipeline uses for topic tagging / keyword extraction.
+    * score_ppm = floor(tf · 10⁶ · N / (n_toks · df)): the classic
+    * tf-normalized × inverse-document-frequency weighting with the log
+    * dropped, so the score is EXACT integer-derived arithmetic (every
+    * intermediate < 2^53) and reproduces bit-identically in any engine —
+    * a log would tie the oracle to libm rounding. Ranking is unaffected
+    * for a single document up to the monotone log transform of df alone;
+    * ties break by term.
+    *
+    * Scale shape: tf is a map-side-combined groupBy(doc, term); df is a
+    * distinct + groupBy(term); the tf⋈df equi-join shuffles on term
+    * (both sides keyed — no broadcast assumption about vocabulary size);
+    * the corpus count N broadcasts as one row; top-k is a per-doc window
+    * rank, no global sort. */
+  def tfidfTopTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val ex = docs.repartition(col(idCol))
+      .withColumn("_toks", tokens(col(textCol)))
+      .select(col(idCol), size(col("_toks")).cast("long").as("_n"),
+        explode(col("_toks")).as("term"))
+    val tf = ex.groupBy(col(idCol), col("_n"), col("term")).agg(count(lit(1)).as("_tf"))
+    val dfreq = ex.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val nDocs = docs.select(count(lit(1)).as("_nd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score_ppm").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_ppm",
+        floor(col("_tf") * lit(1000000L) * col("_nd") / (col("_n") * col("_df"))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score_ppm"))
+  }
+
+  /** Per-document repetition statistics — the Gopher/C4-family
+    * boilerplate filters (a doc whose mass concentrates in one token /
+    * one bigram, or with a collapsed distinct-token ratio, is template or
+    * spam, not prose): fraction of tokens that are the single most
+    * frequent token, fraction of word bigrams that are the most frequent
+    * bigram, and distinct-token ratio — all integer ppm.
+    *
+    * Scale shape: two explode → map-side-combined double groupBys (per
+    * (doc, gram) count, then per-doc max/sum/count); documents with < 2
+    * tokens have no bigram and report 0. */
+  def repetitionStats(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = docs.repartition(col(idCol))
+      .withColumn("_toks", tokens(col(textCol)))
+    val tokAgg = base.select(col(idCol), explode(col("_toks")).as("_t"))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(max(col("_c")).as("_top"), sum(col("_c")).as("_n"), count(lit(1)).as("_d"))
+    val bigAgg = base.select(col(idCol), explode(Dedup.tokenShingles(col("_toks"), 2)).as("_b"))
+      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(max(col("_c")).as("_btop"), sum(col("_c")).as("_bn"))
+    tokAgg.join(bigAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        floor(col("_top") * lit(1000000L) / col("_n")).cast("long").as("top_tok_ppm"),
+        coalesce(floor(col("_btop") * lit(1000000L) / col("_bn")).cast("long"), lit(0L))
+          .as("top_bigram_ppm"),
+        floor(col("_d") * lit(1000000L) / col("_n")).cast("long").as("distinct_tok_ppm"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash EVERY
     * positional char k-gram, slide a window of `w` consecutive hashes,
     * select each window's minimum — the distinct selected hashes are the

@@ -659,6 +659,92 @@ object PipelineQueries {
              |       ELSE 0 END AS in_dev_sample
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Stratified (per-language) deterministic sampling — the domain
+    // REBALANCING step: en is ~44% of this corpus, so it samples at 4/16
+    // while zh keeps everything; the md5-nibble predicate makes the kept
+    // set a pure function of (doc_id, lang), nested under rate increases
+    // and engine-reproducible (same family as q_data_split). Output is
+    // the per-stratum census: total, kept, and the realized keep rate.
+    Q("q_stratified_sample",
+      (s, dir) => {
+        val rates = Seq("en" -> 4, "fr" -> 8, "es" -> 8, "de" -> 8, "zh" -> 16)
+        Tables.documents(s, dir)
+          .withColumn("_keep",
+            Sampling.stratifiedSampleFlag(col("doc_id"), col("lang"), rates, 8))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("_keep").cast("long")).as("n_kept"))
+          .select(col("lang"), col("n_docs"), col("n_kept"),
+            floor(col("n_kept") * lit(1000000L) / col("n_docs")).cast("long").as("kept_ppm"))
+          .orderBy("lang")
+      },
+      Some("""WITH f AS (
+             |  SELECT lang,
+             |    CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+             |         WHEN lang = 'zh' THEN TRUE
+             |         ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' END AS keep
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |       CAST(floor(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT) AS kept_ppm
+             |FROM f GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Log-free tf-idf top-5 terms per document (doc_id < 50 so the
+    // oracle's window stays cheap): score = tf·10⁶·N/(n_toks·df), exact
+    // integer-derived arithmetic — a log() would tie the hash compare to
+    // libm rounding; df still orders terms identically per doc under the
+    // monotone transform. tf⋈df shuffles on term (no vocabulary-size
+    // broadcast assumption); N broadcasts as one row; ties break by term.
+    Q("q_tfidf_topterms",
+      (s, dir) =>
+        TextAnalysis.tfidfTopTerms(
+            Tables.documents(s, dir).filter(col("doc_id") < 50), "doc_id", "text", 5)
+          .orderBy("doc_id", "rank"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents WHERE doc_id < 50),
+             |ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS term FROM d),
+             |tf AS (SELECT doc_id, n, term, count(*) AS tf FROM ex GROUP BY 1, 2, 3),
+             |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+             |nd AS (SELECT count(*) AS nd FROM d),
+             |sc AS (
+             |  SELECT doc_id, term,
+             |         CAST(floor(tf * 1000000.0 * nd / (n * df)) AS BIGINT) AS score_ppm
+             |  FROM tf JOIN dfreq USING (term), nd),
+             |r AS (
+             |  SELECT doc_id, term, score_ppm,
+             |         row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS rank
+             |  FROM sc)
+             |SELECT doc_id, rank, term, score_ppm FROM r WHERE rank <= 5
+             |ORDER BY doc_id, rank""".stripMargin)),
+
+    // Gopher/C4-style repetition filters: top-token fraction, top-bigram
+    // fraction and distinct-token ratio per doc, integer ppm — the
+    // boilerplate/spam signals a quality pipeline thresholds on. Docs
+    // with < 2 tokens have no bigram → 0 (LEFT JOIN on both engines).
+    Q("q_text_repetition",
+      (s, dir) =>
+        TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tok AS (
+             |  SELECT doc_id, CAST(floor(max(c) * 1000000.0 / sum(c)) AS BIGINT) AS top_tok_ppm,
+             |         CAST(floor(count(*) * 1000000.0 / sum(c)) AS BIGINT) AS distinct_tok_ppm
+             |  FROM (SELECT doc_id, t, count(*) AS c
+             |        FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY 1, 2)
+             |  GROUP BY doc_id),
+             |big AS (
+             |  SELECT doc_id, CAST(floor(max(c) * 1000000.0 / sum(c)) AS BIGINT) AS top_bigram_ppm
+             |  FROM (SELECT doc_id, b, count(*) AS c
+             |        FROM (SELECT doc_id,
+             |                unnest([toks[i::INT] || ' ' || toks[(i::INT) + 1]
+             |                        for i in range(1, len(toks))]) AS b
+             |              FROM d WHERE len(toks) >= 2) GROUP BY 1, 2)
+             |  GROUP BY doc_id)
+             |SELECT doc_id, top_tok_ppm, coalesce(top_bigram_ppm, 0) AS top_bigram_ppm,
+             |       distinct_tok_ppm
+             |FROM tok LEFT JOIN big USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // -- text analysis ---------------------------------------------------
     // Exact nearest-rank percentiles of document length per language —
     // the quality-threshold statistic (e.g. "truncate above the p99

@@ -50,6 +50,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L)._2 == 300000L)
   }
 
+  test("tfidfTopTerms: rare term outranks common term; ties break by term") {
+    // "zebra" appears once in doc 1 only (df=1); "common" is in all three
+    // docs (df=3). tf equal ⇒ the rare term must score 3× higher.
+    val corpus = Seq(
+      (1L, "common zebra filler1 filler2"),
+      (2L, "common fillerA fillerB fillerC"),
+      (3L, "common fillerX fillerY fillerZ")).toDF("id", "text")
+    val r = TextAnalysis.tfidfTopTerms(corpus, "id", "text", 2)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(x => (x._3, x._4)).toSeq }
+    // doc 1: zebra tf=1 df=1 n=4 N=3 → floor(1e6·3/4) = 750000;
+    //        common tf=1 df=3 → 250000; fillers df=1 tie with zebra →
+    //        term order: filler1 < filler2 < zebra, so top-2 are fillers
+    assert(r(1L) == Seq(("filler1", 750000L), ("filler2", 750000L)))
+    // doc 2's top is its rarest alphabetically-first filler
+    assert(r(2L).head == ("fillerA", 750000L))
+    assert(r(2L).map(_._2).forall(_ > 0))
+  }
+
+  test("repetitionStats: repeated token/bigram fractions and distinct ratio") {
+    val corpus = Seq(
+      (1L, "spam spam spam spam"), // one token repeated 4× of 4
+      (2L, "a b a b a b"),         // top tok 3/6, top bigram "a b" 3/5
+      (3L, "solo")                 // single token: no bigram → 0
+    ).toDF("id", "text")
+    val r = TextAnalysis.repetitionStats(corpus, "id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    assert(r(1L) == ((1000000L, 1000000L, 250000L)))
+    assert(r(2L) == ((500000L, 600000L, 333333L)))
+    assert(r(3L) == ((1000000L, 0L, 1000000L)))
+  }
+
+  test("stratifiedSampleFlag: per-stratum rates, default fallback, nested subsets") {
+    val rows = (0L until 64L).map(i => (i, if (i % 2 == 0) "en" else "zh")).toDF("id", "lang")
+    def kept(rates: Seq[(String, Int)], dflt: Int): Set[Long] =
+      rows.filter(graft.operators.Sampling.stratifiedSampleFlag($"id", $"lang", rates, dflt))
+        .select($"id").as[Long].collect().toSet
+    val base = kept(Seq("en" -> 4, "zh" -> 16), 8)
+    // zh at 16/16 keeps every zh row
+    assert((1L until 64L by 2).forall(base.contains))
+    // en at 4/16 keeps a strict, hash-determined subset
+    val enKept = base.filter(_ % 2 == 0)
+    assert(enKept.nonEmpty && enKept.size < 32)
+    // raising en's rate only ADDS rows (nested subsets)
+    val wider = kept(Seq("en" -> 8, "zh" -> 16), 8)
+    assert(base.subsetOf(wider))
+    // a stratum not in the rate map falls back to the default
+    val dflt = kept(Seq("zh" -> 16), 4)
+    assert(dflt.filter(_ % 2 == 0) == kept(Seq("en" -> 4, "zh" -> 16), 8).filter(_ % 2 == 0))
+  }
+
   test("fingerprintFrame: distinct shingle count and stable min/max md5") {
     val fp = TextAnalysis.fingerprintFrame(
       Seq((1L, "a b c d"), (2L, "a b c d")).toDF("id", "text")
