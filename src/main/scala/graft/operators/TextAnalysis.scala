@@ -208,6 +208,57 @@ object TextAnalysis {
         floor(col("_d") * lit(1000000L) / col("_n")).cast("long").as("distinct_tok_ppm"))
   }
 
+  /** Corpus-trained bigram-LM fluency score — the log-free integer form
+    * of the CCNet/Gopher LM quality filter (docs whose token transitions
+    * are improbable under the corpus's own bigram model are noise/spam):
+    * per doc, the mean over its token bigrams of
+    * floor(10⁶ · c(w1,w2) / c(w1·)), where both counts come from the
+    * corpus bigram stream (so transition mass sums to 1 per prefix).
+    * Every term and the final mean are floored longs — no log, no libm,
+    * reproduces exactly in any engine. Docs with < 2 tokens have no
+    * bigram and drop out.
+    *
+    * Scale shape: the model is two map-side-combined groupBys over the
+    * exploded bigram stream; scoring joins the doc bigrams to the model
+    * ON THE BIGRAM (both sides shuffled — no model-size broadcast
+    * assumption); the per-doc mean is a combinable agg. */
+  def bigramLmScore(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val bi = docs.repartition(col(idCol))
+      .withColumn("_toks", tokens(col(textCol)))
+      .select(col(idCol), explode(Dedup.tokenShingles(col("_toks"), 2)).as("_bg"))
+    val c2 = bi.groupBy(col("_bg")).agg(count(lit(1)).as("_c2"))
+    val c1 = bi.select(substring_index(col("_bg"), " ", 1).as("_w1"))
+      .groupBy(col("_w1")).agg(count(lit(1)).as("_c1"))
+    bi.join(c2, Seq("_bg"))
+      .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+      .join(c1, Seq("_w1"))
+      .withColumn("_t", floor(col("_c2") * lit(1000000L) / col("_c1")).cast("long"))
+      .groupBy(col(idCol))
+      .agg(floor(sum(col("_t")) / count(lit(1))).cast("long").as("fluency_ppm"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** PII scrub — the redaction pass a curation pipeline runs before
+    * training: replace email-shaped and long-digit-run (phone/account)
+    * spans with typed placeholders and count what was redacted. The
+    * patterns are deliberately simple character-class regexes that parse
+    * identically under Java regex and RE2, so the scrub reproduces
+    * bit-for-bit in the oracle engine. Pure codegen'd projection. */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val longDigitPattern = "[0-9]{7,}"
+
+  /** Email spans replaced first, digit runs second — so a digit run
+    * inside an email address is redacted (and counted) as part of the
+    * email, not double-counted. Counts are over what each stage actually
+    * replaced. */
+  def emailScrub(text: Column): Column = regexp_replace(text, emailPattern, "<EMAIL>")
+  def digitScrub(text: Column): Column = regexp_replace(text, longDigitPattern, "<NUM>")
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash EVERY
     * positional char k-gram, slide a window of `w` consecutive hashes,
     * select each window's minimum — the distinct selected hashes are the

@@ -717,6 +717,75 @@ object PipelineQueries {
              |SELECT doc_id, rank, term, score_ppm FROM r WHERE rank <= 5
              |ORDER BY doc_id, rank""".stripMargin)),
 
+    // Corpus-trained bigram-LM fluency score — the CCNet/Gopher LM
+    // quality filter, log-free: mean over a doc's bigrams of
+    // floor(1e6·c(w1,w2)/c(w1·)), both counts from the corpus's own
+    // bigram stream. Exact integer terms + floored mean ⇒ hash-exact in
+    // DuckDB. Model join is ON THE BIGRAM (no model-broadcast
+    // assumption); single-token docs have no bigram and drop out.
+    Q("q_lm_bigram_score",
+      (s, dir) =>
+        TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |bi AS (SELECT doc_id,
+             |         unnest([toks[i::INT] || ' ' || toks[(i::INT) + 1]
+             |                 for i in range(1, len(toks))]) AS bg
+             |       FROM d WHERE len(toks) >= 2),
+             |c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1),
+             |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bi GROUP BY 1),
+             |t AS (SELECT doc_id, CAST(floor(c2 * 1000000.0 / c1) AS BIGINT) AS t
+             |      FROM bi JOIN c2 USING (bg)
+             |      JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.w1)
+             |SELECT doc_id, CAST(floor(sum(t) * 1.0 / count(*)) AS BIGINT) AS fluency_ppm,
+             |       count(*) AS n_bigrams
+             |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PII scrub — email + long-digit-run redaction with typed
+    // placeholders, the pre-training redaction pass. The patterns are
+    // simple character-class regexes that behave identically under Java
+    // regex (Spark) and RE2 (DuckDB), and the full scrubbed TEXT is
+    // hash-compared — a cross-engine regex divergence turns the row red.
+    // The synthetic corpus contains no PII, so five docs are planted
+    // with an email + phone suffix (offset ids, same fixture style as
+    // q_dedup_simhash_neardup64); digit runs inside an email are
+    // redacted as part of the email, never double-counted (counts are
+    // per stage, second stage over the email-scrubbed text).
+    Q("q_pii_scrub",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+              lit("@example.com or call 5551234567")).as("text"))
+        base.unionByName(planted)
+          .withColumn("_e", TextAnalysis.emailScrub(col("text")))
+          .select(col("doc_id"),
+            TextAnalysis.digitScrub(col("_e")).as("clean"),
+            TextAnalysis.patternCount(col("text"), TextAnalysis.emailPattern).as("n_emails"),
+            TextAnalysis.patternCount(col("_e"), TextAnalysis.longDigitPattern).as("n_digit_runs"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val ep = TextAnalysis.emailPattern
+        val dp = TextAnalysis.longDigitPattern
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2000000,
+           |         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+           |              || '@example.com or call 5551234567'
+           |  FROM documents WHERE doc_id < 5),
+           |e AS (SELECT doc_id, text,
+           |             regexp_replace(text, '$ep', '<EMAIL>', 'g') AS et
+           |      FROM corpus)
+           |SELECT doc_id,
+           |  regexp_replace(et, '$dp', '<NUM>', 'g') AS clean,
+           |  CAST(len(regexp_extract_all(text, '$ep')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(et, '$dp')) AS BIGINT) AS n_digit_runs
+           |FROM e ORDER BY doc_id""".stripMargin
+      }),
+
     // Gopher/C4-style repetition filters: top-token fraction, top-bigram
     // fraction and distinct-token ratio per doc, integer ppm — the
     // boilerplate/spam signals a quality pipeline thresholds on. Docs

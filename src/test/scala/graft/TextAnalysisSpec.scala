@@ -101,6 +101,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dflt.filter(_ % 2 == 0) == kept(Seq("en" -> 4, "zh" -> 16), 8).filter(_ % 2 == 0))
   }
 
+  test("bigramLmScore: repeated transitions score high, unique ones split the mass") {
+    // corpus: "a b" occurs 3x and is a's only transition → p(b|a)=1;
+    // doc 3's "x" goes to two different successors → each p = 1/2
+    val corpus = Seq(
+      (1L, "a b"), (2L, "a b a b"), (3L, "x y x z"), (4L, "solo")).toDF("id", "text")
+    val r = TextAnalysis.bigramLmScore(corpus, "id", "text")
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    // doc 1: one bigram "a b": c2=3 ("a b" in docs 1,2,2... doc2="a b a b"
+    // has bigrams: "a b","b a","a b" → c2("a b")=3, c1(a)=3 → t=1e6
+    assert(r(1L) == ((1000000L, 1L)))
+    // doc 3: "x y","y x","x z": p(y|x)=1/2, p(x|y)=1, p(z|x)=1/2
+    // → mean = floor((500000+1000000+500000)/3) = 666666
+    assert(r(3L) == ((666666L, 3L)))
+    assert(!r.contains(4L)) // single token: no bigram
+  }
+
+  test("PII scrub: emails then digit runs, no double counting") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or 12345678 now"),
+      (2L, "digits 123456 only six"), // < 7: kept
+      (3L, "user9876543@host.io")     // digits inside the email
+    ).toDF("id", "text")
+      .withColumn("_e", TextAnalysis.emailScrub($"text"))
+      .select($"id", TextAnalysis.digitScrub($"_e").as("clean"),
+        TextAnalysis.patternCount($"text", TextAnalysis.emailPattern).as("ne"),
+        TextAnalysis.patternCount($"_e", TextAnalysis.longDigitPattern).as("nd"))
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    assert(df(1L) == (("mail me at <EMAIL> or <NUM> now", 1L, 1L)))
+    assert(df(2L) == (("digits 123456 only six", 0L, 0L)))
+    // the digit run vanished WITH the email — not double-counted
+    assert(df(3L) == (("<EMAIL>", 1L, 0L)))
+  }
+
   test("fingerprintFrame: distinct shingle count and stable min/max md5") {
     val fp = TextAnalysis.fingerprintFrame(
       Seq((1L, "a b c d"), (2L, "a b c d")).toDF("id", "text")
