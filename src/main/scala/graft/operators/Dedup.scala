@@ -317,6 +317,19 @@ object Dedup {
       .select(col(idCol), pack.as("fp"))
   }
 
+  /** Row-local kernel fingerprint frames — the PRODUCTION simhash entry
+    * points (same single-space token convention as `split(text, " ")`):
+    * the whole fingerprint computes in one codegen'd pass per row
+    * ([[graft.functions.SimHash]]), so the frame is a pure projection —
+    * no token explode, no 32/64-column vote aggregate, no shuffle. The
+    * explode-and-vote frames above remain as the general token-array API
+    * and the differential reference (DedupSpec pins bit-identity). */
+  def simhash32FpFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), graft.functions.SimHash.simhash32Md5Col(col(textCol)).as("fp"))
+
+  def simhash64FpFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), graft.functions.SimHash.simhash64Col(col(textCol)).as("fp"))
+
   /** Hamming distance between two fingerprint columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -122,8 +122,10 @@ object PipelineQueries {
 
     Q("q_dedup_simhash",
       (s, dir) => {
-        val fp = Dedup.simhash32Frame(Tables.documents(s, dir), "doc_id",
-          TextAnalysis.tokens(col("text")))
+        // row-local kernel fingerprint (pure projection; bit-identical to
+        // the explode-and-vote frame — DedupSpec differential + this
+        // query's DuckDB VALUE oracle both pin it)
+        val fp = Dedup.simhash32FpFrame(Tables.documents(s, dir), "doc_id", "text")
         val q0 = fp.filter(col("doc_id") === 0).select(col("fp").as("fp0"))
         fp.crossJoin(broadcast(q0))
           .select(col("doc_id"), col("fp"),
@@ -197,7 +199,7 @@ object PipelineQueries {
     Q("q_dedup_simhash64",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val fp = Dedup.simhash64Frame(docs, "doc_id", TextAnalysis.tokens(col("text")))
+        val fp = Dedup.simhash64FpFrame(docs, "doc_id", "text")
         docs.select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
           .join(fp, Seq("doc_id"))
           .groupBy(col("text_md5"))
@@ -216,8 +218,7 @@ object PipelineQueries {
     // pipeline (fp, blocks, pairs, hamming) is value-checked in DuckDB.
     Q("q_dedup_simhash_neardup",
       (s, dir) => {
-        val fps = Dedup.simhash32Frame(Tables.documents(s, dir), "doc_id",
-          TextAnalysis.tokens(col("text")))
+        val fps = Dedup.simhash32FpFrame(Tables.documents(s, dir), "doc_id", "text")
         Dedup.simhashNearDupPairs(fps, "doc_id", "fp",
             nbits = 32, blocks = 4, maxHamming = 3)
           .orderBy("id_a", "id_b")
@@ -268,7 +269,7 @@ object PipelineQueries {
         val docs = base.unionByName(
           base.filter(col("doc_id") < 10)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-        val fps = Dedup.simhash64Frame(docs, "doc_id", TextAnalysis.tokens(col("text")))
+        val fps = Dedup.simhash64FpFrame(docs, "doc_id", "text")
         val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "fp",
           nbits = 64, blocks = 6, maxHamming = 5)
         val keyed = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("_m"))

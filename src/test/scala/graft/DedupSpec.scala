@@ -175,6 +175,27 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { sql("SELECT char_shingles_all('x', n) FROM (SELECT 2 AS n)").collect() }
   }
 
+  test("row-local simhash kernels are bit-identical to the explode-and-vote frames") {
+    // the kernels replace the frames in the registry queries, so equality
+    // must hold on awkward tokenizations too: multi-space (empty tokens),
+    // unicode, single token, empty string
+    val texts = Seq(
+      (1L, "the quick brown fox the quick"),
+      (2L, "a  b   c"), // empty tokens, kept by split(text, " ")
+      (3L, "héllo wörld 🌍"),
+      (4L, "solo"),
+      (5L, ""))
+    val docs = texts.toDF("id", "text").withColumn("_toks", split($"text", " "))
+    val frame32 = Dedup.simhash32Frame(docs, "id", $"_toks").as[(Long, Long)].collect().toMap
+    val kernel32 = docs.select($"id", graft.functions.SimHash.simhash32Md5Col($"text"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel32 == frame32)
+    val frame64 = Dedup.simhash64Frame(docs, "id", $"_toks").as[(Long, Long)].collect().toMap
+    val kernel64 = docs.select($"id", graft.functions.SimHash.simhash64Col($"text"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel64 == frame64)
+  }
+
   test("winnowHashesRoll equals an independent rolling-winnow reimplementation") {
     def fmix(x0: Long): Long = {
       var x = x0
