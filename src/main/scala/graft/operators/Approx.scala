@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregation — the 100 TB answer when exact
+  * distinct counts / percentiles stop fitting the shuffle budget. The
+  * reference computes only exact aggregates (its corpus is single-node,
+  * /root/reference/benchmark.py); at cluster scale the two workhorses are:
+  *
+  *  - HLL(++) count-distinct: fixed-size (2^lgK registers) state per
+  *    group instead of a hash set of every key, map-side combined, and
+  *    MERGEABLE — per-day/per-partition sketches re-aggregate by register
+  *    max, so a year of daily sketches rolls up without touching raw data.
+  *  - GK / KLL quantile sketches: bounded rank error ε = 1/accuracy with
+  *    O(1/ε · log εn) state, vs an exact per-group sort.
+  *
+  * Every helper here emits the EXACT value alongside machine-checkable
+  * accuracy/merge invariants (booleans), so the oracle compare stays
+  * deterministic while the sketch path itself is exercised end-to-end.
+  */
+object Approx {
+
+  /** Per-`keyCol` distinct `idCol` three ways: exact, HLL++
+    * (`approx_count_distinct`, relative sd `rsd`), and a Datasketches HLL
+    * path that pins the MERGE guarantee — per-split sketches union-merged
+    * must still estimate within tolerance of exact (register-wise max
+    * loses no registers; this is what makes per-partition/per-day rollups
+    * sound at scale). NOTE the merged estimate is not bit-identical to
+    * the whole-group sketch's: a directly-built Datasketches HLL carries
+    * a HIP estimator that a union invalidates (falls back to the
+    * composite estimator), so the checkable contract is the error bound,
+    * not estimate equality.
+    *
+    * Output: key, n_exact, hll_ok (|hll−exact| ≤ tolFrac·exact),
+    * merge_invariant (|merged-sketch estimate − exact| ≤ tolFrac·exact).
+    */
+  def distinctSketchCheck(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      splitCol: Column,
+      rsd: Double = 0.01,
+      tolFrac: Double = 0.05,
+      lgConfigK: Int = 12): DataFrame = {
+    val whole = df.groupBy(col(keyCol)).agg(
+      count_distinct(col(idCol)).as("n_exact"),
+      approx_count_distinct(col(idCol), rsd).as("_hll"))
+    val merged = df.withColumn("_half", splitCol)
+      .groupBy(col(keyCol), col("_half"))
+      .agg(hll_sketch_agg(col(idCol), lit(lgConfigK)).as("_sk"))
+      .groupBy(col(keyCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("_sk"), lit(false))).as("_sk_merged"))
+    whole.join(merged, keyCol)
+      .select(col(keyCol), col("n_exact"),
+        (abs(col("_hll") - col("n_exact")) <= col("n_exact") * tolFrac).as("hll_ok"),
+        (abs(col("_sk_merged") - col("n_exact")) <= col("n_exact") * tolFrac)
+          .as("merge_invariant"))
+  }
+
+  /** Per-`keyCol` quantile-sketch accuracy check: `percentile_approx`
+    * (GK summary, rank error ≤ n/accuracy) at each q in `percents`, then
+    * a second exact pass verifies the returned value's RANK bracket —
+    * count(x < v) and count(x ≤ v) must straddle ceil(q·n) within
+    * tol = max(1, ⌈n/accuracy⌉). Rank (not value) is what GK guarantees,
+    * so this is the strongest check that holds for any data.
+    *
+    * Output: key, n_docs, p<q>_ok booleans. The approx side shuffles one
+    * bounded summary per (partition, key); the verify side is one extra
+    * scan joined against the broadcast 1-row-per-key sketch output —
+    * cheap at any scale, and droppable in production once trusted.
+    */
+  def quantileSketchCheck(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      percents: Seq[Int],
+      accuracy: Int = 10000): DataFrame = {
+    val fracs = percents.map(_ / 100.0)
+    val appr = df.groupBy(col(keyCol)).agg(
+      percentile_approx(col(valCol), array(fracs.map(lit): _*), lit(accuracy)).as("_ap"))
+    val aggs = percents.zipWithIndex.flatMap { case (p, i) =>
+      val a = col("_ap").getItem(i)
+      Seq(sum(when(col(valCol) < a, 1L).otherwise(0L)).as(s"_lt_$p"),
+        sum(when(col(valCol) <= a, 1L).otherwise(0L)).as(s"_le_$p"))
+    }
+    val g = df.join(broadcast(appr), keyCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+    val tol = greatest(lit(1L), ceil(col("n_docs").cast("double") / accuracy).cast("long"))
+    val flags = percents.map { p =>
+      val target = ceil(col("n_docs") * lit(p / 100.0)).cast("long")
+      ((col(s"_lt_$p") <= target - 1 + tol) &&
+        (col(s"_le_$p") >= target - tol)).as(s"p${p}_ok")
+    }
+    g.select(col(keyCol) +: col("n_docs") +: flags: _*)
+  }
+}

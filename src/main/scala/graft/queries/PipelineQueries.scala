@@ -821,6 +821,39 @@ object PipelineQueries {
     // length"). Nearest-rank selection (value at sorted row ceil(q·n)) is
     // pure integer work, so unlike interpolated `percentile` / sketch
     // `approx_percentile` the result reproduces exactly in DuckDB.
+    // Sketch count-distinct (HLL++ + Datasketches HLL) vs exact, per
+    // event_type: emits the exact count plus two machine-checked
+    // invariants — the HLL++ estimate within 5% of exact, and the
+    // per-split union-MERGED sketch estimate also within 5% of exact
+    // (mergeability is what makes per-day sketch rollups sound at
+    // 100 TB; equality with the whole-group sketch would be too strong —
+    // union drops the HIP estimator). Booleans keep the DuckDB compare
+    // deterministic.
+    Q("q_approx_distinct",
+      (s, dir) =>
+        graft.operators.Approx.distinctSketchCheck(
+            Tables.events(s, dir), "event_type", "user_id",
+            splitCol = (col("event_id") % 2).cast("int"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
+             |       TRUE AS hll_ok, TRUE AS merge_invariant
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Quantile sketch (percentile_approx / GK) vs its own rank guarantee:
+    // a second exact pass verifies count(x < v) / count(x ≤ v) straddle
+    // ceil(q·n) within the sketch's rank-error bound. The exact twin of
+    // this query is q_doc_percentiles; this one exercises the sketch path
+    // a 100 TB pipeline would actually run.
+    Q("q_approx_quantile",
+      (s, dir) =>
+        graft.operators.Approx.quantileSketchCheck(
+            Tables.documents(s, dir).select(col("lang"), col("n_chars")),
+            "lang", "n_chars", Seq(50, 90, 99))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("q_doc_percentiles",
       (s, dir) =>
         graft.operators.Stats.nearestRankPercentiles(

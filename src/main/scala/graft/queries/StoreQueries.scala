@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Pairing
 import graft.operators.Normalize
 import graft.sources.Tables
-import graft.store.{BucketedStore, CompressedStore, JsonStore, MergeStore, SnapshotStore}
+import graft.store.{BucketedStore, CompressedStore, FormatStore, JsonStore, MergeStore, SnapshotStore}
 import graft.streaming.Replay
 
 /** Write/store-path queries: hour-partitioned snapshot store with pruned
@@ -441,6 +441,36 @@ object StoreQueries {
       },
       Some("""SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS bucket_us, user_id
              |FROM events ORDER BY bucket_us, user_id""".stripMargin)),
+
+    // ORC sink + scan round-trip: the second built-in columnar format,
+    // lang-partitioned like the parquet stores (directory pruning +
+    // stripe-stat pushdown at scale). text travels as md5 so the compare
+    // artifact stays small while still pinning byte-exact text fidelity.
+    Q("q_orc_roundtrip",
+      (s, dir) => {
+        val path = FormatStore.ensureOrcDocuments(s, dir)
+        FormatStore.readOrc(s, path)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // CSV sink + explicit-schema scan round-trip: timestamps as epoch-µs
+    // BIGINTs (textual timestamps would round to the writer format),
+    // doubles via shortest-round-trip toString, embedded quotes in
+    // `props` through the quote/escape pair. No inferSchema pass.
+    Q("q_csv_roundtrip",
+      (s, dir) => {
+        val path = FormatStore.ensureCsvEvents(s, dir)
+        FormatStore.readCsvEvents(s, path)
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+             |FROM events ORDER BY event_id""".stripMargin)),
 
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the

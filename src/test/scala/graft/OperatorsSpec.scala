@@ -149,4 +149,34 @@ class OperatorsSpec extends SparkSpec {
     // all three bands are populated over 64 sequential ids
     assert(got.map(_._3).toSet == Set("train", "val", "test"))
   }
+
+  // -- Approx (sketch aggregates) -----------------------------------------
+
+  test("HLL distinct check: estimates in tolerance, merge invariant holds") {
+    // 2 groups × 1000 distinct ids, each id duplicated and spread across
+    // both splits so union-merge must dedup across splits to stay exact.
+    val df = (0 until 1000).flatMap(i =>
+      Seq(("a", i.toLong, 0), ("a", i.toLong, 1), ("b", (i + 5000).toLong, i % 2)))
+      .toDF("k", "id", "half")
+    val r = graft.operators.Approx.distinctSketchCheck(df, "k", "id", $"half")
+      .as[(String, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(r.map(x => (x._1, x._2)).toSeq == Seq(("a", 1000L), ("b", 1000L)))
+    r.foreach { case (k, _, hllOk, mergeOk) =>
+      assert(hllOk, s"group $k HLL estimate outside tolerance")
+      assert(mergeOk, s"group $k sketch merge not invariant")
+    }
+  }
+
+  test("quantile sketch check: rank brackets hold, and catch a wrong value") {
+    val df = (1 to 1000).map(i => ("g", i.toLong)).toDF("lang", "n_chars")
+    val flags = graft.operators.Approx.quantileSketchCheck(
+        df, "lang", "n_chars", Seq(50, 90, 99))
+      .as[(String, Long, Boolean, Boolean, Boolean)].head()
+    assert(flags == (("g", 1000L, true, true, true)))
+    // the bracket predicate itself must reject an off-by-rank-tolerance
+    // value: v=700 at q=0.5 over 1..1000 (rank 700 vs target 500, tol 1)
+    val target = 500L; val tol = 1L
+    val lt = 699L; val le = 700L // counts for v=700
+    assert(!(lt <= target - 1 + tol && le >= target - tol))
+  }
 }

@@ -119,6 +119,41 @@ class StoreSpec extends SparkSpec {
     r.foreach { case (s, g, n) => assert(g == s && n == s) }
   }
 
+  test("ORC store round-trips types and pushes predicates to the scan") {
+    val path = tmp("orc")
+    events.select($"id", $"v", lit("a\"b,c").as("s"))
+      .write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.as[(Long, Double, String)].collect().map(r => r._1 -> r._3).toMap ==
+      Map(1L -> "a\"b,c", 2L -> "a\"b,c", 3L -> "a\"b,c", 4L -> "a\"b,c"))
+    val plan = back.filter($"id" === 3L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(id)"), plan)
+  }
+
+  test("CSV round-trips quotes, escapes, doubles and longs exactly") {
+    val path = tmp("csv")
+    val in = Seq(
+      (1L, 0.1 + 0.2, """{"k": 69}"""),
+      (2L, 1.0 / 3.0, "comma, and \"quoted\" text"),
+      (3L, -0.0, ""),
+      (4L, 4.9e-324, "plain")
+    ).toDF("event_id", "value", "props")
+    in.write.option("header", "true").mode("overwrite").csv(path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(path)
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    val exp = in.as[(Long, Double, String)].collect().sortBy(_._1)
+    back.zip(exp).foreach { case ((bi, bv, bp), (ei, ev, ep)) =>
+      assert(bi == ei)
+      assert(java.lang.Double.doubleToRawLongBits(bv) ==
+        java.lang.Double.doubleToRawLongBits(ev), s"double drift at id $bi")
+      assert(Option(bp).getOrElse("") == ep, s"string drift at id $bi")
+    }
+  }
+
   test("pivotCompressed: per-key time-ordered CSV survives the codec") {
     val comp = CompressedStore.pivotCompressed(
       events.withColumn("vm", floor($"v" * 1000).cast("long")), "id", "ts", Seq("vm"))
