@@ -215,6 +215,27 @@ object Dedup {
     * per corpus doc with any (capped-)shingle overlap — its best eval
     * match (max Jaccard, ties to the smaller eval id) and a 0/1
     * contaminated flag at `minJacPpm`. */
+  /** Driver-built bloom filter over `hashes`' single long column, returned
+    * as a codegen'd `might_contain` probe Column (Spark's internal
+    * `BloomFilterMightContain` over a literal filter blob — the same
+    * expression runtime row-level filtering injects). The BUILD side must
+    * be small (an eval set, a dim table); the PROBE side never leaves the
+    * executors. False positives only pass extra rows to the exact join
+    * downstream, so any bloom-prefiltered pipeline stays exact. */
+  def bloomMightContain(hashes: DataFrame, hashCol: String, fpp: Double)(
+      probe: Column): Column = {
+    val nItems = math.max(hashes.count(), 1L)
+    val bf = hashes.stat.bloomFilter(hashCol, nItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    org.apache.spark.sql.graftbridge.columnOf(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.expressionOf(probe)))
+  }
+
   def contaminationFlags(
       corpus: DataFrame,
       evalSet: DataFrame,
@@ -222,7 +243,8 @@ object Dedup {
       textCol: String,
       n: Int,
       minJacPpm: Long,
-      maxDf: Int = 100000): DataFrame = {
+      maxDf: Int = 100000,
+      bloomFpp: Option[Double] = None): DataFrame = {
     // each shingle frame feeds TWO branches (the df count and the capped
     // join/size aggregates) — stage each through the parquet store so the
     // explode+shingle computation runs once, both branches feed from file
@@ -245,7 +267,18 @@ object Dedup {
     val esf = es.join(broadcast(hot), Seq("_s"), "left_anti")
     val na = csf.groupBy(col(idCol)).agg(count(lit(1)).as("_na"))
     val nb = esf.groupBy(col("_eid")).agg(count(lit(1)).as("_nb"))
-    val inter = csf.join(esf, Seq("_s"))
+    // Optional bloom pre-filter on the JOIN input only (na/nb count the
+    // full capped sets): at 100 TB almost no corpus shingle appears in
+    // any eval doc, so probing a broadcast-size bloom of the eval
+    // shingles BEFORE the shuffle cuts the shuffled corpus volume to
+    // ~(matches + fpp·|corpus|) rows. False positives are removed by the
+    // exact equi-join itself — output is identical with or without.
+    val csJoinSide = bloomFpp.fold(csf) { fpp =>
+      val probe = bloomMightContain(
+        esf.select(xxhash64(col("_s")).as("_h")), "_h", fpp) _
+      csf.filter(probe(xxhash64(col("_s"))))
+    }
+    val inter = csJoinSide.join(esf, Seq("_s"))
       .groupBy(col(idCol), col("_eid")).agg(count(lit(1)).as("_i"))
     inter
       .join(na, Seq(idCol))

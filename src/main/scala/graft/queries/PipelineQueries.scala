@@ -327,6 +327,45 @@ object PipelineQueries {
              |       CASE WHEN m.j >= 500000 THEN 1 ELSE 0 END AS contaminated
              |FROM best ORDER BY doc_id""".stripMargin)),
 
+    // Bloom-prefiltered decontamination — same semantics and ORACLE as
+    // q_decontaminate, different 100 TB shape: a broadcast-size bloom of
+    // the eval shingles (built driver-side from the small-by-definition
+    // eval set, probed by the codegen'd might_contain expression) filters
+    // corpus shingles BEFORE the shuffle join, cutting the shuffled
+    // corpus volume to ~matches + fpp·|corpus| rows. The exact equi-join
+    // removes bloom false positives, so the output is identical — which
+    // is exactly what sharing the oracle verifies.
+    Q("q_decontaminate_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.contaminationFlags(
+            docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+            "doc_id", "text", n = 5, minJacPpm = 500000L,
+            bloomFpp = Some(0.01))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, list_distinct([substr(text, i::INT, 5) for i in range(1, len(text)-3)]) AS g
+             |  FROM documents),
+             |cs AS (SELECT doc_id, unnest(g) AS s FROM g WHERE doc_id >= 25),
+             |es AS (SELECT doc_id AS eval_id, unnest(g) AS s FROM g WHERE doc_id < 25),
+             |hot AS (SELECT s FROM (SELECT s, doc_id FROM cs UNION SELECT s, eval_id FROM es)
+             |        GROUP BY s HAVING count(DISTINCT doc_id) > 100000),
+             |csf AS (SELECT * FROM cs WHERE s NOT IN (SELECT s FROM hot)),
+             |esf AS (SELECT * FROM es WHERE s NOT IN (SELECT s FROM hot)),
+             |na AS (SELECT doc_id, count(*) AS na FROM csf GROUP BY 1),
+             |nb AS (SELECT eval_id, count(*) AS nb FROM esf GROUP BY 1),
+             |inter AS (SELECT c.doc_id, e.eval_id, count(*) AS i
+             |          FROM csf c JOIN esf e USING (s) GROUP BY 1, 2),
+             |jac AS (SELECT doc_id, eval_id,
+             |               CAST(floor(i * 1000000.0 / (na + nb - i)) AS BIGINT) AS jac_ppm
+             |        FROM inter JOIN na USING (doc_id) JOIN nb USING (eval_id)),
+             |best AS (SELECT doc_id, max(struct_pack(j := jac_ppm, ne := -eval_id)) AS m
+             |         FROM jac GROUP BY 1)
+             |SELECT doc_id, -(m.ne) AS eval_id, m.j AS jac_ppm,
+             |       CASE WHEN m.j >= 500000 THEN 1 ELSE 0 END AS contaminated
+             |FROM best ORDER BY doc_id""".stripMargin)),
+
     // Embedding-cosine near-dup pairs — the vector-space dedup variant:
     // candidates share ≥1 md5-hyperplane LSH band, exact cosine ≥ 0.35
     // verifies within buckets (never all-pairs). Like q_ann_lsh, the md5

@@ -395,4 +395,32 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(capped.isEmpty)
   }
+
+  test("bloom-prefiltered contamination equals unfiltered; probe is in the plan") {
+    val eval = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "pack my box with five dozen liquor jugs today"),
+      (12L, "completely unrelated words zebra quartz mythic")).toDF("id", "text")
+    val plain = Dedup.contaminationFlags(corpus, eval, "id", "text", 5, 500000L)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val df = Dedup.contaminationFlags(corpus, eval, "id", "text", 5, 500000L,
+      bloomFpp = Some(0.01))
+    assert(df.as[(Long, Long, Long, Int)].collect().toSet == plain)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
+  test("bloomMightContain: no false negatives, few false positives") {
+    val build = (0L until 1000L).toDF("h")
+    val probe = Dedup.bloomMightContain(build, "h", 0.01) _
+    val r = (0L until 4000L).toDF("x")
+      .select($"x", probe(col("x")).as("hit")).as[(Long, Boolean)].collect()
+    val (in, out) = r.partition(_._1 < 1000L)
+    assert(in.forall(_._2), "bloom false negative")
+    val fps = out.count(_._2)
+    assert(fps <= 100, s"bloom fp rate too high: $fps/3000")
+  }
 }
