@@ -472,6 +472,67 @@ object StoreQueries {
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Morton/Z-order clustering key: interleave (value-grid, user-grid)
+    // into one locality-preserving key via magic-mask bit spreads (pure
+    // builtin bit ops — whole-stage codegen; the same arithmetic runs in
+    // DuckDB for the oracle). Output pins encode AND decode: gx2/gy2 are
+    // the Spark-side de-interleave, the oracle states them as identity.
+    Q("q_zorder_key",
+      (s, dir) => {
+        import graft.functions.ZOrder
+        Tables.events(s, dir)
+          .withColumn("gx", graft.store.ZOrderStore.gridX(col("value")))
+          .withColumn("gy", graft.store.ZOrderStore.gridY(col("user_id")))
+          .withColumn("zkey", ZOrder.mortonKey(col("gx"), col("gy")))
+          .select(col("event_id"), col("gx"), col("gy"), col("zkey"),
+            ZOrder.mortonX(col("zkey")).as("gx2"),
+            ZOrder.mortonY(col("zkey")).as("gy2"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id,
+             |         CAST(floor(value*1000) AS BIGINT) & 65535 AS gx,
+             |         user_id & 65535 AS gy
+             |  FROM events),
+             |s AS (SELECT event_id, gx, gy,
+             |        ((gx | (gx << 8)) & 16711935) AS x1,
+             |        ((gy | (gy << 8)) & 16711935) AS y1 FROM b),
+             |t AS (SELECT event_id, gx, gy,
+             |        ((x1 | (x1 << 4)) & 252645135) AS x2,
+             |        ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s),
+             |u AS (SELECT event_id, gx, gy,
+             |        ((x2 | (x2 << 2)) & 858993459) AS x3,
+             |        ((y2 | (y2 << 2)) & 858993459) AS y3 FROM t),
+             |v AS (SELECT event_id, gx, gy,
+             |        ((x3 | (x3 << 1)) & 1431655765) AS x4,
+             |        ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM u)
+             |SELECT event_id, gx, gy, (x4 | (y4 << 1)) AS zkey,
+             |       gx AS gx2, gy AS gy2
+             |FROM v ORDER BY event_id""".stripMargin)),
+
+    // bbox scan over the Z-order-clustered store: ONE range predicate on
+    // the clustered key prunes 2-D — partition dirs outside
+    // [zlo>>26, zhi>>26] never list (PartitionFilters), row groups
+    // outside [zlo, zhi] skip on min/max stats (PushedFilters), the
+    // exact gx/gy re-check removes z-jump extras. Sound because Morton
+    // is monotonic per coordinate. Oracle = the plain bbox filter.
+    Q("q_zorder_scan",
+      (s, dir) => {
+        val path = graft.store.ZOrderStore.ensureZEventsStore(s, dir)
+        graft.store.ZOrderStore.bboxScan(s, path, 10000, 30000, 4, 120)
+          .select(col("event_id"), col("gx"), col("gy"),
+            expr("unix_micros(ts)").as("ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |       CAST(floor(value*1000) AS BIGINT) & 65535 AS gx,
+             |       user_id & 65535 AS gy,
+             |       epoch_us(ts) AS ts_us
+             |FROM events
+             |WHERE (CAST(floor(value*1000) AS BIGINT) & 65535) BETWEEN 10000 AND 30000
+             |  AND (user_id & 65535) BETWEEN 4 AND 120
+             |ORDER BY event_id""".stripMargin)),
+
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the
     // document is assembled by string concatenation, ordered by id.

@@ -78,4 +78,5 @@ class PairingSpec extends AnyFunSuite {
       Pairing.cantorPair(BigInteger.ONE, BigInteger.valueOf(-1))
     }
   }
+
 }

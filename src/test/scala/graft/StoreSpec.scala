@@ -154,6 +154,63 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("morton key: roundtrip, known values, per-coordinate monotonicity") {
+    import graft.functions.ZOrder
+    // reference values: interleave bits of x at even, y at odd positions
+    assert(ZOrder.mortonKeyLong(0, 0) == 0L)
+    assert(ZOrder.mortonKeyLong(1, 0) == 1L)
+    assert(ZOrder.mortonKeyLong(0, 1) == 2L)
+    assert(ZOrder.mortonKeyLong(3, 5) == 39L)    // 0b100111
+    assert(ZOrder.mortonKeyLong(65535, 65535) == 0xFFFFFFFFL)
+    // Column path == driver path + decode roundtrip over edge/random grid
+    val pts = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (12345L, 54321L), (1L, 65534L), (32768L, 32767L))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", ZOrder.mortonKey($"x", $"y").as("z"))
+      .withColumn("x2", ZOrder.mortonX($"z"))
+      .withColumn("y2", ZOrder.mortonY($"z"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, z, x2, y2) =>
+      assert(z == ZOrder.mortonKeyLong(x, y), s"column/driver drift at ($x,$y)")
+      assert(x2 == x && y2 == y, s"roundtrip drift at ($x,$y)")
+    }
+    // monotonic per coordinate ⇒ bbox ⊆ z-range (the pruning soundness)
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val (x1, y1) = (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)
+      val (x2, y2) = (x1 + rnd.nextInt(65536 - x1.toInt).toLong,
+        y1 + rnd.nextInt(65536 - y1.toInt).toLong)
+      assert(ZOrder.mortonKeyLong(x1, y1) <= ZOrder.mortonKeyLong(x2, y2))
+    }
+  }
+
+  test("z-order bbox scan: partition pruning + zkey pushdown, exact result") {
+    import graft.functions.ZOrder
+    val path = tmp("zstore")
+    // 32×32 full grid, scaled to the 16-bit key space via <<11
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong << 11, y.toLong << 11)))
+      .toDF("gx", "gy")
+      .withColumn("zkey", ZOrder.mortonKey($"gx", $"gy"))
+      .withColumn("zbucket", shiftright($"zkey", graft.store.ZOrderStore.BucketShift))
+    grid.repartition($"zbucket").sortWithinPartitions($"zbucket", $"zkey")
+      .write.partitionBy("zbucket").mode("overwrite").parquet(path)
+    val (xLo, xHi, yLo, yHi) = (4L << 11, 7L << 11, 20L << 11, 23L << 11)
+    val zLo = ZOrder.mortonKeyLong(xLo, yLo)
+    val zHi = ZOrder.mortonKeyLong(xHi, yHi)
+    val scan = spark.read.parquet(path)
+      .filter($"zbucket" >= (zLo >> graft.store.ZOrderStore.BucketShift) &&
+        $"zbucket" <= (zHi >> graft.store.ZOrderStore.BucketShift))
+      .filter($"zkey" >= zLo && $"zkey" <= zHi)
+      .filter($"gx".between(xLo, xHi) && $"gy".between(yLo, yHi))
+    val got = scan.select($"gx", $"gy").as[(Long, Long)].collect().toSet
+    val want = (4 to 7).flatMap(x => (20 to 23).map(y => (x.toLong << 11, y.toLong << 11))).toSet
+    assert(got == want, "bbox result wrong — z-range must be a superset of the bbox")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zbucket"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(zkey") || plan.contains("PushedFilters: [") &&
+      plan.contains("zkey"), s"zkey not pushed:\n${plan.take(2000)}")
+  }
+
   test("pivotCompressed: per-key time-ordered CSV survives the codec") {
     val comp = CompressedStore.pivotCompressed(
       events.withColumn("vm", floor($"v" * 1000).cast("long")), "id", "ts", Seq("vm"))
