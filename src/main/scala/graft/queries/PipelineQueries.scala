@@ -327,6 +327,33 @@ object PipelineQueries {
              |       CASE WHEN m.j >= 500000 THEN 1 ELSE 0 END AS contaminated
              |FROM best ORDER BY doc_id""".stripMargin)),
 
+    // Inverted-index phrase search: the staged (shingle → doc) index the
+    // dedup/decontamination pipelines already persist doubles as a search
+    // index — an n-token phrase appears consecutively in a doc IFF the
+    // doc's token-n-shingle set contains it, so a phrase lookup is ONE
+    // point predicate on the index (pushed to the parquet scan: dictionary
+    // + row-group stats skip), then a semi-join back to documents. No
+    // full-corpus text scan; the oracle runs the naive substring scan and
+    // must agree exactly (single-space tokenization makes the space-guard
+    // substring predicate equivalent to consecutive-token match).
+    Q("q_phrase_search",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = graft.store.Staging.stage(
+          docs.withColumn("_toks", split(col("text"), " "))
+            .select(col("doc_id"),
+              explode(Dedup.tokenShingles(col("_toks"), 2)).as("_s")),
+          "phrase_index")
+        val hits = idx.filter(col("_s") === "table value")
+          .select(col("doc_id")).distinct()
+        docs.join(hits, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE position(' table value ' IN ' ' || text || ' ') > 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // Bloom-prefiltered decontamination — same semantics and ORACLE as
     // q_decontaminate, different 100 TB shape: a broadcast-size bloom of
     // the eval shingles (built driver-side from the small-by-definition

@@ -472,6 +472,29 @@ object StoreQueries {
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Co-located bucketed join: events and the per-user dim table share
+    // bucket count + key, so the fact ⋈ dim join (and the dim build's own
+    // aggregation) plans ZERO Exchange — both sides stream pre-hashed
+    // buckets into a sort-merge join (hinted: at bench SF the dim side
+    // would broadcast, hiding the co-location being demonstrated; at
+    // 100 TB per-entity dims outgrow broadcast and this IS the plan).
+    // Asserted shuffle-free in StoreSpec.
+    Q("q_bucketed_join",
+      (s, dir) => {
+        val ev = BucketedStore.read(s, dir)
+        val dims = s.table(BucketedStore.ensureBucketedUserDims(s, dir))
+        ev.join(dims.hint("merge"), "user_id")
+          .select(col("event_id"), col("user_id"), col("n_ev"),
+            expr("unix_micros(first_ts)").as("first_us"),
+            expr("unix_micros(ts)").as("ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH d AS (SELECT user_id, count(*) AS n_ev, min(ts) AS first_ts
+             |          FROM events GROUP BY 1)
+             |SELECT e.event_id, e.user_id, d.n_ev,
+             |       epoch_us(d.first_ts) AS first_us, epoch_us(e.ts) AS ts_us
+             |FROM events e JOIN d USING (user_id) ORDER BY event_id""".stripMargin)),
+
     // Morton/Z-order clustering key: interleave (value-grid, user-grid)
     // into one locality-preserving key via magic-mask bit spreads (pure
     // builtin bit ops — whole-stage codegen; the same arithmetic runs in

@@ -46,4 +46,33 @@ object BucketedStore {
 
   def read(spark: SparkSession, sfDir: String): DataFrame =
     spark.table(ensureBucketedEvents(spark, sfDir))
+
+  def dimsTableName(sfDir: String): String =
+    "user_dims_bucketed_" + java.nio.file.Paths.get(sfDir).getFileName.toString.replace('.', '_')
+
+  /** Per-user dim table derived FROM the bucketed events (the aggregation
+    * itself plans no Exchange) and written with the SAME bucket count and
+    * key, so an events ⋈ dims join on user_id is fully co-located — both
+    * sides read pre-hashed buckets and the join plans zero shuffles.
+    * At 100 TB this is the bucketed-warehouse contract: pay the
+    * distribution once at write, every entity join after that is free. */
+  def ensureBucketedUserDims(spark: SparkSession, sfDir: String, buckets: Int = 16): String =
+    synchronized {
+      val name = dimsTableName(sfDir)
+      if (!spark.catalog.tableExists(name)) {
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val stale = new java.io.File(warehouse, name)
+        if (stale.exists()) SnapshotStore.deleteRecursively(stale)
+        import org.apache.spark.sql.functions._
+        read(spark, sfDir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_ev"), min(col("ts")).as("first_ts"))
+          .write
+          .bucketBy(buckets, "user_id")
+          .mode("overwrite")
+          .saveAsTable(name)
+      }
+      name
+    }
 }

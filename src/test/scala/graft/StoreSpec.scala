@@ -73,6 +73,17 @@ class StoreSpec extends SparkSpec {
     assert(!pplan.contains("Exchange hashpartitioning"), pplan)
   }
 
+  test("co-located bucketed join: fact ⋈ dim plans zero Exchange") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.store.BucketedStore.read(spark, sfDir)
+    val dims = spark.table(graft.store.BucketedStore.ensureBucketedUserDims(spark, sfDir))
+    val joined = ev.join(dims.hint("merge"), "user_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert(joined.count() == ev.count())
+  }
+
   test("merge store: insert-only keeps existing, adds unseen") {
     val existing = Seq(("h1", "a"), ("h2", "b")).toDF("k", "v")
     val incoming = Seq(("h2", "B"), ("h3", "c")).toDF("k", "v")
