@@ -361,7 +361,11 @@ object PipelineQueries {
     // corpus shingles BEFORE the shuffle join, cutting the shuffled
     // corpus volume to ~matches + fpp·|corpus| rows. The exact equi-join
     // removes bloom false positives, so the output is identical — which
-    // is exactly what sharing the oracle verifies.
+    // is exactly what sharing the oracle verifies. NOTE the bench corpus
+    // is dup-dense (~92% of corpus shingles DO hit an eval shingle at
+    // sf0.1), so there the bloom is measured overhead, not a win — the
+    // pruning pays off precisely when eval∩corpus overlap is sparse,
+    // i.e. the real 100 TB decontamination shape.
     Q("q_decontaminate_bloom",
       (s, dir) => {
         val docs = Tables.documents(s, dir)

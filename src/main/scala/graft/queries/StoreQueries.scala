@@ -556,6 +556,24 @@ object StoreQueries {
              |  AND (user_id & 65535) BETWEEN 4 AND 120
              |ORDER BY event_id""".stripMargin)),
 
+    // Streaming-maintained materialized view: per-(day, type) aggregates
+    // MERGE-maintained across MANY micro-batches in foreachBatch (the
+    // one replay that deliberately splits the backlog — count/sum are
+    // associative, so no watermark or single-batch contract is needed
+    // and the final view equals the batch aggregation = the oracle).
+    // Versioned-snapshot commits; StreamingSpec asserts >1 batch really
+    // ran and intermediate versions were partial.
+    Q("q_stream_matview",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.matviewReplay(s, store, store + "_matview")
+          .orderBy("day_us", "event_type")
+      },
+      Some("""SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the
     // document is assembled by string concatenation, ordered by id.

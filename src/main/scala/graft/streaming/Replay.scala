@@ -133,6 +133,71 @@ object Replay {
     spark.read.parquet(outPath)
   }
 
+  // ---- streaming-maintained materialized view (foreachBatch MERGE) ------
+
+  /** Incrementally-maintained aggregate view: each micro-batch's partial
+    * per-(day, event_type) counts/sums MERGE into a versioned parquet
+    * view inside `foreachBatch` — the streaming-materialized-view
+    * pattern (and the streaming face of MergeStore's upsert contract).
+    *
+    * Unlike the replay aggregations above this one NEEDS no watermark
+    * and no single-batch contract: count/sum are associative, so any
+    * backlog split yields the same final view — which is exactly why
+    * `filesPerBatch` deliberately forces MANY micro-batches (real
+    * incremental maintenance, not a disguised batch job).
+    *
+    * Each merge writes view version `v<batchId>` and reads the previous
+    * version — an atomic-swap commit log in miniature (the previous
+    * version stays readable while the next is written; a crashed write
+    * leaves no _SUCCESS and is ignored). The merge cost is O(|view|)
+    * per batch, and the view is one row per (day, type) — tiny by
+    * construction at any corpus scale. */
+  def matviewReplay(
+      spark: SparkSession,
+      storePath: String,
+      viewRoot: String,
+      filesPerBatch: Int = 8): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
+    def latest(): Option[String] = {
+      val d = new java.io.File(viewRoot)
+      if (!d.exists()) None
+      else d.listFiles()
+        .filter(f => f.getName.startsWith("v") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .sortBy(_.getName.drop(1).toLong)
+        .lastOption.map(_.getAbsolutePath)
+    }
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(storePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = batch
+          .groupBy(expr("unix_micros(date_trunc('day', ts))").as("day_us"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+        val merged = latest() match {
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(partial)
+              .groupBy(col("day_us"), col("event_type"))
+              .agg(sum(col("n")).as("n"), sum(col("value_mils")).as("value_mils"))
+          case None => partial
+        }
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$viewRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", viewRoot + "_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(latest().getOrElse(
+      sys.error("matviewReplay: no view version was committed")))
+  }
+
   // ---- streaming first-seen dim registry (watermarked dedup) ------------
 
   /** The reference's first-seen hash registry

@@ -171,6 +171,41 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows == 1, s"state not bounded to open sessions: $stateRows rows")
   }
 
+  test("matview replay: multi-batch incremental merge equals the batch aggregation") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:15:00"), "a", 1.5),
+      (2L, ts("2024-01-01 10:45:00"), "a", 2.5),
+      (3L, ts("2024-01-02 11:05:00"), "b", 3.5),
+      (4L, ts("2024-01-03 09:00:00"), "a", 4.5)
+    ).toDF("id", "ts", "event_type", "value")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "mview").toString
+    // day-partitioned store → 3 files → filesPerBatch=1 forces 3 batches
+    events.withColumn("bucket", SnapshotStore.dayBucketExpr($"ts"))
+      .repartition($"bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+    val viewRoot = path + "_matview"
+    val got = Replay.matviewReplay(spark, path, viewRoot, filesPerBatch = 1)
+      .orderBy("day_us", "event_type")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val want = events
+      .groupBy(expr("unix_micros(date_trunc('day', ts))").as("day_us"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(floor($"value" * 1000).cast("long")).as("value_mils"))
+      .orderBy("day_us", "event_type")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the maintenance was genuinely incremental: several committed
+    // versions, and the first version holds only a PARTIAL aggregate
+    val versions = new java.io.File(viewRoot).listFiles()
+      .filter(f => f.getName.startsWith("v") && new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName.drop(1).toLong)
+    assert(versions.length >= 3, s"expected >=3 view versions, got ${versions.length}")
+    val v0n = spark.read.parquet(versions.head.getAbsolutePath)
+      .agg(sum($"n")).as[Long].head()
+    assert(v0n < 4, s"first version should be partial, holds $v0n rows' worth")
+  }
+
   test("streaming dedup registry: once per (hour, key), state evicted behind the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
