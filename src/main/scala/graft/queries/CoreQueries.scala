@@ -75,6 +75,35 @@ object CoreQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Per-entity rolling time-range window: for each event, the count and
+    // value-sum of the SAME user's events in the trailing hour (RANGE
+    // frame on event time — row frames would be wrong under uneven
+    // arrival gaps). One hash Exchange on user_id + per-partition sort;
+    // the frame is evaluated in a single pass over each sorted partition
+    // (no self-join). Integer value_mils keeps the sum order-independent.
+    Q("q_rolling_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("ts_us"),
+            floor(col("value") * 1000).cast("long").as("value_mils"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h", sum(col("value_mils")).over(w))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("n_1h"), col("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |  count(*) OVER w AS n_1h,
+             |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS sum_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     // -- scans ----------------------------------------------------------
     // (q_point_lookup lives in StoreQueries: it runs against the written
     // hour-partitioned store so the plan shows real partition pruning.)
