@@ -49,6 +49,32 @@ object Bench {
       try fn catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
+
+    // Per-query shuffle volume (read+write bytes over all tasks): the
+    // number that predicts 100 TB behavior better than wall seconds on a
+    // 32-core sandbox — a query whose time is fine but whose shuffle is
+    // O(input) is the one that breaks at 1000 executors. Attributed per
+    // query by draining the (async) listener bus around each run.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        }
+      })
+    def measureShuffle(fn: => Unit): Long = {
+      org.apache.spark.graftbus.drain(spark.sparkContext)
+      val before = shuffleBytes.get()
+      fn
+      org.apache.spark.graftbus.drain(spark.sparkContext)
+      shuffleBytes.get() - before
+    }
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -83,12 +109,20 @@ object Bench {
     // registry plus the reference's 1000 seeded random point lookups —
     // probe keys = the 1000 smallest xxhash64(ts) timestamps
     // (deterministic), answered in one broadcast-join pass.
-    def readPass(): scala.collection.mutable.LinkedHashMap[String, Double] = {
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def readPass(recordShuffle: Boolean): scala.collection.mutable.LinkedHashMap[String, Double] = {
       val pass = scala.collection.mutable.LinkedHashMap[String, Double]()
+      def run(name: String)(fn: => Unit): Unit =
+        if (recordShuffle) {
+          var t = 0.0
+          val sb = measureShuffle { t = time(fn) }
+          pass(name) = t
+          shuffleMb(name) = math.rint(sb / 1e5) / 10.0
+        } else pass(name) = time(fn)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        pass(name) = time(materialize(fn(spark, sfDir)))
+        run(name)(materialize(fn(spark, sfDir)))
       }
-      pass("lookup_1000") = time {
+      run("lookup_1000") {
         val probes = store.select(col("ts"))
           .orderBy(xxhash64(col("ts")))
           .limit(1000)
@@ -96,16 +130,19 @@ object Bench {
       }
       pass
     }
-    val pass1 = readPass()
-    val pass2 = readPass()
+    val pass1 = readPass(recordShuffle = false)
+    // shuffle volumes recorded on the WARM pass: bytes are a property of
+    // the plan, not the FS band, so one attribution suffices
+    val pass2 = readPass(recordShuffle = true)
     pass1.foreach { case (name, t1) => results(name) = math.min(t1, pass2(name)) }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sh = shuffleMb.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.sum
     val writesTotal = total - pass1.keys.map(results).sum
     val p1 = writesTotal + pass1.values.sum
     val p2 = writesTotal + pass2.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":[$p1,$p2],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":[$p1,$p2],"shuffle_mb":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

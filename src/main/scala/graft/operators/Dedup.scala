@@ -262,7 +262,15 @@ object Dedup {
     val dfCount = cs.select(col("_s"), col(idCol).as("_d"))
       .union(es.select(col("_s"), col("_eid").as("_d")))
       .groupBy(col("_s")).agg(countDistinct(col("_d")).as("_df"))
-    val hot = dfCount.filter(col("_df") > maxDf).select(col("_s"))
+    // hot is referenced by FOUR+ plan branches (csf → na/inter, esf →
+    // nb/inter), and each broadcast(hot) inlines the whole dfCount
+    // shuffle again (exchange reuse does not collapse them across
+    // broadcast boundaries) — measured 4× the shingle-frame shuffle at
+    // sf0.01. The hot set itself is tiny by construction (shingles in
+    // > maxDf docs), so stage it: dfCount runs ONCE, every consumer
+    // reads a small parquet scan.
+    val hot = graft.store.Staging.stage(
+      dfCount.filter(col("_df") > maxDf).select(col("_s")), "decon_hot_shingles")
     val csf = cs.join(broadcast(hot), Seq("_s"), "left_anti")
     val esf = es.join(broadcast(hot), Seq("_s"), "left_anti")
     val na = csf.groupBy(col(idCol)).agg(count(lit(1)).as("_na"))
