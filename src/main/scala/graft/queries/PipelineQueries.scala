@@ -924,6 +924,71 @@ object PipelineQueries {
              |       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Column profiling — the first query any pipeline runs on a new drop:
+    // per column, row/null/distinct counts in ONE pass (every stat is a
+    // combinable aggregate; the per-column rows are unpivoted from one
+    // aggregation, not one scan per column).
+    Q("q_profile",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val cols = Seq("event_id", "user_id", "event_type", "value")
+        val aggs = cols.flatMap { c =>
+          Seq(count(col(c)).as(s"_n_$c"),
+            count_distinct(col(c)).as(s"_d_$c"))
+        }
+        val g = e.agg(count(lit(1)).as("_rows"), aggs: _*)
+        val rows = cols.map { c =>
+          struct(lit(c).as("col"), col("_rows").as("n_rows"),
+            (col("_rows") - col(s"_n_$c")).as("n_null"),
+            col(s"_d_$c").as("n_distinct"))
+        }
+        g.select(explode(array(rows: _*)).as("p"))
+          .select(col("p.col"), col("p.n_rows"), col("p.n_null"), col("p.n_distinct"))
+          .orderBy("col")
+      },
+      Some("""SELECT col, n_rows, n_null, n_distinct FROM (
+             |  SELECT 'event_id' AS col, count(*) AS n_rows,
+             |         count(*) - count(event_id) AS n_null,
+             |         count(DISTINCT event_id) AS n_distinct FROM events
+             |  UNION ALL
+             |  SELECT 'user_id', count(*), count(*) - count(user_id),
+             |         count(DISTINCT user_id) FROM events
+             |  UNION ALL
+             |  SELECT 'event_type', count(*), count(*) - count(event_type),
+             |         count(DISTINCT event_type) FROM events
+             |  UNION ALL
+             |  SELECT 'value', count(*), count(*) - count(value),
+             |         count(DISTINCT value) FROM events
+             |) ORDER BY col""".stripMargin)),
+
+    // Order-independent table checksum — cross-store fidelity validation
+    // (does the partitioned store hold EXACTLY the source rows?) without
+    // sorting or co-locating either side: per-group SUM of a per-row
+    // md5-prefix (48 bits: 5×10⁴ rows ⇒ collision-cancellation odds
+    // ~2⁻⁴⁸ per pair; sums commute, so file/partition order is free).
+    // The checksum input uses only integer/string renderings (identical
+    // across engines — a double rendering would not be). Spark computes
+    // the checksum over the WRITTEN hour-partitioned store; the oracle
+    // computes it over the source table — equality IS the fidelity proof.
+    Q("q_table_checksum",
+      (s, dir) => {
+        val path = graft.store.SnapshotStore.ensureEventsStore(s, dir)
+        graft.store.SnapshotStore.read(s, path)
+          .select(col("event_type"),
+            conv(substring(md5(concat_ws("|",
+              col("event_id"), col("user_id"), col("event_type"),
+              expr("unix_micros(ts)"))), 1, 12), 16, 10)
+              .cast("long").as("_h"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("_h")).as("checksum"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(('0x' || substr(md5(
+             |        event_id || '|' || user_id || '|' || event_type || '|' || epoch_us(ts)
+             |      ), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("q_doc_percentiles",
       (s, dir) =>
         graft.operators.Stats.nearestRankPercentiles(
