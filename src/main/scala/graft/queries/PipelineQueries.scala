@@ -39,6 +39,51 @@ object PipelineQueries {
   private def duckList(items: Seq[String]): String =
     items.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** The minhash-LSH → exact-Jaccard-verify → connected-components
+    * cluster frame shared by q_dedup_clusters (the cluster listing) and
+    * q_dedup_keep (the kept-set mask): (doc_id, component, cluster_size)
+    * for every CLUSTERED doc. Component label = min doc_id by the
+    * min-label propagation, so the canonical representative needs no
+    * extra argmin pass. */
+  private def minhashClusters(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("_toks", TextAnalysis.tokens(col("text")))
+    val sh = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), Dedup.tokenShingles(col("_toks"), 3).as("sh"))
+    val sig = Dedup.minhashSignatures(docs, "doc_id",
+      Dedup.tokenShingles(col("_toks"), 3), MinhashK)
+    val pairs = Dedup.candidatePairs(
+        sig, "doc_id", Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand))
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(graft.functions.SetOps.jaccardPpmCol(col("sh_a"), col("sh_b")) >= JaccardThresholdPpm)
+      .select(col("id_a"), col("id_b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("comp", "component")
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
+  /** DuckDB CTE prefix computing the same clusters (shared by the two
+    * cluster oracles). */
+  private val duckClusters =
+    s"""WITH RECURSIVE sh AS ($duckShingles
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+       |             / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= $JaccardThresholdPpm
+       |), edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+       |), comp AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+       |)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // -- deduplication ---------------------------------------------------
@@ -82,43 +127,40 @@ object PipelineQueries {
     // (doc, component, cluster size). Oracle: transitive closure via a
     // recursive CTE over the identical pair set.
     Q("q_dedup_clusters",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .withColumn("_toks", TextAnalysis.tokens(col("text")))
-        val sh = docs.repartition(col("doc_id"))
-          .select(col("doc_id"), Dedup.tokenShingles(col("_toks"), 3).as("sh"))
-        val sig = Dedup.minhashSignatures(docs, "doc_id",
-          Dedup.tokenShingles(col("_toks"), 3), MinhashK)
-        val pairs = Dedup.candidatePairs(
-            sig, "doc_id", Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand))
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-          .filter(graft.functions.SetOps.jaccardPpmCol(col("sh_a"), col("sh_b")) >= JaccardThresholdPpm)
-          .select(col("id_a"), col("id_b"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
-        Dedup.connectedComponents(pairs)
-          .withColumnRenamed("id", "doc_id")
-          .withColumnRenamed("comp", "component")
-          .withColumn("cluster_size", count(lit(1)).over(w))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH RECURSIVE sh AS ($duckShingles
-              |), pairs AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |  WHERE CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
-              |             / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= $JaccardThresholdPpm
-              |), edges AS (
-              |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
-              |), reach(a, b) AS (
-              |  SELECT a, b FROM edges
-              |  UNION
-              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
-              |), comp AS (
-              |  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
-              |)
+      (s, dir) => minhashClusters(s, dir).orderBy("doc_id"),
+      Some(s"""$duckClusters
               |SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS cluster_size
               |FROM comp ORDER BY doc_id""".stripMargin)),
+
+    // The dedup OUTPUT a pipeline actually consumes: a kept/dropped mask
+    // over every document. Keep rule = the cluster's canonical
+    // representative (min doc_id — which IS the component label under
+    // min-label propagation, no extra argmin pass) plus every
+    // unclustered doc. Composes the verified cluster pipeline with one
+    // left join; at scale the mask join is a broadcast of the (small)
+    // clustered set against the full corpus.
+    Q("q_dedup_keep",
+      (s, dir) => {
+        val cc = minhashClusters(s, dir)
+        Tables.documents(s, dir).select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("component").isNull || col("component") === col("doc_id"), 1)
+              .otherwise(0).as("kept"),
+            coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$duckClusters,
+              |cz AS (
+              |  SELECT doc_id, component,
+              |         count(*) OVER (PARTITION BY component) AS cluster_size
+              |  FROM comp)
+              |SELECT d.doc_id,
+              |  CASE WHEN c.component IS NULL OR c.component = d.doc_id
+              |       THEN 1 ELSE 0 END AS kept,
+              |  coalesce(c.cluster_size, 1) AS cluster_size
+              |FROM documents d LEFT JOIN cz c USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
 
     Q("q_dedup_simhash",
       (s, dir) => {
