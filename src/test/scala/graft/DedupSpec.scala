@@ -413,6 +413,19 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
   }
 
+  test("contamination plan reads the staged hot set, not a re-inlined dfCount") {
+    val eval = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq((10L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val plan = Dedup.contaminationFlags(corpus, eval, "id", "text", 5, 500000L,
+      bloomFpp = Some(0.01)).queryExecution.executedPlan.toString
+    assert(plan.contains("decon_hot_shingles"), s"hot set not staged:\n${plan.take(2000)}")
+    // the df-count aggregation must appear at most once in the plan —
+    // its duplication per broadcast(hot) consumer was the 3× shuffle
+    // defect the bench instrumentation caught
+    val dfCounts = "count\\(distinct _d".r.findAllIn(plan.toLowerCase).size
+    assert(dfCounts <= 2, s"dfCount inlined $dfCounts times (partial+final = 2 max):\n${plan.take(2000)}")
+  }
+
   test("bloomMightContain: no false negatives, few false positives") {
     val build = (0L until 1000L).toDF("h")
     val probe = Dedup.bloomMightContain(build, "h", 0.01) _
