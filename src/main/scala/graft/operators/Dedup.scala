@@ -427,4 +427,48 @@ object Dedup {
           s"($changed labels still changing) — raise maxIter")
     labels
   }
+
+  /** Span-level exact dedup with document reconstruction (the C4-style
+    * pass that strips boilerplate repeated ACROSS documents, not just
+    * whole-doc duplicates): each doc splits into consecutive `span`-token
+    * segments, a segment is kept iff it is the corpus-wide FIRST
+    * occurrence of its text (order = (doc_id, start)), and each doc is
+    * re-assembled from its kept segments in order. Output per doc:
+    * (doc_id, n_spans, n_kept, clean_text).
+    *
+    * Scale: the global first-occurrence mask shuffles only
+    * (16-byte md5, doc_id, start) — span TEXT never shuffles; the mask
+    * aggregates to per-doc kept-start arrays (≤ n_spans longs each) and
+    * joins back to the base table, where reconstruction is a row-local
+    * slice+flatten projection. One narrow shuffle + one join per 100 TB
+    * pass, same shape as the exact-dedup groupBy. */
+  def spanDedup(docs: DataFrame, textCol: String, span: Int): DataFrame = {
+    require(span > 0, s"span must be positive: $span")
+    val base = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val spans = base
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("_toks")) - 1, lit(span))).as("start"),
+        col("_toks"))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        md5(concat_ws(" ", slice(col("_toks"), col("start") + 1, lit(span)))
+          .cast("binary")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("start"))
+    val keepLists = spans
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("start"))).as("_keep"))
+    base
+      .join(keepLists, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        floor((size(col("_toks")) + lit(span - 1)) / lit(span.toDouble))
+          .cast("long").as("n_spans"),
+        coalesce(size(col("_keep")), lit(0)).cast("long").as("n_kept"),
+        concat_ws(" ", flatten(transform(
+          coalesce(col("_keep"), array().cast("array<bigint>")),
+          s => slice(col("_toks"), (s + 1).cast("int"), lit(span))))).as("clean_text"))
+  }
 }

@@ -1335,6 +1335,98 @@ object PipelineQueries {
              |SELECT doc_id, n_bytes, content_md5,
              |       CAST(len(vals) AS BIGINT) AS n_frames,
              |       CAST(list_sum(vals) AS BIGINT) AS frame_sum
-             |FROM f ORDER BY doc_id""".stripMargin))
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-size token chunking with overlap (window 32, stride 24 ⇒ 8
+    // tokens of carried context) — the LM sample-prep step that turns
+    // ragged documents into trainable windows. Pure row-local projection
+    // (sequence-explode + slice, all codegen'd): chunking shuffles
+    // NOTHING at any scale.
+    Q("q_chunk_tokens",
+      (s, dir) =>
+        graft.operators.Chunking.chunkTokens(
+          Tables.documents(s, dir), "text", size = 32, stride = 24)
+          .orderBy("doc_id", "start_pos"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |SELECT doc_id,
+             |       CAST(s AS BIGINT) AS start_pos,
+             |       CAST(len(toks[s+1 : s+32]) AS BIGINT) AS n_tok,
+             |       array_to_string(toks[s+1 : s+32], ' ') AS chunk_text
+             |FROM t, LATERAL unnest(generate_series(0, len(toks)-1, 24)) AS u(s)
+             |ORDER BY doc_id, start_pos""".stripMargin)),
+
+    // Greedy sequence packing into 256-token context bins, independent
+    // per md5-nibble shard: the packed-batch manifest (shard, bin, doc,
+    // offset) a training loader consumes. Only (doc_id, n_tok) metadata
+    // moves — text never shuffles — and the sequential pack runs inside
+    // shard-sorted partitions (no driver collect, no global window). The
+    // oracle replays the same fold as a recursive CTE per shard.
+    Q("q_pack_greedy",
+      (s, dir) =>
+        graft.operators.Chunking.greedyPack(
+          Tables.documents(s, dir), "text", capacity = 256)
+          .orderBy("shard", "bin_id", "doc_id"),
+      Some("""WITH RECURSIVE m AS (
+             |  SELECT doc_id,
+             |         CAST(instr('0123456789abcdef',
+             |                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents
+             |), ordered AS (
+             |  SELECT shard, doc_id, n_tok,
+             |         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+             |  FROM m
+             |), pack(shard, rn, doc_id, n_tok, bin, fill) AS (
+             |  SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+             |  FROM ordered WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.shard, o.rn, o.doc_id, o.n_tok,
+             |         CASE WHEN p.fill + o.n_tok <= 256 THEN p.bin ELSE p.bin + 1 END,
+             |         CASE WHEN p.fill + o.n_tok <= 256 THEN p.fill + o.n_tok ELSE o.n_tok END
+             |  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+             |)
+             |SELECT shard, bin AS bin_id, doc_id, n_tok, fill - n_tok AS tok_offset
+             |FROM pack ORDER BY shard, bin_id, doc_id""".stripMargin)),
+
+    // Deterministic global shuffle order: each doc's position under the
+    // total order (md5(doc_id), doc_id) — reproducible training order
+    // with no RNG. Computed with band-count offsets + per-band rank, so
+    // no single-partition global sort exists in the plan.
+    Q("q_shuffle_order",
+      (s, dir) =>
+        graft.operators.Chunking.globalShuffleOrder(Tables.documents(s, dir))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+             |            AS BIGINT) AS pos
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // C4-style span-level exact dedup with reconstruction: 15-token
+    // segments dropped when their text already occurred earlier in the
+    // corpus ((doc_id, start) order), docs re-assembled from kept
+    // segments. The mask shuffles only (md5, doc_id, start); span text
+    // never shuffles and reconstruction is row-local (see
+    // Dedup.spanDedup's scale note).
+    Q("q_span_dedup",
+      (s, dir) =>
+        Dedup.spanDedup(Tables.documents(s, dir), "text", span = 15)
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |spans AS (
+             |  SELECT doc_id, s AS start,
+             |         array_to_string(toks[s+1 : s+15], ' ') AS span
+             |  FROM t, LATERAL unnest(generate_series(0, len(toks)-1, 15)) AS u(s)
+             |), mask AS (
+             |  SELECT doc_id, start, span,
+             |         row_number() OVER (PARTITION BY md5(span)
+             |                            ORDER BY doc_id, start) = 1 AS kept
+             |  FROM spans
+             |)
+             |SELECT doc_id,
+             |       CAST(count(*) AS BIGINT) AS n_spans,
+             |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+             |       coalesce(string_agg(span, ' ' ORDER BY start) FILTER (WHERE kept),
+             |                '') AS clean_text
+             |FROM mask GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
