@@ -598,6 +598,57 @@ object StoreQueries {
       Some("""SELECT event_type,
              |  '[' || string_agg('{"id":' || event_id || ',"u":' || user_id || '}', ',' ORDER BY event_id) || ']' AS json_arr,
              |  count(*) AS n
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Small-file compaction: the 720-dir hour store rewritten as 8
+    // range-sorted-by-ts files (Maintenance.compact), then read back and
+    // checksummed per day against the SOURCE table — the
+    // order-independent md5-prefix sum proves the rewrite moved every
+    // row exactly once, independent of which file the range sampler put
+    // it in. StoreSpec asserts the file-count drop and the time-locality
+    // of the compacted files.
+    Q("q_compact",
+      (s, dir) => {
+        val path = graft.store.Maintenance.ensureCompactedEvents(s, dir, targetFiles = 8)
+        s.read.parquet(path)
+          .select(
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            conv(substring(md5(concat_ws("|",
+              col("event_id"), col("user_id"), col("event_type"),
+              expr("unix_micros(ts)"))), 1, 12), 16, 10)
+              .cast("long").as("_h"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n"), sum(col("_h")).as("checksum"))
+          .orderBy("day")
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n,
+             |  CAST(sum(CAST(('0x' || substr(md5(
+             |        event_id || '|' || user_id || '|' || event_type || '|' || epoch_us(ts)
+             |      ), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Additive schema evolution: ver=1 files predate the `value` column,
+    // ver=2 files carry it; a mergeSchema read unions the footers (no
+    // data rewrite) and surfaces v1's value as NULL with `ver` as a
+    // partition column. The oracle derives the same census from the
+    // source table and the evolution cutoff.
+    Q("q_schema_evolution",
+      (s, dir) => {
+        val path = graft.store.Maintenance.ensureEvolvedStore(s, dir)
+        graft.store.Maintenance.readEvolved(s, path)
+          .groupBy(col("ver"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+            sum(coalesce(floor(col("value") * 1000).cast("long"), lit(0L)))
+              .as("value_mils"))
+          .orderBy("ver")
+      },
+      Some(s"""SELECT CASE WHEN ts < TIMESTAMP '${graft.store.Maintenance.EvolutionCutoff}' THEN 1 ELSE 2 END AS ver,
+              |       count(*) AS n_rows,
+              |       CAST(sum(CASE WHEN ts < TIMESTAMP '${graft.store.Maintenance.EvolutionCutoff}' THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+              |       CAST(sum(CASE WHEN ts >= TIMESTAMP '${graft.store.Maintenance.EvolutionCutoff}'
+              |                     THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS value_mils
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

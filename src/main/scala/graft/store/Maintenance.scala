@@ -1,0 +1,106 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Table-maintenance operations a long-lived lakehouse store needs:
+  * small-file compaction and schema evolution. The reference's
+  * append-heavy stores accrete one file per ingest
+  * (/root/reference/stores/apache_parquet.py:62-103 re-concatenates per
+  * bucket to fight exactly this); Spark-side the cure is a periodic
+  * rewrite, and evolution is mergeSchema-on-read over per-version
+  * partition directories.
+  */
+object Maintenance {
+
+  /** Rewrite a store into `targetFiles` range-sorted-by-`tsCol` files.
+    *
+    * repartitionByRange keeps each output file a contiguous time slice,
+    * so parquet row-group min/max stats still prune time-range scans
+    * after the hour directories are gone — compaction trades the
+    * per-hour partition pruning for a ~100× smaller file count (the
+    * listing tax, not the data, is what kills wide-history scans; see
+    * ensureReplayStore's day-bucket note). File-level output layout
+    * (which rows land in which of the N files) follows the range
+    * sampler, but every row lands exactly once — fidelity is checked by
+    * order-independent checksum, not file layout.
+    *
+    * Scale: one range shuffle of the store; at 100 TB run it per
+    * time-slab (e.g. compact last month) rather than whole-table. */
+  def compact(spark: SparkSession, storePath: String, outPath: String,
+      targetFiles: Int, tsCol: String = "ts"): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    SnapshotStore.read(spark, storePath)
+      .drop("bucket")
+      .repartitionByRange(targetFiles, col(tsCol))
+      .sortWithinPartitions(tsCol)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Build-once compacted copy of the hour-bucketed events store. */
+  def ensureCompactedEvents(spark: SparkSession, sfDir: String,
+      targetFiles: Int): String = synchronized {
+    val src = SnapshotStore.ensureEventsStore(spark, sfDir)
+    val path = s"${SnapshotStore.root}/events_compact_${Paths.get(sfDir).getFileName}"
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      compact(spark, src, path, targetFiles)
+    }
+    path
+  }
+
+  /** Number of data files in a written store (the metric compaction
+    * exists to shrink). */
+  def parquetFileCount(path: String): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+  }
+
+  /** Schema-evolution cutoff: rows before this day were written by the
+    * v1 pipeline (no `value` column yet). */
+  val EvolutionCutoff = "2024-01-15"
+
+  /** Build-once two-version store: `ver=1/` files carry the ORIGINAL
+    * schema (event_id, user_id, event_type, ts_us), `ver=2/` files add
+    * the `value` column — the additive-column evolution every long-lived
+    * table goes through. Readers use [[readEvolved]] (mergeSchema):
+    * v1 rows surface `value` as NULL, and `ver` comes back as a
+    * partition column, so "which schema wrote this row" stays queryable.
+    */
+  def ensureEvolvedStore(spark: SparkSession, sfDir: String): String = synchronized {
+    val path = s"${SnapshotStore.root}/events_evolved_${Paths.get(sfDir).getFileName}"
+    if (!Files.exists(Paths.get(path, "_MARKER"))) {
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+      val cutoff = to_timestamp(lit(EvolutionCutoff))
+      ev.filter(col("ts") < cutoff)
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$path/ver=1")
+      ev.filter(col("ts") >= cutoff)
+        .select("event_id", "user_id", "event_type", "ts_us", "value")
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$path/ver=2")
+      Files.createFile(Paths.get(path, "_MARKER"))
+    }
+    path
+  }
+
+  /** mergeSchema read over the evolved store: the unified schema is the
+    * UNION of every file footer's fields (one extra footer-merge pass at
+    * planning, no data rewrite), with `ver` inferred as a partition
+    * column. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", path)
+      .parquet(s"$path/ver=1", s"$path/ver=2")
+}

@@ -232,4 +232,42 @@ class StoreSpec extends SparkSpec {
       .select(CompressedStore.gzipDecompress($"vm_blob")).as[String].head()
     assert(vec == "1000,2000,3000,4000")
   }
+
+  test("compact: shrinks file count, keeps every row, files are disjoint time slices") {
+    val src = tmp("cmp_src")
+    val out = tmp("cmp_out")
+    val many = (1L to 200L).map(i =>
+      (i, ts(f"2024-01-${i % 28 + 1}%02d 0${i % 9 + 1}:00:00"), i.toDouble))
+      .toDF("id", "ts", "v")
+    SnapshotStore.write(many, src, "ts")
+    val before = graft.store.Maintenance.parquetFileCount(src)
+    graft.store.Maintenance.compact(spark, src, out, targetFiles = 4)
+    val after = graft.store.Maintenance.parquetFileCount(out)
+    assert(before > 50 && after <= 4, s"file count $before -> $after")
+    val back = spark.read.parquet(out)
+    assert(back.select($"id").as[Long].collect().sorted.toSeq == (1L to 200L))
+    // range partitioning ⇒ per-file [min ts, max ts] intervals are disjoint
+    val spans = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"ts").as("lo"), max($"ts").as("hi"))
+      .select($"lo".cast("long"), $"hi".cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, s"file time spans overlap: $a vs $b")
+      case _           =>
+    }
+  }
+
+  test("schema evolution: mergeSchema surfaces v1 value as NULL with ver partition") {
+    val path = graft.store.Maintenance.ensureEvolvedStore(spark, "/root/testdata/sf0.001")
+    val df = graft.store.Maintenance.readEvolved(spark, path)
+    assert(df.columns.contains("value") && df.columns.contains("ver"))
+    val census = df.groupBy($"ver")
+      .agg(count(lit(1)).as("n"), sum(when($"value".isNull, 1L).otherwise(0L)).as("nulls"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(census.length == 2)
+    val v1 = census(0); val v2 = census(1)
+    assert(v1._1 == 1 && v1._2 == v1._3, s"v1 rows must ALL have null value: $v1")
+    assert(v2._1 == 2 && v2._3 == 0L, s"v2 rows must have no null value: $v2")
+  }
 }
