@@ -95,4 +95,48 @@ object Approx {
     }
     g.select(col(keyCol) +: col("n_docs") +: flags: _*)
   }
+
+  /** Heavy-hitter frequency estimation via count-min sketch — the third
+    * sketch workhorse (after HLL and quantiles): fixed
+    * depth×width counter state per pass, map-side combined, answers
+    * "how often does item x occur" within ε·N overcount with
+    * probability ≥ confidence.
+    *
+    * Pins BOTH sketch contracts with machine-checked booleans:
+    *  - `cms_ok`: exact ≤ estimate ≤ exact + ⌈ε·N⌉ (CMS never
+    *    undercounts; overcount bounded by collisions)
+    *  - `merge_exact`: a sketch merged from two disjoint splits is
+    *    counter-wise IDENTICAL to the whole-built sketch (CMS merge is
+    *    exact addition — unlike HLL, where union degrades the HIP
+    *    estimator; see [[distinctSketchCheck]]). This is what makes
+    *    per-partition/per-day sketch rollups lossless at 100 TB.
+    *
+    * The queried keys are the exact top-`topN` items (tie-broken by
+    * item), so the output is deterministic and oracle-checkable. The
+    * sketch build is one distributed aggregate; estimate queries are
+    * driver-side against the ~130 KB sketch — the serving-side shape. */
+  def heavyHitterSketchCheck(
+      df: DataFrame,
+      itemCol: String,
+      splitCol: Column,
+      topN: Int = 10,
+      eps: Double = 0.0001,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val top = df.groupBy(col(itemCol)).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col(itemCol))
+      .limit(topN)
+      .as[(Long, Long)].collect()
+    val whole = df.stat.countMinSketch(itemCol, eps, confidence, seed)
+    val merged = df.filter(splitCol === 0).stat.countMinSketch(itemCol, eps, confidence, seed)
+    merged.mergeInPlace(df.filter(splitCol =!= 0).stat.countMinSketch(itemCol, eps, confidence, seed))
+    val bound = math.max(1L, math.ceil(eps * whole.totalCount).toLong)
+    val rows = top.toSeq.map { case (item, exact) =>
+      val est = whole.estimateCount(item)
+      (item, exact, est >= exact && est <= exact + bound, merged.estimateCount(item) == est)
+    }
+    spark.createDataset(rows).toDF(itemCol, "n_exact", "cms_ok", "merge_exact")
+  }
 }

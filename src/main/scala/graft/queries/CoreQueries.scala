@@ -604,6 +604,59 @@ object CoreQueries {
               |       CAST(user_id AS VARCHAR) AS uuid, event_type, value,
               |       value AS lon, value * 0.5 AS lat
               |FROM events WHERE date_trunc('hour', ts) = TIMESTAMP '$HourBucket'
-              |ORDER BY event_id""".stripMargin))
+              |ORDER BY event_id""".stripMargin)),
+
+    // Multi-level rollup aggregation (day × type, day subtotals, grand
+    // total) in ONE pass — Spark expands grouping sets inside a single
+    // aggregate, so the three levels cost one shuffle, not three scans.
+    // No natural NULLs in the group keys, so the coalesce sentinel
+    // uniquely marks the rolled-up levels.
+    Q("q_rollup",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("value"))
+          .rollup(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+          .select(
+            coalesce(col("day"), lit("<all>")).as("day"),
+            coalesce(col("event_type"), lit("<all>")).as("event_type"),
+            col("n"), col("value_mils"))
+          .orderBy("day", "event_type"),
+      Some("""WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |                  event_type, value FROM events)
+             |SELECT coalesce(day, '<all>') AS day,
+             |       coalesce(event_type, '<all>') AS event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM e GROUP BY ROLLUP(day, event_type) ORDER BY 1, 2""".stripMargin)),
+
+    // Columnar pivot: one row per day, one column per event type (the
+    // wide dashboard shape). The explicit value list keeps the output
+    // schema static — Spark then plans it as a single aggregate of
+    // conditional sums (no second distinct-values job), exactly the
+    // CASE-sum form the oracle states.
+    Q("q_pivot_wide",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(s, dir)
+          .select(
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("value"))
+          .groupBy(col("day"))
+          .pivot("event_type", types)
+          .agg(sum(floor(col("value") * 1000).cast("long")))
+          .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("day")
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN CAST(floor(value * 1000) AS BIGINT) END), 0) AS BIGINT) AS click,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN CAST(floor(value * 1000) AS BIGINT) END), 0) AS BIGINT) AS error,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 1000) AS BIGINT) END), 0) AS BIGINT) AS purchase,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN CAST(floor(value * 1000) AS BIGINT) END), 0) AS BIGINT) AS signup,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN CAST(floor(value * 1000) AS BIGINT) END), 0) AS BIGINT) AS view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

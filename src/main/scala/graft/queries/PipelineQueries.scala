@@ -951,6 +951,24 @@ object PipelineQueries {
              |       TRUE AS hll_ok, TRUE AS merge_invariant
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Count-min-sketch heavy hitters: the top-10 users by event count,
+    // each checked against the CMS frequency contract (never
+    // undercounts, overcount ≤ ⌈ε·N⌉) AND the exact-merge contract
+    // (split sketches add counter-wise to the whole-built sketch — the
+    // property that makes per-day sketch rollups lossless). Booleans
+    // keep the DuckDB compare deterministic; see
+    // Approx.heavyHitterSketchCheck.
+    Q("q_approx_topk",
+      (s, dir) =>
+        graft.operators.Approx.heavyHitterSketchCheck(
+            Tables.events(s, dir), "user_id",
+            splitCol = (col("event_id") % 2).cast("int"))
+          .orderBy(col("n_exact").desc, col("user_id")),
+      Some("""SELECT user_id, count(*) AS n_exact,
+             |       TRUE AS cms_ok, TRUE AS merge_exact
+             |FROM events GROUP BY user_id
+             |ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin)),
+
     // Quantile sketch (percentile_approx / GK) vs its own rank guarantee:
     // a second exact pass verifies count(x < v) / count(x ≤ v) straddle
     // ceil(q·n) within the sketch's rank-error bound. The exact twin of

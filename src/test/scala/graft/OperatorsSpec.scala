@@ -179,4 +179,19 @@ class OperatorsSpec extends SparkSpec {
     val lt = 699L; val le = 700L // counts for v=700
     assert(!(lt <= target - 1 + tol && le >= target - tol))
   }
+
+  test("CMS heavy hitters: top-k exact counts, frequency bound, exact merge") {
+    // item i occurs i times (1..50): top-3 = 50, 49, 48; split parity
+    // scatters each item across both split sketches
+    val df = (1 to 50).flatMap(i => (1 to i).map(j => (i.toLong, j)))
+      .toDF("item", "j")
+    val r = graft.operators.Approx.heavyHitterSketchCheck(
+        df, "item", splitCol = ($"j" % 2).cast("int"), topN = 3)
+      .as[(Long, Long, Boolean, Boolean)].collect().sortBy(-_._2)
+    assert(r.map(x => (x._1, x._2)).toSeq == Seq((50L, 50L), (49L, 49L), (48L, 48L)))
+    r.foreach { case (item, _, cmsOk, mergeExact) =>
+      assert(cmsOk, s"item $item CMS estimate outside [exact, exact + eps*N]")
+      assert(mergeExact, s"item $item merged sketch diverged from whole-built")
+    }
+  }
 }
