@@ -649,6 +649,26 @@ object StoreQueries {
               |       CAST(sum(CASE WHEN ts < TIMESTAMP '${graft.store.Maintenance.EvolutionCutoff}' THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
               |       CAST(sum(CASE WHEN ts >= TIMESTAMP '${graft.store.Maintenance.EvolutionCutoff}'
               |                     THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS value_mils
-              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Spark-4 VARIANT semi-structured path: props parsed ONCE into a
+    // variant column at write time (stored as parquet binary
+    // metadata/value), then typed variant_get path extraction on
+    // read-back — no per-query JSON string parse (contrast
+    // q_json_extract, which re-parses per path). A missing path through
+    // try_variant_get is NULL, not an error.
+    Q("q_variant_extract",
+      (s, dir) => {
+        val path = graft.store.Maintenance.ensureVariantStore(s, dir)
+        s.read.parquet(path)
+          .selectExpr(
+            "event_id",
+            "variant_get(props_v, '$.k', 'bigint') AS k",
+            "try_variant_get(props_v, '$.missing', 'bigint') AS k_missing")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(props->>'k' AS BIGINT) AS k,
+             |       CAST(NULL AS BIGINT) AS k_missing
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

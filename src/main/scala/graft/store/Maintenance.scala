@@ -103,4 +103,22 @@ object Maintenance {
       .option("mergeSchema", "true")
       .option("basePath", path)
       .parquet(s"$path/ver=1", s"$path/ver=2")
+
+  /** Build-once store with `props` parsed ONCE into a VARIANT column at
+    * write time — the Spark-4-native semi-structured layout. Readers do
+    * typed `variant_get` path extraction on the stored binary encoding
+    * instead of re-running a JSON string parse per query per path (the
+    * q_json_extract shape): at 100 TB the parse cost is paid once at
+    * ingest, and every downstream path access is a cheap navigation of
+    * the shredded encoding. */
+  def ensureVariantStore(spark: SparkSession, sfDir: String): String = synchronized {
+    val path = s"${SnapshotStore.root}/events_variant_${Paths.get(sfDir).getFileName}"
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      Tables.events(spark, sfDir)
+        .selectExpr("event_id", "event_type", "parse_json(props) AS props_v")
+        .repartition(4)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
 }
