@@ -142,6 +142,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus candidate pairs — the INCREMENTAL ingest shape: band
+    * keys of an incoming batch probed against the banded signature index
+    * of the existing corpus. At 100 TB this is the whole point of
+    * staging the index as parquet ([[graft.store.Staging]]): a new batch
+    * computes only its OWN signatures and equi-joins the persisted
+    * index — never batch×batch, never a corpus re-mine. The `maxBucket`
+    * valve caps degenerate bands on the index side (the big side).
+    * Output: (new_id, old_id) candidates for the exact verify. */
+  def candidatePairsAcross(
+      index: DataFrame, indexBands: Column,
+      batch: DataFrame, batchBands: Column,
+      idCol: String, maxBucket: Int = 10000): DataFrame = {
+    val ie = index.select(col(idCol).as("old_id"), explode(indexBands).as("_band"))
+    val capped = ie
+      .withColumn("_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_band"))))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
+    val be = batch.select(col(idCol).as("new_id"), explode(batchBands).as("_band"))
+    capped.join(be, Seq("_band"))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+  }
+
   /** Simhash block keys for Manku-style hamming-radius candidate search:
     * the nbits fingerprint split into `blocks` contiguous bit-blocks,
     * each keyed with its position. By pigeonhole, ANY pair within

@@ -1355,6 +1355,46 @@ object PipelineQueries {
              |       CAST(list_sum(vals) AS BIGINT) AS frame_sum
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Incremental ingest dedup: docs with doc_id % 10 == 7 play the
+    // incoming batch; everyone else is the existing corpus whose
+    // signature index is STAGED parquet (built once, appended per
+    // ingest). The batch computes only its own signatures and probes the
+    // index — no corpus re-mine, no batch×batch join. Same LSH recall
+    // guarantee as q_dedup_minhash (≥ 0.9998 at the 0.8 verify
+    // threshold); oracle is the exact all-pairs new×old join.
+    Q("q_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        val isNew = col("doc_id") % 10 === 7
+        val sh = docs.repartition(col("doc_id"))
+          .select(col("doc_id"), Dedup.tokenShingles(col("_toks"), 3).as("sh"))
+        val oldSig = graft.store.Staging.stage(
+          Dedup.minhashSignatures(docs.filter(!isNew), "doc_id",
+            Dedup.tokenShingles(col("_toks"), 3), MinhashK), "inc_index")
+        val newSig = Dedup.minhashSignatures(docs.filter(isNew), "doc_id",
+          Dedup.tokenShingles(col("_toks"), 3), MinhashK)
+        val cands = Dedup.candidatePairsAcross(
+          oldSig, Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand),
+          newSig, Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand), "doc_id")
+        cands
+          .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+          .join(sh.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), Seq("old_id"))
+          .withColumn("jaccard_ppm",
+            graft.functions.SetOps.jaccardPpmCol(col("sh_n"), col("sh_o")))
+          .filter(col("jaccard_ppm") >= JaccardThresholdPpm)
+          .select(col("new_id"), col("old_id"), col("jaccard_ppm"))
+          .orderBy("new_id", "old_id")
+      },
+      Some(s"""WITH sh AS ($duckShingles)
+              |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+              |       CAST(floor(len(list_intersect(n.sh, o.sh)) * 1000000.0
+              |                  / len(list_distinct(n.sh || o.sh))) AS BIGINT) AS jaccard_ppm
+              |FROM sh n JOIN sh o ON n.doc_id % 10 = 7 AND o.doc_id % 10 != 7
+              |WHERE CAST(floor(len(list_intersect(n.sh, o.sh)) * 1000000.0
+              |                 / len(list_distinct(n.sh || o.sh))) AS BIGINT) >= $JaccardThresholdPpm
+              |ORDER BY new_id, old_id""".stripMargin)),
+
     // Fixed-size token chunking with overlap (window 32, stride 24 ⇒ 8
     // tokens of carried context) — the LM sample-prep step that turns
     // ragged documents into trainable windows. Pure row-local projection

@@ -436,4 +436,27 @@ class DedupSpec extends SparkSpec {
     val fps = out.count(_._2)
     assert(fps <= 100, s"bloom fp rate too high: $fps/3000")
   }
+
+  test("candidatePairsAcross: batch probes index only — no batch-internal pairs") {
+    val mk = (id: Long, text: String) =>
+      (id, text)
+    // index docs 1, 2; batch docs 11 (dup of 1), 12 (dup of 11 — batch-internal), 13 (unique)
+    val common = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      mk(1L, common), mk(2L, (31 to 60).map(i => s"z$i").mkString(" ")),
+      mk(11L, common), mk(12L, common), mk(13L, (61 to 90).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text").withColumn("_toks", split($"text", " "))
+    val index = docs.filter($"doc_id" < 10L)
+    val batch = docs.filter($"doc_id" >= 10L)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.minhashSignatures(df, "doc_id",
+        graft.operators.Dedup.tokenShingles($"_toks", 3), 64)
+    val pairs = graft.operators.Dedup.candidatePairsAcross(
+        sig(index), graft.operators.Dedup.lshBandKeys($"sig", 16, 4),
+        sig(batch), graft.operators.Dedup.lshBandKeys($"sig", 16, 4), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // both batch dups hit the index doc; the batch-internal pair (11, 12)
+    // and the unique docs never surface
+    assert(pairs == Set((11L, 1L), (12L, 1L)), s"got $pairs")
+  }
 }
