@@ -291,4 +291,48 @@ object TextAnalysis {
         size(col("_fp")).cast("long").as("n_fp"),
         array_min(col("_fp")).as("fp_min"),
         array_max(col("_fp")).as("fp_max"))
+
+  /** BM25 ranked retrieval with RATIONAL-integer arithmetic (k1 = 6/5,
+    * b = 3/4, Robertson idf argument (N−df+0.5)/(df+0.5) =
+    * (2N−2df+1)/(2df+1)): every per-(doc, term) contribution reduces to
+    * one integer floor-division
+    *
+    *   (S·(2N−2df+1)·44·tf·Σdl) DIV ((2df+1)·(20·tf·Σdl + 6·Σdl + 18·dl·N))
+    *
+    * so the score (in 1/S units, S = 10000 basis points) is exact,
+    * order-independent under summation, and reproducible in any engine —
+    * a float BM25 would tie the hash compare to libm's ln().
+    *
+    * Shape: only postings of the query's terms survive the explode
+    * (row-local filter), so the shuffle carries |terms|·df postings, not
+    * the corpus; df and the corpus totals broadcast (3 rows + 1 row).
+    * At 100 TB serve the same arithmetic from the staged inverted index
+    * (q_phrase_search's) instead of re-tokenizing. */
+  def bm25TopK(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      scale: Int = 10000): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty && k > 0)
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val dl = toks.select(col(idCol), size(col("_toks")).cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
+    val tf = toks.select(col(idCol), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(totals))
+      .withColumn("_contrib", expr(
+        s"($scale * (2*n_docs - 2*dfreq + 1) * 44 * tf * sumdl) DIV " +
+          "((2*dfreq + 1) * (20*tf*sumdl + 6*sumdl + 18*dl*n_docs))"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_contrib")).as("score_bp"))
+      .orderBy(col("score_bp").desc, col(idCol))
+      .limit(k)
+  }
 }

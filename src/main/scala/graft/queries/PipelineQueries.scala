@@ -1355,6 +1355,29 @@ object PipelineQueries {
              |       CAST(list_sum(vals) AS BIGINT) AS frame_sum
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // BM25 ranked retrieval for a 3-term query, top-10 docs — the
+    // query-time search scoring the corpus-side index queries
+    // (q_phrase_search, q_vocab_topdf) exist to serve. Rational-integer
+    // BM25 (see TextAnalysis.bm25TopK) keeps the score exact in both
+    // engines; ties broken by doc_id so the top-k set is a total order.
+    Q("q_bm25_search",
+      (s, dir) =>
+        TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "vector", "stream"), k = 10),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+             |tot AS (SELECT count(*) AS n_docs, sum(dl) AS sumdl FROM dl),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+             |       WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY 1)
+             |SELECT doc_id,
+             |       CAST(sum((10000 * (2*n_docs - 2*dfreq + 1) * 44 * tf * sumdl)
+             |                // ((2*dfreq + 1) * (20*tf*sumdl + 6*sumdl + 18*dl*n_docs)))
+             |            AS BIGINT) AS score_bp
+             |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY score_bp DESC, doc_id LIMIT 10""".stripMargin)),
+
     // Incremental ingest dedup: docs with doc_id % 10 == 7 play the
     // incoming batch; everyone else is the existing corpus whose
     // signature index is STAGED parquet (built once, appended per

@@ -145,4 +145,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(0)._3 == rows(1)._3 && rows(0)._4 == rows(1)._4) // same text → same fp
     assert(rows(0)._3 <= rows(0)._4)
   }
+
+  test("bm25TopK: tf raises, length lowers, rarity raises the score") {
+    val pad = (1 to 20).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"apple $pad"),                 // tf=1, short
+      (2L, s"apple apple apple $pad"),     // tf=3, short → beats doc 1
+      (3L, s"apple $pad $pad $pad"),       // tf=1, long  → below doc 1
+      (4L, s"zebra $pad"),                 // rare term (df=1) → beats apple docs
+      (5L, s"apple zebra-absent $pad")     // filler so apple df=4
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("apple", "zebra"), k = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r(2L) > r(1L), s"higher tf must raise the score: $r")
+    assert(r(1L) > r(3L), s"longer doc must be normalized down: $r")
+    assert(r(4L) > r(2L), s"rare term (df=1) must outscore common (df=4): $r")
+  }
 }
