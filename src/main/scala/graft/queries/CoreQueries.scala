@@ -606,6 +606,80 @@ object CoreQueries {
               |FROM events WHERE date_trunc('hour', ts) = TIMESTAMP '$HourBucket'
               |ORDER BY event_id""".stripMargin)),
 
+    // Time-series resampling with gap fill — the mobility classic: a
+    // dense per-user hourly grid over a fixed 72 h window, empty hours
+    // filled with 0 (a groupBy alone silently drops them). The grid is
+    // a row-local sequence-explode per user (|users|×72 metadata rows);
+    // the left join runs on (user, hour) keys only.
+    Q("q_resample_fill",
+      (s, dir) => {
+        val startUs = 1704844800000000L // 2024-01-10 00:00:00 UTC
+        val users = Tables.events(s, dir)
+          .filter(col("user_id") < 50).select("user_id").distinct()
+        val grid = users
+          .select(col("user_id"), explode(sequence(lit(0), lit(71))).as("_h"))
+          .select(col("user_id"),
+            (lit(startUs) + col("_h").cast("long") * 3600000000L).as("hour_us"))
+        val counts = Tables.events(s, dir)
+          .filter(col("user_id") < 50 &&
+            expr("unix_micros(ts)") >= startUs &&
+            expr("unix_micros(ts)") < startUs + 72L * 3600000000L)
+          .groupBy(col("user_id"),
+            expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+          .agg(count(lit(1)).as("n_events"))
+        grid.join(counts, Seq("user_id", "hour_us"), "left")
+          .select(col("user_id"), col("hour_us"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+          .orderBy("user_id", "hour_us")
+      },
+      Some("""WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+             |grid AS (SELECT user_id, epoch_us(h) AS hour_us
+             |         FROM users, LATERAL generate_series(TIMESTAMP '2024-01-10 00:00:00',
+             |                TIMESTAMP '2024-01-12 23:00:00', INTERVAL 1 HOUR) AS g(h)),
+             |counts AS (SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
+             |                  count(*) AS n_events
+             |           FROM events
+             |           WHERE user_id < 50 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |             AND ts < TIMESTAMP '2024-01-13 00:00:00'
+             |           GROUP BY 1, 2)
+             |SELECT user_id, hour_us, CAST(coalesce(n_events, 0) AS BIGINT) AS n_events
+             |FROM grid LEFT JOIN counts USING (user_id, hour_us)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Data-quality expectations audit: five constraint rules over events
+    // in ONE aggregate pass (+ one distinct aggregate for uniqueness) —
+    // the validate-at-ingest gate. Each row is a rule verdict, so a
+    // pipeline quarantines per rule without re-scanning.
+    Q("q_expectations",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val known = Seq("click", "error", "purchase", "signup", "view")
+        graft.operators.Expectations.audit(e, Seq(
+            "value_non_negative" -> (col("value") < 0),
+            "event_type_known" -> !col("event_type").isin(known: _*),
+            "ts_in_2024" -> (expr("unix_micros(ts)") < 1704067200000000L ||
+              expr("unix_micros(ts)") >= 1735689600000000L),
+            "props_has_k" -> get_json_object(col("props"), "$.k").isNull))
+          .unionAll(graft.operators.Expectations.uniqueAudit(
+            e, "event_id_unique", col("event_id")))
+          .orderBy("rule")
+      },
+      Some("""WITH t AS (SELECT count(*) AS n,
+             |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS v_neg,
+             |  sum(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS v_type,
+             |  sum(CASE WHEN ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END) AS v_ts,
+             |  sum(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS v_props,
+             |  count(*) - count(DISTINCT event_id) AS v_uniq
+             |FROM events)
+             |SELECT rule, n AS n_checked, CAST(n_violations AS BIGINT) AS n_violations,
+             |       n_violations = 0 AS pass
+             |FROM (SELECT n, 'value_non_negative' AS rule, v_neg AS n_violations FROM t
+             |      UNION ALL SELECT n, 'event_type_known', v_type FROM t
+             |      UNION ALL SELECT n, 'ts_in_2024', v_ts FROM t
+             |      UNION ALL SELECT n, 'props_has_k', v_props FROM t
+             |      UNION ALL SELECT n, 'event_id_unique', v_uniq FROM t)
+             |ORDER BY rule""".stripMargin)),
+
     // Multi-level rollup aggregation (day × type, day subtotals, grand
     // total) in ONE pass — Spark expands grouping sets inside a single
     // aggregate, so the three levels cost one shuffle, not three scans.

@@ -180,6 +180,18 @@ class OperatorsSpec extends SparkSpec {
     assert(!(lt <= target - 1 + tol && le >= target - tol))
   }
 
+  test("expectations audit counts violations per rule; unique rule counts dups") {
+    val df = Seq((1L, -5.0), (2L, 3.0), (2L, 4.0), (3L, -1.0)).toDF("id", "v")
+    val r = graft.operators.Expectations.audit(df, Seq(
+        "v_non_negative" -> ($"v" < 0), "v_under_10" -> ($"v" >= 10)))
+      .unionAll(graft.operators.Expectations.uniqueAudit(df, "id_unique", $"id"))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r("v_non_negative") == ((4L, 2L, false)))
+    assert(r("v_under_10") == ((4L, 0L, true)))
+    assert(r("id_unique") == ((4L, 1L, false)))
+  }
+
   test("CMS heavy hitters: top-k exact counts, frequency bound, exact merge") {
     // item i occurs i times (1..50): top-3 = 50, 49, 48; split parity
     // scatters each item across both split sketches
