@@ -49,7 +49,11 @@ object Scratch {
       "q_shuffle_order" -> "deterministic shuffle order: band-count stats + per-band rank — no single-partition global sort",
       "q_rollup" -> "rollup: ONE Expand + partial+final aggregate pair covers all three grouping levels",
       "q_pivot_wide" -> "columnar pivot with static value list: single conditional-sum aggregate, no distinct-values pre-job",
-      "q_variant_extract" -> "VARIANT path access on the stored binary encoding — no JSON string parse in the read plan")
+      "q_variant_extract" -> "VARIANT path access on the stored binary encoding — no JSON string parse in the read plan",
+      "q_bm25_search" -> "BM25: only query-term postings survive the explode; df + corpus totals broadcast; integer-rational scoring",
+      "q_dedup_incremental" -> "incremental ingest dedup: batch bands probe the STAGED corpus index scan — no corpus re-mine, no batch×batch",
+      "q_resample_fill" -> "gap-fill resample: row-local grid explode, left join on (user, hour) keys only",
+      "q_expectations" -> "expectations audit: all predicate rules in ONE map-side-combined aggregate; uniqueness adds one distinct agg")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
