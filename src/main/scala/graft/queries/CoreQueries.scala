@@ -606,6 +606,39 @@ object CoreQueries {
               |FROM events WHERE date_trunc('hour', ts) = TIMESTAMP '$HourBucket'
               |ORDER BY event_id""".stripMargin)),
 
+    // Binned range self-join — the SCALE path for range predicates when
+    // neither side broadcasts (q_interval_join's broadcast NLJ is right
+    // only for a tiny dim): both sides key into 60 s time bins, one side
+    // explodes to its ±1 neighbor bins, and the range predicate becomes
+    // an EQUI-join on the bin plus a residual filter — a hash join
+    // instead of an O(n·m) nested loop. Finds every cross-user event
+    // pair within 60 s; distinct dedups pairs straddling two bins.
+    Q("q_range_join_binned",
+      (s, dir) => {
+        val binUs = 60000000L
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("t"))
+          .withColumn("_bin", (col("t") / binUs).cast("long"))
+        val probe = e.select(col("event_id").as("id_a"), col("user_id").as("u_a"),
+            col("t").as("t_a"),
+            explode(array(col("_bin") - 1, col("_bin"), col("_bin") + 1)).as("_bin"))
+        val build = e.select(col("event_id").as("id_b"), col("user_id").as("u_b"),
+          col("t").as("t_b"), col("_bin"))
+        probe.join(build, Seq("_bin"))
+          .filter(col("id_a") < col("id_b") && col("u_a") =!= col("u_b") &&
+            abs(col("t_a") - col("t_b")) <= binUs)
+          .select(col("id_a"), col("id_b"), abs(col("t_a") - col("t_b")).as("gap_us"))
+          .distinct()
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.event_id AS id_a, b.event_id AS id_b,
+             |       abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+             |FROM events a JOIN events b
+             |  ON a.event_id < b.event_id AND a.user_id != b.user_id
+             | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Time-series resampling with gap fill — the mobility classic: a
     // dense per-user hourly grid over a fixed 72 h window, empty hours
     // filled with 0 (a groupBy alone silently drops them). The grid is
