@@ -606,6 +606,41 @@ object CoreQueries {
               |FROM events WHERE date_trunc('hour', ts) = TIMESTAMP '$HourBucket'
               |ORDER BY event_id""".stripMargin)),
 
+    // Per-entity velocity: the consecutive-point derivative the
+    // reference's velocity stores exist to serve
+    // (/root/reference/stores/postgresql_velocity.py,
+    // apache_parquet_velocity.py) — one lag window per user, ordered by
+    // (ts, event_id) so duplicate timestamps still have a total order.
+    // One Exchange on user_id, single sorted pass; deltas kept as
+    // integer µs / mils, the ratio floored from the SAME double both
+    // engines compute. Same-instant pairs (dt = 0) are excluded.
+    Q("q_traj_velocity",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("t"), col("value"))
+          .withColumn("pt", lag(col("t"), 1).over(w))
+          .withColumn("pv", lag(col("value"), 1).over(w))
+          .filter(col("pt").isNotNull && col("t") > col("pt"))
+          .select(col("event_id"), col("user_id"),
+            (col("t") - col("pt")).as("dt_us"),
+            floor((col("value") - col("pv")) * 1000).cast("long").as("dv_mils"))
+          .withColumn("speed",
+            floor(col("dv_mils") * 1000000.0 / col("dt_us")).cast("long"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t, value,
+             |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt,
+             |  lag(value)        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pv
+             |FROM events)
+             |SELECT event_id, user_id, t - pt AS dt_us,
+             |  CAST(floor((value - pv) * 1000) AS BIGINT) AS dv_mils,
+             |  CAST(floor(CAST(floor((value - pv) * 1000) AS BIGINT) * 1000000.0 / (t - pt))
+             |       AS BIGINT) AS speed
+             |FROM l WHERE pt IS NOT NULL AND t > pt ORDER BY event_id""".stripMargin)),
+
     // Binned range self-join — the SCALE path for range predicates when
     // neither side broadcasts (q_interval_join's broadcast NLJ is right
     // only for a tiny dim): both sides key into 60 s time bins, one side
