@@ -606,6 +606,41 @@ object CoreQueries {
               |FROM events WHERE date_trunc('hour', ts) = TIMESTAMP '$HourBucket'
               |ORDER BY event_id""".stripMargin)),
 
+    // Funnel conversion: users whose FIRST signup is later followed by a
+    // purchase, grouped by signup day — the event-sequence analytics
+    // shape (strictly-after predicate, not a plain co-occurrence). Two
+    // filtered aggregates + one join on user_id; conversion ppm is an
+    // integer division (positive operands ⇒ DIV and // agree).
+    Q("q_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("t")).as("s_ts"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(s1, "user_id")
+          .filter(col("t") > col("s_ts"))
+          .select(col("user_id")).distinct()
+          .withColumn("_c", lit(1L))
+        s1.join(conv, Seq("user_id"), "left")
+          .groupBy(date_format(timestamp_micros(col("s_ts")), "yyyy-MM-dd").as("signup_day"))
+          .agg(count(lit(1)).as("n_signups"),
+            sum(coalesce(col("_c"), lit(0L))).as("n_converted"))
+          .withColumn("conv_ppm", expr("(n_converted * 1000000) DIV n_signups"))
+          .orderBy("signup_day")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS s_ts
+             |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |conv AS (SELECT DISTINCT e.user_id
+             |         FROM events e JOIN s1 USING (user_id)
+             |         WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s_ts)
+             |SELECT strftime(make_timestamp(s_ts), '%Y-%m-%d') AS signup_day,
+             |       count(*) AS n_signups,
+             |       CAST(count(conv.user_id) AS BIGINT) AS n_converted,
+             |       CAST((count(conv.user_id) * 1000000) // count(*) AS BIGINT) AS conv_ppm
+             |FROM s1 LEFT JOIN conv ON s1.user_id = conv.user_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Per-entity velocity: the consecutive-point derivative the
     // reference's velocity stores exist to serve
     // (/root/reference/stores/postgresql_velocity.py,
