@@ -651,6 +651,36 @@ object StoreQueries {
               |                     THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS value_mils
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Dynamic partition pruning: the hour store joined to a small dim of
+    // 72 wanted buckets (3 days × 24 h, with a selective filter) — at
+    // planning time the scan cannot prune (the wanted set is the JOIN's
+    // output), so Catalyst inserts a dynamic pruning subquery that reuses
+    // the broadcast to skip the other ~648 hour directories AT RUNTIME.
+    // PlanRulesSpec asserts `dynamicpruning` in the scan's partition
+    // filters; the oracle is the static-filter equivalent.
+    Q("q_dpp_join",
+      (s, dir) => {
+        val path = SnapshotStore.ensureEventsStore(s, dir)
+        val store = SnapshotStore.read(s, path)
+        val days = Seq("2024-01-05", "2024-01-11", "2024-01-20")
+        val dim = s.range(0, 24)
+          .select(explode(lit(days.toArray)).as("day"), col("id").cast("int").as("h"))
+          .filter(col("day") =!= "1970-01-01")
+          .select(concat(col("day"), lit("-"),
+            lpad(col("h").cast("string"), 2, "0")).as("bucket"), col("day"))
+        store.join(dim, "bucket")
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+          .orderBy("day")
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events
+             |WHERE strftime(date_trunc('day', ts), '%Y-%m-%d')
+             |      IN ('2024-01-05', '2024-01-11', '2024-01-20')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Spark-4 VARIANT semi-structured path: props parsed ONCE into a
     // variant column at write time (stored as parquet binary
     // metadata/value), then typed variant_get path extraction on

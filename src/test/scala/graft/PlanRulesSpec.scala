@@ -94,4 +94,11 @@ class PlanRulesSpec extends SparkSpec {
       assert(row.getInt(3) == 15)
     }
   }
+
+  test("q_dpp_join: the store scan carries a dynamic partition pruning subquery") {
+    val df = SparkEntry.queries("q_dpp_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the scan:\n${plan.take(3000)}")
+  }
 }
