@@ -1355,6 +1355,29 @@ object PipelineQueries {
              |       CAST(list_sum(vals) AS BIGINT) AS frame_sum
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Per-language length-decile binning (ntile) — the calibration step
+    // a curation pipeline uses to stratify thresholds per language
+    // instead of one global cutoff. (doc_id tie-break makes the decile
+    // assignment a total order; output is the per-bucket census.)
+    Q("q_length_deciles",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy(col("lang"), col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_nc"), max(col("n_chars")).as("max_nc"))
+          .orderBy("lang", "decile")
+      },
+      Some("""SELECT lang, CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+             |       min(n_chars) AS min_nc, max(n_chars) AS max_nc
+             |FROM (SELECT lang, n_chars, doc_id,
+             |             ntile(10) OVER (PARTITION BY lang
+             |                             ORDER BY n_chars, doc_id) AS decile
+             |      FROM documents)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // BM25 ranked retrieval for a 3-term query, top-10 docs — the
     // query-time search scoring the corpus-side index queries
     // (q_phrase_search, q_vocab_topdf) exist to serve. Rational-integer
