@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness (tooling, like Scratch — not library
+  * surface): builds a 5× replica of sf0.1 (id-offset copies, so
+  * per-entity densities stay constant and the hour-bucket count stays
+  * 720 with 5× the rows per bucket) and measures headline queries at
+  * both scales. The signal is the SCALING EXPONENT of wall time and —
+  * more importantly for a 1000-executor projection — of shuffle bytes:
+  * a query whose shuffle grows ~5× on 5× data is cluster-linear; one
+  * that grows ~25× has a hidden pair blowup.
+  *
+  * Document text is replicated verbatim across copies, which makes every
+  * doc a 5-way exact/near duplicate — a worst-case dup-dense corpus.
+  * Pair-emitting dedup queries therefore have output (and candidate)
+  * volume ~25× BY CONSTRUCTION; the probe includes one (q_dedup_minhash)
+  * deliberately, labeled `pair_blowup_expected`, to show the skew valve
+  * holds; the rest of the probe set has linear expectations.
+  */
+object ScaleProbe {
+
+  private val Probes: Seq[(String, Boolean)] = Seq(
+    "q_chunk_tokens" -> false,
+    "q_pack_greedy" -> false,
+    "q_shuffle_order" -> false,
+    "q_span_dedup" -> false,
+    "q_bm25_search" -> false,
+    "q_rollup" -> false,
+    "q_window_hourly" -> false,
+    "q_session_window" -> false,
+    "q_traj_velocity" -> false,
+    "q_text_stats" -> false,
+    "q_doc_winnow_roll" -> false,
+    "q_dedup_exact" -> false,
+    "q_dedup_minhash" -> true // pair_blowup_expected on the replicated corpus
+  )
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = "/root/testdata/sf0.1"
+    val big = "/root/repo/target/scaleprobe/sf0.5"
+    buildReplica(spark, base, big, copies = 5)
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      }
+    })
+
+    def measure(name: String, dir: String): (Double, Double) = {
+      org.apache.spark.graftbus.drain(spark.sparkContext)
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbus.drain(spark.sparkContext)
+      ((secs * 100).round / 100.0, ((shuffleBytes.get() - s0) / 1e5).round / 10.0)
+    }
+
+    // warm both datasets once (codegen + FS cache parity)
+    spark.read.parquet(s"$base/documents.parquet").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$big/documents.parquet").write.format("noop").mode("overwrite").save()
+
+    println("query,blowup_expected,sf0.1_s,sf0.5_s,time_x,sf0.1_shuffle_mb,sf0.5_shuffle_mb,shuffle_x")
+    Probes.foreach { case (name, blowup) =>
+      val (t1, s1) = measure(name, base)
+      val (t5, s5) = measure(name, big)
+      val tx = if (t1 > 0) ((t5 / t1) * 10).round / 10.0 else -1
+      val sx = if (s1 > 0) ((s5 / s1) * 10).round / 10.0 else -1
+      println(s"$name,$blowup,$t1,$t5,$tx,$s1,$s5,$sx")
+    }
+    spark.stop()
+  }
+
+  /** Union `copies` id-offset replicas of the sf0.1 tables into `out`.
+    * Offsets keep ids disjoint while preserving per-entity event
+    * densities and the 30-day time span (constant partition count,
+    * 5× rows per partition — the pure data-volume axis). */
+  def buildReplica(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
+    val done = java.nio.file.Paths.get(out, "_REPLICA_OK")
+    if (java.nio.file.Files.exists(done)) return
+
+    def replicate(df: DataFrame, bump: DataFrame => Int => DataFrame): DataFrame =
+      (0 until copies).map(i => bump(df)(i)).reduce(_ unionAll _)
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    replicate(docs, d => i => d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    replicate(emb, d => i => d.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val ev = graft.sources.Tables.events(spark, base)
+    replicate(ev, d => i => d
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000L)))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    java.nio.file.Files.createFile(done)
+    ()
+  }
+}
