@@ -53,7 +53,9 @@ object Scratch {
       "q_bm25_search" -> "BM25: only query-term postings survive the explode; df + corpus totals broadcast; integer-rational scoring",
       "q_dedup_incremental" -> "incremental ingest dedup: batch bands probe the STAGED corpus index scan — no corpus re-mine, no batch×batch",
       "q_resample_fill" -> "gap-fill resample: row-local grid explode, left join on (user, hour) keys only",
-      "q_expectations" -> "expectations audit: all predicate rules in ONE map-side-combined aggregate; uniqueness adds one distinct agg")
+      "q_expectations" -> "expectations audit: all predicate rules in ONE map-side-combined aggregate; uniqueness adds one distinct agg",
+      "q_dpp_join" -> "dynamic partition pruning: the scan's PartitionFilters carry a dynamicpruning subquery reusing the dim broadcast",
+      "q_range_join_binned" -> "binned range join: equi-join on the 60 s bin + residual filter — hash join, no nested loop")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
