@@ -280,6 +280,22 @@ object Similarity {
     * signature band with the query, verified by exact cosine, ranked.
     * `signatures` picks the hash family (xxhash64 default; md5 for
     * external-oracle reproducibility). */
+  /** Multi-probe band keys (Lv et al.): for each block, the exact key
+    * PLUS every Hamming-1 perturbation of the block's value —
+    * width + 1 keys per block. Applied to the QUERY side only (queries
+    * are few; the corpus index stays one key per block), it recovers
+    * candidates whose signature differs by one bit inside every block —
+    * the dominant recall loss of plain banding — at probe-count cost
+    * instead of index-size cost (more probes, not more hash tables). */
+  def multiProbeBlockKeys(fp: Column, nbits: Int, blocks: Int): Column = {
+    val width = nbits / blocks
+    array((0 until blocks).flatMap { b =>
+      val v = pmod(shiftright(fp, b * width), lit(1L << width))
+      (v +: (0 until width).map(i => v.bitwiseXOR(lit(1L << i))))
+        .map(x => concat_ws(":", lit(b).cast("string"), x.cast("string")))
+    }: _*)
+  }
+
   def annTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -290,14 +306,15 @@ object Similarity {
       k: Int,
       nbits: Int = 16,
       bands: Int = 4,
-      signatures: (DataFrame, String, Column, Int) => DataFrame = rhpSignatures): DataFrame = {
+      signatures: (DataFrame, String, Column, Int) => DataFrame = rhpSignatures,
+      queryKeys: (Column, Int, Int) => Column = Dedup.simhashBlockKeys): DataFrame = {
     // same "<band>:<value>" key layout as the simhash block join
     def bandKeys(sig: Column): Column = Dedup.simhashBlockKeys(sig, nbits, bands)
 
     val corpusBandRows = signatures(corpus, idCol, col(vecCol), nbits)
       .select(col(idCol), explode(bandKeys(col("sig"))).as("_band"))
     val queryBandRows = signatures(queries, qIdCol, col(qVecCol), nbits)
-      .select(col(qIdCol), explode(bandKeys(col("sig"))).as("_band"))
+      .select(col(qIdCol), explode(queryKeys(col("sig"), nbits, bands)).as("_band"))
 
     // candidate ids first (small shuffle payload), vectors joined back after
     val candIds = corpusBandRows

@@ -565,6 +565,54 @@ object PipelineQueries {
              |SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 10
              |ORDER BY q_id, rank""".stripMargin)),
 
+    // Multi-probe LSH ANN: the same banded corpus index as q_ann_lsh,
+    // but each query ALSO probes every Hamming-1 perturbation of each
+    // of its 4 band values (5 keys per band instead of 1) — recall
+    // rises at probe-count cost instead of index-size cost (Lv et
+    // al.'s multi-probe trade). Oracle mirrors the full pipeline with
+    // the expanded probe set; the corpus index is untouched.
+    Q("q_ann_multiprobe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.annTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 10,
+            signatures = Similarity.rhpSignaturesMd5,
+            queryKeys = Similarity.multiProbeBlockKeys)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             |sig AS (
+             |  SELECT vec_id,
+             |    CAST(list_sum(list_transform(range(0, 16), j ->
+             |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+             |             ve[i::INT + 1] * CASE WHEN ascii(substr(md5(j || ':' || i), 1, 1)) >= 56
+             |                                   THEN 1.0 ELSE -1.0 END)) > 0
+             |           THEN (1::BIGINT << (15 - j::INT)) ELSE 0 END)) AS BIGINT) AS sig
+             |  FROM v),
+             |cbands AS (SELECT vec_id, b, (sig >> (b::INT * 4)) & 15 AS bv FROM sig, range(0, 4) t(b)),
+             |qbands AS (SELECT vec_id AS q_id, b, bv FROM cbands WHERE vec_id < 5),
+             |qprobe AS (
+             |  SELECT q_id, b, bv FROM qbands
+             |  UNION
+             |  SELECT q_id, b, xor(bv, (1::BIGINT << i::INT)) FROM qbands, range(0, 4) u(i)),
+             |cand AS (
+             |  SELECT DISTINCT q.q_id, c.vec_id
+             |  FROM cbands c JOIN qprobe q ON c.b = q.b AND c.bv = q.bv AND c.vec_id <> q.q_id),
+             |scored AS (
+             |  SELECT cand.q_id, cand.vec_id,
+             |    CAST(floor(
+             |      list_dot_product(cv.ve, qv.ve)
+             |      / (sqrt(list_dot_product(cv.ve, cv.ve)) * sqrt(list_dot_product(qv.ve, qv.ve)))
+             |      * 1000000.0) AS BIGINT) AS sim_ppm
+             |  FROM cand JOIN v cv ON cand.vec_id = cv.vec_id JOIN v qv ON cand.q_id = qv.vec_id),
+             |r2 AS (
+             |  SELECT q_id, vec_id, sim_ppm,
+             |         row_number() OVER (PARTITION BY q_id ORDER BY sim_ppm DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT q_id, rank, vec_id, sim_ppm FROM r2 WHERE rank <= 10
+             |ORDER BY q_id, rank""".stripMargin)),
+
     // Recall@k of the approximate path vs the exact one — the ANN's only
     // failure mode (a band miss) is invisible on a tiny corpus unless
     // measured explicitly. One row per query: what fraction of the exact

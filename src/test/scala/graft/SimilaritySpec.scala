@@ -162,4 +162,23 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("multiProbeBlockKeys is a strict superset: exact keys + width perturbations per block") {
+    val fp = 0xBEEFL // 16-bit fingerprint
+    val row = spark.range(1)
+      .select(
+        graft.operators.Dedup.simhashBlockKeys(lit(fp), 16, 4).as("exact"),
+        Similarity.multiProbeBlockKeys(lit(fp), 16, 4).as("probe"))
+      .as[(Seq[String], Seq[String])].head()
+    val (exact, probe) = row
+    assert(exact.size == 4 && probe.size == 20) // (width + 1) * blocks
+    assert(exact.toSet.subsetOf(probe.toSet), "exact keys must all be probed")
+    // every perturbed key differs from its block's exact value by one bit
+    probe.groupBy(_.split(":")(0)).foreach { case (b, keys) =>
+      val base = exact.find(_.startsWith(s"$b:")).get.split(":")(1).toLong
+      val others = keys.map(_.split(":")(1).toLong).filterNot(_ == base)
+      assert(others.toSet.size == 4 &&
+        others.forall(v => java.lang.Long.bitCount(v ^ base) == 1))
+    }
+  }
 }
