@@ -670,6 +670,67 @@ object PipelineQueries {
              |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
              |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
 
+    // Measured recall@10 of the MULTI-PROBE LSH path vs exact — the
+    // third column of the LSH / multi-probe / IVF chooser. Multi-probe
+    // candidates are a superset of plain banding's, so this recall is
+    // ≥ q_ann_recall's by construction; here it is measured, not
+    // assumed.
+    Q("q_ann_recall_multiprobe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val exact = Similarity.topKExact(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 10)
+        val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 10,
+          signatures = Similarity.rhpSignaturesMd5,
+          queryKeys = Similarity.multiProbeBlockKeys)
+        exact.as("e")
+          .join(ann.as("a"),
+            col("e.q_id") === col("a.q_id") && col("e.vec_id") === col("a.vec_id"), "left")
+          .groupBy(col("e.q_id").as("q_id"))
+          .agg(floor(sum(when(col("a.vec_id").isNotNull, 1L).otherwise(0L))
+            * lit(1000000L) / count(lit(1))).cast("long").as("recall_ppm"))
+          .orderBy("q_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
+             |exact AS (
+             |  SELECT q.q_id, e.vec_id,
+             |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |           CAST(floor(list_dot_product(e.ve, q.qe)
+             |             / (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe)))
+             |             * 1000000.0) AS BIGINT) DESC, e.vec_id) AS rank
+             |  FROM v e, q WHERE e.vec_id <> q.q_id),
+             |sig AS (
+             |  SELECT vec_id,
+             |    CAST(list_sum(list_transform(range(0, 16), j ->
+             |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+             |             ve[i::INT + 1] * CASE WHEN ascii(substr(md5(j || ':' || i), 1, 1)) >= 56
+             |                                   THEN 1.0 ELSE -1.0 END)) > 0
+             |           THEN (1::BIGINT << (15 - j::INT)) ELSE 0 END)) AS BIGINT) AS sig
+             |  FROM v),
+             |cbands AS (SELECT vec_id, b, (sig >> (b::INT * 4)) & 15 AS bv FROM sig, range(0, 4) t(b)),
+             |qbands AS (SELECT vec_id AS q_id, b, bv FROM cbands WHERE vec_id < 5),
+             |qprobe AS (
+             |  SELECT q_id, b, bv FROM qbands
+             |  UNION
+             |  SELECT q_id, b, xor(bv, (1::BIGINT << i::INT)) FROM qbands, range(0, 4) u(i)),
+             |cand AS (
+             |  SELECT DISTINCT q.q_id, c.vec_id
+             |  FROM cbands c JOIN qprobe q ON c.b = q.b AND c.bv = q.bv AND c.vec_id <> q.q_id),
+             |ann AS (
+             |  SELECT cand.q_id, cand.vec_id,
+             |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
+             |           CAST(floor(list_dot_product(cv.ve, qv.ve)
+             |             / (sqrt(list_dot_product(cv.ve, cv.ve)) * sqrt(list_dot_product(qv.ve, qv.ve)))
+             |             * 1000000.0) AS BIGINT) DESC, cand.vec_id) AS rank
+             |  FROM cand JOIN v cv ON cand.vec_id = cv.vec_id JOIN v qv ON cand.q_id = qv.vec_id)
+             |SELECT e.q_id, CAST(floor(count(a.vec_id) * 1000000.0 / count(*)) AS BIGINT) AS recall_ppm
+             |FROM (SELECT * FROM exact WHERE rank <= 10) e
+             |LEFT JOIN (SELECT * FROM ann WHERE rank <= 10) a
+             |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
+
     // IVF-style inverted-file ANN — the data-DEPENDENT coarse quantizer
     // (centroids seeded from corpus rows id < 8; a k-means loop would be
     // trained offline at scale). Assignment, probing (nprobe=2), bucket
