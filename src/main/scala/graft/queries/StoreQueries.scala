@@ -651,6 +651,20 @@ object StoreQueries {
               |                     THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS value_mils
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-user running totals on Spark 4's arbitrary-state v2 API
+    // (transformWithState + StatefulProcessor + typed ValueState vars,
+    // RocksDB-backed) — the modern twin of q_stream_traj_state's
+    // mapGroupsWithState. Single-data-batch replay ⇒ the final state per
+    // key equals the batch totals, which is the oracle.
+    Q("q_stream_tws",
+      (s, dir) => {
+        val path = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.runningTotalsReplay(s, path, "tws_sink").orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Dynamic partition pruning: the hour store joined to a small dim of
     // 72 wanted buckets (3 days × 24 h, with a selective filter) — at
     // planning time the scan cannot prune (the wanted set is the JOIN's

@@ -426,6 +426,87 @@ object Replay {
     appendReplayToFiles(spark, gapSessions(src, gapUs).toDF(), outPath, "sessionReplay")
   }
 
+  // ---- transformWithState (the Spark-4 arbitrary-state v2 API) ----------
+
+  final case class RunRow(user_id: Long, n_events: Long, value_mils: Long)
+  implicit val runEnc: Encoder[RunRow] = Encoders.product[RunRow]
+
+  /** Per-user running totals on the NEW arbitrary-state API
+    * (`transformWithState`): typed, independently-evolvable ValueState
+    * variables managed by a StatefulProcessor — the v2 replacement for
+    * mapGroupsWithState's single state blob (compare
+    * [[statefulTrajectories]], the v1 twin kept for the older engine
+    * surface). State grows by two longs per key; emissions are one row
+    * per key per batch. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SEvent, RunRow] {
+    @transient private var nState: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var vState: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      vState = getHandle.getValueState[Long]("vmils", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[SEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RunRow] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var v = if (vState.exists()) vState.get() else 0L
+      rows.foreach { e => n += 1L; v += e.vMil }
+      nState.update(n)
+      vState.update(v)
+      Iterator.single(RunRow(key, n, v))
+    }
+  }
+
+  /** Replay the events store through [[RunningTotalsProcessor]].
+    * transformWithState requires the RocksDB state store provider (the
+    * v2 API's backing store) — set for this query and restored after;
+    * scoped set/restore is safe because the query runs to completion
+    * inside (awaitTermination), like withStatePartitions. Totals
+    * strictly increase across a key's updates, so max-reducing the
+    * Update-mode sink is robust to backlog splits. */
+  def runningTotalsReplay(
+      spark: SparkSession,
+      storePath: String,
+      sinkName: String): DataFrame = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .parquet(storePath)
+      .select(col("user_id").as("k"), col("ts"),
+        expr("unix_micros(ts)").as("tsUs"),
+        floor(col("value") * 1000).cast("long").as("vMil"))
+      .as[SEvent]
+    spark.catalog.dropTempView(sinkName)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      withStatePartitions(spark, 8) {
+        val q = src.groupByKey(_.k)
+          .transformWithState(new RunningTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+          .writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode(OutputMode.Update)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    spark.table(sinkName)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("value_mils")).as("value_mils"))
+  }
+
   /** File-sourced stateful replay: the events store as an availableNow
     * stream through `statefulTrajectories` (Update mode, memory sink),
     * reduced to the FINAL state per key. `n` strictly increases across a

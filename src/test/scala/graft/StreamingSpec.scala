@@ -458,4 +458,45 @@ class StreamingSpec extends SparkSpec {
     val r = spark.table(sink).as[Replay.TrajUpdate].collect().maxBy(_.n)
     assert(r.n == 2 && r.lastV == 5.0 && r.first == ts("2024-01-01 10:00:00"))
   }
+
+  test("transformWithState accumulates typed ValueState across batches (RocksDB)") {
+    implicit val sq = spark.sqlContext
+    import Replay.{runEnc, sevEnc}
+    val input = MemoryStream[Replay.SEvent]
+    val sink = "t_tws_acc"
+    spark.catalog.dropTempView(sink)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = input.toDS().groupByKey(_.k)
+        .transformWithState(new Replay.RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update)
+        .start()
+      input.addData(
+        Replay.SEvent(1L, ts("2024-01-01 10:00:00"), 0L, 100L),
+        Replay.SEvent(1L, ts("2024-01-01 10:01:00"), 0L, 50L),
+        Replay.SEvent(2L, ts("2024-01-01 10:02:00"), 0L, 7L))
+      q.processAllAvailable()
+      input.addData(Replay.SEvent(1L, ts("2024-01-01 11:00:00"), 0L, 25L))
+      q.processAllAvailable()
+      q.stop()
+      val byBatchMax = spark.table(sink).as[Replay.RunRow].collect()
+        .groupBy(_.user_id).map { case (k, rs) => k -> rs.maxBy(_.n_events) }
+      // key 1 accumulated ACROSS the two batches (state survived), key 2 untouched
+      assert(byBatchMax(1L) == Replay.RunRow(1L, 3L, 175L))
+      assert(byBatchMax(2L) == Replay.RunRow(2L, 1L, 7L))
+      // and the sink saw key 1's batch-1 partial too (Update emission per batch)
+      assert(spark.table(sink).as[Replay.RunRow].collect()
+        .exists(r => r.user_id == 1L && r.n_events == 2L && r.value_mils == 150L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
