@@ -459,6 +459,51 @@ class StreamingSpec extends SparkSpec {
     assert(r.n == 2 && r.lastV == 5.0 && r.first == ts("2024-01-01 10:00:00"))
   }
 
+  test("transformWithState event-time timers fire at wm >= expiry (v2 boundary, measured)") {
+    implicit val sq = spark.sqlContext
+    import Replay.sevEnc
+    val input = MemoryStream[Replay.SEvent]
+    val sink = "t_tws_timer"
+    spark.catalog.dropTempView(sink)
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val expiryMs = ts("2024-01-01 12:00:00").getTime
+      val q = input.toDS()
+        .withWatermark("ts", "10 seconds")
+        .groupByKey(_.k)
+        .transformWithState(new TimerProbeProcessor(expiryMs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update)
+        .start()
+      def fired(): Seq[(Long, Long, Long)] =
+        spark.table(sink).as[(Long, Long, Long)].collect().toSeq
+      // batch 1 registers the timer; wm after batch = 11:00:00 - 10 s < expiry
+      input.addData(Replay.SEvent(1L, ts("2024-01-01 11:00:00"), 0L, 0L))
+      q.processAllAvailable()
+      assert(fired().isEmpty, "timer fired before the watermark reached expiry")
+      // batch 2 advances wm to EXACTLY the expiry (12:00:10 - 10 s)
+      input.addData(Replay.SEvent(2L, ts("2024-01-01 12:00:10"), 0L, 0L))
+      q.processAllAvailable()
+      val atBoundary = fired()
+      // measured v2 semantics: expiry == watermark FIRES (non-strict, like
+      // the GroupState `due <= wm` timeout — not like the outer-join
+      // eviction, which is strict)
+      assert(atBoundary.map(r => (r._1, r._2)) == Seq((1L, expiryMs)),
+        s"boundary behavior changed: $atBoundary")
+      assert(atBoundary.head._3 >= expiryMs) // watermark seen by the expired-timer path
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(confKey, p)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("transformWithState accumulates typed ValueState across batches (RocksDB)") {
     implicit val sq = spark.sqlContext
     import Replay.{runEnc, sevEnc}
@@ -499,4 +544,27 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+}
+
+/** Probe processor for the v2 timer boundary: registers one event-time
+  * timer at a fixed expiry, emits (key, expiryMs, wmMs) only when the
+  * timer fires. */
+class TimerProbeProcessor(expiryMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, graft.streaming.Replay.SEvent, (Long, Long, Long)] {
+  @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    armed = getHandle.getValueState[Long]("armed", org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[graft.streaming.Replay.SEvent],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+    rows.foreach(_ => ())
+    if (key == 1L && !armed.exists()) { getHandle.registerTimer(expiryMs); armed.update(1L) }
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long,
+      tv: org.apache.spark.sql.streaming.TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long)] =
+    Iterator.single((key, info.getExpiryTimeInMs(), tv.getCurrentWatermarkInMs()))
 }
