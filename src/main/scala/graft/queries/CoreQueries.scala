@@ -810,6 +810,36 @@ object CoreQueries {
              |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
              |FROM e GROUP BY ROLLUP(day, event_type) ORDER BY 1, 2""".stripMargin)),
 
+    // Explicit GROUPING SETS (Spark 4 groupingSets API): (day × type),
+    // (type-only), and grand total — the type subtotal is the level
+    // ROLLUP cannot produce (its hierarchy fixes day above type). Still
+    // ONE Expand + one aggregate pass.
+    Q("q_grouping_sets",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("value"))
+        e.groupingSets(
+            Seq(Seq(col("day"), col("event_type")), Seq(col("event_type")), Seq()),
+            col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+          .select(
+            coalesce(col("day"), lit("<all>")).as("day"),
+            coalesce(col("event_type"), lit("<all>")).as("event_type"),
+            col("n"), col("value_mils"))
+          .orderBy("day", "event_type")
+      },
+      Some("""WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |                  event_type, value FROM events)
+             |SELECT coalesce(day, '<all>') AS day,
+             |       coalesce(event_type, '<all>') AS event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM e GROUP BY GROUPING SETS ((day, event_type), (event_type), ())
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Columnar pivot: one row per day, one column per event type (the
     // wide dashboard shape). The explicit value list keeps the output
     // schema static — Spark then plans it as a single aggregate of
