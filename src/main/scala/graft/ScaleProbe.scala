@@ -37,6 +37,24 @@ object ScaleProbe {
     "q_dedup_minhash" -> true // pair_blowup_expected on the replicated corpus
   )
 
+  /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
+    * against the UNIQUE-TEXT replica: verbatim text replication makes
+    * every doc a 5-way near-dup, so candidate volume inflates ~25× BY
+    * CONSTRUCTION and says nothing about the pipeline. Prefixing every
+    * token with the copy index kills cross-copy candidates (every
+    * shingle/band key differs) while keeping each copy's natural dup
+    * structure intact — so a candidate generator whose band rows are
+    * ~k·n shuffles ~5× on 5× docs, and an n² blowup would show as ~25×.
+    * Embeddings get a per-(dimension, copy) jitter for the same reason
+    * (verbatim vectors would collapse into identical LSH buckets). */
+  private val CandProbes: Seq[String] = Seq(
+    "q_dedup_minhash",
+    "q_dedup_simhash_neardup64",
+    "q_dedup_blob",
+    "q_decontaminate_bloom",
+    "q_ann_multiprobe"
+  )
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -85,6 +103,18 @@ object ScaleProbe {
       val sx = if (s1 > 0) ((s5 / s1) * 10).round / 10.0 else -1
       println(s"$name,$blowup,$t1,$t5,$tx,$s1,$s5,$sx")
     }
+
+    val bigU = "/root/repo/target/scaleprobe/sf0.5u"
+    buildUniqueReplica(spark, base, bigU, copies = 5)
+    spark.read.parquet(s"$bigU/documents.parquet").write.format("noop").mode("overwrite").save()
+    println("candidate_probe,sf0.1_s,sf0.5u_s,time_x,sf0.1_shuffle_mb,sf0.5u_shuffle_mb,shuffle_x")
+    CandProbes.foreach { name =>
+      val (t1, s1) = measure(name, base)
+      val (t5, s5) = measure(name, bigU)
+      val tx = if (t1 > 0) ((t5 / t1) * 10).round / 10.0 else -1
+      val sx = if (s1 > 0) ((s5 / s1) * 10).round / 10.0 else -1
+      println(s"$name,$t1,$t5,$tx,$s1,$s5,$sx")
+    }
     spark.stop()
   }
 
@@ -115,6 +145,42 @@ object ScaleProbe {
         .withColumn("user_id", col("user_id") + lit(i * 10000L)))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    java.nio.file.Files.createFile(done)
+    ()
+  }
+
+  /** Unique-text replica for the candidate-generation probes: copy 0 is
+    * verbatim; copies i > 0 prefix every token with `c<i>` (all shingles
+    * and band keys differ across copies) and jitter each embedding
+    * dimension deterministically. doc_id offset is 10M so the planted-dup
+    * ids some queries add (base + 1M) never collide with a replica id. */
+  def buildUniqueReplica(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
+    val done = java.nio.file.Paths.get(out, "_REPLICA_OK")
+    if (java.nio.file.Files.exists(done)) return
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until copies).map { i =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      if (i == 0) d
+      else d.withColumn("text",
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(lit(s"c$i"), t))))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until copies).map { i =>
+      val d = emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      if (i == 0) d
+      else d.withColumn("embedding",
+        transform(col("embedding"), (x, dIdx) =>
+          (x + (pmod(dIdx * 7 + lit(i * 13), lit(11)) - 5).cast("float") * lit(0.02f))
+            .cast("float")))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     java.nio.file.Files.createFile(done)
     ()

@@ -125,13 +125,23 @@ object Approx {
       seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the typed collect below reads (item, count) as (Long, Long) — fail
+    // fast on a non-long item column instead of a runtime cast error
+    // (ADVICE r5 #3)
+    require(df.schema(itemCol).dataType == org.apache.spark.sql.types.LongType,
+      s"heavyHitterSketchCheck requires a LongType itemCol; " +
+        s"'$itemCol' is ${df.schema(itemCol).dataType.simpleString}")
+    // NULL-safe split: splitCol===0 and splitCol=!=0 are both null-false,
+    // so an un-coalesced null split would drop rows from BOTH halves and
+    // spuriously fail merge_exact (ADVICE r5 #3)
+    val split = coalesce(splitCol, lit(0))
     val top = df.groupBy(col(itemCol)).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col(itemCol))
       .limit(topN)
       .as[(Long, Long)].collect()
     val whole = df.stat.countMinSketch(itemCol, eps, confidence, seed)
-    val merged = df.filter(splitCol === 0).stat.countMinSketch(itemCol, eps, confidence, seed)
-    merged.mergeInPlace(df.filter(splitCol =!= 0).stat.countMinSketch(itemCol, eps, confidence, seed))
+    val merged = df.filter(split === 0).stat.countMinSketch(itemCol, eps, confidence, seed)
+    merged.mergeInPlace(df.filter(split =!= 0).stat.countMinSketch(itemCol, eps, confidence, seed))
     val bound = math.max(1L, math.ceil(eps * whole.totalCount).toLong)
     val rows = top.toSeq.map { case (item, exact) =>
       val est = whole.estimateCount(item)

@@ -22,14 +22,22 @@ object Chunking {
     *
     * Scale: purely row-local (split + sequence-explode + slice are all
     * codegen'd projections) — chunking 100 TB shuffles nothing.
+    *
+    * NULL or token-less text is represented explicitly as ONE
+    * (start_pos 0, n_tok 0, chunk_text "") row — no document silently
+    * vanishes from the sample manifest, and the sequence() bound is
+    * guarded so an empty token array cannot throw (ADVICE r5 #2).
     */
   def chunkTokens(docs: DataFrame, textCol: String, size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride ($stride) <= size ($size)")
     docs
-      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+        coalesce(TextAnalysis.tokens(col(textCol)),
+          array().cast("array<string>")).as("_toks"))
       .select(col("doc_id"), col("_toks"),
-        explode(sequence(lit(0), org.apache.spark.sql.functions.size(col("_toks")) - 1,
+        explode(sequence(lit(0),
+          greatest(org.apache.spark.sql.functions.size(col("_toks")) - 1, lit(0)),
           lit(stride))).as("start_pos"))
       .select(
         col("doc_id"),

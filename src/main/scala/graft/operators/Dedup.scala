@@ -306,8 +306,15 @@ object Dedup {
     // ~(matches + fpp·|corpus|) rows. False positives are removed by the
     // exact equi-join itself — output is identical with or without.
     val csJoinSide = bloomFpp.fold(csf) { fpp =>
-      val probe = bloomMightContain(
-        esf.select(xxhash64(col("_s")).as("_h")), "_h", fpp) _
+      // stage the (tiny) eval hash set first: bloomMightContain takes two
+      // driver passes over its build side (count + bloomFilter), and
+      // without staging each pass would re-run the esf anti-join pipeline
+      // on top of its use in the main join (ADVICE r5 #4) — staged, both
+      // passes are scans of one small parquet. distinct() shrinks the
+      // build set; the filter's membership semantics are unchanged.
+      val evalHashes = graft.store.Staging.stage(
+        esf.select(xxhash64(col("_s")).as("_h")).distinct(), "decon_eval_hashes")
+      val probe = bloomMightContain(evalHashes, "_h", fpp) _
       csf.filter(probe(xxhash64(col("_s"))))
     }
     val inter = csJoinSide.join(esf, Seq("_s"))
@@ -468,11 +475,19 @@ object Dedup {
     * pass, same shape as the exact-dedup groupBy. */
   def spanDedup(docs: DataFrame, textCol: String, span: Int): DataFrame = {
     require(span > 0, s"span must be positive: $span")
+    // null text → empty token array, and token-less docs are excluded
+    // from the span explode (the guarded sequence() bound cannot throw)
+    // but kept in the output via the left join: n_spans 0, n_kept 0,
+    // clean_text "" (ADVICE r5 #2)
     val base = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
-    val spans = base
       .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("_toks")) - 1, lit(span))).as("start"),
+        coalesce(TextAnalysis.tokens(col(textCol)),
+          array().cast("array<string>")).as("_toks"))
+    val spans = base
+      .filter(size(col("_toks")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)),
+          lit(span))).as("start"),
         col("_toks"))
       .select(col("doc_id"), col("start").cast("long").as("start"),
         md5(concat_ws(" ", slice(col("_toks"), col("start") + 1, lit(span)))

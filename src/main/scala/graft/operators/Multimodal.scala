@@ -60,6 +60,30 @@ object Multimodal {
         ascii(decode(col("content").substr(col("byte_offset").cast("int") + 1, lit(1)), "UTF-8"))
           .cast("long").as("frame_val"))
 
+  /** 32-bit md5-nibble SimHash over BYTE n-gram shingles of the blob —
+    * content-level near-dup fingerprints that need NO codec: a re-encoded
+    * header tweak or truncated tail changes few shingles, so
+    * near-identical blobs land within a small hamming radius. Shingles
+    * are taken over hex(content) at byte-aligned offsets (substr of a
+    * bound hex column: engine-portable — Spark and DuckDB both hex to
+    * uppercase — and the md5-nibble vote family is the same one
+    * q_dedup_simhash value-checks). The hex column is materialized ONCE
+    * per row before the shingle HOF (a captured hex() would re-run per
+    * element — see Dedup.tokenShingles); blobs with fewer than `n` bytes
+    * have no shingles and drop from the fingerprint frame (they cannot
+    * pair). Reuses [[Dedup.simhash32Frame]]'s explode → md5 → vote → pack
+    * shape: one shuffle of (id, 32 counters), blob bytes never shuffle. */
+  def blobSimhash32(blobs: DataFrame, idCol: String, n: Int = 4): DataFrame = {
+    val withHex = blobs.select(
+      col(idCol), col("n_bytes"), hex(col("content")).as("_hex"))
+    val grams = transform(
+      sequence(lit(1L), greatest(col("n_bytes") - (n - 1), lit(1L))),
+      i => col("_hex").substr((i * 2 - 1).cast("int"), lit(2 * n)))
+    val shingles = when(col("n_bytes") >= n, grams)
+      .otherwise(array().cast("array<string>"))
+    Dedup.simhash32Frame(withHex, idCol, shingles)
+  }
+
   implicit private val blobEnc: Encoder[Blob] = Encoders.product[Blob]
   implicit private val featEnc: Encoder[BlobFeatures] = Encoders.product[BlobFeatures]
 

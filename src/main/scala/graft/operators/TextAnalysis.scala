@@ -303,6 +303,15 @@ object TextAnalysis {
     * order-independent under summation, and reproducible in any engine —
     * a float BM25 would tie the hash compare to libm's ln().
     *
+    * The products run in decimal(38,0), not Int64 (ADVICE r5 #1): the
+    * numerator is ~S·2N·44·tf·Σdl, which passes 2^63 already at ~10^9
+    * total tokens × 10^8 docs and would silently wrap in non-ANSI Spark
+    * while DuckDB promotes — the engines would diverge exactly at the
+    * scale the operator claims. Decimal keeps the arithmetic exact up to
+    * 10^38, i.e. N·tf·Σdl < ~10^32 — comfortably past a 100 TB corpus
+    * (10^10 docs × 10^13 tokens needs ~10^29); the quotient itself is
+    * small and DIV returns a long, so the output schema is unchanged.
+    *
     * Shape: only postings of the query's terms survive the explode
     * (row-local filter), so the shuffle carries |terms|·df postings, not
     * the corpus; df and the corpus totals broadcast (3 rows + 1 row).
@@ -328,8 +337,8 @@ object TextAnalysis {
       .join(dl, idCol)
       .crossJoin(broadcast(totals))
       .withColumn("_contrib", expr(
-        s"($scale * (2*n_docs - 2*dfreq + 1) * 44 * tf * sumdl) DIV " +
-          "((2*dfreq + 1) * (20*tf*sumdl + 6*sumdl + 18*dl*n_docs))"))
+        s"(CAST($scale AS DECIMAL(38,0)) * (2*n_docs - 2*dfreq + 1) * 44 * tf * sumdl) DIV " +
+          "(CAST(2*dfreq + 1 AS DECIMAL(38,0)) * (CAST(20 AS DECIMAL(38,0))*tf*sumdl + CAST(6 AS DECIMAL(38,0))*sumdl + CAST(18 AS DECIMAL(38,0))*dl*n_docs))"))
       .groupBy(col(idCol))
       .agg(sum(col("_contrib")).as("score_bp"))
       .orderBy(col("score_bp").desc, col(idCol))

@@ -1464,6 +1464,54 @@ object PipelineQueries {
              |       CAST(list_sum(vals) AS BIGINT) AS frame_sum
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Blob dedup WITHOUT codecs (the image/audio-dedup shape, honest
+    // offline): exact duplicates by md5-of-bytes, near-duplicates by a
+    // 32-bit md5-nibble simhash over BYTE 4-gram shingles of the raw
+    // blob (Multimodal.blobSimhash32 — shingles over hex(content) at
+    // byte-aligned offsets, so both engines see identical strings), with
+    // candidates from the same pigeonhole block join as
+    // q_dedup_simhash_neardup (4 blocks ⇒ exact recall at hamming ≤ 3).
+    // Output: candidate pair, hamming, and an exact_dup flag from the
+    // byte-level md5 — the oracle recomputes fingerprints from the same
+    // byte shingles and verifies ALL-PAIRS, so blocked recall is checked
+    // end-to-end, not assumed. Blob bytes never shuffle: fingerprints are
+    // (id, long), pairs verify in place.
+    Q("q_dedup_blob",
+      (s, dir) => {
+        val blobs = Multimodal.toBlobTable(Tables.documents(s, dir), "doc_id", "text", "text")
+        val fps = Multimodal.blobSimhash32(blobs, "doc_id", n = 4)
+        val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "fp",
+          nbits = 32, blocks = 4, maxHamming = 3)
+        val keyed = blobs.select(col("doc_id"), col("content_md5"))
+        pairs
+          .join(keyed.select(col("doc_id").as("id_a"), col("content_md5").as("_ma")), Seq("id_a"))
+          .join(keyed.select(col("doc_id").as("id_b"), col("content_md5").as("_mb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("hamming"),
+            (col("_ma") === col("_mb")).cast("long").as("exact_dup"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH hx AS (
+             |  SELECT doc_id, hex(text) AS h, md5(text) AS m FROM documents
+             |), sh AS (
+             |  SELECT doc_id, m,
+             |         [md5(substr(h, (2*i-1)::INT, 8)) for i in range(1, (len(h)//2 - 2)::INT)] AS hs
+             |  FROM hx WHERE len(h)//2 >= 4
+             |), fp AS (
+             |  SELECT doc_id, m,
+             |    CAST(list_sum(list_transform(range(1, 33), j ->
+             |      CASE WHEN list_sum(list_transform(hs, hh ->
+             |             CASE WHEN substr(hh, j::INT, 1) IN ('8','9','a','b','c','d','e','f')
+             |                  THEN 1 ELSE -1 END)) > 0
+             |           THEN (1::BIGINT << (32 - j::INT)) ELSE 0 END)) AS BIGINT) AS fp
+             |  FROM sh
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+             |       CAST(CASE WHEN a.m = b.m THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Per-language length-decile binning (ntile) — the calibration step
     // a curation pipeline uses to stratify thresholds per language
     // instead of one global cutoff. (doc_id tie-break makes the decile

@@ -277,6 +277,11 @@ object StoreQueries {
     // final summary per key must equal the batch aggregation. last_value
     // follows the shared lexicographic (ts, value) max, so duplicate
     // max-timestamps cannot diverge between engines.
+    // DEMO SINK (VERDICT r5 Next #6): Update-mode output cannot use the
+    // Append-only file sink, so this lands in a memory sink — bounded
+    // here (150 keys at sf0.1), but at 100× you would route Update-mode
+    // state through foreachBatch MERGE into a store, exactly the shape
+    // q_stream_matview runs. The state machinery itself is unchanged.
     Q("q_stream_traj_state",
       (s, dir) => {
         val store = SnapshotStore.ensureReplayStore(s, dir)
@@ -656,6 +661,9 @@ object StoreQueries {
     // RocksDB-backed) — the modern twin of q_stream_traj_state's
     // mapGroupsWithState. Single-data-batch replay ⇒ the final state per
     // key equals the batch totals, which is the oracle.
+    // DEMO SINK (VERDICT r5 Next #6): Update-mode memory sink, bounded
+    // (150 keys); the 100× route for Update-mode state is foreachBatch
+    // MERGE into a store — q_stream_matview's exact shape.
     Q("q_stream_tws",
       (s, dir) => {
         val path = SnapshotStore.ensureReplayStore(s, dir)

@@ -459,4 +459,45 @@ class DedupSpec extends SparkSpec {
     // and the unique docs never surface
     assert(pairs == Set((11L, 1L), (12L, 1L)), s"got $pairs")
   }
+
+  test("blob dedup: byte-shingle simhash surfaces planted exact + near dups") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val blobs = graft.operators.Multimodal.toBlobTable(
+      Seq(
+        (0L, base),                       // original
+        (1L, base),                       // exact byte dup of 0
+        (2L, base.replace("tok7", "tok9")), // near dup: few bytes differ
+        (3L, (100 to 140).map(i => s"zz$i").mkString(" ")) // unrelated
+      ).toDF("doc_id", "text"),
+      "doc_id", "text", "text")
+    val fps = graft.operators.Multimodal.blobSimhash32(blobs, "doc_id", n = 4)
+    // exact dup ⇒ identical fingerprint (deterministic projection)
+    val fpMap = fps.as[(Long, Long)].collect().toMap
+    assert(fpMap(0L) == fpMap(1L), "exact byte dup must share the fingerprint")
+    val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "fp",
+        nbits = 32, blocks = 4, maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair missing")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      s"planted near-dup pair missing: $pairs")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+      s"unrelated blob paired: $pairs")
+  }
+
+  test("blobSimhash32: sub-n blobs drop out; hex shingles are byte-aligned") {
+    val blobs = graft.operators.Multimodal.toBlobTable(
+      Seq((1L, "abc"), (2L, "abcd")).toDF("doc_id", "text"),
+      "doc_id", "text", "text")
+    val fps = graft.operators.Multimodal.blobSimhash32(blobs, "doc_id", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(!fps.contains(1L), "3-byte blob has no 4-byte shingle")
+    // "abcd" has exactly one 4-byte shingle: md5("61626364")'s nibble
+    // votes give ±1 per bit — fp = the high-nibble mask of that md5
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("61626364".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expected = h.take(32).zipWithIndex.foldLeft(0L) { case (acc, (c, _)) =>
+      (acc << 1) | (if (Character.digit(c, 16) >= 8) 1L else 0L)
+    }
+    assert(fps(2L) == expected, f"fp=${fps(2L)}%08x expected=$expected%08x")
+  }
 }
