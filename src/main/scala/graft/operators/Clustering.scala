@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed Lloyd k-means over an embedding column, plus
+  * the SemDeDup-style within-cluster semantic dedup built on it.
+  *
+  * The TRAINED coarse quantizer the IVF path deliberately skips
+  * (`Similarity.ivfTopK` uses a data-independent id-based quantizer):
+  * this is the real thing, shaped for Spark's execution model —
+  *
+  *  - **Assignment is row-local.** Centroids are k·D integers held on the
+  *    driver and inlined as literals, so each Lloyd pass maps every
+  *    vector with a codegen'd `least(struct(dist_j, j), ...)` projection:
+  *    no join, no shuffle, no per-row candidate explosion. On a
+  *    1000-executor cluster the centroid table rides the closure exactly
+  *    like a broadcast variable (k=256, D=1024 is still 2 MB).
+  *  - **The update is one map-side-combined aggregation.** posexplode to
+  *    (cluster, dim, x) then sum/count: partial aggregation reduces the
+  *    shuffle to ~partitions·k·D rows regardless of input size, and the
+  *    k·D aggregated sums collected to the driver are statistics, not
+  *    data (same contract as Approx's top-N probe keys).
+  *  - **Everything is exact int64.** Vectors are quantized to mils
+  *    (floor(x·1000)) up front; distances are Σ(a−b)² over ints and the
+  *    centroid update is a floor-mean, so a DuckDB oracle replays the
+  *    identical iteration trail bit-for-bit — no FP convergence drift
+  *    between engines, which is what makes a CHECKABLE k-means possible.
+  *
+  * Determinism contract (mirrored verbatim in the oracle SQL):
+  *  - init: centroids 0..k−1 = the quantized vectors of the k lowest ids;
+  *  - assignment ties broken toward the lowest centroid index;
+  *  - centroid update = per-dimension floor(sum/count);
+  *  - a cluster left empty keeps its previous centroid.
+  *
+  * The quantized frame is staged once (content-keyed parquet) — each
+  * Lloyd pass re-reads a compact (id, D longs) file scan instead of
+  * re-deriving the projection, and that staged frame IS the quantized
+  * vector store a production IVF build persists.
+  */
+object Clustering {
+
+  /** floor(x·1000) per dimension as int64 — the exact-arithmetic currency
+    * every distance/centroid computation downstream uses. */
+  def quantizeMils(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Squared L2 distance to each driver-held centroid as a codegen'd
+    * projection; returns struct(d, c) of the nearest (ties → lowest c). */
+  private def nearest(cents: Array[Array[Long]], v: Column): Column = {
+    val packed = cents.zipWithIndex.map { case (c, j) =>
+      struct(
+        aggregate(
+          zip_with(v, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(j.toLong).as("c"))
+    }
+    // array_min, not least(): least's type unification re-labels struct
+    // fields (col1/col2), losing the d/c names callers read
+    if (packed.length == 1) packed.head else array_min(array(packed.toSeq: _*))
+  }
+
+  /** `iters` full Lloyd iterations (assign + update), then a final
+    * assignment against the trained centroids. Output: (idCol, cluster,
+    * dist) — dist is the exact int64 squared distance in mils². */
+  def kmeans(points: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
+      : DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1 ($k), iters >= 0 ($iters)")
+    val q = graft.store.Staging.stage(
+      points.select(col(idCol), quantizeMils(col(vecCol)).as("_qv")),
+      s"kmeans_q$k")
+
+    var cents: Array[Array[Long]] = q.orderBy(col(idCol)).limit(k)
+      .select(col("_qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+
+    for (_ <- 0 until iters) {
+      // one job per iteration: row-local assignment feeding a
+      // map-side-combined (cluster, dim) aggregation; k·D rows collected
+      // the projection boundary before the field extraction matters:
+      // getField directly on the composite resolves against CreateStruct
+      // before its name placeholders fill (col1/col2), so the struct is
+      // aliased in one select and its fields read in the next
+      val sums = q
+        .select(col("_qv"), nearest(cents, col("_qv")).as("_a"))
+        .select(col("_a").getField("c").as("_c"),
+          posexplode(col("_qv")).as(Seq("_d", "_x")))
+        .groupBy(col("_c"), col("_d"))
+        .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2), r.getLong(3)))
+      val byCluster = sums.groupBy(_._1)
+      cents = cents.zipWithIndex.map { case (prev, j) =>
+        byCluster.get(j) match {
+          case Some(ds) => // floor-mean per dimension; exact ints
+            val byDim = ds.map(d => d._2 -> ((d._3, d._4))).toMap
+            prev.indices.map { d =>
+              val (s, n) = byDim(d)
+              Math.floorDiv(s, n)
+            }.toArray
+          case None => prev // empty cluster keeps its centroid
+        }
+      }
+    }
+
+    q.select(col(idCol), nearest(cents, col("_qv")).as("_a"))
+      .select(col(idCol), col("_a").getField("c").as("cluster"),
+        col("_a").getField("d").as("dist"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    * embedding space, then drop every vector that has a LOWER-id neighbor
+    * in its own cluster with cosine ≥ `minSimPpm`. Pairing is confined to
+    * clusters — at 100 TB the pair count is Σ|cluster|², tuned by k, not
+    * n² — and the similarity runs on the original float vectors with the
+    * sequential-fold dot product both engines compute bit-identically.
+    * Output: (idCol, cluster, kept 0/1) — the keep-mask shape of
+    * q_dedup_keep, so downstream filters compose the same way. */
+  def semDedup(points: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, minSimPpm: Long): DataFrame = {
+    // label carries (k, iters): the assignment plan's centroid literals
+    // can truncate in the canonicalized-plan key text, and (k, iters) is
+    // what distinguishes two trainings over the same staged input
+    val asg = graft.store.Staging.stage(
+      kmeans(points, idCol, vecCol, k, iters), s"semdedup_asg${k}i$iters")
+    val withVec = asg.join(points.select(col(idCol), col(vecCol)), Seq(idCol))
+    val a = withVec.select(col(idCol).as("_ida"), col("cluster"), col(vecCol).as("_va"))
+    val b = withVec.select(col(idCol).as("_idb"), col("cluster"), col(vecCol).as("_vb"))
+    val pruned = a.join(b, Seq("cluster"))
+      .filter(col("_idb") < col("_ida"))
+      .filter(Similarity.cosinePpm(col("_va"), col("_vb")) >= minSimPpm)
+      .select(col("_ida").as(idCol)).distinct()
+    asg.join(pruned.withColumn("_p", lit(0)), Seq(idCol), "left_outer")
+      .select(col(idCol), col("cluster"), coalesce(col("_p"), lit(1)).as("kept"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation on edge frames. Complements the
+  * connected-components min-label propagation in [[Dedup]] with the other
+  * canonical fixed-point workload: PageRank.
+  *
+  * Exact-integer formulation so a SQL oracle replays the identical
+  * trail: ranks live in parts-per-billion of total mass (scale 10⁹),
+  * every division is a floor over positive operands, and each update is
+  *
+  *   rank′(v) = floor(15·base/100) + floor(85·Σ_{u→v} floor(rank(u)/deg(u)) / 100)
+  *
+  * with base = floor(10⁹/N). IEEE doubles are exact below 2⁵³ and all
+  * intermediates stay under ~10¹¹, so floor(double-div) on both engines
+  * is the same integer — no FP drift across iterations.
+  *
+  * Scale shape: edges (+ out-degree) are staged once as a content-keyed
+  * parquet frame; each iteration is one shuffle-on-dst aggregation of
+  * (dst, contrib-long) — partial aggregation combines map-side, and the
+  * rank frame (N rows, two longs) is re-staged per iteration so the plan
+  * stays flat instead of growing a 3-deep join tree, and an executor
+  * loss replays a file scan, not the whole iteration lineage. Dangling
+  * nodes are avoided by construction here (callers pass symmetric or
+  * closed edge sets); a general dangling-mass redistribution would add
+  * one scalar aggregate per iteration.
+  */
+object Graph {
+
+  /** PageRank over `edges` (cols: src, dst; duplicates tolerated —
+    * deduped internally). Returns (node, rank) with rank in ppb. */
+  def pagerank(edges: DataFrame, iters: Int, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val e = graft.store.Staging.stage(
+      edges.select(col("src"), col("dst")).distinct(), "pr_edges")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = graft.store.Staging.stage(e.join(deg, Seq("src")), "pr_edges_deg")
+    val nodes = graft.store.Staging.stage(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct(),
+      "pr_nodes")
+
+    val n = nodes.count() // driver-side scalar, same class as AQE stats
+    require(n > 0, "empty graph")
+    val base = scale / n // positive ⇒ trunc == floor
+    val hold = (15L * base) / 100L
+
+    var ranks = nodes.select(col("node"), lit(base).as("rank"))
+    for (i <- 0 until iters) {
+      val contrib = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"),
+          floor(col("rank").cast("double") / col("deg")).cast("long").as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
+      ranks = graft.store.Staging.stage(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left_outer")
+          .select(nodes("node"),
+            (lit(hold) +
+              floor(coalesce(col("_in"), lit(0L)) * 85 / lit(100.0)).cast("long"))
+              .as("rank")),
+        s"pr_ranks_i$i")
+    }
+    ranks
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequential per-entity time-series folds that a window frame cannot
+  * express: an EWMA with floor-rounding is a recurrence (each state
+  * depends on the rounded previous state), so it cannot be rewritten as
+  * a closed-form weighted window sum — it has to be FOLDED in order.
+  *
+  * Spark shape: one shuffle groups each entity's rows, `sort_array`
+  * orders them row-locally, and `aggregate` (the Catalyst fold HOF) runs
+  * the recurrence inside the executor — the exact shape of the greedy
+  * packer in [[Chunking]]. Entities are independent, so 100 TB of
+  * telemetry folds as width, not depth; a single entity's history must
+  * fit a task (same bound as any per-key collect, and the honest
+  * contract of an ordered recurrence).
+  *
+  * Exact-integer determinism: values are folded as mils
+  * (floor(value·1000)); the EWMA update is
+  * e′ = floor(((den−1)·e + v)/den) over non-negative ints, replayed
+  * verbatim by a recursive-CTE oracle.
+  */
+object TimeSeries {
+
+  /** Per-key EWMA (α = 1/den) + threshold anomaly count. A row is an
+    * anomaly when |v − e_prev| > threshMils, judged from the second row
+    * on (the first row seeds the EWMA). Output: (keyCol, n_events,
+    * ewma_mils, n_anomalies) — the final smoothed level and how many
+    * points broke from it. */
+  def ewmaAnomaly(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column,
+      den: Int,
+      threshMils: Long): DataFrame = {
+    require(den >= 2, s"den must be >= 2: $den")
+    val rows = df.select(col(keyCol),
+      struct(tsCol.as("t"), tieCol.as("i"),
+        floor(valueCol.cast("double") * 1000).cast("long").as("v")).as("_r"))
+    val folded = rows
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("_r"))).as("_rs"))
+      .select(col(keyCol), size(col("_rs")).cast("long").as("n_events"),
+        aggregate(
+          col("_rs"),
+          struct(lit(-1L).as("e"), lit(0L).as("na")),
+          (acc: Column, r: Column) => {
+            val v = r.getField("v")
+            val seeded = acc.getField("e") =!= -1L
+            struct(
+              when(!seeded, v)
+                .otherwise(floor((acc.getField("e") * (den - 1) + v) / lit(den.toDouble))
+                  .cast("long")).as("e"),
+              (acc.getField("na") +
+                when(seeded && abs(v - acc.getField("e")) > threshMils, 1L)
+                  .otherwise(0L)).as("na"))
+          }).as("_f"))
+    folded.select(col(keyCol), col("n_events"),
+      col("_f").getField("e").as("ewma_mils"),
+      col("_f").getField("na").as("n_anomalies"))
+  }
+}

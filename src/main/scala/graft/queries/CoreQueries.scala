@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Encodings, Flatten, Normalize, Stats, Trajectory}
+import graft.operators.{Encodings, Flatten, Graph, Normalize, Stats, TimeSeries, Trajectory}
 import graft.sources.Tables
 
 /** One registered, oracle-checked query. `oracle` is ANSI-ish SQL runnable
@@ -864,6 +864,118 @@ object CoreQueries {
              |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 1000) AS BIGINT) END), 0) AS BIGINT) AS purchase,
              |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN CAST(floor(value * 1000) AS BIGINT) END), 0) AS BIGINT) AS signup,
              |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN CAST(floor(value * 1000) AS BIGINT) END), 0) AS BIGINT) AS view
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Iterative PageRank over the part⇄supplier bipartite graph from
+    // lineitem (symmetric edges, so no dangling mass). Exact-integer
+    // ranks in ppb replayed verbatim by the unrolled-iteration oracle;
+    // Σrank stays ≈10⁹, suppliers surface as the hubs. The iterative
+    // fixed-point class (rank propagation) alongside the min-label
+    // propagation that connected-components covers.
+    Q("q_pagerank",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val fwd = li.select(col("l_partkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        val rev = li.select((col("l_suppkey") + 1000000L).as("src"),
+          col("l_partkey").as("dst"))
+        Graph.pagerank(fwd.union(rev), iters = 3).orderBy("node")
+      },
+      Some(pagerankOracle(3))),
+
+    // SCD2 dimension-history build (gaps-and-islands change capture):
+    // collapse each user's event_type runs into versioned validity
+    // intervals — contiguous valid_to = next valid_from, open intervals
+    // marked current. Two window passes + one aggregation: the change
+    // flags and run ids are per-key window functions, so the whole build
+    // is one shuffle on user_id at any scale.
+    Q("q_scd2",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("event_type"), 1).over(w)
+        val withChg = Tables.events(s, dir).select(
+          col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("tus"),
+          when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L).as("chg"))
+        val withVer = withChg.withColumn("version",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wl = Window.partitionBy(col("user_id")).orderBy(col("version"))
+        val nxt = lead(col("valid_from_us"), 1).over(wl)
+        withVer.groupBy(col("user_id"), col("version"))
+          .agg(min(col("event_type")).as("event_type"),
+            min(col("tus")).as("valid_from_us"))
+          .select(col("user_id"), col("version"), col("event_type"), col("valid_from_us"),
+            coalesce(nxt, lit(-1L)).as("valid_to_us"),
+            when(nxt.isNull, 1L).otherwise(0L).as("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+             |         row_number() OVER w AS rn,
+             |         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), v AS (
+             |  SELECT user_id, event_type, tus,
+             |         sum(chg) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS version
+             |  FROM o
+             |), g AS (
+             |  SELECT user_id, CAST(version AS BIGINT) AS version, min(event_type) AS event_type,
+             |         min(tus) AS valid_from_us
+             |  FROM v GROUP BY user_id, version
+             |)
+             |SELECT user_id, version, event_type, valid_from_us,
+             |       coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version), -1) AS valid_to_us,
+             |       CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+             |FROM g ORDER BY user_id, version""".stripMargin)),
+
+    // Per-user EWMA (α=1/4) + threshold anomaly count — an ordered
+    // integer recurrence (floor-rounded state) no window frame can
+    // express, folded row-locally per entity after one shuffle; the
+    // oracle replays the identical fold with a recursive CTE.
+    Q("q_ewma_anomaly",
+      (s, dir) => TimeSeries.ewmaAnomaly(Tables.events(s, dir), "user_id",
+          unix_micros(col("ts")), col("event_id"), col("value"),
+          den = 4, threshMils = 80000L)
+        .orderBy("user_id"),
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             |         CAST(floor(value*1000) AS BIGINT) AS v
+             |  FROM events
+             |), r AS (
+             |  SELECT user_id, rn, v AS e, CAST(0 AS BIGINT) AS na FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.user_id, t.rn, CAST(floor((3*r.e + t.v)/4.0) AS BIGINT) AS e,
+             |         r.na + CASE WHEN abs(t.v - r.e) > 80000 THEN 1 ELSE 0 END AS na
+             |  FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+             |)
+             |SELECT user_id, max(rn) AS n_events, arg_max(e, rn) AS ewma_mils,
+             |       arg_max(na, rn) AS n_anomalies
+             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
+
+  /** Unrolled-iteration DuckDB oracle for [[Graph.pagerank]] over the
+    * part⇄supplier graph — same base/hold floors, same per-iteration
+    * contrib floor-div, generated for the same `iters`. */
+  private def pagerankOracle(iters: Int): String = {
+    val head = Seq(
+      """e AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+        |       UNION SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst FROM lineitem)""".stripMargin,
+      "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+      "nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e)",
+      """nb AS (SELECT CAST(floor(1000000000.0 / count(*)) AS BIGINT) AS base,
+        |               CAST(floor(15 * CAST(floor(1000000000.0 / count(*)) AS BIGINT) / 100.0) AS BIGINT) AS hold
+        |        FROM nodes)""".stripMargin,
+      "r0 AS (SELECT node, (SELECT base FROM nb) AS rank FROM nodes)")
+    val steps = (1 to iters).flatMap { t =>
+      Seq(
+        s"""ct$t AS (
+           |  SELECT e.dst AS node, sum(CAST(floor(r.rank / d.deg) AS BIGINT)) AS inflow
+           |  FROM e JOIN r${t - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst)""".stripMargin,
+        s"""r$t AS (
+           |  SELECT n.node, (SELECT hold FROM nb) + CAST(floor(coalesce(c.inflow, 0) * 85 / 100.0) AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN ct$t c USING (node))""".stripMargin)
+    }
+    "WITH " + (head ++ steps).mkString(",\n") +
+      s"\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
 }

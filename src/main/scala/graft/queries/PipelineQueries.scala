@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -1688,6 +1688,82 @@ object PipelineQueries {
              |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
              |       coalesce(string_agg(span, ' ' ORDER BY start) FILTER (WHERE kept),
              |                '') AS clean_text
-             |FROM mask GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM mask GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Trained coarse quantizer: deterministic distributed Lloyd k-means
+    // over mils-quantized embeddings (k lowest ids seed, lowest-index
+    // ties, floor-mean updates — all exact int64, so the oracle replays
+    // the identical 3-iteration trail). Assignment is a row-local
+    // codegen'd projection against driver-held centroids; each update is
+    // one map-side-combined (cluster, dim) aggregation. The trained twin
+    // of q_ann_ivf's data-independent quantizer.
+    Q("q_cluster_kmeans",
+      (s, dir) =>
+        Clustering.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+            k = 8, iters = 3)
+          .orderBy("vec_id"),
+      Some(kmeansOracle(k = 8, iters = 3, dims = 64) +
+        "\nSELECT vec_id, c AS cluster, dist FROM af ORDER BY vec_id")),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup = k-means partition +
+    // within-cluster cosine pruning against lower-id neighbors. Pair
+    // count is Σ|cluster|² (k tunes it), never n²; similarity runs on
+    // the original float vectors via the bit-stable sequential-fold dot.
+    Q("q_semdedup",
+      (s, dir) =>
+        Clustering.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+            k = 8, iters = 3, minSimPpm = 350000L)
+          .orderBy("vec_id"),
+      Some(kmeansOracle(k = 8, iters = 3, dims = 64) +
+        """, ve AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          |dup AS (
+          |  SELECT DISTINCT a.vec_id AS vid
+          |  FROM af a JOIN af b ON a.c = b.c AND b.vec_id < a.vec_id
+          |  JOIN ve x ON a.vec_id = x.vec_id JOIN ve y ON b.vec_id = y.vec_id
+          |  WHERE CAST(floor(list_dot_product(x.e, y.e)
+          |        / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+          |        * 1000000.0) AS BIGINT) >= 350000)
+          |SELECT af.vec_id, af.c AS cluster,
+          |       CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+          |FROM af LEFT JOIN dup d ON af.vec_id = d.vid ORDER BY af.vec_id""".stripMargin))
   )
+
+  /** DuckDB CTE chain replaying [[Clustering.kmeans]] verbatim: `q` =
+    * mils-quantized vectors, `c0` = k-lowest-id seed, then per iteration
+    * an assignment (`a<t>`: min (dist, c) by row_number), a per-dim
+    * floor-mean (`u<t>`), and the centroid update with empty-cluster
+    * carry-over (`c<t>`); `af` = the final assignment with its exact
+    * int64 squared distance. Callers append the SELECT over `af`. */
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String = {
+    def assign(name: String, prev: String, withDist: Boolean): String = {
+      val dist =
+        s"list_sum([ (q.v[i]-cc.v[i])*(q.v[i]-cc.v[i]) for i in range(1, ${dims + 1}) ])"
+      val dcol = if (withDist) s",\n           CAST($dist AS BIGINT) AS dist" else ""
+      val outd = if (withDist) ", dist" else ""
+      s"""$name AS (
+         |  SELECT vec_id, v, c$outd FROM (
+         |    SELECT q.vec_id, q.v, cc.c$dcol,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY $dist, cc.c) AS rn
+         |    FROM q, $prev cc) WHERE rn = 1)""".stripMargin
+    }
+    val head = Seq(
+      "q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS v FROM embeddings)",
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, v
+         |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k))""".stripMargin)
+    val steps = (1 to iters).flatMap { t =>
+      Seq(
+        assign(s"a$t", s"c${t - 1}", withDist = false),
+        s"""u$t AS (
+           |  SELECT c, CAST(d.i AS INT) AS dim,
+           |         CAST(floor(sum(v[CAST(d.i AS INT)])/count(*)) AS BIGINT) AS cv
+           |  FROM a$t, LATERAL unnest(range(1, ${dims + 1})) AS d(i)
+           |  GROUP BY c, d.i)""".stripMargin,
+        s"""c$t AS (
+           |  SELECT p.c,
+           |         CASE WHEN count(u.cv) = $dims THEN list(u.cv ORDER BY u.dim)
+           |              ELSE any_value(p.v) END AS v
+           |  FROM c${t - 1} p LEFT JOIN u$t u USING (c) GROUP BY p.c)""".stripMargin)
+    }
+    "WITH " + (head ++ steps :+ assign("af", s"c$iters", withDist = true)).mkString(",\n")
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated blobs in 4-d; ids interleaved across blobs so the
+  // k-lowest-id seed starts with one centroid in each
+  private def blobs = Seq(
+    (1L, Seq(0.10f, 0.10f, 0.00f, 0.00f)),
+    (2L, Seq(0.90f, 0.90f, 1.00f, 1.00f)),
+    (3L, Seq(0.12f, 0.09f, 0.01f, 0.02f)),
+    (4L, Seq(0.88f, 0.91f, 0.99f, 0.98f)),
+    (5L, Seq(0.11f, 0.11f, 0.02f, 0.01f)),
+    (6L, Seq(0.92f, 0.89f, 1.01f, 0.99f))
+  ).toDF("vec_id", "embedding")
+
+  test("kmeans separates planted blobs; dist is the exact int64 mils² distance") {
+    val r = Clustering.kmeans(blobs, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val byCluster = r.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    assert(byCluster(0L) == Set(1L, 3L, 5L), s"cluster 0: $byCluster")
+    assert(byCluster(1L) == Set(2L, 4L, 6L), s"cluster 1: $byCluster")
+    // exact distance replay for point 1 against the converged centroid of
+    // {1,3,5}: quantized mils are floor(x·1000 as double); centroid =
+    // per-dim floor-mean (replayed from the same float values, not
+    // hand-rounded — 0.11f·1000 is 109.9999…, not 110)
+    val q = Seq(
+      Seq(0.10f, 0.10f, 0.00f, 0.00f),
+      Seq(0.12f, 0.09f, 0.01f, 0.02f),
+      Seq(0.11f, 0.11f, 0.02f, 0.01f)
+    ).map(_.map(x => math.floor(x.toDouble * 1000).toLong))
+    val cent = (0 until 4).map(d => Math.floorDiv(q.map(_(d)).sum, 3L))
+    val expected = q.head.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(r.find(_._1 == 1L).get._3 == expected)
+  }
+
+  test("kmeans is deterministic across invocations") {
+    val a = Clustering.kmeans(blobs, "vec_id", "embedding", 2, 3).collect().toSeq
+    val b = Clustering.kmeans(blobs, "vec_id", "embedding", 2, 3).collect().toSeq
+    assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
+  }
+
+  test("iters=0 assigns against the raw k-lowest-id seed") {
+    val r = Clustering.kmeans(blobs, "vec_id", "embedding", k = 2, iters = 0)
+      .as[(Long, Long, Long)].collect()
+    // seeds are vectors of ids 1 and 2; id 1 must sit at distance 0
+    assert(r.find(_._1 == 1L).get._3 == 0L)
+    assert(r.find(_._2 == 1L).get._1 % 2 == 0L, "blob-2 points go to seed 2")
+  }
+
+  test("empty cluster keeps its previous centroid (k > distinct points)") {
+    val tiny = Seq(
+      (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(0.001f, 0.0f)),
+      (3L, Seq(0.002f, 0.0f))).toDF("vec_id", "embedding")
+    // k=3 over 3 near-identical points: after quantization points 1,2
+    // collide at (0,0)-ish and centroid 2 can starve — must not throw,
+    // and every point still gets its nearest (lowest-index tie) centroid
+    val r = Clustering.kmeans(tiny, "vec_id", "embedding", k = 3, iters = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(r.length == 3)
+    assert(r.forall(_._3 >= 0))
+  }
+
+  test("assignment ties break toward the lowest centroid index") {
+    // both seed vectors quantize identically ⇒ every point is equidistant
+    // to centroid 0 and 1 ⇒ all assignments must be 0
+    val dup = Seq(
+      (1L, Seq(0.5f, 0.5f)),
+      (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(0.5004f, 0.5f))).toDF("vec_id", "embedding")
+    val r = Clustering.kmeans(dup, "vec_id", "embedding", k = 2, iters = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(r.forall(_._2 == 0L), r.mkString(","))
+  }
+
+  test("semDedup prunes higher-id near-identical vectors within a cluster only") {
+    val vecs = Seq(
+      (1L, Seq(0.10f, 0.10f, 0.00f, 0.00f)), // kept (lowest id of its pair)
+      (2L, Seq(0.90f, 0.90f, 1.00f, 1.00f)), // kept
+      (3L, Seq(0.10f, 0.10f, 0.00f, 0.00f)), // dup of 1 → pruned
+      (4L, Seq(0.90f, 0.90f, 1.00f, 1.00f)), // dup of 2 → pruned
+      (5L, Seq(0.00f, 0.00f, 0.30f, 0.00f))  // same cluster as 1, dissimilar → kept
+    ).toDF("vec_id", "embedding")
+    val r = Clustering.semDedup(vecs, "vec_id", "embedding", k = 2, iters = 2,
+        minSimPpm = 990000L)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 1L), r.toString)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank on a symmetric pair: ranks stay equal and conserve mass") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pagerank(e, iters = 3).as[(Long, Long)].collect().toMap
+    // base = 5e8 each; every iteration hands the full rank across and
+    // takes 15% hold + 85% inflow — symmetric, so ranks remain equal
+    assert(r(1L) == r(2L), r.toString)
+    // hold + 85% of a full rank ≈ base (floor losses only)
+    assert(math.abs(r(1L) - 500000000L) < 100L, r.toString)
+  }
+
+  test("pagerank: a hub referenced by all spokes outranks them") {
+    // star with back-edges (symmetric, no dangling): hub 0 ⇄ spokes 1..5
+    val edges = (1L to 5L).flatMap(s => Seq((0L, s), (s, 0L))).toDF("src", "dst")
+    val r = Graph.pagerank(edges, iters = 3).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(s => r(0L) > r(s)), r.toString)
+    assert((1L to 5L).map(r).toSet.size == 1, "spokes must tie exactly")
+  }
+
+  test("pagerank replays the exact integer recurrence (hand-computed, 1 iter)") {
+    // triangle cycle 1→2→3→1: deg 1 everywhere, n=3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val base = 1000000000L / 3       // 333333333
+    val hold = 15L * base / 100      // 49999999
+    val expect = hold + (base * 85L) / 100L // floor(333333333*85/100)=283333333
+    val r = Graph.pagerank(e, iters = 1).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> expect, 2L -> expect, 3L -> expect), r.toString)
+  }
+
+  test("duplicate edges are deduped before out-degree counting") {
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pagerank(e, iters = 2).as[(Long, Long)].collect().toMap
+    assert(r(1L) == r(2L), s"duplicate edge skewed the degree: $r")
+  }
+}
