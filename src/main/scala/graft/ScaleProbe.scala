@@ -50,7 +50,11 @@ object ScaleProbe {
   private val CandProbes: Seq[String] = Seq(
     "q_dedup_minhash",
     "q_dedup_simhash_neardup64",
-    "q_dedup_blob",
+    // blob64, not blob: the 32-bit/4-block family has 256 keys per block,
+    // so its buckets saturate and in-bucket pairs grow quadratically
+    // (measured 13× shuffle at 5× here) — that family is the VALUE oracle
+    // at sf scale; blob64 is the production path this probe must certify
+    "q_dedup_blob64",
     "q_decontaminate_bloom",
     "q_ann_multiprobe"
   )
@@ -151,21 +155,34 @@ object ScaleProbe {
   }
 
   /** Unique-text replica for the candidate-generation probes: copy 0 is
-    * verbatim; copies i > 0 prefix every token with `c<i>` (all shingles
-    * and band keys differ across copies) and jitter each embedding
-    * dimension deterministically. doc_id offset is 10M so the planted-dup
+    * verbatim; copies i > 0 rewrite the text through a per-copy rotated
+    * alphabet (translate over a−z and 0−9, shift 5·i). Character-level
+    * rotation is the decorrelation that matters: the first replica
+    * design prefixed every TOKEN with `c<i>`, which decorrelates word
+    * shingles but leaves byte 4-grams and char 5-grams ~identical across
+    * copies — so the byte-level families (q_dedup_blob, the char-shingle
+    * decontamination) measured 15–38× shuffle on 5× input: cross-copy
+    * pairs that ARE near-dups at the byte level, a probe artifact, not a
+    * pipeline defect. Rotation keeps each copy's internal dup structure
+    * intact (one bijection applied to near-dups preserves their
+    * similarity at every granularity) while making all shingle/band/gram
+    * keys disjoint across copies. Embeddings get a per-(dimension, copy)
+    * jitter for the same reason. doc_id offset is 10M so the planted-dup
     * ids some queries add (base + 1M) never collide with a replica id. */
   def buildUniqueReplica(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
     val done = java.nio.file.Paths.get(out, "_REPLICA_OK")
     if (java.nio.file.Files.exists(done)) return
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    def rot(s: String, n: Int): String = s.drop(n % s.length) + s.take(n % s.length)
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
     (0 until copies).map { i =>
       val d = docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
       if (i == 0) d
       else d.withColumn("text",
-        concat_ws(" ", transform(split(col("text"), " "),
-          t => concat(lit(s"c$i"), t))))
+        translate(col("text"), alpha + digits, rot(alpha, 5 * i) + rot(digits, 3 * i)))
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")

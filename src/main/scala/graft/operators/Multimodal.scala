@@ -84,6 +84,29 @@ object Multimodal {
     Dedup.simhash32Frame(withHex, idCol, shingles)
   }
 
+  /** The PRODUCTION blob near-dup family: same byte n-gram shingles, but
+    * 64-bit xxhash64 simhash ([[Dedup.simhash64Frame]]). The scale law
+    * for the downstream block join is: in-bucket candidate volume
+    * ≈ n²·blocks/2^width (width = nbits/blocks), so block WIDTH — not
+    * fingerprint width alone — decides whether candidates grow linearly.
+    * Measured on 5× unique docs (ScaleProbe): 8-bit keys (32-bit/4-block)
+    * 13×, 10-bit keys (64-bit/6-block) 12×, 16-bit keys (64-bit/4-block,
+    * hamming ≤ 3) 5.9× ≈ linear. Radius trades against width through the
+    * pigeonhole bound (maxHamming ≤ blocks−1); at a larger corpus, widen
+    * blocks first, then fall back to the maxBucket valve. Keep
+    * [[blobSimhash32]] as the value oracle — its md5-nibble votes are
+    * engine-replayable — and run THIS at scale. */
+  def blobSimhash64(blobs: DataFrame, idCol: String, n: Int = 4): DataFrame = {
+    val withHex = blobs.select(
+      col(idCol), col("n_bytes"), hex(col("content")).as("_hex"))
+    val grams = transform(
+      sequence(lit(1L), greatest(col("n_bytes") - (n - 1), lit(1L))),
+      i => col("_hex").substr((i * 2 - 1).cast("int"), lit(2 * n)))
+    val shingles = when(col("n_bytes") >= n, grams)
+      .otherwise(array().cast("array<string>"))
+    Dedup.simhash64Frame(withHex, idCol, shingles)
+  }
+
   implicit private val blobEnc: Encoder[Blob] = Encoders.product[Blob]
   implicit private val featEnc: Encoder[BlobFeatures] = Encoders.product[BlobFeatures]
 

@@ -1512,6 +1512,49 @@ object PipelineQueries {
              |WHERE bit_count(xor(a.fp, b.fp)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // The production-scale blob near-dup family: 64-bit xxhash64 simhash
+    // over the same byte 4-gram shingles (Multimodal.blobSimhash64).
+    // Operating point 4 blocks × 16-bit keys, hamming ≤ 3: in-bucket
+    // candidate volume is Σ|bucket|² ≈ n²·blocks/2^width, so block WIDTH
+    // is the scale knob — 16-bit keys measured 5.9× candidates on 5×
+    // unique docs where the 10-bit keys of the 6-block/radius-5 point
+    // ran 12× (and the 32-bit family's 8-bit keys 13×; see ScaleProbe +
+    // BUILDER_NOTES round 6). Radius trades against width through the
+    // pigeonhole bound (maxHamming ≤ blocks−1). xxhash64 isn't
+    // replayable in the oracle engine, so like q_dedup_simhash_neardup64
+    // the checked output is the planted byte-exact dups (fingerprint
+    // equality is deterministic for identical bytes ⇒ hamming 0, always
+    // within radius); the general near-dup recall of the same family is
+    // brute-force-differentialed in DedupSpec.
+    Q("q_dedup_blob64",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+        val docs = base.unionByName(
+          base.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+              col("lang"), col("source"), col("n_chars")))
+        val blobs = Multimodal.toBlobTable(docs, "doc_id", "text", "text")
+        val fps = Multimodal.blobSimhash64(blobs, "doc_id", n = 4)
+        val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "fp",
+          nbits = 64, blocks = 4, maxHamming = 3)
+        val keyed = blobs.select(col("doc_id"), col("content_md5"))
+        val sameBytes = keyed.select(col("doc_id").as("id_a"), col("content_md5"))
+          .join(keyed.select(col("doc_id").as("id_b"), col("content_md5")), Seq("content_md5"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        pairs.join(sameBytes, Seq("id_a", "id_b"))
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+             |FROM corpus a JOIN corpus b
+             |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Per-language length-decile binning (ntile) — the calibration step
     // a curation pipeline uses to stratify thresholds per language
     // instead of one global cutoff. (doc_id tie-break makes the decile

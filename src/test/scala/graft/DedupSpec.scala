@@ -484,6 +484,34 @@ class DedupSpec extends SparkSpec {
       s"unrelated blob paired: $pairs")
   }
 
+  test("blob64: planted dups surface; pairs equal brute-force within radius") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val blobs = graft.operators.Multimodal.toBlobTable(
+      Seq(
+        (0L, base),
+        (1L, base),                           // exact byte dup of 0
+        (2L, base.replace("tok9", "tok7")),   // near dup
+        (3L, (200 to 260).map(i => s"qq$i").mkString(" "))
+      ).toDF("doc_id", "text"),
+      "doc_id", "text", "text")
+    val fps = graft.operators.Multimodal.blobSimhash64(blobs, "doc_id", n = 4)
+    val fpMap = fps.as[(Long, Long)].collect().toMap
+    assert(fpMap(0L) == fpMap(1L), "identical bytes must share the 64-bit fp")
+    val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "fp",
+        nbits = 64, blocks = 6, maxHamming = 5)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    // brute force over the same fingerprints: exact recall at hamming ≤ 5
+    // is the 6-block pigeonhole guarantee
+    val ids = fpMap.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(fpMap(a) ^ fpMap(b)) if h <= 5
+    } yield (a, b) -> h.toLong).toMap
+    assert(pairs == brute, s"blocked=$pairs brute=$brute")
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 0L)
+  }
+
   test("blobSimhash32: sub-n blobs drop out; hex shingles are byte-aligned") {
     val blobs = graft.operators.Multimodal.toBlobTable(
       Seq((1L, "abc"), (2L, "abcd")).toDF("doc_id", "text"),
