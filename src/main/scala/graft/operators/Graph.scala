@@ -62,4 +62,40 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle participation over an undirected edge frame
+    * (cols u, v with u < v, deduped by the caller or here).
+    *
+    * Degree orientation — THE scale trick for triangle enumeration:
+    * re-orient every edge from its (degree, id)-smaller endpoint to the
+    * larger, then join oriented⋈oriented on the middle vertex and close
+    * against a third oriented edge. Each triangle is enumerated exactly
+    * once, and the middle-vertex join's fan-out is Σ outdeg(v)² where
+    * orientation bounds outdeg by O(√m) — the O(m^1.5) bound (Schank &
+    * Wagner 2005) that survives skew (a celebrity node of degree 10⁶
+    * gets outdegree ~√m, not 10⁶). All three join sides read ONE staged
+    * parquet frame of (src, dst) longs. */
+  def triangleCorners(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v")).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = graft.store.Staging.stage(
+      und
+        .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+            .otherwise(col("v")).as("s"),
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+            .otherwise(col("u")).as("t")),
+      "tri_oriented")
+    val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
+    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
+    val e3 = oriented.select(col("s").as("a2"), col("t").as("c2"))
+    val tris = e1.join(e2, Seq("b"))
+      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+      .select(col("a"), col("b"), col("c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -883,6 +883,33 @@ object CoreQueries {
       },
       Some(pagerankOracle(3))),
 
+    // Triangle counting (graph motif / multi-way self-join class) over
+    // the part co-purchase graph (parts sharing an order). Degree
+    // orientation bounds the middle-vertex join fan-out by O(√m) — the
+    // O(m^1.5) Schank–Wagner shape that survives degree skew; all three
+    // join sides scan one staged (s, t) parquet frame. Output: per-part
+    // triangle participation (Σ n_triangles = 3 × total triangles).
+    Q("q_triangle_count",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v"))
+        Graph.triangleCorners(und).orderBy("node")
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |und AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+             |deg AS (SELECT n, count(*) AS d
+             |        FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und) GROUP BY n),
+             |o AS (SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.u ELSE und.v END AS s,
+             |             CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.v ELSE und.u END AS t
+             |      FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n),
+             |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+             |        FROM o e1 JOIN o e2 ON e1.t = e2.s JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t),
+             |corners AS (SELECT x.n AS node FROM tri, LATERAL unnest([a, b, c]) AS x(n))
+             |SELECT node, count(*) AS n_triangles FROM corners GROUP BY node ORDER BY node""".stripMargin)),
+
     // SCD2 dimension-history build (gaps-and-islands change capture):
     // collapse each user's event_type runs into versioned validity
     // intervals — contiguous valid_to = next valid_from, open intervals

@@ -270,6 +270,29 @@ object StoreQueries {
              |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Stream–static dimension enrichment inside the replay: events join
+    // the customer dim (broadcast per micro-batch, NO join state — only
+    // the post-join windowed agg keeps state) before a watermarked
+    // Append aggregation by nation. LEFT join + coalesce(-1) keeps dim
+    // misses visible. Same watermark-eviction predicate as
+    // q_stream_watermark; the oracle states the equivalent batch join.
+    Q("q_stream_static_join",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        val out = store + "_enrich_out"
+        Replay.enrichedReplayAppend(s, store, Tables.customer(s, dir),
+            "c_custkey", "c_nationkey", out, "1 minute")
+          .orderBy("bucket_us", "dim_attr")
+      },
+      Some("""WITH wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events)
+             |SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+             |       CAST(coalesce(c.c_nationkey, -1) AS BIGINT) AS dim_attr,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey, wm
+             |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Stateful per-key trajectory accumulation over the replayed stream —
     // the reference's per-uuid `appendinstant` hash_table
     // (/root/reference/stores/apache_parquet_velocity.py:38-44,81-85,

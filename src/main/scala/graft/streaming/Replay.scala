@@ -102,6 +102,38 @@ object Replay {
     appendReplayToFiles(spark, agg, outPath, "windowedReplayAppend")
   }
 
+  /** Stream–static dimension enrichment + watermarked windowed agg to a
+    * file sink — the canonical "enrich events against a dim table inside
+    * the stream" shape. The static side joins per micro-batch with no
+    * state (unlike stream-stream joins): Spark re-plans it as a
+    * broadcast hash join under the stateful aggregation, so at 100× the
+    * dim rides the executors exactly like any broadcast dim join and
+    * only the post-join aggregation keeps state. LEFT join + coalesced
+    * key keeps dimension misses visible instead of silently dropped. */
+  def enrichedReplayAppend(
+      spark: SparkSession,
+      storePath: String,
+      dim: DataFrame,
+      dimKey: String,
+      dimAttr: String,
+      outPath: String,
+      delayThreshold: String = "1 minute"): DataFrame = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .parquet(storePath)
+    val d = dim.select(col(dimKey).as("_dk"), col(dimAttr))
+    val agg = src
+      .join(broadcast(d), src("user_id") === col("_dk"), "left")
+      .withWatermark("ts", delayThreshold)
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        coalesce(col(dimAttr).cast("long"), lit(-1L)).as("dim_attr"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+      .select(expr("unix_micros(w.start)").as("bucket_us"), col("dim_attr"),
+        col("n"), col("value_mils"))
+    appendReplayToFiles(spark, agg, outPath, "enrichedReplayAppend")
+  }
+
   /** Shared Append-replay sink: delete sink AND checkpoint together (a
     * stale checkpoint would mark the backlog already-processed against an
     * empty sink), run the plan availableNow into a parquet sink with 8

@@ -33,6 +33,30 @@ class GraphSpec extends SparkSpec {
     assert(r == Map(1L -> expect, 2L -> expect, 3L -> expect), r.toString)
   }
 
+  test("triangleCorners: K4 has 4 triangles, every node in 3") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("u", "v")
+    val r = Graph.triangleCorners(k4).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), r.toString)
+  }
+
+  test("triangleCorners: a square has none; adding one diagonal makes two") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    assert(Graph.triangleCorners(square).count() == 0)
+    val withDiag = square.union(Seq((1L, 3L)).toDF("u", "v"))
+    val r = Graph.triangleCorners(withDiag).as[(Long, Long)].collect().toMap
+    // triangles (1,2,3) and (1,3,4): diagonal endpoints 1,3 in both
+    assert(r == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L), r.toString)
+  }
+
+  test("triangleCorners: duplicate and hub-heavy edges count each triangle once") {
+    // star hub 0 to 1..6 plus rim edge (1,2): exactly one triangle even
+    // with duplicated input rows; degree orientation points the rim pair
+    // AT the hub
+    val edges = ((1L to 6L).map(s => (0L, s)) ++ Seq((1L, 2L), (1L, 2L))).toDF("u", "v")
+    val r = Graph.triangleCorners(edges).as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), r.toString)
+  }
+
   test("duplicate edges are deduped before out-degree counting") {
     val e = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graph.pagerank(e, iters = 2).as[(Long, Long)].collect().toMap
