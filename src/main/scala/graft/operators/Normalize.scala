@@ -48,4 +48,33 @@ object Normalize {
     dims.foldLeft(fact) { case (acc, (dim, key)) =>
       acc.join(broadcast(dim), Seq(key), "inner")
     }
+
+  /** Salted shuffle equi-join for a SKEWED fact key against a dim too big
+    * to broadcast: the fact side gets a deterministic salt in [0, salts)
+    * derived from `saltSrc` (a high-cardinality fact column — never a
+    * RNG, so re-runs and retried tasks salt identically), the dim side
+    * replicates each row `salts` times, and the join runs on (key, salt)
+    * — a hot key's rows land on `salts` different reducers instead of
+    * one. Join semantics are untouched (every fact row still meets every
+    * matching dim row exactly once); cost is the dim replication, which
+    * is why `salts` stays small and the technique targets the skewed-
+    * fact/large-dim corner that AQE's skew split and broadcast both
+    * miss. The `shuffle_hash` hint keeps Spark from planning the very
+    * broadcast this operator exists to avoid (callers demoing at dim
+    * sizes a real cluster could not broadcast). */
+  def saltedEquiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      saltSrc: org.apache.spark.sql.Column,
+      salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1: $salts")
+    val saltedFact = fact.withColumn("_salt", pmod(saltSrc, lit(salts)).cast("int"))
+    // generators cannot nest inside expressions — explode stands alone
+    // and sequence(int, int) already yields ints matching the fact salt
+    val expDim = dim
+      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+      .hint("shuffle_hash")
+    saltedFact.join(expDim, Seq(keyCol, "_salt")).drop("_salt")
+  }
 }

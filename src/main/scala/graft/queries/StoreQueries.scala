@@ -91,6 +91,81 @@ object StoreQueries {
              |  c_mktsegment, c_nationkey
              |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
 
+    // CDC snapshot diff: the I/U/D change feed between two keyed store
+    // versions, for stores with no transaction log (plain parquet).
+    // Deterministic versions derived from customer: v_old = keys %3≠0,
+    // v_new = keys %5≠0 with the balance re-floored (+100) on %7=0 keys
+    // ⇒ inserts (%3=0 ∧ %5≠0), deletes (%3≠0 ∧ %5=0), updates (%7=0
+    // survivors). One full-outer shuffle on the key; unchanged keys drop
+    // before any consumer sees them.
+    Q("q_snapshot_diff",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+            floor(col("c_acctbal")).cast("long").as("bal"))
+        val vOld = c.filter(col("c_custkey") % 3 =!= 0)
+        val vNew = c.filter(col("c_custkey") % 5 =!= 0)
+          .withColumn("bal",
+            when(col("c_custkey") % 7 === 0, col("bal") + 100L).otherwise(col("bal")))
+        MergeStore.snapshotDiff(vOld, vNew, Seq("c_custkey"),
+            Seq("c_mktsegment", "c_nationkey", "bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH c AS (
+             |  SELECT c_custkey, c_mktsegment, c_nationkey,
+             |         CAST(floor(c_acctbal) AS BIGINT) AS bal
+             |  FROM customer
+             |), vold AS (
+             |  SELECT c_custkey,
+             |         md5(coalesce(c_mktsegment, '') || '|' || coalesce(CAST(c_nationkey AS VARCHAR), '')
+             |             || '|' || coalesce(CAST(bal AS VARCHAR), '')) AS h
+             |  FROM c WHERE c_custkey % 3 <> 0
+             |), vnew AS (
+             |  SELECT c_custkey,
+             |         md5(coalesce(c_mktsegment, '') || '|' || coalesce(CAST(c_nationkey AS VARCHAR), '')
+             |             || '|' || coalesce(CAST(CASE WHEN c_custkey % 7 = 0 THEN bal + 100 ELSE bal END AS VARCHAR), '')) AS h
+             |  FROM c WHERE c_custkey % 5 <> 0
+             |)
+             |SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             |       CASE WHEN o.h IS NULL THEN 'I'
+             |            WHEN n.h IS NULL THEN 'D'
+             |            WHEN o.h <> n.h THEN 'U' END AS op
+             |FROM vold o FULL OUTER JOIN vnew n ON o.c_custkey = n.c_custkey
+             |WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Salted shuffle join for a skewed fact key (the 100 TB corner AQE
+    // skew-split and broadcast both miss: hot fact key × dim too big to
+    // broadcast). The fact's hot key (~30% of rows re-keyed to customer
+    // 0 deterministically) is spread over 8 salts; the dim replicates ×8
+    // and the join runs on (key, salt) — same result as the plain join,
+    // which is exactly what the oracle states. Salt source is a fact
+    // column (event_id), never a RNG: retried tasks must salt
+    // identically.
+    Q("q_salted_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(
+            when(col("event_id") % 10 < 3, 0L).otherwise(col("user_id")).as("c_custkey"),
+            col("event_id"), col("value"))
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
+        graft.operators.Normalize
+          .saltedEquiJoin(ev, dim, "c_custkey", col("event_id"), salts = 8)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH f AS (
+             |  SELECT CASE WHEN event_id % 10 < 3 THEN 0 ELSE user_id END AS c_custkey,
+             |         value
+             |  FROM events)
+             |SELECT c.c_nationkey, count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM f JOIN customer c USING (c_custkey)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Trajectory pivot over the ENTITY-BUCKETED table: bucketBy(user_id)
     // persists the hash distribution, so the pivot's groupBy plans no
     // Exchange (asserted in StoreSpec) — the shuffle-free co-located path.

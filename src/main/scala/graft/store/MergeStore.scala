@@ -41,4 +41,35 @@ object MergeStore {
     * protocol: _temporary staging + rename, then _SUCCESS). */
   def writeDim(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** CDC between two snapshots of a keyed table: one row per changed key
+    * with op ∈ I (new key), U (same key, different compared value), D
+    * (key gone) — the change feed a downstream MERGE or audit consumes
+    * when the store itself keeps no transaction log (plain parquet).
+    *
+    * Change detection hashes the compared columns through the same
+    * `md5(concat-with-|-sentinels)` rendering the dim surrogate keys use
+    * — engine-reproducible for int/string columns (callers pre-floor
+    * doubles), NULL-safe via the coalesce sentinel. One full-outer
+    * shuffle on the key; unchanged keys drop out before any downstream
+    * consumer sees them, so the feed is |changes|-sized, not
+    * |snapshot|-sized. */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      cmpCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def rowHash(df: DataFrame, as: String) = df.select(
+      keyCols.map(col) :+
+        md5(concat_ws("|", cmpCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+          .as(as): _*)
+    rowHash(oldDf, "_oh")
+      .join(rowHash(newDf, "_nh"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("_oh").isNull, "I")
+          .when(col("_nh").isNull, "D")
+          .when(col("_oh") =!= col("_nh"), "U").as("op"): _*)
+      .filter(col("op").isNotNull)
+  }
 }

@@ -206,4 +206,34 @@ class OperatorsSpec extends SparkSpec {
       assert(mergeExact, s"item $item merged sketch diverged from whole-built")
     }
   }
+
+  test("saltedEquiJoin equals the plain join on a skewed key and spreads the hot key") {
+    val fact = (1L to 400L).map(i => (if (i % 10 < 7) 0L else i % 5, i, i * 2.0))
+      .toDF("k", "src", "value") // ~70% of rows on hot key 0
+    val dim = (0L to 4L).map(i => (i, s"attr$i")).toDF("k", "attr")
+    val salted = graft.operators.Normalize.saltedEquiJoin(fact, dim, "k", $"src", salts = 8)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.select($"k", $"src", $"attr").as[(Long, Long, String)].collect().toSet ==
+      plain.select($"k", $"src", $"attr").as[(Long, Long, String)].collect().toSet)
+    // the hot key's rows really occupy all 8 (key, salt) reducer keys
+    val spread = fact.filter($"k" === 0L)
+      .select(org.apache.spark.sql.functions.pmod($"src", org.apache.spark.sql.functions.lit(8)))
+      .distinct().count()
+    assert(spread == 8L, s"hot key used only $spread of 8 salts")
+    // and the plan is a shuffle join, not the broadcast this op avoids
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$plan")
+  }
+
+  test("snapshotDiff classifies I/U/D, drops unchanged, null-safe compare") {
+    val vOld = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L), (3L, None: Option[String], 30L),
+      (4L, Some("d"), 40L)).toDF("k", "s", "n")
+    val vNew = Seq((1L, Some("a"), 10L), (2L, Some("B"), 20L), (3L, None: Option[String], 30L),
+      (5L, Some("e"), 50L)).toDF("k", "s", "n")
+    val r = graft.store.MergeStore.snapshotDiff(vOld, vNew, Seq("k"), Seq("s", "n"))
+      .as[(Long, String)].collect().toMap
+    // 1 unchanged -> absent; 2 updated; 3 unchanged (null == null); 4 deleted; 5 inserted
+    assert(r == Map(2L -> "U", 4L -> "D", 5L -> "I"), r.toString)
+  }
 }
