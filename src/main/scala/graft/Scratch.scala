@@ -55,7 +55,16 @@ object Scratch {
       "q_resample_fill" -> "gap-fill resample: row-local grid explode, left join on (user, hour) keys only",
       "q_expectations" -> "expectations audit: all predicate rules in ONE map-side-combined aggregate; uniqueness adds one distinct agg",
       "q_dpp_join" -> "dynamic partition pruning: the scan's PartitionFilters carry a dynamicpruning subquery reusing the dim broadcast",
-      "q_range_join_binned" -> "binned range join: equi-join on the 60 s bin + residual filter — hash join, no nested loop")
+      "q_range_join_binned" -> "binned range join: equi-join on the 60 s bin + residual filter — hash join, no nested loop",
+      "q_cluster_kmeans" -> "k-means final assignment: row-local nearest-centroid projection over the staged quantized scan — NO join, no Exchange before the sort",
+      "q_semdedup" -> "SemDeDup: within-cluster pair join only (cluster key), cosine verify inside buckets — no all-pairs product",
+      "q_pagerank" -> "PageRank iteration output: each rank frame is a staged parquet scan (flat plan, no 3-deep lineage)",
+      "q_triangle_count" -> "triangles: three scans of ONE staged oriented-edge frame, two hash joins on (middle vertex) and (closing edge)",
+      "q_dedup_blob64" -> "64-bit blob near-dup at the 16-bit-block operating point: staged fingerprint scan feeds band join",
+      "q_salted_join" -> "salted skew join: ShuffledHashJoin on (key, salt) — hot key spread across 8 reducer keys, no broadcast",
+      "q_snapshot_diff" -> "CDC diff: one full-outer SortMergeJoin on the key, changed-rows filter above it",
+      "q_ewma_anomaly" -> "EWMA fold: one Exchange on user_id, sort_array + aggregate fold row-local",
+      "q_scd2" -> "SCD2: two window passes + final agg — ONE Exchange on user_id reused by both sorts")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
