@@ -65,10 +65,32 @@ object Clustering {
     * dist) — dist is the exact int64 squared distance in mils². */
   def kmeans(points: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
       : DataFrame = {
-    require(k >= 1 && iters >= 0, s"need k >= 1 ($k), iters >= 0 ($iters)")
     val q = graft.store.Staging.stage(
       points.select(col(idCol), quantizeMils(col(vecCol)).as("_qv")),
       s"kmeans_q$k")
+    kmeansQuantized(q, idCol, k, iters)
+  }
+
+  /** Lloyd over an ALREADY-quantized frame (idCol, `_qv` int64 array) —
+    * the entry point for sub-space callers (product quantization slices
+    * one staged quantized frame eight ways; re-staging each cheap slice
+    * projection would buy nothing). */
+  def kmeansQuantized(q: DataFrame, idCol: String, k: Int, iters: Int): DataFrame =
+    assignQuantized(q, idCol, trainCentroids(q, idCol, k, iters))
+
+  /** Row-local nearest-centroid assignment of a quantized frame against
+    * trained centroids: (idCol, cluster, dist). */
+  def assignQuantized(q: DataFrame, idCol: String, cents: Array[Array[Long]]): DataFrame =
+    q.select(col(idCol), nearest(cents, col("_qv")).as("_a"))
+      .select(col(idCol), col("_a").getField("c").as("cluster"),
+        col("_a").getField("d").as("dist"))
+
+  /** The Lloyd training loop alone — returns the trained k×D centroid
+    * matrix (driver-held; broadcast-class at any cluster size). Exposed
+    * so product quantization can keep the per-subspace codebooks it
+    * needs for asymmetric-distance search. */
+  def trainCentroids(q: DataFrame, idCol: String, k: Int, iters: Int): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 0, s"need k >= 1 ($k), iters >= 0 ($iters)")
 
     var cents: Array[Array[Long]] = q.orderBy(col(idCol)).limit(k)
       .select(col("_qv")).collect()
@@ -102,10 +124,91 @@ object Clustering {
         }
       }
     }
+    cents
+  }
 
-    q.select(col(idCol), nearest(cents, col("_qv")).as("_a"))
-      .select(col(idCol), col("_a").getField("c").as("cluster"),
-        col("_a").getField("d").as("dist"))
+  /** Product quantization (Jégou et al. 2011): split each D-dim vector
+    * into `subspaces` contiguous sub-vectors, train an independent
+    * k-centroid codebook per subspace (the Lloyd loop above), and encode
+    * every vector as `subspaces` nibble/byte codes packed into ONE long —
+    * the compression that makes a 100 TB embedding store searchable in
+    * memory (64 float32 dims → 8×4-bit codes is a 64× reduction here;
+    * production uses k=256 bytes, same machinery).
+    *
+    * Returns (encoded frame: idCol, code, recon_err; codebooks). The
+    * reconstruction error is EXACT int64: Σ over subspaces of the
+    * squared mils distance to the chosen centroid — the same quantity a
+    * recall model budgets against. Scale shape: the quantized frame is
+    * staged once; each subspace trains on a row-local slice projection
+    * of that one scan, and the final encode is a single projection
+    * computing all subspace assignments at once (no per-subspace joins —
+    * codebooks are driver-held literals). */
+  def pqEncode(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      subspaces: Int,
+      k: Int,
+      iters: Int): (DataFrame, Array[Array[Array[Long]]]) = {
+    require(dims % subspaces == 0, s"dims ($dims) must split evenly into $subspaces subspaces")
+    require(k <= 16 || subspaces * 8 <= 64, "packed code must fit one long")
+    val d = dims / subspaces
+    val q = graft.store.Staging.stage(
+      points.select(col(idCol), quantizeMils(col(vecCol)).as("_qv")),
+      "pq_q")
+    val books = (0 until subspaces).map { s =>
+      trainCentroids(
+        q.select(col(idCol), slice(col("_qv"), s * d + 1, d).as("_qv")),
+        idCol, k, iters)
+    }.toArray
+    val bits = if (k <= 16) 4 else 8
+    // one projection computes every subspace's nearest centroid: the
+    // assignments fold into (code, err) without any join
+    val parts = (0 until subspaces).map { s =>
+      nearest(books(s), slice(col("_qv"), s * d + 1, d)).as(s"_a$s")
+    }
+    val withAsg = q.select(col(idCol) +: parts: _*)
+    val code = (0 until subspaces)
+      .map(s => shiftleft(col(s"_a$s").getField("c"), bits * s))
+      .reduce(_ + _)
+    val err = (0 until subspaces).map(s => col(s"_a$s").getField("d")).reduce(_ + _)
+    (withAsg.select(col(idCol), code.as("code"), err.as("recon_err")), books)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query keeps its
+    * exact quantized vector, the corpus is represented ONLY by codes —
+    * distance = Σ_s ‖q_s − codebook_s[code_s]‖², computed row-locally by
+    * decoding each nibble against the driver-held codebook literals.
+    * This is the search shape where 100 TB of vectors fits RAM: scans
+    * touch 8 bytes per vector, never the floats. */
+  def pqTopK(
+      encoded: DataFrame,
+      queries: DataFrame, // (qIdCol, _qv full quantized vector)
+      qIdCol: String,
+      idCol: String,
+      books: Array[Array[Array[Long]]],
+      dims: Int,
+      topK: Int): DataFrame = {
+    val subspaces = books.length
+    val d = dims / subspaces
+    val bits = if (books.head.length <= 16) 4 else 8
+    val adc = (0 until subspaces).map { s =>
+      val bookLit = typedLit(books(s).map(_.toSeq).toSeq)
+      val centroid = element_at(bookLit,
+        (shiftright(col("code"), bits * s) % (1 << bits) + 1).cast("int"))
+      aggregate(
+        zip_with(slice(col("_qv"), s * d + 1, d), centroid, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("adc_dist"), col(idCol))
+    encoded.select(col(idCol), col("code"))
+      .crossJoin(broadcast(queries.select(col(qIdCol), col("_qv"))))
+      .select(col(qIdCol), col(idCol), adc.as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(qIdCol), col("rank"), col(idCol), col("adc_dist"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the

@@ -1768,45 +1768,122 @@ object PipelineQueries {
           |        * 1000000.0) AS BIGINT) >= 350000)
           |SELECT af.vec_id, af.c AS cluster,
           |       CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-          |FROM af LEFT JOIN dup d ON af.vec_id = d.vid ORDER BY af.vec_id""".stripMargin))
+          |FROM af LEFT JOIN dup d ON af.vec_id = d.vid ORDER BY af.vec_id""".stripMargin)),
+
+    // Product quantization (Jégou et al. 2011): 8 independent sub-space
+    // codebooks (k=16, 2 Lloyd iterations each — the same exact-integer
+    // training as q_cluster_kmeans), every vector encoded as 8 packed
+    // nibbles in ONE long + its exact int64 reconstruction error. 64
+    // float dims → 8 bytes is the compression that fits 100 TB of
+    // vectors in memory; training slices ONE staged quantized scan and
+    // the encode is a single row-local projection (no joins — codebooks
+    // are driver-held literals). The oracle replays all 8 sub-space
+    // Lloyd trails and the same nibble packing.
+    Q("q_pq_encode",
+      (s, dir) =>
+        Clustering.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
+            dims = 64, subspaces = 8, k = 16, iters = 2)._1
+          .orderBy("vec_id"),
+      Some(pqChains(subspaces = 8, d = 8, k = 16, iters = 2) +
+        s"""
+           |SELECT vec_id,
+           |       CAST(${(0 until 8).map(s => s"c$s * ${1L << (4 * s)}").mkString(" + ")} AS BIGINT) AS code,
+           |       CAST(${(0 until 8).map(s => s"d$s").mkString(" + ")} AS BIGINT) AS recon_err
+           |FROM enc ORDER BY vec_id""".stripMargin)),
+
+    // Asymmetric-distance (ADC) top-k over the PQ codes: queries keep
+    // exact quantized vectors, the corpus contributes ONLY its 8-byte
+    // codes — distance decodes each nibble against the driver-held
+    // codebook literals row-locally (scan touches 8 bytes/vector, never
+    // floats). Each query ranks itself first at dist = its own
+    // reconstruction error — the PQ sanity invariant, visible in the
+    // checked output.
+    Q("q_pq_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (enc, books) = Clustering.pqEncode(emb, "vec_id", "embedding",
+          dims = 64, subspaces = 8, k = 16, iters = 2)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"),
+            Clustering.quantizeMils(col("embedding")).as("_qv"))
+        Clustering.pqTopK(enc, queries, "q_id", "vec_id", books, dims = 64, topK = 10)
+          .orderBy("q_id", "rank")
+      },
+      Some(pqChains(subspaces = 8, d = 8, k = 16, iters = 2) +
+        s""",
+           |queries AS (SELECT vec_id AS q_id, v FROM qb WHERE vec_id < 5),
+           |adc AS (
+           |  SELECT qq.q_id, e.vec_id,
+           |         CAST(${(0 until 8).map(s =>
+               s"list_sum([ (qq.v[(${s * 8}+i)::INT] - b$s.v[i::INT]) * (qq.v[(${s * 8}+i)::INT] - b$s.v[i::INT]) for i in range(1, 9) ])")
+               .mkString(" + ")} AS BIGINT) AS adc_dist
+           |  FROM enc e ${(0 until 8).map(s => s"JOIN s${s}_c2 b$s ON e.c$s = b$s.c").mkString(" ")}
+           |  CROSS JOIN queries qq)
+           |SELECT q_id, rank, vec_id, adc_dist FROM (
+           |  SELECT q_id, vec_id, adc_dist,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+           |  FROM adc) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin))
   )
 
-  /** DuckDB CTE chain replaying [[Clustering.kmeans]] verbatim: `q` =
-    * mils-quantized vectors, `c0` = k-lowest-id seed, then per iteration
-    * an assignment (`a<t>`: min (dist, c) by row_number), a per-dim
-    * floor-mean (`u<t>`), and the centroid update with empty-cluster
-    * carry-over (`c<t>`); `af` = the final assignment with its exact
-    * int64 squared distance. Callers append the SELECT over `af`. */
-  private def kmeansOracle(k: Int, iters: Int, dims: Int): String = {
+  /** DuckDB CTE chain replaying the Lloyd loop verbatim under a name
+    * prefix `p`: `<p>q` = the quantized source (from `qDef`), `<p>c0` =
+    * k-lowest-id seed, then per iteration an assignment (`<p>a<t>`: min
+    * (dist, c) by row_number), a per-dim floor-mean (`<p>u<t>`), and the
+    * centroid update with empty-cluster carry-over (`<p>c<t>`); `<p>af`
+    * = the final assignment with its exact int64 squared distance. The
+    * prefix lets product quantization emit eight independent sub-space
+    * chains into one WITH clause. */
+  private def kmeansChain(p: String, qDef: String, k: Int, iters: Int, dims: Int): Seq[String] = {
     def assign(name: String, prev: String, withDist: Boolean): String = {
       val dist =
-        s"list_sum([ (q.v[i]-cc.v[i])*(q.v[i]-cc.v[i]) for i in range(1, ${dims + 1}) ])"
+        s"list_sum([ (${p}q.v[i]-cc.v[i])*(${p}q.v[i]-cc.v[i]) for i in range(1, ${dims + 1}) ])"
       val dcol = if (withDist) s",\n           CAST($dist AS BIGINT) AS dist" else ""
       val outd = if (withDist) ", dist" else ""
       s"""$name AS (
          |  SELECT vec_id, v, c$outd FROM (
-         |    SELECT q.vec_id, q.v, cc.c$dcol,
-         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY $dist, cc.c) AS rn
-         |    FROM q, $prev cc) WHERE rn = 1)""".stripMargin
+         |    SELECT ${p}q.vec_id, ${p}q.v, cc.c$dcol,
+         |           row_number() OVER (PARTITION BY ${p}q.vec_id ORDER BY $dist, cc.c) AS rn
+         |    FROM ${p}q, $prev cc) WHERE rn = 1)""".stripMargin
     }
     val head = Seq(
-      "q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS v FROM embeddings)",
-      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, v
-         |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k))""".stripMargin)
+      s"${p}q AS ($qDef)",
+      s"""${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, v
+         |       FROM (SELECT vec_id, v FROM ${p}q ORDER BY vec_id LIMIT $k))""".stripMargin)
     val steps = (1 to iters).flatMap { t =>
       Seq(
-        assign(s"a$t", s"c${t - 1}", withDist = false),
-        s"""u$t AS (
-           |  SELECT c, CAST(d.i AS INT) AS dim,
-           |         CAST(floor(sum(v[CAST(d.i AS INT)])/count(*)) AS BIGINT) AS cv
-           |  FROM a$t, LATERAL unnest(range(1, ${dims + 1})) AS d(i)
-           |  GROUP BY c, d.i)""".stripMargin,
-        s"""c$t AS (
-           |  SELECT p.c,
+        assign(s"${p}a$t", s"${p}c${t - 1}", withDist = false),
+        s"""${p}u$t AS (
+           |  SELECT c, CAST(dd.i AS INT) AS dim,
+           |         CAST(floor(sum(v[CAST(dd.i AS INT)])/count(*)) AS BIGINT) AS cv
+           |  FROM ${p}a$t, LATERAL unnest(range(1, ${dims + 1})) AS dd(i)
+           |  GROUP BY c, dd.i)""".stripMargin,
+        s"""${p}c$t AS (
+           |  SELECT pp.c,
            |         CASE WHEN count(u.cv) = $dims THEN list(u.cv ORDER BY u.dim)
-           |              ELSE any_value(p.v) END AS v
-           |  FROM c${t - 1} p LEFT JOIN u$t u USING (c) GROUP BY p.c)""".stripMargin)
+           |              ELSE any_value(pp.v) END AS v
+           |  FROM ${p}c${t - 1} pp LEFT JOIN ${p}u$t u USING (c) GROUP BY pp.c)""".stripMargin)
     }
-    "WITH " + (head ++ steps :+ assign("af", s"c$iters", withDist = true)).mkString(",\n")
+    head ++ steps :+ assign(s"${p}af", s"${p}c$iters", withDist = true)
+  }
+
+  // def, not val: `all` initializes before later vals in this object
+  // (a val here would still be null inside pqChains at that point)
+  private def QuantizedEmbeddings: String =
+    "SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS v FROM embeddings"
+
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String =
+    "WITH " + kmeansChain("", QuantizedEmbeddings, k, iters, dims).mkString(",\n")
+
+  /** The eight sub-space Lloyd chains + the encode join for PQ oracles
+    * (one WITH clause ending with `enc` = per-vector sub-space codes). */
+  private def pqChains(subspaces: Int, d: Int, k: Int, iters: Int): String = {
+    val chains = (0 until subspaces).flatMap { s =>
+      kmeansChain(s"s${s}_", s"SELECT vec_id, v[${s * d + 1}:${(s + 1) * d}] AS v FROM qb",
+        k, iters, d)
+    }
+    val joins = (1 until subspaces).map(s => s"JOIN s${s}_af s$s USING (vec_id)").mkString(" ")
+    val ecols = (0 until subspaces).map(s => s"s$s.c AS c$s, s$s.dist AS d$s").mkString(", ")
+    ("WITH " + (s"qb AS ($QuantizedEmbeddings)" +: chains).mkString(",\n")) +
+      s",\nenc AS (SELECT s0.vec_id, $ecols FROM s0_af s0 $joins)"
   }
 }

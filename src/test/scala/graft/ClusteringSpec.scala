@@ -78,6 +78,46 @@ class ClusteringSpec extends SparkSpec {
     assert(r.forall(_._2 == 0L), r.mkString(","))
   }
 
+  test("pqEncode: k >= n makes every point its own centroid (zero recon error)") {
+    val vecs = Seq(
+      (1L, (1 to 8).map(_ * 0.01f)),
+      (2L, (1 to 8).map(_ * -0.02f)),
+      (3L, (1 to 8).map(i => (i % 3) * 0.1f)),
+      (4L, (1 to 8).map(i => 0.3f - i * 0.05f))).toDF("vec_id", "embedding")
+    val (enc, books) = graft.operators.Clustering.pqEncode(
+      vecs, "vec_id", "embedding", dims = 8, subspaces = 2, k = 16, iters = 1)
+    val rows = enc.as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.forall(_._3 == 0L), s"recon_err must be 0 when k >= n: ${rows.toSeq}")
+    // the k-lowest-id seed is bounded by n: 4 points -> 4 centroids
+    assert(books.length == 2 && books.forall(_.length == 4))
+    // identical vectors share a code
+    val dup = vecs.union(Seq((9L, (1 to 8).map(_ * 0.01f))).toDF("vec_id", "embedding"))
+    val codes = graft.operators.Clustering.pqEncode(
+      dup, "vec_id", "embedding", 8, 2, 16, 1)._1
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(codes(1L) == codes(9L), "byte-identical vectors must share the PQ code")
+  }
+
+  test("pqTopK: every query ranks itself first at dist == its recon error") {
+    val vecs = (1L to 20L).map(i =>
+      (i, (1 to 8).map(j => ((i * 7 + j * 3) % 11) * 0.05f))).toDF("vec_id", "embedding")
+    val (enc, books) = graft.operators.Clustering.pqEncode(
+      vecs, "vec_id", "embedding", dims = 8, subspaces = 2, k = 4, iters = 2)
+    val queries = vecs.filter($"vec_id" <= 3L)
+      .select($"vec_id".as("q_id"),
+        graft.operators.Clustering.quantizeMils($"embedding").as("_qv"))
+    val top = graft.operators.Clustering.pqTopK(
+        enc, queries, "q_id", "vec_id", books, dims = 8, topK = 3)
+      .as[(Long, Int, Long, Long)].collect()
+    val errs = enc.as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    (1L to 3L).foreach { q =>
+      val first = top.filter(t => t._1 == q && t._2 == 1).head
+      // rank-1 may tie with an identically-coded vector, but the DIST must
+      // equal the query's own reconstruction error
+      assert(first._4 == errs(q), s"query $q rank-1 dist ${first._4} != recon ${errs(q)}")
+    }
+  }
+
   test("semDedup prunes higher-id near-identical vectors within a cluster only") {
     val vecs = Seq(
       (1L, Seq(0.10f, 0.10f, 0.00f, 0.00f)), // kept (lowest id of its pair)
