@@ -344,4 +344,35 @@ object TextAnalysis {
       .orderBy(col("score_bp").desc, col(idCol))
       .limit(k)
   }
+
+  /** Main-content extraction from raw HTML — the first step of every
+    * web-crawl training pipeline (the trafilatura/jusText class, here as
+    * the deterministic regex+line-heuristic core those tools build on):
+    * strip script/style blocks, turn block-tag closes into line breaks,
+    * drop every remaining tag, decode the five standard entities, then
+    * keep only lines with ≥ `minTokens` tokens — the C4-style line
+    * filter that removes titles, nav crumbs, and button text.
+    *
+    * Pure per-row projection (regexp chains + array HOFs): zero shuffle
+    * at any scale. Two separate script/style passes because RE2-class
+    * engines (the oracle side) have no backreferences. Returns a struct
+    * (text, n_lines, n_kept) so the caller sees what the filter dropped. */
+  def extractHtmlText(html: Column, minTokens: Int): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val blocks = regexp_replace(noStyle, "</(p|h1|h2|h3|div|li|title|tr)>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r))
+    }
+    val lines = filter(
+      transform(split(decoded, "\n"), l => trim(regexp_replace(l, " +", " "))),
+      l => l =!= "")
+    val kept = filter(lines, l => size(split(l, " ")) >= minTokens)
+    struct(
+      array_join(kept, "\n").as("text"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"))
+  }
 }

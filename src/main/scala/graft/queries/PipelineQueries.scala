@@ -1822,7 +1822,116 @@ object PipelineQueries {
            |SELECT q_id, rank, vec_id, adc_dist FROM (
            |  SELECT q_id, vec_id, adc_dist,
            |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
-           |  FROM adc) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin))
+           |  FROM adc) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // PQ recall@10: |ADC top-10 ∩ exact-L2 top-10| per query in tenths —
+    // the compression-loss metric that decides k/subspace sizing, built
+    // from the two independently-verified pipelines (exact kNN on the
+    // full quantized vectors vs q_pq_search's code-only ADC), the same
+    // derivation pattern as q_ann_recall_ivf.
+    Q("q_pq_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (enc, books) = Clustering.pqEncode(emb, "vec_id", "embedding",
+          dims = 64, subspaces = 8, k = 16, iters = 2)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"),
+            Clustering.quantizeMils(col("embedding")).as("_qv"))
+        val adc = Clustering.pqTopK(enc, q, "q_id", "vec_id", books, dims = 64, topK = 10)
+        val corpus = emb.select(col("vec_id"),
+          Clustering.quantizeMils(col("embedding")).as("_cv"))
+        val dist = aggregate(
+          zip_with(col("_qv"), col("_cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("_d"), col("vec_id"))
+        val exact = corpus.crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"), dist.as("_d"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+        adc.join(exact.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"))
+          .groupBy(col("q_id"))
+          .agg((count(lit(1)) * 100000L).as("recall_ppm"))
+          .orderBy("q_id")
+      },
+      Some(pqChains(subspaces = 8, d = 8, k = 16, iters = 2) +
+        s""",
+           |queries AS (SELECT vec_id AS q_id, v FROM qb WHERE vec_id < 5),
+           |adc AS (
+           |  SELECT qq.q_id, e.vec_id,
+           |         CAST(${(0 until 8).map(s =>
+               s"list_sum([ (qq.v[(${s * 8}+i)::INT] - b$s.v[i::INT]) * (qq.v[(${s * 8}+i)::INT] - b$s.v[i::INT]) for i in range(1, 9) ])")
+               .mkString(" + ")} AS BIGINT) AS adc_dist
+           |  FROM enc e ${(0 until 8).map(s => s"JOIN s${s}_c2 b$s ON e.c$s = b$s.c").mkString(" ")}
+           |  CROSS JOIN queries qq),
+           |adc10 AS (SELECT q_id, vec_id FROM (
+           |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+           |  FROM adc) WHERE rank <= 10),
+           |exact10 AS (SELECT q_id, vec_id FROM (
+           |  SELECT qq.q_id, x.vec_id,
+           |         row_number() OVER (PARTITION BY qq.q_id
+           |           ORDER BY list_sum([ (qq.v[i]-x.v[i])*(qq.v[i]-x.v[i]) for i in range(1, 65) ]), x.vec_id) AS rank
+           |  FROM qb x CROSS JOIN queries qq) WHERE rank <= 10)
+           |SELECT q_id, CAST(count(*) * 100000 AS BIGINT) AS recall_ppm
+           |FROM adc10 JOIN exact10 USING (q_id, vec_id)
+           |GROUP BY q_id ORDER BY q_id""".stripMargin)),
+
+    // Main-content extraction from raw HTML (the web-crawl front door:
+    // trafilatura/jusText's deterministic core): script/style strip,
+    // block-tag line breaks, tag removal, entity decode, then the
+    // C4-style ≥6-token line filter that drops titles, nav crumbs and
+    // button text. The HTML is constructed deterministically per doc
+    // (title + h1 + body paragraph + nav div + script), so the checked
+    // output proves each stage: script code and nav lines never appear,
+    // short heads drop, the body paragraph round-trips.
+    Q("q_html_extract",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><script>var x = 1 &amp; 2;</script></head><body><h1>"),
+          array_join(slice(split(col("text"), " "), 1, 3), " "),
+          lit("</h1><p>"), col("text"),
+          lit("</p><div class=\"nav\">home about contact</div></body></html>"))
+        val ex = TextAnalysis.extractHtmlText(html, minTokens = 6)
+        docs.select(col("doc_id"), ex.as("_e"))
+          .select(col("doc_id"), col("_e").getField("text").as("clean_text"),
+            col("_e").getField("n_lines").as("n_lines"),
+            col("_e").getField("n_kept").as("n_kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             |         '</title><script>var x = 1 &amp; 2;</script></head><body><h1>' ||
+             |         array_to_string(string_split(text, ' ')[1:3], ' ') ||
+             |         '</h1><p>' || text ||
+             |         '</p><div class="nav">home about contact</div></body></html>' AS html
+             |  FROM documents
+             |), st AS (
+             |  SELECT doc_id,
+             |    replace(replace(replace(replace(replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+             |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+             |          '</(p|h1|h2|h3|div|li|title|tr)>', chr(10), 'g'),
+             |        '<[^>]+>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+             |  FROM h
+             |), ln AS (
+             |  SELECT doc_id,
+             |         list_filter(list_transform(string_split(t, chr(10)),
+             |                     l -> trim(regexp_replace(l, ' +', ' ', 'g'))),
+             |                     l -> l <> '') AS lines
+             |  FROM st
+             |)
+             |SELECT doc_id,
+             |       array_to_string(list_filter(lines, l -> len(string_split(l, ' ')) >= 6), chr(10)) AS clean_text,
+             |       CAST(len(lines) AS BIGINT) AS n_lines,
+             |       CAST(len(list_filter(lines, l -> len(string_split(l, ' ')) >= 6)) AS BIGINT) AS n_kept
+             |FROM ln ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB CTE chain replaying the Lloyd loop verbatim under a name

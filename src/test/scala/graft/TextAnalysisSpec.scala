@@ -162,4 +162,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) > r(3L), s"longer doc must be normalized down: $r")
     assert(r(4L) > r(2L), s"rare term (df=1) must outscore common (df=4): $r")
   }
+
+  test("extractHtmlText strips script/style/tags, decodes entities, filters lines") {
+    val html = "<html><head><title>My Page</title><style>p{color:red}</style>" +
+      "<script>var a = \"</p>\";</script></head><body>" +
+      "<h1>Short head</h1>" +
+      "<p>this paragraph has well over six whole tokens &amp; an entity</p>" +
+      "<div>nav menu</div>" +
+      "<p>x &lt;tag&gt; y keeps going with more than six tokens</p></body></html>"
+    val r = Seq((1L, html)).toDF("id", "h")
+      .select(graft.operators.TextAnalysis.extractHtmlText($"h", 6).as("e"))
+      .select($"e.text", $"e.n_lines", $"e.n_kept")
+      .as[(String, Long, Long)].head()
+    val lines = r._1.split("\n").toSeq
+    assert(lines == Seq(
+      "this paragraph has well over six whole tokens & an entity",
+      "x <tag> y keeps going with more than six tokens"), lines.toString)
+    assert(!r._1.contains("var a"), "script body leaked")
+    assert(!r._1.contains("color"), "style body leaked")
+    assert(r._2 >= 4 && r._3 == 2L, s"(n_lines, n_kept) = (${r._2}, ${r._3})")
+  }
 }
