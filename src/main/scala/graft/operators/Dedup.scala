@@ -339,6 +339,59 @@ object Dedup {
     floor((inter * lit(1000000L)) / union).cast("long")
   }
 
+  /** Exact all-pairs set-similarity join via PREFIX FILTERING (the
+    * PPJoin family, Xiao et al. 2011) — the deterministic-recall
+    * counterpart to MinHash-LSH: every pair with Jaccard ≥ t IS a
+    * candidate, no probability involved.
+    *
+    * Correctness: order each doc's distinct tokens by ONE global total
+    * order and keep only the first |d| − ⌈t·|d|⌉ + 1 as its prefix; two
+    * sets with jac ≥ t must overlap in ≥ ⌈t·max(|a|,|b|)⌉ elements, so
+    * skipping fewer than that from either set cannot avoid a shared
+    * prefix token — candidates = pairs sharing ANY prefix token, exact
+    * by construction. The order used is (document frequency ASC, token):
+    * any total order is correct; rarest-first makes prefixes selective,
+    * so the candidate join fans out on RARE tokens (bounded buckets)
+    * instead of stop-words — that selectivity, not hashing, is the
+    * 100 TB story, and unlike the df-capped decontamination index it
+    * loses nothing. Shuffles carry (token, id) and (id, prefix-token)
+    * pairs; full token sets are only joined back for the in-bucket
+    * exact-Jaccard verify. Output (id_a, id_b, jac_ppm), id_a < id_b. */
+  def ppjoinPairs(
+      docs: DataFrame,
+      idCol: String,
+      setExpr: Column,
+      minJacPpm: Long): DataFrame = {
+    require(minJacPpm > 0 && minJacPpm <= 1000000L, s"bad threshold: $minJacPpm")
+    val sets = graft.store.Staging.stage(
+      docs.select(col(idCol),
+        array_sort(array_distinct(setExpr)).as("_set")),
+      "ppjoin_sets")
+    val tok = sets.select(col(idCol), explode(col("_set")).as("_t"))
+    val dfr = tok.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    // prefix length: n − ⌈t·n⌉ + 1, all exact integers (⌈t·n⌉ =
+    // (t_ppm·n + 999999) div 10⁶ over positive operands)
+    val prefix = tok.join(dfr, Seq("_t"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_t")))).as("_ord"),
+        count(lit(1)).as("_n"))
+      .select(col(idCol),
+        slice(transform(col("_ord"), o => o.getField("_t")), lit(1),
+          (col("_n") - floor((col("_n") * minJacPpm + 999999L) / lit(1000000.0)).cast("long") + 1L)
+            .cast("int")).as("_pref"))
+      .select(col(idCol), explode(col("_pref")).as("_t"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("_t"))
+      .join(prefix.select(col(idCol).as("id_b"), col("_t")), Seq("_t"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("_set").as("_sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("_set").as("_sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccardPpm(col("_sa"), col("_sb")).as("jac_ppm"))
+      .filter(col("jac_ppm") >= minJacPpm)
+  }
+
   /** Exact dedup groups: one row per distinct text, with multiplicity and
     * the kept representative (min id). */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

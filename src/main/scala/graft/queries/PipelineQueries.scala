@@ -123,6 +123,34 @@ object PipelineQueries {
               |                 / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= $JaccardThresholdPpm
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Exact all-pairs similarity join via PREFIX FILTERING (PPJoin, Xiao
+    // et al. 2011) — the deterministic-recall counterpart to the
+    // probabilistic minhash-LSH above, over the SAME 3-token shingle
+    // sets and threshold: every pair with Jaccard ≥ 0.8 is provably a
+    // candidate (any qualifying pair must share a token in its
+    // rarest-first prefix under one global (df, shingle) order), so the
+    // blocked output EQUALS the all-pairs oracle by theorem, not by
+    // tuned banding. Candidates fan out on rare shingles (selective
+    // buckets), never boilerplate. Raw word-sets would be the wrong
+    // granularity on a small vocabulary (26% of all pairs pass 0.8 —
+    // nothing to prune); shingles make the prefix filter bite.
+    Q("q_dedup_ppjoin",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        Dedup.ppjoinPairs(docs, "doc_id", Dedup.tokenShingles(col("_toks"), 3),
+            minJacPpm = 800000L)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH sh AS ($duckShingles)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |                  / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS jac_ppm
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |                 / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 800000
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // Near-dup CLUSTERS: verified minhash pairs → connected components →
     // (doc, component, cluster size). Oracle: transitive closure via a
     // recursive CTE over the identical pair set.

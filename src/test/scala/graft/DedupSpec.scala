@@ -528,4 +528,32 @@ class DedupSpec extends SparkSpec {
     }
     assert(fps(2L) == expected, f"fp=${fps(2L)}%08x expected=$expected%08x")
   }
+
+  test("ppjoinPairs: exact recall — blocked output equals brute-force all-pairs") {
+    import org.apache.spark.sql.functions._
+    // dup-dense fixture: near-dups, exact dups, and unrelated docs with
+    // overlapping vocabulary (the prefix filter must not lose any pair)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                  // exact dup
+      (3L, base.replace("w7", "w99")),             // near dup of 1/2
+      (4L, (1 to 30).map(i => s"w${i + 15}").mkString(" ")), // ~half overlap
+      (5L, (100 to 130).map(i => s"w$i").mkString(" "))      // unrelated
+    ).toDF("doc_id", "text").withColumn("_toks", split(col("text"), " "))
+    val sh = Dedup.tokenShingles(col("_toks"), 3)
+    val blocked = Dedup.ppjoinPairs(docs, "doc_id", sh, minJacPpm = 500000L)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over the same shingle sets
+    val sets = docs.select(col("doc_id"), array_sort(array_distinct(sh)).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val brute = (for {
+      a <- sets.keys.toSeq; b <- sets.keys.toSeq if a < b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size.toLong
+      union = sets(a).toSet.union(sets(b).toSet).size.toLong
+      jac = math.floor(inter * 1000000.0 / union).toLong if jac >= 500000L
+    } yield (a, b, jac)).toSet
+    assert(blocked == brute, s"blocked=$blocked brute=$brute")
+    assert(blocked.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1000000L))
+  }
 }
