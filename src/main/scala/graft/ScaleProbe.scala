@@ -56,7 +56,8 @@ object ScaleProbe {
     // at sf scale; blob64 is the production path this probe must certify
     "q_dedup_blob64",
     "q_decontaminate_bloom",
-    "q_ann_multiprobe"
+    "q_ann_multiprobe",
+    "q_dedup_ppjoin"
   )
 
   def main(args: Array[String]): Unit = {
@@ -86,6 +87,17 @@ object ScaleProbe {
     })
 
     def measure(name: String, dir: String): (Double, Double) = {
+      // Untimed warm-up pass FIRST: query construction eagerly builds any
+      // content-keyed staged frames, and whether those already exist
+      // depends on what ran before (Bench wipes the store root, then
+      // rebuilds only the dirs IT touches) — measuring one side cold and
+      // the other warm inflates the ratio with linear stage-build
+      // shuffle that has nothing to do with candidate volume (observed:
+      // a cold-replica/warm-base decontamination probe reads 37×; the
+      // honest warm/warm candidate ratio is ~6×). After the warm-up both
+      // sides time the same thing: the query's own joins/aggregations
+      // over staged index scans.
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       org.apache.spark.graftbus.drain(spark.sparkContext)
       val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
