@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.store.Staging
+
+/** Token-level suffix array over the document corpus by distributed
+  * prefix doubling (Manber–Myers), the index behind exact-substring
+  * ("suffix-array") dedup of training corpora (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better" — the
+  * ExactSubstr pipeline; the reference's scan layer stores documents it
+  * never dedups, /root/reference/stores/file_store.py:8-27).
+  *
+  * Spark-first shape — three scale decisions, each replacing a
+  * single-partition wall:
+  *
+  *  1. Global doc offsets (token position of each doc's start) are an
+  *     exclusive prefix sum over per-doc lengths. A bare
+  *     `Window.orderBy(doc_id)` would plan ONE partition holding every
+  *     doc; [[prefixOffsets]] is the two-job terasort-style scan
+  *     instead: range-partition + local sort, per-partition sums to the
+  *     driver (one long per partition), cumulated offsets broadcast
+  *     back, local streaming add. Works at any doc count.
+  *
+  *  2. Round-0 ranks (order by token string) go through the DISTINCT
+  *     vocabulary: rank of a token = 1 + Σ counts of lexicographically
+  *     smaller tokens, a window over the vocab table joined back to
+  *     positions. The single-partition window touches |vocab| rows, not
+  *     |corpus| — the vocabulary is the bounded side by Heaps' law.
+  *
+  *  3. Doubling rounds refine ranks GROUP-LOCALLY: with rank()
+  *     (min-rank, ties share) semantics, a position whose rank is
+  *     already unique keeps it forever, and a tied position's new rank
+  *     is r + |{j in the same tied group : r2_j < r2_i}| — a window
+  *     partitioned BY THE TIED GROUP, never a global sort. Rows leave
+  *     the refinement set as their group resolves, so late rounds
+  *     shuffle only the still-ambiguous tail (on this corpus the tied
+  *     set collapses within ~a dozen rounds). Each round is staged
+  *     through the parquet store layer ([[Staging]]), so the iteration
+  *     reads files, not a 15-join lineage.
+  *
+  * Every doc ends with a per-doc UNIQUE separator token (U+0001 +
+  * doc_id, sorting below all words), so suffix comparisons terminate at
+  * doc boundaries, all suffixes are distinct, and the final ranks are a
+  * permutation of 1..n.
+  */
+object SuffixArray {
+
+  /** Exclusive prefix sum of `valCol` in `orderCol` order, distributed:
+    * range-partition by `orderCol` (ties cannot split — the
+    * RangePartitioner binary-searches boundary keys), local sort, one
+    * collected long per partition, broadcast cumulative offsets, local
+    * streaming add. Returns (orderCol, _ofs). */
+  def prefixOffsets(df: DataFrame, orderCol: String, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .select(col(orderCol).cast("long").as("_1"), col(valCol).cast("long").as("_2"))
+      .as[(Long, Long)]
+      .repartitionByRange(nPart, col("_1"))
+      .sortWithinPartitions("_1")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sums = parted.mapPartitions { it =>
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator.single((TaskContext.getPartitionId(), s))
+    }.collect().sortBy(_._1)
+    val offsets = sums.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .sliding(2).map { case Array((_, acc), (pid, _)) => (pid, acc) }.toMap
+    val bc = spark.sparkContext.broadcast(
+      if (offsets.isEmpty) sums.map(p => (p._1, 0L)).toMap else offsets)
+    val out = parted.mapPartitions { it =>
+      var run = bc.value(TaskContext.getPartitionId())
+      it.map { case (k, v) => val o = run; run += v; (k, o) }
+    }.toDF(orderCol, "_ofs")
+    val staged = Staging.stage(out, "sa_offsets")
+    parted.unpersist()
+    staged
+  }
+
+  /** (gpos, doc_id, pos, tok): the corpus token sequence — docs in
+    * doc_id order, each followed by its unique separator token. */
+  def corpusTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      concat(
+        split(col(textCol), " "),
+        array(concat(lit("\u0001"), col(idCol).cast("string")))).as("_toks"))
+    val lens = toks.select(col("doc_id"), size(col("_toks")).cast("long").as("_len"))
+    val offs = prefixOffsets(lens, "doc_id", "_len")
+    toks.join(offs, "doc_id")
+      .select(col("doc_id"), col("_ofs"),
+        posexplode(col("_toks")).as(Seq("pos", "tok")))
+      .select(
+        (col("_ofs") + col("pos")).as("gpos"),
+        col("doc_id"),
+        col("pos").cast("long").as("pos"),
+        col("tok"))
+  }
+
+  /** Suffix ranks (gpos, doc_id, pos, sa_rank): sa_rank is the 1-based
+    * position of suffix `gpos` in the lexicographic order of all corpus
+    * suffixes (a permutation — separators make suffixes distinct).
+    * `maxRounds` bounds the doubling (2^maxRounds ≥ corpus tokens);
+    * the loop exits as soon as no ties remain, which on real corpora
+    * happens long before the bound. */
+  def suffixRanks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxRounds: Int = 22): DataFrame = {
+    val toks = Staging.stage(corpusTokens(docs, idCol, textCol), "sa_toks")
+
+    // round 0 through the distinct vocabulary (scale note in scaladoc)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+    val vocabRank = vocab.select(
+      col("tok"),
+      (sum(col("_c")).over(Window.orderBy(col("tok"))) - col("_c") + 1).as("r"))
+    var ranks = Staging.stage(
+      toks.join(vocabRank, "tok").select(col("gpos"), col("r")), "sa_r0")
+
+    var step = 1L
+    var round = 0
+    var tiedGroups = ranks.groupBy(col("r")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+    var nTied = tiedGroups.count()
+    while (nTied > 0 && round < maxRounds) {
+      val tied = ranks.join(tiedGroups.select(col("r")), Seq("r"))
+      // r2 = current rank of the suffix `step` positions later; beyond
+      // the corpus end ranks as -1 (shorter suffix sorts first)
+      val shifted = ranks.select((col("gpos") - lit(step)).as("gpos"), col("r").as("_r2"))
+      val refined = tied.join(shifted, Seq("gpos"), "left")
+        .select(col("gpos"), col("r"), coalesce(col("_r2"), lit(-1L)).as("_r2"))
+        .select(col("gpos"),
+          (col("r") + rank().over(
+            Window.partitionBy(col("r")).orderBy(col("_r2"))) - 1).as("r"))
+      val resolved = ranks.join(tiedGroups.select(col("r")), Seq("r"), "left_anti")
+      ranks = Staging.stage(resolved.unionByName(refined), s"sa_round")
+      step *= 2
+      round += 1
+      tiedGroups = ranks.groupBy(col("r")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1)
+      nTied = tiedGroups.count()
+    }
+    require(nTied == 0,
+      s"suffix ranking did not converge in $maxRounds rounds ($nTied tied groups left)")
+    toks.join(ranks, "gpos")
+      .select(col("gpos"), col("doc_id"), col("pos"), col("r").as("sa_rank"))
+  }
+
+  /** Exact-substring dedup (the ExactSubstr protocol at fixed minimum
+    * length): every L-token window occurring ≥ 2 times ANYWHERE in the
+    * corpus marks its positions duplicated; per doc, overlapping
+    * duplicated windows merge into maximal spans (the union of repeated
+    * L-windows EQUALS the union of maximal repeats of length ≥ L — each
+    * maximal repeat of length M ≥ L is covered by its M−L+1 repeated
+    * windows, and every repeated window lies inside a maximal repeat).
+    * Windows are keyed by md5 of the window text: the shuffle carries 16
+    * bytes per position instead of L tokens (~8×L bytes) — the Lee et
+    * al. implementation makes the same hash-key trade.
+    *
+    * Output, one row per doc: n_tokens, n_dup_spans / n_dup_tokens
+    * (maximal duplicated spans and their token count), and
+    * n_removed_tokens — tokens covered by a window occurrence that is
+    * NOT its key's corpus-first occurrence (min (doc_id, pos)), i.e.
+    * the all-but-one-copy removal policy. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String, l: Int): DataFrame = {
+    require(l > 0, s"window length must be positive: $l")
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      coalesce(TextAnalysis.tokens(col(textCol)), array().cast("array<string>")).as("_toks"))
+    val windows = base
+      .filter(size(col("_toks")) >= l)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("_toks")) - l, lit(1))).as("pos"),
+        col("_toks"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("_toks"), col("pos") + 1, lit(l)))
+          .cast("binary")).as("h"))
+    val keyStats = windows.groupBy(col("h"))
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col("doc_id"), col("pos"))).as("_first"))
+      .filter(col("_n") >= 2)
+    val dupOcc = windows.join(keyStats, Seq("h"))
+      .select(col("doc_id"), col("pos"),
+        (col("_first.doc_id") =!= col("doc_id") ||
+          col("_first.pos") =!= col("pos")).as("_removable"))
+
+    // maximal spans: windows all have length l, positions ascend, so a
+    // new island starts exactly when pos > previous pos + l
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupOcc
+      .withColumn("_newIsland",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(wDoc), lit(Long.MinValue / 2))
+          + l, 1).otherwise(when(lag(col("pos"), 1).over(wDoc).isNull, 1).otherwise(0)))
+      .withColumn("_island", sum(col("_newIsland")).over(wDoc))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg((max(col("pos")) + l - min(col("pos"))).as("_spanTok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("_spanTok")).as("n_dup_tokens"))
+
+    // removal coverage: positions covered by ≥1 non-first occurrence —
+    // same island merge over the removable subset
+    val removed = dupOcc.filter(col("_removable"))
+      .withColumn("_newIsland",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(wDoc), lit(Long.MinValue / 2))
+          + l, 1).otherwise(when(lag(col("pos"), 1).over(wDoc).isNull, 1).otherwise(0)))
+      .withColumn("_island", sum(col("_newIsland")).over(wDoc))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg((max(col("pos")) + l - min(col("pos"))).as("_spanTok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_spanTok")).as("n_removed_tokens"))
+
+    base.select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"))
+  }
+}

@@ -1959,8 +1959,127 @@ object PipelineQueries {
              |       array_to_string(list_filter(lines, l -> len(string_split(l, ' ')) >= 6), chr(10)) AS clean_text,
              |       CAST(len(lines) AS BIGINT) AS n_lines,
              |       CAST(len(list_filter(lines, l -> len(string_split(l, ' ')) >= 6)) AS BIGINT) AS n_kept
-             |FROM ln ORDER BY doc_id""".stripMargin))
+             |FROM ln ORDER BY doc_id""".stripMargin)),
+
+    // -- exact-substring (suffix-array) dedup ---------------------------
+    // Token-level suffix array by distributed prefix doubling
+    // (Manber–Myers; SuffixArray.scala's scaladoc has the three scale
+    // decisions: terasort-style prefix-sum offsets, round-0 ranks through
+    // the distinct vocabulary, group-local tie refinement with resolved
+    // ranks frozen). The oracle replays the SAME doubling as 20 generated
+    // rank()-window rounds at fixed depth (2^20 ≥ every sweep corpus);
+    // Spark early-exits once no tie remains — further rounds are no-ops
+    // on distinct ranks, so both converge to the same permutation.
+    Q("q_suffix_array",
+      (s, dir) =>
+        graft.operators.SuffixArray
+          .suffixRanks(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy("gpos"),
+      Some(saOracle(20))),
+
+    // ExactSubstr dedup (Lee et al. 2022) at minimum span length L:
+    // repeated L-token windows (md5-keyed — 16 bytes/position shuffled
+    // instead of ~8·L) mark duplicated positions; per-doc overlapping
+    // windows merge into MAXIMAL spans (the union of repeated L-windows
+    // equals the union of maximal repeats ≥ L), and the removal metric
+    // counts positions covered by any non-first occurrence (all-but-one-
+    // copy policy, corpus-first = min (doc_id, pos) per window key).
+    Q("q_dedup_substring",
+      (s, dir) =>
+        graft.operators.SuffixArray
+          .substringDedup(Tables.documents(s, dir), "doc_id", "text", SubstrL)
+          .orderBy("doc_id"),
+      Some(substrOracle(SubstrL)))
   )
+
+  // `final` without a type annotation = compile-time constant, so it is
+  // inlined at use sites and immune to the object-init-order trap the
+  // `all` val otherwise has with later vals (see QuantizedEmbeddings)
+  private final val SubstrL = 15
+
+  /** WITH-chain for the suffix-array oracle: corpus tokens (per-doc
+    * U+0001+doc_id separator, window-sum offsets), rank() by token, then
+    * `rounds` prefix-doubling rank() windows over (r, shifted r). */
+  private def saOracle(rounds: Int): String = {
+    val head =
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(text, ' ') || [chr(1) || CAST(doc_id AS VARCHAR)] AS toks
+        |  FROM documents
+        |), off AS (
+        |  SELECT doc_id, toks,
+        |         sum(len(toks)) OVER (ORDER BY doc_id) - len(toks) AS ofs
+        |  FROM d
+        |), toks AS MATERIALIZED (
+        |  SELECT CAST(ofs + i - 1 AS BIGINT) AS gpos, doc_id,
+        |         CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+        |  FROM off CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+        |), r0 AS MATERIALIZED (
+        |  SELECT gpos, doc_id, pos,
+        |         CAST(rank() OVER (ORDER BY tok) AS BIGINT) AS r
+        |  FROM toks
+        |)""".stripMargin
+    val steps = (0 until rounds).map { k =>
+      s"""r${k + 1} AS MATERIALIZED (
+         |  SELECT a.gpos, a.doc_id, a.pos,
+         |         CAST(rank() OVER (ORDER BY a.r, coalesce(b.r, -1)) AS BIGINT) AS r
+         |  FROM r$k a LEFT JOIN r$k b ON b.gpos = a.gpos + ${1L << k})""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT gpos, doc_id, pos, r AS sa_rank FROM r$rounds ORDER BY gpos"
+  }
+
+  /** ExactSubstr oracle: repeated L-windows → per-doc maximal-span merge
+    * (gaps-and-islands on window starts, new island iff pos > prev + L)
+    * for both the any-duplicate and the removable (non-first-occurrence)
+    * coverage. */
+  private def substrOracle(l: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         md5(array_to_string(toks[i:i+${l - 1}], ' ')) AS h
+       |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) - ${l - 1} + 1)) AS i) u
+       |  WHERE len(toks) >= $l
+       |), occ AS (
+       |  SELECT doc_id, pos,
+       |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+       |         count(*) OVER (PARTITION BY h) AS n
+       |  FROM w
+       |), dup AS (SELECT doc_id, pos, rn > 1 AS removable FROM occ WHERE n >= 2),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $l
+       |              THEN 1 ELSE 0 END AS ni
+       |  FROM dup
+       |), isl2 AS (
+       |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_dup_spans, sum(span_tok) AS n_dup_tokens
+       |  FROM (SELECT doc_id, island, max(pos) + $l - min(pos) AS span_tok
+       |        FROM isl2 GROUP BY 1, 2) GROUP BY 1
+       |), risl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $l
+       |              THEN 1 ELSE 0 END AS ni
+       |  FROM dup WHERE removable
+       |), risl2 AS (
+       |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM risl
+       |), ragg AS (
+       |  SELECT doc_id, sum(span_tok) AS n_removed_tokens
+       |  FROM (SELECT doc_id, island, max(pos) + $l - min(pos) AS span_tok
+       |        FROM risl2 GROUP BY 1, 2) GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |       CAST(coalesce(a.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       |       CAST(coalesce(r.n_removed_tokens, 0) AS BIGINT) AS n_removed_tokens
+       |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN ragg r USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB CTE chain replaying the Lloyd loop verbatim under a name
     * prefix `p`: `<p>q` = the quantized source (from `qDef`), `<p>c0` =
