@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Clustering, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -1989,13 +1989,83 @@ object PipelineQueries {
         graft.operators.SuffixArray
           .substringDedup(Tables.documents(s, dir), "doc_id", "text", SubstrL)
           .orderBy("doc_id"),
-      Some(substrOracle(SubstrL)))
+      Some(substrOracle(SubstrL))),
+
+    // -- BPE tokenization ----------------------------------------------
+    // Sennrich-style byte-pair-encoding merge training over the distinct
+    // word table (weighted by corpus counts; argmax pair per round, ties
+    // to (lhs, rhs) ascending). The ||-delimiter string representation
+    // makes each merge ONE engine-native replace() with classic greedy
+    // left-to-right semantics in both engines (Bpe.scala scaladoc); the
+    // oracle replays every round as generated (pairs, argmax, replace)
+    // CTEs. A round with no pairs left merges nothing on both sides.
+    Q("q_bpe_learn",
+      (s, dir) => Bpe.learn(Tables.documents(s, dir), "text", BpeMerges)._1,
+      Some(bpeChain(BpeMerges) + "\n" +
+        "SELECT * FROM (" +
+        (1 to BpeMerges).map(k =>
+          s"SELECT $k AS step, lhs, rhs, c AS pair_cnt FROM b$k")
+          .mkString("", " UNION ALL ", "") +
+        ") ORDER BY step")),
+
+    // Encoding with the learned vocabulary: per-doc BPE token counts via
+    // a broadcast join of corpus tokens against the final word→symbols
+    // table (the vocab is the bounded side by Heaps' law).
+    Q("q_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Bpe.encode(docs, "doc_id", "text", Bpe.learn(docs, "text", BpeMerges)._2)
+          .orderBy("doc_id")
+      },
+      Some(bpeChain(BpeMerges) + s""",
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT word,
+        |             CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS nsym
+        |      FROM w$BpeMerges)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens
+        |FROM tok JOIN v USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   // `final` without a type annotation = compile-time constant, so it is
   // inlined at use sites and immune to the object-init-order trap the
   // `all` val otherwise has with later vals (see QuantizedEmbeddings)
   private final val SubstrL = 15
+  private final val BpeMerges = 16
+
+  /** WITH-chain for the BPE oracles: distinct word counts, char-symbol
+    * delimiter strings, then per round (p_k pair counts, b_k argmax,
+    * w_k merge-applied words). */
+  private def bpeChain(nMerges: Int): String = {
+    val head =
+      """WITH base AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1
+        |), w0 AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |         '||' || array_to_string(string_split(word, '') || ['_'], '||') || '||' AS s
+        |  FROM base
+        |)""".stripMargin
+    val steps = (1 to nMerges).flatMap { k =>
+      Seq(
+        s"""p$k AS (
+           |  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM (SELECT arr[i] AS lhs, arr[i+1] AS rhs, cnt
+           |        FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS arr FROM w${k - 1}) t
+           |        CROSS JOIN LATERAL (SELECT unnest(range(1, len(arr))) AS i) u)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"b$k AS (SELECT lhs, rhs, c FROM p$k ORDER BY c DESC, lhs, rhs LIMIT 1)",
+        s"""w$k AS MATERIALIZED (
+           |  SELECT word, cnt,
+           |         CASE WHEN b.lhs IS NULL THEN s
+           |              ELSE replace(s, '|' || b.lhs || '||' || b.rhs || '|',
+           |                              '|' || b.lhs || b.rhs || '|') END AS s
+           |  FROM w${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin)
+    }
+    (head +: steps).mkString(",\n")
+  }
 
   /** WITH-chain for the suffix-array oracle: corpus tokens (per-doc
     * U+0001+doc_id separator, window-sum offsets), rank() by token, then
