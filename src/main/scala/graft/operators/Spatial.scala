@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grid-binned spatial operators over integer (exact, cross-engine)
+  * coordinates — the proximity-join / OD-flow / stay-point family every
+  * mobility store ultimately serves (the reference keeps per-point
+  * longitude/latitude through its trajectory pivots,
+  * /root/reference/stores/mobility_db_batch.py:88,108; the test events
+  * carry no raw coordinates, so queries derive deterministic integer
+  * coords from event_id — same arithmetic in both engines, nothing
+  * float to diverge).
+  *
+  * Scale shapes:
+  *  - [[proximityJoin]] is the 2-D analog of the binned range join
+  *    (q_range_join_binned): bin both sides into d×d cells, explode the
+  *    PROBE side to its 3×3 neighborhood, hash equi-join on the cell
+  *    key, then the exact residual predicate. Candidate volume is
+  *    9·n·(cell occupancy), never n² — the same bound at 1000 executors.
+  *  - [[odMatrix]] and [[stayPoints]] are per-entity ordered windows
+  *    (one shuffle by user), then a map-side-combinable count / island
+  *    aggregation. No global sort anywhere.
+  */
+object Spatial {
+
+  /** Deterministic synthetic coords in [0, 1000): quadratic-residue
+    * mixing so id-adjacent points scatter at all distances (a linear
+    * congruence would put every point on a sparse lattice where close
+    * pairs only arise at id deltas that are multiples of the modulus).
+    * Exact int64 arithmetic both engines evaluate identically
+    * (id² ≤ 1e12 at sf1 — far from overflow). */
+  def xMil(id: Column): Column = ((id * id) % 1000003L * 37 + id * 101) % 1000
+  def yMil(id: Column): Column = ((id * id) % 999983L * 73 + id * 211) % 1000
+
+  /** All pairs (id_a < id_b) within L2 distance `d` (inclusive, on
+    * dist² ≤ d²): cell-binned candidate generation + exact residual.
+    * `pts` must carry (idCol, x, y). */
+  def proximityJoin(pts: DataFrame, idCol: String, d: Int): DataFrame = {
+    require(d > 0, s"radius must be positive: $d")
+    val build = pts.select(
+      col(idCol).as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      floor(col("x") / d).cast("long").as("cx"),
+      floor(col("y") / d).cast("long").as("cy"))
+    val probe = pts.select(
+        col(idCol).as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        floor(col("x") / d).cast("long").as("_cx"),
+        floor(col("y") / d).cast("long").as("_cy"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        explode(expr("flatten(transform(sequence(-1, 1), " +
+          "dx -> transform(sequence(-1, 1), dy -> struct(_cx + dx AS cx, _cy + dy AS cy))))"))
+          .as("_c"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        col("_c.cx").as("cx"), col("_c.cy").as("cy"))
+    probe.join(build, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist2"))
+      .filter(col("dist2") <= lit(d.toLong * d))
+  }
+
+  /** Origin-destination flow counts between coarse cells: per entity in
+    * (ts, id) order, each consecutive point pair is one trip from the
+    * previous point's cell to the current one. */
+  def odMatrix(pts: DataFrame, entityCol: String, tsCol: String, idCol: String,
+      cellSize: Int): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    pts
+      .select(col(entityCol), col(tsCol), col(idCol),
+        floor(col("x") / cellSize).cast("long").as("tx"),
+        floor(col("y") / cellSize).cast("long").as("ty"))
+      .select(col("tx"), col("ty"),
+        lag(col("tx"), 1).over(w).as("fx"),
+        lag(col("ty"), 1).over(w).as("fy"))
+      .filter(col("fx").isNotNull)
+      .groupBy(col("fx"), col("fy"), col("tx"), col("ty"))
+      .agg(count(lit(1)).as("n_trips"))
+  }
+
+  /** Stay-point detection: a stay-step is a consecutive point pair (per
+    * entity, (ts, id) order) with step dist² ≤ d²; a stay-point is a
+    * maximal run of ≥ `minSteps` consecutive stay-steps. Output one row
+    * per stay-point: entity, start/end micros (first/last point of the
+    * run), n_pts (= steps + 1), dwell_us. Gaps-and-islands: island id =
+    * running count of NON-stay steps, so an island of stay-steps shares
+    * one id. */
+  def stayPoints(pts: DataFrame, entityCol: String, tsCol: String, idCol: String,
+      d: Int, minSteps: Int): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    val steps = pts
+      .select(col(entityCol), col(tsCol), col(idCol), col("x"), col("y"))
+      .withColumn("_pts", lag(col(tsCol), 1).over(w))
+      .withColumn("_px", lag(col("x"), 1).over(w))
+      .withColumn("_py", lag(col("y"), 1).over(w))
+      .filter(col("_px").isNotNull)
+      .withColumn("_stay",
+        ((col("x") - col("_px")) * (col("x") - col("_px")) +
+          (col("y") - col("_py")) * (col("y") - col("_py"))) <= lit(d.toLong * d))
+      .withColumn("_island",
+        sum(when(col("_stay"), 0).otherwise(1)).over(w))
+    steps.filter(col("_stay"))
+      .groupBy(col(entityCol), col("_island"))
+      .agg(
+        min(col("_pts")).as("start_us"),
+        max(col(tsCol)).as("end_us"),
+        (count(lit(1)) + 1).as("n_pts"))
+      .filter(col("n_pts") >= minSteps + 1)
+      .select(col(entityCol), col("start_us"), col("end_us"), col("n_pts"),
+        (col("end_us") - col("start_us")).as("dwell_us"))
+  }
+}

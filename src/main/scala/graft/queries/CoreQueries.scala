@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Encodings, Flatten, Graph, Normalize, Stats, TimeSeries, Trajectory}
+import graft.operators.{Encodings, Flatten, Graph, Normalize, Spatial, Stats, TimeSeries, Trajectory}
 import graft.sources.Tables
 
 /** One registered, oracle-checked query. `oracle` is ANSI-ish SQL runnable
@@ -977,8 +977,260 @@ object CoreQueries {
              |)
              |SELECT user_id, max(rn) AS n_events, arg_max(e, rn) AS ewma_mils,
              |       arg_max(na, rn) AS n_anomalies
-             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // -- spatial / mobility family --------------------------------------
+    // The test events carry no raw coordinates, so these queries derive
+    // deterministic integer coords from event_id by quadratic-residue
+    // mixing (Spatial.xMil/yMil) — exact in both engines, nothing float
+    // to diverge, and scattered at all pair distances.
+
+    // 2-D proximity self-join, the spatial analog of q_range_join_binned:
+    // d×d cell binning + 3×3 neighbor explode + hash equi-join + exact
+    // residual — candidates are 9·n·occupancy, never n². The oracle is
+    // the plain quadratic predicate join (DuckDB's IEJoin carries it).
+    Q("q_spatial_join",
+      (s, dir) => Spatial.proximityJoin(
+          eventPoints(s, dir).filter(col("event_type") === "click"),
+          "event_id", d = 10)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH p AS (SELECT event_id, ((event_id*event_id)%1000003*37 + event_id*101)%1000 AS x, ((event_id*event_id)%999983*73 + event_id*211)%1000 AS y
+             |          FROM events WHERE event_type = 'click')
+             |SELECT a.event_id AS id_a, b.event_id AS id_b,
+             |       CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+             |FROM p a JOIN p b
+             |  ON a.event_id < b.event_id
+             | AND b.x BETWEEN a.x - 10 AND a.x + 10
+             | AND b.y BETWEEN a.y - 10 AND a.y + 10
+             |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 100
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Origin-destination flow matrix between coarse cells (250-unit →
+    // 4×4 grid): per-user consecutive point pairs, one ordered-window
+    // shuffle then a map-side-combinable count.
+    Q("q_od_matrix",
+      (s, dir) => Spatial.odMatrix(eventPoints(s, dir), "user_id", "ts_us",
+          "event_id", cellSize = 250)
+        .orderBy("fx", "fy", "tx", "ty"),
+      Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             |                  (((event_id*event_id)%1000003*37 + event_id*101)%1000)//250 AS tx,
+             |                  (((event_id*event_id)%999983*73 + event_id*211)%1000)//250 AS ty
+             |           FROM events),
+             |t AS (SELECT tx, ty,
+             |             lag(tx) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS fx,
+             |             lag(ty) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS fy
+             |      FROM p)
+             |SELECT fx, fy, tx, ty, CAST(count(*) AS BIGINT) AS n_trips
+             |FROM t WHERE fx IS NOT NULL
+             |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    // Stay-point detection (dwell episodes): maximal runs of ≥ 2
+    // consecutive stay-steps (step dist² ≤ 450²) per user — gaps-and-
+    // islands where the island id is the running count of non-stay steps.
+    Q("q_staypoint",
+      (s, dir) => Spatial.stayPoints(eventPoints(s, dir), "user_id", "ts_us",
+          "event_id", d = 450, minSteps = 2)
+        .orderBy("user_id", "start_us"),
+      Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             |                  ((event_id*event_id)%1000003*37 + event_id*101)%1000 AS x, ((event_id*event_id)%999983*73 + event_id*211)%1000 AS y
+             |           FROM events),
+             |s AS (SELECT user_id, ts_us, event_id, x, y,
+             |             lag(ts_us) OVER w AS pts, lag(x) OVER w AS px, lag(y) OVER w AS py
+             |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |st AS (SELECT user_id, ts_us, event_id, pts,
+             |              (x-px)*(x-px) + (y-py)*(y-py) <= 202500 AS stay
+             |       FROM s WHERE px IS NOT NULL),
+             |isl AS (SELECT user_id, ts_us, pts, stay,
+             |               sum(CASE WHEN stay THEN 0 ELSE 1 END)
+             |                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS island
+             |        FROM st)
+             |SELECT user_id, min(pts) AS start_us, max(ts_us) AS end_us,
+             |       CAST(count(*) + 1 AS BIGINT) AS n_pts,
+             |       max(ts_us) - min(pts) AS dwell_us
+             |FROM isl WHERE stay
+             |GROUP BY user_id, island
+             |HAVING count(*) + 1 >= 3
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // Linear-interpolation resampling: the same 72 h × (user < 50) hourly
+    // grid as q_resample_fill, but empty slots take the time-weighted
+    // linear blend of the nearest known hours (ffill/bfill at the edges)
+    // instead of zero. All integer mils; the blend numerator is
+    // non-negative so floor(double div) is identical cross-engine.
+    Q("q_interpolate",
+      (s, dir) => {
+        val startUs = 1704844800000000L // 2024-01-10 00:00:00 UTC
+        val users = Tables.events(s, dir)
+          .filter(col("user_id") < 50).select("user_id").distinct()
+        val grid = users
+          .select(col("user_id"), explode(sequence(lit(0), lit(71))).as("_h"))
+          .select(col("user_id"),
+            (lit(startUs) + col("_h").cast("long") * 3600000000L).as("hour_us"))
+        val known = Tables.events(s, dir)
+          .filter(col("user_id") < 50 &&
+            unix_micros(col("ts")) >= startUs &&
+            unix_micros(col("ts")) < startUs + 72L * 3600000000L)
+          .groupBy(col("user_id"),
+            expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+          .agg(floor(sum(floor(col("value") * 100)) / count(lit(1)))
+            .cast("long").as("v_mil"))
+        val wp = Window.partitionBy(col("user_id")).orderBy(col("hour_us"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wn = Window.partitionBy(col("user_id")).orderBy(col("hour_us"))
+          .rowsBetween(0, Window.unboundedFollowing)
+        grid.join(known, Seq("user_id", "hour_us"), "left")
+          .withColumn("_pv", last(col("v_mil"), ignoreNulls = true).over(wp))
+          .withColumn("_ph",
+            last(when(col("v_mil").isNotNull, col("hour_us")), ignoreNulls = true).over(wp))
+          .withColumn("_nv", first(col("v_mil"), ignoreNulls = true).over(wn))
+          .withColumn("_nh",
+            first(when(col("v_mil").isNotNull, col("hour_us")), ignoreNulls = true).over(wn))
+          .select(col("user_id"), col("hour_us"),
+            when(col("v_mil").isNotNull, col("v_mil"))
+              .when(col("_pv").isNull, col("_nv"))
+              .when(col("_nv").isNull, col("_pv"))
+              .otherwise(floor(
+                (col("_pv") * (col("_nh") - col("hour_us")) +
+                  col("_nv") * (col("hour_us") - col("_ph"))) /
+                  (col("_nh") - col("_ph"))).cast("long"))
+              .as("v_interp_mil"),
+            col("v_mil").isNotNull.as("known"))
+          .orderBy("user_id", "hour_us")
+      },
+      Some("""WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+             |grid AS (SELECT user_id, epoch_us(h) AS hour_us
+             |         FROM users, LATERAL generate_series(TIMESTAMP '2024-01-10 00:00:00',
+             |                TIMESTAMP '2024-01-12 23:00:00', INTERVAL 1 HOUR) AS g(h)),
+             |known AS (SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
+             |                 CAST(floor(sum(CAST(floor(value*100) AS BIGINT)) / count(*)) AS BIGINT) AS v_mil
+             |          FROM events
+             |          WHERE user_id < 50 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |            AND ts < TIMESTAMP '2024-01-13 00:00:00'
+             |          GROUP BY 1, 2),
+             |g AS (SELECT g.user_id, g.hour_us, k.v_mil
+             |      FROM grid g LEFT JOIN known k USING (user_id, hour_us)),
+             |w AS (SELECT user_id, hour_us, v_mil,
+             |             last_value(v_mil IGNORE NULLS) OVER wp AS pv,
+             |             last_value(CASE WHEN v_mil IS NOT NULL THEN hour_us END IGNORE NULLS) OVER wp AS ph,
+             |             first_value(v_mil IGNORE NULLS) OVER wn AS nv,
+             |             first_value(CASE WHEN v_mil IS NOT NULL THEN hour_us END IGNORE NULLS) OVER wn AS nh
+             |      FROM g WINDOW
+             |        wp AS (PARTITION BY user_id ORDER BY hour_us
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |        wn AS (PARTITION BY user_id ORDER BY hour_us
+             |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, hour_us,
+             |       CASE WHEN v_mil IS NOT NULL THEN v_mil
+             |            WHEN pv IS NULL THEN nv
+             |            WHEN nv IS NULL THEN pv
+             |            ELSE CAST(floor((pv*(nh-hour_us) + nv*(hour_us-ph))
+             |                            / CAST(nh-ph AS DOUBLE)) AS BIGINT) END AS v_interp_mil,
+             |       v_mil IS NOT NULL AS known
+             |FROM w ORDER BY user_id, hour_us""".stripMargin)),
+
+    // First-order Markov transition matrix over event types (per-user
+    // ordered sequences): transition counts + integer-ppm row-normalized
+    // probabilities. 5 types → 25 rows; the shuffle is one window by
+    // user plus a tiny aggregate.
+    Q("q_markov",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val t = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type"))
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+        val cnt = t.groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n_trans"))
+        val tot = cnt.groupBy(col("from_type")).agg(sum(col("n_trans")).as("_tot"))
+        cnt.join(tot, "from_type")
+          .select(col("from_type"), col("to_type"), col("n_trans"),
+            expr("(n_trans * 1000000) div _tot").as("p_ppm"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH t AS (SELECT event_type AS to_type,
+             |                  lag(event_type) OVER (PARTITION BY user_id
+             |                    ORDER BY epoch_us(ts), event_id) AS from_type
+             |           FROM events),
+             |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+             |      FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT from_type, sum(n_trans) AS tot FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n_trans,
+             |       CAST((c.n_trans * 1000000) // tot.tot AS BIGINT) AS p_ppm
+             |FROM c JOIN tot USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // Pearson correlation matrix over lineitem measures from EXACT
+    // integer sums (fixed-point quantity/cents/basis-points, sums in
+    // decimal(38,0)/hugeint): both engines convert the same exact
+    // integers to double and run the identical formula shape, so the
+    // ppm-floored output is reproducible — a float-accumulated corr()
+    // would tie the hash to summation order.
+    Q("q_corr_matrix",
+      (s, dir) => {
+        val base = Tables.lineitem(s, dir).select(
+          floor(col("l_quantity")).cast("long").as("q"),
+          floor(col("l_extendedprice") * 100).cast("long").as("p"),
+          floor(col("l_discount") * 10000).cast("long").as("d"))
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(38,0)")).cast("double")
+        val agg = base.agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("q")).as("sq"), dsum(col("p")).as("sp"), dsum(col("d")).as("sd"),
+          dsum(col("q") * col("q")).as("sqq"), dsum(col("p") * col("p")).as("spp"),
+          dsum(col("d") * col("d")).as("sdd"), dsum(col("q") * col("p")).as("sqp"),
+          dsum(col("q") * col("d")).as("sqd"), dsum(col("p") * col("d")).as("spd"))
+        def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+          floor(lit(1000000.0) *
+            (col("n") * col(sxy) - col(sx) * col(sy)) /
+            sqrt((col("n") * col(sxx) - col(sx) * col(sx)) *
+              (col("n") * col(syy) - col(sy) * col(sy)))).cast("long")
+        agg.select(explode(array(
+            struct(lit("price").as("col_a"), lit("discount").as("col_b"),
+              corr("sp", "sd", "spp", "sdd", "spd").as("corr_ppm")),
+            struct(lit("quantity").as("col_a"), lit("discount").as("col_b"),
+              corr("sq", "sd", "sqq", "sdd", "sqd").as("corr_ppm")),
+            struct(lit("quantity").as("col_a"), lit("price").as("col_b"),
+              corr("sq", "sp", "sqq", "spp", "sqp").as("corr_ppm")))).as("_r"))
+          .select(col("_r.col_a").as("col_a"), col("_r.col_b").as("col_b"),
+            col("_r.corr_ppm").as("corr_ppm"))
+          .orderBy("col_a", "col_b")
+      },
+      Some("""WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+             |                  CAST(floor(l_extendedprice*100) AS BIGINT) AS p,
+             |                  CAST(floor(l_discount*10000) AS BIGINT) AS d
+             |           FROM lineitem),
+             |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |             CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+             |             CAST(sum(d) AS DOUBLE) AS sd,
+             |             CAST(sum(q*q) AS DOUBLE) AS sqq, CAST(sum(p*p) AS DOUBLE) AS spp,
+             |             CAST(sum(d*d) AS DOUBLE) AS sdd, CAST(sum(q*p) AS DOUBLE) AS sqp,
+             |             CAST(sum(q*d) AS DOUBLE) AS sqd, CAST(sum(p*d) AS DOUBLE) AS spd
+             |      FROM b)
+             |SELECT * FROM (
+             |  SELECT 'price' AS col_a, 'discount' AS col_b,
+             |         CAST(floor(1000000 * (n*spd - sp*sd)
+             |              / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd))) AS BIGINT) AS corr_ppm
+             |  FROM a
+             |  UNION ALL
+             |  SELECT 'quantity', 'discount',
+             |         CAST(floor(1000000 * (n*sqd - sq*sd)
+             |              / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd))) AS BIGINT) FROM a
+             |  UNION ALL
+             |  SELECT 'quantity', 'price',
+             |         CAST(floor(1000000 * (n*sqp - sq*sp)
+             |              / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp))) AS BIGINT) FROM a)
+             |ORDER BY col_a, col_b""".stripMargin))
   )
+
+  /** Shared point frame for the spatial family: events with exact
+    * integer coords derived from event_id and micros timestamps. */
+  private def eventPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      Spatial.xMil(col("event_id")).as("x"),
+      Spatial.yMil(col("event_id")).as("y"))
 
   /** Unrolled-iteration DuckDB oracle for [[Graph.pagerank]] over the
     * part⇄supplier graph — same base/hold floors, same per-iteration

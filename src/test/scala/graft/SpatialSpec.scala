@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Spatial
+
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("proximityJoin finds cross-cell pairs and applies the exact residual") {
+    // cell size 10: (9,9)↔(11,11) cross a cell boundary (dist²=8) — only
+    // reachable through the neighbor explode; (9,9)↔(20,20) is a
+    // neighbor-cell candidate the residual cuts (242 > 100)
+    val pts = Seq(
+      (1L, 9L, 9L), (2L, 11L, 11L), (3L, 9L, 18L), (4L, 20L, 20L), (5L, 50L, 50L))
+      .toDF("id", "x", "y")
+    val got = Spatial.proximityJoin(pts, "id", d = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 8L), (1L, 3L, 81L), (2L, 3L, 53L)))
+  }
+
+  test("odMatrix counts per-entity consecutive cell transitions") {
+    // user 1: cells (0,0) → (1,0) → (1,0); user 2: (3,3) → (0,0)
+    val pts = Seq(
+      (1L, 100L, 10L, 10L, 20L), (1L, 200L, 11L, 260L, 30L), (1L, 300L, 12L, 270L, 40L),
+      (2L, 100L, 20L, 900L, 990L), (2L, 150L, 21L, 5L, 5L))
+      .toDF("user_id", "ts_us", "event_id", "x", "y")
+    val got = Spatial.odMatrix(pts, "user_id", "ts_us", "event_id", cellSize = 250)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 1L, 0L, 1L), (1L, 0L, 1L, 0L, 1L), (3L, 3L, 0L, 0L, 1L)))
+  }
+
+  test("stayPoints merges runs of close steps and drops short runs") {
+    // user 1: four points in a tight cluster (3 stay-steps) then a jump
+    // then two more close points (1 stay-step — below minSteps)
+    val pts = Seq(
+      (1L, 1000L, 1L, 100L, 100L),
+      (1L, 2000L, 2L, 105L, 100L),
+      (1L, 3000L, 3L, 98L, 103L),
+      (1L, 4000L, 4L, 101L, 99L),
+      (1L, 5000L, 5L, 900L, 900L), // jump breaks the run
+      (1L, 6000L, 6L, 903L, 901L))
+      .toDF("user_id", "ts_us", "event_id", "x", "y")
+    val got = Spatial.stayPoints(pts, "user_id", "ts_us", "event_id", d = 10, minSteps = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // one stay-point: points 1-4, start at the first point's ts (lagged),
+    // n_pts = 4, dwell = 4000 - 1000
+    assert(got == Seq((1L, 1000L, 4000L, 4L, 3000L)))
+  }
+}
