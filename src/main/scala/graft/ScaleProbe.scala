@@ -34,7 +34,20 @@ object ScaleProbe {
     "q_text_stats" -> false,
     "q_doc_winnow_roll" -> false,
     "q_dedup_exact" -> false,
-    "q_dedup_minhash" -> true // pair_blowup_expected on the replicated corpus
+    "q_dedup_minhash" -> true, // pair_blowup_expected on the replicated corpus
+    // round-7 additions. q_dedup_substring runs on the VERBATIM replica
+    // deliberately: every window key then has 5 occurrences (groups of
+    // ~5·count, never n²), the worst-case dup-dense corpus with a linear
+    // expectation. q_spatial_join's pair count grows ~25× BY PHYSICS
+    // (5× points over the SAME area → 25× close pairs — true of any
+    // densified mobility corpus), so it carries the blowup flag; its
+    // candidate volume per cell is what the bin size bounds.
+    "q_dedup_substring" -> false,
+    "q_suffix_array" -> false,
+    "q_od_matrix" -> false,
+    "q_staypoint" -> false,
+    "q_markov" -> false,
+    "q_spatial_join" -> true // density pair growth, not a plan defect
   )
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run

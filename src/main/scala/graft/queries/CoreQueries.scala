@@ -1220,7 +1220,30 @@ object CoreQueries {
              |  SELECT 'quantity', 'price',
              |         CAST(floor(1000000 * (n*sqp - sq*sp)
              |              / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp))) AS BIGINT) FROM a)
-             |ORDER BY col_a, col_b""".stripMargin))
+             |ORDER BY col_a, col_b""".stripMargin)),
+
+    // Cohort retention: users bucketed by first-seen day, the classic
+    // (cohort_day × day_offset → distinct active users) triangle. Two
+    // aggregations: a per-user min (map-side combinable) broadcast back,
+    // then one distinct-count per cell — no row explosion anywhere.
+    Q("q_retention_cohort",
+      (s, dir) => {
+        val days = Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(date_trunc('day', ts))").as("day_us"))
+        val cohort = days.groupBy(col("user_id")).agg(min(col("day_us")).as("cohort_us"))
+        days.join(cohort, "user_id")
+          .select(col("user_id"), col("cohort_us"),
+            ((col("day_us") - col("cohort_us")) / 86400000000L).cast("long").as("day_offset"))
+          .groupBy(col("cohort_us"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort_us", "day_offset")
+      },
+      Some("""WITH d AS (SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us FROM events),
+             |c AS (SELECT user_id, min(day_us) AS cohort_us FROM d GROUP BY 1)
+             |SELECT c.cohort_us, (d.day_us - c.cohort_us) // 86400000000 AS day_offset,
+             |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+             |FROM d JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact

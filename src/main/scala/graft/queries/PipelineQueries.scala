@@ -2011,6 +2011,63 @@ object PipelineQueries {
     // Encoding with the learned vocabulary: per-doc BPE token counts via
     // a broadcast join of corpus tokens against the final word→symbols
     // table (the vocab is the bounded side by Heaps' law).
+    // Training-data mixture sampling (the data-mixing step of an LLM
+    // pipeline): per-language quotas by temperature-reweighted size
+    // (α = 1/2 — sqrt damping upsamples the tail languages), selection
+    // by deterministic hash rank within each language. All integer after
+    // the one floor(sqrt·1000): quota = (target · s_l) div Σs, target =
+    // half the corpus. The output fingerprints the SELECTED SET (count,
+    // id-sum, min/max id), not just the quota arithmetic.
+    Q("q_mix_sample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("s_mil", floor(sqrt(col("n_docs")) * 1000).cast("long"))
+        val tot = byLang.agg(sum(col("s_mil")).as("_stot"),
+          (sum(col("n_docs")) / 2).cast("long").as("_target"))
+        val quotas = byLang.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"), col("s_mil"),
+            expr("(_target * s_mil) div _stot").as("quota"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        val sel = docs
+          .withColumn("_rk", row_number().over(w))
+          .join(broadcast(quotas), "lang")
+          .filter(col("_rk") <= col("quota"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_selected"), sum(col("doc_id")).as("sel_id_sum"),
+            min(col("doc_id")).as("sel_id_min"), max(col("doc_id")).as("sel_id_max"))
+        quotas.join(sel, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("s_mil"), col("quota"),
+            coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+            coalesce(col("sel_id_sum"), lit(0L)).as("sel_id_sum"),
+            coalesce(col("sel_id_min"), lit(-1L)).as("sel_id_min"),
+            coalesce(col("sel_id_max"), lit(-1L)).as("sel_id_max"))
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |                 CAST(floor(sqrt(count(*)) * 1000) AS BIGINT) AS s_mil
+             |          FROM documents GROUP BY 1),
+             |t AS (SELECT sum(s_mil) AS stot, CAST(sum(n_docs) // 2 AS BIGINT) AS target FROM b),
+             |q AS (SELECT lang, n_docs, s_mil,
+             |             CAST((t.target * b.s_mil) // t.stot AS BIGINT) AS quota
+             |      FROM b CROSS JOIN t),
+             |r AS (SELECT lang, doc_id,
+             |             row_number() OVER (PARTITION BY lang
+             |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |      FROM documents),
+             |sel AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n_selected,
+             |               CAST(sum(r.doc_id) AS BIGINT) AS sel_id_sum,
+             |               min(r.doc_id) AS sel_id_min, max(r.doc_id) AS sel_id_max
+             |        FROM r JOIN q USING (lang) WHERE r.rk <= q.quota GROUP BY 1)
+             |SELECT q.lang, q.n_docs, q.s_mil, q.quota,
+             |       coalesce(sel.n_selected, 0) AS n_selected,
+             |       coalesce(sel.sel_id_sum, 0) AS sel_id_sum,
+             |       coalesce(sel.sel_id_min, -1) AS sel_id_min,
+             |       coalesce(sel.sel_id_max, -1) AS sel_id_max
+             |FROM q LEFT JOIN sel USING (lang) ORDER BY lang""".stripMargin)),
+
     Q("q_bpe_encode",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
