@@ -64,7 +64,13 @@ object Scratch {
       "q_salted_join" -> "salted skew join: ShuffledHashJoin on (key, salt) — hot key spread across 8 reducer keys, no broadcast",
       "q_snapshot_diff" -> "CDC diff: one full-outer SortMergeJoin on the key, changed-rows filter above it",
       "q_ewma_anomaly" -> "EWMA fold: one Exchange on user_id, sort_array + aggregate fold row-local",
-      "q_scd2" -> "SCD2: two window passes + final agg — ONE Exchange on user_id reused by both sorts")
+      "q_scd2" -> "SCD2: two window passes + final agg — ONE Exchange on user_id reused by both sorts",
+      "q_spatial_join" -> "2-D proximity join: 3×3 neighbor explode → hash equi-join on (cx,cy) + exact residual — no CartesianProduct",
+      "q_dedup_substring" -> "ExactSubstr: md5-keyed window groupBy (16 B/position shuffled), islands merged per doc by window — no pair join at all",
+      "q_suffix_array" -> "suffix array final join: staged rank scan ⋈ staged token scan on gpos — flat plan after the doubling loop",
+      "q_bpe_encode" -> "BPE encode: broadcast vocab join over exploded tokens, partial+final count/sum",
+      "q_mix_sample" -> "mixture sampling: per-lang window rank + two broadcast joins of 5-row quota frames",
+      "q_retention_cohort" -> "cohort triangle: per-user min broadcast back, then partial+final distinct-count per cell")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

@@ -116,39 +116,71 @@ object SuffixArray {
       maxRounds: Int = 22): DataFrame = {
     val toks = Staging.stage(corpusTokens(docs, idCol, textCol), "sa_toks")
 
-    // round 0 through the distinct vocabulary (scale note in scaladoc)
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+    // Rounds 0+1 fused through the distinct BIGRAM vocabulary: ranking
+    // by (tok, next tok) equals the first doubling round's rank over
+    // (r_tok, r_tok@+1) — same min-rank, same null-is-smallest corpus-end
+    // rule (nulls-first ≡ the -1 padding) — so the loop starts at
+    // step 2 with one full-frame round already paid through the small
+    // side. The bigram vocabulary stays bounded: ≤ |vocab|² observed
+    // word bigrams plus one boundary bigram per doc.
+    val next = toks.select((col("gpos") - 1).as("gpos"), col("tok").as("tok2"))
+    val bigrams = toks.join(next, Seq("gpos"), "left")
+      .select(col("gpos"), col("tok"), col("tok2"))
+    val vocab = bigrams.groupBy(col("tok"), col("tok2")).agg(count(lit(1)).as("_c"))
     val vocabRank = vocab.select(
-      col("tok"),
-      (sum(col("_c")).over(Window.orderBy(col("tok"))) - col("_c") + 1).as("r"))
+      col("tok"), col("tok2"),
+      (sum(col("_c")).over(Window.orderBy(col("tok").asc, col("tok2").asc_nulls_first))
+        - col("_c") + 1).as("r"))
     var ranks = Staging.stage(
-      toks.join(vocabRank, "tok").select(col("gpos"), col("r")), "sa_r0")
+      bigrams.join(vocabRank,
+          bigrams("tok") === vocabRank("tok") && bigrams("tok2") <=> vocabRank("tok2"))
+        .select(bigrams("gpos"), vocabRank("r")), "sa_r1")
 
-    var step = 1L
-    var round = 0
-    var tiedGroups = ranks.groupBy(col("r")).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1)
+    // 4-way fanout per refinement round: the tie-break key is the rank
+    // at offsets (h, 2h, 3h), so the resolved prefix horizon GROWS ×4
+    // per round instead of ×2 — h: 2 → 8 → 32 → 128 covers any ≤127-token
+    // tail in 3 rounds where pairwise doubling needs 6. The trade is two
+    // extra shift joins per round (shuffle bandwidth) against halving
+    // the round count (scheduling latency + staging passes); after the
+    // first round the tied side is a sliver, so the extra joins are
+    // near-free while the saved rounds are whole passes.
+    val fanout = 4
+    var step = 2L
+    var round = 1
+    def tiedOf(r: DataFrame): DataFrame =
+      r.groupBy(col("r")).agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+        .select(col("r")).persist(StorageLevel.MEMORY_AND_DISK)
+    // the tied-group frame is tiny (one row per still-ambiguous rank
+    // value) but referenced three times per round (two joins + the
+    // termination count) — persist it instead of re-aggregating
+    var tiedGroups = tiedOf(ranks)
     var nTied = tiedGroups.count()
     while (nTied > 0 && round < maxRounds) {
-      val tied = ranks.join(tiedGroups.select(col("r")), Seq("r"))
-      // r2 = current rank of the suffix `step` positions later; beyond
-      // the corpus end ranks as -1 (shorter suffix sorts first)
-      val shifted = ranks.select((col("gpos") - lit(step)).as("gpos"), col("r").as("_r2"))
-      val refined = tied.join(shifted, Seq("gpos"), "left")
-        .select(col("gpos"), col("r"), coalesce(col("_r2"), lit(-1L)).as("_r2"))
-        .select(col("gpos"),
-          (col("r") + rank().over(
-            Window.partitionBy(col("r")).orderBy(col("_r2"))) - 1).as("r"))
-      val resolved = ranks.join(tiedGroups.select(col("r")), Seq("r"), "left_anti")
+      var tied = ranks.join(tiedGroups, Seq("r"))
+      // _rj = current rank of the suffix j·h positions later; beyond the
+      // corpus end ranks as -1 (shorter suffix sorts first)
+      for (j <- 1 until fanout) {
+        val shifted = ranks.select(
+          (col("gpos") - lit(j * step)).as("gpos"), col("r").as(s"_s$j"))
+        tied = tied.join(shifted, Seq("gpos"), "left")
+          .withColumn(s"_r$j", coalesce(col(s"_s$j"), lit(-1L)))
+          .drop(s"_s$j")
+      }
+      val keys = (1 until fanout).map(j => col(s"_r$j"))
+      val refined = tied.select(col("gpos"),
+        (col("r") + rank().over(
+          Window.partitionBy(col("r")).orderBy(keys: _*)) - 1).as("r"))
+      val resolved = ranks.join(tiedGroups, Seq("r"), "left_anti")
       ranks = Staging.stage(resolved.unionByName(refined), s"sa_round")
-      step *= 2
+      tiedGroups.unpersist()
+      step *= fanout
       round += 1
-      tiedGroups = ranks.groupBy(col("r")).agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > 1)
+      tiedGroups = tiedOf(ranks)
       nTied = tiedGroups.count()
     }
     require(nTied == 0,
       s"suffix ranking did not converge in $maxRounds rounds ($nTied tied groups left)")
+    tiedGroups.unpersist()
     toks.join(ranks, "gpos")
       .select(col("gpos"), col("doc_id"), col("pos"), col("r").as("sa_rank"))
   }
