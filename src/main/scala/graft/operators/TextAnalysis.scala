@@ -122,6 +122,35 @@ object TextAnalysis {
   def cleanText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** URL canonicalization (the crawl-dedup key step): drop the fragment,
+    * lowercase scheme+host (ONLY — paths are case-sensitive), strip
+    * `www.`, drop tracking params (utm_*, ref), tidy the leftover
+    * `?`/`&` punctuation, strip one trailing slash. Every rule is a
+    * codegen'd regexp_replace with RE2-safe patterns (no backreferences,
+    * no lookaround) so any regex engine — and the DuckDB oracle —
+    * applies them identically. Row-local: canonicalizing 100 TB of URLs
+    * shuffles nothing until the groupBy on the canonical key. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // scheme+host = the prefix matching ^scheme://host — lowercase just
+    // that span (paths/queries are case-sensitive by RFC 3986)
+    val head = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?]*", 0)
+    val lowered = concat(lower(head), substring(noFrag, length(head) + 1, lit(1000000)))
+    // strip www. without replacement backreferences (Spark writes $1,
+    // DuckDB writes \1 — two scheme-anchored literal rules need neither)
+    val noWww = regexp_replace(
+      regexp_replace(lowered, "^http://www\\.", "http://"),
+      "^https://www\\.", "https://")
+    // tracking params in all three positions: &-prefixed anywhere,
+    // ?-prefixed with more params after it, ?-prefixed as the only param
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(noWww, "&(utm_[a-z]+|ref)=[^&#]*", ""),
+        "\\?(utm_[a-z]+|ref)=[^&#]*&", "?"),
+      "\\?(utm_[a-z]+|ref)=[^&#]*$", "")
+    regexp_replace(noTrack, "/$", "")
+  }
+
   /** Rolling-hash document fingerprints over word shingles: min/max md5
     * (winnowing-style selection) plus shingle cardinality. Same
     * distributed shape as Dedup.minhashSignatures — explode → codegen'd

@@ -1961,6 +1961,55 @@ object PipelineQueries {
              |       CAST(len(list_filter(lines, l -> len(string_split(l, ' ')) >= 6)) AS BIGINT) AS n_kept
              |FROM ln ORDER BY doc_id""".stripMargin)),
 
+    // URL canonicalization dedup — the crawl-frontier key step between
+    // HTML extraction and content dedup: fragment strip, scheme+host
+    // lowercase (paths stay case-sensitive), www strip, tracking-param
+    // removal in all three positions, trailing-slash tidy; then group by
+    // the canonical key. URLs are synthesized per doc to exercise every
+    // rule (mixed-case host, mid-and-end tracking params, fragment,
+    // trailing slash), with planted collisions at doc_id ≡ k (mod 50).
+    Q("q_url_canonical",
+      (s, dir) => {
+        val id = col("doc_id")
+        val url = concat(
+          lit("HTTPS://WWW.Ex"), (id % 10).cast("string"),
+          lit(".COM/p/"), (id % 50).cast("string"),
+          when(id % 2 === 0, lit("/"))
+            .otherwise(concat(lit("?id="), (id % 50).cast("string"))),
+          lit("&utm_source=feed&ref="), id.cast("string"),
+          lit("#s"), id.cast("string"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.canonicalUrl(url).as("canonical_url"))
+          .groupBy(col("canonical_url"))
+          .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper_id"))
+          .orderBy("canonical_url")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |         'HTTPS://WWW.Ex' || CAST(doc_id % 10 AS VARCHAR) || '.COM/p/' ||
+             |         CAST(doc_id % 50 AS VARCHAR) ||
+             |         CASE WHEN doc_id % 2 = 0 THEN '/'
+             |              ELSE '?id=' || CAST(doc_id % 50 AS VARCHAR) END ||
+             |         '&utm_source=feed&ref=' || CAST(doc_id AS VARCHAR) ||
+             |         '#s' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents
+             |), nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS s FROM u),
+             |hd AS (SELECT doc_id, s, regexp_extract(s, '^[a-zA-Z]+://[^/?]*') AS h FROM nf),
+             |lw AS (SELECT doc_id, lower(h) || substr(s, length(h)+1) AS s FROM hd),
+             |ww AS (SELECT doc_id,
+             |         regexp_replace(regexp_replace(s, '^http://www\.', 'http://'),
+             |                        '^https://www\.', 'https://') AS s FROM lw),
+             |tr AS (SELECT doc_id,
+             |         regexp_replace(
+             |           regexp_replace(
+             |             regexp_replace(s, '&(utm_[a-z]+|ref)=[^&#]*', '', 'g'),
+             |             '\?(utm_[a-z]+|ref)=[^&#]*&', '?'),
+             |           '\?(utm_[a-z]+|ref)=[^&#]*$', '') AS s FROM ww),
+             |c AS (SELECT doc_id, regexp_replace(s, '/$', '') AS canonical_url FROM tr)
+             |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+             |       min(doc_id) AS keeper_id
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -- exact-substring (suffix-array) dedup ---------------------------
     // Token-level suffix array by distributed prefix doubling
     // (Manber–Myers; SuffixArray.scala's scaladoc has the three scale

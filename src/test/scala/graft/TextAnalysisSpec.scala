@@ -182,4 +182,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r._1.contains("color"), "style body leaked")
     assert(r._2 >= 4 && r._3 == 2L, s"(n_lines, n_kept) = (${r._2}, ${r._3})")
   }
+
+  test("canonicalUrl: fragment, case, www, tracking params, trailing slash") {
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("u").select(TextAnalysis.canonicalUrl($"u")).as[String].head()
+    // every rule at once
+    assert(canon("HTTPS://WWW.Ex3.COM/p/3?id=3&utm_source=feed&ref=42#frag")
+      == "https://ex3.com/p/3?id=3")
+    // tracking param first with others after, and as the only param
+    assert(canon("http://a.com/x?utm_campaign=z&id=7") == "http://a.com/x?id=7")
+    assert(canon("http://a.com/x?ref=9") == "http://a.com/x")
+    // path case preserved; trailing slash stripped; no-query URL intact
+    assert(canon("https://B.com/CaseD/") == "https://b.com/CaseD")
+  }
 }
