@@ -70,7 +70,25 @@ object ScaleProbe {
     "q_dedup_blob64",
     "q_decontaminate_bloom",
     "q_ann_multiprobe",
-    "q_dedup_ppjoin"
+    "q_dedup_ppjoin",
+    // round-7: on the VERBATIM replica the suffix-array tied sets stay
+    // corpus-sized for every round (each doc has 5 identical copies, so
+    // every rank is ≥5-way tied until the horizon reaches its doc
+    // separator) — the unique-text replica shows the natural-corpus
+    // behavior where ties collapse after the early rounds
+    "q_suffix_array",
+    "q_dedup_substring"
+  )
+
+  /** Per-query conf pins for the probe. ppjoin's verify joins fit under
+    * the broadcast threshold at sf0.1 but not at 5×, so the default plans
+    * hide the per-pair verify bytes on ONE side only and the ratio reads
+    * ~33× for a volume that is linear in candidate pairs (measured 5.0×
+    * pair growth via DuckDB on the replica files). Disabling broadcast at
+    * BOTH scales makes the two measurements the same plan; the conf is
+    * restored after each measure. */
+  private val ProbeConf: Map[String, Seq[(String, String)]] = Map(
+    "q_dedup_ppjoin" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
   )
 
   def main(args: Array[String]): Unit = {
@@ -100,6 +118,17 @@ object ScaleProbe {
     })
 
     def measure(name: String, dir: String): (Double, Double) = {
+      val pinned = ProbeConf.getOrElse(name, Nil)
+      val saved = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+      try measureInner(name, dir)
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
+    def measureInner(name: String, dir: String): (Double, Double) = {
       // Untimed warm-up pass FIRST: query construction eagerly builds any
       // content-keyed staged frames, and whether those already exist
       // depends on what ran before (Bench wipes the store root, then

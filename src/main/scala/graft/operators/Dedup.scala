@@ -375,14 +375,35 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("_df"), col("_t")))).as("_ord"),
         count(lit(1)).as("_n"))
-      .select(col(idCol),
-        slice(transform(col("_ord"), o => o.getField("_t")), lit(1),
+      .select(col(idCol), col("_n"),
+        posexplode(slice(transform(col("_ord"), o => o.getField("_t")), lit(1),
           (col("_n") - floor((col("_n") * minJacPpm + 999999L) / lit(1000000.0)).cast("long") + 1L)
-            .cast("int")).as("_pref"))
-      .select(col(idCol), explode(col("_pref")).as("_t"))
-    val cand = prefix.select(col(idCol).as("id_a"), col("_t"))
-      .join(prefix.select(col(idCol).as("id_b"), col("_t")), Seq("_t"))
-      .filter(col("id_a") < col("id_b"))
+            .cast("int"))).as(Seq("_i", "_t")))
+    // Two candidate-killing filters BEFORE the verify joins, both from
+    // Xiao et al. 2011, both exact, both over rows that carry only ints —
+    // the verify joins below ship full shingle arrays per surviving pair,
+    // the expensive part at scale.
+    //   length: jac(a,b) ≥ t requires t·max(|a|,|b|) ≤ min(|a|,|b|) (the
+    //     intersection is at most the smaller set).
+    //   positional: jac ≥ t ⟺ overlap ≥ α = ⌈t·(na+nb)/(1+t)⌉, and for the
+    //     LEFTMOST shared token (position i in a, j in b, 0-based under the
+    //     one global order) every other common token follows it in both
+    //     lists, so overlap ≤ 1 + min(na−i−1, nb−j−1). Filtering rows then
+    //     distinct() keeps exists-semantics: a qualifying pair's leftmost
+    //     shared prefix token always passes the bound.
+    // α = ⌈t_ppm·(na+nb)/(10⁶+t_ppm)⌉ via (p+q−1) div q; operands stay
+    // ≤ ~10¹² so the floor(double-div) ≡ integer-div identity holds.
+    val q = 1000000L + minJacPpm
+    val alpha = floor(((col("_na") + col("_nb")) * minJacPpm + (q - 1L)) / lit(q.toDouble))
+      .cast("long")
+    val cand = prefix.select(col(idCol).as("id_a"), col("_t"),
+        col("_n").as("_na"), col("_i").as("_ia"))
+      .join(prefix.select(col(idCol).as("id_b"), col("_t"),
+        col("_n").as("_nb"), col("_i").as("_ib")), Seq("_t"))
+      .filter(col("id_a") < col("id_b") &&
+        greatest(col("_na"), col("_nb")) * minJacPpm <=
+          least(col("_na"), col("_nb")) * lit(1000000L) &&
+        lit(1L) + least(col("_na") - col("_ia") - 1L, col("_nb") - col("_ib") - 1L) >= alpha)
       .select(col("id_a"), col("id_b"))
       .distinct()
     cand
