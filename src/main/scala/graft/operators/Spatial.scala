@@ -61,6 +61,59 @@ object Spatial {
       .filter(col("dist2") <= lit(d.toLong * d))
   }
 
+  /** Trajectory-similarity join: all entity pairs whose point sets are
+    * within symmetric discrete Hausdorff distance `h` (on dist², exact
+    * ints), plus the distance itself. H(A,B) = max(h(A→B), h(B→A)),
+    * h(A→B) = max over a∈A of min over b∈B of dist(a,b) — the standard
+    * trajectory/shape similarity measure.
+    *
+    * Scale shape — the naive form is |A|·|B| per entity pair over ALL
+    * pairs; this one never builds a per-pair cross product. One cell join
+    * (size-h cells, 3×3 probe neighborhood — [[proximityJoin]]'s shape)
+    * yields exactly the cross-entity point pairs within h; both directed
+    * distances then reduce from that ONE candidate set: min per (pair,
+    * a-point), then max + cover-count per pair. A pair qualifies iff
+    * every a-point found a b-neighbor ≤ h (cover = |A|) and vice versa —
+    * so H ≤ h holds exactly, and pairs sharing no h-cell never meet.
+    * Candidate volume is cell-occupancy-bounded (linear per executor at
+    * fixed density), not n²; the entity-pair cross product is never
+    * materialized. */
+  def hausdorffJoin(pts: DataFrame, entityCol: String, h: Int): DataFrame = {
+    require(h > 0, s"threshold must be positive: $h")
+    val p = pts.select(col(entityCol).as("_e"), col("x"), col("y")).distinct()
+    val n = p.groupBy(col("_e")).agg(count(lit(1)).as("_n"))
+    val build = p.select(col("_e").as("eb"), col("x").as("xb"), col("y").as("yb"),
+      floor(col("x") / h).cast("long").as("cx"),
+      floor(col("y") / h).cast("long").as("cy"))
+    val probe = p.select(col("_e").as("ea"), col("x").as("xa"), col("y").as("ya"),
+        floor(col("x") / h).cast("long").as("_cx"),
+        floor(col("y") / h).cast("long").as("_cy"))
+      .select(col("ea"), col("xa"), col("ya"),
+        explode(expr("flatten(transform(sequence(-1, 1), " +
+          "dx -> transform(sequence(-1, 1), dy -> struct(_cx + dx AS cx, _cy + dy AS cy))))"))
+          .as("_c"))
+      .select(col("ea"), col("xa"), col("ya"),
+        col("_c.cx").as("cx"), col("_c.cy").as("cy"))
+    val cands = probe.join(build, Seq("cx", "cy"))
+      .filter(col("ea") < col("eb"))
+      .select(col("ea"), col("eb"), col("xa"), col("ya"), col("xb"), col("yb"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
+      .filter(col("d2") <= lit(h.toLong * h))
+    def directed(px: String, py: String, cnt: String): DataFrame = cands
+      .groupBy(col("ea"), col("eb"), col(px), col(py))
+      .agg(min(col("d2")).as("_min"))
+      .groupBy(col("ea"), col("eb"))
+      .agg(count(lit(1)).as(cnt), max(col("_min")).as(s"_dh$cnt"))
+    directed("xa", "ya", "_ca")
+      .join(directed("xb", "yb", "_cb"), Seq("ea", "eb"))
+      .join(n.select(col("_e").as("ea"), col("_n").as("_na")), Seq("ea"))
+      .join(n.select(col("_e").as("eb"), col("_n").as("_nb")), Seq("eb"))
+      .filter(col("_ca") === col("_na") && col("_cb") === col("_nb"))
+      .select(col("ea").as("entity_a"), col("eb").as("entity_b"),
+        greatest(col("_dh_ca"), col("_dh_cb")).as("hausdorff2"))
+  }
+
   /** Origin-destination flow counts between coarse cells: per entity in
     * (ts, id) order, each consecutive point pair is one trip from the
     * previous point's cell to the current one. */

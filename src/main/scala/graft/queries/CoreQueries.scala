@@ -1052,6 +1052,36 @@ object CoreQueries {
              |HAVING count(*) + 1 >= 3
              |ORDER BY user_id, start_us""".stripMargin)),
 
+    // Trajectory-similarity join: user pairs whose point SETS are within
+    // symmetric discrete Hausdorff distance 170 (on dist², exact ints).
+    // One size-h cell join yields the cross-user point pairs ≤ h; both
+    // directed max-min distances reduce from that single candidate set
+    // (min per (pair, point), then max + cover-count) — the per-pair
+    // |A|·|B| cross product of the textbook definition never
+    // materializes, and pairs sharing no h-cell never meet. The oracle
+    // IS the textbook definition, brute-forced over the scoped users.
+    Q("q_traj_hausdorff",
+      (s, dir) => Spatial.hausdorffJoin(
+          eventPoints(s, dir).filter(col("user_id") < 60)
+            .select(col("user_id"), col("x"), col("y")),
+          "user_id", h = 170)
+        .orderBy("entity_a", "entity_b"),
+      Some("""WITH pts AS (SELECT DISTINCT user_id,
+             |                    ((event_id*event_id)%1000003*37 + event_id*101)%1000 AS x,
+             |                    ((event_id*event_id)%999983*73 + event_id*211)%1000 AS y
+             |             FROM events WHERE user_id < 60),
+             |dirs AS (SELECT a.user_id ua, b.user_id ub, a.x, a.y,
+             |                min((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS mind2
+             |         FROM pts a JOIN pts b ON a.user_id <> b.user_id
+             |         GROUP BY 1, 2, 3, 4),
+             |dh AS (SELECT ua, ub, max(mind2) AS dh2 FROM dirs GROUP BY 1, 2),
+             |sym AS (SELECT least(ua, ub) AS entity_a, greatest(ua, ub) AS entity_b,
+             |               max(dh2) AS hausdorff2
+             |        FROM dh GROUP BY 1, 2)
+             |SELECT entity_a, entity_b, CAST(hausdorff2 AS BIGINT) AS hausdorff2
+             |FROM sym WHERE hausdorff2 <= 28900
+             |ORDER BY entity_a, entity_b""".stripMargin)),
+
     // Linear-interpolation resampling: the same 72 h × (user < 50) hourly
     // grid as q_resample_fill, but empty slots take the time-weighted
     // linear blend of the nearest known hours (ffill/bfill at the edges)

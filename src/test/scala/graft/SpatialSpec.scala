@@ -45,4 +45,37 @@ class SpatialSpec extends SparkSpec {
     // n_pts = 4, dwell = 4000 - 1000
     assert(got == Seq((1L, 1000L, 4000L, 4L, 3000L)))
   }
+
+  test("hausdorffJoin matches the brute-force definition on a planted set") {
+    // entities 1/2 shadow each other within 5 everywhere (qualify at
+    // h=10); entity 3 shares 1's first two points but strands (500,500)
+    // — covered one way only, must NOT qualify; entity 4 is far away
+    val pts = Seq(
+      (1L, 10L, 10L), (1L, 40L, 40L), (1L, 80L, 10L),
+      (2L, 13L, 14L), (2L, 36L, 43L), (2L, 85L, 10L),
+      (3L, 10L, 10L), (3L, 40L, 40L), (3L, 500L, 500L),
+      (4L, 900L, 900L))
+      .toDF("user_id", "x", "y")
+    val got = Spatial.hausdorffJoin(pts, "user_id", h = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // H(1,2): every mutual nearest pair sits at dist² = 25
+    assert(got == Set((1L, 2L, 25L)))
+
+    // brute-force differential at a loose threshold over all entities
+    val all = pts.as[(Long, Long, Long)].collect().toSeq.groupBy(_._1)
+      .view.mapValues(_.map(p => (p._2, p._3)).distinct).toMap
+    def d2(a: (Long, Long), b: (Long, Long)) =
+      (a._1 - b._1) * (a._1 - b._1) + (a._2 - b._2) * (a._2 - b._2)
+    def dh(a: Seq[(Long, Long)], b: Seq[(Long, Long)]) =
+      a.map(p => b.map(q => d2(p, q)).min).max
+    val h = 800
+    val expect = (for {
+      ea <- all.keys; eb <- all.keys if ea < eb
+      h2 = math.max(dh(all(ea), all(eb)), dh(all(eb), all(ea)))
+      if h2 <= h.toLong * h
+    } yield (ea, eb, h2)).toSet
+    val gotLoose = Spatial.hausdorffJoin(pts, "user_id", h = h)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotLoose == expect)
+  }
 }
