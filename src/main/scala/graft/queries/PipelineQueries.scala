@@ -151,6 +151,30 @@ object PipelineQueries {
               |                 / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 800000
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Fixed-width record linkage (ID/phone/code typo matching): customer
+    // pairs whose 18-char names differ in ≤ 2 positions, exact Hamming.
+    // Multi-index-hashing pigeonhole blocking with ROUND-ROBIN position
+    // classes (a contiguous split degenerates on this corpus: the
+    // constant "Customer#0..." run puts every record in one bucket);
+    // recall is deterministic, so the blocked output EQUALS the
+    // brute-force oracle by theorem.
+    Q("q_er_hamming",
+      (s, dir) => Dedup.hammingBlockedPairs(
+          Tables.customer(s, dir).filter(col("c_custkey") < 500),
+          "c_custkey", col("c_name"), width = 18, maxMismatch = 2)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val hd = (1 to 18).map(i =>
+          s"CASE WHEN substring(a.c_name,$i,1)<>substring(b.c_name,$i,1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH s AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 500),
+           |h AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           |             CAST($hd AS BIGINT) AS hamming
+           |      FROM s a JOIN s b ON a.c_custkey < b.c_custkey)
+           |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 2
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // Near-dup CLUSTERS: verified minhash pairs → connected components →
     // (doc, component, cluster size). Oracle: transitive closure via a
     // recursive CTE over the identical pair set.

@@ -556,4 +556,24 @@ class DedupSpec extends SparkSpec {
     assert(blocked == brute, s"blocked=$blocked brute=$brute")
     assert(blocked.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1000000L))
   }
+
+  test("hammingBlockedPairs: blocked output equals brute force, incl. constant runs") {
+    import org.apache.spark.sql.functions._
+    // keys with a constant prefix run (the degenerate case for contiguous
+    // blocking) and mismatches spread across positions
+    val recs = Seq(
+      (1L, "ID-000123"), (2L, "ID-000124"),  // hamming 1
+      (3L, "ID-000153"), (4L, "ID-900123"),  // 3↔1: 2, 4↔1: 1
+      (5L, "ID-975421"), (6L, "XY-000123"))  // 6↔1: 2 (prefix typo)
+      .toDF("id", "key")
+    val got = Dedup.hammingBlockedPairs(recs, "id", col("key"), width = 9, maxMismatch = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val keys = recs.as[(Long, String)].collect().toMap
+    val brute = (for {
+      a <- keys.keys.toSeq; b <- keys.keys.toSeq if a < b
+      h = keys(a).zip(keys(b)).count { case (x, y) => x != y }.toLong if h <= 2
+    } yield (a, b, h)).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 6L, 2L)))
+  }
 }
