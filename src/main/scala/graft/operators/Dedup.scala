@@ -532,14 +532,20 @@ object Dedup {
     * output is one keeper per CLUSTER, not per pair (A≈B, B≈C must
     * collapse to one group even when A≈C was never a candidate).
     *
-    * Min-label propagation to fixpoint: each vertex repeatedly takes the
-    * smallest component id among itself and its neighbors. Converges in
-    * O(cluster diameter) rounds — near-dup clusters are shallow (dup
-    * families, not long chains), so a handful of iterations; each round
-    * is one shuffle join + aggregate, lineage truncated per round by
-    * staging each round's labels through the parquet store (durable —
-    * unlike localCheckpoint, a lost executor costs a re-read, not the
-    * whole iteration).
+    * Min-label propagation WITH POINTER JUMPING to fixpoint: each round
+    * every vertex takes the smallest label among itself and its
+    * neighbors, then path-compresses by also taking its current label's
+    * OWN label (valid: labels are always ids of provably-connected
+    * vertices, so the label's label is connected too — the hash-to-min
+    * idea, Rastogi et al. 2013). Neighbor-min alone converges in
+    * O(diameter) rounds — fine for shallow dup families, but a
+    * percolating spatial graph (DBSCAN on a dense corpus) has diameter
+    * ~ area/eps, which is 60+ hops at sf0.1 already; the jump halves
+    * label-chain depth per round, giving O(log diameter) rounds at the
+    * cost of one extra (id, comp)-frame self-join per round. Each round
+    * is staged through the parquet store (durable — unlike
+    * localCheckpoint, a lost executor costs a re-read, not the whole
+    * iteration).
     * Throws if maxIter rounds don't converge — a silently split cluster
     * would make a dedup pipeline keep multiple copies of one family.
     * Output: (id, comp) for every vertex in `pairs`. */
@@ -565,11 +571,22 @@ object Dedup {
       // a cheap scan of the just-staged parquet instead of a second
       // join+count job per round (labels only ever decrease, so
       // changed ⟺ comp < prev)
-      val step = graft.store.Staging.stage(
+      // staged so the edge join above runs once, not once per side of
+      // the jump self-join below
+      val tentative = graft.store.Staging.stage(
         labels
           .join(nbrMin, Seq("id"), "left")
           .select(col("id"), col("comp").as("_prev"),
             least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")),
+        "cc_tent")
+      // pointer jump: comp ← min(comp, comp's own label) — comp is the id
+      // of a connected vertex, so its label is connected transitively
+      val step = graft.store.Staging.stage(
+        tentative
+          .join(tentative.select(col("id").as("comp"), col("comp").as("_jump")),
+            Seq("comp"), "left")
+          .select(col("id"), col("_prev"),
+            least(col("comp"), coalesce(col("_jump"), col("comp"))).as("comp")),
         "cc_step")
       changed = step.filter(col("comp") < col("_prev")).count()
       labels = step.select(col("id"), col("comp"))

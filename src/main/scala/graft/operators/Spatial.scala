@@ -61,6 +61,58 @@ object Spatial {
       .filter(col("dist2") <= lit(d.toLong * d))
   }
 
+  /** DBSCAN density clustering (Ester et al. 1996), exact and
+    * deterministic: a point is CORE iff its eps-neighborhood (itself
+    * included) holds ≥ minPts points; clusters are the connected
+    * components of the core-core eps-graph; a non-core point with a core
+    * neighbor is BORDER and joins its smallest core neighbor's cluster
+    * (textbook DBSCAN leaves the border tie arbitrary — pinning min
+    * keeps the result engine-reproducible); everything else is NOISE
+    * (cluster −1).
+    *
+    * Scale: neighbor pairs come from the cell-binned [[proximityJoin]]
+    * (9·n·occupancy candidates, never n²) and are staged once for their
+    * three consumers (degrees, core edges, border assignment); labels
+    * propagate via [[Dedup.connectedComponents]]'s pointer-jumping
+    * min-label iteration — O(log diameter) rounds, which is what makes a
+    * PERCOLATING eps-graph (diameter ~ area/eps on a dense corpus)
+    * tractable. Output: (idCol, cluster, kind). */
+  def dbscan(pts: DataFrame, idCol: String, eps: Int, minPts: Int): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2: $minPts")
+    val p = graft.store.Staging.stage(
+      pts.select(col(idCol).as("_id"), col("x"), col("y")), "dbscan_pts")
+    val pairs = graft.store.Staging.stage(
+      proximityJoin(p, "_id", eps).select(col("id_a"), col("id_b")), "dbscan_nb")
+    val nbr = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val deg = nbr.groupBy(col("id_a").as("_id")).agg(count(lit(1)).as("_deg"))
+    val flags = graft.store.Staging.stage(
+      p.select(col("_id")).join(deg, Seq("_id"), "left")
+        .select(col("_id"),
+          (coalesce(col("_deg"), lit(0L)) + 1L >= minPts).as("_core")),
+      "dbscan_core")
+    val coreEdges = pairs
+      .join(flags.filter(col("_core")).select(col("_id").as("id_a")), Seq("id_a"))
+      .join(flags.filter(col("_core")).select(col("_id").as("id_b")), Seq("id_b"))
+    // cores with no core neighbor are singleton clusters labeled by id
+    val coreLabels = flags.filter(col("_core"))
+      .join(Dedup.connectedComponents(coreEdges)
+        .select(col("id").as("_id"), col("comp")), Seq("_id"), "left")
+      .select(col("_id"), coalesce(col("comp"), col("_id")).as("cluster"),
+        lit("core").as("kind"))
+    val borderLabels = nbr
+      .join(flags.filter(!col("_core")).select(col("_id").as("id_a")), Seq("id_a"))
+      .join(coreLabels.select(col("_id").as("id_b"), col("cluster")), Seq("id_b"))
+      .groupBy(col("id_a").as("_id"))
+      .agg(min(col("cluster")).as("cluster"))
+      .withColumn("kind", lit("border"))
+    p.select(col("_id"))
+      .join(coreLabels.unionByName(borderLabels), Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"),
+        coalesce(col("kind"), lit("noise")).as("kind"))
+  }
+
   /** Trajectory-similarity join: all entity pairs whose point sets are
     * within symmetric discrete Hausdorff distance `h` (on dist², exact
     * ints), plus the distance itself. H(A,B) = max(h(A→B), h(B→A)),

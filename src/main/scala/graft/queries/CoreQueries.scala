@@ -1082,6 +1082,52 @@ object CoreQueries {
              |FROM sym WHERE hausdorff2 <= 28900
              |ORDER BY entity_a, entity_b""".stripMargin)),
 
+    // DBSCAN density clustering over the scoped click point cloud
+    // (eps 25, minPts 3): core iff |N_eps| ≥ 3 (self included), clusters
+    // = connected components of the core-core graph (pointer-jumping
+    // min-label CC — O(log diameter) rounds, the percolation-proof
+    // shape), border joins its SMALLEST core neighbor's cluster (pinned
+    // so both engines agree), noise = −1. Oracle replays the definition
+    // with a recursive-CTE closure.
+    Q("q_dbscan",
+      (s, dir) => Spatial.dbscan(
+          eventPoints(s, dir)
+            .filter(col("event_type") === "click" && col("event_id") < 8000)
+            .select(col("event_id"), col("x"), col("y")),
+          "event_id", eps = 25, minPts = 3)
+        .orderBy("event_id"),
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT event_id, ((event_id*event_id)%1000003*37 + event_id*101)%1000 AS x,
+             |         ((event_id*event_id)%999983*73 + event_id*211)%1000 AS y
+             |  FROM events WHERE event_type = 'click' AND event_id < 8000),
+             |nb AS (SELECT a.event_id ia, b.event_id ib FROM p a JOIN p b
+             |       ON a.event_id <> b.event_id
+             |      AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 625),
+             |deg AS (SELECT ia AS id, count(*) AS deg FROM nb GROUP BY 1),
+             |core AS (SELECT p.event_id AS id FROM p LEFT JOIN deg ON deg.id = p.event_id
+             |         WHERE coalesce(deg.deg, 0) + 1 >= 3),
+             |ce AS (SELECT ia, ib FROM nb
+             |       JOIN core ca ON nb.ia = ca.id JOIN core cb ON nb.ib = cb.id),
+             |reach(a, b) AS (
+             |  SELECT ia, ib FROM ce
+             |  UNION
+             |  SELECT r.a, e.ib FROM reach r JOIN ce e ON r.b = e.ia WHERE e.ib <> r.a),
+             |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+             |corelab AS (SELECT c.id, coalesce(comp.component, c.id) AS cluster
+             |            FROM core c LEFT JOIN comp ON comp.id = c.id),
+             |borderlab AS (SELECT n.ia AS id, min(cl.cluster) AS cluster
+             |              FROM nb n JOIN corelab cl ON n.ib = cl.id
+             |              WHERE n.ia NOT IN (SELECT id FROM core)
+             |              GROUP BY n.ia)
+             |SELECT p.event_id,
+             |       CAST(coalesce(cl.cluster, bl.cluster, -1) AS BIGINT) AS cluster,
+             |       CASE WHEN cl.id IS NOT NULL THEN 'core'
+             |            WHEN bl.id IS NOT NULL THEN 'border'
+             |            ELSE 'noise' END AS kind
+             |FROM p LEFT JOIN corelab cl ON cl.id = p.event_id
+             |       LEFT JOIN borderlab bl ON bl.id = p.event_id
+             |ORDER BY event_id""".stripMargin)),
+
     // Linear-interpolation resampling: the same 72 h × (user < 50) hourly
     // grid as q_resample_fill, but empty slots take the time-weighted
     // linear blend of the nearest known hours (ffill/bfill at the edges)

@@ -78,4 +78,21 @@ class SpatialSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(gotLoose == expect)
   }
+
+  test("dbscan labels core/border/noise and bridges clusters through cores only") {
+    // cluster A: chain 1-2-3-4 — middle points 2/3 are core (3 in their
+    // eps-ball incl. self), endpoints 1/4 are border hangers-on; 5 is
+    // noise; cluster B: tight core triangle 6-7-8
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 8L, 0L), (3L, 16L, 0L), (4L, 16L, 9L),
+      (5L, 500L, 500L),
+      (6L, 100L, 100L), (7L, 106L, 100L), (8L, 103L, 105L))
+      .toDF("id", "x", "y")
+    val got = Spatial.dbscan(pts, "id", eps = 10, minPts = 3)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, "border"), (2L, 2L, "core"), (3L, 2L, "core"),
+      (4L, 2L, "border"), (5L, -1L, "noise"),
+      (6L, 6L, "core"), (7L, 6L, "core"), (8L, 6L, "core")))
+  }
 }
