@@ -1088,6 +1088,85 @@ object PipelineQueries {
              |FROM tok LEFT JOIN big USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // The cleaning DECISION a pipeline actually executes: every
+    // per-signal filter above composed into one pass emitting a keep
+    // flag plus a reason BITMASK (1 = too short, 2 = low quality,
+    // 4 = unidentifiable language, 8 = repetitive) — auditable drops,
+    // not silent ones, and each bit's arithmetic is byte-identical to
+    // its standalone verified query. One projection computes bits 1/2/4
+    // (hit columns bound once — the q_text_stats CSE trap); bit 8 joins
+    // the repetition aggregate on doc_id.
+    Q("q_filter_decide",
+      (s, dir) => {
+        val t = col("text")
+        val tk = col("_toks")
+        val langHitCols = TextAnalysis.stopwords.map { case (lang, words) =>
+          s"_s_$lang" -> TextAnalysis.stopwordHits(tk, words)
+        }
+        val allHits = TextAnalysis.stopwordHits(tk, TextAnalysis.stopwords.flatMap(_._2))
+        val rep = TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("top_tok_ppm"))
+        Tables.documents(s, dir)
+          .repartition(col("doc_id"))
+          .withColumn("_toks", TextAnalysis.tokens(t))
+          .withColumns(langHitCols.toMap + ("_s_all" -> allHits))
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(tk).as("_n_tok"),
+            TextAnalysis.qualityScorePpmFromHits(t, tk, col("_s_all")).as("_q"),
+            TextAnalysis.langIdFromScores(
+              TextAnalysis.stopwords.map { case (lang, _) => lang -> col(s"_s_$lang") })
+              .as("_lang"))
+          .join(rep, Seq("doc_id"))
+          .select(col("doc_id"),
+            (when(col("_n_tok") < 20, 1L).otherwise(0L) +
+              when(col("_q") < 700000L, 2L).otherwise(0L) +
+              when(col("_lang") === "und", 4L).otherwise(0L) +
+              when(col("top_tok_ppm") > 150000L, 8L).otherwise(0L)).as("reasons"))
+          .select(col("doc_id"), col("reasons"),
+            (col("reasons") === 0L).cast("long").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val hits = TextAnalysis.stopwords.map { case (lang, words) =>
+          s"${duckHits(words)} AS s_$lang"
+        }.mkString(",\n    ")
+        val langs = TextAnalysis.stopwords.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val langCase = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'")
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        val allWords = TextAnalysis.stopwords.flatMap(_._2)
+        s"""WITH tk AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+           |), m AS (
+           |  SELECT doc_id, toks, len(toks)::BIGINT AS n_tok, len(text) AS nc,
+           |    CAST(floor(${duckHits(allWords)} * 1000000.0 / len(toks)) AS BIGINT) AS stop_ppm,
+           |    CAST(floor((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1000000.0 / len(text)) AS BIGINT) AS punct_ppm,
+           |    $hits
+           |  FROM tk
+           |), q AS (
+           |  SELECT doc_id, n_tok,
+           |    (CASE WHEN nc BETWEEN 50 AND 5000 THEN 400000 ELSE 0 END
+           |     + CASE WHEN stop_ppm >= 20000 THEN 300000 ELSE 0 END
+           |     + CASE WHEN punct_ppm <= 200000 THEN 300000 ELSE 0 END)::BIGINT AS q_ppm,
+           |    $langCase AS lang_pred
+           |  FROM m
+           |), tok AS (
+           |  SELECT doc_id, CAST(floor(max(c) * 1000000.0 / sum(c)) AS BIGINT) AS top_tok_ppm
+           |  FROM (SELECT doc_id, t, count(*) AS c
+           |        FROM (SELECT doc_id, unnest(toks) AS t FROM tk) GROUP BY 1, 2)
+           |  GROUP BY doc_id
+           |), r AS (
+           |  SELECT q.doc_id,
+           |    (CASE WHEN n_tok < 20 THEN 1 ELSE 0 END
+           |     + CASE WHEN q_ppm < 700000 THEN 2 ELSE 0 END
+           |     + CASE WHEN lang_pred = 'und' THEN 4 ELSE 0 END
+           |     + CASE WHEN top_tok_ppm > 150000 THEN 8 ELSE 0 END)::BIGINT AS reasons
+           |  FROM q JOIN tok USING (doc_id))
+           |SELECT doc_id, reasons,
+           |       (CASE WHEN reasons = 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+           |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
     // -- text analysis ---------------------------------------------------
     // Exact nearest-rank percentiles of document length per language —
     // the quality-threshold statistic (e.g. "truncate above the p99
