@@ -50,4 +50,49 @@ object Sampling {
       when(stratumCol === stratum, nib < r).otherwise(acc)
     }
   }
+
+  /** Weighted sampling without replacement, RNG-free: SYSTEMATIC
+    * selection by cumulative weight (Madow 1949 — the exact-integer
+    * counterpart of the A-ES weighted reservoir, whose u^(1/w) keys
+    * would tie the result to libm). Rows take the deterministic
+    * pseudo-random total order (md5(id), id); row i with weight w at
+    * cumulative offset lo is selected iff [lo, lo+w) contains a multiple
+    * of `step` — inclusion probability min(w/step, 1), and the selected
+    * set is reproducible in any engine because everything is integer
+    * floor-division.
+    *
+    * The global weighted prefix sum never runs through one partition:
+    * rows hash into 16 nibble bands, per-band weight SUMS (16 longs —
+    * AQE-stats-shaped, not a data collect) come back as cumulative
+    * offsets, and the within-band prefix is a per-band window — the
+    * [[graft.operators.Chunking.globalShuffleOrder]] pattern with sums
+    * in place of counts. Output: (idCol, weight, cum_before), selected
+    * rows only. */
+  def weightedSystematicSample(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      weightCol: Column,
+      step: Long): org.apache.spark.sql.DataFrame = {
+    require(step > 0, s"step must be positive: $step")
+    val keyed = df.select(col(idCol), weightCol.cast("long").as("_w"),
+      md5(col(idCol).cast("string").cast("binary")).as("_k"),
+      hashNibble(col(idCol)).as("_band"))
+    val sums = keyed.groupBy(col("_band")).agg(sum(col("_w")).as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until 16).scanLeft(0L)((acc, b) => acc + sums.getOrElse(b, 0L))
+    val offsetExpr = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+      when(col("_band") === b, lit(offsets(b))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_band")).orderBy(col("_k"), col(idCol))
+    // multiples of step in [0, x) = ⌈x/step⌉; select iff the count grows
+    // across [lo, lo+w) — floor(double div) ≡ integer div (weights sum
+    // far below 2^53)
+    def mults(x: Column): Column = floor((x + (step - 1L)) / lit(step.toDouble))
+    keyed
+      .withColumn("_cum", sum(col("_w")).over(w))
+      .select(col(idCol), col("_w").as("weight"),
+        (offsetExpr + col("_cum") - col("_w")).as("cum_before"))
+      .filter(mults(col("cum_before") + col("weight")) > mults(col("cum_before")))
+  }
 }

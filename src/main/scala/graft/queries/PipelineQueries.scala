@@ -963,6 +963,30 @@ object PipelineQueries {
              |       CAST(floor(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT) AS kept_ppm
              |FROM f GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Weighted sampling WITHOUT replacement, RNG-free: systematic
+    // selection by cumulative token weight over the (md5(id), id)
+    // pseudo-random order (Madow) — inclusion ∝ weight, exact integer
+    // floor-division everywhere (A-ES reservoir keys u^(1/w) would tie
+    // the pick set to libm). The prefix sum runs banded (16 nibble sums
+    // to the driver as offsets + per-band window), never one partition.
+    Q("q_sample_weighted",
+      (s, dir) => Sampling.weightedSystematicSample(
+          Tables.documents(s, dir),
+          "doc_id",
+          size(TextAnalysis.tokens(col("text"))),
+          step = 500L)
+        .orderBy("doc_id"),
+      Some("""WITH k AS (
+             |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS w,
+             |         md5(CAST(doc_id AS VARCHAR)) AS kk
+             |  FROM documents),
+             |c AS (SELECT doc_id, w,
+             |             sum(w) OVER (ORDER BY kk, doc_id) - w AS lo
+             |      FROM k)
+             |SELECT doc_id, w AS weight, lo AS cum_before FROM c
+             |WHERE (lo + w + 499) // 500 > (lo + 499) // 500
+             |ORDER BY doc_id""".stripMargin)),
+
     // Log-free tf-idf top-5 terms per document (doc_id < 50 so the
     // oracle's window stays cheap): score = tf·10⁶·N/(n_toks·df), exact
     // integer-derived arithmetic — a log() would tie the hash compare to

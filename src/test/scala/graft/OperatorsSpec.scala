@@ -236,4 +236,27 @@ class OperatorsSpec extends SparkSpec {
     // 1 unchanged -> absent; 2 updated; 3 unchanged (null == null); 4 deleted; 5 inserted
     assert(r == Map(2L -> "U", 4L -> "D", 5L -> "I"), r.toString)
   }
+
+  test("weightedSystematicSample: banded prefix equals one global window; mass rule holds") {
+    import graft.operators.Sampling
+    val df = (1L to 400L).map(i => (i, 1L + (i * 7) % 50)).toDF("doc_id", "w")
+    val step = 100L
+    val got = Sampling.weightedSystematicSample(df, "doc_id", col("w"), step)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // reference: one global window in plain Scala over the same order
+    val keyed = df.select(col("doc_id"), col("w"),
+        md5(col("doc_id").cast("string").cast("binary")).as("k"))
+      .as[(Long, Long, String)].collect().toSeq.sortBy(t => (t._3, t._1))
+    var cum = 0L
+    val expect = keyed.flatMap { case (id, w, _) =>
+      val lo = cum; cum += w
+      def mults(x: Long) = (x + step - 1) / step
+      if (mults(lo + w) > mults(lo)) Some((id, w, lo)) else None
+    }.sortBy(_._1)
+    assert(got == expect, s"got=${got.take(5)}... expect=${expect.take(5)}...")
+    // every selected interval really contains a multiple of step, and
+    // consecutive multiples never skip an interval: picks = ceil(total/step)
+    assert(got.forall { case (_, w, lo) => (lo + w - 1) / step >= (lo + step - 1) / step })
+    assert(got.size == ((cum + step - 1) / step))
+  }
 }
