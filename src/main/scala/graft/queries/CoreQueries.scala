@@ -910,6 +910,71 @@ object CoreQueries {
              |corners AS (SELECT x.n AS node FROM tri, LATERAL unnest([a, b, c]) AS x(n))
              |SELECT node, count(*) AS n_triangles FROM corners GROUP BY node ORDER BY node""".stripMargin)),
 
+    // Association rules over the order⇄part basket (the market-basket /
+    // frequent-itemset class, Agrawal–Srikant pair stage): co-purchase
+    // pairs with absolute support ≥ 2, each with support, both
+    // directional confidences and lift, all integer ppm. The pair
+    // explode is Σ C(|basket|, 2) — basket-size-bounded (TPC-H ≤ 7
+    // items), never |parts|²; the order total rides a 1-row broadcast,
+    // not a driver-side collect into the plan.
+    Q("q_assoc_rules",
+      (s, dir) => {
+        val oi = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val total = oi.select(countDistinct(col("o")).as("n_orders"))
+        val cnt = oi.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+        oi.as("a")
+          .join(oi.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+          .agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .join(cnt.select(col("p").as("part_a"), col("n_p").as("_na")), Seq("part_a"))
+          .join(cnt.select(col("p").as("part_b"), col("n_p").as("_nb")), Seq("part_b"))
+          .crossJoin(broadcast(total))
+          .select(col("part_a"), col("part_b"), col("n_co"),
+            floor(col("n_co") * lit(1000000L) / col("n_orders")).cast("long").as("support_ppm"),
+            floor(col("n_co") * lit(1000000L) / col("_na")).cast("long").as("conf_ab_ppm"),
+            floor(col("n_co") * lit(1000000L) / col("_nb")).cast("long").as("conf_ba_ppm"),
+            floor(col("n_co") * col("n_orders") * lit(1000000L) / (col("_na") * col("_nb")))
+              .cast("long").as("lift_ppm"))
+          .orderBy("part_a", "part_b")
+      },
+      Some("""WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |tot AS (SELECT count(DISTINCT o) AS n_orders FROM oi),
+             |cnt AS (SELECT p, count(*) AS n_p FROM oi GROUP BY p),
+             |pr AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_co
+             |       FROM oi a JOIN oi b ON a.o = b.o AND a.p < b.p
+             |       GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT part_a, part_b, n_co,
+             |       CAST(floor(n_co * 1000000.0 / n_orders) AS BIGINT) AS support_ppm,
+             |       CAST(floor(n_co * 1000000.0 / ca.n_p) AS BIGINT) AS conf_ab_ppm,
+             |       CAST(floor(n_co * 1000000.0 / cb.n_p) AS BIGINT) AS conf_ba_ppm,
+             |       CAST(floor(n_co * n_orders * 1000000.0 / (ca.n_p * cb.n_p)) AS BIGINT) AS lift_ppm
+             |FROM pr JOIN cnt ca ON pr.part_a = ca.p JOIN cnt cb ON pr.part_b = cb.p
+             |        CROSS JOIN tot
+             |ORDER BY part_a, part_b""".stripMargin)),
+
+    // k-anonymity audit (k = 5) over the quasi-identifier tuple
+    // (nation, market segment, account-balance k€-band): every
+    // equivalence class smaller than k is a re-identification risk the
+    // release pipeline must suppress or generalize — the governance
+    // counterpart of the PII scrub. One map-side-combinable groupBy;
+    // the risk report is |small classes|, not |rows|.
+    Q("q_k_anon",
+      (s, dir) => Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") < 5)
+        .orderBy("nation", "segment", "bal_band"),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+             |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             |       count(*) AS n_members
+             |FROM customer
+             |GROUP BY 1, 2, 3 HAVING count(*) < 5
+             |ORDER BY nation, segment, bal_band""".stripMargin)),
+
     // SCD2 dimension-history build (gaps-and-islands change capture):
     // collapse each user's event_type runs into versioned validity
     // intervals — contiguous valid_to = next valid_from, open intervals
