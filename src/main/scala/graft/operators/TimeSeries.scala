@@ -62,4 +62,44 @@ object TimeSeries {
       col("_f").getField("e").as("ewma_mils"),
       col("_f").getField("na").as("n_anomalies"))
   }
+
+  /** Per-key one-sided CUSUM change-point detection (Page 1954), exact
+    * integer state: in (ts, tie) order the statistic folds as
+    * S ← max(0, S + (v − target)), an alarm fires when S > h, and S
+    * resets to 0 after each alarm — so n_alarms counts DISTINCT upward
+    * level shifts, not every sample above target. Values and state in
+    * mils; same row-local sorted fold as [[ewmaAnomaly]] (the recurrence
+    * no window frame can express), one shuffle by key, state is two
+    * longs per key. Output: (keyCol, n_events, cusum_mils, n_alarms). */
+  def cusumAlarms(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column,
+      targetMils: Long,
+      threshMils: Long): DataFrame = {
+    require(threshMils > 0, s"threshold must be positive: $threshMils")
+    val rows = df.select(col(keyCol),
+      struct(tsCol.as("t"), tieCol.as("i"),
+        floor(valueCol.cast("double") * 1000).cast("long").as("v")).as("_r"))
+    rows
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("_r"))).as("_rs"))
+      .select(col(keyCol), size(col("_rs")).cast("long").as("n_events"),
+        aggregate(
+          col("_rs"),
+          struct(lit(0L).as("s"), lit(0L).as("na")),
+          (acc: Column, r: Column) => {
+            val s1 = greatest(lit(0L),
+              acc.getField("s") + (r.getField("v") - targetMils))
+            val alarm = s1 > threshMils
+            struct(
+              when(alarm, 0L).otherwise(s1).as("s"),
+              (acc.getField("na") + when(alarm, 1L).otherwise(0L)).as("na"))
+          }).as("_f"))
+      .select(col(keyCol), col("n_events"),
+        col("_f").getField("s").as("cusum_mils"),
+        col("_f").getField("na").as("n_alarms"))
+  }
 }

@@ -1044,6 +1044,90 @@ object CoreQueries {
              |       arg_max(na, rn) AS n_anomalies
              |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Per-user one-sided CUSUM change-point detection (Page): S ←
+    // max(0, S + (v − target)), alarm + reset when S > h — counts
+    // DISTINCT upward level shifts, not samples above target. Same
+    // row-local sorted fold class as q_ewma_anomaly (a reset-on-alarm
+    // recurrence no window frame expresses); oracle replays it as a
+    // recursive CTE.
+    Q("q_cusum",
+      (s, dir) => TimeSeries.cusumAlarms(Tables.events(s, dir), "user_id",
+          unix_micros(col("ts")), col("event_id"), col("value"),
+          targetMils = 40000L, threshMils = 300000L)
+        .orderBy("user_id"),
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             |         CAST(floor(value*1000) AS BIGINT) AS v
+             |  FROM events
+             |), r AS (
+             |  SELECT user_id, rn,
+             |         CASE WHEN greatest(0, v - 40000) > 300000 THEN 0
+             |              ELSE greatest(0, v - 40000) END AS s,
+             |         CASE WHEN greatest(0, v - 40000) > 300000 THEN 1 ELSE 0 END AS na
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.user_id, t.rn,
+             |         CASE WHEN greatest(0, r.s + t.v - 40000) > 300000 THEN 0
+             |              ELSE greatest(0, r.s + t.v - 40000) END AS s,
+             |         r.na + CASE WHEN greatest(0, r.s + t.v - 40000) > 300000 THEN 1 ELSE 0 END AS na
+             |  FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+             |)
+             |SELECT user_id, max(rn) AS n_events, arg_max(s, rn) AS cusum_mils,
+             |       arg_max(na, rn) AS n_alarms
+             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Classical additive seasonal decomposition (STL-lite, exact
+    // integers): the global hourly value series splits into trend
+    // (centered 24-row rolling mean, floor-div by the actual in-frame
+    // count so edges stay exact), hour-of-day seasonal (floor-mean of
+    // the detrended series per hod), and residual. The windows run over
+    // the AGGREGATED series — its length is bound by the time span
+    // (720 hours here), not by corpus size, so the unpartitioned
+    // ordered frame is bounded at any SF; the only data-sized work is
+    // the first map-side-combinable groupBy.
+    Q("q_seasonal_stl",
+      (s, dir) => {
+        val wT = Window.orderBy(col("hour_us")).rowsBetween(-11, 12)
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+          .agg(sum(floor(col("value") * 100)).cast("long").as("value_cmil"))
+        hourly
+          .select(col("hour_us"), col("value_cmil"),
+            floor(sum(col("value_cmil")).over(wT) / count(lit(1)).over(wT))
+              .cast("long").as("trend_cmil"))
+          .select(col("hour_us"), col("value_cmil"), col("trend_cmil"),
+            (col("value_cmil") - col("trend_cmil")).as("_det"),
+            (floor(col("hour_us") / 3600000000L).cast("long") % 24).as("_hod"))
+          .withColumn("seasonal_cmil",
+            floor(sum(col("_det")).over(Window.partitionBy(col("_hod"))) /
+              count(lit(1)).over(Window.partitionBy(col("_hod")))).cast("long"))
+          .select(col("hour_us"), col("value_cmil"), col("trend_cmil"),
+            col("seasonal_cmil"),
+            (col("_det") - col("seasonal_cmil")).as("resid_cmil"))
+          .orderBy("hour_us")
+      },
+      Some("""WITH h AS (
+             |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+             |         CAST(sum(floor(value * 100)) AS BIGINT) AS value_cmil
+             |  FROM events GROUP BY 1),
+             |t AS (
+             |  SELECT hour_us, value_cmil,
+             |         CAST(floor(sum(value_cmil) OVER w * 1.0 / count(*) OVER w) AS BIGINT) AS trend_cmil
+             |  FROM h WINDOW w AS (ORDER BY hour_us ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+             |d AS (
+             |  SELECT hour_us, value_cmil, trend_cmil,
+             |         value_cmil - trend_cmil AS det,
+             |         (hour_us // 3600000000) % 24 AS hod
+             |  FROM t),
+             |s AS (
+             |  SELECT hour_us, value_cmil, trend_cmil, det,
+             |         CAST(floor(sum(det) OVER (PARTITION BY hod) * 1.0
+             |                    / count(*) OVER (PARTITION BY hod)) AS BIGINT) AS seasonal_cmil
+             |  FROM d)
+             |SELECT hour_us, value_cmil, trend_cmil, seasonal_cmil,
+             |       det - seasonal_cmil AS resid_cmil
+             |FROM s ORDER BY hour_us""".stripMargin)),
+
     // -- spatial / mobility family --------------------------------------
     // The test events carry no raw coordinates, so these queries derive
     // deterministic integer coords from event_id by quadratic-residue
