@@ -70,7 +70,15 @@ object Scratch {
       "q_suffix_array" -> "suffix array final join: staged rank scan ⋈ staged token scan on gpos — flat plan after the doubling loop",
       "q_bpe_encode" -> "BPE encode: broadcast vocab join over exploded tokens, partial+final count/sum",
       "q_mix_sample" -> "mixture sampling: per-lang window rank + two broadcast joins of 5-row quota frames",
-      "q_retention_cohort" -> "cohort triangle: per-user min broadcast back, then partial+final distinct-count per cell")
+      "q_retention_cohort" -> "cohort triangle: per-user min broadcast back, then partial+final distinct-count per cell",
+      "q_dedup_ppjoin" -> "PPJoin: length + positional filters kill candidates over int-only rows BEFORE the array-shipping verify joins",
+      "q_traj_hausdorff" -> "Hausdorff join: ONE h-cell join feeds both directed max-min reductions — no per-pair |A|x|B| product",
+      "q_dbscan" -> "DBSCAN: staged cell-join neighbor pairs reused by degree/core-edge/border branches; CC labels via pointer-jumping rounds",
+      "q_er_hamming" -> "Hamming ER: round-robin pigeonhole block join, width one-char compares verify — no array/UDF anywhere",
+      "q_sample_weighted" -> "weighted systematic sample: 16-band weight sums as offsets + per-band window — no single-partition prefix sum",
+      "q_assoc_rules" -> "association rules: basket-bounded pair explode, 1-row total broadcast, two count-frame joins",
+      "q_seasonal_stl" -> "seasonal decomposition: windows run over the 720-row AGGREGATED series — data-sized work is one partial+final agg",
+      "q_filter_decide" -> "composite filter decision: bits 1/2/4 in ONE projection (hit columns bound once), repetition bit joined on doc_id")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
