@@ -53,4 +53,49 @@ object Stats {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_docs"), picks: _*)
   }
+
+  /** 2-D skyline (Pareto frontier): rows not dominated under (minimize
+    * cost, maximize gain) — dominance needs one STRICT inequality, so
+    * exact (cost, gain) twins all survive. A row survives iff
+    * (a) no strictly-cheaper row has gain ≥ its gain, and (b) it holds
+    * its exact-cost group's max gain.
+    *
+    * The classic sequential algorithm is one sort + a running max; the
+    * distributed form never funnels the data through one partition:
+    * rows bucket into cost bands of `bandWidth`, per-band gain MAXES
+    * (band count is value-range-bounded — AQE-stats-shaped, not a data
+    * collect) come back as strictly-lower-band prefix maxes, and the
+    * in-band strictly-cheaper max is a per-band RANGE-frame window —
+    * the banded prefix pattern of
+    * [[graft.operators.Sampling.weightedSystematicSample]] with max in
+    * place of sum. Output: (idCol, cost, gain), skyline rows only. */
+  def skyline2d(
+      df: DataFrame,
+      idCol: String,
+      costCol: org.apache.spark.sql.Column,
+      gainCol: org.apache.spark.sql.Column,
+      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive: $bandWidth")
+    val base = df.select(col(idCol), costCol.cast("long").as("cost"),
+        gainCol.cast("long").as("gain"))
+      .withColumn("_band", floor(col("cost") / lit(bandWidth.toDouble)).cast("long"))
+    val bandMaxes = base.groupBy(col("_band")).agg(max(col("gain")).as("_m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // prefix max over strictly lower bands; MinValue = "no lower band"
+    val prefix = bandMaxes.scanLeft(Long.MinValue) {
+      case (acc, (_, m)) => math.max(acc, m)
+    }
+    val prefExpr = bandMaxes.zipWithIndex.foldLeft(lit(Long.MinValue)) {
+      case (acc, ((b, _), i)) => when(col("_band") === b, lit(prefix(i))).otherwise(acc)
+    }
+    val wCheaper = Window.partitionBy(col("_band")).orderBy(col("cost"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("cost"))
+    base
+      .withColumn("_m1", greatest(prefExpr,
+        coalesce(max(col("gain")).over(wCheaper), lit(Long.MinValue))))
+      .withColumn("_eqmax", max(col("gain")).over(wEq))
+      .filter(col("_m1") < col("gain") && col("gain") === col("_eqmax"))
+      .select(col(idCol), col("cost"), col("gain"))
+  }
 }

@@ -954,6 +954,38 @@ object CoreQueries {
              |        CROSS JOIN tot
              |ORDER BY part_a, part_b""".stripMargin)),
 
+    // 2-D skyline / Pareto frontier over parts: minimize retail price
+    // (exact cents), maximize total quantity sold — the multi-criteria
+    // shortlist query. Banded prefix-max + in-band RANGE-frame window;
+    // the sequential sort-and-scan never happens in one partition. The
+    // oracle is the brute-force dominance NOT EXISTS.
+    Q("q_skyline",
+      (s, dir) => {
+        val sold = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").as("p_partkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("_qty"))
+        val m = Tables.part(s, dir)
+          .filter(col("p_partkey") < 10000)
+          .join(sold, Seq("p_partkey"), "left")
+          .select(col("p_partkey"),
+            floor(col("p_retailprice") * 100).cast("long").as("_cost"),
+            coalesce(col("_qty"), lit(0L)).as("_gain"))
+        Stats.skyline2d(m, "p_partkey", col("_cost"), col("_gain"), bandWidth = 1000L)
+          .orderBy("p_partkey")
+      },
+      Some("""WITH m AS (
+             |  SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) AS cost,
+             |         CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS gain
+             |  FROM part LEFT JOIN lineitem ON l_partkey = p_partkey
+             |  WHERE p_partkey < 10000
+             |  GROUP BY 1, 2)
+             |SELECT p_partkey, cost, gain FROM m a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM m b
+             |  WHERE b.cost <= a.cost AND b.gain >= a.gain
+             |    AND (b.cost < a.cost OR b.gain > a.gain))
+             |ORDER BY p_partkey""".stripMargin)),
+
     // k-anonymity audit (k = 5) over the quasi-identifier tuple
     // (nation, market segment, account-balance k€-band): every
     // equivalence class smaller than k is a re-identification risk the

@@ -259,4 +259,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall { case (_, w, lo) => (lo + w - 1) / step >= (lo + step - 1) / step })
     assert(got.size == ((cum + step - 1) / step))
   }
+
+  test("skyline2d equals brute-force dominance, incl. ties and band edges") {
+    import graft.operators.Stats
+    // deterministic scatter with exact twins and cost ties across the
+    // band boundary (bandWidth 10: costs 19/20/21 straddle it)
+    val rows = ((1L to 120L).map(i => (i, (i * 37) % 40, (i * 53) % 60)) ++
+      Seq((200L, 19L, 55L), (201L, 20L, 55L), (202L, 21L, 56L),
+        (203L, 20L, 55L))) // exact twin of 201 — both or neither survive
+      .toDF("id", "cost", "gain")
+    val got = Stats.skyline2d(rows, "id", col("cost"), col("gain"), bandWidth = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    val all = rows.as[(Long, Long, Long)].collect().toSeq
+    val brute = all.filter { case (_, c, g) =>
+      !all.exists { case (_, c2, g2) => c2 <= c && g2 >= g && (c2 < c || g2 > g) }
+    }.toSet
+    assert(got == brute, s"got=${got.size} brute=${brute.size}")
+    assert(got.map(_._1).intersect(Set(201L, 203L)).size % 2 == 0) // twins together
+  }
 }
