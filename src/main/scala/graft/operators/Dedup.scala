@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
@@ -413,6 +414,59 @@ object Dedup {
       .filter(col("jac_ppm") >= minJacPpm)
   }
 
+  /** Exact Hamming distance of two `width`-char keys as `width` codegen'd
+    * one-char compares — no array, no UDF. */
+  def hammingExpr(a: Column, b: Column, width: Int): Column =
+    (1 to width).map { i =>
+      when(substring(a, i, 1) =!= substring(b, i, 1), 1L).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Sorted-neighborhood record linkage (Hernández–Stolfo 1995): rank
+    * every record under the sort key, verify only pairs within `w`
+    * positions — the classic HEURISTIC blocking (recall is bounded by
+    * the window, unlike [[hammingBlockedPairs]]'s pigeonhole guarantee;
+    * run both and union, which is exactly the multi-pass method the
+    * paper prescribes). The global rank never runs through one
+    * partition: `bandExpr` must be a MONOTONE coarsening of the sort key
+    * (a key prefix — the range-partitioner contract of any distributed
+    * sort); band counts come back as offsets and ranks are per-band
+    * windows. Neighbor pairs form by the 1-D binned join on
+    * rank-div-w buckets (±1 bucket explode), never a rank cross join.
+    * Output: (id_a, id_b, hamming), id_a before id_b in sort order. */
+  def sortedNeighborPairs(
+      df: DataFrame,
+      idCol: String,
+      keyExpr: Column,
+      bandExpr: Column,
+      width: Int,
+      w: Int,
+      maxMismatch: Int): DataFrame = {
+    require(w >= 1 && maxMismatch >= 0, s"bad window/threshold: $w/$maxMismatch")
+    val keyed = df.select(col(idCol).as("_id"), keyExpr.as("_k"),
+      bandExpr.cast("string").as("_band"))
+    val counts = keyed.groupBy(col("_band")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L) { case (acc, (_, n)) => acc + n }
+    val offsetExpr = counts.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, ((b, _), i)) => when(col("_band") === b, lit(offsets(i))).otherwise(acc)
+    }
+    val rankW = Window.partitionBy(col("_band")).orderBy(col("_k"), col("_id"))
+    val ranked = keyed.select(col("_id"), col("_k"),
+      (offsetExpr + row_number().over(rankW)).as("_rn"))
+    val probe = ranked.select(col("_id").as("id_a"), col("_k").as("_ka"),
+        col("_rn").as("_ra"),
+        explode(array(floor(col("_rn") / w).cast("long"),
+          floor(col("_rn") / w).cast("long") + 1L)).as("_bkt"))
+    val build = ranked.select(col("_id").as("id_b"), col("_k").as("_kb"),
+      col("_rn").as("_rb"), floor(col("_rn") / w).cast("long").as("_bkt"))
+    probe.join(build, Seq("_bkt"))
+      .filter((col("_rb") - col("_ra")).between(1, w))
+      .select(col("id_a"), col("id_b"),
+        hammingExpr(col("_ka"), col("_kb"), width).as("hamming"))
+      .filter(col("hamming") <= maxMismatch.toLong)
+      .distinct()
+  }
+
   /** Fixed-width record linkage: all pairs whose `width`-char keys differ
     * in at most `maxMismatch` positions (Hamming), with the exact
     * distance — the character-level entity-resolution complement to
@@ -449,9 +503,7 @@ object Dedup {
     val blocked = keyed.select(col("_id"), col("_k"),
       explode(array(classes: _*)).as("_c"))
       .select(col("_id"), col("_k"), col("_c._j").as("_j"), col("_c._v").as("_v"))
-    val hamming = (1 to width).map { i =>
-      when(substring(col("_ka"), i, 1) =!= substring(col("_kb"), i, 1), 1L).otherwise(0L)
-    }.reduce(_ + _)
+    val hamming = hammingExpr(col("_ka"), col("_kb"), width)
     blocked.select(col("_id").as("id_a"), col("_k").as("_ka"), col("_j"), col("_v"))
       .join(blocked.select(col("_id").as("id_b"), col("_k").as("_kb"), col("_j"), col("_v")),
         Seq("_j", "_v"))

@@ -175,6 +175,80 @@ object PipelineQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // Sorted-neighborhood ER (Hernández–Stolfo): rank by the key, verify
+    // only pairs within w=5 positions — the classic HEURISTIC blocking
+    // (window-bounded recall; the paper's multi-pass method = union with
+    // q_er_hamming's guaranteed pigeonhole pass). Ranks are banded on a
+    // monotone key prefix (the range-partitioner contract), neighbor
+    // pairs come from the 1-D rank-bucket binned join. The window
+    // semantics are deterministic, so the oracle replays them exactly.
+    Q("q_er_sorted",
+      (s, dir) => Dedup.sortedNeighborPairs(
+          Tables.customer(s, dir).filter(col("c_custkey") < 500),
+          "c_custkey", col("c_name"), substring(col("c_name"), 16, 1),
+          width = 18, w = 5, maxMismatch = 3)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val hd = (1 to 18).map(i =>
+          s"CASE WHEN substring(a.c_name,$i,1)<>substring(b.c_name,$i,1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH s AS (SELECT c_custkey, c_name,
+           |                  row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+           |           FROM customer WHERE c_custkey < 500),
+           |h AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           |             CAST($hd AS BIGINT) AS hamming
+           |      FROM s a JOIN s b ON b.rn - a.rn BETWEEN 1 AND 5)
+           |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // Golden-record resolution: verified ER pairs → connected components
+    // → one canonical record (min id — the component label itself) per
+    // entity cluster, with cluster size. The ER composition a master-
+    // data pipeline actually ships; the mod-7 scope keeps the key graph
+    // from collapsing into one transitive blob (35 clusters, sizes ≤ 4
+    // at sf0.01). Oracle: recursive-CTE closure over the same pair set.
+    Q("q_er_golden",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_custkey") < 500 && col("c_custkey") % 7 === 0)
+        val pairs = Dedup.hammingBlockedPairs(
+          cust, "c_custkey", col("c_name"), width = 18, maxMismatch = 1)
+          .select(col("id_a"), col("id_b"))
+        val comps = Dedup.connectedComponents(pairs)
+          .select(col("id").as("c_custkey"), col("comp"))
+        cust.select(col("c_custkey"))
+          .join(comps, Seq("c_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("comp"), col("c_custkey")).as("canonical_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("canonical_id"))))
+          .orderBy("c_custkey")
+      },
+      Some {
+        val hd = (1 to 18).map(i =>
+          s"CASE WHEN substring(a.c_name,$i,1)<>substring(b.c_name,$i,1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH RECURSIVE s AS (
+           |  SELECT c_custkey, c_name FROM customer
+           |  WHERE c_custkey < 500 AND c_custkey % 7 = 0),
+           |h AS (SELECT a.c_custkey AS ia, b.c_custkey AS ib
+           |      FROM s a JOIN s b ON a.c_custkey < b.c_custkey
+           |      WHERE $hd <= 1),
+           |edges AS (SELECT ia AS a, ib AS b FROM h UNION SELECT ib, ia FROM h),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+           |comp AS (SELECT a AS id, least(a, min(b)) AS canonical FROM reach GROUP BY a)
+           |SELECT s.c_custkey,
+           |       coalesce(comp.canonical, s.c_custkey) AS canonical_id,
+           |       count(*) OVER (PARTITION BY coalesce(comp.canonical, s.c_custkey)) AS cluster_size
+           |FROM s LEFT JOIN comp ON comp.id = s.c_custkey
+           |ORDER BY c_custkey""".stripMargin
+      }),
+
     // Near-dup CLUSTERS: verified minhash pairs → connected components →
     // (doc, component, cluster size). Oracle: transitive closure via a
     // recursive CTE over the identical pair set.

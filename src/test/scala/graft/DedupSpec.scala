@@ -576,4 +576,23 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"got=$got brute=$brute")
     assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 6L, 2L)))
   }
+
+  test("sortedNeighborPairs: banded ranks equal one global sort window") {
+    import org.apache.spark.sql.functions._
+    // keys sort across two bands (prefix 'A'/'B'); neighbors within 3
+    val recs = (0 until 40).map { i =>
+      val band = if (i < 20) "A" else "B"
+      (i.toLong, f"$band${(i * 13) % 97}%03d")
+    }.toDF("id", "key")
+    val got = Dedup.sortedNeighborPairs(recs, "id", col("key"),
+        substring(col("key"), 1, 1), width = 4, w = 3, maxMismatch = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val sorted = recs.as[(Long, String)].collect().toSeq.sortBy(t => (t._2, t._1))
+    val expect = (for {
+      i <- sorted.indices; d <- 1 to 3 if i + d < sorted.size
+      (ia, ka) = sorted(i); (ib, kb) = sorted(i + d)
+      h = ka.zip(kb).count { case (x, y) => x != y }.toLong if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == expect, s"got=${got.size} expect=${expect.size}")
+  }
 }
