@@ -1186,6 +1186,67 @@ object PipelineQueries {
              |FROM tok LEFT JOIN big USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Content-defined chunking (the CDC primitive of storage dedup /
+    // delta sync: boundaries follow CONTENT, so an insert shifts only
+    // its own chunk while fixed-size blocks would shift every later
+    // one): a boundary closes after position i when the md5 of the
+    // trailing 8-char window opens with hex nibble 0 (≈1/16 rate);
+    // chunks are the segments between boundaries. Output: one row per
+    // chunk with its md5 — the chunk store's dedup key. Row-local
+    // (transform + filter HOFs, zero shuffle before the final explode);
+    // the md5-per-position window rule is the ORACLE family, same split
+    // as the winnow pair (q_doc_winnow md5 ↔ q_doc_winnow_roll): a
+    // production 100 TB pass swaps in the gear/FastCDC rolling hash.
+    Q("q_cdc_chunks",
+      (s, dir) => {
+        val k = 8
+        Tables.documents(s, dir)
+          // sequence(8, len) flips DESCENDING for shorter text — the
+          // q_chunk_tokens empty-array lesson (ADVICE r5 #2) as a filter
+          .filter(col("doc_id") < 200 && length(col("text")) >= 8)
+          .select(col("doc_id"), col("text"),
+            expr(s"""filter(transform(sequence($k, length(text)),
+                     i -> CASE WHEN substring(md5(cast(substring(text, i - ${k - 1}, $k) as binary)), 1, 1) = '0'
+                               THEN i ELSE CAST(NULL AS INT) END),
+                     x -> x IS NOT NULL)""").as("_b"))
+          .select(col("doc_id"), col("text"),
+            expr("concat(array(0), _b)").as("_starts"),
+            expr("concat(_b, array(length(text)))").as("_ends"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              """filter(zip_with(_starts, _ends,
+                 (s, e) -> named_struct('s', s, 'e', e)), p -> p.e > p.s)"""))
+              .as(Seq("chunk_idx", "_c")),
+            col("text"))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            (col("_c.s") + 1).cast("long").as("start_pos"),
+            (col("_c.e") - col("_c.s")).cast("long").as("chunk_len"),
+            md5(expr("cast(substring(text, _c.s + 1, _c.e - _c.s) as binary)"))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+             |           WHERE doc_id < 200 AND len(text) >= 8),
+             |b AS (SELECT doc_id, text,
+             |        [0] || [i for i in range(8, len(text) + 1)
+             |                if substring(md5(substring(text, i - 7, 8)), 1, 1) = '0'] AS starts,
+             |        [i for i in range(8, len(text) + 1)
+             |                if substring(md5(substring(text, i - 7, 8)), 1, 1) = '0']
+             |          || [len(text)] AS ends
+             |      FROM d),
+             |c AS (SELECT doc_id, text,
+             |             unnest(starts) AS s, unnest(ends) AS e
+             |      FROM b),
+             |f AS (SELECT doc_id, s, e,
+             |             row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx,
+             |             substring(text, s + 1, e - s) AS chunk
+             |      FROM c WHERE e > s)
+             |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             |       CAST(s + 1 AS BIGINT) AS start_pos,
+             |       CAST(e - s AS BIGINT) AS chunk_len,
+             |       md5(chunk) AS chunk_md5
+             |FROM f ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // The cleaning DECISION a pipeline actually executes: every
     // per-signal filter above composed into one pass emitting a keep
     // flag plus a reason BITMASK (1 = too short, 2 = low quality,
