@@ -1076,6 +1076,93 @@ object CoreQueries {
              |       arg_max(na, rn) AS n_anomalies
              |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Per-user OLS trend: least-squares slope of value (mils) against
+    // hours since the window start — slope_ppm_per_hour =
+    // ⌊10⁶·(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)⌋. Every SUM is an exact
+    // combinable integer aggregate (x rebased to ≤ 720 keeps products
+    // in-long); the 10⁶-scaled numerator can pass 2⁵³, so the final
+    // quotient is IEEE-double — cross-engine identical anyway because
+    // both sides round the SAME exact integer operands once before one
+    // division (single-rounding equivalence), asserted by the hash
+    // compare. One map-side-combined groupBy — the regression never
+    // sees a window or a sort.
+    Q("q_trend_ols",
+      (s, dir) => {
+        val startUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            floor((unix_micros(col("ts")) - startUs) / 3600000000.0).cast("long").as("_x"),
+            floor(col("value") * 1000).cast("long").as("_y"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
+            sum(col("_y")).as("_sy"), sum(col("_x") * col("_y")).as("_sxy"),
+            sum(col("_x") * col("_x")).as("_sxx"))
+          .filter(col("n") * col("_sxx") - col("_sx") * col("_sx") =!= 0)
+          .select(col("user_id"), col("n"),
+            floor((col("n") * col("_sxy") - col("_sx") * col("_sy")) * lit(1000000L) /
+              (col("n") * col("_sxx") - col("_sx") * col("_sx")))
+              .cast("long").as("slope_ppm_per_hour"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id,
+             |         CAST(floor((epoch_us(ts) - 1704067200000000) / 3600000000.0) AS BIGINT) AS x,
+             |         CAST(floor(value * 1000) AS BIGINT) AS y
+             |  FROM events),
+             |a AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |             sum(x*y) AS sxy, sum(x*x) AS sxx
+             |      FROM p GROUP BY 1)
+             |SELECT user_id, n,
+             |       CAST(floor((n*sxy - sx*sy) * 1000000.0 / (n*sxx - sx*sx)) AS BIGINT)
+             |         AS slope_ppm_per_hour
+             |FROM a WHERE n*sxx - sx*sx <> 0
+             |ORDER BY user_id""".stripMargin)),
+
+    // Robust per-user outlier census: MAD z-score (median absolute
+    // deviation — immune to the outliers it hunts, unlike stddev).
+    // Median and MAD both come from the exact nearest-rank machinery
+    // (FP-free, engine-identical); a point is an outlier when
+    // |v − med| > 3·1.4826·MAD, kept integer as d·10⁴ > MAD·44478.
+    // Two grouped rank passes + one combinable census agg.
+    Q("q_mad_outliers",
+      (s, dir) => {
+        val base = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("v"))
+        val med = Stats.nearestRankPercentiles(base, "user_id", "v", "event_id", Seq(50))
+          .select(col("user_id"), col("p50_v").as("med"))
+        val dev = base.join(med, Seq("user_id"))
+          .select(col("user_id"), col("event_id"), col("v"), col("med"),
+            abs(col("v") - col("med")).as("d"))
+        val mad = Stats.nearestRankPercentiles(dev, "user_id", "d", "event_id", Seq(50))
+          .select(col("user_id"), col("p50_d").as("mad"))
+        dev.join(mad, Seq("user_id"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), max(col("med")).as("median_mils"),
+            max(col("mad")).as("mad_mils"),
+            sum(when(col("d") * 10000L > col("mad") * 44478L, 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (SELECT user_id, event_id,
+             |                  CAST(floor(value*1000) AS BIGINT) AS v FROM events),
+             |r1 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rn,
+             |              count(*) OVER (PARTITION BY user_id) AS n FROM b),
+             |med AS (SELECT user_id,
+             |               max(CASE WHEN rn = CAST(ceil(n*0.5) AS BIGINT) THEN v END) AS med
+             |        FROM r1 GROUP BY 1),
+             |d AS (SELECT b.user_id, b.event_id, b.v, med.med,
+             |             abs(b.v - med.med) AS dv
+             |      FROM b JOIN med USING (user_id)),
+             |r2 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dv, event_id) AS rn,
+             |              count(*) OVER (PARTITION BY user_id) AS n FROM d),
+             |mad AS (SELECT user_id,
+             |               max(CASE WHEN rn = CAST(ceil(n*0.5) AS BIGINT) THEN dv END) AS mad
+             |        FROM r2 GROUP BY 1)
+             |SELECT d.user_id, count(*) AS n, max(d.med) AS median_mils,
+             |       max(mad.mad) AS mad_mils,
+             |       CAST(sum(CASE WHEN d.dv*10000 > mad.mad*44478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM d JOIN mad USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Per-user one-sided CUSUM change-point detection (Page): S ←
     // max(0, S + (v − target)), alarm + reset when S > h — counts
     // DISTINCT upward level shifts, not samples above target. Same

@@ -79,6 +79,14 @@ class StagingSpec extends SparkSpec {
   }
 
   test("refresh flag forces a rebuild of a completed keyed stage") {
+    // earlier suite runs leave t_refresh_<key> dirs with OTHER keys (the
+    // tmp src path differs per run) — clear them so `.head` is the dir
+    // this run writes, not a stale alphabetical predecessor
+    stageDirs("t_refresh").foreach { d =>
+      val root = Paths.get(Staging.root, d)
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
     val src = tmpDir("staging_refresh") + "/src"
     spark.range(5).write.mode("overwrite").parquet(src)
     val frame = () => spark.read.parquet(src).select(sum("id").as("s"))
