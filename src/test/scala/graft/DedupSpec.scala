@@ -307,6 +307,14 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents converges on a diameter-80 chain (pointer jumping)") {
+    // plain neighbor-min needs O(diameter) = 80 rounds — past the default
+    // maxIter 50; the pointer jump must close it in O(log 80) ≈ 7
+    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(comp.size == 81 && comp.values.forall(_ == 0L), comp.toString)
+  }
+
   test("candidatePairs skew guard drops oversized buckets") {
     // 5 identical docs → every band bucket has 5 ids → maxBucket=4 kills all
     val many = (0 until 5).map(i => (i.toLong, "x y z w v u t s r q")).toDF("id", "text")
