@@ -47,7 +47,22 @@ object ScaleProbe {
     "q_od_matrix" -> false,
     "q_staypoint" -> false,
     "q_markov" -> false,
-    "q_spatial_join" -> true // density pair growth, not a plan defect
+    "q_spatial_join" -> true, // density pair growth, not a plan defect
+    // round-7 second wave (unscoped registry queries only — the
+    // scoped ones pin their input size by construction).
+    // q_trend_ols carries the flag for a LAYOUT artifact, not a plan
+    // defect: its shuffle is pure partial-agg state (rows = input
+    // partitions × groups, the normal combine contract), and the sf0.1
+    // base lands in ~1 parquet split while the 5× replica has 32 — the
+    // ratio (measured 99× on 0.2 → 19.8 MB absolute) compares layouts,
+    // not growth. The matched-layout expectation is partitions × users
+    // — linear on both axes.
+    "q_trend_ols" -> true,
+    "q_mad_outliers" -> false,
+    "q_cusum" -> false,
+    "q_seasonal_stl" -> false, // agg series is span-bounded: only the groupBy grows
+    "q_sample_weighted" -> false,
+    "q_filter_decide" -> false
   )
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
