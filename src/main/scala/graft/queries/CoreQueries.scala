@@ -1118,6 +1118,57 @@ object CoreQueries {
              |FROM a WHERE n*sxx - sx*sx <> 0
              |ORDER BY user_id""".stripMargin)),
 
+    // k-step ordered funnel (earliest-completion semantics): signup →
+    // view → click → purchase, each step's timestamp the MINIMUM
+    // strictly after the previous step's — the product-analytics
+    // generalization of q_funnel's 2-step. Four user-keyed
+    // join+min-agg rounds, each frame shrinking to the survivors; the
+    // census is 4 rows.
+    Q("q_funnel_steps",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+        def step(prev: DataFrame, evType: String, prevT: String, outT: String) =
+          ev.filter(col("event_type") === evType)
+            .join(prev.select(col("user_id"), col(prevT)), "user_id")
+            .filter(col("t") > col(prevT))
+            .groupBy(col("user_id")).agg(min(col("t")).as(outT))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+        val s2 = step(s1, "view", "t1", "t2")
+        val s3 = step(s2, "click", "t2", "t3")
+        val s4 = step(s3, "purchase", "t3", "t4")
+        def census(df: DataFrame, name: String) =
+          df.agg(count(lit(1)).as("n_users")).withColumn("step", lit(name))
+        census(s1, "1_signup")
+          .unionByName(census(s2, "2_view"))
+          .unionByName(census(s3, "3_click"))
+          .unionByName(census(s4, "4_purchase"))
+          .crossJoin(broadcast(s1.agg(count(lit(1)).as("_n1"))))
+          .select(col("step"), col("n_users"),
+            floor(col("n_users") * lit(1000000L) / col("_n1")).cast("long").as("conv_ppm"))
+          .orderBy("step")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+             |            FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(epoch_us(ts)) AS t2
+             |       FROM events e JOIN s1 USING (user_id)
+             |       WHERE e.event_type = 'view' AND epoch_us(ts) > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(epoch_us(ts)) AS t3
+             |       FROM events e JOIN s2 USING (user_id)
+             |       WHERE e.event_type = 'click' AND epoch_us(ts) > s2.t2 GROUP BY 1),
+             |s4 AS (SELECT e.user_id, min(epoch_us(ts)) AS t4
+             |       FROM events e JOIN s3 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND epoch_us(ts) > s3.t3 GROUP BY 1),
+             |c AS (SELECT '1_signup' AS step, count(*) AS n_users FROM s1
+             |      UNION ALL SELECT '2_view', count(*) FROM s2
+             |      UNION ALL SELECT '3_click', count(*) FROM s3
+             |      UNION ALL SELECT '4_purchase', count(*) FROM s4)
+             |SELECT step, CAST(n_users AS BIGINT) AS n_users,
+             |       CAST(floor(n_users * 1000000.0 /
+             |                  (SELECT count(*) FROM s1)) AS BIGINT) AS conv_ppm
+             |FROM c ORDER BY step""".stripMargin)),
+
     // Robust per-user outlier census: MAD z-score (median absolute
     // deviation — immune to the outliers it hunts, unlike stddev).
     // Median and MAD both come from the exact nearest-rank machinery
