@@ -78,7 +78,15 @@ object Scratch {
       "q_sample_weighted" -> "weighted systematic sample: 16-band weight sums as offsets + per-band window — no single-partition prefix sum",
       "q_assoc_rules" -> "association rules: basket-bounded pair explode, 1-row total broadcast, two count-frame joins",
       "q_seasonal_stl" -> "seasonal decomposition: windows run over the 720-row AGGREGATED series — data-sized work is one partial+final agg",
-      "q_filter_decide" -> "composite filter decision: bits 1/2/4 in ONE projection (hit columns bound once), repetition bit joined on doc_id")
+      "q_filter_decide" -> "composite filter decision: bits 1/2/4 in ONE projection (hit columns bound once), repetition bit joined on doc_id",
+      "q_er_sorted" -> "sorted-neighborhood ER: banded monotone-prefix ranks, 1-D rank-bucket join, codegen Hamming verify",
+      "q_er_golden" -> "golden record: blocked pair join feeds pointer-jumping CC; one left join labels the scope",
+      "q_skyline" -> "skyline: banded prefix-max literals + in-band RANGE window + per-cost group max — no dominance self-join",
+      "q_cdc_chunks" -> "CDC chunking: boundary/zip HOFs row-local, the only explode is the final chunk table",
+      "q_trend_ols" -> "OLS trend: five combinable integer sums in ONE partial+final agg — no window, no sort",
+      "q_mad_outliers" -> "MAD outliers: two grouped rank passes reuse the user_id Exchange, census agg on top",
+      "q_cusum" -> "CUSUM fold: one Exchange on user_id, sort_array + aggregate row-local recurrence",
+      "q_funnel_steps" -> "k-step funnel: four shrinking user-keyed join+min rounds, census unions of 1-row aggs")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
