@@ -254,10 +254,24 @@ object Clustering {
       books: Array[Array[Array[Long]]],
       dims: Int,
       topK: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("adc_dist"), col(idCol))
+    encoded.select(col(idCol), col("code"))
+      .crossJoin(broadcast(queries.select(col(qIdCol), col("_qv"))))
+      .select(col(qIdCol), col(idCol), adcDist(books, dims).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(qIdCol), col("rank"), col(idCol), col("adc_dist"))
+  }
+
+  /** ADC distance of the row's packed `code` to the row's quantized
+    * query vector `_qv`: Σ_s ‖q_s − codebook_s[code_s]‖², decoded
+    * row-locally against the driver-held codebook literals. */
+  private def adcDist(books: Array[Array[Array[Long]]], dims: Int): Column = {
     val subspaces = books.length
     val d = dims / subspaces
     val bits = if (books.head.length <= 16) 4 else 8
-    val adc = (0 until subspaces).map { s =>
+    (0 until subspaces).map { s =>
       val bookLit = typedLit(books(s).map(_.toSeq).toSeq)
       val centroid = element_at(bookLit,
         (shiftright(col("code"), bits * s) % (1 << bits) + 1).cast("int"))
@@ -265,11 +279,62 @@ object Clustering {
         zip_with(slice(col("_qv"), s * d + 1, d), centroid, (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)
     }.reduce(_ + _)
+  }
+
+  /** IVF-PQ (Jégou et al. 2011 §V — the FAISS `IVFx,PQy` architecture):
+    * a coarse inverted file restricts the search to `nprobe` probed
+    * buckets, and within them ranking runs on 8-byte PQ codes via ADC —
+    * so a 100 TB corpus contributes codes only, and only the probed
+    * FRACTION of them is scanned (vs [[pqTopK]]'s full-corpus ADC scan).
+    * The coarse quantizer is the cosine seeded-centroid IVF of
+    * q_ann_ivf (ids < nCentroids — data-independent, so the oracle can
+    * replay it); assignment is a map-side argmax over the broadcast
+    * centroids; probes and queries both ride tiny broadcasts. Output:
+    * (qIdCol, rank, idCol, adc_dist), self-matches excluded. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame, // (qIdCol, raw float vector qVecCol)
+      qIdCol: String,
+      qVecCol: String,
+      dims: Int,
+      subspaces: Int,
+      kCodes: Int,
+      iters: Int,
+      nCentroids: Int,
+      nprobe: Int,
+      topK: Int): DataFrame = {
+    import graft.operators.Similarity.{dot, l2norm}
+    val cent = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("_cvec"))
+      .withColumn("_cn", l2norm(col("_cvec")))
+    def simPpm(vec: Column, n: Column): Column =
+      floor(dot(vec, col("_cvec")) / (n * col("_cn")) * 1e6).cast("long")
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_n", l2norm(col(vecCol)))
+      .crossJoin(broadcast(cent))
+      .withColumn("_csim", simPpm(col(vecCol), col("_n")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("_csim").as("s"), (-col("cid")).as("nc"))).as("_m"))
+      .select(col(idCol), (-col("_m.nc")).as("cid"))
+    val (enc, books) = pqEncode(corpus, idCol, vecCol, dims, subspaces, kCodes, iters)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("_qsim").desc, col("cid"))
+    val probes = queries.withColumn("_qn", l2norm(col(qVecCol)))
+      .crossJoin(broadcast(cent))
+      .withColumn("_qsim", simPpm(col(qVecCol), col("_qn")))
+      .withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nprobe)
+      .select(col(qIdCol), col("cid"))
+    val qq = queries.select(col(qIdCol), quantizeMils(col(qVecCol)).as("_qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qIdCol)).orderBy(col("adc_dist"), col(idCol))
-    encoded.select(col(idCol), col("code"))
-      .crossJoin(broadcast(queries.select(col(qIdCol), col("_qv"))))
-      .select(col(qIdCol), col(idCol), adc.as("adc_dist"))
+    enc.join(assigned, Seq(idCol))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .join(broadcast(qq), Seq(qIdCol))
+      .select(col(qIdCol), col(idCol), adcDist(books, dims).as("adc_dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col(qIdCol), col("rank"), col(idCol), col("adc_dist"))

@@ -2114,6 +2114,58 @@ object PipelineQueries {
            |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
            |  FROM adc) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
+    // IVF-PQ (the FAISS IVFx,PQy architecture): the coarse inverted
+    // file restricts search to 2 probed buckets, ranking inside them
+    // runs on 8-byte PQ codes via ADC — composes the two verified
+    // quantizers (q_ann_ivf's seeded-cosine coarse + q_pq_search's
+    // codebooks) into the production vector-search shape where a
+    // 100 TB corpus contributes codes only and only the probed
+    // fraction is scanned. The oracle splices both generated chains.
+    Q("q_ann_ivfpq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Clustering.ivfPqTopK(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
+            dims = 64, subspaces = 8, kCodes = 16, iters = 2,
+            nCentroids = 8, nprobe = 2, topK = 10)
+          .orderBy("q_id", "rank")
+      },
+      Some(pqChains(subspaces = 8, d = 8, k = 16, iters = 2) +
+        s""",
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |vn AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
+           |cent AS (SELECT vec_id AS cid, ve AS cv, nn AS cn FROM vn WHERE vec_id < 8),
+           |asg AS (
+           |  SELECT n.vec_id,
+           |    -((max(struct_pack(s := CAST(floor(list_dot_product(n.ve, cent.cv)
+           |                                       / (n.nn * cent.cn) * 1000000.0) AS BIGINT),
+           |                       nc := -cent.cid))).nc) AS cid
+           |  FROM vn n, cent GROUP BY n.vec_id),
+           |q AS (SELECT vec_id AS q_id, ve AS qv, nn AS qn FROM vn WHERE vec_id < 5),
+           |probe AS (
+           |  SELECT q_id, cid FROM (
+           |    SELECT q.q_id, cent.cid,
+           |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |        CAST(floor(list_dot_product(q.qv, cent.cv)
+           |                   / (q.qn * cent.cn) * 1000000.0) AS BIGINT) DESC, cent.cid) AS pr
+           |    FROM q, cent) WHERE pr <= 2),
+           |qq AS (SELECT vec_id AS q_id, v FROM qb WHERE vec_id < 5),
+           |adc AS (
+           |  SELECT qq.q_id, e.vec_id,
+           |         CAST(${(0 until 8).map(s =>
+               s"list_sum([ (qq.v[(${s * 8}+i)::INT] - b$s.v[i::INT]) * (qq.v[(${s * 8}+i)::INT] - b$s.v[i::INT]) for i in range(1, 9) ])")
+               .mkString(" + ")} AS BIGINT) AS adc_dist
+           |  FROM enc e ${(0 until 8).map(s => s"JOIN s${s}_c2 b$s ON e.c$s = b$s.c").mkString(" ")}
+           |  JOIN asg a ON a.vec_id = e.vec_id
+           |  JOIN probe p ON a.cid = p.cid
+           |  JOIN qq ON qq.q_id = p.q_id
+           |  WHERE e.vec_id <> qq.q_id)
+           |SELECT q_id, rank, vec_id, adc_dist FROM (
+           |  SELECT q_id, vec_id, adc_dist,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+           |  FROM adc) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
     // PQ recall@10: |ADC top-10 ∩ exact-L2 top-10| per query in tenths —
     // the compression-loss metric that decides k/subspace sizing, built
     // from the two independently-verified pipelines (exact kNN on the
