@@ -2166,6 +2166,79 @@ object PipelineQueries {
            |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
            |  FROM adc) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
+    // IVF-PQ recall@10 vs exact kNN (self excluded on both sides) — the
+    // number that prices the nprobe×compression trade against
+    // q_pq_recall's full-scan ADC and q_ann_recall_ivf's uncompressed
+    // probing; derived from two verified pipelines like its siblings.
+    Q("q_ann_recall_ivfpq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val ivfpq = Clustering.ivfPqTopK(emb, "vec_id", "embedding", queries,
+          "q_id", "q_vec", dims = 64, subspaces = 8, kCodes = 16, iters = 2,
+          nCentroids = 8, nprobe = 2, topK = 10)
+        val q = queries.select(col("q_id"),
+          Clustering.quantizeMils(col("q_vec")).as("_qv"))
+        val corpus = emb.select(col("vec_id"),
+          Clustering.quantizeMils(col("embedding")).as("_cv"))
+        val dist = aggregate(
+          zip_with(col("_qv"), col("_cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("_d"), col("vec_id"))
+        val exact = corpus.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), dist.as("_d"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+        ivfpq.join(exact.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"))
+          .groupBy(col("q_id"))
+          .agg((count(lit(1)) * 100000L).as("recall_ppm"))
+          .orderBy("q_id")
+      },
+      Some(pqChains(subspaces = 8, d = 8, k = 16, iters = 2) +
+        s""",
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |vn AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
+           |cent AS (SELECT vec_id AS cid, ve AS cv, nn AS cn FROM vn WHERE vec_id < 8),
+           |asg AS (
+           |  SELECT n.vec_id,
+           |    -((max(struct_pack(s := CAST(floor(list_dot_product(n.ve, cent.cv)
+           |                                       / (n.nn * cent.cn) * 1000000.0) AS BIGINT),
+           |                       nc := -cent.cid))).nc) AS cid
+           |  FROM vn n, cent GROUP BY n.vec_id),
+           |q AS (SELECT vec_id AS q_id, ve AS qv, nn AS qn FROM vn WHERE vec_id < 5),
+           |probe AS (
+           |  SELECT q_id, cid FROM (
+           |    SELECT q.q_id, cent.cid,
+           |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |        CAST(floor(list_dot_product(q.qv, cent.cv)
+           |                   / (q.qn * cent.cn) * 1000000.0) AS BIGINT) DESC, cent.cid) AS pr
+           |    FROM q, cent) WHERE pr <= 2),
+           |qq AS (SELECT vec_id AS q_id, v FROM qb WHERE vec_id < 5),
+           |adc AS (
+           |  SELECT qq.q_id, e.vec_id,
+           |         CAST(${(0 until 8).map(s =>
+               s"list_sum([ (qq.v[(${s * 8}+i)::INT] - b$s.v[i::INT]) * (qq.v[(${s * 8}+i)::INT] - b$s.v[i::INT]) for i in range(1, 9) ])")
+               .mkString(" + ")} AS BIGINT) AS adc_dist
+           |  FROM enc e ${(0 until 8).map(s => s"JOIN s${s}_c2 b$s ON e.c$s = b$s.c").mkString(" ")}
+           |  JOIN asg a ON a.vec_id = e.vec_id
+           |  JOIN probe p ON a.cid = p.cid
+           |  JOIN qq ON qq.q_id = p.q_id
+           |  WHERE e.vec_id <> qq.q_id),
+           |ivfpq10 AS (SELECT q_id, vec_id FROM (
+           |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+           |  FROM adc) WHERE rank <= 10),
+           |exact10 AS (SELECT q_id, vec_id FROM (
+           |  SELECT qq.q_id, x.vec_id,
+           |         row_number() OVER (PARTITION BY qq.q_id
+           |           ORDER BY list_sum([ (qq.v[i]-x.v[i])*(qq.v[i]-x.v[i]) for i in range(1, 65) ]), x.vec_id) AS rank
+           |  FROM qb x CROSS JOIN qq WHERE x.vec_id <> qq.q_id) WHERE rank <= 10)
+           |SELECT q_id, CAST(count(*) * 100000 AS BIGINT) AS recall_ppm
+           |FROM ivfpq10 JOIN exact10 USING (q_id, vec_id)
+           |GROUP BY q_id ORDER BY q_id""".stripMargin)),
+
     // PQ recall@10: |ADC top-10 ∩ exact-L2 top-10| per query in tenths —
     // the compression-loss metric that decides k/subspace sizing, built
     // from the two independently-verified pipelines (exact kNN on the
