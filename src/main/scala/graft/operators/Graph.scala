@@ -98,4 +98,45 @@ object Graph {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Single-source shortest hop counts by frontier expansion (unweighted
+    * BFS — the reachability/radius primitive PageRank and triangles
+    * don't cover). Undirected: edges are symmetrized. Each round joins
+    * only the FRONTIER (last round's newly-discovered nodes) to the
+    * staged edge frame and anti-joins the visited set, so per-round work
+    * is |frontier-adjacent edges|, not |graph|; labels re-stage per
+    * round (flat plans, durable — the [[pagerank]] contract). Stops
+    * early when a frontier comes back empty. Output: (node, hop ≤
+    * maxHops) for every reached node, seed at hop 0. */
+  def bfsHops(edges: DataFrame, seed: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val spark = edges.sparkSession
+    val e = graft.store.Staging.stage(
+      edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        .distinct(), "bfs_edges")
+    import spark.implicits._
+    var labels = graft.store.Staging.stage(
+      Seq((seed, 0L)).toDF("node", "hop"), "bfs_seed")
+    var frontier = labels
+    var round = 1
+    var done = false
+    while (round <= maxHops && !done) {
+      val next = graft.store.Staging.stage(
+        frontier.select(col("node").as("u"))
+          .join(e, Seq("u"))
+          .select(col("v").as("node")).distinct()
+          .join(labels.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("hop", lit(round.toLong)),
+        s"bfs_f$round")
+      if (next.isEmpty) done = true
+      else {
+        labels = graft.store.Staging.stage(
+          labels.unionByName(next), s"bfs_l$round")
+        frontier = next
+      }
+      round += 1
+    }
+    labels
+  }
 }

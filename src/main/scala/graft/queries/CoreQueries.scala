@@ -910,6 +910,32 @@ object CoreQueries {
              |corners AS (SELECT x.n AS node FROM tri, LATERAL unnest([a, b, c]) AS x(n))
              |SELECT node, count(*) AS n_triangles FROM corners GROUP BY node ORDER BY node""".stripMargin)),
 
+    // Single-source BFS over the part co-purchase graph: shortest hop
+    // counts from part 1 within 3 hops — the reachability/radius
+    // primitive. Frontier expansion: each round touches only the
+    // frontier-adjacent edges and anti-joins the visited set; the
+    // oracle replays it as a recursive min-hop closure with the same
+    // hop bound.
+    Q("q_bfs_hops",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        Graph.bfsHops(und, seed = 1L, maxHops = 3).orderBy("node")
+      },
+      Some("""WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+             |ed AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+             |walk(node, hop) AS (
+             |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+             |  UNION
+             |  SELECT e.v, w.hop + 1 FROM walk w JOIN ed e ON w.node = e.u
+             |  WHERE w.hop < 3)
+             |SELECT node, min(hop) AS hop FROM walk GROUP BY node ORDER BY node""".stripMargin)),
+
     // Association rules over the order⇄part basket (the market-basket /
     // frequent-itemset class, Agrawal–Srikant pair stage): co-purchase
     // pairs with absolute support ≥ 2, each with support, both
