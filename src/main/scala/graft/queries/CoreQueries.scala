@@ -1240,6 +1240,46 @@ object CoreQueries {
              |       CAST(sum(CASE WHEN d.dv*10000 > mad.mad*44478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM d JOIN mad USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Seasonal-naive forecast with backtest — the baseline every
+    // forecasting system must beat, and the natural consumer of
+    // q_seasonal_stl's decomposition: train on the first 20 days'
+    // global hourly series, forecast each later hour as its
+    // hour-of-day floor-mean, score per test hour as |actual −
+    // forecast| (exact cmil integers). Two map-side-combinable aggs
+    // and one broadcast-sized (24-row) join — no state, no window.
+    Q("q_forecast_snaive",
+      (s, dir) => {
+        val startUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+        val splitUs = startUs + 20L * 86400000000L
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+          .agg(sum(floor(col("value") * 100)).cast("long").as("value_cmil"))
+          .withColumn("hod", (floor(col("hour_us") / 3600000000L).cast("long") % 24))
+        val model = hourly.filter(col("hour_us") < splitUs)
+          .groupBy(col("hod"))
+          .agg(floor(sum(col("value_cmil")) / count(lit(1))).cast("long").as("forecast_cmil"))
+        hourly.filter(col("hour_us") >= splitUs)
+          .join(broadcast(model), Seq("hod"))
+          .select(col("hour_us"), col("value_cmil").as("actual_cmil"),
+            col("forecast_cmil"),
+            abs(col("value_cmil") - col("forecast_cmil")).as("abs_err_cmil"))
+          .orderBy("hour_us")
+      },
+      Some("""WITH h AS (
+             |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+             |         CAST(sum(floor(value * 100)) AS BIGINT) AS value_cmil
+             |  FROM events GROUP BY 1),
+             |hh AS (SELECT hour_us, value_cmil,
+             |              (hour_us // 3600000000) % 24 AS hod FROM h),
+             |m AS (SELECT hod,
+             |             CAST(floor(sum(value_cmil) * 1.0 / count(*)) AS BIGINT) AS forecast_cmil
+             |      FROM hh WHERE hour_us < 1705795200000000 GROUP BY 1)
+             |SELECT hour_us, value_cmil AS actual_cmil, forecast_cmil,
+             |       abs(value_cmil - forecast_cmil) AS abs_err_cmil
+             |FROM hh JOIN m USING (hod)
+             |WHERE hour_us >= 1705795200000000
+             |ORDER BY hour_us""".stripMargin)),
+
     // Per-user one-sided CUSUM change-point detection (Page): S ←
     // max(0, S + (v − target)), alarm + reset when S > h — counts
     // DISTINCT upward level shifts, not samples above target. Same
