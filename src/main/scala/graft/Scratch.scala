@@ -86,7 +86,10 @@ object Scratch {
       "q_trend_ols" -> "OLS trend: five combinable integer sums in ONE partial+final agg — no window, no sort",
       "q_mad_outliers" -> "MAD outliers: two grouped rank passes reuse the user_id Exchange, census agg on top",
       "q_cusum" -> "CUSUM fold: one Exchange on user_id, sort_array + aggregate row-local recurrence",
-      "q_funnel_steps" -> "k-step funnel: four shrinking user-keyed join+min rounds, census unions of 1-row aggs")
+      "q_funnel_steps" -> "k-step funnel: four shrinking user-keyed join+min rounds, census unions of 1-row aggs",
+      "q_ann_ivfpq" -> "IVF-PQ: probed-bucket join over the staged code frame, ADC decode row-local vs codebook literals",
+      "q_bfs_hops" -> "BFS: final labels = union of staged per-round frontier scans — flat plan after the loop",
+      "q_forecast_snaive" -> "seasonal-naive backtest: two combinable aggs + a 24-row broadcast model join")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
