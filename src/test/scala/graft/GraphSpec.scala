@@ -62,4 +62,20 @@ class GraphSpec extends SparkSpec {
     val r = Graph.pagerank(e, iters = 2).as[(Long, Long)].collect().toMap
     assert(r(1L) == r(2L), s"duplicate edge skewed the degree: $r")
   }
+
+  test("bfsHops: min hop on a cyclic graph, undirected reach, maxHops cutoff") {
+    // 1—2—3—4—5 chain plus shortcut 1—4 (so 4 is hop 1, 5 is hop 2,
+    // 3 is min(2 via 2, 2 via 4) = 2); 9—10 unreachable; 6 reachable
+    // only against edge direction (symmetrization must find it)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (6L, 1L), (9L, 10L)).toDF("u", "v")
+    val got = Graph.bfsHops(e, seed = 1L, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 6L -> 1L,
+      3L -> 2L, 5L -> 2L), got.toString)
+    // cutoff: with maxHops 1 the hop-2 shell disappears
+    val got1 = Graph.bfsHops(e, seed = 1L, maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 6L -> 1L), got1.toString)
+  }
 }
