@@ -374,6 +374,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher) of N ranked runs —
+    * the standard hybrid-retrieval combiner (lexical BM25 list + semantic
+    * ANN list, or any mix). Each run contributes 10⁶ DIV (kRrf + rank)
+    * per id — the integer floor of the 1/(k+rank) RRF term in ppm, so
+    * fused scores are exact, order-independent under summation, and
+    * engine-reproducible (a float 1/(k+r) would tie the compare to
+    * rounding order). kRrf = 60 is the published default.
+    *
+    * Shape: union of the runs' (id, rank) pairs → one groupBy on id.
+    * Runs are top-k lists (tiny — k rows each), so at any corpus scale
+    * the fusion itself is negligible; the cost lives in the upstream
+    * retrieval, where it belongs. Output: (idCol, n_lists, rrf_ppm),
+    * descending rrf_ppm, ties to the smaller id. */
+  def rrfFuse(
+      runs: Seq[org.apache.spark.sql.DataFrame],
+      idCol: String,
+      rankCol: String,
+      kRrf: Int,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    require(runs.nonEmpty && kRrf > 0 && topK > 0)
+    runs.map(_.select(col(idCol), col(rankCol).cast("long").as("_rank")))
+      .reduce(_ unionByName _)
+      .withColumn("_contrib", expr(s"CAST(1000000 AS BIGINT) DIV ($kRrf + _rank)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"), sum(col("_contrib")).as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Main-content extraction from raw HTML — the first step of every
     * web-crawl training pipeline (the trafilatura/jusText class, here as
     * the deterministic regex+line-heuristic core those tools build on):
