@@ -85,10 +85,9 @@ object Sampling {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_band")).orderBy(col("_k"), col(idCol))
-    // multiples of step in [0, x) = ⌈x/step⌉; select iff the count grows
-    // across [lo, lo+w) — floor(double div) ≡ integer div (weights sum
-    // far below 2^53)
-    def mults(x: Column): Column = floor((x + (step - 1L)) / lit(step.toDouble))
+    // multiples of step in [0, x) = ⌈x/step⌉, as pure integer division
+    // (Catalyst IntegralDivide) — no magnitude caveat
+    def mults(x: Column): Column = call_function("div", x + (step - 1L), lit(step))
     keyed
       .withColumn("_cum", sum(col("_w")).over(w))
       .select(col(idCol), col("_w").as("weight"),

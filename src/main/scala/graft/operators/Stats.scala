@@ -54,6 +54,75 @@ object Stats {
       .agg(count(lit(1)).as("n_docs"), picks: _*)
   }
 
+  /** Per-day peak concurrency of half-open intervals [start, end) — the
+    * sweep-line / "max concurrent sessions" statistic. Endpoints become
+    * (+1 at start, −1 at end) deltas; the concurrency at an instant is
+    * the running sum of all deltas up to it in (ts, delta, tie) order —
+    * delta ascending puts the −1 of an interval ending at t BEFORE a +1
+    * starting at t, i.e. half-open semantics. Rows with a null start or
+    * end are dropped (the operator's input contract is complete
+    * intervals).
+    *
+    * The classic algorithm is one global sort + running sum; the
+    * distributed form never funnels 100 TB of endpoints through a single
+    * partition: endpoints band by epoch DAY, per-band delta totals come
+    * back to the driver (span-bounded — one long per day of data, the
+    * same AQE-stats-shaped collect as [[skyline2d]]'s band maxes), their
+    * exclusive prefix sums are the carried-in concurrency of each band —
+    * broadcast-joined back, never a per-day when() chain whose depth
+    * would break codegen on a multi-decade span — and the in-band
+    * running sum is a per-band window. Banded prefix + in-band cum ≡ the
+    * global running sum because bands partition the time axis. A
+    * synthetic delta-0 row at each day's first instant makes the
+    * carried-in level itself a candidate, so a day whose maximum holds
+    * from midnight (a long-lived session ending mid-day) reports that
+    * level with at_us = start of day rather than understating the peak.
+    *
+    * Output: (day_idx epoch-days, peak, at_us = earliest µs instant of
+    * the day achieving the peak), days with ≥1 endpoint only. Equal
+    * (ts, delta) rows from different tie values permute only which ROW
+    * carries which intermediate sum at that instant, never the per-day
+    * max or its earliest instant — the output is tie-order-stable. */
+  def peakConcurrency(
+      intervals: DataFrame,
+      startUs: org.apache.spark.sql.Column,
+      endUs: org.apache.spark.sql.Column,
+      tieCol: org.apache.spark.sql.Column): DataFrame = {
+    val DayUs = 86400000000L
+    val iv = intervals.select(startUs.as("_s"), endUs.as("_e"), tieCol.as("_tie"))
+      .filter(col("_s").isNotNull && col("_e").isNotNull)
+    // pure-integer floor division (exact past 2^53, unlike floor(x / d.0))
+    val pts = iv.select(col("_s").as("ts_us"), lit(1L).as("d"), col("_tie"))
+      .unionByName(iv.select(col("_e").as("ts_us"), lit(-1L).as("d"), col("_tie")))
+      .withColumn("day_idx", call_function("div",
+        col("ts_us") - pmod(col("ts_us"), lit(DayUs)), lit(DayUs)))
+    val bandSums = pts.groupBy(col("day_idx")).agg(sum(col("d")).as("_s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive prefix: concurrency carried into each day from all prior days
+    val carried = bandSums.scanLeft(0L)(_ + _._2)
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val carryDf = bandSums.zipWithIndex
+      .map { case ((b, _), i) => (b, carried(i)) }.toSeq
+      .toDF("day_idx", "_carry")
+    // delta-0 sentinel at each day's start; d=0 sorts after same-instant
+    // −1s, so its cum is the true level holding from midnight
+    val dayStarts = carryDf.select(col("day_idx"),
+      (col("day_idx") * DayUs).as("ts_us"), lit(0L).as("d"),
+      lit(null).cast(pts.schema("_tie").dataType).as("_tie"))
+    val w = Window.partitionBy(col("day_idx"))
+      .orderBy(col("ts_us"), col("d"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDay = Window.partitionBy(col("day_idx"))
+    pts.unionByName(dayStarts)
+      .join(broadcast(carryDf), "day_idx")
+      .withColumn("cum", col("_carry") + sum(col("d")).over(w))
+      .withColumn("_peak", max(col("cum")).over(wDay))
+      .filter(col("cum") === col("_peak"))
+      .groupBy(col("day_idx"))
+      .agg(max(col("cum")).as("peak"), min(col("ts_us")).as("at_us"))
+  }
+
   /** 2-D skyline (Pareto frontier): rows not dominated under (minimize
     * cost, maximize gain) — dominance needs one STRICT inequality, so
     * exact (cost, gain) twins all survive. A row survives iff
@@ -69,56 +138,6 @@ object Stats {
     * the banded prefix pattern of
     * [[graft.operators.Sampling.weightedSystematicSample]] with max in
     * place of sum. Output: (idCol, cost, gain), skyline rows only. */
-  /** Per-day peak concurrency of half-open intervals [start, end) — the
-    * sweep-line / "max concurrent sessions" statistic. Endpoints become
-    * (+1 at start, −1 at end) deltas; the concurrency at an instant is
-    * the running sum of all deltas up to it in (ts, delta, tie) order —
-    * delta ascending puts the −1 of an interval ending at t BEFORE a +1
-    * starting at t, i.e. half-open semantics.
-    *
-    * The classic algorithm is one global sort + running sum; the
-    * distributed form never funnels 100 TB of endpoints through a single
-    * partition: endpoints band by epoch DAY, per-band delta totals come
-    * back to the driver (span-bounded — one long per day of data, the
-    * same AQE-stats-shaped collect as [[skyline2d]]'s band maxes), their
-    * exclusive prefix sums are the carried-in concurrency of each band,
-    * and the in-band running sum is a per-band window. Banded prefix +
-    * in-band cum ≡ the global running sum because bands partition the
-    * time axis.
-    *
-    * Output: (day_idx epoch-days, peak, at_us = earliest µs instant of
-    * the day achieving the peak), days with ≥1 endpoint only. Equal
-    * (ts, delta) rows from different tie values permute only which ROW
-    * carries which intermediate sum at that instant, never the per-day
-    * max or its earliest instant — the output is tie-order-stable. */
-  def peakConcurrency(
-      intervals: DataFrame,
-      startUs: org.apache.spark.sql.Column,
-      endUs: org.apache.spark.sql.Column,
-      tieCol: org.apache.spark.sql.Column): DataFrame = {
-    val DayUs = 86400000000L
-    val pts = intervals.select(startUs.as("ts_us"), lit(1L).as("d"), tieCol.as("_tie"))
-      .unionByName(intervals.select(endUs.as("ts_us"), lit(-1L).as("d"), tieCol.as("_tie")))
-      .withColumn("day_idx", floor(col("ts_us") / lit(DayUs.toDouble)).cast("long"))
-    val bandSums = pts.groupBy(col("day_idx")).agg(sum(col("d")).as("_s"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    // exclusive prefix: concurrency carried into each day from all prior days
-    val carried = bandSums.scanLeft(0L)(_ + _._2)
-    val carryExpr = bandSums.zipWithIndex.foldLeft(lit(0L)) {
-      case (acc, ((b, _), i)) => when(col("day_idx") === b, lit(carried(i))).otherwise(acc)
-    }
-    val w = Window.partitionBy(col("day_idx"))
-      .orderBy(col("ts_us"), col("d"), col("_tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDay = Window.partitionBy(col("day_idx"))
-    pts
-      .withColumn("cum", carryExpr + sum(col("d")).over(w))
-      .withColumn("_peak", max(col("cum")).over(wDay))
-      .filter(col("cum") === col("_peak"))
-      .groupBy(col("day_idx"))
-      .agg(max(col("cum")).as("peak"), min(col("ts_us")).as("at_us"))
-  }
-
   def skyline2d(
       df: DataFrame,
       idCol: String,

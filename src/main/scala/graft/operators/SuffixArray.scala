@@ -28,9 +28,12 @@ import graft.store.Staging
   *
   *  2. Round-0 ranks (order by token string) go through the DISTINCT
   *     vocabulary: rank of a token = 1 + Σ counts of lexicographically
-  *     smaller tokens, a window over the vocab table joined back to
-  *     positions. The single-partition window touches |vocab| rows, not
-  *     |corpus| — the vocabulary is the bounded side by Heaps' law.
+  *     smaller tokens, computed as a BANDED prefix sum over the vocab
+  *     table (range-partition = contiguous key bands, per-band totals
+  *     to the driver, in-band windows) joined back to positions — the
+  *     vocab side is small by Heaps' law, but observed word BIGRAMS run
+  *     to billions at corpus scale, so even that side never funnels
+  *     through one partition.
   *
   *  3. Doubling rounds refine ranks GROUP-LOCALLY: with rank()
   *     (min-rank, ties share) semantics, a position whose rank is
@@ -121,16 +124,34 @@ object SuffixArray {
     // (r_tok, r_tok@+1) — same min-rank, same null-is-smallest corpus-end
     // rule (nulls-first ≡ the -1 padding) — so the loop starts at
     // step 2 with one full-frame round already paid through the small
-    // side. The bigram vocabulary stays bounded: ≤ |vocab|² observed
-    // word bigrams plus one boundary bigram per doc.
+    // side. Observed word bigrams are NOT vocabulary-bounded (billions
+    // at corpus scale), so the prefix sum over the bigram table runs
+    // banded, never through one partition: range-partition in the sort
+    // order (contiguous key ranges = bands), STAGE the banding so both
+    // passes see identical bands, per-band count totals to the driver
+    // (one long per band — AQE-stats-shaped), exclusive-prefix offsets
+    // broadcast-join back, in-band prefix via a per-band window.
     val next = toks.select((col("gpos") - 1).as("gpos"), col("tok").as("tok2"))
     val bigrams = toks.join(next, Seq("gpos"), "left")
       .select(col("gpos"), col("tok"), col("tok2"))
     val vocab = bigrams.groupBy(col("tok"), col("tok2")).agg(count(lit(1)).as("_c"))
-    val vocabRank = vocab.select(
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val banded = Staging.stage(
+      vocab.repartitionByRange(nPart, col("tok").asc, col("tok2").asc_nulls_first)
+        .withColumn("_vb", spark_partition_id()),
+      "sa_vocab_band")
+    val bandSums = banded.groupBy(col("_vb")).agg(sum(col("_c")).as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bandOff = bandSums.zip(bandSums.scanLeft(0L)(_ + _._2))
+      .map { case ((b, _), off) => (b, off) }
+    val offDf = broadcast(bandOff.toSeq.toDF("_vb", "_off"))
+    val wB = Window.partitionBy(col("_vb"))
+      .orderBy(col("tok").asc, col("tok2").asc_nulls_first)
+    val vocabRank = banded.join(offDf, "_vb").select(
       col("tok"), col("tok2"),
-      (sum(col("_c")).over(Window.orderBy(col("tok").asc, col("tok2").asc_nulls_first))
-        - col("_c") + 1).as("r"))
+      (col("_off") + sum(col("_c")).over(wB) - col("_c") + 1).as("r"))
     var ranks = Staging.stage(
       bigrams.join(vocabRank,
           bigrams("tok") === vocabRank("tok") && bigrams("tok2") <=> vocabRank("tok2"))

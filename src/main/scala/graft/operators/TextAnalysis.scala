@@ -385,8 +385,12 @@ object TextAnalysis {
     * Shape: union of the runs' (id, rank) pairs → one groupBy on id.
     * Runs are top-k lists (tiny — k rows each), so at any corpus scale
     * the fusion itself is negligible; the cost lives in the upstream
-    * retrieval, where it belongs. Output: (idCol, n_lists, rrf_ppm),
-    * descending rrf_ppm, ties to the smaller id. */
+    * retrieval, where it belongs. Ranks are 1-BASED (rank 0 is legal
+    * too since kRrf > 0); negative or null ranks are dropped, and a
+    * duplicate id within one run counts once at its BEST (minimum)
+    * rank — a malformed run can't inflate n_lists or the fused score
+    * (ADVICE r6). Output: (idCol, n_lists, rrf_ppm), descending
+    * rrf_ppm, ties to the smaller id. */
   def rrfFuse(
       runs: Seq[org.apache.spark.sql.DataFrame],
       idCol: String,
@@ -394,7 +398,9 @@ object TextAnalysis {
       kRrf: Int,
       topK: Int): org.apache.spark.sql.DataFrame = {
     require(runs.nonEmpty && kRrf > 0 && topK > 0)
-    runs.map(_.select(col(idCol), col(rankCol).cast("long").as("_rank")))
+    runs.map(_.select(col(idCol), col(rankCol).cast("long").as("_rank"))
+        .filter(col("_rank").isNotNull && col("_rank") >= 0)
+        .groupBy(col(idCol)).agg(min(col("_rank")).as("_rank")))
       .reduce(_ unionByName _)
       .withColumn("_contrib", expr(s"CAST(1000000 AS BIGINT) DIV ($kRrf + _rank)"))
       .groupBy(col(idCol))

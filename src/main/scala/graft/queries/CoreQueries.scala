@@ -1012,6 +1012,48 @@ object CoreQueries {
              |    AND (b.cost < a.cost OR b.gain > a.gain))
              |ORDER BY p_partkey""".stripMargin)),
 
+    // Per-day peak concurrency (sweep line) over synthetic sessions:
+    // each event opens a half-open interval of 1 s .. 2 days (pure
+    // integer duration from event_id, so both engines derive identical
+    // intervals). The operator bands endpoints by epoch day with
+    // driver-side carry offsets + a day-start delta-0 sentinel (a day
+    // whose max holds from midnight reports the carried level, ADVICE
+    // r6); the oracle runs the same sweep as ONE global running sum —
+    // legal single-node, which is the point of the banded form.
+    Q("q_peak_concurrency",
+      (s, dir) => {
+        val iv = Tables.events(s, dir).select(
+          expr("unix_micros(ts)").as("s_us"),
+          (expr("unix_micros(ts)") +
+            (pmod(col("event_id"), lit(172800L)) + 1L) * 1000000L).as("e_us"),
+          col("event_id"))
+        Stats.peakConcurrency(iv, col("s_us"), col("e_us"), col("event_id"))
+          .orderBy("day_idx")
+      },
+      Some("""WITH iv AS (
+             |  SELECT epoch_us(ts) AS s_us,
+             |         epoch_us(ts) + (event_id % 172800 + 1) * 1000000 AS e_us,
+             |         event_id
+             |  FROM events),
+             |pts AS (
+             |  SELECT s_us AS ts_us, 1 AS d, event_id AS tie FROM iv
+             |  UNION ALL
+             |  SELECT e_us, -1, event_id FROM iv),
+             |days AS (SELECT DISTINCT ts_us // 86400000000 AS day_idx FROM pts),
+             |allp AS (
+             |  SELECT ts_us // 86400000000 AS day_idx, ts_us, d, tie FROM pts
+             |  UNION ALL
+             |  SELECT day_idx, day_idx * 86400000000, 0, NULL FROM days),
+             |c AS (
+             |  SELECT day_idx, ts_us,
+             |         CAST(sum(d) OVER (ORDER BY ts_us, d, tie) AS BIGINT) AS cum
+             |  FROM allp),
+             |p AS (SELECT day_idx, max(cum) AS peak FROM c GROUP BY 1)
+             |SELECT c.day_idx AS day_idx, p.peak AS peak, min(c.ts_us) AS at_us
+             |FROM c JOIN p ON c.day_idx = p.day_idx AND c.cum = p.peak
+             |GROUP BY 1, 2
+             |ORDER BY 1""".stripMargin)),
+
     // k-anonymity audit (k = 5) over the quasi-identifier tuple
     // (nation, market segment, account-balance k€-band): every
     // equivalence class smaller than k is a re-identification risk the
@@ -1316,21 +1358,39 @@ object CoreQueries {
     // integers): the global hourly value series splits into trend
     // (centered 24-row rolling mean, floor-div by the actual in-frame
     // count so edges stay exact), hour-of-day seasonal (floor-mean of
-    // the detrended series per hod), and residual. The windows run over
-    // the AGGREGATED series — its length is bound by the time span
-    // (720 hours here), not by corpus size, so the unpartitioned
-    // ordered frame is bounded at any SF; the only data-sized work is
-    // the first map-side-combinable groupBy.
+    // the detrended series per hod), and residual. The hourly series is
+    // span-bounded (720 rows here), but the centered frame still runs
+    // BANDED so no unpartitioned-window plan exists anywhere in the
+    // registry (VERDICT r6 #3): a distributed exclusive prefix count
+    // (SuffixArray.prefixOffsets — range partition, per-partition sums
+    // to driver, broadcast back) gives each hour its GLOBAL row index;
+    // rows band into exact 24-row blocks of that index, each band gets
+    // a HALO of its neighbors' edge rows (last 11 / first 12 — exactly
+    // the frame reach, safe even across empty days because banding is
+    // in row space, not time space), the rolling mean is a per-band
+    // window, halo rows drop after — the stencil/halo-exchange pattern,
+    // which is also how a dense multi-year series would scale.
     Q("q_seasonal_stl",
       (s, dir) => {
-        val wT = Window.orderBy(col("hour_us")).rowsBetween(-11, 12)
         val hourly = Tables.events(s, dir)
           .groupBy(expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
           .agg(sum(floor(col("value") * 100)).cast("long").as("value_cmil"))
-        hourly
-          .select(col("hour_us"), col("value_cmil"),
+        val idx = graft.operators.SuffixArray.prefixOffsets(
+          hourly.select(col("hour_us"), lit(1L).as("_one")), "hour_us", "_one")
+        val pos = hourly.join(idx, "hour_us")
+          .withColumn("_b", call_function("div", col("_ofs"), lit(24L)))
+        val own = pos.withColumn("_halo", lit(false))
+        val haloUp = pos.filter(pmod(col("_ofs"), lit(24L)) >= 13)
+          .withColumn("_b", col("_b") + 1).withColumn("_halo", lit(true))
+        val haloDown = pos.filter(pmod(col("_ofs"), lit(24L)) <= 11)
+          .withColumn("_b", col("_b") - 1).withColumn("_halo", lit(true))
+        val wT = Window.partitionBy(col("_b")).orderBy(col("_ofs"))
+          .rowsBetween(-11, 12)
+        own.unionByName(haloUp).unionByName(haloDown)
+          .select(col("hour_us"), col("value_cmil"), col("_b"), col("_halo"),
             floor(sum(col("value_cmil")).over(wT) / count(lit(1)).over(wT))
               .cast("long").as("trend_cmil"))
+          .filter(!col("_halo"))
           .select(col("hour_us"), col("value_cmil"), col("trend_cmil"),
             (col("value_cmil") - col("trend_cmil")).as("_det"),
             (floor(col("hour_us") / 3600000000L).cast("long") % 24).as("_hod"))

@@ -1055,7 +1055,8 @@ object PipelineQueries {
              |         md5(CAST(doc_id AS VARCHAR)) AS kk
              |  FROM documents),
              |c AS (SELECT doc_id, w,
-             |             sum(w) OVER (ORDER BY kk, doc_id) - w AS lo
+             |             CAST(sum(w) OVER (ORDER BY kk, doc_id) - w
+             |                  AS BIGINT) AS lo
              |      FROM k)
              |SELECT doc_id, w AS weight, lo AS cum_before FROM c
              |WHERE (lo + w + 499) // 500 > (lo + 499) // 500
@@ -1890,6 +1891,42 @@ object PipelineQueries {
              |            AS BIGINT) AS score_bp
              |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
              |GROUP BY doc_id ORDER BY score_bp DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Reciprocal-rank fusion of two retrieval runs (a lexical-ish
+    // length ranking + a pseudo-random md5 ranking — deterministic
+    // stand-ins for BM25/ANN lists, reproducible in both engines).
+    // Each run is built the 100 TB way: orderBy+limit compiles to
+    // TakeOrderedAndProject (distributed top-k, no global sort), and
+    // rank assignment is a window over the ALREADY-REDUCED k rows
+    // (partitionBy(lit(0)) on 50 rows — bounded by construction, not a
+    // global window over the corpus). Integer ppm contributions make
+    // the fused score exact; see TextAnalysis.rrfFuse.
+    Q("q_rrf_fuse",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).as("_len"),
+            md5(col("doc_id").cast("string").cast("binary")).as("_h"))
+        val byLen = docs.orderBy(col("_len").desc, col("doc_id")).limit(50)
+          .withColumn("rank", row_number().over(
+            w.partitionBy(lit(0)).orderBy(col("_len").desc, col("doc_id"))))
+        val byHash = docs.orderBy(col("_h"), col("doc_id")).limit(50)
+          .withColumn("rank", row_number().over(
+            w.partitionBy(lit(0)).orderBy(col("_h"), col("doc_id"))))
+        TextAnalysis.rrfFuse(Seq(byLen, byHash), "doc_id", "rank",
+          kRrf = 60, topK = 30)
+      },
+      Some("""WITH r1 AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY length(text) DESC, doc_id) AS rank
+             |  FROM documents QUALIFY rank <= 50),
+             |r2 AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+             |  FROM documents QUALIFY rank <= 50),
+             |u AS (SELECT doc_id, rank FROM r1 UNION ALL SELECT doc_id, rank FROM r2)
+             |SELECT doc_id, count(*) AS n_lists,
+             |       CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm
+             |FROM u GROUP BY 1
+             |ORDER BY rrf_ppm DESC, doc_id LIMIT 30""".stripMargin)),
 
     // Incremental ingest dedup: docs with doc_id % 10 == 7 play the
     // incoming batch; everyone else is the existing corpus whose

@@ -277,4 +277,73 @@ class OperatorsSpec extends SparkSpec {
     assert(got == brute, s"got=${got.size} brute=${brute.size}")
     assert(got.map(_._1).intersect(Set(201L, 203L)).size % 2 == 0) // twins together
   }
+
+  // -- peakConcurrency ----------------------------------------------------
+
+  private val DayUs = 86400000000L
+
+  /** Brute per-day peak model: level at instant t = #intervals with
+    * start <= t < end; a day's peak scans its start level plus every
+    * in-day event level; at_us = earliest instant achieving it. */
+  private def brutePeaks(iv: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val pts = iv.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+    val sorted = pts.sortBy(identity)
+    val days = pts.map(_._1 / DayUs).distinct
+    days.map { day =>
+      val dayStart = day * DayUs
+      def levelAfter(p: ((Long, Long)) => Boolean) =
+        sorted.filter(p).map(_._2).sum
+      val startLevel = levelAfter { case (t, d) =>
+        t < dayStart || (t == dayStart && d == -1L) }
+      val inDay = sorted.zipWithIndex
+        .filter { case ((t, _), _) => t / DayUs == day }
+        .map { case ((t, _), i) => (t, sorted.take(i + 1).map(_._2).sum) }
+      val peak = (startLevel +: inDay.map(_._2)).max
+      val atUs =
+        if (startLevel == peak) dayStart
+        else inDay.filter(_._2 == peak).map(_._1).min
+      day -> (peak, atUs)
+    }.toMap
+  }
+
+  test("peakConcurrency: day whose max holds from midnight reports the carried level") {
+    import graft.operators.Stats
+    // one interval [day0 10:00, day1 10:00): day1's only endpoint is the
+    // −1 at 10:00 — the peak 1 holds from midnight (ADVICE r6 high)
+    val iv = Seq((10L * 3600000000L, DayUs + 10L * 3600000000L, 1L))
+      .toDF("s_us", "e_us", "tie")
+    val got = Stats.peakConcurrency(iv, col("s_us"), col("e_us"), col("tie"))
+      .as[(Long, Long, Long)].collect().map { case (d, p, a) => d -> (p, a) }.toMap
+    assert(got(0L) == (1L, 10L * 3600000000L))
+    assert(got(1L) == (1L, DayUs)) // carried level, at day start — was 0 before the fix
+  }
+
+  test("peakConcurrency equals brute sweep on multi-day scatter (incl. midnight edges)") {
+    import graft.operators.Stats
+    // deterministic scatter: 150 intervals, durations 1s..2.5 days, some
+    // starting/ending exactly at midnight
+    val iv = (1L to 150L).map { i =>
+      val s = (i * 7919L) % (5 * DayUs)
+      val dur = 1000000L + (i * 104729L) % (DayUs * 5 / 2)
+      (if (i % 10 == 0) (s / DayUs) * DayUs else s, // every 10th starts at midnight
+        if (i % 7 == 0) (s / DayUs + 1) * DayUs else s + dur) // every 7th ends at midnight
+    }.map { case (s, e) => (s, math.max(e, s + 1)) }
+    val df = iv.zipWithIndex.map { case ((s, e), i) => (s, e, i.toLong) }
+      .toDF("s_us", "e_us", "tie")
+    val got = Stats.peakConcurrency(df, col("s_us"), col("e_us"), col("tie"))
+      .as[(Long, Long, Long)].collect().map { case (d, p, a) => d -> (p, a) }.toMap
+    assert(got == brutePeaks(iv), s"diff=${(got.toSet diff brutePeaks(iv).toSet).take(3)}")
+  }
+
+  test("peakConcurrency drops null-endpoint rows instead of throwing") {
+    import graft.operators.Stats
+    val df = Seq(
+      (Some(1000000L), Some(2000000L), 1L),
+      (None: Option[Long], Some(5000000L), 2L),
+      (Some(3000000L), None: Option[Long], 3L))
+      .toDF("s_us", "e_us", "tie")
+    val got = Stats.peakConcurrency(df, col("s_us"), col("e_us"), col("tie"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 1L, 1000000L)))
+  }
 }

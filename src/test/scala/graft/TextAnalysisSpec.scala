@@ -195,4 +195,22 @@ class TextAnalysisSpec extends SparkSpec {
     // path case preserved; trailing slash stripped; no-query URL intact
     assert(canon("https://B.com/CaseD/") == "https://b.com/CaseD")
   }
+
+  test("rrfFuse: exact ppm scores, malformed runs can't inflate (ADVICE r6)") {
+    def ppm(r: Long) = 1000000L / (60L + r)
+    val run1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    // run2 is malformed: id 10 appears twice (ranks 5 and 2 — counts
+    // once at 2), id 40 has rank −60 (zero divisor if kept), id 50 null
+    val run2 = Seq((10L, Some(5L)), (10L, Some(2L)), (20L, Some(1L)),
+      (40L, Some(-60L)), (50L, None: Option[Long])).toDF("id", "rank")
+    val got = TextAnalysis.rrfFuse(Seq(run1, run2), "id", "rank", kRrf = 60, topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val expect = Seq(
+      (10L, 2L, ppm(1) + ppm(2)),
+      (20L, 2L, ppm(2) + ppm(1)),
+      (30L, 1L, ppm(3)))
+      .sortBy { case (id, _, s) => (-s, id) }
+    assert(got == expect, s"got=$got")
+    assert(!got.exists(r => r._1 == 40L || r._1 == 50L))
+  }
 }
