@@ -62,8 +62,33 @@ object ScaleProbe {
     "q_cusum" -> false,
     "q_seasonal_stl" -> false, // agg series is span-bounded: only the groupBy grows
     "q_sample_weighted" -> false,
-    "q_filter_decide" -> false
+    "q_filter_decide" -> false,
+    // round-7 closing wave (VERDICT r6 Next #8 — ledger completeness).
+    // Span-bounded series queries (snaive forecast backtest, sweep-line
+    // peaks): like q_seasonal_stl, only the first groupBy grows.
+    "q_forecast_snaive" -> false,
+    "q_peak_concurrency" -> false,
+    "q_rrf_fuse" -> false // run construction = two TakeOrdered top-50 scans
   )
+
+  /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
+    * input size is pinned by construction, so a 5× replica cannot grow
+    * their work and a measured exponent would be noise, plus queries on
+    * tables the replica does not carry.
+    *  - q_er_hamming / q_er_sorted / q_er_golden: customer filtered to
+    *    c_custkey < 500 (and % 7 for golden) — fixed 500-row ER scope.
+    *  - q_bfs_hops / q_triangle_count / q_assoc_rules / q_pagerank and
+    *    the other TPC-H-table queries: the replica replicates only the
+    *    documents/embeddings/events axes (TESTDATA's lineitem growth
+    *    axis is the driver's own sf ladder — their sf0.01 → sf0.1
+    *    behavior is measured by the per-round bench instead).
+    *  - Streaming q_stream_*: single availableNow replay over the
+    *    events store build; micro-batch scheduling dominates at this
+    *    scale, and the stateful operators' growth axis (keys × state)
+    *    is pinned by StreamingSpec's bounded-state assertions. */
+  private val ScopedExempt: Seq[String] = Seq(
+    "q_er_hamming", "q_er_sorted", "q_er_golden",
+    "q_bfs_hops", "q_triangle_count", "q_assoc_rules", "q_pagerank")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes
@@ -92,7 +117,12 @@ object ScaleProbe {
     // separator) — the unique-text replica shows the natural-corpus
     // behavior where ties collapse after the early rounds
     "q_suffix_array",
-    "q_dedup_substring"
+    "q_dedup_substring",
+    // round-7 closing wave: IVF-PQ probing (embeddings get per-copy
+    // jitter so buckets don't collapse) + the broadcast-assignment
+    // k-means twin (same staged scan, join-shaped assignment)
+    "q_ann_ivfpq",
+    "q_cluster_kmeans_bcast"
   )
 
   /** Per-query conf pins for the probe. ppjoin's verify joins fit under
@@ -168,6 +198,7 @@ object ScaleProbe {
     spark.read.parquet(s"$base/documents.parquet").write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$big/documents.parquet").write.format("noop").mode("overwrite").save()
 
+    println(s"scoped_exempt=${ScopedExempt.mkString(",")}")
     println("query,blowup_expected,sf0.1_s,sf0.5_s,time_x,sf0.1_shuffle_mb,sf0.5_shuffle_mb,shuffle_x")
     Probes.foreach { case (name, blowup) =>
       val (t1, s1) = measure(name, base)

@@ -79,11 +79,39 @@ object Clustering {
     assignQuantized(q, idCol, trainCentroids(q, idCol, k, iters))
 
   /** Row-local nearest-centroid assignment of a quantized frame against
-    * trained centroids: (idCol, cluster, dist). */
+    * trained centroids: (idCol, cluster, dist). The centroids are baked
+    * into the projection as literals — the fastest shape while k·D stays
+    * plan-sized (one codegen'd pass, zero joins); past a few thousand
+    * centroids the k-struct expression outgrows codegen/analysis budgets
+    * (measured in BUILDER_NOTES) — use [[assignQuantizedBroadcast]]. */
   def assignQuantized(q: DataFrame, idCol: String, cents: Array[Array[Long]]): DataFrame =
     q.select(col(idCol), nearest(cents, col("_qv")).as("_a"))
       .select(col(idCol), col("_a").getField("c").as("cluster"),
         col("_a").getField("d").as("dist"))
+
+  /** Nearest-centroid assignment via a BROADCAST k-row centroid frame —
+    * the large-k twin of [[assignQuantized]] for IVF builds with tens of
+    * thousands of centroids, where a literal plan would not compile: the
+    * plan stays O(1) in k (one broadcast nested-loop fan-out of n·k
+    * candidate rows, then min per id). The min is a map-side-combined
+    * struct-min (lexicographic (d, c) ⇒ smallest distance, ties to the
+    * lowest centroid index — the exact [[assignQuantized]] tie rule), so
+    * only ~n rows shuffle, never the n·k fan-out. */
+  def assignQuantizedBroadcast(q: DataFrame, idCol: String, cents: Array[Array[Long]])
+      : DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val cdf = cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }.toSeq
+      .toDF("_c", "_cv")
+    q.join(broadcast(cdf))
+      .select(col(idCol), col("_c"),
+        aggregate(zip_with(col("_qv"), col("_cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("_d"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("_d").as("d"), col("_c").as("c"))).as("_a"))
+      .select(col(idCol), col("_a").getField("c").as("cluster"),
+        col("_a").getField("d").as("dist"))
+  }
 
   /** The Lloyd training loop alone — returns the trained k×D centroid
     * matrix (driver-held; broadcast-class at any cluster size). Exposed

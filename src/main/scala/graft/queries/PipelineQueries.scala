@@ -2075,6 +2075,28 @@ object PipelineQueries {
       Some(kmeansOracle(k = 8, iters = 3, dims = 64) +
         "\nSELECT vec_id, c AS cluster, dist FROM af ORDER BY vec_id")),
 
+    // Broadcast-assignment twin of q_cluster_kmeans: identical Lloyd
+    // training (the content-keyed stage + codebook memo mean the corpus
+    // trains ONCE for both), but the final assignment joins a broadcast
+    // centroid frame instead of baking k literal structs into one
+    // projection — the shape that survives IVF-scale k (tens of
+    // thousands of centroids), where the literal plan outgrows codegen
+    // and analysis budgets (measured wall in BUILDER_NOTES). Same
+    // oracle: the assignment contract (min distance, ties to lowest
+    // index) is path-independent.
+    Q("q_cluster_kmeans_bcast",
+      (s, dir) => {
+        val q = graft.store.Staging.stage(
+          Tables.embeddings(s, dir).select(col("vec_id"),
+            Clustering.quantizeMils(col("embedding")).as("_qv")),
+          "kmeans_q8")
+        Clustering.assignQuantizedBroadcast(q, "vec_id",
+          Clustering.trainCentroids(q, "vec_id", k = 8, iters = 3))
+          .orderBy("vec_id")
+      },
+      Some(kmeansOracle(k = 8, iters = 3, dims = 64) +
+        "\nSELECT vec_id, c AS cluster, dist FROM af ORDER BY vec_id")),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup = k-means partition +
     // within-cluster cosine pruning against lower-id neighbors. Pair
     // count is Σ|cluster|² (k tunes it), never n²; similarity runs on

@@ -78,6 +78,20 @@ class ClusteringSpec extends SparkSpec {
     assert(r.forall(_._2 == 0L), r.mkString(","))
   }
 
+  test("assignQuantizedBroadcast ≡ assignQuantized, incl. the tie rule") {
+    val q = blobs.select(col("vec_id"), Clustering.quantizeMils(col("embedding")).as("_qv"))
+    // duplicate centroid (index 0 and 2 identical) exercises the
+    // ties-to-lowest-index rule through the broadcast-join min path
+    val cents = Array(Array(100L, 100L, 0L, 0L), Array(900L, 900L, 1000L, 1000L),
+      Array(100L, 100L, 0L, 0L))
+    val lit = Clustering.assignQuantized(q, "vec_id", cents)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val bc = Clustering.assignQuantizedBroadcast(q, "vec_id", cents)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(bc == lit, s"bc=$bc lit=$lit")
+    assert(bc.forall(_._2 != 2L)) // the duplicate never wins a tie
+  }
+
   test("pqEncode: k >= n makes every point its own centroid (zero recon error)") {
     val vecs = Seq(
       (1L, (1 to 8).map(_ * 0.01f)),
