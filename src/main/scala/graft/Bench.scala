@@ -93,15 +93,23 @@ object Bench {
     //    written once (outside the store root, so it survives the store
     //    wipe below); min of two scans, so it tracks the FS+page-cache
     //    bandwidth the read workload actually sees.
+    // hash sums are MASKED to 31 bits: a raw sum(xxhash64) random-walks
+    // past Long range within a few million rows and ANSI mode (Spark 4
+    // default) then aborts the probe mid-scan — the calibration would
+    // time the failure, not the workload (rounds ≤6 did exactly that;
+    // their calib values are time-to-abort draws, comparable only to
+    // each other)
     val calibCpu = time(materialize(
-      spark.range(256L * 1000 * 1000).select(sum(xxhash64(col("id"))))))
+      spark.range(256L * 1000 * 1000)
+        .select(sum(xxhash64(col("id")).bitwiseAND(lit(0x7FFFFFFFL))))))
     val calibPath = "target/graft_calib/scan_probe"
     if (!new java.io.File(calibPath, "_SUCCESS").isFile)
       spark.range(32L * 1000 * 1000)
         .select(col("id"), xxhash64(col("id")).as("h"), pmod(col("id"), lit(997)).as("k"))
         .write.mode("overwrite").parquet(calibPath)
     def fsScan(): Double = time(materialize(
-      spark.read.parquet(calibPath).select(sum(col("id")), sum(col("h")), sum(col("k")))))
+      spark.read.parquet(calibPath).select(sum(col("id")),
+        sum(col("h").bitwiseAND(lit(0x7FFFFFFFL))), sum(col("k")))))
     val calibFs = math.min(fsScan(), fsScan())
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()

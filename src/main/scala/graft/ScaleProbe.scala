@@ -198,9 +198,12 @@ object ScaleProbe {
     spark.read.parquet(s"$base/documents.parquet").write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$big/documents.parquet").write.format("noop").mode("overwrite").save()
 
+    // optional args = probe only these queries (local iteration)
+    val only = args.toSet
+    def wanted(n: String) = only.isEmpty || only(n)
     println(s"scoped_exempt=${ScopedExempt.mkString(",")}")
     println("query,blowup_expected,sf0.1_s,sf0.5_s,time_x,sf0.1_shuffle_mb,sf0.5_shuffle_mb,shuffle_x")
-    Probes.foreach { case (name, blowup) =>
+    Probes.filter(p => wanted(p._1)).foreach { case (name, blowup) =>
       val (t1, s1) = measure(name, base)
       val (t5, s5) = measure(name, big)
       val tx = if (t1 > 0) ((t5 / t1) * 10).round / 10.0 else -1
@@ -212,7 +215,7 @@ object ScaleProbe {
     buildUniqueReplica(spark, base, bigU, copies = 5)
     spark.read.parquet(s"$bigU/documents.parquet").write.format("noop").mode("overwrite").save()
     println("candidate_probe,sf0.1_s,sf0.5u_s,time_x,sf0.1_shuffle_mb,sf0.5u_shuffle_mb,shuffle_x")
-    CandProbes.foreach { name =>
+    CandProbes.filter(wanted).foreach { name =>
       val (t1, s1) = measure(name, base)
       val (t5, s5) = measure(name, bigU)
       val tx = if (t1 > 0) ((t5 / t1) * 10).round / 10.0 else -1

@@ -1897,22 +1897,37 @@ object PipelineQueries {
     // stand-ins for BM25/ANN lists, reproducible in both engines).
     // Each run is built the 100 TB way: orderBy+limit compiles to
     // TakeOrderedAndProject (distributed top-k, no global sort), and
-    // rank assignment is a window over the ALREADY-REDUCED k rows
-    // (partitionBy(lit(0)) on 50 rows — bounded by construction, not a
-    // global window over the corpus). Integer ppm contributions make
-    // the fused score exact; see TextAnalysis.rrfFuse.
+    // rank assignment over the ALREADY-REDUCED k rows is a broadcast
+    // k²-count join (rank = 1 + |rows ordering strictly before|; 50²
+    // candidate pairs — statistics-sized). NOT a partitionBy(lit(0))
+    // window: EliminateWindowPartitions folds a literal partition key
+    // away and the plan degrades to the global WindowExec this registry
+    // bans. Integer ppm contributions make the fused score exact; see
+    // TextAnalysis.rrfFuse.
     Q("q_rrf_fuse",
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
+        // before(a, b) = b orders strictly before a in the run's sort
+        def ranked(top: org.apache.spark.sql.DataFrame,
+                   before: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+                     org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+                     => org.apache.spark.sql.Column) = {
+          val b = top.select(col("doc_id").as("_id2"), col("_k").as("_k2"))
+          top.join(broadcast(b),
+              before(col("_k"), col("doc_id"), col("_k2"), col("_id2")), "left")
+            .groupBy(col("doc_id"))
+            .agg((count(col("_id2")) + 1).cast("int").as("rank"))
+        }
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), length(col("text")).as("_len"),
             md5(col("doc_id").cast("string").cast("binary")).as("_h"))
-        val byLen = docs.orderBy(col("_len").desc, col("doc_id")).limit(50)
-          .withColumn("rank", row_number().over(
-            w.partitionBy(lit(0)).orderBy(col("_len").desc, col("doc_id"))))
-        val byHash = docs.orderBy(col("_h"), col("doc_id")).limit(50)
-          .withColumn("rank", row_number().over(
-            w.partitionBy(lit(0)).orderBy(col("_h"), col("doc_id"))))
+        val byLen = ranked(
+          docs.select(col("doc_id"), col("_len").as("_k"))
+            .orderBy(col("_k").desc, col("doc_id")).limit(50),
+          (k, id, k2, id2) => k2 > k || (k2 === k && id2 < id))
+        val byHash = ranked(
+          docs.select(col("doc_id"), col("_h").as("_k"))
+            .orderBy(col("_k"), col("doc_id")).limit(50),
+          (k, id, k2, id2) => k2 < k || (k2 === k && id2 < id))
         TextAnalysis.rrfFuse(Seq(byLen, byHash), "doc_id", "rank",
           kRrf = 60, topK = 30)
       },
