@@ -77,7 +77,7 @@ object Scratch {
       "q_er_hamming" -> "Hamming ER: round-robin pigeonhole block join, width one-char compares verify — no array/UDF anywhere",
       "q_sample_weighted" -> "weighted systematic sample: 16-band weight sums as offsets + per-band window — no single-partition prefix sum",
       "q_assoc_rules" -> "association rules: basket-bounded pair explode, 1-row total broadcast, two count-frame joins",
-      "q_seasonal_stl" -> "seasonal decomposition: windows run over the 720-row AGGREGATED series — data-sized work is one partial+final agg",
+      "q_seasonal_stl" -> "seasonal decomposition: trend = row-index 24-row bands + 11/12-row halo exchange (prefix offsets give the index) — no unpartitioned window",
       "q_filter_decide" -> "composite filter decision: bits 1/2/4 in ONE projection (hit columns bound once), repetition bit joined on doc_id",
       "q_er_sorted" -> "sorted-neighborhood ER: banded monotone-prefix ranks, 1-D rank-bucket join, codegen Hamming verify",
       "q_er_golden" -> "golden record: blocked pair join feeds pointer-jumping CC; one left join labels the scope",
@@ -89,7 +89,10 @@ object Scratch {
       "q_funnel_steps" -> "k-step funnel: four shrinking user-keyed join+min rounds, census unions of 1-row aggs",
       "q_ann_ivfpq" -> "IVF-PQ: probed-bucket join over the staged code frame, ADC decode row-local vs codebook literals",
       "q_bfs_hops" -> "BFS: final labels = union of staged per-round frontier scans — flat plan after the loop",
-      "q_forecast_snaive" -> "seasonal-naive backtest: two combinable aggs + a 24-row broadcast model join")
+      "q_forecast_snaive" -> "seasonal-naive backtest: two combinable aggs + a 24-row broadcast model join",
+      "q_peak_concurrency" -> "sweep line: day-banded running sums + broadcast carry join + day-start sentinel — no global sort of endpoints",
+      "q_rrf_fuse" -> "RRF: two TakeOrderedAndProject top-k runs, broadcast k² rank joins, one fused groupBy",
+      "q_cluster_kmeans_bcast" -> "k-means assignment via broadcast centroid frame: n·k fan-out combined map-side to ~n rows — the IVF-scale twin of the literal plan")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
