@@ -68,7 +68,8 @@ object ScaleProbe {
     // peaks): like q_seasonal_stl, only the first groupBy grows.
     "q_forecast_snaive" -> false,
     "q_peak_concurrency" -> false,
-    "q_rrf_fuse" -> false // run construction = two TakeOrdered top-50 scans
+    "q_rrf_fuse" -> false, // run construction = two TakeOrdered top-50 scans
+    "q_keyword_tag" -> false // Σ_L n_tokens gram rows + broadcast dict: linear
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -409,6 +409,48 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Dictionary phrase tagging — the FlashText/Aho-Corasick class of a
+    * training pipeline (topic labeling, badword filtering, PII keyword
+    * flagging), done join-style: token n-grams of each document explode
+    * once PER DISTINCT PHRASE LENGTH in the dictionary and broadcast-join
+    * the phrase list. The scan side is Σ_L n_tokens rows (L = distinct
+    * phrase lengths — keep dictionaries to a few lengths, the usual
+    * shape); the dictionary side broadcasts (phrase lists are
+    * MB-class even at production size), so no shuffle ever carries
+    * document text and corpus scale-out is embarrassing. A trie matcher
+    * in a UDF would save the explode but lose codegen and put the match
+    * loop outside Catalyst; the n-gram join keeps everything
+    * whole-stage-codegen and lets Catalyst prune/reorder.
+    *
+    * `dict` rows are (tag, phrase); phrases are space-separated token
+    * sequences, matched EXACTLY (tokenization = [[tokens]]). Output:
+    * (idCol, tag, n_hits, first_pos) per document × matched tag, where
+    * first_pos is the 0-based token offset of the earliest hit — the
+    * census a filter/router consumes. Documents shorter than a phrase
+    * length simply generate no candidates for it. */
+  def tagKeywords(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      dict: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    require(dict.nonEmpty && dict.forall(_._2.trim.nonEmpty), "empty dictionary/phrase")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dictDf = dict.toDF("tag", "gram")
+    val lengths = dict.map(_._2.split(" ").length).distinct.sorted
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val grams = lengths.map { l =>
+      toks.filter(size(col("_toks")) >= l)
+        .select(col(idCol),
+          posexplode(transform(sequence(lit(0), size(col("_toks")) - l),
+            i => concat_ws(" ", slice(col("_toks"), i + 1, lit(l)))))
+            .as(Seq("pos", "gram")))
+    }.reduce(_ unionByName _)
+    grams.join(broadcast(dictDf), "gram")
+      .groupBy(col(idCol), col("tag"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos").cast("long")).as("first_pos"))
+  }
+
   /** Main-content extraction from raw HTML — the first step of every
     * web-crawl training pipeline (the trafilatura/jusText class, here as
     * the deterministic regex+line-heuristic core those tools build on):

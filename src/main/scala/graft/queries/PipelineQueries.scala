@@ -1892,6 +1892,35 @@ object PipelineQueries {
              |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
              |GROUP BY doc_id ORDER BY score_bp DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // Dictionary phrase tagging (FlashText class): a 6-phrase, 3-tag
+    // dictionary of 1- and 2-token phrases over the documents corpus —
+    // topic labeling / badword routing as one n-gram explode per
+    // distinct phrase length + a broadcast dictionary join; document
+    // text never shuffles. Oracle replays the same grams via
+    // generate_series + list slicing.
+    Q("q_keyword_tag",
+      (s, dir) => TextAnalysis.tagKeywords(Tables.documents(s, dir),
+          "doc_id", "text",
+          Seq("perf" -> "slow", "perf" -> "fast table",
+            "sql" -> "table scan", "sql" -> "agg",
+            "stream" -> "batch window", "stream" -> "stream"))
+        .orderBy("doc_id", "tag"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dict(tag, phrase, l) AS (VALUES
+             |  ('perf', 'slow', 1), ('perf', 'fast table', 2),
+             |  ('sql', 'table scan', 2), ('sql', 'agg', 1),
+             |  ('stream', 'batch window', 2), ('stream', 'stream', 1)),
+             |ls AS (SELECT DISTINCT l FROM dict),
+             |g AS (
+             |  SELECT doc_id, l, gs.i - 1 AS pos,
+             |         array_to_string(toks[gs.i : gs.i + l - 1], ' ') AS gram
+             |  FROM d CROSS JOIN ls,
+             |       LATERAL unnest(generate_series(1, len(toks) - l + 1)) AS gs(i)
+             |  WHERE len(toks) >= l)
+             |SELECT doc_id, tag, count(*) AS n_hits, min(pos) AS first_pos
+             |FROM g JOIN dict ON g.gram = dict.phrase AND g.l = dict.l
+             |GROUP BY 1, 2 ORDER BY doc_id, tag""".stripMargin)),
+
     // Reciprocal-rank fusion of two retrieval runs (a lexical-ish
     // length ranking + a pseudo-random md5 ranking — deterministic
     // stand-ins for BM25/ANN lists, reproducible in both engines).

@@ -196,6 +196,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(canon("https://B.com/CaseD/") == "https://b.com/CaseD")
   }
 
+  test("tagKeywords: per-tag hit census with 0-based first position") {
+    val d = Seq(
+      (1L, "slow query on a slow fast table"), // perf: slow@0, slow@4, fast table@5
+      (2L, "fast"),                            // shorter than the 2-gram, no hits
+      (3L, "stream batch window stream"),      // stream: stream@0,3 + batch window@1
+      (4L, "agg")).toDF("doc_id", "text")      // exact single-token doc
+    val got = TextAnalysis.tagKeywords(d, "doc_id", "text",
+        Seq("perf" -> "slow", "perf" -> "fast table",
+          "stream" -> "stream", "stream" -> "batch window", "sql" -> "agg"))
+      .orderBy("doc_id", "tag")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "perf", 3L, 0L),
+      (3L, "stream", 3L, 0L),
+      (4L, "sql", 1L, 0L)), got.toString)
+  }
+
   test("rrfFuse: exact ppm scores, malformed runs can't inflate (ADVICE r6)") {
     def ppm(r: Long) = 1000000L / (60L + r)
     val run1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
