@@ -433,11 +433,18 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       dict: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
-    require(dict.nonEmpty && dict.forall(_._2.trim.nonEmpty), "empty dictionary/phrase")
+    // duplicate (tag, phrase) rows would double-count every hit, and a
+    // phrase with leading/trailing/double spaces can never match a gram
+    // built by concat_ws — reject the latter, dedup the former
+    val entries = dict.distinct
+    require(entries.nonEmpty, "empty dictionary")
+    require(entries.forall { case (_, p) =>
+      p.nonEmpty && p == p.trim && !p.contains("  ") },
+      s"phrases must be non-empty, trimmed, single-spaced: $dict")
     val spark = df.sparkSession
     import spark.implicits._
-    val dictDf = dict.toDF("tag", "gram")
-    val lengths = dict.map(_._2.split(" ").length).distinct.sorted
+    val dictDf = entries.toDF("tag", "gram")
+    val lengths = entries.map(_._2.split(" ").length).distinct.sorted
     val toks = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
     val grams = lengths.map { l =>
       toks.filter(size(col("_toks")) >= l)
