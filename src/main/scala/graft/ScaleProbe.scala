@@ -123,7 +123,10 @@ object ScaleProbe {
     // jitter so buckets don't collapse) + the broadcast-assignment
     // k-means twin (same staged scan, join-shaped assignment)
     "q_ann_ivfpq",
-    "q_cluster_kmeans_bcast"
+    "q_cluster_kmeans_bcast",
+    // eval probes the staged train index across frames — the incremental
+    // contract's embedding twin; jittered embeddings keep buckets honest
+    "q_embed_leakage"
   )
 
   /** Per-query conf pins for the probe. ppjoin's verify joins fit under

@@ -276,6 +276,45 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim_ppm"))
   }
 
+  /** Cross-split embedding leakage (test→train contamination census):
+    * test vectors probe the STAGED train-side signature index — the
+    * eval-set hygiene check of a training pipeline, in EMBEDDING space
+    * so paraphrase-level contamination is caught where the n-gram
+    * decontaminate pass ([[graft.operators.Dedup]]) only sees verbatim
+    * overlap. Same LSH-band machinery as [[embedNearDupPairs]] but
+    * ACROSS frames: the train index is built and staged once, every
+    * eval refresh probes it (the q_dedup_incremental contract — never a
+    * test×train product), exact cosine verifies within buckets only.
+    * Output: (test_id, train_id, sim_ppm), pairs clearing minSimPpm. */
+  def embedLeakagePairs(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minSimPpm: Long,
+      nbits: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 10000,
+      signatures: (DataFrame, String, Column, Int) => DataFrame = rhpSignatures): DataFrame = {
+    val trainSig = graft.store.Staging.stage(
+      signatures(train, idCol, col(vecCol), nbits), "leak_train_sig")
+    val testSig = signatures(test, idCol, col(vecCol), nbits)
+    def keys = Dedup.simhashBlockKeys(col("sig"), nbits, bands)
+    def side(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), col(vecCol).as(s"_v$as"),
+        l2norm(col(vecCol)).as(s"_n$as"))
+    Dedup.candidatePairsAcross(trainSig, keys, testSig, keys, idCol, maxBucket)
+      .withColumnRenamed("new_id", "test_id")
+      .withColumnRenamed("old_id", "train_id")
+      .join(side(test, "test_id"), Seq("test_id"))
+      .join(side(train, "train_id"), Seq("train_id"))
+      .withColumn("sim_ppm",
+        floor(dot(col("_vtest_id"), col("_vtrain_id"))
+          / (col("_ntest_id") * col("_ntrain_id")) * 1e6).cast("long"))
+      .filter(col("sim_ppm") >= minSimPpm)
+      .select(col("test_id"), col("train_id"), col("sim_ppm"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing ≥1
     * signature band with the query, verified by exact cosine, ranked.
     * `signatures` picks the hash family (xxhash64 default; md5 for

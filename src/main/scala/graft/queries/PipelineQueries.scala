@@ -599,6 +599,45 @@ object PipelineQueries {
              |SELECT id_a, id_b, sim_ppm FROM sc WHERE sim_ppm >= 350000
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Embedding-space eval-set leakage: vec_id % 10 == 7 plays the held-
+    // out eval split, everyone else is train; eval vectors probe the
+    // STAGED train LSH index (never eval×train), exact cosine ≥ 0.35
+    // verifies within buckets — the paraphrase-level contamination
+    // check the n-gram decontaminate pass can't see. The md5 hyperplane
+    // family makes every stage replay in DuckDB, so the approximate
+    // pipeline is oracle-checked end-to-end.
+    Q("q_embed_leakage",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val isTest = col("vec_id") % 10 === 7
+        Similarity.embedLeakagePairs(
+            emb.filter(!isTest), emb.filter(isTest), "vec_id", "embedding",
+            minSimPpm = 350000L, signatures = Similarity.rhpSignaturesMd5)
+          .orderBy("test_id", "train_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             |sig AS (
+             |  SELECT vec_id,
+             |    CAST(list_sum(list_transform(range(0, 16), j ->
+             |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+             |             ve[i::INT + 1] * CASE WHEN ascii(substr(md5(j || ':' || i), 1, 1)) >= 56
+             |                                   THEN 1.0 ELSE -1.0 END)) > 0
+             |           THEN (1::BIGINT << (15 - j::INT)) ELSE 0 END)) AS BIGINT) AS sig
+             |  FROM v),
+             |bands AS (SELECT vec_id, b, (sig >> (b::INT * 4)) & 15 AS bv FROM sig, range(0, 4) t(b)),
+             |cand AS (
+             |  SELECT DISTINCT t.vec_id AS test_id, tr.vec_id AS train_id
+             |  FROM bands t JOIN bands tr ON t.b = tr.b AND t.bv = tr.bv
+             |  WHERE t.vec_id % 10 = 7 AND tr.vec_id % 10 != 7),
+             |sc AS (
+             |  SELECT test_id, train_id,
+             |    CAST(floor(list_dot_product(x.ve, y.ve)
+             |      / (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve)))
+             |      * 1000000.0) AS BIGINT) AS sim_ppm
+             |  FROM cand JOIN v x ON test_id = x.vec_id JOIN v y ON train_id = y.vec_id)
+             |SELECT test_id, train_id, sim_ppm FROM sc WHERE sim_ppm >= 350000
+             |ORDER BY test_id, train_id""".stripMargin)),
+
     Q("q_ngram_jaccard",
       (s, dir) => {
         // repartition: the shingle + set-intersect work otherwise runs in

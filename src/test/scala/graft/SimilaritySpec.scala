@@ -181,4 +181,21 @@ class SimilaritySpec extends SparkSpec {
         others.forall(v => java.lang.Long.bitCount(v ^ base) == 1))
     }
   }
+
+  test("embedLeakagePairs flags the planted leak, never test×test or train-only pairs") {
+    val train = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.98f, 0.02f, 0.0f)), // near-dup of 10 INSIDE train: must not surface
+      (12L, Seq(0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    val test = Seq(
+      (20L, Seq(0.99f, 0.01f, 0.0f)), // leaked paraphrase of train 10/11
+      (21L, Seq(0.97f, 0.03f, 0.0f)), // leaked too — and close to 20 (test×test bait)
+      (22L, Seq(0.0f, 0.0f, 1.0f))).toDF("id", "vec") // clean
+    val got = Similarity.embedLeakagePairs(train, test, "id", "vec",
+        minSimPpm = 900000L)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(got.map(p => (p._1, p._2)).toSet == Set(
+      (20L, 10L), (20L, 11L), (21L, 10L), (21L, 11L)), got.toString)
+    assert(got.forall(_._3 >= 900000L))
+  }
 }
