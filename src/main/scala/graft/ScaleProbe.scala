@@ -126,7 +126,10 @@ object ScaleProbe {
     "q_cluster_kmeans_bcast",
     // eval probes the staged train index across frames — the incremental
     // contract's embedding twin; jittered embeddings keep buckets honest
-    "q_embed_leakage"
+    "q_embed_leakage",
+    // containment prefix: k_A rarest shingles × inverted index — the
+    // rotated-alphabet replica keeps cross-copy shingles disjoint
+    "q_containment"
   )
 
   /** Per-query conf pins for the probe. ppjoin's verify joins fit under

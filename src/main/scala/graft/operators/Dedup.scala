@@ -702,4 +702,68 @@ object Dedup {
           coalesce(col("_keep"), array().cast("array<bigint>")),
           s => slice(col("_toks"), (s + 1).cast("int"), lit(span))))).as("clean_text"))
   }
+
+  /** Shingle-CONTAINMENT search: pairs where ≥ `minContainPpm` of the
+    * contained doc's distinct shingles also appear in the container —
+    * the quote/inclusion detector (a small doc pasted into a big one)
+    * that Jaccard machinery structurally misses: |A∩B|/|A∪B| of a
+    * 100-shingle doc inside a 10000-shingle doc is < 0.01, so no
+    * Jaccard-LSH band ever pairs them, while containment is 1.0.
+    *
+    * Candidate generation is the PPJoin prefix idea transposed to the
+    * asymmetric threshold: if |A∩B| ≥ t·|A|, then ANY
+    * ⌊(1−t)·|A|⌋ + 1 of A's shingles include a shared one — so each
+    * contained-side doc posts only its k_A = |A| − ⌈t·|A|⌉ + 1 RAREST
+    * shingles (global document frequency, ties by shingle), the
+    * container side posts its full inverted index (Σ|B| rows — the
+    * linear cost every inverted index pays, same class as
+    * [[decontaminate]]), and the equi-join on shingle has EXACT recall
+    * by pigeonhole — no probabilistic miss. Rarity makes the fan-out
+    * small: prefix shingles are the least-shared ones by construction.
+    * Exact verify = one array_intersect per candidate.
+    *
+    * `contained` probes `corpus` (two frames, the [[candidatePairsAcross]]
+    * shape — stage the corpus index once, probe per batch); self-pairs
+    * drop on id equality. Output: (contained_id, container_id,
+    * contain_ppm ≥ minContainPpm). */
+  def containmentPairs(
+      corpus: DataFrame,
+      contained: DataFrame,
+      idCol: String,
+      shingles: Column,
+      minContainPpm: Long): DataFrame = {
+    require(minContainPpm > 0 && minContainPpm <= 1000000L,
+      s"minContainPpm in (0, 1e6]: $minContainPpm")
+    val shCorpus = graft.store.Staging.stage(
+      corpus.select(col(idCol), array_distinct(shingles).as("_sh")), "contain_sh")
+    val inv = shCorpus.select(col(idCol).as("container_id"), explode(col("_sh")).as("_g"))
+    val dfreq = inv.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    val shIn = contained.select(col(idCol), array_distinct(shingles).as("_sh"))
+    // k_A = |A| − ⌈t·|A|⌉ + 1 rarest shingles (exact integer ceil)
+    val kA = (size(col("_sh")).cast("long")
+      - call_function("div",
+          lit(minContainPpm) * size(col("_sh")) + 999999L, lit(1000000L)) + 1L)
+    val prefix = shIn
+      .select(col(idCol).as("contained_id"), explode(col("_sh")).as("_g"),
+        kA.as("_k"))
+      .join(dfreq, Seq("_g"), "left")
+      .withColumn("_df", coalesce(col("_df"), lit(0L)))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("contained_id")).orderBy(col("_df"), col("_g"))))
+      .filter(col("_r") <= col("_k"))
+      .select(col("contained_id"), col("_g"))
+    prefix.join(inv, Seq("_g"))
+      .filter(col("contained_id") =!= col("container_id"))
+      .select(col("contained_id"), col("container_id")).distinct()
+      .join(shIn.select(col(idCol).as("contained_id"), col("_sh").as("_sa")),
+        Seq("contained_id"))
+      .join(shCorpus.select(col(idCol).as("container_id"), col("_sh").as("_sb")),
+        Seq("container_id"))
+      .withColumn("contain_ppm",
+        floor(size(array_intersect(col("_sa"), col("_sb"))).cast("long") * 1000000L
+          / size(col("_sa"))).cast("long"))
+      .filter(col("contain_ppm") >= minContainPpm)
+      .select(col("contained_id"), col("container_id"), col("contain_ppm"))
+  }
 }

@@ -638,6 +638,33 @@ object PipelineQueries {
              |SELECT test_id, train_id, sim_ppm FROM sc WHERE sim_ppm >= 350000
              |ORDER BY test_id, train_id""".stripMargin)),
 
+    // Shingle-containment search (quote/inclusion detection): docs with
+    // doc_id % 5 == 2 play the probe batch; a probe is flagged when
+    // ≥ 60% of its distinct 3-shingles appear in some other doc —
+    // the asymmetric-threshold case Jaccard-LSH structurally misses
+    // (small-inside-big pairs have near-zero Jaccard). Candidates via
+    // the containment-transposed PPJoin prefix (k_A rarest shingles
+    // probe the full inverted index — EXACT recall by pigeonhole);
+    // oracle is the brute probe×corpus intersect join.
+    Q("q_containment",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).repartition(col("doc_id"))
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        Dedup.containmentPairs(docs, docs.filter(col("doc_id") % 5 === 2),
+            "doc_id", Dedup.tokenShingles(col("_toks"), 3),
+            minContainPpm = 600000L)
+          .orderBy("contained_id", "container_id")
+      },
+      Some(s"""WITH sh AS ($duckShingles)
+              |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+              |       CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |                  / len(a.sh)) AS BIGINT) AS contain_ppm
+              |FROM sh a JOIN sh b ON a.doc_id % 5 = 2 AND a.doc_id != b.doc_id
+              |WHERE len(a.sh) > 0
+              |  AND floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |            / len(a.sh)) >= 600000
+              |ORDER BY contained_id, container_id""".stripMargin)),
+
     Q("q_ngram_jaccard",
       (s, dir) => {
         // repartition: the shingle + set-intersect work otherwise runs in

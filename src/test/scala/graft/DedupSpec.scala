@@ -603,4 +603,35 @@ class DedupSpec extends SparkSpec {
     } yield (ia, ib, h)).toSet
     assert(got == expect, s"got=${got.size} expect=${expect.size}")
   }
+
+  test("containmentPairs: small-in-big quote found (Jaccard-LSH's blind spot), prefix ≡ brute force") {
+    import graft.operators.{Dedup, TextAnalysis}
+    // doc 100 = a long host; doc 101 = a 6-token quote pasted from it
+    // (all its shingles contained); doc 102 shares nothing; doc 103 is a
+    // half-overlap probe under the 0.8 threshold
+    val host = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (100L, host),
+      (101L, (5 to 10).map(i => s"w$i").mkString(" ")),
+      (102L, "x1 x2 x3 x4 x5 x6 x7"),
+      (103L, "w1 w2 w3 q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+      .withColumn("_toks", split($"text", " "))
+    def shOf(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val byId = Map(100L -> shOf(host), 101L -> shOf("w5 w6 w7 w8 w9 w10"),
+      102L -> shOf("x1 x2 x3 x4 x5 x6 x7"), 103L -> shOf("w1 w2 w3 q1 q2 q3 q4 q5"))
+    val brute = (for {
+      (ia, sa) <- byId.toSeq; (ib, sb) <- byId.toSeq if ia != ib && sa.nonEmpty
+      ppm = sa.intersect(sb).size.toLong * 1000000L / sa.size if ppm >= 800000L
+    } yield (ia, ib, ppm)).toSet
+    val got = Dedup.containmentPairs(corpus, corpus, "doc_id",
+        Dedup.tokenShingles(col("_toks"), 3), minContainPpm = 800000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got.exists(p => p._1 == 101L && p._2 == 100L)) // the planted quote
+    assert(!got.exists(_._1 == 103L))  // under-threshold probe stays out
+    // Jaccard of the planted pair is tiny — the whole point
+    val j = byId(101L).intersect(byId(100L)).size * 1000000L /
+      byId(101L).union(byId(100L)).size
+    assert(j < 200000L)
+  }
 }
