@@ -734,27 +734,33 @@ object Dedup {
       minContainPpm: Long): DataFrame = {
     require(minContainPpm > 0 && minContainPpm <= 1000000L,
       s"minContainPpm in (0, 1e6]: $minContainPpm")
+    def ceilT(n: Column): Column =
+      call_function("div", lit(minContainPpm) * n + 999999L, lit(1000000L))
     val shCorpus = graft.store.Staging.stage(
       corpus.select(col(idCol), array_distinct(shingles).as("_sh")), "contain_sh")
-    val inv = shCorpus.select(col(idCol).as("container_id"), explode(col("_sh")).as("_g"))
+    val inv = shCorpus.select(col(idCol).as("container_id"),
+      size(col("_sh")).cast("long").as("_nb"), explode(col("_sh")).as("_g"))
     val dfreq = inv.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
     val shIn = contained.select(col(idCol), array_distinct(shingles).as("_sh"))
     // k_A = |A| − ⌈t·|A|⌉ + 1 rarest shingles (exact integer ceil)
     val kA = (size(col("_sh")).cast("long")
-      - call_function("div",
-          lit(minContainPpm) * size(col("_sh")) + 999999L, lit(1000000L)) + 1L)
+      - ceilT(size(col("_sh")).cast("long")) + 1L)
     val prefix = shIn
       .select(col(idCol).as("contained_id"), explode(col("_sh")).as("_g"),
-        kA.as("_k"))
+        kA.as("_k"), size(col("_sh")).cast("long").as("_na"))
       .join(dfreq, Seq("_g"), "left")
       .withColumn("_df", coalesce(col("_df"), lit(0L)))
       .withColumn("_r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("contained_id")).orderBy(col("_df"), col("_g"))))
       .filter(col("_r") <= col("_k"))
-      .select(col("contained_id"), col("_g"))
+      .select(col("contained_id"), col("_g"), col("_na"))
+    // size filter at the candidate join (exact: |A∩B| ≤ |B|, so a
+    // container smaller than ⌈t·|A|⌉ can never qualify) — prunes the
+    // fan-out BEFORE the distinct and the array-shipping verify
     prefix.join(inv, Seq("_g"))
-      .filter(col("contained_id") =!= col("container_id"))
+      .filter(col("contained_id") =!= col("container_id") &&
+        col("_nb") >= ceilT(col("_na")))
       .select(col("contained_id"), col("container_id")).distinct()
       .join(shIn.select(col(idCol).as("contained_id"), col("_sh").as("_sa")),
         Seq("contained_id"))
