@@ -110,6 +110,28 @@ object Scratch {
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("wrote PLANS.md")
+
+    // Full-registry plan audit — the permanent form of the round-7
+    // bench-tail sweep: NO query may plan a CartesianProduct or an
+    // unpartitioned Window (single-partition sort of the whole input).
+    // Streaming-replay queries run their micro-batches during
+    // construction; the audited plan is then their batch read-back,
+    // which is the part a 100× user re-runs. Exits nonzero on any hit
+    // so the round driver/a future session can't miss it.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan
+        val bad = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => s"$name: unpartitioned WindowExec"
+          case _: CartesianProductExec => s"$name: CartesianProductExec"
+        }
+        bad
+      } catch { case e: Throwable => Seq(s"$name: plan build failed: ${e.getMessage}") }
+    }
+    if (violations.isEmpty) println(s"plan audit: ${SparkEntry.queries.size} queries clean")
+    else { violations.foreach(v => println(s"PLAN VIOLATION $v")); sys.exit(1) }
     spark.stop()
   }
 }

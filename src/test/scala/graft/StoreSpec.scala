@@ -270,4 +270,11 @@ class StoreSpec extends SparkSpec {
     assert(v1._1 == 1 && v1._2 == v1._3, s"v1 rows must ALL have null value: $v1")
     assert(v2._1 == 2 && v2._3 == 0L, s"v2 rows must have no null value: $v2")
   }
+
+  test("linearScanLookup: first-match limit-1 contract (reference all_in_one scan)") {
+    import graft.store.JsonStore
+    val all = Seq((1L, 100L), (2L, 200L), (3L, 200L)).toDF("event_id", "ts_us")
+    assert(JsonStore.linearScanLookup(all, 200L).count() == 1) // first match only
+    assert(JsonStore.linearScanLookup(all, 999L).count() == 0) // miss is empty
+  }
 }
