@@ -634,4 +634,31 @@ class DedupSpec extends SparkSpec {
       byId(101L).union(byId(100L)).size
     assert(j < 200000L)
   }
+
+  test("containmentPairs ≡ brute force on a deterministic random corpus (prefix boundary sweep)") {
+    import graft.operators.Dedup
+    // 40 docs over an 8-word vocab: dense shingle collisions, lengths
+    // 3..20 tokens — exercises k_A = |A| − ⌈t|A|⌉ + 1 at many |A|
+    val rnd = new scala.util.Random(42)
+    val texts = (0L until 40L).map { i =>
+      val n = 3 + rnd.nextInt(18)
+      i -> (0 until n).map(_ => s"v${rnd.nextInt(8)}").mkString(" ")
+    }
+    val corpus = texts.toDF("doc_id", "text").withColumn("_toks", split($"text", " "))
+    for (tPpm <- Seq(500000L, 700000L, 900000L, 1000000L)) {
+      val got = Dedup.containmentPairs(corpus, corpus, "doc_id",
+          Dedup.tokenShingles(col("_toks"), 3), minContainPpm = tPpm)
+        .as[(Long, Long, Long)].collect().toSet
+      val sh = texts.map { case (i, t) =>
+        i -> t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+      val brute = (for {
+        (ia, sa) <- sh.toSeq; (ib, sb) <- sh.toSeq
+        if ia != ib && sa.nonEmpty
+        ppm = sa.intersect(sb).size.toLong * 1000000L / sa.size if ppm >= tPpm
+      } yield (ia, ib, ppm)).toSet
+      assert(got == brute, s"t=$tPpm: got=${got.size} brute=${brute.size} " +
+        s"missing=${(brute diff got).take(3)} extra=${(got diff brute).take(3)}")
+    }
+  }
 }
