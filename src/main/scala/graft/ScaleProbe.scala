@@ -125,7 +125,11 @@ object ScaleProbe {
     "q_ann_ivfpq",
     "q_cluster_kmeans_bcast",
     // eval probes the staged train index across frames — the incremental
-    // contract's embedding twin; jittered embeddings keep buckets honest
+    // contract's embedding twin. NOTE the jitter does NOT decorrelate
+    // this one: ±0.1/dim keeps cross-copy cosine ≈ 0.98 >> the 0.35
+    // threshold, so cross-copy twins are TRUE leaks and candidates
+    // measure 25.5× (86.5k → 2.21M) — genuine output growth (the
+    // q_spatial_join physics class), not a candidate-generator defect
     "q_embed_leakage",
     // containment prefix: k_A rarest shingles × inverted index — the
     // rotated-alphabet replica keeps cross-copy shingles disjoint
