@@ -166,10 +166,19 @@ object Bench {
       }
       pass
     }
+    // per-pass staging attribution (VERDICT r7 Next #7): the cold pass
+    // pays content-keyed index CONSTRUCTION (Staging builds), the warm
+    // pass reads them back — snapshotting the build clock around each
+    // pass decomposes the cold/warm gap
+    val stg0 = (graft.store.Staging.buildSeconds, graft.store.Staging.buildsSoFar)
     val pass1 = readPass(recordShuffle = false)
+    val stg1 = (graft.store.Staging.buildSeconds, graft.store.Staging.buildsSoFar)
     // shuffle volumes recorded on the WARM pass: bytes are a property of
     // the plan, not the FS band, so one attribution suffices
     val pass2 = readPass(recordShuffle = true)
+    val stg2 = (graft.store.Staging.buildSeconds, graft.store.Staging.buildsSoFar)
+    val stagingBuild = Seq(stg1._1 - stg0._1, stg2._1 - stg1._1)
+    val stagingCount = Seq(stg1._2 - stg0._2, stg2._2 - stg1._2)
     pass1.foreach { case (name, t1) => results(name) = math.min(t1, pass2(name)) }
 
     // Emit (round-7 brief): the r6 driver artifact came back
@@ -194,6 +203,8 @@ object Bench {
         s""""queries":${jmap(results)},""" +
         s""""shuffle_mb":${jmap(shuffleMb)},""" +
         s""""pass_totals":[${j(p1)},${j(p2)}],""" +
+        s""""staging_build_s":[${stagingBuild.map(j).mkString(",")}],""" +
+        s""""staging_builds_n":[${stagingCount.mkString(",")}],""" +
         s""""calib_cpu_s":${j(calibCpu)},"calib_fs_s":${j(calibFs)},""" +
         s""""n_queries":${results.size},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
@@ -204,6 +215,7 @@ object Bench {
       s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
         s""""queries":${jmap(top10)},""" +
         s""""pass_totals":[${j(p1)},${j(p2)}],""" +
+        s""""staging_build_s":[${stagingBuild.map(j).mkString(",")}],""" +
         s""""calib_cpu_s":${j(calibCpu)},"calib_fs_s":${j(calibFs)},""" +
         s""""n_queries":${results.size},"detail_file":"$detailPath",""" +
         s""""sf":"$sfDir"}""")

@@ -69,7 +69,10 @@ object ScaleProbe {
     "q_forecast_snaive" -> false,
     "q_peak_concurrency" -> false,
     "q_rrf_fuse" -> false, // run construction = two TakeOrdered top-50 scans
-    "q_keyword_tag" -> false // Σ_L n_tokens gram rows + broadcast dict: linear
+    "q_keyword_tag" -> false, // Σ_L n_tokens gram rows + broadcast dict: linear
+    // round-8: DSIR contrast = staged bigram stream (linear rows) feeding
+    // two model groupBys + bigram-keyed scoring joins — all ~n
+    "q_dsir_weight" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -144,7 +147,16 @@ object ScaleProbe {
     * BOTH scales makes the two measurements the same plan; the conf is
     * restored after each measure. */
   private val ProbeConf: Map[String, Seq[(String, String)]] = Map(
-    "q_dedup_ppjoin" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    "q_dedup_ppjoin" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    // Same plan-flip artifact as ppjoin, root-caused by per-round SaProbe
+    // attribution (BUILDER_NOTES r8): at sf0.1 the tied set after round 1
+    // drops under the broadcast threshold so doubling rounds 2-3 plan as
+    // broadcast joins (~1 MB each), while at 5× they stay sort-merge and
+    // shuffle the full ranks frame — rounds 2-3 measured 188×/222× while
+    // every other phase is ~5-7× linear. Pinning broadcast off measures
+    // the SMJ regime at BOTH scales — the only regime that exists at
+    // 100 TB, where tied sets never fit a broadcast.
+    "q_suffix_array" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
   )
 
   def main(args: Array[String]): Unit = {
@@ -205,11 +217,47 @@ object ScaleProbe {
       ((secs * 100).round / 100.0, ((shuffleBytes.get() - s0) / 1e5).round / 10.0)
     }
 
+    // Third scale point + exponent fit (VERDICT r7 Next #2): two points
+    // cannot distinguish n^1.5 from n·log n + constant, so the flagged
+    // rows get a 25× unique-text replica and a per-segment exponent
+    // fit: exp = ln(shuffle_b/shuffle_a) / ln(5) per 5× segment.
+    // Anything fitting ≥ 1.3 in shuffle across BOTH segments needs a
+    // plan fix or a documented physics cause.
+    if (args.headOption.contains("expfit")) {
+      val u5 = "/root/repo/target/scaleprobe/sf0.5u"
+      val u25 = "/root/repo/target/scaleprobe/sf2.5u"
+      buildUniqueReplica(spark, base, u5, copies = 5)
+      buildUniqueReplica(spark, base, u25, copies = 25)
+      Seq(base, u5, u25).foreach { d =>
+        spark.read.parquet(s"$d/documents.parquet")
+          .write.format("noop").mode("overwrite").save()
+      }
+      val fitProbes = if (args.length > 1) args.drop(1).toSeq
+        else Seq("q_suffix_array", "q_dedup_substring", "q_containment", "q_embed_leakage")
+      println("expfit_query,mb_1x,mb_5x,mb_25x,exp_1to5,exp_5to25,s_1x,s_5x,s_25x")
+      fitProbes.foreach { name =>
+        val (t1, s1) = measure(name, base)
+        val (t5, s5) = measure(name, u5)
+        val (t25, s25) = measure(name, u25)
+        def e(a: Double, b: Double) =
+          if (a > 0 && b > 0) (math.log(b / a) / math.log(5.0) * 100).round / 100.0 else -1.0
+        println(s"$name,$s1,$s5,$s25,${e(s1, s5)},${e(s5, s25)},$t1,$t5,$t25")
+      }
+      spark.stop()
+      return
+    }
+
     // warm both datasets once (codegen + FS cache parity)
     spark.read.parquet(s"$base/documents.parquet").write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$big/documents.parquet").write.format("noop").mode("overwrite").save()
 
-    // optional args = probe only these queries (local iteration)
+    // optional args = probe only these queries (local iteration).
+    // Fail fast on unknown names (ADVICE r7): a typo'd filter would
+    // silently match nothing and print a clean-looking empty table.
+    val known = (Probes.map(_._1) ++ CandProbes).toSet
+    val unknown = args.filterNot(known)
+    require(unknown.isEmpty,
+      s"unknown probe name(s): ${unknown.mkString(", ")} — known: ${known.toSeq.sorted.mkString(", ")}")
     val only = args.toSet
     def wanted(n: String) = only.isEmpty || only(n)
     println(s"scoped_exempt=${ScopedExempt.mkString(",")}")

@@ -99,6 +99,14 @@ object Clustering {
     * only ~n rows shuffle, never the n·k fan-out. */
   def assignQuantizedBroadcast(q: DataFrame, idCol: String, cents: Array[Array[Long]])
       : DataFrame = {
+    // mirror the literal path's failure modes (ADVICE r7): nearest()
+    // refuses an empty centroid set at plan build, and a ragged centroid
+    // matrix must fail loudly — zip_with pads the short side with nulls,
+    // so a malformed centroid's _d would go null and min(struct) could
+    // silently award it the assignment
+    require(cents.nonEmpty, "assignQuantizedBroadcast: empty centroid set")
+    require(cents.forall(_.length == cents.head.length),
+      s"assignQuantizedBroadcast: ragged centroid dims ${cents.map(_.length).distinct.mkString(",")}")
     val spark = q.sparkSession
     import spark.implicits._
     val cdf = cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }.toSeq

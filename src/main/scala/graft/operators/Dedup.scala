@@ -725,13 +725,29 @@ object Dedup {
     * `contained` probes `corpus` (two frames, the [[candidatePairsAcross]]
     * shape — stage the corpus index once, probe per batch); self-pairs
     * drop on id equality. Output: (contained_id, container_id,
-    * contain_ppm ≥ minContainPpm). */
+    * contain_ppm ≥ minContainPpm).
+    *
+    * WORST CASE (ADVICE r7): unlike [[candidatePairs]]' maxBucket valve,
+    * the container-side inverted index is uncapped — a ubiquitous
+    * shingle that still lands in a TINY contained doc's rarest-k prefix
+    * (e.g. |A| = 3, t = 0.6 ⇒ k_A = 2) joins against a posting list of
+    * nearly every container, so one degenerate probe doc can fan out to
+    * ~|corpus| candidates. Rarity ordering makes this the exception
+    * (a probe doc hits it only when nearly ALL its shingles are
+    * corpus-ubiquitous), and the Σ|B| index cost itself stays linear.
+    * `maxPrefixDf` is the opt-in valve: prefix postings whose document
+    * frequency exceeds it are dropped BEFORE the join. This trades the
+    * exact-recall pigeonhole for a fan-out bound — a contained doc whose
+    * k_A rarest shingles are ALL above the cap generates no candidates —
+    * so it is off by default and should be sized to corpus df stats
+    * (e.g. p99.9 df) when enabled. */
   def containmentPairs(
       corpus: DataFrame,
       contained: DataFrame,
       idCol: String,
       shingles: Column,
-      minContainPpm: Long): DataFrame = {
+      minContainPpm: Long,
+      maxPrefixDf: Option[Long] = None): DataFrame = {
     require(minContainPpm > 0 && minContainPpm <= 1000000L,
       s"minContainPpm in (0, 1e6]: $minContainPpm")
     def ceilT(n: Column): Column =
@@ -754,6 +770,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("contained_id")).orderBy(col("_df"), col("_g"))))
       .filter(col("_r") <= col("_k"))
+      .filter(maxPrefixDf.fold(lit(true))(cap => col("_df") <= cap))
       .select(col("contained_id"), col("_g"), col("_na"))
     // size filter at the candidate join (exact: |A∩B| ≤ |B|, so a
     // container smaller than ⌈t·|A|⌉ can never qualify) — prunes the

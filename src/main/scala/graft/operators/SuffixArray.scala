@@ -112,12 +112,22 @@ object SuffixArray {
     * `maxRounds` bounds the doubling (2^maxRounds ≥ corpus tokens);
     * the loop exits as soon as no ties remain, which on real corpora
     * happens long before the bound. */
+  /** Instrumentation hook for [[suffixRanks]]: called after each
+    * materialization barrier with (phaseLabel, tiedGroupCount) —
+    * tiedGroupCount is −1 for phases that don't count ties. A probe
+    * harness snapshots its shuffle-byte counter (after a listener-bus
+    * drain) at each call to attribute shuffle per doubling round. */
+  type RoundProbe = (String, Long) => Unit
+  val noProbe: RoundProbe = (_, _) => ()
+
   def suffixRanks(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxRounds: Int = 22): DataFrame = {
+      maxRounds: Int = 22,
+      probe: RoundProbe = noProbe): DataFrame = {
     val toks = Staging.stage(corpusTokens(docs, idCol, textCol), "sa_toks")
+    probe("tokens", -1L)
 
     // Rounds 0+1 fused through the distinct BIGRAM vocabulary: ranking
     // by (tok, next tok) equals the first doubling round's rank over
@@ -156,6 +166,7 @@ object SuffixArray {
       bigrams.join(vocabRank,
           bigrams("tok") === vocabRank("tok") && bigrams("tok2") <=> vocabRank("tok2"))
         .select(bigrams("gpos"), vocabRank("r")), "sa_r1")
+    probe("vocab_r1", -1L)
 
     // 4-way fanout per refinement round: the tie-break key is the rank
     // at offsets (h, 2h, 3h), so the resolved prefix horizon GROWS ×4
@@ -176,16 +187,28 @@ object SuffixArray {
     // termination count) — persist it instead of re-aggregating
     var tiedGroups = tiedOf(ranks)
     var nTied = tiedGroups.count()
+    probe("tied_r1", nTied)
     while (nTied > 0 && round < maxRounds) {
       var tied = ranks.join(tiedGroups, Seq("r"))
       // _rj = current rank of the suffix j·h positions later; beyond the
-      // corpus end ranks as -1 (shorter suffix sorts first)
+      // corpus end ranks as -1 (shorter suffix sorts first).
+      //
+      // The shift arithmetic lives on the TIED side (probe key
+      // _pg = gpos + j·h), NOT on a `ranks.select(gpos − j·h)` lookup
+      // side: with the shift on the full frame, each j's exchange hashes
+      // a DIFFERENT derived column, so in the sort-merge regime (big
+      // corpora — per-round SaProbe attribution, BUILDER_NOTES r8) the
+      // full ranks frame shuffled once PER SHIFT, 3× per round. Probing
+      // an unshifted `ranks` projection instead makes the three lookup
+      // exchanges canonically identical, and Catalyst's ReuseExchange
+      // collapses them to ONE full-frame shuffle per round; only the
+      // tied slice (the shrinking side) reshuffles per shift.
       for (j <- 1 until fanout) {
-        val shifted = ranks.select(
-          (col("gpos") - lit(j * step)).as("gpos"), col("r").as(s"_s$j"))
-        tied = tied.join(shifted, Seq("gpos"), "left")
+        val probe = ranks.select(col("gpos").as("_pg"), col("r").as(s"_s$j"))
+        tied = tied.withColumn("_pg", col("gpos") + lit(j * step))
+          .join(probe, Seq("_pg"), "left")
           .withColumn(s"_r$j", coalesce(col(s"_s$j"), lit(-1L)))
-          .drop(s"_s$j")
+          .drop("_pg", s"_s$j")
       }
       val keys = (1 until fanout).map(j => col(s"_r$j"))
       val refined = tied.select(col("gpos"),
@@ -193,11 +216,13 @@ object SuffixArray {
           Window.partitionBy(col("r")).orderBy(keys: _*)) - 1).as("r"))
       val resolved = ranks.join(tiedGroups, Seq("r"), "left_anti")
       ranks = Staging.stage(resolved.unionByName(refined), s"sa_round")
+      probe(s"round${round}_stage_h$step", -1L)
       tiedGroups.unpersist()
       step *= fanout
       round += 1
       tiedGroups = tiedOf(ranks)
       nTied = tiedGroups.count()
+      probe(s"round${round - 1}_tied", nTied)
     }
     require(nTied == 0,
       s"suffix ranking did not converge in $maxRounds rounds ($nTied tied groups left)")

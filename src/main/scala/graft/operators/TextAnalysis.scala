@@ -270,6 +270,66 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") in this repo's
+    * log-free integer form: rank each document by how much more fluent
+    * it is under a TARGET-domain bigram model than under the general
+    * SOURCE model trained on the whole corpus. DSIR's log importance
+    * weight Σ_f log p_tgt(f) − log p_src(f) over n-gram features
+    * becomes the DIFFERENCE of two [[bigramLmScore]]-style floored-ppm
+    * fluency means over the same token-bigram feature stream — exact
+    * integers, no libm logs, engine-reproducible. A bigram the target
+    * model never saw contributes 0 target mass (the floor of any
+    * sub-ppm smoothed probability); the source model is self-trained,
+    * so every bigram is seen on that side.
+    *
+    * Scale shape: the bigram stream is staged ONCE (compact (doc_id,
+    * is-target, bigram) rows) and feeds both models' groupBys AND the
+    * scoring joins; model joins are ON THE BIGRAM / prefix (both sides
+    * shuffled — no model-broadcast assumption, bigram vocabularies are
+    * corpus-sized); per-doc means are combinable aggregations. The
+    * downstream resampling step is [[graft.operators.Sampling]]'s
+    * weighted systematic sample over importance_ppm.
+    *
+    * `targetFilter` is any boolean Column over `docs`' columns (e.g.
+    * lang = 'en', or a quality-score threshold). Output: (idCol,
+    * n_bigrams, fluency_target_ppm, fluency_source_ppm,
+    * importance_ppm = target − source); docs with < 2 tokens drop out
+    * (no features — DSIR has nothing to weigh). */
+  def dsirImportance(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      targetFilter: Column): org.apache.spark.sql.DataFrame = {
+    val bi = graft.store.Staging.stage(
+      df.repartition(col(idCol))
+        .withColumn("_toks", tokens(col(textCol)))
+        .withColumn("_tgt", targetFilter)
+        .select(col(idCol), col("_tgt"),
+          explode(Dedup.tokenShingles(col("_toks"), 2)).as("_bg")),
+      "dsir_bi")
+    def model(src: org.apache.spark.sql.DataFrame, suffix: String) = (
+      src.groupBy(col("_bg")).agg(count(lit(1)).as(s"_c2$suffix")),
+      src.select(substring_index(col("_bg"), " ", 1).as("_w1"))
+        .groupBy(col("_w1")).agg(count(lit(1)).as(s"_c1$suffix")))
+    val (c2t, c1t) = model(bi.filter(col("_tgt")), "t")
+    val (c2s, c1s) = model(bi, "s")
+    bi.withColumn("_w1", substring_index(col("_bg"), " ", 1))
+      .join(c2t, Seq("_bg"), "left")
+      .join(c1t, Seq("_w1"), "left")
+      .join(c2s, Seq("_bg"))
+      .join(c1s, Seq("_w1"))
+      .withColumn("_tt",
+        coalesce(floor(col("_c2t") * lit(1000000L) / col("_c1t")), lit(0L)).cast("long"))
+      .withColumn("_ts", floor(col("_c2s") * lit(1000000L) / col("_c1s")).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        floor(sum(col("_tt")) / count(lit(1))).cast("long").as("fluency_target_ppm"),
+        floor(sum(col("_ts")) / count(lit(1))).cast("long").as("fluency_source_ppm"))
+      .withColumn("importance_ppm",
+        (col("fluency_target_ppm") - col("fluency_source_ppm")).cast("long"))
+  }
+
   /** PII scrub — the redaction pass a curation pipeline runs before
     * training: replace email-shaped and long-digit-run (phone/account)
     * spans with typed placeholders and count what was redacted. The
@@ -389,7 +449,12 @@ object TextAnalysis {
     * too since kRrf > 0); negative or null ranks are dropped, and a
     * duplicate id within one run counts once at its BEST (minimum)
     * rank — a malformed run can't inflate n_lists or the fused score
-    * (ADVICE r6). Output: (idCol, n_lists, rrf_ppm), descending
+    * (ADVICE r6). NOTE the min-rank dedup is a semantic choice: a caller
+    * that fed duplicate ids expecting SUMMED contributions gets the best
+    * rank only (standard RRF treats a run as a ranking, where an id
+    * appears once). The per-run dedup aggregation runs over k-row top-k
+    * lists, so its cost is negligible at any corpus scale (ADVICE r7).
+    * Output: (idCol, n_lists, rrf_ppm), descending
     * rrf_ppm, ties to the smaller id. */
   def rrfFuse(
       runs: Seq[org.apache.spark.sql.DataFrame],

@@ -1180,6 +1180,42 @@ object PipelineQueries {
              |       count(*) AS n_bigrams
              |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // DSIR importance weighting (Xie et al. 2023) in the log-free
+    // integer form: per-doc difference of floored-ppm bigram fluency
+    // under a target-domain model (lang = 'en' here) vs the all-corpus
+    // source model — the data-selection weight an LM curation pipeline
+    // resamples by (the resampling itself is q_sample_weighted's
+    // machinery). Unseen-by-target bigrams carry 0 target mass; the
+    // oracle replays both models and the per-doc means as CTEs.
+    Q("q_dsir_weight",
+      (s, dir) =>
+        TextAnalysis.dsirImportance(
+            Tables.documents(s, dir), "doc_id", "text", col("lang") === "en")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+             |bi AS (SELECT doc_id, (lang = 'en') AS tgt,
+             |         unnest([toks[i::INT] || ' ' || toks[(i::INT) + 1]
+             |                 for i in range(1, len(toks))]) AS bg
+             |       FROM d WHERE len(toks) >= 2),
+             |c2t AS (SELECT bg, count(*) AS c FROM bi WHERE tgt GROUP BY 1),
+             |c1t AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c FROM bi WHERE tgt GROUP BY 1),
+             |c2s AS (SELECT bg, count(*) AS c FROM bi GROUP BY 1),
+             |c1s AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c FROM bi GROUP BY 1),
+             |t AS (SELECT doc_id,
+             |        COALESCE(CAST(floor(c2t.c * 1000000.0 / c1t.c) AS BIGINT), 0) AS tt,
+             |        CAST(floor(c2s.c * 1000000.0 / c1s.c) AS BIGINT) AS ts
+             |      FROM bi
+             |      LEFT JOIN c2t ON bi.bg = c2t.bg
+             |      LEFT JOIN c1t ON split_part(bi.bg, ' ', 1) = c1t.w1
+             |      JOIN c2s ON bi.bg = c2s.bg
+             |      JOIN c1s ON split_part(bi.bg, ' ', 1) = c1s.w1)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |       CAST(floor(sum(tt) * 1.0 / count(*)) AS BIGINT) AS fluency_target_ppm,
+             |       CAST(floor(sum(ts) * 1.0 / count(*)) AS BIGINT) AS fluency_source_ppm,
+             |       CAST(floor(sum(tt) * 1.0 / count(*)) AS BIGINT)
+             |         - CAST(floor(sum(ts) * 1.0 / count(*)) AS BIGINT) AS importance_ppm
+             |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // PII scrub — email + long-digit-run redaction with typed
     // placeholders, the pre-training redaction pass. The patterns are
     // simple character-class regexes that behave identically under Java

@@ -761,11 +761,26 @@ object StoreQueries {
     // key equals the batch totals, which is the oracle.
     // DEMO SINK (VERDICT r5 Next #6): Update-mode memory sink, bounded
     // (150 keys); the 100× route for Update-mode state is foreachBatch
-    // MERGE into a store — q_stream_matview's exact shape.
+    // into a store — q_stream_tws_files below IS that route.
     Q("q_stream_tws",
       (s, dir) => {
         val path = SnapshotStore.ensureReplayStore(s, dir)
         Replay.runningTotalsReplay(s, path, "tws_sink").orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // File-sink twin of q_stream_tws (VERDICT r7 Next #6): the same
+    // transformWithState pipeline with foreachBatch appending each
+    // micro-batch's update rows to parquet — emitted state never touches
+    // the driver, so the plumbing holds at any key cardinality; the
+    // max-reduction over appended rows equals the final state because
+    // per-key totals strictly increase.
+    Q("q_stream_tws_files",
+      (s, dir) => {
+        val path = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.runningTotalsReplayFiles(s, path, path + "_tws_out").orderBy("user_id")
       },
       Some("""SELECT user_id, count(*) AS n_events,
              |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils

@@ -539,6 +539,62 @@ object Replay {
       .agg(max(col("n_events")).as("n_events"), max(col("value_mils")).as("value_mils"))
   }
 
+  /** File-sink twin of [[runningTotalsReplay]] (VERDICT r7 Next #6): the
+    * identical transformWithState pipeline, but Update-mode emissions
+    * land in a parquet store via foreachBatch — each micro-batch APPENDS
+    * its per-key update rows — instead of gathering in a driver-memory
+    * sink. This is the shape that survives any key cardinality: emitted
+    * state rows stay on executors end to end, and the sink grows as
+    * Σ_batch |keys updated in batch|, which a periodic compaction (or
+    * the MERGE pattern q_stream_matview runs) keeps bounded. Per-key
+    * totals strictly increase across a key's updates, so max-reducing
+    * the appended rows yields the final state regardless of how the
+    * backlog split into batches — byte-identical to the memory-sink
+    * twin's contract. */
+  def runningTotalsReplayFiles(
+      spark: SparkSession,
+      storePath: String,
+      outPath: String): DataFrame = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .parquet(storePath)
+      .select(col("user_id").as("k"), col("ts"),
+        expr("unix_micros(ts)").as("tsUs"),
+        floor(col("value") * 1000).cast("long").as("vMil"))
+      .as[SEvent]
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath + "_chk"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      withStatePartitions(spark, 8) {
+        val q = src.groupByKey(_.k)
+          .transformWithState(new RunningTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[RunRow], _: Long) =>
+            batch.write.mode("append").parquet(outPath)
+            ()
+          }
+          .option("checkpointLocation", outPath + "_chk")
+          .outputMode(OutputMode.Update)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    spark.read.parquet(outPath)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("value_mils")).as("value_mils"))
+  }
+
   /** File-sourced stateful replay: the events store as an availableNow
     * stream through `statefulTrajectories` (Update mode, memory sink),
     * reduced to the FINAL state per key. `n` strictly increases across a

@@ -504,6 +504,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("runningTotalsReplayFiles (foreachBatch parquet sink) equals the batch totals") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 0.1),
+      (1L, ts("2024-01-01 10:05:00"), "a", 0.05),
+      (2L, ts("2024-01-01 10:02:00"), "b", 0.007),
+      (1L, ts("2024-01-01 11:00:00"), "a", 0.025),
+      (3L, ts("2024-01-02 09:00:00"), "b", 1.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "twsfiles").toString
+    SnapshotStore.write(events, path, "ts")
+
+    def run() = Replay.runningTotalsReplayFiles(spark, path, path + "_out")
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    val got = run()
+    val batch = events
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor($"value" * 1000).cast("long")).as("value_mils"))
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == batch)
+    // re-run resets sink + checkpoint (append sink must not accumulate)
+    assert(run() == batch)
+  }
+
   test("transformWithState accumulates typed ValueState across batches (RocksDB)") {
     implicit val sq = spark.sqlContext
     import Replay.{runEnc, sevEnc}

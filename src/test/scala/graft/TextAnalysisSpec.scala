@@ -117,6 +117,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r.contains(4L)) // single token: no bigram
   }
 
+  test("dsirImportance: target-domain contrast, unseen bigrams carry 0 target mass") {
+    val corpus = Seq(
+      (1L, "a b a b", "en"),
+      (2L, "a b c", "fr"),
+      (3L, "c", "en") // single token: no feature, drops out
+    ).toDF("id", "text", "lang")
+    val r = TextAnalysis.dsirImportance(corpus, "id", "text", $"lang" === "en")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+    // target model (doc 1 only): c2t("a b")=2,("b a")=1; c1t(a)=2,(b)=1
+    // source model (docs 1+2):   c2s("a b")=3,("b a")=1,("b c")=1; c1s(a)=3,(b)=2
+    // doc 1: tt = (1e6, 1e6, 1e6) → 1e6; ts = (1e6, 5e5, 1e6) → 833333
+    assert(r(1L) == ((3L, 1000000L, 833333L, 166667L)))
+    // doc 2: "b c" unseen by target → tt 0; ts("b c") = 1e6/2
+    // tt = (1e6, 0) → 5e5; ts = (1e6, 5e5) → 750000
+    assert(r(2L) == ((2L, 500000L, 750000L, -250000L)))
+    assert(!r.contains(3L))
+  }
+
   test("PII scrub: emails then digit runs, no double counting") {
     val df = Seq(
       (1L, "mail me at jo.doe+x@sub.example.org or 12345678 now"),
