@@ -156,7 +156,25 @@ object ScaleProbe {
     // every other phase is ~5-7× linear. Pinning broadcast off measures
     // the SMJ regime at BOTH scales — the only regime that exists at
     // 100 TB, where tied sets never fit a broadcast.
-    "q_suffix_array" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    "q_suffix_array" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    // Expfit (r8) showed a 3.69 shuffle exponent on the 5×→25× segment
+    // while DuckDB-measured candidate fan-out is EXACTLY 5.00× per
+    // segment (119,829 → 598,982 → 2,994,955 rows): at small scale the
+    // shingle-array sides of the verify join broadcast (pair frame
+    // streams, zero array shuffle); past the threshold the contained
+    // doc's array ships with every candidate pair — linear in pairs but
+    // with the per-pair |A|-array constant broadcast was hiding. Pin the
+    // SMJ regime at every scale so the exponent measures growth, not the
+    // plan flip (the exact ppjoin precedent).
+    "q_containment" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    // Same flip on top of the KNOWN copies²-true-leak physics (r7 root
+    // cause: cross-copy jittered embeddings sit at cosine ≈ 0.98, every
+    // cross-copy twin is a real leak): output pairs grow ~25× per 5×
+    // segment by construction, and past the broadcast threshold the
+    // per-pair verify payload ships instead of riding a broadcast. Pin
+    // so the exponent isolates the output physics (expected ~2.0 in the
+    // same-plan regime, = log₅ of the copies² pair growth).
+    "q_embed_leakage" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
   )
 
   def main(args: Array[String]): Unit = {

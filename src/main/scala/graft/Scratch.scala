@@ -95,7 +95,8 @@ object Scratch {
       "q_cluster_kmeans_bcast" -> "k-means assignment via broadcast centroid frame: n·k fan-out combined map-side to ~n rows — the IVF-scale twin of the literal plan",
       "q_keyword_tag" -> "phrase tagging: per-length n-gram explodes + ONE broadcast dictionary join — text never shuffles",
       "q_embed_leakage" -> "eval leakage: staged train LSH index probed across frames, cosine verify in-bucket — no eval×train product",
-      "q_containment" -> "containment: rarest-prefix × inverted index equi-join with the exact size filter, intersect verify on survivors only")
+      "q_containment" -> "containment: rarest-prefix × inverted index equi-join with the exact size filter, intersect verify on survivors only",
+      "q_dsir_weight" -> "DSIR contrast: ONE staged bigram stream feeds both model groupBys + bigram-keyed scoring joins — no model-broadcast assumption")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

@@ -40,11 +40,16 @@ import graft.store.Staging
   *     already unique keeps it forever, and a tied position's new rank
   *     is r + |{j in the same tied group : r2_j < r2_i}| — a window
   *     partitioned BY THE TIED GROUP, never a global sort. Rows leave
-  *     the refinement set as their group resolves, so late rounds
-  *     shuffle only the still-ambiguous tail (on this corpus the tied
-  *     set collapses within ~a dozen rounds). Each round is staged
-  *     through the parquet store layer ([[Staging]]), so the iteration
-  *     reads files, not a 15-join lineage.
+  *     the refinement set as their group resolves, so the tied slice
+  *     each round shuffles only the still-ambiguous tail; the rank
+  *     LOOKUP side is full-frame but shuffles ONCE per round — the
+  *     shift arithmetic lives on the tied side so all three lookup
+  *     exchanges are identical and ReuseExchange collapses them
+  *     (per-round attribution in BUILDER_NOTES r8: every phase ~5× on
+  *     5× input, the whole query exponent-fits 1.0 across 1×/5×/25×).
+  *     Each round is staged through the parquet store layer
+  *     ([[Staging]]), so the iteration reads files, not a 15-join
+  *     lineage.
   *
   * Every doc ends with a per-doc UNIQUE separator token (U+0001 +
   * doc_id, sorting below all words), so suffix comparisons terminate at

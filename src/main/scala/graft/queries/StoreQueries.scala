@@ -786,6 +786,22 @@ object StoreQueries {
              |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Checkpoint-resume across TWO availableNow runs sharing one
+    // checkpoint (run 1: first half of the day partitions; run 2: the
+    // rest added) — exactly-once incremental processing with RocksDB
+    // state recovery; the operator itself asserts run 2 read ONLY the
+    // added days. Final totals equal the whole-store batch aggregation
+    // only if both the source commit log and the state survived the
+    // restart — which is what the oracle checks.
+    Q("q_stream_restart",
+      (s, dir) => {
+        val path = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.runningTotalsRestart(s, path, path + "_restart_work").orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Dynamic partition pruning: the hour store joined to a small dim of
     // 72 wanted buckets (3 days × 24 h, with a selective filter) — at
     // planning time the scan cannot prune (the wanted set is the JOIN's

@@ -595,6 +595,86 @@ object Replay {
       .agg(max(col("n_events")).as("n_events"), max(col("value_mils")).as("value_mils"))
   }
 
+  /** Checkpoint-resume replay — the exactly-once incremental-processing
+    * contract demonstrated end to end: the SAME transformWithState
+    * totals pipeline runs as TWO separate availableNow queries sharing
+    * one checkpoint. Run 1 sees only the first half of the store's day
+    * partitions (copied into a working source dir); the remaining days
+    * are added; run 2 RESUMES from the checkpoint — the file-source
+    * commit log marks run-1 files processed (verified: run 2's input
+    * rows must equal exactly the added days' rows, else this fails
+    * loudly), and the RocksDB state store restores, so run-2 totals
+    * CONTINUE from run-1 counts. A fresh-state run 2 would undercount
+    * every key with run-1 history; re-listing would double-count — the
+    * final max-reduction equals the whole-store batch totals only if
+    * BOTH the source log and the state survived the restart. This is
+    * the daily-ingest shape at 100 TB: each day's arrival is one
+    * availableNow run over the same checkpoint. */
+  def runningTotalsRestart(
+      spark: SparkSession,
+      storePath: String,
+      workDir: String): DataFrame = {
+    val src = new java.io.File(workDir, "src")
+    val out = new java.io.File(workDir, "out").toString
+    val chk = new java.io.File(workDir, "chk").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
+    val days = new java.io.File(storePath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .sortBy(_.getName)
+    require(days.length >= 2, s"need >= 2 day partitions to restart across: ${days.length}")
+    val (half1, half2) = days.splitAt(days.length / 2)
+    def addDays(ds: Seq[java.io.File]): Unit = ds.foreach { d =>
+      org.apache.commons.io.FileUtils.copyDirectory(
+        d, new java.io.File(src, d.getName))
+    }
+    val schema = spark.read.parquet(storePath).schema
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(): Long = withStatePartitions(spark, 8) {
+      val stream = spark.readStream.schema(schema).parquet(src.toString)
+        .select(col("user_id").as("k"), col("ts"),
+          expr("unix_micros(ts)").as("tsUs"),
+          floor(col("value") * 1000).cast("long").as("vMil"))
+        .as[SEvent]
+        .groupByKey(_.k)
+        .transformWithState(new RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[RunRow], _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    try {
+      addDays(half1.toSeq)
+      run()
+      addDays(half2.toSeq)
+      val rows2 = run()
+      // exactly-once across the restart: run 2 read the ADDED days only
+      val added = spark.read.schema(schema)
+        .parquet(half2.map(d => new java.io.File(src, d.getName).toString).toSeq: _*)
+        .count()
+      require(rows2 == added,
+        s"checkpoint resume broken: run 2 processed $rows2 rows, added days hold $added")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    spark.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("value_mils")).as("value_mils"))
+  }
+
   /** File-sourced stateful replay: the events store as an availableNow
     * stream through `statefulTrajectories` (Update mode, memory sink),
     * reduced to the FINAL state per key. `n` strictly increases across a

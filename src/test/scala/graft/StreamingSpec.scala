@@ -529,6 +529,33 @@ class StreamingSpec extends SparkSpec {
     assert(run() == batch)
   }
 
+  test("runningTotalsRestart: state and file-source log survive a checkpoint restart") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 0.1), // day 1 (run 1)
+      (1L, ts("2024-01-02 10:00:00"), "a", 0.2), // day 2 (run 1)
+      (2L, ts("2024-01-01 11:00:00"), "b", 0.05), // run-1-only key
+      (3L, ts("2024-01-03 09:00:00"), "b", 0.5), // run-2-only key
+      (1L, ts("2024-01-04 08:00:00"), "a", 0.4) // key 1 CONTINUES in run 2
+    ).toDF("user_id", "ts", "event_type", "value")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "restart").toString
+    events
+      .withColumn("bucket", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd"))
+      .repartition($"bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+    // the operator itself requires run 2's input == the added days' rows
+    // (exactly-once across the restart); key 1's total is correct only
+    // if run-1 RocksDB state restored under the shared checkpoint
+    val got = Replay.runningTotalsRestart(spark, path, path + "_work")
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    val batch = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum(floor($"value" * 1000).cast("long")).as("v"))
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == batch)
+    assert(got.find(_._1 == 1L).get._2 == 3L) // spans both runs
+  }
+
   test("transformWithState accumulates typed ValueState across batches (RocksDB)") {
     implicit val sq = spark.sqlContext
     import Replay.{runEnc, sevEnc}
