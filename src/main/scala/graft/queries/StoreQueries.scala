@@ -786,6 +786,36 @@ object StoreQueries {
              |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Row-level streaming dedup (dropDuplicatesWithinWatermark) over a
+    // source with PLANTED duplicate files (first half of the day
+    // partitions delivered twice): bounded per-key state inside the
+    // watermark horizon, each event emitted exactly once — read-back
+    // hourly totals equal the clean store's batch aggregation.
+    Q("q_stream_dedup_rows",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.rowDedupReplay(s, store, store + "_rowdedup_work")
+          .orderBy("bucket_us")
+      },
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // State-store introspection (Spark's state data source): after the
+    // tws-files replay, the RocksDB checkpoint's two ValueState
+    // variables read back as DataFrames — state auditing as a table
+    // scan, no replay. Equality with the batch totals proves the
+    // checkpoint holds exactly the final state.
+    Q("q_state_inspect",
+      (s, dir) => {
+        val path = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.runningTotalsReplayFiles(s, path, path + "_tws_out")
+        Replay.readRunningTotalsState(s, path + "_tws_out_chk").orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Checkpoint-resume across TWO availableNow runs sharing one
     // checkpoint (run 1: first half of the day partitions; run 2: the
     // rest added) — exactly-once incremental processing with RocksDB

@@ -595,6 +595,73 @@ object Replay {
       .agg(max(col("n_events")).as("n_events"), max(col("value_mils")).as("value_mils"))
   }
 
+  /** Row-level streaming dedup via `dropDuplicatesWithinWatermark` — the
+    * built-in operator for at-least-once sources (state holds one entry
+    * per key and auto-evicts once the watermark passes it, so state is
+    * bounded by the dup horizon, not the stream length; contrast
+    * [[dedupReplay]]'s first-seen registry, which keys (hour, user) and
+    * answers a different question). The working source dir plants REAL
+    * duplicates: every file in the first half of the day partitions is
+    * copied twice, so the stream delivers those events twice and the
+    * operator must emit each exactly once for the read-back aggregation
+    * to match the original store's batch totals — the oracle. Deduped
+    * rows land in parquet through the shared Append-replay sink. */
+  def rowDedupReplay(
+      spark: SparkSession,
+      storePath: String,
+      workDir: String): DataFrame = {
+    val src = new java.io.File(workDir, "src")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
+    val days = new java.io.File(storePath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .sortBy(_.getName)
+    days.foreach(d =>
+      org.apache.commons.io.FileUtils.copyDirectory(d, new java.io.File(src, d.getName)))
+    days.take(days.length / 2).foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        org.apache.commons.io.FileUtils.copyFile(
+          f, new java.io.File(new java.io.File(src, d.getName), "dup_" + f.getName))
+      }
+    }
+    val schema = spark.read.parquet(storePath).schema
+    val deduped = spark.readStream.schema(schema).parquet(src.toString)
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 1000).cast("long").as("_vmil"))
+    val rows = appendReplayToFiles(spark, deduped,
+      new java.io.File(workDir, "out").toString, "rowDedupReplay")
+    rows.groupBy(expr("unix_micros(date_trunc('hour', ts))").as("bucket_us"))
+      .agg(count(lit(1)).as("n"), sum(col("_vmil")).as("value_mils"))
+  }
+
+  /** Streaming-state introspection via Spark's state data source: read
+    * the RocksDB ValueState a [[RunningTotalsProcessor]] checkpoint
+    * holds as plain DataFrames — no replay, no stream restart. This is
+    * the ops surface state debugging needs at 100 TB: "what does the
+    * state hold for key X" becomes a table scan over the checkpoint,
+    * joinable against batch tables and prunable like any other source.
+    * Reads both typed state variables ("n", "vmils") and reassembles
+    * (user_id, n_events, value_mils); after a fully-replayed
+    * availableNow run this EQUALS the batch totals — the oracle. Struct
+    * field names inside key/value are resolved from the source's own
+    * schema, not hard-coded. */
+  def readRunningTotalsState(spark: SparkSession, chkPath: String): DataFrame = {
+    def readVar(name: String, out: String): DataFrame = {
+      val df = spark.read.format("statestore")
+        .option("path", chkPath)
+        .option("stateVarName", name)
+        .load()
+      def headField(c: String) =
+        df.schema(c).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.head
+      df.select(
+        col("key").getField(headField("key")).cast("long").as("user_id"),
+        col("value").getField(headField("value")).cast("long").as(out))
+    }
+    readVar("n", "n_events").join(readVar("vmils", "value_mils"), Seq("user_id"))
+  }
+
   /** Checkpoint-resume replay — the exactly-once incremental-processing
     * contract demonstrated end to end: the SAME transformWithState
     * totals pipeline runs as TWO separate availableNow queries sharing

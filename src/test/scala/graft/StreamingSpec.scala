@@ -529,6 +529,39 @@ class StreamingSpec extends SparkSpec {
     assert(run() == batch)
   }
 
+  test("rowDedupReplay: planted duplicate files collapse to exactly-once emissions") {
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), "a", 0.1),
+      (11L, 1L, ts("2024-01-01 11:00:00"), "a", 0.2),
+      (12L, 2L, ts("2024-01-02 10:30:00"), "b", 0.4)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "rowdedup").toString
+    SnapshotStore.write(events, path, "ts")
+    val got = Replay.rowDedupReplay(spark, path, path + "_work")
+      .orderBy("bucket_us").as[(Long, Long, Long)].collect().toSeq
+    val batch = events
+      .groupBy(expr("unix_micros(date_trunc('hour', ts))").as("b"))
+      .agg(count(lit(1)).as("n"), sum(floor($"value" * 1000).cast("long")).as("v"))
+      .orderBy("b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == batch) // duplicated first-half files did not double-count
+  }
+
+  test("readRunningTotalsState: checkpoint state reads back as a table, equals batch totals") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 0.1),
+      (1L, ts("2024-01-01 10:05:00"), "a", 0.05),
+      (2L, ts("2024-01-01 10:02:00"), "b", 0.007)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stateread").toString
+    SnapshotStore.write(events, path, "ts")
+    Replay.runningTotalsReplayFiles(spark, path, path + "_out")
+    val got = Replay.readRunningTotalsState(spark, path + "_out_chk")
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 150L), (2L, 1L, 7L)))
+  }
+
   test("runningTotalsRestart: state and file-source log survive a checkpoint restart") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a", 0.1), // day 1 (run 1)
