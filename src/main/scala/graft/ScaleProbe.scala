@@ -72,7 +72,12 @@ object ScaleProbe {
     "q_keyword_tag" -> false, // Σ_L n_tokens gram rows + broadcast dict: linear
     // round-8: DSIR contrast = staged bigram stream (linear rows) feeding
     // two model groupBys + bigram-keyed scoring joins — all ~n
-    "q_dsir_weight" -> false
+    "q_dsir_weight" -> false,
+    // round-8: fence census = row-local predicate + map-side agg (near-
+    // zero shuffle); crossings = ONE per-user ordered window, the
+    // q_traj_velocity shape
+    "q_geofence" -> false,
+    "q_fence_crossings" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -34,6 +34,31 @@ object Spatial {
   def xMil(id: Column): Column = ((id * id) % 1000003L * 37 + id * 101) % 1000
   def yMil(id: Column): Column = ((id * id) % 999983L * 73 + id * 211) % 1000
 
+  /** Point-in-convex-polygon geofence predicate (half-plane test, exact
+    * int64 cross products): a point lies inside a COUNTER-CLOCKWISE
+    * convex fence (boundary inclusive) iff every directed edge's cross
+    * product with the point is ≥ 0. The fence is a driver-side literal
+    * (geofences are human-drawn, O(10) vertices), so the test compiles
+    * to ONE codegen'd row-local conjunction — no join, no shuffle, and
+    * the predicate pushes down the scan like any other filter; a
+    * concave fence is a union of convex pieces (OR of these). CCW
+    * convexity is validated at plan build (every consecutive edge pair
+    * must turn left), so a mis-wound polygon fails loudly instead of
+    * silently selecting the complement. */
+  def inConvexFence(x: Column, y: Column, poly: Seq[(Long, Long)]): Column = {
+    require(poly.length >= 3, s"fence needs >= 3 vertices: ${poly.length}")
+    val edges = poly.zip(poly.tail :+ poly.head)
+      .map { case ((x1, y1), (x2, y2)) => (x1, y1, x2 - x1, y2 - y1) }
+    edges.zip(edges.tail :+ edges.head).foreach {
+      case ((_, _, dx1, dy1), (_, _, dx2, dy2)) =>
+        require(dx1 * dy2 - dy1 * dx2 > 0,
+          s"fence must be convex and counter-clockwise (edge ($dx1,$dy1) -> ($dx2,$dy2))")
+    }
+    edges.map { case (x1, y1, dx, dy) =>
+      (lit(dx) * (y - lit(y1)) - lit(dy) * (x - lit(x1))) >= 0
+    }.reduce(_ && _)
+  }
+
   /** All pairs (id_a < id_b) within L2 distance `d` (inclusive, on
     * dist² ≤ d²): cell-binned candidate generation + exact residual.
     * `pts` must carry (idCol, x, y). */

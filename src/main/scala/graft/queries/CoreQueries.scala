@@ -1450,6 +1450,91 @@ object CoreQueries {
              |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 100
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Convex-geofence census: the half-plane containment test as one
+    // codegen'd row-local conjunction over the synthetic coords (no
+    // join, no shuffle — the fence predicate rides the scan). Fence =
+    // a fixed CCW convex pentagon; boundary inclusive; per-type totals
+    // inside vs overall. Oracle inlines the same 5 edge cross products.
+    Q("q_geofence",
+      (s, dir) => {
+        val fence = Seq((200L, 100L), (800L, 150L), (900L, 600L),
+          (500L, 900L), (120L, 550L))
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"),
+            Spatial.xMil(col("event_id")).as("x"),
+            Spatial.yMil(col("event_id")).as("y"))
+          .withColumn("_in", Spatial.inConvexFence(col("x"), col("y"), fence))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("_in"), 1L).otherwise(0L)).as("n_inside"),
+            sum(when(col("_in"), floor(col("value") * 1000).cast("long"))
+              .otherwise(0L)).as("value_mils_inside"))
+          .orderBy("event_type")
+      },
+      Some("""WITH p AS (SELECT event_type, value,
+             |                  ((event_id*event_id)%1000003*37 + event_id*101)%1000 AS x,
+             |                  ((event_id*event_id)%999983*73 + event_id*211)%1000 AS y
+             |           FROM events),
+             |f AS (SELECT event_type, value,
+             |        (600*(y-100) - 50*(x-200) >= 0 AND
+             |         100*(y-150) - 450*(x-800) >= 0 AND
+             |         -400*(y-600) - 300*(x-900) >= 0 AND
+             |         -380*(y-900) + 350*(x-500) >= 0 AND
+             |         80*(y-550) + 450*(x-120) >= 0) AS inside
+             |      FROM p)
+             |SELECT event_type, count(*) AS n_total,
+             |       CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+             |       CAST(sum(CASE WHEN inside THEN CAST(floor(value*1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS value_mils_inside
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Geofence crossing detection (the alerting workload a mobility
+    // pipeline runs on every fence): per user in event-time order, an
+    // ENTER is outside→inside, an EXIT inside→outside — one ordered
+    // window per user (the same single-Exchange shape as q_traj_velocity)
+    // over the row-local fence predicate; per-user crossing census out.
+    Q("q_fence_crossings",
+      (s, dir) => {
+        val fence = Seq((200L, 100L), (800L, 150L), (900L, 600L),
+          (500L, 900L), (120L, 550L))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            Spatial.xMil(col("event_id")).as("x"),
+            Spatial.yMil(col("event_id")).as("y"))
+          .withColumn("_in", Spatial.inConvexFence(col("x"), col("y"), fence))
+          .withColumn("_prev", lag(col("_in"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("_in") && !coalesce(col("_prev"), lit(false)), 1L)
+              .otherwise(0L)).as("n_enters"),
+            sum(when(!col("_in") && coalesce(col("_prev"), lit(false)), 1L)
+              .otherwise(0L)).as("n_exits"),
+            min(when(col("_in") && !coalesce(col("_prev"), lit(false)), col("ts_us")))
+              .as("first_enter_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |                  ((event_id*event_id)%1000003*37 + event_id*101)%1000 AS x,
+             |                  ((event_id*event_id)%999983*73 + event_id*211)%1000 AS y
+             |           FROM events),
+             |f AS (SELECT user_id, event_id, ts_us,
+             |        (600*(y-100) - 50*(x-200) >= 0 AND
+             |         100*(y-150) - 450*(x-800) >= 0 AND
+             |         -400*(y-600) - 300*(x-900) >= 0 AND
+             |         -380*(y-900) + 350*(x-500) >= 0 AND
+             |         80*(y-550) + 450*(x-120) >= 0) AS ins
+             |      FROM p),
+             |t AS (SELECT user_id, ts_us, ins,
+             |             lag(ins) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+             |      FROM f)
+             |SELECT user_id,
+             |       CAST(sum(CASE WHEN ins AND NOT COALESCE(prev, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_enters,
+             |       CAST(sum(CASE WHEN NOT ins AND COALESCE(prev, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_exits,
+             |       min(CASE WHEN ins AND NOT COALESCE(prev, false) THEN ts_us END) AS first_enter_us
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Origin-destination flow matrix between coarse cells (250-unit →
     // 4×4 grid): per-user consecutive point pairs, one ordered-window
     // shuffle then a map-side-combinable count.

@@ -17,6 +17,31 @@ class SpatialSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 8L), (1L, 3L, 81L), (2L, 3L, 53L)))
   }
 
+  test("inConvexFence: boundary-inclusive half-plane test, rejects mis-wound fences") {
+    import org.apache.spark.sql.functions.col
+    val fence = Seq((200L, 100L), (800L, 150L), (900L, 600L), (500L, 900L), (120L, 550L))
+    val pts = Seq(
+      (1L, 500L, 500L), // interior
+      (2L, 0L, 0L), // outside
+      (3L, 200L, 100L), // vertex: boundary inclusive
+      (4L, 500L, 125L), // midpoint of edge 1 ((200,100)->(800,150)): on boundary
+      (5L, 999L, 999L), // outside, beyond edge 3
+      (6L, 500L, 124L) // one unit outside edge 1
+    ).toDF("id", "x", "y")
+    val in = pts.withColumn("in", Spatial.inConvexFence(col("x"), col("y"), fence))
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r._4).toMap
+    assert(in == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> false, 6L -> false))
+    // clockwise winding = every turn is right — must fail loudly
+    intercept[IllegalArgumentException] {
+      Spatial.inConvexFence(col("x"), col("y"), fence.reverse)
+    }
+    // concave chain must fail too
+    intercept[IllegalArgumentException] {
+      Spatial.inConvexFence(col("x"), col("y"),
+        Seq((0L, 0L), (10L, 0L), (5L, 2L), (10L, 10L), (0L, 10L)))
+    }
+  }
+
   test("odMatrix counts per-entity consecutive cell transitions") {
     // user 1: cells (0,0) → (1,0) → (1,0); user 2: (3,3) → (0,0)
     val pts = Seq(
