@@ -59,6 +59,49 @@ object Spatial {
     }.reduce(_ && _)
   }
 
+  /** Point-in-SIMPLE-polygon predicate (ray casting / crossing parity,
+    * exact int64 arithmetic) — the general-fence companion to
+    * [[inConvexFence]]: handles CONCAVE fences in one pass instead of a
+    * convex decomposition. A point is inside iff a ray cast in +x
+    * direction crosses an odd number of edges, with the standard
+    * half-open rule (an edge (p1,p2) is crossed iff y1 ≤ py < y2 for an
+    * upward edge — strictly-left test via the exact cross product — or
+    * y2 ≤ py < y1 downward); horizontal edges never count, and shared
+    * vertices count exactly once, so the parity is well-defined for any
+    * simple polygon, any winding. Like the convex test this compiles to
+    * ONE codegen'd row-local integer expression (a sum of per-edge
+    * conditionals, |poly| terms): no join, no shuffle, rides the scan as
+    * an ordinary filter at any cluster size. Boundary classification
+    * follows the half-open rule (left/bottom edges in, right/top out) —
+    * deterministic in both engines because every comparison is exact
+    * int64. Degenerate (zero-length) edges are rejected at plan build. */
+  def inPolygon(x: Column, y: Column, poly: Seq[(Long, Long)]): Column = {
+    require(poly.length >= 3, s"polygon needs >= 3 vertices: ${poly.length}")
+    val edges = poly.zip(poly.tail :+ poly.head)
+    edges.foreach { case ((x1, y1), (x2, y2)) =>
+      require(x1 != x2 || y1 != y2, s"degenerate zero-length edge at ($x1,$y1)")
+    }
+    val crossings = edges.map { case ((x1, y1), (x2, y2)) =>
+      // Exact left-of-edge test: cross = (x2-x1)(py-y1) - (px-x1)(y2-y1).
+      val cross = lit(x2 - x1) * (y - lit(y1)) - (x - lit(x1)) * lit(y2 - y1)
+      when(lit(y1) <= y && y < lit(y2) && cross > 0, 1L)
+        .when(lit(y2) <= y && y < lit(y1) && cross < 0, 1L)
+        .otherwise(0L)
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
+  /** DuckDB SQL fragment computing the identical ray-cast parity over
+    * columns named `x`/`y` — generated from the SAME vertex list as
+    * [[inPolygon]] so query and oracle can never drift apart. */
+  def inPolygonSql(poly: Seq[(Long, Long)]): String = {
+    val terms = poly.zip(poly.tail :+ poly.head).map { case ((x1, y1), (x2, y2)) =>
+      s"(CASE WHEN (($y1 <= y AND y < $y2 AND (${x2 - x1})*(y-$y1) - (x-$x1)*(${y2 - y1}) > 0) OR " +
+        s"($y2 <= y AND y < $y1 AND (${x2 - x1})*(y-$y1) - (x-$x1)*(${y2 - y1}) < 0)) THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
   /** All pairs (id_a < id_b) within L2 distance `d` (inclusive, on
     * dist² ≤ d²): cell-binned candidate generation + exact residual.
     * `pts` must carry (idCol, x, y). */

@@ -1535,6 +1535,62 @@ object CoreQueries {
              |       min(CASE WHEN ins AND NOT COALESCE(prev, false) THEN ts_us END) AS first_enter_us
              |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Concave-fence census by ray casting (crossing parity): the
+    // general-polygon companion to q_geofence — a 10-vertex concave
+    // star fence that NO single convex half-plane test can express.
+    // Still one codegen'd row-local integer expression riding the scan
+    // (no join, no shuffle); n_notch counts points the convex hull
+    // admits but the concave fence rejects, so the query is sensitive
+    // to the parity logic itself (a hull-only impl would report
+    // n_notch = 0 and hash-mismatch). Oracle SQL is GENERATED from the
+    // same vertex list (Spatial.inPolygonSql) — fence and oracle cannot
+    // drift. Boundary rule: half-open ray-cast (left/bottom in), exact
+    // int64 both engines.
+    Q("q_point_in_polygon",
+      (s, dir) => {
+        val star = Seq((500L, 950L), (394L, 646L), (72L, 639L), (329L, 444L),
+          (235L, 136L), (500L, 320L), (765L, 136L), (671L, 444L),
+          (928L, 639L), (606L, 646L))
+        val hull = Seq((500L, 950L), (72L, 639L), (235L, 136L),
+          (765L, 136L), (928L, 639L))
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"),
+            Spatial.xMil(col("event_id")).as("x"),
+            Spatial.yMil(col("event_id")).as("y"))
+          .withColumn("_star", Spatial.inPolygon(col("x"), col("y"), star))
+          .withColumn("_hull", Spatial.inConvexFence(col("x"), col("y"), hull))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("_star"), 1L).otherwise(0L)).as("n_star"),
+            sum(when(col("_hull") && !col("_star"), 1L).otherwise(0L)).as("n_notch"),
+            sum(when(col("_star"), floor(col("value") * 1000).cast("long"))
+              .otherwise(0L)).as("value_mils_star"))
+          .orderBy("event_type")
+      }, {
+        val star = Seq((500L, 950L), (394L, 646L), (72L, 639L), (329L, 444L),
+          (235L, 136L), (500L, 320L), (765L, 136L), (671L, 444L),
+          (928L, 639L), (606L, 646L))
+        val hull = Seq((500L, 950L), (72L, 639L), (235L, 136L),
+          (765L, 136L), (928L, 639L))
+        val hullSql = hull.zip(hull.tail :+ hull.head).map {
+          case ((x1, y1), (x2, y2)) =>
+            s"((${x2 - x1})*(y-$y1) - (x-$x1)*(${y2 - y1}) >= 0)"
+        }.mkString("(", " AND ", ")")
+        Some(s"""WITH p AS (SELECT event_type, value,
+               |                  ((event_id*event_id)%1000003*37 + event_id*101)%1000 AS x,
+               |                  ((event_id*event_id)%999983*73 + event_id*211)%1000 AS y
+               |           FROM events),
+               |f AS (SELECT event_type, value,
+               |             ${Spatial.inPolygonSql(star)} AS instar,
+               |             $hullSql AS inhull
+               |      FROM p)
+               |SELECT event_type, count(*) AS n_total,
+               |       CAST(sum(CASE WHEN instar THEN 1 ELSE 0 END) AS BIGINT) AS n_star,
+               |       CAST(sum(CASE WHEN inhull AND NOT instar THEN 1 ELSE 0 END) AS BIGINT) AS n_notch,
+               |       CAST(sum(CASE WHEN instar THEN CAST(floor(value*1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS value_mils_star
+               |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+      }),
+
     // Origin-destination flow matrix between coarse cells (250-unit →
     // 4×4 grid): per-user consecutive point pairs, one ordered-window
     // shuffle then a map-side-combinable count.

@@ -42,6 +42,63 @@ class SpatialSpec extends SparkSpec {
     }
   }
 
+  test("inPolygon: ray-cast parity on a concave star, differential vs winding number") {
+    import org.apache.spark.sql.functions.col
+    val star = Seq((500L, 950L), (394L, 646L), (72L, 639L), (329L, 444L),
+      (235L, 136L), (500L, 320L), (765L, 136L), (671L, 444L),
+      (928L, 639L), (606L, 646L))
+    // hand-verified via an independent angle-sum winding check:
+    // (678,745) and (235,140) are NOTCH points — inside the convex hull
+    // but outside the star, exactly what a convex-only test gets wrong
+    val pts = Seq(
+      (1L, 500L, 500L, true), (2L, 500L, 940L, true), (3L, 678L, 745L, false),
+      (4L, 10L, 10L, false), (5L, 500L, 990L, false), (6L, 300L, 600L, true),
+      (7L, 500L, 130L, false), (8L, 235L, 140L, false))
+      .toDF("id", "x", "y", "want")
+    val got = pts.withColumn("in", Spatial.inPolygon(col("x"), col("y"), star))
+      .as[(Long, Long, Long, Boolean, Boolean)].collect()
+    got.foreach { case (id, _, _, want, in) =>
+      assert(in == want, s"point $id misclassified: got $in want $want")
+    }
+
+    // randomized differential: exact ray-cast parity must agree with a
+    // float angle-sum winding number everywhere off the boundary
+    def winding(px: Double, py: Double, poly: Seq[(Long, Long)]): Boolean = {
+      val s = poly.zip(poly.tail :+ poly.head).map { case ((x1, y1), (x2, y2)) =>
+        val a1 = math.atan2(y1 - py, x1 - px)
+        val a2 = math.atan2(y2 - py, x2 - px)
+        val d = a2 - a1
+        if (d > math.Pi) d - 2 * math.Pi else if (d < -math.Pi) d + 2 * math.Pi else d
+      }.sum
+      math.abs(s) > math.Pi
+    }
+    def edgeDist2(px: Long, py: Long, poly: Seq[(Long, Long)]): Double =
+      poly.zip(poly.tail :+ poly.head).map { case ((x1, y1), (x2, y2)) =>
+        val (dx, dy) = (x2 - x1, y2 - y1)
+        val t = math.max(0.0, math.min(1.0,
+          ((px - x1) * dx + (py - y1) * dy).toDouble / (dx * dx + dy * dy)))
+        val (cx, cy) = (x1 + t * dx, y1 + t * dy)
+        (px - cx) * (px - cx) + (py - cy) * (py - cy)
+      }.min
+    val rnd = new scala.util.Random(42)
+    val sample = Seq.fill(400)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .filter { case (x, y) => edgeDist2(x, y, star) > 4.0 }
+    val df = sample.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val res = df.withColumn("in", Spatial.inPolygon(col("x"), col("y"), star))
+      .as[(Long, Long, Long, Boolean)].collect()
+    res.foreach { case (_, x, y, in) =>
+      assert(in == winding(x.toDouble, y.toDouble, star),
+        s"differential mismatch at ($x,$y)")
+    }
+
+    // degenerate zero-length edge must fail at plan build
+    intercept[IllegalArgumentException] {
+      Spatial.inPolygon(col("x"), col("y"),
+        Seq((0L, 0L), (0L, 0L), (10L, 0L), (5L, 5L)))
+    }
+  }
+
   test("odMatrix counts per-entity consecutive cell transitions") {
     // user 1: cells (0,0) → (1,0) → (1,0); user 2: (3,3) → (0,0)
     val pts = Seq(
