@@ -514,6 +514,58 @@ object Dedup {
       .filter(col("hamming") <= maxMismatch.toLong)
   }
 
+  /** Edit-distance ≤ 1 string self-join by DELETION NEIGHBORHOODS (the
+    * FastSS / SymSpell banding, Bocek et al. 2007): each distinct string
+    * s emits s itself plus its |s| single-character deletions; two
+    * strings at edit distance ≤ 1 (one substitution, insertion, or
+    * deletion) ALWAYS share at least one emitted variant — a deletion
+    * pair shares the shorter string, an insertion pair likewise, and a
+    * substitution pair shares the deletion at the substituted position —
+    * so the variant equi-join has EXACT recall, no probability, no
+    * all-pairs. False positives exist (e.g. "ab"/"ba" share variant "a"
+    * at distance 2), so candidates are verified with the real
+    * levenshtein BEFORE output; `distinct()` runs on (pair) first so a
+    * pair sharing several variants is verified once.
+    *
+    * Scale shape: a string of length L emits L+1 short variant rows
+    * (strings, not arrays); candidate volume is Σ bucket² over variant
+    * buckets — bounded by key-space density, never n². Degenerate
+    * corpora (huge same-variant cohorts, e.g. a constant-prefix serial
+    * range) can make one bucket hot; `maxBucket` is the opt-in valve
+    * that drops variant buckets larger than the cap (documented
+    * recall-affecting, same contract as [[candidatePairs]]). Verify is
+    * one codegen'd `levenshtein` per candidate. Edit distance > 1 needs
+    * the k-deletion generalization (variant explosion grows O(L^k)) —
+    * out of scope; compose with [[sortedNeighborPairs]] for coarser
+    * typo classes. Output: (s_a, s_b, dist), s_a < s_b, dist ∈ {1}
+    * (0 impossible across distinct strings). */
+  def fuzzyPairsEd1(
+      df: DataFrame,
+      strCol: String,
+      maxBucket: Option[Long] = None): DataFrame = {
+    val strs = df.select(col(strCol).cast("string").as("_s"))
+      .na.drop().distinct()
+    // s plus every single-char deletion; array_union dedupes repeated
+    // variants ("aa" → both deletions give "a")
+    val variants = strs.select(col("_s"), explode(array_union(
+      array(col("_s")),
+      expr("transform(sequence(1, length(_s)), i -> concat(left(_s, i-1), substring(_s, i+1)))")))
+      .as("_v"))
+    val pruned = maxBucket.fold(variants) { cap =>
+      val hot = variants.groupBy(col("_v")).count()
+        .filter(col("count") > cap).select(col("_v"))
+      variants.join(broadcast(hot), Seq("_v"), "left_anti")
+    }
+    pruned.select(col("_s").as("s_a"), col("_v"))
+      .join(pruned.select(col("_s").as("s_b"), col("_v")), Seq("_v"))
+      .filter(col("s_a") < col("s_b"))
+      .select(col("s_a"), col("s_b"))
+      .distinct()
+      .select(col("s_a"), col("s_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .filter(col("dist") <= 1L)
+  }
+
   /** Exact dedup groups: one row per distinct text, with multiplicity and
     * the kept representative (min id). */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

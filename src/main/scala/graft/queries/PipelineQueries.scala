@@ -202,6 +202,26 @@ object PipelineQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // Edit-distance-1 fuzzy self-join by deletion neighborhoods (FastSS/
+    // SymSpell): every distinct customer name joined to every name one
+    // substitution/insertion/deletion away. Exact recall by the shared-
+    // deletion-variant theorem (no window, no probability — unlike
+    // q_er_sorted), candidates Σ bucket² over variant buckets (≤ 10 on
+    // this corpus: names differing at one digit), verified with one
+    // codegen'd levenshtein. Oracle is the brute-force quadratic
+    // levenshtein join — equality is the recall proof.
+    Q("q_fuzzy_join",
+      (s, dir) => Dedup.fuzzyPairsEd1(
+          Tables.customer(s, dir).select(col("c_name")), "c_name")
+        .orderBy("s_a", "s_b"),
+      Some("""WITH n AS (SELECT DISTINCT c_name AS s FROM customer)
+             |SELECT a.s AS s_a, b.s AS s_b,
+             |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+             |FROM n a JOIN n b
+             |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+             |WHERE levenshtein(a.s, b.s) <= 1
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Golden-record resolution: verified ER pairs → connected components
     // → one canonical record (min id — the component label itself) per
     // entity cluster, with cluster size. The ER composition a master-

@@ -565,6 +565,68 @@ class DedupSpec extends SparkSpec {
     assert(blocked.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1000000L))
   }
 
+  test("fuzzyPairsEd1: every edit class found; equals brute-force levenshtein") {
+    // one planted pair per edit class, plus traps: transposition (dist 2,
+    // shares deletion variants — must be cut by the verify), distance-2
+    // substitution, and an unrelated word
+    val words = Seq("spark", "spbrk" /* substitution */ , "sparks" /* insertion */ ,
+      "spak" /* deletion */ , "sprak" /* transposition = dist 2 */ ,
+      "flink", "plonk", "spark" /* dup string: distinct() must collapse */)
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    val got = Dedup.fuzzyPairsEd1(words, "w")
+      .as[(String, String, Long)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = words.as[(Long, String)].collect().map(_._2).distinct
+    val brute = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 1
+    } yield (a, b, lev(a, b).toLong)).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got.contains(("spark", "spbrk", 1L)))
+    assert(got.contains(("spark", "sparks", 1L)))
+    assert(got.contains(("spak", "spark", 1L)))
+    assert(!got.exists(p => p._1 == "sprak" && p._2 == "spark"))
+
+    // randomized differential on a dense small-alphabet vocabulary
+    // (maximizes shared variants and distance-2 traps)
+    val rnd = new scala.util.Random(7)
+    val dense = Seq.fill(120)((3 + rnd.nextInt(4), rnd)).map { case (len, r) =>
+      (1 to len).map(_ => ('a' + r.nextInt(3)).toChar).mkString
+    }.distinct.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val got2 = Dedup.fuzzyPairsEd1(dense.toDF("id", "w"), "w")
+      .as[(String, String, Long)].collect().toSet
+    val vocab2 = dense.map(_._2)
+    val brute2 = (for {
+      a <- vocab2; b <- vocab2 if a < b && lev(a, b) <= 1
+    } yield (a, b, lev(a, b).toLong)).toSet
+    assert(got2 == brute2,
+      s"missing=${(brute2 diff got2).take(3)} extra=${(got2 diff brute2).take(3)}")
+
+    // maxBucket valve drops hot variant buckets (documented recall hit)
+    val hot = (0 until 12).map(i => (i.toLong, s"x$i")).toDF("id", "w")
+    // all "x<d>" share deletion variant "x": bucket size 12 > cap 8
+    val capped = Dedup.fuzzyPairsEd1(hot, "w", maxBucket = Some(8L))
+      .as[(String, String, Long)].collect().toSet
+    // the digit-substitution pairs (x0..x9 pairwise) lived ONLY in the
+    // dropped "x" bucket and vanish; the insertion-class pairs (x1↔x10,
+    // x1↔x11, x0↔x10, x10↔x11) share small per-name buckets and survive
+    assert(capped == Set(("x0", "x10", 1L), ("x1", "x10", 1L),
+      ("x1", "x11", 1L), ("x10", "x11", 1L)))
+    val uncapped = Dedup.fuzzyPairsEd1(hot, "w")
+      .as[(String, String, Long)].collect().toSet
+    val vocab3 = (0 until 12).map(i => s"x$i")
+    val brute3 = (for {
+      a <- vocab3; b <- vocab3 if a < b && lev(a, b) <= 1
+    } yield (a, b, lev(a, b).toLong)).toSet
+    assert(uncapped == brute3)
+  }
+
   test("hammingBlockedPairs: blocked output equals brute force, incl. constant runs") {
     import org.apache.spark.sql.functions._
     // keys with a constant prefix run (the degenerate case for contiguous
