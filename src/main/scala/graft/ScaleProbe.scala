@@ -79,8 +79,14 @@ object ScaleProbe {
     "q_geofence" -> false,
     "q_fence_crossings" -> false,
     // round-8 second wave: concave ray-cast census = same row-local
-    // predicate + map-side agg shape as q_geofence
-    "q_point_in_polygon" -> false
+    // predicate + map-side agg shape as q_geofence; drift = two
+    // map-side-combined (group, bin) histograms + broadcast totals —
+    // the drift frame is O(groups·bins) at any input size
+    "q_point_in_polygon" -> false,
+    "q_drift_hist" -> false,
+    // round-8: one token explode → one two-count agg + 1-row broadcast;
+    // shuffle is O(tokens) partial-agg state, output O(vocab)
+    "q_logodds_terms" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -166,5 +166,67 @@ object Stats {
       .withColumn("_eqmax", max(col("gain")).over(wEq))
       .filter(col("_m1") < col("gain") && col("gain") === col("_eqmax"))
       .select(col(idCol), col("cost"), col("gain"))
+  }
+
+  /** Per-group histogram drift between a REFERENCE and a CURRENT frame —
+    * the data-drift monitor a training pipeline runs between corpus
+    * versions / time windows (the PSI use case, made engine-exact):
+    * fixed-width bins (clamped at the edges), then per-bin deviation and
+    * chi-square contributions in PURE INTEGER/DECIMAL arithmetic — no
+    * ln(), no float division, so the ppm values hash-compare across
+    * engines bit-exactly:
+    *   dev_ppm  = ⌊|n_ref·tc − n_cur·tr| · 10⁶ / (tr·tc)⌋    (|p−q| ppm)
+    *   chi2_ppm = ⌊(n_ref·tc − n_cur·tr)² · 10⁶ /
+    *               ((tr·tc)·(n_ref·tc + n_cur·tr))⌋          ((p−q)²/(p+q) ppm)
+    * (tr/tc = group totals; the chi-square numerator runs in
+    * DECIMAL(38,0) — int64 overflows past ~50k rows/group). Σ dev_ppm
+    * over bins = 2·TV distance ppm; Σ chi2_ppm is the χ²-statistic ppm.
+    * Empty bins are materialized on BOTH sides (a mass shift into a
+    * previously-empty bin is exactly what drift detection must see).
+    *
+    * Scale shape: two scans → two (group, bin) map-side-combined
+    * aggregations (cells = groups × bins, tiny), a broadcast bin grid,
+    * and a broadcast per-group totals join. Nothing row-count-sized ever
+    * shuffles; the drift frame is O(groups·bins) at any corpus size. */
+  def histogramDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      byCol: String,
+      valueCol: String,
+      lo: Double,
+      binWidth: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && binWidth > 0, s"need >= 2 bins ($bins), width > 0 ($binWidth)")
+    def bin(c: Column): Column =
+      least(greatest(floor((c - lit(lo)) / lit(binWidth)), lit(0.0)),
+        lit((bins - 1).toDouble)).cast("long")
+    def hist(df: DataFrame, n: String): DataFrame =
+      df.select(col(byCol).as("g"), bin(col(valueCol)).as("bin"))
+        .groupBy(col("g"), col("bin")).agg(count(lit(1)).as(n))
+    val r = hist(ref, "n_ref")
+    val c = hist(cur, "n_cur")
+    val grid = r.select(col("g")).union(c.select(col("g"))).distinct()
+      .crossJoin(broadcast(
+        ref.sparkSession.range(bins).select(col("id").as("bin"))))
+    val cells = grid.join(r, Seq("g", "bin"), "left")
+      .join(c, Seq("g", "bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = cells.groupBy(col("g"))
+      .agg(sum(col("n_ref")).as("_tr"), sum(col("n_cur")).as("_tc"))
+    val diff = col("n_ref") * col("_tc") - col("n_cur") * col("_tr")
+    val dec = "DECIMAL(38,0)"
+    cells.join(broadcast(totals), Seq("g"))
+      .withColumn("dev_ppm",
+        when(col("_tr") > 0 && col("_tc") > 0,
+          call_function("div", abs(diff) * 1000000L, col("_tr") * col("_tc")))
+          .otherwise(0L))
+      .withColumn("chi2_ppm",
+        when(col("_tr") > 0 && col("_tc") > 0 &&
+            col("n_ref") * col("_tc") + col("n_cur") * col("_tr") > 0,
+          expr(s"(CAST(n_ref*_tc - n_cur*_tr AS $dec) * (n_ref*_tc - n_cur*_tr) * 1000000) DIV " +
+            s"(CAST(_tr*_tc AS $dec) * (n_ref*_tc + n_cur*_tr))").cast("long"))
+          .otherwise(0L))
+      .select(col("g"), col("bin"), col("n_ref"), col("n_cur"),
+        col("dev_ppm"), col("chi2_ppm"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: token counting (whitespace
@@ -552,5 +552,44 @@ object TextAnalysis {
       array_join(kept, "\n").as("text"),
       size(lines).cast("long").as("n_lines"),
       size(kept).cast("long").as("n_kept"))
+  }
+
+  /** Informative-term contrast between two sub-corpora by log-odds with
+    * a symmetric Dirichlet prior (Monroe / Colaresi / Quinn 2008, the
+    * "Fightin' Words" statistic) — the feature-selection step behind
+    * fastText-style quality/domain classifiers. ENGINE-EXACT twist: the
+    * log-odds δ_w = ln[(y1+α)/(n1+α0−y1−α)] − ln[(y2+α)/(n2+α0−y2−α)]
+    * is a MONOTONE function of the integer cross-ratio
+    *
+    *   R_w = (y1+1)·(n2+V−y2−1) / ((n1+V−y1−1)·(y2+1))      (α=1, α0=V)
+    *
+    * so ranking by R_w ≡ ranking by δ_w, and R_w in ppm is one
+    * DECIMAL(38,0) floor-division — no ln(), nothing libm to diverge
+    * (same discipline as [[bm25TopK]]'s rational idf). ratio_ppm > 10⁶
+    * ⟺ the term leans class-1; < 10⁶ ⟺ class-2; the z-score
+    * normalization (÷√(1/(y1+α)+1/(y2+α))) is again monotone PER EQUAL
+    * COUNT PAIR only, so consumers needing the full z-statistic apply
+    * it downstream to these exact counts. Decimal keeps the products
+    * exact to 10^38 (n·V < 10^19 wraps int64 at ~10^9-token corpora).
+    *
+    * Shape: one token explode → one (term) map-side-combined aggregation
+    * carrying TWO conditional counts in the same pass (never two scans),
+    * + a 1-row broadcast of (n1, n2, V). Output is O(vocab), each row's
+    * arithmetic row-local. Rows with a zero denominator (single-term
+    * vocabulary edge) yield NULL rather than a fake ratio. */
+  def logOddsTerms(docs: DataFrame, textCol: String, class1: Column): DataFrame = {
+    val toks = docs.select(class1.as("_c1"), explode(tokens(col(textCol))).as("term"))
+    val cnt = toks.groupBy(col("term")).agg(
+      sum(when(col("_c1"), 1L).otherwise(0L)).as("y1"),
+      sum(when(!col("_c1"), 1L).otherwise(0L)).as("y2"))
+    val totals = cnt.agg(sum(col("y1")).as("_n1"), sum(col("y2")).as("_n2"),
+      count(lit(1)).as("_v"))
+    cnt.crossJoin(broadcast(totals))
+      .withColumn("ratio_ppm", expr(
+        """CASE WHEN (_n1 + _v - y1 - 1) > 0 AND (y2 + 1) > 0
+          |THEN CAST((CAST(y1 + 1 AS DECIMAL(38,0)) * (_n2 + _v - y2 - 1) * 1000000) DIV
+          |          (CAST(_n1 + _v - y1 - 1 AS DECIMAL(38,0)) * (y2 + 1)) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("term"), col("y1"), col("y2"), col("ratio_ppm"))
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Clustering, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Clustering, Dedup, Multimodal, Sampling, Similarity, Stats, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -1123,6 +1123,55 @@ object PipelineQueries {
              |       CAST(floor(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT) AS kept_ppm
              |FROM f GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Distribution-drift monitor between two corpus windows (the PSI
+    // use case, engine-exact): per event_type, 10 fixed-width value
+    // bins, reference = Jan 1-15 vs current = Jan 16-30, per-bin |p-q|
+    // and (p-q)²/(p+q) contributions in pure integer/DECIMAL(38,0)
+    // arithmetic — no ln(), no float division, nothing libm to diverge.
+    // Headline per group: 2·TV ppm + χ² ppm. Drift frame is
+    // O(groups·bins) regardless of corpus size (two map-side-combined
+    // histograms + broadcast totals join).
+    Q("q_drift_hist",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cut = 1705363200000000L // 2024-01-16T00:00:00Z epoch-µs
+        val cells = Stats.histogramDrift(
+          ev.filter(unix_micros(col("ts")) < cut),
+          ev.filter(unix_micros(col("ts")) >= cut),
+          "event_type", "value", lo = 0.0, binWidth = 10.0, bins = 10)
+        cells.groupBy(col("g").as("event_type"))
+          .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+            sum(col("dev_ppm")).as("tv2_ppm"), sum(col("chi2_ppm")).as("chi2_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type AS g,
+             |                  CASE WHEN epoch_us(ts) < 1705363200000000 THEN 0 ELSE 1 END AS per,
+             |                  CAST(least(greatest(floor(value/10.0), 0), 9) AS BIGINT) AS bin
+             |           FROM events),
+             |r AS (SELECT g, bin, count(*) AS n_ref FROM e WHERE per = 0 GROUP BY 1, 2),
+             |c AS (SELECT g, bin, count(*) AS n_cur FROM e WHERE per = 1 GROUP BY 1, 2),
+             |grid AS (SELECT g, bin FROM (SELECT DISTINCT g FROM e),
+             |                            (SELECT unnest(generate_series(0, 9)) AS bin)),
+             |cells AS (SELECT grid.g, grid.bin,
+             |                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+             |          FROM grid LEFT JOIN r ON grid.g = r.g AND grid.bin = r.bin
+             |                    LEFT JOIN c ON grid.g = c.g AND grid.bin = c.bin),
+             |t AS (SELECT g, sum(n_ref) AS tr, sum(n_cur) AS tc FROM cells GROUP BY 1),
+             |d AS (SELECT cells.g, bin, n_ref, n_cur,
+             |             CASE WHEN tr > 0 AND tc > 0
+             |                  THEN abs(n_ref*tc - n_cur*tr) * 1000000 // (tr*tc)
+             |                  ELSE 0 END AS dev_ppm,
+             |             CASE WHEN tr > 0 AND tc > 0 AND n_ref*tc + n_cur*tr > 0
+             |                  THEN (n_ref*tc - n_cur*tr) * (n_ref*tc - n_cur*tr) * 1000000
+             |                       // ((tr*tc) * (n_ref*tc + n_cur*tr))
+             |                  ELSE 0 END AS chi2_ppm
+             |      FROM cells JOIN t ON cells.g = t.g)
+             |SELECT g AS event_type, CAST(sum(n_ref) AS BIGINT) AS n_ref,
+             |       CAST(sum(n_cur) AS BIGINT) AS n_cur,
+             |       CAST(sum(dev_ppm) AS BIGINT) AS tv2_ppm,
+             |       CAST(sum(chi2_ppm) AS BIGINT) AS chi2_ppm
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Weighted sampling WITHOUT replacement, RNG-free: systematic
     // selection by cumulative token weight over the (md5(id), id)
     // pseudo-random order (Madow) — inclusion ∝ weight, exact integer
@@ -1147,6 +1196,32 @@ object PipelineQueries {
              |SELECT doc_id, w AS weight, lo AS cum_before FROM c
              |WHERE (lo + w + 499) // 500 > (lo + 499) // 500
              |ORDER BY doc_id""".stripMargin)),
+
+    // Informative-term contrast (Monroe "Fightin' Words" log-odds with
+    // Dirichlet prior) between the en and de sub-corpora, ranked by the
+    // EXACT integer cross-ratio (monotone in the log-odds — no ln(),
+    // nothing libm to diverge): ratio_ppm > 10⁶ leans en, < 10⁶ leans
+    // de. One token explode → one two-conditional-count aggregation +
+    // 1-row broadcast totals; output O(vocab).
+    Q("q_logodds_terms",
+      (s, dir) => TextAnalysis.logOddsTerms(
+          Tables.documents(s, dir).filter(col("lang").isin("en", "de")),
+          "text", col("lang") === "en")
+        .orderBy(col("ratio_ppm").desc, col("term")),
+      Some("""WITH tok AS (SELECT lang = 'en' AS c1,
+             |                    unnest(string_split(text, ' ')) AS term
+             |             FROM documents WHERE lang IN ('en', 'de')),
+             |cnt AS (SELECT term,
+             |               sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS y1,
+             |               sum(CASE WHEN NOT c1 THEN 1 ELSE 0 END) AS y2
+             |        FROM tok GROUP BY 1),
+             |t AS (SELECT sum(y1) AS n1, sum(y2) AS n2, count(*) AS v FROM cnt)
+             |SELECT term, CAST(y1 AS BIGINT) AS y1, CAST(y2 AS BIGINT) AS y2,
+             |       CASE WHEN (n1 + v - y1 - 1) > 0 AND (y2 + 1) > 0
+             |            THEN CAST(((y1 + 1) * (n2 + v - y2 - 1) * 1000000)
+             |                      // ((n1 + v - y1 - 1) * (y2 + 1)) AS BIGINT)
+             |       END AS ratio_ppm
+             |FROM cnt, t ORDER BY ratio_ppm DESC, term""".stripMargin)),
 
     // Log-free tf-idf top-5 terms per document (doc_id < 50 so the
     // oracle's window stays cheap): score = tf·10⁶·N/(n_toks·df), exact

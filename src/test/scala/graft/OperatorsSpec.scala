@@ -278,6 +278,36 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._1).intersect(Set(201L, 203L)).size % 2 == 0) // twins together
   }
 
+  test("histogramDrift: exact ppm arithmetic, empty bins materialized, clamping") {
+    import graft.operators.Stats
+    // ref: group a uniform over bins 0,1; group b all in bin 0
+    // cur: group a shifted mass into bin 2 (incl. out-of-range clamp),
+    //      group b unchanged — drift must be 0 for b, exact ppm for a
+    val ref = Seq(("a", 5.0), ("a", 5.0), ("a", 15.0), ("a", 15.0),
+      ("b", 3.0), ("b", 7.0)).toDF("g", "v")
+    val cur = Seq(("a", 5.0), ("a", 25.0), ("a", 25.0), ("a", 999.0), // clamps to top bin
+      ("b", 4.0), ("b", 6.0)).toDF("g", "v")
+    val got = Stats.histogramDrift(ref, cur, "g", "v", lo = 0.0, binWidth = 10.0, bins = 3)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // all groups × all 3 bins materialized
+    assert(got.keySet == Set("a", "b").flatMap(g => (0L to 2L).map(g -> _)))
+    // group b: both periods entirely in bin 0 → zero drift everywhere
+    assert(got(("b", 0L)) == ((2L, 2L, 0L, 0L)))
+    assert(got(("b", 1L)) == ((0L, 0L, 0L, 0L)))
+    // group a, bin 0: p = 2/4, q = 1/4 → dev = 250000 ppm,
+    // chi2 = (1/4)²/(3/4) = 1/12 → 83333 ppm
+    assert(got(("a", 0L)) == ((2L, 1L, 250000L, 83333L)))
+    // group a, bin 1: p = 2/4, q = 0 → dev 500000, chi2 = (1/2)²/(1/2) = 1/2
+    assert(got(("a", 1L)) == ((2L, 0L, 500000L, 500000L)))
+    // group a, bin 2 (incl. the 999.0 clamp): p = 0, q = 3/4
+    assert(got(("a", 2L)) == ((0L, 3L, 750000L, 750000L)))
+    // Σ dev_ppm = 2·TV; identical frames → all-zero drift
+    val same = Stats.histogramDrift(ref, ref, "g", "v", 0.0, 10.0, 3)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(same.forall(r => r._5 == 0L && r._6 == 0L))
+  }
+
   // -- peakConcurrency ----------------------------------------------------
 
   private val DayUs = 86400000000L

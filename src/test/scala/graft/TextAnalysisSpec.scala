@@ -249,4 +249,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expect, s"got=$got")
     assert(!got.exists(r => r._1 == 40L || r._1 == 50L))
   }
+
+  test("logOddsTerms: exact cross-ratio, ranking equals float log-odds") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      ("en", "good good good common rare1"),
+      ("en", "good common common"),
+      ("de", "bad bad common common"),
+      ("de", "bad common rare2"))
+      .toDF("lang", "text")
+    val got = TextAnalysis.logOddsTerms(docs, "text", col("lang") === "en")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // corpus: n1 = 8 en tokens, n2 = 7 de tokens, V = 5 terms
+    // "good": y1=4, y2=0 → R = 5·(7+5-0-1) / ((8+5-4-1)·1) = 55/8
+    assert(got("good") == ((4L, 0L, 55L * 1000000L / 8L)))
+    // "bad": y1=0, y2=3 → R = 1·(7+5-3-1) / ((8+5-1)·4) = 8/48
+    assert(got("bad") == ((0L, 3L, 8L * 1000000L / 48L)))
+    // near-balanced term: "common" y1=3, y2=3 → R = 4·8/(9·4) = 8/9
+    assert(got("common") == ((3L, 3L, 8L * 1000000L / 9L)))
+    // ranking by ratio_ppm must equal ranking by the float log-odds δ
+    def delta(y1: Long, y2: Long): Double = {
+      val (n1, n2, v) = (8.0, 7.0, 5.0)
+      math.log((y1 + 1) / (n1 + v - y1 - 1)) - math.log((y2 + 1) / (n2 + v - y2 - 1))
+    }
+    val byRatio = got.toSeq.sortBy { case (t, (_, _, r)) => (-r, t) }.map(_._1)
+    val byDelta = got.toSeq.sortBy { case (t, (y1, y2, _)) => (-delta(y1, y2), t) }.map(_._1)
+    assert(byRatio == byDelta, s"ratio=$byRatio delta=$byDelta")
+    // directionality: en-leaning > 10⁶ > de-leaning
+    assert(got("good")._3 > 1000000L && got("bad")._3 < 1000000L)
+    assert(got("rare1")._3 > 1000000L && got("rare2")._3 < 1000000L)
+  }
 }
