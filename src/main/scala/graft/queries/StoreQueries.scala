@@ -659,6 +659,35 @@ object StoreQueries {
              |  AND (user_id & 65535) BETWEEN 4 AND 120
              |ORDER BY event_id""".stripMargin)),
 
+    // File-skipping index lookup on a NON-layout column: the store is
+    // bucketed by user hash (the ingest clustering), probed by event_id
+    // — no partition arithmetic can route the probe, so without the
+    // per-bucket hash-bit signature every lookup scans all 32 dirs.
+    // The index consult turns into a LITERAL bucket IN-list (compile-
+    // time PartitionFilters, asserted in StoreSpec) + broadcast semi-
+    // join for the exact match. Probe set = 60 formula ids (some
+    // misses — the bloom prunes them). Oracle: plain IN-list filter.
+    Q("q_skip_scan",
+      (s, dir) => {
+        val store = graft.store.SkipIndexStore.ensureSkipStore(s, dir)
+        val index = graft.store.SkipIndexStore.ensureSkipIndex(s, store)
+        import s.implicits._
+        val keys = (0 until 60).map(i => i.toLong * 197L + 11L).toDF("k")
+        graft.store.SkipIndexStore.skipScan(s, store, index, keys)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            floor(col("value") * 1000).cast("long").as("value_mils"),
+            col("ts_us"))
+          .orderBy("event_id")
+      },
+      Some {
+        val ids = (0 until 60).map(i => i.toLong * 197L + 11L).mkString(", ")
+        s"""SELECT event_id, user_id, event_type,
+           |       CAST(floor(value*1000) AS BIGINT) AS value_mils,
+           |       epoch_us(ts) AS ts_us
+           |FROM events WHERE event_id IN ($ids)
+           |ORDER BY event_id""".stripMargin
+      }),
+
     // Streaming-maintained materialized view: per-(day, type) aggregates
     // MERGE-maintained across MANY micro-batches in foreachBatch (the
     // one replay that deliberately splits the backlog — count/sum are

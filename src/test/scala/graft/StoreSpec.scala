@@ -222,6 +222,36 @@ class StoreSpec extends SparkSpec {
       plan.contains("zkey"), s"zkey not pushed:\n${plan.take(2000)}")
   }
 
+  test("skip index: exact lookup, partition pruning on surviving buckets only") {
+    import graft.store.SkipIndexStore
+    val path = tmp("skipstore")
+    // 400 rows bucketed by user hash (the layout key), probed by id
+    val rows = (1L to 400L).map(i => (i, i % 37, s"t${i % 5}"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("fb", pmod(xxhash64($"user_id"), lit(SkipIndexStore.Buckets.toLong)))
+    rows.repartition($"fb").write.partitionBy("fb").mode("overwrite").parquet(path)
+    val idx = SkipIndexStore.ensureSkipIndex(spark, path)
+    // probes: 3 present, 2 absent (bloom may false-positive a bucket,
+    // never a row)
+    val keys = Seq(10L, 200L, 399L, 5000L, 9999L).toDF("k")
+    val scan = SkipIndexStore.skipScan(spark, path, idx, keys)
+    val got = scan.select($"event_id").as[Long].collect().toSet
+    assert(got == Set(10L, 200L, 399L))
+    // the main scan must carry a LITERAL bucket IN-list (compile-time
+    // partition pruning), and read strictly fewer dirs than exist
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("fb"), plan.take(2000))
+    // 5 probe keys can hit at most 5 true buckets + fp tail ≪ 32
+    val inList = "fb#\\d+ IN \\(([^)]*)\\)".r.findFirstMatchIn(plan)
+    assert(inList.isDefined, plan.take(2000))
+    assert(inList.get.group(1).split(",").length < SkipIndexStore.Buckets / 2,
+      s"pruning too weak: ${inList.get.group(1)}")
+    // index signatures are sorted distinct ints within [0, Bits)
+    val sig = spark.read.parquet(idx).select($"sig").as[Seq[Int]].collect()
+    assert(sig.forall(a => a == a.sorted && a.distinct.length == a.length &&
+      a.forall(h => h >= 0 && h < SkipIndexStore.Bits)))
+  }
+
   test("pivotCompressed: per-key time-ordered CSV survives the codec") {
     val comp = CompressedStore.pivotCompressed(
       events.withColumn("vm", floor($"v" * 1000).cast("long")), "id", "ts", Seq("vm"))
