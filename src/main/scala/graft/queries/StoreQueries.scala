@@ -345,6 +345,27 @@ object StoreQueries {
              |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Sliding-window twin of q_stream_watermark (1 h windows every 30 m):
+    // each event lands in 2 windows — state and emissions double, the
+    // eviction predicate (window end ≤ final watermark) is unchanged.
+    // Oracle enumerates both starts per event in epoch-µs arithmetic.
+    Q("q_stream_sliding",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        val out = store + "_slide_out"
+        Replay.slidingReplayAppend(s, store, out, "1 minute")
+          .orderBy("bucket_us", "event_type")
+      },
+      Some("""WITH wm AS (SELECT epoch_us(max(ts)) - 60000000 AS w FROM events),
+             |e AS (SELECT event_type, value, epoch_us(ts) AS tus FROM events),
+             |x AS (SELECT event_type, value,
+             |             (tus // 1800000000) * 1800000000 - o.o AS ws
+             |      FROM e, (SELECT unnest([0, 1800000000]) AS o) o)
+             |SELECT ws AS bucket_us, event_type, count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM x, wm WHERE ws + 3600000000 <= wm.w
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Stream–static dimension enrichment inside the replay: events join
     // the customer dim (broadcast per micro-batch, NO join state — only
     // the post-join windowed agg keeps state) before a watermarked

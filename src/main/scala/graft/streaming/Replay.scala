@@ -102,6 +102,33 @@ object Replay {
     appendReplayToFiles(spark, agg, outPath, "windowedReplayAppend")
   }
 
+  /** SLIDING-window twin of [[windowedReplayAppend]] (1-hour windows
+    * every 30 minutes): each event lands in ⌈dur/slide⌉ = 2 windows, so
+    * state and emitted rows double but the per-group eviction contract is
+    * identical — a window's state drops when the watermark passes its
+    * end, finalized windows append exactly once. Same single-availableNow
+    * determinism contract; the oracle states both window starts
+    * (⌊ts⌋₃₀ₘ and ⌊ts⌋₃₀ₘ − 30 m) in epoch-µs arithmetic. At scale the
+    * overlap factor is the knob: dur/slide = k multiplies state and
+    * output k×, never the input scan. */
+  def slidingReplayAppend(
+      spark: SparkSession,
+      storePath: String,
+      outPath: String,
+      delayThreshold: String = "1 minute"): DataFrame = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .parquet(storePath)
+    val agg = src
+      .withWatermark("ts", delayThreshold)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+      .select(expr("unix_micros(w.start)").as("bucket_us"), col("event_type"),
+        col("n"), col("value_mils"))
+    appendReplayToFiles(spark, agg, outPath, "slidingReplayAppend")
+  }
+
   /** Stream–static dimension enrichment + watermarked windowed agg to a
     * file sink — the canonical "enrich events against a dim table inside
     * the stream" shape. The static side joins per micro-batch with no

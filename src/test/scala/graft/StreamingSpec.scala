@@ -72,6 +72,36 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.filter(_._2 == "a").map(_._3).sum >= 2)
   }
 
+  test("slidingReplayAppend: every event in 2 windows, same eviction boundary") {
+    val events = Seq(
+      // 10:15 → windows 09:30 and 10:00; 10:45 → 10:15?? no: starts are
+      // 30-min aligned: 10:45 → 10:30 and 10:00 (both hold it)
+      (1L, ts("2024-01-01 10:15:00"), "a", 1.0),
+      (2L, ts("2024-01-01 10:45:00"), "a", 2.0),
+      // max ts 13:01 − 1 min delay → watermark 13:00: windows ending
+      // ≤ 13:00 emit, i.e. starts ≤ 12:00
+      (3L, ts("2024-01-01 13:01:00"), "b", 9.0)
+    ).toDF("id", "ts", "event_type", "value")
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "slstream").toString
+    SnapshotStore.write(events, s"$base/store", "ts")
+
+    val emitted = Replay.slidingReplayAppend(spark, s"$base/store", s"$base/out")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val byWindow = emitted.map(r => new Timestamp(r._1 / 1000).toString.take(16) -> (r._3, r._4)).toMap
+    // event 1 alone in the 09:30 window; events 1+2 share 10:00; event 2
+    // alone in 10:30 — the 2-windows-per-event sliding fan-out
+    assert(byWindow("2024-01-01 09:30") == ((1L, 1000L)))
+    assert(byWindow("2024-01-01 10:00") == ((2L, 3000L)))
+    assert(byWindow("2024-01-01 10:30") == ((1L, 2000L)))
+    // 12:30 and 13:00 windows hold the 13:01 row: ends 13:30/14:00 > wm
+    // 13:00 → both still open, nothing from event 3 emits
+    assert(!byWindow.keySet.exists(_ >= "2024-01-01 12:30"), s"open windows leaked: $byWindow")
+    // every event contributes exactly 2 window memberships pre-eviction:
+    // emitted n-sum = 2·(closed-window events) = 4 here
+    assert(emitted.map(_._3).sum == 4L)
+  }
+
   test("windowedReplayAppend drops rows later than the watermark delay (MemoryStream)") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
