@@ -111,7 +111,10 @@ object ScaleProbe {
     // the replica does not carry; its sf0.01 → sf0.1 growth (1.5k → 15k
     // names, variant buckets ≤ 10 by digit structure) is measured by the
     // per-round bench like the other TPC-H queries
-    "q_fuzzy_join")
+    "q_fuzzy_join",
+    // round-8: k-core peeling — lineitem co-purchase axis, same class as
+    // q_triangle_count/q_pagerank
+    "q_kcore")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

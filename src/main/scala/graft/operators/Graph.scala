@@ -139,4 +139,51 @@ object Graph {
     }
     labels
   }
+
+  /** k-core by SYNCHRONIZED peel rounds (Batagelj–Zaveršnik family,
+    * distributed form): each round drops every node whose degree in the
+    * CURRENT surviving subgraph is < k, then the edges touching dropped
+    * nodes — repeated `rounds` times or until a round peels nothing
+    * (further rounds are then no-ops, so early exit preserves the
+    * R-round semantics exactly). The semantics is the fixed-round
+    * contract, like [[pagerank]]'s iters: an oracle replays R rounds
+    * verbatim whether or not the fixpoint arrived, so equality never
+    * depends on convergence — and at fixpoint the survivors ARE the
+    * k-core (every remaining node keeps ≥ k surviving neighbors).
+    *
+    * Scale shape: each round is one map-side-combined degree count +
+    * two left-semi joins against the (tiny) survivor frame; per-round
+    * work is O(|surviving edges|), monotonically shrinking; rounds are
+    * O(peel depth) — small on clustered real-world graphs (the
+    * degeneracy ordering's long tail peels in the first rounds). Each
+    * round's edge frame re-stages through parquet (durable, flat plans
+    * — the [[Dedup.connectedComponents]] contract). The survivor count
+    * per round is a driver-side scalar, same class as the CC
+    * convergence check. Output: (node, deg_in_core) over the surviving
+    * subgraph. `edges` carries undirected (u, v); symmetrized and
+    * deduped here. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 ($k), rounds >= 1 ($rounds)")
+    var ed = graft.store.Staging.stage(
+      edges.select(col("u"), col("v")).distinct()
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v"))),
+      "kcore_edges")
+    var edgeCount = ed.count()
+    var i = 0
+    var stable = false
+    while (i < rounds && !stable && edgeCount > 0) {
+      val surv = ed.groupBy(col("u")).agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k.toLong).select(col("u"))
+      val next = graft.store.Staging.stage(
+        ed.join(surv, Seq("u"), "left_semi")
+          .join(surv.select(col("u").as("v")), Seq("v"), "left_semi"),
+        s"kcore_e$i")
+      val nextCount = next.count()
+      stable = nextCount == edgeCount
+      ed = next
+      edgeCount = nextCount
+      i += 1
+    }
+    ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg_in_core"))
+  }
 }

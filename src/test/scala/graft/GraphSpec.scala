@@ -78,4 +78,35 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 6L -> 1L), got1.toString)
   }
+
+  test("kCorePeel: cascade peels a pendant chain, clique survives, fixed-round partial") {
+    // K4 clique (1,2,3,4) + pendant chain 4-5-6-7: for k=2 the chain
+    // peels one node per round from the tail (7 has degree 1 → peels;
+    // 6 drops to 1 → peels next round; then 5) — a genuine multi-round
+    // cascade the synchronized semantics must replay exactly.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (k4 ++ chain).toDF("u", "v")
+    // full fixpoint (rounds ample): chain gone, K4 survives at degree 3
+    val core = Graph.kCorePeel(edges, k = 2, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core.toString)
+    // fixed-round partial state: after exactly 1 synchronized round only
+    // node 7 (the sole degree-<2 node) is gone; 6 survives this round at
+    // its OLD degree — the synchronized (not sequential) contract
+    val r1 = Graph.kCorePeel(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L) && r1(6L) == 1L, r1.toString)
+    // after 2 rounds node 6 is gone too, 5 dangling at degree 1
+    val r2 = Graph.kCorePeel(edges, k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2.keySet == Set(1L, 2L, 3L, 4L, 5L) && r2(5L) == 1L, r2.toString)
+    // k above the max degree empties the graph
+    assert(Graph.kCorePeel(edges, k = 4, rounds = 10).isEmpty)
+    // k = 1 with ample rounds keeps everything (no degree-0 nodes exist
+    // in an edge list)
+    val all = Graph.kCorePeel(edges, k = 1, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(all.keySet == (1L to 7L).toSet)
+  }
 }
