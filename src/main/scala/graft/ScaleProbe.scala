@@ -86,7 +86,11 @@ object ScaleProbe {
     "q_drift_hist" -> false,
     // round-8: one token explode → one two-count agg + 1-row broadcast;
     // shuffle is O(tokens) partial-agg state, output O(vocab)
-    "q_logodds_terms" -> false
+    "q_logodds_terms" -> false,
+    // round-8: per-user pair self-join — the replica keeps per-entity
+    // densities constant (users ×5, C(n_u,2) per user unchanged), so
+    // pair volume and the one g-shuffle scale linearly
+    "q_trend_theilsen" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -102,4 +102,41 @@ object TimeSeries {
         col("_f").getField("s").as("cusum_mils"),
         col("_f").getField("na").as("n_alarms"))
   }
+
+  /** Theil–Sen robust trend slope per entity — the median of all
+    * pairwise slopes (y_b − y_a)/(x_b − x_a), the breakdown-point-29%
+    * robust twin of the OLS fit (q_trend_ols): one wild outlier moves
+    * OLS arbitrarily but shifts a median of C(n,2) slopes by one rank.
+    *
+    * Engine-exact discipline: pairs order by the IEEE-double slope
+    * (identical from identical int64 dy/dx in any engine) with a total
+    * (dy, dx, id_a, id_b) tiebreak; the LOWER MEDIAN is selected by
+    * integer rank (n+1)÷2 — a SELECTION, not an average, so the output
+    * slope is one exact floor((dy·10⁶)/dx) and never an interpolated
+    * float. Equal-x pairs (vertical slope) are excluded by definition.
+    *
+    * Scale shape: the pair self-join is per-entity (one shuffle on g),
+    * candidate volume Σ C(n_g, 2) — bounded by per-entity series length
+    * like every ordered-recurrence operator here (the [[ewmaAnomaly]]
+    * contract); thin long series systematically upstream if n_g is
+    * unbounded. One window pass ranks and counts in the same partition.
+    * Input cols: (g, x, y, id); id makes the rank total. */
+  def theilSenSlopes(pts: DataFrame): DataFrame = {
+    val a = pts.select(col("g"), col("x").as("xa"), col("y").as("ya"), col("id").as("ia"))
+    val b = pts.select(col("g"), col("x").as("xb"), col("y").as("yb"), col("id").as("ib"))
+    val pairs = a.join(b, Seq("g"))
+      .filter(col("xa") < col("xb"))
+      .select(col("g"), (col("yb") - col("ya")).as("dy"),
+        (col("xb") - col("xa")).as("dx"), col("ia"), col("ib"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy((col("dy") * 1000000.0 / col("dx")).asc,
+        col("dy"), col("dx"), col("ia"), col("ib"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    pairs
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_np", count(lit(1)).over(wAll))
+      .filter(col("_rn") === call_function("div", col("_np") + 1L, lit(2L)))
+      .select(col("g"), col("_np").as("n_pairs"),
+        floor(col("dy") * 1000000.0 / col("dx")).cast("long").as("slope_ppm"))
+  }
 }

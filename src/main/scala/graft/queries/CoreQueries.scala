@@ -1228,6 +1228,45 @@ object CoreQueries {
              |FROM a WHERE n*sxx - sx*sx <> 0
              |ORDER BY user_id""".stripMargin)),
 
+    // Theil–Sen robust trend per user on the SAME (hour-index, mils)
+    // series as q_trend_ols — the median of all pairwise slopes,
+    // selected (never interpolated) at integer rank (n+1)÷2 so the
+    // output is one exact floor(dy·10⁶/dx). Pair volume Σ C(n_user, 2),
+    // bounded by per-user series length (~66 here); equal-hour pairs
+    // excluded by definition. Robust-statistics twin of the OLS fit:
+    // one wild outlier shifts this by one rank, OLS by anything.
+    Q("q_trend_theilsen",
+      (s, dir) => {
+        val startUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+        TimeSeries.theilSenSlopes(
+          Tables.events(s, dir)
+            .select(col("user_id").as("g"),
+              floor((unix_micros(col("ts")) - startUs) / 3600000000.0)
+                .cast("long").as("x"),
+              floor(col("value") * 1000).cast("long").as("y"),
+              col("event_id").as("id")))
+          .select(col("g").as("user_id"), col("n_pairs"), col("slope_ppm"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id AS g,
+             |         CAST(floor((epoch_us(ts) - 1704067200000000) / 3600000000.0) AS BIGINT) AS x,
+             |         CAST(floor(value * 1000) AS BIGINT) AS y,
+             |         event_id AS id
+             |  FROM events),
+             |pr AS (SELECT a.g, b.y - a.y AS dy, b.x - a.x AS dx,
+             |              a.id AS ia, b.id AS ib
+             |       FROM p a JOIN p b ON a.g = b.g AND a.x < b.x),
+             |r AS (SELECT g, dy, dx,
+             |             row_number() OVER (PARTITION BY g
+             |               ORDER BY dy * 1000000.0 / dx, dy, dx, ia, ib) AS rn,
+             |             count(*) OVER (PARTITION BY g) AS np
+             |      FROM pr)
+             |SELECT g AS user_id, np AS n_pairs,
+             |       CAST(floor(dy * 1000000.0 / dx) AS BIGINT) AS slope_ppm
+             |FROM r WHERE rn = (np + 1) // 2 ORDER BY user_id""".stripMargin)),
+
+
     // k-step ordered funnel (earliest-completion semantics): signup →
     // view → click → purchase, each step's timestamp the MINIMUM
     // strictly after the previous step's — the product-analytics

@@ -47,4 +47,41 @@ class TimeSeriesSpec extends SparkSpec {
     val r = run(Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 1.8)), 700L)
     assert(r(1L)._3 == 1L, r.toString)
   }
+
+  test("theilSenSlopes: lower-median pair slope, outlier-robust, equal-x excluded") {
+    def ts(rows: Seq[(Long, Long, Long, Long)]): Map[Long, (Long, Long)] =
+      TimeSeries.theilSenSlopes(rows.toDF("g", "x", "y", "id"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // perfect line y = 2x: every pair slope is exactly 2 → 2,000,000 ppm
+    val line = (1L to 5L).map(x => (1L, x, 2 * x, x))
+    assert(ts(line)(1L) == ((10L, 2000000L)))
+
+    // same line plus one wild outlier (x=6, y=1000): 5 of the 15 pairs
+    // are corrupted but the median rank stays on a clean pair → slope
+    // still exactly 2; OLS on the same data is pulled far above 2
+    val outlier = line :+ (1L, 6L, 1000L, 6L)
+    assert(ts(outlier)(1L)._2 == 2000000L, ts(outlier).toString)
+    val (n, sx, sy, sxy, sxx) = outlier.foldLeft((0L, 0L, 0L, 0L, 0L)) {
+      case ((n0, a, b, c, d), (_, x, y, _)) => (n0 + 1, a + x, b + y, c + x * y, d + x * x)
+    }
+    val ols = (n * sxy - sx * sy).toDouble * 1000000.0 / (n * sxx - sx * sx)
+    assert(ols > 100000000.0, s"outlier should wreck OLS: $ols")
+
+    // hand-computed lower median on an even pair count: slopes of
+    // (x,y) = (0,0),(1,10),(2,12),(3,15): pairs (0,1)=10,(0,2)=6,
+    // (0,3)=5,(1,2)=2,(1,3)=2.5,(2,3)=3 → sorted 2,2.5,3,5,6,10;
+    // lower median (rank (6+1)/2=3) = 3 → 3,000,000 ppm
+    val even = Seq((2L, 0L, 0L, 1L), (2L, 1L, 10L, 2L), (2L, 2L, 12L, 3L),
+      (2L, 3L, 15L, 4L))
+    assert(ts(even)(2L) == ((6L, 3000000L)))
+
+    // equal-x rows pair with others but never with each other: x = 1,1,2
+    // gives exactly 2 pairs, and a vertical pair must not produce a row
+    val eqx = Seq((3L, 1L, 0L, 1L), (3L, 1L, 100L, 2L), (3L, 2L, 50L, 3L))
+    assert(ts(eqx)(3L)._1 == 2L)
+
+    // single point → no pairs → no output row for that group
+    assert(!ts(Seq((4L, 1L, 1L, 1L))).contains(4L))
+  }
 }
