@@ -96,7 +96,14 @@ object Scratch {
       "q_keyword_tag" -> "phrase tagging: per-length n-gram explodes + ONE broadcast dictionary join — text never shuffles",
       "q_embed_leakage" -> "eval leakage: staged train LSH index probed across frames, cosine verify in-bucket — no eval×train product",
       "q_containment" -> "containment: rarest-prefix × inverted index equi-join with the exact size filter, intersect verify on survivors only",
-      "q_dsir_weight" -> "DSIR contrast: ONE staged bigram stream feeds both model groupBys + bigram-keyed scoring joins — no model-broadcast assumption")
+      "q_dsir_weight" -> "DSIR contrast: ONE staged bigram stream feeds both model groupBys + bigram-keyed scoring joins — no model-broadcast assumption",
+      "q_fuzzy_join" -> "ed-1 fuzzy join: deletion-variant equi-join (exact recall by the FastSS theorem), codegen levenshtein verify — no all-pairs product",
+      "q_skip_scan" -> "file-skipping index: literal bucket IN-list from the index consult → compile-time PartitionFilters + broadcast probe semi-join",
+      "q_kcore" -> "k-core: per-round degree agg + two left-semi joins on the shrinking staged edge frame — flat plan after the peel loop",
+      "q_trend_theilsen" -> "Theil-Sen: per-entity pair join (one g-shuffle), rank+count in one window partition, median SELECTED not interpolated",
+      "q_drift_hist" -> "drift monitor: two map-side-combined (group,bin) histograms + broadcast grid and totals — drift frame O(groups·bins)",
+      "q_logodds_terms" -> "log-odds terms: one token explode → one two-count agg, 1-row totals broadcast, DECIMAL cross-ratio row-local",
+      "q_point_in_polygon" -> "concave ray-cast census: the parity predicate rides the scan (pure projection + map-side agg, zero shuffle)")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
