@@ -116,9 +116,9 @@ object ScaleProbe {
     // names, variant buckets ≤ 10 by digit structure) is measured by the
     // per-round bench like the other TPC-H queries
     "q_fuzzy_join",
-    // round-8: k-core peeling — lineitem co-purchase axis, same class as
-    // q_triangle_count/q_pagerank
-    "q_kcore")
+    // round-8: k-core peeling and weighted SSSP — lineitem co-purchase
+    // axis, same class as q_triangle_count/q_pagerank
+    "q_kcore", "q_sssp")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

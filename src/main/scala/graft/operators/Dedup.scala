@@ -546,24 +546,31 @@ object Dedup {
     val strs = df.select(col(strCol).cast("string").as("_s"))
       .na.drop().distinct()
     // s plus every single-char deletion; array_union dedupes repeated
-    // variants ("aa" → both deletions give "a")
-    val variants = strs.select(col("_s"), explode(array_union(
-      array(col("_s")),
-      expr("transform(sequence(1, length(_s)), i -> concat(left(_s, i-1), substring(_s, i+1)))")))
-      .as("_v"))
+    // variants ("aa" → both deletions give "a"). Staged once — both
+    // join sides read the parquet frame instead of re-running the
+    // explode (the Staging contract).
+    val variants = graft.store.Staging.stage(
+      strs.select(col("_s"), explode(array_union(
+        array(col("_s")),
+        expr("transform(sequence(1, length(_s)), i -> concat(left(_s, i-1), substring(_s, i+1)))")))
+        .as("_v")),
+      "fuzzy_variants")
     val pruned = maxBucket.fold(variants) { cap =>
       val hot = variants.groupBy(col("_v")).count()
         .filter(col("count") > cap).select(col("_v"))
       variants.join(broadcast(hot), Seq("_v"), "left_anti")
     }
+    // thresholded levenshtein: early-exits at distance > 1, O(len·1)
+    // per candidate instead of the O(len²) DP (returns -1 above the
+    // threshold; 0 is impossible across distinct strings)
     pruned.select(col("_s").as("s_a"), col("_v"))
       .join(pruned.select(col("_s").as("s_b"), col("_v")), Seq("_v"))
       .filter(col("s_a") < col("s_b"))
       .select(col("s_a"), col("s_b"))
       .distinct()
       .select(col("s_a"), col("s_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
-      .filter(col("dist") <= 1L)
+        levenshtein(col("s_a"), col("s_b"), 1).cast("long").as("dist"))
+      .filter(col("dist") >= 0L)
   }
 
   /** Exact dedup groups: one row per distinct text, with multiplicity and

@@ -140,6 +140,52 @@ object Graph {
     labels
   }
 
+  /** Single-source WEIGHTED shortest paths by R Bellman–Ford relaxation
+    * rounds — the weighted companion to [[bfsHops]] (travel-time instead
+    * of hop-count routing). After round i, dist(v) is EXACTLY the
+    * cheapest path using ≤ i edges — the fixed-round contract again
+    * ([[kCorePeel]], [[pagerank]]): an oracle replays R rounds verbatim
+    * and equality never depends on convergence; with R ≥ graph diameter
+    * the result is the true shortest-path tree. Negative weights are
+    * rejected (mobility costs are nonneg; keeps min-monotonicity so
+    * early exit on an unchanged frame is sound).
+    *
+    * Scale shape per round: one hash join of the current distance frame
+    * against the staged symmetrized edge frame (shuffles |dist|·degree
+    * candidate rows, the frontier-bounded relaxation volume), one
+    * map-side-combined min. Distance frames re-stage per round (flat
+    * plans, durable). The changed-row count per round is a driver-side
+    * scalar, the CC-convergence class. Output: (node, dist) for nodes
+    * reachable within R edges. Input cols: (u, v, w) undirected. */
+  def ssspRounds(edges: DataFrame, seed: Long, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val spark = edges.sparkSession
+    val e = graft.store.Staging.stage(
+      edges.select(col("u"), col("v"), col("w"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .distinct(), "sssp_edges")
+    require(e.filter(col("w") < 0).isEmpty, "negative edge weights not supported")
+    import spark.implicits._
+    var dist = graft.store.Staging.stage(
+      Seq((seed, 0L)).toDF("node", "dist"), "sssp_seed")
+    var i = 0
+    var stable = false
+    while (i < rounds && !stable) {
+      val relaxed = dist.select(col("node").as("u"), col("dist"))
+        .join(e, Seq("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val next = graft.store.Staging.stage(relaxed, s"sssp_d$i")
+      // unchanged frame ⇒ every later round is a no-op (min-monotone)
+      stable = next.join(dist, Seq("node", "dist"), "left_anti").isEmpty &&
+        next.count() == dist.count()
+      dist = next
+      i += 1
+    }
+    dist
+  }
+
   /** k-core by SYNCHRONIZED peel rounds (Batagelj–Zaveršnik family,
     * distributed form): each round drops every node whose degree in the
     * CURRENT surviving subgraph is < k, then the edges touching dropped

@@ -936,6 +936,40 @@ object CoreQueries {
              |  WHERE w.hop < 3)
              |SELECT node, min(hop) AS hop FROM walk GROUP BY node ORDER BY node""".stripMargin)),
 
+    // Weighted single-source shortest paths (Bellman-Ford, 4 relaxation
+    // rounds) over the co-purchase graph with deterministic integer
+    // weights 1 + (u+v) % 7 — the travel-time companion to q_bfs_hops'
+    // hop counting. After round i, dist is exactly the cheapest path
+    // using <= i edges (fixed-round contract, convergence-free oracle
+    // equality); per round one dist⋈edges hash join + one min agg.
+    Q("q_sssp",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+          .withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(7L)))
+        Graph.ssspRounds(und, seed = 1L, rounds = 4).orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d${i - 1}
+             |  UNION ALL
+             |  SELECT e.v, d${i - 1}.dist + e.w FROM d${i - 1} JOIN e ON d${i - 1}.node = e.u)
+             |GROUP BY node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+           |        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+           |ew AS MATERIALIZED (SELECT u, v, 1 + (u + v) % 7 AS w FROM und),
+           |e AS MATERIALIZED (SELECT u, v, w FROM ew UNION SELECT v, u, w FROM ew),
+           |d0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+           |$rounds
+           |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node""".stripMargin
+      }),
+
     // k-core of the part co-purchase graph (graph-densification class:
     // the cohesive subgraph a recommender or fraud pipeline extracts
     // before expensive per-node work). Synchronized peel rounds — each

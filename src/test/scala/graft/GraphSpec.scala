@@ -79,6 +79,28 @@ class GraphSpec extends SparkSpec {
     assert(got1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 6L -> 1L), got1.toString)
   }
 
+  test("ssspRounds: cheaper multi-hop beats direct edge, round-bounded, rejects negatives") {
+    // 1→4 direct costs 10; 1→2→4 costs 2+3 = 5; 1→2→3→5 reaches 5 in 3
+    // hops (cost 2+1+1 = 4); node 6 is disconnected
+    val e = Seq((1L, 4L, 10L), (1L, 2L, 2L), (2L, 4L, 3L), (2L, 3L, 1L),
+      (3L, 5L, 1L), (6L, 7L, 1L)).toDF("u", "v", "w")
+    def run(r: Int): Map[Long, Long] =
+      Graph.ssspRounds(e, seed = 1L, rounds = r)
+        .as[(Long, Long)].collect().toMap
+    // round 1: direct edges only — 4 still costs 10
+    assert(run(1) == Map(1L -> 0L, 4L -> 10L, 2L -> 2L))
+    // round 2: the 2-hop path relaxes 4 down to 5; 3 appears at 3
+    assert(run(2) == Map(1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 5L))
+    // round 3: 5 reached at 4; disconnected 6/7 never appear
+    val r3 = run(3)
+    assert(r3 == Map(1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 5L, 5L -> 4L))
+    // ample rounds: early exit at the fixpoint, same frame
+    assert(run(10) == r3)
+    intercept[IllegalArgumentException] {
+      Graph.ssspRounds(Seq((1L, 2L, -1L)).toDF("u", "v", "w"), 1L, 2)
+    }
+  }
+
   test("kCorePeel: cascade peels a pendant chain, clique survives, fixed-round partial") {
     // K4 clique (1,2,3,4) + pendant chain 4-5-6-7: for k=2 the chain
     // peels one node per round from the tail (7 has degree 1 → peels;
