@@ -118,7 +118,10 @@ object ScaleProbe {
     "q_fuzzy_join",
     // round-8: k-core peeling and weighted SSSP — lineitem co-purchase
     // axis, same class as q_triangle_count/q_pagerank
-    "q_kcore", "q_sssp")
+    "q_kcore", "q_sssp",
+    // round-8 third wave: synchronized LPA communities — same lineitem
+    // co-purchase axis as q_kcore/q_sssp
+    "q_label_prop")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

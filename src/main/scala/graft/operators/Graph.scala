@@ -186,6 +186,58 @@ object Graph {
     dist
   }
 
+  /** Community detection by SYNCHRONIZED label propagation (Raghavan et
+    * al. 2007, LPA) — the missing member of the graph family next to
+    * [[pagerank]]/[[kCorePeel]]: every node starts labeled with its own
+    * id; each round every node simultaneously adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLEST label — a
+    * fully deterministic update (classic LPA breaks ties randomly; the
+    * min-tie-break variant is the reproducible form). The fixed-round
+    * contract again: after R rounds the labels are exactly the R-step
+    * recurrence, so an oracle replays R rounds verbatim and equality
+    * never depends on convergence. (Synchronized LPA can oscillate on
+    * bipartite structures — a documented property of the parallel
+    * variant; the fixed-round semantics makes that a feature of the
+    * recurrence, not a correctness hazard.) A round where no label
+    * changes is a fixpoint of the deterministic update, so early exit
+    * preserves the R-round semantics exactly.
+    *
+    * Scale shape per round: one hash join of the label frame against the
+    * staged symmetrized edge frame (|E| vote rows), one map-side-combined
+    * (node, label) count, one map-side max-of-struct per node — a
+    * celebrity node of degree d contributes d vote rows, linear in |E|,
+    * never d². Labels re-stage per round (flat plans, durable). Input
+    * cols: (u, v) undirected; symmetrized + deduped here. Output:
+    * (node, label). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val e = graft.store.Staging.stage(
+      edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        .distinct(), "lpa_edges")
+    var labels = graft.store.Staging.stage(
+      e.select(col("u").as("node")).distinct().withColumn("label", col("node")),
+      "lpa_init")
+    var i = 0
+    var stable = false
+    while (i < rounds && !stable) {
+      val votes = e.join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+      val next = graft.store.Staging.stage(
+        votes.groupBy(col("u"))
+          .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("_m"))
+          .select(col("u").as("node"), (-col("_m.nl")).as("label")),
+        s"lpa_l$i")
+      // node set is constant (every node has >= 1 neighbor), so an empty
+      // anti-join on (node, label) means the frame is unchanged — and an
+      // unchanged frame is a fixpoint of the deterministic update
+      stable = next.join(labels, Seq("node", "label"), "left_anti").isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** k-core by SYNCHRONIZED peel rounds (Batagelj–Zaveršnik family,
     * distributed form): each round drops every node whose degree in the
     * CURRENT surviving subgraph is < k, then the edges touching dropped

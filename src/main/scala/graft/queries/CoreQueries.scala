@@ -1012,6 +1012,44 @@ object CoreQueries {
            |GROUP BY u ORDER BY node""".stripMargin
       }),
 
+    // Community detection by synchronized label propagation (4 rounds)
+    // over the SUPPORT-FILTERED co-purchase graph (pairs bought together
+    // in >= 2 orders — the assoc-rules edge set, sparser than the raw
+    // co-purchase graph so labels actually spread instead of collapsing).
+    // Deterministic min-tie-break LPA under the fixed-round contract:
+    // the oracle replays 4 rounds verbatim (row_number tie-break =
+    // max-count-then-min-label), equality never depends on convergence.
+    Q("q_label_prop",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("u"), col("v"))
+        Graph.labelPropagation(und, rounds = 4).orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""c$i AS MATERIALIZED (SELECT e.u, l.label, count(*) AS cnt
+             |  FROM e JOIN l${i - 1} l ON e.v = l.node GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (SELECT u AS node, label FROM (
+             |  SELECT u, label,
+             |         row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) AS rn
+             |  FROM c$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |und AS (SELECT a.p AS u, b.p AS v FROM lp a JOIN lp b
+           |        ON a.o = b.o AND a.p < b.p
+           |        GROUP BY 1, 2 HAVING count(*) >= 2),
+           |e AS MATERIALIZED (SELECT u, v FROM und UNION SELECT v, u FROM und),
+           |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e),
+           |$rounds
+           |SELECT node, CAST(label AS BIGINT) AS label FROM l4 ORDER BY node""".stripMargin
+      }),
+
     // Association rules over the order⇄part basket (the market-basket /
     // frequent-itemset class, Agrawal–Srikant pair stage): co-purchase
     // pairs with absolute support ≥ 2, each with support, both

@@ -131,4 +131,39 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(all.keySet == (1L to 7L).toSet)
   }
+
+  test("labelPropagation: disjoint triangles converge to per-triangle min label") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("u", "v")
+    // triangle {1,2,3}: r1 every node adopts the min of the OTHER two
+    // (1→2, 2→1, 3→1); r2 (1→1, 2→1 tie{2,1}→1, 3→1); r3 fixpoint all-1
+    val r = Graph.labelPropagation(tri, rounds = 3).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), r.toString)
+    // fixpoint early exit preserves the R-round semantics
+    val r10 = Graph.labelPropagation(tri, rounds = 10).as[(Long, Long)].collect().toMap
+    assert(r10 == r, r10.toString)
+  }
+
+  test("labelPropagation replays the exact synchronized recurrence on a path") {
+    // path 1-2-3: synchronized LPA oscillates — the fixed-round contract
+    // makes each round's state exact, hand-computed here
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val r1 = Graph.labelPropagation(e, rounds = 1).as[(Long, Long)].collect().toMap
+    // node2's neighbors {1,3} tie at count 1 → min label 1
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L), r1.toString)
+    val r2 = Graph.labelPropagation(e, rounds = 2).as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), r2.toString)
+  }
+
+  test("labelPropagation: hub adopts min spoke label on an all-tie vote") {
+    val star = (1L to 3L).map(s => (0L, s)).toDF("u", "v")
+    val r = Graph.labelPropagation(star, rounds = 1).as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L), r.toString)
+    // duplicate input edges must not double a vote (deduped before
+    // symmetrizing): still min spoke label, not a 2-vote winner
+    val dup = (star.union(Seq((0L, 3L)).toDF("u", "v")))
+    val rd = Graph.labelPropagation(dup, rounds = 1).as[(Long, Long)].collect().toMap
+    assert(rd(0L) == 1L, rd.toString)
+  }
 }
