@@ -78,6 +78,10 @@ object ScaleProbe {
     // q_traj_velocity shape
     "q_geofence" -> false,
     "q_fence_crossings" -> false,
+    // round-8 third wave: WAU = one (user, day) dedup + per-user lead
+    // window + <= 7x bounded explode; replica adds users (id-offset), so
+    // user-days and interval rows both scale 5x, day-level agg span-fixed
+    "q_active_users" -> false,
     // round-8 second wave: concave ray-cast census = same row-local
     // predicate + map-side agg shape as q_geofence; drift = two
     // map-side-combined (group, bin) histograms + broadcast totals —

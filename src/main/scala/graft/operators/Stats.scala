@@ -123,6 +123,44 @@ object Stats {
       .agg(max(col("cum")).as("peak"), min(col("ts_us")).as("at_us"))
   }
 
+  /** Exact distinct actives per day over a trailing window of W days —
+    * the DAU/WAU/MAU class — WITHOUT a per-window distinct (the naive
+    * form re-shuffles every event into each of the W windows it touches
+    * and runs W distinct aggregations; at 100 TB that is W full-data
+    * shuffles). The trick: dedupe to (key, active-day), then per key turn
+    * the sorted day set into DISJOINT coverage intervals — day d covers
+    * [d, d+W−1], truncated at the NEXT active day via lead() so
+    * overlapping per-key windows never double-count — and a key's
+    * contribution to any day is 0 or 1 by construction. Each interval
+    * then fans out to at most W day rows (explode of a ≤ W-element
+    * sequence), and the answer is a plain map-side-combined count per
+    * day: distinct-counting reduced to counting.
+    *
+    * Scale shape: one dedup shuffle on (key, day) — the only full-data
+    * pass; one per-key window (same key hash partitioning reused); a
+    * ≤ W× bounded fan-out; one final day-level aggregation whose result
+    * is span-bounded (a decade is ~3.7k rows). No global window, no
+    * distinct-per-window, no driver compute. Output: (day_idx epoch-days,
+    * n_active), days with ≥ 1 covered key only. */
+  def slidingDistinctDaily(
+      df: DataFrame,
+      keyCol: Column,
+      tsUsCol: Column,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val DayUs = 86400000000L
+    val ud = df.select(keyCol.as("_k"),
+        call_function("div", tsUsCol - pmod(tsUsCol, lit(DayUs)), lit(DayUs)).as("_d"))
+      .distinct()
+    val w = Window.partitionBy(col("_k")).orderBy(col("_d"))
+    ud.withColumn("_next", lead(col("_d"), 1).over(w))
+      .select(col("_d").as("_s"),
+        least(col("_d") + lit(windowDays - 1L),
+          coalesce(col("_next") - 1L, col("_d") + lit(windowDays - 1L))).as("_e"))
+      .select(explode(sequence(col("_s"), col("_e"))).as("day_idx"))
+      .groupBy(col("day_idx")).agg(count(lit(1)).as("n_active"))
+  }
+
   /** 2-D skyline (Pareto frontier): rows not dominated under (minimize
     * cost, maximize gain) — dominance needs one STRICT inequality, so
     * exact (cost, gain) twins all survive. A row survives iff

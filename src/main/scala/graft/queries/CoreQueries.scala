@@ -1168,6 +1168,27 @@ object CoreQueries {
              |GROUP BY 1, 2
              |ORDER BY 1""".stripMargin)),
 
+    // Trailing-7-day distinct active users per day (the WAU series) —
+    // exact sliding distinct WITHOUT a distinct-per-window: dedupe to
+    // user-days, lead() turns each user's day set into disjoint coverage
+    // intervals (so overlapping windows of the same user never double-
+    // count), each interval explodes to <= 7 day rows, and WAU is a
+    // plain count per day. The oracle is the brute-force day-grid range
+    // join with count(DISTINCT) — legal single-node, which is the point.
+    Q("q_active_users",
+      (s, dir) => {
+        Stats.slidingDistinctDaily(
+          Tables.events(s, dir), col("user_id"), expr("unix_micros(ts)"),
+          windowDays = 7).orderBy("day_idx")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+             |bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+             |grid AS (SELECT unnest(generate_series(lo, hi + 6)) AS day_idx FROM bounds)
+             |SELECT g.day_idx, count(DISTINCT u.user_id) AS n_active
+             |FROM grid g JOIN ud u ON u.d BETWEEN g.day_idx - 6 AND g.day_idx
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // k-anonymity audit (k = 5) over the quasi-identifier tuple
     // (nation, market segment, account-balance k€-band): every
     // equivalence class smaller than k is a re-identification risk the

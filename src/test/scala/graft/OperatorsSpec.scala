@@ -376,4 +376,46 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(got.toSeq == Seq((0L, 1L, 1000000L)))
   }
+
+  // -- slidingDistinctDaily -----------------------------------------------
+
+  test("slidingDistinctDaily: one active day covers exactly the trailing window") {
+    import graft.operators.Stats
+    val ev = Seq((1L, 0L), (1L, 1000L)).toDF("k", "ts_us") // 2 events, same day 0
+    val got = Stats.slidingDistinctDaily(ev, col("k"), col("ts_us"), windowDays = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 6L).map(_ -> 1L).toMap, got.toString)
+  }
+
+  test("slidingDistinctDaily never double-counts a key with overlapping windows") {
+    import graft.operators.Stats
+    // key 1 active days 0 and 3 (windows overlap on days 3..6): every
+    // covered day counts it ONCE; coverage runs 0..9
+    val ev = Seq((1L, 0L), (1L, 3L * DayUs)).toDF("k", "ts_us")
+    val got = Stats.slidingDistinctDaily(ev, col("k"), col("ts_us"), windowDays = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 9L).map(_ -> 1L).toMap, got.toString)
+  }
+
+  test("slidingDistinctDaily equals brute-force distinct-per-window") {
+    import graft.operators.Stats
+    // deterministic scatter: 40 keys × up to 6 active days over 3 weeks
+    val ud = for { k <- 1L to 40L; j <- 0L until (k % 6 + 1) }
+      yield (k, ((k * 7919L + j * 104729L) % 21L))
+    val ev = ud.map { case (k, d) => (k, d * DayUs + k * 1000L) }.toDF("k", "ts_us")
+    val got = Stats.slidingDistinctDaily(ev, col("k"), col("ts_us"), windowDays = 7)
+      .as[(Long, Long)].collect().toMap
+    val brute = (0L to 27L).map { day =>
+      day -> ud.filter { case (_, d) => d >= day - 6 && d <= day }.map(_._1).distinct.size.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(5)}")
+  }
+
+  test("slidingDistinctDaily windowDays = 1 is plain DAU") {
+    import graft.operators.Stats
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, DayUs)).toDF("k", "ts_us")
+    val got = Stats.slidingDistinctDaily(ev, col("k"), col("ts_us"), windowDays = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L), got.toString)
+  }
 }
