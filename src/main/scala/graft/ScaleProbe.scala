@@ -82,6 +82,10 @@ object ScaleProbe {
     // window + <= 7x bounded explode; replica adds users (id-offset), so
     // user-days and interval rows both scale 5x, day-level agg span-fixed
     "q_active_users" -> false,
+    // round-8 third wave: interval union = ONE per-user window Exchange
+    // + two same-key groupBys; replica adds users, per-user interval
+    // counts constant → linear
+    "q_interval_coverage" -> false,
     // round-8 second wave: concave ray-cast census = same row-local
     // predicate + map-side agg shape as q_geofence; drift = two
     // map-side-combined (group, bin) histograms + broadcast totals —

@@ -161,6 +161,47 @@ object Stats {
       .groupBy(col("day_idx")).agg(count(lit(1)).as("n_active"))
   }
 
+  /** Per-key union of overlapping half-open intervals — total covered
+    * time and merged-island count (the busy-time / uptime / session-
+    * coverage primitive; [[peakConcurrency]] answers "how many at once",
+    * this answers "how long at all"). Classic island detection made
+    * distributed: per key, sort by (start, end, tie), flag a new island
+    * when start exceeds the running max of all PRIOR ends (strictly —
+    * touching half-open intervals [a,b)+[b,c) union seamlessly and
+    * merge), number islands by a running sum of flags, then aggregate
+    * twice. All integer; the tie column makes the row order total so
+    * both window passes are deterministic.
+    *
+    * Scale shape: ONE hash Exchange on the key feeds both window passes
+    * (same partitioning + ordering — Spark plans a single sort) and the
+    * first groupBy (key, island); per-key data never leaves its
+    * partition, no global window, no self-join (the naive overlap
+    * formulation is a per-key range self-join — quadratic on a hot key).
+    * Output: (key, n_islands, covered_us, n_intervals). */
+  def mergedCoverage(
+      intervals: DataFrame,
+      keyCol: Column,
+      startUs: Column,
+      endUs: Column,
+      tieCol: Column): DataFrame = {
+    val base = intervals
+      .select(keyCol.as("key"), startUs.as("_s"), endUs.as("_e"), tieCol.as("_t"))
+      .filter(col("_s").isNotNull && col("_e").isNotNull)
+    val ord = Window.partitionBy(col("key")).orderBy(col("_s"), col("_e"), col("_t"))
+    val prevMaxEnd = max(col("_e")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    base
+      .withColumn("_new",
+        when(col("_s") > coalesce(prevMaxEnd, lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("_isl",
+        sum(col("_new")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("key"), col("_isl"))
+      .agg(min(col("_s")).as("_is"), max(col("_e")).as("_ie"), count(lit(1)).as("_n"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("_ie") - col("_is")).as("covered_us"),
+        sum(col("_n")).as("n_intervals"))
+  }
+
   /** 2-D skyline (Pareto frontier): rows not dominated under (minimize
     * cost, maximize gain) — dominance needs one STRICT inequality, so
     * exact (cost, gain) twins all survive. A row survives iff

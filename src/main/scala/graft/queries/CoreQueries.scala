@@ -1189,6 +1189,49 @@ object CoreQueries {
              |FROM grid g JOIN ud u ON u.d BETWEEN g.day_idx - 6 AND g.day_idx
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-user merged-interval coverage over the q_peak_concurrency
+    // session intervals (1 s .. 2 h here, pure integer duration from
+    // event_id): total busy time + island count after unioning overlaps
+    // — island detection via running-max-of-prior-ends, ONE per-user
+    // window pass, never the quadratic per-key overlap self-join. The
+    // oracle replays the identical window recurrence.
+    Q("q_interval_coverage",
+      (s, dir) => {
+        val iv = Tables.events(s, dir).select(
+          col("user_id"),
+          expr("unix_micros(ts)").as("s_us"),
+          (expr("unix_micros(ts)") +
+            (pmod(col("event_id"), lit(7200L)) + 1L) * 1000000L).as("e_us"),
+          col("event_id"))
+        Stats.mergedCoverage(iv, col("user_id"), col("s_us"), col("e_us"),
+            col("event_id"))
+          .withColumnRenamed("key", "user_id")
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id AS k, epoch_us(ts) AS s,
+             |         epoch_us(ts) + (event_id % 7200 + 1) * 1000000 AS e,
+             |         event_id AS t
+             |  FROM events),
+             |f AS (
+             |  SELECT k, s, e, t,
+             |         CASE WHEN s > coalesce(max(e) OVER (
+             |              PARTITION BY k ORDER BY s, e, t
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |              -9223372036854775808) THEN 1 ELSE 0 END AS nw
+             |  FROM iv),
+             |g AS (
+             |  SELECT k, s, e,
+             |         sum(nw) OVER (PARTITION BY k ORDER BY s, e, t
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             |  FROM f),
+             |i AS (SELECT k, isl, min(s) AS i_s, max(e) AS i_e, count(*) AS n
+             |      FROM g GROUP BY 1, 2)
+             |SELECT k AS user_id, count(*) AS n_islands,
+             |       CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+             |       CAST(sum(n) AS BIGINT) AS n_intervals
+             |FROM i GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // k-anonymity audit (k = 5) over the quasi-identifier tuple
     // (nation, market segment, account-balance k€-band): every
     // equivalence class smaller than k is a re-identification risk the

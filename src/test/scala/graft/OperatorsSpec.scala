@@ -411,6 +411,60 @@ class OperatorsSpec extends SparkSpec {
     assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(5)}")
   }
 
+  // -- mergedCoverage -----------------------------------------------------
+
+  /** Brute merge model: sort, sweep, union half-open intervals. */
+  private def bruteCoverage(iv: Seq[(Long, Long)]): (Long, Long) = {
+    val sorted = iv.sorted
+    var islands = 0L; var covered = 0L
+    var curS = 0L; var curE = Long.MinValue; var open = false
+    for ((s, e) <- sorted) {
+      if (!open || s > curE) {
+        if (open) covered += curE - curS
+        islands += 1; curS = s; curE = e; open = true
+      } else curE = math.max(curE, e)
+    }
+    if (open) covered += curE - curS
+    (islands, covered)
+  }
+
+  test("mergedCoverage: hand case with overlap, containment, touch, and gap") {
+    import graft.operators.Stats
+    // [0,10) ∪ [5,7) (contained) ∪ [10,20) (touching → merges) = [0,20);
+    // [25,30) is a second island
+    val iv = Seq((1L, 0L, 10L, 1L), (1L, 5L, 7L, 2L), (1L, 10L, 20L, 3L),
+      (1L, 25L, 30L, 4L)).toDF("k", "s", "e", "t")
+    val got = Stats.mergedCoverage(iv, col("k"), col("s"), col("e"), col("t"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 25L, 4L)), got.toSeq.toString)
+  }
+
+  test("mergedCoverage equals brute sweep per key on random scatter") {
+    import graft.operators.Stats
+    val iv = for { k <- 1L to 10L; i <- 1L to 50L } yield {
+      val s = (k * 104729L + i * 7919L) % 10000L
+      (k, s, s + 1L + (i * 31L) % 500L, i)
+    }
+    val got = Stats.mergedCoverage(iv.toDF("k", "s", "e", "t"),
+        col("k"), col("s"), col("e"), col("t"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val brute = iv.groupBy(_._1).map { case (k, rows) =>
+      val (isl, cov) = bruteCoverage(rows.map(r => (r._2, r._3)).toSeq)
+      k -> ((isl, cov, rows.size.toLong))
+    }
+    assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(3)}")
+  }
+
+  test("mergedCoverage drops null endpoints and keeps other keys intact") {
+    import graft.operators.Stats
+    val iv = Seq((1L, Some(0L), Some(10L), 1L), (2L, None: Option[Long], Some(5L), 2L))
+      .toDF("k", "s", "e", "t")
+    val got = Stats.mergedCoverage(iv, col("k"), col("s"), col("e"), col("t"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L, 10L, 1L)), got.toSeq.toString)
+  }
+
   test("slidingDistinctDaily windowDays = 1 is plain DAU") {
     import graft.operators.Stats
     val ev = Seq((1L, 0L), (2L, 0L), (1L, DayUs)).toDF("k", "ts_us")
