@@ -86,6 +86,10 @@ object ScaleProbe {
     // + two same-key groupBys; replica adds users, per-user interval
     // counts constant → linear
     "q_interval_coverage" -> false,
+    // round-8 third wave: NN join = 9x bounded probe explode against a
+    // FIXED 500-site table, map-side-combined per-probe min → linear in
+    // probes (the events axis the replica grows)
+    "q_nn_join" -> false,
     // round-8 second wave: concave ray-cast census = same row-local
     // predicate + map-side agg shape as q_geofence; drift = two
     // map-side-combined (group, bin) histograms + broadcast totals —

@@ -129,6 +129,57 @@ object Spatial {
       .filter(col("dist2") <= lit(d.toLong * d))
   }
 
+  /** For each probe point, the NEAREST site within L2 radius `d` — the
+    * bounded-radius nearest-neighbor join (snap-to-POI / map-matching /
+    * nearest-station enrichment). EXACT under the radius bound: with
+    * cell size = d, any site at distance ≤ d sits in the probe's 3×3
+    * cell neighborhood, so candidate generation loses nothing; the
+    * unbounded-NN variant would need expanding ring searches (data-
+    * dependent rounds) — the fixed radius is what makes one join pass
+    * sufficient, and "no site within d" rows are dropped (callers
+    * left-join the result back if they need misses). Winner per probe
+    * by min(dist², site-id) — the deterministic tie rule.
+    *
+    * Scale shape: candidates are 9 · occupancy per probe (never
+    * |probes|·|sites|); the per-probe min is a map-side-combinable
+    * min-of-struct, so the shuffle carries one candidate-reduced row
+    * per (partition, probe), and a small site table broadcasts under
+    * AQE like any dimension. Inputs: probes (probeIdCol, x, y), sites
+    * (siteIdCol, x, y), integer coords. Output: (probeIdCol, nn_id,
+    * dist2). */
+  def nearestSiteWithin(
+      probes: DataFrame,
+      sites: DataFrame,
+      probeIdCol: String,
+      siteIdCol: String,
+      d: Int): DataFrame = {
+    require(d > 0, s"radius must be positive: $d")
+    val build = sites.select(
+      col(siteIdCol).as("_sid"), col("x").as("_sx"), col("y").as("_sy"),
+      floor(col("x") / d).cast("long").as("cx"),
+      floor(col("y") / d).cast("long").as("cy"))
+    val probe = probes.select(
+        col(probeIdCol).as("_pid"), col("x").as("_px"), col("y").as("_py"),
+        floor(col("x") / d).cast("long").as("_cx"),
+        floor(col("y") / d).cast("long").as("_cy"))
+      .select(col("_pid"), col("_px"), col("_py"),
+        explode(expr("flatten(transform(sequence(-1, 1), " +
+          "dx -> transform(sequence(-1, 1), dy -> struct(_cx + dx AS cx, _cy + dy AS cy))))"))
+          .as("_c"))
+      .select(col("_pid"), col("_px"), col("_py"),
+        col("_c.cx").as("cx"), col("_c.cy").as("cy"))
+    probe.join(build, Seq("cx", "cy"))
+      .select(col("_pid"),
+        ((col("_px") - col("_sx")) * (col("_px") - col("_sx")) +
+          (col("_py") - col("_sy")) * (col("_py") - col("_sy"))).as("_d2"),
+        col("_sid"))
+      .filter(col("_d2") <= lit(d.toLong * d))
+      .groupBy(col("_pid"))
+      .agg(min(struct(col("_d2").as("d2"), col("_sid").as("sid"))).as("_m"))
+      .select(col("_pid").as(probeIdCol),
+        col("_m.sid").as("nn_id"), col("_m.d2").as("dist2"))
+  }
+
   /** DBSCAN density clustering (Ester et al. 1996), exact and
     * deterministic: a point is CORE iff its eps-neighborhood (itself
     * included) holds ≥ minPts points; clusters are the connected

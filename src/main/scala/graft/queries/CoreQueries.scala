@@ -1667,6 +1667,40 @@ object CoreQueries {
              |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 100
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Bounded-radius nearest-neighbor join: every event point snaps to
+    // its nearest of 500 sites within L2 radius 25 (exact by the 3x3
+    // neighborhood argument — cell size = radius), winner by (dist²,
+    // site id). Site coords decorrelate from probe coords via the
+    // id -> 13·id+7 remap before the same quadratic-residue mixing. The
+    // oracle is the brute-force quadratic join + QUALIFY arg-min.
+    Q("q_nn_join",
+      (s, dir) => {
+        val sites = Tables.part(s, dir).filter(col("p_partkey") <= 500)
+          .select(col("p_partkey").as("site_id"),
+            Spatial.xMil(col("p_partkey") * 13 + 7).as("x"),
+            Spatial.yMil(col("p_partkey") * 13 + 7).as("y"))
+        Spatial.nearestSiteWithin(eventPoints(s, dir), sites,
+            "event_id", "site_id", d = 25)
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id,
+             |                  ((event_id*event_id)%1000003*37 + event_id*101)%1000 AS x,
+             |                  ((event_id*event_id)%999983*73 + event_id*211)%1000 AS y
+             |           FROM events),
+             |s AS (SELECT p_partkey AS sid,
+             |             (((p_partkey*13+7)*(p_partkey*13+7))%1000003*37 + (p_partkey*13+7)*101)%1000 AS x,
+             |             (((p_partkey*13+7)*(p_partkey*13+7))%999983*73 + (p_partkey*13+7)*211)%1000 AS y
+             |      FROM part WHERE p_partkey <= 500),
+             |c AS (SELECT p.event_id, s.sid,
+             |             (p.x-s.x)*(p.x-s.x) + (p.y-s.y)*(p.y-s.y) AS dist2
+             |      FROM p JOIN s
+             |        ON s.x BETWEEN p.x - 25 AND p.x + 25
+             |       AND s.y BETWEEN p.y - 25 AND p.y + 25
+             |      WHERE (p.x-s.x)*(p.x-s.x) + (p.y-s.y)*(p.y-s.y) <= 625)
+             |SELECT event_id, sid AS nn_id, CAST(dist2 AS BIGINT) AS dist2 FROM c
+             |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY dist2, sid) = 1
+             |ORDER BY event_id""".stripMargin)),
+
     // Convex-geofence census: the half-plane containment test as one
     // codegen'd row-local conjunction over the synthetic coords (no
     // join, no shuffle — the fence predicate rides the scan). Fence =

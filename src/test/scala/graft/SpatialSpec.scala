@@ -177,4 +177,42 @@ class SpatialSpec extends SparkSpec {
       (4L, 2L, "border"), (5L, -1L, "noise"),
       (6L, 6L, "core"), (7L, 6L, "core"), (8L, 6L, "core")))
   }
+
+  test("nearestSiteWithin: radius bound, tie rule, and cross-cell neighbors") {
+    val probes = Seq((1L, 0L, 0L), (2L, 100L, 100L)).toDF("id", "x", "y")
+    // sites 10 (3,4) and 11 (5,0) both at dist2 25 from probe 1 (a tie);
+    // site 12 sits at dist 6 > 5 from probe 2 (excluded); site 13 at
+    // (-1,-1) lives in the below-left NEIGHBOR cell (negative coords)
+    // and at dist2 2 must beat both ties — the cross-cell case
+    val sites = Seq((10L, 3L, 4L), (11L, 5L, 0L), (12L, 106L, 100L),
+      (13L, -1L, -1L)).toDF("id", "x", "y")
+    // probe 1: site 13 wins at dist2 2; probe 2: no site in radius → absent
+    val m = Spatial.nearestSiteWithin(probes, sites, "id", "id", d = 5)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m == Map(1L -> ((13L, 2L))), m.toString)
+    // without site 13 the tie at dist2 25 resolves to min site id 10
+    val m2 = Spatial.nearestSiteWithin(probes, sites.filter($"id" =!= 13L),
+        "id", "id", d = 5)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m2 == Map(1L -> ((10L, 25L))), m2.toString)
+  }
+
+  test("nearestSiteWithin equals brute-force NN on random scatter") {
+    val probes = (1L to 200L).map(i =>
+      (i, (i * 7919L) % 300L, (i * 104729L) % 300L)).toDF("id", "x", "y")
+    val siteSeq = (1L to 30L).map(j =>
+      (j, (j * 31L + 17L) % 300L, (j * 57L + 5L) % 300L))
+    val got = Spatial.nearestSiteWithin(probes, siteSeq.toDF("id", "x", "y"),
+        "id", "id", d = 40)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val brute = (1L to 200L).flatMap { i =>
+      val (px, py) = ((i * 7919L) % 300L, (i * 104729L) % 300L)
+      val cands = siteSeq.map { case (j, sx, sy) =>
+        (j, (px - sx) * (px - sx) + (py - sy) * (py - sy))
+      }.filter(_._2 <= 1600L)
+      if (cands.isEmpty) None
+      else Some(i -> cands.minBy(c => (c._2, c._1)))
+    }.toMap.map { case (k, (j, d2)) => k -> ((j, d2)) }
+    assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(5)}")
+  }
 }
