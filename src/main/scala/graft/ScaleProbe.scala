@@ -90,6 +90,10 @@ object ScaleProbe {
     // FIXED 500-site table, map-side-combined per-probe min → linear in
     // probes (the events axis the replica grows)
     "q_nn_join" -> false,
+    // round-8 third wave: KS = one map-side (group, value) count pass;
+    // everything downstream runs on the distinct-value frame (value
+    // space is data-bounded, grows sublinearly on the replica)
+    "q_ks_test" -> false,
     // round-8 second wave: concave ray-cast census = same row-local
     // predicate + map-side agg shape as q_geofence; drift = two
     // map-side-combined (group, bin) histograms + broadcast totals —

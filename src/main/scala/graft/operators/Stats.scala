@@ -267,6 +267,58 @@ object Stats {
     * aggregations (cells = groups × bins, tiny), a broadcast bin grid,
     * and a broadcast per-group totals join. Nothing row-count-sized ever
     * shuffles; the drift frame is O(groups·bins) at any corpus size. */
+  /** Exact two-sample Kolmogorov–Smirnov distance of every group's value
+    * distribution against a designated reference group — the BINLESS
+    * drift detector next to [[histogramDrift]] (no bin-placement
+    * sensitivity; catches shape shifts χ² bins can wash out). All
+    * integer: the sup runs over the pooled distinct value points with
+    * right-continuous cumulative counts, and |F_ref − F_g| is cross-
+    * multiplied as |cum_ref·n_g − cum_g·n_ref| so no division happens
+    * until the final ppm, which goes through DECIMAL(38,0) floor-div
+    * (products bounded by n_ref·n_cur < 2⁶³ — holds to ~3·10⁹ rows per
+    * side; the ppm path is overflow-safe past that).
+    *
+    * Scale shape: raw rows collapse to (group, value) counts in one
+    * map-side-combined pass — everything after runs on the DISTINCT-
+    * VALUE frame, not the row count. Reference counts replicate once
+    * per comparison group (a broadcast cross join of the tiny group
+    * list), the cumulative sums are per-group windows (no global
+    * window), totals ride a broadcast. Output: (group, n_ref, n_cur,
+    * ks_ppm). */
+  def ksDrift(
+      df: DataFrame,
+      grpCol: Column,
+      valCol: Column,
+      refGroup: String): DataFrame = {
+    val base = df.select(grpCol.as("g"), valCol.as("_v"))
+    val refCnt = base.filter(col("g") === refGroup)
+      .groupBy(col("_v")).agg(count(lit(1)).as("_cr"))
+    val curCnt = base.filter(col("g") =!= refGroup)
+      .groupBy(col("g"), col("_v")).agg(count(lit(1)).as("_cg"))
+    val groups = curCnt.select(col("g")).distinct()
+    val merged = refCnt.crossJoin(broadcast(groups))
+      .join(curCnt, Seq("g", "_v"), "full_outer")
+      .na.fill(0L, Seq("_cr", "_cg"))
+    val w = Window.partitionBy(col("g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nr = refCnt.agg(coalesce(sum(col("_cr")), lit(0L)).as("_nr"))
+    val ng = curCnt.groupBy(col("g")).agg(sum(col("_cg")).as("_ng"))
+    merged
+      .withColumn("_fr", sum(col("_cr")).over(w))
+      .withColumn("_fg", sum(col("_cg")).over(w))
+      .join(broadcast(ng), Seq("g"))
+      .crossJoin(broadcast(nr))
+      .groupBy(col("g"))
+      .agg(max(col("_nr")).as("n_ref"), max(col("_ng")).as("n_cur"),
+        max(abs(col("_fr") * col("_ng") - col("_fg") * col("_nr"))).as("_md"))
+      .withColumn("ks_ppm",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          expr("CAST(_md AS DECIMAL(38,0)) * 1000000 DIV " +
+            "(CAST(n_ref AS DECIMAL(38,0)) * n_cur)").cast("long"))
+          .otherwise(0L))
+      .select(col("g"), col("n_ref"), col("n_cur"), col("ks_ppm"))
+  }
+
   def histogramDrift(
       ref: DataFrame,
       cur: DataFrame,

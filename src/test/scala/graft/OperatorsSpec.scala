@@ -411,6 +411,46 @@ class OperatorsSpec extends SparkSpec {
     assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(5)}")
   }
 
+  // -- ksDrift ------------------------------------------------------------
+
+  test("ksDrift: hand-computed sup of shifted, identical, and disjoint samples") {
+    import graft.operators.Stats
+    val df = (Seq(1L, 2L, 3L).map(("ref", _)) ++ Seq(2L, 3L, 4L).map(("shift", _)) ++
+      Seq(1L, 2L, 3L).map(("same", _)) ++ Seq(10L, 11L).map(("disj", _)))
+      .toDF("g", "v")
+    val got = Stats.ksDrift(df, col("g"), col("v"), "ref")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // shift by 1: sup|F| = 1/3 → floor(3*1e6/9) = 333333
+    assert(got("shift") == ((3L, 3L, 333333L)), got.toString)
+    assert(got("same") == ((3L, 3L, 0L)), got.toString)
+    assert(got("disj") == ((3L, 2L, 1000000L)), got.toString)
+  }
+
+  test("ksDrift equals brute-force CDF sup on random groups") {
+    import graft.operators.Stats
+    val rows = for { g <- Seq("a", "b", "c", "ref"); i <- 1L to 80L }
+      yield (g, (i * 7919L + g.hashCode.toLong.abs % 97L * i) % 50L)
+    val got = Stats.ksDrift(rows.toDF("g", "v"), col("g"), col("v"), "ref")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    val ref = rows.filter(_._1 == "ref").map(_._2)
+    val brute = Seq("a", "b", "c").map { g =>
+      val cur = rows.filter(_._1 == g).map(_._2)
+      val pts = (ref ++ cur).distinct
+      val md = pts.map(x =>
+        math.abs(ref.count(_ <= x).toLong * cur.size - cur.count(_ <= x).toLong * ref.size)).max
+      g -> md * 1000000L / (ref.size.toLong * cur.size)
+    }.toMap
+    assert(got == brute, s"got=$got brute=$brute")
+  }
+
+  test("ksDrift: missing reference group yields ks 0, not a crash") {
+    import graft.operators.Stats
+    val df = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val got = Stats.ksDrift(df, col("g"), col("v"), "nope")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a", 0L, 2L, 0L)), got.toSeq.toString)
+  }
+
   // -- mergedCoverage -----------------------------------------------------
 
   /** Brute merge model: sort, sweep, union half-open intervals. */
