@@ -94,6 +94,10 @@ object ScaleProbe {
     // everything downstream runs on the distinct-value frame (value
     // space is data-bounded, grows sublinearly on the replica)
     "q_ks_test" -> false,
+    // round-8 third wave: ACF = one user-keyed Exchange reused by
+    // totals agg, join, lag window, and final agg — linear, the
+    // q_trend_ols shape without the layout artifact (no tiny-base split)
+    "q_acf" -> false,
     // round-8 second wave: concave ray-cast census = same row-local
     // predicate + map-side agg shape as q_geofence; drift = two
     // map-side-combined (group, bin) histograms + broadcast totals —

@@ -139,4 +139,60 @@ object TimeSeries {
       .select(col("g"), col("_np").as("n_pairs"),
         floor(col("dy") * 1000000.0 / col("dx")).cast("long").as("slope_ppm"))
   }
+
+  /** Per-key sample autocorrelation at lags 1..maxLag, ENGINE-EXACT: the
+    * common-mean ACF r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² is
+    * cleared of fractions by multiplying each deviation by n
+    * (dev_t = n·x_t − S, S = Σx), so numerator and denominator are pure
+    * integers — carried in DECIMAL(38,0) (the int128 stand-in; per-key
+    * bound n³·x̄² ≲ 10³⁰ at a million points per key) and reduced to a
+    * signed ppm with truncation-toward-zero on |num| so both engines
+    * round identically regardless of their negative-division convention.
+    * The serial-correlation diagnostic of a telemetry pipeline (is the
+    * signal noise, trend, or oscillation) — the lag-k companion to
+    * [[ewmaAnomaly]]'s level tracking.
+    *
+    * Scale shape: one hash Exchange on the key feeds the totals
+    * aggregate, the totals join, the lag window, and the final
+    * aggregate — all same-key, one shuffle total; lags are window
+    * `lag()` columns (no self-join). Rows with t ≤ k fall out of num_k
+    * as null products (sum skips them), exactly the t = k+1..n sum.
+    * Output: (key, n, acf1_ppm..acf<maxLag>_ppm); constant series
+    * (den = 0) and short series (n ≤ k) report 0. */
+  def acfPpm(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valCol: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10, s"maxLag must be in 1..10: $maxLag")
+    val base = df.select(keyCol.as("key"), tsCol.as("_t"), tieCol.as("_tie"),
+      valCol.as("_x"))
+    val tot = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+      .orderBy(col("_t"), col("_tie"))
+    val dev = base.join(tot, Seq("key"))
+      .withColumn("_dev", expr("CAST(_n AS DECIMAL(38,0)) * _x - _s"))
+    val lagged = (1 to maxLag).foldLeft(dev) { (d, k) =>
+      d.withColumn(s"_d$k", lag(col("_dev"), k).over(w))
+    }
+    val aggs = Seq(max(col("_n")).as("n"),
+      sum(col("_dev") * col("_dev")).as("_den")) ++
+      (1 to maxLag).map(k =>
+        coalesce(sum(col("_dev") * col(s"_d$k")), lit(0L).cast("decimal(38,0)"))
+          .as(s"_num$k"))
+    val g = lagged.groupBy(col("key")).agg(aggs.head, aggs.tail: _*)
+    val out = (1 to maxLag).foldLeft(g) { (d, k) =>
+      d.withColumn(s"acf${k}_ppm",
+        when(col("_den") > 0,
+          when(col(s"_num$k") < 0,
+            -expr(s"abs(_num$k) * 1000000 DIV _den"))
+            .otherwise(expr(s"_num$k * 1000000 DIV _den")).cast("long"))
+          .otherwise(0L))
+    }
+    out.select((col("key") +: col("n") +:
+      (1 to maxLag).map(k => col(s"acf${k}_ppm"))): _*)
+  }
 }

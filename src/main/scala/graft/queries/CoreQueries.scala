@@ -1298,6 +1298,44 @@ object CoreQueries {
              |       CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
              |FROM g ORDER BY user_id, version""".stripMargin)),
 
+    // Per-user autocorrelation at lags 1..3 over the event-ordered
+    // value-mils series — ENGINE-EXACT ACF: deviations are cleared of
+    // the mean's fraction (dev = n·x − Σx), sums run in DECIMAL(38,0) /
+    // HUGEINT, and the signed ppm truncates |num| toward zero so both
+    // engines' negative-division conventions agree. One shuffle on
+    // user_id serves totals, join, lag window, and final aggregate.
+    Q("q_acf",
+      (s, dir) => TimeSeries.acfPpm(Tables.events(s, dir),
+          col("user_id"), unix_micros(col("ts")), col("event_id"),
+          floor(col("value") * 1000).cast("long"), maxLag = 3)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id"),
+      Some("""WITH b AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tie,
+             |                  CAST(floor(value*1000) AS BIGINT) AS x FROM events),
+             |tot AS (SELECT k, count(*) AS n, sum(x) AS s FROM b GROUP BY 1),
+             |d AS (SELECT b.k, t, tie, CAST(tot.n AS HUGEINT)*x - tot.s AS dev, tot.n
+             |      FROM b JOIN tot ON b.k = tot.k),
+             |l AS (SELECT k, n, dev,
+             |        lag(dev, 1) OVER w AS d1, lag(dev, 2) OVER w AS d2,
+             |        lag(dev, 3) OVER w AS d3
+             |      FROM d WINDOW w AS (PARTITION BY k ORDER BY t, tie)),
+             |a AS (SELECT k, max(n) AS n, sum(dev*dev) AS den,
+             |             coalesce(sum(dev*d1), 0) AS n1,
+             |             coalesce(sum(dev*d2), 0) AS n2,
+             |             coalesce(sum(dev*d3), 0) AS n3
+             |      FROM l GROUP BY 1)
+             |SELECT k AS user_id, CAST(n AS BIGINT) AS n,
+             |  CAST(CASE WHEN den > 0 THEN (CASE WHEN n1 < 0
+             |       THEN -(abs(n1)*1000000 // den) ELSE n1*1000000 // den END)
+             |       ELSE 0 END AS BIGINT) AS acf1_ppm,
+             |  CAST(CASE WHEN den > 0 THEN (CASE WHEN n2 < 0
+             |       THEN -(abs(n2)*1000000 // den) ELSE n2*1000000 // den END)
+             |       ELSE 0 END AS BIGINT) AS acf2_ppm,
+             |  CAST(CASE WHEN den > 0 THEN (CASE WHEN n3 < 0
+             |       THEN -(abs(n3)*1000000 // den) ELSE n3*1000000 // den END)
+             |       ELSE 0 END AS BIGINT) AS acf3_ppm
+             |FROM a ORDER BY user_id""".stripMargin)),
+
     // Per-user EWMA (α=1/4) + threshold anomaly count — an ordered
     // integer recurrence (floor-rounded state) no window frame can
     // express, folded row-locally per entity after one shuffle; the

@@ -84,4 +84,47 @@ class TimeSeriesSpec extends SparkSpec {
     // single point → no pairs → no output row for that group
     assert(!ts(Seq((4L, 1L, 1L, 1L))).contains(4L))
   }
+
+  private def acf(rows: Seq[(Long, Long, Long, Long)]) = // (k, t, tie, x)
+    TimeSeries.acfPpm(rows.toDF("k", "t", "tie", "x"),
+        col("k"), col("t"), col("tie"), col("x"), maxLag = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("acfPpm: alternating series hand case (negative lag-1, positive lag-2)") {
+    // x = +1000,-1000,+1000,-1000: S=0, dev=4x, den=64e6;
+    // num1=-48e6, num2=+32e6, num3=-16e6 → -750000, 500000, -250000
+    val rows = Seq(1000L, -1000L, 1000L, -1000L).zipWithIndex
+      .map { case (x, i) => (1L, i.toLong, i.toLong, x) }
+    assert(acf(rows)(1L) == ((4L, -750000L, 500000L, -250000L)), acf(rows).toString)
+  }
+
+  test("acfPpm: constant and too-short series report 0") {
+    val const = (0L to 5L).map(i => (1L, i, i, 42L))
+    assert(acf(const)(1L) == ((6L, 0L, 0L, 0L)))
+    val short = Seq((2L, 0L, 0L, 10L), (2L, 1L, 1L, 30L))
+    // n=2: lag-1 exists (one product), lags 2,3 empty → 0 via coalesce
+    val (n, a1, a2, a3) = acf(short)(2L)
+    assert(n == 2L && a2 == 0L && a3 == 0L && a1 < 0L, acf(short).toString)
+  }
+
+  test("acfPpm equals BigInt brute force on random multi-key series") {
+    val rows = for { k <- 1L to 6L; i <- 0L until (10L + k % 4) }
+      yield (k, i, i, ((k * 7919L + i * 104729L) % 2001L) - 1000L)
+    val got = acf(rows)
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val xs = rs.sortBy(_._2).map(_._4).map(BigInt(_))
+      val n = BigInt(xs.size); val s = xs.sum
+      val dev = xs.map(n * _ - s)
+      val den = dev.map(d => d * d).sum
+      def ppm(lag: Int): Long = {
+        val num = (lag until xs.size).map(t => dev(t) * dev(t - lag)).sum
+        if (den <= 0) 0L
+        else if (num < 0) -((-num) * 1000000 / den).toLong
+        else (num * 1000000 / den).toLong
+      }
+      assert(got(k) == ((n.toLong, ppm(1), ppm(2), ppm(3))),
+        s"k=$k got=${got(k)} want=${(n.toLong, ppm(1), ppm(2), ppm(3))}")
+    }
+  }
 }
