@@ -183,6 +183,10 @@ object ScaleProbe {
     // measure 25.5× (86.5k → 2.21M) — genuine output growth (the
     // q_spatial_join physics class), not a candidate-generator defect
     "q_embed_leakage",
+    // round-8 third wave: cluster-atomic split = the q_dedup_minhash
+    // candidate pipeline + CC + one left join — probed on the unique-
+    // text replica for the same reason as the cluster queries
+    "q_split_safe",
     // containment prefix: k_A rarest shingles × inverted index — the
     // rotated-alphabet replica keeps cross-copy shingles disjoint
     "q_containment"

@@ -1093,6 +1093,33 @@ object PipelineQueries {
              |       ELSE 0 END AS in_dev_sample
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Leakage-safe train/val/test split: near-dup clusters (the verified
+    // minhash→CC frame) split as ATOMIC units — every member inherits
+    // the hashSplit of its cluster representative (the component min-id
+    // label), so near-dup twins can never straddle train and test (the
+    // eval-contamination guarantee q_data_split's per-doc hash cannot
+    // give). Singletons split by their own id, so on a dup-free corpus
+    // the assignment degrades to q_data_split exactly. At scale the
+    // clustered set is small → the rep join broadcasts.
+    Q("q_split_safe",
+      (s, dir) => {
+        val cc = minhashClusters(s, dir)
+        Tables.documents(s, dir).select(col("doc_id"))
+          .join(cc.select(col("doc_id"), col("component")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("rep"),
+            Sampling.hashSplit(
+              coalesce(col("component"), col("doc_id")), 12, 14).as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$duckClusters
+              |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep,
+              |  CASE WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+              |       WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM documents d LEFT JOIN comp c USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // Stratified (per-language) deterministic sampling — the domain
     // REBALANCING step: en is ~44% of this corpus, so it samples at 4/16
     // while zh keeps everything; the md5-nibble predicate makes the kept

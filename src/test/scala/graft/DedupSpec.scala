@@ -723,4 +723,29 @@ class DedupSpec extends SparkSpec {
         s"missing=${(brute diff got).take(3)} extra=${(got diff brute).take(3)}")
     }
   }
+
+  test("cluster-atomic split: no component ever straddles two splits") {
+    import graft.operators.Sampling
+    // chain cluster {1,2,3}, pair {10,11}, singletons 20..40
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "component")
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 40L)).toDF("doc_id")
+    val split = docs.join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("rep"),
+        Sampling.hashSplit(coalesce(col("component"), col("doc_id")), 12, 14).as("split"))
+      .as[(Long, Long, String)].collect()
+    val byRep = split.groupBy(_._2)
+    // every component is split-atomic
+    assert(byRep.forall(_._2.map(_._3).distinct.size == 1), byRep.toString)
+    // clustered docs share the min-id rep; singletons rep themselves
+    assert(split.filter(r => Seq(1L, 2L, 3L).contains(r._1)).forall(_._2 == 1L))
+    assert(split.filter(_._1 >= 20L).forall(r => r._2 == r._1))
+    // and the singleton assignment equals the plain per-doc hashSplit
+    val plain = docs.select(col("doc_id"),
+        Sampling.hashSplit(col("doc_id"), 12, 14).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(split.filter(_._1 >= 20L).forall(r => r._3 == plain(r._1)))
+  }
 }
