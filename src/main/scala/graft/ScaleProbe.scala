@@ -98,6 +98,9 @@ object ScaleProbe {
     // totals agg, join, lag window, and final agg — linear, the
     // q_trend_ols shape without the layout artifact (no tiny-base split)
     "q_acf" -> false,
+    // round-8 third wave: dim-robust stats = fixed x64 explode + per-dim
+    // windows (64 groups) + 64-row broadcast — linear in vectors
+    "q_robust_scale" -> false,
     // round-8 second wave: concave ray-cast census = same row-local
     // predicate + map-side agg shape as q_geofence; drift = two
     // map-side-combined (group, bin) histograms + broadcast totals —

@@ -372,4 +372,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qIdCol), col("rank"), col(idCol), col("sim_ppm"))
   }
+
+  /** Per-DIMENSION robust statistics of an embedding column — the
+    * feature-QC pass before any distance-based pipeline (a dimension
+    * with a shifted median or a fat outlier tail poisons every cosine
+    * downstream): exact nearest-rank quartiles of each dimension's
+    * value distribution (micro-unit quantized — floor(v·10⁶), identical
+    * IEEE double ops in any engine) plus an outlier census under the
+    * robust rule |v − median| > max(3·IQR, 1) (≈ 4σ under normality,
+    * immune to the outliers it hunts, unlike mean/stddev).
+    *
+    * Scale shape: posexplode fans each vector to `dims` rows (a fixed
+    * ×64-class factor, not data-dependent); quartiles ride
+    * [[Stats.nearestRankPercentiles]]'s per-dim window (dims are the
+    * partition key — at most `dims` groups, perfectly spread); the
+    * dim-keyed stats frame (dims rows) broadcasts back for the census.
+    * Output: (dim, n, p25_us, p50_us, p75_us, iqr_us, n_outliers). */
+  def dimRobustStats(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val el = emb
+      .select(col(idCol).as("_id"), posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col("_id"), col("dim").cast("long").as("dim"),
+        floor(col("_v").cast("double") * 1000000).cast("long").as("v_us"))
+    val stats = Stats.nearestRankPercentiles(el, "dim", "v_us", "_id", Seq(25, 50, 75))
+      .select(col("dim"), col("n_docs").as("_n"),
+        col("p25_v_us"), col("p50_v_us"), col("p75_v_us"),
+        (col("p75_v_us") - col("p25_v_us")).as("_iqr"))
+    el.join(broadcast(stats), Seq("dim"))
+      .groupBy(col("dim"))
+      .agg(max(col("_n")).as("n"),
+        max(col("p25_v_us")).as("p25_us"),
+        max(col("p50_v_us")).as("p50_us"),
+        max(col("p75_v_us")).as("p75_us"),
+        max(col("_iqr")).as("iqr_us"),
+        sum(when(abs(col("v_us") - col("p50_v_us")) >
+            greatest(col("_iqr") * 3L, lit(1L)), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

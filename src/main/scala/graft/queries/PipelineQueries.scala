@@ -619,6 +619,36 @@ object PipelineQueries {
              |SELECT id_a, id_b, sim_ppm FROM sc WHERE sim_ppm >= 350000
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Per-dimension robust stats of the embedding corpus (feature QC):
+    // exact nearest-rank quartiles of each of the 64 dims' micro-unit
+    // values + outlier census under |v - median| > max(3·IQR, 1) — the
+    // median/IQR path is immune to the outliers it hunts. Explode is a
+    // fixed ×64 fan-out; quartiles are per-dim windows (64 perfectly
+    // spread groups); the 64-row stats frame broadcasts for the census.
+    Q("q_robust_scale",
+      (s, dir) => Similarity.dimRobustStats(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("dim"),
+      Some("""WITH el AS (
+             |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+             |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v_us
+             |  FROM embeddings),
+             |r AS (SELECT dim, vec_id, v_us,
+             |        row_number() OVER (PARTITION BY dim ORDER BY v_us, vec_id) AS rn,
+             |        count(*) OVER (PARTITION BY dim) AS n
+             |      FROM el),
+             |p AS (SELECT dim, max(n) AS n,
+             |        max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN v_us END) AS p25,
+             |        max(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN v_us END) AS p50,
+             |        max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN v_us END) AS p75
+             |      FROM r GROUP BY 1)
+             |SELECT el.dim, p.n, p.p25 AS p25_us, p.p50 AS p50_us, p.p75 AS p75_us,
+             |       p.p75 - p.p25 AS iqr_us,
+             |       CAST(sum(CASE WHEN abs(v_us - p50) > greatest((p75 - p25) * 3, 1)
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM el JOIN p USING (dim)
+             |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY dim""".stripMargin)),
+
     // Embedding-space eval-set leakage: vec_id % 10 == 7 plays the held-
     // out eval split, everyone else is train; eval vectors probe the
     // STAGED train LSH index (never eval×train), exact cosine ≥ 0.35

@@ -198,4 +198,44 @@ class SimilaritySpec extends SparkSpec {
       (20L, 10L), (20L, 11L), (21L, 10L), (21L, 11L)), got.toString)
     assert(got.forall(_._3 >= 900000L))
   }
+
+  test("dimRobustStats: outlier census flags the planted fat tail only") {
+    // dim 0: nine tight values + one huge outlier; dim 1: constant
+    // (IQR 0 → threshold max(0,1)=1 → everything within 1 of the median
+    // is clean)
+    val vecs = (1L to 9L).map(i => (i, Seq((i * 0.001).toFloat, 0.5f))) :+
+      ((10L, Seq(5.0f, 0.5f)))
+    val got = Similarity.dimRobustStats(vecs.toDF("id", "vec"), "id", "vec")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    val q = (1L to 9L).map(i => math.floor((i * 0.001).toFloat.toDouble * 1e6).toLong)
+      .sorted
+    // nearest-rank over the 10 sorted dim-0 values (outlier last):
+    // p25 = rank ceil(2.5)=3, p50 = rank 5, p75 = rank ceil(7.5)=8
+    val all0 = (q :+ 5000000L).sorted
+    val (p25, p50, p75) = (all0(2), all0(4), all0(7))
+    assert(got(0L) == ((10L, p25, p50, p75, p75 - p25, 1L)), got.toString)
+    val (_, _, c50, _, ciqr, cout) = got(1L)
+    assert(ciqr == 0L && cout == 0L && c50 == math.floor(0.5f.toDouble * 1e6).toLong,
+      got.toString)
+  }
+
+  test("dimRobustStats equals brute nearest-rank model on random vectors") {
+    val vecs = (1L to 50L).map { i =>
+      (i, (0 until 4).map(d => (((i * 7919L + d * 104729L) % 2001L) - 1000L).toFloat / 100f))
+    }
+    val got = Similarity.dimRobustStats(vecs.toDF("id", "vec"), "id", "vec")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    (0 until 4).foreach { d =>
+      val vs = vecs.map(v => math.floor(v._2(d).toDouble * 1e6).toLong)
+      val sorted = vs.sorted
+      def rank(p: Double) = sorted(math.ceil(vs.size * p).toInt - 1)
+      val (p25, p50, p75) = (rank(0.25), rank(0.50), rank(0.75))
+      val iqr = p75 - p25
+      val outs = vs.count(v => math.abs(v - p50) > math.max(3 * iqr, 1L)).toLong
+      assert(got(d.toLong) == ((50L, p25, p50, p75, iqr, outs)),
+        s"dim=$d got=${got(d.toLong)} want=${(50L, p25, p50, p75, iqr, outs)}")
+    }
+  }
 }
