@@ -142,9 +142,9 @@ object ScaleProbe {
     // round-8: k-core peeling and weighted SSSP — lineitem co-purchase
     // axis, same class as q_triangle_count/q_pagerank
     "q_kcore", "q_sssp",
-    // round-8 third wave: synchronized LPA communities — same lineitem
-    // co-purchase axis as q_kcore/q_sssp
-    "q_label_prop")
+    // round-8 third wave: synchronized LPA communities and personalized
+    // PageRank — same lineitem axis as q_kcore/q_sssp/q_pagerank
+    "q_label_prop", "q_ppr")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes
@@ -363,6 +363,15 @@ object ScaleProbe {
     * densities and the 30-day time span (constant partition count,
     * 5× rows per partition — the pure data-volume axis). */
   def buildReplica(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
+    // Fixed DIMENSION tables ride along verbatim (1×): the replica grows
+    // the fact axes only, so a dim-probing query (q_nn_join's 500-site
+    // table) keeps candidate volume linear in probes — checked outside
+    // the done-marker so pre-existing replicas pick it up.
+    val partOut = java.nio.file.Paths.get(out, "part.parquet")
+    if (!java.nio.file.Files.exists(partOut)) {
+      spark.read.parquet(s"$base/part.parquet")
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+    }
     val done = java.nio.file.Paths.get(out, "_REPLICA_OK")
     if (java.nio.file.Files.exists(done)) return
 

@@ -186,6 +186,62 @@ object Graph {
     dist
   }
 
+  /** PERSONALIZED PageRank (random walk with restart): teleport mass
+    * returns to a SEED SET instead of spreading uniformly, so ranks
+    * measure proximity to the seeds — the recommendation / related-
+    * items / local-community primitive (Jeh & Widom 2003) that global
+    * [[pagerank]] cannot express. Same exact-integer contract: ranks in
+    * parts of `scale`, every division a floor over non-negative
+    * operands, so an oracle replays iterations verbatim:
+    *
+    *   rank′(v) = [v ∈ S]·floor(15·scale/(100·|S|))
+    *            + floor(85·Σ floor(rank(u)/deg(u)) / 100)
+    *
+    * seeded with rank₀ = floor(scale/|S|) on seeds, 0 elsewhere. Mass
+    * stays within `scale` (floor losses only shrink it), and after i
+    * iterations rank(v) is nonzero exactly on the seeds' i-hop
+    * out-neighborhood — the locality that makes PPR cheap: per
+    * iteration only rank-positive rows join the edge frame.
+    *
+    * Scale shape: identical to [[pagerank]] — staged edge+degree frame,
+    * one shuffle-on-dst aggregation per iteration, rank frame re-staged
+    * (flat plans). The seed membership test is a literal IN over an
+    * O(10) human-chosen seed list, codegen'd row-local. */
+  def personalizedPagerank(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(seeds.nonEmpty && seeds.distinct == seeds, s"seeds must be distinct, non-empty")
+    val e = graft.store.Staging.stage(
+      edges.select(col("src"), col("dst")).distinct(), "ppr_edges")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = graft.store.Staging.stage(e.join(deg, Seq("src")), "ppr_edges_deg")
+    val nodes = graft.store.Staging.stage(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct(),
+      "ppr_nodes")
+    val isSeed = col("node").isin(seeds: _*)
+    val base = scale / seeds.length
+    val hold = (15L * scale) / (100L * seeds.length)
+    var ranks = nodes.select(col("node"),
+      when(isSeed, lit(base)).otherwise(lit(0L)).as("rank"))
+    for (i <- 0 until iters) {
+      val contrib = ed.join(ranks.filter(col("rank") > 0), ed("src") === col("node"))
+        .select(col("dst"),
+          floor(col("rank").cast("double") / col("deg")).cast("long").as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
+      ranks = graft.store.Staging.stage(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left_outer")
+          .select(nodes("node"),
+            (when(isSeed, lit(hold)).otherwise(lit(0L)) +
+              floor(coalesce(col("_in"), lit(0L)) * 85 / lit(100.0)).cast("long"))
+              .as("rank")),
+        s"ppr_ranks_i$i")
+    }
+    ranks
+  }
+
   /** Community detection by SYNCHRONIZED label propagation (Raghavan et
     * al. 2007, LPA) — the missing member of the graph family next to
     * [[pagerank]]/[[kCorePeel]]: every node starts labeled with its own

@@ -1012,7 +1012,24 @@ object CoreQueries {
            |GROUP BY u ORDER BY node""".stripMargin
       }),
 
-    // Community detection by synchronized label propagation (4 rounds)
+    // Personalized PageRank (random walk with restart, 3 iterations)
+    // from a 2-part seed set over the part⇄supplier bipartite graph —
+    // ranks measure proximity to the seeds (the related-items /
+    // recommendation primitive). Same exact-integer trail as q_pagerank
+    // (floors over non-negative operands, scale 10⁹), teleport split
+    // across the seeds; rank is nonzero exactly on the seeds' 3-hop
+    // neighborhood. Oracle unrolls the identical recurrence.
+    Q("q_ppr",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val e = li.select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+          .unionByName(li.select((col("l_suppkey") + 1000000L).as("src"),
+            col("l_partkey").as("dst")))
+        Graph.personalizedPagerank(e, seeds = Seq(1L, 2L), iters = 3)
+          .orderBy("node")
+      },
+      Some(pprOracle(Seq(1L, 2L), 3))),
     // over the SUPPORT-FILTERED co-purchase graph (pairs bought together
     // in >= 2 orders — the assoc-rules edge set, sparser than the raw
     // co-purchase graph so labels actually spread instead of collapsing).
@@ -2205,6 +2222,36 @@ object CoreQueries {
       unix_micros(col("ts")).as("ts_us"),
       Spatial.xMil(col("event_id")).as("x"),
       Spatial.yMil(col("event_id")).as("y"))
+
+  /** Unrolled-iteration DuckDB oracle for [[Graph.personalizedPagerank]]
+    * over the part⇄supplier graph — teleport mass splits across the
+    * seed set, rank₀ = floor(scale/|S|) on seeds else 0, same floors. */
+  private def pprOracle(seeds: Seq[Long], iters: Int): String = {
+    val seedList = seeds.mkString(", ")
+    val k = seeds.length
+    val head = Seq(
+      """e AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+        |       UNION SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst FROM lineitem)""".stripMargin,
+      "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+      "nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e)",
+      s"""r0 AS (SELECT node, CASE WHEN node IN ($seedList)
+         |        THEN CAST(1000000000 / $k AS BIGINT) ELSE 0 END AS rank FROM nodes)""".stripMargin)
+    val hold = (15L * 1000000000L) / (100L * k)
+    val steps = (1 to iters).flatMap { t =>
+      Seq(
+        s"""ct$t AS (
+           |  SELECT e.dst AS node, sum(CAST(floor(r.rank / d.deg) AS BIGINT)) AS inflow
+           |  FROM e JOIN r${t - 1} r ON e.src = r.node AND r.rank > 0
+           |       JOIN deg d ON e.src = d.src GROUP BY e.dst)""".stripMargin,
+        s"""r$t AS (
+           |  SELECT n.node,
+           |         CASE WHEN n.node IN ($seedList) THEN $hold ELSE 0 END
+           |           + CAST(floor(coalesce(c.inflow, 0) * 85 / 100.0) AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN ct$t c USING (node))""".stripMargin)
+    }
+    "WITH " + (head ++ steps).mkString(",\n") +
+      s"\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
 
   /** Unrolled-iteration DuckDB oracle for [[Graph.pagerank]] over the
     * part⇄supplier graph — same base/hold floors, same per-iteration

@@ -132,6 +132,34 @@ class GraphSpec extends SparkSpec {
     assert(all.keySet == (1L to 7L).toSet)
   }
 
+  test("personalizedPagerank replays the exact seeded recurrence on a pair") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    // seed {1}: r0 = (1e9, 0); after 1 iter node 2 holds 85% of the
+    // seed's full rank, node 1 only its teleport hold
+    val r1 = Graph.personalizedPagerank(e, Seq(1L), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 150000000L, 2L -> 850000000L), r1.toString)
+    val r2 = Graph.personalizedPagerank(e, Seq(1L), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 872500000L, 2L -> 127500000L), r2.toString)
+    // seeding BOTH nodes of the symmetric pair is stationary at scale/2
+    val rb = Graph.personalizedPagerank(e, Seq(1L, 2L), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rb == Map(1L -> 500000000L, 2L -> 500000000L), rb.toString)
+  }
+
+  test("personalizedPagerank: rank is nonzero exactly on the i-hop neighborhood") {
+    // path 1-2-3-4 symmetrized, seed 1: after 2 iters mass reaches 3,
+    // never 4
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val r = Graph.personalizedPagerank(path, Seq(1L), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r(3L) > 0L && r(4L) == 0L, r.toString)
+    // total mass never exceeds scale (floor losses only shrink it)
+    assert(r.values.sum <= 1000000000L && r.values.sum > 800000000L, r.toString)
+  }
+
   test("labelPropagation: disjoint triangles converge to per-triangle min label") {
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("u", "v")
