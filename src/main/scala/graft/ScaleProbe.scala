@@ -79,9 +79,14 @@ object ScaleProbe {
     "q_geofence" -> false,
     "q_fence_crossings" -> false,
     // round-8 third wave: WAU = one (user, day) dedup + per-user lead
-    // window + <= 7x bounded explode; replica adds users (id-offset), so
-    // user-days and interval rows both scale 5x, day-level agg span-fixed
-    "q_active_users" -> false,
+    // window + <= 7x bounded explode; TRUE distinct volume is exactly
+    // linear (40,083 → 200,415 user-day records, per-stage attribution
+    // in BUILDER_NOTES) but the 9.8x byte ratio is the q_trend_ols
+    // LAYOUT artifact: partial-distinct state = input_partitions × local
+    // keys, and the sf0.1 base lands in ~1 parquet split (map-side dedup
+    // pre-collapses 100k → 40k) while the replica has 32 (483k partial
+    // rows). Matched layouts ⇒ linear; absolute is 10.8 MB.
+    "q_active_users" -> true,
     // round-8 third wave: interval union = ONE per-user window Exchange
     // + two same-key groupBys; replica adds users, per-user interval
     // counts constant → linear
@@ -230,7 +235,16 @@ object ScaleProbe {
     // per-pair verify payload ships instead of riding a broadcast. Pin
     // so the exponent isolates the output physics (expected ~2.0 in the
     // same-plan regime, = log₅ of the copies² pair growth).
-    "q_embed_leakage" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    "q_embed_leakage" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    // Round-8: at 5× AQE broadcasts the EVENT-ROW side of the totals
+    // join (BuildLeft on the 500k-row frame!) so the window inherits the
+    // tiny totals exchange's key partitioning and the big exchange
+    // disappears from the shuffle counter — broadcast bytes aren't
+    // shuffle bytes, so the probe read 1.1× on 5× input. Legal and even
+    // fast in local mode; nonsense at 1000 executors (a fact-table
+    // broadcast). Pinning measures the SMJ regime both sides: 6.0×
+    // (8.5 → 51.2 MB, AQE-off differential in BUILDER_NOTES).
+    "q_acf" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
   )
 
   def main(args: Array[String]): Unit = {
