@@ -106,6 +106,14 @@ object ScaleProbe {
     // round-8 third wave: dim-robust stats = fixed x64 explode + per-dim
     // windows (64 groups) + 64-row broadcast — linear in vectors
     "q_robust_scale" -> false,
+    // round-8 third wave: radial simplification = one group-collect
+    // shuffle + row-local fold (the q_ewma shape); replica adds users at
+    // constant per-user track length → linear
+    "q_traj_simplify" -> false,
+    // round-8 third wave: stupid-backoff = train-side count groupBys +
+    // eval-stream left joins on gram keys, all ~n (the q_lm_bigram /
+    // q_dsir_weight shape with one more level)
+    "q_lm_backoff" -> false,
     // round-8 second wave: concave ray-cast census = same row-local
     // predicate + map-side agg shape as q_geofence; drift = two
     // map-side-combined (group, bin) histograms + broadcast totals —
@@ -149,7 +157,7 @@ object ScaleProbe {
     "q_kcore", "q_sssp",
     // round-8 third wave: synchronized LPA communities and personalized
     // PageRank — same lineitem axis as q_kcore/q_sssp/q_pagerank
-    "q_label_prop", "q_ppr")
+    "q_label_prop", "q_ppr", "q_hits")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -186,6 +186,52 @@ object Graph {
     dist
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) by R UNNORMALIZED
+    * synchronized rounds — pure integer sums, so the oracle replays the
+    * recurrence verbatim with no division anywhere:
+    *
+    *   auth′(v) = Σ_{u→v} hub(u),   hub′(u) = Σ_{u→v} auth′(v)
+    *
+    * (the classic in-round update order: authorities from OLD hubs,
+    * hubs from NEW authorities — one half-round ahead, Kleinberg's
+    * original sweep). Normalization only rescales — the RANKING, which
+    * is what a pipeline consumes, is unchanged — but unnormalized
+    * scores grow like (largest-eigenvalue)^R: callers keep R small
+    * (magnitude ≲ Σdeg^(2R), int64-safe for R ≤ 3 on 10⁶-edge graphs;
+    * document the bound rather than pay a division that would make the
+    * trail engine-inexact).
+    *
+    * Scale shape per round: two shuffle-on-key aggregations of the
+    * staged edge frame joined with the (node, score) frame — the
+    * [[pagerank]] shape, map-side combinable, scores re-staged per
+    * round. Input: directed (src, dst). Output: (node, hub, auth) for
+    * every node. */
+  def hitsRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = graft.store.Staging.stage(
+      edges.select(col("src"), col("dst")).distinct(), "hits_edges")
+    val nodes = graft.store.Staging.stage(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct(),
+      "hits_nodes")
+    var hub = nodes.select(col("node"), lit(1L).as("hub"))
+    var auth = nodes.select(col("node"), lit(1L).as("auth"))
+    for (i <- 0 until rounds) {
+      val a = nodes.join(
+          e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("_a")),
+          Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("_a"), lit(0L)).as("auth"))
+      auth = graft.store.Staging.stage(a, s"hits_a$i")
+      val h = nodes.join(
+          e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node")).agg(sum(col("auth")).as("_h")),
+          Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("_h"), lit(0L)).as("hub"))
+      hub = graft.store.Staging.stage(h, s"hits_h$i")
+    }
+    hub.join(auth, Seq("node"))
+  }
+
   /** PERSONALIZED PageRank (random walk with restart): teleport mass
     * returns to a SEED SET instead of spreading uniformly, so ranks
     * measure proximity to the seeds — the recommendation / related-

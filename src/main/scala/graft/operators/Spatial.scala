@@ -129,6 +129,58 @@ object Spatial {
       .filter(col("dist2") <= lit(d.toLong * d))
   }
 
+  /** Per-entity trajectory SIMPLIFICATION by radial distance: walk the
+    * time-ordered points keeping one whenever it moves more than `tol`
+    * (L2, exact integer dist²) from the LAST KEPT point — the streaming
+    * cousin of Douglas–Peucker (whose recursive split is not an ordered
+    * fold; radial-distance is the standard one-pass form a telemetry
+    * compactor uses, and its sequential state — the last kept point —
+    * makes it a recurrence no window frame can express). Same shape as
+    * [[TimeSeries.ewmaAnomaly]]: one shuffle groups each entity,
+    * `sort_array` orders row-locally, `aggregate` folds the recurrence
+    * inside the executor; entities are independent, so 100 TB folds as
+    * width. The first point is always kept.
+    *
+    * Output: (entityCol, n_points, n_kept, last_x, last_y) — the
+    * compaction census plus the fold's end state (which pins the whole
+    * trail for an oracle: a wrong keep decision anywhere shifts every
+    * later distance). */
+  def simplifyRadial(
+      pts: DataFrame,
+      entityCol: String,
+      tsCol: Column,
+      tieCol: Column,
+      xCol: Column,
+      yCol: Column,
+      tol: Long): DataFrame = {
+    require(tol > 0, s"tolerance must be positive: $tol")
+    val rows = pts.select(col(entityCol),
+      struct(tsCol.as("t"), tieCol.as("i"), xCol.as("x"), yCol.as("y")).as("_r"))
+    rows.groupBy(col(entityCol))
+      .agg(sort_array(collect_list(col("_r"))).as("_rs"))
+      .select(col(entityCol), size(col("_rs")).cast("long").as("n_points"),
+        aggregate(
+          col("_rs"),
+          // kx/ky seed 0 (never read before nk > 0 — the nk = 0 branch
+          // keeps unconditionally) so the dist² arithmetic stays in
+          // coordinate range under ANSI overflow checking
+          struct(lit(0L).as("kx"), lit(0L).as("ky"), lit(0L).as("nk")),
+          (acc: Column, r: Column) => {
+            val dx = r.getField("x") - acc.getField("kx")
+            val dy = r.getField("y") - acc.getField("ky")
+            val keep = acc.getField("nk") === 0L ||
+              dx * dx + dy * dy > lit(tol * tol)
+            struct(
+              when(keep, r.getField("x")).otherwise(acc.getField("kx")).as("kx"),
+              when(keep, r.getField("y")).otherwise(acc.getField("ky")).as("ky"),
+              (acc.getField("nk") + when(keep, 1L).otherwise(0L)).as("nk"))
+          }).as("_f"))
+      .select(col(entityCol), col("n_points"),
+        col("_f").getField("nk").as("n_kept"),
+        col("_f").getField("kx").as("last_x"),
+        col("_f").getField("ky").as("last_y"))
+  }
+
   /** For each probe point, the NEAREST site within L2 radius `d` — the
     * bounded-radius nearest-neighbor join (snap-to-POI / map-matching /
     * nearest-station enrichment). EXACT under the radius bound: with

@@ -270,6 +270,86 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — THE web-scale n-gram
+    * smoothing: no discount mass bookkeeping, just back off with a
+    * fixed 0.4 factor, which is exactly what makes it integer-exact
+    * here (0.4 = 400000 ppm, 0.4² = 160000 ppm; no log, no libm):
+    *
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)          if the trigram is seen
+    *              = 0.4·c(w2w3)/c(w2)          else if the bigram is
+    *              = 0.4²·c(w3)/N               else if the unigram is
+    *              = 0                          else
+    *
+    * The model trains on the `trainFilter` slice (yesterday's corpus)
+    * and scores the REST (today's batch) — self-scoring would never
+    * back off (a self-trained model has seen every trigram), and the
+    * train/eval split is the real shape of an incremental quality
+    * gate. Per doc: the floored mean term plus the per-level hit
+    * census (how much of the doc the model had to back off on — itself
+    * a novelty signal).
+    *
+    * Scale shape: three map-side-combined count groupBys over the
+    * train-side gram streams build the model; scoring left-joins the
+    * eval trigram stream ON the gram keys (both sides shuffled — no
+    * model-broadcast assumption, gram vocabularies are corpus-sized);
+    * the total-token count rides a 1-row broadcast; the per-doc mean is
+    * a combinable aggregation. Output: (idCol, n_trigrams, score_ppm,
+    * n_hit3, n_hit2, n_hit1); eval docs with < 3 tokens drop out. */
+  def stupidBackoffScore(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      trainFilter: Column): org.apache.spark.sql.DataFrame = {
+    val base = graft.store.Staging.stage(
+      docs.repartition(col(idCol))
+        .withColumn("_toks", tokens(col(textCol)))
+        .withColumn("_train", trainFilter)
+        .select(col(idCol), col("_train"), col("_toks")),
+      "sb_toks")
+    val tri = base.select(col(idCol), col("_train"),
+      explode(Dedup.tokenShingles(col("_toks"), 3)).as("_tg"))
+    val biTrain = base.filter(col("_train"))
+      .select(explode(Dedup.tokenShingles(col("_toks"), 2)).as("_bg"))
+    val uniTrain = base.filter(col("_train"))
+      .select(explode(col("_toks")).as("_w"))
+    val c3 = tri.filter(col("_train")).groupBy(col("_tg")).agg(count(lit(1)).as("_c3"))
+    val c2 = biTrain.groupBy(col("_bg")).agg(count(lit(1)).as("_c2"))
+    val c1 = uniTrain.groupBy(col("_w")).agg(count(lit(1)).as("_c1"))
+    val nTok = uniTrain.agg(count(lit(1)).as("_n"))
+    val eval_ = tri.filter(!col("_train"))
+      .withColumn("_w12", substring_index(col("_tg"), " ", 2))
+      .withColumn("_w23", substring_index(col("_tg"), " ", -2))
+      .withColumn("_w2", substring_index(col("_w23"), " ", 1))
+      .withColumn("_w3", substring_index(col("_tg"), " ", -1))
+    val scored = eval_
+      .join(c3, Seq("_tg"), "left")
+      .join(c2.select(col("_bg").as("_w12"), col("_c2").as("_c2p")), Seq("_w12"), "left")
+      .join(c2.select(col("_bg").as("_w23"), col("_c2").as("_c2b")), Seq("_w23"), "left")
+      .join(c1.select(col("_w").as("_w2"), col("_c1").as("_c1w2")), Seq("_w2"), "left")
+      .join(c1.select(col("_w").as("_w3"), col("_c1").as("_c1w3")), Seq("_w3"), "left")
+      .crossJoin(broadcast(nTok))
+      .withColumn("_lvl",
+        when(col("_c3").isNotNull, 3L)
+          .when(col("_c2b").isNotNull, 2L)
+          .when(col("_c1w3").isNotNull, 1L)
+          .otherwise(0L))
+      .withColumn("_t",
+        when(col("_lvl") === 3L,
+          floor(col("_c3") * lit(1000000L) / col("_c2p")).cast("long"))
+          .when(col("_lvl") === 2L,
+            floor(col("_c2b") * lit(400000L) / col("_c1w2")).cast("long"))
+          .when(col("_lvl") === 1L,
+            floor(col("_c1w3") * lit(160000L) / col("_n")).cast("long"))
+          .otherwise(0L))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        floor(sum(col("_t")) / count(lit(1))).cast("long").as("score_ppm"),
+        sum(when(col("_lvl") === 3L, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("_lvl") === 2L, 1L).otherwise(0L)).as("n_hit2"),
+        sum(when(col("_lvl") === 1L, 1L).otherwise(0L)).as("n_hit1"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling") in this repo's
     * log-free integer form: rank each document by how much more fluent

@@ -1012,6 +1012,38 @@ object CoreQueries {
            |GROUP BY u ORDER BY node""".stripMargin
       }),
 
+    // HITS hubs & authorities (2 unnormalized integer rounds) on the
+    // directed order→part citation graph: hub = an order bundling many
+    // authoritative parts, authority = a part in many strong orders.
+    // Pure integer sums — no normalization, no division, so the oracle
+    // replays the recurrence verbatim; ranking is normalization-
+    // invariant. Parts offset by 1e8 to keep the bipartite id spaces
+    // disjoint at any SF.
+    Q("q_hits",
+      (s, dir) => {
+        val e = Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("src"),
+          (col("l_partkey") + 100000000L).as("dst"))
+        Graph.hitsRounds(e, rounds = 2).orderBy("node")
+      },
+      Some {
+        val head = Seq(
+          """e AS (SELECT DISTINCT l_orderkey AS src, l_partkey + 100000000 AS dst FROM lineitem)""",
+          "nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e)",
+          "h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)")
+        val steps = (1 to 2).flatMap { t =>
+          Seq(
+            s"""a$t AS MATERIALIZED (SELECT n.node, coalesce(s.a, 0) AS auth FROM nodes n
+               |  LEFT JOIN (SELECT e.dst AS node, sum(h.hub) AS a
+               |             FROM e JOIN h${t - 1} h ON e.src = h.node GROUP BY 1) s USING (node))""".stripMargin,
+            s"""h$t AS MATERIALIZED (SELECT n.node, coalesce(s.h, 0) AS hub FROM nodes n
+               |  LEFT JOIN (SELECT e.src AS node, sum(a.auth) AS h
+               |             FROM e JOIN a$t a ON e.dst = a.node GROUP BY 1) s USING (node))""".stripMargin)
+        }
+        "WITH " + (head ++ steps).mkString(",\n") +
+          "\nSELECT h2.node, h2.hub, a2.auth FROM h2 JOIN a2 USING (node) ORDER BY node"
+      }),
+
     // Personalized PageRank (random walk with restart, 3 iterations)
     // from a 2-part seed set over the part⇄supplier bipartite graph —
     // ranks measure proximity to the seeds (the related-items /
@@ -1755,6 +1787,42 @@ object CoreQueries {
              |SELECT event_id, sid AS nn_id, CAST(dist2 AS BIGINT) AS dist2 FROM c
              |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY dist2, sid) = 1
              |ORDER BY event_id""".stripMargin)),
+
+    // Trajectory compaction census: radial-distance simplification
+    // (keep a point when it moves > 300 of the last kept point) over
+    // each user's time-ordered track — the telemetry compactor's
+    // one-pass Douglas-Peucker stand-in, an ordered integer recurrence
+    // folded row-locally per entity (the q_ewma_anomaly shape). The
+    // oracle replays the fold with a recursive CTE; the end-state
+    // coordinates pin the whole keep/drop trail.
+    Q("q_traj_simplify",
+      (s, dir) => Spatial.simplifyRadial(eventPoints(s, dir), "user_id",
+          col("ts_us"), col("event_id"), col("x"), col("y"), tol = 300L)
+        .orderBy("user_id"),
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT user_id,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+             |         ((event_id*event_id)%1000003*37 + event_id*101)%1000 AS x,
+             |         ((event_id*event_id)%999983*73 + event_id*211)%1000 AS y
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, rn, x AS kx, y AS ky, CAST(1 AS BIGINT) AS nk
+             |  FROM p WHERE rn = 1
+             |  UNION ALL
+             |  SELECT p.user_id, p.rn,
+             |    CASE WHEN (p.x-r.kx)*(p.x-r.kx)+(p.y-r.ky)*(p.y-r.ky) > 90000
+             |         THEN p.x ELSE r.kx END,
+             |    CASE WHEN (p.x-r.kx)*(p.x-r.kx)+(p.y-r.ky)*(p.y-r.ky) > 90000
+             |         THEN p.y ELSE r.ky END,
+             |    r.nk + CASE WHEN (p.x-r.kx)*(p.x-r.kx)+(p.y-r.ky)*(p.y-r.ky) > 90000
+             |           THEN 1 ELSE 0 END
+             |  FROM r JOIN p ON p.user_id = r.user_id AND p.rn = r.rn + 1),
+             |f AS (SELECT user_id, rn, kx, ky, nk,
+             |             row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+             |      FROM r)
+             |SELECT user_id, CAST(rn AS BIGINT) AS n_points, nk AS n_kept,
+             |       CAST(kx AS BIGINT) AS last_x, CAST(ky AS BIGINT) AS last_y
+             |FROM f WHERE rr = 1 ORDER BY user_id""".stripMargin)),
 
     // Convex-geofence census: the half-plane containment test as one
     // codegen'd row-local conjunction over the synthetic coords (no

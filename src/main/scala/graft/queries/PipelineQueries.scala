@@ -1370,6 +1370,59 @@ object PipelineQueries {
              |       count(*) AS n_bigrams
              |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Stupid-backoff trigram scoring (Brants 2007) — the web-scale LM
+    // smoothing, integer-exact because the backoff factor is a fixed
+    // 0.4 (400000 ppm): model trains on even doc_ids (yesterday's
+    // corpus), scores the odd ones (today's batch) so unseen trigrams
+    // actually back off (a self-trained model never would). Per-doc
+    // mean term + per-level hit census. Oracle replays the cascade
+    // with the same gram CTEs and left joins.
+    Q("q_lm_backoff",
+      (s, dir) => TextAnalysis.stupidBackoffScore(
+          Tables.documents(s, dir), "doc_id", "text",
+          pmod(col("doc_id"), lit(2L)) === 0L)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 2 = 0 AS tr,
+             |                  string_split(text, ' ') AS toks FROM documents),
+             |tri AS (SELECT doc_id, tr,
+             |          unnest([toks[i::INT]||' '||toks[(i::INT)+1]||' '||toks[(i::INT)+2]
+             |                  for i in range(1, len(toks)-1)]) AS tg
+             |        FROM d WHERE len(toks) >= 3),
+             |bi AS (SELECT unnest([toks[i::INT]||' '||toks[(i::INT)+1]
+             |                      for i in range(1, len(toks))]) AS bg
+             |       FROM d WHERE tr AND len(toks) >= 2),
+             |uni AS (SELECT unnest(toks) AS w FROM d WHERE tr),
+             |c3 AS (SELECT tg, count(*) AS c FROM tri WHERE tr GROUP BY 1),
+             |c2 AS (SELECT bg, count(*) AS c FROM bi GROUP BY 1),
+             |c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+             |n AS (SELECT count(*) AS c FROM uni),
+             |e AS (SELECT doc_id, tg,
+             |        split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS w12,
+             |        split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS w23,
+             |        split_part(tg, ' ', 2) AS w2, split_part(tg, ' ', 3) AS w3
+             |      FROM tri WHERE NOT tr),
+             |s AS (SELECT e.doc_id,
+             |        CASE WHEN c3.c IS NOT NULL THEN 3 WHEN cb.c IS NOT NULL THEN 2
+             |             WHEN cw3.c IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+             |        CASE WHEN c3.c IS NOT NULL
+             |               THEN CAST(floor(c3.c * 1000000.0 / cp.c) AS BIGINT)
+             |             WHEN cb.c IS NOT NULL
+             |               THEN CAST(floor(cb.c * 400000.0 / cw2.c) AS BIGINT)
+             |             WHEN cw3.c IS NOT NULL
+             |               THEN CAST(floor(cw3.c * 160000.0 / (SELECT c FROM n)) AS BIGINT)
+             |             ELSE 0 END AS t
+             |      FROM e LEFT JOIN c3 ON e.tg = c3.tg
+             |             LEFT JOIN c2 cp ON e.w12 = cp.bg
+             |             LEFT JOIN c2 cb ON e.w23 = cb.bg
+             |             LEFT JOIN c1 cw2 ON e.w2 = cw2.w
+             |             LEFT JOIN c1 cw3 ON e.w3 = cw3.w)
+             |SELECT doc_id, count(*) AS n_trigrams,
+             |       CAST(floor(sum(t) * 1.0 / count(*)) AS BIGINT) AS score_ppm,
+             |       CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+             |       CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+             |       CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1
+             |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // DSIR importance weighting (Xie et al. 2023) in the log-free
     // integer form: per-doc difference of floored-ppm bigram fluency
     // under a target-domain model (lang = 'en' here) vs the all-corpus

@@ -132,6 +132,21 @@ class GraphSpec extends SparkSpec {
     assert(all.keySet == (1L to 7L).toSet)
   }
 
+  test("hitsRounds replays the exact half-round-ahead recurrence") {
+    // 1→10, 2→10, 2→11: after round 1, auth = in-degree (old hubs all
+    // 1), hubs from the NEW auths (the classic in-round ordering)
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L), (2L, 11L)).toDF("src", "dst")
+    val r1 = Graph.hitsRounds(e, rounds = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(r1 == Map(1L -> ((2L, 0L)), 2L -> ((3L, 0L)),
+      10L -> ((0L, 2L)), 11L -> ((0L, 1L))), r1.toString)
+    val r2 = Graph.hitsRounds(e, rounds = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // a2(10)=h1(1)+h1(2)=5, a2(11)=h1(2)=3, h2(1)=5, h2(2)=8
+    assert(r2 == Map(1L -> ((5L, 0L)), 2L -> ((8L, 0L)),
+      10L -> ((0L, 5L)), 11L -> ((0L, 3L))), r2.toString)
+  }
+
   test("personalizedPagerank replays the exact seeded recurrence on a pair") {
     val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     // seed {1}: r0 = (1e9, 0); after 1 iter node 2 holds 85% of the

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Spatial
 
 class SpatialSpec extends SparkSpec {
@@ -176,6 +178,41 @@ class SpatialSpec extends SparkSpec {
       (1L, 2L, "border"), (2L, 2L, "core"), (3L, 2L, "core"),
       (4L, 2L, "border"), (5L, -1L, "noise"),
       (6L, 6L, "core"), (7L, 6L, "core"), (8L, 6L, "core")))
+  }
+
+  test("simplifyRadial: hand-traced keep/drop trail, all-within-tol, first always kept") {
+    // tol=5 (tol²=25): (0,0) keep, (1,1) drop (2), (5,5) keep (50),
+    // (6,6) drop (2 from last kept), (20,20) keep
+    val pts = Seq((1L, 0L, 1L, 0L, 0L), (1L, 1L, 2L, 1L, 1L), (1L, 2L, 3L, 5L, 5L),
+      (1L, 3L, 4L, 6L, 6L), (1L, 4L, 5L, 20L, 20L),
+      (2L, 0L, 1L, 7L, 7L), (2L, 1L, 2L, 8L, 8L))
+      .toDF("u", "t", "i", "x", "y")
+    val got = Spatial.simplifyRadial(pts, "u", col("t"), col("i"),
+        col("x"), col("y"), tol = 5L)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 3L, 20L, 20L)), got.toString)
+    // entity 2 never exceeds tol: only the (always-kept) first survives
+    assert(got(2L) == ((2L, 2L, 1L, 7L, 7L)), got.toString)
+  }
+
+  test("simplifyRadial equals brute sequential fold on random walks") {
+    val pts = for { u <- 1L to 8L; t <- 0L until 60L } yield {
+      val x = (u * 7919L + t * 104729L) % 200L
+      val y = (u * 104729L + t * 7919L) % 200L
+      (u, t, t, x, y)
+    }
+    val got = Spatial.simplifyRadial(pts.toDF("u", "t", "i", "x", "y"),
+        "u", col("t"), col("i"), col("x"), col("y"), tol = 60L)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    pts.groupBy(_._1).foreach { case (u, rows) =>
+      var (kx, ky, nk) = (0L, 0L, 0L)
+      rows.sortBy(_._2).foreach { case (_, _, _, x, y) =>
+        val d2 = (x - kx) * (x - kx) + (y - ky) * (y - ky)
+        if (nk == 0L || d2 > 3600L) { kx = x; ky = y; nk += 1 }
+      }
+      assert(got(u) == ((u, rows.size.toLong, nk, kx, ky)),
+        s"u=$u got=${got(u)} want=${(u, rows.size, nk, kx, ky)}")
+    }
   }
 
   test("nearestSiteWithin: radius bound, tie rule, and cross-cell neighbors") {

@@ -280,4 +280,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("good")._3 > 1000000L && got("bad")._3 < 1000000L)
     assert(got("rare1")._3 > 1000000L && got("rare2")._3 < 1000000L)
   }
+
+  test("stupidBackoffScore: hand-computed cascade over a tiny train/eval split") {
+    // train (id 0): trigrams {a b c, b c a, c a b, a b d};
+    // bigrams {a b:2, b c, c a, b d}; unigrams {a:2, b:2, c, d}; N=6.
+    // eval (id 1) "a b c x b d":
+    //   "a b c" seen      → 10⁶·1/2        = 500000 (lvl 3)
+    //   "b c x" all-unseen → 0             (lvl 0)
+    //   "c x b" uni "b"   → 2·160000/6    = 53333  (lvl 1)
+    //   "x b d" bi "b d"  → 1·400000/2    = 200000 (lvl 2)
+    // mean = floor(753333/4) = 188333
+    val docs = Seq((0L, "a b c a b d"), (1L, "a b c x b d"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffScore(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 3 (eval, 2 tokens) has no trigram and drops out; train docs
+    // are never scored
+    assert(got.keySet == Set(1L), got.toString)
+    assert(got(1L) == ((1L, 4L, 188333L, 1L, 1L, 1L)), got.toString)
+  }
 }
