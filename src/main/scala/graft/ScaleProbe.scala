@@ -203,6 +203,9 @@ object ScaleProbe {
     // candidate pipeline + CC + one left join — probed on the unique-
     // text replica for the same reason as the cluster queries
     "q_split_safe",
+    // round-8 third wave: incremental CC probes the same candidate
+    // pipeline; CC rounds run on the batch-contracted graph
+    "q_cc_incremental",
     // containment prefix: k_A rarest shingles × inverted index — the
     // rotated-alphabet replica keeps cross-copy shingles disjoint
     "q_containment"

@@ -710,6 +710,48 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected components: merge a batch of NEW pairs into
+    * existing component labels without re-running CC over the base graph
+    * — the graph twin of the incremental-ingest dedup contract (batch
+    * probes a staged index; history is never recomputed). Exactness:
+    * base labels are component MIN-IDS, so contracting each batch
+    * endpoint to its current label and running CC on the (batch-sized)
+    * contracted graph yields exactly the min-ids of the merged
+    * components — the result is row-identical to a from-scratch CC over
+    * base ∪ batch edges (the q_cc_incremental oracle IS the full-graph
+    * recursive SQL).
+    *
+    * Scale shape: the batch maps through two hash joins against the
+    * staged label frame (O(|batch|) rows moved); CC's pointer-jumping
+    * rounds run on the CONTRACTED graph (≤ |batch| edges over touched
+    * components) instead of the 100 TB base; the relabel map (touched
+    * components only) broadcasts back over the labels. The base label
+    * frame is scanned once and never iterated. Inputs: baseLabels
+    * (id, comp) from a prior [[connectedComponents]]; batchPairs
+    * (id_a, id_b), may introduce unseen nodes. Output: (id, comp) over
+    * base ∪ batch nodes. */
+  def incrementalComponents(baseLabels: DataFrame, batchPairs: DataFrame): DataFrame = {
+    val lbl = baseLabels.select(col("id"), col("comp"))
+    val mapped = batchPairs.select(col("id_a"), col("id_b"))
+      .join(lbl.select(col("id").as("id_a"), col("comp").as("_la")), Seq("id_a"), "left")
+      .join(lbl.select(col("id").as("id_b"), col("comp").as("_lb")), Seq("id_b"), "left")
+      .select(coalesce(col("_la"), col("id_a")).as("_ca"),
+        coalesce(col("_lb"), col("id_b")).as("_cb"))
+    val contracted = mapped.filter(col("_ca") =!= col("_cb"))
+      .select(least(col("_ca"), col("_cb")).as("id_a"),
+        greatest(col("_ca"), col("_cb")).as("id_b"))
+      .distinct()
+    val merged = connectedComponents(contracted) // (old label -> new root)
+    val batchNodes = batchPairs.select(col("id_a").as("id"))
+      .unionByName(batchPairs.select(col("id_b").as("id"))).distinct()
+      .join(lbl.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    lbl.unionByName(batchNodes)
+      .join(broadcast(merged.select(col("id").as("comp"), col("comp").as("_new"))),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("_new"), col("comp")).as("comp"))
+  }
+
   /** Span-level exact dedup with document reconstruction (the C4-style
     * pass that strips boilerplate repeated ACROSS documents, not just
     * whole-doc duplicates): each doc splits into consecutive `span`-token

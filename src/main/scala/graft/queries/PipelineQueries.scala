@@ -45,21 +45,27 @@ object PipelineQueries {
     * for every CLUSTERED doc. Component label = min doc_id by the
     * min-label propagation, so the canonical representative needs no
     * extra argmin pass. */
-  private def minhashClusters(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** The verified near-dup PAIR frame (minhash-LSH candidates → exact
+    * Jaccard ≥ threshold), shared by the cluster queries and the
+    * incremental-CC query. */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.documents(s, dir)
       .withColumn("_toks", TextAnalysis.tokens(col("text")))
     val sh = docs.repartition(col("doc_id"))
       .select(col("doc_id"), Dedup.tokenShingles(col("_toks"), 3).as("sh"))
     val sig = Dedup.minhashSignatures(docs, "doc_id",
       Dedup.tokenShingles(col("_toks"), 3), MinhashK)
-    val pairs = Dedup.candidatePairs(
+    Dedup.candidatePairs(
         sig, "doc_id", Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand))
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .filter(graft.functions.SetOps.jaccardPpmCol(col("sh_a"), col("sh_b")) >= JaccardThresholdPpm)
       .select(col("id_a"), col("id_b"))
+  }
+
+  private def minhashClusters(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
-    Dedup.connectedComponents(pairs)
+    Dedup.connectedComponents(minhashPairs(s, dir))
       .withColumnRenamed("id", "doc_id")
       .withColumnRenamed("comp", "component")
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -274,6 +280,33 @@ object PipelineQueries {
     // recursive CTE over the identical pair set.
     Q("q_dedup_clusters",
       (s, dir) => minhashClusters(s, dir).orderBy("doc_id"),
+      Some(s"""$duckClusters
+              |SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS cluster_size
+              |FROM comp ORDER BY doc_id""".stripMargin)),
+
+    // INCREMENTAL connected components: the same cluster listing as
+    // q_dedup_clusters, computed by a different plan — docs with
+    // doc_id % 10 == 3 play the newly-ingested batch: base CC runs on
+    // pairs among the old docs only, the batch's pairs contract to
+    // current labels and CC runs on that batch-sized graph, the relabel
+    // map broadcasts back. Hash-equality with the from-scratch oracle
+    // IS the correctness proof that incremental merge == full recompute
+    // (min-label contraction argument in Dedup.incrementalComponents).
+    Q("q_cc_incremental",
+      (s, dir) => {
+        val pairs = graft.store.Staging.stage(minhashPairs(s, dir), "ccinc_pairs")
+        val isNew = (c: org.apache.spark.sql.Column) => pmod(c, lit(10L)) === 3L
+        val basePairs = pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b")))
+        val batchPairs = pairs.filter(isNew(col("id_a")) || isNew(col("id_b")))
+        val baseLabels = graft.store.Staging.stage(
+          Dedup.connectedComponents(basePairs), "ccinc_base")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+        Dedup.incrementalComponents(baseLabels, batchPairs)
+          .withColumnRenamed("id", "doc_id")
+          .withColumnRenamed("comp", "component")
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .orderBy("doc_id")
+      },
       Some(s"""$duckClusters
               |SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS cluster_size
               |FROM comp ORDER BY doc_id""".stripMargin)),

@@ -724,6 +724,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalComponents == from-scratch CC (bridge, new nodes, no-op merges)") {
+    // base: comps {1,2,3}, {10,11}, {20,21}; batch bridges {1..3}+{10,11}
+    // via (3,10), adds new node 30 to {20,21} via (21,30), adds an
+    // internal no-op edge (1,3), and a brand-new pair (40,41)
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val batchPairs = Seq((3L, 10L), (21L, 30L), (1L, 3L), (40L, 41L)).toDF("id_a", "id_b")
+    val base = Dedup.connectedComponents(basePairs)
+    val inc = Dedup.incrementalComponents(base, batchPairs)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(basePairs.unionByName(batchPairs))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc(11L) == 1L && inc(30L) == 20L && inc(41L) == 40L, inc.toString)
+  }
+
+  test("incrementalComponents == full CC on a random edge split") {
+    val all = (1L to 120L).map { i =>
+      val a = (i * 7919L) % 60L; val b = (i * 104729L) % 60L
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val (basePs, batchPs) = all.splitAt(all.size * 2 / 3)
+    val base = Dedup.connectedComponents(basePs.toDF("id_a", "id_b"))
+    val inc = Dedup.incrementalComponents(base, batchPs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(all.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"diff=${(inc.toSet diff full.toSet).take(5)}")
+  }
+
   test("cluster-atomic split: no component ever straddles two splits") {
     import graft.operators.Sampling
     // chain cluster {1,2,3}, pair {10,11}, singletons 20..40
