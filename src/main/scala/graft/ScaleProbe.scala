@@ -206,6 +206,9 @@ object ScaleProbe {
     // round-8 third wave: incremental CC probes the same candidate
     // pipeline; CC rounds run on the batch-contracted graph
     "q_cc_incremental",
+    // round-8 third wave: knn classify = topKExact's broadcast-eval
+    // crossJoin (jittered embeddings keep it honest) + vote groupBys
+    "q_knn_classify",
     // containment prefix: k_A rarest shingles × inverted index — the
     // rotated-alphabet replica keeps cross-copy shingles disjoint
     "q_containment"

@@ -373,6 +373,45 @@ object Similarity {
       .select(col(qIdCol), col("rank"), col(idCol), col("sim_ppm"))
   }
 
+  /** k-NN LABEL CLASSIFICATION over the embedding corpus: each eval
+    * vector takes the majority label of its k nearest TRAIN neighbors
+    * by exact cosine (ties: higher vote count, then smaller label — the
+    * deterministic mode). The weak-labeling / label-propagation /
+    * auto-eval primitive of an embedding pipeline (classify new docs by
+    * proximity to labeled ones; audit embedding quality by held-out
+    * accuracy). Composes [[topKExact]]'s two-phase ranking, so the
+    * neighbor search inherits its contract (broadcast eval set, shard-
+    * local partial top-k); at corpus scale swap in [[annTopK]]/IVF
+    * candidates — the vote/tie logic is identical downstream of any
+    * neighbor frame.
+    *
+    * Output: (q_id, true_label, predicted, n_votes, correct). */
+  def knnClassify(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      evalFilter: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val train = emb.filter(!evalFilter)
+    val eval_ = emb.filter(evalFilter)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        col(labelCol).cast("long").as("true_label"))
+    val nn = topKExact(train, eval_.select(col("q_id"), col("q_vec")),
+      idCol, vecCol, "q_id", "q_vec", k)
+    val votes = nn
+      .join(train.select(col(idCol), col(labelCol).cast("long").as("_nl")), Seq(idCol))
+      .groupBy(col("q_id"), col("_nl")).agg(count(lit(1)).as("_v"))
+    val pick = votes.groupBy(col("q_id"))
+      .agg(max(struct(col("_v").as("v"), (-col("_nl")).as("nl"))).as("_m"))
+      .select(col("q_id"), (-col("_m.nl")).as("predicted"), col("_m.v").as("n_votes"))
+    eval_.select(col("q_id"), col("true_label"))
+      .join(pick, Seq("q_id"))
+      .withColumn("correct",
+        (col("true_label") === col("predicted")).cast("long"))
+  }
+
   /** Per-DIMENSION robust statistics of an embedding column — the
     * feature-QC pass before any distance-based pipeline (a dimension
     * with a shifted median or a fat outlier tail poisons every cosine

@@ -652,6 +652,41 @@ object PipelineQueries {
              |SELECT id_a, id_b, sim_ppm FROM sc WHERE sim_ppm >= 350000
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // k-NN label classification: vec_id % 10 == 3 plays the held-out
+    // eval split; each eval vector takes the majority label of its 5
+    // nearest train neighbors by exact cosine (vote ties -> smaller
+    // label). The weak-labeling / embedding-quality-audit primitive;
+    // the oracle replays neighbor ranking (same tie rule as
+    // q_cosine_topk) and the deterministic mode.
+    Q("q_knn_classify",
+      (s, dir) => Similarity.knnClassify(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+          pmod(col("vec_id"), lit(10L)) === 3L, k = 5)
+        .orderBy("q_id"),
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS ve, label
+             |           FROM embeddings WHERE vec_id % 10 <> 3),
+             |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
+             |             CAST(label AS BIGINT) AS true_label
+             |      FROM embeddings WHERE vec_id % 10 = 3),
+             |s AS (SELECT q.q_id, t.vec_id, t.label,
+             |        CAST(floor(list_dot_product(t.ve, q.qv)
+             |          / (sqrt(list_dot_product(t.ve, t.ve)) * sqrt(list_dot_product(q.qv, q.qv)))
+             |          * 1000000.0) AS BIGINT) AS sim_ppm
+             |      FROM q JOIN t ON q.q_id <> t.vec_id),
+             |nn AS (SELECT q_id, vec_id, label FROM s
+             |       QUALIFY row_number() OVER (PARTITION BY q_id
+             |               ORDER BY sim_ppm DESC, vec_id) <= 5),
+             |v AS (SELECT q_id, CAST(label AS BIGINT) AS label, count(*) AS nv
+             |      FROM nn GROUP BY 1, 2),
+             |p AS (SELECT q_id, label AS predicted, nv AS n_votes FROM v
+             |      QUALIFY row_number() OVER (PARTITION BY q_id
+             |              ORDER BY nv DESC, label) = 1)
+             |SELECT q.q_id, q.true_label, p.predicted,
+             |       CAST(p.n_votes AS BIGINT) AS n_votes,
+             |       CASE WHEN q.true_label = p.predicted
+             |            THEN CAST(1 AS BIGINT) ELSE 0 END AS correct
+             |FROM q JOIN p USING (q_id) ORDER BY q_id""".stripMargin)),
+
     // Per-dimension robust stats of the embedding corpus (feature QC):
     // exact nearest-rank quartiles of each of the 64 dims' micro-unit
     // values + outlier census under |v - median| > max(3·IQR, 1) — the

@@ -199,6 +199,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 >= 900000L))
   }
 
+  test("knnClassify: majority vote, deterministic tie, held-out split") {
+    // train: axis-aligned clusters — label 1 near x-axis (ids 1,2,3),
+    // label 2 near y-axis (ids 4,5); eval id 10 points x-ish → 3 of its
+    // 5 neighbors are label 1; eval id 13 sits exactly between single
+    // votes? give it k=5 over all 5 train → vote 3:2 for label 1
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(0.9f, 0.1f), 1), (3L, Seq(0.8f, 0.2f), 1),
+      (4L, Seq(0.0f, 1.0f), 2), (5L, Seq(0.1f, 0.9f), 2),
+      (10L, Seq(1.0f, 0.05f), 9), (13L, Seq(0.7f, 0.7f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+        col("vec_id") >= 10L, k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // with k=5 every eval sees all 5 train vectors: vote 3 (label 1) vs
+    // 2 (label 2) → predicted 1 for both; id 10's true label 9 ≠ 1
+    assert(got(10L) == ((10L, 9L, 1L, 3L, 0L)), got.toString)
+    assert(got(13L) == ((13L, 1L, 1L, 3L, 1L)), got.toString)
+    // vote tie at k=4? id 13 equidistant-ish: use k=2 on a symmetric
+    // probe to force a 1:1 tie → smaller label wins
+    val got2 = Similarity.knnClassify(emb.filter(col("vec_id").isin(1L, 4L, 13L)),
+        "vec_id", "embedding", "label", col("vec_id") === 13L, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got2(13L)._3 == 1L && got2(13L)._4 == 1L, got2.toString)
+  }
+
   test("dimRobustStats: outlier census flags the planted fat tail only") {
     // dim 0: nine tight values + one huge outlier; dim 1: constant
     // (IQR 0 → threshold max(0,1)=1 → everything within 1 of the median
