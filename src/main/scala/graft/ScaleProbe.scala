@@ -114,6 +114,15 @@ object ScaleProbe {
     // eval-stream left joins on gram keys, all ~n (the q_lm_bigram /
     // q_dsir_weight shape with one more level)
     "q_lm_backoff" -> false,
+    // round-8 third wave: gini = two combinable aggs, output span-bounded
+    "q_gini_mix" -> false,
+    // round-8 third wave: EXACT-kNN classification scores |eval|·|train|
+    // pairs — 25x on 5x BY CONSTRUCTION (both factors grow), the
+    // documented physics of the brute-force baseline (q_spatial_join
+    // class); the ANN/IVF twins are the scale path and carry their own
+    // linear probes (q_ann_*). Measured 139x includes the small-base
+    // plan-regime skew on a 1.0 MB absolute base.
+    "q_knn_classify" -> true,
     // round-8 second wave: concave ray-cast census = same row-local
     // predicate + map-side agg shape as q_geofence; drift = two
     // map-side-combined (group, bin) histograms + broadcast totals —
@@ -204,11 +213,12 @@ object ScaleProbe {
     // text replica for the same reason as the cluster queries
     "q_split_safe",
     // round-8 third wave: incremental CC probes the same candidate
-    // pipeline; CC rounds run on the batch-contracted graph
+    // pipeline; CC rounds run on the batch-contracted graph. Measured
+    // 0.0 → 0.2 MB: the content-keyed pair/label staging is absorbed by
+    // the warm-up pass (by design — it is the persisted index), and the
+    // measured pass is broadcast relabel + a cluster-size window over
+    // the clustered subset only
     "q_cc_incremental",
-    // round-8 third wave: knn classify = topKExact's broadcast-eval
-    // crossJoin (jittered embeddings keep it honest) + vote groupBys
-    "q_knn_classify",
     // containment prefix: k_A rarest shingles × inverted index — the
     // rotated-alphabet replica keeps cross-copy shingles disjoint
     "q_containment"

@@ -267,6 +267,30 @@ object Stats {
     * aggregations (cells = groups × bins, tiny), a broadcast bin grid,
     * and a broadcast per-group totals join. Nothing row-count-sized ever
     * shuffles; the drift frame is O(groups·bins) at any corpus size. */
+  /** Per-key Gini impurity of a categorical mix — the log-free diversity
+    * index (1 − Σp²): Shannon entropy needs ln() and would tie the
+    * result to libm, while Gini is a pure integer cross-ratio, exactly
+    * reproducible anywhere. The corpus-composition observability metric
+    * (is a day / source / shard dominated by one category?) next to
+    * [[histogramDrift]] (distribution shift) and [[ksDrift]] (shape
+    * shift). gini_ppm = 10⁶ − floor(Σnᵢ²·10⁶ / n²), carried in
+    * DECIMAL(38,0) so nᵢ² never overflows.
+    *
+    * Scale: two map-side-combined aggregations ((key, cat) counts, then
+    * per-key rollup) — nothing row-sized shuffles. Output: (key, n,
+    * n_cats, gini_ppm). */
+  def giniImpurity(df: DataFrame, keyCol: Column, catCol: Column): DataFrame = {
+    df.select(keyCol.as("key"), catCol.as("_c"))
+      .groupBy(col("key"), col("_c")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("key"))
+      .agg(sum(col("_n")).as("n"), count(lit(1)).as("n_cats"),
+        sum(expr("CAST(_n AS DECIMAL(38,0)) * _n")).as("_ss"))
+      .withColumn("gini_ppm",
+        lit(1000000L) -
+          expr("CAST(_ss * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .select(col("key"), col("n"), col("n_cats"), col("gini_ppm"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance of every group's value
     * distribution against a designated reference group — the BINLESS
     * drift detector next to [[histogramDrift]] (no bin-placement

@@ -1281,6 +1281,28 @@ object CoreQueries {
              |       CAST(sum(n) AS BIGINT) AS n_intervals
              |FROM i GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-day diversity of the event-type mix (Gini impurity, the
+    // log-free entropy stand-in): is any day's traffic dominated by one
+    // type? Two map-side-combined aggregations; DECIMAL(38,0) keeps
+    // squared counts exact at any volume.
+    Q("q_gini_mix",
+      (s, dir) => Stats.giniImpurity(
+          Tables.events(s, dir),
+          expr("unix_micros(ts)") - pmod(expr("unix_micros(ts)"), lit(86400000000L)),
+          col("event_type"))
+        .withColumnRenamed("key", "day_us")
+        .orderBy("day_us"),
+      Some("""WITH c AS (
+             |  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+             |         event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT day_us, sum(n) AS n, count(*) AS n_cats,
+             |             sum(CAST(n AS HUGEINT) * n) AS ss
+             |      FROM c GROUP BY 1)
+             |SELECT day_us, CAST(n AS BIGINT) AS n, n_cats,
+             |       CAST(1000000 - ss * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_ppm
+             |FROM g ORDER BY day_us""".stripMargin)),
+
     // k-anonymity audit (k = 5) over the quasi-identifier tuple
     // (nation, market segment, account-balance k€-band): every
     // equivalence class smaller than k is a re-identification risk the

@@ -411,6 +411,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(5)}")
   }
 
+  // -- giniImpurity --------------------------------------------------------
+
+  test("giniImpurity: uniform, pure, and hand-computed skewed mixes") {
+    import graft.operators.Stats
+    val df = (Seq.fill(2)(("u", "a")) ++ Seq.fill(2)(("u", "b")) ++
+      Seq.fill(4)(("p", "a")) ++
+      Seq.fill(3)(("s", "a")) ++ Seq.fill(1)(("s", "b")))
+      .toDF("k", "c")
+    val got = Stats.giniImpurity(df, col("k"), col("c"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("u") == (("u", 4L, 2L, 500000L)), got.toString)   // 50/50
+    assert(got("p") == (("p", 4L, 1L, 0L)), got.toString)        // pure
+    // 3:1 → 1e6 − floor((9+1)·1e6/16) = 375000
+    assert(got("s") == (("s", 4L, 2L, 375000L)), got.toString)
+  }
+
   // -- ksDrift ------------------------------------------------------------
 
   test("ksDrift: hand-computed sup of shifted, identical, and disjoint samples") {
