@@ -103,7 +103,21 @@ object Scratch {
       "q_trend_theilsen" -> "Theil-Sen: per-entity pair join (one g-shuffle), rank+count in one window partition, median SELECTED not interpolated",
       "q_drift_hist" -> "drift monitor: two map-side-combined (group,bin) histograms + broadcast grid and totals — drift frame O(groups·bins)",
       "q_logodds_terms" -> "log-odds terms: one token explode → one two-count agg, 1-row totals broadcast, DECIMAL cross-ratio row-local",
-      "q_point_in_polygon" -> "concave ray-cast census: the parity predicate rides the scan (pure projection + map-side agg, zero shuffle)")
+      "q_point_in_polygon" -> "concave ray-cast census: the parity predicate rides the scan (pure projection + map-side agg, zero shuffle)",
+      "q_label_prop" -> "LPA round: staged edge scan ⋈ label frame, map-side (node,label) vote counts + max-of-struct — linear in |E| per round",
+      "q_active_users" -> "sliding distinct actives: ONE (user,day) dedup shuffle, per-user lead window, <= 7x bounded explode, day-level combinable count — no distinct-per-window",
+      "q_interval_coverage" -> "interval union: one user-keyed Exchange feeds both window passes + the island groupBy — no overlap self-join",
+      "q_nn_join" -> "bounded-radius NN join: 3x3 neighbor explode -> hash equi-join on cells, min-of-struct combined map-side",
+      "q_ks_test" -> "two-sample KS: everything after the (group,value) count pass runs on the distinct-value frame; per-group windows only",
+      "q_acf" -> "autocorrelation: one user Exchange reused by totals agg, broadcast join, lag window, and final agg",
+      "q_robust_scale" -> "per-dim robust stats: fixed x64 posexplode, per-dim rank windows (64 spread groups), 64-row broadcast census join",
+      "q_ppr" -> "personalized PageRank: rank-positive frontier ⋈ staged edges per iteration — work tracks the seed neighborhood, not |V|",
+      "q_hits" -> "HITS round: two shuffle-on-key sums over the staged edge frame, no division anywhere",
+      "q_traj_simplify" -> "radial simplification: one group-collect shuffle, sort_array + aggregate fold row-local (the EWMA shape)",
+      "q_lm_backoff" -> "stupid backoff: train-side gram count groupBys, eval stream left joins ON gram keys, 1-row N broadcast",
+      "q_cc_incremental" -> "incremental CC: batch contracts through two label joins; CC rounds on the contracted graph; broadcast relabel",
+      "q_knn_classify" -> "kNN classify: topKExact two-phase rank (broadcast eval set) + vote groupBys + max-of-struct mode",
+      "q_gini_mix" -> "gini diversity: two map-side-combined aggs, DECIMAL squared counts — nothing row-sized shuffles")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
