@@ -116,6 +116,9 @@ object ScaleProbe {
     "q_lm_backoff" -> false,
     // round-8 third wave: gini = two combinable aggs, output span-bounded
     "q_gini_mix" -> false,
+    // round-8 third wave: collocations = two count groupBys + margin
+    // joins + TakeOrdered top-50 — bigram space grows sublinearly
+    "q_collocations" -> false,
     // round-8 third wave: EXACT-kNN classification scores |eval|·|train|
     // pairs — 25x on 5x BY CONSTRUCTION (both factors grow), the
     // documented physics of the brute-force baseline (q_spatial_join

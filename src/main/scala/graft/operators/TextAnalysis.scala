@@ -270,6 +270,47 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Collocation mining: corpus bigrams ranked by POINTWISE MUTUAL
+    * INFORMATION — in the log-free form this repo uses everywhere
+    * (the [[logOddsTerms]] precedent): PMI = log(p₁₂/(p₁p₂)) is a
+    * MONOTONE function of the integer cross-ratio n₁₂·N/(n₁·n₂), so
+    * ranking by the floored-ppm ratio IS ranking by PMI with zero libm.
+    * `minCount` keeps hapax pairs (n₁₂ = n₁ = n₂ = 1 maximizes raw PMI
+    * — the classic failure mode) out of the shortlist; this is the
+    * phrase-mining / tokenizer-seeding pass of a text pipeline.
+    *
+    * Scale shape: two map-side-combined count groupBys (bigrams,
+    * unigrams) over exploded streams; margins join ON THE WORD (no
+    * vocabulary broadcast assumption); the corpus total rides a 1-row
+    * broadcast; the final shortlist is a TakeOrdered top-k, never a
+    * global sort. Output: (bigram, n12, n1, n2, pmi_ppm), top k by
+    * (pmi_ppm desc, bigram). */
+  def collocations(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad args: minCount=$minCount k=$k")
+    val toks = docs.repartition(col(idCol)).withColumn("_toks", tokens(col(textCol)))
+    val bi = toks.select(explode(Dedup.tokenShingles(col("_toks"), 2)).as("_bg"))
+    val uni = toks.select(explode(col("_toks")).as("_w"))
+    val c2 = bi.groupBy(col("_bg")).agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minCount)
+    val c1 = uni.groupBy(col("_w")).agg(count(lit(1)).as("_c1"))
+    val nTok = uni.agg(count(lit(1)).as("_nt"))
+    c2.withColumn("_w1", substring_index(col("_bg"), " ", 1))
+      .withColumn("_w2", substring_index(col("_bg"), " ", -1))
+      .join(c1.select(col("_w").as("_w1"), col("_c1").as("n1")), Seq("_w1"))
+      .join(c1.select(col("_w").as("_w2"), col("_c1").as("n2")), Seq("_w2"))
+      .crossJoin(broadcast(nTok))
+      .select(col("_bg").as("bigram"), col("n12"), col("n1"), col("n2"),
+        expr("CAST(CAST(n12 AS DECIMAL(38,0)) * _nt * 1000000 DIV " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation") — THE web-scale n-gram
     * smoothing: no discount mass bookkeeping, just back off with a

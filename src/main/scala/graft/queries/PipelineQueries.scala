@@ -1438,6 +1438,30 @@ object PipelineQueries {
              |       count(*) AS n_bigrams
              |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Collocation mining: top-50 corpus bigrams by the monotone integer
+    // PMI cross-ratio n12·N/(n1·n2) (log-free ranking, the q_logodds
+    // precedent), support >= 5 so hapax pairs can't game raw PMI. Two
+    // count groupBys + margin joins on the word + TakeOrdered — never a
+    // global sort.
+    Q("q_collocations",
+      (s, dir) => TextAnalysis.collocations(
+          Tables.documents(s, dir), "doc_id", "text", minCount = 5L, k = 50)
+        .orderBy(col("pmi_ppm").desc, col("bigram")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |bi AS (SELECT unnest([toks[i::INT] || ' ' || toks[(i::INT) + 1]
+             |                      for i in range(1, len(toks))]) AS bg
+             |       FROM d WHERE len(toks) >= 2),
+             |uni AS (SELECT unnest(toks) AS w FROM d),
+             |c2 AS (SELECT bg, count(*) AS n12 FROM bi GROUP BY 1 HAVING count(*) >= 5),
+             |c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+             |n AS (SELECT count(*) AS nt FROM uni)
+             |SELECT bg AS bigram, n12, a.c AS n1, b.c AS n2,
+             |       CAST(CAST(n12 AS HUGEINT) * (SELECT nt FROM n) * 1000000
+             |            // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS pmi_ppm
+             |FROM c2 JOIN c1 a ON split_part(bg, ' ', 1) = a.w
+             |        JOIN c1 b ON split_part(bg, ' ', 2) = b.w
+             |ORDER BY pmi_ppm DESC, bigram LIMIT 50""".stripMargin)),
+
     // Stupid-backoff trigram scoring (Brants 2007) — the web-scale LM
     // smoothing, integer-exact because the backoff factor is a fixed
     // 0.4 (400000 ppm): model trains on even doc_ids (yesterday's

@@ -281,6 +281,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("rare1")._3 > 1000000L && got("rare2")._3 < 1000000L)
   }
 
+  test("collocations equals brute PMI cross-ratio ranking with support floor") {
+    val texts = Seq(
+      "new york is big", "new york city", "san francisco fog",
+      "san francisco bay", "the city the fog the bay", "is the city big")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "doc_id", "text", minCount = 2L, k = 5)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // brute model
+    val toks = texts.flatMap(_.split(" "))
+    val bis = texts.flatMap(t => t.split(" ").sliding(2).filter(_.length == 2)
+      .map(_.mkString(" ")))
+    val c1 = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = bis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L)
+    val n = toks.size.toLong
+    val want = c2.toSeq.map { case (bg, n12) =>
+      val Array(w1, w2) = bg.split(" ")
+      (bg, n12, c1(w1), c1(w2),
+        (BigInt(n12) * n * 1000000 / (BigInt(c1(w1)) * c1(w2))).toLong)
+    }.sortBy(r => (-r._5, r._1)).take(5)
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("stupidBackoffScore: hand-computed cascade over a tiny train/eval split") {
     // train (id 0): trigrams {a b c, b c a, c a b, a b d};
     // bigrams {a b:2, b c, c a, b d}; unigrams {a:2, b:2, c, d}; N=6.
