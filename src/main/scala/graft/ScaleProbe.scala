@@ -119,6 +119,9 @@ object ScaleProbe {
     // round-8 third wave: collocations = two count groupBys + margin
     // joins + TakeOrdered top-50 — bigram space grows sublinearly
     "q_collocations" -> false,
+    // round-8 third wave: nearest-time = 3-bin explode + (user, bin)
+    // hash join + map-side min — the q_range_join_binned shape
+    "q_nearest_time" -> false,
     // round-8 third wave: EXACT-kNN classification scores |eval|·|train|
     // pairs — 25x on 5x BY CONSTRUCTION (both factors grow), the
     // documented physics of the brute-force baseline (q_spatial_join

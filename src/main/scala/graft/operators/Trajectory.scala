@@ -104,4 +104,47 @@ object Trajectory {
   def validityRange(flat: DataFrame, keyCol: String, tsCol: String): DataFrame =
     flat.groupBy(col(keyCol))
       .agg(struct(min(col(tsCol)).as("lo"), max(col(tsCol)).as("hi")).as("validity"))
+
+  /** NEAREST-in-time join: for each probe row, the single build row of
+    * the SAME key whose timestamp is closest in EITHER direction within
+    * tolerance `wUs` — the two-sided companion of [[asOfJoin]] (as-of
+    * answers "state at t"; nearest answers "the matching reading",
+    * sensor alignment / GPS-fix pairing, where the best match may come
+    * shortly AFTER). Exact by the 1-D bin argument: with bin = wUs, any
+    * build row within wUs of a probe sits in the probe's bin or an
+    * adjacent one, so the 3-bin explode loses nothing; the winner is a
+    * map-side-combinable min of (|Δt|, ts, id) — deterministic ties
+    * (earlier row wins an equidistant pair). Probes with no build row in
+    * range are dropped (left-join the result back for misses).
+    *
+    * Scale shape: candidates = 3 · per-(key, bin) occupancy per probe —
+    * a hot key spreads over its time bins instead of one reducer (the
+    * q_range_join_binned precedent); no per-key quadratic product, no
+    * window over a whole key. Inputs carry (key, ts µs, id). Output:
+    * (key, probe_id, probe_ts_us, match_id, dt_us signed build − probe). */
+  def nearestTimeJoin(
+      probes: DataFrame,
+      build: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      wUs: Long): DataFrame = {
+    require(wUs > 0, s"tolerance must be positive: $wUs")
+    val b = build.select(col(keyCol).as("_k"),
+      col(tsCol).as("_bts"), col(idCol).as("_bid"),
+      call_function("div", col(tsCol) - pmod(col(tsCol), lit(wUs)), lit(wUs)).as("_bin"))
+    val p = probes.select(col(keyCol).as("_k"),
+        col(tsCol).as("_pts"), col(idCol).as("_pid"),
+        call_function("div", col(tsCol) - pmod(col(tsCol), lit(wUs)), lit(wUs)).as("_b0"))
+      .select(col("_k"), col("_pts"), col("_pid"),
+        explode(array(col("_b0") - 1L, col("_b0"), col("_b0") + 1L)).as("_bin"))
+    p.join(b, Seq("_k", "_bin"))
+      .filter(abs(col("_bts") - col("_pts")) <= wUs)
+      .groupBy(col("_k"), col("_pid"), col("_pts"))
+      .agg(min(struct(abs(col("_bts") - col("_pts")).as("adt"),
+        col("_bts").as("bts"), col("_bid").as("bid"))).as("_m"))
+      .select(col("_k").as(keyCol), col("_pid").as("probe_id"),
+        col("_pts").as("probe_ts_us"), col("_m.bid").as("match_id"),
+        (col("_m.bts") - col("_pts")).as("dt_us"))
+  }
 }

@@ -1407,6 +1407,36 @@ object CoreQueries {
              |       ELSE 0 END AS BIGINT) AS acf3_ppm
              |FROM a ORDER BY user_id""".stripMargin)),
 
+    // Nearest-in-time join: each click pairs with the SAME user's
+    // closest purchase within ±30 min, either direction (the two-sided
+    // companion of q_asof_lookup — sensor-alignment semantics). 1-D
+    // time-bin explode (3 bins) + hash join + map-side min of
+    // (|Δt|, ts, id); ties break to the earlier purchase. Oracle is the
+    // brute per-user range join + QUALIFY arg-min.
+    Q("q_nearest_time",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("event_type"))
+        Trajectory.nearestTimeJoin(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"),
+            "user_id", "ts_us", "event_id", wUs = 1800000000L)
+          .orderBy("probe_id")
+      },
+      Some("""WITH c AS (SELECT user_id, epoch_us(ts) AS pts, event_id AS pid
+             |          FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, epoch_us(ts) AS bts, event_id AS bid
+             |      FROM events WHERE event_type = 'purchase'),
+             |j AS (SELECT c.user_id, c.pid, c.pts, p.bid, p.bts,
+             |             abs(p.bts - c.pts) AS adt
+             |      FROM c JOIN p ON c.user_id = p.user_id
+             |       AND p.bts BETWEEN c.pts - 1800000000 AND c.pts + 1800000000)
+             |SELECT user_id, pid AS probe_id, pts AS probe_ts_us,
+             |       bid AS match_id, CAST(bts - pts AS BIGINT) AS dt_us
+             |FROM j
+             |QUALIFY row_number() OVER (PARTITION BY pid ORDER BY adt, bts, bid) = 1
+             |ORDER BY probe_id""".stripMargin)),
+
     // Per-user EWMA (α=1/4) + threshold anomaly count — an ordered
     // integer recurrence (floor-rounded state) no window frame can
     // express, folded row-locally per entity after one shuffle; the

@@ -106,4 +106,37 @@ class TrajectorySpec extends SparkSpec {
       .select($"k", $"v").as[(String, Double)].collect().toMap
     assert(r == Map("a" -> 2.0))
   }
+
+  test("nearestTimeJoin: two-sided winner, equidistant tie, window bound, cross-bin") {
+    val probes = Seq((1L, 100L, 10L), (1L, 200L, 11L), (1L, 1000L, 12L),
+      (2L, 10L, 13L)).toDF("k", "t", "id")
+    // probe 10: build 105 (|5|) beats 90 (|10|); probe 11: 195/205
+    // equidistant → earlier wins; probe 12: nothing within 50; probe 13
+    // (k=2): build at t=5 lives in the PREVIOUS bin (w=50) — cross-bin
+    val build = Seq((1L, 90L, 20L), (1L, 105L, 21L), (1L, 195L, 22L),
+      (1L, 205L, 23L), (2L, 5L, 24L)).toDF("k", "t", "id")
+    val got = Trajectory.nearestTimeJoin(probes, build, "k", "t", "id", wUs = 50L)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._2 -> r).toMap
+    assert(got(10L) == ((1L, 10L, 100L, 21L, 5L)), got.toString)
+    assert(got(11L) == ((1L, 11L, 200L, 22L, -5L)), got.toString)
+    assert(!got.contains(12L), got.toString)
+    assert(got(13L) == ((2L, 13L, 10L, 24L, -5L)), got.toString)
+  }
+
+  test("nearestTimeJoin equals brute nearest within tolerance on random data") {
+    val probes = (1L to 100L).map(i => (i % 5, (i * 7919L) % 2000L, i))
+    val build = (1L to 80L).map(j => (j % 5, (j * 104729L) % 2000L, 1000L + j))
+    val got = Trajectory.nearestTimeJoin(probes.toDF("k", "t", "id"),
+        build.toDF("k", "t", "id"), "k", "t", "id", wUs = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._2 -> ((r._4, r._5))).toMap
+    val want = probes.flatMap { case (k, pt, pid) =>
+      val cands = build.filter(b => b._1 == k && math.abs(b._2 - pt) <= 100L)
+      if (cands.isEmpty) None
+      else {
+        val w = cands.minBy(b => (math.abs(b._2 - pt), b._2, b._3))
+        Some(pid -> ((w._3, w._2 - pt)))
+      }
+    }.toMap
+    assert(got == want, s"diff=${(got.toSet diff want.toSet).take(5)}")
+  }
 }
