@@ -129,6 +129,11 @@ object ScaleProbe {
     // linear probes (q_ann_*). Measured 139x includes the small-base
     // plan-regime skew on a 1.0 MB absolute base.
     "q_knn_classify" -> true,
+    // round-8 fourth wave: triplet mining scores |anchors|·|corpus| pairs
+    // and the replica grows BOTH axes (anchors are an id-residue class of
+    // the corpus) — 25x on 5x by construction, the q_knn_classify class;
+    // at corpus scale the scorer swaps to ANN candidates per the scaladoc
+    "q_hard_negatives" -> true,
     // round-8 second wave: concave ray-cast census = same row-local
     // predicate + map-side agg shape as q_geofence; drift = two
     // map-side-combined (group, bin) histograms + broadcast totals —

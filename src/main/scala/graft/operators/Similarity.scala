@@ -412,6 +412,54 @@ object Similarity {
         (col("true_label") === col("predicted")).cast("long"))
   }
 
+  /** Hard-example triplet mining for contrastive training (the batch
+    * construction step of embedding-model fine-tuning: each anchor needs
+    * its hardest negative — the most-similar vector with a DIFFERENT
+    * label, the one the model currently confuses — and its hardest
+    * positive — the least-similar vector sharing its label). Emits both
+    * plus the triplet margin (pos_sim − neg_sim); a negative margin is a
+    * currently-violated triplet, the training signal.
+    *
+    * Scale shape: the anchor set broadcasts (it is the small side by
+    * construction — a minibatch or a sampled audit set), so scoring is
+    * anchors·N row-local dot products with NO corpus shuffle; both
+    * extrema then ride ONE map-side-combinable aggregate (conditional
+    * max/min of (sim, id) structs), so the only exchange carries
+    * |anchors| partial rows per task. At corpus scale swap the scorer
+    * for [[annTopK]]/IVF candidates exactly as [[knnClassify]] does.
+    *
+    * Determinism: cosine in integer ppm (the [[cosinePpm]] currency);
+    * ties break to the smaller id on both sides. Output: (a_id, a_label,
+    * neg_id, neg_sim_ppm, pos_id, pos_sim_ppm, margin_ppm). */
+  def hardNegatives(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchorFilter: Column): DataFrame = {
+    val corpus = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        col(labelCol).cast("long").as("_l"))
+      .withColumn("_n", l2norm(col("_v")))
+    val anchors = emb.filter(anchorFilter)
+      .select(col(idCol).as("a_id"), col(vecCol).as("_av"),
+        col(labelCol).cast("long").as("a_label"))
+      .withColumn("_an", l2norm(col("_av")))
+    val scored = corpus.crossJoin(broadcast(anchors))
+      .filter(col("_id") =!= col("a_id"))
+      .withColumn("sim_ppm",
+        floor(dot(col("_v"), col("_av")) / (col("_n") * col("_an")) * 1e6).cast("long"))
+    scored.groupBy(col("a_id"), col("a_label"))
+      .agg(
+        max(when(col("_l") =!= col("a_label"),
+          struct(col("sim_ppm").as("s"), (-col("_id")).as("ni")))).as("_neg"),
+        min(when(col("_l") === col("a_label"),
+          struct(col("sim_ppm").as("s"), col("_id").as("i")))).as("_pos"))
+      .select(col("a_id"), col("a_label"),
+        (-col("_neg.ni")).as("neg_id"), col("_neg.s").as("neg_sim_ppm"),
+        col("_pos.i").as("pos_id"), col("_pos.s").as("pos_sim_ppm"),
+        (col("_pos.s") - col("_neg.s")).as("margin_ppm"))
+  }
+
   /** Per-DIMENSION robust statistics of an embedding column — the
     * feature-QC pass before any distance-based pipeline (a dimension
     * with a shifted median or a fat outlier tail poisons every cosine

@@ -687,6 +687,40 @@ object PipelineQueries {
              |            THEN CAST(1 AS BIGINT) ELSE 0 END AS correct
              |FROM q JOIN p USING (q_id) ORDER BY q_id""".stripMargin)),
 
+    // Hard-example triplet mining (contrastive fine-tuning batch
+    // construction): every 25th vector anchors; its hardest NEGATIVE is
+    // the most-similar different-label vector, its hardest POSITIVE the
+    // least-similar same-label one; margin = pos_sim - neg_sim (negative
+    // = currently-violated triplet). Anchors broadcast, extrema ride one
+    // conditional map-side-combinable aggregate; ties -> smaller id.
+    Q("q_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+          pmod(col("vec_id"), lit(25L)) === 0L)
+        .orderBy("a_id"),
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS ve,
+             |                 CAST(label AS BIGINT) AS label FROM embeddings),
+             |a AS (SELECT vec_id AS a_id, ve AS av, label AS a_label
+             |      FROM c WHERE vec_id % 25 = 0),
+             |s AS (SELECT a.a_id, a.a_label, c.vec_id, c.label,
+             |        CAST(floor(list_dot_product(c.ve, a.av)
+             |          / (sqrt(list_dot_product(c.ve, c.ve)) * sqrt(list_dot_product(a.av, a.av)))
+             |          * 1000000.0) AS BIGINT) AS sim_ppm
+             |      FROM a JOIN c ON c.vec_id <> a.a_id),
+             |n AS (SELECT a_id, vec_id AS neg_id, sim_ppm AS neg_sim_ppm
+             |      FROM s WHERE label <> a_label
+             |      QUALIFY row_number() OVER (PARTITION BY a_id
+             |              ORDER BY sim_ppm DESC, vec_id) = 1),
+             |p AS (SELECT a_id, vec_id AS pos_id, sim_ppm AS pos_sim_ppm
+             |      FROM s WHERE label = a_label
+             |      QUALIFY row_number() OVER (PARTITION BY a_id
+             |              ORDER BY sim_ppm ASC, vec_id) = 1)
+             |SELECT a.a_id, a.a_label, n.neg_id, n.neg_sim_ppm,
+             |       p.pos_id, p.pos_sim_ppm,
+             |       p.pos_sim_ppm - n.neg_sim_ppm AS margin_ppm
+             |FROM a JOIN n USING (a_id) JOIN p USING (a_id)
+             |ORDER BY a_id""".stripMargin)),
+
     // Per-dimension robust stats of the embedding corpus (feature QC):
     // exact nearest-rank quartiles of each of the 64 dims' micro-unit
     // values + outlier census under |v - median| > max(3·IQR, 1) — the

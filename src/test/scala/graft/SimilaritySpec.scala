@@ -245,6 +245,62 @@ class SimilaritySpec extends SparkSpec {
       got.toString)
   }
 
+  test("hardNegatives: planted confusable twin wins, margin sign, ties to smaller id") {
+    // anchor 0 (label 0): id 10 is a different-label near-clone (the
+    // hard negative), id 1 a same-label orthogonal (the hard positive).
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 1.0f, 0.0f), 0),  // same label, orthogonal → hardest positive
+      (2L, Seq(0.8f, 0.6f, 0.0f), 0),  // same label, closer than 1
+      (10L, Seq(1.0f, 0.0f, 0.0f), 1), // different label, identical direction
+      (11L, Seq(0.0f, 0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      col("vec_id") === 0L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (aId, aLab, negId, negSim, posId, posSim, margin) = got.head
+    assert((aId, aLab) == ((0L, 0L)))
+    assert(negId == 10L && negSim == 1000000L) // identical direction, sim = 1
+    assert(posId == 1L && posSim == 0L)        // orthogonal same-label
+    assert(margin == -1000000L)                // violated triplet
+    // tie case: two identical hardest negatives → smaller id wins
+    val tied = emb.unionByName(Seq((9L, Seq(1.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label"))
+    val t = Similarity.hardNegatives(tied, "vec_id", "embedding", "label",
+      col("vec_id") === 0L)
+      .select($"neg_id").as[Long].head()
+    assert(t == 9L)
+  }
+
+  test("hardNegatives equals brute-force model on random labeled vectors") {
+    val vecs = (1L to 60L).map { i =>
+      (i, (0 until 4).map(d => (((i * 7919L + d * 104729L) % 2001L) - 1000L).toFloat / 100f),
+        (i % 5L).toInt)
+    }
+    val got = Similarity.hardNegatives(
+        vecs.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", pmod(col("vec_id"), lit(10L)) === 0L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def simPpm(a: Seq[Float], b: Seq[Float]): Long = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6).toLong
+    }
+    val anchors = vecs.filter(_._1 % 10 == 0)
+    assert(got.keySet == anchors.map(_._1).toSet)
+    anchors.foreach { case (aid, avec, alab) =>
+      val others = vecs.filter(_._1 != aid)
+      val neg = others.filter(_._3 != alab)
+        .map(v => (v._1, simPpm(avec, v._2))).minBy(p => (-p._2, p._1))
+      val pos = others.filter(v => v._3 == alab)
+        .map(v => (v._1, simPpm(avec, v._2))).minBy(p => (p._2, p._1))
+      assert(got(aid) == ((aid, alab.toLong, neg._1, neg._2, pos._1, pos._2,
+        pos._2 - neg._2)), s"anchor $aid")
+    }
+  }
+
   test("dimRobustStats equals brute nearest-rank model on random vectors") {
     val vecs = (1L to 50L).map { i =>
       (i, (0 until 4).map(d => (((i * 7919L + d * 104729L) % 2001L) - 1000L).toFloat / 100f))
