@@ -110,6 +110,10 @@ object ScaleProbe {
     // shuffle + row-local fold (the q_ewma shape); replica adds users at
     // constant per-user track length → linear
     "q_traj_simplify" -> false,
+    // round-8 fourth wave: subsequence DTW = the same one group-collect
+    // shuffle + row-local DP (sequence capped at 48 rows, pattern fixed)
+    // + TakeOrdered top-20 — linear in entities
+    "q_dtw_match" -> false,
     // round-8 third wave: stupid-backoff = train-side count groupBys +
     // eval-stream left joins on gram keys, all ~n (the q_lm_bigram /
     // q_dsir_weight shape with one more level)

@@ -195,4 +195,101 @@ object TimeSeries {
     out.select((col("key") +: col("n") +:
       (1 to maxLag).map(k => col(s"acf${k}_ppm"))): _*)
   }
+
+  /** Sentinel "infinite" DP cost — far above any reachable alignment
+    * cost (≤ pattern length × max |value| mils) yet small enough that
+    * BIG + cost never overflows a long. */
+  private val DtwBig = 1L << 40
+
+  /** Subsequence DTW pattern search: rank entities by how well their
+    * value sequence contains a segment matching a fixed query pattern —
+    * the shape-query primitive (find the users whose telemetry shows
+    * this spike-and-recover profile) that exact equality or correlation
+    * cannot express because matching segments stretch in time.
+    *
+    * Semantics: asymmetric-step DTW (Sakoe–Chiba step I — each pattern
+    * step advances exactly one row; a sequence element may repeat via
+    * the vertical step) with OPEN start and end: cost(i,j) = |v_j − p_i|
+    * + min(dp_{i−1}[j], dp_{i−1}[j−1]), dp_1[j] = |v_j − p_1|, answer =
+    * min_j dp_m[j]. This step pattern is chosen deliberately: it removes
+    * the same-row dp_i[j−1] dependency, so each DP level is a pure MAP
+    * over the previous level — expressible as builtin higher-order
+    * functions with NO per-row UDF and replayable level-by-level in SQL
+    * (a lag() window per level) for the oracle.
+    *
+    * Spark shape: one shuffle groups each entity's first `maxLen` rows
+    * (sort_array + slice — the [[ewmaAnomaly]] fold class); the whole DP
+    * is then `aggregate` over the pattern literal with a nested
+    * `transform` over the sequence — row-local, codegen'd, O(m·maxLen)
+    * per entity, state one long array. Entities are independent: 100 TB
+    * scales as width. Top-k is a TakeOrderedAndProject, never a global
+    * sort.
+    *
+    * All-integer mils costs; ties (equal cost) break to the smaller
+    * entity id, equal-cost end positions to the EARLIEST j
+    * (array_position returns the first minimum). Output, best `topK`
+    * entities: (keyCol, n_pts, best_cost, best_end). */
+  def dtwMatch(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column,
+      patternMils: Seq[Long],
+      maxLen: Int,
+      topK: Int): DataFrame = {
+    require(patternMils.nonEmpty && patternMils.size <= 32,
+      s"pattern length must be in 1..32: ${patternMils.size}")
+    require(maxLen >= 1, s"maxLen must be >= 1: $maxLen")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val rows = df.select(col(keyCol),
+      struct(tsCol.as("t"), tieCol.as("i"),
+        floor(valueCol.cast("double") * 1000).cast("long").as("v")).as("_r"))
+    val seqs = rows.groupBy(col(keyCol))
+      .agg(slice(sort_array(collect_list(col("_r"))), 1, maxLen).as("_rs"))
+      .select(col(keyCol),
+        transform(col("_rs"), r => r.getField("v")).as("_seq"))
+    val dp0 = transform(col("_seq"), v => abs(v - lit(patternMils.head)))
+    val dpFinal = aggregate(
+      lit(patternMils.tail.toArray), dp0,
+      (acc: Column, p: Column) => transform(col("_seq"), (v, j) =>
+        abs(v - p) + least(
+          element_at(acc, j + 1),
+          when(j === 0, lit(DtwBig)).otherwise(element_at(acc, j)))))
+    seqs
+      .select(col(keyCol), size(col("_seq")).cast("long").as("n_pts"),
+        dpFinal.as("_dp"))
+      .withColumn("best_cost", array_min(col("_dp")))
+      .withColumn("best_end", array_position(col("_dp"), col("best_cost")))
+      .drop("_dp")
+      .orderBy(col("best_cost"), col(keyCol))
+      .limit(topK)
+  }
+
+  /** The DuckDB replay of [[dtwMatch]] over the `events` table,
+    * GENERATED from the same pattern literal so query and oracle cannot
+    * drift: one CTE per DP level (the previous level's dp reached via
+    * lag() over j — legal because the asymmetric step never reads the
+    * current level), then min/argmin per entity and the same
+    * (cost, key) top-k order. */
+  def dtwMatchEventsSql(patternMils: Seq[Long], maxLen: Int, topK: Int): String = {
+    val lvls = patternMils.zipWithIndex.drop(1).map { case (p, i) =>
+      s"""d${i + 1} AS (SELECT user_id, j, v,
+         |  abs(v - $p) + least(dp, coalesce(lag(dp) OVER (PARTITION BY user_id ORDER BY j), $DtwBig)) AS dp
+         |  FROM d$i)""".stripMargin
+    }
+    s"""WITH r AS (SELECT user_id, CAST(floor(value*1000) AS BIGINT) AS v,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS j
+       |  FROM events),
+       |s AS (SELECT user_id, v, j FROM r WHERE j <= $maxLen),
+       |d1 AS (SELECT user_id, j, v, abs(v - ${patternMils.head}) AS dp FROM s),
+       |${lvls.mkString(",\n")},
+       |f AS (SELECT user_id, count(*) OVER (PARTITION BY user_id) AS n_pts,
+       |        dp AS best_cost, j AS best_end,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY dp, j) AS rk
+       |      FROM d${patternMils.size})
+       |SELECT user_id, CAST(n_pts AS BIGINT) AS n_pts, best_cost, best_end
+       |FROM f WHERE rk = 1
+       |ORDER BY best_cost, user_id LIMIT $topK""".stripMargin
+  }
 }

@@ -73,6 +73,12 @@ object CoreQueries {
   private val RangeHi = "2024-01-12 00:00:00"
   private val HourBucket = "2024-01-01 00:00:00"
 
+  /** q_dtw_match's spike-and-recover query shape, in mils (events.value
+    * spans ~10..490,020 mils). Single source of truth for the Spark DP
+    * and the generated DuckDB replay. */
+  private val DtwPattern =
+    Seq(50000L, 150000L, 300000L, 450000L, 300000L, 150000L, 50000L, 10000L)
+
   val all: Seq[Q] = Seq(
 
     // Per-entity rolling time-range window: for each event, the count and
@@ -1709,6 +1715,21 @@ object CoreQueries {
              |SELECT user_id, max(rn) AS n_events, arg_max(s, rn) AS cusum_mils,
              |       arg_max(na, rn) AS n_alarms
              |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Subsequence DTW shape search: rank users by how well their value
+    // sequence (first 48 points) contains a segment matching a fixed
+    // spike-and-recover pattern, under asymmetric-step DTW (open start/
+    // end; each pattern step advances one row, sequence elements may
+    // repeat). The step pattern makes each DP level a pure map over the
+    // previous one — the whole DP is one aggregate-over-pattern with a
+    // nested transform (codegen, row-local); the oracle replays it
+    // level-by-level with lag() windows, GENERATED from the same
+    // pattern literal so the two cannot drift.
+    Q("q_dtw_match",
+      (s, dir) => TimeSeries.dtwMatch(Tables.events(s, dir), "user_id",
+        col("ts"), col("event_id"), col("value"),
+        DtwPattern, maxLen = 48, topK = 20),
+      Some(TimeSeries.dtwMatchEventsSql(DtwPattern, maxLen = 48, topK = 20))),
 
     // Classical additive seasonal decomposition (STL-lite, exact
     // integers): the global hourly value series splits into trend

@@ -108,6 +108,62 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n == 2L && a2 == 0L && a3 == 0L && a1 < 0L, acf(short).toString)
   }
 
+  private def bruteDtw(seq: Seq[Long], pat: Seq[Long]): (Long, Long) = {
+    // reference DP: asymmetric step, open start/end; returns
+    // (best_cost, best_end 1-based, ties to earliest end)
+    val big = 1L << 40
+    var dp = seq.map(v => math.abs(v - pat.head))
+    pat.tail.foreach { p =>
+      dp = seq.indices.map { j =>
+        math.abs(seq(j) - p) +
+          math.min(dp(j), if (j == 0) big else dp(j - 1))
+      }
+    }
+    val best = dp.min
+    (best, dp.indexOf(best) + 1L)
+  }
+
+  test("dtwMatch: perfect segment costs 0, vertical repeat, DP hand-checked") {
+    // user 1 contains the pattern (2,5,3) verbatim mid-noise → cost 0,
+    //   ends on the 3 (open start skips the 7000, open end skips the 8000)
+    // user 2 is SHORTER than the pattern (2,5): the 5 absorbs both
+    //   remaining steps via vertical repeats → cost |5-5|+|5-3| = 2
+    // user 3 is flat 9s → best cost = |9-2|+|9-5|+|9-3| = 17, every end
+    //   ties → earliest (j=1) wins
+    val mk = (k: Long, vs: Seq[Double]) =>
+      vs.zipWithIndex.map { case (v, i) => (k, i.toLong, i.toLong, v) }
+    val rows = mk(1L, Seq(7.0, 0.002, 0.005, 0.003, 8.0)) ++
+      mk(2L, Seq(0.002, 0.005)) ++
+      mk(3L, Seq(0.009, 0.009, 0.009, 0.009))
+    val got = TimeSeries.dtwMatch(rows.toDF("k", "t", "i", "v"), "k",
+        col("t"), col("i"), col("v"), Seq(2L, 5L, 3L), maxLen = 48, topK = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    val byK = got.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byK(1L) == ((5L, 0L, 4L)), got.toSeq.toString)
+    assert(byK(2L) == ((2L, 2L, 2L)), got.toSeq.toString)
+    assert(byK(3L) == ((4L, 17L, 1L)), got.toSeq.toString)
+    // output order: (cost asc, key asc) → 1 (0), 2 (2), 3 (17)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), got.toSeq.toString)
+  }
+
+  test("dtwMatch equals brute-force DP on random multi-key series, maxLen truncates") {
+    val rows = for { k <- 1L to 8L; i <- 0L until (20L + k % 5) }
+      yield (k, i, i, (((k * 7919L + i * 104729L) % 997L).toDouble / 1000.0))
+    val pat = Seq(100L, 700L, 400L, 900L, 200L)
+    val maxLen = 16 // shorter than every series → truncation is exercised
+    val got = TimeSeries.dtwMatch(rows.toDF("k", "t", "i", "v"), "k",
+        col("t"), col("i"), col("v"), pat, maxLen = maxLen, topK = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = rows.groupBy(_._1).map { case (k, rs) =>
+      val seq = rs.sortBy(_._2).take(maxLen)
+        .map(r => math.floor(r._4 * 1000).toLong)
+      val (c, e) = bruteDtw(seq, pat)
+      k -> ((seq.size.toLong, c, e))
+    }
+    want.foreach { case (k, w) => assert(got(k) == w, s"k=$k got=${got(k)} want=$w") }
+  }
+
   test("acfPpm equals BigInt brute force on random multi-key series") {
     val rows = for { k <- 1L to 6L; i <- 0L until (10L + k % 4) }
       yield (k, i, i, ((k * 7919L + i * 104729L) % 2001L) - 1000L)
