@@ -114,6 +114,12 @@ object ScaleProbe {
     // shuffle + row-local DP (sequence capped at 48 rows, pattern fixed)
     // + TakeOrdered top-20 — linear in entities
     "q_dtw_match" -> false,
+    // round-8 fourth wave: hilbert encode/decode = row-local codegen
+    // Expression + map-side-free projection (the q_geofence zero-shuffle
+    // class; the ordered output adds one range-partition exchange).
+    // q_hilbert_scan is store-class (builds a layout) — bench-covered
+    // like q_zorder_scan, not replica-probed.
+    "q_hilbert_key" -> false,
     // round-8 third wave: stupid-backoff = train-side count groupBys +
     // eval-stream left joins on gram keys, all ~n (the q_lm_bigram /
     // q_dsir_weight shape with one more level)

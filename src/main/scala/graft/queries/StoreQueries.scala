@@ -680,6 +680,67 @@ object StoreQueries {
              |  AND (user_id & 65535) BETWEEN 4 AND 120
              |ORDER BY event_id""".stripMargin)),
 
+    // Hilbert clustering key (the jump-free sibling of q_zorder_key, the
+    // layout lakehouse OPTIMIZE prefers): native codegen encode (the
+    // per-level rotate/reflect state would double a builtin-Column tree
+    // per level), decode pinned in-output. The oracle replays the SAME
+    // quadrant walk as a 16-level CTE chain GENERATED from the encode
+    // loop's algebra (graft.functions.HilbertOps.xy2dSqlCtes), so the
+    // two cannot drift; hx2/hy2 are the Spark-side inverse, stated as
+    // identity by the oracle.
+    Q("q_hilbert_key",
+      (s, dir) => {
+        import graft.functions.HilbertOps
+        Tables.events(s, dir)
+          .withColumn("gx", graft.store.ZOrderStore.gridX(col("value")))
+          .withColumn("gy", graft.store.ZOrderStore.gridY(col("user_id")))
+          .withColumn("hkey", HilbertOps.hilbertKey(col("gx"), col("gy")))
+          .withColumn("_xy", HilbertOps.hilbertXY(col("hkey")))
+          .select(col("event_id"), col("gx"), col("gy"), col("hkey"),
+            col("_xy").getField("x").as("hx2"),
+            col("_xy").getField("y").as("hy2"))
+          .orderBy("event_id")
+      },
+      Some {
+        import graft.functions.HilbertOps
+        s"""WITH b AS (
+           |  SELECT event_id,
+           |         CAST(floor(value*1000) AS BIGINT) & 65535 AS gx,
+           |         user_id & 65535 AS gy,
+           |         CAST(floor(value*1000) AS BIGINT) & 65535 AS x,
+           |         user_id & 65535 AS y,
+           |         CAST(0 AS BIGINT) AS d
+           |  FROM events),
+           |${HilbertOps.xy2dSqlCtes("b", Seq("event_id", "gx", "gy"))}
+           |SELECT event_id, gx, gy, d AS hkey, gx AS hx2, gy AS hy2
+           |FROM ${HilbertOps.LastCte} ORDER BY event_id""".stripMargin
+      }),
+
+    // bbox scan over the Hilbert-clustered store: no single key range
+    // exists (Hilbert is not per-coordinate monotonic), but every
+    // partition dir is an exact aligned quadrant — the covering dirs are
+    // 64 driver-side decodes emitted as a LITERAL IN-list (compile-time
+    // PartitionFilters, asserted in StoreSpec along with the covering
+    // count), then exact gx/gy pushdown prunes row groups (tight stats:
+    // files are hkey-sorted). Same bbox as q_zorder_scan so the two
+    // layouts' plans are directly comparable; oracle = plain bbox filter.
+    Q("q_hilbert_scan",
+      (s, dir) => {
+        val path = graft.store.HilbertStore.ensureHilbertStore(s, dir)
+        graft.store.HilbertStore.bboxScan(s, path, 10000, 30000, 4, 120)
+          .select(col("event_id"), col("gx"), col("gy"),
+            expr("unix_micros(ts)").as("ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |       CAST(floor(value*1000) AS BIGINT) & 65535 AS gx,
+             |       user_id & 65535 AS gy,
+             |       epoch_us(ts) AS ts_us
+             |FROM events
+             |WHERE (CAST(floor(value*1000) AS BIGINT) & 65535) BETWEEN 10000 AND 30000
+             |  AND (user_id & 65535) BETWEEN 4 AND 120
+             |ORDER BY event_id""".stripMargin)),
+
     // File-skipping index lookup on a NON-layout column: the store is
     // bucketed by user hash (the ingest clustering), probed by event_id
     // — no partition arithmetic can route the probe, so without the

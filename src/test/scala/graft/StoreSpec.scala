@@ -222,6 +222,75 @@ class StoreSpec extends SparkSpec {
       plan.contains("zkey"), s"zkey not pushed:\n${plan.take(2000)}")
   }
 
+  test("hilbert key: exhaustive sub-block bijection + unit-step adjacency, roundtrip") {
+    import graft.functions.HilbertOps
+    // the first 4^8 keys must fill exactly the aligned 256×256 block at
+    // the origin, visiting each cell once with every step a grid
+    // neighbor — the defining (jump-free) Hilbert property, and the
+    // contiguous-quadrant property the store's dir pruning relies on
+    var prev: (Long, Long) = null
+    val seen = new scala.collection.mutable.HashSet[(Long, Long)]
+    (0L until 65536L).foreach { d =>
+      val p = HilbertOps.d2xy(d)
+      assert(p._1 < 256 && p._2 < 256, s"escaped the origin block at d=$d: $p")
+      assert(seen.add(p), s"revisited $p at d=$d")
+      if (prev != null)
+        assert(math.abs(p._1 - prev._1) + math.abs(p._2 - prev._2) == 1,
+          s"jump at d=$d: $prev -> $p")
+      assert(HilbertOps.xy2d(p._1, p._2) == d, s"encode(decode($d)) drift")
+      prev = p
+    }
+    assert(seen.size == 65536)
+    // roundtrip across the FULL 16-bit domain (edges + random)
+    val rnd = new scala.util.Random(11)
+    val pts = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (32768L, 32767L)) ++
+      (0 until 500).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    pts.foreach { case (x, y) =>
+      val d = HilbertOps.xy2d(x, y)
+      assert(d >= 0L && d < (1L << 32), s"key out of range at ($x,$y): $d")
+      assert(HilbertOps.d2xy(d) == ((x, y)), s"roundtrip drift at ($x,$y)")
+    }
+    // Column (codegen) path == driver path, decode pinned
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", HilbertOps.hilbertKey($"x", $"y").as("h"))
+      .withColumn("xy", HilbertOps.hilbertXY($"h"))
+      .select($"x", $"y", $"h", $"xy.x".as("x2"), $"xy.y".as("y2"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, h, x2, y2) =>
+      assert(h == HilbertOps.xy2d(x, y), s"column/driver drift at ($x,$y)")
+      assert(x2 == x && y2 == y, s"column roundtrip drift at ($x,$y)")
+    }
+  }
+
+  test("hilbert bbox scan: quadrant IN-list pruning, exact result") {
+    import graft.functions.HilbertOps
+    import graft.store.HilbertStore
+    val path = tmp("hstore")
+    // 32×32 full grid scaled to the 16-bit space via <<11 (z-order twin)
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong << 11, y.toLong << 11)))
+      .toDF("gx", "gy")
+      .withColumn("hkey", HilbertOps.hilbertKey($"gx", $"gy"))
+      .withColumn("hbucket", shiftright($"hkey", HilbertStore.BucketShift))
+    grid.repartition($"hbucket").sortWithinPartitions($"hbucket", $"hkey")
+      .write.partitionBy("hbucket").mode("overwrite").parquet(path)
+    val (xLo, xHi, yLo, yHi) = (4L << 11, 7L << 11, 20L << 11, 23L << 11)
+    // covering set: superset of every matching row's dir, and small
+    // (the bbox spans ≤ 2 aligned 8192-blocks per axis → ≤ 4 dirs)
+    val cover = HilbertStore.coveringBuckets(xLo, xHi, yLo, yHi)
+    val want = (4 to 7).flatMap(x => (20 to 23).map(y => (x.toLong << 11, y.toLong << 11))).toSet
+    val wantBuckets = want.map { case (x, y) => HilbertOps.xy2d(x, y) >> HilbertStore.BucketShift }
+    assert(wantBuckets.subsetOf(cover.toSet), s"covering set missed dirs: $wantBuckets vs $cover")
+    assert(cover.size <= 4, s"covering set too large: $cover")
+    val scan = HilbertStore.bboxScan(spark, path, xLo, xHi, yLo, yHi)
+    val got = scan.select($"gx", $"gy").as[(Long, Long)].collect().toSet
+    assert(got == want, "bbox result wrong")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("hbucket"), plan.take(2000))
+    assert(plan.contains("PushedFilters") && plan.contains("gx"),
+      s"gx not pushed:\n${plan.take(2000)}")
+  }
+
   test("skip index: exact lookup, partition pruning on surviving buckets only") {
     import graft.store.SkipIndexStore
     val path = tmp("skipstore")
