@@ -32,6 +32,45 @@ object PipelineQueries {
       |                      for i in range(1, len(s)-1)]) AS sh
       |FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)""".stripMargin
 
+  private val IngestBuckets = 5
+
+  /** q_stream_ingest_dedup's oracle: the sequential batch recurrence
+    * (survivors_b = batch-b docs with no >= t match in survivors_{<b})
+    * unrolled as one MATERIALIZED CTE per batch (the q_kcore lesson:
+    * without materialization DuckDB re-inlines the chain and work
+    * doubles per level), generated from the same bucket count the
+    * streaming source uses. */
+  private def ingestDedupOracle(buckets: Int): String = {
+    def jacc(a: String, b: String) =
+      s"CAST(floor(len(list_intersect($a.sh, $b.sh)) * 1000000.0 / " +
+        s"len(list_distinct($a.sh || $b.sh))) AS BIGINT)"
+    val survCtes = (0 until buckets).map { b =>
+      if (b == 0)
+        "s0 AS MATERIALIZED (SELECT doc_id, sh, b FROM d WHERE b = 0)"
+      else {
+        val priorUnion = (0 until b)
+          .map(i => s"SELECT doc_id, sh FROM s$i").mkString(" UNION ALL ")
+        s"""s$b AS MATERIALIZED (SELECT doc_id, sh, b FROM d WHERE b = $b
+           |  AND doc_id NOT IN (
+           |    SELECT x.doc_id FROM d x JOIN ($priorUnion) p
+           |    ON x.b = $b AND ${jacc("p", "x")} >= $JaccardThresholdPpm))""".stripMargin
+      }
+    }
+    val survUnion = (0 until buckets).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH sh0 AS ($duckShingles),
+       |d AS MATERIALIZED (SELECT doc_id, sh, doc_id % $buckets AS b FROM sh0),
+       |${survCtes.mkString(",\n")},
+       |surv AS ($survUnion),
+       |m AS (SELECT d.doc_id, min(s.doc_id) AS matched_old
+       |      FROM d JOIN surv s ON s.b < d.b AND ${jacc("s", "d")} >= $JaccardThresholdPpm
+       |      GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(CASE WHEN m.matched_old IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       |       coalesce(m.matched_old, -1) AS matched_old
+       |FROM d LEFT JOIN m USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // SQL fragments mirroring TextAnalysis (single source of truth for lists)
   private def duckHits(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -2482,6 +2521,27 @@ object PipelineQueries {
               |WHERE CAST(floor(len(list_intersect(n.sh, o.sh)) * 1000000.0
               |                 / len(list_distinct(n.sh || o.sh))) AS BIGINT) >= $JaccardThresholdPpm
               |ORDER BY new_id, old_id""".stripMargin)),
+
+    // STREAMING ingest near-dup dedup: the documents table replays as 5
+    // mtime-ordered micro-batches (bucket = doc_id % 5); each batch
+    // minhashes only itself, probes the persisted survivor index
+    // (candidatePairsAcross — never batch×batch), exact-verifies by
+    // shingle Jaccard, and appends its survivors — q_dedup_incremental's
+    // production shape run for a whole backlog under the streaming
+    // engine. A doc is kept iff no PRIOR-batch survivor matches at
+    // >= 0.8; matched_old = smallest matching survivor id; intra-batch
+    // dups both admitted. The oracle replays the batch recurrence as 5
+    // unrolled materialized survivor CTEs GENERATED from the same bucket
+    // count, so query and oracle cannot drift.
+    Q("q_stream_ingest_dedup",
+      (s, dir) => {
+        val store = graft.streaming.Replay.ensureDocIngestStore(s, dir, IngestBuckets)
+        graft.streaming.Replay.ingestDedupReplay(s, store,
+            s"${graft.store.SnapshotStore.root}/ingest_dedup_work",
+            JaccardThresholdPpm)
+          .orderBy("doc_id")
+      },
+      Some(ingestDedupOracle(IngestBuckets))),
 
     // Fixed-size token chunking with overlap (window 32, stride 24 ⇒ 8
     // tokens of carried context) — the LM sample-prep step that turns

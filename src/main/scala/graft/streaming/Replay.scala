@@ -293,6 +293,137 @@ object Replay {
     appendReplayToFiles(spark, registry, outPath, "dedupReplay")
   }
 
+  // ---- streaming ingest near-dup dedup (staged index, batch probes) -----
+
+  /** Build the deterministic ingest source for [[ingestDedupReplay]]:
+    * the documents table split into `buckets` parquet files (bucket =
+    * doc_id % buckets) with STRICTLY INCREASING modification times, so
+    * the file stream source (which orders new files by mtime) replays
+    * them as micro-batches in bucket order — the one contract a
+    * sequential ingest dedup needs and a plain directory of same-mtime
+    * files does not give. Idempotent per sf dir. */
+  def ensureDocIngestStore(spark: SparkSession, sfDir: String, buckets: Int = 5): String =
+    synchronized {
+      val path = s"${graft.store.SnapshotStore.root}/docs_" +
+        s"${java.nio.file.Paths.get(sfDir).getFileName}_ingest"
+      val done = new java.io.File(path, "_SUCCESS")
+      if (!done.exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+        new java.io.File(path).mkdirs()
+        val t0 = (System.currentTimeMillis() / 1000L) * 1000L - 3600L * 1000L
+        (0 until buckets).foreach { b =>
+          val tmp = s"$path/_tmp$b"
+          graft.sources.Tables.documents(spark, sfDir)
+            .filter(pmod(col("doc_id"), lit(buckets.toLong)) === b.toLong)
+            .select(col("doc_id"), col("text"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(path, f"bucket_$b%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+          assert(dst.setLastModified(t0 + b * 2000L))
+        }
+        done.createNewFile()
+        ()
+      }
+      path
+    }
+
+  /** Production ingest-time near-dup dedup as a STREAM: each micro-batch
+    * (one ingest file) minhashes only its own documents, probes the
+    * persisted signature+shingle index of prior SURVIVORS
+    * ([[graft.operators.Dedup.candidatePairsAcross]] — never batch×batch,
+    * never a corpus re-mine), exact-verifies candidates by shingle
+    * Jaccard, emits one decision row per doc, and appends its survivors
+    * to the index — the cross-batch accumulation
+    * [[graft.queries]]' q_dedup_incremental does for ONE batch, run for
+    * the whole backlog under the streaming engine.
+    *
+    * Semantics (mirrored verbatim by the generated oracle): a doc is
+    * kept iff NO prior-batch survivor matches at ≥ thresholdPpm;
+    * matched_old is the SMALLEST matching survivor id; batch-internal
+    * duplicates are both admitted (intra-batch dedup is the upstream
+    * batch pipeline's job — the q_dedup_incremental contract). Index
+    * reads snapshot the file listing BEFORE any same-batch append, and
+    * decisions are written before survivors, so a batch never observes
+    * itself.
+    *
+    * Scale shape: per batch the shuffles are the batch's own band join
+    * against the index (Σ band rows, the candidatePairsAcross shape) and
+    * a |batch|-row decision aggregate; the index grows by survivor
+    * signatures only (~0.5 KB/doc). State lives in parquet, not the
+    * state store — restart-safe via the checkpoint's file-source log.
+    * Output: (doc_id, kept, matched_old) for every ingested doc. */
+  def ingestDedupReplay(
+      spark: SparkSession,
+      docStorePath: String,
+      workRoot: String,
+      thresholdPpm: Long = 800000L): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workRoot))
+    val idxPath = s"$workRoot/index"
+    val decPath = s"$workRoot/decisions"
+    val src = spark.readStream
+      .schema(spark.read.parquet(docStorePath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docStorePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val docs = batch.select(col("doc_id"), col("text"))
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        val sh = docs.select(col("doc_id"),
+          Dedup.tokenShingles(col("_toks"), 3).as("sh"))
+        val newIdx = Dedup.minhashSignatures(docs, "doc_id",
+            Dedup.tokenShingles(col("_toks"), 3), 64)
+          .join(sh, Seq("doc_id"))
+          .persist()
+        // snapshot the prior index BEFORE any append this batch
+        val prior =
+          if (new java.io.File(idxPath, "_SUCCESS").exists() ||
+            new java.io.File(idxPath).exists())
+            Some(spark.read.parquet(idxPath))
+          else None
+        val matched = prior match {
+          case Some(p) =>
+            Dedup.candidatePairsAcross(
+                p, Dedup.lshBandKeys(col("sig"), 16, 4),
+                newIdx, Dedup.lshBandKeys(col("sig"), 16, 4), "doc_id")
+              .join(newIdx.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
+                Seq("new_id"))
+              .join(p.select(col("doc_id").as("old_id"), col("sh").as("sh_o")),
+                Seq("old_id"))
+              .filter(graft.functions.SetOps.jaccardPpmCol(col("sh_n"), col("sh_o"))
+                >= thresholdPpm)
+              .groupBy(col("new_id"))
+              .agg(min(col("old_id")).as("_mo"))
+              .withColumnRenamed("new_id", "doc_id")
+          case None =>
+            newIdx.select(col("doc_id"), lit(null).cast("long").as("_mo")).limit(0)
+        }
+        val decisions = newIdx.select(col("doc_id"))
+          .join(matched, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("_mo").isNull.cast("long").as("kept"),
+            coalesce(col("_mo"), lit(-1L)).as("matched_old"))
+        // decisions first (materializes the probe against the snapshot),
+        // then survivors from the WRITTEN decisions, then index append
+        decisions.write.mode("append").parquet(decPath)
+        val kept = spark.read.parquet(decPath)
+          .filter(col("kept") === 1L)
+          .join(newIdx, Seq("doc_id")) // only this batch's docs survive the join
+          .select(col("doc_id"), col("sig"), col("sh"))
+        kept.write.mode("append").parquet(idxPath)
+        newIdx.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$workRoot/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(decPath)
+  }
+
   // ---- stream-stream interval join --------------------------------------
 
   /** Stream-stream interval self-join: pair each event with this user's

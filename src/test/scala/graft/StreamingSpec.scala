@@ -619,6 +619,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.find(_._1 == 1L).get._2 == 3L) // spans both runs
   }
 
+  test("ingestDedupReplay: batch order, survivors-only index, idempotent rerun") {
+    // 14-token docs; single end-token edits give jaccard (N-1)/(N+1) =
+    // 11/13 ≈ 0.846 ≥ 0.8 between neighbors in the edit chain but
+    // (N-2)/(N+2) = 10/14 ≈ 0.714 < 0.8 across two edits — so doc 11
+    // (batch 1) dups doc 0 (batch 0) and is DROPPED, while doc 22
+    // (batch 2) matches only the dropped doc 11, NOT survivor doc 0:
+    // doc 22 must be KEPT, proving the index holds survivors only.
+    val base = (1 to 14).map(i => s"w$i")
+    val t0 = base.mkString(" ")
+    val t1 = (base.dropRight(1) :+ "zz").mkString(" ")          // edit last
+    val t4 = ("qq" +: base.drop(1).dropRight(1) :+ "zz").mkString(" ") // edit first+last
+    val other = (1 to 14).map(i => s"x$i").mkString(" ")
+    val batches = Seq(
+      Seq((0L, t0), (5L, other)),        // batch 0: both kept
+      Seq((11L, t1)),                    // batch 1: dup of 0 → dropped
+      Seq((22L, t4))                     // batch 2: dups dropped 11 only → kept
+    )
+    val store = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ingestsrc").toString
+    val tBase = (System.currentTimeMillis() / 1000L) * 1000L - 3600L * 1000L
+    batches.zipWithIndex.foreach { case (docs, b) =>
+      val tmp = s"$store/_tmp$b"
+      docs.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(store, f"bucket_$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      assert(dst.setLastModified(tBase + b * 2000L))
+    }
+    def run() = Replay.ingestDedupReplay(spark, store,
+        s"${SnapshotStore.root}/ingest_spec_work")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = run()
+    assert(got == Seq((0L, 1L, -1L), (5L, 1L, -1L), (11L, 0L, 0L), (22L, 1L, -1L)),
+      got.toString)
+    assert(run() == got) // rerun wipes the work root and reproduces
+  }
+
   test("transformWithState accumulates typed ValueState across batches (RocksDB)") {
     implicit val sq = spark.sqlContext
     import Replay.{runEnc, sevEnc}
