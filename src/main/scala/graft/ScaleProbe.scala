@@ -187,7 +187,10 @@ object ScaleProbe {
     "q_kcore", "q_sssp",
     // round-8 third wave: synchronized LPA communities and personalized
     // PageRank — same lineitem axis as q_kcore/q_sssp/q_pagerank
-    "q_label_prop", "q_ppr", "q_hits")
+    "q_label_prop", "q_ppr", "q_hits",
+    // round-8 fourth wave: crowd-label aggregation — lineitem annotation
+    // axis, same class as the graph queries above
+    "q_label_vote")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -2522,6 +2522,38 @@ object PipelineQueries {
               |                 / len(list_distinct(n.sh || o.sh))) AS BIGINT) >= $JaccardThresholdPpm
               |ORDER BY new_id, old_id""".stripMargin)),
 
+    // Crowd-label aggregation (the annotation step of SFT/RLHF data
+    // prep): lineitem plays a 3-label annotation log (item = orderkey,
+    // annotator = suppkey, label = returnflag). Round 1 majority (tie ->
+    // smallest label), round 2 annotator reliability in integer ppm +
+    // reliability-weighted revote — Dawid-Skene-lite, one EM half-step,
+    // fully closed-form so the oracle replays it exactly.
+    Q("q_label_vote",
+      (s, dir) => graft.operators.Labeling.goldenLabels(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey", "l_returnflag")
+        .orderBy("l_orderkey"),
+      Some("""WITH v AS (SELECT l_orderkey AS item, l_suppkey AS annot,
+             |                 l_returnflag AS label FROM lineitem),
+             |c1 AS (SELECT item, label, count(*) AS n FROM v GROUP BY 1, 2),
+             |maj AS (SELECT item, label AS maj_label FROM c1
+             |        QUALIFY row_number() OVER (PARTITION BY item
+             |                ORDER BY n DESC, label) = 1),
+             |rel AS (SELECT annot,
+             |          CAST(sum(CASE WHEN v.label = m.maj_label THEN 1 ELSE 0 END)
+             |               * 1000000 // count(*) AS BIGINT) AS rel_ppm
+             |        FROM v JOIN maj m USING (item) GROUP BY 1),
+             |c2 AS (SELECT item, label, CAST(sum(rel_ppm) AS BIGINT) AS w
+             |       FROM v JOIN rel USING (annot) GROUP BY 1, 2),
+             |fin AS (SELECT item, label AS final_label FROM c2
+             |        QUALIFY row_number() OVER (PARTITION BY item
+             |                ORDER BY w DESC, label) = 1),
+             |nv AS (SELECT item, CAST(count(*) AS BIGINT) AS n_annot FROM v GROUP BY 1)
+             |SELECT nv.item AS l_orderkey, nv.n_annot, m.maj_label, f.final_label,
+             |       CAST(CASE WHEN m.maj_label <> f.final_label THEN 1 ELSE 0 END
+             |            AS BIGINT) AS changed
+             |FROM nv JOIN maj m USING (item) JOIN fin f USING (item)
+             |ORDER BY l_orderkey""".stripMargin)),
+
     // STREAMING ingest near-dup dedup: the documents table replays as 5
     // mtime-ordered micro-batches (bucket = doc_id % 5); each batch
     // minhashes only itself, probes the persisted survivor index
