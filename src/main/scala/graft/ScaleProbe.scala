@@ -190,7 +190,10 @@ object ScaleProbe {
     "q_label_prop", "q_ppr", "q_hits",
     // round-8 fourth wave: crowd-label aggregation — lineitem annotation
     // axis, same class as the graph queries above
-    "q_label_vote")
+    "q_label_vote",
+    // round-8 fourth wave: common-neighbor link prediction — lineitem
+    // co-purchase axis (the q_triangle_count wedge cost class)
+    "q_link_predict")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -1105,6 +1105,43 @@ object CoreQueries {
            |SELECT node, CAST(label AS BIGINT) AS label FROM l4 ORDER BY node""".stripMargin
       }),
 
+    // Common-neighbor link prediction over the support-filtered
+    // co-purchase graph (the q_label_prop edge set): non-adjacent part
+    // pairs ranked by neighborhood Jaccard in integer ppm — candidates by
+    // wedge enumeration (the q_triangle_count cost class, never nodes²),
+    // union size from degrees so neighbor sets never ship, existing
+    // edges anti-joined out, top-50 via TakeOrdered.
+    Q("q_link_predict",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("u"), col("v"))
+        Graph.linkPredict(und, topK = 50)
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |und AS (SELECT a.p AS u, b.p AS v FROM lp a JOIN lp b
+             |        ON a.o = b.o AND a.p < b.p
+             |        GROUP BY 1, 2 HAVING count(*) >= 2),
+             |e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+             |cn AS (SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS common_n
+             |       FROM e x JOIN e y ON x.u = y.u AND x.v < y.v
+             |       GROUP BY 1, 2),
+             |ne AS (SELECT cn.* FROM cn
+             |       WHERE NOT EXISTS (SELECT 1 FROM und
+             |                         WHERE und.u = cn.a AND und.v = cn.b)),
+             |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1)
+             |SELECT ne.a, ne.b, ne.common_n,
+             |       da.d + db.d - ne.common_n AS union_n,
+             |       CAST(ne.common_n * 1000000 // (da.d + db.d - ne.common_n)
+             |            AS BIGINT) AS jacc_ppm
+             |FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
+             |ORDER BY jacc_ppm DESC, a, b LIMIT 50""".stripMargin)),
+
     // Association rules over the order⇄part basket (the market-basket /
     // frequent-itemset class, Agrawal–Srikant pair stage): co-purchase
     // pairs with absolute support ≥ 2, each with support, both

@@ -209,4 +209,41 @@ class GraphSpec extends SparkSpec {
     val rd = Graph.labelPropagation(dup, rounds = 1).as[(Long, Long)].collect().toMap
     assert(rd(0L) == 1L, rd.toString)
   }
+
+  test("linkPredict: hand graph — diagonal wins, existing edge excluded") {
+    // square 1-2-3-4 + chord 2-4 + pendant 5 on 1:
+    // N1={2,4,5} N2={1,3,4} N3={2,4} N4={1,2,3} N5={1}
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L), (2L, 4L))
+      .toDF("u", "v")
+    val got = Graph.linkPredict(und, topK = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 3L, 666666L),  // common {2,4}, union {2,4,5}
+      (2L, 5L, 1L, 3L, 333333L),
+      (4L, 5L, 1L, 3L, 333333L)), got.toString)
+    // (2,4) shares {1,3} but IS an edge → absent
+    assert(!got.exists(r => r._1 == 2L && r._2 == 4L))
+  }
+
+  test("linkPredict equals brute-force neighborhood jaccard on a random graph") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 60).map { _ =>
+      val a = rnd.nextInt(14).toLong; val b = rnd.nextInt(14).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val got = Graph.linkPredict(edges.toDF("u", "v"), topK = 1000)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val nbr = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = nbr.keys.toSeq.sorted
+    val want = (for {
+      a <- nodes; b <- nodes if a < b
+      if !edges.contains((a, b))
+      common = (nbr(a) & nbr(b)).size if common > 0
+    } yield {
+      val union = (nbr(a) | nbr(b)).size
+      (a, b, common.toLong, union.toLong, common.toLong * 1000000L / union)
+    }).sortBy(r => (-r._5, r._1, r._2))
+    assert(got == want, s"got=${got.take(5)}... want=${want.take(5)}...")
+  }
 }
