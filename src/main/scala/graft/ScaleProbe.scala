@@ -114,6 +114,14 @@ object ScaleProbe {
     // shuffle + row-local DP (sequence capped at 48 rows, pattern fixed)
     // + TakeOrdered top-20 — linear in entities
     "q_dtw_match" -> false,
+    // round-8 fourth wave: 2-pass exact selection = one map-side
+    // histogram + a rescan of the 3 target bins only. Measured 11.4x on
+    // 0.5 -> 5.7 MB absolute: the q_trend_ols/q_active_users LAYOUT
+    // artifact — partial-agg state = input_partitions × local bins
+    // (~30k domain bins), and the sf0.1 base lands in ~1 parquet split
+    // while the replica has 5+; matched layouts ⇒ linear (bin count is
+    // DOMAIN-bounded, independent of rows).
+    "q_exact_quantiles" -> true,
     // round-8 fourth wave: hilbert encode/decode = row-local codegen
     // Expression + map-side-free projection (the q_geofence zero-shuffle
     // class; the ordered output adds one range-partition exchange).

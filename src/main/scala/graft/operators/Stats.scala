@@ -384,4 +384,55 @@ object Stats {
       .select(col("g"), col("bin"), col("n_ref"), col("n_cur"),
         col("dev_ppm"), col("chi2_ppm"))
   }
+
+  /** EXACT global quantiles by two-pass distributed selection — the
+    * scale-correct way to take an exact k-th order statistic of a column
+    * a window over one partition cannot hold (the [[nearestRankPercentiles]]
+    * per-key window needs every key's rows in one partition; a GLOBAL
+    * rank would funnel 100 TB through one task, and GK/t-digest sketches
+    * are approximate):
+    *
+    *   pass 1 — map-side-combinable histogram of `value div binWidth`
+    *            (bin count is DOMAIN-bounded: span/binWidth rows, the
+    *            band-count collect class, independent of row count);
+    *   driver — prefix-sum the bins, locate each nearest-rank target
+    *            (rank = ⌈n·p/100⌉ as (n·p + 99) div 100, pure integer)
+    *            as (bin, in-bin offset);
+    *   pass 2 — rescan ONLY rows of the few target bins (pushed-down
+    *            IN-list), rank inside each bin (a per-bin window over
+    *            ~n/bins rows), pick each offset row.
+    *
+    * Output: (pct, n, <valCol>) per requested percent, exact. */
+  def exactQuantilesSelect(
+      df: DataFrame,
+      valCol: String,
+      percents: Seq[Int],
+      binWidth: Long = 16L): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in 1..100: $percents")
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(valCol).cast("long").as("_v"))
+      .withColumn("_bin", expr(s"_v DIV $binWidth"))
+    val hist = v.groupBy(col("_bin")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_bin"))
+      .as[(Long, Long)].collect() // domain-bounded: span/binWidth rows
+    val n = hist.map(_._2).sum
+    val targets = percents.sorted.map { p =>
+      val rank = (n * p + 99) / 100
+      var cum = 0L
+      var i = 0
+      while (cum + hist(i)._2 < rank) { cum += hist(i)._2; i += 1 }
+      (p.toLong, hist(i)._1, rank - cum) // (pct, bin, offset within bin)
+    }
+    val tdf = targets.toDF("pct", "_bin", "_off")
+    val wBin = Window.partitionBy(col("_bin")).orderBy(col("_v"))
+    v.filter(col("_bin").isin(targets.map(_._2).distinct: _*))
+      .withColumn("_r", row_number().over(wBin))
+      .join(broadcast(tdf), Seq("_bin"))
+      .filter(col("_r") === col("_off"))
+      .select(col("pct"), lit(n).as("n"), col("_v").as(valCol))
+      .orderBy("pct")
+  }
 }

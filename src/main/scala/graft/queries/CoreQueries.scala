@@ -1753,6 +1753,27 @@ object CoreQueries {
              |       arg_max(na, rn) AS n_alarms
              |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // EXACT global p50/p90/p99 of value_mils by two-pass distributed
+    // selection: a domain-bounded histogram pass (map-side combine,
+    // band-count-class driver collect), driver prefix-sum locates each
+    // nearest-rank target, then ONLY the target bins rescan (IN-list
+    // pushdown) and a per-bin window picks the offset row — the exact
+    // order statistic with no global sort and no single-partition
+    // window; the approximate twin is q_approx_quantile (GK).
+    Q("q_exact_quantiles",
+      (s, dir) => graft.operators.Stats.exactQuantilesSelect(
+        Tables.events(s, dir)
+          .select(floor(col("value") * 1000).cast("long").as("value_mils")),
+        "value_mils", Seq(50, 90, 99)),
+      Some("""WITH v AS (SELECT CAST(floor(value*1000) AS BIGINT) AS v FROM events),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             |             CAST(count(*) OVER () AS BIGINT) AS n FROM v)
+             |SELECT p.pct, r.n, r.v AS value_mils
+             |FROM (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+             |             (CAST(99 AS BIGINT))) p(pct)
+             |JOIN r ON r.rn = (r.n * p.pct + 99) // 100
+             |ORDER BY pct""".stripMargin)),
+
     // Subsequence DTW shape search: rank users by how well their value
     // sequence (first 48 points) contains a segment matching a fixed
     // spike-and-recover pattern, under asymmetric-step DTW (open start/

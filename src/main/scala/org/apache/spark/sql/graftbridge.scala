@@ -25,6 +25,10 @@ package object graftbridge {
       es => graft.functions.CantorPair(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cantor_unpair",
       es => graft.functions.CantorUnpair(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hilbert_key",
+      es => graft.functions.HilbertKey(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hilbert_xy",
+      es => graft.functions.HilbertXY(es.head), "built-in")
     reg.createOrReplaceTempFunction("jaccard_ppm",
       es => graft.functions.JaccardPpmExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",

@@ -521,6 +521,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 10L, 1L)), got.toSeq.toString)
   }
 
+  test("exactQuantilesSelect equals full-sort nearest rank, bin-width invariant") {
+    import graft.operators.Stats
+    val vals = (1L to 997L).map(i => (i * 7919L) % 5000L) ++ Seq(0L, 4999L, 4999L)
+    val df = vals.toDF("v")
+    val want = Seq(25, 50, 90, 99, 100).map { p =>
+      val sorted = vals.sorted
+      val rank = (vals.size.toLong * p + 99) / 100
+      (p.toLong, vals.size.toLong, sorted((rank - 1).toInt))
+    }
+    Seq(1L, 16L, 1000L, 100000L).foreach { bw => // 100000 ⇒ single bin
+      val got = Stats.exactQuantilesSelect(df, "v", Seq(25, 50, 90, 99, 100), bw)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == want, s"binWidth=$bw got=$got want=$want")
+    }
+  }
+
   test("slidingDistinctDaily windowDays = 1 is plain DAU") {
     import graft.operators.Stats
     val ev = Seq((1L, 0L), (2L, 0L), (1L, DayUs)).toDF("k", "ts_us")

@@ -261,6 +261,15 @@ class StoreSpec extends SparkSpec {
       assert(h == HilbertOps.xy2d(x, y), s"column/driver drift at ($x,$y)")
       assert(x2 == x && y2 == y, s"column roundtrip drift at ($x,$y)")
     }
+    // SQL surface: the registered functions plan to the same expressions
+    org.apache.spark.sql.graftbridge.registerFunctions(spark)
+    pts.toDF("x", "y").createOrReplaceTempView("hpts")
+    val sqlGot = spark.sql(
+        "SELECT x, y, hilbert_key(x, y) AS h, hilbert_xy(hilbert_key(x, y)).x AS x2 FROM hpts")
+      .as[(Long, Long, Long, Long)].collect()
+    sqlGot.foreach { case (x, y, h, x2) =>
+      assert(h == HilbertOps.xy2d(x, y) && x2 == x, s"SQL drift at ($x,$y)")
+    }
   }
 
   test("hilbert bbox scan: quadrant IN-list pruning, exact result") {
