@@ -451,6 +451,42 @@ object StoreQueries {
              |WHERE session_end_us // 1000 <= wm.wm_ms
              |ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // ENGINE-NATIVE session windows (built-in session_window) — the
+    // twin of q_stream_sessions' hand-rolled sessionizer: the engine
+    // merges per-user events closer than 2h and Append-finalizes a
+    // session once the watermark passes last+gap. Same gap, same close
+    // instant, same oracle row set — the two paths pin each other (and
+    // StreamingSpec compares them row-for-row on the replay corpus).
+    Q("q_stream_session_native",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.sessionWindowReplayAppend(s, store, store + "_sessions_native_out")
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""WITH wm AS (
+             |  SELECT epoch_us(max(ts)) // 1000 - 60000 AS wm_ms FROM events),
+             |o AS (
+             |  SELECT user_id, epoch_us(ts) AS us,
+             |         CAST(floor(value * 1000) AS BIGINT) AS vmil,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+             |              OVER (PARTITION BY user_id ORDER BY ts) > 7200000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, us, vmil,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+             |                   ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o),
+             |sess AS (
+             |  SELECT user_id, min(us) AS session_start_us,
+             |         max(us) + 7200000000 AS session_end_us,
+             |         count(*) AS n_events, CAST(sum(vmil) AS BIGINT) AS value_mils
+             |  FROM g GROUP BY user_id, sid)
+             |SELECT user_id, session_start_us, session_end_us, n_events, value_mils
+             |FROM sess, wm
+             |WHERE session_end_us // 1000 <= wm.wm_ms
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
     // Stream-stream interval self-join — the remaining streaming join
     // shape (both sides streaming; the event-time range bound lets the
     // watermark evict buffered join state). Single availableNow batch ⇒

@@ -129,6 +129,39 @@ object Replay {
     appendReplayToFiles(spark, agg, outPath, "slidingReplayAppend")
   }
 
+  /** ENGINE-NATIVE session windows — the built-in `session_window`
+    * twin of [[sessionReplay]]'s hand-rolled flatMapGroupsWithState
+    * sessionizer: the engine itself merges per-key events closer than
+    * `gap` into growing session state and finalizes a session in Append
+    * mode once the watermark passes its end (end = last event + gap,
+    * the same close-due instant the custom operator tracks). One
+    * operator, no user state code — the path to prefer when the session
+    * payload is an aggregate the engine can merge (counts/sums here);
+    * the custom sessionizer remains for payloads with bespoke
+    * per-session folds. Emission boundary measured equal to the custom
+    * one on the replay corpus (same oracle row set, StreamingSpec pins
+    * the twins against each other). */
+  def sessionWindowReplayAppend(
+      spark: SparkSession,
+      storePath: String,
+      outPath: String,
+      gap: String = "2 hours",
+      delayThreshold: String = "1 minute"): DataFrame = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .parquet(storePath)
+    val agg = src
+      .withWatermark("ts", delayThreshold)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start)").as("session_start_us"),
+        expr("unix_micros(w.end)").as("session_end_us"),
+        col("n_events"), col("value_mils"))
+    appendReplayToFiles(spark, agg, outPath, "sessionWindowReplayAppend")
+  }
+
   /** Stream–static dimension enrichment + watermarked windowed agg to a
     * file sink — the canonical "enrich events against a dim table inside
     * the stream" shape. The static side joins per micro-batch with no

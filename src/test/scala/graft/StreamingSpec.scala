@@ -619,6 +619,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.find(_._1 == 1L).get._2 == 3L) // spans both runs
   }
 
+  test("native session_window: same final sessions and wm boundary as gapSessions") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sink = "t_sessions_native"
+    spark.catalog.dropTempView(sink)
+    val agg = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy($"user_id", session_window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor($"value" * 1000).cast("long")).as("value_mils"))
+      .select($"user_id", expr("unix_micros(w.start)").as("session_start_us"),
+        expr("unix_micros(w.end)").as("session_end_us"),
+        $"n_events", $"value_mils")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def sessions(): Set[(Long, String, String, Long, Long)] =
+      spark.table(sink).as[(Long, Long, Long, Long, Long)].collect().toSet
+        .map { r: (Long, Long, Long, Long, Long) =>
+          (r._1, new Timestamp(r._2 / 1000).toString,
+            new Timestamp(r._3 / 1000).toString, r._4, r._5) }
+    // same batch script as the gapSessions boundary test
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 2.0),
+      (2L, ts("2024-01-01 13:01:00"), 3.0))
+    q.processAllAvailable()
+    // batch 2 leaves wm at exactly 13:00:00.000 = the 12:00 session's
+    // end: the native operator's close boundary — measured NON-strict
+    // (end <= wm fires), the same inequality gapSessions measured, so
+    // the shared oracle predicate covers both paths
+    input.addData((3L, ts("2024-01-01 15:00:00"), 4.0))
+    q.processAllAvailable()
+    assert(sessions().exists(s => s._1 == 1L && s._2 == "2024-01-01 12:00:00.0"),
+      s"session_window end == wm did not fire (strict boundary?): ${sessions()}")
+    input.addData((4L, ts("2024-01-01 20:00:00"), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    // final set = the gapSessions contract set (emitted ⟺ end <= final wm)
+    assert(sessions() == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", 1L, 1000L),
+      (1L, "2024-01-01 12:00:00.0", "2024-01-01 13:00:00.0", 1L, 2000L),
+      (2L, "2024-01-01 13:01:00.0", "2024-01-01 14:01:00.0", 1L, 3000L),
+      (3L, "2024-01-01 15:00:00.0", "2024-01-01 16:00:00.0", 1L, 4000L)),
+      sessions().toString)
+  }
+
   test("ingestDedupReplay: batch order, survivors-only index, idempotent rerun") {
     // 14-token docs; single end-token edits give jaccard (N-1)/(N+1) =
     // 11/13 ≈ 0.846 ≥ 0.8 between neighbors in the edit chain but
