@@ -114,6 +114,9 @@ object ScaleProbe {
     // shuffle + row-local DP (sequence capped at 48 rows, pattern fixed)
     // + TakeOrdered top-20 — linear in entities
     "q_dtw_match" -> false,
+    // round-8 fourth wave: event-pattern regex = one group-collect of
+    // 1-byte initials + row-local regex scan — the q_dtw_match shape
+    "q_event_pattern" -> false,
     // round-8 fourth wave: 2-pass exact selection = one map-side
     // histogram + a rescan of the 3 target bins only. Measured 11.4x on
     // 0.5 -> 5.7 MB absolute: the q_trend_ols/q_active_users LAYOUT

@@ -1753,6 +1753,41 @@ object CoreQueries {
              |       arg_max(na, rn) AS n_alarms
              |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // MATCH_RECOGNIZE-class event-sequence pattern detection: per user,
+    // count non-overlapping occurrences of the noise-tolerant funnel
+    // signup (click|view)* purchase in the (ts, event_id)-ordered type
+    // sequence — the sequence-pattern query a groupBy cannot express and
+    // q_funnel's strict two-step cannot either (arbitrary same-class
+    // noise between the anchor steps). Each user's sequence folds
+    // row-locally (the group-collect class: one shuffle of (ts, id,
+    // initial) triples, ~1 byte/event payload); the regex runs per user
+    // inside codegen. Initials are distinct per type, so the regex
+    // alphabet is exact; both engines' regex scan is left-to-right
+    // non-overlapping with greedy *, pinned in OperatorsSpec.
+    Q("q_event_pattern",
+      (s, dir) => {
+        val rows = Tables.events(s, dir).select(col("user_id"),
+          struct(col("ts").as("t"), col("event_id").as("i"),
+            substring(col("event_type"), 1, 1).as("c")).as("_r"))
+        rows.groupBy(col("user_id"))
+          .agg(sort_array(collect_list(col("_r"))).as("_rs"))
+          .select(col("user_id"),
+            size(col("_rs")).cast("long").as("n_events"),
+            regexp_count(
+              array_join(transform(col("_rs"), r => r.getField("c")), ""),
+              lit("s[cv]*p")).cast("long").as("n_funnels"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (SELECT user_id, substr(event_type, 1, 1) AS c, ts, event_id
+             |           FROM events),
+             |s AS (SELECT user_id,
+             |             string_agg(c, '' ORDER BY ts, event_id) AS seq,
+             |             CAST(count(*) AS BIGINT) AS n_events
+             |      FROM o GROUP BY 1)
+             |SELECT user_id, n_events,
+             |       CAST(len(regexp_extract_all(seq, 's[cv]*p')) AS BIGINT) AS n_funnels
+             |FROM s ORDER BY user_id""".stripMargin)),
+
     // EXACT global p50/p90/p99 of value_mils by two-pass distributed
     // selection: a domain-bounded histogram pass (map-side combine,
     // band-count-class driver collect), driver prefix-sum locates each

@@ -168,6 +168,103 @@ object PipelineQueries {
               |                 / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= $JaccardThresholdPpm
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Cross-source duplication census — the dataset-curation diagnostic
+    // ("how much of source A is recycled in source B?") that decides
+    // which sources to keep, downweight, or dedup first: verified
+    // near-dup pairs (the q_dedup_minhash pipeline: banded candidates,
+    // exact shingle-Jaccard verify) aggregated into an unordered
+    // source×source matrix. Pair volume is the dedup pipeline's own
+    // (valve-capped) candidate set; the census adds one (source_a,
+    // source_b) groupBy of id pairs — text never ships.
+    Q("q_source_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        val sh = docs.repartition(col("doc_id"))
+          .select(col("doc_id"), Dedup.tokenShingles(col("_toks"), 3).as("sh"))
+        val sig = Dedup.minhashSignatures(docs, "doc_id",
+          Dedup.tokenShingles(col("_toks"), 3), MinhashK)
+        val cands = Dedup.candidatePairs(
+          sig, "doc_id", Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand))
+        val pairs = cands
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .filter(graft.functions.SetOps.jaccardPpmCol(col("sh_a"), col("sh_b"))
+            >= JaccardThresholdPpm)
+          .select(col("id_a"), col("id_b"))
+        val srcs = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(srcs.select(col("doc_id").as("id_a"), col("source").as("_sa")), Seq("id_a"))
+          .join(srcs.select(col("doc_id").as("id_b"), col("source").as("_sb")), Seq("id_b"))
+          .select(least(col("_sa"), col("_sb")).as("source_a"),
+            greatest(col("_sa"), col("_sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH sh AS ($duckShingles),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |      WHERE CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |                       / len(list_distinct(a.sh || b.sh))) AS BIGINT)
+              |            >= $JaccardThresholdPpm)
+              |SELECT least(da.source, db.source) AS source_a,
+              |       greatest(da.source, db.source) AS source_b,
+              |       CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM p JOIN documents da ON da.doc_id = p.id_a
+              |       JOIN documents db ON db.doc_id = p.id_b
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Matryoshka-style truncation audit: recall@10 of searching with
+    // only the FIRST 16 of 64 embedding dimensions against the full-
+    // dimension exact top-10 — the measurement that licenses (or vetoes)
+    // the 4x cheaper truncated index a production ANN tier wants. Both
+    // sides are the already-verified exact scorer; only the vector slice
+    // differs, so the row documents the truncation contract itself.
+    Q("q_ann_recall_trunc",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val full = Similarity.topKExact(emb, queries,
+          "vec_id", "embedding", "q_id", "q_vec", 10)
+        val embT = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+        val queriesT = queries.select(col("q_id"), slice(col("q_vec"), 1, 16).as("q_vec"))
+        val trunc = Similarity.topKExact(embT, queriesT,
+          "vec_id", "embedding", "q_id", "q_vec", 10)
+        full.as("e")
+          .join(trunc.as("a"),
+            col("e.q_id") === col("a.q_id") && col("e.vec_id") === col("a.vec_id"), "left")
+          .groupBy(col("e.q_id").as("q_id"))
+          .agg(floor(sum(when(col("a.vec_id").isNotNull, 1L).otherwise(0L))
+            * lit(1000000L) / count(lit(1))).cast("long").as("recall_ppm"))
+          .orderBy("q_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
+             |exact AS (
+             |  SELECT q.q_id, e.vec_id,
+             |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |           CAST(floor(list_dot_product(e.ve, q.qe)
+             |             / (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe)))
+             |             * 1000000.0) AS BIGINT) DESC, e.vec_id) AS rank
+             |  FROM v e, q WHERE e.vec_id <> q.q_id),
+             |trunc AS (
+             |  SELECT q.q_id, e.vec_id,
+             |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |           CAST(floor(list_dot_product(e.ve[1:16], q.qe[1:16])
+             |             / (sqrt(list_dot_product(e.ve[1:16], e.ve[1:16]))
+             |                * sqrt(list_dot_product(q.qe[1:16], q.qe[1:16])))
+             |             * 1000000.0) AS BIGINT) DESC, e.vec_id) AS rank
+             |  FROM v e, q WHERE e.vec_id <> q.q_id)
+             |SELECT e.q_id,
+             |       CAST(floor(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |                  * 1000000.0 / count(*)) AS BIGINT) AS recall_ppm
+             |FROM (SELECT * FROM exact WHERE rank <= 10) e
+             |LEFT JOIN (SELECT * FROM trunc WHERE rank <= 10) t
+             |  ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Exact all-pairs similarity join via PREFIX FILTERING (PPJoin, Xiao
     // et al. 2011) — the deterministic-recall counterpart to the
     // probabilistic minhash-LSH above, over the SAME 3-token shingle

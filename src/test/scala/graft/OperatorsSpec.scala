@@ -521,6 +521,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 10L, 1L)), got.toSeq.toString)
   }
 
+  test("event-pattern regex: non-overlapping scan, greedy noise class, breaks on anchors") {
+    // pins q_event_pattern's matching semantics on crafted sequences —
+    // the same counts regexp_extract_all gives in the oracle engine
+    val cases = Seq(
+      "scp" -> 1L,    // plain funnel
+      "sp" -> 1L,     // zero noise
+      "scvcvp" -> 1L, // greedy class run
+      "scpcp" -> 1L,  // second p has no s — non-overlapping restart
+      "spsp" -> 2L,   // two disjoint funnels
+      "ssp" -> 1L,    // failed start retries at next s
+      "svep" -> 0L,   // 'e' (error) breaks the funnel
+      "pvcs" -> 0L)   // right letters, wrong order
+    val got = cases.map(_._1).toDF("s")
+      .select($"s", regexp_count($"s", lit("s[cv]*p")).cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    cases.foreach { case (s, want) => assert(got(s) == want, s"seq=$s got=${got(s)}") }
+  }
+
   test("exactQuantilesSelect equals full-sort nearest rank, bin-width invariant") {
     import graft.operators.Stats
     val vals = (1L to 997L).map(i => (i * 7919L) % 5000L) ++ Seq(0L, 4999L, 4999L)
