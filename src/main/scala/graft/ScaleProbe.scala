@@ -150,6 +150,9 @@ object ScaleProbe {
     // linear probes (q_ann_*). Measured 139x includes the small-base
     // plan-regime skew on a 1.0 MB absolute base.
     "q_knn_classify" -> true,
+    // round-8 fourth wave: k-center greedy = k linear passes (argmin agg
+    // + row-local fold vs a 1-row broadcast center); state is one column
+    "q_kcenter" -> false,
     // round-8 fourth wave: triplet mining scores |anchors|·|corpus| pairs
     // and the replica grows BOTH axes (anchors are an id-residue class of
     // the corpus) — 25x on 5x by construction, the q_knn_classify class;

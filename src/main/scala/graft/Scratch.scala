@@ -117,7 +117,15 @@ object Scratch {
       "q_lm_backoff" -> "stupid backoff: train-side gram count groupBys, eval stream left joins ON gram keys, 1-row N broadcast",
       "q_cc_incremental" -> "incremental CC: batch contracts through two label joins; CC rounds on the contracted graph; broadcast relabel",
       "q_knn_classify" -> "kNN classify: topKExact two-phase rank (broadcast eval set) + vote groupBys + max-of-struct mode",
-      "q_gini_mix" -> "gini diversity: two map-side-combined aggs, DECIMAL squared counts — nothing row-sized shuffles")
+      "q_gini_mix" -> "gini diversity: two map-side-combined aggs, DECIMAL squared counts — nothing row-sized shuffles",
+      "q_hard_negatives" -> "triplet mining: broadcast anchor set, both extrema as conditional max/min-of-struct in ONE map-side-combined agg",
+      "q_dtw_match" -> "subsequence DTW: one group-collect shuffle, the whole DP inside aggregate-over-pattern x transform HOFs, TakeOrdered top-20",
+      "q_hilbert_scan" -> "hilbert bbox scan: driver-decoded covering-quadrant IN-list -> compile-time PartitionFilters + exact gx/gy PushedFilters",
+      "q_exact_quantiles" -> "2-pass exact selection: domain-bounded histogram agg, target-bin IN-list rescan + per-bin rank window — no global sort",
+      "q_link_predict" -> "link prediction: wedge equi-join candidates, degree-derived union sizes (neighbor sets never ship), TakeOrdered",
+      "q_label_vote" -> "label aggregation: two (item,label) count aggs + rank-1 windows, annotator reliability agg joined back on its own key",
+      "q_event_pattern" -> "event-pattern regex: one group-collect of 1-byte initials, row-local regex scan per entity",
+      "q_source_overlap" -> "source-overlap census: the verified near-dup pair pipeline + one (source,source) groupBy — document text never ships")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

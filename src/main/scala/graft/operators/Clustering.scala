@@ -401,4 +401,57 @@ object Clustering {
     asg.join(pruned.withColumn("_p", lit(0)), Seq(idCol), "left_outer")
       .select(col(idCol), col("cluster"), coalesce(col("_p"), lit(1)).as("kept"))
   }
+
+  /** Diversity-maximizing subset selection: Gonzalez k-center greedy —
+    * the data-curation primitive for a maximally-spread coreset (seed
+    * examples, eval probes, annotation batches) with the classic 2-approx
+    * guarantee for the k-center objective. Start from the smallest id;
+    * each round adds the point FARTHEST from the chosen set (cosine
+    * distance ⇒ smallest max-similarity; ties → smaller id).
+    *
+    * Scale shape: the corpus-sized state is ONE column (best similarity
+    * to any chosen center so far). A round is (a) one map-side-combinable
+    * argmin — `min(struct(best_sim, id))`, a single 1-row collect per
+    * round, the bounded k-centroids collect class — and (b) one row-local
+    * update `best_sim = greatest(best_sim, sim(p, new_center))` against
+    * the 1-row broadcast center. k rounds scan k times; nothing is ever
+    * pairwise and no center list is re-scored (each center's similarity
+    * folds into the running max the round it is chosen).
+    *
+    * Output: (round, center_id, sel_sim_ppm) — sel_sim_ppm is the chosen
+    * point's max-similarity to the prior centers at selection (-1 for the
+    * seed round; monotonically NON-DECREASING by the greedy invariant,
+    * asserted in ClusteringSpec). */
+  def kCenterGreedy(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val base = points.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", Similarity.l2norm(col("_v")))
+      .persist()
+    val c0 = base.orderBy(col("_id")).limit(1)
+      .select(col("_id"), col("_v"), col("_n")).collect()(0)
+    val chosen = scala.collection.mutable.ArrayBuffer((0L, c0.getLong(0), -1L))
+    def simTo(cVec: Seq[Float], cN: Double) =
+      floor(Similarity.dot(col("_v"), lit(cVec.toArray)) / (col("_n") * lit(cN)) * 1e6)
+        .cast("long")
+    var state = base.withColumn("_bs",
+      simTo(c0.getSeq[Float](1), c0.getDouble(2)))
+    (1 until k).foreach { r =>
+      val sel = state.agg(min(struct(col("_bs"), col("_id"))).as("_m"))
+        .select(col("_m._bs"), col("_m._id")).collect()(0) // 1-row round pick
+      val (selSim, selId) = (sel.getLong(0), sel.getLong(1))
+      chosen += ((r.toLong, selId, selSim))
+      val cRow = base.filter(col("_id") === selId)
+        .select(col("_v"), col("_n")).collect()(0)
+      state = state.withColumn("_bs",
+        greatest(col("_bs"), simTo(cRow.getSeq[Float](0), cRow.getDouble(1))))
+    }
+    base.unpersist()
+    chosen.toSeq.toDF("round", "center_id", "sel_sim_ppm")
+  }
 }

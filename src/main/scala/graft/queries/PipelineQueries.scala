@@ -71,6 +71,36 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q_kcenter's oracle: the greedy recurrence unrolled — one
+    * MATERIALIZED distance frame + one LIMIT-1 argmin CTE per round,
+    * generated from the same k. */
+  private def kcenterOracle(k: Int): String = {
+    def sim(a: String, b: String) =
+      s"CAST(floor(list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) " +
+        s"* 1000000.0) AS BIGINT)"
+    val rounds = (1 until k).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT vec_id, bs FROM d${r - 1}
+         |  ORDER BY bs, vec_id LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT d.vec_id, d.ve,
+         |  greatest(d.bs, ${sim("d.ve", "c.cv")}) AS bs
+         |  FROM d${r - 1} d CROSS JOIN
+         |    (SELECT v2.ve AS cv FROM s$r JOIN v v2 USING (vec_id)) c)""".stripMargin
+    }
+    val out = (1 until k)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, vec_id AS center_id, bs AS sel_sim_ppm FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+       |c0 AS (SELECT vec_id, ve AS cv FROM v ORDER BY vec_id LIMIT 1),
+       |d0 AS MATERIALIZED (SELECT v.vec_id, v.ve, ${sim("v.ve", "c0.cv")} AS bs
+       |  FROM v CROSS JOIN c0),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(0 AS BIGINT) AS round, vec_id AS center_id,
+       |       CAST(-1 AS BIGINT) AS sel_sim_ppm FROM c0
+       |UNION ALL $out
+       |ORDER BY round""".stripMargin
+  }
+
   // SQL fragments mirroring TextAnalysis (single source of truth for lists)
   private def duckHits(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -214,6 +244,19 @@ object PipelineQueries {
               |FROM p JOIN documents da ON da.doc_id = p.id_a
               |       JOIN documents db ON db.doc_id = p.id_b
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Diversity-maximizing coreset selection: Gonzalez k-center greedy
+    // (2-approx for the k-center objective) — 8 rounds, each adding the
+    // point farthest (smallest max-cosine) from the chosen set, ties to
+    // smaller id. Corpus state is ONE running-max column; a round = one
+    // map-side argmin (1-row collect, the bounded k-centroids class) +
+    // one row-local fold vs the 1-row broadcast center. The oracle
+    // unrolls the same recurrence as materialized LIMIT-1 CTEs,
+    // generated from the same k.
+    Q("q_kcenter",
+      (s, dir) => Clustering.kCenterGreedy(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8),
+      Some(kcenterOracle(8))),
 
     // Matryoshka-style truncation audit: recall@10 of searching with
     // only the FIRST 16 of 64 embedding dimensions against the full-

@@ -132,6 +132,48 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("kCenterGreedy: axis geometry hand-check, greedy invariant, brute differential") {
+    // seed = id 1 (x-axis). Farthest from {e_x}: the opposite vector 4
+    // (sim -1e6). Then the orthogonal ones (sim 0 to both) by id order.
+    val axes = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f)),
+      (5L, Seq(0.9f, 0.1f, 0.0f))) // near the seed — never an early pick
+    val got = Clustering.kCenterGreedy(axes.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 4L, 2L, 3L), got.toString)
+    assert(got.map(_._3) == Seq(-1L, -1000000L, 0L, 0L), got.toString)
+    // brute-force differential on random vectors + the greedy invariant
+    val vecs = (1L to 40L).map { i =>
+      (i, (0 until 4).map(d => (((i * 7919L + d * 104729L) % 2001L) - 1000L).toFloat / 100f))
+    }
+    val k = 6
+    val g2 = Clustering.kCenterGreedy(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k)
+      .as[(Long, Long, Long)].collect().toSeq
+    def simPpm(a: Seq[Float], b: Seq[Float]): Long = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6).toLong
+    }
+    val byId = vecs.toMap
+    var chosen = Seq(1L)
+    var best = vecs.map(v => v._1 -> simPpm(v._2, byId(1L))).toMap
+    val want = scala.collection.mutable.ArrayBuffer((0L, 1L, -1L))
+    (1 until k).foreach { r =>
+      val (selId, selSim) = best.toSeq.minBy { case (id, bs) => (bs, id) }
+      want += ((r.toLong, selId, selSim))
+      chosen :+= selId
+      best = best.map { case (id, bs) => id -> math.max(bs, simPpm(byId(id), byId(selId))) }
+    }
+    assert(g2 == want.toSeq, s"got=$g2 want=$want")
+    // greedy invariant: selection similarity never decreases after round 1
+    assert(g2.drop(1).map(_._3).sliding(2).forall(p => p.head <= p.last), g2.toString)
+  }
+
   test("semDedup prunes higher-id near-identical vectors within a cluster only") {
     val vecs = Seq(
       (1L, Seq(0.10f, 0.10f, 0.00f, 0.00f)), // kept (lowest id of its pair)
