@@ -170,7 +170,17 @@ object ScaleProbe {
     // round-8: per-user pair self-join — the replica keeps per-entity
     // densities constant (users ×5, C(n_u,2) per user unchanged), so
     // pair volume and the one g-shuffle scale linearly
-    "q_trend_theilsen" -> false
+    "q_trend_theilsen" -> false,
+    // round-8 fifth wave: HLL set-ops = ONE data-sized shuffle (per-user
+    // collect_set of types), then domain-bounded derivations (per-type
+    // sketch agg, groups² sketch cross-join, row-local type-pair
+    // explode). Flagged for the q_trend_ols LAYOUT artifact, measured
+    // via SetOpsProbe: shuffle is partial-agg state (input_partitions ×
+    // users, the normal combine contract) and sf0.1 events lands in 1
+    // parquet split vs the replica's 32 — raw ratio reads 154×, but the
+    // matched-layout run (base rewritten to 32 interleaved splits) reads
+    // 3.66 → 15.40 MB = 4.2× on 5×. Linear.
+    "q_approx_setops" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

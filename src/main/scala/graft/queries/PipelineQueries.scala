@@ -2001,6 +2001,30 @@ object PipelineQueries {
              |       TRUE AS hll_ok, TRUE AS merge_invariant
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Sketch set operations: distinct-user INTERSECTION of every
+    // event-type pair by inclusion-exclusion over Datasketches HLL —
+    // the audience-overlap primitive (per-group sketch is KBs; the
+    // pairwise combine never touches raw ids). Error compounds across
+    // three estimates, so the machine-checked bound is against the
+    // UNION size (0.15·|A∪B|); sketches are deterministic so the
+    // boolean reproduces. Oracle recomputes the exact counts + TRUE.
+    Q("q_approx_setops",
+      (s, dir) =>
+        graft.operators.Approx.setOpSketchCheck(
+            Tables.events(s, dir), "event_type", "user_id")
+          .orderBy("key_a", "key_b"),
+      Some("""WITH s AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+             |n AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+             |it AS (SELECT x.t AS ta, y.t AS tb, CAST(count(*) AS BIGINT) AS n_inter
+             |       FROM s x JOIN s y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2)
+             |SELECT na.t AS key_a, nb.t AS key_b, na.n AS n_a, nb.n AS n_b,
+             |       na.n + nb.n - coalesce(it.n_inter, 0) AS n_union,
+             |       coalesce(it.n_inter, 0) AS n_inter,
+             |       TRUE AS incl_excl_ok
+             |FROM n na JOIN n nb ON na.t < nb.t
+             |LEFT JOIN it ON it.ta = na.t AND it.tb = nb.t
+             |ORDER BY key_a, key_b""".stripMargin)),
+
     // Count-min-sketch heavy hitters: the top-10 users by event count,
     // each checked against the CMS frequency contract (never
     // undercounts, overcount ≤ ⌈ε·N⌉) AND the exact-merge contract

@@ -180,6 +180,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!(lt <= target - 1 + tol && le >= target - tol))
   }
 
+  test("HLL set-op check: exact pair counts, disjoint pair coalesces, bound holds") {
+    // a = 0..999, b = 500..1499 (|a∩b| = 500), c = 2000..2099 (disjoint
+    // from both); every row duplicated so the pre-distinct must dedup.
+    val df = ((0 until 1000).map(i => ("a", i.toLong)) ++
+      (500 until 1500).map(i => ("b", i.toLong)) ++
+      (2000 until 2100).map(i => ("c", i.toLong)))
+      .flatMap(r => Seq(r, r)).toDF("k", "id")
+    val r = graft.operators.Approx.setOpSketchCheck(df, "k", "id")
+      .as[(String, String, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(x => (x._1, x._2))
+    assert(r.map(x => (x._1, x._2, x._3, x._4, x._5, x._6)).toSeq == Seq(
+      ("a", "b", 1000L, 1000L, 1500L, 500L),
+      ("a", "c", 1000L, 100L, 1100L, 0L),
+      ("b", "c", 1000L, 100L, 1100L, 0L)))
+    r.foreach { case (ka, kb, _, _, _, _, ok) =>
+      assert(ok, s"pair ($ka,$kb) inclusion-exclusion estimate outside bound")
+    }
+  }
+
   test("expectations audit counts violations per rule; unique rule counts dups") {
     val df = Seq((1L, -5.0), (2L, 3.0), (2L, 4.0), (3L, -1.0)).toDF("id", "v")
     val r = graft.operators.Expectations.audit(df, Seq(
