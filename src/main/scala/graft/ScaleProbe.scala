@@ -180,7 +180,16 @@ object ScaleProbe {
     // parquet split vs the replica's 32 — raw ratio reads 154×, but the
     // matched-layout run (base rewritten to 32 interleaved splits) reads
     // 3.66 → 15.40 MB = 4.2× on 5×. Linear.
-    "q_approx_setops" -> true
+    "q_approx_setops" -> true,
+    // round-8 fifth wave: cross-correlation = ONE map-side-combined
+    // (key, bucket) count agg; deviations, lag joins, and the final
+    // ppm all run on the dense bucket GRID (720 rows, independent of
+    // input size). Measured 10.5× on 0.2 → 2.1 MB absolute = the
+    // q_exact_quantiles LAYOUT artifact: partial-agg state =
+    // input_partitions × 1440 DOMAIN-bounded (type, hour) groups and
+    // the sf0.1 base lands in ~1 parquet split vs the replica's 32;
+    // matched layouts ⇒ flat (group count is independent of rows).
+    "q_xcorr" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -217,7 +226,13 @@ object ScaleProbe {
     "q_label_vote",
     // round-8 fourth wave: common-neighbor link prediction — lineitem
     // co-purchase axis (the q_triangle_count wedge cost class)
-    "q_link_predict")
+    "q_link_predict",
+    // round-8 fifth wave: inter-annotator kappa (lineitem annotation
+    // axis, the q_label_vote class — per-item pair join is the wedge
+    // cost class bounded by annotators-per-item) and the Benford digit
+    // audit (lineitem price axis; one 9-group map-side agg — the
+    // q_gini_mix zero-growth output class)
+    "q_kappa", "q_benford")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -126,7 +126,9 @@ object Scratch {
       "q_label_vote" -> "label aggregation: two (item,label) count aggs + rank-1 windows, annotator reliability agg joined back on its own key",
       "q_event_pattern" -> "event-pattern regex: one group-collect of 1-byte initials, row-local regex scan per entity",
       "q_source_overlap" -> "source-overlap census: the verified near-dup pair pipeline + one (source,source) groupBy — document text never ships",
-      "q_approx_setops" -> "HLL set-ops: ONE data-sized shuffle (per-user collect_set), per-type sketch agg + groups-squared sketch cross-join + row-local pair explode all domain-bounded")
+      "q_approx_setops" -> "HLL set-ops: ONE data-sized shuffle (per-user collect_set), per-type sketch agg + groups-squared sketch cross-join + row-local pair explode all domain-bounded",
+      "q_trend_theilsen" -> "Theil-Sen: shuffle-join PINNED on g so the C(n,2) pair frame inherits hash(g) and never re-exchanges for the rank window (broadcast regime measured 263 MB vs 8 MB)",
+      "q_xcorr" -> "cross-correlation: one map-side-combined (type, hour) count agg; dense-grid joins and lag alignment all run on the 720-row domain-bounded grid")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

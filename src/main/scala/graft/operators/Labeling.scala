@@ -64,4 +64,72 @@ object Labeling {
         col("maj_label"), col("final_label"),
         (col("maj_label") =!= col("final_label")).cast("long").as("changed"))
   }
+
+  /** Pairwise Cohen's kappa — chance-corrected inter-annotator agreement
+    * for every annotator pair that shares ≥ `minShared` items. THE
+    * labeling-quality gate before [[goldenLabels]] aggregation: raw
+    * agreement rewards annotators who always pick the majority class;
+    * kappa subtracts the agreement their label MARGINALS would produce
+    * by chance (κ = (p_o − p_e)/(1 − p_e)).
+    *
+    * Exact integer: with n shared items, agreement count a, and
+    * per-label marginals c_p(l), c_q(l) over the SHARED set,
+    * p_e·n² = Σ_l c_p(l)·c_q(l), so
+    * κ_ppm = floor(10⁶·(a·n − Σ c_p c_q) / (n² − Σ c_p c_q)) — one
+    * floor-division at the end, truncation toward −∞ on both engines
+    * (DuckDB // and Spark DIV agree on negatives... they do NOT: Spark
+    * DIV truncates toward zero. κ is cleared through sign-split: the
+    * numerator's sign is extracted and the division runs on |num|).
+    * Degenerate n² = Σ c_p c_q (both annotators constant and equal —
+    * p_e = 1) reports κ = 0 with agree_ppm carrying the signal.
+    *
+    * Scale shape: one (item, annot) dedup agg, a per-item annotator
+    * pair join (C(annotators-per-item, 2) rows per item — the wedge
+    * cost class, bounded by the per-item annotation fan), then two
+    * map-side-combined aggs: per (p, q, label-pair-role) marginal
+    * counts and the final per-(p, q) rollup. Annotator-pair count, not
+    * item count, bounds the output.
+    *
+    * Output: (annot_a, annot_b, n_shared, agree_ppm, kappa_ppm),
+    * annot_a < annot_b. */
+  def pairwiseKappa(
+      votes: DataFrame,
+      itemCol: String,
+      annotCol: String,
+      labelCol: String,
+      minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    // one deterministic label per (item, annotator): min label
+    val v = votes.groupBy(col(itemCol).as("_item"), col(annotCol).as("_an"))
+      .agg(min(col(labelCol)).as("_l"))
+    val pairRows = v.as("x").join(v.as("y"),
+        col("x._item") === col("y._item") && col("x._an") < col("y._an"))
+      .select(col("x._an").as("annot_a"), col("y._an").as("annot_b"),
+        col("x._l").as("_la"), col("y._l").as("_lb"))
+    // per-(pair, label): marginal counts of each side over shared items
+    val marg = pairRows
+      .select(col("annot_a"), col("annot_b"), explode(array(
+        struct(col("_la").as("_l"), lit(1L).as("_ca"), lit(0L).as("_cb")),
+        struct(col("_lb").as("_l"), lit(0L).as("_ca"), lit(1L).as("_cb")))).as("_m"))
+      .groupBy(col("annot_a"), col("annot_b"), col("_m._l"))
+      .agg(sum(col("_m._ca")).as("_cp"), sum(col("_m._cb")).as("_cq"))
+      .groupBy(col("annot_a"), col("annot_b"))
+      .agg(sum(expr("CAST(_cp AS DECIMAL(38,0)) * _cq")).as("_pe"))
+    val agg = pairRows.groupBy(col("annot_a"), col("annot_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum((col("_la") === col("_lb")).cast("long")).as("_a"))
+    agg.join(marg, Seq("annot_a", "annot_b"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("agree_ppm", expr("_a * 1000000 DIV n_shared"))
+      .withColumn("_num",
+        expr("CAST(_a AS DECIMAL(38,0)) * n_shared - _pe"))
+      .withColumn("_den",
+        expr("CAST(n_shared AS DECIMAL(38,0)) * n_shared - _pe"))
+      .withColumn("kappa_ppm",
+        when(col("_den") === 0, lit(0L)).otherwise(
+          signum(col("_num")).cast("long") *
+            expr("CAST(abs(_num) * 1000000 DIV _den AS BIGINT)")))
+      .select(col("annot_a"), col("annot_b"), col("n_shared"),
+        col("agree_ppm"), col("kappa_ppm"))
+  }
 }

@@ -435,4 +435,48 @@ object Stats {
       .select(col("pct"), lit(n).as("n"), col("_v").as(valCol))
       .orderBy("pct")
   }
+
+  /** Benford expected first-digit frequencies, floor(log10(1+1/d)·10⁶):
+    * COMPILE-TIME literals, so the runtime never touches libm and both
+    * engines compare against identical integers. */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** Benford first-significant-digit audit — the classic anomaly screen
+    * for "organic" magnitude-spanning quantities (amounts, populations,
+    * file sizes): natural multiplicative data leads with digit 1 ~30%
+    * of the time; fabricated or truncated data shows up as per-digit
+    * deviation. A data-quality operator next to [[Expectations.audit]]
+    * (rule violations) and [[histogramDrift]] (distribution shift).
+    *
+    * First digit extraction is string-free-of-float-formatting: values
+    * < 1 are excluded (their first significant digit depends on decimal
+    * expansion; the audit targets magnitude data ≥ 1), the rest take
+    * substr(1,1) of the INTEGER part's decimal rendering — identical in
+    * any engine. Deviation is exact integer: obs_ppm = floor(n_d·10⁶/n)
+    * against the literal expectation table; dev_ppm = |obs − exp|.
+    *
+    * Scale: one map-side-combined 9-group aggregation + a 9-row
+    * broadcast join — nothing row-sized shuffles. Output: one row per
+    * digit 1..9 (zero-count digits included): (digit, n, obs_ppm,
+    * exp_ppm, dev_ppm). */
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val digits = spark.createDataFrame(BenfordPpm).toDF("digit", "exp_ppm")
+    val cnt = df.select(valueCol.as("_v"))
+      .filter(col("_v") >= 1)
+      .select(substring(floor(col("_v")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("_nd"))
+    val tot = cnt.agg(coalesce(sum(col("_nd")), lit(0L)).as("n"))
+    digits.join(broadcast(cnt), Seq("digit"), "left")
+      .na.fill(0L, Seq("_nd"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_ppm",
+        when(col("n") > 0, expr("_nd * 1000000 DIV n")).otherwise(0L))
+      .select(col("digit").cast("long").as("digit"), col("n"),
+        col("obs_ppm"), col("exp_ppm"),
+        abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+  }
 }

@@ -120,11 +120,18 @@ object TimeSeries {
     * like every ordered-recurrence operator here (the [[ewmaAnomaly]]
     * contract); thin long series systematically upstream if n_g is
     * unbounded. One window pass ranks and counts in the same partition.
+    * The join is PINNED to a shuffle join: left to itself the planner
+    * broadcasts the (small) point frame, which leaves the join output in
+    * scan layout so the window re-exchanges the full C(n,2) PAIR frame
+    * (measured 263 MB vs 11 MB at sf0.1) — the shuffle join partitions
+    * the two point-frame sides instead, and the window reuses hash(g).
+    * At corpus scale the point frame never fits a broadcast anyway, so
+    * this also makes the measured plan the 100 TB plan.
     * Input cols: (g, x, y, id); id makes the rank total. */
   def theilSenSlopes(pts: DataFrame): DataFrame = {
     val a = pts.select(col("g"), col("x").as("xa"), col("y").as("ya"), col("id").as("ia"))
     val b = pts.select(col("g"), col("x").as("xb"), col("y").as("yb"), col("id").as("ib"))
-    val pairs = a.join(b, Seq("g"))
+    val pairs = a.hint("shuffle_hash").join(b, Seq("g"))
       .filter(col("xa") < col("xb"))
       .select(col("g"), (col("yb") - col("ya")).as("dy"),
         (col("xb") - col("xa")).as("dx"), col("ia"), col("ib"))
@@ -291,5 +298,76 @@ object TimeSeries {
        |SELECT user_id, CAST(n_pts AS BIGINT) AS n_pts, best_cost, best_end
        |FROM f WHERE rk = 1
        |ORDER BY best_cost, user_id LIMIT $topK""".stripMargin
+  }
+
+  /** Lead–lag CROSS-correlation between two categories' event-count
+    * series — does activity in `keyA` precede activity in `keyB`, and
+    * by how many buckets? The causal-precursor diagnostic ([[acfPpm]]'s
+    * two-series companion): r_xy(k) correlates x_t with y_{t+k} over a
+    * shared dense bucket grid (missing buckets count 0, exactly what a
+    * count series means).
+    *
+    * ENGINE-EXACT, libm-free: deviations are n-cleared integers
+    * (dev_t = n·x_t − Σx), and instead of r (whose sqrt(den) ties the
+    * result to libm) the output is the SIGNED SQUARED correlation in
+    * ppm: sign(num_k) · floor(10⁶·num_k² / (Σdevx²·Σdevy²)) — monotone
+    * in |r| with r's sign, so ranking and thresholding behave like r.
+    * DECIMAL(38,0) carries num_k² ≲ (n²·x̄·n·x̄)²; overflow-safe to
+    * ~10⁶ events per bucket per series at 720 buckets — pre-aggregate
+    * to coarser buckets past that.
+    *
+    * Scale shape: ONE data-sized map-side-combined aggregation (the
+    * (key, bucket) counts); everything after runs on the bucket grid
+    * (n rows), broadcast-joined — the lag alignment is a bucket
+    * equi-join (bucket = bucket + k), never a global window, so no
+    * single-partition WindowExec at any scale. Output: one row per lag
+    * 0..maxLag: (lag, n_buckets, xcorr_r2s_ppm). */
+  def crossCorrPpm(
+      df: DataFrame,
+      keyCol: Column,
+      bucketCol: Column,
+      keyA: String,
+      keyB: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 24, s"maxLag must be in 0..24: $maxLag")
+    require(keyA != keyB, "keyA and keyB must differ")
+    val cnt = df.select(keyCol.as("_k"), bucketCol.as("_b"))
+      .filter(col("_k").isin(keyA, keyB))
+      .groupBy(col("_k"), col("_b")).agg(count(lit(1)).as("_c"))
+    val grid = cnt.agg(min(col("_b")).as("_lo"), max(col("_b")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("_b"))
+    val xy = grid
+      .join(cnt.filter(col("_k") === keyA).select(col("_b"), col("_c").as("_x")),
+        Seq("_b"), "left")
+      .join(cnt.filter(col("_k") === keyB).select(col("_b"), col("_c").as("_y")),
+        Seq("_b"), "left")
+      .na.fill(0L, Seq("_x", "_y"))
+    val tot = xy.agg(count(lit(1)).as("_n"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"))
+    val dev = xy.crossJoin(broadcast(tot))
+      .select(col("_b"), col("_n"),
+        expr("CAST(_n AS DECIMAL(38,0)) * _x - _sx").as("_dx"),
+        expr("CAST(_n AS DECIMAL(38,0)) * _y - _sy").as("_dy"))
+    val den = dev.agg(
+      sum(col("_dx") * col("_dx")).as("_ddx"),
+      sum(col("_dy") * col("_dy")).as("_ddy"))
+    val laggedY = dev.select(col("_b"), col("_dy"))
+      .withColumn("lag", explode(sequence(lit(0), lit(maxLag))))
+      .select((col("_b") - col("lag")).as("_b"), col("lag"),
+        col("_dy").as("_dy2"))
+    val nums = dev.select(col("_b"), col("_dx"), col("_n"))
+      .join(laggedY, Seq("_b"))
+      .groupBy(col("lag"))
+      .agg(max(col("_n")).as("n_buckets"),
+        coalesce(sum(col("_dx") * col("_dy2")),
+          lit(0L).cast("decimal(38,0)")).as("_num"))
+    nums.crossJoin(broadcast(den))
+      .withColumn("xcorr_r2s_ppm",
+        when(col("_ddx") > 0 && col("_ddy") > 0,
+          signum(col("_num")).cast("long") *
+            expr("CAST(_num * _num * 1000000 DIV (_ddx * _ddy) AS BIGINT)"))
+          .otherwise(0L))
+      .select(col("lag").cast("long").as("lag"), col("n_buckets"),
+        col("xcorr_r2s_ppm"))
   }
 }

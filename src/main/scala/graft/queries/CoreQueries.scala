@@ -1450,6 +1450,74 @@ object CoreQueries {
              |       ELSE 0 END AS BIGINT) AS acf3_ppm
              |FROM a ORDER BY user_id""".stripMargin)),
 
+    // Lead-lag cross-correlation: does 'click' activity precede
+    // 'purchase' activity, and by how many hours? Hourly count series
+    // on a shared dense grid (missing hours = 0), n-cleared integer
+    // deviations, and the SIGNED SQUARED correlation in ppm so no sqrt
+    // ties the result to libm. ONE data-sized agg; the lag alignment is
+    // a bucket equi-join on the 720-row grid — never a global window.
+    Q("q_xcorr",
+      (s, dir) => TimeSeries.crossCorrPpm(
+          Tables.events(s, dir),
+          col("event_type"),
+          expr("(unix_micros(ts) - 1704067200000000) DIV 3600000000"),
+          keyA = "click", keyB = "purchase", maxLag = 3)
+        .orderBy("lag"),
+      Some("""WITH b AS (SELECT event_type AS k,
+             |                  (epoch_us(ts) - 1704067200000000) // 3600000000 AS h
+             |           FROM events WHERE event_type IN ('click', 'purchase')),
+             |c AS (SELECT k, h, count(*) AS c FROM b GROUP BY 1, 2),
+             |bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+             |grid AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds),
+             |xy AS (SELECT g.h, coalesce(cx.c, 0) AS x, coalesce(cy.c, 0) AS y
+             |       FROM grid g
+             |       LEFT JOIN (SELECT h, c FROM c WHERE k = 'click') cx USING (h)
+             |       LEFT JOIN (SELECT h, c FROM c WHERE k = 'purchase') cy USING (h)),
+             |tot AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM xy),
+             |d AS (SELECT h, CAST(n AS HUGEINT)*x - sx AS dx,
+             |             CAST(n AS HUGEINT)*y - sy AS dy, n FROM xy, tot),
+             |den AS (SELECT sum(dx*dx) AS ddx, sum(dy*dy) AS ddy FROM d),
+             |lags AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+             |nums AS (SELECT lg.lag, max(a.n) AS n_buckets,
+             |                coalesce(sum(a.dx * b.dy), 0) AS num
+             |         FROM lags lg
+             |         JOIN d a ON TRUE
+             |         JOIN d b ON b.h = a.h + lg.lag
+             |         GROUP BY 1)
+             |SELECT CAST(lag AS BIGINT) AS lag, CAST(n_buckets AS BIGINT) AS n_buckets,
+             |       CAST(CASE WHEN ddx > 0 AND ddy > 0 THEN
+             |              (CASE WHEN num < 0
+             |               THEN -(num*num*1000000 // (ddx*ddy))
+             |               ELSE num*num*1000000 // (ddx*ddy) END)
+             |            ELSE 0 END AS BIGINT) AS xcorr_r2s_ppm
+             |FROM nums, den ORDER BY lag""".stripMargin)),
+
+    // Benford first-significant-digit audit of l_extendedprice — the
+    // classic anomaly screen for magnitude-spanning quantities; the
+    // expected frequencies are COMPILE-TIME ppm literals so the runtime
+    // never touches libm. One 9-group map-side agg + 9-row broadcast.
+    Q("q_benford",
+      (s, dir) => Stats.benfordAudit(
+          Tables.lineitem(s, dir), col("l_extendedprice"))
+        .orderBy("digit"),
+      Some("""WITH c AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+             |                       AS VARCHAR), 1, 1) AS INT) AS digit,
+             |                  count(*) AS nd
+             |           FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1),
+             |e AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+             |             unnest([301029,176091,124938,96910,79181,
+             |                     66946,57991,51152,45757]) AS exp_ppm),
+             |t AS (SELECT coalesce(sum(nd), 0) AS n FROM c),
+             |o AS (SELECT e.digit, t.n, coalesce(c.nd, 0) AS nd, e.exp_ppm
+             |      FROM e LEFT JOIN c USING (digit), t)
+             |SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+             |       CAST(CASE WHEN n > 0 THEN nd*1000000 // n ELSE 0 END
+             |            AS BIGINT) AS obs_ppm,
+             |       CAST(exp_ppm AS BIGINT) AS exp_ppm,
+             |       CAST(abs(CASE WHEN n > 0 THEN nd*1000000 // n ELSE 0 END
+             |                - exp_ppm) AS BIGINT) AS dev_ppm
+             |FROM o ORDER BY digit""".stripMargin)),
+
     // Nearest-in-time join: each click pairs with the SAME user's
     // closest purchase within ±30 min, either direction (the two-sided
     // companion of q_asof_lookup — sensor-alignment semantics). 1-D

@@ -2718,6 +2718,49 @@ object PipelineQueries {
              |FROM nv JOIN maj m USING (item) JOIN fin f USING (item)
              |ORDER BY l_orderkey""".stripMargin)),
 
+    // Pairwise Cohen's kappa — chance-corrected inter-annotator
+    // agreement for every annotator pair sharing >= 5 items, the
+    // labeling-quality gate BEFORE q_label_vote's aggregation (raw
+    // agreement rewards majority-class parrots; kappa subtracts the
+    // agreement the pair's label marginals produce by chance). Exact
+    // integer: kappa_ppm = sign-split floor(1e6*(a*n - sum(cp*cq)) /
+    // (n^2 - sum(cp*cq))). Annotators = l_suppkey % 20 (a dense
+    // 20-annotator panel), labels = l_returnflag, items = orders.
+    Q("q_kappa",
+      (s, dir) => graft.operators.Labeling.pairwiseKappa(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey"),
+              (col("l_suppkey") % 20).as("annot"), col("l_returnflag")),
+          "l_orderkey", "annot", "l_returnflag", minShared = 5L)
+        .orderBy("annot_a", "annot_b"),
+      Some("""WITH v AS (SELECT l_orderkey AS item, l_suppkey % 20 AS an,
+             |                  min(l_returnflag) AS l
+             |           FROM lineitem GROUP BY 1, 2),
+             |p AS (SELECT x.an AS a, y.an AS b, x.l AS la, y.l AS lb
+             |      FROM v x JOIN v y ON x.item = y.item AND x.an < y.an),
+             |m AS (SELECT a, b, l, sum(ca) AS cp, sum(cb) AS cq FROM (
+             |        SELECT a, b, la AS l, 1 AS ca, 0 AS cb FROM p
+             |        UNION ALL
+             |        SELECT a, b, lb AS l, 0 AS ca, 1 AS cb FROM p)
+             |      GROUP BY 1, 2, 3),
+             |pe AS (SELECT a, b, sum(CAST(cp AS HUGEINT) * cq) AS pe
+             |       FROM m GROUP BY 1, 2),
+             |ag AS (SELECT a, b, count(*) AS n,
+             |              sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS agr
+             |       FROM p GROUP BY 1, 2)
+             |SELECT ag.a AS annot_a, ag.b AS annot_b,
+             |       CAST(n AS BIGINT) AS n_shared,
+             |       CAST(agr * 1000000 // n AS BIGINT) AS agree_ppm,
+             |       CAST(CASE WHEN CAST(n AS HUGEINT) * n - pe.pe = 0 THEN 0
+             |            ELSE (CASE WHEN CAST(agr AS HUGEINT) * n - pe.pe < 0
+             |              THEN -(abs(CAST(agr AS HUGEINT) * n - pe.pe) * 1000000
+             |                     // (CAST(n AS HUGEINT) * n - pe.pe))
+             |              ELSE (CAST(agr AS HUGEINT) * n - pe.pe) * 1000000
+             |                   // (CAST(n AS HUGEINT) * n - pe.pe) END)
+             |            END AS BIGINT) AS kappa_ppm
+             |FROM ag JOIN pe ON ag.a = pe.a AND ag.b = pe.b
+             |WHERE n >= 5 ORDER BY annot_a, annot_b""".stripMargin)),
+
     // STREAMING ingest near-dup dedup: the documents table replays as 5
     // mtime-ordered micro-batches (bucket = doc_id % 5); each batch
     // minhashes only itself, probes the persisted survivor index

@@ -50,4 +50,64 @@ class LabelingSpec extends SparkSpec {
       assert(got(i) == want, s"item $i got=${got(i)} want=$want")
     }
   }
+
+  private def kappa(votes: Seq[(Long, Long, String)], minShared: Long = 1L) =
+    Labeling.pairwiseKappa(votes.toDF("item", "annot", "label"),
+        "item", "annot", "label", minShared)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+
+  test("pairwiseKappa: perfect, inverse, and degenerate-constant pairs") {
+    // annot 1 vs 2: identical balanced labels -> kappa = 1e6.
+    // annot 1 vs 3: exactly inverted -> kappa = -1e6.
+    // annot 4 vs 5: both constant "A" -> p_e = 1 degenerate -> kappa 0,
+    //   agreement still 1e6.
+    val votes =
+      (1L to 4L).flatMap { i =>
+        val l = if (i <= 2) "A" else "B"
+        val inv = if (i <= 2) "B" else "A"
+        Seq((i, 1L, l), (i, 2L, l), (i, 3L, inv))
+      } ++ (10L to 12L).flatMap(i => Seq((i, 4L, "A"), (i, 5L, "A")))
+    val got = kappa(votes)
+    assert(got((1L, 2L)) == ((4L, 1000000L, 1000000L)), got((1L, 2L)).toString)
+    assert(got((1L, 3L)) == ((4L, 0L, -1000000L)), got((1L, 3L)).toString)
+    assert(got((4L, 5L)) == ((3L, 1000000L, 0L)), got((4L, 5L)).toString)
+    assert(!got.contains((1L, 4L)), "pairs with no shared items must not appear")
+  }
+
+  test("pairwiseKappa: minShared filter, (item,annot) dedup to min label, brute replay") {
+    // annotators 1 and 2 share only 2 items -> dropped at minShared=3;
+    // duplicate (item, annot) votes collapse to the min label.
+    val sparse = Seq((1L, 1L, "A"), (1L, 2L, "A"), (2L, 1L, "B"), (2L, 2L, "B"))
+    assert(kappa(sparse, minShared = 3L).isEmpty)
+    val votes = (for {
+      i <- 1L to 30L; a <- 1L to 4L
+      if (i * 13 + a * 7) % 5 != 0
+    } yield (i, a, s"L${(i * a * 2654435761L) % 3}")) ++
+      Seq((1L, 1L, "Zdup"), (1L, 1L, "Adup")) // dup votes: min label wins
+    val got = kappa(votes)
+    // BigInt reference replay
+    val one = votes.groupBy(v => (v._1, v._2))
+      .map { case ((i, a), vs) => (i, a) -> vs.map(_._3).min }
+    val annots = one.keys.map(_._2).toSeq.distinct.sorted
+    for (p <- annots; q <- annots; if p < q) {
+      val shared = one.keys.filter(_._2 == p).map(_._1)
+        .filter(i => one.contains((i, q))).toSeq
+      if (shared.nonEmpty) {
+        val la = shared.map(i => one((i, p))); val lb = shared.map(i => one((i, q)))
+        val n = BigInt(shared.size)
+        val a = BigInt(la.zip(lb).count { case (x, y) => x == y })
+        val labels = (la ++ lb).distinct
+        val pe = labels.map(l =>
+          BigInt(la.count(_ == l)) * BigInt(lb.count(_ == l))).sum
+        val num = a * n - pe; val den = n * n - pe
+        val kp =
+          if (den == 0) 0L
+          else if (num < 0) -((-num) * 1000000 / den).toLong
+          else (num * 1000000 / den).toLong
+        val want = (n.toLong, (a * 1000000 / n).toLong, kp)
+        assert(got((p, q)) == want, s"pair ($p,$q) got=${got((p, q))} want=$want")
+      } else assert(!got.contains((p, q)))
+    }
+  }
 }

@@ -199,6 +199,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("benford audit: exact digit extraction, sub-1 exclusion, zero-count digits kept") {
+    // first digits: 1 (from 1.0, 123.45, 1999), 9 (from 9.9), 0.5 excluded
+    val df = Seq(1.0, 123.45, 1999.0, 9.9, 0.5).toDF("v")
+    val r = graft.operators.Stats.benfordAudit(df, $"v")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq == (1L to 9L), "all 9 digits present")
+    assert(r.forall(_._2 == 4L), "n excludes the sub-1 value")
+    val byDigit = r.map(x => x._1 -> ((x._3, x._4, x._5))).toMap
+    assert(byDigit(1L) == ((750000L, 301029L, 448971L)), byDigit(1L).toString)
+    assert(byDigit(9L) == ((250000L, 45757L, 204243L)), byDigit(9L).toString)
+    assert(byDigit(2L) == ((0L, 176091L, 176091L)), byDigit(2L).toString)
+    // the literal expectation table sums to ~1e6 (floor rounding)
+    assert(r.map(_._4).sum == 999995L)
+  }
+
   test("expectations audit counts violations per rule; unique rule counts dups") {
     val df = Seq((1L, -5.0), (2L, 3.0), (2L, 4.0), (3L, -1.0)).toDF("id", "v")
     val r = graft.operators.Expectations.audit(df, Seq(

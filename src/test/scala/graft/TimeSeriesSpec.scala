@@ -183,4 +183,66 @@ class TimeSeriesSpec extends SparkSpec {
         s"k=$k got=${got(k)} want=${(n.toLong, ppm(1), ppm(2), ppm(3))}")
     }
   }
+
+  private def xcorr(rows: Seq[(String, Long)], maxLag: Int) =
+    graft.operators.TimeSeries.crossCorrPpm(
+        rows.toDF("k", "b"), $"k", $"b", "x", "y", maxLag)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  /** BigInt replay of the crossCorrPpm contract over dense 0-filled
+    * count series on the [min, max] grid. */
+  private def bruteXcorr(
+      rows: Seq[(String, Long)], maxLag: Int): Map[Long, (Long, Long)] = {
+    val cx = rows.filter(_._1 == "x").groupBy(_._2).map { case (b, g) => b -> g.size }
+    val cy = rows.filter(_._1 == "y").groupBy(_._2).map { case (b, g) => b -> g.size }
+    val lo = (cx.keys ++ cy.keys).min; val hi = (cx.keys ++ cy.keys).max
+    val grid = (lo to hi).toIndexedSeq
+    val xs = grid.map(b => BigInt(cx.getOrElse(b, 0)))
+    val ys = grid.map(b => BigInt(cy.getOrElse(b, 0)))
+    val n = BigInt(grid.size)
+    val dx = xs.map(n * _ - xs.sum); val dy = ys.map(n * _ - ys.sum)
+    val ddx = dx.map(d => d * d).sum; val ddy = dy.map(d => d * d).sum
+    (0 to maxLag).map { k =>
+      val num = (0 until grid.size - k).map(t => dx(t) * dy(t + k)).sum
+      val ppm =
+        if (ddx <= 0 || ddy <= 0) 0L
+        else {
+          val mag = (num * num * 1000000 / (ddx * ddy)).toLong
+          if (num < 0) -mag else mag
+        }
+      k.toLong -> ((grid.size.toLong, ppm))
+    }.toMap
+  }
+
+  test("crossCorrPpm: identical series reads 1e6 at lag 0; shift-by-2 peaks at lag 2") {
+    val base = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val x = base.zipWithIndex.flatMap { case (c, b) =>
+      Seq.fill(c.toInt)(("x", b.toLong)) }
+    // identical twin: every bucket count equal
+    val same = x ++ x.map { case (_, b) => ("y", b) }
+    val gotSame = xcorr(same, 2)
+    assert(gotSame(0L) == ((8L, 1000000L)), gotSame(0L).toString)
+    // y = x shifted +2 buckets: lag 2 is the (strict) max of lags 0..3
+    val shifted = x ++ x.map { case (_, b) => ("y", b + 2L) }
+    val got = xcorr(shifted, 3)
+    assert(got == bruteXcorr(shifted, 3), s"got=$got")
+    assert((0 to 3).filter(_ != 2).forall(k => got(2L)._2 > got(k.toLong)._2),
+      s"lag 2 not the peak: $got")
+  }
+
+  test("crossCorrPpm equals BigInt brute force on ragged random counts; constant series reads 0") {
+    val rows = for {
+      (k, seed) <- Seq(("x", 13L), ("y", 29L))
+      b <- 0L to 19L
+      c <- 0L until ((b * seed + 7L) % 5L)
+    } yield (k, b)
+    val got = xcorr(rows, 3)
+    assert(got == bruteXcorr(rows, 3), s"got=$got want=${bruteXcorr(rows, 3)}")
+    // constant x series (same count every bucket) -> ddx = 0 -> all 0
+    val const = (0L to 9L).flatMap(b => Seq(("x", b), ("x", b))) ++
+      (0L to 9L).flatMap(b => Seq.fill(((b % 3) + 1).toInt)(("y", b)))
+    val gotC = xcorr(const, 2)
+    assert(gotC.values.forall(_._2 == 0L), gotC.toString)
+  }
 }
