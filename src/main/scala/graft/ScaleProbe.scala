@@ -189,7 +189,19 @@ object ScaleProbe {
     // input_partitions × 1440 DOMAIN-bounded (type, hour) groups and
     // the sf0.1 base lands in ~1 parquet split vs the replica's 32;
     // matched layouts ⇒ flat (group count is independent of rows).
-    "q_xcorr" -> true
+    "q_xcorr" -> true,
+    // round-8 sixth wave: hotspot census = ONE map-side-combined
+    // (cx, cy) count agg (400 domain-bounded groups); the x9 neighbor
+    // explode + score run on the CELL frame. Measured 14x on 0.1 ->
+    // 1.4 MB ABSOLUTE = the q_xcorr/q_exact_quantiles layout artifact
+    // (partial-agg state = input_partitions x 400 domain groups; the
+    // sf0.1 base lands in ~1 parquet split vs the replica's 32); time
+    // flat 1.1x, group count independent of rows.
+    "q_hotspot" -> true,
+    // round-8 sixth wave: chi2 term selection = row-local presence
+    // dedup + ONE (term) agg + TakeOrdered — vocab is constant across
+    // verbatim copies, df counts 5x (the q_keyword_tag shape)
+    "q_chi2_terms" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

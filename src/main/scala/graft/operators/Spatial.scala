@@ -386,4 +386,68 @@ object Spatial {
       .select(col(entityCol), col("start_us"), col("end_us"), col("n_pts"),
         (col("end_us") - col("start_us")).as("dwell_us"))
   }
+
+  /** Getis-Ord-class hotspot census on a fixed grid — which cells' 3×3
+    * NEIGHBORHOODS carry significantly more points than uniform spread
+    * predicts? The spatial-autocorrelation screen behind demand heatmaps
+    * and incident clustering: a lone dense cell and a plateau of
+    * moderately dense cells rank differently once neighbors count.
+    *
+    * ENGINE-EXACT score (no mean/stddev floats): over the FULL domain
+    * grid of G = (1000/cell)² cells, a cell whose in-bounds neighborhood
+    * covers w cells (corner 4, edge 6, interior 9) expects w·T/G of the
+    * T total points; the relative excess
+    *
+    *   excess_ppm = sign(nbr·G − w·T) · floor(10⁶·|nbr·G − w·T| / (w·T))
+    *
+    * is one integer sign-split floor-division (sign split because Spark
+    * DIV truncates toward zero while DuckDB // floors). The Gi* z-score
+    * is a monotone transform of nbr for fixed w, so per-w ranking is
+    * preserved; consumers needing the full statistic apply it to these
+    * exact (n, nbr, w) counts downstream.
+    *
+    * Shape: one map-side-combined (cx, cy) count aggregation (the only
+    * data-sized pass), then a ×9 neighbor-offset explode + re-aggregation
+    * ON THE CELL FRAME (O(occupied cells), input-size-independent), a
+    * 1-row broadcast of T, and TakeOrdered top-k. Cells with an empty
+    * 3×3 neighborhood never surface (excess −10⁶ by definition, not
+    * hotspots). `cell` must divide 1000 so the mil-grid domain is exact.
+    *
+    * Output: (cx, cy, n, nbr, w, excess_ppm), top-k by excess then
+    * (cx, cy). Input cols: (x, y) in mils 0..999. */
+  def hotspotCells(pts: DataFrame, cell: Int, topK: Int): DataFrame = {
+    require(cell >= 1 && 1000 % cell == 0, s"cell must divide 1000: $cell")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val g = (1000 / cell).toLong // cells per axis
+    val cells = pts
+      .select(floor(col("x") / cell).cast("long").as("cx"),
+        floor(col("y") / cell).cast("long").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(coalesce(sum(col("n")), lit(0L)).as("_t"))
+    val nbr = cells
+      .select(explode(expr(
+        "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(dx, dy))))")).as("_o"),
+        col("cx"), col("cy"), col("n"))
+      .select((col("cx") + col("_o.dx")).as("cx"),
+        (col("cy") + col("_o.dy")).as("cy"), col("n"))
+      .filter(col("cx") >= 0 && col("cx") < g && col("cy") >= 0 && col("cy") < g)
+      .groupBy(col("cx"), col("cy")).agg(sum(col("n")).as("nbr"))
+    val scored = nbr
+      .join(cells.withColumnRenamed("n", "_own"), Seq("cx", "cy"), "left")
+      .na.fill(0L, Seq("_own"))
+      .withColumn("w",
+        (least(col("cx") + 1, lit(g - 1)) - greatest(col("cx") - 1, lit(0L)) + 1L) *
+          (least(col("cy") + 1, lit(g - 1)) - greatest(col("cy") - 1, lit(0L)) + 1L))
+      .crossJoin(broadcast(tot))
+      .withColumn("_num", col("nbr") * lit(g * g) - col("w") * col("_t"))
+      .withColumn("excess_ppm",
+        when(col("_t") === 0, lit(0L)).otherwise(
+          signum(col("_num")).cast("long") *
+            expr("CAST(CAST(abs(_num) AS DECIMAL(38,0)) * 1000000 DIV (w * _t) AS BIGINT)")))
+    scored
+      .select(col("cx"), col("cy"), col("_own").as("n"), col("nbr"),
+        col("w"), col("excess_ppm"))
+      .orderBy(col("excess_ppm").desc, col("cx"), col("cy"))
+      .limit(topK)
+  }
 }

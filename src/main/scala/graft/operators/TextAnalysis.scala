@@ -713,4 +713,57 @@ object TextAnalysis {
           |END""".stripMargin))
       .select(col("term"), col("y1"), col("y2"), col("ratio_ppm"))
   }
+
+  /** χ² discriminative-term selection over DOCUMENT frequencies — the
+    * presence/absence companion of [[logOddsTerms]] (which ranks by token
+    * counts): for each term, the 2×2 contingency of (doc contains term) ×
+    * (doc in class-1), scored by Pearson's χ². The classic filter-method
+    * feature selector (Yang & Pedersen) for building domain/quality
+    * classifiers over a corpus.
+    *
+    * ENGINE-EXACT: with a = class-1 docs containing the term, b = class-2
+    * docs containing it, c = n1−a, d = n2−b, N = n1+n2,
+    *
+    *   χ² = N·(a·d − b·c)² / ((a+b)·(c+d)·(a+c)·(b+d))
+    *
+    * is PURE RATIONAL in doc counts — no expected-frequency floats, no
+    * libm. chi2_ppm = floor(10⁶·χ²) in one DECIMAL(38,0) floor-division
+    * ((a·d−b·c)² is ≤ N⁴/16, so N⁵·10⁶/16 caps the numerator: exact to
+    * ~3·10⁶ docs per corpus shard; pre-aggregate per shard past that).
+    * Terms contained in EVERY doc (c+d = 0) or missing a class entirely
+    * (n1 = 0 or n2 = 0) have an undefined χ² and are dropped rather than
+    * scored 0 — a zero denominator means "no variation to test".
+    *
+    * Shape: per-doc term presence is ROW-LOCAL (array_distinct before the
+    * explode — never a (doc, term) distinct shuffle); one (term)
+    * map-side-combined aggregation carrying both class counts in the same
+    * pass; a 1-row broadcast of (n1, n2); TakeOrdered top-k. O(vocab)
+    * intermediate, nothing doc-sized shuffles. */
+  def chi2Terms(docs: DataFrame, textCol: String, class1: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val pres = docs.select(class1.as("_c1"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val cnt = pres.groupBy(col("term")).agg(
+      sum(when(col("_c1"), 1L).otherwise(0L)).as("df1"),
+      sum(when(!col("_c1"), 1L).otherwise(0L)).as("df2"))
+    val totals = docs.agg(
+      sum(when(class1, 1L).otherwise(0L)).as("_n1"),
+      sum(when(!class1, 1L).otherwise(0L)).as("_n2"))
+    cnt.crossJoin(broadcast(totals))
+      .withColumn("chi2_ppm", expr(
+        """CASE WHEN (df1 + df2) > 0 AND (_n1 - df1 + _n2 - df2) > 0
+          |      AND _n1 > 0 AND _n2 > 0
+          |THEN CAST((CAST(_n1 + _n2 AS DECIMAL(38,0)) *
+          |           (CAST(df1 AS DECIMAL(38,0)) * (_n2 - df2) -
+          |            CAST(df2 AS DECIMAL(38,0)) * (_n1 - df1)) *
+          |           (CAST(df1 AS DECIMAL(38,0)) * (_n2 - df2) -
+          |            CAST(df2 AS DECIMAL(38,0)) * (_n1 - df1)) * 1000000) DIV
+          |          (CAST(df1 + df2 AS DECIMAL(38,0)) *
+          |           (_n1 - df1 + _n2 - df2) * _n1 * _n2) AS BIGINT)
+          |END""".stripMargin))
+      .filter(col("chi2_ppm").isNotNull)
+      .select(col("term"), col("df1"), col("df2"), col("chi2_ppm"))
+      .orderBy(col("chi2_ppm").desc, col("term"))
+      .limit(topK)
+  }
 }

@@ -1968,6 +1968,43 @@ object CoreQueries {
     // mixing (Spatial.xMil/yMil) — exact in both engines, nothing float
     // to diverge, and scattered at all pair distances.
 
+    // Getis-Ord-class hotspot census: top-15 grid cells whose 3×3
+    // neighborhood carries the most points relative to uniform spread.
+    // One map-side (cx,cy) count agg is the only data-sized pass; the
+    // ×9 neighbor explode + re-agg runs on the CELL frame; the score is
+    // a sign-split integer floor-division (no mean/stddev floats).
+    Q("q_hotspot",
+      (s, dir) => Spatial.hotspotCells(
+          eventPoints(s, dir).filter(col("event_type") === "error"),
+          cell = 50, topK = 15),
+      Some("""WITH p AS (SELECT ((event_id*event_id)%1000003*37 + event_id*101)%1000 AS x,
+             |                  ((event_id*event_id)%999983*73 + event_id*211)%1000 AS y
+             |           FROM events WHERE event_type = 'error'),
+             |cells AS (SELECT x // 50 AS cx, y // 50 AS cy, count(*) AS n
+             |          FROM p GROUP BY 1, 2),
+             |t AS (SELECT sum(n) AS tt FROM cells),
+             |off AS (SELECT a.dx, b.dy
+             |        FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+             |             (SELECT unnest([-1, 0, 1]) AS dy) b),
+             |nbr AS (SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, sum(c.n) AS nbr
+             |        FROM cells c, off o
+             |        WHERE c.cx + o.dx BETWEEN 0 AND 19
+             |          AND c.cy + o.dy BETWEEN 0 AND 19
+             |        GROUP BY 1, 2),
+             |sc AS (SELECT nbr.cx, nbr.cy, coalesce(c.n, 0) AS n, nbr.nbr,
+             |              (least(nbr.cx + 1, 19) - greatest(nbr.cx - 1, 0) + 1) *
+             |              (least(nbr.cy + 1, 19) - greatest(nbr.cy - 1, 0) + 1) AS w,
+             |              nbr.nbr * 400 - (least(nbr.cx + 1, 19) - greatest(nbr.cx - 1, 0) + 1) *
+             |                              (least(nbr.cy + 1, 19) - greatest(nbr.cy - 1, 0) + 1) * t.tt AS num
+             |       FROM nbr LEFT JOIN cells c USING (cx, cy), t)
+             |SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+             |       CAST(n AS BIGINT) AS n, CAST(nbr AS BIGINT) AS nbr,
+             |       CAST(w AS BIGINT) AS w,
+             |       CAST(CASE WHEN num < 0 THEN -(abs(num) * 1000000 // (w * (SELECT tt FROM t)))
+             |                 WHEN num > 0 THEN abs(num) * 1000000 // (w * (SELECT tt FROM t))
+             |                 ELSE 0 END AS BIGINT) AS excess_ppm
+             |FROM sc ORDER BY excess_ppm DESC, cx, cy LIMIT 15""".stripMargin)),
+
     // 2-D proximity self-join, the spatial analog of q_range_join_binned:
     // d×d cell binning + 3×3 neighbor explode + hash equi-join + exact
     // residual — candidates are 9·n·occupancy, never n². The oracle is

@@ -1599,6 +1599,41 @@ object PipelineQueries {
              |       END AS ratio_ppm
              |FROM cnt, t ORDER BY ratio_ppm DESC, term""".stripMargin)),
 
+    // χ² discriminative-term selection (document frequency, the
+    // presence/absence companion of q_logodds_terms): which terms'
+    // presence best separates English from non-English docs? Pearson's
+    // χ² on the 2×2 doc-count contingency is PURE RATIONAL — one
+    // DECIMAL(38,0) floor-division per term, no expected-frequency
+    // floats. Per-doc presence dedup is row-local (array_distinct
+    // before the explode — never a (doc, term) distinct shuffle).
+    Q("q_chi2_terms",
+      (s, dir) => TextAnalysis.chi2Terms(
+          Tables.documents(s, dir), "text", col("lang") === "en", topK = 30),
+      Some("""WITH pres AS (SELECT lang = 'en' AS c1,
+             |                     unnest(list_distinct(string_split(text, ' '))) AS term
+             |              FROM documents),
+             |cnt AS (SELECT term,
+             |               sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS df1,
+             |               sum(CASE WHEN NOT c1 THEN 1 ELSE 0 END) AS df2
+             |        FROM pres GROUP BY 1),
+             |t AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n1,
+             |             sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS n2
+             |      FROM documents),
+             |s AS (SELECT term, df1, df2,
+             |             CASE WHEN (df1 + df2) > 0 AND (n1 - df1 + n2 - df2) > 0
+             |                   AND n1 > 0 AND n2 > 0
+             |             THEN CAST((CAST(n1 + n2 AS HUGEINT) *
+             |                        (CAST(df1 AS HUGEINT)*(n2 - df2) - CAST(df2 AS HUGEINT)*(n1 - df1)) *
+             |                        (CAST(df1 AS HUGEINT)*(n2 - df2) - CAST(df2 AS HUGEINT)*(n1 - df1)) *
+             |                        1000000)
+             |                       // (CAST(df1 + df2 AS HUGEINT) *
+             |                          (n1 - df1 + n2 - df2) * n1 * n2) AS BIGINT)
+             |             END AS chi2_ppm
+             |      FROM cnt, t)
+             |SELECT term, CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2, chi2_ppm
+             |FROM s WHERE chi2_ppm IS NOT NULL
+             |ORDER BY chi2_ppm DESC, term LIMIT 30""".stripMargin)),
+
     // Log-free tf-idf top-5 terms per document (doc_id < 50 so the
     // oracle's window stays cheap): score = tf·10⁶·N/(n_toks·df), exact
     // integer-derived arithmetic — a log() would tie the hash compare to

@@ -252,4 +252,47 @@ class SpatialSpec extends SparkSpec {
     }.toMap.map { case (k, (j, d2)) => k -> ((j, d2)) }
     assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(5)}")
   }
+
+  test("hotspotCells: hand-computed corner hotspot, w clamps at edges") {
+    // 5 points in corner cell (0,0), 1 in interior cell (5,5); cell=100
+    val pts = (Seq.fill(5)((10L, 10L)) :+ ((550L, 550L)))
+      .toDF("x", "y")
+    val got = Spatial.hotspotCells(pts, cell = 100, topK = 50)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val m = got.map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // corner (0,0): own 5, nbr 5, w = 2x2 = 4; G=100, T=6
+    // num = 5*100 - 4*6 = 476 -> floor(476e6/24) = 19833333
+    assert(m((0L, 0L)) == ((5L, 5L, 4L, 19833333L)), m.toString)
+    // interior (5,5): w = 9, num = 100 - 54 = 46 -> floor(46e6/54)
+    assert(m((5L, 5L)) == ((1L, 1L, 9L, 851851L)), m.toString)
+    // edge neighbor (1,0): own 0, nbr 5, w = 3x2 = 6
+    assert(m((1L, 0L)) == ((0L, 5L, 6L, 12888888L)), m.toString)
+    // hotspot ranks first
+    assert(got.head._1 == 0L && got.head._2 == 0L)
+  }
+
+  test("hotspotCells equals brute-force over all reachable cells") {
+    val rnd = new scala.util.Random(41)
+    val ptSeq = (1 to 400).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val got = Spatial.hotspotCells(ptSeq.toDF("x", "y"), cell = 50, topK = 10000)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toVector
+    val g = 20L
+    val counts = ptSeq.groupBy(p => (p._1 / 50, p._2 / 50)).view.mapValues(_.size.toLong).toMap
+    val t = ptSeq.size.toLong
+    val brute = (for {
+      cx <- 0L until g; cy <- 0L until g
+      nbr = (for {
+        dx <- -1L to 1L; dy <- -1L to 1L
+        if cx + dx >= 0 && cx + dx < g && cy + dy >= 0 && cy + dy < g
+      } yield counts.getOrElse((cx + dx, cy + dy), 0L)).sum
+      if nbr > 0
+    } yield {
+      val w = (math.min(cx + 1, g - 1) - math.max(cx - 1, 0L) + 1L) *
+        (math.min(cy + 1, g - 1) - math.max(cy - 1, 0L) + 1L)
+      val num = BigInt(nbr) * g * g - BigInt(w) * t
+      val ppm = num.signum * ((num.abs * 1000000) / (BigInt(w) * t)).toLong
+      (cx, cy, counts.getOrElse((cx, cy), 0L), nbr, w, ppm)
+    }).toVector.sortBy(r => (-r._6, r._1, r._2))
+    assert(got == brute, s"got=${got.take(3)} brute=${brute.take(3)}")
+  }
 }

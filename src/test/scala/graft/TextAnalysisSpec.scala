@@ -324,4 +324,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.keySet == Set(1L), got.toString)
     assert(got(1L) == ((1L, 4L, 188333L, 1L, 1L, 1L)), got.toString)
   }
+
+  test("chi2Terms: hand-computed 2x2 contingencies, all-doc term dropped") {
+    val docs = Seq(
+      (1L, "a b z", "en"), (2L, "a c z", "en"),
+      (3L, "b c z", "fr"), (4L, "c d z", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.chi2Terms(docs, "text", col("lang") === "en", topK = 10)
+      .as[(String, Long, Long, Long)].collect()
+    val m = got.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a: df1=2 df2=0 -> chi2 = 4*(2*2)^2/(2*2*2*2) = 4 exactly
+    assert(m("a") == ((2L, 0L, 4000000L)), m.toString)
+    assert(m("d") == ((0L, 1L, 1333333L)), m.toString)
+    // c: a=1 b=2 c=1 d=0 -> 4*(1*0-2*1)^2/(3*1*2*2) = 16/12
+    assert(m("c") == ((1L, 2L, 1333333L)), m.toString)
+    // z appears in EVERY doc -> c+d = 0 -> undefined, dropped not scored 0
+    assert(!m.contains("z"), m.toString)
+    // ranking: perfect separator first; ties by term
+    assert(got.head._1 == "a", got.map(_._1).mkString(","))
+  }
+
+  test("chi2Terms: doc-frequency semantics (repeats in one doc count once)") {
+    val docs = Seq(
+      (1L, "a a a a b", "en"), (2L, "b x", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.chi2Terms(docs, "text", col("lang") === "en", topK = 10)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("a") == ((1L, 0L)), m.toString) // df, not token count 4
+  }
+
+  test("chi2Terms equals BigInt brute replay on a random corpus") {
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    val docs = (1 to 60).map { i =>
+      val cls = if (i % 3 == 0) "en" else "de"
+      // class-biased draw so chi2 has signal
+      val toks = (0 until 6 + rnd.nextInt(5)).map { _ =>
+        if (cls == "en") vocab(rnd.nextInt(5)) else vocab(3 + rnd.nextInt(5))
+      }
+      (i.toLong, toks.mkString(" "), cls)
+    }
+    val df = docs.toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.chi2Terms(df, "text", col("lang") === "en", topK = 100)
+      .as[(String, Long, Long, Long)].collect().toVector
+    val n1 = docs.count(_._3 == "en").toLong
+    val n2 = docs.size - n1
+    val brute = vocab.flatMap { t =>
+      val df1 = docs.count(d => d._3 == "en" && d._2.split(" ").contains(t)).toLong
+      val df2 = docs.count(d => d._3 != "en" && d._2.split(" ").contains(t)).toLong
+      val cd = n1 - df1 + n2 - df2
+      if (df1 + df2 > 0 && cd > 0 && n1 > 0 && n2 > 0) {
+        val diff = BigInt(df1) * (n2 - df2) - BigInt(df2) * (n1 - df1)
+        val chi2 = BigInt(n1 + n2) * diff * diff * 1000000 /
+          (BigInt(df1 + df2) * cd * n1 * n2)
+        Some((t, df1, df2, chi2.toLong))
+      } else None
+    }.sortBy(r => (-r._4, r._1))
+    assert(got == brute, s"got=${got.take(3)} brute=${brute.take(3)}")
+  }
 }
