@@ -201,7 +201,25 @@ object ScaleProbe {
     // round-8 sixth wave: chi2 term selection = row-local presence
     // dedup + ONE (term) agg + TakeOrdered — vocab is constant across
     // verbatim copies, df counts 5x (the q_keyword_tag shape)
-    "q_chi2_terms" -> false
+    "q_chi2_terms" -> false,
+    // round-8 sixth wave: seq-pair support = one (user, type) min/max
+    // agg (the data-sized pass) + a per-user <=|types|^2 pair join on
+    // the span frame. Raw ratio reads 58x on 0.5 -> 29 MB: the
+    // q_trend_ols/q_approx_setops LAYOUT artifact — the sf0.1 base is
+    // 1 parquet split so the partial agg pre-collapses to exactly
+    // users x types = 7,500 records; matched-layout run (SeqProbe,
+    // base rewritten to 32 interleaved splits) reads 6.46 -> 28.94 MB
+    // = 4.5x on 5x, span records exactly 5.0x (81,868 -> 409,045),
+    // full-query records 5.0x (205,866 -> 1,028,399) — LINEAR.
+    "q_seq_pairs" -> true,
+    // round-8 sixth wave: centroid drift = fixed xdims posexplode +
+    // ONE (label, half, dim) map-side agg (labels x 2 x 64 = 1,280
+    // DOMAIN-bounded groups). Measured 17x on 0.1 -> 1.7 MB ABSOLUTE =
+    // the q_xcorr/q_hotspot layout artifact (partial-agg state =
+    // input_partitions x 1,280 groups; base ~1 parquet split vs the
+    // replica's 32); group count independent of rows ⇒ flat on
+    // matched layouts.
+    "q_embed_drift" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

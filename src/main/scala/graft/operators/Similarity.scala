@@ -495,4 +495,62 @@ object Similarity {
             greatest(col("_iqr") * 3L, lit(1L)), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** Split-half centroid consistency per label — the embedding-space
+    * DRIFT monitor: partition each label's vectors into two halves by a
+    * deterministic id residue (shard A = even, shard B = odd — in
+    * production, yesterday's batch vs today's) and report the cosine
+    * between the two half-centroids. A homogeneous stable class scores
+    * near 10⁶; a class whose embedding distribution shifted between
+    * shards (upstream encoder change, topic drift, label noise) drops —
+    * the per-class early-warning before [[embedLeakagePairs]]-style
+    * downstream damage.
+    *
+    * ENGINE-EXACT: dims are quantized to integers (floor(v·1024)); the
+    * centroid cosine cancels the 1/n factors — cos(Σa/n_a, Σb/n_b) =
+    * cos(Σa, Σb) — so the statistic runs on integer SUM vectors, and the
+    * output is the sign-split SIGNED SQUARED cosine in ppm (the
+    * [[graft.operators.TimeSeries.crossCorrPpm]] discipline: no sqrt →
+    * no libm; monotone in |cos| with cos's sign). DECIMAL(38,0) carries
+    * (Σ s_a·s_b)²·10⁶ — exact to ~10⁸ unit-norm vectors per half at 64
+    * dims; pre-average per shard past that.
+    *
+    * Scale shape: one posexplode (fixed ×dims fan) → ONE map-side-
+    * combined (label, half, dim) sum aggregation (groups = labels ×
+    * 2 × dims, domain-bounded); the pairing join and cosine run on that
+    * tiny frame. Nothing vector-sized shuffles. Output: one row per
+    * label with both halves present: (label, n_a, n_b, cos2s_ppm). */
+  def splitHalfCentroidDrift(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      scale: Int = 1024): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val sums = emb
+      .select(col(labelCol).as("label"), (col(idCol) % 2 === 0).as("_ha"),
+        posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col("label"), col("_ha"), col("dim"),
+        floor(col("_v").cast("double") * scale).cast("long").as("_q"))
+      .groupBy(col("label"), col("_ha"), col("dim"))
+      // each vector contributes exactly one row per dim, so count = n
+      .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
+    val a = sums.filter(col("_ha"))
+      .select(col("label"), col("dim"), col("_s").as("_sa"), col("_n").as("_na"))
+    val b = sums.filter(!col("_ha"))
+      .select(col("label"), col("dim"), col("_s").as("_sb"), col("_n").as("_nb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        sum(expr("CAST(_sa AS DECIMAL(38,0)) * _sb")).as("_num"),
+        sum(expr("CAST(_sa AS DECIMAL(38,0)) * _sa")).as("_da"),
+        sum(expr("CAST(_sb AS DECIMAL(38,0)) * _sb")).as("_db"))
+      .withColumn("cos2s_ppm",
+        when(col("_da") > 0 && col("_db") > 0,
+          signum(col("_num")).cast("long") *
+            expr("CAST(_num * _num * 1000000 DIV (_da * _db) AS BIGINT)"))
+          .otherwise(0L))
+      .select(col("label").cast("long").as("label"), col("n_a"), col("n_b"),
+        col("cos2s_ppm"))
+  }
 }

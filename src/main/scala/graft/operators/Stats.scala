@@ -479,4 +479,48 @@ object Stats {
         col("obs_ppm"), col("exp_ppm"),
         abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
   }
+
+  /** Length-2 sequential-pattern support (PrefixSpan's first level, kept
+    * exact): for every ORDERED pair of event types (a, b), the number of
+    * entities for which some a-event STRICTLY precedes some b-event, as
+    * a fraction of all entities. The sequence-mining complement of
+    * [[graft.operators.Dedup]]'s basket rules (q_assoc_rules ignores
+    * order) and the free-form generalization of a fixed funnel
+    * (q_funnel fixes one (a, b)).
+    *
+    * KEY REDUCTION — never materialize per-entity event sequences:
+    * "∃ a before b" ⟺ min_ts(a) < max_ts(b) for a ≠ b, and
+    * min_ts(a) < max_ts(a) for a = b (some strictly-later repeat). So
+    * ONE map-side-combined (entity, type) aggregation carrying
+    * (min_ts, max_ts) replaces any ordered scan, the per-entity
+    * type×type pair join runs on ≤ |types| rows per entity, and
+    * simultaneous-timestamp ties are excluded by the strict inequality
+    * exactly as "precedes" demands.
+    *
+    * Scale shape: the (entity, type) agg is the only data-sized pass;
+    * the self-join fans ≤ |types|² rows per entity; the final (a, b)
+    * rollup and the 1-row entity-count broadcast are domain-bounded.
+    * Output: (type_a, type_b, n_entities, support_ppm) for every ordered
+    * pair of types CO-OBSERVED by at least one entity — including
+    * zero-support pairs (absence of a sequence is a finding). */
+  def seqPairSupport(
+      df: DataFrame,
+      entityCol: Column,
+      typeCol: Column,
+      tsCol: Column): DataFrame = {
+    val spans = df.select(entityCol.as("_e"), typeCol.as("_t"), tsCol.as("_ts"))
+      .groupBy(col("_e"), col("_t"))
+      .agg(min(col("_ts")).as("_lo"), max(col("_ts")).as("_hi"))
+    val tot = spans.agg(count_distinct(col("_e")).as("_n"))
+    val pairs = spans.select(col("_e"), col("_t").as("type_a"), col("_lo"))
+      .join(spans.select(col("_e"), col("_t").as("type_b"), col("_hi")), Seq("_e"))
+      .withColumn("_hit",
+        when(col("_lo") < col("_hi"), 1L).otherwise(0L))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(col("_hit")).as("n_entities"))
+    pairs.crossJoin(broadcast(tot))
+      .withColumn("support_ppm", expr("n_entities * 1000000 DIV _n"))
+      .select(col("type_a"), col("type_b"), col("n_entities"),
+        col("support_ppm"))
+  }
 }

@@ -1968,6 +1968,28 @@ object CoreQueries {
     // mixing (Spatial.xMil/yMil) — exact in both engines, nothing float
     // to diverge, and scattered at all pair distances.
 
+    // Length-2 sequential-pattern support (PrefixSpan level 1): for
+    // every ordered (a, b) event-type pair, the fraction of users with
+    // some a STRICTLY before some b. Never materializes sequences — one
+    // (user, type) min/max-ts agg replaces the ordered scan; the pair
+    // join fans ≤ |types|² rows per user; ties excluded by the strict
+    // inequality exactly as "precedes" demands.
+    Q("q_seq_pairs",
+      (s, dir) => Stats.seqPairSupport(
+          Tables.events(s, dir),
+          col("user_id"), col("event_type"), unix_micros(col("ts")))
+        .orderBy("type_a", "type_b"),
+      Some("""WITH sp AS (SELECT user_id, event_type AS t,
+             |                   min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+             |            FROM events GROUP BY 1, 2),
+             |n AS (SELECT count(DISTINCT user_id) AS n FROM sp),
+             |p AS (SELECT a.t AS type_a, b.t AS type_b,
+             |             sum(CASE WHEN a.lo < b.hi THEN 1 ELSE 0 END) AS n_entities
+             |      FROM sp a JOIN sp b USING (user_id) GROUP BY 1, 2)
+             |SELECT type_a, type_b, CAST(n_entities AS BIGINT) AS n_entities,
+             |       CAST(n_entities * 1000000 // n.n AS BIGINT) AS support_ppm
+             |FROM p, n ORDER BY type_a, type_b""".stripMargin)),
+
     // Getis-Ord-class hotspot census: top-15 grid cells whose 3×3
     // neighborhood carries the most points relative to uniform spread.
     // One map-side (cx,cy) count agg is the only data-sized pass; the

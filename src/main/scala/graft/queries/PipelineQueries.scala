@@ -906,6 +906,37 @@ object PipelineQueries {
     // median/IQR path is immune to the outliers it hunts. Explode is a
     // fixed ×64 fan-out; quartiles are per-dim windows (64 perfectly
     // spread groups); the 64-row stats frame broadcasts for the census.
+    // Embedding-space drift monitor: per label, the signed-squared
+    // cosine between the EVEN-id and ODD-id half-centroids (shard A vs
+    // shard B). The 1/n factors cancel in the cosine, so the statistic
+    // runs on integer SUM vectors — one (label, half, dim) map-side agg
+    // is the only data-sized pass; no sqrt, no libm.
+    Q("q_embed_drift",
+      (s, dir) => Similarity.splitHalfCentroidDrift(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+        .orderBy("label"),
+      Some("""WITH el AS (
+             |  SELECT label, vec_id % 2 = 0 AS ha,
+             |         unnest(range(len(embedding))) AS dim,
+             |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT) AS q
+             |  FROM embeddings),
+             |s AS (SELECT label, ha, dim, sum(q) AS s, count(*) AS n
+             |      FROM el GROUP BY 1, 2, 3),
+             |j AS (SELECT a.label, max(a.n) AS n_a, max(b.n) AS n_b,
+             |             sum(CAST(a.s AS HUGEINT) * b.s) AS num,
+             |             sum(CAST(a.s AS HUGEINT) * a.s) AS da,
+             |             sum(CAST(b.s AS HUGEINT) * b.s) AS db
+             |      FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+             |      WHERE a.ha AND NOT b.ha GROUP BY 1)
+             |SELECT CAST(label AS BIGINT) AS label,
+             |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |       CAST(CASE WHEN da > 0 AND db > 0 THEN
+             |              (CASE WHEN num < 0
+             |               THEN -(num*num*1000000 // (da*db))
+             |               ELSE num*num*1000000 // (da*db) END)
+             |            ELSE 0 END AS BIGINT) AS cos2s_ppm
+             |FROM j ORDER BY label""".stripMargin)),
+
     Q("q_robust_scale",
       (s, dir) => Similarity.dimRobustStats(
           Tables.embeddings(s, dir), "vec_id", "embedding")

@@ -596,4 +596,48 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 2L, 1L -> 1L), got.toString)
   }
+
+  test("seqPairSupport: strict precedence, same-type repeats, simultaneous ties") {
+    import graft.operators.Stats
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L),   // a before b
+      (2L, "a", 5L), (2L, "a", 5L),   // same-type TIE: no strict repeat
+      (3L, "a", 7L), (3L, "a", 9L),   // strict same-type repeat
+      (4L, "a", 3L), (4L, "b", 3L))   // a/b simultaneous: neither precedes
+      .toDF("u", "t", "ts")
+    val got = Stats.seqPairSupport(ev, col("u"), col("t"), col("ts"))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // 4 entities total; (a,b) hit only for user 1 (user 4 tied)
+    assert(got(("a", "b")) == ((1L, 250000L)), got.toString)
+    assert(got(("b", "a")) == ((0L, 0L)), got.toString)
+    // (a,a) hit only for user 3 (user 2's tie excluded)
+    assert(got(("a", "a")) == ((1L, 250000L)), got.toString)
+    // (b,b): users 1 and 4 saw b once each — present with zero support
+    assert(got(("b", "b")) == ((0L, 0L)), got.toString)
+  }
+
+  test("seqPairSupport equals brute-force ordered-pair existence scan") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(23)
+    val types = Vector("a", "b", "c", "d")
+    val ev = (1 to 600).map { _ =>
+      ((rnd.nextInt(40) + 1).toLong, types(rnd.nextInt(4)), rnd.nextInt(50).toLong)
+    }
+    val got = Stats.seqPairSupport(ev.toDF("u", "t", "ts"),
+        col("u"), col("t"), col("ts"))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val byUser = ev.groupBy(_._1)
+    val nU = byUser.size.toLong
+    val brute = (for {
+      ta <- types; tb <- types
+      if byUser.values.exists(es => es.exists(_._2 == ta) && es.exists(_._2 == tb))
+    } yield {
+      val hits = byUser.values.count(es =>
+        es.exists(e => e._2 == ta && es.exists(f => f._2 == tb && e._3 < f._3))).toLong
+      (ta, tb) -> ((hits, hits * 1000000L / nU))
+    }).toMap
+    assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(5)}")
+  }
 }

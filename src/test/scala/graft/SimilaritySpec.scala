@@ -319,4 +319,52 @@ class SimilaritySpec extends SparkSpec {
         s"dim=$d got=${got(d.toLong)} want=${(50L, p25, p50, p75, iqr, outs)}")
     }
   }
+
+  test("splitHalfCentroidDrift: identical/orthogonal/opposite halves, single-half dropped") {
+    val rows = Seq(
+      // label 0: both halves sum to the same vector -> cos = 1
+      (0L, 0, Array(1.0f, 2.0f)), (1L, 0, Array(1.0f, 2.0f)),
+      (2L, 0, Array(3.0f, 1.0f)), (3L, 0, Array(3.0f, 1.0f)),
+      // label 1: even along x, odd along y -> cos = 0
+      (10L, 1, Array(1.0f, 0.0f)), (11L, 1, Array(0.0f, 1.0f)),
+      // label 2: opposite -> cos = -1
+      (20L, 2, Array(1.0f, 0.0f)), (21L, 2, Array(-1.0f, 0.0f)),
+      // label 3: only even ids -> no pairable half, dropped
+      (30L, 3, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.operators.Similarity
+      .splitHalfCentroidDrift(rows, "vec_id", "embedding", "label")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      0L -> ((2L, 2L, 1000000L)),
+      1L -> ((1L, 1L, 0L)),
+      2L -> ((1L, 1L, -1000000L))), got.toString)
+  }
+
+  test("splitHalfCentroidDrift equals BigInt brute replay (negative quantization included)") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, i % 3, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val got = graft.operators.Similarity
+      .splitHalfCentroidDrift(rows.toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val brute = (0 until 3).map { l =>
+      val (ev, od) = rows.filter(_._2 == l).partition(_._1 % 2 == 0)
+      def qsum(vs: Seq[Array[Float]]): Array[BigInt] =
+        (0 until 8).map(d => vs.map(v =>
+          BigInt(math.floor(v(d).toDouble * 1024).toLong)).sum).toArray
+      val (sa, sb) = (qsum(ev.map(_._3)), qsum(od.map(_._3)))
+      val num = (0 until 8).map(d => sa(d) * sb(d)).sum
+      val da = (0 until 8).map(d => sa(d) * sa(d)).sum
+      val db = (0 until 8).map(d => sb(d) * sb(d)).sum
+      val ppm = if (da > 0 && db > 0)
+        num.signum * ((num * num * 1000000) / (da * db)).toLong else 0L
+      l.toLong -> ((ev.size.toLong, od.size.toLong, ppm))
+    }.toMap
+    assert(got == brute, s"got=$got brute=$brute")
+  }
 }
