@@ -219,7 +219,14 @@ object ScaleProbe {
     // input_partitions x 1,280 groups; base ~1 parquet split vs the
     // replica's 32); group count independent of rows ⇒ flat on
     // matched layouts.
-    "q_embed_drift" -> true
+    "q_embed_drift" -> true,
+    // round-8 sixth wave: A/B t² = one (type, user) totals agg + a
+    // 5-group moment agg. Measured 49.7x on 0.3 -> 14.9 MB: the SAME
+    // (type, user)-keyed data pass as q_seq_pairs, whose SeqProbe
+    // matched-layout run proved records exactly 5.0x and bytes 4.5x on
+    // 5x once the base is rewritten to 32 interleaved splits — the
+    // base-single-split partial-agg pre-collapse artifact, LINEAR.
+    "q_abtest" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -262,7 +269,10 @@ object ScaleProbe {
     // cost class bounded by annotators-per-item) and the Benford digit
     // audit (lineitem price axis; one 9-group map-side agg — the
     // q_gini_mix zero-growth output class)
-    "q_kappa", "q_benford")
+    "q_kappa", "q_benford",
+    // round-8 sixth wave: FK audit runs on the TPC-H axis tables the
+    // replica does not carry (lineitem/orders/customer/nation)
+    "q_fk_audit")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -523,4 +523,64 @@ object Stats {
       .select(col("type_a"), col("type_b"), col("n_entities"),
         col("support_ppm"))
   }
+
+  /** Two-sample pooled-variance t² per metric — the A/B-experiment
+    * readout: entities split into variants by a deterministic id hash,
+    * per-entity metric totals compared between variants. Reported as
+    * the SQUARED t statistic (t² ~ F(1, n−2), so t² ≥ 3.84 ⇒ p < 0.05
+    * at large n; consumers threshold on t² exactly as they would on
+    * |t|), because t itself carries a sqrt.
+    *
+    * ENGINE-EXACT: with per-variant (n, S = Σx, Q = Σx²) over integer
+    * metric values,
+    *
+    *   t² = (S₀n₁ − S₁n₀)²·(n₀+n₁−2) /
+    *        ((n₁(n₀Q₀ − S₀²) + n₀(n₁Q₁ − S₁²))·(n₀+n₁))
+    *
+    * — the textbook pooled form with every division cleared, so
+    * t2_ppm = floor(10⁶·t²) is ONE DECIMAL(38,0) floor-division.
+    * Zero pooled variance (all values equal) reports NULL — "no
+    * within-group noise" is a degenerate test, not t² = 0. The mean
+    * difference's SIGN ships alongside (mean_diff_sign = sign of
+    * x̄₀ − x̄₁) so direction survives the squaring.
+    *
+    * DECIMAL(38,0) bound: the numerator is (S·n)²·n·10⁶ — exact while
+    * |S|·n ≲ 10¹⁵·√n (e.g. metric mass 10¹⁰ mils over 10⁶ entities);
+    * rescale the metric unit upstream past that, the test statistic is
+    * unit-invariant.
+    *
+    * Scale shape: one (group, entity) metric-total aggregation (the
+    * data-sized pass — map-side-combined), then one (group, variant)
+    * moment aggregation and a row-local formula on the per-group frame.
+    * Entities missing a metric must already carry explicit zero rows if
+    * they should count — this operator tests the rows it is given.
+    * Input: (g, e, x) = (metric group, entity, integer value); variant
+    * = entity % 2. Output: (g, n0, n1, s0, s1, mean_diff_sign, t2_ppm). */
+  def abTestT2(
+      df: DataFrame,
+      groupCol: Column,
+      entityCol: Column,
+      valueCol: Column): DataFrame = {
+    val per = df.select(groupCol.as("_g"), entityCol.as("_e"), valueCol.as("_x"))
+      .groupBy(col("_g"), col("_e"))
+      .agg(sum(col("_x")).as("_t"))
+      .withColumn("_v", (col("_e") % 2 === 0).cast("int"))
+    val m = per.groupBy(col("_g"))
+      .agg(
+        sum(col("_v")).cast("long").as("n0"),
+        sum(lit(1) - col("_v")).cast("long").as("n1"),
+        sum(col("_t") * col("_v")).as("s0"),
+        sum(col("_t") * (lit(1) - col("_v"))).as("s1"),
+        sum(expr("CAST(_t AS DECIMAL(38,0)) * _t * _v")).as("_q0"),
+        sum(expr("CAST(_t AS DECIMAL(38,0)) * _t * (1 - _v)")).as("_q1"))
+    m.withColumn("_num", expr("CAST(s0 AS DECIMAL(38,0)) * n1 - CAST(s1 AS DECIMAL(38,0)) * n0"))
+      .withColumn("_ss", expr(
+        """n1 * (n0 * _q0 - CAST(s0 AS DECIMAL(38,0)) * s0) +
+          |n0 * (n1 * _q1 - CAST(s1 AS DECIMAL(38,0)) * s1)""".stripMargin))
+      .withColumn("t2_ppm",
+        when(col("n0") + col("n1") > 2 && col("_ss") > 0,
+          expr("CAST(_num * _num * (n0 + n1 - 2) * 1000000 DIV (_ss * (n0 + n1)) AS BIGINT)")))
+      .select(col("_g").as("g"), col("n0"), col("n1"), col("s0"), col("s1"),
+        signum(col("_num")).cast("long").as("mean_diff_sign"), col("t2_ppm"))
+  }
 }

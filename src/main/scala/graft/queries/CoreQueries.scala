@@ -1968,6 +1968,117 @@ object CoreQueries {
     // mixing (Spatial.xMil/yMil) — exact in both engines, nothing float
     // to diverge, and scattered at all pair distances.
 
+    // A/B-experiment readout: users split into variants by id parity;
+    // per event_type, the pooled two-sample t² on per-user value
+    // totals (users with no events of a type count as 0 via the dense
+    // user×type grid). All divisions cleared — t2_ppm is ONE
+    // DECIMAL(38,0) floor-division; direction ships as a sign column.
+    Q("q_abtest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val totals = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(totals, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("x"))
+        Stats.abTestT2(full, col("event_type"), col("user_id"), col("x"))
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) AS x
+             |           FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type, g.user_id, coalesce(t.x, 0) AS xt,
+             |             CASE WHEN g.user_id % 2 = 0 THEN 1 ELSE 0 END AS v
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |m AS (SELECT event_type, sum(v) AS n0, sum(1 - v) AS n1,
+             |             sum(xt * v) AS s0, sum(xt * (1 - v)) AS s1,
+             |             sum(CAST(xt AS HUGEINT) * xt * v) AS q0,
+             |             sum(CAST(xt AS HUGEINT) * xt * (1 - v)) AS q1
+             |      FROM p GROUP BY 1),
+             |f AS (SELECT event_type, n0, n1, s0, s1,
+             |             CAST(s0 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n0 AS num,
+             |             n1 * (n0 * q0 - CAST(s0 AS HUGEINT) * s0) +
+             |             n0 * (n1 * q1 - CAST(s1 AS HUGEINT) * s1) AS ss
+             |      FROM m)
+             |SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             |       CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
+             |       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+             |            AS BIGINT) AS mean_diff_sign,
+             |       CAST(CASE WHEN n0 + n1 > 2 AND ss > 0
+             |            THEN (num * num * (n0 + n1 - 2) * 1000000) // (ss * (n0 + n1))
+             |            END AS BIGINT) AS t2_ppm
+             |FROM f ORDER BY event_type""".stripMargin)),
+
+    // Schema-wide referential-integrity audit (the dbt "relationship
+    // test", both directions): per FK relationship, orphan child rows
+    // AND unreferenced parent keys. Key columns only ever move; dims
+    // broadcast; the verdict table is 4 rows.
+    Q("q_fk_audit",
+      (s, dir) => {
+        import graft.operators.Expectations
+        val li = Tables.lineitem(s, dir)
+        Seq(
+          Expectations.fkAudit("lineitem.l_orderkey->orders",
+            li, col("l_orderkey"), Tables.orders(s, dir), col("o_orderkey")),
+          Expectations.fkAudit("lineitem.l_partkey->part",
+            li, col("l_partkey"), Tables.part(s, dir), col("p_partkey")),
+          Expectations.fkAudit("orders.o_custkey->customer",
+            Tables.orders(s, dir), col("o_custkey"),
+            Tables.customer(s, dir), col("c_custkey")),
+          Expectations.fkAudit("customer.c_nationkey->nation",
+            Tables.customer(s, dir), col("c_nationkey"),
+            Tables.nation(s, dir), col("n_nationkey")))
+          .reduce(_.unionByName(_)).orderBy("rel")
+      },
+      Some("""WITH rels AS (
+             |  SELECT 'lineitem.l_orderkey->orders' AS rel,
+             |         (SELECT count(*) FROM lineitem) AS n_child,
+             |         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_fk,
+             |         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+             |            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans,
+             |         (SELECT count(*) FROM orders) AS n_parents,
+             |         (SELECT count(*) FROM orders WHERE o_orderkey NOT IN
+             |            (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL)) AS n_unreferenced
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey->part',
+             |         (SELECT count(*) FROM lineitem),
+             |         (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+             |         (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+             |            AND l_partkey NOT IN (SELECT p_partkey FROM part)),
+             |         (SELECT count(*) FROM part),
+             |         (SELECT count(*) FROM part WHERE p_partkey NOT IN
+             |            (SELECT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL))
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey->customer',
+             |         (SELECT count(*) FROM orders),
+             |         (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+             |         (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+             |            AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+             |         (SELECT count(*) FROM customer),
+             |         (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             |            (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL))
+             |  UNION ALL
+             |  SELECT 'customer.c_nationkey->nation',
+             |         (SELECT count(*) FROM customer),
+             |         (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+             |         (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+             |            AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+             |         (SELECT count(*) FROM nation),
+             |         (SELECT count(*) FROM nation WHERE n_nationkey NOT IN
+             |            (SELECT c_nationkey FROM customer WHERE c_nationkey IS NOT NULL)))
+             |SELECT rel, CAST(n_child AS BIGINT) AS n_child,
+             |       CAST(n_null_fk AS BIGINT) AS n_null_fk,
+             |       CAST(n_orphans AS BIGINT) AS n_orphans,
+             |       CAST(CASE WHEN n_child > 0 THEN n_orphans * 1000000 // n_child
+             |            ELSE 0 END AS BIGINT) AS orphan_ppm,
+             |       CAST(n_parents AS BIGINT) AS n_parents,
+             |       CAST(n_unreferenced AS BIGINT) AS n_unreferenced
+             |FROM rels ORDER BY rel""".stripMargin)),
+
     // Length-2 sequential-pattern support (PrefixSpan level 1): for
     // every ordered (a, b) event-type pair, the fraction of users with
     // some a STRICTLY before some b. Never materializes sequences — one

@@ -640,4 +640,70 @@ class OperatorsSpec extends SparkSpec {
     }).toMap
     assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(5)}")
   }
+
+  test("abTestT2: hand-computed pooled t², zero-variance NULL, row-split invariance") {
+    import graft.operators.Stats
+    // variants by id parity: v0 = {2, 4} totals {10, 14}, v1 = {1, 3}
+    // totals {1, 3}. Pooled: means 12 vs 2, s_p² = 5, t² = 100/5 = 20.
+    val ev = Seq(
+      ("m", 2L, 10L), ("m", 4L, 14L), ("m", 1L, 1L), ("m", 3L, 3L),
+      // zero pooled variance: every total equal -> NULL not 0
+      ("z", 1L, 5L), ("z", 2L, 5L), ("z", 3L, 5L), ("z", 4L, 5L))
+      .toDF("g", "e", "x")
+    val got = Stats.abTestT2(ev, $"g", $"e", $"x")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got("m") == ((2L, 2L, 24L, 4L, 1L, Some(20000000L))), got.toString)
+    assert(got("z") == ((2L, 2L, 10L, 10L, 0L, None)), got.toString)
+    // per-entity totals aggregate first: splitting a row must not move t²
+    val split = Seq(
+      ("m", 2L, 4L), ("m", 2L, 6L), ("m", 4L, 14L), ("m", 1L, 1L), ("m", 3L, 3L))
+      .toDF("g", "e", "x")
+    val got2 = Stats.abTestT2(split, $"g", $"e", $"x")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got2 == (("m", 2L, 2L, 24L, 4L, 1L, Some(20000000L))), got2.toString)
+  }
+
+  test("abTestT2 equals BigInt brute replay (negative values included)") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(59)
+    val ev = (1 to 300).map { _ =>
+      ("g", (rnd.nextInt(30) + 1).toLong, (rnd.nextInt(200) - 100).toLong)
+    }
+    val got = Stats.abTestT2(ev.toDF("g", "e", "x"), $"g", $"e", $"x")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])].collect().head
+    val totals = ev.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val (v0, v1) = totals.partition(_._1 % 2 == 0)
+    val (n0, n1) = (BigInt(v0.size), BigInt(v1.size))
+    val (s0, s1) = (BigInt(v0.values.sum), BigInt(v1.values.sum))
+    val q0 = v0.values.map(x => BigInt(x) * x).sum
+    val q1 = v1.values.map(x => BigInt(x) * x).sum
+    val num = s0 * n1 - s1 * n0
+    val ss = n1 * (n0 * q0 - s0 * s0) + n0 * (n1 * q1 - s1 * s1)
+    val t2 = if (n0 + n1 > 2 && ss > 0)
+      Some(((num * num * (n0 + n1 - 2) * 1000000) / (ss * (n0 + n1))).toLong)
+    else None
+    assert(got == (("g", n0.toLong, n1.toLong, s0.toLong, s1.toLong,
+      num.signum.toLong, t2)), s"got=$got")
+  }
+
+  test("fkAudit: orphans, null FKs, and unreferenced parents counted separately") {
+    import graft.operators.Expectations
+    val child = Seq(Some(1L), Some(1L), None, Some(9L)).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Expectations.fkAudit("c->p", child, $"fk", parent, $"pk")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    // 4 child rows, 1 null FK (not an orphan), 1 orphan (9),
+    // ppm = 1e6/4, 3 parents, 2 unreferenced (2 and 3)
+    assert(got == (("c->p", 4L, 1L, 1L, 250000L, 3L, 2L)), got.toString)
+  }
+
+  test("fkAudit: clean relationship reports all-zero defects") {
+    import graft.operators.Expectations
+    val child = Seq(1L, 2L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val got = Expectations.fkAudit("ok", child, $"fk", parent, $"pk")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("ok", 3L, 0L, 0L, 0L, 2L, 0L)), got.toString)
+  }
 }
