@@ -226,7 +226,15 @@ object ScaleProbe {
     // matched-layout run proved records exactly 5.0x and bytes 4.5x on
     // 5x once the base is rewritten to 32 interleaved splits — the
     // base-single-split partial-agg pre-collapse artifact, LINEAR.
-    "q_abtest" -> true
+    "q_abtest" -> true,
+    // round-8 sixth wave: rolling median = ONE entity-keyed window
+    // Exchange + row-local sort/select per frame (the q_rolling_window
+    // shape with collect_list state bounded by events-per-hour-per-user)
+    "q_rolling_median" -> false,
+    // round-8 sixth wave: vocab growth = row-local bigram explode + two
+    // map-side aggs (per-bigram min-batch + per-batch counts); bigram
+    // space is constant across verbatim copies (the q_chi2_terms class)
+    "q_vocab_growth" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -766,4 +766,46 @@ object TextAnalysis {
       .orderBy(col("chi2_ppm").desc, col("term"))
       .limit(topK)
   }
+
+  /** Vocabulary-growth (novelty) census across ingest batches — the
+    * Heaps-law curve that tells a corpus pipeline whether new data still
+    * adds new language: per batch, the word-bigram occurrence volume,
+    * the count of bigrams NEVER seen in any earlier batch, the running
+    * distinct-bigram vocabulary, and novelty in ppm of the batch's
+    * occurrences. A crawl whose novelty_ppm collapses is re-crawling
+    * itself; a dedup pipeline uses the same curve to price incremental
+    * batches.
+    *
+    * First-occurrence attribution is ONE min-aggregation over (bigram) —
+    * never a batch×batch anti-join chain; the cumulative vocabulary is a
+    * batch≤batch triangular self-join on the BATCH frame (|batches|²
+    * rows, domain-bounded) rather than a global window, so no
+    * single-partition WindowExec at any scale.
+    *
+    * Scale shape: bigram explode (row-local) → two map-side-combined
+    * aggregations (per-bigram min-batch — the data-sized pass — and
+    * per-batch occurrence counts); everything after runs on the batch
+    * frame. Output: (batch, n_occ, n_new, cum_vocab, novelty_ppm)
+    * ordered by batch. */
+  def vocabGrowth(docs: DataFrame, batchCol: Column, textCol: String): DataFrame = {
+    val bg = docs.withColumn("_toks", tokens(col(textCol)))
+      .filter(size(col("_toks")) >= 2)
+      .select(batchCol.as("_b"), explode(expr(
+        "transform(sequence(0, size(_toks) - 2), i -> concat(_toks[i], ' ', _toks[i + 1]))"))
+        .as("_bg"))
+    val firstSeen = bg.groupBy(col("_bg")).agg(min(col("_b")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_new"))
+    val occ = bg.groupBy(col("_b").as("batch")).agg(count(lit(1)).as("n_occ"))
+    val withNew = occ.join(firstSeen, Seq("batch"), "left")
+      .na.fill(0L, Seq("n_new"))
+    val cum = withNew.select(col("batch").as("_cb"), col("n_new").as("_cn"))
+    withNew.join(cum, col("_cb") <= col("batch"))
+      .groupBy(col("batch"))
+      .agg(max(col("n_occ")).as("n_occ"), max(col("n_new")).as("n_new"),
+        sum(col("_cn")).as("cum_vocab"))
+      .withColumn("novelty_ppm",
+        when(col("n_occ") > 0, expr("n_new * 1000000 DIV n_occ")).otherwise(0L))
+      .select(col("batch"), col("n_occ"), col("n_new"), col("cum_vocab"),
+        col("novelty_ppm"))
+  }
 }

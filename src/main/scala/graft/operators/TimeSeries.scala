@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequential per-entity time-series folds that a window frame cannot
@@ -369,5 +370,43 @@ object TimeSeries {
           .otherwise(0L))
       .select(col("lag").cast("long").as("lag"), col("n_buckets"),
         col("xcorr_r2s_ppm"))
+  }
+
+  /** Exact rolling LOWER-median over a trailing TIME window per entity —
+    * the robust twin of q_rolling_window's rolling sum (one fat outlier
+    * moves a 1-hour mean for the whole hour; the median shrugs). Lower
+    * median = sorted value at rank ⌈n/2⌉ — always an OBSERVED value,
+    * never an interpolated average, so integer-exact in any engine and
+    * well-defined for even n without a tie rule.
+    *
+    * Implementation: collect_list over a rangeBetween window (the frame
+    * is the trailing `windowUs` µs), array_sort, element_at. Per-row
+    * cost is O(k·log k) in the window population k — the honest price
+    * of an exact sliding median without mergeable sketch state; the
+    * window state is bounded by events-per-window per entity, so thin
+    * pathologically dense entities upstream (the [[ewmaAnomaly]]
+    * contract). One Exchange on the entity key; the sort and selection
+    * are row-local.
+    *
+    * Input: (e, ts_us, id, v); output adds (n_win, med). Simultaneous
+    * timestamps share a frame (RANGE semantics) — both rows see the
+    * union, deterministically. */
+  def rollingMedian(
+      pts: DataFrame,
+      entityCol: Column,
+      tsUsCol: Column,
+      idCol: Column,
+      valCol: Column,
+      windowUs: Long): DataFrame = {
+    require(windowUs >= 0, s"windowUs must be >= 0: $windowUs")
+    val w = Window.partitionBy(col("_e")).orderBy(col("_ts"))
+      .rangeBetween(-windowUs, 0L)
+    pts.select(entityCol.as("_e"), tsUsCol.as("_ts"), idCol.as("_id"),
+        valCol.as("_v"))
+      .withColumn("_win", array_sort(collect_list(col("_v")).over(w)))
+      .select(col("_id").as("id"), col("_e").as("e"), col("_ts").as("ts_us"),
+        size(col("_win")).cast("long").as("n_win"),
+        element_at(col("_win"),
+          expr("CAST((size(_win) + 1) DIV 2 AS INT)")).as("med"))
   }
 }

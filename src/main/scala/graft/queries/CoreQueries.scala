@@ -1968,6 +1968,31 @@ object CoreQueries {
     // mixing (Spatial.xMil/yMil) — exact in both engines, nothing float
     // to diverge, and scattered at all pair distances.
 
+    // Exact rolling LOWER-median of event values over the trailing hour
+    // per user — the robust twin of q_rolling_window's rolling sum.
+    // Lower median = sorted value at rank ceil(n/2): always an observed
+    // value, integer-exact, no interpolation tie to float averaging.
+    Q("q_rolling_median",
+      (s, dir) => TimeSeries.rollingMedian(
+          Tables.events(s, dir).withColumn("v",
+            floor(col("value") * 1000).cast("long")),
+          col("user_id"), unix_micros(col("ts")), col("event_id"), col("v"),
+          windowUs = 3600000000L)
+        .select(col("id").as("event_id"), col("e").as("user_id"),
+          col("ts_us"), col("n_win"), col("med"))
+        .orderBy("event_id"),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |                  CAST(floor(value * 1000) AS BIGINT) AS v
+             |           FROM events),
+             |w AS (SELECT event_id, user_id, ts_us, len(l) AS n, list_sort(l) AS sl
+             |      FROM (SELECT event_id, user_id, ts_us,
+             |              list(v) OVER (PARTITION BY user_id ORDER BY ts_us
+             |                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS l
+             |            FROM e))
+             |SELECT event_id, user_id, ts_us, CAST(n AS BIGINT) AS n_win,
+             |       sl[CAST((n + 1) // 2 AS INT)] AS med
+             |FROM w ORDER BY event_id""".stripMargin)),
+
     // A/B-experiment readout: users split into variants by id parity;
     // per event_type, the pooled two-sample t² on per-user value
     // totals (users with no events of a type count as 0 via the dense

@@ -1630,6 +1630,36 @@ object PipelineQueries {
              |       END AS ratio_ppm
              |FROM cnt, t ORDER BY ratio_ppm DESC, term""".stripMargin)),
 
+    // Vocabulary-growth (Heaps-law novelty) census across ingest
+    // batches (doc_id % 10): per batch, bigram occurrences, bigrams
+    // never seen earlier, running vocabulary, novelty ppm. First-
+    // occurrence = ONE min-agg over bigrams (never a batch×batch
+    // anti-join chain); the cumulative sum is a triangular join on the
+    // 10-row batch frame — no single-partition window.
+    Q("q_vocab_growth",
+      (s, dir) => TextAnalysis.vocabGrowth(
+          Tables.documents(s, dir), col("doc_id") % 10, "text")
+        .orderBy("batch"),
+      Some("""WITH d AS (SELECT doc_id % 10 AS b, string_split(text, ' ') AS toks
+             |           FROM documents),
+             |bi AS (SELECT b, unnest([toks[i::INT] || ' ' || toks[(i::INT) + 1]
+             |                         for i in range(1, len(toks))]) AS bg
+             |       FROM d WHERE len(toks) >= 2),
+             |fs AS (SELECT bg, min(b) AS batch FROM bi GROUP BY 1),
+             |nn AS (SELECT batch, count(*) AS n_new FROM fs GROUP BY 1),
+             |oc AS (SELECT b AS batch, count(*) AS n_occ FROM bi GROUP BY 1),
+             |wn AS (SELECT oc.batch, oc.n_occ, coalesce(nn.n_new, 0) AS n_new
+             |       FROM oc LEFT JOIN nn USING (batch)),
+             |c AS (SELECT a.batch, max(a.n_occ) AS n_occ, max(a.n_new) AS n_new,
+             |             sum(b.n_new) AS cum_vocab
+             |      FROM wn a JOIN wn b ON b.batch <= a.batch GROUP BY 1)
+             |SELECT CAST(batch AS BIGINT) AS batch, CAST(n_occ AS BIGINT) AS n_occ,
+             |       CAST(n_new AS BIGINT) AS n_new,
+             |       CAST(cum_vocab AS BIGINT) AS cum_vocab,
+             |       CAST(CASE WHEN n_occ > 0 THEN n_new * 1000000 // n_occ
+             |            ELSE 0 END AS BIGINT) AS novelty_ppm
+             |FROM c ORDER BY batch""".stripMargin)),
+
     // χ² discriminative-term selection (document frequency, the
     // presence/absence companion of q_logodds_terms): which terms'
     // presence best separates English from non-English docs? Pearson's

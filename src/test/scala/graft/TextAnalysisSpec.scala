@@ -383,4 +383,44 @@ class TextAnalysisSpec extends SparkSpec {
     }.sortBy(r => (-r._4, r._1))
     assert(got == brute, s"got=${got.take(3)} brute=${brute.take(3)}")
   }
+
+  test("vocabGrowth: hand-traced novelty curve, single-token docs excluded") {
+    val docs = Seq(
+      (0L, "a b c"),     // batch 0: bigrams {a b, b c} — 2 occ, 2 new
+      (1L, "a b a"),     // batch 1: {a b, b a} — 2 occ, 1 new (b a)
+      (2L, "a b"),       // batch 2: {a b} — 1 occ, 0 new
+      (2L, "x"))         // single token: no bigram, occ unchanged
+      .toDF("batch", "text")
+    val got = TextAnalysis.vocabGrowth(docs, col("batch"), "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 2L, 1000000L),
+      (1L, 2L, 1L, 3L, 500000L),
+      (2L, 1L, 0L, 3L, 0L)), got.toString)
+  }
+
+  test("vocabGrowth equals brute first-occurrence replay on a random corpus") {
+    val rnd = new scala.util.Random(97)
+    val vocab = Vector("p", "q", "r", "s", "t")
+    val docs = (1 to 80).map { i =>
+      (i.toLong % 5,
+        (0 until 2 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(5))).mkString(" "))
+    }
+    val got = TextAnalysis.vocabGrowth(docs.toDF("b", "text"), col("b"), "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def bgs(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      if (w.size < 2) Seq.empty else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val all = docs.flatMap { case (b, t) => bgs(t).map(b -> _) }
+    val firstB = all.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val batches = all.map(_._1).distinct.sorted
+    val brute = batches.map { b =>
+      val occ = all.count(_._1 == b).toLong
+      val nNew = firstB.count(_._2 == b).toLong
+      val cum = firstB.count(_._2 <= b).toLong
+      (b, occ, nNew, cum, if (occ > 0) nNew * 1000000L / occ else 0L)
+    }
+    assert(got == brute, s"got=$got brute=$brute")
+  }
 }

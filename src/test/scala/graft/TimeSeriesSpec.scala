@@ -245,4 +245,39 @@ class TimeSeriesSpec extends SparkSpec {
     val gotC = xcorr(const, 2)
     assert(gotC.values.forall(_._2 == 0L), gotC.toString)
   }
+
+  test("rollingMedian: trailing frame, lower median on even n, simultaneous ties") {
+    val pts = Seq(
+      // user u: ts 0/10/20, window 15 -> frames [5], [5,1], [1,9]
+      ("u", 0L, 1L, 5L), ("u", 10L, 2L, 1L), ("u", 20L, 3L, 9L),
+      // user w: two rows at the SAME ts share one frame (RANGE peers)
+      ("w", 5L, 4L, 7L), ("w", 5L, 5L, 3L))
+      .toDF("e", "ts", "id", "v")
+    val got = TimeSeries.rollingMedian(pts, col("e"), col("ts"), col("id"),
+        col("v"), windowUs = 15L)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(got == Map(
+      1L -> ((1L, 5L)),
+      2L -> ((2L, 1L)), // even n: LOWER median of {1, 5}
+      3L -> ((2L, 1L)), // row at ts 0 left the 15-unit frame
+      4L -> ((2L, 3L)), 5L -> ((2L, 3L))), got.toString)
+  }
+
+  test("rollingMedian equals brute-force trailing-window replay") {
+    val rnd = new scala.util.Random(31)
+    val pts = (1 to 500).map { i =>
+      ((i % 7).toString, rnd.nextInt(100).toLong, i.toLong, (rnd.nextInt(41) - 20).toLong)
+    }
+    val got = TimeSeries.rollingMedian(pts.toDF("e", "ts", "id", "v"),
+        col("e"), col("ts"), col("id"), col("v"), windowUs = 12L)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    val brute = pts.map { case (e, ts, id, _) =>
+      val win = pts.filter(p => p._1 == e && p._2 >= ts - 12 && p._2 <= ts)
+        .map(_._4).sorted
+      id -> ((win.size.toLong, win((win.size + 1) / 2 - 1)))
+    }.toMap
+    assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(5)}")
+  }
 }
