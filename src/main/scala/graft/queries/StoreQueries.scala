@@ -91,6 +91,46 @@ object StoreQueries {
              |  c_mktsegment, c_nationkey
              |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
 
+    // Time travel over the merge-on-read versioned commit log
+    // (MergeStore.writeCommit/readAsOf — the Delta VERSION AS OF
+    // contract over plain parquet). Three commits: v0 full load, v1
+    // updates %7 keys (+100000 mils) and deletes %13 keys (minus the
+    // %7 overlap — one row per key per commit), v2 updates %5 keys
+    // (+50000, resurrecting deleted %65 keys). Each as-of read PRUNES
+    // newer commit dirs at the scan (commit_v is a partition column);
+    // reconstruction is one rank-1 window per read. Output: the three
+    // reconstructed states' (version, n_rows, sum_bal_mils).
+    Q("q_time_travel",
+      (s, dir) => {
+        val path = ensureVersionedCustLog(s, dir)
+        (0 to 2).map { v =>
+          MergeStore.readAsOf(s, path, v, Seq("k"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("bal_mils")).as("sum_bal_mils"))
+            .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_bal_mils"))
+        }.reduce(_.unionByName(_)).orderBy("version")
+      },
+      Some("""WITH base AS (SELECT c_custkey AS k,
+             |                     CAST(floor(c_acctbal * 1000) AS BIGINT) AS bal
+             |              FROM customer),
+             |log AS (
+             |  SELECT 0 AS v, 'U' AS op, k, bal FROM base
+             |  UNION ALL
+             |  SELECT 1, 'U', k, bal + 100000 FROM base WHERE k % 7 = 0
+             |  UNION ALL
+             |  SELECT 1, 'D', k, NULL FROM base WHERE k % 13 = 0 AND k % 7 <> 0
+             |  UNION ALL
+             |  SELECT 2, 'U', k, bal + 50000 FROM base WHERE k % 5 = 0),
+             |st AS (SELECT a.av, l.k, l.op, l.bal,
+             |              row_number() OVER (PARTITION BY a.av, l.k
+             |                                 ORDER BY l.v DESC) AS rn
+             |       FROM (SELECT unnest([0, 1, 2]) AS av) a
+             |       JOIN log l ON l.v <= a.av)
+             |SELECT CAST(av AS BIGINT) AS version,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(bal) AS BIGINT) AS sum_bal_mils
+             |FROM st WHERE rn = 1 AND op <> 'D'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // CDC snapshot diff: the I/U/D change feed between two keyed store
     // versions, for stores with no transaction log (plain parquet).
     // Deterministic versions derived from customer: v_old = keys %3≠0,
@@ -1029,4 +1069,32 @@ object StoreQueries {
              |       CAST(NULL AS BIGINT) AS k_missing
              |FROM events ORDER BY event_id""".stripMargin))
   )
+
+  /** Idempotent three-commit versioned customer log for q_time_travel
+    * (the SnapshotStore.ensure* pattern: build once per JVM+disk
+    * lifetime, keyed by a sentinel; partial builds from a killed JVM are
+    * wiped and rebuilt). */
+  private def ensureVersionedCustLog(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = synchronized {
+    val path = s"${SnapshotStore.root}/custlog_${Paths.get(dir).getFileName}"
+    val done = java.nio.file.Paths.get(path, "_GRAFT_COMMITS_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      SnapshotStore.deleteRecursively(new java.io.File(path))
+      val base = Tables.customer(s, dir).select(col("c_custkey").as("k"),
+        floor(col("c_acctbal") * 1000).cast("long").as("bal_mils"))
+      MergeStore.writeCommit(base.withColumn("_op", lit("U")), path, 0)
+      val v1 = base.filter(col("k") % 7 === 0)
+        .withColumn("bal_mils", col("bal_mils") + 100000L)
+        .withColumn("_op", lit("U"))
+        .unionByName(base.filter(col("k") % 13 === 0 && col("k") % 7 =!= 0)
+          .withColumn("_op", lit("D")))
+      MergeStore.writeCommit(v1, path, 1)
+      val v2 = base.filter(col("k") % 5 === 0)
+        .withColumn("bal_mils", col("bal_mils") + 50000L)
+        .withColumn("_op", lit("U"))
+      MergeStore.writeCommit(v2, path, 2)
+      java.nio.file.Files.createFile(done)
+    }
+    path
+  }
 }

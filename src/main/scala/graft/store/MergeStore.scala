@@ -42,6 +42,45 @@ object MergeStore {
   def writeDim(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Append one commit to a MERGE-ON-READ versioned log — the Delta/Hudi
+    * time-travel contract (`VERSION AS OF`) over plain parquet, the
+    * scale-correct inverse of [[writeDim]]'s copy-on-write overwrite: a
+    * commit writes ONLY its own (op, key, payload) rows into a
+    * `commit_v=<version>` PARTITION directory (no underscore prefix — Hadoop listings hide `_`-prefixed paths), never rewriting history. `df`
+    * must carry an `_op` column ('U' upsert / 'D' delete) and at most
+    * one row per key per commit (last-writer-wins needs a writer order
+    * WITHIN the commit too — enforce upstream, the log does not
+    * deduplicate). */
+  def writeCommit(df: DataFrame, path: String, commitVersion: Int): Unit = {
+    import org.apache.spark.sql.functions.lit
+    require(commitVersion >= 0, s"version must be >= 0: $commitVersion")
+    df.withColumn("commit_v", lit(commitVersion))
+      .write.mode("append").partitionBy("commit_v").parquet(path)
+  }
+
+  /** Reconstruct the table state `VERSION AS OF asOf` by last-writer-wins
+    * replay of commits ≤ asOf. Because `commit_v` is a PARTITION column, the
+    * as-of filter prunes every newer commit AT THE SCAN
+    * (`PartitionFilters: commit_v <= asOf`) — time travel reads only the
+    * history it needs, and a full-history table pays nothing for old
+    * versions it skips. One key-hash Exchange carries the rank-1 window
+    * (WindowGroupLimit pushes the rank filter map-side); deleted keys
+    * drop after the winner is chosen, so a delete tombstone correctly
+    * shadows older upserts. */
+  def readAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      asOf: Int,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val log = spark.read.parquet(path).filter(col("commit_v") <= asOf)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("commit_v").desc)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("_op") =!= "D")
+      .drop("_rn", "commit_v", "_op")
+  }
+
   /** CDC between two snapshots of a keyed table: one row per changed key
     * with op ∈ I (new key), U (same key, different compared value), D
     * (key gone) — the change feed a downstream MERGE or audit consumes

@@ -385,4 +385,32 @@ class StoreSpec extends SparkSpec {
     assert(JsonStore.linearScanLookup(all, 200L).count() == 1) // first match only
     assert(JsonStore.linearScanLookup(all, 999L).count() == 0) // miss is empty
   }
+
+  test("versioned commit log: as-of replay, delete shadowing, resurrection, scan pruning") {
+    import graft.store.MergeStore
+    val path = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/log"
+    // v0: k1→10, k2→20; v1: update k1→11, DELETE k2; v2: re-insert k2→22
+    MergeStore.writeCommit(
+      Seq((1L, 10L, "U"), (2L, 20L, "U")).toDF("k", "x", "_op"), path, 0)
+    MergeStore.writeCommit(
+      Seq((1L, 11L, "U"), (2L, 0L, "D")).toDF("k", "x", "_op"), path, 1)
+    MergeStore.writeCommit(
+      Seq((2L, 22L, "U")).toDF("k", "x", "_op"), path, 2)
+    def state(v: Int): Map[Long, Long] =
+      MergeStore.readAsOf(spark, path, v, Seq("k"))
+        .as[(Long, Long)].collect().toMap
+    assert(state(0) == Map(1L -> 10L, 2L -> 20L), state(0).toString)
+    assert(state(1) == Map(1L -> 11L), state(1).toString) // tombstone shadows v0
+    assert(state(2) == Map(1L -> 11L, 2L -> 22L), state(2).toString) // resurrection
+    // time travel must PRUNE newer commits at the scan
+    val plan = MergeStore.readAsOf(spark, path, 1, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("commit_v"), plan.take(2000))
+    // the v=2 file is not among scanned partitions: 2 of 3 dirs selected
+    val scanned: Int = MergeStore.readAsOf(spark, path, 1, Seq("k"))
+      .queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.foldLeft(0)(_ + _)
+    assert(scanned == 2, s"expected 2 pruned-in partitions, got $scanned")
+  }
 }
