@@ -234,7 +234,14 @@ object ScaleProbe {
     // round-8 sixth wave: vocab growth = row-local bigram explode + two
     // map-side aggs (per-bigram min-batch + per-batch counts); bigram
     // space is constant across verbatim copies (the q_chi2_terms class)
-    "q_vocab_growth" -> false
+    "q_vocab_growth" -> false,
+    // round-8 sixth wave: funnel time = two filtered (user) aggs + one
+    // user-keyed join + the q_exact_quantiles 2-pass selection (720
+    // hour bins). Measured 44x on 0.2 -> 8.8 MB: user-keyed partial-agg
+    // state, the SAME base-single-split pre-collapse artifact the
+    // SeqProbe matched-layout run root-caused for q_seq_pairs/q_abtest
+    // (records exactly 5.0x on matched 32-split layouts) — LINEAR.
+    "q_funnel_time" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -279,8 +286,9 @@ object ScaleProbe {
     // q_gini_mix zero-growth output class)
     "q_kappa", "q_benford",
     // round-8 sixth wave: FK audit runs on the TPC-H axis tables the
-    // replica does not carry (lineitem/orders/customer/nation)
-    "q_fk_audit")
+    // replica does not carry (lineitem/orders/customer/nation); the
+    // l-diversity audit is customer-axis for the same reason
+    "q_fk_audit", "q_l_diversity")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -1968,6 +1968,61 @@ object CoreQueries {
     // mixing (Spatial.xMil/yMil) — exact in both engines, nothing float
     // to diverge, and scattered at all pair distances.
 
+    // Time-to-convert distribution: exact p50/p90/p99 of each user's
+    // first-signup → first-strictly-later-purchase delay (q_funnel
+    // measures IF users convert; this measures HOW FAST). Reuses the
+    // 2-pass exact global selection (hour-bucket histogram → driver
+    // prefix-sum → target-bin-only rescan) — no global sort, no
+    // single-partition window, nearest-rank so every answer is an
+    // OBSERVED delay.
+    Q("q_funnel_time",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val s0 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t0"))
+        val delays = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+          .join(s0, Seq("user_id"))
+          .filter(col("tp") > col("t0"))
+          .groupBy(col("user_id")).agg(min(col("tp") - col("t0")).as("delay_us"))
+        Stats.exactQuantilesSelect(delays, "delay_us", Seq(50, 90, 99),
+          binWidth = 3600000000L)
+      },
+      Some("""WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0
+             |            FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |d AS (SELECT e.user_id, min(epoch_us(e.ts) - s0.t0) AS delay_us
+             |      FROM events e JOIN s0 USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s0.t0
+             |      GROUP BY 1),
+             |r AS (SELECT delay_us, row_number() OVER (ORDER BY delay_us) AS rn,
+             |             count(*) OVER () AS n
+             |      FROM d)
+             |SELECT CAST(p AS BIGINT) AS pct, CAST(n AS BIGINT) AS n, delay_us
+             |FROM (SELECT unnest([50, 90, 99]) AS p) ps
+             |JOIN r ON rn = (n * p + 99) // 100
+             |ORDER BY pct""".stripMargin)),
+
+    // l-diversity audit — the homogeneity complement of q_k_anon: a
+    // quasi-identifier group can be LARGE yet reveal its sensitive
+    // attribute if every member shares one value. One map-side-combined
+    // aggregation carrying size and distinct-sensitive together; the
+    // verdict table is O(quasi-groups).
+    Q("q_l_diversity",
+      (s, dir) => Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_members"),
+          count_distinct(floor(col("c_acctbal") / 1000).cast("long")).as("l_div"))
+        .withColumn("pass", col("l_div") >= 3)
+        .orderBy("nation", "segment"),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |       c_mktsegment AS segment, count(*) AS n_members,
+             |       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+             |            AS BIGINT) AS l_div,
+             |       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3 AS pass
+             |FROM customer GROUP BY 1, 2
+             |ORDER BY nation, segment""".stripMargin)),
+
     // Exact rolling LOWER-median of event values over the trailing hour
     // per user — the robust twin of q_rolling_window's rolling sum.
     // Lower median = sorted value at rank ceil(n/2): always an observed
