@@ -128,7 +128,14 @@ object Scratch {
       "q_source_overlap" -> "source-overlap census: the verified near-dup pair pipeline + one (source,source) groupBy — document text never ships",
       "q_approx_setops" -> "HLL set-ops: ONE data-sized shuffle (per-user collect_set), per-type sketch agg + groups-squared sketch cross-join + row-local pair explode all domain-bounded",
       "q_trend_theilsen" -> "Theil-Sen: shuffle-join PINNED on g so the C(n,2) pair frame inherits hash(g) and never re-exchanges for the rank window (broadcast regime measured 263 MB vs 8 MB)",
-      "q_xcorr" -> "cross-correlation: one map-side-combined (type, hour) count agg; dense-grid joins and lag alignment all run on the 720-row domain-bounded grid")
+      "q_xcorr" -> "cross-correlation: one map-side-combined (type, hour) count agg; dense-grid joins and lag alignment all run on the 720-row domain-bounded grid",
+      "q_chi2_terms" -> "chi2 terms: row-local presence dedup (array_distinct before explode — no (doc,term) distinct shuffle), ONE term agg, TakeOrdered",
+      "q_hotspot" -> "hotspot census: ONE map-side (cx,cy) count agg; x9 neighbor explode + score on the CELL frame; TakeOrdered top-15",
+      "q_embed_drift" -> "centroid drift: fixed xdims posexplode -> ONE (label,half,dim) map-side agg; cosine on integer SUM vectors (1/n cancels)",
+      "q_seq_pairs" -> "seq-pair support: one (user,type) min/max agg replaces any ordered scan; per-user <=|types|^2 pair join on the span frame",
+      "q_time_travel" -> "time travel: commit_v PartitionFilters prune newer commits AT THE SCAN; rank-1 window reconstruction per as-of read",
+      "q_rolling_median" -> "rolling median: one entity Exchange; trailing RANGE frame collect + row-local sort/select",
+      "q_funnel_time" -> "funnel time: user-keyed aggs + join, then the 2-pass exact selection (no global sort, no single-partition window)")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
