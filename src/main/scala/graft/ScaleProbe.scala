@@ -241,7 +241,11 @@ object ScaleProbe {
     // state, the SAME base-single-split pre-collapse artifact the
     // SeqProbe matched-layout run root-caused for q_seq_pairs/q_abtest
     // (records exactly 5.0x on matched 32-split layouts) — LINEAR.
-    "q_funnel_time" -> true
+    "q_funnel_time" -> true,
+    // round-8 seventh wave: blob byte QC = per-byte explode (linear
+    // rows, content never shuffles) + (blob, byte) map-side agg
+    // (<=256 rows per blob) — linear in corpus bytes
+    "q_blob_stats" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

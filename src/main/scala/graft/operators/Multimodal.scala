@@ -60,6 +60,54 @@ object Multimodal {
         ascii(decode(col("content").substr(col("byte_offset").cast("int") + 1, lit(1)), "UTF-8"))
           .cast("long").as("frame_val"))
 
+  /** Byte-level QC stats per blob — the codec-free corruption/quality
+    * screen a multimodal ingest runs BEFORE any decode: a blob whose
+    * byte distribution collapsed (one byte ≫ everything — zero padding,
+    * truncated transfer) or whose magic prefix contradicts its declared
+    * kind is quarantined without touching a media library. Reports the
+    * distinct-byte count, the modal byte and its frequency (ppm — the
+    * integer compressibility proxy; entropy would need log()), and a
+    * magic-number format sniff over the 8-hex-char prefix.
+    *
+    * Byte extraction goes through ONE materialized hex(content) column
+    * (2 chars per byte, engine-portable uppercase; a captured hex()
+    * inside the HOF would re-run per element) → offset explode →
+    * per-(blob, byte) count. Scale shape: the (blob, byte) frame
+    * map-side-combines to ≤ 256 rows per blob; blob CONTENT never
+    * shuffles — only (doc_id, byte, count) tuples move. Modal-byte ties
+    * break to the smallest byte via min-of-struct.
+    *
+    * Output: (doc_id, n_bytes, n_distinct, top_byte, top_ppm, format);
+    * empty blobs report (0, 0, NULL, 0, 'empty'). */
+  def blobByteStats(blobs: DataFrame): DataFrame = {
+    val hexed = blobs.select(col("doc_id"), col("n_bytes"),
+      hex(col("content")).as("_hx"))
+    val counts = hexed
+      .select(col("doc_id"),
+        explode(when(col("n_bytes") > 0,
+          expr("transform(sequence(0, n_bytes - 1), i -> CAST(conv(substr(_hx, CAST(2 * i + 1 AS INT), 2), 16, 10) AS BIGINT))"))
+          .otherwise(array().cast("array<bigint>"))).as("_b"))
+      .groupBy(col("doc_id"), col("_b")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        max(struct(col("_c").as("_c"), (-col("_b")).as("_nb"))).as("_top"))
+      .select(col("doc_id"), col("n_distinct"),
+        (-col("_top._nb")).as("top_byte"), col("_top._c").as("_topc"))
+    hexed.join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bytes"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("top_byte"),
+        when(col("n_bytes") > 0, expr("_topc * 1000000 DIV n_bytes"))
+          .otherwise(0L).as("top_ppm"),
+        when(col("n_bytes") === 0, "empty")
+          .when(col("_hx").startsWith("89504E47"), "png")
+          .when(col("_hx").startsWith("FFD8FF"), "jpeg")
+          .when(col("_hx").startsWith("1F8B"), "gzip")
+          .when(col("_hx").startsWith("25504446"), "pdf")
+          .when(col("_hx").startsWith("52494646"), "riff")
+          .otherwise("unknown").as("format"))
+  }
+
   /** 32-bit md5-nibble SimHash over BYTE n-gram shingles of the blob —
     * content-level near-dup fingerprints that need NO codec: a re-encoded
     * header tweak or truncated tail changes few shingles, so

@@ -2505,6 +2505,43 @@ object PipelineQueries {
               |FROM sh ORDER BY doc_id""".stripMargin)),
 
     // -- multimodal blob plumbing ---------------------------------------
+    // Byte-level blob QC (codec-free corruption screen): distinct-byte
+    // count, modal byte + frequency ppm (integer compressibility
+    // proxy), magic-prefix format sniff. Blob content never shuffles —
+    // only (doc_id, byte, count) tuples move; modal ties to the
+    // smallest byte.
+    Q("q_blob_stats",
+      (s, dir) => Multimodal.blobByteStats(
+          Multimodal.toBlobTable(Tables.documents(s, dir), "doc_id", "text", "text"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |                  hex(encode(text)) AS hx
+             |           FROM documents),
+             |e AS (SELECT doc_id, unnest(range(n_bytes)) AS i, hx FROM h),
+             |byt AS (SELECT doc_id,
+             |          (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+             |          + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1 AS b
+             |        FROM e),
+             |c AS (SELECT doc_id, b, count(*) AS c FROM byt GROUP BY 1, 2),
+             |r AS (SELECT doc_id, b, c,
+             |             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn,
+             |             count(*) OVER (PARTITION BY doc_id) AS nd
+             |      FROM c),
+             |t AS (SELECT doc_id, b AS top_byte, c AS topc, nd FROM r WHERE rn = 1)
+             |SELECT h.doc_id, CAST(h.n_bytes AS BIGINT) AS n_bytes,
+             |       CAST(coalesce(t.nd, 0) AS BIGINT) AS n_distinct,
+             |       CAST(t.top_byte AS BIGINT) AS top_byte,
+             |       CAST(CASE WHEN h.n_bytes > 0 THEN t.topc * 1000000 // h.n_bytes
+             |            ELSE 0 END AS BIGINT) AS top_ppm,
+             |       CASE WHEN h.n_bytes = 0 THEN 'empty'
+             |            WHEN starts_with(hx, '89504E47') THEN 'png'
+             |            WHEN starts_with(hx, 'FFD8FF') THEN 'jpeg'
+             |            WHEN starts_with(hx, '1F8B') THEN 'gzip'
+             |            WHEN starts_with(hx, '25504446') THEN 'pdf'
+             |            WHEN starts_with(hx, '52494646') THEN 'riff'
+             |            ELSE 'unknown' END AS format
+             |FROM h LEFT JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     Q("q_multimodal",
       (s, dir) => {
         val blobs = Multimodal.toBlobTable(Tables.documents(s, dir), "doc_id", "text", "text")

@@ -44,4 +44,27 @@ class MultimodalSpec extends SparkSpec {
     val byId = f1.map(f => f.doc_id -> f).toMap
     assert(byId(1L).n_frames == 1 && byId(2L).n_frames == 1) // 6/64=0→max(1); 100/64=1
   }
+
+  test("blobByteStats: histogram, modal tie to smallest byte, empty blob, magic sniff") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "aaab".getBytes("UTF-8")),            // 'a'x3 + 'b' -> top 97 @ 750000
+      (2L, "ab".getBytes("UTF-8")),              // tie 1-1 -> smallest byte 97
+      (3L, Array.emptyByteArray),                // empty
+      (4L, Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A).map(_.toByte)), // PNG magic
+      (5L, Array(0x1F, 0x8B, 0x00).map(_.toByte)))                   // GZIP magic
+      .toDF("doc_id", "content")
+      .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+    val got = Multimodal.blobByteStats(rows)
+      .as[(Long, Long, Long, Option[Long], Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((4L, 2L, Some(97L), 750000L, "unknown")), got.toString)
+    assert(got(2L) == ((2L, 2L, Some(97L), 500000L, "unknown")), got.toString)
+    assert(got(3L) == ((0L, 0L, None, 0L, "empty")), got.toString)
+    assert(got(4L)._5 == "png", got.toString)
+    assert(got(5L)._5 == "gzip", got.toString)
+    // high-byte extraction is correct (0x89 = 137 must appear, not a
+    // mangled UTF-8 decode)
+    assert(got(4L)._2 == 6L && got(4L)._3.exists(_ >= 0L), got.toString)
+  }
 }
