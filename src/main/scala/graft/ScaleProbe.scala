@@ -245,7 +245,11 @@ object ScaleProbe {
     // round-8 seventh wave: blob byte QC = per-byte explode (linear
     // rows, content never shuffles) + (blob, byte) map-side agg
     // (<=256 rows per blob) — linear in corpus bytes
-    "q_blob_stats" -> false
+    "q_blob_stats" -> false,
+    // round-8 seventh wave: Holt = the q_ewma_anomaly shape exactly
+    // (one group-collect shuffle + row-local fold) with a 2-state
+    // recurrence — linear in users
+    "q_trend_holt" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -292,7 +296,10 @@ object ScaleProbe {
     // round-8 sixth wave: FK audit runs on the TPC-H axis tables the
     // replica does not carry (lineitem/orders/customer/nation); the
     // l-diversity audit is customer-axis for the same reason
-    "q_fk_audit", "q_l_diversity")
+    "q_fk_audit", "q_l_diversity",
+    // round-8 seventh wave: degree-distribution histogram runs on the
+    // lineitem co-purchase axis (the q_triangle_count class)
+    "q_degree_dist")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

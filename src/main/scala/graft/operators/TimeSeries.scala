@@ -372,6 +372,64 @@ object TimeSeries {
         col("xcorr_r2s_ppm"))
   }
 
+  /** Holt double-exponential smoothing per entity — [[ewmaAnomaly]]'s
+    * trend-aware sibling: a level + trend recurrence (α = β = 1/den)
+    * that tracks a drifting series where a plain EWMA lags
+    * systematically. Like every floor-rounded recurrence here, each
+    * state depends on the ROUNDED previous state, so no window frame
+    * expresses it — the fold runs row-locally over the sorted per-entity
+    * sequence (`aggregate` HOF), one shuffle on the entity key total.
+    *
+    *   pred_t = l_{t−1} + b_{t−1}
+    *   l_t    = ⌊((den−1)·pred_t + v_t) / den⌋
+    *   b_t    = ⌊((l_t − l_{t−1}) + (den−1)·b_{t−1}) / den⌋
+    *
+    * Seeds l_1 = v_1, b_1 = 0 (trend learned from data, not a two-point
+    * guess — documented contract). The floor is IEEE-double division
+    * (exact and engine-identical below 2⁵³, the [[ewmaAnomaly]]
+    * precedent), and the one-step-ahead SUM OF ABSOLUTE ERRORS ships
+    * alongside — the integer backtest metric (an SSE would square
+    * mils past int64 on long series).
+    *
+    * Output: (key, n_events, level_mils, trend_mils, sae_mils). */
+  def holtSmooth(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column,
+      den: Int): DataFrame = {
+    require(den >= 2, s"den must be >= 2: $den")
+    val rows = df.select(col(keyCol),
+      struct(tsCol.as("t"), tieCol.as("i"),
+        floor(valueCol.cast("double") * 1000).cast("long").as("v")).as("_r"))
+    val d = den.toDouble
+    rows.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("_r"))).as("_rs"))
+      .select(col(keyCol), size(col("_rs")).cast("long").as("n_events"),
+        aggregate(
+          col("_rs"),
+          struct(lit(0L).as("n"), lit(0L).as("l"), lit(0L).as("b"),
+            lit(0L).as("sae")),
+          (acc: Column, r: Column) => {
+            val v = r.getField("v")
+            val pred = acc.getField("l") + acc.getField("b")
+            val l1 = floor(((pred * (den - 1) + v) / lit(d))).cast("long")
+            val b1 = floor((((l1 - acc.getField("l")) +
+              acc.getField("b") * (den - 1)) / lit(d))).cast("long")
+            struct(
+              (acc.getField("n") + 1L).as("n"),
+              when(acc.getField("n") === 0L, v).otherwise(l1).as("l"),
+              when(acc.getField("n") === 0L, 0L).otherwise(b1).as("b"),
+              (acc.getField("sae") +
+                when(acc.getField("n") === 0L, 0L)
+                  .otherwise(abs(v - pred))).as("sae"))
+          }).as("_f"))
+      .select(col(keyCol), col("n_events"),
+        col("_f.l").as("level_mils"), col("_f.b").as("trend_mils"),
+        col("_f.sae").as("sae_mils"))
+  }
+
   /** Exact rolling LOWER-median over a trailing TIME window per entity —
     * the robust twin of q_rolling_window's rolling sum (one fat outlier
     * moves a 1-hour mean for the whole hour; the median shrugs). Lower

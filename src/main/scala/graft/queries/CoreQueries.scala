@@ -1968,6 +1968,71 @@ object CoreQueries {
     // mixing (Spatial.xMil/yMil) — exact in both engines, nothing float
     // to diverge, and scattered at all pair distances.
 
+    // Holt double-exponential smoothing (level + trend, α = β = 1/4):
+    // the trend-aware sibling of q_ewma_anomaly — a drifting series
+    // makes a plain EWMA lag systematically; Holt's trend state tracks
+    // it. Floor-rounded recurrence (state depends on the ROUNDED
+    // previous state — no window frame expresses it): row-local sorted
+    // fold per user, one shuffle total; oracle replays the recurrence
+    // as a recursive CTE. SAE = integer one-step-ahead backtest.
+    Q("q_trend_holt",
+      (s, dir) => TimeSeries.holtSmooth(Tables.events(s, dir), "user_id",
+          unix_micros(col("ts")), col("event_id"), col("value"), den = 4)
+        .orderBy("user_id"),
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             |         CAST(floor(value * 1000) AS BIGINT) AS v
+             |  FROM events
+             |), r AS (
+             |  SELECT user_id, rn, v AS l, CAST(0 AS BIGINT) AS b,
+             |         CAST(0 AS BIGINT) AS sae
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.user_id, t.rn,
+             |         CAST(floor((3*(r.l + r.b) + t.v)/4.0) AS BIGINT),
+             |         CAST(floor((CAST(floor((3*(r.l + r.b) + t.v)/4.0) AS BIGINT)
+             |                     - r.l + 3*r.b)/4.0) AS BIGINT),
+             |         r.sae + abs(t.v - (r.l + r.b))
+             |  FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+             |)
+             |SELECT user_id, max(rn) AS n_events, arg_max(l, rn) AS level_mils,
+             |       arg_max(b, rn) AS trend_mils, arg_max(sae, rn) AS sae_mils
+             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Degree-distribution histogram of the part co-purchase graph in
+    // power-of-2 bins — the graph-shape audit (a power law reads as a
+    // straight line over these bins; a truncated tail flags a broken
+    // edge build). The log2 bin is length(bin(d)) — an integer STRING
+    // op, no libm log(); bins carry their theoretical [lo, hi] bounds
+    // via shiftleft.
+    Q("q_degree_dist",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val deg = und.select(col("u").as("n")).unionByName(und.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        deg.groupBy(length(bin(col("d"))).cast("long").as("bin_bits"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .withColumn("lo_deg", expr("CAST(shiftleft(1L, CAST(bin_bits AS INT) - 1) AS BIGINT)"))
+          .withColumn("hi_deg", expr("CAST(shiftleft(1L, CAST(bin_bits AS INT)) - 1 AS BIGINT)"))
+          .select(col("bin_bits"), col("lo_deg"), col("hi_deg"), col("n_nodes"))
+          .orderBy("bin_bits")
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+             |deg AS (SELECT n, count(*) AS d
+             |        FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+             |        GROUP BY n)
+             |SELECT CAST(length(bin(d)) AS BIGINT) AS bin_bits,
+             |       CAST(1 << (length(bin(d)) - 1) AS BIGINT) AS lo_deg,
+             |       CAST((1 << length(bin(d))) - 1 AS BIGINT) AS hi_deg,
+             |       count(*) AS n_nodes
+             |FROM deg GROUP BY 1, 2, 3 ORDER BY bin_bits""".stripMargin)),
+
     // Time-to-convert distribution: exact p50/p90/p99 of each user's
     // first-signup → first-strictly-later-purchase delay (q_funnel
     // measures IF users convert; this measures HOW FAST). Reuses the

@@ -246,6 +246,59 @@ class TimeSeriesSpec extends SparkSpec {
     assert(gotC.values.forall(_._2 == 0L), gotC.toString)
   }
 
+  test("holtSmooth: hand-traced level/trend recurrence with floor rounding") {
+    // v = 4.0, 8.0, 8.0 (mils 4000, 8000, 8000), den = 4:
+    // t1: l=4000 b=0 sae=0
+    // t2: pred=4000, l=floor((12000+8000)/4)=5000, b=floor(1000/4)=250, sae=4000
+    // t3: pred=5250, l=floor((15750+8000)/4)=5937, b=floor((937+750)/4)=421,
+    //     sae=4000+2750=6750
+    val pts = Seq(("u", 1L, 1L, 4.0), ("u", 2L, 2L, 8.0), ("u", 3L, 3L, 8.0))
+      .toDF("k", "ts", "id", "value")
+    val got = TimeSeries.holtSmooth(pts, "k", col("ts"), col("id"),
+        col("value"), den = 4)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got == (("u", 3L, 5937L, 421L, 6750L)), got.toString)
+  }
+
+  test("holtSmooth tracks a linear ramp that a plain EWMA lags") {
+    val ramp = (1 to 40).map(i => ("u", i.toLong, i.toLong, i * 10.0))
+      .toDF("k", "ts", "id", "value")
+    val holt = TimeSeries.holtSmooth(ramp, "k", col("ts"), col("id"),
+        col("value"), den = 4)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // trend state converges to the true slope (10000 mils/step; small
+    // transient overshoot is normal Holt dynamics)
+    assert(holt._4 > 8000L && holt._4 <= 10500L, holt.toString)
+    // level stays close to the latest value (400000 mils)
+    assert(holt._3 > 380000L, holt.toString)
+  }
+
+  test("holtSmooth equals brute sequential fold (negative values included)") {
+    val rnd = new scala.util.Random(83)
+    val pts = (1 to 400).map { i =>
+      ((i % 9).toString, rnd.nextInt(100).toLong, i.toLong, rnd.nextDouble() * 40 - 20)
+    }
+    val got = TimeSeries.holtSmooth(pts.toDF("k", "ts", "id", "value"),
+        "k", col("ts"), col("id"), col("value"), den = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val brute = pts.groupBy(_._1).map { case (k, rows) =>
+      val vs = rows.sortBy(r => (r._2, r._3)).map(r => math.floor(r._4 * 1000).toLong)
+      var (l, b, sae) = (0L, 0L, 0L)
+      vs.zipWithIndex.foreach { case (v, i) =>
+        if (i == 0) { l = v; b = 0L }
+        else {
+          val pred = l + b
+          val l1 = math.floor((3.0 * pred + v) / 4.0).toLong
+          val b1 = math.floor(((l1 - l) + 3.0 * b) / 4.0).toLong
+          sae += math.abs(v - pred); l = l1; b = b1
+        }
+      }
+      k -> ((vs.size.toLong, l, b, sae))
+    }
+    assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(3)}")
+  }
+
   test("rollingMedian: trailing frame, lower median on even n, simultaneous ties") {
     val pts = Seq(
       // user u: ts 0/10/20, window 15 -> frames [5], [5,1], [1,9]
