@@ -249,7 +249,11 @@ object ScaleProbe {
     // round-8 seventh wave: Holt = the q_ewma_anomaly shape exactly
     // (one group-collect shuffle + row-local fold) with a 2-state
     // recurrence — linear in users
-    "q_trend_holt" -> false
+    "q_trend_holt" -> false,
+    // round-8 seventh wave: sentence chunking = pure row-local
+    // split + fold projection (the q_chunk_tokens zero-shuffle class;
+    // the ordered output adds one range exchange)
+    "q_chunk_sentences" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

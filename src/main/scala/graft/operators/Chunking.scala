@@ -121,4 +121,54 @@ object Chunking {
       .withColumn("pos", row_number().over(w).cast("long") - 1L + offsetExpr)
       .select(col("doc_id"), col("pos"))
   }
+
+  /** Sentence-boundary greedy chunking — the RAG-ingest shape
+    * [[chunkTokens]]'s fixed windows cannot express: chunks never split
+    * a sentence, accumulate whole sentences greedily up to `maxTokens`,
+    * and an oversized single sentence gets its own chunk rather than
+    * being dropped (a retrieval corpus must cover every sentence
+    * exactly once). Packing is a RECURRENCE (each boundary depends on
+    * the running remainder — no prefix-sum rewrite exists), so it runs
+    * as a row-local `aggregate` fold with a finish lambda flushing the
+    * trailing open chunk; the whole operator is ONE generator + fold
+    * projection — zero shuffle, document text never leaves its row.
+    *
+    * Sentences split on the PLAIN-STRING `delim` (regex-quoted
+    * internally; empties filtered — adjacent delimiters produce them);
+    * token counts are whitespace tokens, the
+    * [[graft.operators.TextAnalysis.tokens]] convention.
+    *
+    * Output: one row per chunk — (doc_id, chunk_idx, n_sentences,
+    * n_tokens). */
+  def chunkSentences(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, delim: String = ". "): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(delim.nonEmpty && !delim.contains("'"), s"bad delim: $delim")
+    val sents = docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), java.util.regex.Pattern.quote(delim)).as("_raw"))
+      .select(col("doc_id"), expr("filter(_raw, x -> x != '')").as("_ss"))
+    val folded = sents.select(col("doc_id"), expr(
+      s"""aggregate(
+         |  transform(_ss, s -> size(split(s, ' '))),
+         |  struct(
+         |    CAST(array() AS ARRAY<STRUCT<ns: BIGINT, nt: BIGINT>>) AS done,
+         |    CAST(0 AS BIGINT) AS curn, CAST(0 AS BIGINT) AS curt),
+         |  (acc, t) -> CASE
+         |    WHEN acc.curn = 0 THEN
+         |      struct(acc.done AS done, CAST(1 AS BIGINT) AS curn,
+         |             CAST(t AS BIGINT) AS curt)
+         |    WHEN acc.curt + t > $maxTokens THEN
+         |      struct(acc.done || array(struct(acc.curn AS ns, acc.curt AS nt)) AS done,
+         |             CAST(1 AS BIGINT) AS curn, CAST(t AS BIGINT) AS curt)
+         |    ELSE struct(acc.done AS done, acc.curn + 1 AS curn,
+         |                acc.curt + t AS curt) END,
+         |  acc -> CASE WHEN acc.curn > 0
+         |              THEN acc.done || array(struct(acc.curn AS ns, acc.curt AS nt))
+         |              ELSE acc.done END
+         |)""".stripMargin).as("_chunks"))
+    folded
+      .select(col("doc_id"), posexplode(col("_chunks")).as(Seq("chunk_idx", "_c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("_c.ns").as("n_sentences"), col("_c.nt").as("n_tokens"))
+  }
 }

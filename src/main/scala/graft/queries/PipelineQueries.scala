@@ -2920,6 +2920,38 @@ object PipelineQueries {
     // ragged documents into trainable windows. Pure row-local projection
     // (sequence-explode + slice, all codegen'd): chunking shuffles
     // NOTHING at any scale.
+    // Sentence-boundary greedy chunking (the RAG-ingest shape): chunks
+    // never split a sentence, pack greedily to 24 tokens, oversized
+    // sentences get their own chunk. The packing recurrence runs as a
+    // row-local fold (aggregate HOF with finish flush) — zero shuffle,
+    // text never leaves its row; the oracle replays the recurrence as a
+    // recursive CTE. The synthetic corpus has no punctuation, so the
+    // token " a " plays the sentence boundary (same split semantics in
+    // both engines: greedy left-to-right, non-overlapping).
+    Q("q_chunk_sentences",
+      (s, dir) => graft.operators.Chunking.chunkSentences(
+          Tables.documents(s, dir), "doc_id", "text", maxTokens = 24,
+          delim = " a ")
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH RECURSIVE s0 AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' a '), x -> x <> '') AS ss
+             |  FROM documents),
+             |tk AS (SELECT doc_id,
+             |         unnest([{rn: i, t: len(string_split(ss[i::INT], ' '))}
+             |                 for i in range(1, len(ss) + 1)]) AS s
+             |       FROM s0),
+             |t2 AS (SELECT doc_id, s.rn AS rn, s.t AS t FROM tk),
+             |r AS (
+             |  SELECT doc_id, rn, t, 0 AS ch, t AS cur FROM t2 WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t2.doc_id, t2.rn, t2.t,
+             |         CASE WHEN r.cur + t2.t > 24 THEN r.ch + 1 ELSE r.ch END,
+             |         CASE WHEN r.cur + t2.t > 24 THEN t2.t ELSE r.cur + t2.t END
+             |  FROM r JOIN t2 ON t2.doc_id = r.doc_id AND t2.rn = r.rn + 1)
+             |SELECT doc_id, CAST(ch AS BIGINT) AS chunk_idx,
+             |       count(*) AS n_sentences, CAST(sum(t) AS BIGINT) AS n_tokens
+             |FROM r GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     Q("q_chunk_tokens",
       (s, dir) =>
         graft.operators.Chunking.chunkTokens(

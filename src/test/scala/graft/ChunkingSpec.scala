@@ -131,4 +131,52 @@ class ChunkingSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect()
     assert(out.head == ((1L, 2L, 1L, span5)))
   }
+
+  test("chunkSentences: greedy boundary, oversized sentence, empty-piece filter") {
+    val docs = Seq(
+      // sentences: 2, 3, 4, 1 tokens; budget 5 -> chunks (2 sents, 5 tok) x2
+      (1L, "x y. a b c. d d d d. e"),
+      // oversized single sentence gets its own chunk (never dropped)
+      (2L, "w w w w. z"),
+      // leading delimiter produces an empty piece -> filtered
+      (3L, ". p q"))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunkSentences(docs, "doc_id", "text", maxTokens = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    assert(got(1L) == Seq((2L, 5L), (2L, 5L)), got.toString)
+    // doc 2 with budget 2: "w w w w" (4 tok) alone, then "z"
+    val got2 = Chunking.chunkSentences(docs.filter($"doc_id" === 2L),
+        "doc_id", "text", maxTokens = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).map(r => (r._3, r._4)).toSeq
+    assert(got2 == Seq((1L, 4L), (1L, 1L)), got2.toString)
+    assert(got(3L) == Seq((1L, 2L)), got.toString) // "p q" only, empty filtered
+  }
+
+  test("chunkSentences equals brute greedy fold on random sentence lists") {
+    val rnd = new scala.util.Random(67)
+    val docs = (1 to 60).map { i =>
+      val sents = (0 until 1 + rnd.nextInt(8)).map(_ =>
+        (0 until 1 + rnd.nextInt(7)).map(_ => "t" + rnd.nextInt(5)).mkString(" "))
+      (i.toLong, sents.mkString(". "))
+    }
+    val got = Chunking.chunkSentences(docs.toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val brute = docs.map { case (id, text) =>
+      val ts = text.split(java.util.regex.Pattern.quote(". ")).filter(_.nonEmpty)
+        .map(_.split(" ").length.toLong)
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (cn, ct) = (0L, 0L)
+      ts.foreach { t =>
+        if (cn == 0) { cn = 1; ct = t }
+        else if (ct + t > 8) { chunks += ((cn, ct)); cn = 1; ct = t }
+        else { cn += 1; ct += t }
+      }
+      if (cn > 0) chunks += ((cn, ct))
+      id -> chunks.toSeq
+    }.toMap
+    assert(got == brute, s"diff sample=${(got.toSet diff brute.toSet).take(3)}")
+  }
 }
