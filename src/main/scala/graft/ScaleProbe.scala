@@ -300,7 +300,7 @@ object ScaleProbe {
     // round-8 sixth wave: FK audit runs on the TPC-H axis tables the
     // replica does not carry (lineitem/orders/customer/nation); the
     // l-diversity audit is customer-axis for the same reason
-    "q_fk_audit", "q_l_diversity",
+    "q_fk_audit", "q_l_diversity", "q_fuzzy_join2",
     // round-8 seventh wave: degree-distribution histogram runs on the
     // lineitem co-purchase axis (the q_triangle_count class)
     "q_degree_dist")

@@ -573,6 +573,60 @@ object Dedup {
       .filter(col("dist") >= 0L)
   }
 
+  /** Edit-distance ≤ 2 string self-join — [[fuzzyPairsEd1]]'s k = 2
+    * generalization, closing its documented scope gap: the variant set
+    * is the DEPTH-≤2 DELETION NEIGHBORHOOD (s, every single deletion,
+    * every deletion of two positions i < j), and the FastSS theorem
+    * gives EXACT recall for ed ≤ 2 — every edit operation can be
+    * simulated by a deletion on one or both sides, so two strings at
+    * edit distance ≤ 2 always share a ≤2-deletion variant.
+    *
+    * Cost contract (why this is a separate function, not a default):
+    * a string of length L emits 1 + L + L·(L−1)/2 variants (~172 at
+    * L = 18 vs 19 for ed1) — the O(L^k) variant explosion the ed1
+    * scaladoc warns about, spent deliberately here. Candidates remain
+    * Σ bucket² over variant buckets; `maxBucket` is the same opt-in
+    * recall-affecting valve. Verify is one thresholded codegen
+    * `levenshtein(·,·,2)` per distinct candidate pair.
+    *
+    * Output: (s_a, s_b, dist), s_a < s_b, dist ∈ {1, 2}. */
+  def fuzzyPairsEd2(
+      df: DataFrame,
+      strCol: String,
+      maxBucket: Option[Long] = None): DataFrame = {
+    val strs = df.select(col(strCol).cast("string").as("_s"))
+      .na.drop().distinct()
+    val variants = graft.store.Staging.stage(
+      strs.select(col("_s"), explode(array_distinct(concat(
+        array(col("_s")),
+        // sequence(1, 0) DESCENDS in Spark — guard the short strings
+        expr("""CASE WHEN length(_s) >= 1
+               |THEN transform(sequence(1, length(_s)), i -> concat(left(_s, i-1), substring(_s, i+1)))
+               |ELSE array() END""".stripMargin),
+        expr("""CASE WHEN length(_s) >= 2
+               |THEN flatten(transform(sequence(1, length(_s) - 1),
+               |  i -> transform(sequence(CAST(i + 1 AS INT), length(_s)),
+               |    j -> concat(left(_s, i-1),
+               |                substring(_s, i+1, j-i-1),
+               |                substring(_s, j+1)))))
+               |ELSE array() END""".stripMargin))))
+        .as("_v")),
+      "fuzzy_variants_ed2")
+    val pruned = maxBucket.fold(variants) { cap =>
+      val hot = variants.groupBy(col("_v")).count()
+        .filter(col("count") > cap).select(col("_v"))
+      variants.join(broadcast(hot), Seq("_v"), "left_anti")
+    }
+    pruned.select(col("_s").as("s_a"), col("_v"))
+      .join(pruned.select(col("_s").as("s_b"), col("_v")), Seq("_v"))
+      .filter(col("s_a") < col("s_b"))
+      .select(col("s_a"), col("s_b"))
+      .distinct()
+      .select(col("s_a"), col("s_b"),
+        levenshtein(col("s_a"), col("s_b"), 2).cast("long").as("dist"))
+      .filter(col("dist") >= 0L)
+  }
+
   /** Exact dedup groups: one row per distinct text, with multiplicity and
     * the kept representative (min id). */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -407,6 +407,26 @@ object PipelineQueries {
              |WHERE levenshtein(a.s, b.s) <= 1
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Edit-distance ≤ 2 fuzzy self-join — the k = 2 FastSS
+    // generalization of q_fuzzy_join (depth-≤2 deletion neighborhoods,
+    // exact recall by the deletion theorem; equality with the brute
+    // quadratic oracle IS the recall proof). Scoped to 2,000 names so
+    // the oracle's n² levenshtein stays tractable; the engine side
+    // never goes quadratic.
+    Q("q_fuzzy_join2",
+      (s, dir) => Dedup.fuzzyPairsEd2(
+          Tables.customer(s, dir).filter(col("c_custkey") <= 2000)
+            .select(col("c_name")), "c_name")
+        .orderBy("s_a", "s_b"),
+      Some("""WITH n AS (SELECT DISTINCT c_name AS s FROM customer
+             |           WHERE c_custkey <= 2000)
+             |SELECT a.s AS s_a, b.s AS s_b,
+             |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+             |FROM n a JOIN n b
+             |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+             |WHERE levenshtein(a.s, b.s) <= 2
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Golden-record resolution: verified ER pairs → connected components
     // → one canonical record (min id — the component label itself) per
     // entity cluster, with cluster size. The ER composition a master-

@@ -627,6 +627,51 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == brute3)
   }
 
+  test("fuzzyPairsEd2: exact recall for every distance-2 edit class") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // distance-2 classes ed1 misses: transposition, double substitution,
+    // double insertion/deletion, substitution+insertion; plus a
+    // distance-3 trap that must be cut by the verify
+    val words = Seq("spark", "sprak" /* transposition: 2 */ ,
+      "sbcrk" /* double substitution: 2 */ , "spa" /* double deletion: 2 */ ,
+      "sparkle" /* double insertion: 2 */ , "qparks" /* sub+ins: 2 */ ,
+      "flink" /* far */ , "ab", "b" /* short strings: guard path */)
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    val got = Dedup.fuzzyPairsEd2(words, "w")
+      .as[(String, String, Long)].collect().toSet
+    val vocab = Seq("spark", "sprak", "sbcrk", "spa", "sparkle", "qparks",
+      "flink", "ab", "b")
+    val brute = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b).toLong)).toSet
+    assert(got == brute, s"missing=${(brute diff got).take(5)} extra=${(got diff brute).take(5)}")
+    assert(got.contains(("spark", "sprak", 2L)))
+    assert(got.contains(("spa", "spark", 2L)))
+    assert(got.contains(("spark", "sparkle", 2L)))
+
+    // randomized dense-alphabet differential (the adversarial corpus:
+    // tiny alphabet maximizes shared variants and distance-3 traps)
+    val rnd = new scala.util.Random(13)
+    val dense = Seq.fill(90)((2 + rnd.nextInt(5), rnd)).map { case (len, r) =>
+      (1 to len).map(_ => ('a' + r.nextInt(3)).toChar).mkString
+    }.distinct.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val got2 = Dedup.fuzzyPairsEd2(dense.toDF("id", "w"), "w")
+      .as[(String, String, Long)].collect().toSet
+    val vocab2 = dense.map(_._2)
+    val brute2 = (for {
+      a <- vocab2; b <- vocab2 if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b).toLong)).toSet
+    assert(got2 == brute2,
+      s"missing=${(brute2 diff got2).take(3)} extra=${(got2 diff brute2).take(3)}")
+  }
+
   test("hammingBlockedPairs: blocked output equals brute force, incl. constant runs") {
     import org.apache.spark.sql.functions._
     // keys with a constant prefix run (the degenerate case for contiguous
