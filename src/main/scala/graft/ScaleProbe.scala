@@ -253,7 +253,15 @@ object ScaleProbe {
     // round-8 seventh wave: sentence chunking = pure row-local
     // split + fold projection (the q_chunk_tokens zero-shuffle class;
     // the ordered output adds one range exchange)
-    "q_chunk_sentences" -> false
+    "q_chunk_sentences" -> false,
+    // round-8 seventh wave: label outliers = one (label, dim) agg
+    // (640 domain-bounded groups) broadcast onto the xdims posexplode;
+    // per-vector dots map-side-combine to one row per vector +
+    // TakeOrdered. Measured 9.5x on 0.2 -> 1.9 MB ABSOLUTE = the
+    // q_embed_drift layout artifact (partial-agg state = partitions x
+    // domain groups; base ~1 split vs replica 32) — flat on matched
+    // layouts.
+    "q_label_outliers" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

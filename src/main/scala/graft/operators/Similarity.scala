@@ -553,4 +553,53 @@ object Similarity {
       .select(col("label").cast("long").as("label"), col("n_a"), col("n_b"),
         col("cos2s_ppm"))
   }
+
+  /** Label-noise audit (confident-learning-lite): each vector's
+    * signed-squared cosine to its OWN class centroid, lowest-similarity
+    * vectors first — the mislabel candidates a labeling pipeline
+    * re-queues for review. Same integer discipline as
+    * [[splitHalfCentroidDrift]]: cos(v, Σ/n) = cos(v, Σ), so the
+    * statistic runs on quantized per-dim integers against the class SUM
+    * vector — no float mean, no sqrt. The vector IS included in its own
+    * class sum (leave-one-out would subtract it; at class sizes ≳ 100
+    * the difference is noise and the included form needs no second
+    * pass — documented contract).
+    *
+    * Scale shape: one (label, dim) map-side sum aggregation (domain-
+    * bounded groups) broadcast back onto the posexploded vectors; the
+    * per-vector dot products map-side-combine to one row per vector;
+    * TakeOrdered top-k. Nothing quadratic, nothing label-pair-sized.
+    *
+    * Output: (vec_id, label, n_label, cos2s_ppm) — the k lowest, ties
+    * by vec_id. */
+  def labelOutliers(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      topK: Int,
+      scale: Int = 1024): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val el = emb.select(col(idCol).as("_id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col("_id"), col("label"), col("dim"),
+        floor(col("_v").cast("double") * scale).cast("long").as("_q"))
+    val sums = el.groupBy(col("label"), col("dim"))
+      .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
+    el.join(broadcast(sums), Seq("label", "dim"))
+      .groupBy(col("_id"), col("label"))
+      .agg(max(col("_n")).as("n_label"),
+        sum(expr("CAST(_q AS DECIMAL(38,0)) * _s")).as("_num"),
+        sum(expr("CAST(_q AS DECIMAL(38,0)) * _q")).as("_dq"),
+        sum(expr("CAST(_s AS DECIMAL(38,0)) * _s")).as("_ds"))
+      .withColumn("cos2s_ppm",
+        when(col("_dq") > 0 && col("_ds") > 0,
+          signum(col("_num")).cast("long") *
+            expr("CAST(_num * _num * 1000000 DIV (_dq * _ds) AS BIGINT)"))
+          .otherwise(0L))
+      .select(col("_id").as("vec_id"), col("label").cast("long").as("label"),
+        col("n_label"), col("cos2s_ppm"))
+      .orderBy(col("cos2s_ppm"), col("vec_id"))
+      .limit(topK)
+  }
 }

@@ -957,6 +957,35 @@ object PipelineQueries {
              |            ELSE 0 END AS BIGINT) AS cos2s_ppm
              |FROM j ORDER BY label""".stripMargin)),
 
+    // Label-noise audit: the 25 vectors least similar to their OWN
+    // class centroid (cosine on the integer class SUM vector — 1/n
+    // cancels) = the mislabel candidates a labeling pipeline re-queues.
+    // One (label, dim) agg broadcast back; per-vector dots map-side
+    // combine; TakeOrdered.
+    Q("q_label_outliers",
+      (s, dir) => Similarity.labelOutliers(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", topK = 25),
+      Some("""WITH el AS (
+             |  SELECT vec_id, label, unnest(range(len(embedding))) AS dim,
+             |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT) AS q
+             |  FROM embeddings),
+             |s AS (SELECT label, dim, sum(q) AS s, count(*) AS n
+             |      FROM el GROUP BY 1, 2),
+             |d AS (SELECT el.vec_id, el.label, max(s.n) AS n_label,
+             |             sum(CAST(el.q AS HUGEINT) * s.s) AS num,
+             |             sum(CAST(el.q AS HUGEINT) * el.q) AS dq,
+             |             sum(CAST(s.s AS HUGEINT) * s.s) AS ds
+             |      FROM el JOIN s ON el.label = s.label AND el.dim = s.dim
+             |      GROUP BY 1, 2)
+             |SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |       CAST(n_label AS BIGINT) AS n_label,
+             |       CAST(CASE WHEN dq > 0 AND ds > 0 THEN
+             |              (CASE WHEN num < 0
+             |               THEN -(num*num*1000000 // (dq*ds))
+             |               ELSE num*num*1000000 // (dq*ds) END)
+             |            ELSE 0 END AS BIGINT) AS cos2s_ppm
+             |FROM d ORDER BY cos2s_ppm, vec_id LIMIT 25""".stripMargin)),
+
     Q("q_robust_scale",
       (s, dir) => Similarity.dimRobustStats(
           Tables.embeddings(s, dir), "vec_id", "embedding")

@@ -367,4 +367,36 @@ class SimilaritySpec extends SparkSpec {
     }.toMap
     assert(got == brute, s"got=$got brute=$brute")
   }
+
+  test("labelOutliers: planted mislabel surfaces first; brute replay agrees") {
+    val rnd = new scala.util.Random(29)
+    // class 0 clusters near +x, class 1 near +y; vector 99 is a class-1
+    // point mislabeled as class 0 -> lowest own-centroid cosine
+    val rows = (0 until 40).map { i =>
+      val l = i % 2
+      val base = if (l == 0) Array(1.0f, 0.05f, 0.0f) else Array(0.0f, 1.0f, 0.05f)
+      (i.toLong, l, base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f))
+    } :+ ((99L, 0, Array(0.0f, 1.0f, 0.0f)))
+    val got = graft.operators.Similarity.labelOutliers(
+        rows.toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label", topK = 5)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.head._1 == 99L, got.mkString(","))
+    // brute replay of the full ranking
+    def q(v: Float): BigInt = BigInt(math.floor(v.toDouble * 1024).toLong)
+    val sums = rows.groupBy(_._2).view.mapValues { vs =>
+      (0 until 3).map(d => vs.map(r => q(r._3(d))).sum)
+    }.toMap
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val brute = rows.map { case (id, l, v) =>
+      val s = sums(l)
+      val num = (0 until 3).map(d => q(v(d)) * s(d)).sum
+      val dq = (0 until 3).map(d => q(v(d)) * q(v(d))).sum
+      val ds = (0 until 3).map(d => s(d) * s(d)).sum
+      val ppm = if (dq > 0 && ds > 0)
+        num.signum * ((num * num * 1000000) / (dq * ds)).toLong else 0L
+      (id, l.toLong, counts(l), ppm)
+    }.sortBy(r => (r._4, r._1)).take(5)
+    assert(got.toSeq == brute, s"got=${got.toSeq} brute=$brute")
+  }
 }
