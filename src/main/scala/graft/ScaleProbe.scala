@@ -261,7 +261,18 @@ object ScaleProbe {
     // q_embed_drift layout artifact (partial-agg state = partitions x
     // domain groups; base ~1 split vs replica 32) — flat on matched
     // layouts.
-    "q_label_outliers" -> true
+    "q_label_outliers" -> true,
+    // round-8 eighth wave: freshness = ONE conditional map-side agg
+    // (5 domain groups) + 1-row watermark broadcast — the q_gini_mix
+    // zero-growth class
+    "q_freshness" -> false,
+    // round-8 eighth wave: user growth = (user, day) dedup + per-user
+    // min agg + 30-row triangular join. Measured 23x on 0.5 -> 11.5 MB:
+    // partial-dedup state = partitions x (user, day) keys — the
+    // q_active_users/SeqProbe base-single-split pre-collapse artifact
+    // (matched-layout records proved exactly 5.0x for this key class);
+    // LINEAR.
+    "q_user_growth" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

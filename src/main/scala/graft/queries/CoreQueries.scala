@@ -1968,6 +1968,85 @@ object CoreQueries {
     // mixing (Spatial.xMil/yMil) — exact in both engines, nothing float
     // to diverge, and scattered at all pair distances.
 
+    // Per-stream freshness census (the data-ops staleness monitor): per
+    // event_type, last-seen age vs the global watermark and the
+    // last-24h/previous-24h volume ratio — a stalled producer reads as
+    // age_us growing and ratio collapsing. One map-side conditional agg
+    // + a 1-row watermark broadcast.
+    Q("q_freshness",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        val wm = ev.agg(max(col("tus")).as("_wm"))
+        ev.crossJoin(broadcast(wm))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            max(col("tus")).as("last_ts_us"),
+            max(col("_wm")).as("_w"),
+            sum(when(col("tus") > col("_wm") - 86400000000L, 1L).otherwise(0L))
+              .as("n_last_day"),
+            sum(when(col("tus") <= col("_wm") - 86400000000L &&
+              col("tus") > col("_wm") - 172800000000L, 1L).otherwise(0L))
+              .as("n_prev_day"))
+          .select(col("event_type"), col("n_total"), col("last_ts_us"),
+            (col("_w") - col("last_ts_us")).as("age_us"),
+            col("n_last_day"), col("n_prev_day"),
+            when(col("n_prev_day") > 0,
+              expr("n_last_day * 1000000 DIV n_prev_day")).as("ratio_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+             |w AS (SELECT max(tus) AS wm FROM e)
+             |SELECT event_type, count(*) AS n_total,
+             |       CAST(max(tus) AS BIGINT) AS last_ts_us,
+             |       CAST(max(w.wm) - max(tus) AS BIGINT) AS age_us,
+             |       CAST(sum(CASE WHEN tus > w.wm - 86400000000 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_last_day,
+             |       CAST(sum(CASE WHEN tus <= w.wm - 86400000000
+             |                      AND tus > w.wm - 172800000000 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_prev_day,
+             |       CAST(CASE WHEN sum(CASE WHEN tus <= w.wm - 86400000000
+             |                      AND tus > w.wm - 172800000000 THEN 1 ELSE 0 END) > 0
+             |            THEN sum(CASE WHEN tus > w.wm - 86400000000 THEN 1 ELSE 0 END) * 1000000
+             |                 // sum(CASE WHEN tus <= w.wm - 86400000000
+             |                      AND tus > w.wm - 172800000000 THEN 1 ELSE 0 END)
+             |            END AS BIGINT) AS ratio_ppm
+             |FROM e, w GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Unique-entity growth curve: per day, active users, FIRST-SEEN
+    // users, and the running distinct total — the q_vocab_growth shape
+    // on the user axis (first-seen = ONE min-agg; the cumulative sum is
+    // a triangular join on the 30-row day frame, no global window).
+    Q("q_user_growth",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+        val active = ev.distinct()
+          .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+        val wn = active.join(firstDay, Seq("day"), "left").na.fill(0L, Seq("n_new"))
+        val cum = wn.select(col("day").as("_d"), col("n_new").as("_n"))
+        wn.join(cum, col("_d") <= col("day"))
+          .groupBy(col("day"))
+          .agg(max(col("n_active")).as("n_active"), max(col("n_new")).as("n_new"),
+            sum(col("_n")).as("cum_users"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+             |                  epoch_us(ts) // 86400000000 AS day
+             |           FROM events),
+             |fd AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+             |nn AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1),
+             |ac AS (SELECT day, count(*) AS n_active FROM e GROUP BY 1),
+             |wn AS (SELECT ac.day, ac.n_active, coalesce(nn.n_new, 0) AS n_new
+             |       FROM ac LEFT JOIN nn USING (day))
+             |SELECT a.day AS day, CAST(max(a.n_active) AS BIGINT) AS n_active,
+             |       CAST(max(a.n_new) AS BIGINT) AS n_new,
+             |       CAST(sum(b.n_new) AS BIGINT) AS cum_users
+             |FROM wn a JOIN wn b ON b.day <= a.day
+             |GROUP BY 1 ORDER BY a.day""".stripMargin)),
+
     // Holt double-exponential smoothing (level + trend, α = β = 1/4):
     // the trend-aware sibling of q_ewma_anomaly — a drifting series
     // makes a plain EWMA lag systematically; Holt's trend state tracks
