@@ -377,7 +377,11 @@ object ScaleProbe {
     "q_cc_incremental",
     // containment prefix: k_A rarest shingles × inverted index — the
     // rotated-alphabet replica keeps cross-copy shingles disjoint
-    "q_containment"
+    "q_containment",
+    // round-8 eighth wave: cluster-diameter audit = the q_split_safe
+    // pipeline (verified pairs + CC) + one id-keyed component join and
+    // an O(clusters) verdict agg
+    "q_cluster_diameter"
   )
 
   /** Per-query conf pins for the probe. ppjoin's verify joins fit under

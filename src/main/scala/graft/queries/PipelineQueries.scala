@@ -117,7 +117,7 @@ object PipelineQueries {
   /** The verified near-dup PAIR frame (minhash-LSH candidates → exact
     * Jaccard ≥ threshold), shared by the cluster queries and the
     * incremental-CC query. */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def minhashPairsSim(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.documents(s, dir)
       .withColumn("_toks", TextAnalysis.tokens(col("text")))
     val sh = docs.repartition(col("doc_id"))
@@ -128,9 +128,14 @@ object PipelineQueries {
         sig, "doc_id", Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand))
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .filter(graft.functions.SetOps.jaccardPpmCol(col("sh_a"), col("sh_b")) >= JaccardThresholdPpm)
-      .select(col("id_a"), col("id_b"))
+      .withColumn("jaccard_ppm",
+        graft.functions.SetOps.jaccardPpmCol(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_ppm") >= JaccardThresholdPpm)
+      .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
   }
+
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    minhashPairsSim(s, dir).select(col("id_a"), col("id_b"))
 
   private def minhashClusters(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
@@ -482,6 +487,41 @@ object PipelineQueries {
       Some(s"""$duckClusters
               |SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS cluster_size
               |FROM comp ORDER BY doc_id""".stripMargin)),
+
+    // Transitive-cluster quality audit: per near-dup cluster, the
+    // weakest verified edge (min pairwise Jaccard). Transitivity is THE
+    // known near-dup-cluster failure mode — A~B~C chains collapse docs
+    // that never matched each other; a big cluster whose min edge sits
+    // at the threshold is a chain, not a family. Edges join their
+    // component via one id-keyed join; the verdict is O(clusters).
+    Q("q_cluster_diameter",
+      (s, dir) => minhashPairsSim(s, dir)
+        .join(minhashClusters(s, dir)
+          .select(col("doc_id").as("id_a"), col("component"), col("cluster_size")),
+          Seq("id_a"))
+        .groupBy(col("component"))
+        .agg(max(col("cluster_size")).as("cluster_size"),
+          count(lit(1)).as("n_edges"),
+          min(col("jaccard_ppm")).as("min_sim_ppm"),
+          max(col("jaccard_ppm")).as("max_sim_ppm"))
+        .orderBy("component"),
+      Some(s"""$duckClusters,
+              |ps AS (
+              |  SELECT a.doc_id AS id_a,
+              |         CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |              / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS j
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |             / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= $JaccardThresholdPpm
+              |),
+              |cs AS (SELECT component, count(*) AS n FROM comp GROUP BY 1)
+              |SELECT c.component AS component,
+              |       CAST(max(cs.n) AS BIGINT) AS cluster_size,
+              |       count(*) AS n_edges,
+              |       min(ps.j) AS min_sim_ppm, max(ps.j) AS max_sim_ppm
+              |FROM ps JOIN comp c ON ps.id_a = c.doc_id
+              |JOIN cs ON c.component = cs.component
+              |GROUP BY 1 ORDER BY c.component""".stripMargin)),
 
     // INCREMENTAL connected components: the same cluster listing as
     // q_dedup_clusters, computed by a different plan — docs with
