@@ -131,6 +131,44 @@ object StoreQueries {
              |FROM st WHERE rn = 1 AND op <> 'D'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Checkpoint + vacuum on the merge-on-read log (Delta OPTIMIZE +
+    // VACUUM): compact history ≤ v1 into one checkpoint dir, then prove
+    // reads at asOf ≥ v1 are unchanged — the replay depth is now
+    // bounded by (checkpoint + commits since), the production cadence
+    // for an unbounded commit log. Idempotent: re-running the vacuum
+    // re-checkpoints the same state.
+    Q("q_log_vacuum",
+      (s, dir) => {
+        val path = ensureVersionedCustLog2(s, dir)
+        MergeStore.checkpointAndVacuum(s, path, upTo = 1, Seq("k"))
+        (1 to 2).map { v =>
+          MergeStore.readAsOf(s, path, v, Seq("k"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("bal_mils")).as("sum_bal_mils"))
+            .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_bal_mils"))
+        }.reduce(_.unionByName(_)).orderBy("version")
+      },
+      Some("""WITH base AS (SELECT c_custkey AS k,
+             |                     CAST(floor(c_acctbal * 1000) AS BIGINT) AS bal
+             |              FROM customer),
+             |log AS (
+             |  SELECT 0 AS v, 'U' AS op, k, bal FROM base
+             |  UNION ALL
+             |  SELECT 1, 'U', k, bal + 100000 FROM base WHERE k % 7 = 0
+             |  UNION ALL
+             |  SELECT 1, 'D', k, NULL FROM base WHERE k % 13 = 0 AND k % 7 <> 0
+             |  UNION ALL
+             |  SELECT 2, 'U', k, bal + 50000 FROM base WHERE k % 5 = 0),
+             |st AS (SELECT a.av, l.k, l.op, l.bal,
+             |              row_number() OVER (PARTITION BY a.av, l.k
+             |                                 ORDER BY l.v DESC) AS rn
+             |       FROM (SELECT unnest([1, 2]) AS av) a
+             |       JOIN log l ON l.v <= a.av)
+             |SELECT CAST(av AS BIGINT) AS version,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(bal) AS BIGINT) AS sum_bal_mils
+             |FROM st WHERE rn = 1 AND op <> 'D'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // CDC snapshot diff: the I/U/D change feed between two keyed store
     // versions, for stores with no transaction log (plain parquet).
     // Deterministic versions derived from customer: v_old = keys %3≠0,
@@ -1070,13 +1108,22 @@ object StoreQueries {
              |FROM events ORDER BY event_id""".stripMargin))
   )
 
+  /** Second, independent commit log for q_log_vacuum (the vacuum
+    * MUTATES its log — it must not share q_time_travel's store). */
+  private def ensureVersionedCustLog2(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ensureCustLog(s, dir, s"${SnapshotStore.root}/custlog2_${Paths.get(dir).getFileName}")
+
   /** Idempotent three-commit versioned customer log for q_time_travel
     * (the SnapshotStore.ensure* pattern: build once per JVM+disk
     * lifetime, keyed by a sentinel; partial builds from a killed JVM are
     * wiped and rebuilt). */
   private def ensureVersionedCustLog(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = synchronized {
-    val path = s"${SnapshotStore.root}/custlog_${Paths.get(dir).getFileName}"
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ensureCustLog(s, dir, s"${SnapshotStore.root}/custlog_${Paths.get(dir).getFileName}")
+
+  private def ensureCustLog(
+      s: org.apache.spark.sql.SparkSession, dir: String, path: String): String = synchronized {
     val done = java.nio.file.Paths.get(path, "_GRAFT_COMMITS_DONE")
     if (!java.nio.file.Files.exists(done)) {
       SnapshotStore.deleteRecursively(new java.io.File(path))

@@ -81,6 +81,44 @@ object MergeStore {
       .drop("_rn", "commit_v", "_op")
   }
 
+  /** Checkpoint-and-vacuum for the [[writeCommit]] log — the Delta
+    * OPTIMIZE + VACUUM contract: materialize the reconstructed state
+    * `VERSION AS OF upTo` as ONE compacted commit directory replacing
+    * every commit ≤ upTo. Reads at asOf ≥ upTo are bit-identical before
+    * and after (the checkpoint row set IS the replay result); history
+    * BELOW the checkpoint is gone — readAsOf(asOf < upTo) afterwards
+    * sees no commits, exactly Delta's post-VACUUM time-travel horizon.
+    *
+    * Why it matters at scale: an as-of read replays every surviving
+    * commit dir; an unbounded log makes the rank-1 window read O(total
+    * history). Periodic checkpoints bound the replay depth to
+    * (1 checkpoint + commits since), which is the production cadence.
+    * The swap is staged (write to a `<path>_ckpt_tmp` dir, then delete
+    * old commit dirs and move the staging dir in) so a crashed
+    * checkpoint never corrupts surviving history — the staging dir name
+    * is outside the log path and invisible to readers. */
+  def checkpointAndVacuum(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      upTo: Int,
+      keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    require(upTo >= 0, s"upTo must be >= 0: $upTo")
+    val state = readAsOf(spark, path, upTo, keyCols).withColumn("_op", lit("U"))
+    val tmp = path + "_ckpt_tmp"
+    state.write.mode("overwrite").parquet(tmp)
+    val dirs = new java.io.File(path).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("commit_v="))
+      .filter(f => f.getName.stripPrefix("commit_v=").toInt <= upTo)
+    dirs.foreach(SnapshotStore.deleteRecursively)
+    val target = new java.io.File(path, s"commit_v=$upTo")
+    require(new java.io.File(tmp).renameTo(target),
+      s"checkpoint rename failed: $tmp -> $target")
+    // the staged dir's _SUCCESS/_metadata ride along harmlessly inside
+    // the partition dir (hidden `_` files are skipped by readers)
+    ()
+  }
+
   /** CDC between two snapshots of a keyed table: one row per changed key
     * with op ∈ I (new key), U (same key, different compared value), D
     * (key gone) — the change feed a downstream MERGE or audit consumes

@@ -413,4 +413,34 @@ class StoreSpec extends SparkSpec {
         f.selectedPartitions.partitionCount }.foldLeft(0)(_ + _)
     assert(scanned == 2, s"expected 2 pruned-in partitions, got $scanned")
   }
+
+  test("checkpointAndVacuum: reads above the horizon unchanged, history below gone, idempotent") {
+    import graft.store.MergeStore
+    val path = java.nio.file.Files.createTempDirectory("graft_vac").toString + "/log"
+    MergeStore.writeCommit(
+      Seq((1L, 10L, "U"), (2L, 20L, "U"), (3L, 30L, "U")).toDF("k", "x", "_op"), path, 0)
+    MergeStore.writeCommit(
+      Seq((1L, 11L, "U"), (3L, 0L, "D")).toDF("k", "x", "_op"), path, 1)
+    MergeStore.writeCommit(
+      Seq((2L, 22L, "U")).toDF("k", "x", "_op"), path, 2)
+    def state(v: Int): Map[Long, Long] =
+      MergeStore.readAsOf(spark, path, v, Seq("k"))
+        .as[(Long, Long)].collect().toMap
+    val (s1, s2) = (state(1), state(2))
+    def dirs(): Seq[String] = new java.io.File(path).listFiles.toSeq
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs() == Seq("commit_v=0", "commit_v=1", "commit_v=2"), dirs().toString)
+
+    MergeStore.checkpointAndVacuum(spark, path, upTo = 1, Seq("k"))
+    assert(dirs() == Seq("commit_v=1", "commit_v=2"), dirs().toString)
+    // reads at/above the horizon are bit-identical
+    assert(state(1) == s1 && state(2) == s2, s"${state(1)} / ${state(2)}")
+    // the delete tombstone was RESOLVED into the checkpoint (k=3 absent,
+    // not re-shadowed), and history below the horizon is vacuumed
+    assert(!state(1).contains(3L))
+    assert(state(0).isEmpty, state(0).toString)
+    // idempotent re-run
+    MergeStore.checkpointAndVacuum(spark, path, upTo = 1, Seq("k"))
+    assert(dirs() == Seq("commit_v=1", "commit_v=2") && state(2) == s2)
+  }
 }
