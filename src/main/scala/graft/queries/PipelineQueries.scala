@@ -3631,6 +3631,45 @@ object PipelineQueries {
              |       coalesce(sel.sel_id_max, -1) AS sel_id_max
              |FROM q LEFT JOIN sel USING (lang) ORDER BY lang""".stripMargin)),
 
+    // Tokenizer-efficiency audit: per-language BPE FERTILITY
+    // (subword tokens per word, ppm) and tokens-per-kilochar under the
+    // corpus-learned merges — the multilingual-fairness metric a
+    // tokenizer team tracks (a language with inflated fertility pays
+    // more context window per sentence). Reuses the learned-vocab
+    // encode; one per-lang rollup on top.
+    Q("q_bpe_ratio",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Bpe.encode(docs, "doc_id", "text", Bpe.learn(docs, "text", BpeMerges)._2)
+          .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+            sum(col("n_chars")).as("n_chars"))
+          .withColumn("fertility_ppm",
+            expr("n_bpe_tokens * 1000000 DIV n_words"))
+          .withColumn("tok_per_kchar",
+            expr("n_bpe_tokens * 1000 DIV n_chars"))
+          .orderBy("lang")
+      },
+      Some(bpeChain(BpeMerges) + s""",
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT word,
+        |             CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS nsym
+        |      FROM w$BpeMerges),
+        |enc AS (SELECT doc_id, count(*) AS n_words, sum(nsym) AS n_bpe
+        |        FROM tok JOIN v USING (word) GROUP BY 1),
+        |j AS (SELECT d.lang, enc.n_words, enc.n_bpe, d.n_chars
+        |      FROM enc JOIN documents d USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_words) AS BIGINT) AS n_words,
+        |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       CAST(sum(n_bpe) * 1000000 // sum(n_words) AS BIGINT) AS fertility_ppm,
+        |       CAST(sum(n_bpe) * 1000 // sum(n_chars) AS BIGINT) AS tok_per_kchar
+        |FROM j GROUP BY 1 ORDER BY lang""".stripMargin)),
+
     Q("q_bpe_encode",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
