@@ -272,7 +272,11 @@ object ScaleProbe {
     // q_active_users/SeqProbe base-single-split pre-collapse artifact
     // (matched-layout records proved exactly 5.0x for this key class);
     // LINEAR.
-    "q_user_growth" -> true
+    "q_user_growth" -> true,
+    // round-8 eighth wave: both delivery audits = ONE per-user ordered
+    // window (the q_traj_velocity shape) + a 5-group verdict agg
+    "q_event_dups" -> false,
+    "q_ooo_events" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

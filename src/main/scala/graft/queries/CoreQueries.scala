@@ -1968,6 +1968,75 @@ object CoreQueries {
     // mixing (Spatial.xMil/yMil) — exact in both engines, nothing float
     // to diverge, and scattered at all pair distances.
 
+    // Ingestion-duplicate census (at-least-once delivery audit): events
+    // of the same (user, type) within 1 s of the previous one are
+    // re-delivery suspects. ONE per-(user, type) ordered window (lag);
+    // the verdict is per-type counts + ppm.
+    Q("q_event_dups",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("tus"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("_prev", lag(col("tus"), 1).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("_prev").isNotNull && col("tus") - col("_prev") <= 1000000L, 1L)
+              .otherwise(0L)).as("n_dup_suspects"))
+          .withColumn("dup_ppm", expr("n_dup_suspects * 1000000 DIV n_events"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+             |           FROM events),
+             |l AS (SELECT event_type, tus,
+             |             lag(tus) OVER (PARTITION BY user_id, event_type
+             |                            ORDER BY tus, event_id) AS prev
+             |      FROM e)
+             |SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(CASE WHEN prev IS NOT NULL AND tus - prev <= 1000000
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_suspects,
+             |       CAST(sum(CASE WHEN prev IS NOT NULL AND tus - prev <= 1000000
+             |                THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+             |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Out-of-order-delivery census — the watermark-tuning input: an
+    // event is OOO if its event time precedes the running max event
+    // time of the SAME user's earlier arrivals (event_id = arrival
+    // order), and the max observed lateness bounds the watermark delay
+    // a streaming job needs. One per-user arrival-ordered window.
+    Q("q_ooo_events",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("_hwm", max(col("tus")).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("_hwm").isNotNull && col("tus") < col("_hwm"), 1L)
+              .otherwise(0L)).as("n_ooo"),
+            max(when(col("_hwm").isNotNull && col("tus") < col("_hwm"),
+              col("_hwm") - col("tus")).otherwise(0L)).as("max_lateness_us"))
+          .withColumn("ooo_ppm", expr("n_ooo * 1000000 DIV n_events"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+             |           FROM events),
+             |l AS (SELECT event_type, tus,
+             |             max(tus) OVER (PARTITION BY user_id ORDER BY event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+             |      FROM e)
+             |SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(CASE WHEN hwm IS NOT NULL AND tus < hwm
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_ooo,
+             |       CAST(max(CASE WHEN hwm IS NOT NULL AND tus < hwm
+             |                THEN hwm - tus ELSE 0 END) AS BIGINT) AS max_lateness_us,
+             |       CAST(sum(CASE WHEN hwm IS NOT NULL AND tus < hwm
+             |                THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS ooo_ppm
+             |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // Per-stream freshness census (the data-ops staleness monitor): per
     // event_type, last-seen age vs the global watermark and the
     // last-24h/previous-24h volume ratio — a stalled producer reads as
