@@ -135,7 +135,12 @@ object Scratch {
       "q_seq_pairs" -> "seq-pair support: one (user,type) min/max agg replaces any ordered scan; per-user <=|types|^2 pair join on the span frame",
       "q_time_travel" -> "time travel: commit_v PartitionFilters prune newer commits AT THE SCAN; rank-1 window reconstruction per as-of read",
       "q_rolling_median" -> "rolling median: one entity Exchange; trailing RANGE frame collect + row-local sort/select",
-      "q_funnel_time" -> "funnel time: user-keyed aggs + join, then the 2-pass exact selection (no global sort, no single-partition window)")
+      "q_funnel_time" -> "funnel time: user-keyed aggs + join, then the 2-pass exact selection (no global sort, no single-partition window)",
+      "q_fuzzy_join2" -> "ed2 fuzzy join: depth-2 deletion-neighborhood equi-join on the staged variant frame, thresholded levenshtein verify per distinct pair",
+      "q_time_travel" -> "time travel: commit_v<=asOf PartitionFilters prune newer commit dirs at the scan; rank-1 window replay",
+      "q_cluster_diameter" -> "cluster diameter: verified pair frame joins its component once on id; O(clusters) verdict agg",
+      "q_blob_stats" -> "blob QC: hex materialized once, per-byte explode map-side-combines to <=256 rows/blob — content never shuffles",
+      "q_ooo_events" -> "OOO census: ONE per-user arrival-ordered running-max window + 5-group verdict agg")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
