@@ -276,7 +276,15 @@ object ScaleProbe {
     // round-8 eighth wave: both delivery audits = ONE per-user ordered
     // window (the q_traj_velocity shape) + a 5-group verdict agg
     "q_event_dups" -> false,
-    "q_ooo_events" -> false
+    "q_ooo_events" -> false,
+    // round-8 ninth wave: trending terms = one (period, term) count agg
+    // + two per-period vocab windows + term join + TakeOrdered — vocab
+    // constant across verbatim copies (the q_chi2_terms class)
+    "q_trending_terms" -> false,
+    // round-8 ninth wave: winsorize = the q_exact_quantiles 2-pass
+    // selection + one map-side census agg — same domain-bounded
+    // histogram state (flag inherited if the raw ratio inflates)
+    "q_winsorize" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -1968,6 +1968,43 @@ object CoreQueries {
     // mixing (Spatial.xMil/yMil) — exact in both engines, nothing float
     // to diverge, and scattered at all pair distances.
 
+    // Winsorization census — the robust-preprocessing audit: clip event
+    // values at the EXACT nearest-rank p1/p99 (2-pass selection, no
+    // global sort) and report what clipping changes (clipped counts,
+    // sum before/after). The bounds are observed values, so the report
+    // is integer-exact end to end.
+    Q("q_winsorize",
+      (s, dir) => {
+        val v = Tables.events(s, dir)
+          .select(floor(col("value") * 1000).cast("long").as("v"))
+        val qs = Stats.exactQuantilesSelect(v, "v", Seq(1, 99), binWidth = 1000L)
+        val b = qs.agg(
+          max(when(col("pct") === 1, col("v"))).as("lo"),
+          max(when(col("pct") === 99, col("v"))).as("hi"))
+        v.crossJoin(broadcast(b))
+          .agg(count(lit(1)).as("n"),
+            max(col("lo")).as("p1_mils"), max(col("hi")).as("p99_mils"),
+            sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+            sum(col("v")).as("sum_mils"),
+            sum(greatest(least(col("v"), col("hi")), col("lo"))).as("sum_winsor_mils"))
+      },
+      Some("""WITH v AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             |             count(*) OVER () AS n
+             |      FROM v),
+             |b AS (SELECT max(CASE WHEN rn = (n * 1 + 99) // 100 THEN v END) AS lo,
+             |             max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS hi
+             |      FROM r)
+             |SELECT count(*) AS n,
+             |       CAST(max(b.lo) AS BIGINT) AS p1_mils,
+             |       CAST(max(b.hi) AS BIGINT) AS p99_mils,
+             |       CAST(sum(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             |       CAST(sum(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+             |       CAST(sum(v.v) AS BIGINT) AS sum_mils,
+             |       CAST(sum(greatest(least(v.v, b.hi), b.lo)) AS BIGINT) AS sum_winsor_mils
+             |FROM v, b""".stripMargin)),
+
     // Ingestion-duplicate census (at-least-once delivery audit): events
     // of the same (user, type) within 1 s of the previous one are
     // re-delivery suspects. ONE per-(user, type) ordered window (lag);

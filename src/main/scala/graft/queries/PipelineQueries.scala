@@ -1719,6 +1719,45 @@ object PipelineQueries {
              |       END AS ratio_ppm
              |FROM cnt, t ORDER BY ratio_ppm DESC, term""".stripMargin)),
 
+    // Trending-terms detector: biggest frequency-RANK movers between
+    // the early and late corpus halves (doc_id parity plays the time
+    // axis) — the drift diagnostic editors actually read (rank space is
+    // scale-free; raw counts just measure corpus growth). Per-period
+    // ranks are per-period windows over the vocab frame (period is the
+    // partition key — never a global window); ties by term; top-20 by
+    // |Δrank| then term.
+    Q("q_trending_terms",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select((col("doc_id") % 2).as("period"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("period"), col("term")).agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("period")).orderBy(col("n").desc, col("term"))
+        val ranked = tok.withColumn("rank", row_number().over(w).cast("long"))
+        ranked.filter(col("period") === 0)
+          .select(col("term"), col("n").as("n_early"), col("rank").as("rank_early"))
+          .join(ranked.filter(col("period") === 1)
+            .select(col("term"), col("n").as("n_late"), col("rank").as("rank_late")),
+            Seq("term"))
+          .withColumn("abs_drank", abs(col("rank_early") - col("rank_late")))
+          .orderBy(col("abs_drank").desc, col("term"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (SELECT doc_id % 2 AS period,
+             |                    unnest(string_split(text, ' ')) AS term
+             |             FROM documents),
+             |c AS (SELECT period, term, count(*) AS n FROM tok GROUP BY 1, 2),
+             |r AS (SELECT period, term, n,
+             |             row_number() OVER (PARTITION BY period
+             |                                ORDER BY n DESC, term) AS rank
+             |      FROM c)
+             |SELECT a.term AS term, a.n AS n_early, a.rank AS rank_early,
+             |       b.n AS n_late, b.rank AS rank_late,
+             |       abs(a.rank - b.rank) AS abs_drank
+             |FROM r a JOIN r b ON a.term = b.term AND a.period = 0 AND b.period = 1
+             |ORDER BY abs_drank DESC, a.term LIMIT 20""".stripMargin)),
+
     // Vocabulary-growth (Heaps-law novelty) census across ingest
     // batches (doc_id % 10): per batch, bigram occurrences, bigrams
     // never seen earlier, running vocabulary, novelty ppm. First-
