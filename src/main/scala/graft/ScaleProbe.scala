@@ -284,7 +284,11 @@ object ScaleProbe {
     // round-8 ninth wave: winsorize = the q_exact_quantiles 2-pass
     // selection + one map-side census agg — same domain-bounded
     // histogram state (flag inherited if the raw ratio inflates)
-    "q_winsorize" -> false
+    "q_winsorize" -> false,
+    // round-8 ninth wave: isotonic = ONE data-sized (bin) agg; the
+    // minimax interval frame and max-min aggs are O(bins^3) rows over
+    // ~100 DOMAIN-bounded bins — input-size-independent
+    "q_isotonic" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

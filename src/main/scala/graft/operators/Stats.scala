@@ -524,6 +524,55 @@ object Stats {
         col("support_ppm"))
   }
 
+  /** Exact isotonic calibration curve (probability calibration — the
+    * reliability-diagram repair step before thresholding a score): fit
+    * the monotone-non-decreasing rate curve over score bins that
+    * minimizes weighted squared error. Instead of the SEQUENTIAL
+    * pool-adjacent-violators stack (a driver loop, or a fold that
+    * cannot parallelize), this uses the MINIMAX characterization of
+    * the isotonic fit:
+    *
+    *   fit_i = max_{j ≤ i} min_{k ≥ i} mean(y over bins j..k)
+    *
+    * which is pure relational algebra over the BIN frame — and bins are
+    * domain-bounded, so the O(bins²) interval frame and O(bins³) rows
+    * that realize the max-min are tiny at any corpus size. The ONE
+    * data-sized pass is the (bin) aggregation.
+    *
+    * ENGINE-EXACT: interval means are floor-ppm integers
+    * (Σpos·10⁶ DIV Σn), and floor is monotone so it commutes with both
+    * the min and the max — the emitted fit_ppm equals the floor-ppm of
+    * the true rational PAVA fit (per-bin pooled-block mean) exactly.
+    * Empty bins never appear (they carry no evidence, the standard
+    * isotonic convention); the fit is non-decreasing in the bin order
+    * by construction.
+    *
+    * Input: rows with (bin, pos ∈ {0, 1}). Output: one row per
+    * non-empty bin — (bin, n, n_pos, raw_ppm, iso_ppm). */
+  def isotonicCalibration(
+      df: DataFrame,
+      binCol: Column,
+      posCol: Column): DataFrame = {
+    val bins = df.select(binCol.as("bin"), posCol.cast("long").as("_p"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_p")).as("n_pos"))
+    val b = bins.select(col("bin").as("_b"), col("n").as("_n"),
+      col("n_pos").as("_np"))
+    val ivals = b.select(col("_b").as("_j"))
+      .join(b.select(col("_b").as("_k")), col("_j") <= col("_k"))
+      .join(b, col("_b") >= col("_j") && col("_b") <= col("_k"))
+      .groupBy(col("_j"), col("_k"))
+      .agg(expr("sum(_np) * 1000000 DIV sum(_n)").as("_mean_ppm"))
+    val mins = ivals
+      .join(b.select(col("_b").as("_i")),
+        col("_j") <= col("_i") && col("_k") >= col("_i"))
+      .groupBy(col("_i"), col("_j")).agg(min(col("_mean_ppm")).as("_mn"))
+    val fit = mins.groupBy(col("_i")).agg(max(col("_mn")).as("iso_ppm"))
+    bins.join(fit, col("bin") === col("_i"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 DIV n").as("raw_ppm"), col("iso_ppm"))
+  }
+
   /** Two-sample pooled-variance t² per metric — the A/B-experiment
     * readout: entities split into variants by a deterministic id hash,
     * per-entity metric totals compared between variants. Reported as

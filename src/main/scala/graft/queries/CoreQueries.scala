@@ -1968,6 +1968,38 @@ object CoreQueries {
     // mixing (Spatial.xMil/yMil) — exact in both engines, nothing float
     // to diverge, and scattered at all pair distances.
 
+    // Exact isotonic calibration of p(purchase | value bin) — the
+    // reliability-curve repair before thresholding a score. Uses the
+    // MINIMAX characterization (fit_i = max_{j<=i} min_{k>=i} interval
+    // mean) over the domain-bounded bin frame — pure relational
+    // algebra, no sequential PAVA stack, no driver loop; floor-ppm
+    // commutes with min/max so the output equals the floored rational
+    // PAVA fit exactly.
+    Q("q_isotonic",
+      (s, dir) => Stats.isotonicCalibration(
+          Tables.events(s, dir),
+          expr("CAST(floor(value * 1000) AS BIGINT) DIV 5000"),
+          (col("event_type") === "purchase").cast("long"))
+        .orderBy("bin"),
+      Some("""WITH r AS (SELECT CAST(floor(value * 1000) AS BIGINT) // 5000 AS bin,
+             |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             |           FROM events),
+             |bins AS (SELECT bin, count(*) AS n, sum(p) AS np FROM r GROUP BY 1),
+             |iv AS (SELECT j.bin AS j, k.bin AS k,
+             |              sum(m.np) * 1000000 // sum(m.n) AS mean_ppm
+             |       FROM bins j JOIN bins k ON j.bin <= k.bin
+             |       JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+             |       GROUP BY 1, 2),
+             |mn AS (SELECT i.bin AS i, iv.j, min(iv.mean_ppm) AS mn
+             |       FROM iv JOIN bins i ON iv.j <= i.bin AND iv.k >= i.bin
+             |       GROUP BY 1, 2),
+             |fit AS (SELECT i, max(mn) AS iso FROM mn GROUP BY 1)
+             |SELECT b.bin AS bin, CAST(b.n AS BIGINT) AS n,
+             |       CAST(b.np AS BIGINT) AS n_pos,
+             |       CAST(b.np * 1000000 // b.n AS BIGINT) AS raw_ppm,
+             |       CAST(f.iso AS BIGINT) AS iso_ppm
+             |FROM bins b JOIN fit f ON b.bin = f.i ORDER BY bin""".stripMargin)),
+
     // Winsorization census — the robust-preprocessing audit: clip event
     // values at the EXACT nearest-rank p1/p99 (2-pass selection, no
     // global sort) and report what clipping changes (clipped counts,

@@ -698,6 +698,69 @@ class OperatorsSpec extends SparkSpec {
     assert(got == (("c->p", 4L, 1L, 1L, 250000L, 3L, 2L)), got.toString)
   }
 
+  test("isotonicCalibration: hand-pooled violators, already-monotone passthrough") {
+    import graft.operators.Stats
+    // bins 0..2 with rates 500000, 250000, 750000 and weights 2,2,2:
+    // bins 0 and 1 violate -> pool to (1+0+... ) pos=(1,0)? build:
+    // bin0: 2 rows 1 pos; bin1: 2 rows 0 pos; bin2: 2 rows 2 pos
+    // PAVA pools bins 0-1: mean 1/4 -> fit 250000, 250000, 1000000
+    val rows = Seq(
+      (0L, 1L), (0L, 0L), (1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L))
+      .toDF("b", "p")
+    val got = Stats.isotonicCalibration(rows, $"b", $"p")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 500000L, 250000L),
+      (1L, 2L, 0L, 0L, 250000L),
+      (2L, 2L, 2L, 1000000L, 1000000L)), got.toString)
+    // already-monotone input is untouched
+    val mono = Seq((0L, 0L), (0L, 0L), (1L, 1L), (1L, 0L), (2L, 1L))
+      .toDF("b", "p")
+    val got2 = Stats.isotonicCalibration(mono, $"b", $"p")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    got2.foreach(r => assert(r._4 == r._5, got2.toString))
+  }
+
+  test("isotonicCalibration equals brute PAVA (floored), fit always non-decreasing") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 800).map { _ =>
+      val b = rnd.nextInt(12).toLong
+      // rate loosely rises with b but with noise -> real violators
+      (b, if (rnd.nextInt(14) < b + 2) 1L else 0L)
+    }
+    val got = Stats.isotonicCalibration(rows.toDF("b", "p"), $"b", $"p")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // brute PAVA over (n, pos) blocks; emit floor-ppm of pooled means
+    val bins = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, rs) =>
+      (b, rs.size.toLong, rs.map(_._2).sum)
+    }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    bins.foreach { blk =>
+      var cur = blk
+      while (stack.nonEmpty && {
+        val top = stack.last
+        // top.rate >= cur.rate  <=>  top.pos * cur.n >= cur.pos * top.n
+        BigInt(top._3) * cur._2 >= BigInt(cur._3) * top._2
+      }) { val top = stack.remove(stack.size - 1)
+           cur = (top._1, top._2 + cur._2, top._3 + cur._3) }
+      stack += cur
+    }
+    val pavaFit = scala.collection.mutable.Map.empty[Long, Long]
+    var idx = 0
+    stack.foreach { case (_, n, pos) =>
+      val ppm = (BigInt(pos) * 1000000 / n).toLong
+      // the block covers the next consecutive original bins totaling n rows
+      var left = n
+      while (left > 0) { pavaFit(bins(idx)._1) = ppm; left -= bins(idx)._2; idx += 1 }
+    }
+    got.foreach { case (b, _, _, _, iso) =>
+      assert(iso == pavaFit(b), s"bin $b: got $iso want ${pavaFit(b)}")
+    }
+    got.sliding(2).foreach { case Seq(a, c) =>
+      assert(a._5 <= c._5, s"fit not monotone: $got") }
+  }
+
   test("fkAudit: clean relationship reports all-zero defects") {
     import graft.operators.Expectations
     val child = Seq(1L, 2L, 2L).toDF("fk")
