@@ -140,7 +140,9 @@ object Scratch {
       "q_time_travel" -> "time travel: commit_v<=asOf PartitionFilters prune newer commit dirs at the scan; rank-1 window replay",
       "q_cluster_diameter" -> "cluster diameter: verified pair frame joins its component once on id; O(clusters) verdict agg",
       "q_blob_stats" -> "blob QC: hex materialized once, per-byte explode map-side-combines to <=256 rows/blob — content never shuffles",
-      "q_ooo_events" -> "OOO census: ONE per-user arrival-ordered running-max window + 5-group verdict agg")
+      "q_ooo_events" -> "OOO census: ONE per-user arrival-ordered running-max window + 5-group verdict agg",
+      "q_isotonic" -> "isotonic calibration: ONE data-sized bin agg; minimax interval frame + max-min aggs all domain-bounded (no PAVA stack, no driver loop)",
+      "q_winsorize" -> "winsorize: 2-pass exact p1/p99 selection + one map-side census agg against the 1-row broadcast bounds")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
