@@ -288,7 +288,14 @@ object ScaleProbe {
     // round-8 ninth wave: isotonic = ONE data-sized (bin) agg; the
     // minimax interval frame and max-min aggs are O(bins^3) rows over
     // ~100 DOMAIN-bounded bins — input-size-independent
-    "q_isotonic" -> false
+    "q_isotonic" -> false,
+    // round-8 ninth wave: Mann-Whitney = the q_abtest (type, user)
+    // totals pass + one per-type rank window + tie census. Measured
+    // 29x on 0.6 -> 17.4 MB: the SAME (type, user)-keyed data pass the
+    // SeqProbe matched-layout run proved linear (records exactly 5.0x
+    // on 32-split-matched layouts) — base-single-split pre-collapse
+    // artifact, LINEAR.
+    "q_mann_whitney" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -524,6 +524,67 @@ object Stats {
         col("support_ppm"))
   }
 
+  /** Mann–Whitney U rank-sum test per metric group — [[abTestT2]]'s
+    * NONPARAMETRIC companion (one whale user moves a mean; ranks shrug).
+    * Variants by entity parity; the test statistic is exact integer end
+    * to end:
+    *
+    *  - doubled tie-averaged ranks r2(v) = 2·rank(v) + (eq(v) − 1)
+    *    (rank = first rank of the tie group — one per-group window);
+    *  - U2 = Σ_{variant0} r2 − n0(n0+1)  (= 2U);
+    *  - normal-approximation z² with the TIE-CORRECTED variance,
+    *    divisions cleared:
+    *      z2_ppm = ⌊10⁶·3·(U2 − n0n1)²·N(N−1) /
+    *               (n0n1·(N(N−1)(N+1) − Σ(t³−t)))⌋
+    *    — one DECIMAL(38,0) floor-division; direction ships as
+    *    sign(U2 − n0n1). All-tied groups (zero corrected variance)
+    *    report NULL.
+    *
+    * DECIMAL(38,0) bound: the z² numerator is ~(n0n1)²·N²·10⁶ — exact
+    * to ~10⁵ entities per group; past that pre-stratify (e.g. per day)
+    * and combine, the rank test is group-local anyway.
+    *
+    * Scale shape: one (group, entity) totals agg (data-sized), one
+    * per-group value window for ranks (group is the partition key),
+    * one (group, value) tie census, one moment rollup. Output:
+    * (g, n0, n1, u2, dir_sign, z2_ppm). */
+  def mannWhitneyU(
+      df: DataFrame,
+      groupCol: Column,
+      entityCol: Column,
+      valueCol: Column): DataFrame = {
+    val per = df.select(groupCol.as("_g"), entityCol.as("_e"), valueCol.as("_x"))
+      .groupBy(col("_g"), col("_e"))
+      .agg(sum(col("_x")).as("_t"))
+      .withColumn("_v0", (col("_e") % 2 === 0).cast("long"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_t"))
+    val wEq = Window.partitionBy(col("_g"), col("_t"))
+    val ranked = per
+      .withColumn("_rk", rank().over(w).cast("long"))
+      .withColumn("_eq", count(lit(1)).over(wEq))
+      .withColumn("_r2", col("_rk") * 2 + col("_eq") - 1)
+    val ties = ranked.groupBy(col("_g"), col("_t"))
+      .agg(max(col("_eq")).as("_tc"))
+      .groupBy(col("_g"))
+      .agg(sum(expr("CAST(_tc AS DECIMAL(38,0)) * _tc * _tc - _tc")).as("_tsum"))
+    val m = ranked.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_nn"),
+        sum(col("_v0")).as("n0"),
+        sum(lit(1L) - col("_v0")).as("n1"),
+        sum(col("_r2") * col("_v0")).as("_rsum0"))
+      .withColumn("u2", col("_rsum0") - col("n0") * (col("n0") + 1))
+    m.join(ties, Seq("_g"))
+      .withColumn("_num", expr("CAST(u2 AS DECIMAL(38,0)) - CAST(n0 AS DECIMAL(38,0)) * n1"))
+      .withColumn("_den", expr(
+        """CAST(n0 AS DECIMAL(38,0)) * n1 *
+          |(CAST(_nn AS DECIMAL(38,0)) * (_nn - 1) * (_nn + 1) - _tsum)""".stripMargin))
+      .withColumn("z2_ppm",
+        when(col("_den") > 0,
+          expr("CAST(3 * _num * _num * _nn * (_nn - 1) * 1000000 DIV _den AS BIGINT)")))
+      .select(col("_g").as("g"), col("n0"), col("n1"), col("u2"),
+        signum(col("_num")).cast("long").as("dir_sign"), col("z2_ppm"))
+  }
+
   /** Exact isotonic calibration curve (probability calibration — the
     * reliability-diagram repair step before thresholding a score): fit
     * the monotone-non-decreasing rate curve over score bins that

@@ -2375,6 +2375,58 @@ object CoreQueries {
              |            END AS BIGINT) AS t2_ppm
              |FROM f ORDER BY event_type""".stripMargin)),
 
+    // Mann-Whitney U rank-sum test — q_abtest's NONPARAMETRIC
+    // companion on the same dense user×type metric grid (one whale
+    // user moves a mean; ranks shrug). Tie-averaged doubled ranks,
+    // tie-corrected variance, every division cleared: z2_ppm is one
+    // DECIMAL(38,0) floor-division; direction ships as a sign.
+    Q("q_mann_whitney",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val totals = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(totals, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("x"))
+        Stats.mannWhitneyU(full, col("event_type"), col("user_id"), col("x"))
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) AS x
+             |           FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type AS g, g.user_id AS e, coalesce(t.x, 0) AS xt,
+             |             CASE WHEN g.user_id % 2 = 0 THEN 1 ELSE 0 END AS v0
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |r AS (SELECT g, e, xt, v0,
+             |             rank() OVER (PARTITION BY g ORDER BY xt) AS rk,
+             |             count(*) OVER (PARTITION BY g, xt) AS eq
+             |      FROM p),
+             |tie AS (SELECT g, xt, CAST(max(eq) AS HUGEINT) AS tc
+             |        FROM r GROUP BY 1, 2),
+             |ts AS (SELECT g, sum(tc*tc*tc - tc) AS tsum FROM tie GROUP BY 1),
+             |m AS (SELECT g, count(*) AS nn, sum(v0) AS n0, sum(1 - v0) AS n1,
+             |             sum((2*rk + eq - 1) * v0) AS rsum0
+             |      FROM r GROUP BY 1),
+             |f AS (SELECT m.g, m.nn, m.n0, m.n1,
+             |             m.rsum0 - m.n0 * (m.n0 + 1) AS u2,
+             |             CAST(m.rsum0 - m.n0 * (m.n0 + 1) AS HUGEINT)
+             |               - CAST(m.n0 AS HUGEINT) * m.n1 AS num,
+             |             CAST(m.n0 AS HUGEINT) * m.n1 *
+             |               (CAST(m.nn AS HUGEINT) * (m.nn - 1) * (m.nn + 1) - ts.tsum) AS den
+             |      FROM m JOIN ts USING (g))
+             |SELECT g AS event_type, CAST(n0 AS BIGINT) AS n0,
+             |       CAST(n1 AS BIGINT) AS n1, CAST(u2 AS BIGINT) AS u2,
+             |       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+             |            AS BIGINT) AS dir_sign,
+             |       CAST(CASE WHEN den > 0
+             |            THEN (3 * num * num * nn * (nn - 1) * 1000000) // den
+             |            END AS BIGINT) AS z2_ppm
+             |FROM f ORDER BY event_type""".stripMargin)),
+
     // Schema-wide referential-integrity audit (the dbt "relationship
     // test", both directions): per FK relationship, orphan child rows
     // AND unreferenced parent keys. Key columns only ever move; dims

@@ -761,6 +761,47 @@ class OperatorsSpec extends SparkSpec {
       assert(a._5 <= c._5, s"fit not monotone: $got") }
   }
 
+  test("mannWhitneyU: hand-ranked case, all-tied NULL, pair-count identity") {
+    import graft.operators.Stats
+    // v0 = {e2:10, e4:20}, v1 = {e1:5, e3:15}; no ties:
+    // U2 = 2*#(x0 > x1) = 6, num = 2, den = 4*60, z2 = 144e6/240
+    val ev = Seq(("m", 2L, 10L), ("m", 4L, 20L), ("m", 1L, 5L), ("m", 3L, 15L),
+      ("z", 1L, 7L), ("z", 2L, 7L), ("z", 3L, 7L), ("z", 4L, 7L))
+      .toDF("g", "e", "x")
+    val got = Stats.mannWhitneyU(ev, $"g", $"e", $"x")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("m") == ((2L, 2L, 6L, 1L, Some(600000L))), got.toString)
+    // all values tied: corrected variance collapses to zero -> NULL
+    assert(got("z") == ((2L, 2L, 4L, 0L, None)), got.toString)
+  }
+
+  test("mannWhitneyU equals brute pair-count U and BigInt z² replay") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(43)
+    val ev = (1 to 400).map { _ =>
+      ("g", (rnd.nextInt(40) + 1).toLong, rnd.nextInt(15).toLong)
+    }
+    val got = Stats.mannWhitneyU(ev.toDF("g", "e", "x"), $"g", $"e", $"x")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    val totals = ev.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val (v0, v1) = totals.partition(_._1 % 2 == 0)
+    // U2 = 2*#(x0 > x1) + #(x0 = x1)  — the pair-count identity the
+    // rank formula must reproduce
+    val u2 = (for (a <- v0.values; b <- v1.values) yield
+      if (a > b) 2L else if (a == b) 1L else 0L).sum
+    val (n0, n1) = (BigInt(v0.size), BigInt(v1.size))
+    val nn = n0 + n1
+    val tsum = totals.values.groupBy(identity).values
+      .map(g => { val t = BigInt(g.size); t * t * t - t }).sum
+    val num = BigInt(u2) - n0 * n1
+    val den = n0 * n1 * (nn * (nn - 1) * (nn + 1) - tsum)
+    val z2 = if (den > 0)
+      Some(((3 * num * num * nn * (nn - 1) * 1000000) / den).toLong) else None
+    assert(got == (("g", n0.toLong, n1.toLong, u2, num.signum.toLong, z2)),
+      s"got=$got want u2=$u2 z2=$z2")
+  }
+
   test("fkAudit: clean relationship reports all-zero defects") {
     import graft.operators.Expectations
     val child = Seq(1L, 2L, 2L).toDF("fk")
