@@ -295,7 +295,12 @@ object ScaleProbe {
     // SeqProbe matched-layout run proved linear (records exactly 5.0x
     // on 32-split-matched layouts) — base-single-split pre-collapse
     // artifact, LINEAR.
-    "q_mann_whitney" -> true
+    "q_mann_whitney" -> true,
+    // round-8 ninth wave: gap percentiles = one (user, type) lag window
+    // + the GROUPED 2-pass selection (per-(type, hour-bin) histogram,
+    // target-bin-only rescan on fine-grained keys — never a 5-task
+    // per-type rank funnel) — linear in events
+    "q_gap_percentiles" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

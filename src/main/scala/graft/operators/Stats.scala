@@ -524,6 +524,59 @@ object Stats {
         col("support_ppm"))
   }
 
+  /** Grouped exact quantiles by 2-pass distributed selection — the
+    * per-GROUP generalization of [[exactQuantilesSelect]] for
+    * LOW-CARDINALITY group keys, where a per-group rank window would
+    * funnel each group through ONE task (5 event types at 100 TB = 5
+    * tasks doing everything — the exact anti-pattern the global
+    * variant exists to avoid):
+    *
+    *   pass 1 — ONE map-side-combined (group, value div binWidth)
+    *            histogram; (groups × bins) rows come to the driver
+    *            (domain-bounded, the exactQuantilesSelect contract);
+    *   pass 2 — driver prefix-sums locate each (group, pct) target
+    *            (bin, in-bin offset); rescan ONLY target-bin rows,
+    *            rank inside each (group, bin) — fine-grained keys that
+    *            spread across the cluster — and pick the offset rows.
+    *
+    * Output: (g, pct, n, <valCol>) per group × percent, exact
+    * nearest-rank (rank ⌈n·p/100⌉ — identical to the window form).
+    * Group keys round-trip the driver as strings — cast upstream. */
+  def groupedExactQuantiles(
+      df: DataFrame,
+      groupCol: Column,
+      valCol: String,
+      percents: Seq[Int],
+      binWidth: Long): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in 1..100: $percents")
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(groupCol.as("_g"), col(valCol).cast("long").as("_v"))
+      .withColumn("_bin", expr(s"_v DIV $binWidth"))
+    val hist = v.groupBy(col("_g"), col("_bin")).agg(count(lit(1)).as("_c"))
+      .as[(String, Long, Long)].collect() // (groups x bins) rows: domain-bounded
+      .groupBy(_._1)
+    val targets = hist.toSeq.flatMap { case (g, rows) =>
+      val bins = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val n = bins.map(_._2).sum
+      percents.sorted.map { p =>
+        val rank = (n * p + 99) / 100
+        var cum = 0L; var i = 0
+        while (cum + bins(i)._2 < rank) { cum += bins(i)._2; i += 1 }
+        (g, p.toLong, n, bins(i)._1, rank - cum)
+      }
+    }
+    val tdf = targets.toDF("_g", "pct", "n", "_bin", "_off")
+    val wBin = Window.partitionBy(col("_g"), col("_bin")).orderBy(col("_v"))
+    v.join(broadcast(tdf.select(col("_g"), col("_bin")).distinct()), Seq("_g", "_bin"))
+      .withColumn("_r", row_number().over(wBin))
+      .join(broadcast(tdf), Seq("_g", "_bin"))
+      .filter(col("_r") === col("_off"))
+      .select(col("_g").as("g"), col("pct"), col("n"), col("_v").as(valCol))
+  }
+
   /** Mann–Whitney U rank-sum test per metric group — [[abTestT2]]'s
     * NONPARAMETRIC companion (one whale user moves a mean; ranks shrug).
     * Variants by entity parity; the test statistic is exact integer end

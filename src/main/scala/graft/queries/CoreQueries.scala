@@ -2375,6 +2375,48 @@ object CoreQueries {
              |            END AS BIGINT) AS t2_ppm
              |FROM f ORDER BY event_type""".stripMargin)),
 
+    // Inter-arrival gap distribution per stream — the capacity-planning
+    // census: exact nearest-rank p50/p90/p99 of consecutive same-user
+    // gaps per event_type. The 5-key group cardinality makes a
+    // per-group rank window a 5-task funnel at scale, so this uses the
+    // GROUPED 2-pass selection (one (type, hour-bin) histogram →
+    // driver prefix-sums → target-bin-only rescan on fine-grained
+    // (type, bin) keys).
+    Q("q_gap_percentiles",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("tus"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+        Stats.groupedExactQuantiles(gaps, col("event_type"), "gap_us",
+            Seq(50, 90, 99), binWidth = 3600000000L)
+          .groupBy(col("g").as("event_type"))
+          .agg(max(col("n")).as("n_gaps"),
+            max(when(col("pct") === 50, col("gap_us"))).as("p50_gap_us"),
+            max(when(col("pct") === 90, col("gap_us"))).as("p90_gap_us"),
+            max(when(col("pct") === 99, col("gap_us"))).as("p99_gap_us"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+             |           FROM events),
+             |g AS (SELECT event_type, event_id,
+             |             tus - lag(tus) OVER (PARTITION BY user_id, event_type
+             |                                  ORDER BY tus, event_id) AS gap_us
+             |      FROM e),
+             |r AS (SELECT event_type, gap_us,
+             |             row_number() OVER (PARTITION BY event_type
+             |                                ORDER BY gap_us, event_id) AS rn,
+             |             count(*) OVER (PARTITION BY event_type) AS n
+             |      FROM g WHERE gap_us IS NOT NULL)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+             |       max(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN gap_us END) AS p50_gap_us,
+             |       max(CASE WHEN rn = CAST(ceil(n * 0.90) AS BIGINT) THEN gap_us END) AS p90_gap_us,
+             |       max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN gap_us END) AS p99_gap_us
+             |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // Mann-Whitney U rank-sum test — q_abtest's NONPARAMETRIC
     // companion on the same dense user×type metric grid (one whale
     // user moves a mean; ranks shrug). Tie-averaged doubled ranks,

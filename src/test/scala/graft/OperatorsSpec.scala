@@ -761,6 +761,33 @@ class OperatorsSpec extends SparkSpec {
       assert(a._5 <= c._5, s"fit not monotone: $got") }
   }
 
+  test("groupedExactQuantiles equals the per-group rank window on every group") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 900).map { i =>
+      (Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextInt(5000).toLong, i.toLong)
+    }.toDF("g", "v", "id")
+    val got = Stats.groupedExactQuantiles(rows, $"g", "v", Seq(50, 90, 99),
+        binWidth = 64L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // the window form is the spec'd reference implementation
+    val ref = Stats.nearestRankPercentiles(rows, "g", "v", "id", Seq(50, 90, 99))
+      .as[(String, Long, Long, Long, Long)].collect()
+    ref.foreach { case (g, n, p50, p90, p99) =>
+      assert(got((g, 50L)) == ((n, p50)), s"$g p50")
+      assert(got((g, 90L)) == ((n, p90)), s"$g p90")
+      assert(got((g, 99L)) == ((n, p99)), s"$g p99")
+    }
+    // single-bin degenerate (binWidth covers the whole domain)
+    val got2 = Stats.groupedExactQuantiles(rows, $"g", "v", Seq(50),
+        binWidth = 1000000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    ref.foreach { case (g, _, p50, _, _) =>
+      assert(got2((g, 50L)) == p50, s"$g single-bin p50") }
+  }
+
   test("mannWhitneyU: hand-ranked case, all-tied NULL, pair-count identity") {
     import graft.operators.Stats
     // v0 = {e2:10, e4:20}, v1 = {e1:5, e3:15}; no ties:
