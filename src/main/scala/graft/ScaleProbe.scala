@@ -300,7 +300,27 @@ object ScaleProbe {
     // + the GROUPED 2-pass selection (per-(type, hour-bin) histogram,
     // target-bin-only rescan on fine-grained keys — never a 5-task
     // per-type rank funnel) — linear in events
-    "q_gap_percentiles" -> false
+    "q_gap_percentiles" -> false,
+    // round-9: Spearman = the q_abtest/q_mann_whitney (type, user)
+    // totals pass + TWO per-type rank windows (x and y) + a 5-group
+    // moment rollup — same key class as q_mann_whitney, which the
+    // SeqProbe matched-layout run proved linear (records exactly 5.0x);
+    // flagged for the same base-single-split pre-collapse artifact
+    "q_spearman" -> true,
+    // round-9: Poisson bootstrap = the (type, user) totals pass + a x32
+    // row-local weight explode that map-side-combines to (type, b) =
+    // 160 DOMAIN-bounded groups before any exchange — flagged for the
+    // q_xcorr/q_hotspot layout artifact (partial-agg state =
+    // input_partitions x domain groups)
+    "q_bootstrap_ci" -> true,
+    // round-9: Kaplan-Meier = one (type, user) min/max agg (the
+    // q_abtest key class, same artifact flag) + suffix-risk window,
+    // fold, and explode on the (type x 31 days) DOMAIN-bounded frame
+    "q_survival_km" -> true,
+    // round-9: attribution = one per-user ordered window (the
+    // q_traj_velocity shape) + (user, conversion) position windows that
+    // reuse the same hash partitioning + a |channels|-row verdict
+    "q_attribution" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

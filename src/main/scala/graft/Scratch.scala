@@ -100,7 +100,6 @@ object Scratch {
       "q_fuzzy_join" -> "ed-1 fuzzy join: deletion-variant equi-join (exact recall by the FastSS theorem), codegen levenshtein verify — no all-pairs product",
       "q_skip_scan" -> "file-skipping index: literal bucket IN-list from the index consult → compile-time PartitionFilters + broadcast probe semi-join",
       "q_kcore" -> "k-core: per-round degree agg + two left-semi joins on the shrinking staged edge frame — flat plan after the peel loop",
-      "q_trend_theilsen" -> "Theil-Sen: per-entity pair join (one g-shuffle), rank+count in one window partition, median SELECTED not interpolated",
       "q_drift_hist" -> "drift monitor: two map-side-combined (group,bin) histograms + broadcast grid and totals — drift frame O(groups·bins)",
       "q_logodds_terms" -> "log-odds terms: one token explode → one two-count agg, 1-row totals broadcast, DECIMAL cross-ratio row-local",
       "q_point_in_polygon" -> "concave ray-cast census: the parity predicate rides the scan (pure projection + map-side agg, zero shuffle)",
@@ -133,7 +132,6 @@ object Scratch {
       "q_hotspot" -> "hotspot census: ONE map-side (cx,cy) count agg; x9 neighbor explode + score on the CELL frame; TakeOrdered top-15",
       "q_embed_drift" -> "centroid drift: fixed xdims posexplode -> ONE (label,half,dim) map-side agg; cosine on integer SUM vectors (1/n cancels)",
       "q_seq_pairs" -> "seq-pair support: one (user,type) min/max agg replaces any ordered scan; per-user <=|types|^2 pair join on the span frame",
-      "q_time_travel" -> "time travel: commit_v PartitionFilters prune newer commits AT THE SCAN; rank-1 window reconstruction per as-of read",
       "q_rolling_median" -> "rolling median: one entity Exchange; trailing RANGE frame collect + row-local sort/select",
       "q_funnel_time" -> "funnel time: user-keyed aggs + join, then the 2-pass exact selection (no global sort, no single-partition window)",
       "q_fuzzy_join2" -> "ed2 fuzzy join: depth-2 deletion-neighborhood equi-join on the staged variant frame, thresholded levenshtein verify per distinct pair",
@@ -142,7 +140,11 @@ object Scratch {
       "q_blob_stats" -> "blob QC: hex materialized once, per-byte explode map-side-combines to <=256 rows/blob — content never shuffles",
       "q_ooo_events" -> "OOO census: ONE per-user arrival-ordered running-max window + 5-group verdict agg",
       "q_isotonic" -> "isotonic calibration: ONE data-sized bin agg; minimax interval frame + max-min aggs all domain-bounded (no PAVA stack, no driver loop)",
-      "q_winsorize" -> "winsorize: 2-pass exact p1/p99 selection + one map-side census agg against the 1-row broadcast bounds")
+      "q_winsorize" -> "winsorize: 2-pass exact p1/p99 selection + one map-side census agg against the 1-row broadcast bounds",
+      "q_spearman" -> "spearman: one (type,user) totals agg; both rank windows and the moment rollup reuse ONE hash(g) partitioning",
+      "q_bootstrap_ci" -> "bootstrap: x32 weight explode is row-local; (g,b) agg map-side-combines to 160 domain rows before the exchange; rank selection on the groupsxB frame",
+      "q_survival_km" -> "kaplan-meier: one (type,user) min/max agg is the only data-sized pass; risk window + ppm fold run on the domain-bounded (type,day) frame",
+      "q_attribution" -> "attribution: per-user conversion-counter window + (user,cs) position windows share hash(user_id); credit rollup is |channels| rows")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

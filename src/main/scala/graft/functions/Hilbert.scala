@@ -107,9 +107,12 @@ object HilbertOps {
     val levels = (1 to Order).map { lvl =>
       val s = Side >> lvl // s for this level: 2^15 down to 1
       val prev = if (lvl == 1) baseCte else s"hl${lvl - 1}"
+      // level 1 seeds the accumulator itself so baseCte only needs
+      // (keyCols..., x, y) — no d = 0 column, matching the scaladoc
+      val dPrev = if (lvl == 1) "CAST(0 AS BIGINT)" else "d"
       // quad = (3*rx) xor ry ∈ {0,1,3,2} spelled as a CASE (no xor needed)
       s"""hl$lvl AS (SELECT $ks,
-         |  d + CAST(${s * s} AS BIGINT) * (CASE WHEN (x & $s) > 0 THEN (CASE WHEN (y & $s) > 0 THEN 2 ELSE 3 END)
+         |  $dPrev + CAST(${s * s} AS BIGINT) * (CASE WHEN (x & $s) > 0 THEN (CASE WHEN (y & $s) > 0 THEN 2 ELSE 3 END)
          |                       ELSE (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) END) AS d,
          |  CASE WHEN (y & $s) > 0 THEN x
          |       WHEN (x & $s) > 0 THEN $n1 - y ELSE y END AS x,

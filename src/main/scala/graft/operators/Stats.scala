@@ -413,13 +413,16 @@ object Stats {
     require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
     val spark = df.sparkSession
     import spark.implicits._
+    val ps = percents.distinct.sorted // duplicate percents = duplicate output rows
     val v = df.select(col(valCol).cast("long").as("_v"))
       .withColumn("_bin", expr(s"_v DIV $binWidth"))
     val hist = v.groupBy(col("_bin")).agg(count(lit(1)).as("_c"))
       .orderBy(col("_bin"))
       .as[(Long, Long)].collect() // domain-bounded: span/binWidth rows
     val n = hist.map(_._2).sum
-    val targets = percents.sorted.map { p =>
+    if (n == 0L) // empty input: no rank exists — empty frame, same schema
+      return Seq.empty[(Long, Long, Long)].toDF("pct", "n", valCol)
+    val targets = ps.map { p =>
       val rank = (n * p + 99) / 100
       var cum = 0L
       var i = 0
@@ -541,27 +544,45 @@ object Stats {
     *
     * Output: (g, pct, n, <valCol>) per group × percent, exact
     * nearest-rank (rank ⌈n·p/100⌉ — identical to the window form).
-    * Group keys round-trip the driver as strings — cast upstream. */
+    * Group keys round-trip the driver as strings — cast upstream.
+    *
+    * The driver collect is (groups × bins) rows, which is only safe
+    * for LOW-CARDINALITY groups — `maxHistRows` ENFORCES that contract
+    * instead of documenting it: the collect is bounded by a limit
+    * (never more than maxHistRows + 1 rows reach the driver, no extra
+    * counting pass) and the call fails fast with the remedy (raise
+    * binWidth, pre-bucket the group key, or use the window form) when
+    * a caller passes a high-cardinality group column. */
   def groupedExactQuantiles(
       df: DataFrame,
       groupCol: Column,
       valCol: String,
       percents: Seq[Int],
-      binWidth: Long): DataFrame = {
+      binWidth: Long,
+      maxHistRows: Int = 1 << 20): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be in 1..100: $percents")
     require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    require(maxHistRows >= 1, s"maxHistRows must be >= 1: $maxHistRows")
     val spark = df.sparkSession
     import spark.implicits._
+    val ps = percents.distinct.sorted
     val v = df.select(groupCol.as("_g"), col(valCol).cast("long").as("_v"))
       .withColumn("_bin", expr(s"_v DIV $binWidth"))
-    val hist = v.groupBy(col("_g"), col("_bin")).agg(count(lit(1)).as("_c"))
-      .as[(String, Long, Long)].collect() // (groups x bins) rows: domain-bounded
-      .groupBy(_._1)
+    val histRows = v.groupBy(col("_g"), col("_bin")).agg(count(lit(1)).as("_c"))
+      .limit(maxHistRows + 1) // driver-memory valve: bounds the collect itself
+      .as[(String, Long, Long)].collect()
+    require(histRows.length <= maxHistRows,
+      s"groupedExactQuantiles: (groups x bins) histogram exceeds maxHistRows=$maxHistRows — " +
+        "group cardinality too high for driver-side selection; raise binWidth, " +
+        "pre-bucket the group key, or use a per-group rank window instead")
+    if (histRows.isEmpty) // empty input: no rank exists in any group
+      return Seq.empty[(String, Long, Long, Long)].toDF("g", "pct", "n", valCol)
+    val hist = histRows.groupBy(_._1)
     val targets = hist.toSeq.flatMap { case (g, rows) =>
       val bins = rows.map(r => (r._2, r._3)).sortBy(_._1)
       val n = bins.map(_._2).sum
-      percents.sorted.map { p =>
+      ps.map { p =>
         val rank = (n * p + 99) / 100
         var cum = 0L; var i = 0
         while (cum + bins(i)._2 < rank) { cum += bins(i)._2; i += 1 }
@@ -745,5 +766,183 @@ object Stats {
           expr("CAST(_num * _num * (n0 + n1 - 2) * 1000000 DIV (_ss * (n0 + n1)) AS BIGINT)")))
       .select(col("_g").as("g"), col("n0"), col("n1"), col("s0"), col("s1"),
         signum(col("_num")).cast("long").as("mean_diff_sign"), col("t2_ppm"))
+  }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * readout over two per-entity metrics ([[mannWhitneyU]]'s two-sided
+    * sibling: ranks make one whale entity a single rank step, not a
+    * lever arm). Tie handling is the textbook tie-averaged rank,
+    * carried as DOUBLED ranks r2 = 2·rank + eq − 1 (integers even when
+    * the tie-average is a half), then Spearman-with-ties = Pearson on
+    * the r2 values:
+    *
+    *   num  = n·Σxy − Σx·Σy,  denx = n·Σx² − (Σx)²,  deny likewise,
+    *   rho² = num² / (denx·deny)
+    *
+    * shipped as rho2_ppm = ((num² DIV denx) · 10⁶) DIV deny — two
+    * floored divisions instead of one because 10⁶·num² can exceed
+    * DECIMAL(38,0)/HUGEINT; floor∘floor composes deterministically and
+    * under-approximates the single division by < 10⁶/denx + 1 (≪ 1 ppm
+    * at any real n), with the IDENTICAL arithmetic replayed by the
+    * oracle. Direction ships as sign(num); constant-metric groups
+    * (zero variance) report NULL.
+    *
+    * DECIMAL(38,0) bound: num ≲ 4n³ so num² ≲ 16n⁶ — exact to ~10⁵
+    * entities per group; past that pre-stratify, as with
+    * [[mannWhitneyU]].
+    *
+    * Scale shape: one (group, entity) totals pass upstream of this
+    * call; here two per-group value windows for the ranks (group is
+    * the partition key — both windows and the final aggregation reuse
+    * ONE hash partitioning on _g) and one moment rollup. Output:
+    * (g, n, dir_sign, rho2_ppm). */
+  def spearmanRho(
+      df: DataFrame,
+      groupCol: Column,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val per = df.select(groupCol.as("_g"), xCol.as("_x"), yCol.as("_y"))
+    val wX = Window.partitionBy(col("_g")).orderBy(col("_x"))
+    val wXeq = Window.partitionBy(col("_g"), col("_x"))
+    val wY = Window.partitionBy(col("_g")).orderBy(col("_y"))
+    val wYeq = Window.partitionBy(col("_g"), col("_y"))
+    val ranked = per
+      .withColumn("_rx", rank().over(wX).cast("long") * 2 + count(lit(1)).over(wXeq) - 1)
+      .withColumn("_ry", rank().over(wY).cast("long") * 2 + count(lit(1)).over(wYeq) - 1)
+    val m = ranked.groupBy(col("_g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("_rx")).as("_sx"), sum(col("_ry")).as("_sy"),
+      sum(expr("CAST(_rx AS DECIMAL(38,0)) * _rx")).as("_sxx"),
+      sum(expr("CAST(_ry AS DECIMAL(38,0)) * _ry")).as("_syy"),
+      sum(expr("CAST(_rx AS DECIMAL(38,0)) * _ry")).as("_sxy"))
+    m.withColumn("_num", expr("n * _sxy - CAST(_sx AS DECIMAL(38,0)) * _sy"))
+      .withColumn("_dx", expr("n * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx"))
+      .withColumn("_dy", expr("n * _syy - CAST(_sy AS DECIMAL(38,0)) * _sy"))
+      .withColumn("rho2_ppm",
+        when(col("_dx") > 0 && col("_dy") > 0,
+          expr("CAST((_num * _num DIV _dx) * 1000000 DIV _dy AS BIGINT)")))
+      .select(col("_g").as("g"), col("n"),
+        signum(col("_num")).cast("long").as("dir_sign"), col("rho2_ppm"))
+  }
+
+  /** Poisson(1) inverse CDF as cumulative ppm thresholds — COMPILE-TIME
+    * literals (floor(10⁶·Σ_{i≤k} e⁻¹/i!)), so the runtime never touches
+    * exp/factorial and both engines compare a uniform draw against
+    * identical integers. */
+  private[graft] val PoissonPpm: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L,
+      999989L, 999998L, 999999L)
+
+  /** The resample-weight expression both [[bootstrapCiMean]] and its
+    * oracle share: uniform ppm draw → Poisson(1) count via the literal
+    * threshold ladder. */
+  private def poissonWeight(u: Column): Column =
+    PoissonPpm.zipWithIndex.foldRight(lit(PoissonPpm.size.toLong)) {
+      case ((thr, k), alt) => when(u < thr, k.toLong).otherwise(alt)
+    }
+
+  /** Poisson-bootstrap confidence interval for a per-group mean — THE
+    * distributed bootstrap: a classical resample draws n entities WITH
+    * replacement (needs global coordination), but each entity's
+    * multiplicity in one resample is asymptotically Poisson(1) — so B
+    * resamples materialize as B independent per-ROW weights, computed
+    * locally from a seeded hash, no shuffle of identities at all.
+    *
+    * Deterministic end to end: the per-(entity, b) uniform draw is the
+    * 48-bit md5 prefix mod 10⁶ (the q_table_checksum rendering — both
+    * engines hash the same string), the Poisson(1) inverse CDF is the
+    * [[PoissonPpm]] literal ladder, resample means are floor-divisions
+    * of integer sums, and the CI bounds are exact nearest-rank p5/p95
+    * SELECTED from the B means (rank ⌈B_eff·q/100⌉) — no float
+    * anywhere, so the oracle replays the identical trail.
+    *
+    * Scale shape: callers pass the (group, entity, x) TOTALS frame
+    * (data-sized aggregation upstream); this explodes it ×B (weights
+    * only — B·|totals| narrow rows), map-side-combines to (group, b)
+    * partials, and ranks the B means per group on a groups×B frame.
+    * Empty resamples (Σw = 0, vanishing for n ≫ 10) are excluded and
+    * surfaced via b_eff. Output: (g, n, mean_x, b_eff, lo_x, hi_x). */
+  def bootstrapCiMean(
+      df: DataFrame,
+      groupCol: Column,
+      entityCol: Column,
+      valueCol: Column,
+      b: Int = 32): DataFrame = {
+    require(b >= 2, s"b must be >= 2: $b")
+    val per = df.select(groupCol.as("_g"), entityCol.as("_e"), valueCol.as("_x"))
+    val drawn = per
+      .withColumn("_b", explode(sequence(lit(0L), lit((b - 1).toLong))))
+      .withColumn("_u",
+        conv(substring(md5(concat_ws("|", col("_e"), col("_b"))), 1, 12), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn("_w", poissonWeight(col("_u")))
+    val means = drawn.groupBy(col("_g"), col("_b"))
+      .agg(sum(col("_w") * col("_x")).as("_wx"), sum(col("_w")).as("_wn"))
+      .filter(col("_wn") > 0)
+      .withColumn("_m", expr("_wx DIV _wn"))
+    // rank selection: both windows and the agg share the _g partitioning
+    val wRank = Window.partitionBy(col("_g")).orderBy(col("_m"), col("_b"))
+    val withB = means.withColumn("_r", row_number().over(wRank))
+      .withColumn("_beff", count(lit(1)).over(Window.partitionBy(col("_g"))))
+    val sel = withB
+      .groupBy(col("_g"))
+      .agg(max(col("_beff")).as("b_eff"),
+        max(when(col("_r") === expr("CAST((_beff * 5 + 99) DIV 100 AS INT)"), col("_m"))).as("lo_x"),
+        max(when(col("_r") === expr("CAST((_beff * 95 + 99) DIV 100 AS INT)"), col("_m"))).as("hi_x"))
+    val base = per.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("_sx"))
+      .withColumn("mean_x", expr("_sx DIV n"))
+    base.join(sel, Seq("_g"))
+      .select(col("_g").as("g"), col("n"), col("mean_x"), col("b_eff"),
+        col("lo_x"), col("hi_x"))
+  }
+
+  /** Kaplan–Meier survival curve per group — the censoring-correct
+    * lifetime estimator (mean-of-observed-lifetimes is biased the day
+    * entities are still alive at the observation edge; KM discounts the
+    * at-risk set instead of dropping the censored). Input: one row per
+    * entity with (group, duration, observed ∈ {0,1}) — observed = the
+    * terminal event happened; 0 = censored at `duration`.
+    *
+    *   S(t) = Π_{t_i ≤ t, d_i > 0} (n_i − d_i)/n_i,
+    *
+    * carried as an integer ppm fold S' = ⌊S·(n−d)/n⌋ over the ordered
+    * event times — a rounded recurrence, so (like the EWMA operator) it
+    * folds row-locally via sort_array/aggregate after ONE shuffle, and
+    * the oracle replays it with a recursive CTE.
+    *
+    * Scale shape: one map-side-combined (group, duration) census is the
+    * only data-sized pass; the at-risk suffix sums, the fold, and the
+    * explode all run on the (group × distinct durations) frame —
+    * domain-bounded for day-granularity lifetimes. Groups fold
+    * independently (100 TB scales as width); within a group the fold is
+    * sequential by nature (each step divides by the at-risk count the
+    * previous steps determined). Output: one row per (group, duration
+    * with deaths): (g, t, n_risk, n_death, s_ppm), s_ppm = S(t)·10⁶. */
+  def kaplanMeier(
+      df: DataFrame,
+      groupCol: Column,
+      durationCol: Column,
+      observedCol: Column): DataFrame = {
+    val census = df
+      .select(groupCol.as("_g"), durationCol.cast("long").as("_t"),
+        observedCol.cast("long").as("_d"))
+      .groupBy(col("_g"), col("_t"))
+      .agg(sum(col("_d")).as("_dd"), count(lit(1)).as("_cc"))
+    val wSuf = Window.partitionBy(col("_g")).orderBy(col("_t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = census.withColumn("_nr", sum(col("_cc")).over(wSuf))
+    val folded = risk.filter(col("_dd") > 0)
+      .groupBy(col("_g"))
+      .agg(sort_array(collect_list(struct(col("_t"), col("_nr"), col("_dd")))).as("_steps"))
+      .withColumn("_s", expr(
+        """aggregate(_steps, CAST(array(1000000) AS ARRAY<BIGINT>),
+          |  (acc, x) -> concat(acc,
+          |    array(element_at(acc, -1) * (x._nr - x._dd) DIV x._nr)))""".stripMargin))
+    folded
+      .select(col("_g"), col("_s"), posexplode(col("_steps")).as(Seq("_i", "_st")))
+      .select(col("_g").as("g"), col("_st._t").as("t"),
+        col("_st._nr").as("n_risk"), col("_st._dd").as("n_death"),
+        expr("element_at(_s, _i + 2)").as("s_ppm"))
   }
 }

@@ -1039,11 +1039,16 @@ object CoreQueries {
           "h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)")
         val steps = (1 to 2).flatMap { t =>
           Seq(
+            // CAST: DuckDB's sum(BIGINT) widens to HUGEINT, which its
+            // pandas bridge surfaces as float64 — rows/schema then pass
+            // the driver compare but the value hash fails on int64 vs
+            // float64 (CORRECTNESS_r08 q_hits). Values are far below
+            // 2^63 here, so BIGINT is exact.
             s"""a$t AS MATERIALIZED (SELECT n.node, coalesce(s.a, 0) AS auth FROM nodes n
-               |  LEFT JOIN (SELECT e.dst AS node, sum(h.hub) AS a
+               |  LEFT JOIN (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS a
                |             FROM e JOIN h${t - 1} h ON e.src = h.node GROUP BY 1) s USING (node))""".stripMargin,
             s"""h$t AS MATERIALIZED (SELECT n.node, coalesce(s.h, 0) AS hub FROM nodes n
-               |  LEFT JOIN (SELECT e.src AS node, sum(a.auth) AS h
+               |  LEFT JOIN (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS h
                |             FROM e JOIN a$t a ON e.dst = a.node GROUP BY 1) s USING (node))""".stripMargin)
         }
         "WITH " + (head ++ steps).mkString(",\n") +
@@ -2534,6 +2539,210 @@ object CoreQueries {
              |       CAST(n_parents AS BIGINT) AS n_parents,
              |       CAST(n_unreferenced AS BIGINT) AS n_unreferenced
              |FROM rels ORDER BY rel""".stripMargin)),
+
+    // Spearman rank correlation — the monotone-association statistic
+    // over the same dense user×type metric grid as q_abtest /
+    // q_mann_whitney (x = activity count, y = spend total): does more
+    // activity go with more spend, robustly to whales? Tie-averaged
+    // DOUBLED ranks keep everything integer; rho² ships as two floored
+    // divisions (10⁶·num² would overflow DECIMAL(38,0)/HUGEINT), the
+    // identical arithmetic on both engines.
+    Q("q_spearman",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val totals = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("nx"),
+            sum(floor(col("value") * 1000).cast("long")).as("xs"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(totals, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("nx", "xs"))
+        Stats.spearmanRho(full, col("event_type"), col("nx"), col("xs"))
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id, count(*) AS nx,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) AS xs
+             |           FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type AS g, coalesce(t.nx, 0) AS x, coalesce(t.xs, 0) AS y
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |r AS (SELECT g,
+             |             2*rank() OVER (PARTITION BY g ORDER BY x) + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+             |             2*rank() OVER (PARTITION BY g ORDER BY y) + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+             |      FROM p),
+             |m AS (SELECT g, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+             |             sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+             |             sum(CAST(ry AS HUGEINT) * ry) AS syy,
+             |             sum(CAST(rx AS HUGEINT) * ry) AS sxy
+             |      FROM r GROUP BY 1),
+             |f AS (SELECT g, n,
+             |             n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             |             n * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+             |             n * syy - CAST(sy AS HUGEINT) * sy AS dy
+             |      FROM m)
+             |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+             |       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT) AS dir_sign,
+             |       CAST(CASE WHEN dx > 0 AND dy > 0
+             |            THEN ((num * num // dx) * 1000000) // dy END AS BIGINT) AS rho2_ppm
+             |FROM f ORDER BY event_type""".stripMargin)),
+
+    // Poisson-bootstrap CI for per-type mean spend — THE distributed
+    // bootstrap (each entity's multiplicity in a resample is a local
+    // hash-seeded Poisson(1) weight; no identity ever shuffles for the
+    // resampling itself). B = 32 resamples, md5-seeded uniform ppm →
+    // literal inverse-CDF ladder, exact nearest-rank p5/p95 of the
+    // resample means. Every number integer; the oracle replays the
+    // identical trail.
+    Q("q_bootstrap_ci",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val totals = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+        Stats.bootstrapCiMean(totals, col("event_type"), col("user_id"),
+            col("x"), b = 32)
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type AS g, user_id AS e,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) AS x
+             |           FROM events GROUP BY 1, 2),
+             |d AS (SELECT g, e, x, b,
+             |             CAST(('0x' || substr(md5(e || '|' || b), 1, 12)) AS BIGINT) % 1000000 AS u
+             |      FROM t CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+             |w AS (SELECT g, b, x,
+             |             CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+             |                  WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+             |                  WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+             |                  WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+             |                  WHEN u < 999998 THEN 8 WHEN u < 999999 THEN 9
+             |                  ELSE 10 END AS wt
+             |      FROM d),
+             |m AS (SELECT g, b, sum(wt * x) // sum(wt) AS mm
+             |      FROM w GROUP BY 1, 2 HAVING sum(wt) > 0),
+             |r AS (SELECT g, b, mm, row_number() OVER (PARTITION BY g ORDER BY mm, b) AS rn,
+             |             count(*) OVER (PARTITION BY g) AS beff FROM m),
+             |sel AS (SELECT g, max(beff) AS b_eff,
+             |               max(CASE WHEN rn = (beff * 5 + 99) // 100 THEN mm END) AS lo,
+             |               max(CASE WHEN rn = (beff * 95 + 99) // 100 THEN mm END) AS hi
+             |        FROM r GROUP BY 1),
+             |base AS (SELECT g, count(*) AS n, sum(x) // count(*) AS mean_x FROM t GROUP BY 1)
+             |SELECT base.g AS event_type, CAST(n AS BIGINT) AS n,
+             |       CAST(mean_x AS BIGINT) AS mean_x, CAST(b_eff AS BIGINT) AS b_eff,
+             |       CAST(lo AS BIGINT) AS lo_x, CAST(hi AS BIGINT) AS hi_x
+             |FROM base JOIN sel USING (g) ORDER BY event_type""".stripMargin)),
+
+    // Kaplan-Meier survival per event stream — censoring-correct user
+    // lifetime (duration = days between a user's first and last event
+    // of the type; still-active-in-the-final-3-days = censored, their
+    // lifetime only discounts the at-risk set). Integer ppm fold over
+    // ordered death days (the EWMA rounded-recurrence shape); the
+    // oracle replays it with a recursive CTE.
+    Q("q_survival_km",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("user_id"), unix_micros(col("ts")).as("tus"))
+        val cut = ev.agg((max(col("tus")) - lit(3L * 86400000000L)).as("_cut"))
+        val per = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(min(col("tus")).as("_first"), max(col("tus")).as("_last"))
+          .crossJoin(broadcast(cut))
+          .select(col("event_type"),
+            expr("(_last - _first) DIV 86400000000").as("dur_day"),
+            (col("_last") <= col("_cut")).cast("long").as("observed"))
+        Stats.kaplanMeier(per, col("event_type"), col("dur_day"), col("observed"))
+          .withColumnRenamed("g", "event_type").orderBy("event_type", "t")
+      },
+      Some("""WITH RECURSIVE ev AS (SELECT event_type, user_id, epoch_us(ts) AS tus FROM events),
+             |cut AS (SELECT max(tus) - 3*86400000000 AS c FROM ev),
+             |per AS (SELECT event_type AS g, user_id,
+             |               (max(tus) - min(tus)) // 86400000000 AS t,
+             |               CASE WHEN max(tus) <= (SELECT c FROM cut) THEN 1 ELSE 0 END AS d
+             |        FROM ev GROUP BY 1, 2),
+             |cen AS (SELECT g, t, CAST(sum(d) AS BIGINT) AS dd, count(*) AS cc FROM per GROUP BY 1, 2),
+             |risk AS (SELECT g, t, dd,
+             |                CAST(sum(cc) OVER (PARTITION BY g ORDER BY t
+             |                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS nr
+             |         FROM cen),
+             |st AS (SELECT g, t, dd, nr, row_number() OVER (PARTITION BY g ORDER BY t) AS i
+             |       FROM risk WHERE dd > 0),
+             |f AS (SELECT g, CAST(0 AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS s
+             |      FROM (SELECT DISTINCT g FROM st)
+             |      UNION ALL
+             |      SELECT st.g, st.i, CAST((f.s * (st.nr - st.dd)) // st.nr AS BIGINT)
+             |      FROM f JOIN st ON st.g = f.g AND st.i = f.i + 1)
+             |SELECT st.g AS event_type, st.t, st.nr AS n_risk, st.dd AS n_death,
+             |       f.s AS s_ppm
+             |FROM st JOIN f ON f.g = st.g AND f.i = st.i
+             |ORDER BY event_type, t""".stripMargin)),
+
+    // Position-based multi-touch attribution — the marketing-analytics
+    // credit assignment: each purchase credits the touches (non-purchase
+    // events) since the user's previous purchase, 40%/40% to first/last
+    // touch and 20% split across middles, in exact basis points
+    // (division remainder to the last touch, so every attributed
+    // conversion's credit sums to exactly 10000 bp); purchases with no
+    // preceding touch surface as '(direct)'. One user-keyed window pass
+    // + one (user, conversion) window — both reuse the same hash
+    // partitioning; the verdict frame is |channels| rows.
+    Q("q_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"), unix_micros(col("ts")).as("tus"))
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val marked = ev
+          .withColumn("_ic", (col("event_type") === "purchase").cast("long"))
+          .withColumn("_cb", sum(col("_ic")).over(wOrd) - col("_ic"))
+          .withColumn("_cs", col("_cb") + 1)
+        val touches = marked.filter(col("_ic") === 0L)
+        val convs = marked.filter(col("_ic") === 1L)
+          .select(col("user_id"), col("_cs"))
+        val wTouch = Window.partitionBy(col("user_id"), col("_cs"))
+          .orderBy(col("tus"), col("event_id"))
+        val wGrp = Window.partitionBy(col("user_id"), col("_cs"))
+        val attributed = touches.join(convs, Seq("user_id", "_cs"))
+          .withColumn("_pos", row_number().over(wTouch))
+          .withColumn("_k", count(lit(1)).over(wGrp))
+          .withColumn("credit_bp",
+            when(col("_k") === 1, 10000L)
+              .when(col("_k") === 2, 5000L)
+              .when(col("_pos") === 1, 4000L)
+              .when(col("_pos") === col("_k"), lit(4000L) + lit(2000L) % (col("_k") - 2))
+              .otherwise(expr("2000 DIV (_k - 2)")))
+        val direct = convs
+          .join(attributed.select(col("user_id"), col("_cs")).distinct(),
+            Seq("user_id", "_cs"), "left_anti")
+          .agg(count(lit(1)).as("n_touches"))
+          .select(lit("(direct)").as("channel"), col("n_touches"),
+            (col("n_touches") * 10000L).as("credit_bp"))
+        attributed.groupBy(col("event_type").as("channel"))
+          .agg(count(lit(1)).as("n_touches"), sum(col("credit_bp")).as("credit_bp"))
+          .unionByName(direct)
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+             |m AS (SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ic FROM ev),
+             |c AS (SELECT *, sum(ic) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |                              ROWS UNBOUNDED PRECEDING) - ic + 1 AS cs FROM m),
+             |tch AS (SELECT user_id, event_id, event_type, tus, cs FROM c WHERE ic = 0),
+             |cv AS (SELECT user_id, cs FROM c WHERE ic = 1),
+             |a AS (SELECT tch.* FROM tch JOIN cv USING (user_id, cs)),
+             |p AS (SELECT *, row_number() OVER (PARTITION BY user_id, cs ORDER BY tus, event_id) AS pos,
+             |             count(*) OVER (PARTITION BY user_id, cs) AS k FROM a),
+             |cr AS (SELECT event_type AS channel,
+             |              CASE WHEN k = 1 THEN 10000
+             |                   WHEN k = 2 THEN 5000
+             |                   WHEN pos = 1 THEN 4000
+             |                   WHEN pos = k THEN 4000 + 2000 % (k - 2)
+             |                   ELSE 2000 // (k - 2) END AS bp
+             |       FROM p),
+             |d AS (SELECT count(*) AS nd FROM cv LEFT JOIN (SELECT DISTINCT user_id, cs FROM a) a2
+             |      USING (user_id, cs) WHERE a2.user_id IS NULL)
+             |SELECT channel, count(*) AS n_touches, CAST(sum(bp) AS BIGINT) AS credit_bp
+             |FROM cr GROUP BY 1
+             |UNION ALL SELECT '(direct)', CAST(nd AS BIGINT), CAST(nd * 10000 AS BIGINT) FROM d
+             |ORDER BY channel""".stripMargin)),
 
     // Length-2 sequential-pattern support (PrefixSpan level 1): for
     // every ordered (a, b) event-type pair, the fraction of users with

@@ -822,8 +822,7 @@ object StoreQueries {
            |         CAST(floor(value*1000) AS BIGINT) & 65535 AS gx,
            |         user_id & 65535 AS gy,
            |         CAST(floor(value*1000) AS BIGINT) & 65535 AS x,
-           |         user_id & 65535 AS y,
-           |         CAST(0 AS BIGINT) AS d
+           |         user_id & 65535 AS y
            |  FROM events),
            |${HilbertOps.xy2dSqlCtes("b", Seq("event_id", "gx", "gy"))}
            |SELECT event_id, gx, gy, d AS hkey, gx AS hx2, gy AS hy2

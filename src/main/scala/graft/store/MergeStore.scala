@@ -93,10 +93,18 @@ object MergeStore {
     * commit dir; an unbounded log makes the rank-1 window read O(total
     * history). Periodic checkpoints bound the replay depth to
     * (1 checkpoint + commits since), which is the production cadence.
-    * The swap is staged (write to a `<path>_ckpt_tmp` dir, then delete
-    * old commit dirs and move the staging dir in) so a crashed
-    * checkpoint never corrupts surviving history — the staging dir name
-    * is outside the log path and invisible to readers. */
+    * The swap is staged AND ordered for crash safety: (1) write the
+    * reconstructed state to a `<path>_ckpt_tmp` dir outside the log
+    * path (invisible to readers); (2) delete only the existing
+    * `commit_v=upTo` dir; (3) rename the staging dir in — the
+    * checkpoint now exists; (4) only then delete the older commit dirs.
+    * A crash before (2) loses nothing; after (3) the checkpoint itself
+    * serves every read; the only exposed window is between (2) and (3)
+    * — two filesystem metadata ops — and even there no state is LOST:
+    * the staging dir still holds the complete reconstructed rows
+    * (recovery = finish the rename), unlike the previous ordering
+    * where all commits ≤ upTo were deleted before the rename and a
+    * crash stranded the whole history in the staging dir. */
   def checkpointAndVacuum(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -107,16 +115,20 @@ object MergeStore {
     val state = readAsOf(spark, path, upTo, keyCols).withColumn("_op", lit("U"))
     val tmp = path + "_ckpt_tmp"
     state.write.mode("overwrite").parquet(tmp)
-    val dirs = new java.io.File(path).listFiles.toSeq
+    val older = new java.io.File(path).listFiles.toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("commit_v="))
-      .filter(f => f.getName.stripPrefix("commit_v=").toInt <= upTo)
-    dirs.foreach(SnapshotStore.deleteRecursively)
+      .filter(f => f.getName.stripPrefix("commit_v=").toInt < upTo)
     val target = new java.io.File(path, s"commit_v=$upTo")
+    if (target.exists()) SnapshotStore.deleteRecursively(target)
     require(new java.io.File(tmp).renameTo(target),
       s"checkpoint rename failed: $tmp -> $target")
+    older.foreach(SnapshotStore.deleteRecursively)
     // the staged dir's _SUCCESS/_metadata ride along harmlessly inside
-    // the partition dir (hidden `_` files are skipped by readers)
-    ()
+    // the partition dir (hidden `_` files are skipped by readers).
+    // The deletes/renames above bypassed Spark's session-shared
+    // FileStatusCache — drop its listings so a later readAsOf in the
+    // same session can't see deleted part files.
+    spark.catalog.refreshByPath(path)
   }
 
   /** CDC between two snapshots of a keyed table: one row per changed key

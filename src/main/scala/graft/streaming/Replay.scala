@@ -440,13 +440,22 @@ object Replay {
             col("_mo").isNull.cast("long").as("kept"),
             coalesce(col("_mo"), lit(-1L)).as("matched_old"))
         // decisions first (materializes the probe against the snapshot),
-        // then survivors from the WRITTEN decisions, then index append
+        // then survivors, then index append. Survivors derive from the
+        // PERSISTED batch-local decisions frame — the same rows the
+        // decPath append just wrote (persist pins one materialization
+        // for both consumers), so the write-then-derive ordering keeps
+        // its crash-consistency argument while the derivation stays
+        // O(batch): a decPath read-back here would rescan EVERY prior
+        // batch's decisions (O(B²) cumulative over a long-running
+        // stream).
+        decisions.persist()
         decisions.write.mode("append").parquet(decPath)
-        val kept = spark.read.parquet(decPath)
+        val kept = decisions
           .filter(col("kept") === 1L)
-          .join(newIdx, Seq("doc_id")) // only this batch's docs survive the join
+          .join(newIdx, Seq("doc_id"))
           .select(col("doc_id"), col("sig"), col("sh"))
         kept.write.mode("append").parquet(idxPath)
+        decisions.unpersist()
         newIdx.unpersist()
         ()
       }

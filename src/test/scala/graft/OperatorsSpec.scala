@@ -837,4 +837,143 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
     assert(got == (("ok", 3L, 0L, 0L, 0L, 2L, 0L)), got.toString)
   }
+
+  // -- Spearman -----------------------------------------------------------
+
+  test("spearmanRho: perfect monotone ±1e6, constant-metric NULL") {
+    import graft.operators.Stats
+    val rows =
+      (1 to 5).map(i => ("p", i.toLong, i.toLong * 7)) ++     // perfect +
+        (1 to 5).map(i => ("n", i.toLong, 10L - i)) ++        // perfect −
+        (1 to 5).map(i => ("z", i.toLong, 4L))                // y constant
+    val got = Stats.spearmanRho(rows.toDF("g", "x", "y"), $"g", $"x", $"y")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("p") == ((5L, 1L, Some(1000000L))), got.toString)
+    assert(got("n") == ((5L, -1L, Some(1000000L))), got.toString)
+    assert(got("z") == ((5L, 0L, None)), got.toString)
+  }
+
+  test("spearmanRho equals the BigInt doubled-rank replay under ties") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 300).map(_ => ("g", rnd.nextInt(12).toLong, rnd.nextInt(9).toLong))
+    val got = Stats.spearmanRho(rows.toDF("g", "x", "y"), $"g", $"x", $"y")
+      .as[(String, Long, Long, Option[Long])].collect().head
+    def r2(vs: Seq[Long]): Map[Long, BigInt] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val rank = sorted.indexOf(v) + 1
+        val eq = sorted.count(_ == v)
+        v -> BigInt(2 * rank + eq - 1)
+      }.toMap
+    }
+    val (rx, ry) = (r2(rows.map(_._2)), r2(rows.map(_._3)))
+    val n = BigInt(rows.size)
+    val pairs = rows.map(t => (rx(t._2), ry(t._3)))
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val num = n * sxy - sx * sy
+    val dx = n * sxx - sx * sx
+    val dy = n * syy - sy * sy
+    val rho2 = ((num * num / dx) * 1000000) / dy // the engine's two floored divisions
+    assert(got == (("g", rows.size.toLong, num.signum.toLong, Some(rho2.toLong))),
+      s"got=$got want rho2=$rho2")
+  }
+
+  // -- Poisson bootstrap ---------------------------------------------------
+
+  test("bootstrapCiMean equals the md5 Poisson-weight replay, lo<=hi") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 200).map(i => ("g", i.toLong, (rnd.nextInt(1000) + 1).toLong))
+    val b = 16
+    val got = Stats.bootstrapCiMean(rows.toDF("g", "e", "x"), $"g", $"e", $"x", b)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    // local replay: identical md5 draw, ladder, floor means, rank selection
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(e: Long, rep: Int): Long = {
+      val hex = md.digest(s"$e|$rep".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val ladder = Stats.PoissonPpm
+    def w(uu: Long): Long = ladder.indexWhere(uu < _) match {
+      case -1 => ladder.size.toLong; case k => k.toLong
+    }
+    val means = (0 until b).flatMap { rep =>
+      val ws = rows.map(t => (w(u(t._2, rep)), t._3))
+      val wn = ws.map(_._1).sum
+      if (wn == 0) None else Some(ws.map(t => t._1 * t._2).sum / wn)
+    }.sorted
+    val beff = means.size
+    val lo = means((beff * 5 + 99) / 100 - 1)
+    val hi = means((beff * 95 + 99) / 100 - 1)
+    val mean = rows.map(_._3).sum / rows.size
+    assert(got == (("g", 200L, mean, beff.toLong, lo, hi)), s"got=$got want ($mean,$beff,$lo,$hi)")
+    assert(got._5 <= got._6)
+  }
+
+  // -- Kaplan-Meier --------------------------------------------------------
+
+  test("kaplanMeier: hand-computed curve, censoring discounts risk only") {
+    import graft.operators.Stats
+    val per = Seq(("m", 1L, 1L), ("m", 2L, 0L), ("m", 3L, 1L), ("m", 3L, 0L),
+      ("m", 5L, 0L)).toDF("g", "t", "d")
+    val got = Stats.kaplanMeier(per, $"g", $"t", $"d")
+      .orderBy("t")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // t=1: risk 5, 1 death -> floor(1e6*4/5) = 800000
+    // t=2: censor only -> no curve row, but it left the risk set
+    // t=3: risk 3, 1 death -> floor(800000*2/3) = 533333
+    assert(got == Seq(("m", 1L, 5L, 1L, 800000L), ("m", 3L, 3L, 1L, 533333L)),
+      got.toString)
+  }
+
+  test("kaplanMeier equals the sequential ppm-fold replay on random data") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(83)
+    val per = (1 to 400).map(_ =>
+      ("g", rnd.nextInt(20).toLong, rnd.nextInt(2).toLong))
+    val got = Stats.kaplanMeier(per.toDF("g", "t", "d"), $"g", $"t", $"d")
+      .orderBy("t").as[(String, Long, Long, Long, Long)].collect().toSeq
+    val census = per.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (t, rs) => (t, rs.map(_._3).sum, rs.size.toLong) }
+    var s = 1000000L
+    val want = census.indices.flatMap { i =>
+      val (t, dd, _) = census(i)
+      val nr = census.drop(i).map(_._3).sum
+      if (dd > 0) { s = s * (nr - dd) / nr; Some(("g", t, nr, dd, s)) } else None
+    }
+    assert(got == want, s"got=$got want=$want")
+    got.map(_._5).sliding(2).foreach {
+      case Seq(a, c) => assert(a >= c, "survival must be non-increasing")
+      case _ =>
+    }
+  }
+
+  // -- selection guards (ADVICE r8) ---------------------------------------
+
+  test("exact selection: empty input -> empty frame; duplicate percents dedupe") {
+    import graft.operators.Stats
+    val empty = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(Stats.exactQuantilesSelect(empty, "v", Seq(50, 90)).collect().isEmpty)
+    assert(Stats.groupedExactQuantiles(empty, $"g", "v", Seq(50), 16L).collect().isEmpty)
+    val rows = (1 to 100).map(i => ("a", i.toLong)).toDF("g", "v")
+    assert(Stats.exactQuantilesSelect(rows, "v", Seq(50, 50, 50)).count() == 1)
+    assert(Stats.groupedExactQuantiles(rows, $"g", "v", Seq(90, 90), 8L).count() == 1)
+  }
+
+  test("groupedExactQuantiles fails fast on a too-many-groups histogram") {
+    import graft.operators.Stats
+    // high-cardinality group column: every row its own group
+    val rows = (1 to 500).map(i => (s"g$i", i.toLong)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.groupedExactQuantiles(rows, $"g", "v", Seq(50), 16L,
+        maxHistRows = 100)
+    }
+    assert(e.getMessage.contains("maxHistRows"), e.getMessage)
+  }
 }

@@ -66,6 +66,15 @@ for name in manifest:
         continue
     bad = []
     for c in a.columns:
+        # dtype-strict: the driver hashes typed values, so an int64 Spark
+        # column vs a float64 oracle column (e.g. DuckDB sum(BIGINT) →
+        # HUGEINT → float64) is a driver-hash FAIL even when pandas `==`
+        # says 10596 == 10596.0. canon() already unified integer widths
+        # and float widths, so any remaining dtype gap is a kind mismatch.
+        if a[c].dtype != b[c].dtype:
+            print(f"{name:24s} DTYPE MISMATCH col={c} spark={a[c].dtype} oracle={b[c].dtype}")
+            bad.append(c)
+            continue
         av, bv = a[c].values, b[c].values
         if pd.api.types.is_float_dtype(a[c]):
             eq = np.array_equal(av, bv, equal_nan=True)
