@@ -320,7 +320,25 @@ object ScaleProbe {
     // round-9: attribution = one per-user ordered window (the
     // q_traj_velocity shape) + (user, conversion) position windows that
     // reuse the same hash partitioning + a |channels|-row verdict
-    "q_attribution" -> false
+    "q_attribution" -> false,
+    // round-9: CUBE = one Expand (x4 margin combos) + ONE map-side-
+    // combined agg to 48 domain-bounded groups — the q_rollup class
+    "q_cube" -> false,
+    // round-9: SRM guardrail = one distinct-(type, user) dedup + a
+    // 5-group conditional agg — partial-dedup state is the
+    // q_active_users key class (flagged artifact on single-split bases)
+    "q_ab_srm" -> true,
+    // round-9: MMR = staged top-12 retrieval (the q_cosine_topk
+    // broadcast-queries crossJoin, linear in corpus) + greedy rounds on
+    // (queries x 12) candidate frames whose size is INPUT-INDEPENDENT
+    "q_mmr_rerank" -> false,
+    // round-9: RFM = one (user) totals agg + three 2-pass selections on
+    // DOMAIN-bounded histograms + broadcast thresholds + a 64-group
+    // verdict — the (user) key class (q_active_users artifact flag)
+    "q_rfm_segments" -> true,
+    // round-9: skew audit = ONE (user) count agg + TakeOrdered top-10 —
+    // same (user) partial-agg key class as q_rfm_segments
+    "q_skew_audit" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -144,7 +144,11 @@ object Scratch {
       "q_spearman" -> "spearman: one (type,user) totals agg; both rank windows and the moment rollup reuse ONE hash(g) partitioning",
       "q_bootstrap_ci" -> "bootstrap: x32 weight explode is row-local; (g,b) agg map-side-combines to 160 domain rows before the exchange; rank selection on the groupsxB frame",
       "q_survival_km" -> "kaplan-meier: one (type,user) min/max agg is the only data-sized pass; risk window + ppm fold run on the domain-bounded (type,day) frame",
-      "q_attribution" -> "attribution: per-user conversion-counter window + (user,cs) position windows share hash(user_id); credit rollup is |channels| rows")
+      "q_attribution" -> "attribution: per-user conversion-counter window + (user,cs) position windows share hash(user_id); credit rollup is |channels| rows",
+      "q_cube" -> "cube: ONE Expand + ONE map-side-combined aggregate for all 4 margin combos — never 4 input scans",
+      "q_mmr_rerank" -> "mmr: staged top-12 candidates + 5 greedy rounds on (queries x 12) frames, every join/window keyed on q_id",
+      "q_rfm_segments" -> "rfm: quartile thresholds via 2-pass exact selection broadcast onto the user frame — no unpartitioned ntile window",
+      "q_skew_audit" -> "skew audit: one map-side count agg + TakeOrderedAndProject — no rank window anywhere")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

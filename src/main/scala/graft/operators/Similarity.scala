@@ -602,4 +602,62 @@ object Similarity {
       .orderBy(col("cos2s_ppm"), col("vec_id"))
       .limit(topK)
   }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) —
+    * the diversity pass between retrieval and consumption: from each
+    * query's candidate list, greedily pick the item maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-picked. λ = 1/2 cleared of the
+    * division: score2 = rel_ppm − max_psim_ppm, pure integers, ties to
+    * the smaller candidate id — fully deterministic, so the oracle
+    * replays the identical greedy trail step by step.
+    *
+    * Input: `cands` (qId, candId, rel_ppm) — the per-query candidate
+    * lists (top-N from any retriever; N is the scale knob, the corpus
+    * never enters); `pairs` (qId, a_id, b_id, psim_ppm) — pairwise sims
+    * among each query's candidates (N² per query, domain-bounded),
+    * a_id/b_id holding candId values for every ordered pair a ≠ b.
+    *
+    * Scale shape: retrieval upstream is the data-sized work; here every
+    * frame is (queries × N) or (queries × N²) rows, each greedy round is
+    * one join + one (qId, candId) max agg + one rank-1 window — ALL
+    * keyed on qId, so a million queries spread across the cluster and
+    * the k rounds never funnel. Output: (qId, rank, candId, score2_ppm),
+    * rank 1..k in pick order; rank 1's score2 = its rel (empty picked
+    * set contributes max-sim 0). */
+  def mmrRerank(
+      cands: DataFrame,
+      pairs: DataFrame,
+      qId: String,
+      candId: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val wPick = Window.partitionBy(col(qId))
+      .orderBy(col("_score").desc, col(candId))
+    def pick1(scored: DataFrame, r: Int): DataFrame = scored
+      .withColumn("_rn", row_number().over(wPick))
+      .filter(col("_rn") === 1)
+      .select(col(qId), lit(r.toLong).as("rank"), col(candId),
+        col("_score").as("score2_ppm"))
+    var selected = pick1(cands.withColumn("_score", col("rel_ppm")), 1)
+    (2 to k).foreach { r =>
+      val selIds = selected.select(col(qId), col(candId).as("b_id"))
+      val maxsim = pairs.join(selIds, Seq(qId, "b_id"))
+        .groupBy(col(qId), col("a_id"))
+        .agg(max(col("psim_ppm")).as("_maxsim"))
+        .withColumnRenamed("a_id", candId)
+      val scored = cands
+        .join(selected.select(col(qId), col(candId)), Seq(qId, candId), "left_anti")
+        .join(maxsim, Seq(qId, candId))
+        .withColumn("_score", col("rel_ppm") - col("_maxsim"))
+      // stage each round (the CC/pagerank iterative-frame pattern):
+      // round r references selected(r-1) THREE times (probe ids,
+      // anti-join, union), so an unstaged chain re-embeds round 1's
+      // subplan 3^(r-1) times — measured 8.0 s for k=5 on frames of a
+      // few dozen rows, pure plan-blowup; staged rounds read a flat
+      // file scan instead (0.9 s, and content-keyed reuse across runs)
+      selected = graft.store.Staging.stage(
+        selected.unionByName(pick1(scored, r)), s"mmr_sel$r")
+    }
+    selected
+  }
 }

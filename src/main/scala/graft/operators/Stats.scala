@@ -819,8 +819,11 @@ object Stats {
       .withColumn("_dx", expr("n * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx"))
       .withColumn("_dy", expr("n * _syy - CAST(_sy AS DECIMAL(38,0)) * _sy"))
       .withColumn("rho2_ppm",
+        // Spark's DIV returns LONG even for DECIMAL operands, and
+        // t1·10⁶ (t1 ≲ 4n⁴) overflows long past n ≈ 5·10³ — re-widen
+        // the quotient to DECIMAL(38,0) before the ppm scale
         when(col("_dx") > 0 && col("_dy") > 0,
-          expr("CAST((_num * _num DIV _dx) * 1000000 DIV _dy AS BIGINT)")))
+          expr("CAST(CAST(_num * _num DIV _dx AS DECIMAL(38,0)) * 1000000 DIV _dy AS BIGINT)")))
       .select(col("_g").as("g"), col("n"),
         signum(col("_num")).cast("long").as("dir_sign"), col("rho2_ppm"))
   }

@@ -846,6 +846,32 @@ object CoreQueries {
              |FROM e GROUP BY GROUPING SETS ((day, event_type), (event_type), ())
              |ORDER BY 1, 2""".stripMargin)),
 
+    // CUBE — the remaining member of the grouping family (q_rollup =
+    // the hierarchy, q_grouping_sets = an explicit list, CUBE = ALL 2ᵏ
+    // margins): day-of-week × type traffic with both one-way margins
+    // and the grand total in ONE Expand + ONE aggregate pass — four
+    // separate GROUP BYs would scan the input four times.
+    Q("q_cube",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(dayofweek(col("ts")).cast("long").as("dow"),
+            col("event_type"), col("value"))
+        e.cube(col("dow"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+          .select(coalesce(col("dow"), lit(-1L)).as("dow"),
+            coalesce(col("event_type"), lit("<all>")).as("event_type"),
+            col("n"), col("value_mils"))
+          .orderBy("dow", "event_type")
+      },
+      Some("""WITH e AS (SELECT dayofweek(ts) + 1 AS dow, event_type, value FROM events)
+             |SELECT coalesce(dow, -1) AS dow,
+             |       coalesce(event_type, '<all>') AS event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM e GROUP BY CUBE (dow, event_type)
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Columnar pivot: one row per day, one column per event type (the
     // wide dashboard shape). The explicit value list keeps the output
     // schema static — Spark then plans it as a single aggregate of
@@ -2380,6 +2406,32 @@ object CoreQueries {
              |            END AS BIGINT) AS t2_ppm
              |FROM f ORDER BY event_type""".stripMargin)),
 
+    // Sample-ratio mismatch guardrail — the check every experiment
+    // readout must pass BEFORE its p-value means anything: with a 50/50
+    // assignment, the per-type variant counts n0/n1 should differ only
+    // by chance; χ²(1df) = (n0−n1)²/(n0+n1) ≥ 3.84 flags a broken
+    // randomizer/logging path. Exact integer ppm; one distinct-user agg
+    // per type is the only data-sized pass.
+    Q("q_ab_srm",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_type"), col("user_id")).distinct()
+          .groupBy(col("event_type"))
+          .agg(sum((col("user_id") % 2 === 0).cast("long")).as("n0"),
+            sum((col("user_id") % 2 =!= 0).cast("long")).as("n1"))
+          .withColumn("srm_chi2_ppm",
+            expr("(n0 - n1) * (n0 - n1) * 1000000 DIV (n0 + n1)"))
+          .orderBy("event_type")
+      },
+      Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+             |m AS (SELECT event_type,
+             |             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |             CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+             |      FROM u GROUP BY 1)
+             |SELECT event_type, n0, n1,
+             |       CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS BIGINT) AS srm_chi2_ppm
+             |FROM m ORDER BY event_type""".stripMargin)),
+
     // Inter-arrival gap distribution per stream — the capacity-planning
     // census: exact nearest-rank p50/p90/p99 of consecutive same-user
     // gaps per event_type. The 5-key group cardinality makes a
@@ -2743,6 +2795,105 @@ object CoreQueries {
              |FROM cr GROUP BY 1
              |UNION ALL SELECT '(direct)', CAST(nd AS BIGINT), CAST(nd * 10000 AS BIGINT) FROM d
              |ORDER BY channel""".stripMargin)),
+
+    // RFM segmentation — the classic customer-value census: per-user
+    // Recency/Frequency/Monetary quartile codes (1..4 each, segment =
+    // r·100 + f·10 + m) with the quartile THRESHOLDS found by the
+    // 2-pass exact selection (one domain-bounded histogram + target-bin
+    // rescan per dimension) and broadcast — never an unpartitioned
+    // ntile window funneling every user through one task. Exact
+    // nearest-rank boundaries reproduce in the oracle's rank windows.
+    Q("q_rfm_segments",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("tus"),
+          floor(col("value") * 1000).cast("long").as("v_mils"))
+        val cut = ev.agg(max(col("tus")).as("_maxt"))
+        val users = ev.groupBy(col("user_id"))
+          .agg(max(col("tus")).as("_lastt"), count(lit(1)).as("freq"),
+            sum(col("v_mils")).as("mon_mils"))
+          .crossJoin(broadcast(cut))
+          .select(col("user_id"),
+            expr("(_maxt - _lastt) DIV 86400000000").as("rec_days"),
+            col("freq"), col("mon_mils"))
+        def thresholds(c: String, binWidth: Long) =
+          Stats.exactQuantilesSelect(users, c, Seq(25, 50, 75), binWidth)
+            .agg(max(when(col("pct") === 25, col(c))).as(s"_p25_$c"),
+              max(when(col("pct") === 50, col(c))).as(s"_p50_$c"),
+              max(when(col("pct") === 75, col(c))).as(s"_p75_$c"))
+        val withT = users
+          .crossJoin(broadcast(thresholds("rec_days", 1L)))
+          .crossJoin(broadcast(thresholds("freq", 1L)))
+          .crossJoin(broadcast(thresholds("mon_mils", 16384L)))
+        def qc(c: String) =
+          when(col(c) <= col(s"_p25_$c"), 1L)
+            .when(col(c) <= col(s"_p50_$c"), 2L)
+            .when(col(c) <= col(s"_p75_$c"), 3L).otherwise(4L)
+        withT
+          .withColumn("segment",
+            qc("rec_days") * 100 + qc("freq") * 10 + qc("mon_mils"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_users"), sum(col("mon_mils")).as("mon_mils"))
+          .orderBy("segment")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+             |                   CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+             |u AS (SELECT user_id,
+             |        ((SELECT max(tus) FROM ev) - max(tus)) // 86400000000 AS rec_days,
+             |        count(*) AS freq, CAST(sum(v) AS BIGINT) AS mon_mils
+             |      FROM ev GROUP BY 1),
+             |tr AS (SELECT max(CASE WHEN rr = (n * 25 + 99) // 100 THEN rec_days END) AS r25,
+             |              max(CASE WHEN rr = (n * 50 + 99) // 100 THEN rec_days END) AS r50,
+             |              max(CASE WHEN rr = (n * 75 + 99) // 100 THEN rec_days END) AS r75
+             |       FROM (SELECT rec_days, row_number() OVER (ORDER BY rec_days) AS rr,
+             |                    count(*) OVER () AS n FROM u)),
+             |tf AS (SELECT max(CASE WHEN rr = (n * 25 + 99) // 100 THEN freq END) AS f25,
+             |              max(CASE WHEN rr = (n * 50 + 99) // 100 THEN freq END) AS f50,
+             |              max(CASE WHEN rr = (n * 75 + 99) // 100 THEN freq END) AS f75
+             |       FROM (SELECT freq, row_number() OVER (ORDER BY freq) AS rr,
+             |                    count(*) OVER () AS n FROM u)),
+             |tm AS (SELECT max(CASE WHEN rr = (n * 25 + 99) // 100 THEN mon_mils END) AS m25,
+             |              max(CASE WHEN rr = (n * 50 + 99) // 100 THEN mon_mils END) AS m50,
+             |              max(CASE WHEN rr = (n * 75 + 99) // 100 THEN mon_mils END) AS m75
+             |       FROM (SELECT mon_mils, row_number() OVER (ORDER BY mon_mils) AS rr,
+             |                    count(*) OVER () AS n FROM u)),
+             |seg AS (SELECT
+             |    (CASE WHEN rec_days <= r25 THEN 1 WHEN rec_days <= r50 THEN 2
+             |          WHEN rec_days <= r75 THEN 3 ELSE 4 END) * 100 +
+             |    (CASE WHEN freq <= f25 THEN 1 WHEN freq <= f50 THEN 2
+             |          WHEN freq <= f75 THEN 3 ELSE 4 END) * 10 +
+             |    (CASE WHEN mon_mils <= m25 THEN 1 WHEN mon_mils <= m50 THEN 2
+             |          WHEN mon_mils <= m75 THEN 3 ELSE 4 END) AS segment,
+             |    mon_mils
+             |  FROM u, tr, tf, tm)
+             |SELECT CAST(segment AS BIGINT) AS segment, count(*) AS n_users,
+             |       CAST(sum(mon_mils) AS BIGINT) AS mon_mils
+             |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Join-key skew audit — the pre-flight census a 100 TB join plan
+    // needs BEFORE choosing salted/broadcast/AQE strategies: per-key
+    // cardinality of the fact join key, top-10 heavy keys with their
+    // corpus share and x-mean skew factor. One map-side-combined count
+    // agg + TakeOrderedAndProject — deliberately NO unpartitioned rank
+    // window (the exact anti-pattern this audit exists to prevent).
+    Q("q_skew_audit",
+      (s, dir) => {
+        val cnts = Tables.events(s, dir)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        val tot = cnts.agg(count(lit(1)).as("_nk"), sum(col("cnt")).as("_tot"))
+        cnts.crossJoin(broadcast(tot))
+          .select(col("user_id"), col("cnt"),
+            expr("cnt * 1000000 DIV _tot").as("share_ppm"),
+            expr("cnt * _nk * 1000000 DIV _tot").as("skew_x_mean_ppm"))
+          .orderBy(col("cnt").desc, col("user_id"))
+          .limit(10)
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+             |t AS (SELECT count(*) AS nk, CAST(sum(cnt) AS BIGINT) AS tot FROM c)
+             |SELECT user_id, cnt,
+             |       CAST(cnt * 1000000 // tot AS BIGINT) AS share_ppm,
+             |       CAST(cnt * nk * 1000000 // tot AS BIGINT) AS skew_x_mean_ppm
+             |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)),
 
     // Length-2 sequential-pattern support (PrefixSpan level 1): for
     // every ordered (a, b) event-type pair, the fraction of users with

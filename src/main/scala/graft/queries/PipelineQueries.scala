@@ -1166,6 +1166,80 @@ object PipelineQueries {
              |SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 10
              |ORDER BY q_id, rank""".stripMargin)),
 
+    // MMR diversity rerank — the step between retrieval and consumption
+    // (RAG context packing, dedup'd search results): greedily re-pick 5
+    // of each query's top-12 cosine candidates maximizing
+    // relevance − max-sim-to-already-picked (λ = 1/2 cleared of its
+    // division; exact integer ppm; ties to the smaller id). Retrieval
+    // is the data-sized work and is staged ONCE; every greedy round
+    // then runs on (queries × 12)-row frames keyed on q_id — a million
+    // queries spread, the k rounds never funnel. The oracle replays the
+    // identical greedy trail as an unrolled CTE chain.
+    Q("q_mmr_rerank",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val cands = graft.store.Staging.stage(
+          Similarity.topKExact(emb, queries, "vec_id", "embedding", "q_id", "q_vec", 12)
+            .select(col("q_id"), col("vec_id").as("cand_id"),
+              col("sim_ppm").as("rel_ppm")),
+          "mmr_cands")
+        val cv = cands.join(
+          emb.select(col("vec_id").as("cand_id"), col("embedding")), Seq("cand_id"))
+        val pairs = graft.store.Staging.stage(
+          cv.select(col("q_id"), col("cand_id").as("a_id"), col("embedding").as("_va"))
+            .join(cv.select(col("q_id"), col("cand_id").as("b_id"), col("embedding").as("_vb")),
+              Seq("q_id"))
+            .filter(col("a_id") =!= col("b_id"))
+            .withColumn("psim_ppm", Similarity.cosinePpm(col("_va"), col("_vb")))
+            .select(col("q_id"), col("a_id"), col("b_id"), col("psim_ppm")),
+          "mmr_pairs")
+        Similarity.mmrRerank(cands, pairs, "q_id", "cand_id", 5)
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val cos = (a: String, b: String) =>
+          s"""CAST(floor(list_dot_product($a::DOUBLE[], $b::DOUBLE[])
+             |  / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[]))
+             |     * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))
+             |  * 1000000.0) AS BIGINT)""".stripMargin
+        val head = Seq(
+          "q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3)",
+          s"""s AS (SELECT q.q_id, e.vec_id AS cand_id,
+             |  ${cos("e.embedding", "q.q_vec")} AS rel_ppm
+             |  FROM embeddings e, q WHERE e.vec_id <> q.q_id)""".stripMargin,
+          """cand AS (SELECT q_id, cand_id, rel_ppm FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel_ppm DESC, cand_id) AS rn
+            |  FROM s) WHERE rn <= 12)""".stripMargin,
+          """cv AS (SELECT c.q_id, c.cand_id, e.embedding AS v
+            |  FROM cand c JOIN embeddings e ON e.vec_id = c.cand_id)""".stripMargin,
+          s"""pairs AS (SELECT a.q_id, a.cand_id AS a_id, b.cand_id AS b_id,
+             |  ${cos("a.v", "b.v")} AS psim_ppm
+             |  FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.cand_id <> b.cand_id)""".stripMargin,
+          """sel1 AS (SELECT q_id, 1 AS rank, cand_id, rel_ppm AS score FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel_ppm DESC, cand_id) AS rn
+            |  FROM cand) WHERE rn = 1)""".stripMargin,
+          "selall1 AS (SELECT * FROM sel1)")
+        val steps = (2 to 5).flatMap { r =>
+          Seq(
+            s"""scored$r AS (SELECT c.q_id, c.cand_id, c.rel_ppm - max(p.psim_ppm) AS score
+               |  FROM cand c
+               |  JOIN pairs p ON p.q_id = c.q_id AND p.a_id = c.cand_id
+               |  JOIN selall${r - 1} x ON x.q_id = p.q_id AND x.cand_id = p.b_id
+               |  WHERE NOT EXISTS (SELECT 1 FROM selall${r - 1} z
+               |                    WHERE z.q_id = c.q_id AND z.cand_id = c.cand_id)
+               |  GROUP BY c.q_id, c.cand_id, c.rel_ppm)""".stripMargin,
+            s"""sel$r AS (SELECT q_id, $r AS rank, cand_id, score FROM (
+               |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+               |  FROM scored$r) WHERE rn = 1)""".stripMargin,
+            s"selall$r AS (SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM sel$r)")
+        }
+        "WITH " + (head ++ steps).mkString(",\n") +
+          "\nSELECT q_id, CAST(rank AS BIGINT) AS rank, cand_id, CAST(score AS BIGINT) AS score2_ppm" +
+          "\nFROM selall5 ORDER BY q_id, rank"
+      }),
+
     // LSH-bucketed ANN with a FULL oracle: the md5-derived hyperplane
     // family makes signatures, bands, candidates, cosine and ranks all
     // reproducible in DuckDB — the approximate pipeline is checked

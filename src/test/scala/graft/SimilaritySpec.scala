@@ -399,4 +399,32 @@ class SimilaritySpec extends SparkSpec {
     }.sortBy(r => (r._4, r._1)).take(5)
     assert(got.toSeq == brute, s"got=${got.toSeq} brute=$brute")
   }
+
+  test("mmrRerank: diversity beats raw relevance, greedy trail exact") {
+    // A(rel 90) picked first; C(rel 80, far from A) beats B(rel 85,
+    // near-dup of A) in round 2; B last with score 85 - max(70, 20) = 15
+    val cands = Seq((1L, 10L, 90L), (1L, 11L, 85L), (1L, 12L, 80L))
+      .toDF("q_id", "cand_id", "rel_ppm")
+    val sym = Seq((10L, 11L, 70L), (10L, 12L, 10L), (11L, 12L, 20L))
+    val pairs = (sym ++ sym.map(p => (p._2, p._1, p._3)))
+      .map(p => (1L, p._1, p._2, p._3))
+      .toDF("q_id", "a_id", "b_id", "psim_ppm")
+    val got = Similarity.mmrRerank(cands, pairs, "q_id", "cand_id", 3)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 10L, 90L), (1L, 2L, 12L, 70L), (1L, 3L, 11L, 15L)),
+      got.toString)
+  }
+
+  test("mmrRerank: score ties break to the smaller candidate id") {
+    val cands = Seq((1L, 20L, 50L), (1L, 21L, 50L), (1L, 22L, 40L))
+      .toDF("q_id", "cand_id", "rel_ppm")
+    val sym = Seq((20L, 21L, 30L), (20L, 22L, 30L), (21L, 22L, 30L))
+    val pairs = (sym ++ sym.map(p => (p._2, p._1, p._3)))
+      .map(p => (1L, p._1, p._2, p._3))
+      .toDF("q_id", "a_id", "b_id", "psim_ppm")
+    val got = Similarity.mmrRerank(cands, pairs, "q_id", "cand_id", 2)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect().toSeq
+    // rank 1: rel tie 50/50 -> id 20; rank 2: 21 scores 50-30=20 beats 22's 40-30=10
+    assert(got == Seq((1L, 1L, 20L, 50L), (1L, 2L, 21L, 20L)), got.toString)
+  }
 }
