@@ -338,7 +338,15 @@ object ScaleProbe {
     "q_rfm_segments" -> true,
     // round-9: skew audit = ONE (user) count agg + TakeOrdered top-10 —
     // same (user) partial-agg key class as q_rfm_segments
-    "q_skew_audit" -> true
+    "q_skew_audit" -> true,
+    // round-9: n-gram coverage = staged corpus-wide distinct-gram index
+    // (the decontamination index shape) + eval-side gram join — corpus
+    // grams grow sublinearly on the verbatim replica (cross-copy grams
+    // identical), eval side is fixed
+    "q_ngram_coverage" -> false,
+    // round-9: lang audit = the row-local q_text_stats scorer + ONE
+    // (lang, lang_pred) map-side agg — 30 domain-bounded groups
+    "q_lang_mismatch" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -148,7 +148,9 @@ object Scratch {
       "q_cube" -> "cube: ONE Expand + ONE map-side-combined aggregate for all 4 margin combos — never 4 input scans",
       "q_mmr_rerank" -> "mmr: staged top-12 candidates + 5 greedy rounds on (queries x 12) frames, every join/window keyed on q_id",
       "q_rfm_segments" -> "rfm: quartile thresholds via 2-pass exact selection broadcast onto the user frame — no unpartitioned ntile window",
-      "q_skew_audit" -> "skew audit: one map-side count agg + TakeOrderedAndProject — no rank window anywhere")
+      "q_skew_audit" -> "skew audit: one map-side count agg + TakeOrderedAndProject — no rank window anywhere",
+      "q_ngram_coverage" -> "ngram coverage: staged corpus distinct-gram index scan + eval-side gram join; only gram keys shuffle",
+      "q_lang_mismatch" -> "lang audit: row-local stopword scorer (hits bound once) + ONE (lang,pred) map-side agg — 2-column verdict shuffles")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

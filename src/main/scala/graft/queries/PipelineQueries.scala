@@ -787,6 +787,83 @@ object PipelineQueries {
              |       CASE WHEN m.j >= 500000 THEN 1 ELSE 0 END AS contaminated
              |FROM best ORDER BY doc_id""".stripMargin)),
 
+    // Eval-set n-gram coverage — decontamination's AGGREGATE twin: per
+    // eval document, the ppm of its distinct char 5-grams that appear
+    // ANYWHERE in the train corpus (q_decontaminate finds the worst
+    // single source; this measures total surface overlap — the
+    // memorization-risk metric eval authors report). The corpus-wide
+    // distinct-gram index is staged once (the decontamination index
+    // shape); the eval side is small by definition and joins it on the
+    // gram key.
+    Q("q_ngram_coverage",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpusGrams = graft.store.Staging.stage(
+          docs.filter(col("doc_id") >= 25)
+            .select(explode(Dedup.charShingles(col("text"), 5)).as("_s"))
+            .distinct(),
+          "covg_corpus_grams")
+        docs.filter(col("doc_id") < 25)
+          .select(col("doc_id"), explode(Dedup.charShingles(col("text"), 5)).as("_s"))
+          .join(corpusGrams.withColumn("_hit", lit(1L)), Seq("_s"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("_hit"), lit(0L))).as("_cov"))
+          .withColumn("covered_ppm", expr("_cov * 1000000 DIV n_grams"))
+          .select(col("doc_id"), col("n_grams"), col("covered_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, list_distinct([substr(text, i::INT, 5) for i in range(1, len(text)-3)]) AS g
+             |  FROM documents),
+             |cg AS (SELECT DISTINCT unnest(g) AS s FROM g WHERE doc_id >= 25),
+             |eg AS (SELECT doc_id, unnest(g) AS s FROM g WHERE doc_id < 25)
+             |SELECT e.doc_id, count(*) AS n_grams,
+             |       CAST(sum(CASE WHEN cg.s IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS covered_ppm
+             |FROM eg e LEFT JOIN cg ON e.s = cg.s
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Language-label audit — the confusion matrix between the corpus's
+    // CLAIMED lang column and the n-gram language-ID prediction (the
+    // q_text_stats scorer): mislabeled-language documents poison
+    // per-language sampling rates and tokenizer choices, and the audit
+    // is one map-side-combined (lang, lang_pred) aggregation over the
+    // row-local scorer — nothing but the 2-column verdict shuffles.
+    Q("q_lang_mismatch",
+      (s, dir) => {
+        val tk = col("_toks")
+        val langHitCols = TextAnalysis.stopwords.map { case (lang, words) =>
+          s"_s_$lang" -> TextAnalysis.stopwordHits(tk, words)
+        }
+        Tables.documents(s, dir)
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+          .withColumns(langHitCols.toMap)
+          .withColumn("lang_pred", TextAnalysis.langIdFromScores(
+            TextAnalysis.stopwords.map { case (l, _) => l -> col(s"_s_$l") }))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("mismatch", (col("lang") =!= col("lang_pred")).cast("long"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some {
+        val hits = TextAnalysis.stopwords.map { case (lang, words) =>
+          s"${duckHits(words)} AS s_$lang"
+        }.mkString(",\n    ")
+        val langs = TextAnalysis.stopwords.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val langCase = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'")
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+           |m AS (SELECT doc_id, lang,
+           |    $hits
+           |  FROM tk),
+           |p AS (SELECT lang, $langCase AS lang_pred FROM m)
+           |SELECT lang, lang_pred, count(*) AS n_docs,
+           |       CAST(CASE WHEN lang <> lang_pred THEN 1 ELSE 0 END AS BIGINT) AS mismatch
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+
     // Inverted-index phrase search: the staged (shingle → doc) index the
     // dedup/decontamination pipelines already persist doubles as a search
     // index — an n-token phrase appears consecutively in a doc IFF the
