@@ -346,7 +346,11 @@ object ScaleProbe {
     "q_ngram_coverage" -> false,
     // round-9: lang audit = the row-local q_text_stats scorer + ONE
     // (lang, lang_pred) map-side agg — 30 domain-bounded groups
-    "q_lang_mismatch" -> false
+    "q_lang_mismatch" -> false,
+    // round-9: capped sessionization = one group-collect shuffle +
+    // row-local dual-rule fold (the q_ewma_anomaly shape); users scale
+    // as width, per-user track length constant on the replica
+    "q_session_capped" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -396,7 +400,10 @@ object ScaleProbe {
     "q_fk_audit", "q_l_diversity", "q_fuzzy_join2",
     // round-8 seventh wave: degree-distribution histogram runs on the
     // lineitem co-purchase axis (the q_triangle_count class)
-    "q_degree_dist")
+    "q_degree_dist",
+    // round-9: item-item CF cosine runs on the lineitem co-purchase
+    // axis (the q_assoc_rules wedge cost class)
+    "q_item_cf")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -150,7 +150,9 @@ object Scratch {
       "q_rfm_segments" -> "rfm: quartile thresholds via 2-pass exact selection broadcast onto the user frame — no unpartitioned ntile window",
       "q_skew_audit" -> "skew audit: one map-side count agg + TakeOrderedAndProject — no rank window anywhere",
       "q_ngram_coverage" -> "ngram coverage: staged corpus distinct-gram index scan + eval-side gram join; only gram keys shuffle",
-      "q_lang_mismatch" -> "lang audit: row-local stopword scorer (hits bound once) + ONE (lang,pred) map-side agg — 2-column verdict shuffles")
+      "q_lang_mismatch" -> "lang audit: row-local stopword scorer (hits bound once) + ONE (lang,pred) map-side agg — 2-column verdict shuffles",
+      "q_session_capped" -> "capped sessions: ONE group-collect shuffle + row-local dual-rule fold — the cap rule no fixed-gap merge expresses",
+      "q_item_cf" -> "item CF: per-order C(k,2) wedge pairs (never items^2) + popularity joins + TakeOrdered top-20")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

@@ -340,6 +340,59 @@ object CoreQueries {
              |FROM g GROUP BY user_id, sid
              |ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // Capped sessionization — the production rule the built-in
+    // session_window CANNOT express: a session closes on a 30-minute
+    // idle gap OR when it would exceed a 4-hour total duration
+    // (analytics suites cap runaway sessions; the cap depends on the
+    // RUNNING session start, which no fixed-gap merge knows). A rounded
+    // -recurrence-class fold: one shuffle groups each user's events,
+    // the dual-rule split folds row-locally (users scale as width), and
+    // the oracle replays it with a per-user recursive CTE.
+    Q("q_session_capped",
+      (s, dir) => {
+        val gapUs = 1800000000L
+        val capUs = 14400000000L
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(col("tus"), col("event_id")))).as("_ts"))
+          .withColumn("_sess", expr(
+            s"""aggregate(_ts,
+               |  named_struct('out', CAST(array() AS ARRAY<STRUCT<st: BIGINT, n: BIGINT, en: BIGINT>>),
+               |               'st', CAST(-1 AS BIGINT), 'n', CAST(0 AS BIGINT), 'en', CAST(-1 AS BIGINT)),
+               |  (acc, x) -> CASE
+               |    WHEN acc.st < 0 THEN
+               |      named_struct('out', acc.out, 'st', x.tus, 'n', CAST(1 AS BIGINT), 'en', x.tus)
+               |    WHEN x.tus - acc.en > $gapUs OR x.tus - acc.st > $capUs THEN
+               |      named_struct('out', concat(acc.out,
+               |          array(named_struct('st', acc.st, 'n', acc.n, 'en', acc.en))),
+               |        'st', x.tus, 'n', CAST(1 AS BIGINT), 'en', x.tus)
+               |    ELSE named_struct('out', acc.out, 'st', acc.st, 'n', acc.n + 1, 'en', x.tus)
+               |  END,
+               |  acc -> CASE WHEN acc.st < 0 THEN acc.out
+               |              ELSE concat(acc.out,
+               |                array(named_struct('st', acc.st, 'n', acc.n, 'en', acc.en))) END)""".stripMargin))
+          .select(col("user_id"), explode(col("_sess")).as("s"))
+          .select(col("user_id"), col("s.st").as("session_start_us"),
+            col("s.n").as("n_events"), (col("s.en") - col("s.st")).as("dur_us"))
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY epoch_us(ts), event_id) AS i
+             |  FROM events),
+             |f AS (SELECT user_id, i, tus, tus AS sess_st FROM e WHERE i = 1
+             |      UNION ALL
+             |      SELECT e.user_id, e.i, e.tus,
+             |             CASE WHEN e.tus - f.tus > 1800000000
+             |                    OR e.tus - f.sess_st > 14400000000
+             |                  THEN e.tus ELSE f.sess_st END
+             |      FROM f JOIN e ON e.user_id = f.user_id AND e.i = f.i + 1)
+             |SELECT user_id, sess_st AS session_start_us, count(*) AS n_events,
+             |       CAST(max(tus) - sess_st AS BIGINT) AS dur_us
+             |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("q_stats_bbox",
       (s, dir) =>
         Stats.bbox(
@@ -1216,6 +1269,41 @@ object CoreQueries {
              |FROM pr JOIN cnt ca ON pr.part_a = ca.p JOIN cnt cb ON pr.part_b = cb.p
              |        CROSS JOIN tot
              |ORDER BY part_a, part_b""".stripMargin)),
+
+    // Item-item collaborative filtering — the co-occurrence COSINE top-k
+    // ("customers who bought X also bought Y", Amazon 2003):
+    // q_assoc_rules ranks by lift/confidence, this normalizes by BOTH
+    // item popularities — cos²(a,b) = c²/(n_a·n_b) in exact ppm (squared
+    // keeps it integer, ranking-equivalent). Pair volume is per-order
+    // C(k,2) (order sizes bounded) — the wedge cost class, never
+    // all-items²; top-20 via TakeOrderedAndProject.
+    Q("q_item_cf",
+      (s, dir) => {
+        val oi = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val cnt = oi.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+        oi.as("a")
+          .join(oi.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+          .agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .join(cnt.select(col("p").as("part_a"), col("n_p").as("_na")), Seq("part_a"))
+          .join(cnt.select(col("p").as("part_b"), col("n_p").as("_nb")), Seq("part_b"))
+          .withColumn("cos2_ppm",
+            expr("n_co * n_co * 1000000 DIV (_na * _nb)"))
+          .select(col("part_a"), col("part_b"), col("n_co"), col("cos2_ppm"))
+          .orderBy(col("cos2_ppm").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some("""WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |cnt AS (SELECT p, count(*) AS n_p FROM oi GROUP BY p),
+             |pr AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_co
+             |       FROM oi a JOIN oi b ON a.o = b.o AND a.p < b.p
+             |       GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT part_a, part_b, n_co,
+             |       CAST(n_co * n_co * 1000000 // (ca.n_p * cb.n_p) AS BIGINT) AS cos2_ppm
+             |FROM pr JOIN cnt ca ON pr.part_a = ca.p JOIN cnt cb ON pr.part_b = cb.p
+             |ORDER BY cos2_ppm DESC, part_a, part_b LIMIT 20""".stripMargin)),
 
     // 2-D skyline / Pareto frontier over parts: minimize retail price
     // (exact cents), maximize total quantity sold — the multi-criteria
