@@ -350,7 +350,36 @@ object ScaleProbe {
     // round-9: capped sessionization = one group-collect shuffle +
     // row-local dual-rule fold (the q_ewma_anomaly shape); users scale
     // as width, per-user track length constant on the replica
-    "q_session_capped" -> false
+    "q_session_capped" -> false,
+    // round-9 wave 5: ANOVA and CUPED are the q_abtest (type, user)
+    // totals key class (one data-sized pass + a k-row rollup) —
+    // flagged for the same base-single-split pre-collapse artifact
+    // the SeqProbe matched-layout runs attribute
+    "q_anova" -> true,
+    "q_cuped" -> true,
+    // round-9 wave 5: DiD = ONE map-side conditional agg to 5 domain
+    // groups — near-zero shuffle by construction
+    "q_diff_in_diff" -> false,
+    // round-9 wave 5: changepoint = one group-collect shuffle +
+    // row-local prefix-sum fold (the q_ewma_anomaly/q_session_capped
+    // shape); users scale as width, per-user n constant
+    "q_changepoint" -> false,
+    // round-9 wave 5: readability = pure row-local projection over
+    // documents (the q_doc_winnow zero-shuffle class + ordered dump)
+    "q_readability" -> false,
+    // round-9 wave 6: χ² contingency = ONE map-side (type, dow) count
+    // to 35 domain groups — the q_cube near-zero-shuffle class
+    "q_chi2_contingency" -> false,
+    // round-9 wave 6: two-proportion z² = the q_abtest (type, user)
+    // outcome pass (same base-single-split artifact flag)
+    "q_ab_proportions" -> true,
+    // round-9 wave 6: feature hashing = token explode + (bucket, term)
+    // partial agg — vocab is corpus-bounded, grows sublinearly on the
+    // verbatim replica (cross-copy terms identical)
+    "q_feature_hash" -> false,
+    // round-9 wave 6: RAKE = doc-keyed posexplode window (one Exchange
+    // on doc_id) + word-stat agg + word join — linear in docs
+    "q_rake_phrases" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -403,7 +432,15 @@ object ScaleProbe {
     "q_degree_dist",
     // round-9: item-item CF cosine runs on the lineitem co-purchase
     // axis (the q_assoc_rules wedge cost class)
-    "q_item_cf")
+    "q_item_cf",
+    // round-9 wave 5: clustering coefficient and resource-allocation
+    // link prediction run on the lineitem co-purchase axis (the
+    // q_triangle_count / q_link_predict classes); cohort LTV on the
+    // orders axis the replica does not carry
+    "q_clustering_coeff", "q_link_ra", "q_cohort_ltv",
+    // round-9 wave 6: LPA modularity runs on the lineitem co-purchase
+    // axis (the q_label_prop class)
+    "q_modularity")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

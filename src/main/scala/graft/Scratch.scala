@@ -152,7 +152,18 @@ object Scratch {
       "q_ngram_coverage" -> "ngram coverage: staged corpus distinct-gram index scan + eval-side gram join; only gram keys shuffle",
       "q_lang_mismatch" -> "lang audit: row-local stopword scorer (hits bound once) + ONE (lang,pred) map-side agg — 2-column verdict shuffles",
       "q_session_capped" -> "capped sessions: ONE group-collect shuffle + row-local dual-rule fold — the cap rule no fixed-gap merge expresses",
-      "q_item_cf" -> "item CF: per-order C(k,2) wedge pairs (never items^2) + popularity joins + TakeOrdered top-20")
+      "q_item_cf" -> "item CF: per-order C(k,2) wedge pairs (never items^2) + popularity joins + TakeOrdered top-20",
+      "q_anova" -> "ANOVA: one (type, user) totals pass + k-row moment rollup — the q_abtest shape generalized to k arms",
+      "q_cuped" -> "CUPED: same dense-grid totals pass; theta + both deltas from ONE per-group moment rollup",
+      "q_changepoint" -> "changepoint: one group-collect Exchange + row-local prefix-sum fold — no per-split window scans",
+      "q_clustering_coeff" -> "clustering coeff: degree-oriented O(m^1.5) triangle join + degree frame — per-node counts, no wedge^2",
+      "q_link_ra" -> "RA link predict: weighted wedge join + anti-join + TakeOrdered — the q_link_predict plan with per-middle weights",
+      "q_readability" -> "readability: pure row-local regexp projection — zero Exchange before the ordered dump",
+      "q_chi2_contingency" -> "chi2: ONE map-side (type, dow) count + broadcast margins — nothing else data-sized",
+      "q_ab_proportions" -> "proportions z2: one (type, user) outcome pass, the q_abtest key class",
+      "q_modularity" -> "modularity: edge->label tag joins + intra count + degree rollup, m on a 1-row broadcast",
+      "q_feature_hash" -> "feature hashing: token explode + two map-side-combinable aggs — no vocabulary broadcast",
+      "q_rake_phrases" -> "RAKE: doc-keyed delimiter window + word-stat join + TakeOrdered — never a global window")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

@@ -424,4 +424,88 @@ object Graph {
       .orderBy(col("jacc_ppm").desc, col("a"), col("b"))
       .limit(topK)
   }
+
+  /** Per-node local clustering coefficient — the community-density
+    * profile [[triangleCorners]]'s raw counts feed: cc(v) = 2·T(v) /
+    * (d(v)·(d(v)−1)) for d ≥ 2, shipped exact as cc_ppm = 2·T·10⁶ DIV
+    * (d·(d−1)). Nodes with d ≥ 2 and no triangles report 0; d < 2 →
+    * NULL (coefficient undefined). Triangle counts come from the
+    * degree-oriented O(m^1.5) middle-vertex join (per-node counts are
+    * orientation-independent, so the oracle's O(Σd²) wedge form agrees);
+    * degrees from one map-side-combined count. Output: (node, d, n_tri,
+    * cc_ppm). */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v")).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.join(triangleCorners(edges), Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumnRenamed("n_triangles", "n_tri")
+      .withColumn("cc_ppm",
+        when(col("d") >= 2, expr("2 * n_tri * 1000000 DIV (d * (d - 1))")))
+  }
+
+  /** Resource-allocation link prediction (Zhou-Lü-Zhang 2009) — the
+    * common-neighbor scorer that works where [[linkPredict]]'s Jaccard
+    * saturates: each common neighbor w contributes 1/d(w), so hub
+    * middle vertices (which connect everything to everything) are
+    * discounted and rare shared neighbors dominate. Integer-exact:
+    * ra_ppb = Σ_w floor(10⁹/d(w)) — the per-middle weight floors ONCE,
+    * then sums (no post-sum division to disagree on). Same wedge join
+    * as [[linkPredict]] (per-middle C(d,2) pairs, never all-pairs),
+    * existing edges anti-joined away, TakeOrdered top-k. Output:
+    * (a, b, common_n, ra_ppb) ordered by score desc, (a, b). */
+  def linkPredictRA(edges: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val und = edges.select(col("u"), col("v"))
+    val e = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("_d"))
+    val wedges = e.join(deg, Seq("u"))
+      .withColumn("_w", expr("CAST(1000000000 DIV _d AS BIGINT)"))
+    val scored = wedges.as("x").join(wedges.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(count(lit(1)).as("common_n"), sum(col("x._w")).as("ra_ppb"))
+    scored
+      .join(e.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_ppb").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** Newman modularity per community — the quality score that closes the
+    * community-detection loop ([[labelPropagation]] assigns labels; this
+    * says whether the partition beats random): for community c with e_c
+    * intra-edges and total degree d_c over m edges,
+    *
+    *   Q_c = e_c/m − (d_c/2m)²  =  (4·m·e_c − d_c²) / (4m²)
+    *
+    * shipped as q_ppm = 10⁶·(4·m·e_c − d_c²) DIV 4m² — one truncating
+    * division per community (negative for worse-than-random groups,
+    * identical truncation both engines), Σ q_ppm ≈ 10⁶·Q. Scale shape:
+    * one edge→label tag join (two label lookups on the edge frame), one
+    * intra-edge count, one degree rollup — all map-side combinable; the
+    * m total rides a 1-row broadcast. Output: (label, n_nodes, e_in,
+    * d_tot, q_ppm). `labels` is (node, label), e.g. [[labelPropagation]]
+    * output. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v")).distinct()
+    val tagged = und
+      .join(labels.select(col("node").as("u"), col("label").as("_lu")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("label").as("_lv")), Seq("v"))
+    val eIn = tagged.filter(col("_lu") === col("_lv"))
+      .groupBy(col("_lu").as("label")).agg(count(lit(1)).as("e_in"))
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("_d"))
+    val dTot = deg.join(labels, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("_d")).as("d_tot"))
+    val m = und.agg(count(lit(1)).as("_m"))
+    dTot.join(eIn, Seq("label"), "left").na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m))
+      .withColumn("q_ppm", expr(
+        """CAST(1000000 * (4 * _m * e_in - CAST(d_tot AS DECIMAL(38,0)) * d_tot)
+          |  DIV (4 * CAST(_m AS DECIMAL(38,0)) * _m) AS BIGINT)""".stripMargin))
+      .select(col("label"), col("n_nodes"), col("e_in"), col("d_tot"), col("q_ppm"))
+  }
 }

@@ -948,4 +948,178 @@ object Stats {
         col("_st._nr").as("n_risk"), col("_st._dd").as("n_death"),
         expr("element_at(_s, _i + 2)").as("s_ppm"))
   }
+
+  /** One-way ANOVA F statistic over a BALANCED design — the k-arm
+    * generalization of [[abTestT2]] (which only compares two variants):
+    * are the per-entity metric means across k groups distinguishable at
+    * all, before any pairwise readout? Balance comes from the caller
+    * feeding a dense group×entity grid (absent cells zero-filled, the
+    * [[abTestT2]] convention), so every group has the same entity count
+    * n and the F ratio clears to ONE floor-division over integers:
+    *
+    *   A = k·ΣT_g² − T²   (kn·(k−1)·MSB·n, the between sum, cleared)
+    *   B = n·Σx²  − ΣT_g² (n·(N−k)·MSW/(n−1)·…, the within sum, cleared)
+    *   F = MSB/MSW = A·(n−1) / ((k−1)·B)
+    *
+    * f_ppm = floor(10⁶·A·(n−1) / ((k−1)·B)) in DECIMAL(38,0), NULL when
+    * the within-variance is zero. Exact to ~10⁵ entities per group with
+    * mils-scaled metrics (10⁶·A·(n−1) ≲ 10³⁷); past that pre-aggregate
+    * coarser, as with [[spearmanRho]].
+    *
+    * Scale shape: ONE (group, entity) totals aggregation (map-side
+    * combinable) then a k-row moment rollup — nothing else touches data
+    * volume. Output: one row (k, n, a, b, f_ppm). */
+  def anovaF(df: DataFrame, groupCol: Column, entityCol: Column, valueCol: Column): DataFrame = {
+    val per = df.select(groupCol.as("_g"), entityCol.as("_e"), valueCol.as("_x"))
+      .groupBy(col("_g"), col("_e"))
+      .agg(sum(col("_x")).as("_t"))
+    val g = per.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_t")).as("_tg"),
+        sum(expr("CAST(_t AS DECIMAL(38,0)) * _t")).as("_qg"))
+    val m = g.agg(
+      count(lit(1)).cast("long").as("k"),
+      max(col("_n")).cast("long").as("n"),
+      min(col("_n")).cast("long").as("_nmin"),
+      sum(col("_tg")).as("_tt"),
+      sum(expr("CAST(_tg AS DECIMAL(38,0)) * _tg")).as("_stg2"),
+      sum(col("_qg")).as("_sx2"))
+    m.withColumn("_bal", expr("n = _nmin"))
+      .withColumn("a", expr("CAST(k * _stg2 - CAST(_tt AS DECIMAL(38,0)) * _tt AS DECIMAL(38,0))"))
+      .withColumn("b", expr("CAST(n * _sx2 - _stg2 AS DECIMAL(38,0))"))
+      .withColumn("f_ppm",
+        when(col("_bal") && col("k") > 1 && col("b") > 0,
+          expr("CAST(a * (n - 1) * 1000000 DIV ((k - 1) * b) AS BIGINT)")))
+      .select(col("k"), col("n"),
+        expr("CAST(a AS DECIMAL(38,0))").as("a"),
+        expr("CAST(b AS DECIMAL(38,0))").as("b"), col("f_ppm"))
+  }
+
+  /** CUPED variance-reduced A/B delta (Deng et al. 2013, WSDM — the
+    * standard pre-experiment covariate adjustment): per group, the
+    * treatment/control difference of ŷ = y − θ·x where x is each
+    * entity's PRE-period metric, computed with θ quantized to ppm so
+    * every number stays integral and both engines replay the identical
+    * arithmetic:
+    *
+    *   θ_ppm  = floor(10⁶·(N·Σxy − Σx·Σy) / (N·Σx² − (Σx)²))   (pooled)
+    *   Δraw_ppm   = floor(10⁶·(Sy0·n1 − Sy1·n0) / (n0·n1))
+    *   Δcuped_ppm = floor((10⁶·(Sy0·n1 − Sy1·n0)
+    *                       − θ_ppm·(Sx0·n1 − Sx1·n0)) / (n0·n1))
+    *
+    * θ is fit POOLED across both arms (the unbiasedness requirement: a
+    * per-arm θ re-introduces selection). Variants by entity-id parity,
+    * the registry convention. Zero pre-period variance → θ NULL and
+    * Δcuped = Δraw. DECIMAL(38,0) throughout; exact to ~10⁶ entities
+    * per group at mils-scaled metrics. "floor" here is the engines'
+    * shared integer division (Spark DIV ≡ DuckDB //), which truncates
+    * toward zero on the negative quotients a losing treatment produces
+    * — identical on both sides, so the hash compare holds either way.
+    *
+    * Scale shape: caller supplies one row per (group, entity) with x
+    * and y already totaled (one upstream aggregation); here ONE
+    * per-group moment rollup — no second data-sized pass. Output:
+    * (g, n0, n1, theta_ppm, delta_raw_ppm, delta_cuped_ppm). */
+  def cupedDelta(
+      df: DataFrame,
+      groupCol: Column,
+      entityCol: Column,
+      preCol: Column,
+      postCol: Column): DataFrame = {
+    val per = df.select(groupCol.as("_g"), entityCol.as("_e"),
+        preCol.cast("long").as("_x"), postCol.cast("long").as("_y"))
+      .withColumn("_v", (col("_e") % 2 === 0).cast("int"))
+    val m = per.groupBy(col("_g")).agg(
+      count(lit(1)).cast("long").as("_nn"),
+      sum(col("_v")).cast("long").as("n0"),
+      sum(lit(1) - col("_v")).cast("long").as("n1"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(expr("CAST(_x AS DECIMAL(38,0)) * _x")).as("_sxx"),
+      sum(expr("CAST(_x AS DECIMAL(38,0)) * _y")).as("_sxy"),
+      sum(col("_x") * col("_v")).as("_sx0"),
+      sum(col("_x") * (lit(1) - col("_v"))).as("_sx1"),
+      sum(col("_y") * col("_v")).as("_sy0"),
+      sum(col("_y") * (lit(1) - col("_v"))).as("_sy1"))
+    m.withColumn("_cd", expr("CAST(_nn * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx AS DECIMAL(38,0))"))
+      .withColumn("_cn", expr("CAST(_nn * _sxy - CAST(_sx AS DECIMAL(38,0)) * _sy AS DECIMAL(38,0))"))
+      .withColumn("theta_ppm",
+        when(col("_cd") > 0, expr("CAST(_cn * 1000000 DIV _cd AS BIGINT)")))
+      .withColumn("delta_raw_ppm",
+        when(col("n0") > 0 && col("n1") > 0, expr(
+          "CAST((CAST(_sy0 AS DECIMAL(38,0)) * n1 - CAST(_sy1 AS DECIMAL(38,0)) * n0) * 1000000 DIV (n0 * n1) AS BIGINT)")))
+      .withColumn("delta_cuped_ppm",
+        when(col("n0") > 0 && col("n1") > 0, expr(
+          """CAST(((CAST(_sy0 AS DECIMAL(38,0)) * n1 - CAST(_sy1 AS DECIMAL(38,0)) * n0) * 1000000
+            |  - coalesce(theta_ppm, 0) * (CAST(_sx0 AS DECIMAL(38,0)) * n1 - CAST(_sx1 AS DECIMAL(38,0)) * n0))
+            |  DIV (n0 * n1) AS BIGINT)""".stripMargin)))
+      .select(col("_g").as("g"), col("n0"), col("n1"), col("theta_ppm"),
+        col("delta_raw_ppm"), col("delta_cuped_ppm"))
+  }
+
+  /** Pearson χ² test of independence over an r×c contingency table —
+    * the categorical-association omnibus ([[anovaF]] asks it of means;
+    * this asks it of co-occurrence counts, e.g. does event mix depend
+    * on weekday?). Each cell ships its observed count, its expected
+    * count in ppm, and its χ² contribution in ppm, every division
+    * cleared to ONE floor per cell:
+    *
+    *   e_ppm      = 10⁶·R·C DIV N
+    *   contrib_ppm = 10⁶·(O·N − R·C)² DIV (N·R·C)
+    *
+    * (Σ contrib_ppm ≈ 10⁶·χ², under-approximating by < #cells ppm.)
+    * DECIMAL(38,0) for the squared term; cells with R·C = 0 cannot
+    * occur (margins come from the observed cells). Scale shape: ONE
+    * map-side-combined (row, col) count aggregation over the data,
+    * then margins via two domain-bounded re-aggregations of the cell
+    * frame and a broadcast total — nothing else is data-sized.
+    * Output: (r, c, o, e_ppm, contrib_ppm), one row per observed cell. */
+  def chi2Contingency(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val cells = df.select(rowCol.as("r"), colCol.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy(col("r")).agg(sum(col("o")).as("_rr"))
+    val cm = cells.groupBy(col("c")).agg(sum(col("o")).as("_cc"))
+    val n = cells.agg(sum(col("o")).as("_n"))
+    cells.join(broadcast(rm), Seq("r")).join(broadcast(cm), Seq("c"))
+      .crossJoin(broadcast(n))
+      .withColumn("e_ppm", expr("1000000 * _rr * _cc DIV _n"))
+      .withColumn("contrib_ppm", expr(
+        """CAST(1000000 * CAST(o * _n - _rr * _cc AS DECIMAL(38,0))
+          |  * (o * _n - _rr * _cc) DIV (CAST(_n AS DECIMAL(38,0)) * _rr * _cc)
+          |  AS BIGINT)""".stripMargin))
+      .select(col("r"), col("c"), col("o"), col("e_ppm"), col("contrib_ppm"))
+  }
+
+  /** Two-proportion z² test on binary per-entity outcomes — the
+    * conversion-rate companion of [[abTestT2]] (means) and
+    * [[mannWhitneyU]] (ranks): variants by entity parity, x = converted
+    * entities per arm, pooled
+    *
+    *   z² = (x0·n1 − x1·n0)²·(n0+n1) / (n0·n1·(x0+x1)·(n0+n1−x0−x1))
+    *
+    * cleared to ONE DECIMAL(38,0) floor-division (z2_ppm), direction
+    * as sign(x0·n1 − x1·n0); all-converted or none-converted groups
+    * (zero pooled variance) report NULL. One (group, entity) outcome
+    * pass is the only data-sized stage. Output: (g, n0, n1, x0, x1,
+    * rate_diff_sign, z2_ppm). */
+  def abProportionsZ2(
+      df: DataFrame,
+      groupCol: Column,
+      entityCol: Column,
+      convertedCol: Column): DataFrame = {
+    val per = df.select(groupCol.as("_g"), entityCol.as("_e"),
+        convertedCol.cast("long").as("_x"))
+      .groupBy(col("_g"), col("_e"))
+      .agg(max(col("_x")).as("_c"))
+      .withColumn("_v", (col("_e") % 2 === 0).cast("long"))
+    val m = per.groupBy(col("_g")).agg(
+      sum(col("_v")).as("n0"), sum(lit(1) - col("_v")).as("n1"),
+      sum(col("_c") * col("_v")).as("x0"),
+      sum(col("_c") * (lit(1) - col("_v"))).as("x1"))
+    m.withColumn("_d", expr("CAST(x0 AS DECIMAL(38,0)) * n1 - CAST(x1 AS DECIMAL(38,0)) * n0"))
+      .withColumn("_s", expr("CAST(x0 + x1 AS DECIMAL(38,0)) * (n0 + n1 - x0 - x1)"))
+      .withColumn("z2_ppm",
+        when(col("n0") > 0 && col("n1") > 0 && col("_s") > 0,
+          expr("CAST(_d * _d * (n0 + n1) * 1000000 DIV (n0 * n1 * _s) AS BIGINT)")))
+      .select(col("_g").as("g"), col("n0"), col("n1"), col("x0"), col("x1"),
+        signum(col("_d")).cast("long").as("rate_diff_sign"), col("z2_ppm"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: token counting (whitespace
@@ -37,6 +38,33 @@ object TextAnalysis {
   /** Mean token length in thousandths of a char. */
   def avgTokenLenMilli(text: Column, toks: Column): Column =
     floor(length(regexp_replace(text, " ", "")).cast("long") * lit(1000L) / size(toks)).cast("long")
+
+  /** Syllable estimate: count of vowel-group runs ([aeiouy]+), the
+    * standard dictionary-free heuristic readability formulas are
+    * calibrated against (each maximal vowel run ≈ one syllable
+    * nucleus). */
+  def syllableCountish(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long")
+
+  /** Sentence count: runs of terminal punctuation ([.!?]+), so "?!" and
+    * "..." close ONE sentence; floored at 1 (terminator-free text is one
+    * sentence). */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
+
+  /** Flesch-Kincaid grade level in milli-grades, every division floored
+    * so both engines replay bit-identically:
+    *
+    *   fk_milli = floor(390·W/S) + floor(11800·Sy/W) − 15590
+    *
+    * (the textbook 0.39·W/S + 11.8·Sy/W − 15.59, scaled ×1000 with the
+    * two ratio terms floored independently — a documented ≤2 milli-grade
+    * under-approximation of the real-valued formula). Callers pass
+    * PRE-BOUND count columns (the langIdFromScores binding rule). */
+  def fkGradeMilli(words: Column, sents: Column, sylls: Column): Column =
+    (floor(lit(390L) * words / greatest(sents, lit(1L))).cast("long") +
+      floor(lit(11800L) * sylls / greatest(words, lit(1L))).cast("long") -
+      lit(15590L)).cast("long")
 
   /** Stopword lists for the n-gram-free language-ID heuristic: score each
     * language by the fraction of tokens in its list, argmax with a fixed
@@ -807,5 +835,80 @@ object TextAnalysis {
         when(col("n_occ") > 0, expr("n_new * 1000000 DIV n_occ")).otherwise(0L))
       .select(col("batch"), col("n_occ"), col("n_new"), col("cum_vocab"),
         col("novelty_ppm"))
+  }
+
+  /** Feature-hashing (hashing-trick) bucket census — the collision audit
+    * for the fixed-width featurization a 100 TB bag-of-words pipeline
+    * uses instead of a materialized vocabulary: every token hashes to
+    * bucket = md5-prefix mod `buckets`, and this reports each bucket's
+    * occupancy (occurrence count, DISTINCT colliding terms, max single
+    * term share in ppm). Two map-side-combinable aggregations — a
+    * (bucket, term) count (the data-sized pass) then a bucket rollup;
+    * the md5 prefix is the registry's deterministic-hash idiom (first
+    * 12 hex chars, replayed by DuckDB's 0x-cast). Output:
+    * (bucket, n_tok, n_terms, top_term_ppm) ordered by bucket. */
+  def featureHashStats(docs: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val terms = docs.select(explode(tokens(col(textCol))).as("term"))
+      .withColumn("bucket",
+        conv(substring(md5(col("term")), 1, 12), 16, 10).cast("long") % buckets)
+    val perTerm = terms.groupBy(col("bucket"), col("term"))
+      .agg(count(lit(1)).as("_n"))
+    perTerm.groupBy(col("bucket"))
+      .agg(sum(col("_n")).as("n_tok"),
+        count(lit(1)).as("n_terms"),
+        max(col("_n")).as("_mx"))
+      .withColumn("top_term_ppm", expr("_mx * 1000000 DIV n_tok"))
+      .select(col("bucket"), col("n_tok"), col("n_terms"), col("top_term_ppm"))
+  }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) — multi-word keyword
+    * candidates for tagging/indexing where [[tfidfTopTerms]] scores
+    * single tokens: text splits into candidate phrases at stopwords and
+    * punctuation-bearing tokens; each word scores deg/freq (deg = Σ
+    * phrase length over its phrases — co-occurrence degree including
+    * itself; freq = occurrences), floored ONCE per word to ppm; a
+    * phrase scores the sum of its word scores. Corpus-level: identical
+    * phrase strings aggregate (n_occur), score is word-stat-determined
+    * (max = the shared value). Top-k via TakeOrdered on (score desc,
+    * phrase).
+    *
+    * Scale shape: posexplode + running delimiter-count window per doc
+    * (doc-keyed — never global), one word-stat aggregation, one
+    * phrase-score aggregation; word stats join back on the word key.
+    * Output: (phrase, n_words, n_occur, score_ppm). */
+  def rakePhrases(docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val stops = stopwords.flatMap(_._2)
+    val pos = docs
+      .select(col(idCol).as("_id"), posexplode(tokens(col(textCol))).as(Seq("_p", "_w")))
+      .withColumn("_delim",
+        (col("_w").isin(stops: _*) || col("_w").rlike("[^a-z0-9]") ||
+          col("_w") === "").cast("long"))
+    val wDoc = Window.partitionBy(col("_id")).orderBy(col("_p"))
+    val phrased = pos
+      .withColumn("_ph", sum(col("_delim")).over(wDoc))
+      .filter(col("_delim") === 0)
+    val phrases = phrased.groupBy(col("_id"), col("_ph"))
+      .agg(sort_array(collect_list(struct(col("_p"), col("_w")))).as("_ws"))
+      .select(col("_id"), col("_ph"),
+        expr("transform(_ws, x -> x._w)").as("_words"),
+        size(col("_ws")).cast("long").as("n_words"))
+    val wordStats = phrases
+      .select(col("n_words"), explode(col("_words")).as("_w"))
+      .groupBy(col("_w"))
+      .agg(count(lit(1)).as("_freq"), sum(col("n_words")).as("_deg"))
+      .withColumn("_s", expr("_deg * 1000000 DIV _freq"))
+    val scored = phrases
+      .select(col("_id"), col("_ph"), col("n_words"),
+        concat_ws(" ", col("_words")).as("phrase"),
+        explode(col("_words")).as("_w"))
+      .join(wordStats.select(col("_w"), col("_s")), Seq("_w"))
+      .groupBy(col("_id"), col("_ph"), col("phrase"), col("n_words"))
+      .agg(sum(col("_s")).as("score_ppm"))
+    scored.groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occur"), max(col("score_ppm")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase"))
+      .limit(topK)
   }
 }

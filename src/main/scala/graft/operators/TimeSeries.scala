@@ -467,4 +467,55 @@ object TimeSeries {
         element_at(col("_win"),
           expr("CAST((size(_win) + 1) DIV 2 AS INT)")).as("med"))
   }
+
+  /** Per-key best single change point by binary segmentation — the
+    * level-shift LOCATOR that [[cusumAlarms]]'s alarm counter doesn't
+    * give: for each split t the between-segment separation statistic
+    *
+    *   s(t) = floor((n·P_t − t·T)² / (t·(n−t)))
+    *        = t·(n−t)·(mean_left − mean_right)², cleared of divisions
+    *
+    * (P_t = prefix sum, T = total) is maximized over t ∈ [1, n−1]; ties
+    * break to the SMALLEST t. s(t) is the CUSUM-statistic square and the
+    * n·σ²-scaled variance-reduction of the split, so argmax s = the
+    * binary-segmentation change point. One floor-division per t, replayed
+    * identically by the oracle; exact while n·Σ|v| < 3·10⁹ per key
+    * (longs — per-entity series, not global ones).
+    *
+    * Scale shape: ONE shuffle (group-collect by key), then a row-local
+    * O(n²) fold over each key's sorted series (n = per-entity events;
+    * the oracle's window form is the O(n log n) equivalent). Keys with
+    * n < 2 report NULLs. Output: (keyCol, n, t_split, s_max). */
+  def changepointSplit(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column): DataFrame = {
+    val rows = df.select(col(keyCol),
+      struct(tsCol.as("t"), tieCol.as("i"),
+        floor(valueCol.cast("double") * 1000).cast("long").as("v")).as("_r"))
+    rows.groupBy(col(keyCol))
+      .agg(expr("transform(sort_array(collect_list(_r)), p -> p.v)").as("_vs"))
+      .withColumn("_n", size(col("_vs")).cast("long"))
+      .withColumn("_tt", expr("aggregate(_vs, 0L, (a, v) -> a + v)"))
+      // prefix sums: _ps(i+1) = v₁+…+vᵢ (leading 0 keeps indexing 1-based)
+      .withColumn("_ps", expr(
+        "aggregate(_vs, array(0L), (acc, v) -> concat(acc, array(element_at(acc, -1) + v)))"))
+      // n < 2 → no admissible split (and sequence(1, 0) would DESCEND,
+      // not come back empty — hence the explicit guard)
+      .withColumn("_best", expr(
+        """IF(_n < 2, named_struct('t', CAST(NULL AS BIGINT), 's', CAST(NULL AS BIGINT)),
+          |aggregate(
+          |  transform(sequence(1, CAST(_n - 1 AS INT)),
+          |    t -> named_struct(
+          |      't', CAST(t AS BIGINT),
+          |      's', ((_n * element_at(_ps, t + 1) - t * _tt)
+          |            * (_n * element_at(_ps, t + 1) - t * _tt))
+          |           DIV (t * (_n - t)))),
+          |  named_struct('t', CAST(NULL AS BIGINT), 's', CAST(NULL AS BIGINT)),
+          |  (acc, x) -> IF(acc.s IS NULL OR x.s > acc.s, x, acc)))""".stripMargin))
+      .select(col(keyCol), col("_n").as("n"),
+        col("_best.t").as("t_split"), col("_best.s").as("s_max"))
+  }
 }

@@ -3587,7 +3587,421 @@ object CoreQueries {
              |SELECT c.cohort_us, (d.day_us - c.cohort_us) // 86400000000 AS day_offset,
              |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
              |FROM d JOIN c USING (user_id)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // One-way ANOVA F over the k event-type arms — the omnibus "are
+    // these means distinguishable AT ALL" gate before any pairwise
+    // q_abtest readout (k·(k−1)/2 uncorrected t-tests inflate false
+    // positives; ANOVA asks once). Same dense user×type grid as
+    // q_abtest (balance makes the F ratio clear to ONE floor-division);
+    // one (type, user) totals pass + a k-row rollup is all that
+    // touches data volume.
+    Q("q_anova",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val totals = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(totals, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("x"))
+        Stats.anovaF(full, col("event_type"), col("user_id"), col("x"))
+          .select(col("k"), col("n"), col("f_ppm")).orderBy("k")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) AS x
+             |           FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type, g.user_id, coalesce(t.x, 0) AS x
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |g AS (SELECT event_type, count(*) AS n, sum(x) AS tg,
+             |             sum(CAST(x AS HUGEINT) * x) AS qg
+             |      FROM p GROUP BY 1),
+             |m AS (SELECT count(*) AS k, max(n) AS n, min(n) AS nmin,
+             |             sum(tg) AS tt, sum(CAST(tg AS HUGEINT) * tg) AS stg2,
+             |             sum(qg) AS sx2 FROM g)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+             |       CAST(CASE WHEN n = nmin AND k > 1 AND n * sx2 - stg2 > 0
+             |            THEN ((k * stg2 - CAST(tt AS HUGEINT) * tt) * (n - 1) * 1000000)
+             |                 // ((k - 1) * (n * sx2 - stg2)) END AS BIGINT) AS f_ppm
+             |FROM m ORDER BY k""".stripMargin)),
+
+    // CUPED variance-reduced experiment readout (Deng et al. 2013) —
+    // q_abtest's production upgrade: each user's PRE-period total (x,
+    // first half of the observation window) absorbs between-user
+    // variance from the post-period metric (y), tightening the same
+    // Δ the raw readout estimates. θ fit pooled, quantized to ppm so
+    // both engines replay integer arithmetic end-to-end.
+    Q("q_cuped",
+      (s, dir) => {
+        val splitUs = 1705276800000000L // 2024-01-15T00:00:00Z
+        val ev = Tables.events(s, dir)
+        val totals = ev
+          .select(col("event_type"), col("user_id"),
+            (unix_micros(col("ts")) < splitUs).as("_pre"),
+            floor(col("value") * 1000).cast("long").as("_v"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(when(col("_pre"), col("_v")).otherwise(0L)).as("x"),
+            sum(when(!col("_pre"), col("_v")).otherwise(0L)).as("y"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(totals, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("x", "y"))
+        Stats.cupedDelta(full, col("event_type"), col("user_id"), col("x"), col("y"))
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |  sum(CASE WHEN epoch_us(ts) < 1705276800000000 THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END) AS x,
+             |  sum(CASE WHEN epoch_us(ts) >= 1705276800000000 THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END) AS y
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type, g.user_id, coalesce(t.x, 0) AS x,
+             |             coalesce(t.y, 0) AS y,
+             |             CASE WHEN g.user_id % 2 = 0 THEN 1 ELSE 0 END AS v
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |m AS (SELECT event_type, count(*) AS nn,
+             |             sum(v) AS n0, sum(1 - v) AS n1,
+             |             sum(x) AS sx, sum(y) AS sy,
+             |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             |             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             |             sum(x * v) AS sx0, sum(x * (1 - v)) AS sx1,
+             |             sum(y * v) AS sy0, sum(y * (1 - v)) AS sy1
+             |      FROM p GROUP BY 1),
+             |f AS (SELECT event_type, n0, n1,
+             |             nn * sxx - CAST(sx AS HUGEINT) * sx AS cd,
+             |             nn * sxy - CAST(sx AS HUGEINT) * sy AS cn,
+             |             CAST(sy0 AS HUGEINT) * n1 - CAST(sy1 AS HUGEINT) * n0 AS dy,
+             |             CAST(sx0 AS HUGEINT) * n1 - CAST(sx1 AS HUGEINT) * n0 AS dx
+             |      FROM m),
+             |th AS (SELECT *, CASE WHEN cd > 0 THEN CAST(cn * 1000000 // cd AS BIGINT) END AS theta_ppm
+             |       FROM f)
+             |SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, theta_ppm,
+             |       CAST(CASE WHEN n0 > 0 AND n1 > 0
+             |            THEN dy * 1000000 // (n0 * n1) END AS BIGINT) AS delta_raw_ppm,
+             |       CAST(CASE WHEN n0 > 0 AND n1 > 0
+             |            THEN (dy * 1000000 - coalesce(theta_ppm, 0) * dx) // (n0 * n1)
+             |            END AS BIGINT) AS delta_cuped_ppm
+             |FROM th ORDER BY event_type""".stripMargin)),
+
+    // Difference-in-differences — the quasi-experimental estimator for
+    // rollouts WITHOUT randomized assignment: the treated arm's
+    // pre→post mean shift minus the control arm's removes any shared
+    // time trend. Four cell means in floored mils per event_type
+    // (variant by user parity, period split mid-window); one map-side
+    // combinable aggregation is the only data-sized pass.
+    Q("q_diff_in_diff",
+      (s, dir) => {
+        val splitUs = 1705276800000000L
+        val cells = Tables.events(s, dir)
+          .select(col("event_type"),
+            (col("user_id") % 2 === 0).cast("long").as("_t"),
+            (unix_micros(col("ts")) >= splitUs).cast("long").as("_post"),
+            floor(col("value") * 1000).cast("long").as("_v"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("_t") === 0 && col("_post") === 0, 1L).otherwise(0L)).as("n_pre_c"),
+            sum(when(col("_t") === 0 && col("_post") === 1, 1L).otherwise(0L)).as("n_post_c"),
+            sum(when(col("_t") === 1 && col("_post") === 0, 1L).otherwise(0L)).as("n_pre_t"),
+            sum(when(col("_t") === 1 && col("_post") === 1, 1L).otherwise(0L)).as("n_post_t"),
+            sum(when(col("_t") === 0 && col("_post") === 0, col("_v")).otherwise(0L)).as("_s_pre_c"),
+            sum(when(col("_t") === 0 && col("_post") === 1, col("_v")).otherwise(0L)).as("_s_post_c"),
+            sum(when(col("_t") === 1 && col("_post") === 0, col("_v")).otherwise(0L)).as("_s_pre_t"),
+            sum(when(col("_t") === 1 && col("_post") === 1, col("_v")).otherwise(0L)).as("_s_post_t"))
+        cells
+          .withColumn("m_pre_c", expr("_s_pre_c DIV n_pre_c"))
+          .withColumn("m_post_c", expr("_s_post_c DIV n_post_c"))
+          .withColumn("m_pre_t", expr("_s_pre_t DIV n_pre_t"))
+          .withColumn("m_post_t", expr("_s_post_t DIV n_post_t"))
+          .withColumn("did_mils",
+            (col("m_post_t") - col("m_pre_t")) - (col("m_post_c") - col("m_pre_c")))
+          .select(col("event_type"), col("n_pre_c"), col("n_post_c"),
+            col("n_pre_t"), col("n_post_t"), col("m_pre_c"), col("m_post_c"),
+            col("m_pre_t"), col("m_post_t"), col("did_mils"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+             |    CASE WHEN epoch_us(ts) >= 1705276800000000 THEN 1 ELSE 0 END AS post,
+             |    CAST(floor(value * 1000) AS BIGINT) AS v
+             |  FROM events),
+             |c AS (SELECT event_type,
+             |    sum(CASE WHEN t = 0 AND post = 0 THEN 1 ELSE 0 END) AS n_pre_c,
+             |    sum(CASE WHEN t = 0 AND post = 1 THEN 1 ELSE 0 END) AS n_post_c,
+             |    sum(CASE WHEN t = 1 AND post = 0 THEN 1 ELSE 0 END) AS n_pre_t,
+             |    sum(CASE WHEN t = 1 AND post = 1 THEN 1 ELSE 0 END) AS n_post_t,
+             |    sum(CASE WHEN t = 0 AND post = 0 THEN v ELSE 0 END) AS s_pre_c,
+             |    sum(CASE WHEN t = 0 AND post = 1 THEN v ELSE 0 END) AS s_post_c,
+             |    sum(CASE WHEN t = 1 AND post = 0 THEN v ELSE 0 END) AS s_pre_t,
+             |    sum(CASE WHEN t = 1 AND post = 1 THEN v ELSE 0 END) AS s_post_t
+             |  FROM e GROUP BY 1),
+             |m AS (SELECT *, s_pre_c // n_pre_c AS m_pre_c, s_post_c // n_post_c AS m_post_c,
+             |             s_pre_t // n_pre_t AS m_pre_t, s_post_t // n_post_t AS m_post_t
+             |      FROM c)
+             |SELECT event_type, CAST(n_pre_c AS BIGINT) AS n_pre_c,
+             |       CAST(n_post_c AS BIGINT) AS n_post_c,
+             |       CAST(n_pre_t AS BIGINT) AS n_pre_t,
+             |       CAST(n_post_t AS BIGINT) AS n_post_t,
+             |       CAST(m_pre_c AS BIGINT) AS m_pre_c, CAST(m_post_c AS BIGINT) AS m_post_c,
+             |       CAST(m_pre_t AS BIGINT) AS m_pre_t, CAST(m_post_t AS BIGINT) AS m_post_t,
+             |       CAST((m_post_t - m_pre_t) - (m_post_c - m_pre_c) AS BIGINT) AS did_mils
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // Per-user best single change point (binary segmentation) — the
+    // level-shift LOCATOR: argmax over splits t of the cleared
+    // between-segment separation (n·P_t − t·T)² DIV (t·(n−t)), ties to
+    // the smallest t. One group-collect shuffle + a row-local fold
+    // (the EWMA/CUSUM recurrence family); the oracle replays the same
+    // floor-divisions through window prefix sums.
+    Q("q_changepoint",
+      (s, dir) =>
+        TimeSeries.changepointSplit(Tables.events(s, dir), "user_id",
+          unix_micros(col("ts")), col("event_id"), col("value"))
+          .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+             |                  CAST(floor(value * 1000) AS BIGINT) AS v
+             |           FROM events),
+             |w AS (SELECT user_id, v,
+             |        row_number() OVER win AS rn,
+             |        sum(v) OVER (win ROWS UNBOUNDED PRECEDING) AS p,
+             |        count(*) OVER (PARTITION BY user_id) AS n,
+             |        sum(v) OVER (PARTITION BY user_id) AS tt
+             |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)),
+             |s AS (SELECT user_id, n, rn AS t,
+             |        (CAST(n * p - rn * tt AS HUGEINT) * (n * p - rn * tt))
+             |          // (rn * (n - rn)) AS sc
+             |      FROM w WHERE rn < n),
+             |b AS (SELECT user_id, n, t, sc,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY sc DESC, t ASC) AS r
+             |      FROM s),
+             |u AS (SELECT user_id, max(n) AS n FROM w GROUP BY 1)
+             |SELECT u.user_id, CAST(u.n AS BIGINT) AS n,
+             |       CAST(b.t AS BIGINT) AS t_split, CAST(b.sc AS BIGINT) AS s_max
+             |FROM u LEFT JOIN b ON u.user_id = b.user_id AND b.r = 1
+             |ORDER BY u.user_id""".stripMargin)),
+
+    // Per-node local clustering coefficient over the part co-purchase
+    // graph — q_triangle_count's per-node density profile: cc = 2·T(v)
+    // / (d·(d−1)) in exact ppm. Triangles from the same degree-oriented
+    // O(m^1.5) middle-vertex join (per-node counts are orientation-
+    // independent, so the oracle's wedge-adjacency form agrees);
+    // degree-1 nodes report NULL (undefined), triangle-free nodes 0.
+    Q("q_clustering_coeff",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        Graph.clusteringCoeff(und).orderBy("node")
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+             |e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+             |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+             |tri AS (SELECT x.u AS node, CAST(count(*) AS BIGINT) AS n_tri
+             |        FROM e x JOIN e y ON x.u = y.u AND x.v < y.v
+             |             JOIN und z ON z.u = x.v AND z.v = y.v
+             |        GROUP BY 1)
+             |SELECT deg.node, deg.d, coalesce(tri.n_tri, 0) AS n_tri,
+             |       CAST(CASE WHEN deg.d >= 2
+             |            THEN 2 * coalesce(tri.n_tri, 0) * 1000000 // (deg.d * (deg.d - 1))
+             |            END AS BIGINT) AS cc_ppm
+             |FROM deg LEFT JOIN tri USING (node) ORDER BY node""".stripMargin)),
+
+    // Resource-allocation link prediction (Zhou-Lü-Zhang 2009) —
+    // q_link_predict's hub-discounting upgrade: each common neighbor w
+    // contributes floor(10⁹/d(w)), so rare shared neighbors dominate
+    // and hub middles wash out. Integer-exact (the weight floors ONCE
+    // per middle, then sums — no post-sum division); same wedge-join
+    // cost class, top-50 via TakeOrdered.
+    Q("q_link_ra",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("u"), col("v"))
+        Graph.linkPredictRA(und, topK = 50)
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |und AS (SELECT a.p AS u, b.p AS v FROM lp a JOIN lp b
+             |        ON a.o = b.o AND a.p < b.p
+             |        GROUP BY 1, 2 HAVING count(*) >= 2),
+             |e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+             |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+             |wd AS (SELECT e.u, e.v, CAST(1000000000 // deg.d AS BIGINT) AS w
+             |       FROM e JOIN deg USING (u)),
+             |cn AS (SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS common_n,
+             |              CAST(sum(x.w) AS BIGINT) AS ra_ppb
+             |       FROM wd x JOIN wd y ON x.u = y.u AND x.v < y.v
+             |       GROUP BY 1, 2)
+             |SELECT cn.a, cn.b, cn.common_n, cn.ra_ppb FROM cn
+             |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b)
+             |ORDER BY ra_ppb DESC, a, b LIMIT 50""".stripMargin)),
+
+    // Cohort lifetime-value curves — q_retention_cohort's revenue twin:
+    // customers bucketed by first-order week, cumulative revenue by
+    // week offset (the payback-period readout). Revenue exact in
+    // cents; the cumulative window runs over the aggregated
+    // (cohort × offset) frame — domain-bounded, never event-sized.
+    Q("q_cohort_ltv",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_custkey").as("c"),
+          expr("unix_micros(date_trunc('week', o_orderdate))").as("wk_us"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val cohort = o.groupBy(col("c")).agg(min(col("wk_us")).as("cohort_us"))
+        val cell = o.join(cohort, "c")
+          .withColumn("offset_w", expr("(wk_us - cohort_us) DIV 604800000000"))
+          .groupBy(col("cohort_us"), col("offset_w"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+        val w = Window.partitionBy(col("cohort_us")).orderBy(col("offset_w"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cell.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+          .orderBy("cohort_us", "offset_w")
+      },
+      Some("""WITH o AS (SELECT o_custkey AS c,
+             |                  epoch_us(date_trunc('week', o_orderdate)) AS wk_us,
+             |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             |           FROM orders),
+             |ch AS (SELECT c, min(wk_us) AS cohort_us FROM o GROUP BY 1),
+             |cell AS (SELECT ch.cohort_us, (o.wk_us - ch.cohort_us) // 604800000000 AS offset_w,
+             |                CAST(count(*) AS BIGINT) AS n_orders,
+             |                sum(o.cents) AS rev_cents
+             |         FROM o JOIN ch USING (c) GROUP BY 1, 2)
+             |SELECT cohort_us, offset_w, n_orders, CAST(rev_cents AS BIGINT) AS rev_cents,
+             |       CAST(sum(rev_cents) OVER (PARTITION BY cohort_us ORDER BY offset_w
+             |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+             |FROM cell ORDER BY cohort_us, offset_w""".stripMargin)),
+
+    // Pearson χ² independence over the event-type × weekday contingency
+    // table — the categorical omnibus (q_anova asks it of means): does
+    // the event mix depend on the day? Per-cell observed, expected-ppm
+    // and χ²-contribution-ppm, one floor-division each; ONE map-side
+    // (type, dow) count is the only data-sized pass.
+    Q("q_chi2_contingency",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+        Stats.chi2Contingency(e, col("event_type"), col("dow"))
+          .withColumnRenamed("r", "event_type").withColumnRenamed("c", "dow")
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH e AS (SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),
+             |cell AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+             |         FROM e GROUP BY 1, 2),
+             |rm AS (SELECT event_type, sum(o) AS rr FROM cell GROUP BY 1),
+             |cm AS (SELECT dow, sum(o) AS cc FROM cell GROUP BY 1),
+             |tot AS (SELECT sum(o) AS n FROM cell)
+             |SELECT cell.event_type, CAST(cell.dow AS BIGINT) AS dow, cell.o,
+             |       CAST(1000000 * rr * cc // n AS BIGINT) AS e_ppm,
+             |       CAST(1000000 * CAST(o * n - rr * cc AS HUGEINT) * (o * n - rr * cc)
+             |            // (CAST(n AS HUGEINT) * rr * cc) AS BIGINT) AS contrib_ppm
+             |FROM cell JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN tot
+             |ORDER BY event_type, dow""".stripMargin)),
+
+    // Two-proportion z² — the conversion-rate experiment readout
+    // (q_abtest tests means; conversion products test "did the user do
+    // it at all"): converted = any event with value > 250 in the
+    // window, dense user grid so absent users count as not-converted,
+    // pooled z² cleared to ONE floor-division.
+    Q("q_ab_proportions",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val conv = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(max((col("value") > 250.0).cast("long")).as("c"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(conv, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("c"))
+        Stats.abProportionsZ2(full, col("event_type"), col("user_id"), col("c"))
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |                  max(CASE WHEN value > 250.0 THEN 1 ELSE 0 END) AS c
+             |           FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type, g.user_id, coalesce(t.c, 0) AS c,
+             |             CASE WHEN g.user_id % 2 = 0 THEN 1 ELSE 0 END AS v
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |m AS (SELECT event_type,
+             |             CAST(sum(v) AS BIGINT) AS n0, CAST(sum(1 - v) AS BIGINT) AS n1,
+             |             CAST(sum(c * v) AS BIGINT) AS x0,
+             |             CAST(sum(c * (1 - v)) AS BIGINT) AS x1
+             |      FROM p GROUP BY 1),
+             |f AS (SELECT *, CAST(x0 AS HUGEINT) * n1 - CAST(x1 AS HUGEINT) * n0 AS d,
+             |             CAST(x0 + x1 AS HUGEINT) * (n0 + n1 - x0 - x1) AS s
+             |      FROM m)
+             |SELECT event_type, n0, n1, x0, x1,
+             |       CAST(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END AS BIGINT)
+             |         AS rate_diff_sign,
+             |       CAST(CASE WHEN n0 > 0 AND n1 > 0 AND s > 0
+             |            THEN d * d * (n0 + n1) * 1000000 // (n0 * n1 * s) END AS BIGINT)
+             |         AS z2_ppm
+             |FROM f ORDER BY event_type""".stripMargin)),
+
+    // Newman modularity of the LPA partition — closes the community
+    // loop (q_label_prop assigns, this scores): per community
+    // q_ppm = 10⁶·(4·m·e_c − d_c²) DIV 4m², Σ ≈ 10⁶·Q. Same fixed-round
+    // LPA as q_label_prop (stable frames are fixpoints, so the early
+    // exit preserves round-4 semantics); the oracle replays the LPA
+    // rounds verbatim then the same per-community floor.
+    Q("q_modularity",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("u"), col("v"))
+        Graph.modularity(und, Graph.labelPropagation(und, rounds = 4))
+          .orderBy("label")
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""c$i AS MATERIALIZED (SELECT e.u, l.label, count(*) AS cnt
+             |  FROM e JOIN l${i - 1} l ON e.v = l.node GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (SELECT u AS node, label FROM (
+             |  SELECT u, label,
+             |         row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) AS rn
+             |  FROM c$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |und AS (SELECT a.p AS u, b.p AS v FROM lp a JOIN lp b
+           |        ON a.o = b.o AND a.p < b.p
+           |        GROUP BY 1, 2 HAVING count(*) >= 2),
+           |e AS MATERIALIZED (SELECT u, v FROM und UNION SELECT v, u FROM und),
+           |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e),
+           |$rounds,
+           |lab AS (SELECT node, label FROM l4),
+           |ein AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+           |        FROM und JOIN lab la ON und.u = la.node
+           |                 JOIN lab lb ON und.v = lb.node
+           |        WHERE la.label = lb.label GROUP BY 1),
+           |deg AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS d
+           |        FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+           |dt AS (SELECT lab.label, CAST(count(*) AS BIGINT) AS n_nodes,
+           |              CAST(sum(deg.d) AS BIGINT) AS d_tot
+           |       FROM deg JOIN lab USING (node) GROUP BY 1),
+           |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und)
+           |SELECT dt.label, dt.n_nodes, coalesce(ein.e_in, 0) AS e_in, dt.d_tot,
+           |       CAST(1000000 * (4 * m * coalesce(ein.e_in, 0)
+           |              - CAST(dt.d_tot AS HUGEINT) * dt.d_tot)
+           |            // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS q_ppm
+           |FROM dt LEFT JOIN ein USING (label) CROSS JOIN mm
+           |ORDER BY label""".stripMargin
+      })
   )
 
   /** Shared point frame for the spatial family: events with exact

@@ -3874,7 +3874,98 @@ object PipelineQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |       CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens
         |FROM tok JOIN v USING (word)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Flesch-Kincaid readability per document — the grade-level quality
+    // signal curriculum/filtering pipelines bucket corpora by
+    // (q_text_stats measures surface ratios; this estimates reading
+    // difficulty). Syllables as vowel-group runs, sentences as terminal-
+    // punctuation runs (floored at 1), both ratio terms floored to
+    // milli-grades so the engines replay bit-identically. Pure
+    // projection — zero shuffles beyond the ordered dump.
+    Q("q_readability",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("n_words", TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))))
+          .withColumn("n_sents", TextAnalysis.sentenceCount(col("text")))
+          .withColumn("n_sylls", TextAnalysis.syllableCountish(col("text")))
+        d.select(col("doc_id"), col("n_words"), col("n_sents"), col("n_sylls"),
+            TextAnalysis.fkGradeMilli(col("n_words"), col("n_sents"), col("n_sylls"))
+              .as("fk_milli"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT), 1) AS n_sents,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT) AS n_sylls
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sents, n_sylls,
+             |       CAST(390 * n_words // n_sents
+             |            + 11800 * n_sylls // greatest(n_words, 1)
+             |            - 15590 AS BIGINT) AS fk_milli
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Feature-hashing collision census — the audit for hashing-trick
+    // featurization (the fixed-width path a 100 TB bag-of-words
+    // pipeline takes instead of materializing a vocabulary): per
+    // bucket, occupancy, DISTINCT colliding terms, and the dominant
+    // term's share. Two map-side-combinable aggregations; md5-prefix
+    // bucket is the registry's deterministic-hash idiom.
+    Q("q_feature_hash",
+      (s, dir) =>
+        TextAnalysis.featureHashStats(Tables.documents(s, dir), "text", buckets = 256)
+          .orderBy("bucket"),
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |b AS (SELECT term,
+             |             CAST(('0x' || substr(md5(term), 1, 12)) AS BIGINT) % 256 AS bucket
+             |      FROM t),
+             |pt AS (SELECT bucket, term, CAST(count(*) AS BIGINT) AS n
+             |       FROM b GROUP BY 1, 2)
+             |SELECT bucket, CAST(sum(n) AS BIGINT) AS n_tok,
+             |       CAST(count(*) AS BIGINT) AS n_terms,
+             |       CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top_term_ppm
+             |FROM pt GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // RAKE keyphrase extraction (Rose et al. 2010) — multi-word keyword
+    // candidates where q_tfidf_topterms scores single tokens: phrases
+    // split at stopwords/punctuation-bearing tokens, word score =
+    // deg/freq floored ONCE to ppm, phrase score = Σ word scores.
+    // Per-doc running-delimiter window (doc-keyed, never global) + two
+    // aggregations + a word-stat join; top-30 via TakeOrdered.
+    Q("q_rake_phrases",
+      (s, dir) =>
+        TextAnalysis.rakePhrases(Tables.documents(s, dir), "doc_id", "text", topK = 30),
+      Some {
+        val stops = TextAnalysis.stopwords.flatMap(_._2)
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |tk AS (
+           |  SELECT doc_id, unnest([{'p': i, 'w': toks[i]}
+           |                         for i in range(1, len(toks) + 1)],
+           |                        recursive := true) FROM tl),
+           |mk AS (SELECT doc_id, p, w,
+           |         CASE WHEN w IN ($stops) OR regexp_matches(w, '[^a-z0-9]')
+           |              OR w = '' THEN 1 ELSE 0 END AS delim
+           |       FROM tk),
+           |ph AS (SELECT doc_id, p, w,
+           |         sum(delim) OVER (PARTITION BY doc_id ORDER BY p
+           |                          ROWS UNBOUNDED PRECEDING) AS phid
+           |       FROM mk QUALIFY delim = 0),
+           |pw AS (SELECT doc_id, phid, count(*) AS n_words,
+           |              string_agg(w, ' ' ORDER BY p) AS phrase
+           |       FROM ph GROUP BY 1, 2),
+           |ws AS (SELECT ph.w, count(*) AS freq, sum(pw.n_words) AS deg
+           |       FROM ph JOIN pw USING (doc_id, phid) GROUP BY 1),
+           |sc AS (SELECT pw.doc_id, pw.phid, pw.phrase,
+           |              CAST(pw.n_words AS BIGINT) AS n_words,
+           |              sum(CAST(ws.deg * 1000000 // ws.freq AS BIGINT)) AS score_ppm
+           |       FROM pw JOIN ph USING (doc_id, phid) JOIN ws ON ph.w = ws.w
+           |       GROUP BY 1, 2, 3, 4)
+           |SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n_occur,
+           |       CAST(max(score_ppm) AS BIGINT) AS score_ppm
+           |FROM sc GROUP BY 1, 2
+           |ORDER BY score_ppm DESC, phrase LIMIT 30""".stripMargin
+      })
   )
 
   // `final` without a type annotation = compile-time constant, so it is

@@ -246,4 +246,82 @@ class GraphSpec extends SparkSpec {
     }).sortBy(r => (-r._5, r._1, r._2))
     assert(got == want, s"got=${got.take(5)}... want=${want.take(5)}...")
   }
+
+  test("clusteringCoeff: triangle = 1e6, star hub = 0, pendant = NULL") {
+    // triangle {1,2,3} with a pendant 4 off node 1, plus star hub 10
+    // with spokes 11..13 (no spoke-spoke edges)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("u", "v")
+    val got = Graph.clusteringCoeff(edges)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(2L) == ((2L, 1L, Some(1000000L))), got.toString) // closed pair
+    assert(got(3L) == ((2L, 1L, Some(1000000L))), got.toString)
+    assert(got(1L) == ((3L, 1L, Some(333333L))), got.toString)  // 2·1/(3·2)
+    assert(got(4L) == ((1L, 0L, None)), got.toString)           // pendant: undefined
+    assert(got(10L) == ((3L, 0L, Some(0L))), got.toString)      // open star
+    assert(got(11L) == ((1L, 0L, None)), got.toString)
+  }
+
+  test("clusteringCoeff equals brute neighborhood closure on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 80).map { _ =>
+      val a = rnd.nextInt(16).toLong; val b = rnd.nextInt(16).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val got = Graph.clusteringCoeff(edges.toDF("u", "v"))
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val nbr = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val want = nbr.map { case (node, ns) =>
+      val d = ns.size.toLong
+      val tri = ns.toSeq.combinations(2).count { pair =>
+        edges.contains((pair.min, pair.max))
+      }.toLong
+      node -> ((d, tri, if (d >= 2) Some(2L * tri * 1000000L / (d * (d - 1))) else None))
+    }
+    assert(got == want, s"diff=${(got.toSet diff want.toSet).take(5)}")
+  }
+
+  test("linkPredictRA discounts hub middles; scores are Σ floor(1e9/deg)") {
+    // a—h—b with hub h also touching 4 noise spokes (deg 6), versus
+    // c—m—d with exclusive middle m (deg 2): RA ranks (c,d) ≫ (a,b)
+    // while raw common-neighbor count ties them at 1.
+    val edges = Seq((1L, 100L), (2L, 100L), (100L, 51L), (100L, 52L),
+      (100L, 53L), (100L, 54L), (3L, 200L), (4L, 200L)).toDF("u", "v")
+    val got = Graph.linkPredictRA(edges, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.head == ((3L, 4L, 1L, 500000000L)), got.toString) // 1e9/2
+    assert(got.tail.head._4 == 166666666L, got.toString)         // 1e9/6
+  }
+
+  test("modularity: two disjoint triangles under perfect labels score 1/4 each") {
+    // m = 6; each community: e_in = 3, d_tot = 6 ->
+    // q_ppm = 1e6*(4*6*3 - 36)/(4*36) = 250000; Σ = 500000 (Q = 1/2)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("u", "v")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val got = Graph.modularity(edges, labels)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(10L) == ((3L, 3L, 6L, 250000L)), got.toString)
+    assert(got(20L) == ((3L, 3L, 6L, 250000L)), got.toString)
+    // everything in ONE community: Q = m/m - (2m/2m)^2 = 0 exactly
+    val one = labels.select($"node",
+      org.apache.spark.sql.functions.lit(1L).as("label"))
+    val g1 = Graph.modularity(edges, one)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(g1 == ((1L, 6L, 6L, 12L, 0L)), g1.toString)
+    // splitting a triangle across labels goes NEGATIVE for the cut side:
+    // label 10 = {1} alone: e_in 0, d_tot 2 -> (0 - 4)*1e6/144 = -27778
+    // (truncating division: both engines round toward zero)
+    val cut = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 20L), (5L, 20L), (6L, 20L))
+      .toDF("node", "label")
+    val g2 = Graph.modularity(edges, cut)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(g2(10L) == -27777L, g2.toString)
+  }
 }

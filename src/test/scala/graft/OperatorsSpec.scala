@@ -976,4 +976,133 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxHistRows"), e.getMessage)
   }
+
+  test("anovaF on 2 balanced groups equals abTestT2 exactly (F(1,·) = t²)") {
+    import graft.operators.Stats
+    // For k = 2 balanced groups the two cleared fractions are the SAME
+    // rational (A = (T0−T1)², ss = n·B), so the floors agree bit-exactly.
+    val rnd = new scala.util.Random(83)
+    val ev = (1 to 200).map { i =>
+      (if (i % 2 == 0) "a" else "b", (i % 40).toLong, (rnd.nextInt(200) - 100).toLong)
+    }.toDF("g", "e", "x")
+    // balanced grid: every (g, e) cell present
+    val grid = (for (g <- Seq("a", "b"); e <- 0L until 40L) yield (g, e)).toDF("g", "e")
+    val full = grid.join(ev.groupBy($"g", $"e").agg(sum($"x").as("x")),
+      Seq("g", "e"), "left").na.fill(0L, Seq("x"))
+    // arm by group: relabel entities so parity encodes the group
+    val armed = full.select($"g", ($"e" * 2 + when($"g" === "a", 0).otherwise(1)).as("e2"), $"x")
+    val f = Stats.anovaF(full, $"g", $"e", $"x")
+      .select($"k", $"n", $"f_ppm").as[(Long, Long, Option[Long])].collect().head
+    val t2 = Stats.abTestT2(armed.withColumn("one", lit("all")),
+        $"one", $"e2", $"x")
+      .select($"t2_ppm").as[Option[Long]].collect().head
+    assert(f._1 == 2L && f._2 == 40L, f.toString)
+    assert(f._3 == t2, s"f=$f t2=$t2")
+  }
+
+  test("anovaF: unbalanced design and zero within-variance report NULL") {
+    import graft.operators.Stats
+    val unbal = Seq(("a", 1L, 5L), ("a", 2L, 7L), ("b", 1L, 3L)).toDF("g", "e", "x")
+    val f1 = Stats.anovaF(unbal, $"g", $"e", $"x")
+      .select($"f_ppm").as[Option[Long]].collect().head
+    assert(f1.isEmpty, f1.toString)
+    // zero within: every entity equals its group mean exactly
+    val zw = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("b", 1L, 9L), ("b", 2L, 9L))
+      .toDF("g", "e", "x")
+    val f2 = Stats.anovaF(zw, $"g", $"e", $"x")
+      .select($"f_ppm").as[Option[Long]].collect().head
+    assert(f2.isEmpty, f2.toString)
+  }
+
+  test("cupedDelta: perfect covariate zeroes the delta, zero-variance x = raw") {
+    import graft.operators.Stats
+    // y = 2x exactly → θ_ppm = 2e6 and the adjusted delta collapses to 0
+    // (1e6·dy − θ_ppm·dx = 1e6·2dx − 2e6·dx) whatever the arm imbalance.
+    val rnd = new scala.util.Random(17)
+    val perfect = (1 to 50).map { i =>
+      val x = (rnd.nextInt(100) + 1).toLong
+      ("g", i.toLong, x, 2 * x)
+    }.toDF("g", "e", "x", "y")
+    val got = Stats.cupedDelta(perfect, $"g", $"e", $"x", $"y")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(got._4 == Some(2000000L), got.toString)
+    assert(got._6 == Some(0L), got.toString)
+    // constant x (no pre-period signal): θ NULL and cuped == raw
+    val flat = (1 to 40).map(i => ("g", i.toLong, 7L, (rnd.nextInt(50)).toLong))
+      .toDF("g", "e", "x", "y")
+    val g2 = Stats.cupedDelta(flat, $"g", $"e", $"x", $"y")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(g2._4.isEmpty && g2._5 == g2._6, g2.toString)
+  }
+
+  test("cupedDelta equals the BigInt replay on random data") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 120).map(i =>
+      ("g", i.toLong, (rnd.nextInt(200) - 100).toLong, (rnd.nextInt(200) - 100).toLong))
+    val got = Stats.cupedDelta(rows.toDF("g", "e", "x", "y"), $"g", $"e", $"x", $"y")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    val n = BigInt(rows.size)
+    val (sx, sy) = (BigInt(rows.map(_._3).sum), BigInt(rows.map(_._4).sum))
+    val sxx = rows.map(r => BigInt(r._3) * r._3).sum
+    val sxy = rows.map(r => BigInt(r._3) * r._4).sum
+    val t = rows.filter(_._2 % 2 == 0)
+    val c = rows.filter(_._2 % 2 != 0)
+    val (n0, n1) = (BigInt(t.size), BigInt(c.size))
+    val (sx0, sx1) = (BigInt(t.map(_._3).sum), BigInt(c.map(_._3).sum))
+    val (sy0, sy1) = (BigInt(t.map(_._4).sum), BigInt(c.map(_._4).sum))
+    val cd = n * sxx - sx * sx
+    val cn = n * sxy - sx * sy
+    // both engines' integer division TRUNCATES toward zero (Spark DIV,
+    // DuckDB //) — BigInt / replays that exactly
+    def fdiv(a: BigInt, b: BigInt): Long = (a / b).toLong
+    val theta = if (cd > 0) Some(fdiv(cn * 1000000, cd)) else None
+    val dy = sy0 * n1 - sy1 * n0
+    val dx = sx0 * n1 - sx1 * n0
+    val raw = fdiv(dy * 1000000, n0 * n1)
+    val adj = fdiv(dy * 1000000 - BigInt(theta.getOrElse(0L)) * dx, n0 * n1)
+    assert(got == (("g", n0.toLong, n1.toLong, theta, Some(raw), Some(adj))),
+      s"got=$got want=${(theta, raw, adj)}")
+  }
+
+  test("chi2Contingency: independent table contributes 0, hand 2x2 checks out") {
+    import graft.operators.Stats
+    // perfectly independent 2x2: margins (30, 60) x (30, 60), N = 90,
+    // every O equals R*C/N exactly -> contrib 0, e_ppm = O * 1e6
+    val ind = (Seq.fill(10)(("a", 1L)) ++ Seq.fill(20)(("a", 2L)) ++
+      Seq.fill(20)(("b", 1L)) ++ Seq.fill(40)(("b", 2L))).toDF("r", "c")
+    val g1 = Stats.chi2Contingency(ind, $"r", $"c")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    assert(g1(("a", 1L)) == ((10L, 10000000L, 0L)), g1.toString)
+    assert(g1(("b", 2L)) == ((40L, 40000000L, 0L)), g1.toString)
+    // dependent 2x2: O=(5,0 / 0,5): e = 2.5 each, contrib = 2.5 per cell
+    val dep = (Seq.fill(5)(("x", 1L)) ++ Seq.fill(5)(("y", 2L))).toDF("r", "c")
+    val g2 = Stats.chi2Contingency(dep, $"r", $"c")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // observed cells only (the zero cells don't appear); each observed
+    // cell: R=5, C=5, N=10 -> e_ppm=2.5e6, contrib=(5*10-25)^2/(10*25)=2.5
+    assert(g2.length == 2 && g2.forall(x => x._4 == 2500000L && x._5 == 2500000L),
+      g2.mkString(","))
+  }
+
+  test("abProportionsZ2: hand-computed pooled z², degenerate groups NULL") {
+    import graft.operators.Stats
+    // arm0 = even entities {2,4,6,8} all converted; arm1 = odd {1,3,5,7}
+    // one converted: p0=1, p1=0.25, pooled p=5/8.
+    // z² = (x0·n1−x1·n0)²(n0+n1)/(n0·n1·(x0+x1)(N−x0−x1)) = 144·8/(16·5·3)=4.8
+    val ev = (Seq(2L, 4L, 6L, 8L, 1L).map(e => ("g", e, 1L)) ++
+      Seq(3L, 5L, 7L).map(e => ("g", e, 0L))).toDF("g", "e", "c")
+    val got = Stats.abProportionsZ2(ev, $"g", $"e", $"c")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got == (("g", 4L, 4L, 4L, 1L, 1L, Some(4800000L))), got.toString)
+    // everyone converted -> zero pooled variance -> NULL
+    val all1 = (1L to 6L).map(e => ("z", e, 1L)).toDF("g", "e", "c")
+    val g2 = Stats.abProportionsZ2(all1, $"g", $"e", $"c")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(g2._7.isEmpty, g2.toString)
+  }
 }

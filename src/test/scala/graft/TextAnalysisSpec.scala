@@ -423,4 +423,61 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(got == brute, s"got=$got brute=$brute")
   }
+
+  test("readability counts: vowel-run syllables, terminal-run sentences, FK floors") {
+    val rows = Seq(
+      (1L, "the cat sat. it ran!"),   // 5 words, 2 sents, 5 vowel runs
+      (2L, "wait... what?!"),         // 2 words, 2 sents ("..." and "?!")
+      (3L, "no terminator here")      // floor at 1 sentence
+    ).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))).as("w"),
+        TextAnalysis.sentenceCount(col("text")).as("s"),
+        TextAnalysis.syllableCountish(col("text")).as("sy"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((5L, 2L, 5L)), got.toString)   // e, a, a, i, a
+    assert(got(2L) == ((2L, 2L, 2L)), got.toString)   // "ai" (one run), "a"
+    assert(got(3L) == ((3L, 1L, 7L)), got.toString)
+    // FK milli-grade replays the two independent floors
+    val fk = rows.filter(col("doc_id") === 1L)
+      .select(TextAnalysis.fkGradeMilli(lit(5L), lit(2L), lit(5L)))
+      .as[Long].collect().head
+    assert(fk == 390L * 5 / 2 + 11800L * 5 / 5 - 15590L, fk.toString) // 975+11800-15590
+  }
+
+  test("featureHashStats: census conserves tokens and distinct terms") {
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "bb dd aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.featureHashStats(docs, "text", buckets = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum == 7L, got.mkString(","))   // 7 token occurrences
+    assert(got.map(_._3).sum == 4L, got.mkString(","))   // 4 distinct terms
+    assert(got.forall(r => r._1 >= 0 && r._1 < 4), got.mkString(","))
+    // dominant-share: a bucket holding exactly one term reports 1e6
+    assert(got.filter(_._3 == 1L).forall(_._4 == 1000000L), got.mkString(","))
+    // deterministic across runs (hash is md5, not JVM hashCode)
+    val again = TextAnalysis.featureHashStats(docs, "text", buckets = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("rakePhrases: hand-scored deg/freq, stopword+punct splitting, top order") {
+    // phrases: "big good cat" | "bad dog" | "good cat"
+    // freq: big 1, good 2, cat 2, bad 1, dog 1
+    // deg:  big 3, good 5, cat 5, bad 2, dog 2
+    // scores ppm: big 3e6, good 2.5e6, cat 2.5e6, bad 2e6, dog 2e6
+    // phrase: "big good cat" 8e6 > "good cat" 5e6 > "bad dog" 4e6
+    val docs = Seq((1L, "big good cat the bad dog and good cat"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakePhrases(docs, "doc_id", "text", topK = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("big good cat", 3L, 1L, 8000000L),
+      ("good cat", 2L, 1L, 5000000L),
+      ("bad dog", 2L, 1L, 4000000L)), got.toString)
+    // punctuation-bearing tokens split phrases like stopwords do
+    val p = Seq((1L, "good cat. bad dog")).toDF("doc_id", "text")
+    val gp = TextAnalysis.rakePhrases(p, "doc_id", "text", topK = 10)
+      .as[(String, Long, Long, Long)].collect().map(_._1).toSet
+    assert(gp == Set("good", "bad dog"), gp.toString) // "cat." is a delimiter
+  }
 }

@@ -333,4 +333,46 @@ class TimeSeriesSpec extends SparkSpec {
     }.toMap
     assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(5)}")
   }
+
+  test("changepointSplit finds a planted level shift; n=1 reports NULLs") {
+    // 6 zeros then 6 tens (values in units → mils ×1000): the split
+    // score is maximized exactly at the boundary t = 6
+    val rows = ((1 to 6).map(i => ("u", i.toLong, i.toLong, 0.0)) ++
+      (7 to 12).map(i => ("u", i.toLong, i.toLong, 10.0)) :+
+      (("solo", 1L, 1L, 5.0)))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.changepointSplit(rows, "k", $"ts", $"id", $"v")
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("u")._1 == 12L && got("u")._2 == Some(6L), got.toString)
+    assert(got("solo") == ((1L, None, None)), got.toString)
+    // constant series: every split scores 0, tie breaks to t = 1
+    val const = (1 to 5).map(i => ("c", i.toLong, i.toLong, 3.0)).toDF("k", "ts", "id", "v")
+    val gc = TimeSeries.changepointSplit(const, "k", $"ts", $"id", $"v")
+      .as[(String, Long, Option[Long], Option[Long])].collect().head
+    assert(gc == (("c", 5L, Some(1L), Some(0L))), gc.toString)
+  }
+
+  test("changepointSplit equals the brute per-split replay on random series") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 400).map { i =>
+      ((i % 9).toString, rnd.nextInt(50).toLong, i.toLong, (rnd.nextInt(21) - 10).toDouble)
+    }
+    val got = TimeSeries.changepointSplit(rows.toDF("k", "ts", "id", "v"),
+        "k", $"ts", $"id", $"v")
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val brute = rows.groupBy(_._1).map { case (k, rs) =>
+      val vs = rs.sortBy(r => (r._2, r._3)).map(r => (r._4 * 1000).toLong)
+      val n = vs.size.toLong
+      val tt = vs.sum
+      val best = (1L until n).map { t =>
+        val p = vs.take(t.toInt).sum
+        val d = n * p - t * tt
+        (t, d * d / (t * (n - t)))
+      }.sortBy(x => (-x._2, x._1)).headOption
+      k -> ((n, best.map(_._1), best.map(_._2)))
+    }
+    assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(3)}")
+  }
 }
