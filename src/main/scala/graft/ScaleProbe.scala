@@ -379,7 +379,17 @@ object ScaleProbe {
     "q_feature_hash" -> false,
     // round-9 wave 6: RAKE = doc-keyed posexplode window (one Exchange
     // on doc_id) + word-stat agg + word join — linear in docs
-    "q_rake_phrases" -> false
+    "q_rake_phrases" -> false,
+    // round-9 wave 7: Gini = ONE map-side (type, unit-bin) histogram —
+    // bin domain is value-bounded, the q_exact_quantiles class (same
+    // artifact flag: partial state = partitions × bins vs 1-split base)
+    "q_gini_wealth" -> true,
+    // round-9 wave 7: DP release = ONE map-side (type, day) count to
+    // 155 domain groups + row-local CASE ladder — the q_cube class
+    "q_dp_counts" -> false,
+    // round-9 wave 7: runs test = one (type, user)-keyed lag window +
+    // two map-side aggs — the q_gap_percentiles window key class
+    "q_runs_test" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -163,7 +163,10 @@ object Scratch {
       "q_ab_proportions" -> "proportions z2: one (type, user) outcome pass, the q_abtest key class",
       "q_modularity" -> "modularity: edge->label tag joins + intra count + degree rollup, m on a 1-row broadcast",
       "q_feature_hash" -> "feature hashing: token explode + two map-side-combinable aggs — no vocabulary broadcast",
-      "q_rake_phrases" -> "RAKE: doc-keyed delimiter window + word-stat join + TakeOrdered — never a global window")
+      "q_rake_phrases" -> "RAKE: doc-keyed delimiter window + word-stat join + TakeOrdered — never a global window",
+      "q_gini_wealth" -> "Gini: ONE map-side histogram; rank math runs closed-form on the domain-bounded bin frame",
+      "q_dp_counts" -> "DP release: map-side count + row-local compile-time CASE ladder — no logs, no second pass",
+      "q_runs_test" -> "runs test: one entity-keyed lag window + map-side aggs — never a per-type global window")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

@@ -1122,4 +1122,132 @@ object Stats {
       .select(col("_g").as("g"), col("n0"), col("n1"), col("x0"), col("x1"),
         signum(col("_d")).cast("long").as("rate_diff_sign"), col("z2_ppm"))
   }
+
+  /** Gini concentration coefficient per group — the inequality census
+    * (how concentrated is spend/activity across entities?), computed
+    * EXACTLY from the (group, value) histogram so no per-entity rank
+    * window ever runs: with distinct values ascending, counts c and
+    * prefix counts Cp,
+    *
+    *   S = Σ_v x·(2·Cp·c + c·(c+1)) − (n+1)·T,   G = S / (n·T)
+    *
+    * (the Σ(2r−n−1)x formula with the tie block's rank sum in closed
+    * form — equal values make the block's internal order irrelevant,
+    * so this IS the tie-correct Gini). gini_ppm = 10⁶·S DIV (n·T);
+    * all-equal → 0, one-entity-holds-all → (n−1)/n. Values must be
+    * non-negative.
+    *
+    * Scale shape: one map-side-combined (group, value) histogram is
+    * the only data-sized pass; the prefix window and rollup run on the
+    * histogram (value domain-bounded, the [[histogramDrift]] class).
+    * Output: (g, n, total, gini_ppm). */
+  def giniConcentration(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val hist = df.select(groupCol.as("_g"), valueCol.cast("long").as("_x"))
+      .groupBy(col("_g"), col("_x")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = hist.withColumn("_cp", coalesce(sum(col("_c")).over(w), lit(0L)))
+    pre.groupBy(col("_g")).agg(
+        sum(col("_c")).as("n"),
+        sum(col("_x") * col("_c")).as("total"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * (2 * _cp * _c + _c * (_c + 1))")).as("_s2"))
+      .withColumn("gini_ppm",
+        when(col("n") > 0 && col("total") > 0, expr(
+          "CAST((_s2 - CAST(n + 1 AS DECIMAL(38,0)) * total) * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)")))
+      .select(col("_g").as("g"), col("n"), col("total"), col("gini_ppm"))
+  }
+
+  /** Two-sided geometric (discrete Laplace) inverse CDF for α = 1/2
+    * (ε = ln 2) as cumulative ppm thresholds, k = −19..19 — COMPILE-TIME
+    * literals like [[PoissonPpm]]: P(0) = 1/3, P(±k) = (1/3)·2^−k, so
+    * F(k<0) = (1/3)·2^−(|k|−1), F(k≥0) = 1 − (1/3)·2^−k. The geometric
+    * mechanism is the INTEGER ε-DP noise for counting queries (Ghosh-
+    * Roughgarden-Sundararajan 2009) — no real-valued Laplace, no logs
+    * at runtime, both engines compare a uniform ppm draw to identical
+    * integers. */
+  private[graft] val GeoHalfCdfPpm: Seq[(Int, Long)] = {
+    val mc = new java.math.MathContext(30)
+    (-19 to 19).map { k =>
+      val third = BigDecimal(1, mc) / 3
+      val f =
+        if (k < 0) third * BigDecimal(0.5).pow(-k - 1)
+        else BigDecimal(1) - third * BigDecimal(0.5).pow(k)
+      k -> (f * 1000000).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    }
+  }
+
+  /** The ladder as a shared SQL CASE over a uniform-ppm expression —
+    * ONE source of truth for the Spark plan and the DuckDB oracle
+    * (both embed the identical literal chain). */
+  def geoNoiseCaseSql(uExpr: String): String =
+    GeoHalfCdfPpm.map { case (k, thr) => s"WHEN $uExpr < $thr THEN $k" }
+      .mkString("CASE ", " ", " ELSE 19 END")
+
+  /** ε-DP count release via the geometric mechanism (ε = ln 2,
+    * sensitivity 1): per key, the true count plus two-sided geometric
+    * noise drawn from the key's md5-seeded uniform (deterministic
+    * end-to-end — this demonstrates the RELEASE PLUMBING; a production
+    * deployment swaps the seeded draw for a secret-keyed PRF, which
+    * changes no plan shape). Negative releases post-process to 0 (the
+    * standard non-negativity projection). Scale shape: one
+    * map-side-combined count per key; the noise is a row-local CASE.
+    * Output: (keys..., n_true, noise, n_noisy). */
+  def dpGeometricCounts(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    val named = keys.zipWithIndex.map { case (c, i) => c.as(s"_k$i") }
+    val kcols = keys.indices.map(i => col(s"_k$i"))
+    df.select(named: _*)
+      .groupBy(kcols: _*).agg(count(lit(1)).as("n_true"))
+      .withColumn("_u",
+        conv(substring(md5(concat_ws("|", kcols: _*)), 1, 12), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn("noise", expr(geoNoiseCaseSql("_u")).cast("long"))
+      .withColumn("n_noisy", greatest(col("n_true") + col("noise"), lit(0L)))
+      .select(kcols ++ Seq(col("n_true"), col("noise"), col("n_noisy")): _*)
+  }
+
+  /** Wald–Wolfowitz runs test per (group, entity) sequence, aggregated
+    * to the group — the randomness audit for per-entity event streams
+    * (a metric that alternates suspiciously or sticks in runs fails
+    * it): over each entity's time-ordered binary sequence with n0
+    * zeros, n1 ones, N = n0+n1 and R runs,
+    *
+    *   z² = ((R−1)·N − 2·n0·n1)² · (N−1) DIV (2·n0·n1·(2·n0·n1 − N))
+    *
+    * (the (R−μ)²/σ² square cleared of its divisions), testable when
+    * n0, n1 ≥ 1 and 2n0n1 > N. Per group: sequences, testable
+    * sequences, and those rejecting randomness at 5% (z² > 3.841459).
+    * Scale shape: ONE entity-keyed ordered window (lag) + two
+    * map-side-combined aggregations. Output: (g, n_seq, n_tested,
+    * n_nonrandom). */
+  def runsTest(
+      df: DataFrame,
+      groupCol: Column,
+      entityCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      bitCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("_g"), col("_e")).orderBy(col("_t"), col("_i"))
+    val marked = df.select(groupCol.as("_g"), entityCol.as("_e"),
+        tsCol.as("_t"), tieCol.as("_i"), bitCol.cast("long").as("_b"))
+      .withColumn("_chg",
+        when(lag(col("_b"), 1).over(w).isNull, 1L)
+          .otherwise((col("_b") =!= lag(col("_b"), 1).over(w)).cast("long")))
+    val per = marked.groupBy(col("_g"), col("_e")).agg(
+      sum(col("_chg")).as("_r"),
+      sum(lit(1L) - col("_b")).as("_n0"), sum(col("_b")).as("_n1"))
+    val scored = per
+      .withColumn("_nn", col("_n0") + col("_n1"))
+      .withColumn("_z2",
+        when(col("_n0") >= 1 && col("_n1") >= 1 &&
+          lit(2L) * col("_n0") * col("_n1") > col("_nn"), expr(
+          """((_r - 1) * _nn - 2 * _n0 * _n1) * ((_r - 1) * _nn - 2 * _n0 * _n1)
+            |  * (_nn - 1) * 1000000
+            |  DIV (2 * _n0 * _n1 * (2 * _n0 * _n1 - _nn))""".stripMargin)))
+    scored.groupBy(col("_g")).agg(
+        count(lit(1)).as("n_seq"),
+        sum(col("_z2").isNotNull.cast("long")).as("n_tested"),
+        // when() not a raw >-cast: a NULL z² must count 0, not propagate
+        sum(when(col("_z2") > 3841459L, 1L).otherwise(0L)).as("n_nonrandom"))
+      .select(col("_g").as("g"), col("n_seq"), col("n_tested"), col("n_nonrandom"))
+  }
 }

@@ -4001,7 +4001,100 @@ object CoreQueries {
            |            // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS q_ppm
            |FROM dt LEFT JOIN ein USING (label) CROSS JOIN mm
            |ORDER BY label""".stripMargin
-      })
+      }),
+
+    // Gini concentration of per-user spend per event type — the
+    // inequality census ("do 1% of users drive 90% of volume?"),
+    // computed EXACTLY from the binned-total histogram so no
+    // per-entity rank window runs: totals bin to units (mils DIV
+    // 1000), then the closed-form tie-block rank sum over the
+    // domain-bounded (type, unit) histogram. One map-side histogram
+    // pass is all that touches data.
+    Q("q_gini_wealth",
+      (s, dir) => {
+        val totals = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(expr("sum(CAST(floor(value * 1000) AS BIGINT)) DIV 1000").as("x"))
+        Stats.giniConcentration(totals, col("event_type"), col("x"))
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) // 1000 AS x
+             |           FROM events GROUP BY 1, 2),
+             |h AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+             |      FROM t GROUP BY 1, 2),
+             |p AS (SELECT event_type, x, c,
+             |        coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY x
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+             |      FROM h),
+             |m AS (SELECT event_type, sum(c) AS n, sum(x * c) AS total,
+             |             sum(CAST(x AS HUGEINT) * (2 * cp * c + c * (c + 1))) AS s2
+             |      FROM p GROUP BY 1)
+             |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+             |       CAST(CASE WHEN n > 0 AND total > 0
+             |            THEN (s2 - CAST(n + 1 AS HUGEINT) * total) * 1000000
+             |                 // (CAST(n AS HUGEINT) * total) END AS BIGINT) AS gini_ppm
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ε-DP count release (geometric mechanism, ε = ln 2) — the
+    // integer-exact DP noise for counting queries (Ghosh et al. 2009):
+    // per (type, day), true count + two-sided geometric noise from the
+    // key's seeded uniform against the COMPILE-TIME inverse-CDF ppm
+    // ladder (the PoissonPpm trick — no logs at runtime, both engines
+    // compare identical literals), non-negativity post-processing.
+    Q("q_dp_counts",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_type"),
+          expr("unix_micros(date_trunc('day', ts))").as("day_us"))
+        Stats.dpGeometricCounts(e, Seq(col("event_type"), col("day_us")))
+          .withColumnRenamed("_k0", "event_type").withColumnRenamed("_k1", "day_us")
+          .orderBy("event_type", "day_us")
+      },
+      Some {
+        val noise = Stats.geoNoiseCaseSql("uu")
+        s"""WITH c AS (SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+           |                  CAST(count(*) AS BIGINT) AS n_true
+           |           FROM events GROUP BY 1, 2),
+           |u AS (SELECT *, CAST(('0x' || substr(md5(event_type || '|' || day_us), 1, 12))
+           |                     AS BIGINT) % 1000000 AS uu FROM c),
+           |nz AS (SELECT event_type, day_us, n_true, CAST($noise AS BIGINT) AS noise FROM u)
+           |SELECT event_type, day_us, n_true, noise,
+           |       greatest(n_true + noise, 0) AS n_noisy
+           |FROM nz ORDER BY event_type, day_us""".stripMargin
+      }),
+
+    // Wald–Wolfowitz runs test — the randomness audit for per-user
+    // metric streams (bot-like alternation or stuck runs both fail):
+    // per (type, user) binary sequence (value > 250 in time order),
+    // z² cleared to one floor-division, aggregated per type to
+    // sequences / testable / rejecting-at-5%. ONE entity-keyed window
+    // + two map-side aggs.
+    Q("q_runs_test",
+      (s, dir) =>
+        Stats.runsTest(Tables.events(s, dir), col("event_type"), col("user_id"),
+          unix_micros(col("ts")), col("event_id"), (col("value") > 250.0).cast("long"))
+          .withColumnRenamed("g", "event_type").orderBy("event_type"),
+      Some("""WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS t, event_id AS i,
+             |                  CASE WHEN value > 250.0 THEN 1 ELSE 0 END AS b
+             |           FROM events),
+             |m AS (SELECT event_type, user_id, b,
+             |        CASE WHEN lag(b) OVER w IS NULL THEN 1
+             |             WHEN b <> lag(b) OVER w THEN 1 ELSE 0 END AS chg
+             |      FROM e WINDOW w AS (PARTITION BY event_type, user_id ORDER BY t, i)),
+             |p AS (SELECT event_type, user_id, sum(chg) AS r,
+             |             sum(1 - b) AS n0, sum(b) AS n1
+             |      FROM m GROUP BY 1, 2),
+             |s AS (SELECT event_type,
+             |        CASE WHEN n0 >= 1 AND n1 >= 1 AND 2 * n0 * n1 > n0 + n1 THEN
+             |          ((r - 1) * (n0 + n1) - 2 * n0 * n1)
+             |            * ((r - 1) * (n0 + n1) - 2 * n0 * n1)
+             |            * (n0 + n1 - 1) * 1000000
+             |          // (2 * n0 * n1 * (2 * n0 * n1 - (n0 + n1))) END AS z2
+             |      FROM p)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_seq,
+             |       CAST(sum(CASE WHEN z2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tested,
+             |       CAST(sum(CASE WHEN z2 > 3841459 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonrandom
+             |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact

@@ -1105,4 +1105,62 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, Option[Long])].collect().head
     assert(g2._7.isEmpty, g2.toString)
   }
+
+  test("giniConcentration: all-equal 0, one-holds-all (n-1)/n, brute rank replay") {
+    import graft.operators.Stats
+    val eq = (1 to 6).map(i => ("a", i.toLong, 10L)) // all equal -> 0
+    val oneAll = Seq(("b", 1L, 100L)) ++ (2 to 5).map(i => ("b", i.toLong, 0L))
+    val got = Stats.giniConcentration((eq ++ oneAll).toDF("g", "e", "x"), $"g", $"x")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((6L, 60L, Some(0L))), got.toString)
+    assert(got("b") == ((5L, 100L, Some(800000L))), got.toString) // (n-1)/n
+    // brute: sorted ranks Σ(2r−n−1)x / (n·Σx) — histogram form must agree
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 200).map(i => ("r", i.toLong, rnd.nextInt(50).toLong))
+    val g2 = Stats.giniConcentration(rows.toDF("g", "e", "x"), $"g", $"x")
+      .as[(String, Long, Long, Option[Long])].collect().head
+    val xs = rows.map(_._3).sorted
+    val n = xs.size
+    val s = xs.zipWithIndex.map { case (x, i) =>
+      BigInt(2 * (i + 1) - n - 1) * x }.sum
+    val want = (s * 1000000 / (BigInt(n) * xs.sum)).toLong
+    assert(g2 == (("r", n.toLong, xs.sum, Some(want))), s"got=$g2 want=$want")
+  }
+
+  test("dpGeometricCounts: ladder thresholds, bounded deterministic noise") {
+    import graft.operators.Stats
+    // the compile-time CDF: F(-1) = 1/3, F(0) = 2/3 in floored ppm
+    val cdf = Stats.GeoHalfCdfPpm.toMap
+    assert(cdf(-1) == 333333L && cdf(0) == 666666L, cdf.toString)
+    assert(Stats.GeoHalfCdfPpm.map(_._2) == Stats.GeoHalfCdfPpm.map(_._2).sorted)
+    val e = (1 to 50).flatMap(i => Seq(("a", i.toLong % 5), ("b", i.toLong % 3)))
+      .toDF("k1", "k2")
+    val got = Stats.dpGeometricCounts(e, Seq($"k1", $"k2"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.forall(r => r._4 >= -19 && r._4 <= 19), got.mkString(","))
+    assert(got.forall(r => r._5 == math.max(r._3 + r._4, 0L)), got.mkString(","))
+    val again = Stats.dpGeometricCounts(e, Seq($"k1", $"k2"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("runsTest: alternation and single-block both reject, mixed passes") {
+    import graft.operators.Stats
+    def seq(g: String, e: Long, bits: Seq[Int]) =
+      bits.zipWithIndex.map { case (b, i) => (g, e, i.toLong, i.toLong, b.toLong) }
+    val rows = (
+      seq("alt", 1L, Seq(0, 1, 0, 1, 0, 1, 0, 1, 0, 1)) ++   // R=10: z²=7.2e6
+      seq("blk", 1L, Seq(0, 0, 0, 0, 0, 1, 1, 1, 1, 1)) ++   // R=2:  z²=7.2e6
+      seq("mix", 1L, Seq(0, 1, 1, 0, 1, 0, 0, 1, 0, 1)) ++   // R=8:  z²=1.8e6
+      seq("one", 1L, Seq(1, 1, 1, 1))                        // n0=0: untestable
+    ).toDF("g", "e", "t", "i", "b")
+    val got = Stats.runsTest(rows, $"g", $"e", $"t", $"i", $"b")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("alt") == ((1L, 1L, 1L)), got.toString)
+    assert(got("blk") == ((1L, 1L, 1L)), got.toString)
+    assert(got("mix") == ((1L, 1L, 0L)), got.toString)
+    assert(got("one") == ((1L, 0L, 0L)), got.toString)
+  }
 }
