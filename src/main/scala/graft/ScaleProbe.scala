@@ -389,7 +389,14 @@ object ScaleProbe {
     "q_dp_counts" -> false,
     // round-9 wave 7: runs test = one (type, user)-keyed lag window +
     // two map-side aggs — the q_gap_percentiles window key class
-    "q_runs_test" -> false
+    "q_runs_test" -> false,
+    // round-9 wave 8: paired t² = the q_abtest (type, user) totals key
+    // class (same artifact flag); Cramér's V = the q_cube domain-group
+    // class; Markov steady = one user-keyed lag window + a staged K²
+    // frame the 8 rounds iterate on (rounds are input-size-independent)
+    "q_ttest_paired" -> true,
+    "q_cramers_v" -> false,
+    "q_markov_steady" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -450,7 +457,9 @@ object ScaleProbe {
     "q_clustering_coeff", "q_link_ra", "q_cohort_ltv",
     // round-9 wave 6: LPA modularity runs on the lineitem co-purchase
     // axis (the q_label_prop class)
-    "q_modularity")
+    "q_modularity",
+    // round-9 wave 8: degree assortativity — lineitem co-purchase axis
+    "q_assortativity")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

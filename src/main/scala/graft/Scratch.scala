@@ -166,7 +166,10 @@ object Scratch {
       "q_rake_phrases" -> "RAKE: doc-keyed delimiter window + word-stat join + TakeOrdered — never a global window",
       "q_gini_wealth" -> "Gini: ONE map-side histogram; rank math runs closed-form on the domain-bounded bin frame",
       "q_dp_counts" -> "DP release: map-side count + row-local compile-time CASE ladder — no logs, no second pass",
-      "q_runs_test" -> "runs test: one entity-keyed lag window + map-side aggs — never a per-type global window")
+      "q_runs_test" -> "runs test: one entity-keyed lag window + map-side aggs — never a per-type global window",
+      "q_ttest_paired" -> "paired t2: one (type, user) difference pass + k-row rollup — the q_abtest shape on within-user deltas",
+      "q_markov_steady" -> "markov steady: 8 rounds iterate a STAGED K^2 count frame — round cost is input-size-independent",
+      "q_cramers_v" -> "Cramer's V: the chi2 grid rollup — margins cross-joined broadcast, one data-sized count pass")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

@@ -508,4 +508,37 @@ object Graph {
           |  DIV (4 * CAST(_m AS DECIMAL(38,0)) * _m) AS BIGINT)""".stripMargin))
       .select(col("label"), col("n_nodes"), col("e_in"), col("d_tot"), col("q_ppm"))
   }
+
+  /** Degree assortativity — does the graph wire hubs to hubs (social,
+    * r > 0) or hubs to leaves (technological/biological, r < 0)?
+    * Pearson correlation of endpoint degrees over the DIRECTED edge
+    * list (each undirected edge contributes both orientations — the
+    * standard symmetric estimator), shipped exact as r² in ppm via the
+    * [[graft.operators.Stats.spearmanRho]] two-floored-division trick
+    * (num² DIV denx, then ·10⁶ DIV deny) with direction as sign(num);
+    * zero degree variance → NULL. Scale shape: one degree count + two
+    * degree-lookup joins on the edge frame + one moment rollup.
+    * Output: one row (n_pairs, dir_sign, r2_ppm). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v")).distinct()
+    val e = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("_d"))
+    val pairs = e
+      .join(deg.select(col("u"), col("_d").as("_du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("_d").as("_dv")), Seq("v"))
+    val m = pairs.agg(
+      count(lit(1)).cast("long").as("n_pairs"),
+      sum(col("_du")).as("_sx"), sum(col("_dv")).as("_sy"),
+      sum(expr("CAST(_du AS DECIMAL(38,0)) * _du")).as("_sxx"),
+      sum(expr("CAST(_dv AS DECIMAL(38,0)) * _dv")).as("_syy"),
+      sum(expr("CAST(_du AS DECIMAL(38,0)) * _dv")).as("_sxy"))
+    m.withColumn("_num", expr("n_pairs * _sxy - CAST(_sx AS DECIMAL(38,0)) * _sy"))
+      .withColumn("_dx", expr("n_pairs * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx"))
+      .withColumn("_dy", expr("n_pairs * _syy - CAST(_sy AS DECIMAL(38,0)) * _sy"))
+      .withColumn("r2_ppm",
+        when(col("_dx") > 0 && col("_dy") > 0, expr(
+          "CAST(CAST(_num * _num DIV _dx AS DECIMAL(38,0)) * 1000000 DIV _dy AS BIGINT)")))
+      .select(col("n_pairs"),
+        signum(col("_num")).cast("long").as("dir_sign"), col("r2_ppm"))
+  }
 }

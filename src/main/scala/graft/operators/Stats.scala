@@ -1066,19 +1066,23 @@ object Stats {
     *   contrib_ppm = 10⁶·(O·N − R·C)² DIV (N·R·C)
     *
     * (Σ contrib_ppm ≈ 10⁶·χ², under-approximating by < #cells ppm.)
-    * DECIMAL(38,0) for the squared term; cells with R·C = 0 cannot
-    * occur (margins come from the observed cells). Scale shape: ONE
+    * DECIMAL(38,0) for the squared term. The output is the FULL r×c
+    * grid (margins crossed, observed cells left-joined): a zero cell
+    * still contributes R·C/N to χ², and dropping it would understate
+    * association — diag-only tables would read V < 1. Scale shape: ONE
     * map-side-combined (row, col) count aggregation over the data,
     * then margins via two domain-bounded re-aggregations of the cell
-    * frame and a broadcast total — nothing else is data-sized.
-    * Output: (r, c, o, e_ppm, contrib_ppm), one row per observed cell. */
+    * frame, the grid as a margin×margin cross join (domain-bounded)
+    * and a broadcast total — nothing else is data-sized.
+    * Output: (r, c, o, e_ppm, contrib_ppm), one row per GRID cell. */
   def chi2Contingency(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
     val cells = df.select(rowCol.as("r"), colCol.as("c"))
       .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
     val rm = cells.groupBy(col("r")).agg(sum(col("o")).as("_rr"))
     val cm = cells.groupBy(col("c")).agg(sum(col("o")).as("_cc"))
     val n = cells.agg(sum(col("o")).as("_n"))
-    cells.join(broadcast(rm), Seq("r")).join(broadcast(cm), Seq("c"))
+    rm.crossJoin(broadcast(cm))
+      .join(cells, Seq("r", "c"), "left").na.fill(0L, Seq("o"))
       .crossJoin(broadcast(n))
       .withColumn("e_ppm", expr("1000000 * _rr * _cc DIV _n"))
       .withColumn("contrib_ppm", expr(
@@ -1249,5 +1253,37 @@ object Stats {
         // when() not a raw >-cast: a NULL z² must count 0, not propagate
         sum(when(col("_z2") > 3841459L, 1L).otherwise(0L)).as("n_nonrandom"))
       .select(col("_g").as("g"), col("n_seq"), col("n_tested"), col("n_nonrandom"))
+  }
+
+  /** Paired one-sample t² on per-entity differences — the WITHIN-entity
+    * experiment readout ([[abTestT2]] compares two entity populations;
+    * this tests whether each entity's own pre→post change is nonzero,
+    * absorbing all between-entity variance by construction):
+    *
+    *   t² = n·d̄²/s_d²  =  (Σd)²·(n−1) / (n·Σd² − (Σd)²)
+    *
+    * cleared to ONE DECIMAL(38,0) floor-division (t2_ppm), direction as
+    * sign(Σd); zero-variance differences → NULL. One (group, entity)
+    * difference pass is the only data-sized stage. Output:
+    * (g, n, sum_d, dir_sign, t2_ppm). */
+  def pairedT2(
+      df: DataFrame,
+      groupCol: Column,
+      entityCol: Column,
+      diffCol: Column): DataFrame = {
+    val per = df.select(groupCol.as("_g"), entityCol.as("_e"),
+        diffCol.cast("long").as("_d"))
+      .groupBy(col("_g"), col("_e"))
+      .agg(sum(col("_d")).as("_dd"))
+    val m = per.groupBy(col("_g")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("_dd")).as("sum_d"),
+      sum(expr("CAST(_dd AS DECIMAL(38,0)) * _dd")).as("_q"))
+    m.withColumn("_den", expr("n * _q - CAST(sum_d AS DECIMAL(38,0)) * sum_d"))
+      .withColumn("t2_ppm",
+        when(col("n") > 1 && col("_den") > 0, expr(
+          "CAST(CAST(sum_d AS DECIMAL(38,0)) * sum_d * (n - 1) * 1000000 DIV _den AS BIGINT)")))
+      .select(col("_g").as("g"), col("n"), col("sum_d"),
+        signum(col("sum_d")).cast("long").as("dir_sign"), col("t2_ppm"))
   }
 }

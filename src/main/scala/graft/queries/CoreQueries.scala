@@ -3899,12 +3899,16 @@ object CoreQueries {
              |         FROM e GROUP BY 1, 2),
              |rm AS (SELECT event_type, sum(o) AS rr FROM cell GROUP BY 1),
              |cm AS (SELECT dow, sum(o) AS cc FROM cell GROUP BY 1),
-             |tot AS (SELECT sum(o) AS n FROM cell)
-             |SELECT cell.event_type, CAST(cell.dow AS BIGINT) AS dow, cell.o,
+             |tot AS (SELECT sum(o) AS n FROM cell),
+             |grid AS (SELECT rm.event_type, cm.dow, rm.rr, cm.cc,
+             |                coalesce(cell.o, 0) AS o
+             |         FROM rm CROSS JOIN cm
+             |              LEFT JOIN cell USING (event_type, dow))
+             |SELECT event_type, CAST(dow AS BIGINT) AS dow, o,
              |       CAST(1000000 * rr * cc // n AS BIGINT) AS e_ppm,
              |       CAST(1000000 * CAST(o * n - rr * cc AS HUGEINT) * (o * n - rr * cc)
              |            // (CAST(n AS HUGEINT) * rr * cc) AS BIGINT) AS contrib_ppm
-             |FROM cell JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN tot
+             |FROM grid CROSS JOIN tot
              |ORDER BY event_type, dow""".stripMargin)),
 
     // Two-proportion z² — the conversion-rate experiment readout
@@ -4094,7 +4098,179 @@ object CoreQueries {
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n_seq,
              |       CAST(sum(CASE WHEN z2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tested,
              |       CAST(sum(CASE WHEN z2 > 3841459 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonrandom
-             |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Paired t² on per-user pre→post spend changes — the WITHIN-user
+    // readout (q_abtest compares two user populations; this absorbs all
+    // between-user variance by differencing each user against itself):
+    // d = post − pre on the dense grid, t² cleared to one division.
+    Q("q_ttest_paired",
+      (s, dir) => {
+        val splitUs = 1705276800000000L
+        val ev = Tables.events(s, dir)
+        val totals = ev
+          .select(col("event_type"), col("user_id"),
+            (unix_micros(col("ts")) < splitUs).as("_pre"),
+            floor(col("value") * 1000).cast("long").as("_v"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg((sum(when(!col("_pre"), col("_v")).otherwise(0L)) -
+            sum(when(col("_pre"), col("_v")).otherwise(0L))).as("d"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(totals, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("d"))
+        Stats.pairedT2(full, col("event_type"), col("user_id"), col("d"))
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |  sum(CASE WHEN epoch_us(ts) >= 1705276800000000 THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+             |  - sum(CASE WHEN epoch_us(ts) < 1705276800000000 THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END) AS d
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type, coalesce(t.d, 0) AS d
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |             CAST(sum(d) AS BIGINT) AS sum_d,
+             |             sum(CAST(d AS HUGEINT) * d) AS q
+             |      FROM p GROUP BY 1),
+             |f AS (SELECT *, n * q - CAST(sum_d AS HUGEINT) * sum_d AS den FROM m)
+             |SELECT event_type, n, sum_d,
+             |       CAST(CASE WHEN sum_d > 0 THEN 1 WHEN sum_d < 0 THEN -1 ELSE 0 END
+             |            AS BIGINT) AS dir_sign,
+             |       CAST(CASE WHEN n > 1 AND den > 0
+             |            THEN CAST(sum_d AS HUGEINT) * sum_d * (n - 1) * 1000000 // den
+             |            END AS BIGINT) AS t2_ppm
+             |FROM f ORDER BY event_type""".stripMargin)),
+
+    // Degree assortativity of the part co-purchase graph — does it
+    // wire hubs to hubs (r > 0) or hubs to leaves (r < 0)? Pearson on
+    // endpoint degrees over the directed edge list, r² in ppm via the
+    // spearman two-floored-division trick, sign separate.
+    Q("q_assortativity",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        Graph.assortativity(und)
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+             |e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+             |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+             |pr AS (SELECT du.d AS x, dv.d AS y
+             |       FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |             sum(x) AS sx, sum(y) AS sy,
+             |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             |             sum(CAST(y AS HUGEINT) * y) AS syy,
+             |             sum(CAST(x AS HUGEINT) * y) AS sxy
+             |      FROM pr),
+             |f AS (SELECT n_pairs,
+             |             n_pairs * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             |             n_pairs * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+             |             n_pairs * syy - CAST(sy AS HUGEINT) * sy AS dy
+             |      FROM m)
+             |SELECT n_pairs,
+             |       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+             |            AS BIGINT) AS dir_sign,
+             |       CAST(CASE WHEN dx > 0 AND dy > 0
+             |            THEN (num * num // dx) * 1000000 // dy END AS BIGINT) AS r2_ppm
+             |FROM f""".stripMargin)),
+
+    // Markov steady state — 8 power-iteration rounds over the
+    // event-type transition matrix (the long-run visit distribution
+    // q_markov's one-step probabilities imply): rank flows as
+    // floor(rank·n/tot) per transition at scale 10⁹, the q_pagerank
+    // integer trail on a DOMAIN-BOUNDED (K² counts) staged frame.
+    Q("q_markov_steady",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val t = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type"))
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+        val cnt = t.groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("_tot"))
+        val trans = graft.store.Staging.stage(cnt.join(tot, "from_type"), "markov_trans")
+        val states = trans.select(col("from_type").as("state")).distinct()
+        var r = states
+          .crossJoin(broadcast(states.agg(count(lit(1)).as("_k"))))
+          .select(col("state"), expr("CAST(1000000000 DIV _k AS BIGINT)").as("rank"))
+        (1 to 8).foreach { _ =>
+          r = trans.join(r.withColumnRenamed("state", "from_type"), Seq("from_type"))
+            .select(col("to_type").as("state"),
+              expr("CAST(rank * n DIV _tot AS BIGINT)").as("_c"))
+            .groupBy(col("state")).agg(sum(col("_c")).as("rank"))
+        }
+        r.orderBy("state")
+      },
+      Some {
+        val rounds = (1 to 8).map { i =>
+          s"""r$i AS MATERIALIZED (
+             |  SELECT c.to_type AS state, sum(r.rank * c.n // c.tot) AS rank
+             |  FROM c JOIN r${i - 1} r ON c.from_type = r.state GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH t AS (SELECT event_type AS to_type,
+           |                  lag(event_type) OVER (PARTITION BY user_id
+           |                    ORDER BY epoch_us(ts), event_id) AS from_type
+           |           FROM events),
+           |cn AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           |       FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+           |c AS MATERIALIZED (SELECT cn.*, tot.tot FROM cn JOIN
+           |     (SELECT from_type, sum(n) AS tot FROM cn GROUP BY 1) tot USING (from_type)),
+           |r0 AS (SELECT DISTINCT from_type AS state,
+           |              CAST(1000000000 // (SELECT count(DISTINCT from_type) FROM c) AS BIGINT) AS rank
+           |       FROM c),
+           |$rounds
+           |SELECT state, CAST(rank AS BIGINT) AS rank FROM r8 ORDER BY state""".stripMargin
+      }),
+
+    // Cramér's V — the EFFECT SIZE q_chi2_contingency's p-value-scale
+    // statistic lacks (χ² grows with N; V is comparable across
+    // corpora): V² = χ²/(N·(min(r,c)−1)), one extra floor over the
+    // summed cell contributions.
+    Q("q_cramers_v",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+        Stats.chi2Contingency(e, col("event_type"), col("dow"))
+          .agg(sum(col("o")).as("n"),
+            countDistinct(col("r")).as("r_levels"),
+            countDistinct(col("c")).as("c_levels"),
+            sum(col("contrib_ppm")).as("chi2_ppm"))
+          .withColumn("v2_ppm",
+            expr("chi2_ppm DIV (n * (least(r_levels, c_levels) - 1))"))
+          .orderBy("n")
+      },
+      Some("""WITH e AS (SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),
+             |cell AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+             |         FROM e GROUP BY 1, 2),
+             |rm AS (SELECT event_type, sum(o) AS rr FROM cell GROUP BY 1),
+             |cm AS (SELECT dow, sum(o) AS cc FROM cell GROUP BY 1),
+             |tot AS (SELECT sum(o) AS nn FROM cell),
+             |grid AS (SELECT rm.event_type, cm.dow, rm.rr, cm.cc,
+             |                coalesce(cell.o, 0) AS o
+             |         FROM rm CROSS JOIN cm
+             |              LEFT JOIN cell USING (event_type, dow)),
+             |ct AS (SELECT o,
+             |         CAST(1000000 * CAST(o * nn - rr * cc AS HUGEINT) * (o * nn - rr * cc)
+             |              // (CAST(nn AS HUGEINT) * rr * cc) AS BIGINT) AS contrib_ppm,
+             |         event_type, dow
+             |       FROM grid CROSS JOIN tot)
+             |SELECT CAST(sum(o) AS BIGINT) AS n,
+             |       CAST(count(DISTINCT event_type) AS BIGINT) AS r_levels,
+             |       CAST(count(DISTINCT dow) AS BIGINT) AS c_levels,
+             |       CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm,
+             |       CAST(sum(contrib_ppm) // (sum(o) * (least(count(DISTINCT event_type),
+             |            count(DISTINCT dow)) - 1)) AS BIGINT) AS v2_ppm
+             |FROM ct ORDER BY n""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact

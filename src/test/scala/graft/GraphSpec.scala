@@ -324,4 +324,18 @@ class GraphSpec extends SparkSpec {
       .map(r => r._1 -> r._5).toMap
     assert(g2(10L) == -27777L, g2.toString)
   }
+
+  test("assortativity: star is exactly −1 (r²=1e6), regular ring is NULL") {
+    // star hub 0 — spokes 1..5: every directed pair is (5,1) or (1,5),
+    // perfect anticorrelation -> num² = dx·dy exactly, r² = 1e6, sign −1
+    val star = (1L to 5L).map(sp => (0L, sp)).toDF("u", "v")
+    val g1 = Graph.assortativity(star)
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(g1 == ((10L, -1L, Some(1000000L))), g1.toString)
+    // 4-ring: every degree 2 -> zero degree variance -> NULL
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    val g2 = Graph.assortativity(ring)
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(g2 == ((8L, 0L, None)), g2.toString)
+  }
 }

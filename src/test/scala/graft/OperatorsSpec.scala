@@ -1079,14 +1079,16 @@ class OperatorsSpec extends SparkSpec {
       .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
     assert(g1(("a", 1L)) == ((10L, 10000000L, 0L)), g1.toString)
     assert(g1(("b", 2L)) == ((40L, 40000000L, 0L)), g1.toString)
-    // dependent 2x2: O=(5,0 / 0,5): e = 2.5 each, contrib = 2.5 per cell
+    // dependent diagonal 2x2, O=(5,0 / 0,5): the FULL grid ships — the
+    // zero cells carry contrib R*C/N too (dropping them would understate
+    // χ²: here every cell contributes 2.5, χ² = N = 10 exactly)
     val dep = (Seq.fill(5)(("x", 1L)) ++ Seq.fill(5)(("y", 2L))).toDF("r", "c")
     val g2 = Stats.chi2Contingency(dep, $"r", $"c")
       .as[(String, Long, Long, Long, Long)].collect()
-    // observed cells only (the zero cells don't appear); each observed
-    // cell: R=5, C=5, N=10 -> e_ppm=2.5e6, contrib=(5*10-25)^2/(10*25)=2.5
-    assert(g2.length == 2 && g2.forall(x => x._4 == 2500000L && x._5 == 2500000L),
+    assert(g2.length == 4 && g2.forall(x => x._4 == 2500000L && x._5 == 2500000L),
       g2.mkString(","))
+    assert(g2.map(_._5).sum == 10000000L, g2.mkString(",")) // 1e6·χ², χ² = N
+    assert(g2.filter(x => (x._1, x._2) == (("x", 2L))).head._3 == 0L)
   }
 
   test("abProportionsZ2: hand-computed pooled z², degenerate groups NULL") {
@@ -1162,5 +1164,36 @@ class OperatorsSpec extends SparkSpec {
     assert(got("blk") == ((1L, 1L, 1L)), got.toString)
     assert(got("mix") == ((1L, 1L, 0L)), got.toString)
     assert(got("one") == ((1L, 0L, 0L)), got.toString)
+  }
+
+  test("pairedT2: hand t², constant differences NULL, row-split invariance") {
+    import graft.operators.Stats
+    // d = {1, 3}: Σd=4, Σd²=10, den = 2·10−16 = 4, t² = 16·1/4 = 4
+    val ev = Seq(("m", 1L, 1L), ("m", 2L, 3L),
+      ("z", 1L, 5L), ("z", 2L, 5L)).toDF("g", "e", "d")
+    val got = Stats.pairedT2(ev, $"g", $"e", $"d")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("m") == ((2L, 4L, 1L, Some(4000000L))), got.toString)
+    assert(got("z") == ((2L, 10L, 1L, None)), got.toString) // zero variance
+    // per-entity differences total first: splitting a row can't move t²
+    val split = Seq(("m", 1L, 1L), ("m", 2L, 1L), ("m", 2L, 2L)).toDF("g", "e", "d")
+    val g2 = Stats.pairedT2(split, $"g", $"e", $"d")
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    assert(g2 == (("m", 2L, 4L, 1L, Some(4000000L))), g2.toString)
+  }
+
+  test("pairedT2 equals BigInt brute replay (negative diffs included)") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(73)
+    val ev = (1 to 150).map(i => ("g", i.toLong, (rnd.nextInt(200) - 100).toLong))
+    val got = Stats.pairedT2(ev.toDF("g", "e", "d"), $"g", $"e", $"d")
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    val n = BigInt(ev.size)
+    val sd = BigInt(ev.map(_._3).sum)
+    val q = ev.map(r => BigInt(r._3) * r._3).sum
+    val den = n * q - sd * sd
+    val t2 = if (n > 1 && den > 0) Some((sd * sd * (n - 1) * 1000000 / den).toLong) else None
+    assert(got == (("g", n.toLong, sd.toLong, sd.signum.toLong, t2)), got.toString)
   }
 }
