@@ -396,7 +396,11 @@ object ScaleProbe {
     // frame the 8 rounds iterate on (rounds are input-size-independent)
     "q_ttest_paired" -> true,
     "q_cramers_v" -> false,
-    "q_markov_steady" -> false
+    "q_markov_steady" -> false,
+    // round-9 wave 9: Holt-Winters = one (type, day) agg to the
+    // span-bounded daily frame + row-local fold — the q_seasonal_stl
+    // series class (only the first groupBy grows)
+    "q_trend_hw" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -169,7 +169,8 @@ object Scratch {
       "q_runs_test" -> "runs test: one entity-keyed lag window + map-side aggs — never a per-type global window",
       "q_ttest_paired" -> "paired t2: one (type, user) difference pass + k-row rollup — the q_abtest shape on within-user deltas",
       "q_markov_steady" -> "markov steady: 8 rounds iterate a STAGED K^2 count frame — round cost is input-size-independent",
-      "q_cramers_v" -> "Cramer's V: the chi2 grid rollup — margins cross-joined broadcast, one data-sized count pass")
+      "q_cramers_v" -> "Cramer's V: the chi2 grid rollup — margins cross-joined broadcast, one data-sized count pass",
+      "q_trend_hw" -> "Holt-Winters: one (type, day) agg + group-collect + row-local triple-smoothing fold")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

@@ -518,4 +518,65 @@ object TimeSeries {
       .select(col(keyCol), col("_n").as("n"),
         col("_best.t").as("t_split"), col("_best.s").as("s_max"))
   }
+
+  /** Additive Holt-Winters (triple exponential smoothing) with
+    * period-P seasonality — the seasonal member of the forecasting
+    * family ([[holtSmooth]] has level+trend; this adds the repeating
+    * weekly/daily shape). Dyadic smoothing weights (α = 1/2,
+    * β = γ = 1/4) keep every update ONE floored division of integers:
+    *
+    *   t = 1:  l = y, b = 0, s[*] = 0    (cold-start init, documented)
+    *   t ≥ 2, j = (t−1) mod P:
+    *     l' = ⌊(y − s[j] + l + b) / 2⌋
+    *     b' = ⌊(l' − l + 3b) / 4⌋
+    *     s[j]' = ⌊(y − l' + 3·s[j]) / 4⌋
+    *
+    * (floor, not truncation — both engines' SQL floor() on the float
+    * division, the [[holtSmooth]] convention; magnitudes stay ≪ 2⁵³ so
+    * the doubles are exact). Forecast h steps out: l + h·b +
+    * s[(n−1+h) mod P].
+    *
+    * Scale shape: ONE (key, step) pre-aggregation upstream, a
+    * group-collect shuffle, and a row-local fold — series length is
+    * span-bounded (days in window), keys scale as width. Output:
+    * (keyCol, n, h = 1..horizon, fc) exploded per horizon step. */
+  def holtWinters(
+      series: DataFrame,
+      keyCol: String,
+      stepCol: Column,
+      valueCol: Column,
+      period: Int,
+      horizon: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    require(horizon >= 1, s"horizon must be >= 1: $horizon")
+    val rows = series.select(col(keyCol),
+      struct(stepCol.as("t"), valueCol.cast("long").as("y")).as("_r"))
+    // no let-binding in SQL lambdas: the l' expression repeats verbatim
+    // where the recurrence needs it (cheap — the fold runs once per step)
+    val sj = s"element_at(acc.s, CAST(acc.t % $period AS INT) + 1)"
+    val lNew = s"CAST(FLOOR((y - $sj + acc.l + acc.b) / 2.0) AS BIGINT)"
+    val folded = rows.groupBy(col(keyCol))
+      .agg(expr("transform(sort_array(collect_list(_r)), p -> p.y)").as("_ys"))
+      .withColumn("_st", expr(
+        s"""aggregate(_ys,
+           |  named_struct('l', 0L, 'b', 0L,
+           |    's', array_repeat(0L, $period), 't', 0L),
+           |  (acc, y) -> IF(acc.t = 0,
+           |    named_struct('l', y, 'b', 0L, 's', acc.s, 't', 1L),
+           |    named_struct(
+           |      'l', $lNew,
+           |      'b', CAST(FLOOR(($lNew - acc.l + 3 * acc.b) / 4.0) AS BIGINT),
+           |      's', transform(sequence(0, ${period - 1}),
+           |        i -> IF(i = CAST(acc.t % $period AS INT),
+           |          CAST(FLOOR((y - $lNew + 3 * $sj) / 4.0) AS BIGINT),
+           |          element_at(acc.s, CAST(i AS INT) + 1))),
+           |      't', acc.t + 1)))""".stripMargin))
+      .select(col(keyCol), size(col("_ys")).cast("long").as("n"), col("_st"))
+    folded
+      .select(col(keyCol), col("n"), col("_st"),
+        explode(expr(s"sequence(1, $horizon)")).as("h"))
+      .select(col(keyCol), col("n"), col("h").cast("long").as("h"),
+        expr(s"_st.l + h * _st.b + element_at(_st.s, CAST((n - 1 + h) % $period AS INT) + 1)")
+          .as("fc"))
+  }
 }

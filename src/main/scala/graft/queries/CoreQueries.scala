@@ -4270,7 +4270,63 @@ object CoreQueries {
              |       CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm,
              |       CAST(sum(contrib_ppm) // (sum(o) * (least(count(DISTINCT event_type),
              |            count(DISTINCT dow)) - 1)) AS BIGINT) AS v2_ppm
-             |FROM ct ORDER BY n""".stripMargin))
+             |FROM ct ORDER BY n""".stripMargin)),
+
+    // Additive Holt-Winters weekly forecast — the SEASONAL member of
+    // the forecasting family (q_trend_holt has level+trend;
+    // q_forecast_snaive is pure seasonality; this learns both): dyadic
+    // smoothing (α=1/2, β=γ=1/4) folds per-type daily totals through
+    // the integer triple-smoothing recurrence, then forecasts 7 days
+    // out. One (type, day) agg + group-collect + row-local fold; the
+    // oracle replays the recurrence as a per-type recursive CTE with
+    // the seasonal state as 7 columns.
+    Q("q_trend_hw",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(date_trunc('day', ts))").as("day_us"))
+          .agg(sum(floor(col("value"))).cast("long").as("y"))
+        TimeSeries.holtWinters(daily, "event_type", col("day_us"), col("y"),
+            period = 7, horizon = 7)
+          .orderBy("event_type", "h")
+      },
+      Some {
+        val sJ = "(CASE r.rn % 7 " +
+          (0 to 6).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END)"
+        val lNew = s"CAST(floor((t.y - $sJ + r.l + r.b) / 2.0) AS BIGINT)"
+        val sCols = (0 to 6).map { k =>
+          s"""CASE WHEN r.rn % 7 = $k
+             |  THEN CAST(floor((t.y - $lNew + 3 * $sJ) / 4.0) AS BIGINT)
+             |  ELSE r.s$k END AS s$k""".stripMargin
+        }.mkString(",\n")
+        val zeros = (0 to 6).map(k => s"CAST(0 AS BIGINT) AS s$k").mkString(", ")
+        val sFinal = (0 to 6).map(k => s"arg_max(s$k, rn) AS s$k").mkString(", ")
+        val sPick = "(CASE (f.n - 1 + h.h) % 7 " +
+          (0 to 6).map(k => s"WHEN $k THEN f.s$k").mkString(" ") + " END)"
+        s"""WITH RECURSIVE d AS (
+           |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+           |         CAST(sum(floor(value)) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |t0 AS (SELECT event_type,
+           |              row_number() OVER (PARTITION BY event_type ORDER BY day_us) AS rn,
+           |              y
+           |       FROM d),
+           |r AS (
+           |  SELECT event_type, rn, y AS l, CAST(0 AS BIGINT) AS b, $zeros
+           |  FROM t0 WHERE rn = 1
+           |  UNION ALL
+           |  SELECT t.event_type, t.rn, $lNew,
+           |         CAST(floor(($lNew - r.l + 3 * r.b) / 4.0) AS BIGINT),
+           |         $sCols
+           |  FROM r JOIN t0 t ON t.event_type = r.event_type AND t.rn = r.rn + 1),
+           |f AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n,
+           |             arg_max(l, rn) AS l, arg_max(b, rn) AS b, $sFinal
+           |      FROM r GROUP BY event_type)
+           |SELECT f.event_type, f.n, CAST(h.h AS BIGINT) AS h,
+           |       CAST(f.l + h.h * f.b + $sPick AS BIGINT) AS fc
+           |FROM f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+           |ORDER BY f.event_type, h""".stripMargin
+      })
   )
 
   /** Shared point frame for the spatial family: events with exact

@@ -375,4 +375,33 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(got == brute, s"diff=${(got.toSet diff brute.toSet).take(3)}")
   }
+
+  test("holtWinters equals the sequential integer recurrence replay") {
+    val rnd = new scala.util.Random(53)
+    val rows = for (k <- Seq("a", "b"); t <- 1 to 28) yield
+      (k, t.toLong, (50 + 10 * (t % 7) + rnd.nextInt(9)).toLong)
+    val got = TimeSeries.holtWinters(rows.toDF("k", "t", "y"), "k",
+        col("t"), col("y"), period = 7, horizon = 7)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> ((r._2, r._4))).toMap
+    def fdiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      var l = ys.head; var b = 0L; val s = Array.fill(7)(0L)
+      ys.zipWithIndex.drop(1).foreach { case (y, idx) =>
+        val j = idx % 7
+        val ln = fdiv(y - s(j) + l + b, 2)
+        b = fdiv(ln - l + 3 * b, 4)
+        s(j) = fdiv(y - ln + 3 * s(j), 4)
+        l = ln
+      }
+      val n = ys.size
+      (1 to 7).map(h => (k, h.toLong) -> ((n.toLong, l + h * b + s((n - 1 + h) % 7))))
+    }
+    assert(got == want, s"diff=${(got.toSet diff want.toSet).take(5)}")
+    // the seasonal state actually learned the planted period-7 shape:
+    // forecasts one week apart repeat the (level-shifted) pattern
+    val fa = (1 to 7).map(h => got(("a", h.toLong))._2)
+    assert(fa.distinct.size > 1, fa.toString) // not flat — seasonality present
+  }
 }
