@@ -400,7 +400,14 @@ object ScaleProbe {
     // round-9 wave 9: Holt-Winters = one (type, day) agg to the
     // span-bounded daily frame + row-local fold — the q_seasonal_stl
     // series class (only the first groupBy grows)
-    "q_trend_hw" -> false
+    "q_trend_hw" -> false,
+    // round-9 wave 10: Lorenz = the q_gini_wealth histogram class
+    // (same artifact flag); VMR = the q_abtest (type, user) class;
+    // percentile-normalize = one histogram + broadcast CDF join back
+    // (histogram partial-state artifact class)
+    "q_lorenz_deciles" -> true,
+    "q_vmr" -> true,
+    "q_percentile_normalize" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -170,7 +170,8 @@ object Scratch {
       "q_ttest_paired" -> "paired t2: one (type, user) difference pass + k-row rollup — the q_abtest shape on within-user deltas",
       "q_markov_steady" -> "markov steady: 8 rounds iterate a STAGED K^2 count frame — round cost is input-size-independent",
       "q_cramers_v" -> "Cramer's V: the chi2 grid rollup — margins cross-joined broadcast, one data-sized count pass",
-      "q_trend_hw" -> "Holt-Winters: one (type, day) agg + group-collect + row-local triple-smoothing fold")
+      "q_trend_hw" -> "Holt-Winters: one (type, day) agg + group-collect + row-local triple-smoothing fold",
+      "q_percentile_normalize" -> "percentile: histogram + triangular CDF join + broadcast back — NO single-partition WindowExec")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

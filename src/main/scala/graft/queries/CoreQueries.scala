@@ -4326,7 +4326,145 @@ object CoreQueries {
            |       CAST(f.l + h.h * f.b + $sPick AS BIGINT) AS fc
            |FROM f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
            |ORDER BY f.event_type, h""".stripMargin
-      })
+      }),
+
+    // Lorenz curve deciles — the distributional detail q_gini_wealth's
+    // single coefficient summarizes ("the bottom 50% of users hold X%
+    // of spend"): population decile ranks resolved against the SAME
+    // domain-bounded (type, unit-bin) histogram (prefix counts + prefix
+    // values), so rank→cum-value lookup is a histogram-frame join, and
+    // no per-entity sort runs anywhere.
+    Q("q_lorenz_deciles",
+      (s, dir) => {
+        val totals = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(expr("sum(CAST(floor(value * 1000) AS BIGINT)) DIV 1000").as("x"))
+        val hist = totals.groupBy(col("event_type"), col("x"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pre = hist
+          .withColumn("cp", coalesce(sum(col("c")).over(w), lit(0L)))
+          .withColumn("pv", coalesce(sum(col("x") * col("c")).over(w), lit(0L)))
+        val tot = hist.groupBy(col("event_type"))
+          .agg(sum(col("c")).as("n"), sum(col("x") * col("c")).as("total"))
+        val deciles = tot
+          .select(col("event_type"), col("n"), col("total"),
+            explode(expr("sequence(1, 10)")).as("decile"))
+          .withColumn("r", expr("n * decile DIV 10"))
+        deciles.join(pre, Seq("event_type"))
+          .filter(col("cp") < col("r") && col("r") <= col("cp") + col("c"))
+          .withColumn("cum_units", col("pv") + (col("r") - col("cp")) * col("x"))
+          .withColumn("share_ppm",
+            when(col("total") > 0, expr("cum_units * 1000000 DIV total")).otherwise(0L))
+          .select(col("event_type"), col("decile").cast("long").as("decile"),
+            col("r"), col("cum_units"), col("share_ppm"))
+          .orderBy("event_type", "decile")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) // 1000 AS x
+             |           FROM events GROUP BY 1, 2),
+             |h AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+             |      FROM t GROUP BY 1, 2),
+             |p AS (SELECT event_type, x, c,
+             |        coalesce(sum(c) OVER w, 0) AS cp,
+             |        coalesce(sum(x * c) OVER w, 0) AS pv
+             |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY x
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |tot AS (SELECT event_type, sum(c) AS n, sum(x * c) AS total
+             |        FROM h GROUP BY 1),
+             |d AS (SELECT event_type, n, total, dd.decile, n * dd.decile // 10 AS r
+             |      FROM tot CROSS JOIN (SELECT unnest(range(1, 11)) AS decile) dd)
+             |SELECT d.event_type, CAST(d.decile AS BIGINT) AS decile,
+             |       CAST(d.r AS BIGINT) AS r,
+             |       CAST(p.pv + (d.r - p.cp) * p.x AS BIGINT) AS cum_units,
+             |       CAST(CASE WHEN d.total > 0
+             |            THEN (p.pv + (d.r - p.cp) * p.x) * 1000000 // d.total
+             |            ELSE 0 END AS BIGINT) AS share_ppm
+             |FROM d JOIN p ON d.event_type = p.event_type
+             |       AND p.cp < d.r AND d.r <= p.cp + p.c
+             |ORDER BY d.event_type, decile""".stripMargin)),
+
+    // Variance-to-mean ratio (index of dispersion) of per-user event
+    // counts — the count-model audit (Poisson ⇒ VMR = 1; VMR ≫ 1 says
+    // negative-binomial burstiness, VMR < 1 says regularity/caps):
+    // vmr_ppm = 10⁶·(nΣx²−(Σx)²) DIV ((n−1)·Σx) over the dense user
+    // grid, one cleared division.
+    Q("q_vmr",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val counts = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("x"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(counts, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("x"))
+        full.groupBy(col("event_type")).agg(
+            count(lit(1)).as("n"), sum(col("x")).as("_sx"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("_sxx"))
+          .withColumn("mean_mils", expr("_sx * 1000 DIV n"))
+          .withColumn("vmr_ppm",
+            when(col("n") > 1 && col("_sx") > 0, expr(
+              "CAST((n * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx) * 1000000 DIV (CAST(n - 1 AS DECIMAL(38,0)) * _sx) AS BIGINT)")))
+          .select(col("event_type"), col("n"), col("_sx").as("n_events"),
+            col("mean_mils"), col("vmr_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+             |           FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type, coalesce(c.x, 0) AS x
+             |      FROM grid g LEFT JOIN c USING (event_type, user_id)),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |             CAST(sum(x) AS BIGINT) AS sx,
+             |             sum(CAST(x AS HUGEINT) * x) AS sxx
+             |      FROM p GROUP BY 1)
+             |SELECT event_type, n, sx AS n_events,
+             |       CAST(sx * 1000 // n AS BIGINT) AS mean_mils,
+             |       CAST(CASE WHEN n > 1 AND sx > 0
+             |            THEN (n * sxx - CAST(sx AS HUGEINT) * sx) * 1000000
+             |                 // (CAST(n - 1 AS HUGEINT) * sx) END AS BIGINT) AS vmr_ppm
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // Percentile normalization WITHOUT a global sort — the 100 TB-safe
+    // percent_rank: the score CDF comes from a domain-bounded histogram
+    // (strictly-below convention, documented), broadcast back onto the
+    // rows; no single-partition WindowExec anywhere. Scores = per-event
+    // value mils binned to units.
+    Q("q_percentile_normalize",
+      (s, dir) => {
+        val scored = Tables.events(s, dir)
+          .select(col("event_id"),
+            expr("CAST(floor(value * 1000) AS BIGINT) DIV 1000").as("score"))
+        val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("_c"))
+        // strictly-below counts via a triangular self-join on the
+        // domain-bounded histogram (the q_vocab_growth pattern) — an
+        // ORDER-BY-only window would be a single-partition WindowExec
+        val below = hist.as("a")
+          .join(hist.select(col("score").as("_s2"), col("_c").as("_c2")),
+            col("_s2") < col("a.score"), "left")
+          .groupBy(col("a.score").as("score"), col("a._c").as("_c"))
+          .agg(coalesce(sum(col("_c2")), lit(0L)).as("_lt"))
+        val cdf = below
+          .crossJoin(broadcast(hist.agg(sum(col("_c")).as("_n"))))
+          .select(col("score"), expr("_lt * 1000000 DIV _n").as("pct_ppm"))
+        scored.join(broadcast(cdf), Seq("score"))
+          .select(col("event_id"), col("score"), col("pct_ppm"))
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (SELECT event_id,
+             |                  CAST(floor(value * 1000) AS BIGINT) // 1000 AS score
+             |           FROM events),
+             |h AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1),
+             |cdf AS (SELECT score,
+             |          coalesce(sum(c) OVER (ORDER BY score
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          * 1000000 // (SELECT sum(c) FROM h) AS pct_ppm
+             |        FROM h)
+             |SELECT s.event_id, s.score, CAST(cdf.pct_ppm AS BIGINT) AS pct_ppm
+             |FROM s JOIN cdf USING (score) ORDER BY event_id""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact
