@@ -407,7 +407,16 @@ object ScaleProbe {
     // (histogram partial-state artifact class)
     "q_lorenz_deciles" -> true,
     "q_vmr" -> true,
-    "q_percentile_normalize" -> true
+    "q_percentile_normalize" -> true,
+    // round-9 wave 11: classifier metrics = the q_knn_classify
+    // |eval|·|train| brute scorer (both axes grow — 25× by
+    // construction, same flag; measured 141× ≈ knn's 139×) + a
+    // class-domain rollup; filtered ANN = fixed 5-query broadcast ×
+    // corpus — shuffle is two-phase top-k partial state
+    // (partitions × q × shards × k), the single-split-base layout
+    // artifact at 2.2 MB absolute
+    "q_classifier_metrics" -> true,
+    "q_ann_filtered" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

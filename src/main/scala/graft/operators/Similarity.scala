@@ -660,4 +660,32 @@ object Similarity {
     }
     selected
   }
+
+  /** Per-class precision/recall/F1 census from a (true, predicted)
+    * frame — the eval rollup every classifier run ([[knnClassify]],
+    * label-model audits) needs: per class c, tp = |true=c ∧ pred=c|,
+    * n_true and n_pred the marginals, and the three ratios exact in
+    * ppm (F1 = 2·tp/(n_pred+n_true) — the harmonic mean cleared to ONE
+    * division). Classes appearing only as truth or only as prediction
+    * still get a row (full-outer marginals, zero-filled). Three
+    * map-side-combinable aggregations over the prediction frame.
+    * Output: (class, n_true, n_pred, tp, precision_ppm, recall_ppm,
+    * f1_ppm). */
+  def classMetrics(pred: DataFrame, trueCol: Column, predCol: Column): DataFrame = {
+    val p = pred.select(trueCol.cast("long").as("_t"), predCol.cast("long").as("_p"))
+    val byTrue = p.groupBy(col("_t").as("class")).agg(count(lit(1)).as("n_true"))
+    val byPred = p.groupBy(col("_p").as("class")).agg(count(lit(1)).as("n_pred"))
+    val tp = p.filter(col("_t") === col("_p"))
+      .groupBy(col("_t").as("class")).agg(count(lit(1)).as("tp"))
+    byTrue.join(byPred, Seq("class"), "full")
+      .join(tp, Seq("class"), "left")
+      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+      .withColumn("precision_ppm",
+        when(col("n_pred") > 0, expr("tp * 1000000 DIV n_pred")))
+      .withColumn("recall_ppm",
+        when(col("n_true") > 0, expr("tp * 1000000 DIV n_true")))
+      .withColumn("f1_ppm",
+        when(col("n_pred") + col("n_true") > 0,
+          expr("2 * tp * 1000000 DIV (n_pred + n_true)")))
+  }
 }

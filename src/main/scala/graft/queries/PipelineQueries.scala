@@ -1003,6 +1003,105 @@ object PipelineQueries {
              |            THEN CAST(1 AS BIGINT) ELSE 0 END AS correct
              |FROM q JOIN p USING (q_id) ORDER BY q_id""".stripMargin)),
 
+    // Per-class precision/recall/F1 over the q_knn_classify eval split
+    // — the metrics rollup a classifier run ships with (accuracy alone
+    // hides per-class collapse): tp + both marginals per class, the
+    // harmonic F1 cleared to ONE division (2·tp/(n_pred+n_true)).
+    Q("q_classifier_metrics",
+      (s, dir) => Similarity.classMetrics(
+          Similarity.knnClassify(Tables.embeddings(s, dir), "vec_id",
+            "embedding", "label", pmod(col("vec_id"), lit(10L)) === 3L, k = 5),
+          col("true_label"), col("predicted"))
+        .orderBy("class"),
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS ve, label
+             |           FROM embeddings WHERE vec_id % 10 <> 3),
+             |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
+             |             CAST(label AS BIGINT) AS true_label
+             |      FROM embeddings WHERE vec_id % 10 = 3),
+             |s AS (SELECT q.q_id, t.vec_id, t.label,
+             |        CAST(floor(list_dot_product(t.ve, q.qv)
+             |          / (sqrt(list_dot_product(t.ve, t.ve)) * sqrt(list_dot_product(q.qv, q.qv)))
+             |          * 1000000.0) AS BIGINT) AS sim_ppm
+             |      FROM q JOIN t ON q.q_id <> t.vec_id),
+             |nn AS (SELECT q_id, vec_id, label FROM s
+             |       QUALIFY row_number() OVER (PARTITION BY q_id
+             |               ORDER BY sim_ppm DESC, vec_id) <= 5),
+             |v AS (SELECT q_id, CAST(label AS BIGINT) AS label, count(*) AS nv
+             |      FROM nn GROUP BY 1, 2),
+             |p AS (SELECT q_id, label AS predicted, nv FROM v
+             |      QUALIFY row_number() OVER (PARTITION BY q_id
+             |              ORDER BY nv DESC, label) = 1),
+             |pr AS (SELECT q.true_label AS t, p.predicted AS pd
+             |       FROM q JOIN p USING (q_id)),
+             |bt AS (SELECT t AS class, CAST(count(*) AS BIGINT) AS n_true FROM pr GROUP BY 1),
+             |bp AS (SELECT pd AS class, CAST(count(*) AS BIGINT) AS n_pred FROM pr GROUP BY 1),
+             |tp AS (SELECT t AS class, CAST(count(*) AS BIGINT) AS tp
+             |       FROM pr WHERE t = pd GROUP BY 1),
+             |m AS (SELECT class, coalesce(n_true, 0) AS n_true,
+             |             coalesce(n_pred, 0) AS n_pred, coalesce(tp.tp, 0) AS tp
+             |      FROM bt FULL JOIN bp USING (class) LEFT JOIN tp USING (class))
+             |SELECT class, n_true, n_pred, tp,
+             |       CAST(CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred END AS BIGINT) AS precision_ppm,
+             |       CAST(CASE WHEN n_true > 0 THEN tp * 1000000 // n_true END AS BIGINT) AS recall_ppm,
+             |       CAST(CASE WHEN n_pred + n_true > 0
+             |            THEN 2 * tp * 1000000 // (n_pred + n_true) END AS BIGINT) AS f1_ppm
+             |FROM m ORDER BY class""".stripMargin)),
+
+    // Filtered vector search — pre-filter vs post-filter, THE design
+    // question metadata-filtered ANN serving faces: pre-filter runs
+    // top-k on the predicate-surviving corpus (gold); post-filter takes
+    // unfiltered top-k and drops non-matching hits (cheap, loses
+    // recall when the filter is selective). Per query: both paths +
+    // the post-path's recall against gold.
+    Q("q_ann_filtered",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val pre = Similarity.topKExact(emb.filter(pmod(col("label"), lit(2L)) === 0L),
+          queries, "vec_id", "embedding", "q_id", "q_vec", 10)
+        val post = Similarity.topKExact(emb, queries,
+            "vec_id", "embedding", "q_id", "q_vec", 10)
+          .join(emb.filter(pmod(col("label"), lit(2L)) === 0L)
+            .select(col("vec_id")), Seq("vec_id"), "left_semi")
+        val hits = post.join(pre.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_semi")
+        val counts = pre.groupBy(col("q_id")).agg(count(lit(1)).as("n_pre"))
+          .join(post.groupBy(col("q_id")).agg(count(lit(1)).as("n_post")),
+            Seq("q_id"), "left")
+          .join(hits.groupBy(col("q_id")).agg(count(lit(1)).as("n_hit")),
+            Seq("q_id"), "left")
+          .na.fill(0L, Seq("n_post", "n_hit"))
+        counts
+          .withColumn("recall_post_ppm", expr("n_hit * 1000000 DIV n_pre"))
+          .orderBy("q_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve, label FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, ve AS qv FROM e WHERE vec_id < 5),
+             |s AS (SELECT q.q_id, e.vec_id, e.label,
+             |        CAST(floor(list_dot_product(e.ve, q.qv)
+             |          / (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qv, q.qv)))
+             |          * 1000000.0) AS BIGINT) AS sim_ppm
+             |      FROM q JOIN e ON q.q_id <> e.vec_id),
+             |pre AS (SELECT q_id, vec_id FROM s WHERE label % 2 = 0
+             |        QUALIFY row_number() OVER (PARTITION BY q_id
+             |                ORDER BY sim_ppm DESC, vec_id) <= 10),
+             |post AS (SELECT q_id, vec_id FROM (
+             |           SELECT q_id, vec_id, label FROM s
+             |           QUALIFY row_number() OVER (PARTITION BY q_id
+             |                   ORDER BY sim_ppm DESC, vec_id) <= 10)
+             |         WHERE label % 2 = 0),
+             |hit AS (SELECT post.q_id, post.vec_id FROM post
+             |        JOIN pre ON post.q_id = pre.q_id AND post.vec_id = pre.vec_id)
+             |SELECT q.q_id,
+             |       CAST((SELECT count(*) FROM pre WHERE pre.q_id = q.q_id) AS BIGINT) AS n_pre,
+             |       CAST((SELECT count(*) FROM post WHERE post.q_id = q.q_id) AS BIGINT) AS n_post,
+             |       CAST((SELECT count(*) FROM hit WHERE hit.q_id = q.q_id) AS BIGINT) AS n_hit,
+             |       CAST((SELECT count(*) FROM hit WHERE hit.q_id = q.q_id) * 1000000
+             |            // (SELECT count(*) FROM pre WHERE pre.q_id = q.q_id) AS BIGINT)
+             |         AS recall_post_ppm
+             |FROM q ORDER BY q_id""".stripMargin)),
+
     // Hard-example triplet mining (contrastive fine-tuning batch
     // construction): every 25th vector anchors; its hardest NEGATIVE is
     // the most-similar different-label vector, its hardest POSITIVE the

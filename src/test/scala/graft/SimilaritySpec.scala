@@ -427,4 +427,20 @@ class SimilaritySpec extends SparkSpec {
     // rank 1: rel tie 50/50 -> id 20; rank 2: 21 scores 50-30=20 beats 22's 40-30=10
     assert(got == Seq((1L, 1L, 20L, 50L), (1L, 2L, 21L, 20L)), got.toString)
   }
+
+  test("classMetrics: hand confusion table, one-sided classes get rows") {
+    import org.apache.spark.sql.functions.col
+    // true:  a a a b b c    pred: a b a b b a
+    // class a: tp=2, n_true=3, n_pred=3 -> P=R=F1=2/3
+    // class b: tp=2, n_true=2, n_pred=3 -> P=2/3, R=1, F1=4/5
+    // class c: tp=0, n_true=1, n_pred=0 -> P NULL, R=0, F1=0
+    val pred = Seq((1L, 1L), (1L, 2L), (1L, 1L), (2L, 2L), (2L, 2L), (3L, 1L))
+      .toDF("t", "p")
+    val got = Similarity.classMetrics(pred, col("t"), col("p"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got(1L) == ((3L, 3L, 2L, Some(666666L), Some(666666L), Some(666666L))), got.toString)
+    assert(got(2L) == ((2L, 3L, 2L, Some(666666L), Some(1000000L), Some(800000L))), got.toString)
+    assert(got(3L) == ((1L, 0L, 0L, None, Some(0L), Some(0L))), got.toString)
+  }
 }
