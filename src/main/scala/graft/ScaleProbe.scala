@@ -416,7 +416,11 @@ object ScaleProbe {
     // (partitions × q × shards × k), the single-split-base layout
     // artifact at 2.2 MB absolute
     "q_classifier_metrics" -> true,
-    "q_ann_filtered" -> true
+    "q_ann_filtered" -> true,
+    // round-9 wave 12: Markov attribution = ONE group-collect journey
+    // shuffle (the q_ewma shape) + 5 scenarios × 12 rounds on the
+    // STAGED ≤7×7 matrix — rounds are input-size-independent
+    "q_attribution_markov" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

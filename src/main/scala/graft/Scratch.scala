@@ -171,7 +171,8 @@ object Scratch {
       "q_markov_steady" -> "markov steady: 8 rounds iterate a STAGED K^2 count frame — round cost is input-size-independent",
       "q_cramers_v" -> "Cramer's V: the chi2 grid rollup — margins cross-joined broadcast, one data-sized count pass",
       "q_trend_hw" -> "Holt-Winters: one (type, day) agg + group-collect + row-local triple-smoothing fold",
-      "q_percentile_normalize" -> "percentile: histogram + triangular CDF join + broadcast back — NO single-partition WindowExec")
+      "q_percentile_normalize" -> "percentile: histogram + triangular CDF join + broadcast back — NO single-partition WindowExec",
+      "q_attribution_markov" -> "markov attribution: ONE journey group-collect; absorption = driver math on the 42-long matrix")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

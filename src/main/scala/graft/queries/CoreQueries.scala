@@ -4464,7 +4464,142 @@ object CoreQueries {
              |          * 1000000 // (SELECT sum(c) FROM h) AS pct_ppm
              |        FROM h)
              |SELECT s.event_id, s.score, CAST(cdf.pct_ppm AS BIGINT) AS pct_ppm
-             |FROM s JOIN cdf USING (score) ORDER BY event_id""".stripMargin))
+             |FROM s JOIN cdf USING (score) ORDER BY event_id""".stripMargin)),
+
+    // Markov (removal-effect) attribution — the DATA-DRIVEN
+    // complement of q_attribution's position rules (Anderl et al.
+    // 2016): user journeys truncate at first purchase, transitions
+    // count into a (start ∪ channels) → (channels ∪ conv ∪ null)
+    // matrix, absorption probability of conv iterates 12 rounds of
+    // p(s) ← Σ cnt(s,t)·pv(t) DIV tot(s) in ppm, and each channel's
+    // removal effect re-runs the absorption with that channel's
+    // inbound edges redirected to null. One group-collect shuffle
+    // builds journeys; everything after runs on the STAGED
+    // domain-bounded (≤ 7×7 counts) matrix — 5 scenarios × 12 rounds
+    // of tiny joins.
+    Q("q_attribution_markov",
+      (s, dir) => {
+        val channels = Seq("click", "error", "signup", "view")
+        val ordered = Tables.events(s, dir)
+          .select(col("user_id"), struct(unix_micros(col("ts")).as("t"),
+            col("event_id").as("i"), col("event_type").as("ty")).as("_r"))
+          .groupBy(col("user_id"))
+          .agg(expr("transform(sort_array(collect_list(_r)), p -> p.ty)").as("_tys"))
+        val trs = ordered
+          .withColumn("_ci", expr("array_position(_tys, 'purchase')"))
+          .withColumn("_conv", col("_ci") > 0)
+          .withColumn("_j", expr(
+            "IF(_ci > 0, slice(_tys, 1, CAST(_ci - 1 AS INT)), _tys)"))
+          .withColumn("_trs", expr(
+            """concat(
+              |  array(named_struct('f', 'start',
+              |    't', IF(size(_j) = 0, IF(_conv, 'conv', 'null'), element_at(_j, 1)))),
+              |  IF(size(_j) <= 1, array(),
+              |    transform(sequence(1, size(_j) - 1),
+              |      k -> named_struct('f', element_at(_j, CAST(k AS INT)),
+              |                        't', element_at(_j, CAST(k AS INT) + 1)))),
+              |  IF(size(_j) = 0, array(),
+              |    array(named_struct('f', element_at(_j, -1),
+              |                       't', IF(_conv, 'conv', 'null')))))""".stripMargin))
+          .select(explode(col("_trs")).as("_tr"))
+          .select(col("_tr.f").as("f"), col("_tr.t").as("t"))
+        val cnt = trs.groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy(col("f")).agg(sum(col("n")).as("tot"))
+        // The matrix is DOMAIN-bounded (≤ (1+channels) × (channels+2)
+        // cells = 42 longs), so it collects — the grouped-quantiles
+        // driver-prefix-sum class — and the 5 scenarios × 12 absorption
+        // rounds run as plain integer math instead of 60 chained tiny
+        // joins (the first plan-per-round draft spent 8 s in Catalyst
+        // for a 42-number computation).
+        val mat = cnt.join(tot, "f")
+          .select(col("f"), col("t"), col("n"), col("tot"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        def absorb(tr: Seq[(String, String, Long, Long)]): Map[String, Long] = {
+          var p = tr.map(_._1).distinct.map(_ -> 0L).toMap
+          (1 to 12).foreach { _ =>
+            p = tr.groupBy(_._1).map { case (f, rows) =>
+              val num = rows.map { case (_, t, n, _) =>
+                val pv = t match {
+                  case "conv" => 1000000L
+                  case "null" => 0L
+                  case other  => p.getOrElse(other, 0L)
+                }
+                n * pv
+              }.sum
+              f -> Math.floorDiv(num, rows.head._4)
+            }
+          }
+          p
+        }
+        val pBase = absorb(mat.toSeq).getOrElse("start", 0L)
+        val rows = channels.map { c =>
+          val trC = mat.toSeq.filter(_._1 != c)
+            .map { case (f, t, n, tt) => (f, if (t == c) "null" else t, n, tt) }
+          val pc = absorb(trC).getOrElse("start", 0L)
+          val removal =
+            if (pBase > 0) Some(1000000L - Math.floorDiv(pc * 1000000L, pBase))
+            else None
+          (c, pBase, pc, removal)
+        }
+        import s.implicits._
+        rows.toDF("channel", "p_base_ppm", "p_removed_ppm", "removal_ppm")
+          .orderBy("channel")
+      },
+      Some {
+        val channels = Seq("click", "error", "signup", "view")
+        def rounds(tag: String, tr: String) = (1 to 12).map { i =>
+          s"""p${tag}_$i AS MATERIALIZED (
+             |  SELECT f AS state, sum(n * (CASE WHEN t = 'conv' THEN 1000000
+             |    WHEN t = 'null' THEN 0 ELSE coalesce(pp.p, 0) END)) // max(tot) AS p
+             |  FROM $tr LEFT JOIN p${tag}_${i - 1} pp ON $tr.t = pp.state
+             |  GROUP BY f)""".stripMargin
+        }.mkString(",\n")
+        def p0(tag: String, tr: String) =
+          s"p${tag}_0 AS (SELECT DISTINCT f AS state, CAST(0 AS BIGINT) AS p FROM $tr)"
+        val removalCtes = channels.map { c =>
+          s"""tr_$c AS MATERIALIZED (
+             |  SELECT f, CASE WHEN t = '$c' THEN 'null' ELSE t END AS t, n, tot
+             |  FROM tr WHERE f <> '$c'),
+             |${p0(c, s"tr_$c")},
+             |${rounds(c, s"tr_$c")}""".stripMargin
+        }.mkString(",\n")
+        val finalRows = channels.map { c =>
+          s"""SELECT '$c' AS channel,
+             |  (SELECT p FROM pbase_12 WHERE state = 'start') AS p_base_ppm,
+             |  (SELECT p FROM p${c}_12 WHERE state = 'start') AS p_removed_ppm""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH o AS (
+           |  SELECT user_id, list(event_type ORDER BY epoch_us(ts), event_id) AS tys
+           |  FROM events GROUP BY user_id),
+           |jn AS (SELECT user_id, tys, list_position(tys, 'purchase') AS ci,
+           |              list_position(tys, 'purchase') IS NOT NULL AS conv
+           |       FROM o),
+           |jj AS (SELECT user_id, conv,
+           |              CASE WHEN ci IS NOT NULL THEN tys[1:ci - 1] ELSE tys END AS j
+           |       FROM jn),
+           |trl AS (SELECT user_id, list_concat(list_concat(
+           |  [{'f': 'start', 't': CASE WHEN len(j) = 0
+           |      THEN (CASE WHEN conv THEN 'conv' ELSE 'null' END) ELSE j[1] END}],
+           |  [{'f': j[k], 't': j[k + 1]} for k in range(1, len(j))]),
+           |  [{'f': j[len(j)], 't': CASE WHEN conv THEN 'conv' ELSE 'null' END}
+           |   for _x in range(0, CASE WHEN len(j) > 0 THEN 1 ELSE 0 END)]) AS trs
+           |  FROM jj),
+           |tre AS (SELECT unnest(trs, recursive := true) FROM trl),
+           |cnt AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM tre GROUP BY 1, 2),
+           |tr AS MATERIALIZED (SELECT cnt.f, cnt.t, cnt.n, tt.tot
+           |      FROM cnt JOIN (SELECT f, sum(n) AS tot FROM cnt GROUP BY 1) tt USING (f)),
+           |${p0("base", "tr")},
+           |${rounds("base", "tr")},
+           |$removalCtes,
+           |fin AS ($finalRows)
+           |SELECT channel, CAST(p_base_ppm AS BIGINT) AS p_base_ppm,
+           |       CAST(p_removed_ppm AS BIGINT) AS p_removed_ppm,
+           |       CAST(CASE WHEN p_base_ppm > 0
+           |            THEN 1000000 - p_removed_ppm * 1000000 // p_base_ppm
+           |            END AS BIGINT) AS removal_ppm
+           |FROM fin ORDER BY channel""".stripMargin
+      })
   )
 
   /** Shared point frame for the spatial family: events with exact
