@@ -420,7 +420,12 @@ object ScaleProbe {
     // round-9 wave 12: Markov attribution = ONE group-collect journey
     // shuffle (the q_ewma shape) + 5 scenarios × 12 rounds on the
     // STAGED ≤7×7 matrix — rounds are input-size-independent
-    "q_attribution_markov" -> false
+    "q_attribution_markov" -> false,
+    // round-9 wave 13: Nelson-Aalen = the q_survival_km (type, user)
+    // min/max key class (same artifact flag); top paths = the
+    // q_attribution_markov journey group-collect
+    "q_survival_na" -> true,
+    "q_top_paths" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -483,7 +488,10 @@ object ScaleProbe {
     // axis (the q_label_prop class)
     "q_modularity",
     // round-9 wave 8: degree assortativity — lineitem co-purchase axis
-    "q_assortativity")
+    "q_assortativity",
+    // round-9 wave 13: frequent triples — lineitem basket axis (the
+    // q_assoc_rules class)
+    "q_assoc_triples")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -4599,7 +4599,120 @@ object CoreQueries {
            |            THEN 1000000 - p_removed_ppm * 1000000 // p_base_ppm
            |            END AS BIGINT) AS removal_ppm
            |FROM fin ORDER BY channel""".stripMargin
-      })
+      }),
+
+    // Nelson-Aalen cumulative hazard — Kaplan-Meier's additive twin
+    // (H(t) = Σ d/n over death days ≤ t; the hazard scale is where
+    // rate comparisons and Cox-model thinking live): per-step ppm
+    // hazard floors once, the cumulative sum runs on the
+    // domain-bounded death-day frame q_survival_km already shapes.
+    Q("q_survival_na",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("user_id"), unix_micros(col("ts")).as("tus"))
+        val cut = ev.agg((max(col("tus")) - lit(3L * 86400000000L)).as("_cut"))
+        val per = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(min(col("tus")).as("_first"), max(col("tus")).as("_last"))
+          .crossJoin(broadcast(cut))
+          .select(col("event_type"),
+            expr("(_last - _first) DIV 86400000000").as("dur_day"),
+            (col("_last") <= col("_cut")).cast("long").as("observed"))
+        val steps = Stats.kaplanMeier(per, col("event_type"), col("dur_day"),
+            col("observed"))
+          .withColumn("h_step_ppm", expr("n_death * 1000000 DIV n_risk"))
+        val w = Window.partitionBy(col("g")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        steps.withColumn("chaz_ppm", sum(col("h_step_ppm")).over(w))
+          .select(col("g").as("event_type"), col("t"), col("n_risk"),
+            col("n_death"), col("h_step_ppm"), col("chaz_ppm"))
+          .orderBy("event_type", "t")
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id, epoch_us(ts) AS tus FROM events),
+             |cut AS (SELECT max(tus) - 3*86400000000 AS c FROM ev),
+             |per AS (SELECT event_type AS g, user_id,
+             |               (max(tus) - min(tus)) // 86400000000 AS t,
+             |               CASE WHEN max(tus) <= (SELECT c FROM cut) THEN 1 ELSE 0 END AS d
+             |        FROM ev GROUP BY 1, 2),
+             |cen AS (SELECT g, t, CAST(sum(d) AS BIGINT) AS dd, count(*) AS cc FROM per GROUP BY 1, 2),
+             |risk AS (SELECT g, t, dd,
+             |                CAST(sum(cc) OVER (PARTITION BY g ORDER BY t
+             |                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS nr
+             |         FROM cen),
+             |st AS (SELECT g, t, dd, nr, dd * 1000000 // nr AS h FROM risk WHERE dd > 0)
+             |SELECT g AS event_type, t, nr AS n_risk, dd AS n_death,
+             |       CAST(h AS BIGINT) AS h_step_ppm,
+             |       CAST(sum(h) OVER (PARTITION BY g ORDER BY t
+             |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chaz_ppm
+             |FROM st ORDER BY event_type, t""".stripMargin)),
+
+    // Top conversion paths — the Sankey census behind
+    // q_attribution_markov's matrix: full journey strings (channels
+    // '>'-joined, outcome suffixed) counted and top-20'd. Same one
+    // journey group-collect; TakeOrdered caps the output.
+    Q("q_top_paths",
+      (s, dir) => {
+        val ordered = Tables.events(s, dir)
+          .select(col("user_id"), struct(unix_micros(col("ts")).as("t"),
+            col("event_id").as("i"), col("event_type").as("ty")).as("_r"))
+          .groupBy(col("user_id"))
+          .agg(expr("transform(sort_array(collect_list(_r)), p -> p.ty)").as("_tys"))
+        ordered
+          .withColumn("_ci", expr("array_position(_tys, 'purchase')"))
+          .withColumn("path", expr(
+            """concat(array_join(IF(_ci > 0, slice(_tys, 1, CAST(_ci - 1 AS INT)), _tys), '>'),
+              |  IF(_ci > 0, '>conv', '>null'))""".stripMargin))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, list(event_type ORDER BY epoch_us(ts), event_id) AS tys
+             |  FROM events GROUP BY user_id),
+             |p AS (SELECT user_id,
+             |        list_position(tys, 'purchase') AS ci, tys
+             |      FROM o),
+             |pp AS (SELECT
+             |         coalesce(array_to_string(CASE WHEN ci IS NOT NULL
+             |           THEN tys[1:ci - 1] ELSE tys END, '>'), '')
+             |         || (CASE WHEN ci IS NOT NULL THEN '>conv' ELSE '>null' END) AS path
+             |       FROM p)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+             |FROM pp GROUP BY 1
+             |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
+
+    // Frequent triples — the Apriori stage after q_assoc_rules' pairs:
+    // 3-itemsets with absolute support ≥ 2 from per-order C(k,3)
+    // enumeration (order sizes bounded — never |parts|³), top-50 by
+    // support. The second self-join probes the pair-filtered order
+    // list, not the raw basket.
+    Q("q_assoc_triples",
+      (s, dir) => {
+        val oi = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val total = oi.select(countDistinct(col("o")).as("n_orders"))
+        oi.as("a")
+          .join(oi.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .join(oi.as("c"), col("a.o") === col("c.o") && col("b.p") < col("c.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"), col("c.p").as("p3"))
+          .agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .crossJoin(broadcast(total))
+          .withColumn("support_ppm", expr("n_co * 1000000 DIV n_orders"))
+          .select(col("p1"), col("p2"), col("p3"), col("n_co"), col("support_ppm"))
+          .orderBy(col("n_co").desc, col("p1"), col("p2"), col("p3"))
+          .limit(50)
+      },
+      Some("""WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |tot AS (SELECT count(DISTINCT o) AS n_orders FROM oi),
+             |tri AS (SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+             |               CAST(count(*) AS BIGINT) AS n_co
+             |        FROM oi a JOIN oi b ON a.o = b.o AND a.p < b.p
+             |                  JOIN oi c ON a.o = c.o AND b.p < c.p
+             |        GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+             |SELECT p1, p2, p3, n_co,
+             |       CAST(n_co * 1000000 // n_orders AS BIGINT) AS support_ppm
+             |FROM tri CROSS JOIN tot
+             |ORDER BY n_co DESC, p1, p2, p3 LIMIT 50""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact
