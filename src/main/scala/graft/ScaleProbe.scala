@@ -425,7 +425,15 @@ object ScaleProbe {
     // min/max key class (same artifact flag); top paths = the
     // q_attribution_markov journey group-collect
     "q_survival_na" -> true,
-    "q_top_paths" -> false
+    "q_top_paths" -> false,
+    // round-9 wave 14: sequential looks = the q_abtest (type, user)
+    // class with 5 conditional-sum columns (same artifact flag);
+    // audience overlap = ONE (user) bit_or agg (the q_active_users
+    // partial-dedup class, same flag); ECE = the q_cube domain-bin
+    // class
+    "q_ab_sequential" -> true,
+    "q_audience_overlap" -> true,
+    "q_calibration_ece" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -4712,7 +4712,205 @@ object CoreQueries {
              |SELECT p1, p2, p3, n_co,
              |       CAST(n_co * 1000000 // n_orders AS BIGINT) AS support_ppm
              |FROM tri CROSS JOIN tot
-             |ORDER BY n_co DESC, p1, p2, p3 LIMIT 50""".stripMargin))
+             |ORDER BY n_co DESC, p1, p2, p3 LIMIT 50""".stripMargin)),
+
+    // Group-sequential A/B readout with O'Brien-Fleming bounds — the
+    // peeking-correct experiment monitor (5 interim looks at 6-day
+    // cumulative cutoffs; the naive fixed threshold at every look
+    // inflates false positives): per look the pooled t² on cumulative
+    // per-user totals vs the OBF threshold c²·K/k (c = 2.04, α ≈ 0.05,
+    // COMPILE-TIME ppm literals). ONE (type, user) pass computes all 5
+    // cumulative totals as conditional sums; the moment rollup carries
+    // 5 column sets.
+    Q("q_ab_sequential",
+      (s, dir) => {
+        val looks = 1 to 5
+        val thr = Map(1 -> 20808000L, 2 -> 10404000L, 3 -> 6936000L,
+          4 -> 5202000L, 5 -> 4161600L) // floor(2.04² · 5/k · 1e6)
+        val ev = Tables.events(s, dir)
+        val t0 = ev.agg(min(unix_micros(col("ts"))).as("_t0"))
+        val perUser = ev.crossJoin(broadcast(t0))
+          .select(col("event_type"), col("user_id"),
+            floor(col("value") * 1000).cast("long").as("_v"),
+            expr("(unix_micros(ts) - _t0) DIV 518400000000").as("_lk")) // 6-day blocks
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(when(col("_lk") < 1, col("_v")).otherwise(0L)).as("x1"),
+            looks.drop(1).map(k =>
+              sum(when(col("_lk") < k, col("_v")).otherwise(0L)).as(s"x$k")): _*)
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(perUser, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, looks.map(k => s"x$k"))
+          .withColumn("_v0", (col("user_id") % 2 === 0).cast("long"))
+        val momentCols =
+          Seq(sum(lit(1L) - col("_v0")).as("n1")) ++
+          looks.flatMap(k => Seq(
+            sum(col(s"x$k") * col("_v0")).as(s"s0_$k"),
+            sum(col(s"x$k") * (lit(1L) - col("_v0"))).as(s"s1_$k"),
+            sum(expr(s"CAST(x$k AS DECIMAL(38,0)) * x$k * _v0")).as(s"q0_$k"),
+            sum(expr(s"CAST(x$k AS DECIMAL(38,0)) * x$k * (1 - _v0)")).as(s"q1_$k")))
+        val m = full.groupBy(col("event_type"))
+          .agg(sum(col("_v0")).as("n0"), momentCols: _*)
+        val perLook = looks.map { k =>
+          m.select(col("event_type"), lit(k.toLong).as("look"),
+            col("n0"), col("n1"),
+            expr(s"CAST(s0_$k AS DECIMAL(38,0)) * n1 - CAST(s1_$k AS DECIMAL(38,0)) * n0").as("_num"),
+            expr(s"""n1 * (n0 * q0_$k - CAST(s0_$k AS DECIMAL(38,0)) * s0_$k) +
+                    |n0 * (n1 * q1_$k - CAST(s1_$k AS DECIMAL(38,0)) * s1_$k)""".stripMargin).as("_ss"),
+            lit(thr(k)).as("obf_thr_ppm"))
+        }.reduce(_ unionByName _)
+        perLook
+          .withColumn("t2_ppm",
+            when(col("n0") + col("n1") > 2 && col("_ss") > 0,
+              expr("CAST(_num * _num * (n0 + n1 - 2) * 1000000 DIV (_ss * (n0 + n1)) AS BIGINT)")))
+          .withColumn("crossed",
+            (coalesce(col("t2_ppm"), lit(0L)) > col("obf_thr_ppm")).cast("long"))
+          .select(col("event_type"), col("look"), col("n0"), col("n1"),
+            col("t2_ppm"), col("obf_thr_ppm"), col("crossed"))
+          .orderBy("event_type", "look")
+      },
+      Some {
+        val looks = 1 to 5
+        val thr = Map(1 -> 20808000L, 2 -> 10404000L, 3 -> 6936000L,
+          4 -> 5202000L, 5 -> 4161600L)
+        val xs = looks.map(k =>
+          s"sum(CASE WHEN lk < $k THEN v ELSE 0 END) AS x$k").mkString(",\n  ")
+        val ms = looks.flatMap(k => Seq(
+          s"sum(x$k * v0) AS s0_$k", s"sum(x$k * (1 - v0)) AS s1_$k",
+          s"sum(CAST(x$k AS HUGEINT) * x$k * v0) AS q0_$k",
+          s"sum(CAST(x$k AS HUGEINT) * x$k * (1 - v0)) AS q1_$k")).mkString(",\n  ")
+        val rows = looks.map { k =>
+          s"""SELECT event_type, CAST($k AS BIGINT) AS look, n0, n1,
+             |  CAST(s0_$k AS HUGEINT) * n1 - CAST(s1_$k AS HUGEINT) * n0 AS num,
+             |  n1 * (n0 * q0_$k - CAST(s0_$k AS HUGEINT) * s0_$k)
+             |    + n0 * (n1 * q1_$k - CAST(s1_$k AS HUGEINT) * s1_$k) AS ss,
+             |  CAST(${thr(k)} AS BIGINT) AS obf_thr_ppm
+             |FROM m""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH t0 AS (SELECT min(epoch_us(ts)) AS v FROM events),
+           |e AS (SELECT event_type, user_id,
+           |        CAST(floor(value * 1000) AS BIGINT) AS v,
+           |        (epoch_us(ts) - (SELECT v FROM t0)) // 518400000000 AS lk
+           |      FROM events),
+           |pu AS (SELECT event_type, user_id,
+           |  $xs
+           |  FROM e GROUP BY 1, 2),
+           |grid AS (SELECT ty.event_type, u.user_id
+           |         FROM (SELECT DISTINCT user_id FROM events) u
+           |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+           |p AS (SELECT g.event_type, g.user_id,
+           |        ${looks.map(k => s"coalesce(pu.x$k, 0) AS x$k").mkString(", ")},
+           |        CASE WHEN g.user_id % 2 = 0 THEN 1 ELSE 0 END AS v0
+           |      FROM grid g LEFT JOIN pu USING (event_type, user_id)),
+           |m AS (SELECT event_type,
+           |  CAST(sum(v0) AS BIGINT) AS n0, CAST(sum(1 - v0) AS BIGINT) AS n1,
+           |  $ms
+           |  FROM p GROUP BY 1),
+           |lk AS ($rows)
+           |SELECT event_type, look, n0, n1,
+           |  CAST(CASE WHEN n0 + n1 > 2 AND ss > 0
+           |       THEN num * num * (n0 + n1 - 2) * 1000000 // (ss * (n0 + n1))
+           |       END AS BIGINT) AS t2_ppm,
+           |  obf_thr_ppm,
+           |  CAST(CASE WHEN coalesce(CASE WHEN n0 + n1 > 2 AND ss > 0
+           |         THEN num * num * (n0 + n1 - 2) * 1000000 // (ss * (n0 + n1)) END, 0)
+           |       > obf_thr_ppm THEN 1 ELSE 0 END AS BIGINT) AS crossed
+           |FROM lk ORDER BY event_type, look""".stripMargin
+      }),
+
+    // Audience overlap (the Venn census) — which event types share
+    // users? Per-user 5-bit type mask via BIT_OR aggregation, then all
+    // pair overlaps read off the 32-row mask-count frame (the
+    // roaring-bitmap idea at its smallest): n_a, n_b, n_both, Jaccard
+    // per pair. One map-side mask agg is the only data-sized pass.
+    Q("q_audience_overlap",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val bitOf = types.zipWithIndex
+          .map { case (t, i) => (t, 1L << i) }.toMap
+        val bitExpr = types.foldRight(lit(0L): org.apache.spark.sql.Column) { (t, acc) =>
+          when(col("event_type") === t, lit(bitOf(t))).otherwise(acc)
+        }
+        val masks = Tables.events(s, dir)
+          .select(col("user_id"), bitExpr.as("_b"))
+          .groupBy(col("user_id")).agg(expr("bit_or(_b)").as("mask"))
+          .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+        val pairs = types.combinations(2).toSeq
+          .map { case Seq(a, b) => (a, b, bitOf(a), bitOf(b)) }
+        val pairDf = {
+          import s.implicits._
+          pairs.toDF("type_a", "type_b", "_ba", "_bb")
+        }
+        pairDf.crossJoin(masks)
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(
+            sum(when(expr("(mask & _ba) != 0"), col("n")).otherwise(0L)).as("n_a"),
+            sum(when(expr("(mask & _bb) != 0"), col("n")).otherwise(0L)).as("n_b"),
+            sum(when(expr("(mask & _ba) != 0 AND (mask & _bb) != 0"), col("n"))
+              .otherwise(0L)).as("n_both"))
+          .withColumn("jaccard_ppm",
+            expr("n_both * 1000000 DIV (n_a + n_b - n_both)"))
+          .orderBy("type_a", "type_b")
+      },
+      Some {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val bitCase = types.zipWithIndex
+          .map { case (t, i) => s"WHEN event_type = '$t' THEN ${1L << i}" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        val pairRows = types.combinations(2).toSeq
+          .map { case Seq(a, b) =>
+            s"('$a', '$b', ${1L << types.indexOf(a)}, ${1L << types.indexOf(b)})" }
+          .mkString(", ")
+        s"""WITH mk AS (SELECT user_id, bit_or($bitCase) AS mask
+           |            FROM events GROUP BY user_id),
+           |mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS n FROM mk GROUP BY 1),
+           |pr AS (SELECT * FROM (VALUES $pairRows) AS t(type_a, type_b, ba, bb)),
+           |agg AS (SELECT type_a, type_b,
+           |  sum(CASE WHEN (mask & ba) != 0 THEN n ELSE 0 END) AS n_a,
+           |  sum(CASE WHEN (mask & bb) != 0 THEN n ELSE 0 END) AS n_b,
+           |  sum(CASE WHEN (mask & ba) != 0 AND (mask & bb) != 0 THEN n ELSE 0 END) AS n_both
+           |  FROM pr CROSS JOIN mc GROUP BY 1, 2)
+           |SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a,
+           |       CAST(n_b AS BIGINT) AS n_b, CAST(n_both AS BIGINT) AS n_both,
+           |       CAST(n_both * 1000000 // (n_a + n_b - n_both) AS BIGINT) AS jaccard_ppm
+           |FROM agg ORDER BY type_a, type_b""".stripMargin
+      }),
+
+    // Reliability diagram + ECE contributions — the calibration audit
+    // for a score used as a probability (q_isotonic FITS a calibrator;
+    // this MEASURES the miscalibration): per score bin, mean predicted
+    // confidence vs realized positive rate in ppm, and the bin's
+    // n-weighted ECE contribution (Σ contrib DIV N = the expected
+    // calibration error). One map-side (bin) aggregation.
+    Q("q_calibration_ece",
+      (s, dir) => {
+        val r = Tables.events(s, dir).select(
+          expr("CAST(floor(value * 1000) AS BIGINT) DIV 50000").as("bin"),
+          expr("CAST(floor(value * 1000) AS BIGINT) * 2").as("_conf"), // /500k → ppm
+          (col("event_type") === "purchase").cast("long").as("_p"))
+        r.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("_conf")).as("_sc"),
+            sum(col("_p")).as("_np"))
+          .withColumn("conf_ppm", expr("_sc DIV n"))
+          .withColumn("acc_ppm", expr("_np * 1000000 DIV n"))
+          .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+          .withColumn("ece_contrib", col("n") * col("gap_ppm"))
+          .select(col("bin"), col("n"), col("conf_ppm"), col("acc_ppm"),
+            col("gap_ppm"), col("ece_contrib"))
+          .orderBy("bin")
+      },
+      Some("""WITH r AS (SELECT CAST(floor(value * 1000) AS BIGINT) // 50000 AS bin,
+             |                  CAST(floor(value * 1000) AS BIGINT) * 2 AS conf,
+             |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             |           FROM events),
+             |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |             CAST(sum(conf) AS BIGINT) AS sc, CAST(sum(p) AS BIGINT) AS np
+             |      FROM r GROUP BY 1)
+             |SELECT bin, n, CAST(sc // n AS BIGINT) AS conf_ppm,
+             |       CAST(np * 1000000 // n AS BIGINT) AS acc_ppm,
+             |       CAST(abs(sc // n - np * 1000000 // n) AS BIGINT) AS gap_ppm,
+             |       CAST(n * abs(sc // n - np * 1000000 // n) AS BIGINT) AS ece_contrib
+             |FROM b ORDER BY bin""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact
