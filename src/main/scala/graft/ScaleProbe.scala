@@ -433,7 +433,12 @@ object ScaleProbe {
     // class
     "q_ab_sequential" -> true,
     "q_audience_overlap" -> true,
-    "q_calibration_ece" -> false
+    "q_calibration_ece" -> false,
+    // round-9 wave 15: growth accounting = one (user, week) dedup +
+    // per-user lag/lead window (the q_active_users class, same flag);
+    // MDE power = the q_abtest (type, user) moment class
+    "q_growth_accounting" -> true,
+    "q_ab_power" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -4910,7 +4910,142 @@ object CoreQueries {
              |       CAST(np * 1000000 // n AS BIGINT) AS acc_ppm,
              |       CAST(abs(sc // n - np * 1000000 // n) AS BIGINT) AS gap_ppm,
              |       CAST(n * abs(sc // n - np * 1000000 // n) AS BIGINT) AS ece_contrib
-             |FROM b ORDER BY bin""".stripMargin))
+             |FROM b ORDER BY bin""".stripMargin)),
+
+    // Growth accounting — the weekly new/retained/resurrected/churned
+    // decomposition (and quick ratio) every growth team reports: one
+    // (user, week) dedup, one per-user lag/lead window, week-level
+    // census. Churn attributes to the week AFTER the last active week
+    // (bounded by the observation window's final week).
+    Q("q_growth_accounting",
+      (s, dir) => {
+        val wk = 604800000000L
+        val uw = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(date_trunc('week', ts))").as("w")).distinct()
+        val maxW = uw.agg(max(col("w")).as("_maxw"))
+        val win = Window.partitionBy(col("user_id")).orderBy(col("w"))
+        val flagged = uw
+          .withColumn("_prev", lag(col("w"), 1).over(win))
+          .withColumn("_next", lead(col("w"), 1).over(win))
+          .crossJoin(broadcast(maxW))
+        val states = flagged.select(col("w"),
+          when(col("_prev").isNull, 1L).otherwise(0L).as("_new"),
+          when(col("_prev") === col("w") - wk, 1L).otherwise(0L).as("_ret"),
+          when(col("_prev").isNotNull && col("_prev") < col("w") - wk, 1L)
+            .otherwise(0L).as("_res"),
+          // churns INTO week w+1 when the next activity misses it
+          when((col("_next").isNull || col("_next") > col("w") + wk) &&
+            col("w") + wk <= col("_maxw"), col("w") + wk).as("_churn_w"))
+        val act = states.groupBy(col("w")).agg(
+          count(lit(1)).as("n_active"), sum(col("_new")).as("n_new"),
+          sum(col("_ret")).as("n_retained"), sum(col("_res")).as("n_resurrected"))
+        val churn = states.filter(col("_churn_w").isNotNull)
+          .groupBy(col("_churn_w").as("w")).agg(count(lit(1)).as("n_churned"))
+        act.join(churn, Seq("w"), "full")
+          .na.fill(0L, Seq("n_active", "n_new", "n_retained", "n_resurrected",
+            "n_churned"))
+          .withColumn("quick_ratio_ppm",
+            when(col("n_churned") > 0,
+              expr("(n_new + n_resurrected) * 1000000 DIV n_churned")))
+          .orderBy("w")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+             |                   epoch_us(date_trunc('week', ts)) AS w
+             |            FROM events),
+             |mx AS (SELECT max(w) AS maxw FROM uw),
+             |f AS (SELECT user_id, w,
+             |        lag(w) OVER win AS prev, lead(w) OVER win AS next
+             |      FROM uw WINDOW win AS (PARTITION BY user_id ORDER BY w)),
+             |st AS (SELECT w,
+             |         CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_new,
+             |         CASE WHEN prev = w - 604800000000 THEN 1 ELSE 0 END AS is_ret,
+             |         CASE WHEN prev IS NOT NULL AND prev < w - 604800000000
+             |              THEN 1 ELSE 0 END AS is_res,
+             |         CASE WHEN (next IS NULL OR next > w + 604800000000)
+             |                   AND w + 604800000000 <= (SELECT maxw FROM mx)
+             |              THEN w + 604800000000 END AS churn_w
+             |       FROM f),
+             |act AS (SELECT w, CAST(count(*) AS BIGINT) AS n_active,
+             |               CAST(sum(is_new) AS BIGINT) AS n_new,
+             |               CAST(sum(is_ret) AS BIGINT) AS n_retained,
+             |               CAST(sum(is_res) AS BIGINT) AS n_resurrected
+             |        FROM st GROUP BY 1),
+             |ch AS (SELECT churn_w AS w, CAST(count(*) AS BIGINT) AS n_churned
+             |       FROM st WHERE churn_w IS NOT NULL GROUP BY 1),
+             |j AS (SELECT coalesce(act.w, ch.w) AS w,
+             |             coalesce(n_active, 0) AS n_active,
+             |             coalesce(n_new, 0) AS n_new,
+             |             coalesce(n_retained, 0) AS n_retained,
+             |             coalesce(n_resurrected, 0) AS n_resurrected,
+             |             coalesce(n_churned, 0) AS n_churned
+             |      FROM act FULL JOIN ch ON act.w = ch.w)
+             |SELECT w, n_active, n_new, n_retained, n_resurrected, n_churned,
+             |       CAST(CASE WHEN n_churned > 0
+             |            THEN (n_new + n_resurrected) * 1000000 // n_churned
+             |            END AS BIGINT) AS quick_ratio_ppm
+             |FROM j ORDER BY w""".stripMargin)),
+
+    // Experiment power: minimum detectable effect at 80% power / 5%
+    // α — the DESIGN-time companion of the q_abtest readout ("is this
+    // experiment even capable of seeing the effect we care about?"):
+    // MDE² = (z_α/2+z_β)²·s_p²·N/(n0·n1) with (1.96+0.84)² = 7.84,
+    // everything cleared to ONE DECIMAL(38,0) division on the q_abtest
+    // moment machinery. Shipped as mde2_mils2 (squared mils — exact;
+    // the reader square-roots).
+    Q("q_ab_power",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val totals = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(totals, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("x"))
+          .withColumn("_v", (col("user_id") % 2 === 0).cast("long"))
+        full.groupBy(col("event_type")).agg(
+            sum(col("_v")).as("n0"), sum(lit(1L) - col("_v")).as("n1"),
+            sum(col("x") * col("_v")).as("_s0"),
+            sum(col("x") * (lit(1L) - col("_v"))).as("_s1"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x * _v")).as("_q0"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x * (1 - _v)")).as("_q1"))
+          .withColumn("_ss", expr(
+            """n1 * (n0 * _q0 - CAST(_s0 AS DECIMAL(38,0)) * _s0) +
+              |n0 * (n1 * _q1 - CAST(_s1 AS DECIMAL(38,0)) * _s1)""".stripMargin))
+          .withColumn("mde2_mils2",
+            when(col("n0") > 0 && col("n1") > 0 && col("n0") + col("n1") > 2, expr(
+              """CAST(784 * _ss * (n0 + n1)
+                |  DIV (100 * CAST(n0 * n1 AS DECIMAL(38,0)) * n0 * n1 * (n0 + n1 - 2))
+                |  AS BIGINT)""".stripMargin)))
+          .select(col("event_type"), col("n0"), col("n1"), col("mde2_mils2"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) AS x
+             |           FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type, g.user_id, coalesce(t.x, 0) AS x,
+             |             CASE WHEN g.user_id % 2 = 0 THEN 1 ELSE 0 END AS v
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |m AS (SELECT event_type,
+             |             CAST(sum(v) AS BIGINT) AS n0, CAST(sum(1 - v) AS BIGINT) AS n1,
+             |             CAST(sum(x * v) AS BIGINT) AS s0,
+             |             CAST(sum(x * (1 - v)) AS BIGINT) AS s1,
+             |             sum(CAST(x AS HUGEINT) * x * v) AS q0,
+             |             sum(CAST(x AS HUGEINT) * x * (1 - v)) AS q1
+             |      FROM p GROUP BY 1),
+             |f AS (SELECT event_type, n0, n1,
+             |             n1 * (n0 * q0 - CAST(s0 AS HUGEINT) * s0) +
+             |             n0 * (n1 * q1 - CAST(s1 AS HUGEINT) * s1) AS ss
+             |      FROM m)
+             |SELECT event_type, n0, n1,
+             |       CAST(CASE WHEN n0 > 0 AND n1 > 0 AND n0 + n1 > 2
+             |            THEN 784 * ss * (n0 + n1)
+             |                 // (100 * CAST(n0 * n1 AS HUGEINT) * n0 * n1 * (n0 + n1 - 2))
+             |            END AS BIGINT) AS mde2_mils2
+             |FROM f ORDER BY event_type""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact
