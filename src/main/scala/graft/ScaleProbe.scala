@@ -438,7 +438,11 @@ object ScaleProbe {
     // per-user lag/lead window (the q_active_users class, same flag);
     // MDE power = the q_abtest (type, user) moment class
     "q_growth_accounting" -> true,
-    "q_ab_power" -> true
+    "q_ab_power" -> true,
+    // round-9 wave 16: NDCG = the q_ann_recall twin (fixed 5-query
+    // broadcast; exact side is the q_knn brute scorer on the query
+    // slice, linear in corpus; ann side band-bounded)
+    "q_ann_ndcg" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -1563,6 +1563,82 @@ object PipelineQueries {
              |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
              |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
 
+    // NDCG@10 of the LSH path vs exact — recall counts SET overlap;
+    // NDCG charges for returning the right docs in the WRONG order
+    // (position-discounted credit, the metric retrieval evals report).
+    // Graded relevance = 11 − exact_rank; discounts w_p =
+    // floor(10⁶/log₂(p+1)) are COMPILE-TIME ppm literals (the ladder
+    // trick — no libm log at runtime), the ideal DCG is their
+    // rel-sorted constant, and ndcg_ppm is one floor-division.
+    Q("q_ann_ndcg",
+      (s, dir) => {
+        val wts = Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+          356207L, 333333L, 315464L, 301029L, 289064L)
+        val ideal = wts.zipWithIndex.map { case (w, i) => (10L - i) * w }.sum
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val exact = Similarity.topKExact(emb, queries, "vec_id", "embedding",
+          "q_id", "q_vec", 10)
+        val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding",
+          "q_id", "q_vec", 10, signatures = Similarity.rhpSignaturesMd5)
+        val wArr = s"array(${wts.mkString("L, ")}L)"
+        ann.join(exact.select(col("q_id"), col("vec_id"),
+            col("rank").as("_erank")), Seq("q_id", "vec_id"), "left")
+          .withColumn("_rel", coalesce(lit(11L) - col("_erank"), lit(0L)))
+          .withColumn("_w", expr(s"element_at($wArr, CAST(rank AS INT))"))
+          .groupBy(col("q_id"))
+          .agg(sum(col("_rel") * col("_w")).as("dcg_sys"))
+          .withColumn("ndcg_ppm", expr(s"dcg_sys * 1000000 DIV ${ideal}L"))
+          .orderBy("q_id")
+      },
+      Some {
+        val wts = Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+          356207L, 333333L, 315464L, 301029L, 289064L)
+        val ideal = wts.zipWithIndex.map { case (w, i) => (10L - i) * w }.sum
+        val wCase = wts.zipWithIndex
+          .map { case (w, p) => s"WHEN ${p + 1} THEN $w" }
+          .mkString("CASE a.rank ", " ", " END")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
+           |exact AS (
+           |  SELECT q.q_id, e.vec_id,
+           |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |           CAST(floor(list_dot_product(e.ve, q.qe)
+           |             / (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe)))
+           |             * 1000000.0) AS BIGINT) DESC, e.vec_id) AS rank
+           |  FROM v e, q WHERE e.vec_id <> q.q_id),
+           |sig AS (
+           |  SELECT vec_id,
+           |    CAST(list_sum(list_transform(range(0, 16), j ->
+           |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+           |             ve[i::INT + 1] * CASE WHEN ascii(substr(md5(j || ':' || i), 1, 1)) >= 56
+           |                                   THEN 1.0 ELSE -1.0 END)) > 0
+           |           THEN (1::BIGINT << (15 - j::INT)) ELSE 0 END)) AS BIGINT) AS sig
+           |  FROM v),
+           |cbands AS (SELECT vec_id, b, (sig >> (b::INT * 4)) & 15 AS bv FROM sig, range(0, 4) t(b)),
+           |qbands AS (SELECT vec_id AS q_id, b, bv FROM cbands WHERE vec_id < 5),
+           |cand AS (
+           |  SELECT DISTINCT q.q_id, c.vec_id
+           |  FROM cbands c JOIN qbands q ON c.b = q.b AND c.bv = q.bv AND c.vec_id <> q.q_id),
+           |ann AS (
+           |  SELECT cand.q_id, cand.vec_id,
+           |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
+           |           CAST(floor(list_dot_product(cv.ve, qv.ve)
+           |             / (sqrt(list_dot_product(cv.ve, cv.ve)) * sqrt(list_dot_product(qv.ve, qv.ve)))
+           |             * 1000000.0) AS BIGINT) DESC, cand.vec_id) AS rank
+           |  FROM cand JOIN v cv ON cand.vec_id = cv.vec_id JOIN v qv ON cand.q_id = qv.vec_id)
+           |SELECT a.q_id,
+           |       CAST(sum((CASE WHEN e.rank IS NOT NULL THEN 11 - e.rank ELSE 0 END)
+           |                * ($wCase)) AS BIGINT) AS dcg_sys,
+           |       CAST(sum((CASE WHEN e.rank IS NOT NULL THEN 11 - e.rank ELSE 0 END)
+           |                * ($wCase)) * 1000000 // $ideal AS BIGINT) AS ndcg_ppm
+           |FROM (SELECT * FROM ann WHERE rank <= 10) a
+           |LEFT JOIN (SELECT * FROM exact WHERE rank <= 10) e
+           |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+           |GROUP BY a.q_id ORDER BY a.q_id""".stripMargin
+      }),
+
     // Measured recall@10 of the MULTI-PROBE LSH path vs exact — the
     // third column of the LSH / multi-probe / IVF chooser. Multi-probe
     // candidates are a superset of plain banding's, so this recall is
