@@ -442,7 +442,10 @@ object ScaleProbe {
     // round-9 wave 16: NDCG = the q_ann_recall twin (fixed 5-query
     // broadcast; exact side is the q_knn brute scorer on the query
     // slice, linear in corpus; ann side band-bounded)
-    "q_ann_ndcg" -> false
+    "q_ann_ndcg" -> false,
+    // round-9 wave 17: MRR = the same q_ann_recall machinery (exact
+    // top-1 + band-bounded ann), the third retrieval-eval lens
+    "q_ann_mrr" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

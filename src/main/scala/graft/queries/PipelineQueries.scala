@@ -1639,6 +1639,71 @@ object PipelineQueries {
            |GROUP BY a.q_id ORDER BY a.q_id""".stripMargin
       }),
 
+    // MRR of the LSH path — the third retrieval-eval lens (recall =
+    // set coverage, NDCG = full-list order, MRR = "how far down is THE
+    // answer"): reciprocal rank of the exact TOP-1 neighbor in the ANN
+    // list, floor(10⁶/rank) from the same compile-time-ladder idiom,
+    // 0 when the ANN misses it entirely.
+    Q("q_ann_mrr",
+      (s, dir) => {
+        val rr = (1 to 10).map(r => r.toLong -> (1000000L / r)).toMap
+        val rrCase = (1 to 10)
+          .map(r => s"WHEN rank = $r THEN ${rr(r.toLong)}")
+          .mkString("CASE ", " ", " ELSE 0 END")
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val exact1 = Similarity.topKExact(emb, queries, "vec_id", "embedding",
+          "q_id", "q_vec", 1).select(col("q_id"), col("vec_id"))
+        val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding",
+          "q_id", "q_vec", 10, signatures = Similarity.rhpSignaturesMd5)
+        exact1.join(ann.select(col("q_id"), col("vec_id"), col("rank")),
+            Seq("q_id", "vec_id"), "left")
+          .select(col("q_id"),
+            coalesce(expr(rrCase), lit(0L)).as("rr_ppm"))
+          .orderBy("q_id")
+      },
+      Some {
+        val rrCase = (1 to 10)
+          .map(r => s"WHEN a.rank = $r THEN ${1000000L / r}")
+          .mkString("CASE ", " ", " ELSE 0 END")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
+           |exact AS (
+           |  SELECT q.q_id, e.vec_id,
+           |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |           CAST(floor(list_dot_product(e.ve, q.qe)
+           |             / (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe)))
+           |             * 1000000.0) AS BIGINT) DESC, e.vec_id) AS rank
+           |  FROM v e, q WHERE e.vec_id <> q.q_id),
+           |sig AS (
+           |  SELECT vec_id,
+           |    CAST(list_sum(list_transform(range(0, 16), j ->
+           |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+           |             ve[i::INT + 1] * CASE WHEN ascii(substr(md5(j || ':' || i), 1, 1)) >= 56
+           |                                   THEN 1.0 ELSE -1.0 END)) > 0
+           |           THEN (1::BIGINT << (15 - j::INT)) ELSE 0 END)) AS BIGINT) AS sig
+           |  FROM v),
+           |cbands AS (SELECT vec_id, b, (sig >> (b::INT * 4)) & 15 AS bv FROM sig, range(0, 4) t(b)),
+           |qbands AS (SELECT vec_id AS q_id, b, bv FROM cbands WHERE vec_id < 5),
+           |cand AS (
+           |  SELECT DISTINCT q.q_id, c.vec_id
+           |  FROM cbands c JOIN qbands q ON c.b = q.b AND c.bv = q.bv AND c.vec_id <> q.q_id),
+           |ann AS (
+           |  SELECT cand.q_id, cand.vec_id,
+           |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
+           |           CAST(floor(list_dot_product(cv.ve, qv.ve)
+           |             / (sqrt(list_dot_product(cv.ve, cv.ve)) * sqrt(list_dot_product(qv.ve, qv.ve)))
+           |             * 1000000.0) AS BIGINT) DESC, cand.vec_id) AS rank
+           |  FROM cand JOIN v cv ON cand.vec_id = cv.vec_id JOIN v qv ON cand.q_id = qv.vec_id)
+           |SELECT e1.q_id,
+           |       CAST(coalesce($rrCase, 0) AS BIGINT) AS rr_ppm
+           |FROM (SELECT * FROM exact WHERE rank = 1) e1
+           |LEFT JOIN (SELECT * FROM ann WHERE rank <= 10) a
+           |  ON e1.q_id = a.q_id AND e1.vec_id = a.vec_id
+           |ORDER BY e1.q_id""".stripMargin
+      }),
+
     // Measured recall@10 of the MULTI-PROBE LSH path vs exact — the
     // third column of the LSH / multi-probe / IVF chooser. Multi-probe
     // candidates are a superset of plain banding's, so this recall is
