@@ -445,7 +445,12 @@ object ScaleProbe {
     "q_ann_ndcg" -> false,
     // round-9 wave 17: MRR = the same q_ann_recall machinery (exact
     // top-1 + band-bounded ann), the third retrieval-eval lens
-    "q_ann_mrr" -> false
+    "q_ann_mrr" -> false,
+    // round-9 wave 18: drawdown = ONE user-keyed running-max window +
+    // map-side agg (the q_traj_velocity shape); streaks = (user, day)
+    // dedup + user-keyed lag window (the q_active_users class flag)
+    "q_drawdown" -> false,
+    "q_streaks" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -5045,7 +5045,78 @@ object CoreQueries {
              |            THEN 784 * ss * (n0 + n1)
              |                 // (100 * CAST(n0 * n1 AS HUGEINT) * n0 * n1 * (n0 + n1 - 2))
              |            END AS BIGINT) AS mde2_mils2
-             |FROM f ORDER BY event_type""".stripMargin))
+             |FROM f ORDER BY event_type""".stripMargin)),
+
+    // Maximum drawdown per user — the peak-to-trough risk metric
+    // (how far below its running high-water mark did each user's
+    // metric fall?): one user-keyed ordered window carries the
+    // running max; the drawdown max is a map-side agg. Exact mils.
+    Q("q_drawdown",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_id"), floor(col("value") * 1000).cast("long").as("v"))
+          .withColumn("_hwm", max(col("v")).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), max(col("v")).as("peak_mils"),
+            max(col("_hwm") - col("v")).as("max_drawdown_mils"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+             |                  CAST(floor(value * 1000) AS BIGINT) AS v
+             |           FROM events),
+             |h AS (SELECT user_id, v,
+             |        max(v) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS hwm
+             |      FROM e)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |       max(v) AS peak_mils,
+             |       max(hwm - v) AS max_drawdown_mils
+             |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Longest consecutive-day activity streak census — the
+    // habit-formation metric (gaps-and-islands over per-user active
+    // days, then a domain-bounded histogram of longest streaks): one
+    // (user, day) dedup + one user-keyed lag window + two map-side
+    // aggregations.
+    Q("q_streaks",
+      (s, dir) => {
+        val day = 86400000000L
+        val uw = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(date_trunc('day', ts))").as("d")).distinct()
+        val win = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        val isl = uw
+          .withColumn("_brk",
+            when(lag(col("d"), 1).over(win).isNull ||
+              col("d") - lag(col("d"), 1).over(win) > day, 1L).otherwise(0L))
+          .withColumn("_sid", sum(col("_brk")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("d"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val longest = isl.groupBy(col("user_id"), col("_sid"))
+          .agg(count(lit(1)).as("_len"))
+          .groupBy(col("user_id")).agg(max(col("_len")).as("streak_days"))
+        longest.groupBy(col("streak_days")).agg(count(lit(1)).as("n_users"))
+          .orderBy("streak_days")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+             |                   epoch_us(date_trunc('day', ts)) AS d
+             |            FROM events),
+             |b AS (SELECT user_id, d,
+             |        CASE WHEN lag(d) OVER w IS NULL
+             |             OR d - lag(d) OVER w > 86400000000 THEN 1 ELSE 0 END AS brk
+             |      FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+             |g AS (SELECT user_id, d, sum(brk) OVER (PARTITION BY user_id ORDER BY d
+             |        ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM b),
+             |l AS (SELECT user_id, max(cnt) AS streak_days FROM (
+             |        SELECT user_id, sid, count(*) AS cnt FROM g GROUP BY 1, 2)
+             |      GROUP BY 1)
+             |SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
+             |FROM l GROUP BY 1 ORDER BY streak_days""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact
