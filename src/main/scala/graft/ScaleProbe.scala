@@ -450,7 +450,16 @@ object ScaleProbe {
     // map-side agg (the q_traj_velocity shape); streaks = (user, day)
     // dedup + user-keyed lag window (the q_active_users class flag)
     "q_drawdown" -> false,
-    "q_streaks" -> true
+    "q_streaks" -> true,
+    // round-9 wave 19: McNemar = ONE (type, user) max-agg pass (the
+    // q_abtest key class, same artifact flag); BH-FDR = the q_abtest
+    // (type, user) moment rollup + 5-row broadcast rank/threshold
+    "q_mcnemar" -> true,
+    "q_bh_fdr" -> true,
+    // round-9 wave 20: Mann-Kendall = the q_trend_theilsen per-user
+    // pair-join class (operator-level shuffle_hash pin; per-user pair
+    // volume bounded by the <=744-hour x domain, users grow linearly)
+    "q_trend_mk" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -579,4 +579,48 @@ object TimeSeries {
         expr(s"_st.l + h * _st.b + element_at(_st.s, CAST((n - 1 + h) % $period AS INT) + 1)")
           .as("fc"))
   }
+
+  /** Mann–Kendall trend test per key — the SIGNIFICANCE companion of
+    * [[theilSenSlopes]] (Theil–Sen estimates the slope; MK tests whether
+    * a monotone trend exists at all): S = Σ_{i<j} sign(y_j − y_i) over
+    * the per-key series ordered by x (callers must pre-aggregate to ONE
+    * row per (key, x) so equal-time pairs cannot occur), with the
+    * tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    * over the y-tie group sizes t, and the continuity-corrected z²
+    * shipped as the exact integer
+    *
+    *   z2_ppm = 10⁶·18·(|S|−1)² DIV (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))
+    *
+    * (0 when S = 0 — which subsumes the all-tied series, whose variance
+    * is also 0). All-integer: no libm, no float accumulation,
+    * engine-exact against any SQL oracle computing the same floors.
+    *
+    * Scale shape: the pair self-join is per-key and PINNED to a shuffle
+    * join exactly like [[theilSenSlopes]] (left alone the planner
+    * broadcasts the small point frame, leaving the C(n,2) pair frame in
+    * scan layout); n, S, and the tie correction are three same-key
+    * aggregates joined on g, so every Exchange hashes g. Pair volume
+    * Σ C(n_g, 2) is bounded by per-key series length — with an
+    * hour-of-month x domain (n ≤ 744), (|S|−1)²·18·10⁶ ≲ 1.4·10¹⁸
+    * stays inside int64. Input cols: (g, x, y), one row per (g, x).
+    * Output: (g, n, s, z2_ppm); keys with n = 1 (no pairs) drop. */
+  def mannKendall(pts: DataFrame): DataFrame = {
+    val a = pts.select(col("g"), col("x").as("xa"), col("y").as("ya"))
+    val b = pts.select(col("g"), col("x").as("xb"), col("y").as("yb"))
+    val s = a.hint("shuffle_hash").join(b, Seq("g"))
+      .filter(col("xa") < col("xb"))
+      .groupBy(col("g"))
+      .agg(sum(signum(col("yb") - col("ya")).cast("long")).as("s"))
+    val n = pts.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val tc = pts.groupBy(col("g"), col("y")).agg(count(lit(1)).as("_t"))
+      .groupBy(col("g"))
+      .agg(sum(expr("_t * (_t - 1) * (2 * _t + 5)")).as("_tie"))
+    n.join(s, Seq("g")).join(tc, Seq("g"))
+      .withColumn("_v18", expr("n * (n - 1) * (2 * n + 5)") - col("_tie"))
+      .withColumn("z2_ppm",
+        when(col("s") === 0, lit(0L)).otherwise(
+          when(col("_v18") > 0,
+            expr("(abs(s) - 1) * (abs(s) - 1) * 18 * 1000000 DIV _v18"))))
+      .select(col("g"), col("n"), col("s"), col("z2_ppm"))
+  }
 }

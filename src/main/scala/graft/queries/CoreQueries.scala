@@ -5116,7 +5116,178 @@ object CoreQueries {
              |        SELECT user_id, sid, count(*) AS cnt FROM g GROUP BY 1, 2)
              |      GROUP BY 1)
              |SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
-             |FROM l GROUP BY 1 ORDER BY streak_days""".stripMargin))
+             |FROM l GROUP BY 1 ORDER BY streak_days""".stripMargin)),
+
+    // McNemar paired-binary test — q_ttest_paired's companion for
+    // BINARY outcomes: per (type, user), did the user convert (any
+    // value > 250 event) in the first half of the month (day <= 15)
+    // vs the second? Only DISCORDANT pairs carry information:
+    // b = early-only converters, c = late-only,
+    // chi2_ppm = 10^6*(b-c)^2/(b+c) (NULL when b+c = 0). Concordant
+    // users cancel and absent users are (0,0), so no dense grid is
+    // needed; ONE map-side-combined (type, user) aggregate is the only
+    // data-sized pass.
+    Q("q_mcnemar",
+      (s, dir) => {
+        val pu = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(
+            max((col("value") > 250.0 && dayofmonth(col("ts")) <= 15)
+              .cast("long")).as("p0"),
+            max((col("value") > 250.0 && dayofmonth(col("ts")) > 15)
+              .cast("long")).as("p1"))
+        pu.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"),
+            sum((col("p0") === 1L && col("p1") === 0L).cast("long")).as("b"),
+            sum((col("p0") === 0L && col("p1") === 1L).cast("long")).as("c"))
+          .withColumn("chi2_ppm",
+            when(col("b") + col("c") > 0,
+              expr("(b - c) * (b - c) * 1000000 DIV (b + c)")))
+          .orderBy("event_type")
+      },
+      Some("""WITH pu AS (SELECT event_type, user_id,
+             |  max(CASE WHEN value > 250.0 AND day(ts) <= 15 THEN 1 ELSE 0 END) AS p0,
+             |  max(CASE WHEN value > 250.0 AND day(ts) > 15 THEN 1 ELSE 0 END) AS p1
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(sum(CASE WHEN p0 = 1 AND p1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             |  CAST(sum(CASE WHEN p0 = 0 AND p1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+             |  FROM pu GROUP BY 1)
+             |SELECT event_type, n_users, b, c,
+             |       CAST(CASE WHEN b + c > 0
+             |            THEN (b - c) * (b - c) * 1000000 // (b + c) END AS BIGINT)
+             |         AS chi2_ppm
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // Benjamini-Hochberg FDR gate over the per-type experiment
+    // readouts — the multiple-testing correction that completes the
+    // suite (SRM -> power -> sequential -> per-test t^2/z^2/U -> FDR):
+    // rank the m = 5 per-type pooled t^2 values descending (p
+    // ascending); reject ranks <= k*, the largest k with
+    // z^2_(k) >= chi2_1(1 - alpha*k/m) (alpha = 0.05; the five
+    // chi2_1-quantile thresholds are COMPILE-TIME ppm literals shared
+    // verbatim with the oracle — no libm at runtime). Rank is a count
+    // over the broadcast 5-row self-join (no unpartitioned window);
+    // k* rides a broadcast 1-row max. The only data-sized pass is
+    // q_abtest's (type, user) moment rollup.
+    Q("q_bh_fdr",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val totals = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(totals, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("x"))
+        val t2 = Stats.abTestT2(full, col("event_type"), col("user_id"), col("x"))
+          .select(col("g").as("event_type"),
+            coalesce(col("t2_ppm"), lit(0L)).as("z2_ppm"))
+        val ranked = t2.as("a")
+          .join(broadcast(t2.as("b")),
+            col("b.z2_ppm") > col("a.z2_ppm") ||
+              (col("b.z2_ppm") === col("a.z2_ppm") &&
+                col("b.event_type") < col("a.event_type")), "left")
+          .groupBy(col("a.event_type").as("event_type"),
+            col("a.z2_ppm").as("z2_ppm"))
+          .agg((count(col("b.event_type")) + 1L).as("rank"))
+        val thr = ranked.withColumn("thr_ppm",
+          when(col("rank") === 1, 6634896L).when(col("rank") === 2, 5411894L)
+            .when(col("rank") === 3, 4709292L).when(col("rank") === 4, 4217884L)
+            .otherwise(3841458L))
+        val kstar = thr.agg(
+          max(when(col("z2_ppm") >= col("thr_ppm"), col("rank")).otherwise(0L))
+            .as("k_star"))
+        thr.crossJoin(broadcast(kstar))
+          .withColumn("rejected", (col("rank") <= col("k_star")).cast("long"))
+          .select("event_type", "z2_ppm", "rank", "thr_ppm", "rejected")
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) AS x
+             |           FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type, g.user_id, coalesce(t.x, 0) AS xt,
+             |             CASE WHEN g.user_id % 2 = 0 THEN 1 ELSE 0 END AS v
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |m AS (SELECT event_type, sum(v) AS n0, sum(1 - v) AS n1,
+             |             sum(xt * v) AS s0, sum(xt * (1 - v)) AS s1,
+             |             sum(CAST(xt AS HUGEINT) * xt * v) AS q0,
+             |             sum(CAST(xt AS HUGEINT) * xt * (1 - v)) AS q1
+             |      FROM p GROUP BY 1),
+             |f AS (SELECT event_type, n0, n1,
+             |             CAST(s0 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n0 AS num,
+             |             n1 * (n0 * q0 - CAST(s0 AS HUGEINT) * s0) +
+             |             n0 * (n1 * q1 - CAST(s1 AS HUGEINT) * s1) AS ss
+             |      FROM m),
+             |z AS (SELECT event_type,
+             |             coalesce(CAST(CASE WHEN n0 + n1 > 2 AND ss > 0
+             |               THEN (num * num * (n0 + n1 - 2) * 1000000)
+             |                    // (ss * (n0 + n1)) END AS BIGINT), 0) AS z2_ppm
+             |      FROM f),
+             |r AS (SELECT a.event_type, a.z2_ppm,
+             |             1 + count(b.event_type) AS rank
+             |      FROM z a LEFT JOIN z b
+             |        ON b.z2_ppm > a.z2_ppm
+             |           OR (b.z2_ppm = a.z2_ppm AND b.event_type < a.event_type)
+             |      GROUP BY 1, 2),
+             |th AS (SELECT *, CASE rank WHEN 1 THEN 6634896 WHEN 2 THEN 5411894
+             |              WHEN 3 THEN 4709292 WHEN 4 THEN 4217884
+             |              ELSE 3841458 END AS thr_ppm FROM r),
+             |ks AS (SELECT max(CASE WHEN z2_ppm >= thr_ppm THEN rank ELSE 0 END)
+             |         AS k_star FROM th)
+             |SELECT event_type, z2_ppm, CAST(rank AS BIGINT) AS rank,
+             |       CAST(thr_ppm AS BIGINT) AS thr_ppm,
+             |       CAST(CASE WHEN rank <= k_star THEN 1 ELSE 0 END AS BIGINT)
+             |         AS rejected
+             |FROM th CROSS JOIN ks ORDER BY event_type""".stripMargin)),
+
+    // Mann–Kendall trend test per user on the SAME (hour-index, mils)
+    // series as q_trend_theilsen, pre-aggregated to one row per
+    // (user, hour) so equal-time pairs cannot occur: S = Σ sign(Δy)
+    // over ordered pairs, tie-corrected variance, continuity-corrected
+    // z² as ONE exact integer floor-division (see
+    // TimeSeries.mannKendall). Theil–Sen says HOW STEEP; this says
+    // WHETHER the monotone trend is significant at all — the
+    // nonparametric pair to q_trend_ols's parametric fit.
+    Q("q_trend_mk",
+      (s, dir) => {
+        val startUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+        TimeSeries.mannKendall(
+          Tables.events(s, dir)
+            .select(col("user_id").as("g"),
+              floor((unix_micros(col("ts")) - startUs) / 3600000000.0)
+                .cast("long").as("x"),
+              floor(col("value") * 1000).cast("long").as("m"))
+            .groupBy(col("g"), col("x")).agg(sum(col("m")).as("y")))
+          .select(col("g").as("user_id"), col("n"), col("s"), col("z2_ppm"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id AS g,
+             |         CAST(floor((epoch_us(ts) - 1704067200000000) / 3600000000.0) AS BIGINT) AS x,
+             |         CAST(floor(value * 1000) AS BIGINT) AS m
+             |  FROM events),
+             |h AS (SELECT g, x, sum(m) AS y FROM p GROUP BY 1, 2),
+             |pr AS (SELECT a.g,
+             |              CASE WHEN b.y > a.y THEN 1
+             |                   WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+             |       FROM h a JOIN h b ON a.g = b.g AND a.x < b.x),
+             |sa AS (SELECT g, CAST(sum(sg) AS BIGINT) AS s FROM pr GROUP BY 1),
+             |nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+             |tc AS (SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+             |       FROM (SELECT g, y, count(*) AS t FROM h GROUP BY 1, 2)
+             |       GROUP BY 1),
+             |f AS (SELECT nn.g, n, s,
+             |             n * (n - 1) * (2 * n + 5) - tie AS v18
+             |      FROM nn JOIN sa USING (g) JOIN tc USING (g))
+             |SELECT g AS user_id, n, s,
+             |       CAST(CASE WHEN s = 0 THEN 0
+             |                 WHEN v18 > 0
+             |                 THEN (abs(s) - 1) * (abs(s) - 1) * 18 * 1000000 // v18
+             |            END AS BIGINT) AS z2_ppm
+             |FROM f ORDER BY user_id""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact

@@ -404,4 +404,51 @@ class TimeSeriesSpec extends SparkSpec {
     val fa = (1 to 7).map(h => got(("a", h.toLong))._2)
     assert(fa.distinct.size > 1, fa.toString) // not flat — seasonality present
   }
+
+  private def mk(rows: Seq[(Long, Long, Long)]): Map[Long, (Long, Long, Option[Long])] =
+    TimeSeries.mannKendall(rows.toDF("g", "x", "y"))
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("mannKendall: hand-traced S, tie correction, z2 floor") {
+    // strictly increasing n=5: S = C(5,2) = 10, no ties,
+    // v18 = 5*4*15 = 300, z2 = (10-1)^2 * 18e6 / 300 = 4,860,000
+    val up = (1L to 5L).map(x => (1L, x, x * 10))
+    assert(mk(up)(1L) == ((5L, 10L, Some(4860000L))))
+    // strictly decreasing: S = -10, same z2 (|S| symmetric)
+    val down = (1L to 5L).map(x => (1L, x, -x))
+    assert(mk(down)(1L) == ((5L, -10L, Some(4860000L))))
+    // ties: y = 1,1,2 -> S = 0+1+1 = 2; tie group t=2 contributes
+    // 2*1*9 = 18; v18 = 3*2*11 - 18 = 48; z2 = 1*18e6/48 = 375,000
+    val tied = Seq((2L, 1L, 1L), (2L, 2L, 1L), (2L, 3L, 2L))
+    assert(mk(tied)(2L) == ((3L, 2L, Some(375000L))))
+    // all-tied series: S = 0 -> z2 = 0 (variance also 0; the S = 0
+    // branch subsumes it)
+    val flat = Seq((3L, 1L, 7L), (3L, 2L, 7L), (3L, 3L, 7L))
+    assert(mk(flat)(3L) == ((3L, 0L, Some(0L))))
+    // single-point key has no pairs and drops
+    assert(!mk(Seq((4L, 1L, 1L))).contains(4L))
+  }
+
+  test("mannKendall matches a brute-force replay") {
+    val rnd = new scala.util.Random(42)
+    val rows = for (g <- 1L to 4L; x <- 1L to 20L)
+      yield (g, x, rnd.nextInt(8).toLong)
+    val got = mk(rows)
+    rows.groupBy(_._1).foreach { case (g, pts) =>
+      val ys = pts.sortBy(_._2).map(_._3)
+      val n = ys.length.toLong
+      val s = (for (i <- ys.indices; j <- i + 1 until ys.length)
+        yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+      val tie = ys.groupBy(identity).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val v18 = n * (n - 1) * (2 * n + 5) - tie
+      val z2 =
+        if (s == 0) Some(0L)
+        else if (v18 > 0)
+          Some((math.abs(s) - 1) * (math.abs(s) - 1) * 18L * 1000000L / v18)
+        else None
+      assert(got(g) == ((n, s, z2)), s"g=$g got=${got(g)}")
+    }
+  }
 }
