@@ -459,7 +459,11 @@ object ScaleProbe {
     // round-9 wave 20: Mann-Kendall = the q_trend_theilsen per-user
     // pair-join class (operator-level shuffle_hash pin; per-user pair
     // volume bounded by the <=744-hour x domain, users grow linearly)
-    "q_trend_mk" -> false
+    "q_trend_mk" -> false,
+    // round-9 wave 21: log-rank = the q_survival_km (type, user)
+    // min/max key class (same artifact flag); census + suffix-sum
+    // window + final agg all ride hash(g)
+    "q_logrank" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

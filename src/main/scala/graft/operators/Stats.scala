@@ -949,6 +949,52 @@ object Stats {
         expr("element_at(_s, _i + 2)").as("s_ppm"))
   }
 
+  /** Two-group log-rank test per group — [[kaplanMeier]] draws the two
+    * survival curves, this says whether they DIFFER: at each death time
+    * the observed group-1 deaths are compared with the hypergeometric
+    * expectation under H₀ (no difference),
+    *
+    *   E₁ += d·n₁/n,   Var += d·n₁·(n−n₁)·(n−d) / (n²·(n−1)),
+    *
+    * each per-time term floored to an exact integer ppm BEFORE summing
+    * (deterministic per row, so the sums are engine-exact), then
+    * z2_ppm = (10⁶·O₁ − E₁_ppm)² DIV Var_ppm  (ppm²/ppm = ppm), NULL when the
+    * variance is zero (one arm empty or no deaths). The intermediate
+    * products run in DECIMAL(38,0) (the [[abTestT2]] int128 stand-in):
+    * the variance numerator is bounded by 10⁶·n⁴ ≲ 10²⁶ at a million
+    * at-risk entities per group key.
+    *
+    * Scale shape: one (g, t) census aggregate, one suffix-sum window on
+    * the same hash(g) partitioning (risk sets), one final per-g
+    * aggregate — the [[kaplanMeier]] plan plus two columns; the census
+    * frame is |g|·|distinct t| rows (domain-bounded in days).
+    * Input cols: (g, t, d, v) — duration, observed 0/1, variant 0/1.
+    * Output: (g, o1, e1_ppm, v_ppm, z2_ppm). */
+  def logRank(per: DataFrame): DataFrame = {
+    val cen = per.groupBy(col("g"), col("t"))
+      .agg(count(lit(1)).as("cc"), sum(col("v")).as("cc1"),
+        sum(col("d")).as("dd"), sum(col("d") * col("v")).as("dd1"))
+    val wSuf = Window.partitionBy(col("g")).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = cen
+      .withColumn("nr", sum(col("cc")).over(wSuf))
+      .withColumn("nr1", sum(col("cc1")).over(wSuf))
+      .filter(col("dd") > 0)
+    risk.groupBy(col("g"))
+      .agg(sum(col("dd1")).as("o1"),
+        sum(expr("1000000 * dd * nr1 DIV nr")).as("e1_ppm"),
+        sum(expr(
+          """CASE WHEN nr > 1
+            |  THEN CAST(1000000 AS DECIMAL(38,0)) * dd * nr1 * (nr - nr1) * (nr - dd)
+            |       DIV (CAST(nr AS DECIMAL(38,0)) * nr * (nr - 1))
+            |  ELSE CAST(0 AS BIGINT) END""".stripMargin)).as("v_ppm"))
+      .withColumn("z2_ppm", when(col("v_ppm") > 0, expr(
+        """(CAST(1000000 AS DECIMAL(38,0)) * o1 - e1_ppm)
+          |  * (CAST(1000000 AS DECIMAL(38,0)) * o1 - e1_ppm)
+          |  DIV CAST(v_ppm AS DECIMAL(38,0))""".stripMargin)))
+      .select(col("g"), col("o1"), col("e1_ppm"), col("v_ppm"), col("z2_ppm"))
+  }
+
   /** One-way ANOVA F statistic over a BALANCED design — the k-arm
     * generalization of [[abTestT2]] (which only compares two variants):
     * are the per-entity metric means across k groups distinguishable at

@@ -5287,7 +5287,61 @@ object CoreQueries {
              |                 WHEN v18 > 0
              |                 THEN (abs(s) - 1) * (abs(s) - 1) * 18 * 1000000 // v18
              |            END AS BIGINT) AS z2_ppm
-             |FROM f ORDER BY user_id""".stripMargin))
+             |FROM f ORDER BY user_id""".stripMargin)),
+
+    // Two-group log-rank test per event stream — q_survival_km draws
+    // the curves, this says whether the even/odd-user variants DIFFER:
+    // at each death day the observed group-1 deaths are compared with
+    // the hypergeometric expectation over the shared risk set, each
+    // per-time E/Var term floored to exact ppm BEFORE summing (see
+    // Stats.logRank). Same lifetime/censoring construction as
+    // q_survival_km (first-to-last event days; active in the final 3
+    // days = censored). Completes the survival triad: KM curve,
+    // Nelson-Aalen hazard, log-rank comparison.
+    Q("q_logrank",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("user_id"), unix_micros(col("ts")).as("tus"))
+        val cut = ev.agg((max(col("tus")) - lit(3L * 86400000000L)).as("_cut"))
+        val per = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(min(col("tus")).as("_first"), max(col("tus")).as("_last"))
+          .crossJoin(broadcast(cut))
+          .select(col("event_type").as("g"),
+            expr("(_last - _first) DIV 86400000000").as("t"),
+            (col("_last") <= col("_cut")).cast("long").as("d"),
+            (col("user_id") % 2 === 1).cast("long").as("v"))
+        Stats.logRank(per)
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id, epoch_us(ts) AS tus FROM events),
+             |cut AS (SELECT max(tus) - 3*86400000000 AS c FROM ev),
+             |per AS (SELECT event_type AS g, user_id,
+             |               (max(tus) - min(tus)) // 86400000000 AS t,
+             |               CASE WHEN max(tus) <= (SELECT c FROM cut) THEN 1 ELSE 0 END AS d,
+             |               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS v
+             |        FROM ev GROUP BY 1, 2),
+             |cen AS (SELECT g, t, count(*) AS cc, sum(v) AS cc1,
+             |               sum(d) AS dd, sum(d * v) AS dd1
+             |        FROM per GROUP BY 1, 2),
+             |risk AS (SELECT g, t, dd, dd1,
+             |           sum(cc) OVER (PARTITION BY g ORDER BY t
+             |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nr,
+             |           sum(cc1) OVER (PARTITION BY g ORDER BY t
+             |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nr1
+             |         FROM cen),
+             |sagg AS (SELECT g, CAST(sum(dd1) AS BIGINT) AS o1,
+             |           CAST(sum(1000000 * dd * nr1 // nr) AS BIGINT) AS e1_ppm,
+             |           CAST(sum(CASE WHEN nr > 1
+             |             THEN CAST(1000000 AS HUGEINT) * dd * nr1 * (nr - nr1) * (nr - dd)
+             |                  // (CAST(nr AS HUGEINT) * nr * (nr - 1))
+             |             ELSE 0 END) AS BIGINT) AS v_ppm
+             |         FROM risk WHERE dd > 0 GROUP BY 1)
+             |SELECT g AS event_type, o1, e1_ppm, v_ppm,
+             |       CAST(CASE WHEN v_ppm > 0 THEN
+             |         (CAST(1000000 AS HUGEINT) * o1 - e1_ppm)
+             |           * (CAST(1000000 AS HUGEINT) * o1 - e1_ppm)
+             |           // CAST(v_ppm AS HUGEINT) END AS BIGINT) AS z2_ppm
+             |FROM sagg ORDER BY event_type""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact

@@ -932,6 +932,68 @@ class OperatorsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("logRank: hand-traced hypergeometric terms and z2 floor") {
+    import graft.operators.Stats
+    // (t, d, v): deaths at t=1 in both arms, censor at 2 (arm 0),
+    // death at 3 (arm 1), censor at 4 (arm 1)
+    val per = Seq(("m", 1L, 1L, 0L), ("m", 1L, 1L, 1L), ("m", 2L, 0L, 0L),
+      ("m", 3L, 1L, 1L), ("m", 4L, 0L, 1L)).toDF("g", "t", "d", "v")
+    val got = Stats.logRank(per)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    // t=1: nr=5, nr1=3, dd=2 -> e1 = floor(1e6*2*3/5) = 1,200,000,
+    //      var = floor(1e6*2*3*2*3/(25*4)) = 360,000
+    // t=3: nr=2, nr1=2, dd=1 -> e1 = 1,000,000, var = 0 (nr1 = nr)
+    // O1 = 2; z2 = (2e6 - 2.2e6)^2 DIV 360000 = 4e10/3.6e5 = 111,111
+    assert(got == Seq(("m", 2L, 2200000L, 360000L, Some(111111L))),
+      got.toString)
+  }
+
+  test("logRank: null z2 when one arm is empty; balanced identical arms score 0") {
+    import graft.operators.Stats
+    // every subject in arm 0 -> nr1 = 0 at every time -> Var = 0 -> NULL
+    val oneArm = Seq(("g", 1L, 1L, 0L), ("g", 2L, 1L, 0L)).toDF("g", "t", "d", "v")
+    val r1 = Stats.logRank(oneArm)
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    assert(r1._2 == 0L && r1._4 == 0L && r1._5.isEmpty, r1.toString)
+    // perfectly mirrored arms: O1 equals E1 exactly at every time
+    val mirrored = Seq(("g", 1L, 1L, 0L), ("g", 1L, 1L, 1L),
+      ("g", 2L, 1L, 0L), ("g", 2L, 1L, 1L)).toDF("g", "t", "d", "v")
+    val r2 = Stats.logRank(mirrored)
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    assert(r2._2 * 1000000L == r2._3 && r2._5.contains(0L), r2.toString)
+  }
+
+  test("logRank equals a brute per-time replay on random data") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(19)
+    val per = (1 to 300).map(_ =>
+      ("g", rnd.nextInt(15).toLong, rnd.nextInt(2).toLong, rnd.nextInt(2).toLong))
+    val got = Stats.logRank(per.toDF("g", "t", "d", "v"))
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    val byT = per.groupBy(_._2).toSeq.sortBy(_._1)
+    var (o1, e1, vv) = (0L, 0L, 0L)
+    byT.indices.foreach { i =>
+      val (t, rows) = byT(i)
+      val dd = rows.map(_._3).sum
+      val dd1 = rows.filter(_._4 == 1L).map(_._3).sum
+      val atRisk = byT.drop(i).flatMap(_._2)
+      val nr = atRisk.size.toLong
+      val nr1 = atRisk.count(_._4 == 1L).toLong
+      if (dd > 0) {
+        o1 += dd1
+        e1 += 1000000L * dd * nr1 / nr
+        if (nr > 1)
+          vv += (BigInt(1000000L) * dd * nr1 * (nr - nr1) * (nr - dd) /
+            (BigInt(nr) * nr * (nr - 1))).toLong
+      }
+    }
+    val z2 = if (vv > 0) {
+      val dppm = BigInt(1000000L) * o1 - e1
+      Some((dppm * dppm / vv).toLong)
+    } else None
+    assert(got == (("g", o1, e1, vv, z2)), s"got=$got want=${(o1, e1, vv, z2)}")
+  }
+
   test("kaplanMeier equals the sequential ppm-fold replay on random data") {
     import graft.operators.Stats
     val rnd = new scala.util.Random(83)
