@@ -529,7 +529,11 @@ object ScaleProbe {
     "q_assortativity",
     // round-9 wave 13: frequent triples — lineitem basket axis (the
     // q_assoc_rules class)
-    "q_assoc_triples")
+    "q_assoc_triples",
+    // round-9 wave 22: t-closeness audit — customer axis the replica
+    // does not carry (the q_l_diversity class; cell frame additionally
+    // domain-bounded at nations x segments x k-euro-bands)
+    "q_t_closeness")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -5341,7 +5341,93 @@ object CoreQueries {
              |         (CAST(1000000 AS HUGEINT) * o1 - e1_ppm)
              |           * (CAST(1000000 AS HUGEINT) * o1 - e1_ppm)
              |           // CAST(v_ppm AS HUGEINT) END AS BIGINT) AS z2_ppm
-             |FROM sagg ORDER BY event_type""".stripMargin))
+             |FROM sagg ORDER BY event_type""".stripMargin)),
+
+    // t-closeness audit — completes the release-privacy triad
+    // (q_k_anon: groups big enough; q_l_diversity: sensitive values
+    // varied enough; this: the group's sensitive DISTRIBUTION close
+    // enough to the global one that membership leaks nothing): per
+    // quasi-identifier group (nation, segment), the ordered-attribute
+    // EMD to the global account-band distribution,
+    //   EMD = Σ_i |cumP_i − cumQ_i| / (m − 1),
+    // cleared of fractions via |cumA_i·N − cumB_i·n_g| (exact integers
+    // per bin, summed, ONE final floor-division to ppm; DECIMAL(38,0)
+    // guards the ·10⁶ product). The cell frame is domain-bounded
+    // (nations × segments × k€-bands); the global cumulative is a
+    // broadcast band self-join, NOT an unpartitioned window; the
+    // per-group cumulative is a (nation, segment)-partitioned window.
+    // t = 0.2: emd_ppm > 200000 fails the release gate.
+    Q("q_t_closeness",
+      (s, dir) => {
+        val cell = Tables.customer(s, dir)
+          .groupBy(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("band"))
+          .agg(count(lit(1)).as("a"))
+        val bands = cell.groupBy(col("band")).agg(sum(col("a")).as("b"))
+        val groups = cell.groupBy(col("nation"), col("segment"))
+          .agg(sum(col("a")).as("n_members"))
+        val tot = bands.agg(sum(col("b")).as("nn"), count(lit(1)).as("m"))
+        val cumB = bands.as("x")
+          .join(broadcast(bands.as("y")), col("y.band") <= col("x.band"))
+          .groupBy(col("x.band").as("band")).agg(sum(col("y.b")).as("cb"))
+        val grid = groups.crossJoin(broadcast(bands.select(col("band"))))
+        val fa = grid.join(cell.select(col("nation"), col("segment"),
+            col("band"), col("a")), Seq("nation", "segment", "band"), "left")
+          .na.fill(0L, Seq("a"))
+        val wCum = Window.partitionBy(col("nation"), col("segment"))
+          .orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = fa.withColumn("ca", sum(col("a")).over(wCum))
+          .join(broadcast(cumB), Seq("band"))
+          .crossJoin(broadcast(tot))
+        cum.groupBy(col("nation"), col("segment"), col("n_members"))
+          .agg(sum(expr(
+            "abs(CAST(ca AS DECIMAL(38,0)) * nn - CAST(cb AS DECIMAL(38,0)) * n_members)"))
+            .as("_sd"), max(col("nn")).as("_nn"), max(col("m")).as("_m"))
+          .withColumn("emd_ppm", when(col("_m") > 1, expr(
+            """CAST(1000000 AS DECIMAL(38,0)) * _sd
+              |DIV (CAST(n_members AS DECIMAL(38,0)) * _nn * (_m - 1))""".stripMargin))
+            .otherwise(0L))
+          .select(col("nation"), col("segment"), col("n_members"),
+            col("emd_ppm"), (col("emd_ppm") <= 200000L).as("pass"))
+          .orderBy("nation", "segment")
+      },
+      Some("""WITH cell AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |                     c_mktsegment AS segment,
+             |                     CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             |                     count(*) AS a
+             |              FROM customer GROUP BY 1, 2, 3),
+             |bands AS (SELECT band, sum(a) AS b FROM cell GROUP BY 1),
+             |grp AS (SELECT nation, segment, sum(a) AS n_members
+             |        FROM cell GROUP BY 1, 2),
+             |tot AS (SELECT sum(b) AS nn, count(*) AS m FROM bands),
+             |cumb AS (SELECT x.band, sum(y.b) AS cb
+             |         FROM bands x JOIN bands y ON y.band <= x.band GROUP BY 1),
+             |grid AS (SELECT g.nation, g.segment, g.n_members, bands.band
+             |         FROM grp g CROSS JOIN bands),
+             |fa AS (SELECT gr.nation, gr.segment, gr.n_members, gr.band,
+             |              coalesce(cell.a, 0) AS a
+             |       FROM grid gr LEFT JOIN cell USING (nation, segment, band)),
+             |cum AS (SELECT nation, segment, n_members, band,
+             |               sum(a) OVER (PARTITION BY nation, segment ORDER BY band
+             |                            ROWS UNBOUNDED PRECEDING) AS ca
+             |        FROM fa),
+             |t AS (SELECT c.nation, c.segment, c.n_members,
+             |             sum(abs(CAST(c.ca AS HUGEINT) * tot.nn
+             |                     - CAST(cb.cb AS HUGEINT) * c.n_members)) AS sd,
+             |             max(tot.nn) AS tn, max(tot.m) AS m
+             |      FROM cum c JOIN cumb cb USING (band) CROSS JOIN tot
+             |      GROUP BY 1, 2, 3),
+             |e AS (SELECT nation, segment, n_members,
+             |             CAST(CASE WHEN m > 1
+             |               THEN 1000000 * sd
+             |                    // (CAST(n_members AS HUGEINT) * tn * (m - 1))
+             |               ELSE 0 END AS BIGINT) AS emd_ppm
+             |      FROM t)
+             |SELECT nation, segment, CAST(n_members AS BIGINT) AS n_members,
+             |       emd_ppm, emd_ppm <= 200000 AS pass
+             |FROM e ORDER BY nation, segment""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact
