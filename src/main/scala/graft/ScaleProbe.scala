@@ -463,7 +463,11 @@ object ScaleProbe {
     // round-9 wave 21: log-rank = the q_survival_km (type, user)
     // min/max key class (same artifact flag); census + suffix-sum
     // window + final agg all ride hash(g)
-    "q_logrank" -> true
+    "q_logrank" -> true,
+    // round-9 wave 23: Brown-Forsythe = the q_abtest (type, user)
+    // moment class plus the grouped-selection median pass (same
+    // artifact flag)
+    "q_levene" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

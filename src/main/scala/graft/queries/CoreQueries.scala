@@ -5427,7 +5427,76 @@ object CoreQueries {
              |      FROM t)
              |SELECT nation, segment, CAST(n_members AS BIGINT) AS n_members,
              |       emd_ppm, emd_ppm <= 200000 AS pass
-             |FROM e ORDER BY nation, segment""".stripMargin))
+             |FROM e ORDER BY nation, segment""".stripMargin)),
+
+    // Brown–Forsythe variance-equality test — the assumption check
+    // UNDER q_abtest's pooled t²: is the per-user total's SPREAD the
+    // same in both variants? z_iv = |x_iv − median(variant v)| (median,
+    // not mean — the robust Brown–Forsythe form), then the same pooled
+    // two-sample t² machinery on z (k = 2 arms ⇒ F = t²). The per-arm
+    // exact lower medians come from the GROUPED 2-pass selection (a
+    // rank window would funnel each (type, variant) through one task);
+    // the 10-row median frame broadcasts back onto the dense grid.
+    Q("q_levene",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val totals = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(totals, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("x"))
+          .withColumn("_gv", concat(col("event_type"), lit("|"),
+            (col("user_id") % 2).cast("string")))
+        val meds = Stats.groupedExactQuantiles(full, col("_gv"), "x",
+            Seq(50), binWidth = 100000L)
+          .select(col("g").as("_gv"), col("x").as("_med"))
+        val z = full.join(broadcast(meds), Seq("_gv"))
+          .withColumn("z", abs(col("x") - col("_med")))
+        Stats.abTestT2(z, col("event_type"), col("user_id"), col("z"))
+          .withColumnRenamed("g", "event_type")
+          .withColumnRenamed("mean_diff_sign", "spread_diff_sign")
+          .withColumnRenamed("t2_ppm", "bf_t2_ppm")
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) AS x
+             |           FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type, g.user_id, coalesce(t.x, 0) AS xt,
+             |             CASE WHEN g.user_id % 2 = 0 THEN 1 ELSE 0 END AS v
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |r AS (SELECT event_type, v, xt,
+             |             row_number() OVER (PARTITION BY event_type, v
+             |                                ORDER BY xt) AS rn,
+             |             count(*) OVER (PARTITION BY event_type, v) AS n
+             |      FROM p),
+             |med AS (SELECT event_type, v,
+             |               max(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT)
+             |                   THEN xt END) AS md
+             |        FROM r GROUP BY 1, 2),
+             |zz AS (SELECT p.event_type, p.user_id, abs(p.xt - med.md) AS z, p.v
+             |       FROM p JOIN med USING (event_type, v)),
+             |m AS (SELECT event_type, sum(v) AS n0, sum(1 - v) AS n1,
+             |             sum(z * v) AS s0, sum(z * (1 - v)) AS s1,
+             |             sum(CAST(z AS HUGEINT) * z * v) AS q0,
+             |             sum(CAST(z AS HUGEINT) * z * (1 - v)) AS q1
+             |      FROM zz GROUP BY 1),
+             |f AS (SELECT event_type, n0, n1, s0, s1,
+             |             CAST(s0 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n0 AS num,
+             |             n1 * (n0 * q0 - CAST(s0 AS HUGEINT) * s0) +
+             |             n0 * (n1 * q1 - CAST(s1 AS HUGEINT) * s1) AS ss
+             |      FROM m)
+             |SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             |       CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
+             |       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+             |            AS BIGINT) AS spread_diff_sign,
+             |       CAST(CASE WHEN n0 + n1 > 2 AND ss > 0
+             |            THEN (num * num * (n0 + n1 - 2) * 1000000) // (ss * (n0 + n1))
+             |            END AS BIGINT) AS bf_t2_ppm
+             |FROM f ORDER BY event_type""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact
