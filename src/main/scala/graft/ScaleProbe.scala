@@ -467,7 +467,11 @@ object ScaleProbe {
     // round-9 wave 23: Brown-Forsythe = the q_abtest (type, user)
     // moment class plus the grouped-selection median pass (same
     // artifact flag)
-    "q_levene" -> true
+    "q_levene" -> true,
+    // round-9 wave 24: exact-k group sample = one (type)-keyed window
+    // with the WindowGroupLimit k-heap pushdown; output fixed at
+    // 5 x 50 rows regardless of input size
+    "q_group_sample" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -5496,7 +5496,40 @@ object CoreQueries {
              |       CAST(CASE WHEN n0 + n1 > 2 AND ss > 0
              |            THEN (num * num * (n0 + n1 - 2) * 1000000) // (ss * (n0 + n1))
              |            END AS BIGINT) AS bf_t2_ppm
-             |FROM f ORDER BY event_type""".stripMargin))
+             |FROM f ORDER BY event_type""".stripMargin)),
+
+    // Deterministic EXACT-k per-group sample — the eval-set /
+    // debugging draw q_stratified_sample's hash-threshold cannot give
+    // (thresholds keep a FRACTION; audits and eval sets need exactly k
+    // rows per stratum): per event_type the k = 50 events with the
+    // smallest md5(event_id), reproducible across runs and engines.
+    // The rank rides ONE (event_type)-partitioned window and Spark's
+    // WindowGroupLimit pushes the rk <= 50 bound INSIDE the sort (each
+    // partition keeps a k-heap instead of fully sorting its group —
+    // asserted in PlanRulesSpec), so the full-table sort a naive
+    // per-group ORDER BY would need never happens.
+    Q("q_group_sample",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("_h"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), col("user_id"),
+            md5(col("event_id").cast("string")).as("_h"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 50)
+          .select(col("event_type"), col("rk").cast("long").as("rk"),
+            col("event_id"), col("user_id"))
+          .orderBy("event_type", "rk")
+      },
+      Some("""WITH h AS (SELECT event_type, event_id, user_id,
+             |                  md5(CAST(event_id AS VARCHAR)) AS hh
+             |           FROM events),
+             |r AS (SELECT event_type, event_id, user_id,
+             |             row_number() OVER (PARTITION BY event_type
+             |                                ORDER BY hh, event_id) AS rk
+             |      FROM h)
+             |SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, user_id
+             |FROM r WHERE rk <= 50 ORDER BY event_type, rk""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact

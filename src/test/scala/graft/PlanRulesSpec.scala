@@ -128,4 +128,15 @@ class PlanRulesSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"no dynamic pruning subquery in the scan:\n${plan.take(3000)}")
   }
+
+  test("q_group_sample: the rank bound pushes into the window as a group limit") {
+    val df = SparkEntry.queries("q_group_sample")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank <= k not pushed as WindowGroupLimit:\n${plan.take(3000)}")
+    // and the draw is exactly k per group on data with > k rows per group
+    val sizes = df.groupBy("event_type").count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(sizes.nonEmpty && sizes.forall(_ == 50L), sizes.toString)
+  }
 }
