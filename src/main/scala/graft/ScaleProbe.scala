@@ -471,7 +471,11 @@ object ScaleProbe {
     // round-9 wave 24: exact-k group sample = one (type)-keyed window
     // with the WindowGroupLimit k-heap pushdown; output fixed at
     // 5 x 50 rows regardless of input size
-    "q_group_sample" -> false
+    "q_group_sample" -> false,
+    // round-9 wave 25: blob shard packing = the q_pack_greedy
+    // metadata-fold class on the blob byte axis (only (doc_id,
+    // n_bytes) shuffles; content never moves)
+    "q_blob_pack" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

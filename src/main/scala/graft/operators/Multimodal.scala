@@ -60,6 +60,53 @@ object Multimodal {
         ascii(decode(col("content").substr(col("byte_offset").cast("int") + 1, lit(1)), "UTF-8"))
           .cast("long").as("frame_val"))
 
+  /** WebDataset-style shard-packing manifest — the write plan a
+    * multimodal trainer's archive builder consumes: blobs greedily
+    * packed, in deterministic (pack-group, doc_id) order, into shards
+    * holding at most `byteBudget` content bytes AND at most
+    * `maxPerShard` records (the tar-shard record cap); a blob larger
+    * than the budget ships ALONE in its own shard (the tar-writer
+    * convention — never split, never dropped). Output rows are
+    * (grp, shard_id, doc_id, n_bytes, byte_offset): the manifest a
+    * writer streams into one archive per (grp, shard_id).
+    *
+    * Scale shape: only (doc_id, n_bytes) metadata shuffles — blob
+    * CONTENT never moves; the sequential fold runs inside
+    * group-sorted partitions ([[graft.operators.Chunking.greedyPack]]'s
+    * mapPartitions idiom — no driver collect, no global window), and
+    * the md5-nibble pack groups bound each fold's span. More nibbles
+    * if a group outgrows a partition. */
+  def packBlobs(blobs: DataFrame, byteBudget: Long, maxPerShard: Int): DataFrame = {
+    require(byteBudget > 0, s"byteBudget must be positive: $byteBudget")
+    require(maxPerShard > 0, s"maxPerShard must be positive: $maxPerShard")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val meta = blobs.select(
+        col("doc_id").cast("long"),
+        Sampling.hashNibble(col("doc_id")).cast("int").as("grp"),
+        col("n_bytes").cast("long"))
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("doc_id"))
+    meta.select(col("grp"), col("doc_id"), col("n_bytes")).as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        var curGrp = -1
+        var shard = 0L
+        var fill = 0L
+        var cnt = 0L
+        it.map { case (grp, docId, n) =>
+          if (grp != curGrp) { curGrp = grp; shard = 0L; fill = 0L; cnt = 0L }
+          else if (fill + n > byteBudget || cnt == maxPerShard) {
+            shard += 1L; fill = 0L; cnt = 0L
+          }
+          val off = fill
+          fill += n
+          cnt += 1L
+          (grp, shard, docId, n, off)
+        }
+      }
+      .toDF("grp", "shard_id", "doc_id", "n_bytes", "byte_offset")
+  }
+
   /** Byte-level QC stats per blob — the codec-free corruption/quality
     * screen a multimodal ingest runs BEFORE any decode: a blob whose
     * byte distribution collapsed (one byte ≫ everything — zero padding,

@@ -4205,7 +4205,51 @@ object PipelineQueries {
            |       CAST(max(score_ppm) AS BIGINT) AS score_ppm
            |FROM sc GROUP BY 1, 2
            |ORDER BY score_ppm DESC, phrase LIMIT 30""".stripMargin
-      })
+      }),
+
+    // WebDataset-style shard packing for multimodal blobs — the
+    // archive-build manifest (q_pack_greedy packs token windows for a
+    // text trainer; THIS packs opaque blobs into byte-budgeted,
+    // record-capped shards for a multimodal loader): per md5-nibble
+    // pack group, greedy fold in doc order, <= 4096 content bytes AND
+    // <= 8 records per shard, oversized blobs alone in their own shard.
+    // Only (doc_id, n_bytes) metadata shuffles; blob content never
+    // moves (see Multimodal.packBlobs). The oracle replays the fold as
+    // a recursive CTE per group.
+    Q("q_blob_pack",
+      (s, dir) =>
+        graft.operators.Multimodal.packBlobs(
+          graft.operators.Multimodal.toBlobTable(
+            Tables.documents(s, dir), "doc_id", "text", "text"),
+          byteBudget = 4096L, maxPerShard = 8)
+          .orderBy("grp", "shard_id", "doc_id"),
+      Some("""WITH RECURSIVE m AS (
+             |  SELECT doc_id,
+             |         CAST(instr('0123456789abcdef',
+             |                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS grp,
+             |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+             |  FROM documents
+             |), ordered AS (
+             |  SELECT grp, doc_id, n_bytes,
+             |         row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+             |  FROM m
+             |), pack(grp, rn, doc_id, n_bytes, shard, fill, cnt) AS (
+             |  SELECT grp, rn, doc_id, n_bytes, CAST(0 AS BIGINT), n_bytes,
+             |         CAST(1 AS BIGINT)
+             |  FROM ordered WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.grp, o.rn, o.doc_id, o.n_bytes,
+             |         CASE WHEN p.fill + o.n_bytes <= 4096 AND p.cnt < 8
+             |              THEN p.shard ELSE p.shard + 1 END,
+             |         CASE WHEN p.fill + o.n_bytes <= 4096 AND p.cnt < 8
+             |              THEN p.fill + o.n_bytes ELSE o.n_bytes END,
+             |         CASE WHEN p.fill + o.n_bytes <= 4096 AND p.cnt < 8
+             |              THEN p.cnt + 1 ELSE CAST(1 AS BIGINT) END
+             |  FROM pack p JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1
+             |)
+             |SELECT grp, shard AS shard_id, doc_id, n_bytes,
+             |       fill - n_bytes AS byte_offset
+             |FROM pack ORDER BY grp, shard_id, doc_id""".stripMargin))
   )
 
   // `final` without a type annotation = compile-time constant, so it is
