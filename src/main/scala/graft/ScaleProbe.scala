@@ -475,7 +475,11 @@ object ScaleProbe {
     // round-9 wave 25: blob shard packing = the q_pack_greedy
     // metadata-fold class on the blob byte axis (only (doc_id,
     // n_bytes) shuffles; content never moves)
-    "q_blob_pack" -> false
+    "q_blob_pack" -> false,
+    // round-9 wave 26: balanced write split = two metadata shuffles
+    // (band totals + band-keyed cumsum window) on (key, nb) pairs —
+    // the q_shuffle_order banded-prefix-sum class
+    "q_write_split" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

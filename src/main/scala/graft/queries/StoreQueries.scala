@@ -1104,7 +1104,41 @@ object StoreQueries {
       },
       Some("""SELECT event_id, CAST(props->>'k' AS BIGINT) AS k,
              |       CAST(NULL AS BIGINT) AS k_missing
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Byte-balanced rewrite planning — the deterministic core of an
+    // OPTIMIZE job on a skewed-row-size table (q_compact's range
+    // sampler balances ROW COUNTS; a table where some rows are 100×
+    // bigger needs BYTE balance): every doc gets a target file id via
+    // the exact global byte prefix sum (banded two-pass — no
+    // single-partition sort; see Maintenance.balancedWriteSplit), and
+    // the per-file census proves the files are byte-even and
+    // key-contiguous (disjoint min/max ranges keep scan pruning alive
+    // after the rewrite).
+    Q("q_write_split",
+      (s, dir) => {
+        val m = Tables.documents(s, dir).select(
+          col("doc_id").cast("long").as("key"),
+          octet_length(col("text").cast("binary")).cast("long").as("nb"))
+        graft.store.Maintenance.balancedWriteSplit(m, nFiles = 8)
+          .groupBy(col("file_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("bytes"),
+            min(col("key")).as("min_doc"), max(col("key")).as("max_doc"))
+          .orderBy("file_id")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |                  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+             |           FROM documents),
+             |c AS (SELECT doc_id, nb,
+             |        sum(nb) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nb AS ce
+             |      FROM m),
+             |t AS (SELECT sum(nb) AS tot FROM m),
+             |f AS (SELECT doc_id, nb, CAST(ce * 8 // tot AS BIGINT) AS file_id
+             |      FROM c CROSS JOIN t)
+             |SELECT file_id, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(nb) AS BIGINT) AS bytes,
+             |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             |FROM f GROUP BY 1 ORDER BY file_id""".stripMargin))
   )
 
   /** Second, independent commit log for q_log_vacuum (the vacuum

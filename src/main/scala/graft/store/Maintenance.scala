@@ -17,6 +17,53 @@ import graft.sources.Tables
   */
 object Maintenance {
 
+  /** Byte-balanced output-file planner — the deterministic core of an
+    * OPTIMIZE/rewrite job: assign every row, in key order, a target
+    * file id so each of `nFiles` files carries as close to
+    * total/nFiles content bytes as row granularity allows. File
+    * boundaries are key-contiguous, so per-file min/max stats still
+    * prune range scans after the rewrite — [[compact]]'s range-sampled
+    * layout, but EXACT and engine-reproducible instead of
+    * sample-driven (a skewed row-size distribution defeats the row-count
+    * range sampler; this splits on bytes).
+    *
+    * file_id = (exclusive running byte total · nFiles) DIV grand
+    * total — a GLOBAL prefix sum computed without a single-partition
+    * sort: rows band by key range (one broadcast min/max), per-band
+    * byte totals come back as |bands| longs (the AQE-stats shape, not
+    * a data collect) and become exclusive offsets joined back
+    * broadcast, and the within-band cumsum is a band-partitioned
+    * window. Bands are key-contiguous, so (band, key) order IS global
+    * key order. Raise nBands if a band outgrows a partition.
+    *
+    * Input cols: (key, nb). Output: (key, nb, file_id). */
+  def balancedWriteSplit(rows: DataFrame, nFiles: Int, nBands: Int = 16): DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive: $nFiles")
+    require(nBands > 0, s"nBands must be positive: $nBands")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = rows.select(col("key").cast("long"), col("nb").cast("long"))
+    val rng = m.agg(min(col("key")).as("_lo"), max(col("key")).as("_hi"),
+      sum(col("nb")).as("_tot"))
+    val banded = m.crossJoin(broadcast(rng))
+      .withColumn("_band",
+        expr(s"CAST((key - _lo) * $nBands DIV (_hi - _lo + 1) AS INT)"))
+    val bandTotals = banded.groupBy(col("_band")).agg(sum(col("nb")).as("_bb"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offDf = bandTotals.map(_._1)
+      .zip(bandTotals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      .toSeq.toDF("_band", "_off")
+    val w = Window.partitionBy(col("_band")).orderBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offDf), Seq("_band"))
+      .withColumn("_ce", col("_off") + sum(col("nb")).over(w) - col("nb"))
+      .withColumn("file_id",
+        when(col("_tot") > 0, expr(s"CAST(_ce * $nFiles DIV _tot AS BIGINT)"))
+          .otherwise(0L))
+      .select(col("key"), col("nb"), col("file_id"))
+  }
+
   /** Rewrite a store into `targetFiles` range-sorted-by-`tsCol` files.
     *
     * repartitionByRange keeps each output file a contiguous time slice,

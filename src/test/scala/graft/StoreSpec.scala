@@ -443,4 +443,39 @@ class StoreSpec extends SparkSpec {
     MergeStore.checkpointAndVacuum(spark, path, upTo = 1, Seq("k"))
     assert(dirs() == Seq("commit_v=1", "commit_v=2") && state(2) == s2)
   }
+
+  test("balancedWriteSplit: exact byte prefix sum, balance, and contiguity") {
+    import graft.store.Maintenance
+    val rnd = new scala.util.Random(7)
+    // skewed sizes: mostly small rows, a few 100x whales
+    val rows = (1L to 500L).map(k =>
+      (k, if (k % 97 == 0) 5000L else rnd.nextInt(50).toLong + 1L))
+    val got = Maintenance.balancedWriteSplit(rows.toDF("key", "nb"), nFiles = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // brute global prefix sum replay
+    val tot = rows.map(_._2).sum
+    var ce = 0L
+    rows.zip(got).foreach { case ((k, nb), (gk, gnb, gf)) =>
+      assert(gk == k && gnb == nb, s"row order broke at $k")
+      assert(gf == ce * 8 / tot, s"file_id mismatch at key $k: got $gf")
+      ce += nb
+    }
+    // byte balance: every file within one max-row-size of the ideal slab
+    val byFile = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxRow = rows.map(_._2).max
+    byFile.values.foreach(b =>
+      assert(b <= tot / 8 + maxRow, s"file overfull: $byFile"))
+    // key contiguity: per-file [min,max] ranges are disjoint and ordered
+    val ranges = got.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (f, rs) => (f, rs.map(_._1).min, rs.map(_._1).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo, _)) => assert(hi < lo, ranges.toString)
+      case _ =>
+    }
+    // a different band count computes the SAME split (bands are an
+    // implementation detail of the prefix sum, not the result)
+    val alt = Maintenance.balancedWriteSplit(rows.toDF("key", "nb"), 8, nBands = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(alt.toSeq == got.toSeq)
+  }
 }
