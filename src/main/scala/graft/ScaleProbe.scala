@@ -479,7 +479,12 @@ object ScaleProbe {
     // round-9 wave 26: balanced write split = two metadata shuffles
     // (band totals + band-keyed cumsum window) on (key, nb) pairs —
     // the q_shuffle_order banded-prefix-sum class
-    "q_write_split" -> false
+    "q_write_split" -> false,
+    // round-9 wave 27: SAX motifs = one (user, hour) agg + one
+    // user-keyed lag window + a <=27-row census (the q_ewma_anomaly
+    // ordered-recurrence key class; breakpoint selection is the
+    // domain-bounded 2-pass histogram)
+    "q_sax_motifs" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -5498,6 +5498,61 @@ object CoreQueries {
              |            END AS BIGINT) AS bf_t2_ppm
              |FROM f ORDER BY event_type""".stripMargin)),
 
+    // SAX symbolization + motif census — the symbolic-aggregate-
+    // approximation view of the per-user hourly series: global exact
+    // tercile breakpoints (2-pass selection, rank = ceil(n·p/100) as
+    // EXACT integers — no float percent multiply on either side) map
+    // each (user, hour) total to a/b/c, then consecutive-observation
+    // trigrams are counted globally — the ≤27-row motif census that
+    // answers "what shapes does this telemetry make" without DTW's
+    // O(n²) per pair. One (user, hour) agg + one user-keyed lag window;
+    // breakpoints broadcast.
+    Q("q_sax_motifs",
+      (s, dir) => {
+        val startUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+        val h = Tables.events(s, dir)
+          .select(col("user_id").as("g"),
+            floor((unix_micros(col("ts")) - startUs) / 3600000000.0)
+              .cast("long").as("x"),
+            floor(col("value") * 1000).cast("long").as("m"))
+          .groupBy(col("g"), col("x")).agg(sum(col("m")).as("y"))
+        val bp = Stats.exactQuantilesSelect(h, "y", Seq(33, 67),
+            binWidth = 4096L)
+          .agg(max(when(col("pct") === 33, col("y"))).as("b1"),
+            max(when(col("pct") === 67, col("y"))).as("b2"))
+        val w = Window.partitionBy(col("g")).orderBy(col("x"))
+        h.crossJoin(broadcast(bp))
+          .withColumn("s", when(col("y") <= col("b1"), "a")
+            .when(col("y") <= col("b2"), "b").otherwise("c"))
+          .withColumn("motif", concat(lag(col("s"), 2).over(w),
+            lag(col("s"), 1).over(w), col("s")))
+          .filter(col("motif").isNotNull)
+          .groupBy(col("motif")).agg(count(lit(1)).as("n_occur"))
+          .orderBy("motif")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id AS g,
+             |         CAST(floor((epoch_us(ts) - 1704067200000000) / 3600000000.0) AS BIGINT) AS x,
+             |         CAST(floor(value * 1000) AS BIGINT) AS m
+             |  FROM events),
+             |h AS (SELECT g, x, sum(m) AS y FROM p GROUP BY 1, 2),
+             |r AS (SELECT y, row_number() OVER (ORDER BY y) AS rn,
+             |             count(*) OVER () AS n
+             |      FROM h),
+             |bp AS (SELECT max(CASE WHEN rn = (n * 33 + 99) // 100 THEN y END) AS b1,
+             |              max(CASE WHEN rn = (n * 67 + 99) // 100 THEN y END) AS b2
+             |       FROM r),
+             |sym AS (SELECT g, x,
+             |               CASE WHEN y <= b1 THEN 'a'
+             |                    WHEN y <= b2 THEN 'b' ELSE 'c' END AS s
+             |        FROM h CROSS JOIN bp),
+             |tri AS (SELECT g,
+             |               lag(s, 2) OVER w || lag(s, 1) OVER w || s AS motif
+             |        FROM sym WINDOW w AS (PARTITION BY g ORDER BY x))
+             |SELECT motif, CAST(count(*) AS BIGINT) AS n_occur
+             |FROM tri WHERE motif IS NOT NULL
+             |GROUP BY 1 ORDER BY motif""".stripMargin)),
+
     // Deterministic EXACT-k per-group sample — the eval-set /
     // debugging draw q_stratified_sample's hash-threshold cannot give
     // (thresholds keep a FRACTION; audits and eval sets need exactly k
