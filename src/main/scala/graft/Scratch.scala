@@ -172,7 +172,17 @@ object Scratch {
       "q_cramers_v" -> "Cramer's V: the chi2 grid rollup — margins cross-joined broadcast, one data-sized count pass",
       "q_trend_hw" -> "Holt-Winters: one (type, day) agg + group-collect + row-local triple-smoothing fold",
       "q_percentile_normalize" -> "percentile: histogram + triangular CDF join + broadcast back — NO single-partition WindowExec",
-      "q_attribution_markov" -> "markov attribution: ONE journey group-collect; absorption = driver math on the 42-long matrix")
+      "q_attribution_markov" -> "markov attribution: ONE journey group-collect; absorption = driver math on the 42-long matrix",
+      "q_mcnemar" -> "mcnemar: ONE (type,user) max-agg pass — discordant pairs only, no dense grid",
+      "q_bh_fdr" -> "BH-FDR: the q_abtest moment rollup + broadcast 5-row rank self-join — no unpartitioned window",
+      "q_trend_mk" -> "mann-kendall: shuffle-pinned per-user pair join; n/S/ties are three same-key aggs on hash(g)",
+      "q_logrank" -> "log-rank: one (type,user) min/max pass; hypergeometric terms on the domain-bounded (type,day) risk frame",
+      "q_t_closeness" -> "t-closeness: domain-bounded cell frame; global cumulative = broadcast band self-join, per-group cumulative = partitioned window",
+      "q_levene" -> "brown-forsythe: grouped 2-pass selection medians broadcast onto the dense grid + the q_abtest moment rollup",
+      "q_group_sample" -> "exact-k group sample: rank bound pushed as WindowGroupLimit (per-partition k-heap, no full group sort)",
+      "q_blob_pack" -> "blob shard packing: metadata-only (doc_id, n_bytes) shuffle; sequential fold inside group-sorted partitions",
+      "q_write_split" -> "balanced write split: banded exact byte prefix sum — band totals driver stat + band-keyed cumsum window, no global sort",
+      "q_sax_motifs" -> "SAX motifs: 2-pass selection breakpoints broadcast; symbols + trigram lag window reuse one hash(user) Exchange")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
