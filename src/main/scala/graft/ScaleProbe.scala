@@ -554,7 +554,11 @@ object ScaleProbe {
     // round-9 wave 22: t-closeness audit — customer axis the replica
     // does not carry (the q_l_diversity class; cell frame additionally
     // domain-bounded at nations x segments x k-euro-bands)
-    "q_t_closeness")
+    "q_t_closeness",
+    // round-9 wave 28: conductance runs on the lineitem co-purchase
+    // axis (the q_modularity class — identical frames, different
+    // final arithmetic)
+    "q_conductance")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -509,6 +509,45 @@ object Graph {
       .select(col("label"), col("n_nodes"), col("e_in"), col("d_tot"), col("q_ppm"))
   }
 
+  /** Community conductance — [[modularity]]'s cut-quality companion:
+    * modularity scores a partition against the random-graph null, while
+    * conductance reports each community's BOUNDARY leakiness directly,
+    *
+    *   φ(C) = cut(C) / min(vol(C), 2m − vol(C)),
+    *
+    * with cut(C) = vol(C) − 2·e_in(C) (edges with exactly one endpoint
+    * inside). Shipped as phi_ppm = 10⁶·cut DIV min(vol, 2m−vol), NULL
+    * when the min is 0 (the whole-graph community has no outside to
+    * leak to). A partition can score positive modularity yet carry one
+    * community with φ ≈ 1 — the merge candidate this view surfaces.
+    *
+    * Scale shape: IDENTICAL frames to [[modularity]] — two label tag
+    * joins on the edge list, one intra-edge count, one degree rollup,
+    * m on a 1-row broadcast; the verdict is O(communities) rows.
+    * Input: edges (u, v) undirected-deduped, labels (node, label). */
+  def conductance(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v")).distinct()
+    val tagged = und
+      .join(labels.select(col("node").as("u"), col("label").as("_lu")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("label").as("_lv")), Seq("v"))
+    val eIn = tagged.filter(col("_lu") === col("_lv"))
+      .groupBy(col("_lu").as("label")).agg(count(lit(1)).as("e_in"))
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("_d"))
+    val dTot = deg.join(labels, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("_d")).as("d_tot"))
+    val m = und.agg(count(lit(1)).as("_m"))
+    dTot.join(eIn, Seq("label"), "left").na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m))
+      .withColumn("cut", col("d_tot") - lit(2L) * col("e_in"))
+      .withColumn("_den", least(col("d_tot"), lit(2L) * col("_m") - col("d_tot")))
+      .withColumn("phi_ppm",
+        when(col("_den") > 0, expr("cut * 1000000 DIV _den")))
+      .select(col("label"), col("n_nodes"), col("e_in"), col("cut"),
+        col("phi_ppm"))
+  }
+
   /** Degree assortativity — does the graph wire hubs to hubs (social,
     * r > 0) or hubs to leaves (technological/biological, r < 0)?
     * Pearson correlation of endpoint degrees over the DIRECTED edge

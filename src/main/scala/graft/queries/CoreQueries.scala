@@ -4007,6 +4007,63 @@ object CoreQueries {
            |ORDER BY label""".stripMargin
       }),
 
+    // Community conductance of the SAME LPA partition q_modularity
+    // scores — the boundary-leakiness view (φ = cut/min(vol, 2m−vol)):
+    // modularity says the partition beats the random null overall;
+    // conductance names the specific communities whose cut edges make
+    // them merge candidates. Identical frames (tag joins, intra count,
+    // degree rollup), different final arithmetic; the oracle replays
+    // the same LPA rounds.
+    Q("q_conductance",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("u"), col("v"))
+        Graph.conductance(und, Graph.labelPropagation(und, rounds = 4))
+          .orderBy("label")
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""c$i AS MATERIALIZED (SELECT e.u, l.label, count(*) AS cnt
+             |  FROM e JOIN l${i - 1} l ON e.v = l.node GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (SELECT u AS node, label FROM (
+             |  SELECT u, label,
+             |         row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) AS rn
+             |  FROM c$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |und AS (SELECT a.p AS u, b.p AS v FROM lp a JOIN lp b
+           |        ON a.o = b.o AND a.p < b.p
+           |        GROUP BY 1, 2 HAVING count(*) >= 2),
+           |e AS MATERIALIZED (SELECT u, v FROM und UNION SELECT v, u FROM und),
+           |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e),
+           |$rounds,
+           |lab AS (SELECT node, label FROM l4),
+           |ein AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+           |        FROM und JOIN lab la ON und.u = la.node
+           |                 JOIN lab lb ON und.v = lb.node
+           |        WHERE la.label = lb.label GROUP BY 1),
+           |deg AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS d
+           |        FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+           |dt AS (SELECT lab.label, CAST(count(*) AS BIGINT) AS n_nodes,
+           |              CAST(sum(deg.d) AS BIGINT) AS d_tot
+           |       FROM deg JOIN lab USING (node) GROUP BY 1),
+           |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+           |f AS (SELECT dt.label, dt.n_nodes, coalesce(ein.e_in, 0) AS e_in,
+           |             dt.d_tot - 2 * coalesce(ein.e_in, 0) AS cut,
+           |             least(dt.d_tot, 2 * mm.m - dt.d_tot) AS den
+           |      FROM dt LEFT JOIN ein USING (label) CROSS JOIN mm)
+           |SELECT label, n_nodes, e_in, cut,
+           |       CAST(CASE WHEN den > 0 THEN cut * 1000000 // den END AS BIGINT)
+           |         AS phi_ppm
+           |FROM f ORDER BY label""".stripMargin
+      }),
+
     // Gini concentration of per-user spend per event type — the
     // inequality census ("do 1% of users drive 90% of volume?"),
     // computed EXACTLY from the binned-total histogram so no

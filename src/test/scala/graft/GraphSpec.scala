@@ -338,4 +338,33 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Option[Long])].collect().head
     assert(g2 == ((8L, 0L, None)), g2.toString)
   }
+
+  test("conductance: bridged triangles leak 1/7 each; whole graph is NULL") {
+    // two triangles joined by one bridge edge (3-4): per community
+    // e_in = 3, vol = 7 (bridge endpoint has degree 3), cut = 1,
+    // 2m = 14 -> min(7, 7) = 7 -> phi = floor(1e6/7) = 142857
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val got = Graph.conductance(edges, labels)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(10L) == ((3L, 3L, 1L, Some(142857L))), got.toString)
+    assert(got(20L) == ((3L, 3L, 1L, Some(142857L))), got.toString)
+    // one whole-graph community: cut = 0 and min(vol, 2m-vol) = 0 -> NULL
+    val one = labels.select($"node",
+      org.apache.spark.sql.functions.lit(1L).as("label"))
+    val g1 = Graph.conductance(edges, one)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(g1._4 == 0L && g1._5.isEmpty, g1.toString)
+    // a deliberately bad cut (node 3 swapped into the far community)
+    // must read leakier than the natural one
+    val bad = Seq((1L, 10L), (2L, 10L), (3L, 20L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val gb = Graph.conductance(edges, bad)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(gb(10L).exists(_ > 142857L), gb.toString)
+  }
 }
