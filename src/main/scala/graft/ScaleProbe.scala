@@ -484,7 +484,11 @@ object ScaleProbe {
     // user-keyed lag window + a <=27-row census (the q_ewma_anomaly
     // ordered-recurrence key class; breakpoint selection is the
     // domain-bounded 2-pass histogram)
-    "q_sax_motifs" -> false
+    "q_sax_motifs" -> false,
+    // round-9 wave 29: Zipf head coverage = one token-explode agg +
+    // two TakeOrdered top-1000 runs + broadcast 1000-row rank join
+    // (the q_vocab_topdf class)
+    "q_vocab_coverage" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -4249,7 +4249,62 @@ object PipelineQueries {
              |)
              |SELECT grp, shard AS shard_id, doc_id, n_bytes,
              |       fill - n_bytes AS byte_offset
-             |FROM pack ORDER BY grp, shard_id, doc_id""".stripMargin))
+             |FROM pack ORDER BY grp, shard_id, doc_id""".stripMargin)),
+
+    // Zipf head-coverage curve — the tokenizer-budget planning number
+    // ("how much of the corpus do the k most frequent types cover?"):
+    // occurrence counts per type, then coverage at k = 10/100/1000 in
+    // exact ppm of total occurrences. The head is a TakeOrdered
+    // top-1000 (never a global sort); ranks within the 1000-row head
+    // ride the broadcast rank self-join (no unpartitioned window);
+    // totals broadcast 1-row. One token-explode aggregate is the only
+    // data-sized pass.
+    Q("q_vocab_coverage",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val tot = tf.agg(sum(col("cnt")).as("total_tokens"),
+          count(lit(1)).as("n_vocab"))
+        def top = tf.orderBy(col("cnt").desc, col("tok")).limit(1000)
+        val ranked = top.as("a")
+          .join(broadcast(top.as("b")),
+            col("b.cnt") > col("a.cnt") ||
+              (col("b.cnt") === col("a.cnt") && col("b.tok") < col("a.tok")),
+            "left")
+          .groupBy(col("a.tok").as("tok"), col("a.cnt").as("cnt"))
+          .agg((count(col("b.tok")) + 1L).as("rk"))
+        ranked.agg(
+            sum(when(col("rk") <= 10, col("cnt")).otherwise(0L)).as("cov10"),
+            sum(when(col("rk") <= 100, col("cnt")).otherwise(0L)).as("cov100"),
+            sum(when(col("rk") <= 1000, col("cnt")).otherwise(0L)).as("cov1000"))
+          .crossJoin(broadcast(tot))
+          .select(col("n_vocab"), col("total_tokens"),
+            col("cov10"), col("cov100"), col("cov1000"),
+            expr("cov10 * 1000000 DIV total_tokens").as("cov10_ppm"),
+            expr("cov100 * 1000000 DIV total_tokens").as("cov100_ppm"),
+            expr("cov1000 * 1000000 DIV total_tokens").as("cov1000_ppm"))
+      },
+      Some("""WITH tf AS (SELECT tok, count(*) AS cnt
+             |            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+             |                  FROM documents)
+             |            GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+             |               CAST(count(*) AS BIGINT) AS n_vocab
+             |        FROM tf),
+             |r AS (SELECT tok, cnt,
+             |             row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+             |      FROM tf),
+             |cov AS (SELECT
+             |    CAST(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS cov10,
+             |    CAST(sum(CASE WHEN rk <= 100 THEN cnt ELSE 0 END) AS BIGINT) AS cov100,
+             |    CAST(sum(CASE WHEN rk <= 1000 THEN cnt ELSE 0 END) AS BIGINT) AS cov1000
+             |  FROM r WHERE rk <= 1000)
+             |SELECT n_vocab, total_tokens, cov10, cov100, cov1000,
+             |       cov10 * 1000000 // total_tokens AS cov10_ppm,
+             |       cov100 * 1000000 // total_tokens AS cov100_ppm,
+             |       cov1000 * 1000000 // total_tokens AS cov1000_ppm
+             |FROM cov CROSS JOIN tot""".stripMargin))
   )
 
   // `final` without a type annotation = compile-time constant, so it is
