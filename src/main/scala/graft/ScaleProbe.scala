@@ -488,7 +488,14 @@ object ScaleProbe {
     // round-9 wave 29: Zipf head coverage = one token-explode agg +
     // two TakeOrdered top-1000 runs + broadcast 1000-row rank join
     // (the q_vocab_topdf class)
-    "q_vocab_coverage" -> false
+    "q_vocab_coverage" -> false,
+    // round-9 wave 30: novelty decay = one md5 first-occurrence agg +
+    // hash join + 10-row census (the q_dedup_exact key class — hashes
+    // shuffle, text never does); JL audit = row-local codegen
+    // projection + fixed 5-query broadcast pairs (the q_ann_recall
+    // class)
+    "q_novelty_decay" -> false,
+    "q_jl_project" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

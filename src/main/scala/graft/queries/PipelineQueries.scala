@@ -25,6 +25,16 @@ object PipelineQueries {
   private val RowsPerBand = 4
   private val JaccardThresholdPpm = 800000L
 
+  /** Fixed ±1 Johnson-Lindenstrauss sign matrix (8 outputs × 64 dims),
+    * md5-derived at class init — the ONE source of truth that emits
+    * both q_jl_project's engine expressions and its oracle SQL, so the
+    * two engines multiply identical integers. */
+  private lazy val JlSigns: Array[Array[Int]] = Array.tabulate(8, 64) { (k, j) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"jl_${k}_$j".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1 else -1
+  }
+
   /** DuckDB-side word-3-shingle set (mirrors Dedup.wordShingles(_, 3)). */
   private val duckShingles =
     """SELECT doc_id,
@@ -4304,7 +4314,111 @@ object PipelineQueries {
              |       cov10 * 1000000 // total_tokens AS cov10_ppm,
              |       cov100 * 1000000 // total_tokens AS cov100_ppm,
              |       cov1000 * 1000000 // total_tokens AS cov1000_ppm
-             |FROM cov CROSS JOIN tot""".stripMargin))
+             |FROM cov CROSS JOIN tot""".stripMargin)),
+
+    // Novelty-decay curve — the ingest-planning view of dedup ("how
+    // fast does new data stop being new?"): per ingest decile (doc_id
+    // range split off a broadcast min/max), the fraction of docs whose
+    // exact text hash already occurred in an EARLIER doc. A corpus
+    // whose tail deciles run hot is the signal to move dedup upstream
+    // of storage. One md5 group (first-occurrence min) + one join +
+    // one 10-row census; text never shuffles (hashes do).
+    Q("q_novelty_decay",
+      (s, dir) => {
+        val m = Tables.documents(s, dir).select(
+          col("doc_id").cast("long"),
+          md5(col("text").cast("binary")).as("h"))
+        val rng = m.agg(min(col("doc_id")).as("_lo"), max(col("doc_id")).as("_hi"))
+        val first = m.groupBy(col("h")).agg(min(col("doc_id")).as("_first"))
+        m.join(first, Seq("h"))
+          .crossJoin(broadcast(rng))
+          .withColumn("decile",
+            expr("CAST((doc_id - _lo) * 10 DIV (_hi - _lo + 1) AS BIGINT)"))
+          .withColumn("_dup", (col("doc_id") > col("_first")).cast("long"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("_dup")).as("n_dup"))
+          .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_docs"))
+          .orderBy("decile")
+      },
+      Some("""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+             |rng AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM m),
+             |f AS (SELECT h, min(doc_id) AS first_id FROM m GROUP BY 1),
+             |d AS (SELECT m.doc_id,
+             |             CAST((m.doc_id - rng.lo) * 10 // (rng.hi - rng.lo + 1)
+             |                  AS BIGINT) AS decile,
+             |             CASE WHEN m.doc_id > f.first_id THEN 1 ELSE 0 END AS dup
+             |      FROM m JOIN f USING (h) CROSS JOIN rng)
+             |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(dup) AS BIGINT) AS n_dup,
+             |       CAST(sum(dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+             |FROM d GROUP BY 1 ORDER BY decile""".stripMargin)),
+
+    // Johnson-Lindenstrauss distortion audit — the go/no-go check
+    // before swapping 64-dim distances for an 8-dim sketch: project
+    // every mils-quantized vector through a FIXED ±1 sign matrix
+    // (md5-derived at class init — one source of truth emits both the
+    // engine expressions and the oracle SQL literals, so the two
+    // engines multiply identical integers) and report, per probe
+    // query, the min/max/mean of 10⁶·‖Δy‖²/(8·‖Δv‖²) over all
+    // corpus pairs (expectation 10⁶ under JL). The projection is 8
+    // codegen'd 64-term integer sums — no explode, no matrix join;
+    // pairs ride the fixed 5-query broadcast (the q_ann_recall shape).
+    Q("q_jl_project",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("v"))
+        val withY = base.select(
+          col("vec_id") +: col("v") +: (0 until 8).map { k =>
+            val terms = (0 until 64).map(j =>
+              s"${if (JlSigns(k)(j) > 0) "+" else "-"} element_at(v, ${j + 1})")
+              .mkString(" ")
+            expr(s"CAST(0 AS BIGINT) $terms").as(s"y$k")
+          }: _*)
+        val qs = withY.filter(col("vec_id") < 5).select(
+          col("vec_id").as("q_id") +: col("v").as("qv") +:
+            (0 until 8).map(k => col(s"y$k").as(s"qy$k")): _*)
+        val p2 = (0 until 8).map(k => s"(qy$k - y$k) * (qy$k - y$k)")
+          .mkString(" + ")
+        withY.filter(col("vec_id") >= 5).crossJoin(broadcast(qs))
+          .withColumn("d2", expr(
+            """aggregate(zip_with(qv, v, (a, b) -> (a - b) * (a - b)),
+              |          CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+          .filter(col("d2") > 0)
+          .withColumn("ratio_ppm", expr(s"($p2) * 1000000 DIV (8 * d2)"))
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("ratio_ppm")).as("min_ratio_ppm"),
+            max(col("ratio_ppm")).as("max_ratio_ppm"),
+            expr("sum(ratio_ppm) DIV count(1)").as("mean_ratio_ppm"))
+          .orderBy("q_id")
+      },
+      Some {
+        def yExpr(k: Int) = "CAST(0 AS BIGINT) " + (0 until 64).map(j =>
+          s"${if (JlSigns(k)(j) > 0) "+" else "-"} v[${j + 1}]").mkString(" ")
+        val d2 = (1 to 64).map(j =>
+          s"(b.v[$j] - a.v[$j]) * (b.v[$j] - a.v[$j])").mkString(" + ")
+        val p2 = (0 until 8).map(k =>
+          s"(b.y$k - a.y$k) * (b.y$k - a.y$k)").mkString(" + ")
+        s"""WITH q AS (SELECT vec_id,
+           |             list_transform(embedding::DOUBLE[],
+           |               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+           |           FROM embeddings),
+           |y AS (SELECT vec_id, v,
+           |             ${(0 until 8).map(k => yExpr(k) + s" AS y$k").mkString(",\n             ")}
+           |      FROM q),
+           |p AS (SELECT b.vec_id AS q_id, a.vec_id AS d_id,
+           |             $d2 AS d2,
+           |             $p2 AS p2
+           |      FROM y a JOIN y b ON a.vec_id >= 5 AND b.vec_id < 5),
+           |r AS (SELECT q_id, p2 * 1000000 // (8 * d2) AS ratio_ppm
+           |      FROM p WHERE d2 > 0)
+           |SELECT q_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           |       min(ratio_ppm) AS min_ratio_ppm,
+           |       max(ratio_ppm) AS max_ratio_ppm,
+           |       CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS mean_ratio_ppm
+           |FROM r GROUP BY 1 ORDER BY q_id""".stripMargin
+      })
   )
 
   // `final` without a type annotation = compile-time constant, so it is
