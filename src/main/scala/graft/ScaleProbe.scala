@@ -495,7 +495,14 @@ object ScaleProbe {
     // projection + fixed 5-query broadcast pairs (the q_ann_recall
     // class)
     "q_novelty_decay" -> false,
-    "q_jl_project" -> false
+    "q_jl_project" -> false,
+    // round-9 wave 31: co-location pairs grow ~25x BY PHYSICS on a
+    // densified corpus (5x users in the same cells and hours -> 25x
+    // co-present pairs — the q_spatial_join density class, occupancy-
+    // bounded per (cell, bin) key); turning census = ONE user-keyed
+    // two-lag window (the q_traj_velocity shape)
+    "q_colocation" -> true,
+    "q_turning" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

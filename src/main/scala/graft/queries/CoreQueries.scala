@@ -3062,6 +3062,89 @@ object CoreQueries {
              |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 100
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Spatio-temporal co-location (the contact-tracing / co-travel
+    // shape — q_spatial_join is space-only; adding the time bin is
+    // what makes it a CONTACT): distinct user pairs sharing a 200-mil
+    // grid cell within the same hour bin, support >= 2 distinct
+    // (cell, bin) co-occurrences, top-20. Presence dedups to one row
+    // per (user, cell, bin) BEFORE the pair join, so per-key pair
+    // volume is C(occupancy, 2) — bounded by cell-bin occupancy like
+    // every blocked candidate generator here, never users².
+    Q("q_colocation",
+      (s, dir) => {
+        val binned = eventPoints(s, dir).select(col("user_id"),
+            (col("x") / 200).cast("long").as("cx"),
+            (col("y") / 200).cast("long").as("cy"),
+            (col("ts_us") / 3600000000L).cast("long").as("tb")).distinct()
+        binned.as("a")
+          .join(binned.as("b"),
+            col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
+              col("a.tb") === col("b.tb") &&
+              col("a.user_id") < col("b.user_id"))
+          .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+          .agg(count(lit(1)).as("n_contacts"))
+          .filter(col("n_contacts") >= 2)
+          .orderBy(col("n_contacts").desc, col("u"), col("v"))
+          .limit(20)
+      },
+      Some("""WITH p AS (SELECT DISTINCT user_id,
+             |    ((event_id*event_id)%1000003*37 + event_id*101)%1000 // 200 AS cx,
+             |    ((event_id*event_id)%999983*73 + event_id*211)%1000 // 200 AS cy,
+             |    epoch_us(ts) // 3600000000 AS tb
+             |  FROM events),
+             |c AS (SELECT a.user_id AS u, b.user_id AS v,
+             |             CAST(count(*) AS BIGINT) AS n_contacts
+             |      FROM p a JOIN p b
+             |        ON a.cx = b.cx AND a.cy = b.cy AND a.tb = b.tb
+             |       AND a.user_id < b.user_id
+             |      GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT u, v, n_contacts
+             |FROM c ORDER BY n_contacts DESC, u, v LIMIT 20""".stripMargin)),
+
+    // Turning-direction census per user — the trajectory-shape
+    // diagnostic (a commuter's track turns rarely; a wanderer's
+    // constantly): sign of the integer cross product of consecutive
+    // displacement vectors over the (ts, event_id)-ordered track.
+    // ONE user-keyed window pass (two lags), exact — no atan2, no
+    // floats anywhere.
+    Q("q_turning",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        eventPoints(s, dir)
+          .withColumn("px", lag(col("x"), 1).over(w))
+          .withColumn("py", lag(col("y"), 1).over(w))
+          .withColumn("ppx", lag(col("x"), 2).over(w))
+          .withColumn("ppy", lag(col("y"), 2).over(w))
+          .filter(col("ppx").isNotNull)
+          .withColumn("_cr",
+            (col("px") - col("ppx")) * (col("y") - col("py")) -
+              (col("py") - col("ppy")) * (col("x") - col("px")))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_turns"),
+            sum((col("_cr") > 0).cast("long")).as("n_left"),
+            sum((col("_cr") < 0).cast("long")).as("n_right"),
+            sum((col("_cr") === 0).cast("long")).as("n_straight"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    ((event_id*event_id)%1000003*37 + event_id*101)%1000 AS x,
+             |    ((event_id*event_id)%999983*73 + event_id*211)%1000 AS y
+             |  FROM events),
+             |l AS (SELECT user_id,
+             |             lag(x, 1) OVER w AS px, lag(y, 1) OVER w AS py,
+             |             lag(x, 2) OVER w AS ppx, lag(y, 2) OVER w AS ppy,
+             |             x, y
+             |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |c AS (SELECT user_id,
+             |             (px - ppx) * (y - py) - (py - ppy) * (x - px) AS cr
+             |      FROM l WHERE ppx IS NOT NULL)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+             |       CAST(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+             |       CAST(sum(CASE WHEN cr < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+             |       CAST(sum(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straight
+             |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     // Bounded-radius nearest-neighbor join: every event point snaps to
     // its nearest of 500 sites within L2 radius 25 (exact by the 3x3
     // neighborhood argument — cell size = radius), winner by (dist²,
