@@ -502,7 +502,11 @@ object ScaleProbe {
     // bounded per (cell, bin) key); turning census = ONE user-keyed
     // two-lag window (the q_traj_velocity shape)
     "q_colocation" -> true,
-    "q_turning" -> false
+    "q_turning" -> false,
+    // round-9 wave 32: dominant period = acfPpm's single hash(user)
+    // Exchange on the hourly series + row-local argmax (the q_acf
+    // class)
+    "q_dominant_period" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -3062,6 +3062,86 @@ object CoreQueries {
              |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 100
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Dominant-period detection — the "does this telemetry have a
+    // rhythm, and what is it" readout q_acf leaves to the reader:
+    // engine-exact ACF at lags 1..6 on the per-user HOURLY series
+    // (regular grid — periodicity on raw irregular events is
+    // meaningless), then argmax over lags 2..6 (lag 1 is trivially
+    // high for any smooth series; ties break to the smallest lag).
+    // The argmax is a row-local greatest/CASE chain on the per-user
+    // ACF row — no rank, no window, no extra shuffle beyond acfPpm's
+    // single hash(user) Exchange.
+    Q("q_dominant_period",
+      (s, dir) => {
+        val startUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+        val h = Tables.events(s, dir)
+          .select(col("user_id").as("g"),
+            floor((unix_micros(col("ts")) - startUs) / 3600000000.0)
+              .cast("long").as("x"),
+            floor(col("value") * 1000).cast("long").as("m"))
+          .groupBy(col("g"), col("x")).agg(sum(col("m")).as("y"))
+        TimeSeries.acfPpm(h, col("g"), col("x"), col("x"), col("y"), maxLag = 6)
+          .withColumn("best_acf_ppm", greatest(
+            col("acf2_ppm"), col("acf3_ppm"), col("acf4_ppm"),
+            col("acf5_ppm"), col("acf6_ppm")))
+          .withColumn("best_lag",
+            when(col("acf2_ppm") === col("best_acf_ppm"), 2L)
+              .when(col("acf3_ppm") === col("best_acf_ppm"), 3L)
+              .when(col("acf4_ppm") === col("best_acf_ppm"), 4L)
+              .when(col("acf5_ppm") === col("best_acf_ppm"), 5L)
+              .otherwise(6L))
+          .select(col("key").as("user_id"), col("n"), col("best_lag"),
+            col("best_acf_ppm"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id AS g,
+             |         CAST(floor((epoch_us(ts) - 1704067200000000) / 3600000000.0) AS BIGINT) AS x,
+             |         CAST(floor(value * 1000) AS BIGINT) AS m
+             |  FROM events),
+             |h AS (SELECT g, x, sum(m) AS y FROM p GROUP BY 1, 2),
+             |tot AS (SELECT g, count(*) AS n, sum(y) AS s FROM h GROUP BY 1),
+             |d AS (SELECT h.g, x, CAST(tot.n AS HUGEINT) * y - tot.s AS dev, tot.n
+             |      FROM h JOIN tot ON h.g = tot.g),
+             |l AS (SELECT g, n, dev,
+             |        lag(dev, 2) OVER w AS d2, lag(dev, 3) OVER w AS d3,
+             |        lag(dev, 4) OVER w AS d4, lag(dev, 5) OVER w AS d5,
+             |        lag(dev, 6) OVER w AS d6
+             |      FROM d WINDOW w AS (PARTITION BY g ORDER BY x)),
+             |a AS (SELECT g, max(n) AS n, sum(dev*dev) AS den,
+             |             coalesce(sum(dev*d2), 0) AS n2,
+             |             coalesce(sum(dev*d3), 0) AS n3,
+             |             coalesce(sum(dev*d4), 0) AS n4,
+             |             coalesce(sum(dev*d5), 0) AS n5,
+             |             coalesce(sum(dev*d6), 0) AS n6
+             |      FROM l GROUP BY 1),
+             |f AS (SELECT g, n,
+             |  CAST(CASE WHEN den > 0 THEN (CASE WHEN n2 < 0
+             |       THEN -(abs(n2)*1000000 // den) ELSE n2*1000000 // den END)
+             |       ELSE 0 END AS BIGINT) AS a2,
+             |  CAST(CASE WHEN den > 0 THEN (CASE WHEN n3 < 0
+             |       THEN -(abs(n3)*1000000 // den) ELSE n3*1000000 // den END)
+             |       ELSE 0 END AS BIGINT) AS a3,
+             |  CAST(CASE WHEN den > 0 THEN (CASE WHEN n4 < 0
+             |       THEN -(abs(n4)*1000000 // den) ELSE n4*1000000 // den END)
+             |       ELSE 0 END AS BIGINT) AS a4,
+             |  CAST(CASE WHEN den > 0 THEN (CASE WHEN n5 < 0
+             |       THEN -(abs(n5)*1000000 // den) ELSE n5*1000000 // den END)
+             |       ELSE 0 END AS BIGINT) AS a5,
+             |  CAST(CASE WHEN den > 0 THEN (CASE WHEN n6 < 0
+             |       THEN -(abs(n6)*1000000 // den) ELSE n6*1000000 // den END)
+             |       ELSE 0 END AS BIGINT) AS a6
+             |  FROM a),
+             |b AS (SELECT g, n, greatest(a2, a3, a4, a5, a6) AS best,
+             |             a2, a3, a4, a5, a6
+             |      FROM f)
+             |SELECT g AS user_id, CAST(n AS BIGINT) AS n,
+             |       CAST(CASE WHEN a2 = best THEN 2 WHEN a3 = best THEN 3
+             |                 WHEN a4 = best THEN 4 WHEN a5 = best THEN 5
+             |                 ELSE 6 END AS BIGINT) AS best_lag,
+             |       best AS best_acf_ppm
+             |FROM b ORDER BY user_id""".stripMargin)),
+
     // Spatio-temporal co-location (the contact-tracing / co-travel
     // shape — q_spatial_join is space-only; adding the time bin is
     // what makes it a CONTACT): distinct user pairs sharing a 200-mil
