@@ -504,9 +504,12 @@ object ScaleProbe {
     "q_colocation" -> true,
     "q_turning" -> false,
     // round-9 wave 32: dominant period = acfPpm's single hash(user)
-    // Exchange on the hourly series + row-local argmax (the q_acf
-    // class)
-    "q_dominant_period" -> false
+    // Exchange + row-local argmax, but on the (user, hour) AGGREGATED
+    // series — the upstream hourly groupBy carries the established
+    // (user, hour)-keyed partial-agg base-single-split layout
+    // artifact (q_active_users class; measured 12.1x on 4.1 -> 49.7
+    // MB absolute, matched layouts => linear)
+    "q_dominant_period" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
