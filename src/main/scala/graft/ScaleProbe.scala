@@ -509,7 +509,11 @@ object ScaleProbe {
     // (user, hour)-keyed partial-agg base-single-split layout
     // artifact (q_active_users class; measured 12.1x on 4.1 -> 49.7
     // MB absolute, matched layouts => linear)
-    "q_dominant_period" -> true
+    "q_dominant_period" -> true,
+    // round-9 wave 33: IPS policy eval = two conditional map-side
+    // aggregates + a 1-row TakeOrdered policy broadcast (the
+    // q_diff_in_diff near-zero-shuffle class)
+    "q_ips_eval" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -3062,6 +3062,72 @@ object CoreQueries {
              |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 100
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Offline policy evaluation (IPS) — the counterfactual question a
+    // logged dataset can answer BEFORE an online test: "had we always
+    // shown the historically-best event type, what conversion would we
+    // have seen?" Greedy target policy fit on the first half of the
+    // month (argmax conversion rate, ties to the lexicographically
+    // first type); evaluated on the second half two ways — the direct
+    // method (realized conversion of the chosen arm) and the
+    // inverse-propensity estimate 5·Σ_{a=π} r / n (the logged arm is
+    // modeled uniform over the 5 types, so 1/p = 5). Exact ppm; the
+    // fitted policy is a 1-row TakeOrdered broadcast; two conditional
+    // aggregates are the only data-sized passes.
+    Q("q_ips_eval",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          (col("value") > 250.0).cast("long").as("r"),
+          dayofmonth(col("ts")).as("d"))
+        val best = ev.filter(col("d") <= 15)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("_n"), sum(col("r")).as("_c"))
+          .withColumn("_rate_ppm", expr("_c * 1000000 DIV _n"))
+          .orderBy(col("_rate_ppm").desc, col("event_type"))
+          .limit(1)
+          .select(col("event_type").as("best_type"),
+            col("_rate_ppm").as("train_rate_ppm"))
+        ev.filter(col("d") > 15).crossJoin(broadcast(best))
+          .agg(max(col("best_type")).as("best_type"),
+            max(col("train_rate_ppm")).as("train_rate_ppm"),
+            count(lit(1)).as("n_eval"),
+            sum(col("r")).as("_logged_conv"),
+            sum(when(col("event_type") === col("best_type"), 1L)
+              .otherwise(0L)).as("_n_match"),
+            sum(when(col("event_type") === col("best_type"), col("r"))
+              .otherwise(0L)).as("_conv_match"))
+          .select(col("best_type"), col("train_rate_ppm"), col("n_eval"),
+            expr("_logged_conv * 1000000 DIV n_eval").as("logged_ppm"),
+            expr("CASE WHEN _n_match > 0 THEN _conv_match * 1000000 DIV _n_match END")
+              .as("dm_ppm"),
+            expr("5 * _conv_match * 1000000 DIV n_eval").as("ips_ppm"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |                   CASE WHEN value > 250.0 THEN 1 ELSE 0 END AS r,
+             |                   day(ts) AS d
+             |            FROM events),
+             |tr AS (SELECT event_type, count(*) AS n, sum(r) AS c
+             |       FROM ev WHERE d <= 15 GROUP BY 1),
+             |best AS (SELECT event_type AS best_type,
+             |                CAST(c * 1000000 // n AS BIGINT) AS train_rate_ppm
+             |         FROM tr ORDER BY c * 1000000 // n DESC, event_type LIMIT 1),
+             |te AS (SELECT ev.event_type, ev.r, best.best_type, best.train_rate_ppm
+             |       FROM ev CROSS JOIN best WHERE ev.d > 15),
+             |m AS (SELECT max(best_type) AS best_type,
+             |             max(train_rate_ppm) AS train_rate_ppm,
+             |             CAST(count(*) AS BIGINT) AS n_eval,
+             |             CAST(sum(r) AS BIGINT) AS logged_conv,
+             |             CAST(sum(CASE WHEN event_type = best_type THEN 1 ELSE 0 END)
+             |                  AS BIGINT) AS n_match,
+             |             CAST(sum(CASE WHEN event_type = best_type THEN r ELSE 0 END)
+             |                  AS BIGINT) AS conv_match
+             |      FROM te)
+             |SELECT best_type, train_rate_ppm, n_eval,
+             |       CAST(logged_conv * 1000000 // n_eval AS BIGINT) AS logged_ppm,
+             |       CAST(CASE WHEN n_match > 0
+             |            THEN conv_match * 1000000 // n_match END AS BIGINT) AS dm_ppm,
+             |       CAST(5 * conv_match * 1000000 // n_eval AS BIGINT) AS ips_ppm
+             |FROM m""".stripMargin)),
+
     // Dominant-period detection — the "does this telemetry have a
     // rhythm, and what is it" readout q_acf leaves to the reader:
     // engine-exact ACF at lags 1..6 on the per-user HOURLY series
