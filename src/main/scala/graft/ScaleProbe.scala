@@ -513,7 +513,14 @@ object ScaleProbe {
     // round-9 wave 33: IPS policy eval = two conditional map-side
     // aggregates + a 1-row TakeOrdered policy broadcast (the
     // q_diff_in_diff near-zero-shuffle class)
-    "q_ips_eval" -> false
+    "q_ips_eval" -> false,
+    // round-9 wave 34: JL sketch recall = one scored pass (fixed
+    // 5-query broadcast) + two topKExact-style two-phase shard ranks.
+    // Measured 27x on 0.1 -> 2.7 MB ABSOLUTE: the base's scored pass
+    // is broadcast-only (near-zero shuffle) so the ratio divides by
+    // ~0.1 MB of rank partials — the q_embed_drift small-absolute
+    // layout class, flagged with that cause
+    "q_ann_recall_jl" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

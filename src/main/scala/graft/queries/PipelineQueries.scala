@@ -35,6 +35,17 @@ object PipelineQueries {
     if ((h(0) & 1) == 0) 1 else -1
   }
 
+  /** Engine expression text for JL output k over a mils array column. */
+  private def jlYEngine(vCol: String, k: Int): String =
+    s"CAST(0 AS BIGINT) " + (0 until 64).map(j =>
+      s"${if (JlSigns(k)(j) > 0) "+" else "-"} element_at($vCol, ${j + 1})")
+      .mkString(" ")
+
+  /** Oracle SQL text for JL output k over a mils list column `v`. */
+  private def jlYSql(k: Int): String =
+    "CAST(0 AS BIGINT) " + (0 until 64).map(j =>
+      s"${if (JlSigns(k)(j) > 0) "+" else "-"} v[${j + 1}]").mkString(" ")
+
   /** DuckDB-side word-3-shingle set (mirrors Dedup.wordShingles(_, 3)). */
   private val duckShingles =
     """SELECT doc_id,
@@ -4369,12 +4380,8 @@ object PipelineQueries {
           expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
             .as("v"))
         val withY = base.select(
-          col("vec_id") +: col("v") +: (0 until 8).map { k =>
-            val terms = (0 until 64).map(j =>
-              s"${if (JlSigns(k)(j) > 0) "+" else "-"} element_at(v, ${j + 1})")
-              .mkString(" ")
-            expr(s"CAST(0 AS BIGINT) $terms").as(s"y$k")
-          }: _*)
+          col("vec_id") +: col("v") +: (0 until 8).map(k =>
+            expr(jlYEngine("v", k)).as(s"y$k")): _*)
         val qs = withY.filter(col("vec_id") < 5).select(
           col("vec_id").as("q_id") +: col("v").as("qv") +:
             (0 until 8).map(k => col(s"y$k").as(s"qy$k")): _*)
@@ -4394,8 +4401,6 @@ object PipelineQueries {
           .orderBy("q_id")
       },
       Some {
-        def yExpr(k: Int) = "CAST(0 AS BIGINT) " + (0 until 64).map(j =>
-          s"${if (JlSigns(k)(j) > 0) "+" else "-"} v[${j + 1}]").mkString(" ")
         val d2 = (1 to 64).map(j =>
           s"(b.v[$j] - a.v[$j]) * (b.v[$j] - a.v[$j])").mkString(" + ")
         val p2 = (0 until 8).map(k =>
@@ -4405,7 +4410,7 @@ object PipelineQueries {
            |               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
            |           FROM embeddings),
            |y AS (SELECT vec_id, v,
-           |             ${(0 until 8).map(k => yExpr(k) + s" AS y$k").mkString(",\n             ")}
+           |             ${(0 until 8).map(k => jlYSql(k) + s" AS y$k").mkString(",\n             ")}
            |      FROM q),
            |p AS (SELECT b.vec_id AS q_id, a.vec_id AS d_id,
            |             $d2 AS d2,
@@ -4418,6 +4423,84 @@ object PipelineQueries {
            |       max(ratio_ppm) AS max_ratio_ppm,
            |       CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS mean_ratio_ppm
            |FROM r GROUP BY 1 ORDER BY q_id""".stripMargin
+      }),
+
+    // Recall@10 of JL-SKETCH retrieval — q_jl_project says the 8-dim
+    // projection preserves distances ON AVERAGE; this says whether the
+    // top-10 ORDERING survives (the decision that matters before
+    // swapping 64-dim scans for the 8× smaller sketch): exact 64-dim
+    // and projected 8-dim L2 are computed in ONE scored pass per
+    // (query, doc) pair; both top-10s use the topKExact two-phase
+    // shard rank (no per-query global funnel); overlap / 10 in ppm.
+    Q("q_ann_recall_jl",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("v"))
+        val withY = base.select(
+          col("vec_id") +: col("v") +: (0 until 8).map(k =>
+            expr(jlYEngine("v", k)).as(s"y$k")): _*)
+        val qs = withY.filter(col("vec_id") < 5).select(
+          col("vec_id").as("q_id") +: col("v").as("qv") +:
+            (0 until 8).map(k => col(s"y$k").as(s"qy$k")): _*)
+        val p2 = (0 until 8).map(k => s"(qy$k - y$k) * (qy$k - y$k)")
+          .mkString(" + ")
+        val scored = withY.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(qs))
+          .withColumn("d2x", expr(
+            """aggregate(zip_with(qv, v, (a, b) -> (a - b) * (a - b)),
+              |          CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+          .withColumn("d2p", expr(s"$p2"))
+          .select(col("q_id"), col("vec_id"), col("d2x"), col("d2p"))
+        def top10(dcol: String) = {
+          import org.apache.spark.sql.expressions.Window
+          val shard = pmod(xxhash64(col("vec_id")), lit(32))
+          val w1 = Window.partitionBy(col("q_id"), shard)
+            .orderBy(col(dcol).asc, col("vec_id"))
+          val w2 = Window.partitionBy(col("q_id"))
+            .orderBy(col(dcol).asc, col("vec_id"))
+          scored.withColumn("_r", row_number().over(w1)).filter(col("_r") <= 10)
+            .withColumn("_rank", row_number().over(w2)).filter(col("_rank") <= 10)
+            .select(col("q_id"), col("vec_id"))
+        }
+        val overlap = top10("d2x").join(top10("d2p"), Seq("q_id", "vec_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+        qs.select(col("q_id")).join(overlap, Seq("q_id"), "left")
+          .na.fill(0L, Seq("n_overlap"))
+          .withColumn("recall_ppm", expr("n_overlap * 1000000 DIV 10"))
+          .orderBy("q_id")
+      },
+      Some {
+        val d2 = (1 to 64).map(j =>
+          s"(b.v[$j] - a.v[$j]) * (b.v[$j] - a.v[$j])").mkString(" + ")
+        val p2 = (0 until 8).map(k =>
+          s"(b.y$k - a.y$k) * (b.y$k - a.y$k)").mkString(" + ")
+        s"""WITH q AS (SELECT vec_id,
+           |             list_transform(embedding::DOUBLE[],
+           |               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+           |           FROM embeddings),
+           |y AS (SELECT vec_id, v,
+           |             ${(0 until 8).map(k => jlYSql(k) + s" AS y$k").mkString(",\n             ")}
+           |      FROM q),
+           |p AS (SELECT b.vec_id AS q_id, a.vec_id AS d_id,
+           |             $d2 AS d2x,
+           |             $p2 AS d2p
+           |      FROM y a JOIN y b ON a.vec_id >= 5 AND b.vec_id < 5),
+           |ex AS (SELECT q_id, d_id FROM (
+           |         SELECT q_id, d_id,
+           |                row_number() OVER (PARTITION BY q_id ORDER BY d2x, d_id) AS rk
+           |         FROM p) WHERE rk <= 10),
+           |pj AS (SELECT q_id, d_id FROM (
+           |         SELECT q_id, d_id,
+           |                row_number() OVER (PARTITION BY q_id ORDER BY d2p, d_id) AS rk
+           |         FROM p) WHERE rk <= 10),
+           |ov AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_overlap
+           |       FROM ex JOIN pj USING (q_id, d_id) GROUP BY 1)
+           |SELECT qq.q_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+           |       CAST(coalesce(ov.n_overlap, 0) * 1000000 // 10 AS BIGINT)
+           |         AS recall_ppm
+           |FROM (SELECT vec_id AS q_id FROM q WHERE vec_id < 5) qq
+           |LEFT JOIN ov USING (q_id) ORDER BY q_id""".stripMargin
       })
   )
 
