@@ -182,7 +182,16 @@ object Scratch {
       "q_group_sample" -> "exact-k group sample: rank bound pushed as WindowGroupLimit (per-partition k-heap, no full group sort)",
       "q_blob_pack" -> "blob shard packing: metadata-only (doc_id, n_bytes) shuffle; sequential fold inside group-sorted partitions",
       "q_write_split" -> "balanced write split: banded exact byte prefix sum — band totals driver stat + band-keyed cumsum window, no global sort",
-      "q_sax_motifs" -> "SAX motifs: 2-pass selection breakpoints broadcast; symbols + trigram lag window reuse one hash(user) Exchange")
+      "q_sax_motifs" -> "SAX motifs: 2-pass selection breakpoints broadcast; symbols + trigram lag window reuse one hash(user) Exchange",
+      "q_conductance" -> "conductance: the modularity frames (tag joins + intra count + degree rollup), different final arithmetic",
+      "q_vocab_coverage" -> "Zipf head coverage: one token-explode agg, TakeOrdered top-1000, broadcast rank self-join — no unpartitioned window",
+      "q_novelty_decay" -> "novelty decay: md5 first-occurrence agg + hash join + 10-row census — text never shuffles",
+      "q_jl_project" -> "JL audit: 8 codegen 64-term integer sums per row (no explode, no matrix join), fixed 5-query broadcast pairs",
+      "q_ann_recall_jl" -> "JL sketch recall: ONE broadcast scored pass computes both distances; two two-phase shard ranks, no per-query funnel",
+      "q_colocation" -> "co-location: (user, cell, hour) presence dedup BEFORE the pair join — occupancy-bounded, never users squared",
+      "q_turning" -> "turning census: one user-keyed two-lag window + map-side agg — integer cross products, no atan2",
+      "q_dominant_period" -> "dominant period: acfPpm's single hash(user) Exchange + row-local greatest/CASE argmax",
+      "q_ips_eval" -> "IPS policy eval: 1-row TakeOrdered policy broadcast + two conditional map-side aggs")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")
