@@ -520,7 +520,24 @@ object ScaleProbe {
     // is broadcast-only (near-zero shuffle) so the ratio divides by
     // ~0.1 MB of rank partials — the q_embed_drift small-absolute
     // layout class, flagged with that cause
-    "q_ann_recall_jl" -> true
+    "q_ann_recall_jl" -> true,
+    // round-9 wave 35: Kruskal-Wallis and Welch are the q_abtest
+    // (type, user) totals key class (one data-sized pass; KW adds a
+    // value-census banded prefix, Welch a 5-row rollup) — flagged for
+    // the same base-single-split pre-collapse artifact; Simpson
+    // diversity is the (user, type) count key class (q_active_users)
+    "q_kruskal" -> true,
+    "q_welch" -> true,
+    "q_simpson_div" -> true,
+    // round-9 wave 36: PACF = acfPpm's single hash(user) Exchange on the
+    // (user, hour) aggregated series + row-local determinants — the
+    // q_dominant_period key class (same layout artifact flag); Kendall
+    // daily = ONE (type, day) agg + a <=31-row-per-type pair frame;
+    // matched pairs = (type, user) totals (q_abtest key class) + banded
+    // prev/next windows partitioned by (type, band)
+    "q_pacf" -> true,
+    "q_kendall_daily" -> false,
+    "q_matched_pairs" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

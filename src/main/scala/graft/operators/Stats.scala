@@ -1332,4 +1332,305 @@ object Stats {
       .select(col("_g").as("g"), col("n"), col("sum_d"),
         signum(col("sum_d")).cast("long").as("dir_sign"), col("t2_ppm"))
   }
+
+  /** Kruskal–Wallis H — the k-arm NONPARAMETRIC omnibus ([[anovaF]]'s
+    * rank sibling, generalizing [[mannWhitneyU]] past two variants):
+    * are the k per-entity metric distributions distinguishable at all,
+    * robustly to whales? Uses the tie-exact general form
+    *
+    *   H = (N−1)·Σ_g (D_g − n_g(N+1))²/n_g / (Σ d² − N(N+1)²)
+    *
+    * over DOUBLED tie-averaged ranks d = 2·below + eq + 1 (integers even
+    * at half-rank ties; the denominator is the total rank variance, so
+    * the tie correction Σ(t³−t) is absorbed exactly — no separate tie
+    * census). Balance (equal n_g, from the caller's dense grid — the
+    * [[anovaF]] convention) clears H to ONE DECIMAL(38,0)
+    * floor-division; unbalanced designs and all-tied inputs report NULL.
+    *
+    * NO UNPARTITIONED WINDOW for the pooled ranks: the global
+    * below-count comes from the value-banded two-pass prefix sum (the
+    * Maintenance.balancedWriteSplit shape) — per-band tie-census totals
+    * (≤ nBands rows, a bounded driver stat) broadcast as offsets, then
+    * an in-band cumsum window PARTITIONED by band. The ranks frame is
+    * the DISTINCT-VALUE census, not the entity frame, so the windows
+    * see ~|distinct values| rows.
+    *
+    * Scale shape: one (arm, entity) totals aggregation (the data-sized
+    * pass), one value census, banded prefix on the census, one
+    * (arm, value) census join, a k-row rollup. Output: one row
+    * (k, n, nn, h_ppm). */
+  def kruskalWallisH(
+      df: DataFrame,
+      armCol: Column,
+      entityCol: Column,
+      valueCol: Column,
+      nBands: Int = 64): DataFrame = {
+    require(nBands > 0, s"nBands must be positive: $nBands")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val per = df.select(armCol.as("_g"), entityCol.as("_e"), valueCol.as("_x"))
+      .groupBy(col("_g"), col("_e"))
+      .agg(sum(col("_x")).as("_t"))
+    val census = per.groupBy(col("_t")).agg(count(lit(1)).as("_eq"))
+    val rng = census.agg(min(col("_t")).as("_lo"), max(col("_t")).as("_hi"))
+    val banded = census.crossJoin(broadcast(rng))
+      .withColumn("_band",
+        expr(s"CAST((_t - _lo) * $nBands DIV (_hi - _lo + 1) AS INT)"))
+    val bandTotals = banded.groupBy(col("_band")).agg(sum(col("_eq")).as("_bb"))
+      .as[(Int, Long)].collect().sortBy(_._1) // ≤ nBands rows by construction
+    val offDf = bandTotals.map(_._1)
+      .zip(bandTotals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      .toSeq.toDF("_band", "_off")
+    val w = Window.partitionBy(col("_band")).orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = banded.join(broadcast(offDf), Seq("_band"))
+      .withColumn("_below", col("_off") + sum(col("_eq")).over(w) - col("_eq"))
+      .withColumn("_d2", col("_below") * 2 + col("_eq") + 1)
+      .select(col("_t"), col("_eq"), col("_d2"))
+    val armCensus = per.groupBy(col("_g"), col("_t")).agg(count(lit(1)).as("_c"))
+    val arms = armCensus.join(ranks, Seq("_t"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(expr("CAST(_c AS DECIMAL(38,0)) * _d2")).as("_dg"))
+    val sd2 = ranks
+      .agg(sum(expr("CAST(_eq AS DECIMAL(38,0)) * _d2 * _d2")).as("_sd2"))
+    val tot = arms.agg(sum(col("_ng")).as("_nnAll")) // 1 row — a literal
+    // partitionBy(lit) would constant-fold to an UNPARTITIONED window
+    arms.crossJoin(broadcast(sd2)).crossJoin(broadcast(tot))
+      .withColumn("_a", expr("_dg - CAST(_ng AS DECIMAL(38,0)) * (_nnAll + 1)"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        max(col("_ng")).cast("long").as("n"),
+        min(col("_ng")).cast("long").as("_nmin"),
+        max(col("_nnAll")).cast("long").as("nn"),
+        sum(expr("_a * _a")).as("_sa2"),
+        max(col("_sd2")).as("_sd2"))
+      .withColumn("_tot", expr(
+        "_sd2 - CAST(nn AS DECIMAL(38,0)) * (nn + 1) * (nn + 1)"))
+      .withColumn("h_ppm",
+        when(col("n") === col("_nmin") && col("k") > 1 && col("_tot") > 0,
+          expr("CAST((nn - 1) * _sa2 * 1000000 DIV (n * _tot) AS BIGINT)")))
+      .select(col("k"), col("n"), col("nn"), col("h_ppm"))
+  }
+
+  /** Welch's unequal-variance t² per metric group — [[abTestT2]] without
+    * the pooled-variance assumption (the robust default when one arm is
+    * noisier, e.g. a treatment that widens the spend distribution).
+    * Variants by entity parity, the registry convention. Per-arm
+    * variance-of-the-mean is quantized to ppm FIRST (the [[cupedDelta]]
+    * θ_ppm convention — quantize once, then both engines replay the
+    * identical integer recurrence):
+    *
+    *   v_g_ppm  = ⌊10⁶·(n_g·Q_g − S_g²) / (n_g²·(n_g−1))⌋
+    *   Δ_ppm    = ⌊10⁶·(S₀n₁ − S₁n₀) / (n₀n₁)⌋      (truncating DIV,
+    *              Spark DIV ≡ DuckDB // toward zero on negatives)
+    *   t2w_ppm  = ⌊Δ_ppm² / (v₀_ppm + v₁_ppm)⌋
+    *
+    * Each division is one DECIMAL(38,0) floor; the composition
+    * under-states the true 10⁶·Δ²/(v₀+v₁) by < 1 ppm of itself at any
+    * real n (quantization enters at 10⁻⁶ relative). Arms with n < 2 or
+    * sub-ppm total variance-of-mean report NULL — "no measurable noise"
+    * is a degenerate test, not t² = ∞.
+    *
+    * Scale shape: one (group, entity) totals aggregation, one
+    * (group, variant) moment rollup, a row-local formula. Output:
+    * (g, n0, n1, delta_ppm, v0_ppm, v1_ppm, t2w_ppm). */
+  def welchT2(
+      df: DataFrame,
+      groupCol: Column,
+      entityCol: Column,
+      valueCol: Column): DataFrame = {
+    val per = df.select(groupCol.as("_g"), entityCol.as("_e"), valueCol.as("_x"))
+      .groupBy(col("_g"), col("_e"))
+      .agg(sum(col("_x")).as("_t"))
+      .withColumn("_v", (col("_e") % 2 === 0).cast("int"))
+    val m = per.groupBy(col("_g"))
+      .agg(
+        sum(col("_v")).cast("long").as("n0"),
+        sum(lit(1) - col("_v")).cast("long").as("n1"),
+        sum(col("_t") * col("_v")).as("_s0"),
+        sum(col("_t") * (lit(1) - col("_v"))).as("_s1"),
+        sum(expr("CAST(_t AS DECIMAL(38,0)) * _t * _v")).as("_q0"),
+        sum(expr("CAST(_t AS DECIMAL(38,0)) * _t * (1 - _v)")).as("_q1"))
+    m.withColumn("delta_ppm", when(col("n0") > 0 && col("n1") > 0, expr(
+        """CAST((CAST(_s0 AS DECIMAL(38,0)) * n1 - CAST(_s1 AS DECIMAL(38,0)) * n0)
+          |  * 1000000 DIV (CAST(n0 AS DECIMAL(38,0)) * n1) AS BIGINT)""".stripMargin)))
+      .withColumn("v0_ppm", when(col("n0") > 1, expr(
+        """CAST((n0 * _q0 - CAST(_s0 AS DECIMAL(38,0)) * _s0) * 1000000
+          |  DIV (CAST(n0 AS DECIMAL(38,0)) * n0 * (n0 - 1)) AS BIGINT)""".stripMargin)))
+      .withColumn("v1_ppm", when(col("n1") > 1, expr(
+        """CAST((n1 * _q1 - CAST(_s1 AS DECIMAL(38,0)) * _s1) * 1000000
+          |  DIV (CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1)) AS BIGINT)""".stripMargin)))
+      .withColumn("t2w_ppm",
+        when(col("v0_ppm").isNotNull && col("v1_ppm").isNotNull &&
+            col("v0_ppm") + col("v1_ppm") > 0,
+          expr("""CAST(CAST(delta_ppm AS DECIMAL(38,0)) * delta_ppm
+                 |  DIV (v0_ppm + v1_ppm) AS BIGINT)""".stripMargin)))
+      .select(col("_g").as("g"), col("n0"), col("n1"), col("delta_ppm"),
+        col("v0_ppm"), col("v1_ppm"), col("t2w_ppm"))
+  }
+
+  /** Nearest-neighbor matched-pairs estimator (covariate matching with
+    * replacement — the observational-causal workhorse when assignment
+    * was not randomized): every treated entity is matched to the
+    * control entity with the CLOSEST covariate value, and the average
+    * treated−matched-control outcome difference estimates the ATT.
+    * Deterministic contract: one control REPRESENTATIVE per
+    * (group, covariate value) — the control with the smallest id —
+    * equidistant prev/next ties resolve to the SMALLER covariate, and
+    * att_mils is a truncating DIV (Spark DIV ≡ DuckDB // toward zero,
+    * the [[cupedDelta]] negative-quotient note).
+    *
+    * NO per-group funnel: nearest-by-value needs an ordered pass, but a
+    * window partitioned only by group would drag every entity of a
+    * group through one task. Instead the covariate axis is BANDED (the
+    * [[kruskalWallisH]] / balancedWriteSplit shape): in-band prev/next
+    * windows run partitioned by (group, band), and the cross-band
+    * fallback (nearest control in any lower/higher band) comes from the
+    * band-summary frame — ≤ groups×nBands rows, domain-bounded — via
+    * windows on that tiny frame. Exact: a band-local neighbor always
+    * dominates the fallback on its side, and both sides are compared.
+    *
+    * Output: (g, n_treated, n_matched, sum_dy, att_mils, sum_adx) —
+    * sum_adx (total matched covariate distance) is the balance audit:
+    * a large value means the matches are stretching. */
+  def nnMatchAtt(
+      df: DataFrame,
+      groupCol: Column,
+      treatCol: Column,
+      idCol: Column,
+      xCol: Column,
+      yCol: Column,
+      nBands: Int = 64): DataFrame = {
+    require(nBands > 0, s"nBands must be positive: $nBands")
+    val base = df.select(groupCol.as("_g"), treatCol.cast("boolean").as("_tr"),
+      idCol.cast("long").as("_id"), xCol.cast("long").as("_x"),
+      yCol.cast("long").as("_y"))
+    val reps = base.filter(!col("_tr"))
+      .groupBy(col("_g"), col("_x"))
+      .agg(min(struct(col("_id"), col("_y"))).as("_c"))
+      .select(col("_g"), col("_x"),
+        col("_c._id").as("_cid"), col("_c._y").as("_cy"))
+    val rng = base.agg(min(col("_x")).as("_lo"), max(col("_x")).as("_hi"))
+    def withBand(d: DataFrame): DataFrame = d.crossJoin(broadcast(rng))
+      .withColumn("_band",
+        expr(s"CAST((_x - _lo) * $nBands DIV (_hi - _lo + 1) AS INT)"))
+      .drop("_lo", "_hi")
+    val nulL = lit(null).cast("long")
+    val cRows = withBand(reps).select(col("_g"), col("_band"), col("_x"),
+      lit(1).as("_isC"), col("_cid"), col("_cy"), nulL.as("_id"), nulL.as("_y"))
+    val tRows = withBand(base.filter(col("_tr"))).select(col("_g"), col("_band"),
+      col("_x"), lit(0).as("_isC"), nulL.as("_cid"), nulL.as("_cy"),
+      col("_id"), col("_y"))
+    val u = cRows.unionByName(tRows)
+    // cross-band fallbacks over the band-summary frame (tiny)
+    val summary = withBand(reps).groupBy(col("_g"), col("_band"))
+      .agg(min(struct(col("_x"), col("_cid"), col("_cy"))).as("_first"),
+        max(struct(col("_x"), col("_cid"), col("_cy"))).as("_last"))
+    val bands = u.select(col("_g"), col("_band")).distinct()
+      .join(summary, Seq("_g", "_band"), "left")
+    val wLo = Window.partitionBy(col("_g")).orderBy(col("_band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wHi = Window.partitionBy(col("_g")).orderBy(col("_band"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val fb = bands
+      .withColumn("_pf", last(col("_last"), ignoreNulls = true).over(wLo))
+      .withColumn("_nf", first(col("_first"), ignoreNulls = true).over(wHi))
+      .select(col("_g"), col("_band"), col("_pf"), col("_nf"))
+    // in-band prev/next: controls sort BEFORE treated at equal x, so an
+    // exact-covariate control lands in prev with distance 0
+    val ord = Seq(col("_x").asc, col("_isC").desc)
+    val wPrev = Window.partitionBy(col("_g"), col("_band")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("_g"), col("_band")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cStruct = when(col("_isC") === 1,
+      struct(col("_x"), col("_cid"), col("_cy")))
+    val marked = u
+      .withColumn("_pc", last(cStruct, ignoreNulls = true).over(wPrev))
+      .withColumn("_nc", first(cStruct, ignoreNulls = true).over(wNext))
+    val t = marked.filter(col("_isC") === 0)
+      .join(broadcast(fb), Seq("_g", "_band"), "left")
+      .withColumn("_p", coalesce(col("_pc"), col("_pf")))
+      .withColumn("_n2", coalesce(col("_nc"), col("_nf")))
+      .withColumn("_usePrev", col("_p").isNotNull &&
+        (col("_n2").isNull || col("_x") - col("_p._x") <= col("_n2._x") - col("_x")))
+      .withColumn("_m", when(col("_usePrev"), col("_p")).otherwise(col("_n2")))
+    t.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_treated"),
+        count(col("_m")).as("n_matched"),
+        sum(when(col("_m").isNotNull, col("_y") - col("_m._cy"))).as("sum_dy"),
+        sum(when(col("_m").isNotNull, abs(col("_x") - col("_m._x")))).as("sum_adx"))
+      .withColumn("att_mils",
+        when(col("n_matched") > 0, expr("sum_dy DIV n_matched")))
+      .select(col("_g").as("g"), col("n_treated"), col("n_matched"),
+        col("sum_dy"), col("att_mils"), col("sum_adx"))
+  }
+
+  /** Kendall tau-b rank correlation over a DOMAIN-BOUNDED point series
+    * per group (≤ a few hundred points — e.g. a daily rollup; the
+    * O(n²) pair frame is the textbook tau definition and stays tiny
+    * because the series, not the corpus, bounds it). Tie-corrected:
+    *
+    *   tau_b² = (C − D)² / ((n₀ − n₁)(n₀ − n₂))
+    *
+    * with n₀ = n(n−1)/2 and n₁/n₂ the tied-pair counts in x/y; shipped
+    * as dir_sign = sign(C − D) plus one ppm floor-division ([[spearmanRho]]
+    * convention — corpus-scale rank correlation belongs there; this is
+    * the small-series, heavy-tie companion where tau's pair semantics
+    * are wanted). Output: (g, n_pts, conc, disc, dir_sign, tau2_ppm). */
+  def kendallTauB(pts: DataFrame): DataFrame = {
+    val a = pts.select(col("g"), col("i").as("_ia"),
+      col("x").as("_xa"), col("y").as("_ya"))
+    val b = pts.select(col("g"), col("i").as("_ib"),
+      col("x").as("_xb"), col("y").as("_yb"))
+    val pairs = a.hint("shuffle_hash").join(b, Seq("g"))
+      .filter(col("_ia") < col("_ib"))
+      .withColumn("_sx", signum(col("_xb") - col("_xa")).cast("long"))
+      .withColumn("_sy", signum(col("_yb") - col("_ya")).cast("long"))
+    val agg = pairs.groupBy(col("g")).agg(
+      count(lit(1)).as("_n0"),
+      sum(when(col("_sx") * col("_sy") === 1, 1L).otherwise(0L)).as("conc"),
+      sum(when(col("_sx") * col("_sy") === -1, 1L).otherwise(0L)).as("disc"),
+      sum(when(col("_sx") === 0, 1L).otherwise(0L)).as("_n1"),
+      sum(when(col("_sy") === 0, 1L).otherwise(0L)).as("_n2"))
+    val n = pts.groupBy(col("g")).agg(count(lit(1)).as("n_pts"))
+    n.join(agg, Seq("g"))
+      .withColumn("_cd", col("conc") - col("disc"))
+      .withColumn("_den", expr(
+        "CAST(_n0 - _n1 AS DECIMAL(38,0)) * (_n0 - _n2)"))
+      .withColumn("tau2_ppm",
+        when(col("_den") > 0, expr(
+          "CAST(CAST(_cd AS DECIMAL(38,0)) * _cd * 1000000 DIV _den AS BIGINT)")))
+      .select(col("g"), col("n_pts"), col("conc"), col("disc"),
+        signum(col("_cd")).cast("long").as("dir_sign"), col("tau2_ppm"))
+  }
+
+  /** Gini–Simpson behavioral diversity per entity: 1 − Σ_t p_t² over the
+    * entity's category mix — the probability two of its events drawn at
+    * random differ in category (0 = monomaniac, → 1 = uniform spread).
+    * Chosen over Shannon entropy because it is PURELY RATIONAL:
+    * div_ppm = ⌊10⁶·(C² − Σc²)/C²⌋ needs no logarithm, so the integer
+    * arithmetic replays exactly in any engine ([[exactQuantilesSelect]]'s
+    * FP-free rationale). The segmentation signal behind "diverse vs
+    * single-purpose users" cohorting.
+    *
+    * Scale shape: one (entity, category) count aggregation
+    * (map-side-combined), one per-entity rollup — both shuffles narrow,
+    * keyed on the entity. Output: (e, n_events, n_cats, div_ppm). */
+  def simpsonDiversity(
+      df: DataFrame,
+      entityCol: Column,
+      catCol: Column): DataFrame = {
+    val counts = df.select(entityCol.as("_e"), catCol.as("_c"))
+      .groupBy(col("_e"), col("_c"))
+      .agg(count(lit(1)).as("_n"))
+    counts.groupBy(col("_e"))
+      .agg(sum(col("_n")).as("n_events"),
+        count(lit(1)).as("n_cats"),
+        sum(expr("CAST(_n AS DECIMAL(38,0)) * _n")).as("_s2"))
+      .withColumn("div_ppm", expr(
+        """CAST((CAST(n_events AS DECIMAL(38,0)) * n_events - _s2) * 1000000
+          |  DIV (CAST(n_events AS DECIMAL(38,0)) * n_events) AS BIGINT)""".stripMargin))
+      .select(col("_e").as("e"), col("n_events"), col("n_cats"), col("div_ppm"))
+  }
 }

@@ -177,11 +177,18 @@ object TimeSeries {
     require(maxLag >= 1 && maxLag <= 10, s"maxLag must be in 1..10: $maxLag")
     val base = df.select(keyCol.as("key"), tsCol.as("_t"), tieCol.as("_tie"),
       valCol.as("_x"))
-    val tot = base.groupBy(col("key"))
-      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"))
+    // Per-key (n, Σx) as UNORDERED windows over the same hash(key)
+    // partitioning the lag window needs — NOT a groupBy + join back:
+    // the join's broadcast plan flips to SMJ once the totals frame's
+    // size estimate crosses the threshold (measured: 3 data-sized
+    // shuffle passes instead of 1 on the 5x probe replica), and at
+    // 10^9 entities a broadcast of per-entity totals is wrong anyway.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
       .orderBy(col("_t"), col("_tie"))
-    val dev = base.join(tot, Seq("key"))
+    val dev = base
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s", sum(col("_x")).over(wAll))
       .withColumn("_dev", expr("CAST(_n AS DECIMAL(38,0)) * _x - _s"))
     val lagged = (1 to maxLag).foldLeft(dev) { (d, k) =>
       d.withColumn(s"_d$k", lag(col("_dev"), k).over(w))
@@ -622,5 +629,59 @@ object TimeSeries {
           when(col("_v18") > 0,
             expr("(abs(s) - 1) * (abs(s) - 1) * 18 * 1000000 DIV _v18"))))
       .select(col("g"), col("n"), col("s"), col("z2_ppm"))
+  }
+
+  /** Partial autocorrelation at lags 1..3 per entity — the AR-order
+    * identification companion of [[acfPpm]] (an AR(1) process has acf
+    * decaying geometrically at EVERY lag but pacf cutting off after
+    * lag 1; acf alone cannot tell order). Solved via the Yule–Walker
+    * normal equations in CRAMER form: pacf(k) is the ratio of two
+    * k×k Toeplitz determinants over the acf values, which for k ≤ 3 is
+    * closed-form POLYNOMIAL arithmetic in the acf ppm integers
+    * (r0 = 10⁶):
+    *
+    *   pacf₁ = r₁
+    *   pacf₂ = (r₂r₀ − r₁²) / (r₀² − r₁²)
+    *   pacf₃ = det[[r₀,r₁,r₁],[r₁,r₀,r₂],[r₂,r₁,r₃]] /
+    *           det[[r₀,r₁,r₂],[r₁,r₀,r₁],[r₂,r₁,r₀]]
+    *
+    * — no Durbin–Levinson driver recursion, no matrix solve: each ppm
+    * ratio is one signed DECIMAL(38,0) floor-division (truncation
+    * toward zero, the [[acfPpm]] sign idiom) on columns of the acf
+    * frame, replayed verbatim by the oracle. Degenerate denominators
+    * (|r₁| = 10⁶, or a non-positive-definite floored system) report
+    * NULL rather than a fabricated coefficient.
+    *
+    * Scale shape: exactly [[acfPpm]]'s one shuffle — everything here is
+    * row-local on the per-entity acf frame. Output:
+    * (key, n, pacf1_ppm, pacf2_ppm, pacf3_ppm). */
+  def pacfPpm(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valCol: Column): DataFrame = {
+    val acf = acfPpm(df, keyCol, tsCol, tieCol, valCol, maxLag = 3)
+    def sdiv(num: String, den: String): Column =
+      when(expr(num) < 0, -expr(s"abs($num) * 1000000 DIV ($den)"))
+        .otherwise(expr(s"($num) * 1000000 DIV ($den)")).cast("long")
+    acf
+      .withColumn("_r1", expr("CAST(acf1_ppm AS DECIMAL(38,0))"))
+      .withColumn("_r2", expr("CAST(acf2_ppm AS DECIMAL(38,0))"))
+      .withColumn("_r3", expr("CAST(acf3_ppm AS DECIMAL(38,0))"))
+      .withColumn("_num2", expr("_r2 * 1000000 - _r1 * _r1"))
+      .withColumn("_den2", expr("CAST(1000000 AS DECIMAL(38,0)) * 1000000 - _r1 * _r1"))
+      .withColumn("_det3", expr(
+        """1000000 * (CAST(1000000 AS DECIMAL(38,0)) * 1000000 - _r1 * _r1)
+          |  - _r1 * (_r1 * 1000000 - _r1 * _r2)
+          |  + _r2 * (_r1 * _r1 - 1000000 * _r2)""".stripMargin))
+      .withColumn("_det3s", expr(
+        """1000000 * (1000000 * _r3 - _r2 * _r1)
+          |  - _r1 * (_r1 * _r3 - _r2 * _r2)
+          |  + _r1 * (_r1 * _r1 - 1000000 * _r2)""".stripMargin))
+      .withColumn("pacf2_ppm", when(col("_den2") > 0, sdiv("_num2", "_den2")))
+      .withColumn("pacf3_ppm", when(col("_det3") > 0, sdiv("_det3s", "_det3")))
+      .select(col("key"), col("n"), col("acf1_ppm").as("pacf1_ppm"),
+        col("pacf2_ppm"), col("pacf3_ppm"))
   }
 }

@@ -3857,6 +3857,282 @@ object CoreQueries {
              |                 // ((k - 1) * (n * sx2 - stg2)) END AS BIGINT) AS f_ppm
              |FROM m ORDER BY k""".stripMargin)),
 
+    // Kruskal–Wallis H over the k event-type arms — q_anova's
+    // NONPARAMETRIC sibling (ANOVA asks "are the means apart?"; ranks
+    // ask it of the whole distributions, so one whale user is one rank
+    // step, not a lever arm — the q_mann_whitney rationale, generalized
+    // past two variants). Same dense user×type grid; the pooled ranks
+    // run through the value-banded two-pass prefix sum, so NO
+    // unpartitioned window ever executes (see Stats.kruskalWallisH).
+    Q("q_kruskal",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val totals = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(totals, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("x"))
+        Stats.kruskalWallisH(full, col("event_type"), col("user_id"), col("x"))
+          .orderBy("k")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) AS x
+             |           FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type AS g, coalesce(t.x, 0) AS xt
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |r AS (SELECT g, xt,
+             |             2 * rank() OVER (ORDER BY xt)
+             |               + count(*) OVER (PARTITION BY xt) - 1 AS d2
+             |      FROM p),
+             |a AS (SELECT g, count(*) AS ng, sum(CAST(d2 AS HUGEINT)) AS dg,
+             |             sum(CAST(d2 AS HUGEINT) * d2) AS q2
+             |      FROM r GROUP BY 1),
+             |m AS (SELECT count(*) AS k, max(ng) AS n, min(ng) AS nmin,
+             |             sum(ng) AS nn, sum(q2) AS sd2 FROM a),
+             |s AS (SELECT m.k, m.n, m.nmin, m.nn, m.sd2,
+             |             sum((a.dg - CAST(a.ng AS HUGEINT) * (m.nn + 1))
+             |                 * (a.dg - CAST(a.ng AS HUGEINT) * (m.nn + 1))) AS sa2
+             |      FROM a CROSS JOIN m GROUP BY 1, 2, 3, 4, 5)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+             |       CAST(nn AS BIGINT) AS nn,
+             |       CAST(CASE WHEN n = nmin AND k > 1
+             |                  AND sd2 - CAST(nn AS HUGEINT) * (nn + 1) * (nn + 1) > 0
+             |            THEN ((nn - 1) * sa2 * 1000000)
+             |                 // (n * (sd2 - CAST(nn AS HUGEINT) * (nn + 1) * (nn + 1)))
+             |            END AS BIGINT) AS h_ppm
+             |FROM s""".stripMargin)),
+
+    // Welch's unequal-variance t² — q_abtest without the pooled-variance
+    // assumption (the robust default when a treatment widens the spend
+    // distribution, not just shifts it). Per-arm variance-of-mean
+    // quantized to ppm first (the q_cuped θ convention), then one
+    // integer ratio; both engines replay the identical quantized trail.
+    Q("q_welch",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val totals = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        val full = grid.join(totals, Seq("event_type", "user_id"), "left")
+          .na.fill(0L, Seq("x"))
+        Stats.welchT2(full, col("event_type"), col("user_id"), col("x"))
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |                  sum(CAST(floor(value * 1000) AS BIGINT)) AS x
+             |           FROM events GROUP BY 1, 2),
+             |grid AS (SELECT ty.event_type, u.user_id
+             |         FROM (SELECT DISTINCT user_id FROM events) u
+             |         CROSS JOIN (SELECT DISTINCT event_type FROM events) ty),
+             |p AS (SELECT g.event_type AS g, coalesce(t.x, 0) AS xt,
+             |             CASE WHEN g.user_id % 2 = 0 THEN 1 ELSE 0 END AS v
+             |      FROM grid g LEFT JOIN t USING (event_type, user_id)),
+             |m AS (SELECT g, sum(v) AS n0, sum(1 - v) AS n1,
+             |             sum(xt * v) AS s0, sum(xt * (1 - v)) AS s1,
+             |             sum(CAST(xt AS HUGEINT) * xt * v) AS q0,
+             |             sum(CAST(xt AS HUGEINT) * xt * (1 - v)) AS q1
+             |      FROM p GROUP BY 1),
+             |f AS (SELECT g, n0, n1,
+             |        CASE WHEN n0 > 0 AND n1 > 0
+             |          THEN CAST((CAST(s0 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n0)
+             |                    * 1000000 // (CAST(n0 AS HUGEINT) * n1) AS BIGINT)
+             |        END AS delta_ppm,
+             |        CASE WHEN n0 > 1
+             |          THEN CAST((n0 * q0 - CAST(s0 AS HUGEINT) * s0) * 1000000
+             |                    // (CAST(n0 AS HUGEINT) * n0 * (n0 - 1)) AS BIGINT)
+             |        END AS v0_ppm,
+             |        CASE WHEN n1 > 1
+             |          THEN CAST((n1 * q1 - CAST(s1 AS HUGEINT) * s1) * 1000000
+             |                    // (CAST(n1 AS HUGEINT) * n1 * (n1 - 1)) AS BIGINT)
+             |        END AS v1_ppm
+             |      FROM m)
+             |SELECT g AS event_type, CAST(n0 AS BIGINT) AS n0,
+             |       CAST(n1 AS BIGINT) AS n1, delta_ppm, v0_ppm, v1_ppm,
+             |       CAST(CASE WHEN v0_ppm IS NOT NULL AND v1_ppm IS NOT NULL
+             |                  AND v0_ppm + v1_ppm > 0
+             |            THEN CAST(delta_ppm AS HUGEINT) * delta_ppm
+             |                 // (v0_ppm + v1_ppm) END AS BIGINT) AS t2w_ppm
+             |FROM f ORDER BY event_type""".stripMargin)),
+
+    // Gini–Simpson behavioral diversity per user — the "diverse vs
+    // single-purpose" segmentation signal: the probability two of a
+    // user's events differ in type (0 = monomaniac, → 1 = uniform).
+    // Chosen over Shannon entropy because it is purely rational — no
+    // logarithm, so the integer trail replays exactly in both engines.
+    Q("q_simpson_div",
+      (s, dir) =>
+        Stats.simpsonDiversity(Tables.events(s, dir),
+            col("user_id"), col("event_type"))
+          .orderBy("e"),
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |u AS (SELECT user_id, sum(n) AS ne, count(*) AS nc,
+             |             sum(CAST(n AS HUGEINT) * n) AS s2
+             |      FROM c GROUP BY 1)
+             |SELECT user_id AS e, CAST(ne AS BIGINT) AS n_events,
+             |       CAST(nc AS BIGINT) AS n_cats,
+             |       CAST((CAST(ne AS HUGEINT) * ne - s2) * 1000000
+             |            // (CAST(ne AS HUGEINT) * ne) AS BIGINT) AS div_ppm
+             |FROM u ORDER BY e""".stripMargin)),
+
+    // Partial autocorrelation (lags 1-3) of each user's hourly series —
+    // the AR-order identification read q_acf/q_dominant_period cannot
+    // give (an AR(1) has acf decaying at EVERY lag; pacf cuts off after
+    // lag 1). Yule-Walker in Cramer form: each pacf is a ratio of two
+    // Toeplitz determinants over the acf ppm integers — row-local
+    // polynomial arithmetic on acfPpm's frame, ONE shuffle total.
+    Q("q_pacf",
+      (s, dir) => {
+        val startUs = 1704067200000000L
+        val h = Tables.events(s, dir)
+          .select(col("user_id").as("g"),
+            floor((unix_micros(col("ts")) - startUs) / 3600000000.0)
+              .cast("long").as("x"),
+            floor(col("value") * 1000).cast("long").as("m"))
+          .groupBy(col("g"), col("x")).agg(sum(col("m")).as("y"))
+        TimeSeries.pacfPpm(h, col("g"), col("x"), col("x"), col("y"))
+          .withColumnRenamed("key", "user_id")
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id AS g,
+             |         CAST(floor((epoch_us(ts) - 1704067200000000) / 3600000000.0) AS BIGINT) AS x,
+             |         CAST(floor(value * 1000) AS BIGINT) AS m
+             |  FROM events),
+             |h AS (SELECT g, x, sum(m) AS y FROM p GROUP BY 1, 2),
+             |tot AS (SELECT g, count(*) AS n, sum(y) AS s FROM h GROUP BY 1),
+             |d AS (SELECT h.g, x, CAST(tot.n AS HUGEINT) * y - tot.s AS dev, tot.n
+             |      FROM h JOIN tot ON h.g = tot.g),
+             |l AS (SELECT g, n, dev, lag(dev, 1) OVER w AS d1,
+             |             lag(dev, 2) OVER w AS d2, lag(dev, 3) OVER w AS d3
+             |      FROM d WINDOW w AS (PARTITION BY g ORDER BY x)),
+             |a AS (SELECT g, max(n) AS n, sum(dev*dev) AS den,
+             |             coalesce(sum(dev*d1), 0) AS n1,
+             |             coalesce(sum(dev*d2), 0) AS n2,
+             |             coalesce(sum(dev*d3), 0) AS n3
+             |      FROM l GROUP BY 1),
+             |r AS (SELECT g, n,
+             |        CAST(CASE WHEN den > 0 THEN (CASE WHEN n1 < 0
+             |          THEN -(abs(n1)*1000000 // den) ELSE n1*1000000 // den END)
+             |          ELSE 0 END AS HUGEINT) AS r1,
+             |        CAST(CASE WHEN den > 0 THEN (CASE WHEN n2 < 0
+             |          THEN -(abs(n2)*1000000 // den) ELSE n2*1000000 // den END)
+             |          ELSE 0 END AS HUGEINT) AS r2,
+             |        CAST(CASE WHEN den > 0 THEN (CASE WHEN n3 < 0
+             |          THEN -(abs(n3)*1000000 // den) ELSE n3*1000000 // den END)
+             |          ELSE 0 END AS HUGEINT) AS r3
+             |      FROM a),
+             |f AS (SELECT g, n, r1,
+             |        r2 * 1000000 - r1 * r1 AS num2,
+             |        CAST(1000000 AS HUGEINT) * 1000000 - r1 * r1 AS den2,
+             |        1000000 * (CAST(1000000 AS HUGEINT) * 1000000 - r1 * r1)
+             |          - r1 * (r1 * 1000000 - r1 * r2)
+             |          + r2 * (r1 * r1 - 1000000 * r2) AS det3,
+             |        1000000 * (1000000 * r3 - r2 * r1)
+             |          - r1 * (r1 * r3 - r2 * r2)
+             |          + r1 * (r1 * r1 - 1000000 * r2) AS det3s
+             |      FROM r)
+             |SELECT g AS user_id, CAST(n AS BIGINT) AS n,
+             |       CAST(r1 AS BIGINT) AS pacf1_ppm,
+             |       CAST(CASE WHEN den2 > 0 THEN (CASE WHEN num2 < 0
+             |         THEN -(abs(num2)*1000000 // den2)
+             |         ELSE num2*1000000 // den2 END) END AS BIGINT) AS pacf2_ppm,
+             |       CAST(CASE WHEN det3 > 0 THEN (CASE WHEN det3s < 0
+             |         THEN -(abs(det3s)*1000000 // det3)
+             |         ELSE det3s*1000000 // det3 END) END AS BIGINT) AS pacf3_ppm
+             |FROM f ORDER BY user_id""".stripMargin)),
+
+    // Kendall tau-b between daily activity and daily spend per event
+    // type — the pair-semantics correlation on the DOMAIN-BOUNDED daily
+    // rollup (≤31 points/type, so the textbook O(n²) pair frame is
+    // tiny at any corpus size; corpus-scale monotone association is
+    // q_spearman's job). Heavy ties are exactly what tau-b's n1/n2
+    // corrections handle.
+    Q("q_kendall_daily",
+      (s, dir) => {
+        val startUs = 1704067200000000L
+        val daily = Tables.events(s, dir)
+          .select(col("event_type").as("g"),
+            floor((unix_micros(col("ts")) - startUs) / 86400000000.0)
+              .cast("long").as("i"),
+            floor(col("value") * 1000).cast("long").as("m"))
+          .groupBy(col("g"), col("i"))
+          .agg(count(lit(1)).as("x"), sum(col("m")).as("y"))
+        Stats.kendallTauB(daily)
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+             |         CAST(floor((epoch_us(ts) - 1704067200000000) / 86400000000.0) AS BIGINT) AS i,
+             |         count(*) AS x, sum(CAST(floor(value*1000) AS BIGINT)) AS y
+             |      FROM events GROUP BY 1, 2),
+             |pr AS (SELECT a.event_type AS g, sign(b.x - a.x) AS sx,
+             |              sign(b.y - a.y) AS sy
+             |       FROM d a JOIN d b ON a.event_type = b.event_type AND a.i < b.i),
+             |ag AS (SELECT g, count(*) AS n0,
+             |              sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS conc,
+             |              sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS disc,
+             |              sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS n1,
+             |              sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS n2
+             |       FROM pr GROUP BY 1),
+             |n AS (SELECT event_type AS g, count(*) AS n_pts FROM d GROUP BY 1)
+             |SELECT n.g AS event_type, CAST(n_pts AS BIGINT) AS n_pts,
+             |       CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+             |       CAST(sign(conc - disc) AS BIGINT) AS dir_sign,
+             |       CAST(CASE WHEN (n0 - n1) * (n0 - n2) > 0
+             |            THEN CAST(conc - disc AS HUGEINT) * (conc - disc) * 1000000
+             |                 // (CAST(n0 - n1 AS HUGEINT) * (n0 - n2)) END AS BIGINT) AS tau2_ppm
+             |FROM n JOIN ag USING (g) ORDER BY event_type""".stripMargin)),
+
+    // Nearest-neighbor matched-pairs ATT per event type — the
+    // observational-causal companion of q_cuped/q_diff_in_diff: each
+    // "treated" user (odd id) matches the control user with the closest
+    // PRE-period activity count, and the matched post-period spend gap
+    // estimates the effect. The covariate axis is BANDED (the
+    // q_write_split prefix-sum shape) so no per-type funnel window ever
+    // runs; the oracle is the brute per-type argmin join with the
+    // identical representative and tie contracts.
+    Q("q_matched_pairs",
+      (s, dir) => {
+        val splitUs = 1705276800000000L
+        val totals = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"),
+            (unix_micros(col("ts")) < splitUs).as("_pre"),
+            floor(col("value") * 1000).cast("long").as("_v"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(when(col("_pre"), 1L).otherwise(0L)).as("x"),
+            sum(when(!col("_pre"), col("_v")).otherwise(0L)).as("y"))
+        Stats.nnMatchAtt(totals, col("event_type"),
+            col("user_id") % 2 === 1, col("user_id"), col("x"), col("y"))
+          .withColumnRenamed("g", "event_type").orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, user_id,
+             |    sum(CASE WHEN epoch_us(ts) < 1705276800000000 THEN 1 ELSE 0 END) AS x,
+             |    sum(CASE WHEN epoch_us(ts) >= 1705276800000000
+             |        THEN CAST(floor(value*1000) AS BIGINT) ELSE 0 END) AS y
+             |  FROM events GROUP BY 1, 2),
+             |c AS (SELECT event_type, x AS cx, user_id AS cid, y AS cy
+             |      FROM t WHERE user_id % 2 = 0
+             |      QUALIFY row_number() OVER (PARTITION BY event_type, x
+             |                                 ORDER BY user_id) = 1),
+             |tr AS (SELECT event_type, user_id, x, y FROM t WHERE user_id % 2 = 1),
+             |j AS (SELECT tr.event_type, tr.user_id, tr.x, tr.y, c.cx, c.cy
+             |      FROM tr LEFT JOIN c USING (event_type)
+             |      QUALIFY row_number() OVER (PARTITION BY tr.event_type, tr.user_id
+             |                ORDER BY abs(c.cx - tr.x), c.cx, c.cid) = 1)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_treated,
+             |       CAST(count(cx) AS BIGINT) AS n_matched,
+             |       CAST(sum(CASE WHEN cx IS NOT NULL THEN y - cy END) AS BIGINT) AS sum_dy,
+             |       CAST(CASE WHEN count(cx) > 0
+             |            THEN CAST(sum(CASE WHEN cx IS NOT NULL THEN y - cy END) AS HUGEINT)
+             |                 // count(cx) END AS BIGINT) AS att_mils,
+             |       CAST(sum(CASE WHEN cx IS NOT NULL THEN abs(x - cx) END) AS BIGINT) AS sum_adx
+             |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // CUPED variance-reduced experiment readout (Deng et al. 2013) —
     // q_abtest's production upgrade: each user's PRE-period total (x,
     // first half of the observation window) absorbs between-user

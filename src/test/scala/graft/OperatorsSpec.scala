@@ -1258,4 +1258,213 @@ class OperatorsSpec extends SparkSpec {
     val t2 = if (n > 1 && den > 0) Some((sd * sd * (n - 1) * 1000000 / den).toLong) else None
     assert(got == (("g", n.toLong, sd.toLong, sd.signum.toLong, t2)), got.toString)
   }
+
+  /** Brute Kruskal–Wallis H replay over (arm, per-entity value) rows:
+    * tie-averaged doubled ranks, tie-exact general form, BigInt. */
+  private def bruteKruskalH(rows: Seq[(String, Long)]): Option[Long] = {
+    val nn = BigInt(rows.size)
+    val eq = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def d2(v: Long): BigInt =
+      BigInt(2L * rows.count(_._2 < v) + eq(v) + 1)
+    val arms = rows.groupBy(_._1)
+    val ns = arms.values.map(_.size).toSet
+    val sd2 = eq.map { case (v, e) => BigInt(e) * d2(v) * d2(v) }.sum
+    val tot = sd2 - nn * (nn + 1) * (nn + 1)
+    if (ns.size != 1 || arms.size < 2 || tot <= 0) None
+    else {
+      val n = BigInt(ns.head)
+      val sa2 = arms.values.map { g =>
+        val a = g.map(r => d2(r._2)).sum - BigInt(g.size) * (nn + 1)
+        a * a
+      }.sum
+      Some(((nn - 1) * sa2 * 1000000 / (n * tot)).toLong)
+    }
+  }
+
+  test("kruskalWallisH equals BigInt brute replay (dense ties) and k=2 equals Mann-Whitney z²") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(91)
+    // 3 arms × 60 entities, small value domain -> heavy ties
+    val rows = for (g <- Seq("a", "b", "c"); e <- 1 to 60)
+      yield (g, e.toLong, (rnd.nextInt(12) + (if (g == "c") 3 else 0)).toLong)
+    val got = Stats.kruskalWallisH(rows.toDF("g", "e", "x"), $"g", $"e", $"x")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    val brute = bruteKruskalH(rows.map(r => (r._1, r._3)))
+    assert(got == ((3L, 60L, 180L, brute)), s"got=$got brute=$brute")
+    assert(got._4.exists(_ > 0), got.toString)
+    // k = 2 balanced arms: H is EXACTLY the tie-corrected Mann-Whitney
+    // z² (the same corrected variance divides both), so the single-floor
+    // ppm renderings agree bit-exactly. Arm membership re-encoded as
+    // entity parity for mannWhitneyU's variant convention.
+    val two = rows.filter(r => r._1 != "c")
+    val h2 = Stats.kruskalWallisH(two.toDF("g", "e", "x"), $"g", $"e", $"x")
+      .as[(Long, Long, Long, Option[Long])].collect().head._4
+    val parity = two.map(r => ("m", r._2 * 2 + (if (r._1 == "a") 0 else 1), r._3))
+    val z2 = Stats.mannWhitneyU(parity.toDF("g", "e", "x"), $"g", $"e", $"x")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head._6
+    assert(h2 == z2, s"h2=$h2 z2=$z2")
+  }
+
+  test("kruskalWallisH: unbalanced and all-tied NULL; banding-invariant") {
+    import graft.operators.Stats
+    val unbal = Seq(("a", 1L, 5L), ("a", 2L, 7L), ("b", 1L, 3L)).toDF("g", "e", "x")
+    assert(Stats.kruskalWallisH(unbal, $"g", $"e", $"x")
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+    val tied = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("b", 1L, 5L), ("b", 2L, 5L))
+      .toDF("g", "e", "x")
+    assert(Stats.kruskalWallisH(tied, $"g", $"e", $"x")
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+    // band count cannot move the answer (prefix offsets are exact)
+    val rnd = new scala.util.Random(19)
+    val rows = for (g <- Seq("a", "b"); e <- 1 to 40)
+      yield (g, e.toLong, rnd.nextInt(1000000).toLong)
+    val hs = Seq(1, 3, 64).map { nb =>
+      Stats.kruskalWallisH(rows.toDF("g", "e", "x"), $"g", $"e", $"x", nBands = nb)
+        .as[(Long, Long, Long, Option[Long])].collect().head._4
+    }
+    assert(hs.distinct.size == 1, hs.toString)
+    assert(hs.head == bruteKruskalH(rows.map(r => (r._1, r._3))), hs.toString)
+  }
+
+  test("welchT2: quantized-recurrence BigInt replay and degenerate NULLs") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(57)
+    // arm 0 (even e): tight around 100; arm 1 (odd e): wide around 140
+    val ev = (1 to 120).map { i =>
+      ("g", i.toLong,
+        if (i % 2 == 0) (100 + rnd.nextInt(11) - 5).toLong
+        else (140 + rnd.nextInt(161) - 80).toLong)
+    }
+    val got = Stats.welchT2(ev.toDF("g", "e", "x"), $"g", $"e", $"x")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    val (a0, a1) = ev.partition(_._2 % 2 == 0)
+    def mom(a: Seq[(String, Long, Long)]) =
+      (BigInt(a.size), BigInt(a.map(_._3).sum), a.map(r => BigInt(r._3) * r._3).sum)
+    val (n0, s0, q0) = mom(a0); val (n1, s1, q1) = mom(a1)
+    val dppm = (s0 * n1 - s1 * n0) * 1000000 / (n0 * n1)
+    val v0 = (n0 * q0 - s0 * s0) * 1000000 / (n0 * n0 * (n0 - 1))
+    val v1 = (n1 * q1 - s1 * s1) * 1000000 / (n1 * n1 * (n1 - 1))
+    val t2 = dppm * dppm / (v0 + v1)
+    assert(got == (("g", n0.toLong, n1.toLong, Some(dppm.toLong),
+      Some(v0.toLong), Some(v1.toLong), Some(t2.toLong))), got.toString)
+    // one-entity arm -> v NULL -> t² NULL; zero variance both arms -> NULL
+    val tiny = Seq(("g", 1L, 5L), ("g", 2L, 9L), ("g", 4L, 11L)).toDF("g", "e", "x")
+    val g2 = Stats.welchT2(tiny, $"g", $"e", $"x")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(g2._5.isDefined && g2._6.isEmpty && g2._7.isEmpty, g2.toString)
+    val const = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L), ("g", 4L, 5L))
+      .toDF("g", "e", "x")
+    val g3 = Stats.welchT2(const, $"g", $"e", $"x")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(g3._5 == Some(0L) && g3._6 == Some(0L) && g3._7.isEmpty, g3.toString)
+  }
+
+  /** Brute NN-match replay: min-id rep per (g, x) among controls, then
+    * per-treated argmin by (|cx−x|, cx). */
+  private def bruteAtt(rows: Seq[(String, Boolean, Long, Long, Long)])
+      : Map[String, (Long, Long, Option[Long], Option[Long], Option[Long])] = {
+    val byG = rows.groupBy(_._1)
+    byG.map { case (g, rs) =>
+      val reps = rs.filter(!_._2).groupBy(_._4).map { case (x, cs) =>
+        val c = cs.minBy(_._3); (x, c._5)
+      }.toSeq
+      val treated = rs.filter(_._2)
+      val matches = treated.flatMap { t =>
+        if (reps.isEmpty) None
+        else {
+          val (cx, cy) = reps.minBy { case (x, _) => ((x - t._4).abs, x) }
+          Some((t._5 - cy, (cx - t._4).abs))
+        }
+      }
+      val sumDy = matches.map(_._1).sum
+      val att = // BigInt / truncates toward zero, matching DIV on both engines
+        if (matches.isEmpty) None
+        else Some((BigInt(sumDy) / matches.size).toLong)
+      g -> ((treated.size.toLong, matches.size.toLong,
+        if (matches.isEmpty) None else Some(sumDy),
+        att, if (matches.isEmpty) None else Some(matches.map(_._2).sum)))
+    }
+  }
+
+  test("nnMatchAtt: hand matches, tie-to-prev, no-controls NULL") {
+    import graft.operators.Stats
+    // controls at x = 10 (y=100, id 2 beats id 4) and x = 20 (y=200);
+    // treated: x=9 -> ctrl 10 (dy=-40), x=15 equidistant -> PREV x=10
+    // (dy=50), x=21 -> ctrl 20 (dy=-80)
+    val rows = Seq(
+      ("a", false, 2L, 10L, 100L), ("a", false, 4L, 10L, 999L),
+      ("a", false, 6L, 20L, 200L),
+      ("a", true, 1L, 9L, 60L), ("a", true, 3L, 15L, 150L),
+      ("a", true, 5L, 21L, 120L),
+      ("b", true, 1L, 5L, 50L)) // no controls in b
+    val got = Stats.nnMatchAtt(rows.toDF("g", "tr", "id", "x", "y"),
+        $"g", $"tr", $"id", $"x", $"y")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // dy: (60-100) + (150-100) + (120-200) = -70; adx: 1 + 5 + 1 = 7
+    assert(got("a") == ((3L, 3L, Some(-70L), Some(-23L), Some(7L))), got.toString)
+    assert(got("b") == ((1L, 0L, None, None, None)), got.toString)
+  }
+
+  test("nnMatchAtt equals brute replay at every band count (cross-band fallbacks)") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 300).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      (g, i % 2 == 1, i.toLong, rnd.nextInt(500).toLong,
+        (rnd.nextInt(2000) - 500).toLong)
+    }
+    val want = bruteAtt(rows)
+    for (nb <- Seq(1, 7, 64)) {
+      val got = Stats.nnMatchAtt(rows.toDF("g", "tr", "id", "x", "y"),
+          $"g", $"tr", $"id", $"x", $"y", nBands = nb)
+        .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      want.foreach { case (g, w) =>
+        assert(got(g) == w, s"nBands=$nb g=$g got=${got(g)} want=$w") }
+    }
+  }
+
+  test("kendallTauB: perfect concordance, tie-corrected brute replay") {
+    import graft.operators.Stats
+    // strictly increasing in both -> all pairs concordant, tau2 = 1e6
+    val mono = (1L to 10L).map(i => ("m", i, i * 2, i * 3))
+    val got = Stats.kendallTauB(mono.toDF("g", "i", "x", "y"))
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got == (("m", 10L, 45L, 0L, 1L, Some(1000000L))), got.toString)
+    // random with heavy ties vs brute
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 25L).map(i => ("t", i, rnd.nextInt(5).toLong, rnd.nextInt(5).toLong))
+    val g2 = Stats.kendallTauB(pts.toDF("g", "i", "x", "y"))
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    val pairs = for (a <- pts; b <- pts if a._2 < b._2)
+      yield (java.lang.Long.signum(b._3 - a._3), java.lang.Long.signum(b._4 - a._4))
+    val conc = pairs.count(p => p._1 * p._2 == 1).toLong
+    val disc = pairs.count(p => p._1 * p._2 == -1).toLong
+    val n0 = pairs.size.toLong
+    val n1 = pairs.count(_._1 == 0).toLong
+    val n2 = pairs.count(_._2 == 0).toLong
+    val den = BigInt(n0 - n1) * (n0 - n2)
+    val tau2 = if (den > 0)
+      Some((BigInt(conc - disc) * (conc - disc) * 1000000 / den).toLong) else None
+    assert(g2 == (("t", 25L, conc, disc,
+      java.lang.Long.signum(conc - disc).toLong, tau2)), s"got=$g2")
+  }
+
+  test("simpsonDiversity: hand mixes and event conservation") {
+    import graft.operators.Stats
+    val ev = Seq.fill(4)(("mono", "t1")) ++
+      Seq(("half", "t1"), ("half", "t1"), ("half", "t2"), ("half", "t2")) ++
+      Seq(("quad", "t1"), ("quad", "t2"), ("quad", "t3"), ("quad", "t4"))
+    val got = Stats.simpsonDiversity(ev.toDF("e", "c"), $"e", $"c")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("mono") == ((4L, 1L, 0L)), got.toString)
+    assert(got("half") == ((4L, 2L, 500000L)), got.toString)
+    assert(got("quad") == ((4L, 4L, 750000L)), got.toString)
+    assert(got.values.map(_._1).sum == ev.size.toLong)
+  }
 }

@@ -451,4 +451,32 @@ class TimeSeriesSpec extends SparkSpec {
       assert(got(g) == ((n, s, z2)), s"g=$g got=${got(g)}")
     }
   }
+
+  test("pacfPpm: BigInt Yule-Walker replay from acfPpm, pacf1 = acf1") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 40).map(i =>
+      (1L, i.toLong, i.toLong, (rnd.nextInt(2000) - 1000).toLong)) ++
+      (0 until 30).map(i => (2L, i.toLong, i.toLong, (i % 4) * 500L))
+    val acfGot = acf(rows)
+    val got = TimeSeries.pacfPpm(rows.toDF("k", "t", "tie", "x"),
+        col("k"), col("t"), col("tie"), col("x"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    for (k <- Seq(1L, 2L)) {
+      val (n, a1, a2, a3) = acfGot(k)
+      val (r0, r1, r2, r3) = (BigInt(1000000), BigInt(a1), BigInt(a2), BigInt(a3))
+      def sdiv(num: BigInt, den: BigInt): Long =
+        (if (num < 0) -(num.abs * 1000000 / den) else num * 1000000 / den).toLong
+      val den2 = r0 * r0 - r1 * r1
+      val p2 = if (den2 > 0) Some(sdiv(r2 * r0 - r1 * r1, den2)) else None
+      val det3 = r0 * (r0 * r0 - r1 * r1) - r1 * (r1 * r0 - r1 * r2) +
+        r2 * (r1 * r1 - r0 * r2)
+      val det3s = r0 * (r0 * r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2) +
+        r1 * (r1 * r1 - r0 * r2)
+      val p3 = if (det3 > 0) Some(sdiv(det3s, det3)) else None
+      assert(got(k) == ((n, a1, p2, p3)), s"k=$k got=${got(k)} want=($n,$a1,$p2,$p3)")
+    }
+    // the period-4 sawtooth (key 2) must show structure past lag 1
+    assert(got(2L)._3.exists(_ != 0L), got(2L).toString)
+  }
 }
