@@ -537,7 +537,13 @@ object ScaleProbe {
     // prev/next windows partitioned by (type, band)
     "q_pacf" -> true,
     "q_kendall_daily" -> false,
-    "q_matched_pairs" -> true
+    "q_matched_pairs" -> true,
+    // round-9 wave 37: Ljung-Box = acfPpm's single hash(user) Exchange
+    // on the RAW event series + row-local DECIMAL clearing — the q_acf
+    // shape exactly (same AQE fact-broadcast pin). q_bloom_scan is
+    // store-class (builds a layout) — bench-covered like q_skip_scan /
+    // q_hilbert_scan, not replica-probed.
+    "q_ljung_box" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -611,7 +617,11 @@ object ScaleProbe {
     // round-9 wave 28: conductance runs on the lineitem co-purchase
     // axis (the q_modularity class — identical frames, different
     // final arithmetic)
-    "q_conductance")
+    "q_conductance",
+    // round-9 wave 37: k-truss peel runs on the lineitem co-purchase
+    // axis (per-round support pass = the q_triangle_count O(m^1.5)
+    // plan on the staged survivor edges)
+    "q_ktruss")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes
@@ -717,7 +727,10 @@ object ScaleProbe {
     // fast in local mode; nonsense at 1000 executors (a fact-table
     // broadcast). Pinning measures the SMJ regime both sides: 6.0×
     // (8.5 → 51.2 MB, AQE-off differential in BUILDER_NOTES).
-    "q_acf" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    "q_acf" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    // Same AQE fact-broadcast artifact as q_acf (ljungBox IS acfPpm +
+    // row-local arithmetic) — pin so the probe measures the SMJ regime.
+    "q_ljung_box" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
   )
 
   def main(args: Array[String]): Unit = {

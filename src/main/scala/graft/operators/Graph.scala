@@ -580,4 +580,80 @@ object Graph {
       .select(col("n_pairs"),
         signum(col("_num")).cast("long").as("dir_sign"), col("r2_ppm"))
   }
+
+  /** Per-edge triangle support of an undirected graph: the number of
+    * common neighbors of each edge's endpoints — computed by the
+    * degree-oriented enumeration ([[triangleCorners]]'s O(m^1.5) plan:
+    * every triangle is found exactly once at its lowest-degree corner,
+    * never via a hub-squared wedge join) and then folded back onto the
+    * THREE undirected edges each triangle contains. Edges in no
+    * triangle get no row. Input (u, v) deduped; output (u, v, sup)
+    * with u < v. */
+  def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
+    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
+    val e3 = oriented.select(col("s").as("a2"), col("t").as("c2"))
+    val tris = e1.join(e2, Seq("b"))
+      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+      .select(col("a"), col("b"), col("c"))
+    tris.select(explode(array(
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+        struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")),
+        struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v"))))
+        .as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+  }
+
+  /** k-truss peel (Cohen 2008) — the cohesive-subgraph refinement of
+    * [[kCorePeel]]: keep only edges lying on ≥ `support` triangles,
+    * recompute support WITHIN the survivor subgraph, repeat. A k-core
+    * keeps well-connected NODES; a truss keeps well-embedded EDGES —
+    * the community-backbone extraction that shrugs off hub spokes.
+    *
+    * Bounded `rounds` with early stop: survivor sets only shrink, so an
+    * unchanged edge COUNT means an unchanged set and every later round
+    * is a no-op — stopping early cannot diverge from a fixed-round
+    * oracle replay. Each round re-stages the survivor edges
+    * (content-keyed parquet, the [[pagerank]]/[[kCorePeel]] trail) so
+    * round r's plan is a flat file scan, never a 3^r join tree; per-round
+    * cost is one degree-oriented support pass on the CURRENT subgraph,
+    * which after the first peel is typically a small core.
+    *
+    * Output: (node, deg_in_truss) over the surviving subgraph. */
+  def trussPeel(edges: DataFrame, support: Int, rounds: Int): DataFrame = {
+    require(support >= 1 && rounds >= 1,
+      s"need support >= 1 ($support), rounds >= 1 ($rounds)")
+    var ed = graft.store.Staging.stage(
+      edges.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") < col("v")).distinct(),
+      "truss_edges")
+    var edgeCount = ed.count()
+    var i = 0
+    var stable = false
+    while (i < rounds && !stable && edgeCount > 0) {
+      val keep = edgeSupport(ed).filter(col("sup") >= support.toLong)
+        .select(col("u"), col("v"))
+      val next = graft.store.Staging.stage(
+        ed.join(keep, Seq("u", "v"), "left_semi"), s"truss_e$i")
+      val nextCount = next.count()
+      stable = nextCount == edgeCount
+      ed = next
+      edgeCount = nextCount
+      i += 1
+    }
+    ed.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg_in_truss"))
+  }
 }

@@ -684,4 +684,43 @@ object TimeSeries {
       .select(col("key"), col("n"), col("acf1_ppm").as("pacf1_ppm"),
         col("pacf2_ppm"), col("pacf3_ppm"))
   }
+
+  /** Ljung–Box portmanteau white-noise test over lags 1..3 per entity —
+    * "is there ANY serial structure at all?", the gate before reading
+    * individual [[acfPpm]]/[[pacfPpm]] coefficients (each lag alone at
+    * ±2/√n invites multiple-testing false alarms; the portmanteau sums
+    * them once):
+    *
+    *   Q = n(n+2) · Σ_k r_k²/(n−k)
+    *
+    * cleared over the common denominator (n−1)(n−2)(n−3) so the milli
+    * rendering is ONE DECIMAL(38,0) floor-division over the acf ppm
+    * integers — no χ² table at runtime: the 95% threshold for 3 df
+    * ships as the compile-time literal 7815 milli (the ppm-ladder
+    * convention) and `reject` is the thresholded verdict. Series with
+    * n ≤ 3 report NULL. Scale shape: [[acfPpm]]'s one shuffle +
+    * row-local arithmetic. Output: (key, n, q_milli, reject). */
+  def ljungBox(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valCol: Column): DataFrame = {
+    val acf = acfPpm(df, keyCol, tsCol, tieCol, valCol, maxLag = 3)
+    acf
+      .withColumn("_r1", expr("CAST(acf1_ppm AS DECIMAL(38,0))"))
+      .withColumn("_r2", expr("CAST(acf2_ppm AS DECIMAL(38,0))"))
+      .withColumn("_r3", expr("CAST(acf3_ppm AS DECIMAL(38,0))"))
+      .withColumn("_num", expr(
+        """_r1 * _r1 * (n - 2) * (n - 3) + _r2 * _r2 * (n - 1) * (n - 3)
+          |  + _r3 * _r3 * (n - 1) * (n - 2)""".stripMargin))
+      .withColumn("q_milli",
+        when(col("n") > 3, expr(
+          """CAST(CAST(n AS DECIMAL(38,0)) * (n + 2) * _num * 1000
+            |  DIV (CAST(n - 1 AS DECIMAL(38,0)) * (n - 2) * (n - 3)
+            |       * 1000000000000) AS BIGINT)""".stripMargin)))
+      .withColumn("reject",
+        when(col("q_milli").isNotNull, (col("q_milli") > 7815L).cast("long")))
+      .select(col("key"), col("n"), col("q_milli"), col("reject"))
+  }
 }

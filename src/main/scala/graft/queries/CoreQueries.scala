@@ -4047,6 +4047,91 @@ object CoreQueries {
              |         ELSE det3s*1000000 // det3 END) END AS BIGINT) AS pacf3_ppm
              |FROM f ORDER BY user_id""".stripMargin)),
 
+    // k-truss peel of the part co-purchase graph — q_kcore's edge-level
+    // refinement: a core keeps well-connected NODES (hub spokes
+    // survive); a truss keeps only edges on >= 12 triangles WITHIN the
+    // survivor subgraph, recomputed per peel — the community backbone.
+    // Each round = one degree-oriented support pass (the
+    // q_triangle_count O(m^1.5) plan) on the staged survivor edges;
+    // early stop is sound (an unchanged count is an unchanged set).
+    Q("q_ktruss",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        Graph.trussPeel(und, support = 12, rounds = 3).orderBy("node")
+      },
+      Some {
+        val (st, r) = (12, 3)
+        val rounds = (1 to r).map { i =>
+          s"""b${i - 1} AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+             |     UNION ALL SELECT v AS u, u AS v FROM e${i - 1}),
+             |s$i AS MATERIALIZED (SELECT e.u, e.v, count(*) AS sup
+             |     FROM e${i - 1} e JOIN b${i - 1} x ON x.u = e.u
+             |     JOIN b${i - 1} y ON y.u = e.v AND y.v = x.v
+             |     GROUP BY e.u, e.v),
+             |e$i AS MATERIALIZED (SELECT u, v FROM s$i WHERE sup >= $st)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+           |     FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+           |$rounds
+           |SELECT node, CAST(count(*) AS BIGINT) AS deg_in_truss
+           |FROM (SELECT u AS node FROM e$r UNION ALL SELECT v AS node FROM e$r)
+           |GROUP BY node ORDER BY node""".stripMargin
+      }),
+
+    // Ljung-Box portmanteau test per user — "any serial structure at
+    // all?" over lags 1-3 of the raw event series, the multiple-
+    // testing-safe gate before reading q_acf/q_pacf coefficients.
+    // Cleared to ONE floor-division over the acf ppm integers; the
+    // chi-square(3df) 95% cut ships as the compile-time literal 7815
+    // milli. Same single hash(user) Exchange as q_acf.
+    Q("q_ljung_box",
+      (s, dir) => TimeSeries.ljungBox(Tables.events(s, dir),
+          col("user_id"), unix_micros(col("ts")), col("event_id"),
+          floor(col("value") * 1000).cast("long"))
+        .withColumnRenamed("key", "user_id").orderBy("user_id"),
+      Some("""WITH b AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tie,
+             |                  CAST(floor(value*1000) AS BIGINT) AS x FROM events),
+             |tot AS (SELECT k, count(*) AS n, sum(x) AS s FROM b GROUP BY 1),
+             |d AS (SELECT b.k, t, tie, CAST(tot.n AS HUGEINT)*x - tot.s AS dev, tot.n
+             |      FROM b JOIN tot ON b.k = tot.k),
+             |l AS (SELECT k, n, dev, lag(dev, 1) OVER w AS d1,
+             |             lag(dev, 2) OVER w AS d2, lag(dev, 3) OVER w AS d3
+             |      FROM d WINDOW w AS (PARTITION BY k ORDER BY t, tie)),
+             |a AS (SELECT k, max(n) AS n, sum(dev*dev) AS den,
+             |             coalesce(sum(dev*d1), 0) AS n1,
+             |             coalesce(sum(dev*d2), 0) AS n2,
+             |             coalesce(sum(dev*d3), 0) AS n3
+             |      FROM l GROUP BY 1),
+             |r AS (SELECT k, n,
+             |        CAST(CASE WHEN den > 0 THEN (CASE WHEN n1 < 0
+             |          THEN -(abs(n1)*1000000 // den) ELSE n1*1000000 // den END)
+             |          ELSE 0 END AS HUGEINT) AS r1,
+             |        CAST(CASE WHEN den > 0 THEN (CASE WHEN n2 < 0
+             |          THEN -(abs(n2)*1000000 // den) ELSE n2*1000000 // den END)
+             |          ELSE 0 END AS HUGEINT) AS r2,
+             |        CAST(CASE WHEN den > 0 THEN (CASE WHEN n3 < 0
+             |          THEN -(abs(n3)*1000000 // den) ELSE n3*1000000 // den END)
+             |          ELSE 0 END AS HUGEINT) AS r3
+             |      FROM a),
+             |f AS (SELECT k, n,
+             |        CASE WHEN n > 3 THEN CAST(n AS HUGEINT) * (n + 2)
+             |          * (r1*r1*(n-2)*(n-3) + r2*r2*(n-1)*(n-3) + r3*r3*(n-1)*(n-2))
+             |          * 1000
+             |          // (CAST(n - 1 AS HUGEINT) * (n - 2) * (n - 3) * 1000000000000)
+             |        END AS q_milli
+             |      FROM r)
+             |SELECT k AS user_id, CAST(n AS BIGINT) AS n,
+             |       CAST(q_milli AS BIGINT) AS q_milli,
+             |       CAST(CASE WHEN q_milli IS NOT NULL
+             |            THEN (CASE WHEN q_milli > 7815 THEN 1 ELSE 0 END)
+             |            END AS BIGINT) AS reject
+             |FROM f ORDER BY user_id""".stripMargin)),
+
     // Kendall tau-b between daily activity and daily spend per event
     // type — the pair-semantics correlation on the DOMAIN-BOUNDED daily
     // rollup (≤31 points/type, so the textbook O(n²) pair frame is

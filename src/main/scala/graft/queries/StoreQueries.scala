@@ -883,6 +883,35 @@ object StoreQueries {
            |ORDER BY event_id""".stripMargin
       }),
 
+    // Constant-width Bloom file skipping — q_skip_scan's signature is an
+    // EXACT hash-bit set that grows with distinct keys and saturates at
+    // high cardinality; this is the fixed 4 KiB k=3 Bloom bitset per
+    // bucket (the parquet-column-bloom/Iceberg construction) answering
+    // the same non-layout-column probes: candidate bucket iff all 3
+    // bits present, literal IN-list partition pruning (asserted in
+    // StoreSpec), exact semi-join after. Oracle: plain IN-list filter —
+    // false positives cost a pruned scan, never a row.
+    Q("q_bloom_scan",
+      (s, dir) => {
+        val store = graft.store.SkipIndexStore.ensureSkipStore(s, dir)
+        val index = graft.store.BloomIndexStore.ensureBloomIndex(s, store)
+        import s.implicits._
+        val keys = (0 until 60).map(i => i.toLong * 211L + 7L).toDF("k")
+        graft.store.BloomIndexStore.bloomScan(s, store, index, keys)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            floor(col("value") * 1000).cast("long").as("value_mils"),
+            col("ts_us"))
+          .orderBy("event_id")
+      },
+      Some {
+        val ids = (0 until 60).map(i => i.toLong * 211L + 7L).mkString(", ")
+        s"""SELECT event_id, user_id, event_type,
+           |       CAST(floor(value*1000) AS BIGINT) AS value_mils,
+           |       epoch_us(ts) AS ts_us
+           |FROM events WHERE event_id IN ($ids)
+           |ORDER BY event_id""".stripMargin
+      }),
+
     // Streaming-maintained materialized view: per-(day, type) aggregates
     // MERGE-maintained across MANY micro-batches in foreachBatch (the
     // one replay that deliberately splits the backlog — count/sum are

@@ -367,4 +367,32 @@ class GraphSpec extends SparkSpec {
       .map(r => r._1 -> r._5).toMap
     assert(gb(10L).exists(_ > 142857L), gb.toString)
   }
+
+  test("edgeSupport: K4 edges carry support 2, hanging triangle 1, pendant none") {
+    // K4 on 1-4, triangle {4,5,6}, pendant 6-7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val got = Graph.edgeSupport(edges)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    k4.foreach(e => assert(got(e) == 2L, s"$e -> ${got.get(e)}"))
+    Seq((4L, 5L), (4L, 6L), (5L, 6L)).foreach(e =>
+      assert(got(e) == 1L, s"$e -> ${got.get(e)}"))
+    assert(!got.contains((6L, 7L)), got.toString) // no triangle, no row
+  }
+
+  test("trussPeel: support-2 keeps K4 only; peel cascades to empty on the broken K4") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val got = Graph.trussPeel(edges, support = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+    // K4 minus edge (1,4): only (2,3) has support 2, but once its
+    // neighbors' edges are gone its own support collapses — the peel
+    // must CASCADE to the empty graph, not stop after one round
+    val broken = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val g2 = Graph.trussPeel(broken, support = 2, rounds = 4)
+    assert(g2.count() == 0L, g2.collect().mkString(","))
+  }
 }

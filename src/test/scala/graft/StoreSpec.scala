@@ -330,6 +330,34 @@ class StoreSpec extends SparkSpec {
       a.forall(h => h >= 0 && h < SkipIndexStore.Bits)))
   }
 
+  test("bloom index: exact lookup, constant-width signature, pruned IN-list") {
+    import graft.store.{BloomIndexStore, SkipIndexStore}
+    val path = tmp("bloomstore")
+    val rows = (1L to 400L).map(i => (i, i % 37, s"t${i % 5}"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("fb", pmod(xxhash64($"user_id"), lit(SkipIndexStore.Buckets.toLong)))
+    rows.repartition($"fb").write.partitionBy("fb").mode("overwrite").parquet(path)
+    val idx = BloomIndexStore.ensureBloomIndex(spark, path)
+    // no false negatives: every present key's rows come back exactly
+    val keys = Seq(10L, 200L, 399L, 5000L, 9999L).toDF("k")
+    val scan = BloomIndexStore.bloomScan(spark, path, idx, keys)
+    val got = scan.select($"event_id").as[Long].collect().toSet
+    assert(got == Set(10L, 200L, 399L))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("fb"), plan.take(2000))
+    val inList = "fb#\\d+ IN \\(([^)]*)\\)".r.findFirstMatchIn(plan)
+    assert(inList.isDefined, plan.take(2000))
+    assert(inList.get.group(1).split(",").length < SkipIndexStore.Buckets / 2,
+      s"pruning too weak: ${inList.get.group(1)}")
+    // the signature is CONSTANT-width: ≤ Buckets × BloomBits/64 packed
+    // words regardless of how many keys each bucket holds
+    val words = spark.read.parquet(idx)
+    assert(words.count() <= SkipIndexStore.Buckets.toLong * (BloomIndexStore.BloomBits / 64),
+      words.count().toString)
+    assert(words.select($"word").as[Long].collect()
+      .forall(w => w >= 0 && w < BloomIndexStore.BloomBits / 64))
+  }
+
   test("pivotCompressed: per-key time-ordered CSV survives the codec") {
     val comp = CompressedStore.pivotCompressed(
       events.withColumn("vm", floor($"v" * 1000).cast("long")), "id", "ts", Seq("vm"))

@@ -479,4 +479,30 @@ class TimeSeriesSpec extends SparkSpec {
     // the period-4 sawtooth (key 2) must show structure past lag 1
     assert(got(2L)._3.exists(_ != 0L), got(2L).toString)
   }
+
+  test("ljungBox: BigInt replay; alternation rejects, short series NULL") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 50).map(i =>
+      (1L, i.toLong, i.toLong, (rnd.nextInt(2000) - 1000).toLong)) ++
+      (0 until 40).map(i => (2L, i.toLong, i.toLong, if (i % 2 == 0) 1000L else -1000L)) ++
+      (0 until 3).map(i => (3L, i.toLong, i.toLong, i * 100L))
+    val acfGot = acf(rows)
+    val got = TimeSeries.ljungBox(rows.toDF("k", "t", "tie", "x"),
+        col("k"), col("t"), col("tie"), col("x"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (k <- Seq(1L, 2L)) {
+      val (n, a1, a2, a3) = acfGot(k)
+      val (r1, r2, r3) = (BigInt(a1), BigInt(a2), BigInt(a3))
+      val num = r1 * r1 * (n - 2) * (n - 3) + r2 * r2 * (n - 1) * (n - 3) +
+        r3 * r3 * (n - 1) * (n - 2)
+      val q = BigInt(n) * (n + 2) * num * 1000 /
+        (BigInt(n - 1) * (n - 2) * (n - 3) * BigInt("1000000000000"))
+      assert(got(k) == ((n, Some(q.toLong), Some(if (q > 7815) 1L else 0L))),
+        s"k=$k got=${got(k)} q=$q")
+    }
+    // the ±1000 alternation has |acf1| near 1e6 — must reject hard
+    assert(got(2L)._3 == Some(1L), got(2L).toString)
+    assert(got(3L) == ((3L, None, None)), got(3L).toString) // n <= 3
+  }
 }
