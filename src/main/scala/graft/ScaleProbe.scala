@@ -543,7 +543,14 @@ object ScaleProbe {
     // shape exactly (same AQE fact-broadcast pin). q_bloom_scan is
     // store-class (builds a layout) — bench-covered like q_skip_scan /
     // q_hilbert_scan, not replica-probed.
-    "q_ljung_box" -> false
+    "q_ljung_box" -> false,
+    // round-9 wave 38: AUC = one (day, value) map-side census agg; the
+    // prefix window runs on the census only (domain-bounded) — linear
+    "q_auc" -> false,
+    // round-9 wave 38: LOO target encoding = one category rollup + 1-row
+    // global total broadcast back onto the fact rows; output is per-row
+    // so bytes grow ~linearly with input
+    "q_target_encode" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -621,7 +628,10 @@ object ScaleProbe {
     // round-9 wave 37: k-truss peel runs on the lineitem co-purchase
     // axis (per-round support pass = the q_triangle_count O(m^1.5)
     // plan on the staged survivor edges)
-    "q_ktruss")
+    "q_ktruss",
+    // round-9 wave 38: incremental join-view maintenance runs on the
+    // orders⋈lineitem TPC-H axis the replica does not carry
+    "q_ivm_join")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -132,4 +132,44 @@ object Labeling {
       .select(col("annot_a"), col("annot_b"), col("n_shared"),
         col("agree_ppm"), col("kappa_ppm"))
   }
+
+  /** Leave-one-out m-estimate target encoding — the standard
+    * high-cardinality categorical feature for tabular training data,
+    * with the two classic leaks engineered out: LEAVE-ONE-OUT (each
+    * row's own target is subtracted from its category total, so the
+    * feature never memorizes the row it describes) and m-estimate
+    * SMOOTHING toward the global mean (rare categories shrink to the
+    * prior instead of parroting their 2-3 targets):
+    *
+    *   enc_i = (Σ_cat y − y_i + m·ȳ_global) / (n_cat − 1 + m)
+    *
+    * cleared over the global count so the milli rendering is ONE
+    * DECIMAL(38,0) floor-division per row — exact in any engine.
+    *
+    * Scale shape: one map-side-combined category rollup + a 1-row
+    * global total; both join back onto the fact rows as broadcasts
+    * (category frame = #categories rows), so the fact table is touched
+    * in ONE pass and never shuffles. m ≥ 1 keeps the encoding defined
+    * even for singleton categories (n−1+m > 0).
+    *
+    * Input: (idCol, catCol, yCol integer). Output: one row per input
+    * row — (id, cat, n_cat, loo_milli). */
+  def targetEncodeLoo(
+      df: DataFrame,
+      idCol: Column,
+      catCol: Column,
+      yCol: Column,
+      m: Int = 10): DataFrame = {
+    require(m >= 1, s"smoothing m must be >= 1: $m")
+    val b = df.select(idCol.as("id"), catCol.as("cat"), yCol.as("_y"))
+    val cat = b.groupBy(col("cat"))
+      .agg(sum(col("_y")).as("_csum"), count(lit(1)).as("n_cat"))
+    val g = b.agg(sum(col("_y")).as("_gsum"), count(lit(1)).as("_gn"))
+    b.join(broadcast(cat), Seq("cat"))
+      .crossJoin(broadcast(g))
+      .withColumn("loo_milli", expr(
+        s"""CAST(((CAST(_csum AS DECIMAL(38,0)) - _y) * _gn + $m * CAST(_gsum AS DECIMAL(38,0)))
+           |  * 1000 DIV ((CAST(n_cat AS DECIMAL(38,0)) - 1 + $m) * _gn) AS BIGINT)""".stripMargin))
+      .select(col("id"), col("cat"), col("n_cat"), col("loo_milli"))
+  }
 }

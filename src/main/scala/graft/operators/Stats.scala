@@ -1633,4 +1633,43 @@ object Stats {
           |  DIV (CAST(n_events AS DECIMAL(38,0)) * n_events) AS BIGINT)""".stripMargin))
       .select(col("_e").as("e"), col("n_events"), col("n_cats"), col("div_ppm"))
   }
+
+  /** Exact ROC-AUC per group of a score against a binary label — the
+    * probability-of-correct-ranking form AUC = P(s⁺ > s⁻) + ½P(s⁺ = s⁻),
+    * i.e. the [[mannWhitneyU]] statistic normalized by n⁺·n⁻ — computed
+    * WITHOUT ranking the rows: a (group, score) value census carries
+    * (n_pos, n_neg) per distinct score, a prefix sum of negatives over
+    * the census (window partitioned by group — never a global sort)
+    * gives each positive its doubled beaten-pair count
+    * 2·(neg strictly below) + (neg tied), and one rollup per group sums
+    * them. Everything row-count-sized happens in the ONE map-side-
+    * combined census aggregation; the window runs over the
+    * score-DOMAIN-bounded census frame only ([[exactQuantilesSelect]]'s
+    * shape). u2 = 2·U and auc_ppm = ⌊10⁶·u2 / (2·n⁺·n⁻)⌋ are exact
+    * integers end to end (sums in DECIMAL(38,0) — exact to ~10⁹ rows per
+    * side per group; past that stratify, AUC averages over strata).
+    * Single-class groups report NULL. Output: (g, n_pos, n_neg, u2,
+    * auc_ppm). */
+  def aucByGroup(
+      df: DataFrame,
+      groupCol: Column,
+      scoreCol: Column,
+      posCol: Column): DataFrame = {
+    val census = df
+      .select(groupCol.as("_g"), scoreCol.as("_s"), posCol.cast("long").as("_p"))
+      .groupBy(col("_g"), col("_s"))
+      .agg(sum(col("_p")).as("_np"), sum(lit(1L) - col("_p")).as("_nn"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_s"))
+    val pref = census.withColumn("_cumn", sum(col("_nn")).over(w))
+    pref.groupBy(col("_g"))
+      .agg(sum(col("_np")).as("n_pos"), sum(col("_nn")).as("n_neg"),
+        sum(expr("CAST(_np AS DECIMAL(38,0)) * (2 * (_cumn - _nn) + _nn)"))
+          .as("_u2"))
+      .withColumn("auc_ppm",
+        when(col("n_pos") > 0 && col("n_neg") > 0, expr(
+          """CAST(_u2 * 1000000
+            |  DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)""".stripMargin)))
+      .select(col("_g").as("g"), col("n_pos"), col("n_neg"),
+        col("_u2").cast("long").as("u2"), col("auc_ppm"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Encodings, Flatten, Graph, Normalize, Spatial, Stats, TimeSeries, Trajectory}
+import graft.operators.{Encodings, Flatten, Graph, Labeling, Normalize, Spatial, Stats, TimeSeries, Trajectory}
 import graft.sources.Tables
 
 /** One registered, oracle-checked query. `oracle` is ANSI-ish SQL runnable
@@ -6231,7 +6231,61 @@ object CoreQueries {
              |                                ORDER BY hh, event_id) AS rk
              |      FROM h)
              |SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, user_id
-             |FROM r WHERE rk <= 50 ORDER BY event_type, rk""".stripMargin))
+             |FROM r WHERE rk <= 50 ORDER BY event_type, rk""".stripMargin)),
+
+    // Exact per-day ROC-AUC of event value as a purchase-ranker — the
+    // rank-semantics classifier metric (does value order purchases above
+    // the rest?), computed census-first: the row-sized work is ONE
+    // (day, value) count agg; the prefix window runs over the
+    // domain-bounded census only (never a global rank of the rows).
+    // u2 = 2U keeps halves integral; auc_ppm = u2·10⁶ DIV (2·n⁺·n⁻).
+    Q("q_auc",
+      (s, dir) => Stats.aucByGroup(Tables.events(s, dir),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"),
+          floor(col("value") * 1000).cast("long"),
+          (col("event_type") === "purchase").cast("long"))
+        .withColumnRenamed("g", "day").orderBy("day"),
+      Some("""WITH b AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+             |                  CAST(floor(value*1000) AS BIGINT) AS s,
+             |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             |           FROM events),
+             |c AS (SELECT d, s, sum(p) AS np, sum(1 - p) AS nn FROM b GROUP BY 1, 2),
+             |w AS (SELECT d, s, np, nn,
+             |             sum(nn) OVER (PARTITION BY d ORDER BY s) AS cumn FROM c),
+             |a AS (SELECT d, sum(np) AS n_pos, sum(nn) AS n_neg,
+             |             sum(CAST(np AS HUGEINT) * (2 * (cumn - nn) + nn)) AS u2
+             |      FROM w GROUP BY 1)
+             |SELECT d AS day, CAST(n_pos AS BIGINT) AS n_pos,
+             |       CAST(n_neg AS BIGINT) AS n_neg, CAST(u2 AS BIGINT) AS u2,
+             |       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+             |            THEN u2 * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+             |            END AS BIGINT) AS auc_ppm
+             |FROM a ORDER BY day""".stripMargin)),
+
+    // Leave-one-out m-estimate target encoding of event_type on value —
+    // the leak-safe high-cardinality categorical feature: each row's own
+    // target is excluded from its category mean and rare categories
+    // shrink toward the global mean (m = 10). One category rollup + a
+    // 1-row global total, both broadcast back — the fact rows never
+    // shuffle. Exact: cleared to one DECIMAL floor-division per row.
+    Q("q_target_encode",
+      (s, dir) => Labeling.targetEncodeLoo(Tables.events(s, dir),
+          col("event_id"), col("event_type"),
+          floor(col("value") * 1000).cast("long"))
+        .withColumnRenamed("id", "event_id")
+        .withColumnRenamed("cat", "event_type").orderBy("event_id"),
+      Some("""WITH b AS (SELECT event_id, event_type,
+             |                  CAST(floor(value*1000) AS BIGINT) AS y FROM events),
+             |g AS (SELECT sum(y) AS gsum, count(*) AS gn FROM b),
+             |c AS (SELECT event_type, sum(y) AS csum, count(*) AS cn
+             |      FROM b GROUP BY 1)
+             |SELECT b.event_id, b.event_type, CAST(c.cn AS BIGINT) AS n_cat,
+             |       CAST(((CAST(c.csum AS HUGEINT) - b.y) * g.gn
+             |              + 10 * CAST(g.gsum AS HUGEINT)) * 1000
+             |            // ((CAST(c.cn AS HUGEINT) - 1 + 10) * g.gn)
+             |            AS BIGINT) AS loo_milli
+             |FROM b JOIN c USING (event_type) CROSS JOIN g
+             |ORDER BY event_id""".stripMargin))
   )
 
   /** Shared point frame for the spatial family: events with exact

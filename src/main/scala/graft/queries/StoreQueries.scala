@@ -912,6 +912,35 @@ object StoreQueries {
            |ORDER BY event_id""".stripMargin
       }),
 
+    // Incremental join-view maintenance — V_new = V_old ∪ ΔA⋈B_new ∪
+    // A_old⋈ΔB: the staged orders⋈lineitem view absorbs both sides'
+    // delta batches without re-joining base×base (the delta joins probe
+    // with batch-sized sides; the staged view is a flat scan). The
+    // oracle recomputes the FULL join — equality is the delta algebra's
+    // correctness, checked on a rollup both engines can hash.
+    Q("q_ivm_join",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_returnflag"),
+            floor(col("l_quantity")).cast("long").as("qty"))
+        graft.store.Maintenance.incrementalJoinView("ord_li",
+            ord.filter(pmod(col("o_orderkey"), lit(5L)) =!= 0L),
+            ord.filter(pmod(col("o_orderkey"), lit(5L)) === 0L),
+            li.filter(pmod(col("o_orderkey"), lit(7L)) =!= 0L),
+            li.filter(pmod(col("o_orderkey"), lit(7L)) === 0L),
+            "o_orderkey")
+          .groupBy(col("o_orderpriority"), col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+          .orderBy("o_orderpriority", "l_returnflag")
+      },
+      Some("""SELECT o_orderpriority, l_returnflag,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Streaming-maintained materialized view: per-(day, type) aggregates
     // MERGE-maintained across MANY micro-batches in foreachBatch (the
     // one replay that deliberately splits the backlog — count/sum are

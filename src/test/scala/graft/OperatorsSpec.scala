@@ -1454,6 +1454,70 @@ class OperatorsSpec extends SparkSpec {
       java.lang.Long.signum(conc - disc).toLong, tau2)), s"got=$g2")
   }
 
+  test("aucByGroup: hand pairs, perfect separation, single-class NULL") {
+    import graft.operators.Stats
+    // a: pos {3,1}, neg {2,1} -> wins 2, ties 1 -> u2 = 5, auc = 625000
+    // b: pos {10,9}, neg {1,2} -> perfect -> auc = 1000000
+    // c: all positive -> NULL
+    val ev = Seq(("a", 3L, 1L), ("a", 1L, 1L), ("a", 2L, 0L), ("a", 1L, 0L),
+      ("b", 10L, 1L), ("b", 9L, 1L), ("b", 1L, 0L), ("b", 2L, 0L),
+      ("c", 5L, 1L), ("c", 6L, 1L)).toDF("g", "s", "p")
+    val got = Stats.aucByGroup(ev, $"g", $"s", $"p")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((2L, 2L, 5L, Some(625000L))), got.toString)
+    assert(got("b") == ((2L, 2L, 8L, Some(1000000L))), got.toString)
+    assert(got("c") == ((2L, 0L, 0L, None)), got.toString)
+  }
+
+  test("aucByGroup equals brute doubled pair count on tied random data") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(47)
+    val ev = (1 to 500).map(_ =>
+      ("g", rnd.nextInt(12).toLong, rnd.nextInt(3) % 2L))
+    val got = Stats.aucByGroup(ev.toDF("g", "s", "p"), $"g", $"s", $"p")
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    val pos = ev.filter(_._3 == 1L).map(_._2)
+    val neg = ev.filter(_._3 == 0L).map(_._2)
+    val u2 = (for (a <- pos; b <- neg) yield
+      if (a > b) 2L else if (a == b) 1L else 0L).sum
+    val auc = (BigInt(u2) * 1000000 /
+      (2 * BigInt(pos.size) * neg.size)).toLong
+    assert(got == (("g", pos.size.toLong, neg.size.toLong, u2, Some(auc))),
+      s"got=$got want u2=$u2 auc=$auc")
+  }
+
+  test("targetEncodeLoo: hand shrinkage and BigInt replay") {
+    import graft.operators.Labeling
+    // m=1, global mean 20: A {10,20} -> LOO means pull toward 20;
+    // B singleton -> shrinks ALL the way to the prior
+    val ev = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L))
+      .toDF("id", "cat", "y")
+    val got = Labeling.targetEncodeLoo(ev, $"id", $"cat", $"y", m = 1)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("A", 2L, 20000L)), got.toString)
+    assert(got(2L) == (("A", 2L, 15000L)), got.toString)
+    assert(got(3L) == (("B", 1L, 20000L)), got.toString)
+    // default m: BigInt replay on random categories
+    val rnd = new scala.util.Random(53)
+    val big = (1 to 300).map(i =>
+      (i.toLong, s"c${rnd.nextInt(7)}", rnd.nextInt(1000).toLong))
+    val got2 = Labeling.targetEncodeLoo(big.toDF("id", "cat", "y"),
+        $"id", $"cat", $"y")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val gsum = BigInt(big.map(_._3).sum); val gn = BigInt(big.size)
+    val cs = big.groupBy(_._2).view
+      .mapValues(rs => (BigInt(rs.map(_._3).sum), BigInt(rs.size))).toMap
+    big.foreach { case (id, c, y) =>
+      val (csum, cn) = cs(c)
+      val want = (((csum - y) * gn + 10 * gsum) * 1000 /
+        ((cn - 1 + 10) * gn)).toLong
+      assert(got2(id) == want, s"id=$id got=${got2(id)} want=$want")
+    }
+  }
+
   test("simpsonDiversity: hand mixes and event conservation") {
     import graft.operators.Stats
     val ev = Seq.fill(4)(("mono", "t1")) ++

@@ -358,6 +358,25 @@ class StoreSpec extends SparkSpec {
       .forall(w => w >= 0 && w < BloomIndexStore.BloomBits / 64))
   }
 
+  test("incrementalJoinView equals the full recompute, duplicates preserved") {
+    import graft.store.Maintenance
+    val ord = Seq((1L, "P1"), (2L, "P2"), (3L, "P1"), (4L, "P3"), (5L, "P2"))
+      .toDF("k", "prio")
+    val li = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L),
+      (4L, 41L), (5L, 50L), (6L, 60L)).toDF("k", "qty")
+    // split both sides into old/delta; key 6 dangles (never joins)
+    val vNew = Maintenance.incrementalJoinView("spec",
+      ord.filter($"k" <= 3L), ord.filter($"k" > 3L),
+      li.filter($"qty" % 2 === 0L), li.filter($"qty" % 2 =!= 0L), "k")
+    val full = ord.join(li, "k")
+    val got = vNew.as[(Long, String, Long)].collect().sorted.toSeq
+    val want = full.as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == want, s"got=$got want=$want")
+    // ΔA⋈ΔB rows must appear EXACTLY once (folded into the ΔA⋈B_new
+    // term): (4, P3, 41) is delta-order × delta-line
+    assert(got.count(_ == ((4L, "P3", 41L))) == 1, got.toString)
+  }
+
   test("pivotCompressed: per-key time-ordered CSV survives the codec") {
     val comp = CompressedStore.pivotCompressed(
       events.withColumn("vm", floor($"v" * 1000).cast("long")), "id", "ts", Seq("vm"))
