@@ -550,7 +550,35 @@ object ScaleProbe {
     // round-9 wave 38: LOO target encoding = one category rollup + 1-row
     // global total broadcast back onto the fact rows; output is per-row
     // so bytes grow ~linearly with input
-    "q_target_encode" -> false
+    "q_target_encode" -> false,
+    // round-9 wave 39: weighted quantiles = the q_exact_quantiles 2-pass
+    // selection exactly (weighted histogram, same DOMAIN-bounded bin
+    // partial-state artifact class, same flag); Cochran-Armitage = one
+    // map-side (segment, hour) census to <=72 domain groups + rollup
+    // (the q_cube class); MASE = the q_forecast_snaive span-bounded
+    // hourly series class (only the first groupBy grows — measured 14x
+    // on 0.1 -> 1.4 MB ABSOLUTE, the hourly partial-agg state =
+    // partitions × 744 hour groups vs a ~1-split base, the
+    // q_exact_quantiles small-absolute layout artifact, so flagged)
+    "q_weighted_quantile" -> true,
+    "q_cochran_armitage" -> false,
+    "q_forecast_mase" -> true,
+    // round-9 wave 40: Jarque-Bera = ONE map-side moment pass to 5
+    // event_type groups (partial state = partitions × 5 — near-zero
+    // shuffle); split gain = ONE map-side value-unit bin census
+    // (domain-bounded, the q_cube class) + broadcast B² self-join.
+    // q_harmonic_centrality is lineitem-graph-scoped (ScopedExempt).
+    "q_jarque_bera" -> false,
+    "q_split_gain" -> false,
+    // round-9 wave 41: label windows = ONE user-keyed conditional agg
+    // (distinct-type expansion bounded at 5 types/row) — the
+    // q_active_users partial-state key class (same base-single-split
+    // artifact flag); quantile align = two partitioned row_number
+    // windows + one rank-equality join, all row-sized and linear.
+    // q_zone_scan is store-class (builds a layout) — bench-covered
+    // like q_skip_scan/q_bloom_scan, not replica-probed.
+    "q_label_windows" -> true,
+    "q_quantile_align" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -631,7 +659,11 @@ object ScaleProbe {
     "q_ktruss",
     // round-9 wave 38: incremental join-view maintenance runs on the
     // orders⋈lineitem TPC-H axis the replica does not carry
-    "q_ivm_join")
+    "q_ivm_join",
+    // round-9 wave 40: harmonic centrality runs on the lineitem
+    // co-purchase axis (the q_bfs_hops frontier class, one multi-seed
+    // sweep)
+    "q_harmonic_centrality")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -140,6 +140,65 @@ object Graph {
     labels
   }
 
+  /** MULTI-source shortest hop counts — [[bfsHops]] keyed by seed: ONE
+    * frontier expansion carries every seed at once ((seed, node)
+    * labels), so k seed-set sweeps cost one BFS, not k sequential ones
+    * (at 100 TB the per-round join is the expensive part; amortizing it
+    * across seeds is the whole point of batching). Per-round work is
+    * |frontier-adjacent edges| summed over seeds; labels re-stage per
+    * round (flat plans, the [[bfsHops]] contract); stops early on an
+    * empty frontier. Output: (seed, node, hop ≤ maxHops), each seed at
+    * hop 0 of itself. Input cols: (u, v) undirected. */
+  def multiBfsHops(edges: DataFrame, seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val spark = edges.sparkSession
+    val e = graft.store.Staging.stage(
+      edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        .distinct(), "mbfs_edges")
+    import spark.implicits._
+    var labels = graft.store.Staging.stage(
+      seeds.distinct.map(s => (s, s, 0L)).toDF("seed", "node", "hop"),
+      "mbfs_seed")
+    var frontier = labels
+    var round = 1
+    var done = false
+    while (round <= maxHops && !done) {
+      val next = graft.store.Staging.stage(
+        frontier.select(col("seed"), col("node").as("u"))
+          .join(e, Seq("u"))
+          .select(col("seed"), col("v").as("node")).distinct()
+          .join(labels.select(col("seed"), col("node")),
+            Seq("seed", "node"), "left_anti")
+          .withColumn("hop", lit(round.toLong)),
+        s"mbfs_f$round")
+      if (next.isEmpty) done = true
+      else {
+        labels = graft.store.Staging.stage(
+          labels.unionByName(next), s"mbfs_l$round")
+        frontier = next
+      }
+      round += 1
+    }
+    labels
+  }
+
+  /** Hop-capped HARMONIC centrality of a seed set: Σ 1/hop over nodes
+    * reached within maxHops (the closeness variant that handles
+    * disconnected graphs gracefully — unreachable nodes contribute 0
+    * instead of breaking the mean). Terms floor to ppm BEFORE summing
+    * (10⁶ DIV hop — engine-exact, both engines sum identical integers).
+    * One [[multiBfsHops]] sweep + a per-seed map-side rollup. Output:
+    * (seed, n_reached, harmonic_ppm); a seed with no neighbors within
+    * the cap emits no row (nothing reached at hop ≥ 1). */
+  def harmonicCentrality(edges: DataFrame, seeds: Seq[Long], maxHops: Int): DataFrame =
+    multiBfsHops(edges, seeds, maxHops)
+      .filter(col("hop") >= 1L)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 DIV hop")).as("harmonic_ppm"))
+
   /** Single-source WEIGHTED shortest paths by R Bellman–Ford relaxation
     * rounds — the weighted companion to [[bfsHops]] (travel-time instead
     * of hop-count routing). After round i, dist(v) is EXACTLY the

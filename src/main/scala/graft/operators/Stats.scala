@@ -439,6 +439,227 @@ object Stats {
       .orderBy("pct")
   }
 
+  /** EXACT WEIGHTED quantiles by the same two-pass distributed selection
+    * as [[exactQuantilesSelect]] — the selection a DSIR-style weighted
+    * corpus needs (each row carries an integer importance weight; the
+    * p-quantile is the smallest value whose cumulative weight reaches
+    * ⌈W·p/100⌉): pass 1's histogram sums WEIGHT per domain-bounded bin,
+    * the driver prefix-sum walks weighted mass to locate each target as
+    * (bin, in-bin weight offset), and pass 2 rescans only the target
+    * bins, crossing each bin's value-ordered cumulative weight at the
+    * offset. Rows in a tie share a value, so whichever tied row crosses,
+    * the emitted VALUE is deterministic. Weights must be ≥ 1 (zero-
+    * weight rows contribute no mass — filter them out; enforced
+    * fail-fast). Output: (pct, n_weight, <valCol>), exact. */
+  def weightedQuantileSelect(
+      df: DataFrame,
+      valCol: String,
+      weightCol: String,
+      percents: Seq[Int],
+      binWidth: Long = 16L): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in 1..100: $percents")
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = percents.distinct.sorted
+    val v = df.select(col(valCol).cast("long").as("_v"),
+        col(weightCol).cast("long").as("_w"))
+      .withColumn("_bin", expr(s"_v DIV $binWidth"))
+    val hist = v.groupBy(col("_bin"))
+      .agg(sum(col("_w")).as("_c"), min(col("_w")).as("_wmin"))
+      .orderBy(col("_bin"))
+      .as[(Long, Long, Long)].collect() // domain-bounded: span/binWidth rows
+    require(hist.forall(_._3 >= 1L),
+      s"weights must be >= 1 (min seen: ${hist.map(_._3).sorted.headOption})")
+    val n = hist.map(_._2).sum
+    if (n == 0L)
+      return Seq.empty[(Long, Long, Long)].toDF("pct", "n_weight", valCol)
+    val targets = ps.map { p =>
+      val rank = (n * p + 99) / 100
+      var cum = 0L
+      var i = 0
+      while (cum + hist(i)._2 < rank) { cum += hist(i)._2; i += 1 }
+      (p.toLong, hist(i)._1, rank - cum) // (pct, bin, weight offset in bin)
+    }
+    val tdf = targets.toDF("pct", "_bin", "_off")
+    val wBin = Window.partitionBy(col("_bin")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.filter(col("_bin").isin(targets.map(_._2).distinct: _*))
+      .withColumn("_cw", sum(col("_w")).over(wBin))
+      .join(broadcast(tdf), Seq("_bin"))
+      .filter(col("_cw") >= col("_off") && col("_cw") - col("_w") < col("_off"))
+      .select(col("pct"), lit(n).as("n_weight"), col("_v").as(valCol))
+      .orderBy("pct")
+  }
+
+  /** Cochran–Armitage trend test per group — "does the success rate
+    * TREND with an ordered dose?", the right test when categories are
+    * ordinal (hour bands, exposure levels, dose deciles): a χ²
+    * independence test ignores the ordering and wastes its power across
+    * k−1 df; CA spends one df on the linear trend. With per-(group,
+    * dose w) counts n_w and successes r_w, N = Σn, R = Σr:
+    *
+    *   T′ = N·Σw·r − R·Σw·n          (N× the classic statistic)
+    *   D  = N·Σw²·n − (Σw·n)²
+    *   z² = T′²·N / (R·(N−R)·D)
+    *
+    * — every term an integer, the ppm rendering ONE DECIMAL(38,0)
+    * floor-division. Degenerate groups (all-success, all-failure, or a
+    * single dose level ⇒ D = 0) report NULL. DECIMAL bound: T′² ~
+    * (N²·w·p̄)² — exact to ~10⁸ rows per group at doses ≤ 100; past
+    * that stratify (by day) and combine.
+    *
+    * Scale shape: one map-side-combined (group, dose) census (dose is
+    * DOMAIN-bounded), one per-group rollup — nothing row-sized
+    * shuffles twice. Output: (g, n, n_pos, dir_sign, z2_ppm). */
+  def cochranArmitage(
+      df: DataFrame,
+      groupCol: Column,
+      doseCol: Column,
+      posCol: Column): DataFrame = {
+    val census = df
+      .select(groupCol.as("_g"), doseCol.cast("long").as("_w"),
+        posCol.cast("long").as("_p"))
+      .groupBy(col("_g"), col("_w"))
+      .agg(count(lit(1)).as("_n"), sum(col("_p")).as("_r"))
+    census.groupBy(col("_g"))
+      .agg(sum(col("_n")).as("n"), sum(col("_r")).as("n_pos"),
+        sum(col("_w") * col("_n")).as("_swn"),
+        sum(col("_w") * col("_r")).as("_swr"),
+        sum(col("_w") * col("_w") * col("_n")).as("_sw2n"))
+      .withColumn("_t", expr(
+        "CAST(n AS DECIMAL(38,0)) * _swr - CAST(n_pos AS DECIMAL(38,0)) * _swn"))
+      .withColumn("_d", expr(
+        "CAST(n AS DECIMAL(38,0)) * _sw2n - CAST(_swn AS DECIMAL(38,0)) * _swn"))
+      .withColumn("z2_ppm",
+        when(col("n_pos") > 0 && col("n_pos") < col("n") && col("_d") > 0, expr(
+          """CAST(_t * _t * n * 1000000
+            |  DIV (CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos) * _d) AS BIGINT)""".stripMargin)))
+      .select(col("_g").as("g"), col("n"), col("n_pos"),
+        when(col("z2_ppm").isNotNull, signum(col("_t")).cast("long")).as("dir_sign"),
+        col("z2_ppm"))
+  }
+
+  /** QUANTILE NORMALIZATION across groups (the batch-effect correction
+    * of bioinformatics / the per-source score alignment of ranking
+    * pipelines): each row's value is replaced by the GLOBAL value at the
+    * equivalent rank — row at within-group rank r of n_g maps to the
+    * global order statistic at rank ⌈r·N/n_g⌉, so every group's
+    * normalized distribution is the same (the global one) while
+    * within-group order is preserved exactly. Deterministic under ties:
+    * both rankings order by (value, id).
+    *
+    * Scale shape: the global row_number NEVER runs as one unpartitioned
+    * window — values band by `value DIV bandWidth` (DOMAIN-bounded band
+    * count, the [[exactQuantilesSelect]] histogram contract, enforced by
+    * `maxBands`), the driver prefix-sums the band counts (band-count
+    * ints, never rows), and per-band windows + the band offset give the
+    * exact global rank. The rank-equality join back is one linear
+    * shuffle on rank. Per-band task size is value-skew-bounded: size
+    * bandWidth so hot values don't collapse into one band. Output:
+    * (id, g, <valCol>, norm_<valCol>). */
+  def quantileNormalize(
+      df: DataFrame,
+      idCol: Column,
+      groupCol: Column,
+      valCol: String,
+      bandWidth: Long = 16L,
+      maxBands: Int = 200000): DataFrame = {
+    require(bandWidth >= 1, s"bandWidth must be >= 1: $bandWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(idCol.cast("long").as("_id"), groupCol.as("_g"),
+      col(valCol).cast("long").as("_v"))
+    val counts = base.groupBy(expr(s"_v DIV $bandWidth").as("_band"))
+      .agg(count(lit(1)).as("_c"))
+      .orderBy(col("_band"))
+      .as[(Long, Long)].collect() // domain-bounded: span/bandWidth rows
+    require(counts.length <= maxBands,
+      s"band histogram has ${counts.length} rows > maxBands=$maxBands — " +
+        s"raise bandWidth (domain too wide for the banded global rank)")
+    val n = counts.map(_._2).sum
+    if (n == 0L)
+      return Seq.empty[(Long, String, Long, Long)]
+        .toDF("id", "g", valCol, s"norm_$valCol")
+        .withColumn("g", col("g").cast("string"))
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val offDf = offsets.toDF("_band", "_off")
+    val wBand = Window.partitionBy(col("_band")).orderBy(col("_v"), col("_id"))
+    val global = base
+      .withColumn("_band", expr(s"_v DIV $bandWidth"))
+      .withColumn("_rnb", row_number().over(wBand))
+      .join(broadcast(offDf), Seq("_band"))
+      .select(col("_v").as("_gv"), (col("_rnb") + col("_off")).as("_rn"))
+    val ng = base.groupBy(col("_g")).agg(count(lit(1)).as("_ng"))
+    val wG = Window.partitionBy(col("_g")).orderBy(col("_v"), col("_id"))
+    base
+      .withColumn("_r", row_number().over(wG).cast("long"))
+      .join(broadcast(ng), Seq("_g"))
+      // DECIMAL(38,0) clearing: r·N overflows BIGINT past ~3e9 rows
+      .withColumn("_rn", expr(
+        s"CAST((CAST(_r AS DECIMAL(38,0)) * ${n}L + _ng - 1) DIV _ng AS BIGINT)"))
+      .join(global, Seq("_rn"))
+      .select(col("_id").as("id"), col("_g").as("g"),
+        col("_v").as(valCol), col("_gv").as(s"norm_$valCol"))
+  }
+
+  /** Decision-stump feature screening by EXACT Gini impurity: for every
+    * candidate threshold t on an integer-binned feature, the weighted
+    * impurity of the (feature ≤ t | feature > t) split on a binary
+    * label — the split a tree learner's first node would take, and the
+    * cheap "does this feature carry signal at all?" filter a training
+    * pipeline runs before expensive model fits. All-rational arithmetic:
+    * gini_L = (n_L² − pos_L² − neg_L²)/n_L², weighted sum cleared over
+    * the common denominator n_L·n_R·N in ONE DECIMAL(38,0) floor
+    * division to ppm (exact to ~10¹⁰ rows).
+    *
+    * Scale shape: ONE map-side (bin) census (bin domain-bounded —
+    * REQUIRE the feature pre-binned, never raw doubles), cumulative
+    * left-counts via a broadcast bin×bin self-join on the census (≤B²
+    * rows, no unpartitioned window), thresholds ranked by TakeOrdered.
+    * Output: top-k (threshold, n_left, impurity_ppm, gain_ppm) by
+    * impurity asc — gain vs the unsplit baseline (N² − P² − Q²)/N². */
+  def giniSplitGain(
+      df: DataFrame,
+      binCol: Column,
+      posCol: Column,
+      topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val census = df
+      .select(binCol.cast("long").as("_b"), posCol.cast("long").as("_p"))
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"), sum(col("_p")).as("_r"))
+    val tot = census.agg(sum(col("_n")).as("_tn"), sum(col("_r")).as("_tr"))
+    census.as("a")
+      .join(broadcast(census.as("b")), col("b._b") <= col("a._b"))
+      .groupBy(col("a._b").as("threshold"))
+      .agg(sum(col("b._n")).as("n_left"), sum(col("b._r")).as("_pl"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_left") < col("_tn")) // right side must be non-empty
+      .withColumn("impurity_ppm", expr(
+        """CAST((
+          |  (CAST(n_left AS DECIMAL(38,0)) * n_left
+          |     - CAST(_pl AS DECIMAL(38,0)) * _pl
+          |     - CAST(n_left - _pl AS DECIMAL(38,0)) * (n_left - _pl)) * (_tn - n_left)
+          |  + (CAST(_tn - n_left AS DECIMAL(38,0)) * (_tn - n_left)
+          |     - CAST(_tr - _pl AS DECIMAL(38,0)) * (_tr - _pl)
+          |     - CAST((_tn - n_left) - (_tr - _pl) AS DECIMAL(38,0))
+          |         * ((_tn - n_left) - (_tr - _pl))) * n_left
+          |) * 1000000
+          |  DIV (CAST(n_left AS DECIMAL(38,0)) * (_tn - n_left) * _tn) AS BIGINT)""".stripMargin))
+      .withColumn("gain_ppm", expr(
+        """CAST((CAST(_tn AS DECIMAL(38,0)) * _tn
+          |       - CAST(_tr AS DECIMAL(38,0)) * _tr
+          |       - CAST(_tn - _tr AS DECIMAL(38,0)) * (_tn - _tr)) * 1000000
+          |  DIV (CAST(_tn AS DECIMAL(38,0)) * _tn) AS BIGINT)""".stripMargin)
+        - col("impurity_ppm"))
+      .select(col("threshold"), col("n_left"), col("impurity_ppm"), col("gain_ppm"))
+      .orderBy(col("impurity_ppm"), col("threshold"))
+      .limit(topK)
+  }
+
   /** Benford expected first-digit frequencies, floor(log10(1+1/d)·10⁶):
     * COMPILE-TIME literals, so the runtime never touches libm and both
     * engines compare against identical integers. */

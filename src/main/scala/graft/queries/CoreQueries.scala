@@ -6285,8 +6285,326 @@ object CoreQueries {
              |            // ((CAST(c.cn AS HUGEINT) - 1 + 10) * g.gn)
              |            AS BIGINT) AS loo_milli
              |FROM b JOIN c USING (event_type) CROSS JOIN g
+             |ORDER BY event_id""".stripMargin)),
+
+    // EXACT weighted quantiles of value under per-user importance
+    // weights — the DSIR-weighted-corpus selection: the p-quantile is
+    // the smallest value whose cumulative WEIGHT reaches ⌈W·p/100⌉.
+    // Same two-pass shape as q_exact_quantiles (map-side weighted
+    // histogram → driver prefix walk → target-bin-only rescan); a
+    // global weighted rank window would funnel everything through one
+    // task at 100 TB.
+    Q("q_weighted_quantile",
+      (s, dir) => Stats.weightedQuantileSelect(
+        Tables.events(s, dir).select(
+          floor(col("value") * 1000).cast("long").as("value_mils"),
+          (pmod(col("user_id"), lit(10L)) + 1L).as("w")),
+        "value_mils", "w", Seq(25, 50, 90, 99)),
+      Some("""WITH b AS (SELECT CAST(floor(value*1000) AS BIGINT) AS v,
+             |                  user_id % 10 + 1 AS w FROM events),
+             |t AS (SELECT sum(w) AS tw FROM b),
+             |c AS (SELECT v, sum(w) AS wv FROM b GROUP BY 1),
+             |cum AS (SELECT v, sum(wv) OVER (ORDER BY v) AS cw FROM c),
+             |q AS (SELECT unnest([25, 50, 90, 99]) AS p),
+             |tgt AS (SELECT p, (tw * p + 99) // 100 AS rk, tw
+             |        FROM q CROSS JOIN t)
+             |SELECT CAST(tgt.p AS BIGINT) AS pct,
+             |       CAST(tgt.tw AS BIGINT) AS n_weight,
+             |       CAST(min(cum.v) AS BIGINT) AS value_mils
+             |FROM tgt JOIN cum ON cum.cw >= tgt.rk
+             |GROUP BY 1, 2 ORDER BY pct""".stripMargin)),
+
+    // Cochran–Armitage trend test per user segment — "does purchase
+    // propensity TREND with hour of day?": one df spent on the linear
+    // dose ordering (a plain χ² would ignore it). (segment, hour)
+    // census + rollup; z² cleared to one DECIMAL floor-division.
+    Q("q_cochran_armitage",
+      (s, dir) => Stats.cochranArmitage(Tables.events(s, dir),
+          pmod(col("user_id"), lit(3L)),
+          expr("(unix_micros(ts) div 3600000000) % 24"),
+          (col("event_type") === "purchase").cast("long"))
+        .withColumnRenamed("g", "segment").orderBy("segment"),
+      Some("""WITH b AS (SELECT user_id % 3 AS g,
+             |                  (epoch_us(ts) // 3600000000) % 24 AS w,
+             |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             |           FROM events),
+             |c AS (SELECT g, w, count(*) AS n, sum(p) AS r FROM b GROUP BY 1, 2),
+             |a AS (SELECT g, sum(n) AS n, sum(r) AS np, sum(w*n) AS swn,
+             |             sum(w*r) AS swr, sum(w*w*n) AS sw2n FROM c GROUP BY 1),
+             |f AS (SELECT g, n, np,
+             |        CAST(n AS HUGEINT) * swr - CAST(np AS HUGEINT) * swn AS t,
+             |        CAST(n AS HUGEINT) * sw2n - CAST(swn AS HUGEINT) * swn AS d
+             |      FROM a)
+             |SELECT g AS segment, CAST(n AS BIGINT) AS n,
+             |       CAST(np AS BIGINT) AS n_pos,
+             |       CAST(CASE WHEN np > 0 AND np < n AND d > 0
+             |            THEN (CASE WHEN t < 0 THEN -1 WHEN t > 0 THEN 1 ELSE 0 END)
+             |            END AS BIGINT) AS dir_sign,
+             |       CAST(CASE WHEN np > 0 AND np < n AND d > 0
+             |            THEN t * t * n * 1000000
+             |                 // (CAST(np AS HUGEINT) * (n - np) * d)
+             |            END AS BIGINT) AS z2_ppm
+             |FROM f ORDER BY segment""".stripMargin)),
+
+    // MASE accuracy audit of the q_forecast_snaive backtest — forecast
+    // MAE scaled by the IN-SAMPLE seasonal-naive MAE (the
+    // scale-free "is the model better than repeating yesterday?"
+    // verdict; < 10⁶ ppm = beats naive). Same hourly/model frames;
+    // the naive denominator is one lag window partitioned by
+    // hour-of-day over the TRAIN rows; ratio cleared to one DECIMAL
+    // floor-division. 1-row broadcast-cross of two totals.
+    Q("q_forecast_mase",
+      (s, dir) => {
+        val startUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+        val splitUs = startUs + 20L * 86400000000L
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+          .agg(sum(floor(col("value") * 100)).cast("long").as("value_cmil"))
+          .withColumn("hod", (floor(col("hour_us") / 3600000000L).cast("long") % 24))
+        val train = hourly.filter(col("hour_us") < splitUs)
+        val model = train.groupBy(col("hod"))
+          .agg(floor(sum(col("value_cmil")) / count(lit(1))).cast("long")
+            .as("forecast_cmil"))
+        val ev = hourly.filter(col("hour_us") >= splitUs)
+          .join(broadcast(model), Seq("hod"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(abs(col("value_cmil") - col("forecast_cmil"))).as("sae_eval"))
+        val wHod = Window.partitionBy(col("hod")).orderBy(col("hour_us"))
+        val naive = train
+          .withColumn("_prev", lag(col("value_cmil"), 1).over(wHod))
+          .filter(col("_prev").isNotNull)
+          .agg(count(lit(1)).as("n_naive"),
+            sum(abs(col("value_cmil") - col("_prev"))).as("sae_naive"))
+        ev.crossJoin(broadcast(naive))
+          .select(col("n_eval"), col("n_naive"), col("sae_eval"), col("sae_naive"),
+            when(col("sae_naive") > 0 && col("n_eval") > 0, expr(
+              """CAST(CAST(sae_eval AS DECIMAL(38,0)) * n_naive * 1000000
+                |  DIV (CAST(sae_naive AS DECIMAL(38,0)) * n_eval) AS BIGINT)""".stripMargin))
+              .as("mase_ppm"))
+      },
+      Some("""WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+             |                  CAST(sum(floor(value * 100)) AS BIGINT) AS value_cmil
+             |           FROM events GROUP BY 1),
+             |hh AS (SELECT hour_us, value_cmil,
+             |              (hour_us // 3600000000) % 24 AS hod FROM h),
+             |m AS (SELECT hod,
+             |             CAST(floor(sum(value_cmil) * 1.0 / count(*)) AS BIGINT) AS forecast_cmil
+             |      FROM hh WHERE hour_us < 1705795200000000 GROUP BY 1),
+             |e AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             |             CAST(sum(abs(value_cmil - forecast_cmil)) AS BIGINT) AS sae_eval
+             |      FROM hh JOIN m USING (hod) WHERE hour_us >= 1705795200000000),
+             |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_naive,
+             |              CAST(sum(abs(value_cmil - prev)) AS BIGINT) AS sae_naive
+             |       FROM (SELECT value_cmil,
+             |                    lag(value_cmil) OVER (PARTITION BY hod ORDER BY hour_us) AS prev
+             |             FROM hh WHERE hour_us < 1705795200000000)
+             |       WHERE prev IS NOT NULL)
+             |SELECT n_eval, n_naive, sae_eval, sae_naive,
+             |       CAST(CASE WHEN sae_naive > 0 AND n_eval > 0
+             |            THEN CAST(sae_eval AS HUGEINT) * n_naive * 1000000
+             |                 // (CAST(sae_naive AS HUGEINT) * n_eval)
+             |            END AS BIGINT) AS mase_ppm
+             |FROM e CROSS JOIN nv""".stripMargin)),
+
+    // Jarque-Bera normality screen per event type — skew²/excess-
+    // kurtosis/JB from EXACT DECIMAL(38,0) power sums (cents); the
+    // final assembly is MIRRORED double arithmetic (the q_corr_matrix
+    // pattern: identical expression text feeds both engines via
+    // jbFormulas, so IEEE ops round identically) floored to ppm. One
+    // map-side moment pass; the 5-row frame does the row-local math.
+    Q("q_jarque_bera",
+      (s, dir) => {
+        val m = Tables.events(s, dir)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("decimal(38,0)").as("_x"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("_x")).as("_s1"),
+            sum(col("_x") * col("_x")).as("_s2"),
+            sum(col("_x") * col("_x") * col("_x")).as("_s3"),
+            sum(col("_x") * col("_x") * col("_x") * col("_x")).as("_s4"))
+        jbFormulas.foldLeft(m) { case (d, (c, f)) => d.withColumn(c, expr(f)) }
+          .select(col("event_type"), col("n"),
+            col("skew2_ppm"), col("exkurt_ppm"), col("jb_ppm"))
+          .orderBy("event_type")
+      },
+      Some {
+        // one nested CTE level per formula = the exact withColumn chain,
+        // so both engines evaluate identical double expression trees
+        val derived = jbFormulas.zipWithIndex.map { case ((c, f), i) =>
+          s"d${i + 1} AS (SELECT *, $f AS $c FROM d$i)"
+        }.mkString(",\n")
+        s"""WITH b AS (SELECT event_type, CAST(floor(value*100) AS HUGEINT) AS x
+           |           FROM events),
+           |d0 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |              sum(x) AS _s1, sum(x*x) AS _s2,
+           |              sum(x*x*x) AS _s3, sum(x*x*x*x) AS _s4
+           |       FROM b GROUP BY 1),
+           |$derived
+           |SELECT event_type, n, skew2_ppm, exkurt_ppm, jb_ppm
+           |FROM d${jbFormulas.size} ORDER BY event_type""".stripMargin
+      }),
+
+    // Decision-stump feature screening: best value-unit thresholds for
+    // splitting purchases from non-purchases by exact Gini impurity —
+    // the "does this feature carry signal?" filter before a model fit.
+    // ONE domain-bounded bin census + broadcast cumulative self-join;
+    // all-rational ppm (see Stats.giniSplitGain).
+    Q("q_split_gain",
+      (s, dir) => Stats.giniSplitGain(Tables.events(s, dir),
+        floor(col("value")),
+        (col("event_type") === "purchase").cast("long"), topK = 5),
+      Some("""WITH c AS (SELECT CAST(floor(value) AS BIGINT) AS b, count(*) AS n,
+             |                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r
+             |           FROM events GROUP BY 1),
+             |t AS (SELECT sum(n) AS tn, sum(r) AS tr FROM c),
+             |cum AS (SELECT a.b AS threshold, CAST(sum(bb.n) AS BIGINT) AS n_left,
+             |               CAST(sum(bb.r) AS BIGINT) AS pl
+             |        FROM c a JOIN c bb ON bb.b <= a.b GROUP BY 1),
+             |sc AS (SELECT threshold, n_left,
+             |         CAST(((CAST(n_left AS HUGEINT)*n_left - CAST(pl AS HUGEINT)*pl
+             |                 - CAST(n_left-pl AS HUGEINT)*(n_left-pl)) * (tn-n_left)
+             |               + (CAST(tn-n_left AS HUGEINT)*(tn-n_left)
+             |                 - CAST(tr-pl AS HUGEINT)*(tr-pl)
+             |                 - CAST((tn-n_left)-(tr-pl) AS HUGEINT)*((tn-n_left)-(tr-pl))) * n_left)
+             |              * 1000000
+             |              // (CAST(n_left AS HUGEINT) * (tn-n_left) * tn) AS BIGINT) AS impurity_ppm,
+             |         CAST((CAST(tn AS HUGEINT)*tn - CAST(tr AS HUGEINT)*tr
+             |               - CAST(tn-tr AS HUGEINT)*(tn-tr)) * 1000000
+             |              // (CAST(tn AS HUGEINT)*tn) AS BIGINT) AS base_ppm
+             |       FROM cum CROSS JOIN t WHERE n_left < tn)
+             |SELECT threshold, n_left, impurity_ppm,
+             |       base_ppm - impurity_ppm AS gain_ppm
+             |FROM sc ORDER BY impurity_ppm, threshold LIMIT 5""".stripMargin)),
+
+    // Hop-capped harmonic centrality of a 5-part seed set over the
+    // co-purchase graph — the closeness readout BFS/SSSP don't give;
+    // ONE multi-source frontier sweep amortizes the per-round edge
+    // join across all seeds. Terms floor to ppm before summing.
+    Q("q_harmonic_centrality",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        Graph.harmonicCentrality(und, seeds = Seq(1L, 2L, 3L, 4L, 5L),
+          maxHops = 3).orderBy("seed")
+      },
+      Some("""WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+             |ed AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+             |walk(seed, node, hop) AS (
+             |  SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), CAST(0 AS BIGINT)
+             |  FROM (SELECT unnest([1, 2, 3, 4, 5]) AS s)
+             |  UNION
+             |  SELECT w.seed, e.v, w.hop + 1 FROM walk w JOIN ed e ON w.node = e.u
+             |  WHERE w.hop < 3),
+             |d AS (SELECT seed, node, min(hop) AS hop FROM walk GROUP BY 1, 2)
+             |SELECT seed, count(*) AS n_reached,
+             |       CAST(sum(1000000 // hop) AS BIGINT) AS harmonic_ppm
+             |FROM d WHERE hop >= 1 GROUP BY 1 ORDER BY seed""".stripMargin)),
+
+    // Supervised-label generation windows — the feature/outcome-window
+    // split every churn/propensity training set is built from: per-user
+    // features over days [0, 20) (counts, distinct types, recency,
+    // value sum) and the binary label "active in days [20, 27)" — all
+    // from ONE conditional user-keyed aggregation pass, so the label
+    // can never leak observation-window events (the windows are
+    // disjoint CASE predicates on the same row, not separate scans).
+    Q("q_label_windows",
+      (s, dir) => {
+        val startUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+        Tables.events(s, dir)
+          .withColumn("_day",
+            floor((expr("unix_micros(ts)") - startUs) / 86400000000L).cast("long"))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("_day") < 20, 1L).otherwise(0L)).as("n_obs"),
+            sum(when(col("_day") < 20 && col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("n_purchase_obs"),
+            count_distinct(when(col("_day") < 20, col("event_type")))
+              .as("n_types_obs"),
+            max(when(col("_day") < 20, col("_day"))).as("last_obs_day"),
+            sum(when(col("_day") < 20, floor(col("value") * 100).cast("long"))
+              .otherwise(0L)).as("value_obs_cmil"),
+            max(when(col("_day") >= 20 && col("_day") < 27, 1L).otherwise(0L))
+              .as("label"))
+          .filter(col("n_obs") > 0)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, value,
+             |                 (epoch_us(ts) - 1704067200000000) // 86400000000 AS day
+             |           FROM events)
+             |SELECT user_id,
+             |       CAST(count(*) FILTER (WHERE day < 20) AS BIGINT) AS n_obs,
+             |       CAST(count(*) FILTER (WHERE day < 20 AND event_type = 'purchase')
+             |            AS BIGINT) AS n_purchase_obs,
+             |       CAST(count(DISTINCT CASE WHEN day < 20 THEN event_type END)
+             |            AS BIGINT) AS n_types_obs,
+             |       CAST(max(CASE WHEN day < 20 THEN day END) AS BIGINT) AS last_obs_day,
+             |       CAST(sum(CASE WHEN day < 20
+             |                THEN CAST(floor(value*100) AS BIGINT) ELSE 0 END)
+             |            AS BIGINT) AS value_obs_cmil,
+             |       CAST(max(CASE WHEN day >= 20 AND day < 27 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS label
+             |FROM e GROUP BY user_id
+             |HAVING count(*) FILTER (WHERE day < 20) > 0
+             |ORDER BY user_id""".stripMargin)),
+
+    // Quantile normalization of value across event types (batch-effect
+    // correction / per-source score alignment): each row maps to the
+    // GLOBAL order statistic at its within-group relative rank, so all
+    // five types end up on one common distribution. Banded global rank
+    // — never one unpartitioned window (see Stats.quantileNormalize).
+    Q("q_quantile_align",
+      (s, dir) => Stats.quantileNormalize(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"),
+              floor(col("value") * 1000).cast("long").as("value_mils")),
+          col("event_id"), col("event_type"), "value_mils")
+        .withColumnRenamed("id", "event_id")
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_id"),
+      Some("""WITH b AS (SELECT event_id, event_type AS g,
+             |                  CAST(floor(value*1000) AS BIGINT) AS v FROM events),
+             |r AS (SELECT event_id, g, v,
+             |             row_number() OVER (PARTITION BY g ORDER BY v, event_id) AS r,
+             |             count(*) OVER (PARTITION BY g) AS ng FROM b),
+             |gl AS (SELECT v AS gv,
+             |              row_number() OVER (ORDER BY v, event_id) AS rn FROM b),
+             |t AS (SELECT count(*) AS n FROM b)
+             |SELECT r.event_id, r.g AS event_type, r.v AS value_mils,
+             |       CAST(gl.gv AS BIGINT) AS norm_value_mils
+             |FROM r CROSS JOIN t
+             |JOIN gl ON gl.rn = (r.r * t.n + r.ng - 1) // r.ng
              |ORDER BY event_id""".stripMargin))
   )
+
+  /** Jarque-Bera derived-column formulas, ONE source of truth feeding
+    * both the engine's withColumn chain and the oracle's nested CTEs
+    * (the q_corr_matrix mirrored-double pattern: the power sums are
+    * exact integers, every double op below is IEEE correctly-rounded
+    * and evaluated in the same order by both engines, so the floored
+    * ppm values hash-match). Central moments about the mean from raw
+    * power sums; skew² = m3²/m2³, excess kurtosis = m4/m2² − 3,
+    * JB = n·(skew²/6 + exkurt²/24). */
+  private def jbFormulas: Seq[(String, String)] = Seq(
+    "_nd" -> "CAST(n AS DOUBLE)",
+    "_mean" -> "CAST(_s1 AS DOUBLE) / _nd",
+    "_m2" -> "CAST(_s2 AS DOUBLE) / _nd - _mean * _mean",
+    "_m3" -> ("CAST(_s3 AS DOUBLE) / _nd - 3.0 * _mean * (CAST(_s2 AS DOUBLE) / _nd)"
+      + " + 2.0 * _mean * _mean * _mean"),
+    "_m4" -> ("CAST(_s4 AS DOUBLE) / _nd - 4.0 * _mean * (CAST(_s3 AS DOUBLE) / _nd)"
+      + " + 6.0 * _mean * _mean * (CAST(_s2 AS DOUBLE) / _nd)"
+      + " - 3.0 * _mean * _mean * _mean * _mean"),
+    "skew2_ppm" ->
+      "CAST(floor(1000000.0 * (_m3 * _m3) / (_m2 * _m2 * _m2)) AS BIGINT)",
+    "exkurt_ppm" ->
+      "CAST(floor(1000000.0 * (_m4 / (_m2 * _m2) - 3.0)) AS BIGINT)",
+    "jb_ppm" -> ("CAST(floor(1000000.0 * _nd * ((_m3 * _m3) / (_m2 * _m2 * _m2) / 6.0"
+      + " + (_m4 / (_m2 * _m2) - 3.0) * (_m4 / (_m2 * _m2) - 3.0) / 24.0)) AS BIGINT)"))
 
   /** Shared point frame for the spatial family: events with exact
     * integer coords derived from event_id and micros timestamps. */

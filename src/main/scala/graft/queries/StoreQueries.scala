@@ -912,6 +912,26 @@ object StoreQueries {
            |ORDER BY event_id""".stripMargin
       }),
 
+    // String zone-map prefix scan — the Iceberg truncate-transform
+    // stat: hash signatures (q_skip_scan/q_bloom_scan) can't serve a
+    // PREFIX predicate, order-preserving truncated min/max zones can.
+    // Range-clustered doc store probed by first-token prefix 'sp';
+    // consult = driver filter on the O(buckets) zone frame → literal
+    // IN-list PartitionFilters (asserted in StoreSpec) + pushed
+    // startswith. Oracle: plain prefix filter over documents.
+    Q("q_zone_scan",
+      (s, dir) => {
+        val store = graft.store.StringZoneStore.ensureZoneStore(s, dir)
+        val index = graft.store.StringZoneStore.ensureZoneIndex(s, store)
+        graft.store.StringZoneStore.prefixScan(s, store, index, "sp")
+          .select(col("doc_id"), col("zkey").as("word"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, split_part(text, ' ', 1) AS word, source
+             |FROM documents
+             |WHERE split_part(text, ' ', 1) LIKE 'sp%'
+             |ORDER BY doc_id""".stripMargin)),
+
     // Incremental join-view maintenance — V_new = V_old ∪ ΔA⋈B_new ∪
     // A_old⋈ΔB: the staged orders⋈lineitem view absorbs both sides'
     // delta batches without re-joining base×base (the delta joins probe

@@ -395,4 +395,35 @@ class GraphSpec extends SparkSpec {
     val g2 = Graph.trussPeel(broken, support = 2, rounds = 4)
     assert(g2.count() == 0L, g2.collect().mkString(","))
   }
+
+  test("multiBfsHops equals per-seed bfsHops; shared frontier, cutoff") {
+    // chain 1—2—3—4—5 + shortcut 1—4, isolated pair 9—10
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 10L)).toDF("u", "v")
+    val seeds = Seq(1L, 3L, 9L)
+    val got = Graph.multiBfsHops(e, seeds, maxHops = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    seeds.foreach { s =>
+      val single = Graph.bfsHops(e, s, maxHops = 2)
+        .as[(Long, Long)].collect().toMap
+      val mine = got.collect { case ((sd, n), h) if sd == s => n -> h }.toMap
+      assert(mine == single, s"seed=$s multi=$mine single=$single")
+    }
+  }
+
+  test("harmonicCentrality: hand star and chain values, isolated seed absent") {
+    // star: hub 1 with spokes 2,3,4 → from 1: three at hop 1 = 3,000,000
+    // from 2: hub at 1 + two spokes at 2 = 1,000,000 + 2*500,000
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val got = Graph.harmonicCentrality(star, Seq(1L, 2L, 7L), maxHops = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((3L, 3000000L)), 2L -> ((3L, 2000000L))),
+      got.toString) // seed 7 isolated → no row
+    // hop-3 term floors: chain 1—2—3—4 from seed 1 = 1e6 + 5e5 + 333333
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val g2 = Graph.harmonicCentrality(chain, Seq(1L), maxHops = 3)
+      .as[(Long, Long, Long)].collect().head
+    assert(g2 == ((1L, 3L, 1833333L)), g2.toString)
+  }
 }

@@ -1531,4 +1531,142 @@ class OperatorsSpec extends SparkSpec {
     assert(got("quad") == ((4L, 4L, 750000L)), got.toString)
     assert(got.values.map(_._1).sum == ev.size.toLong)
   }
+
+  test("weightedQuantileSelect equals row-expansion nearest rank, bin-width invariant") {
+    import graft.operators.Stats
+    val rows = (1L to 397L).map(i => ((i * 7919L) % 500L, i % 7L + 1L)) ++
+      Seq((0L, 3L), (499L, 1L), (499L, 5L)) // dup extreme values, distinct weights
+    val df = rows.toDF("v", "w")
+    // brute force: expand each row w times, sort, nearest-rank on the
+    // expanded multiset — the definition the 2-pass selection must match
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    val n = expanded.size.toLong
+    val want = Seq(25, 50, 90, 99, 100).map { p =>
+      val rank = (n * p + 99) / 100
+      (p.toLong, n, expanded((rank - 1).toInt))
+    }
+    Seq(1L, 16L, 100L, 100000L).foreach { bw => // 100000 ⇒ single bin
+      val got = Stats.weightedQuantileSelect(df, "v", "w",
+          Seq(25, 50, 90, 99, 100), bw)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == want, s"binWidth=$bw got=$got want=$want")
+    }
+    // all-weight-1 degenerates to the unweighted selection
+    val uw = rows.map(_._1).toDF("v").withColumn("w", lit(1L))
+    val gotU = Stats.weightedQuantileSelect(uw, "v", "w", Seq(50, 99))
+      .as[(Long, Long, Long)].collect().toSeq
+    val wantU = Stats.exactQuantilesSelect(rows.map(_._1).toDF("v"), "v",
+      Seq(50, 99)).as[(Long, Long, Long)].collect().toSeq
+    assert(gotU == wantU, s"got=$gotU want=$wantU")
+  }
+
+  test("weightedQuantileSelect: empty input, duplicate percents, weight<1 fail-fast") {
+    import graft.operators.Stats
+    val empty = Seq.empty[(Long, Long)].toDF("v", "w")
+    assert(Stats.weightedQuantileSelect(empty, "v", "w", Seq(50)).collect().isEmpty)
+    val rows = (1L to 50L).map(i => (i, 2L)).toDF("v", "w")
+    assert(Stats.weightedQuantileSelect(rows, "v", "w", Seq(50, 50, 50)).count() == 1)
+    val bad = Seq((1L, 1L), (2L, 0L)).toDF("v", "w")
+    val e = intercept[IllegalArgumentException] {
+      Stats.weightedQuantileSelect(bad, "v", "w", Seq(50)).collect()
+    }
+    assert(e.getMessage.contains("weights"), e.getMessage)
+  }
+
+  test("cochranArmitage: hand case, BigInt replay, degenerate NULLs") {
+    import graft.operators.Stats
+    // group "up": success rate rises with dose 0/1/2 → positive trend.
+    // dose 0: 1/4 pos; dose 1: 2/4; dose 2: 3/4.
+    val up = (0 to 2).flatMap { d =>
+      (1 to 4).map(i => ("up", d.toLong, if (i <= d + 1) 1L else 0L)) }
+    // "down" mirrors it → same z², negative sign
+    val down = up.map { case (_, d, p) => ("down", d, 1L - p) }
+    // degenerates: all-success and a single dose level
+    val allPos = Seq(("allpos", 0L, 1L), ("allpos", 1L, 1L))
+    val oneDose = Seq(("onedose", 2L, 1L), ("onedose", 2L, 0L))
+    val df = (up ++ down ++ allPos ++ oneDose).toDF("g", "d", "p")
+    val got = Stats.cochranArmitage(df, col("g"), col("d"), col("p"))
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // BigInt replay of the "up" group: N=12, R=6, Σwn=12, Σwr=8, Σw²n=20
+    val (nN, r, swn, swr, sw2n) = (BigInt(12), BigInt(6), BigInt(12), BigInt(8), BigInt(20))
+    val t = nN * swr - r * swn        // 96 - 72 = 24
+    val dd = nN * sw2n - swn * swn    // 240 - 144 = 96
+    val z2 = t * t * nN * 1000000 / (r * (nN - r) * dd)
+    assert(got("up") == ((12L, 6L, Some(1L), Some(z2.toLong))), got.toString)
+    assert(got("down") == ((12L, 6L, Some(-1L), Some(z2.toLong))), got.toString)
+    assert(got("allpos") == ((2L, 2L, None, None)), got.toString)
+    assert(got("onedose") == ((2L, 1L, None, None)), got.toString)
+  }
+
+  test("quantileNormalize equals brute rank mapping, band-width invariant") {
+    import graft.operators.Stats
+    val rows = (1L to 90L).map(i => (i, s"g${i % 3}", (i * 7919L) % 50L))
+    val n = rows.size.toLong
+    val global = rows.map(r => (r._3, r._1)).sorted.map(_._1) // by (v, id)
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      sorted.zipWithIndex.map { case ((id, _, v), i) =>
+        val rn = ((i + 1L) * n + rs.size - 1) / rs.size
+        (id, g, v, global((rn - 1).toInt))
+      }
+    }.sortBy(_._1)
+    Seq(1L, 8L, 1000000L).foreach { bw => // 1000000 ⇒ single band
+      val got = Stats.quantileNormalize(rows.toDF("id", "g", "v"),
+          col("id"), col("g"), "v", bandWidth = bw)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == want, s"bandWidth=$bw got=${got.take(5).toSeq}")
+    }
+    // a group identical to the global distribution maps to itself
+    val one = (1L to 20L).map(i => (i, "only", i * 3L))
+    val self = Stats.quantileNormalize(one.toDF("id", "g", "v"),
+        col("id"), col("g"), "v")
+      .as[(Long, String, Long, Long)].collect()
+    assert(self.forall(r => r._3 == r._4), self.take(5).mkString(","))
+  }
+
+  test("quantileNormalize: empty input, maxBands fail-fast") {
+    import graft.operators.Stats
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "g", "v")
+    assert(Stats.quantileNormalize(empty, col("id"), col("g"), "v")
+      .collect().isEmpty)
+    val wide = (1L to 100L).map(i => (i, "g", i * 1000L)).toDF("id", "g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.quantileNormalize(wide, col("id"), col("g"), "v",
+        bandWidth = 1L, maxBands = 10)
+    }
+    assert(e.getMessage.contains("maxBands"), e.getMessage)
+  }
+
+  test("giniSplitGain: perfect split scores 0 impurity with base gain") {
+    import graft.operators.Stats
+    // bin 0 all-negative, bin 1 all-positive → threshold 0 is a perfect
+    // stump: impurity 0, gain = unsplit base = 1 − 2·(1/2)² = 500000 ppm
+    val rows = (1 to 4).map(_ => (0L, 0L)) ++ (1 to 4).map(_ => (1L, 1L))
+    val got = Stats.giniSplitGain(rows.toDF("b", "p"), col("b"), col("p"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.head == ((0L, 4L, 0L, 500000L)), got.toString)
+    assert(got.size == 1, got.toString) // only one valid threshold
+  }
+
+  test("giniSplitGain equals brute-force BigInt impurity on every threshold") {
+    import graft.operators.Stats
+    val rows = (1L to 300L).map(i => ((i * 7919L) % 10L, (i * 31L) % 3L min 1L))
+    val got = Stats.giniSplitGain(rows.toDF("b", "p"), col("b"), col("p"),
+        topK = 100)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val n = BigInt(rows.size)
+    val p = BigInt(rows.count(_._2 == 1L))
+    val basePpm = (n * n - p * p - (n - p) * (n - p)) * 1000000 / (n * n)
+    val want = rows.map(_._1).distinct.sorted.dropRight(1).map { t =>
+      val l = rows.filter(_._1 <= t)
+      val (nl, pl) = (BigInt(l.size), BigInt(l.count(_._2 == 1L)))
+      val (nr, pr) = (n - nl, p - pl)
+      val num = (nl * nl - pl * pl - (nl - pl) * (nl - pl)) * nr +
+        (nr * nr - pr * pr - (nr - pr) * (nr - pr)) * nl
+      val imp = num * 1000000 / (nl * nr * n)
+      (t, nl.toLong, imp.toLong, (basePpm - imp).toLong)
+    }.sortBy(r => (r._3, r._1)).map(r => (r._1, r._2, r._3, r._4))
+    assert(got == want, s"got=$got want=$want")
+  }
 }

@@ -525,4 +525,42 @@ class StoreSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(alt.toSeq == got.toSeq)
   }
+
+  test("string zone map: prefix scan exact, truncation-safe, pruned IN-list") {
+    import graft.store.StringZoneStore
+    val path = tmp("zonestore")
+    // keys spanning the alphabet; several share the 4-char truncation
+    // prefix 'spar' (sparse vs spark) — truncation must never false-skip
+    val words = Seq("alpha", "beta", "gamma", "spark", "sparse", "spare",
+      "split", "table", "window", "zeta")
+    val rows = (1L to 400L).map(i => (i, words((i % 10).toInt) + s" tail$i"))
+      .toDF("doc_id", "text")
+      .withColumn("zkey", substring_index($"text", " ", 1))
+      .repartitionByRange(StringZoneStore.Buckets, $"zkey", $"doc_id")
+      .withColumn("fb", spark_partition_id())
+    rows.write.partitionBy("fb").mode("overwrite").parquet(path)
+    val idx = StringZoneStore.ensureZoneIndex(spark, path)
+    val scan = StringZoneStore.prefixScan(spark, path, idx, "spa")
+    val got = scan.select($"doc_id").as[Long].collect().toSet
+    val want = (1L to 400L).filter(i =>
+      words((i % 10).toInt).startsWith("spa")).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    // literal bucket IN-list reaches the scan, reading fewer dirs than exist
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("fb"), plan.take(2000))
+    // small survivor sets print as IN (...), larger ones as INSET ...
+    val inList = "fb#\\d+ IN \\(([^)]*)\\)".r.findFirstMatchIn(plan).map(_.group(1))
+      .orElse("fb#\\d+ INSET ([^\\]]*)".r.findFirstMatchIn(plan).map(_.group(1)))
+    assert(inList.isDefined, plan.take(2000))
+    assert(inList.get.split(",").length < StringZoneStore.Buckets / 2,
+      s"pruning too weak: ${inList.get}")
+    // zone entries are fixed-width truncations
+    val zones = spark.read.parquet(idx).select($"zmin", $"zmax")
+      .as[(String, String)].collect()
+    assert(zones.forall { case (a, b) =>
+      a.length <= StringZoneStore.TruncWidth &&
+        b.length <= StringZoneStore.TruncWidth && a <= b })
+    // empty survivor set (prefix beyond every zone) returns zero rows
+    assert(StringZoneStore.prefixScan(spark, path, idx, "zzzz").count() == 0L)
+  }
 }
