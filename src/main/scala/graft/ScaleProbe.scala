@@ -578,7 +578,17 @@ object ScaleProbe {
     // q_zone_scan is store-class (builds a layout) — bench-covered
     // like q_skip_scan/q_bloom_scan, not replica-probed.
     "q_label_windows" -> true,
-    "q_quantile_align" -> false
+    "q_quantile_align" -> false,
+    // round-9 wave 42: seasonal strength = the q_seasonal_stl banded
+    // decomposition + a span-bounded moment rollup (only the first
+    // hourly groupBy grows — the q_forecast_mase hourly series class,
+    // flagged for the same small-absolute partial-agg layout artifact)
+    "q_seasonal_strength" -> true,
+    // round-9 wave 43: contribution-bounded DP census = a (user, type,
+    // day) map-side census (row-sized partial state — measured 6.9x =
+    // exponent 1.2, the usual single-split-base partial-agg factor on
+    // a linear pass) + a domain-frame rollup (the q_dp_counts class)
+    "q_dp_bounded" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -663,7 +673,10 @@ object ScaleProbe {
     // round-9 wave 40: harmonic centrality runs on the lineitem
     // co-purchase axis (the q_bfs_hops frontier class, one multi-seed
     // sweep)
-    "q_harmonic_centrality")
+    "q_harmonic_centrality",
+    // round-9 wave 44: blocking-quality audit — the q_er_* fixed
+    // 500-row customer ER scope
+    "q_er_quality")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes
@@ -722,7 +735,12 @@ object ScaleProbe {
     // round-8 eighth wave: cluster-diameter audit = the q_split_safe
     // pipeline (verified pairs + CC) + one id-keyed component join and
     // an O(clusters) verdict agg
-    "q_cluster_diameter"
+    "q_cluster_diameter",
+    // round-9 wave 43: incremental IVF probes the STAGED base postings
+    // (absorbed by the warm-up pass like q_cc_incremental — it is the
+    // persisted index); the measured pass is the batch-sized delta
+    // assignment + the fixed 5-query probe/verify
+    "q_ann_incremental"
   )
 
   /** Per-query conf pins for the probe. ppjoin's verify joins fit under

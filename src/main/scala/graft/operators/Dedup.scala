@@ -539,6 +539,42 @@ object Dedup {
     * out of scope; compose with [[sortedNeighborPairs]] for coarser
     * typo classes. Output: (s_a, s_b, dist), s_a < s_b, dist ∈ {1}
     * (0 impossible across distinct strings). */
+  /** Blocking-quality audit — the standard entity-resolution eval pair
+    * (Christen, Data Matching 2012, public): REDUCTION RATIO = the
+    * fraction of the n(n−1)/2 brute-force pairs the blocker spared
+    * (efficiency), PAIR COMPLETENESS = the fraction of TRUE matches
+    * that survived blocking (the candidate generator's recall — the
+    * number that says whether a cheap blocker is safe to ship). Inputs:
+    * the blocker's candidate pairs, the ground-truth match pairs (both
+    * (id_a, id_b), id_a < id_b), and the scoped record frame (for n).
+    * One left-semi join + three 1-row counts crossed broadcast; each
+    * ratio clears in one DECIMAL(38,0) floor division (P = n(n−1)/2
+    * overflows BIGINT squares past ~3e9 records). Output 1 row:
+    * (n_rec, n_cand, n_true, n_caught, reduction_ratio_ppm,
+    * completeness_ppm) — completeness NULL when no true matches. */
+  def blockingQuality(cand: DataFrame, truth: DataFrame,
+      records: DataFrame): DataFrame = {
+    // canonicalize pair order: blockers differ in emission order
+    // (sorted-neighborhood emits rank-adjacent, pigeonhole emits id_a <
+    // id_b) — the intersection must not depend on it
+    def canon(df: DataFrame) = df.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+    val candD = canon(cand)
+    val truthD = canon(truth)
+    val caught = truthD.join(candD, Seq("id_a", "id_b"), "left_semi")
+    records.agg(count(lit(1)).as("n_rec"))
+      .crossJoin(broadcast(candD.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(truthD.agg(count(lit(1)).as("n_true"))))
+      .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
+      .withColumn("reduction_ratio_ppm", expr(
+        """CAST((CAST(n_rec AS DECIMAL(38,0)) * (n_rec - 1) DIV 2 - n_cand) * 1000000
+          |  DIV (CAST(n_rec AS DECIMAL(38,0)) * (n_rec - 1) DIV 2) AS BIGINT)""".stripMargin))
+      .withColumn("completeness_ppm",
+        when(col("n_true") > 0,
+          expr("CAST(CAST(n_caught AS DECIMAL(38,0)) * 1000000 DIV n_true AS BIGINT)")))
+  }
+
   def fuzzyPairsEd1(
       df: DataFrame,
       strCol: String,

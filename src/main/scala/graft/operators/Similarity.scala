@@ -200,26 +200,46 @@ object Similarity {
       k: Int,
       nCentroids: Int = 8,
       nprobe: Int = 2): DataFrame = {
-    val cent = corpus.filter(col(idCol) < nCentroids)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("_cvec"))
-      .withColumn("_cn", l2norm(col("_cvec")))
-    def simPpm(vec: Column, n: Column): Column =
-      floor(dot(vec, col("_cvec")) / (n * col("_cn")) * 1e6).cast("long")
-
+    val cent = ivfCentroids(corpus, idCol, vecCol, nCentroids)
     // inverted file: per-id argmax over the C broadcast centroids; the
     // (id, vec, norm) grouping keys ride through the map-side combine so
     // no join-back is needed for the verify phase
     val corpusN = corpus.select(col(idCol), col(vecCol)).withColumn("_n", l2norm(col(vecCol)))
-    val assigned = corpusN.crossJoin(broadcast(cent))
-      .withColumn("_csim", simPpm(col(vecCol), col("_n")))
+    val assigned = ivfAssign(corpusN, cent, idCol, vecCol)
+    ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol, k, nprobe)
+  }
+
+  /** Frozen coarse quantizer: the deterministic seeded centroid frame
+    * shared by [[ivfTopK]] and [[ivfIncrementalTopK]]. */
+  private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame =
+    corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("_cvec"))
+      .withColumn("_cn", l2norm(col("_cvec")))
+
+  private def centSimPpm(vec: Column, n: Column): Column =
+    floor(dot(vec, col("_cvec")) / (n * col("_cn")) * 1e6).cast("long")
+
+  /** Per-id nearest-centroid assignment (smaller cid wins ties):
+    * broadcast of C centroid rows, map-side-combined argmax — corpus
+    * vectors never shuffle to get assigned. */
+  private def ivfAssign(corpusN: DataFrame, cent: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    corpusN.crossJoin(broadcast(cent))
+      .withColumn("_csim", centSimPpm(col(vecCol), col("_n")))
       .groupBy(col(idCol), col(vecCol), col("_n"))
       .agg(max(struct(col("_csim").as("s"), (-col("cid")).as("nc"))).as("_m"))
       .select(col(idCol), col(vecCol), col("_n"), (-col("_m.nc")).as("cid"))
 
+  /** Probe + verify tail shared by the batch and incremental IVF paths:
+    * nprobe nearest centroid buckets per query, exact cosine within. */
+  private def ivfSearch(assigned: DataFrame, cent: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
     val queriesN = queries.withColumn("_qn", l2norm(col(qVecCol)))
     val wp = Window.partitionBy(col(qIdCol)).orderBy(col("_qsim").desc, col("cid"))
     val probes = queriesN.crossJoin(broadcast(cent))
-      .withColumn("_qsim", simPpm(col(qVecCol), col("_qn")))
+      .withColumn("_qsim", centSimPpm(col(qVecCol), col("_qn")))
       .withColumn("_pr", row_number().over(wp))
       .filter(col("_pr") <= nprobe)
       .select(col(qIdCol), col("cid"))
@@ -234,6 +254,51 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qIdCol), col("rank"), col(idCol), col("sim_ppm"))
+  }
+
+  /** INCREMENTAL inverted-file maintenance + search — the index-append
+    * path an embedding store runs on every ingest batch: the quantizer
+    * is FROZEN (trained offline; here the seeded centroid frame over
+    * the full table, shared with [[ivfTopK]]), the base corpus's
+    * postings are a STAGED parquet index of compact (id, cid, norm)
+    * rows — vectors are NOT in the postings; they join back only for
+    * candidate-sized verify, the inverted-file layout that holds at
+    * 100 TB — and a new batch assigns only ITS vectors (batch-sized
+    * broadcast argmax) and unions onto the staged index, never
+    * re-assigning the base. Assignment is per-row independent under a
+    * frozen quantizer, so the merged index is bit-identical to a full
+    * rebuild and the search result EQUALS [[ivfTopK]] over the whole
+    * corpus — that equality is the correctness contract (the oracle
+    * replays the full build; IncrementalSpec-style equality is asserted
+    * in SimilaritySpec).
+    *
+    * `deltaPred` marks the new-batch rows inside `corpus` (the
+    * q_dedup_incremental split convention). */
+  def ivfIncrementalTopK(
+      corpus: DataFrame,
+      deltaPred: Column,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nCentroids: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    def norm(df: DataFrame) =
+      df.select(col(idCol), col(vecCol)).withColumn("_n", l2norm(col(vecCol)))
+    val basePostings = graft.store.Staging.stage(
+      ivfAssign(norm(corpus.filter(!deltaPred)), cent, idCol, vecCol)
+        .select(col(idCol), col("cid"), col("_n")),
+      "ivf_postings_base")
+    val deltaPostings = ivfAssign(norm(corpus.filter(deltaPred)), cent, idCol, vecCol)
+      .select(col(idCol), col("cid"), col("_n"))
+    // read-after-append view of the index; vectors join back by id for
+    // the candidate-sized verify only
+    val assigned = basePostings.unionByName(deltaPostings)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol, k, nprobe)
   }
 
   /** Embedding-cosine near-duplicate pairs — the vector-space member of

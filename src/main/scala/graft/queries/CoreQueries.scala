@@ -2028,58 +2028,57 @@ object CoreQueries {
     // window, halo rows drop after — the stencil/halo-exchange pattern,
     // which is also how a dense multi-year series would scale.
     Q("q_seasonal_stl",
-      (s, dir) => {
-        val hourly = Tables.events(s, dir)
-          .groupBy(expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
-          .agg(sum(floor(col("value") * 100)).cast("long").as("value_cmil"))
-        val idx = graft.operators.SuffixArray.prefixOffsets(
-          hourly.select(col("hour_us"), lit(1L).as("_one")), "hour_us", "_one")
-        val pos = hourly.join(idx, "hour_us")
-          .withColumn("_b", call_function("div", col("_ofs"), lit(24L)))
-        val own = pos.withColumn("_halo", lit(false))
-        val haloUp = pos.filter(pmod(col("_ofs"), lit(24L)) >= 13)
-          .withColumn("_b", col("_b") + 1).withColumn("_halo", lit(true))
-        val haloDown = pos.filter(pmod(col("_ofs"), lit(24L)) <= 11)
-          .withColumn("_b", col("_b") - 1).withColumn("_halo", lit(true))
-        val wT = Window.partitionBy(col("_b")).orderBy(col("_ofs"))
-          .rowsBetween(-11, 12)
-        own.unionByName(haloUp).unionByName(haloDown)
-          .select(col("hour_us"), col("value_cmil"), col("_b"), col("_halo"),
-            floor(sum(col("value_cmil")).over(wT) / count(lit(1)).over(wT))
-              .cast("long").as("trend_cmil"))
-          .filter(!col("_halo"))
-          .select(col("hour_us"), col("value_cmil"), col("trend_cmil"),
-            (col("value_cmil") - col("trend_cmil")).as("_det"),
-            (floor(col("hour_us") / 3600000000L).cast("long") % 24).as("_hod"))
-          .withColumn("seasonal_cmil",
-            floor(sum(col("_det")).over(Window.partitionBy(col("_hod"))) /
-              count(lit(1)).over(Window.partitionBy(col("_hod")))).cast("long"))
-          .select(col("hour_us"), col("value_cmil"), col("trend_cmil"),
-            col("seasonal_cmil"),
-            (col("_det") - col("seasonal_cmil")).as("resid_cmil"))
-          .orderBy("hour_us")
-      },
-      Some("""WITH h AS (
-             |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
-             |         CAST(sum(floor(value * 100)) AS BIGINT) AS value_cmil
-             |  FROM events GROUP BY 1),
-             |t AS (
-             |  SELECT hour_us, value_cmil,
-             |         CAST(floor(sum(value_cmil) OVER w * 1.0 / count(*) OVER w) AS BIGINT) AS trend_cmil
-             |  FROM h WINDOW w AS (ORDER BY hour_us ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
-             |d AS (
-             |  SELECT hour_us, value_cmil, trend_cmil,
-             |         value_cmil - trend_cmil AS det,
-             |         (hour_us // 3600000000) % 24 AS hod
-             |  FROM t),
-             |s AS (
-             |  SELECT hour_us, value_cmil, trend_cmil, det,
-             |         CAST(floor(sum(det) OVER (PARTITION BY hod) * 1.0
-             |                    / count(*) OVER (PARTITION BY hod)) AS BIGINT) AS seasonal_cmil
-             |  FROM d)
-             |SELECT hour_us, value_cmil, trend_cmil, seasonal_cmil,
-             |       det - seasonal_cmil AS resid_cmil
-             |FROM s ORDER BY hour_us""".stripMargin)),
+      (s, dir) => stlDecomposition(s, dir).orderBy("hour_us"),
+      Some(s"""$stlOracleCtes
+             |SELECT hour_us, value_cmil, trend_cmil, seasonal_cmil, resid_cmil
+             |FROM stl ORDER BY hour_us""".stripMargin)),
+
+    // Seasonal / trend STRENGTH of the hourly series (Hyndman's
+    // F-statistics: F_s = 1 − Var(R)/Var(S+R), F_t = 1 − Var(R)/
+    // Var(T+R)) — the "should the forecaster model seasonality/trend at
+    // all?" readout over the SAME q_seasonal_stl decomposition. Exact:
+    // component series are integers, each n·Σx²−(Σx)² variance clears
+    // in DECIMAL(38,0), one floor division per F, clamped at 0. The
+    // moment rollup is span-bounded (744 hourly rows).
+    Q("q_seasonal_strength",
+      (s, dir) => stlDecomposition(s, dir)
+        .select(col("resid_cmil").as("_r"),
+          (col("value_cmil") - col("trend_cmil")).as("_sr"),
+          (col("value_cmil") - col("seasonal_cmil")).as("_tr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("_r")).as("_s_r"), sum(col("_r") * col("_r")).as("_s_rr"),
+          sum(col("_sr")).as("_s_s"), sum(col("_sr") * col("_sr")).as("_s_ss"),
+          sum(col("_tr")).as("_s_t"), sum(col("_tr") * col("_tr")).as("_s_tt"))
+        .withColumn("_vr", expr(
+          "CAST(n AS DECIMAL(38,0)) * _s_rr - CAST(_s_r AS DECIMAL(38,0)) * _s_r"))
+        .withColumn("_vs", expr(
+          "CAST(n AS DECIMAL(38,0)) * _s_ss - CAST(_s_s AS DECIMAL(38,0)) * _s_s"))
+        .withColumn("_vt", expr(
+          "CAST(n AS DECIMAL(38,0)) * _s_tt - CAST(_s_t AS DECIMAL(38,0)) * _s_t"))
+        .select(col("n"),
+          when(col("_vs") > 0, greatest(lit(0L),
+            expr("CAST((_vs - _vr) * 1000000 DIV _vs AS BIGINT)")))
+            .as("f_seasonal_ppm"),
+          when(col("_vt") > 0, greatest(lit(0L),
+            expr("CAST((_vt - _vr) * 1000000 DIV _vt AS BIGINT)")))
+            .as("f_trend_ppm")),
+      Some(s"""$stlOracleCtes,
+             |c AS (SELECT resid_cmil AS r,
+             |             value_cmil - trend_cmil AS sr,
+             |             value_cmil - seasonal_cmil AS tr FROM stl),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |             sum(CAST(r AS HUGEINT)) AS s_r, sum(CAST(r AS HUGEINT)*r) AS s_rr,
+             |             sum(CAST(sr AS HUGEINT)) AS s_s, sum(CAST(sr AS HUGEINT)*sr) AS s_ss,
+             |             sum(CAST(tr AS HUGEINT)) AS s_t, sum(CAST(tr AS HUGEINT)*tr) AS s_tt
+             |      FROM c),
+             |v AS (SELECT n, n*s_rr - s_r*s_r AS vr, n*s_ss - s_s*s_s AS vs,
+             |             n*s_tt - s_t*s_t AS vt FROM m)
+             |SELECT n,
+             |       CAST(CASE WHEN vs > 0 THEN greatest(0, (vs - vr) * 1000000 // vs)
+             |            END AS BIGINT) AS f_seasonal_ppm,
+             |       CAST(CASE WHEN vt > 0 THEN greatest(0, (vt - vr) * 1000000 // vt)
+             |            END AS BIGINT) AS f_trend_ppm
+             |FROM v""".stripMargin)),
 
     // -- spatial / mobility family --------------------------------------
     // The test events carry no raw coordinates, so these queries derive
@@ -6579,8 +6578,97 @@ object CoreQueries {
              |       CAST(gl.gv AS BIGINT) AS norm_value_mils
              |FROM r CROSS JOIN t
              |JOIN gl ON gl.rn = (r.r * t.n + r.ng - 1) // r.ng
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Contribution-bounded census — the DP sensitivity PRECONDITION
+    // q_dp_counts' noise ladder assumes: each user counts at most C=3
+    // times per (type, day) cell, so one user's presence moves any
+    // released count by ≤ 3 (bounded sensitivity). No window needed:
+    // bounded count = Σ min(c_user, 3) — one (user, type, day)
+    // map-side census + one rollup. n_clamped shows the mass the cap
+    // removed (the utility cost of the bound).
+    Q("q_dp_bounded",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"),
+          expr("unix_micros(date_trunc('day', ts))").as("day_us"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("event_type"), col("day_us"))
+        .agg(sum(col("_c")).as("n_raw"),
+          sum(least(col("_c"), lit(3L))).as("n_bounded"),
+          count(lit(1)).as("n_users"))
+        .withColumn("n_clamped", col("n_raw") - col("n_bounded"))
+        .orderBy("event_type", "day_us"),
+      Some("""WITH u AS (SELECT user_id, event_type,
+             |                  epoch_us(date_trunc('day', ts)) AS day_us,
+             |                  count(*) AS c
+             |           FROM events GROUP BY 1, 2, 3)
+             |SELECT event_type, day_us,
+             |       CAST(sum(c) AS BIGINT) AS n_raw,
+             |       CAST(sum(least(c, 3)) AS BIGINT) AS n_bounded,
+             |       CAST(count(*) AS BIGINT) AS n_users,
+             |       CAST(sum(c) - sum(least(c, 3)) AS BIGINT) AS n_clamped
+             |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
+
+  /** The q_seasonal_stl decomposition frame, shared with
+    * q_seasonal_strength: (hour_us, value_cmil, trend_cmil,
+    * seasonal_cmil, resid_cmil), unordered. Banded/halo rolling trend —
+    * see the q_seasonal_stl comment for the stencil pattern. */
+  private def stlDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+      .agg(sum(floor(col("value") * 100)).cast("long").as("value_cmil"))
+    val idx = graft.operators.SuffixArray.prefixOffsets(
+      hourly.select(col("hour_us"), lit(1L).as("_one")), "hour_us", "_one")
+    val pos = hourly.join(idx, "hour_us")
+      .withColumn("_b", call_function("div", col("_ofs"), lit(24L)))
+    val own = pos.withColumn("_halo", lit(false))
+    val haloUp = pos.filter(pmod(col("_ofs"), lit(24L)) >= 13)
+      .withColumn("_b", col("_b") + 1).withColumn("_halo", lit(true))
+    val haloDown = pos.filter(pmod(col("_ofs"), lit(24L)) <= 11)
+      .withColumn("_b", col("_b") - 1).withColumn("_halo", lit(true))
+    val wT = Window.partitionBy(col("_b")).orderBy(col("_ofs"))
+      .rowsBetween(-11, 12)
+    own.unionByName(haloUp).unionByName(haloDown)
+      .select(col("hour_us"), col("value_cmil"), col("_b"), col("_halo"),
+        floor(sum(col("value_cmil")).over(wT) / count(lit(1)).over(wT))
+          .cast("long").as("trend_cmil"))
+      .filter(!col("_halo"))
+      .select(col("hour_us"), col("value_cmil"), col("trend_cmil"),
+        (col("value_cmil") - col("trend_cmil")).as("_det"),
+        (floor(col("hour_us") / 3600000000L).cast("long") % 24).as("_hod"))
+      .withColumn("seasonal_cmil",
+        floor(sum(col("_det")).over(Window.partitionBy(col("_hod"))) /
+          count(lit(1)).over(Window.partitionBy(col("_hod")))).cast("long"))
+      .select(col("hour_us"), col("value_cmil"), col("trend_cmil"),
+        col("seasonal_cmil"),
+        (col("_det") - col("seasonal_cmil")).as("resid_cmil"))
+  }
+
+  /** Oracle CTE chain producing the [[stlDecomposition]] frame as `stl`
+    * — ONE SQL text shared by the q_seasonal_stl and q_seasonal_strength
+    * oracles (anti-drift: the decomposition is defined once). */
+  private def stlOracleCtes: String =
+    """WITH h AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |         CAST(sum(floor(value * 100)) AS BIGINT) AS value_cmil
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT hour_us, value_cmil,
+      |         CAST(floor(sum(value_cmil) OVER w * 1.0 / count(*) OVER w) AS BIGINT) AS trend_cmil
+      |  FROM h WINDOW w AS (ORDER BY hour_us ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+      |d AS (
+      |  SELECT hour_us, value_cmil, trend_cmil,
+      |         value_cmil - trend_cmil AS det,
+      |         (hour_us // 3600000000) % 24 AS hod
+      |  FROM t),
+      |stl AS (
+      |  SELECT hour_us, value_cmil, trend_cmil,
+      |         CAST(floor(sum(det) OVER (PARTITION BY hod) * 1.0
+      |                    / count(*) OVER (PARTITION BY hod)) AS BIGINT) AS seasonal_cmil,
+      |         det - CAST(floor(sum(det) OVER (PARTITION BY hod) * 1.0
+      |                    / count(*) OVER (PARTITION BY hod)) AS BIGINT) AS resid_cmil
+      |  FROM d)""".stripMargin
 
   /** Jarque-Bera derived-column formulas, ONE source of truth feeding
     * both the engine's withColumn chain and the oracle's nested CTEs

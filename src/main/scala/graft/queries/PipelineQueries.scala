@@ -36,6 +36,40 @@ object PipelineQueries {
   }
 
   /** Engine expression text for JL output k over a mils array column. */
+  /** The IVF search oracle — ONE full-build SQL text shared by
+    * q_ann_ivf and q_ann_incremental: under the frozen seeded quantizer
+    * an incremental postings append is bit-identical to a rebuild, so
+    * both queries must hash to this replay. */
+  private def ivfSearchOracleSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+      |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
+      |cent AS (SELECT vec_id AS cid, ve AS cv, nn AS cn FROM n WHERE vec_id < 8),
+      |asg AS (
+      |  SELECT n.vec_id, n.ve, n.nn,
+      |    -((max(struct_pack(s := CAST(floor(list_dot_product(n.ve, cent.cv)
+      |                                       / (n.nn * cent.cn) * 1000000.0) AS BIGINT),
+      |                       nc := -cent.cid))).nc) AS cid
+      |  FROM n, cent GROUP BY n.vec_id, n.ve, n.nn),
+      |q AS (SELECT vec_id AS q_id, ve AS qv, nn AS qn FROM n WHERE vec_id < 5),
+      |probe AS (
+      |  SELECT q_id, cid FROM (
+      |    SELECT q.q_id, cent.cid,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        CAST(floor(list_dot_product(q.qv, cent.cv)
+      |                   / (q.qn * cent.cn) * 1000000.0) AS BIGINT) DESC, cent.cid) AS pr
+      |    FROM q, cent) WHERE pr <= 2),
+      |cand AS (
+      |  SELECT q.q_id, a.vec_id,
+      |    CAST(floor(list_dot_product(a.ve, q.qv) / (a.nn * q.qn) * 1000000.0) AS BIGINT) AS sim_ppm
+      |  FROM asg a JOIN probe p ON a.cid = p.cid JOIN q ON q.q_id = p.q_id
+      |  WHERE a.vec_id <> q.q_id),
+      |r AS (
+      |  SELECT q_id, vec_id, sim_ppm,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY sim_ppm DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   private def jlYEngine(vCol: String, k: Int): String =
     s"CAST(0 AS BIGINT) " + (0 until 64).map(j =>
       s"${if (JlSigns(k)(j) > 0) "+" else "-"} element_at($vCol, ${j + 1})")
@@ -411,6 +445,54 @@ object PipelineQueries {
            |      FROM s a JOIN s b ON b.rn - a.rn BETWEEN 1 AND 5)
            |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3
            |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // Blocking-quality audit of the sorted-neighborhood blocker:
+    // reduction ratio (pairs spared vs brute n(n-1)/2) and pair
+    // completeness (true hamming<=1 matches the w=5 window kept) — the
+    // eval that says whether the HEURISTIC blocker is safe to ship
+    // where the pigeonhole one is guaranteed. Candidates = the
+    // q_er_sorted window with the verify filter OPEN (maxMismatch =
+    // width); truth = the exact-recall pigeonhole pairs at hamming<=1.
+    Q("q_er_quality",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).filter(col("c_custkey") < 500)
+        val cand = Dedup.sortedNeighborPairs(cust, "c_custkey", col("c_name"),
+          substring(col("c_name"), 16, 1), width = 18, w = 5, maxMismatch = 18)
+        val truth = Dedup.hammingBlockedPairs(cust, "c_custkey", col("c_name"),
+          width = 18, maxMismatch = 1)
+        Dedup.blockingQuality(cand, truth, cust.select(col("c_custkey")))
+      },
+      Some {
+        val hd = (1 to 18).map(i =>
+          s"CASE WHEN substring(a.c_name,$i,1)<>substring(b.c_name,$i,1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH s AS (SELECT c_custkey, c_name,
+           |                  row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+           |           FROM customer WHERE c_custkey < 500),
+           |cand AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+           |         FROM s a JOIN s b ON b.rn - a.rn BETWEEN 1 AND 5),
+           |cn AS (SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+           |       FROM cand GROUP BY 1, 2),
+           |truth AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+           |          FROM s a JOIN s b ON a.c_custkey < b.c_custkey
+           |          WHERE $hd <= 1),
+           |m AS (SELECT (SELECT count(*) FROM s) AS n_rec,
+           |             (SELECT count(*) FROM cn) AS n_cand,
+           |             (SELECT count(*) FROM truth) AS n_true,
+           |             (SELECT count(*) FROM truth t
+           |              WHERE EXISTS (SELECT 1 FROM cn
+           |                            WHERE cn.id_a = t.id_a AND cn.id_b = t.id_b))
+           |               AS n_caught)
+           |SELECT CAST(n_rec AS BIGINT) AS n_rec, CAST(n_cand AS BIGINT) AS n_cand,
+           |       CAST(n_true AS BIGINT) AS n_true, CAST(n_caught AS BIGINT) AS n_caught,
+           |       CAST((CAST(n_rec AS HUGEINT) * (n_rec - 1) // 2 - n_cand) * 1000000
+           |            // (CAST(n_rec AS HUGEINT) * (n_rec - 1) // 2) AS BIGINT)
+           |         AS reduction_ratio_ppm,
+           |       CAST(CASE WHEN n_true > 0
+           |            THEN CAST(n_caught AS HUGEINT) * 1000000 // n_true
+           |            END AS BIGINT) AS completeness_ppm
+           |FROM m""".stripMargin
       }),
 
     // Edit-distance-1 fuzzy self-join by deletion neighborhoods (FastSS/
@@ -1801,34 +1883,25 @@ object PipelineQueries {
             nCentroids = 8, nprobe = 2)
           .orderBy("q_id", "rank")
       },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
-             |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
-             |cent AS (SELECT vec_id AS cid, ve AS cv, nn AS cn FROM n WHERE vec_id < 8),
-             |asg AS (
-             |  SELECT n.vec_id, n.ve, n.nn,
-             |    -((max(struct_pack(s := CAST(floor(list_dot_product(n.ve, cent.cv)
-             |                                       / (n.nn * cent.cn) * 1000000.0) AS BIGINT),
-             |                       nc := -cent.cid))).nc) AS cid
-             |  FROM n, cent GROUP BY n.vec_id, n.ve, n.nn),
-             |q AS (SELECT vec_id AS q_id, ve AS qv, nn AS qn FROM n WHERE vec_id < 5),
-             |probe AS (
-             |  SELECT q_id, cid FROM (
-             |    SELECT q.q_id, cent.cid,
-             |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-             |        CAST(floor(list_dot_product(q.qv, cent.cv)
-             |                   / (q.qn * cent.cn) * 1000000.0) AS BIGINT) DESC, cent.cid) AS pr
-             |    FROM q, cent) WHERE pr <= 2),
-             |cand AS (
-             |  SELECT q.q_id, a.vec_id,
-             |    CAST(floor(list_dot_product(a.ve, q.qv) / (a.nn * q.qn) * 1000000.0) AS BIGINT) AS sim_ppm
-             |  FROM asg a JOIN probe p ON a.cid = p.cid JOIN q ON q.q_id = p.q_id
-             |  WHERE a.vec_id <> q.q_id),
-             |r AS (
-             |  SELECT q_id, vec_id, sim_ppm,
-             |         row_number() OVER (PARTITION BY q_id ORDER BY sim_ppm DESC, vec_id) AS rank
-             |  FROM cand)
-             |SELECT q_id, rank, vec_id, sim_ppm FROM r WHERE rank <= 10
-             |ORDER BY q_id, rank""".stripMargin)),
+      Some(ivfSearchOracleSql)),
+
+    // INCREMENTAL IVF index maintenance: the base corpus's postings are
+    // a staged compact (id, cid, norm) parquet index, a new ingest
+    // batch (vec_id % 10 == 0) assigns only ITS vectors and appends —
+    // the quantizer is frozen, so the merged index is bit-identical to
+    // a full rebuild, and the ORACLE IS q_ann_ivf's full-build SQL:
+    // incremental == rebuild is the checked contract.
+    Q("q_ann_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfIncrementalTopK(emb, pmod(col("vec_id"), lit(10L)) === 0L,
+            queries, "vec_id", "embedding", "q_id", "q_vec", 10,
+            nCentroids = 8, nprobe = 2)
+          .orderBy("q_id", "rank")
+      },
+      Some(ivfSearchOracleSql)),
 
     // Recall@10 of the IVF path vs exact — the companion to q_ann_recall
     // (which measures the LSH pipeline): the IVF quantizer's recall loss

@@ -979,6 +979,22 @@ object StoreQueries {
              |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Streaming heavy hitters: top-20 most-active users maintained
+    // incrementally across micro-batches — the q_stream_matview merge
+    // pattern on the HIGH-CARDINALITY key, ranked only at readout
+    // (TakeOrdered, deterministic (n desc, user_id) ties). Count/sum
+    // are associative, so the maintained view equals the batch census
+    // = the oracle.
+    Q("q_stream_topk",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.topkReplay(s, store, store + "_topkview", k = 20)
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events GROUP BY 1
+             |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)),
+
     // String-agg JSON serialization
     // (/root/reference/stores/postgresql_sql_text_conv.py:79-94): the
     // document is assembled by string concatenation, ordered by id.

@@ -290,6 +290,65 @@ object Replay {
       sys.error("matviewReplay: no view version was committed")))
   }
 
+  /** Streaming HEAVY HITTERS — the top-k most-active keys maintained
+    * incrementally across micro-batches (the trending-entities /
+    * hot-key monitor a feed pipeline keeps): [[matviewReplay]]'s
+    * merge-into-versioned-view pattern, but keyed by the
+    * HIGH-CARDINALITY entity (user) instead of a bounded dimension, so
+    * the view is a full per-key count frame and only the final readout
+    * ranks. Per batch: one map-side-combined partial count + one
+    * same-key merge groupBy against the previous view version (never
+    * batch×history row pairing); the top-k itself is a TakeOrdered over
+    * the final view — no global sort, no unpartitioned window.
+    * Deterministic ties: (n desc, user_id asc). At 100 TB the view is a
+    * key-count table maintained by linear merges; k never shuffles more
+    * than k rows per partition. */
+  def topkReplay(
+      spark: SparkSession,
+      storePath: String,
+      viewRoot: String,
+      k: Int,
+      filesPerBatch: Int = 8): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
+    def latest(): Option[String] = {
+      val d = new java.io.File(viewRoot)
+      if (!d.exists()) None
+      else d.listFiles()
+        .filter(f => f.getName.startsWith("v") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .sortBy(_.getName.drop(1).toLong)
+        .lastOption.map(_.getAbsolutePath)
+    }
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(storePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
+        val merged = latest() match {
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(partial)
+              .groupBy(col("user_id"))
+              .agg(sum(col("n")).as("n"), sum(col("value_mils")).as("value_mils"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$viewRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", viewRoot + "_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(latest().getOrElse(
+        sys.error("topkReplay: no view version was committed")))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(k)
+  }
+
   // ---- streaming first-seen dim registry (watermarked dedup) ------------
 
   /** The reference's first-seen hash registry

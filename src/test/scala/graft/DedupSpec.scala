@@ -822,4 +822,22 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(split.filter(_._1 >= 20L).forall(r => r._3 == plain(r._1)))
   }
+
+  test("blockingQuality: hand-counted metrics, pair-order canonicalization, empty truth") {
+    // 5 records → P = 10 brute pairs; candidates: 3 distinct pairs, one
+    // emitted in SWAPPED order + one duplicate (canonicalization must
+    // dedupe both); truth: 2 pairs, 1 caught
+    val recs = (1L to 5L).toDF("id")
+    val cand = Seq((1L, 2L), (3L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val truth = Seq((2L, 3L), (1L, 5L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.blockingQuality(cand, truth, recs)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    // reduction = (10-3)/10 = 700000 ppm; completeness = 1/2 = 500000
+    assert(got == ((5L, 3L, 2L, 1L, 700000L, Some(500000L))), got.toString)
+    // no true matches → completeness NULL, reduction still defined
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val g2 = graft.operators.Dedup.blockingQuality(cand, empty, recs)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(g2 == ((5L, 3L, 0L, 0L, 700000L, None)), g2.toString)
+  }
 }

@@ -139,4 +139,45 @@ class PlanRulesSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(sizes.nonEmpty && sizes.forall(_ == 50L), sizes.toString)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the 100 TB hot-key contract)") {
+    // one key holds ~all rows of the left side — the layout that stalls
+    // a cluster on one reducer unless AQE's OptimizeSkewedJoin splits
+    // the hot partition. Thresholds are forced low so the 40k-row
+    // fixture trips the same code path a hot key trips at scale; the
+    // salted-join operator (q_salted_join) remains the manual fallback
+    // when AQE is off or the skew is in an aggregation.
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      // keep it a sort-merge join: broadcast would hide the skew path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = (1L to 40000L).map(i => (if (i % 100 == 0) i % 7 else 0L, i))
+        .toDF("k", "v") // key 0 carries 99% of rows
+      val right = (0L until 7L).map(k => (k, k * 10)).toDF("k", "w")
+      val joined = left.join(right, Seq("k"))
+      // materialize THIS queryExecution (count() would plan separately),
+      // so the adaptive plan below is the executed final plan
+      assert(joined.collect().length == 40000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("skew=true"),
+        plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -132,6 +132,23 @@ class SimilaritySpec extends SparkSpec {
     assert(r2.toSeq == Seq(4L, 1L, 2L, 3L))
   }
 
+  test("ivfIncrementalTopK equals the full ivfTopK rebuild on every split") {
+    // a larger deterministic corpus so base and delta are both non-trivial
+    val big = (0L until 40L).map { i =>
+      (i, Array.tabulate(4)(d => (((i * 31 + d * 17) % 13) - 6).toFloat))
+    }.toDF("id", "vec")
+    val queries = big.filter($"id" < 3L).select($"id".as("qid"), $"vec".as("qvec"))
+    val full = Similarity.ivfTopK(big, queries, "id", "vec", "qid", "qvec", 5,
+        nCentroids = 4, nprobe = 2)
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    Seq(pmod($"id", lit(10L)) === 0L, $"id" >= 30L, $"id" < 0L).foreach { pred =>
+      val inc = Similarity.ivfIncrementalTopK(big, pred, queries,
+          "id", "vec", "qid", "qvec", 5, nCentroids = 4, nprobe = 2)
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(inc == full, s"pred=$pred inc=${inc.take(5)} full=${full.take(5)}")
+    }
+  }
+
   test("ivfTopK plan has no full-corpus cartesian product") {
     val queries = emb.filter($"id" < 2L).select($"id".as("qid"), $"vec".as("qvec"))
     val plan = Similarity.ivfTopK(emb, queries, "id", "vec", "qid", "qvec", 3)

@@ -236,6 +236,35 @@ class StreamingSpec extends SparkSpec {
     assert(v0n < 4, s"first version should be partial, holds $v0n rows' worth")
   }
 
+  test("topk replay: incremental heavy hitters equal the batch census, deterministic ties") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 7L, 1.5),
+      (2L, ts("2024-01-01 10:45:00"), 7L, 2.5),
+      (3L, ts("2024-01-02 11:05:00"), 3L, 3.5),
+      (4L, ts("2024-01-02 12:00:00"), 3L, 0.5),
+      (5L, ts("2024-01-03 09:00:00"), 9L, 4.5)
+    ).toDF("id", "ts", "user_id", "value")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "topkv").toString
+    events.withColumn("bucket", SnapshotStore.dayBucketExpr($"ts"))
+      .repartition($"bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    val viewRoot = path + "_topkview"
+    // k=2: users 3 and 7 both have n=2 — tiebreak user_id asc keeps both,
+    // 9 (n=1) is cut
+    val got = Replay.topkReplay(spark, path, viewRoot, k = 2, filesPerBatch = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 2L, 4000L), (7L, 2L, 4000L)), got.toString)
+    // genuinely incremental: >= 3 versions, first one partial
+    val versions = new java.io.File(viewRoot).listFiles()
+      .filter(f => f.getName.startsWith("v") && new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName.drop(1).toLong)
+    assert(versions.length >= 3, s"expected >=3 view versions, got ${versions.length}")
+    val v0n = spark.read.parquet(versions.head.getAbsolutePath)
+      .agg(sum($"n")).as[Long].head()
+    assert(v0n < 5, s"first version should be partial, holds $v0n rows' worth")
+  }
+
   test("streaming dedup registry: once per (hour, key), state evicted behind the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
