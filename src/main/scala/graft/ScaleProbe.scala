@@ -588,7 +588,14 @@ object ScaleProbe {
     // day) map-side census (row-sized partial state — measured 6.9x =
     // exponent 1.2, the usual single-split-base partial-agg factor on
     // a linear pass) + a domain-frame rollup (the q_dp_counts class)
-    "q_dp_bounded" -> false
+    "q_dp_bounded" -> false,
+    // round-9 wave 45: group folds = ONE fold-keyed conditional agg
+    // with a distinct-user expansion — the q_active_users partial-
+    // dedup key class (same base-single-split artifact flag; measured
+    // 58x on 0.1 -> 5.8 MB ABSOLUTE: the base pre-collapses to 5 fold
+    // rows in ~1 split while the replica's partial-distinct state is
+    // splits × users — matched layouts => linear in users)
+    "q_group_folds" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

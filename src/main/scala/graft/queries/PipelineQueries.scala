@@ -2009,6 +2009,37 @@ object PipelineQueries {
              |       ELSE 0 END AS in_dev_sample
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Group-aware k-fold CV assignment (sklearn's GroupKFold, made
+    // deterministic): the fold is a pure md5 function of user_id, so
+    // ALL of a user's events share a fold and per-user signal can never
+    // leak across CV folds — the entity-atomic middle ground between
+    // q_data_split's per-row hash and q_split_safe's cluster-atomic
+    // split. The census is the balance audit a pipeline checks before
+    // trusting the folds: user/event counts and label rate per fold.
+    Q("q_group_folds",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("fold",
+          pmod(conv(substring(md5(col("user_id").cast("string").cast("binary")),
+            1, 12), 16, 10).cast("long"), lit(5L)))
+        .groupBy(col("fold"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum((col("event_type") === "purchase").cast("long")).as("n_purchase"))
+        .withColumn("purchase_rate_ppm",
+          expr("CAST(n_purchase * 1000000 DIV n_events AS BIGINT)"))
+        .orderBy("fold"),
+      Some("""WITH b AS (SELECT user_id, event_type,
+             |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5
+             |    AS fold
+             |  FROM events)
+             |SELECT fold, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_purchase,
+             |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |            * 1000000 // count(*) AS BIGINT) AS purchase_rate_ppm
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Leakage-safe train/val/test split: near-dup clusters (the verified
     // minhash→CC frame) split as ATOMIC units — every member inherits
     // the hashSplit of its cluster representative (the component min-id
