@@ -589,6 +589,9 @@ object ScaleProbe {
     // exponent 1.2, the usual single-split-base partial-agg factor on
     // a linear pass) + a domain-frame rollup (the q_dp_counts class)
     "q_dp_bounded" -> false,
+    // round-9 wave 46: CvM = the q_ks_test distinct-value census
+    // machinery verbatim (shared driftCumFrame), different final reduce
+    "q_cvm_test" -> false,
     // round-9 wave 45: group folds = ONE fold-keyed conditional agg
     // with a distinct-user expansion — the q_active_users partial-
     // dedup key class (same base-single-split artifact flag; measured

@@ -313,6 +313,28 @@ object Stats {
       df: DataFrame,
       grpCol: Column,
       valCol: Column,
+      refGroup: String): DataFrame =
+    driftCumFrame(df, grpCol, valCol, refGroup)
+      .groupBy(col("g"))
+      .agg(max(col("_nr")).as("n_ref"), max(col("_ng")).as("n_cur"),
+        max(abs(col("_fr") * col("_ng") - col("_fg") * col("_nr"))).as("_md"))
+      .withColumn("ks_ppm",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          expr("CAST(_md AS DECIMAL(38,0)) * 1000000 DIV " +
+            "(CAST(n_ref AS DECIMAL(38,0)) * n_cur)").cast("long"))
+          .otherwise(0L))
+      .select(col("g"), col("n_ref"), col("n_cur"), col("ks_ppm"))
+
+  /** Shared census machinery of [[ksDrift]] and [[cvmDrift]]: per
+    * comparison group, the pooled distinct-value frame with
+    * right-continuous cumulative counts (_fr/_fg), per-value counts
+    * (_cr/_cg), and side totals (_nr/_ng). Raw rows collapse to
+    * (group, value) counts in one map-side pass; everything after runs
+    * on the distinct-value frame. */
+  private def driftCumFrame(
+      df: DataFrame,
+      grpCol: Column,
+      valCol: Column,
       refGroup: String): DataFrame = {
     val base = df.select(grpCol.as("g"), valCol.as("_v"))
     val refCnt = base.filter(col("g") === refGroup)
@@ -332,16 +354,43 @@ object Stats {
       .withColumn("_fg", sum(col("_cg")).over(w))
       .join(broadcast(ng), Seq("g"))
       .crossJoin(broadcast(nr))
+  }
+
+  /** Exact two-sample Cramér–von Mises statistic of every group against
+    * the reference — the INTEGRATED companion to [[ksDrift]]'s sup:
+    * KS sees only the single worst CDF gap, CvM charges for the whole
+    * area between the curves (Anderson 1962), so a distribution that
+    * differs a little EVERYWHERE scores high here and low on KS. With
+    * pooled per-value multiplicities c = c_r + c_g:
+    *
+    *   T = n_r·n_g/(n_r+n_g)² · Σ c·(F_r − F_g)²
+    *   T_ppm = 10⁶ · Σ c·(f_r·n_g − f_g·n_r)² DIV (n_r·n_g·(n_r+n_g)²)
+    *
+    * — cross-multiplied like KS, summed in DECIMAL(38,0), ONE floor
+    * division. Per-term bound (f·n)² caps exactness at ~10⁹ rows per
+    * side (tighter than KS's ~3·10⁹ because of the square). Same scale
+    * shape as [[ksDrift]]: one map-side census, distinct-value-frame
+    * windows, broadcast totals. Output: (g, n_ref, n_cur, cvm_ppm). */
+  def cvmDrift(
+      df: DataFrame,
+      grpCol: Column,
+      valCol: Column,
+      refGroup: String): DataFrame =
+    driftCumFrame(df, grpCol, valCol, refGroup)
       .groupBy(col("g"))
       .agg(max(col("_nr")).as("n_ref"), max(col("_ng")).as("n_cur"),
-        max(abs(col("_fr") * col("_ng") - col("_fg") * col("_nr"))).as("_md"))
-      .withColumn("ks_ppm",
-        when(col("n_ref") > 0 && col("n_cur") > 0,
-          expr("CAST(_md AS DECIMAL(38,0)) * 1000000 DIV " +
-            "(CAST(n_ref AS DECIMAL(38,0)) * n_cur)").cast("long"))
+        sum(expr(
+          """CAST(_cr + _cg AS DECIMAL(38,0)) *
+            |  (CAST(_fr AS DECIMAL(38,0)) * _ng - CAST(_fg AS DECIMAL(38,0)) * _nr) *
+            |  (CAST(_fr AS DECIMAL(38,0)) * _ng - CAST(_fg AS DECIMAL(38,0)) * _nr)""".stripMargin))
+          .as("_s"))
+      .withColumn("cvm_ppm",
+        when(col("n_ref") > 0 && col("n_cur") > 0, expr(
+          """CAST(_s * 1000000
+            |  DIV (CAST(n_ref AS DECIMAL(38,0)) * n_cur
+            |       * (n_ref + n_cur) * (n_ref + n_cur)) AS BIGINT)""".stripMargin))
           .otherwise(0L))
-      .select(col("g"), col("n_ref"), col("n_cur"), col("ks_ppm"))
-  }
+      .select(col("g"), col("n_ref"), col("n_cur"), col("cvm_ppm"))
 
   def histogramDrift(
       ref: DataFrame,

@@ -2184,6 +2184,45 @@ object PipelineQueries {
              |            ELSE 0 END AS BIGINT) AS ks_ppm
              |FROM d ORDER BY event_type""".stripMargin)),
 
+    // Two-sample Cramér–von Mises vs the 'click' reference — the
+    // INTEGRATED companion to q_ks_test's sup: KS sees the single worst
+    // CDF gap, CvM charges for the whole area between the curves, so
+    // small-everywhere drift scores here and hides from KS. Same
+    // distinct-value census machinery, different final reduce.
+    Q("q_cvm_test",
+      (s, dir) => Stats.cvmDrift(
+          Tables.events(s, dir), col("event_type"),
+          floor(col("value") * 1000).cast("long"), refGroup = "click")
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type"),
+      Some("""WITH b AS (SELECT event_type AS g,
+             |                  CAST(floor(value*1000) AS BIGINT) AS v FROM events),
+             |rc AS (SELECT v, count(*) AS cr FROM b WHERE g = 'click' GROUP BY 1),
+             |cc AS (SELECT g, v, count(*) AS cg FROM b WHERE g <> 'click' GROUP BY 1, 2),
+             |re AS (SELECT gs.g, rc.v, rc.cr FROM rc CROSS JOIN (SELECT DISTINCT g FROM cc) gs),
+             |m AS (SELECT coalesce(re.g, cc.g) AS g, coalesce(re.v, cc.v) AS v,
+             |             coalesce(re.cr, 0) AS cr, coalesce(cc.cg, 0) AS cg
+             |      FROM re FULL OUTER JOIN cc ON re.g = cc.g AND re.v = cc.v),
+             |c AS (SELECT g, v, cr, cg,
+             |        sum(cr) OVER (PARTITION BY g ORDER BY v
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fr,
+             |        sum(cg) OVER (PARTITION BY g ORDER BY v
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fg
+             |      FROM m),
+             |t AS (SELECT g, max(fr) AS nr, max(fg) AS ng FROM c GROUP BY 1),
+             |d AS (SELECT c.g, t.nr, t.ng,
+             |             sum(CAST(c.cr + c.cg AS HUGEINT)
+             |                 * (CAST(c.fr AS HUGEINT) * t.ng - CAST(c.fg AS HUGEINT) * t.nr)
+             |                 * (CAST(c.fr AS HUGEINT) * t.ng - CAST(c.fg AS HUGEINT) * t.nr))
+             |               AS s
+             |      FROM c JOIN t ON c.g = t.g GROUP BY 1, 2, 3)
+             |SELECT g AS event_type, CAST(nr AS BIGINT) AS n_ref,
+             |       CAST(ng AS BIGINT) AS n_cur,
+             |       CAST(CASE WHEN nr > 0 AND ng > 0
+             |            THEN s * 1000000 // (CAST(nr AS HUGEINT) * ng * (nr + ng) * (nr + ng))
+             |            ELSE 0 END AS BIGINT) AS cvm_ppm
+             |FROM d ORDER BY event_type""".stripMargin)),
+
     // Weighted sampling WITHOUT replacement, RNG-free: systematic
     // selection by cumulative token weight over the (md5(id), id)
     // pseudo-random order (Madow) — inclusion ∝ weight, exact integer

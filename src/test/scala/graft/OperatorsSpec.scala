@@ -1638,6 +1638,31 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBands"), e.getMessage)
   }
 
+  test("cvmDrift equals BigInt brute replay; an identical sample scores 0") {
+    import graft.operators.Stats
+    val ref = (1L to 50L).map(i => ("click", (i * 13L) % 20L))
+    val g1 = (1L to 40L).map(i => ("a", (i * 7L) % 20L + 5L)) // shifted
+    val g2 = ref.map { case (_, v) => ("b", v) }              // identical multiset
+    val got = Stats.cvmDrift((ref ++ g1 ++ g2).toDF("g", "v"),
+        col("g"), col("v"), refGroup = "click")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("b") == ((50L, 50L, 0L)), got.toString) // same distribution → 0
+    // brute replay for the shifted group
+    val (nr, ng) = (BigInt(ref.size), BigInt(g1.size))
+    val vals = (ref.map(_._2) ++ g1.map(_._2)).distinct.sorted
+    var (fr, fg, s) = (BigInt(0), BigInt(0), BigInt(0))
+    vals.foreach { v =>
+      val cr = BigInt(ref.count(_._2 == v)); val cg = BigInt(g1.count(_._2 == v))
+      fr += cr; fg += cg
+      val d = fr * ng - fg * nr
+      s += (cr + cg) * d * d
+    }
+    val want = s * 1000000 / (nr * ng * (nr + ng) * (nr + ng))
+    assert(got("a") == ((50L, 40L, want.toLong)), s"got=${got("a")} want=$want")
+    assert(want > 0, "shifted group must score positive")
+  }
+
   test("giniSplitGain: perfect split scores 0 impurity with base gain") {
     import graft.operators.Stats
     // bin 0 all-negative, bin 1 all-positive → threshold 0 is a perfect
