@@ -562,8 +562,12 @@ object Graph {
     val m = und.agg(count(lit(1)).as("_m"))
     dTot.join(eIn, Seq("label"), "left").na.fill(0L, Seq("e_in"))
       .crossJoin(broadcast(m))
+      // 4·m·e_in widens to DECIMAL(38,0) BEFORE the subtraction promotes:
+      // past ~1.5e9 undirected edges the BIGINT product wraps silently,
+      // flipping q_ppm sign/magnitude — same treatment as the d_tot² term
       .withColumn("q_ppm", expr(
-        """CAST(1000000 * (4 * _m * e_in - CAST(d_tot AS DECIMAL(38,0)) * d_tot)
+        """CAST(1000000 * (4 * CAST(_m AS DECIMAL(38,0)) * e_in
+          |    - CAST(d_tot AS DECIMAL(38,0)) * d_tot)
           |  DIV (4 * CAST(_m AS DECIMAL(38,0)) * _m) AS BIGINT)""".stripMargin))
       .select(col("label"), col("n_nodes"), col("e_in"), col("d_tot"), col("q_ppm"))
   }

@@ -628,10 +628,13 @@ object Stats {
       s"band histogram has ${counts.length} rows > maxBands=$maxBands — " +
         s"raise bandWidth (domain too wide for the banded global rank)")
     val n = counts.map(_._2).sum
+    // empty input: keep `g` at the CALLER's group-column type — a
+    // hardcoded tuple schema would make the empty branch diverge from
+    // the non-empty one and break downstream unions/typed consumers
     if (n == 0L)
-      return Seq.empty[(Long, String, Long, Long)]
-        .toDF("id", "g", valCol, s"norm_$valCol")
-        .withColumn("g", col("g").cast("string"))
+      return base.limit(0)
+        .select(col("_id").as("id"), col("_g").as("g"),
+          col("_v").as(valCol), col("_v").as(s"norm_$valCol"))
     val offsets = counts.map(_._1)
       .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
     val offDf = offsets.toDF("_band", "_off")
@@ -1400,10 +1403,16 @@ object Stats {
     rm.crossJoin(broadcast(cm))
       .join(cells, Seq("r", "c"), "left").na.fill(0L, Seq("o"))
       .crossJoin(broadcast(n))
-      .withColumn("e_ppm", expr("1000000 * _rr * _cc DIV _n"))
+      // margins R·C exceed int64 past ~9.2e12 (a few M rows per margin),
+      // so e_ppm and BOTH squared-term factors widen to DECIMAL(38,0)
+      // before multiplying — the second factor previously evaluated in
+      // BIGINT and wrapped silently inside the claimed exactness regime
+      .withColumn("e_ppm", expr(
+        "CAST(1000000 * CAST(_rr AS DECIMAL(38,0)) * _cc DIV _n AS BIGINT)"))
       .withColumn("contrib_ppm", expr(
-        """CAST(1000000 * CAST(o * _n - _rr * _cc AS DECIMAL(38,0))
-          |  * (o * _n - _rr * _cc) DIV (CAST(_n AS DECIMAL(38,0)) * _rr * _cc)
+        """CAST(1000000 * (CAST(o AS DECIMAL(38,0)) * _n - CAST(_rr AS DECIMAL(38,0)) * _cc)
+          |  * (CAST(o AS DECIMAL(38,0)) * _n - CAST(_rr AS DECIMAL(38,0)) * _cc)
+          |  DIV (CAST(_n AS DECIMAL(38,0)) * _rr * _cc)
           |  AS BIGINT)""".stripMargin))
       .select(col("r"), col("c"), col("o"), col("e_ppm"), col("contrib_ppm"))
   }
@@ -1557,12 +1566,18 @@ object Stats {
       sum(lit(1L) - col("_b")).as("_n0"), sum(col("_b")).as("_n1"))
     val scored = per
       .withColumn("_nn", col("_n0") + col("_n1"))
+      // the squared numerator reaches ~N⁴ for two-run sequences, so both
+      // factors widen to DECIMAL(38,0) BEFORE the multiply (N ≲ 3000 fits
+      // int64; beyond that BIGINT wraps silently with ANSI off) — same
+      // exactness treatment as pairedT2/abTestT2
       .withColumn("_z2",
         when(col("_n0") >= 1 && col("_n1") >= 1 &&
           lit(2L) * col("_n0") * col("_n1") > col("_nn"), expr(
-          """((_r - 1) * _nn - 2 * _n0 * _n1) * ((_r - 1) * _nn - 2 * _n0 * _n1)
+          """CAST((CAST((_r - 1) AS DECIMAL(38,0)) * _nn - 2 * _n0 * _n1)
+            |  * (CAST((_r - 1) AS DECIMAL(38,0)) * _nn - 2 * _n0 * _n1)
             |  * (_nn - 1) * 1000000
-            |  DIV (2 * _n0 * _n1 * (2 * _n0 * _n1 - _nn))""".stripMargin)))
+            |  DIV (CAST(2 AS DECIMAL(38,0)) * _n0 * _n1 * (2 * _n0 * _n1 - _nn))
+            |  AS BIGINT)""".stripMargin)))
     scored.groupBy(col("_g")).agg(
         count(lit(1)).as("n_seq"),
         sum(col("_z2").isNotNull.cast("long")).as("n_tested"),
@@ -1644,8 +1659,7 @@ object Stats {
     val census = per.groupBy(col("_t")).agg(count(lit(1)).as("_eq"))
     val rng = census.agg(min(col("_t")).as("_lo"), max(col("_t")).as("_hi"))
     val banded = census.crossJoin(broadcast(rng))
-      .withColumn("_band",
-        expr(s"CAST((_t - _lo) * $nBands DIV (_hi - _lo + 1) AS INT)"))
+      .withColumn("_band", graft.functions.Banding.bandExpr("_t", nBands))
     val bandTotals = banded.groupBy(col("_band")).agg(sum(col("_eq")).as("_bb"))
       .as[(Int, Long)].collect().sortBy(_._1) // ≤ nBands rows by construction
     val offDf = bandTotals.map(_._1)
@@ -1782,8 +1796,7 @@ object Stats {
         col("_c._id").as("_cid"), col("_c._y").as("_cy"))
     val rng = base.agg(min(col("_x")).as("_lo"), max(col("_x")).as("_hi"))
     def withBand(d: DataFrame): DataFrame = d.crossJoin(broadcast(rng))
-      .withColumn("_band",
-        expr(s"CAST((_x - _lo) * $nBands DIV (_hi - _lo + 1) AS INT)"))
+      .withColumn("_band", graft.functions.Banding.bandExpr("_x", nBands))
       .drop("_lo", "_hi")
     val nulL = lit(null).cast("long")
     val cRows = withBand(reps).select(col("_g"), col("_band"), col("_x"),

@@ -47,8 +47,7 @@ object Maintenance {
     val rng = m.agg(min(col("key")).as("_lo"), max(col("key")).as("_hi"),
       sum(col("nb")).as("_tot"))
     val banded = m.crossJoin(broadcast(rng))
-      .withColumn("_band",
-        expr(s"CAST((key - _lo) * $nBands DIV (_hi - _lo + 1) AS INT)"))
+      .withColumn("_band", graft.functions.Banding.bandExpr("key", nBands))
     val bandTotals = banded.groupBy(col("_band")).agg(sum(col("nb")).as("_bb"))
       .as[(Int, Long)].collect().sortBy(_._1)
     val offDf = bandTotals.map(_._1)
@@ -58,8 +57,11 @@ object Maintenance {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     banded.join(broadcast(offDf), Seq("_band"))
       .withColumn("_ce", col("_off") + sum(col("nb")).over(w) - col("nb"))
+      // byte totals reach ~10¹⁴ at 100 TB; × nFiles can pass 2⁶³, so the
+      // product widens to DECIMAL(38,0) like the band id above
       .withColumn("file_id",
-        when(col("_tot") > 0, expr(s"CAST(_ce * $nFiles DIV _tot AS BIGINT)"))
+        when(col("_tot") > 0,
+          expr(s"CAST(CAST(_ce AS DECIMAL(38,0)) * $nFiles DIV _tot AS BIGINT)"))
           .otherwise(0L))
       .select(col("key"), col("nb"), col("file_id"))
   }

@@ -1228,6 +1228,43 @@ class OperatorsSpec extends SparkSpec {
     assert(got("one") == ((1L, 0L, 0L)), got.toString)
   }
 
+  test("runsTest: 1200-event two-run sequence (BIGINT z² would wrap) matches BigInt replay") {
+    import graft.operators.Stats
+    // 600 zeros then 600 ones: the z² numerator ((R−1)N − 2n0n1)²(N−1)·10⁶
+    // ≈ 6.2e20 exceeds int64 — the advice-r9 case the DECIMAL widening fixes
+    val bits = Seq.fill(600)(0) ++ Seq.fill(600)(1)
+    val rows = bits.zipWithIndex
+      .map { case (b, i) => ("g", 1L, i.toLong, i.toLong, b.toLong) }
+      .toDF("g", "e", "t", "i", "b")
+    val got = Stats.runsTest(rows, $"g", $"e", $"t", $"i", $"b")
+      .as[(String, Long, Long, Long)].collect().head
+    val (r, n0, n1) = (BigInt(2), BigInt(600), BigInt(600))
+    val nn = n0 + n1
+    val num = (r - 1) * nn - 2 * n0 * n1
+    val inter = num * num * (nn - 1) * 1000000 // the term BIGINT wrapped
+    val z2 = inter / (2 * n0 * n1 * (2 * n0 * n1 - nn))
+    assert(inter > BigInt(Long.MaxValue),
+      s"fixture too small to prove widening: intermediate=$inter")
+    assert(got == (("g", 1L, 1L, 1L)), s"$got (want nonrandom flagged, z²=$z2)")
+  }
+
+  test("Banding.bandExpr: full long-span domain (BIGINT span wraps) stays exact") {
+    import graft.functions.Banding
+    val vals = Seq(Long.MinValue, Long.MinValue / 2, -1L, 0L, 1L,
+      Long.MaxValue / 2, Long.MaxValue)
+    val df = vals.toDF("_t")
+      .withColumn("_lo", lit(Long.MinValue)).withColumn("_hi", lit(Long.MaxValue))
+    val got = df.withColumn("_band", Banding.bandExpr("_t", 64))
+      .select($"_t", $"_band").as[(Long, Int)].collect().toMap
+    val span = BigInt(Long.MaxValue) - BigInt(Long.MinValue) + 1 // 2⁶⁴ — wraps int64
+    vals.foreach { v =>
+      val want = ((BigInt(v) - Long.MinValue) * 64 / span).toInt
+      assert(got(v) == want, s"v=$v got=${got(v)} want=$want")
+    }
+    assert(got.values.toSeq.distinct.sorted == got.values.toSeq.distinct.sorted
+      .filter(b => b >= 0 && b < 64))
+  }
+
   test("pairedT2: hand t², constant differences NULL, row-split invariance") {
     import graft.operators.Stats
     // d = {1, 3}: Σd=4, Σd²=10, den = 2·10−16 = 4, t² = 16·1/4 = 4
@@ -1630,6 +1667,12 @@ class OperatorsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String, Long)].toDF("id", "g", "v")
     assert(Stats.quantileNormalize(empty, col("id"), col("g"), "v")
       .collect().isEmpty)
+    // empty branch keeps the CALLER's group-column dtype (advice r9):
+    // an Int-grouped empty input must not come back as a string `g`
+    val emptyInt = Seq.empty[(Long, Int, Long)].toDF("id", "g", "v")
+    val sch = Stats.quantileNormalize(emptyInt, col("id"), col("g"), "v").schema
+    assert(sch("g").dataType == org.apache.spark.sql.types.IntegerType, sch.toString)
+    assert(sch.fieldNames.toSeq == Seq("id", "g", "v", "norm_v"), sch.toString)
     val wide = (1L to 100L).map(i => (i, "g", i * 1000L)).toDF("id", "g", "v")
     val e = intercept[IllegalArgumentException] {
       Stats.quantileNormalize(wide, col("id"), col("g"), "v",
