@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the full bench runs 350+ codegen-heavy workloads in ONE JVM: the
+  // JDK default 240m code cache fills partway through and the JIT stops
+  // compiling new generated classes, which aged the back half of the r9
+  // sweep ~1.2-3x (flagged queries returned to their r8 times in a
+  // fresh-JVM subset run with identical shuffle bytes — BUILDER_NOTES
+  // round 10). 1g keeps whole-stage codegen compiled end to end.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -301,6 +301,99 @@ object Similarity {
     ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol, k, nprobe)
   }
 
+  /** [[ivfIncrementalTopK]] plus DOC DELETION — the full index-maintenance
+    * loop a production embedding store runs: dedup kills documents, so
+    * stale postings must drop without rewriting the staged index. Deletes
+    * are TOMBSTONES (the MergeStore.writeCommit row-shadowing shape): the
+    * kill list is an id frame anti-joined onto the postings read view —
+    * the base postings parquet is never rewritten, and a compaction pass
+    * can fold tombstones in later exactly like MergeStore's OPTIMIZE.
+    *
+    * The quantizer stays FROZEN through deletes — deleting a document
+    * that seeded a centroid removes it from every RESULT (its postings
+    * are shadowed) but keeps its centroid as a bucket anchor, which is
+    * precisely how an offline-trained coarse quantizer behaves between
+    * retrains. Under that frozen quantizer, per-row assignment
+    * independence gives the contract: tombstoned-merged index ==
+    * full rebuild over (corpus − deleted), verified in SimilaritySpec
+    * and by q_ann_incremental_delete's oracle (the shared full-build
+    * ivfSearch SQL with the delete predicate applied to the corpus CTE).
+    *
+    * Scale shape: the kill list is batch-sized (one dedup batch's
+    * casualties), the anti-join is one shuffle of the compact (id, cid,
+    * norm) postings — vectors still never move to get deleted. */
+  def ivfIncrementalDeleteTopK(
+      corpus: DataFrame,
+      deletePred: Column,
+      appendPred: Column,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nCentroids: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    def norm(df: DataFrame) =
+      df.select(col(idCol), col(vecCol)).withColumn("_n", l2norm(col(vecCol)))
+    val basePostings = graft.store.Staging.stage(
+      ivfAssign(norm(corpus.filter(!appendPred)), cent, idCol, vecCol)
+        .select(col(idCol), col("cid"), col("_n")),
+      "ivf_postings_base")
+    val deltaPostings = ivfAssign(norm(corpus.filter(appendPred)), cent, idCol, vecCol)
+      .select(col(idCol), col("cid"), col("_n"))
+    val tombstones = corpus.filter(deletePred).select(col(idCol))
+    val live = basePostings.unionByName(deltaPostings)
+      .join(tombstones, Seq(idCol), "left_anti")
+    val assigned = live.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol, k, nprobe)
+  }
+
+  /** COMPACTION of the tombstoned index — the OPTIMIZE step that closes
+    * the ANN maintenance loop (append [[ivfIncrementalTopK]] → delete
+    * [[ivfIncrementalDeleteTopK]] → compact): the live view (base ∪
+    * appends, minus tombstones) is REWRITTEN as a fresh staged postings
+    * index, after which reads stop paying the union + anti-join.
+    *
+    * The defining property — and the 100 TB cost argument — is that
+    * compaction never touches a VECTOR and never re-assigns: it is a
+    * pure rewrite of the compact (id, cid, norm) frame, exactly
+    * MergeStore.optimize's parquet-rewrite cost, parallel by cid. The
+    * contract: search over the compacted index == search over the
+    * tombstoned live view == full rebuild over (corpus − deleted), all
+    * three hash-checked against the one full-build oracle
+    * (q_ann_compact shares q_ann_incremental_delete's SQL). */
+  def ivfCompactTopK(
+      corpus: DataFrame,
+      deletePred: Column,
+      appendPred: Column,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nCentroids: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    def norm(df: DataFrame) =
+      df.select(col(idCol), col(vecCol)).withColumn("_n", l2norm(col(vecCol)))
+    val basePostings = graft.store.Staging.stage(
+      ivfAssign(norm(corpus.filter(!appendPred)), cent, idCol, vecCol)
+        .select(col(idCol), col("cid"), col("_n")),
+      "ivf_postings_base")
+    val deltaPostings = ivfAssign(norm(corpus.filter(appendPred)), cent, idCol, vecCol)
+      .select(col(idCol), col("cid"), col("_n"))
+    val tombstones = corpus.filter(deletePred).select(col(idCol))
+    val compacted = graft.store.Staging.stage(
+      basePostings.unionByName(deltaPostings)
+        .join(tombstones, Seq(idCol), "left_anti"),
+      "ivf_postings_compacted")
+    val assigned = compacted.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol, k, nprobe)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member of
     * the dedup family (exact/minhash/simhash/jaccard cover text):
     * candidates are distinct id pairs sharing ≥1 random-hyperplane LSH
@@ -465,6 +558,14 @@ object Similarity {
         col(labelCol).cast("long").as("true_label"))
     val nn = topKExact(train, eval_.select(col("q_id"), col("q_vec")),
       idCol, vecCol, "q_id", "q_vec", k)
+    voteMajority(nn, train, eval_, idCol, labelCol)
+  }
+
+  /** Majority vote + deterministic tie-break shared by the brute and
+    * ANN-candidate classifiers — identical downstream of ANY neighbor
+    * frame (q_id, <idCol>). */
+  private def voteMajority(nn: DataFrame, train: DataFrame, eval_ : DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
     val votes = nn
       .join(train.select(col(idCol), col(labelCol).cast("long").as("_nl")), Seq(idCol))
       .groupBy(col("q_id"), col("_nl")).agg(count(lit(1)).as("_v"))
@@ -475,6 +576,68 @@ object Similarity {
       .join(pick, Seq("q_id"))
       .withColumn("correct",
         (col("true_label") === col("predicted")).cast("long"))
+  }
+
+  /** [[knnClassify]] on ANN CANDIDATES — the plan you'd run at 100 TB:
+    * the brute |eval|·|train| scorer is the ORACLE, not the production
+    * path. Neighbors come from the union of two verified candidate
+    * generators with complementary failure modes — [[ivfTopK]] (coarse
+    * buckets; misses a neighbor only when it hides past `nprobe`
+    * centroid buckets) and [[annTopK]] (random-hyperplane LSH bands;
+    * misses only when all `bands` band keys differ) — re-ranked by
+    * exact cosine and cut to k.
+    *
+    * RECALL CONTRACT: the result equals the brute classifier exactly
+    * iff the union candidate set contains each eval point's true top-k;
+    * on the benchmark corpus that equality is hash-checked against the
+    * brute SQL oracle at every SF (q_knn_classify), and on a new corpus
+    * the same number is measurable as recall@k via the q_ann_recall_*
+    * twins before trusting the swap. Scale shape: no |eval|·|train|
+    * stage anywhere — IVF candidates ride bucket joins, LSH candidates
+    * ride band-bucket joins, and the re-rank touches only candidate
+    * rows.
+    *
+    * DEFAULT OPERATING POINT, measured (BUILDER_NOTES round 10): the
+    * benchmark embeddings are near-random — the adversarial case for
+    * ANN, where recall buys candidates expensively (a 7-point
+    * (nCentroids, nprobe, nbits, bands) sweep at 3 SFs left 1-90
+    * label mismatches at every sparser point). Exact parity on this
+    * corpus needs nprobe=6/8 buckets + 2-bit LSH bands — a DENSE
+    * candidate set. On a clustered production corpus the same plan
+    * runs sparse (fewer probes, wider bands) at the recall the
+    * q_ann_recall_* twins measure; the plan SHAPE (bucket joins only)
+    * is what survives 100 TB, and the density knob is per-corpus. */
+  def knnClassifyAnn(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      evalFilter: Column,
+      k: Int,
+      nCentroids: Int = 8,
+      nprobe: Int = 6,
+      nbits: Int = 16,
+      bands: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val train = emb.filter(!evalFilter)
+    val eval_ = emb.filter(evalFilter)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        col(labelCol).cast("long").as("true_label"))
+    val evalQ = eval_.select(col("q_id"), col("q_vec"))
+    val ivfNn = ivfTopK(train, evalQ, idCol, vecCol, "q_id", "q_vec", k,
+      nCentroids, nprobe)
+    val lshNn = annTopK(train, evalQ, idCol, vecCol, "q_id", "q_vec", k,
+      nbits, bands)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_ppm").desc, col(idCol))
+    // dedup on (q_id, id) via max, not distinct-on-3: both generators
+    // compute the same floor(cos·10⁶) but the contract must not hinge on
+    // bit-equal doubles across two plans
+    val nn = ivfNn.unionByName(lshNn)
+      .groupBy(col("q_id"), col(idCol)).agg(max(col("sim_ppm")).as("sim_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol))
+    voteMajority(nn, train, eval_, idCol, labelCol)
   }
 
   /** Hard-example triplet mining for contrastive training (the batch

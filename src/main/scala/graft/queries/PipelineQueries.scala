@@ -37,11 +37,16 @@ object PipelineQueries {
 
   /** Engine expression text for JL output k over a mils array column. */
   /** The IVF search oracle — ONE full-build SQL text shared by
-    * q_ann_ivf and q_ann_incremental: under the frozen seeded quantizer
-    * an incremental postings append is bit-identical to a rebuild, so
-    * both queries must hash to this replay. */
-  private def ivfSearchOracleSql: String =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    * q_ann_ivf, q_ann_incremental, and q_ann_incremental_delete: under
+    * the frozen seeded quantizer an incremental postings append (or
+    * tombstoned delete) is bit-identical to a rebuild over the effective
+    * corpus, so all three queries hash to this replay. `corpusPred`
+    * restricts the SEARCHABLE corpus (the asg CTE) only — centroids and
+    * queries deliberately stay on the full table: the quantizer is
+    * frozen (trained before the deletes) and queries are external
+    * probes, not corpus members. */
+  private def ivfSearchOracleSql(corpusPred: String = "TRUE"): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
       |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
       |cent AS (SELECT vec_id AS cid, ve AS cv, nn AS cn FROM n WHERE vec_id < 8),
       |asg AS (
@@ -49,7 +54,7 @@ object PipelineQueries {
       |    -((max(struct_pack(s := CAST(floor(list_dot_product(n.ve, cent.cv)
       |                                       / (n.nn * cent.cn) * 1000000.0) AS BIGINT),
       |                       nc := -cent.cid))).nc) AS cid
-      |  FROM n, cent GROUP BY n.vec_id, n.ve, n.nn),
+      |  FROM n, cent WHERE $corpusPred GROUP BY n.vec_id, n.ve, n.nn),
       |q AS (SELECT vec_id AS q_id, ve AS qv, nn AS qn FROM n WHERE vec_id < 5),
       |probe AS (
       |  SELECT q_id, cid FROM (
@@ -1074,11 +1079,18 @@ object PipelineQueries {
     // k-NN label classification: vec_id % 10 == 3 plays the held-out
     // eval split; each eval vector takes the majority label of its 5
     // nearest train neighbors by exact cosine (vote ties -> smaller
-    // label). The weak-labeling / embedding-quality-audit primitive;
-    // the oracle replays neighbor ranking (same tie rule as
-    // q_cosine_topk) and the deterministic mode.
+    // label). The weak-labeling / embedding-quality-audit primitive.
+    // The REGISTRY PATH is the ANN-candidate plan (IVF nprobe=6 ∪ LSH
+    // 2-bit bands, exact re-rank — the 100 TB plan SHAPE, no
+    // |eval|·|train| stage); the brute scorer is the ORACLE it must
+    // hash-match: equality holds iff the union candidate set contains
+    // each true top-5 (the recall contract, checked here at every SF;
+    // knnClassify remains the brute twin, exercised by
+    // q_classifier_metrics). The operating point is DENSE because these
+    // embeddings are near-random — the measured sweep and the
+    // per-corpus density argument live on knnClassifyAnn's scaladoc.
     Q("q_knn_classify",
-      (s, dir) => Similarity.knnClassify(
+      (s, dir) => Similarity.knnClassifyAnn(
           Tables.embeddings(s, dir), "vec_id", "embedding", "label",
           pmod(col("vec_id"), lit(10L)) === 3L, k = 5)
         .orderBy("q_id"),
@@ -1883,7 +1895,7 @@ object PipelineQueries {
             nCentroids = 8, nprobe = 2)
           .orderBy("q_id", "rank")
       },
-      Some(ivfSearchOracleSql)),
+      Some(ivfSearchOracleSql())),
 
     // INCREMENTAL IVF index maintenance: the base corpus's postings are
     // a staged compact (id, cid, norm) parquet index, a new ingest
@@ -1901,7 +1913,49 @@ object PipelineQueries {
             nCentroids = 8, nprobe = 2)
           .orderBy("q_id", "rank")
       },
-      Some(ivfSearchOracleSql)),
+      Some(ivfSearchOracleSql())),
+
+    // IVF maintenance with DELETES: dedup kills docs (vec_id % 10 == 7),
+    // a new batch appends (vec_id % 10 == 0); kills are TOMBSTONES
+    // anti-joined onto the postings view — the staged base index is
+    // never rewritten (MergeStore row-shadowing, applied to ANN). The
+    // quantizer stays frozen, so deleting vec 7 — itself a centroid
+    // seed — removes it from every result but keeps its bucket anchor:
+    // the oracle is the SAME full-build SQL with only the searchable
+    // corpus filtered, proving tombstoned-merged == rebuild.
+    Q("q_ann_incremental_delete",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfIncrementalDeleteTopK(emb,
+            pmod(col("vec_id"), lit(10L)) === 7L,
+            pmod(col("vec_id"), lit(10L)) === 0L,
+            queries, "vec_id", "embedding", "q_id", "q_vec", 10,
+            nCentroids = 8, nprobe = 2)
+          .orderBy("q_id", "rank")
+      },
+      Some(ivfSearchOracleSql("n.vec_id % 10 <> 7"))),
+
+    // COMPACTION closing the ANN maintenance loop (append → delete →
+    // compact): the tombstoned live view rewrites into a fresh staged
+    // postings index — a pure (id, cid, norm) rewrite, NO vector access,
+    // no re-assignment (MergeStore-OPTIMIZE cost, parallel by cid) —
+    // and search over it must STILL hash to the same full-build oracle
+    // as q_ann_incremental_delete: compacted == live view == rebuild.
+    Q("q_ann_compact",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfCompactTopK(emb,
+            pmod(col("vec_id"), lit(10L)) === 7L,
+            pmod(col("vec_id"), lit(10L)) === 0L,
+            queries, "vec_id", "embedding", "q_id", "q_vec", 10,
+            nCentroids = 8, nprobe = 2)
+          .orderBy("q_id", "rank")
+      },
+      Some(ivfSearchOracleSql("n.vec_id % 10 <> 7"))),
 
     // Recall@10 of the IVF path vs exact — the companion to q_ann_recall
     // (which measures the LSH pipeline): the IVF quantizer's recall loss

@@ -149,6 +149,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfIncrementalDeleteTopK: tombstoned-merged index equals rebuild; frozen quantizer") {
+    val big = (0L until 40L).map { i =>
+      (i, Array.tabulate(4)(d => (((i * 31 + d * 17) % 13) - 6).toFloat))
+    }.toDF("id", "vec")
+    val queries = big.filter($"id" < 3L).select($"id".as("qid"), $"vec".as("qvec"))
+    def run(del: org.apache.spark.sql.Column, app: org.apache.spark.sql.Column) =
+      Similarity.ivfIncrementalDeleteTopK(big, del, app, queries,
+          "id", "vec", "qid", "qvec", 5, nCentroids = 4, nprobe = 2)
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // 1. empty kill list ≡ the pure-append path (regression guard)
+    val appendOnly = Similarity.ivfIncrementalTopK(big,
+        pmod($"id", lit(10L)) === 0L, queries,
+        "id", "vec", "qid", "qvec", 5, nCentroids = 4, nprobe = 2)
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run($"id" < 0L, pmod($"id", lit(10L)) === 0L) == appendOnly)
+    // 2. non-centroid deletes (ids ≥ 20): merged+tombstoned == a full
+    //    rebuild over (corpus − deleted) — quantizers coincide because no
+    //    centroid-seed row (id < 4) is deleted
+    Seq(pmod($"id", lit(10L)) === 9L, $"id" >= 30L).foreach { del =>
+      val rebuilt = Similarity.ivfTopK(big.filter(!del), queries,
+          "id", "vec", "qid", "qvec", 5, nCentroids = 4, nprobe = 2)
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val inc = run(del, pmod($"id", lit(10L)) === 0L)
+      assert(inc == rebuilt, s"del=$del inc=${inc.take(5)} rebuilt=${rebuilt.take(5)}")
+    }
+    // 3. deleting a CENTROID-SEED doc (id 3): frozen quantizer keeps its
+    //    bucket anchor, but the doc leaves every result — and results
+    //    survive (other docs in bucket 3 still reachable)
+    val frozen = run($"id" === 3L, pmod($"id", lit(10L)) === 0L)
+    assert(frozen.nonEmpty && !frozen.exists(_._3 == 3L), frozen.take(8).toString)
+    // 4. COMPACTION: the rewritten index answers identically to the
+    //    tombstoned live view on every trail above
+    Seq(($"id" < 0L, pmod($"id", lit(10L)) === 0L),
+        (pmod($"id", lit(10L)) === 9L, pmod($"id", lit(10L)) === 0L),
+        ($"id" === 3L, pmod($"id", lit(10L)) === 0L)).foreach { case (del, app) =>
+      val compacted = Similarity.ivfCompactTopK(big, del, app, queries,
+          "id", "vec", "qid", "qvec", 5, nCentroids = 4, nprobe = 2)
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(compacted == run(del, app), s"del=$del compacted diverged")
+    }
+  }
+
   test("ivfTopK plan has no full-corpus cartesian product") {
     val queries = emb.filter($"id" < 2L).select($"id".as("qid"), $"vec".as("qvec"))
     val plan = Similarity.ivfTopK(emb, queries, "id", "vec", "qid", "qvec", 3)

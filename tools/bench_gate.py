@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Bench regression gate (VERDICT r9 Next #3).
+
+Diffs a fresh BENCH_DETAIL.json against the last COMMITTED one (default:
+`git show HEAD:BENCH_DETAIL.json`), calibration-normalized, and flags any
+common workload outside the 2x + 0.5 s band. The r9 drift slipped through
+because mid-session diffs compared session-to-session instead of against
+the committed artifact - this tool only ever compares against a committed
+baseline.
+
+Normalization: each side's times divide by that run's calib_cpu_s (the
+pure-codegen CPU probe) and, separately, by calib_fs_s (the pinned parquet
+scan probe). A workload is flagged only if BOTH normalized ratios exceed
+the band - a query that looks slow raw but is explained by either probe
+(box-wide CPU contention or FS band) is not a regression.
+
+Usage:
+  python3 tools/bench_gate.py                      # fresh BENCH_DETAIL.json vs HEAD
+  python3 tools/bench_gate.py FRESH BASELINE       # explicit files
+  python3 tools/bench_gate.py --ref e2dba3a        # fresh vs that commit's artifact
+
+Exit 1 if any workload is flagged (close-checklist wiring).
+"""
+import json
+import subprocess
+import sys
+
+BAND_RATIO = 2.0
+BAND_ABS = 0.5  # seconds
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_git(ref):
+    out = subprocess.check_output(["git", "show", f"{ref}:BENCH_DETAIL.json"])
+    return json.loads(out)
+
+
+def main(argv):
+    rest = argv[1:]
+    ref = "HEAD"
+    if "--ref" in rest:
+        i = rest.index("--ref")
+        ref = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+    args = [a for a in rest if not a.startswith("--")]
+    fresh = load(args[0] if args else "BENCH_DETAIL.json")
+    base = load(args[1]) if len(args) > 1 else load_git(ref)
+
+    fq, bq = fresh["queries"], base["queries"]
+    common = sorted(set(fq) & set(bq))
+    missing = sorted(set(bq) - set(fq))
+    added = sorted(set(fq) - set(bq))
+
+    def norm_ratios(name):
+        raw = fq[name] / bq[name] if bq[name] > 0 else float("inf")
+        # scale the fresh time into the baseline run's environment
+        cpu = raw * base["calib_cpu_s"] / fresh["calib_cpu_s"] \
+            if fresh["calib_cpu_s"] > 0 else raw
+        fs = raw * base["calib_fs_s"] / fresh["calib_fs_s"] \
+            if fresh["calib_fs_s"] > 0 else raw
+        return raw, cpu, fs
+
+    flagged = []
+    rows = []
+    for name in common:
+        raw, cpu, fs = norm_ratios(name)
+        bad = (min(cpu, fs) > BAND_RATIO
+               and fq[name] - bq[name] > BAND_ABS)
+        rows.append((name, bq[name], fq[name], raw, cpu, fs, bad))
+        if bad:
+            flagged.append(name)
+
+    ft, bt = sum(fq[n] for n in common), sum(bq[n] for n in common)
+    print(f"baseline: n={len(bq)} calib_cpu={base['calib_cpu_s']:.3f} "
+          f"calib_fs={base['calib_fs_s']:.3f} sf={base.get('sf')}")
+    print(f"fresh:    n={len(fq)} calib_cpu={fresh['calib_cpu_s']:.3f} "
+          f"calib_fs={fresh['calib_fs_s']:.3f} sf={fresh.get('sf')}")
+    print(f"common workloads: {len(common)}  baseline_sum={bt:.1f}s "
+          f"fresh_sum={ft:.1f}s  raw_ratio={ft / bt if bt else 0:.3f}")
+    if missing:
+        print(f"missing from fresh ({len(missing)}): {', '.join(missing[:10])}"
+              + (" ..." if len(missing) > 10 else ""))
+    if added:
+        print(f"new in fresh ({len(added)}): {', '.join(added[:10])}"
+              + (" ..." if len(added) > 10 else ""))
+
+    rows.sort(key=lambda r: -r[3])
+    show = [r for r in rows if r[6]] or rows[:10]
+    hdr = f"{'workload':<28}{'base_s':>8}{'fresh_s':>9}{'raw':>7}{'cpuN':>7}{'fsN':>7}  flag"
+    print("\n" + hdr)
+    for name, b, f, raw, cpu, fs, bad in show:
+        print(f"{name:<28}{b:>8.2f}{f:>9.2f}{raw:>7.2f}{cpu:>7.2f}{fs:>7.2f}"
+              f"  {'REGRESSION' if bad else ''}")
+
+    if flagged:
+        print(f"\nGATE FAIL: {len(flagged)} workload(s) outside the "
+              f"{BAND_RATIO}x + {BAND_ABS}s calib-normalized band: "
+              + ", ".join(flagged))
+        return 1
+    print(f"\nGATE OK: no common workload outside the {BAND_RATIO}x + "
+          f"{BAND_ABS}s calib-normalized band")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
