@@ -58,6 +58,64 @@ object Approx {
           .as("merge_invariant"))
   }
 
+  /** BIT-DETERMINISTIC HLL register census — the complement of
+    * [[distinctSketchCheck]] (which bounds the ERROR of the library
+    * sketches): an HLL whose full register state is reproducible in
+    * plain SQL on any engine, so the MERGE LAW itself — shard sketches
+    * re-aggregated by register max equal the single-pass sketch — is
+    * hash-checkable bit for bit, not just within a tolerance band.
+    *
+    * Hash = md5(value as string), consumed as hex nibbles: the first
+    * b/4 nibbles are the register index, the next 16 nibbles (64 bits)
+    * feed ρ = leading-zero count + 1, computed by STRING arithmetic
+    * (`trim(LEADING '0')` + a 1-nibble CASE) that evaluates identically
+    * in Spark and DuckDB — no float, no platform hash.
+    *
+    * The ENGINE PATH deliberately computes per-`shardCol` sketches
+    * first and merges them (groupBy shard+register max, then register
+    * max / count sum) — the year-of-daily-sketches rollup shape; the
+    * oracle replays the single-pass census, so cross-engine equality
+    * proves the merge law end-to-end. State is ≤ 2^b rows per group —
+    * map-side combinable, fixed size at any corpus scale; duplicates
+    * need no dedup pass (max is idempotent on repeats, which is the
+    * whole point of HLL vs count_distinct's hash-set shuffle).
+    *
+    * The cardinality ESTIMATE (α·m²/Σ2^−ρ + low/high-range corrections)
+    * is intentionally NOT emitted: it is float math derivable from this
+    * census by any reader, while the census itself is the mergeable,
+    * exactly-reproducible object. Output: (register, max_rho, n_rows)
+    * ordered by register, absent registers omitted (the zero-register
+    * count is 2^b − row count). */
+  def hllRegisterCensus(
+      df: DataFrame,
+      valueCol: Column,
+      shardCol: Column,
+      b: Int = 8): DataFrame = {
+    require(b % 4 == 0 && b >= 4 && b <= 16, s"b must be a nibble multiple in [4,16]: $b")
+    val nNib = b / 4
+    val base = df.select(shardCol.as("_s"),
+      md5(valueCol.cast("string").cast("binary")).as("_h"))
+    val reg = (1 to nNib).map(i =>
+        s"(instr('0123456789abcdef', substring(_h, $i, 1)) - 1) * ${1 << (4 * (nNib - i))}L")
+      .mkString(" + ")
+    val scored = base
+      .withColumn("register", expr(s"CAST($reg AS BIGINT)"))
+      .withColumn("_sub", expr(s"substring(_h, ${nNib + 1}, 16)"))
+      .withColumn("_rest", expr("trim(LEADING '0' FROM _sub)"))
+      .withColumn("rho", expr(
+        """CAST(CASE WHEN _rest = '' THEN 65
+          |  ELSE 4 * (16 - length(_rest))
+          |     + CASE WHEN substring(_rest, 1, 1) = '1' THEN 3
+          |            WHEN substring(_rest, 1, 1) IN ('2', '3') THEN 2
+          |            WHEN substring(_rest, 1, 1) IN ('4', '5', '6', '7') THEN 1
+          |            ELSE 0 END + 1 END AS BIGINT)""".stripMargin))
+    scored
+      .groupBy(col("_s"), col("register"))
+      .agg(max(col("rho")).as("_mr"), count(lit(1)).as("_n"))
+      .groupBy(col("register"))
+      .agg(max(col("_mr")).as("max_rho"), sum(col("_n")).as("n_rows"))
+  }
+
   /** Per-`keyCol` quantile-sketch accuracy check: `percentile_approx`
     * (GK summary, rank error ≤ n/accuracy) at each q in `percents`, then
     * a second exact pass verifies the returned value's RANK bracket —

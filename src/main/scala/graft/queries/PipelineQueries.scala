@@ -92,6 +92,27 @@ object PipelineQueries {
       |                      for i in range(1, len(s)-1)]) AS sh
       |FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)""".stripMargin
 
+  /** Single-pass HLL register census over events.user_id — ONE SQL text
+    * shared by q_hll_census (batch, per-day shards merged) and
+    * q_stream_hll (per-micro-batch partials merged): the merge law says
+    * any sharding must hash to this single-pass replay. */
+  private[queries] def hllCensusOracleSql: String =
+    """WITH h AS (SELECT md5(user_id::VARCHAR) AS h FROM events),
+      |x AS (SELECT (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS register,
+      |             ltrim(substr(h, 3, 16), '0') AS rest FROM h),
+      |r AS (SELECT CAST(register AS BIGINT) AS register,
+      |        CAST(CASE WHEN rest = '' THEN 65
+      |          ELSE 4 * (16 - length(rest))
+      |             + CASE WHEN substr(rest, 1, 1) = '1' THEN 3
+      |                    WHEN substr(rest, 1, 1) IN ('2', '3') THEN 2
+      |                    WHEN substr(rest, 1, 1) IN ('4', '5', '6', '7') THEN 1
+      |                    ELSE 0 END + 1 END AS BIGINT) AS rho
+      |      FROM x)
+      |SELECT register, max(rho) AS max_rho,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM r GROUP BY register ORDER BY register""".stripMargin
+
   private val IngestBuckets = 5
 
   /** q_stream_ingest_dedup's oracle: the sequential batch recurrence
@@ -2833,6 +2854,19 @@ object PipelineQueries {
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
              |       TRUE AS hll_ok, TRUE AS merge_invariant
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Bit-deterministic HLL register census over events.user_id: md5
+    // nibbles → (register, ρ), engine side built per-DAY and MERGED by
+    // register max (the year-of-daily-sketches rollup), oracle replays
+    // the single pass — cross-engine hash equality proves the HLL merge
+    // law exactly, complementing q_approx_distinct's tolerance bounds.
+    Q("q_hll_census",
+      (s, dir) =>
+        graft.operators.Approx.hllRegisterCensus(
+            Tables.events(s, dir), col("user_id"),
+            date_trunc("day", col("ts")))
+          .orderBy("register"),
+      Some(hllCensusOracleSql)),
 
     // Sketch set operations: distinct-user INTERSECTION of every
     // event-type pair by inclusion-exclusion over Datasketches HLL —

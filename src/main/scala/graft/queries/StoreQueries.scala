@@ -979,6 +979,21 @@ object StoreQueries {
              |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Streaming HLL: the bit-deterministic register census maintained
+    // incrementally across micro-batches (per-batch ≤2⁸-row partials
+    // merged by register max / count sum — sketch state through the
+    // q_stream_matview merge pattern). The oracle is the SAME
+    // single-pass SQL as q_hll_census: micro-batch boundaries must
+    // leave no trace, which is the HLL merge law, hash-checked
+    // cross-engine.
+    Q("q_stream_hll",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.hllCensusReplay(s, store, store + "_hll_view")
+          .orderBy("register")
+      },
+      Some(PipelineQueries.hllCensusOracleSql)),
+
     // Streaming heavy hitters: top-20 most-active users maintained
     // incrementally across micro-batches — the q_stream_matview merge
     // pattern on the HIGH-CARDINALITY key, ranked only at readout

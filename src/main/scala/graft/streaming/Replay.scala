@@ -290,6 +290,63 @@ object Replay {
       sys.error("matviewReplay: no view version was committed")))
   }
 
+  /** Streaming HLL — the bit-deterministic register census
+    * (Approx.hllRegisterCensus) maintained INCREMENTALLY across
+    * micro-batches: each batch computes its own ≤2^b-row partial census
+    * and merges into the versioned view by register max / count sum —
+    * [[matviewReplay]]'s merge pattern carrying SKETCH state instead of
+    * exact counters. This is the ingest-loop face of the sketch: the
+    * merge law (shard maxima == single pass) is what makes the
+    * per-batch rollup exact, so the final view must hash to the same
+    * single-pass oracle as the batch census — per-batch boundaries
+    * leave NO trace. View size is ≤ 2^b rows at any corpus scale; no
+    * watermark, no single-batch contract (max/sum are associative,
+    * exactly the matview argument). */
+  def hllCensusReplay(
+      spark: SparkSession,
+      storePath: String,
+      viewRoot: String,
+      filesPerBatch: Int = 8,
+      b: Int = 8): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
+    def latest(): Option[String] = {
+      val d = new java.io.File(viewRoot)
+      if (!d.exists()) None
+      else d.listFiles()
+        .filter(f => f.getName.startsWith("v") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .sortBy(_.getName.drop(1).toLong)
+        .lastOption.map(_.getAbsolutePath)
+    }
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(storePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = graft.operators.Approx.hllRegisterCensus(
+          batch.toDF(), col("user_id"), lit(0), b)
+        val merged = latest() match {
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(partial)
+              .groupBy(col("register"))
+              .agg(max(col("max_rho")).as("max_rho"),
+                sum(col("n_rows")).as("n_rows"))
+          case None => partial
+        }
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$viewRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", viewRoot + "_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(latest().getOrElse(
+      sys.error("hllCensusReplay: no view version was committed")))
+  }
+
   /** Streaming HEAVY HITTERS — the top-k most-active keys maintained
     * incrementally across micro-batches (the trending-entities /
     * hot-key monitor a feed pipeline keeps): [[matviewReplay]]'s

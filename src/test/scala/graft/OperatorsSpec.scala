@@ -167,6 +167,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hllRegisterCensus equals MD5 brute replay; shard-split and duplicate invariant") {
+    import graft.operators.Approx
+    val ids = (0L until 500L).map(i => i * 7919L % 1000L)
+    val df = ids.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "shard")
+    def census(shard: org.apache.spark.sql.Column) =
+      Approx.hllRegisterCensus(df, $"v", shard, b = 8)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = census(pmod($"shard", lit(7L)))
+    // brute: same md5-nibble math in plain Scala
+    val want = ids.map { v =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+      val reg = java.lang.Long.parseLong(h.substring(0, 2), 16)
+      val sub = h.substring(2, 18)
+      val rest = sub.dropWhile(_ == '0')
+      val rho = if (rest.isEmpty) 65L
+        else 4L * (16 - rest.length) + (rest.head match {
+          case '1' => 3L case '2' | '3' => 2L
+          case '4' | '5' | '6' | '7' => 1L case _ => 0L
+        }) + 1L
+      (reg, rho)
+    }.groupBy(_._1).toSeq.map { case (r, rs) =>
+      (r, rs.map(_._2).max, rs.size.toLong)
+    }.sortBy(_._1)
+    assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
+    // merge law: any shard split (including none) yields the same census
+    assert(census(pmod($"shard", lit(2L))) == got)
+    assert(census(lit(0)) == got)
+    // duplicates move n_rows only, never max_rho (max is idempotent)
+    val dup = Approx.hllRegisterCensus(
+        df.unionByName(df), $"v", pmod($"shard", lit(3L)), b = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dup == got.map { case (r, m, n) => (r, m, 2 * n) })
+  }
+
   test("quantile sketch check: rank brackets hold, and catch a wrong value") {
     val df = (1 to 1000).map(i => ("g", i.toLong)).toDF("lang", "n_chars")
     val flags = graft.operators.Approx.quantileSketchCheck(

@@ -236,6 +236,33 @@ class StreamingSpec extends SparkSpec {
     assert(v0n < 4, s"first version should be partial, holds $v0n rows' worth")
   }
 
+  test("hll census replay: multi-batch sketch merge equals the single-pass census") {
+    val events = (0L until 24L).map { i =>
+      (i, ts(f"2024-01-0${i % 3 + 1}%d 0${i % 8 + 1}%d:15:00"), "a", 1.0, i * 37L % 11L)
+    }.toDF("id", "ts", "event_type", "value", "user_id")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "hllview").toString
+    events.withColumn("bucket", SnapshotStore.dayBucketExpr($"ts"))
+      .repartition($"bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    val viewRoot = path + "_hll_view"
+    val got = Replay.hllCensusReplay(spark, path, viewRoot, filesPerBatch = 1)
+      .orderBy("register").as[(Long, Long, Long)].collect().toSeq
+    val want = graft.operators.Approx.hllRegisterCensus(
+        spark.read.parquet(path), $"user_id", lit(0))
+      .orderBy("register").as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
+    // genuinely incremental: several committed view versions, the first
+    // one partial (fewer total rows counted than the whole input)
+    val versions = new java.io.File(viewRoot).listFiles()
+      .filter(f => f.getName.startsWith("v") && new java.io.File(f, "_SUCCESS").exists())
+    assert(versions.length >= 3, s"expected >=3 view versions, got ${versions.length}")
+    val v0n = spark.read.parquet(
+        versions.sortBy(_.getName.drop(1).toLong).head.getAbsolutePath)
+      .agg(sum($"n_rows")).as[Long].head()
+    assert(v0n < 24, s"first version should be partial, counts $v0n rows")
+  }
+
   test("topk replay: incremental heavy hitters equal the batch census, deterministic ties") {
     val events = Seq(
       (1L, ts("2024-01-01 10:15:00"), 7L, 1.5),
