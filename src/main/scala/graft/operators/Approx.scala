@@ -116,6 +116,57 @@ object Approx {
       .agg(max(col("_mr")).as("max_rho"), sum(col("_n")).as("n_rows"))
   }
 
+  /** KMV (k-minimum-values / bottom-k) sketch — the third deterministic
+    * sketch face after [[hllRegisterCensus]] (cardinality state) and the
+    * library-backed [[distinctSketchCheck]]: the k smallest md5 values
+    * of the DISTINCT keys. Three properties make it the workhorse it is:
+    *
+    *  - MERGEABLE EXACTLY: bottom-k of a union of shard bottom-ks ==
+    *    bottom-k of the whole (min-order is global) — the engine path
+    *    computes per-shard bottom-ks and merges, the oracle replays one
+    *    pass, and the hash compare proves the law bit for bit.
+    *  - a UNIFORM DISTINCT SAMPLE: md5 order is hash order, so the k
+    *    survivors are a uniform sample of the distinct keys — the
+    *    "show me 100 random users" primitive with fixed state.
+    *  - a CARDINALITY ESTIMATOR: (k−1)/hash_frac(h_k) estimates the
+    *    distinct count (not emitted — float; derivable from h_k).
+    *
+    * Scale shape: one distinct pass (map-side combinable), per-shard
+    * sort is top-k (never a global sort — rank WITHIN shard first, the
+    * same WindowGroupLimit push q_topk rides), merge ranks only
+    * |shards|·k rows. Output: (rank, h, <value>), rank 1..k by hash. */
+  def kmvSketch(
+      df: DataFrame,
+      valueCol: Column,
+      shardCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val distinctKeys = df.select(shardCol.as("_s"), valueCol.as("value"))
+      .groupBy(col("_s"), col("value")).agg(count(lit(1)).as("_n")) // distinct per shard
+      .withColumn("_h", md5(col("value").cast("string").cast("binary")))
+    val wShard = Window.partitionBy(col("_s")).orderBy(col("_h"), col("value"))
+    val shardBottom = distinctKeys
+      .withColumn("_r", row_number().over(wShard))
+      .filter(col("_r") <= k)
+    // merge: global bottom-k over ≤ |shards|·k rows via orderBy+limit
+    // (TakeOrderedAndProject — per-partition top-k then a k-row driver
+    // merge, NEVER a global sort or an unpartitioned window); a key
+    // present in two shards dedups first (same hash, same value). Ranks
+    // come from a k×k broadcast self-join count — k² comparisons on a
+    // k-row frame, domain-bounded by construction.
+    val survivors = shardBottom.select(col("_h"), col("value")).distinct()
+      .orderBy(col("_h"), col("value")).limit(k)
+    val other = survivors.select(col("_h").as("_h2"), col("value").as("_v2"))
+    survivors.join(broadcast(other),
+        col("_h2") < col("_h") ||
+          (col("_h2") === col("_h") && col("_v2") < col("value")),
+        "left")
+      .groupBy(col("_h"), col("value"))
+      .agg((count(col("_h2")) + 1L).as("rank"))
+      .select(col("rank"), col("_h").as("h"), col("value"))
+  }
+
   /** Per-`keyCol` quantile-sketch accuracy check: `percentile_approx`
     * (GK summary, rank error ≤ n/accuracy) at each q in `percents`, then
     * a second exact pass verifies the returned value's RANK bracket —

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -43,4 +43,48 @@ object Encodings {
     * (/root/reference/stores/apache_parquet.py:27,107) as a proper
     * partition-column expression. */
   def hourBucket(ts: Column): Column = date_trunc("hour", ts)
+
+  /** ORDER-PRESERVING global string dictionary: every distinct string
+    * gets a dense code 1..D with code order == lexicographic order —
+    * the layout/compression encode that turns string sort/range/join
+    * keys into longs ([[surrogateKey]] is the hash face: stable but
+    * order-DESTROYING; this is the face range predicates survive, so
+    * `dict_lo <= code <= dict_hi` prunes like the string zone map).
+    *
+    * NO unpartitioned window anywhere: the distinct census
+    * `repartitionByRange`s over the string itself (range-sampled,
+    * order-CONTIGUOUS partitions — the sampler only shapes the PLAN;
+    * codes depend on values alone), per-partition counts come back as
+    * ≤ nBands longs (the AQE-stats shape) and broadcast as exclusive
+    * offsets, and the in-partition rank is a partition-local window.
+    * The census pass is the only data-sized stage; D-row output.
+    *
+    * Output: (code, value), code 1..D dense, ordered by value. */
+  def dictEncode(df: DataFrame, strCol: Column, nBands: Int = 32): DataFrame = {
+    require(nBands >= 1, s"nBands must be >= 1: $nBands")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val census = df.select(strCol.cast("string").as("value"))
+      .filter(col("value").isNotNull).distinct()
+    // STAGE the range-partitioned census: repartitionByRange re-SAMPLES
+    // its boundaries on every job, so the offsets collect and the final
+    // rank join would otherwise see different partitionings (observed:
+    // rank shifts at sf0.1). One materialization pins the _pid column
+    // for both consumers — and a dictionary build persists its census
+    // in production anyway (it IS the stored artifact).
+    val parts = graft.store.Staging.stage(
+      census.repartitionByRange(nBands, col("value"))
+        .withColumn("_pid", spark_partition_id()),
+      "dict_census")
+    val counts = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .as[(Int, Long)].collect().sortBy(_._1) // ≤ nBands rows
+    val offDf = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      .toSeq.toDF("_pid", "_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("value"))
+    parts.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("code", (col("_off") + row_number().over(w)).cast("long"))
+      .select(col("code"), col("value"))
+  }
 }

@@ -527,6 +527,22 @@ object CoreQueries {
              |  CAST(floor((value - min(value) OVER (PARTITION BY event_type)) * 100000000.0) AS BIGINT) AS value_enc
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Order-preserving global string dictionary over customer names:
+    // dense codes 1..D with code order == lex order (surrogateKey's
+    // order-destroying hash face inverted — range predicates survive
+    // this encode). Exact global ranks WITHOUT an unpartitioned window:
+    // range-partitioned census + broadcast per-partition offsets +
+    // partition-local rank (the sampler shapes only the plan; codes
+    // depend on values alone — the oracle is one dense row_number).
+    Q("q_dict_encode",
+      (s, dir) =>
+        Encodings.dictEncode(Tables.customer(s, dir), col("c_name"))
+          .orderBy("code"),
+      Some("""WITH d AS (SELECT DISTINCT c_name AS value FROM customer)
+             |SELECT CAST(row_number() OVER (ORDER BY value) AS BIGINT) AS code,
+             |       value
+             |FROM d ORDER BY code""".stripMargin)),
+
     // JSON field extraction from a string column (the document-parse
     // scalar family, /root/reference/stores/file_store.py:22-24 json.load;
     // SURVEY.md §2.8 to_json/from_json) — codegen'd get_json_object, plus

@@ -2868,6 +2868,25 @@ object PipelineQueries {
           .orderBy("register"),
       Some(hllCensusOracleSql)),
 
+    // KMV bottom-k sketch of distinct users: per-day bottom-64 merged
+    // (bottom-k of shard bottom-ks == bottom-k of the whole — min-order
+    // is global, so the merge law is EXACT and the oracle replays one
+    // pass). Doubles as a uniform distinct-user sample and carries the
+    // (k−1)/frac(h_k) cardinality estimator; merge is orderBy+limit
+    // (TakeOrderedAndProject), never a global sort.
+    Q("q_kmv_sketch",
+      (s, dir) =>
+        graft.operators.Approx.kmvSketch(
+            Tables.events(s, dir), col("user_id"),
+            date_trunc("day", col("ts")), k = 64)
+          .orderBy("rank"),
+      Some("""WITH d AS (SELECT DISTINCT user_id AS value FROM events),
+             |h AS (SELECT md5(value::VARCHAR) AS h, value FROM d),
+             |r AS (SELECT h, value,
+             |        row_number() OVER (ORDER BY h, value) AS rank FROM h)
+             |SELECT CAST(rank AS BIGINT) AS rank, h, value
+             |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin)),
+
     // Sketch set operations: distinct-user INTERSECTION of every
     // event-type pair by inclusion-exclusion over Datasketches HLL —
     // the audience-overlap primitive (per-group sketch is KBs; the

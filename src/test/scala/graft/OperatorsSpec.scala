@@ -150,6 +150,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._3).toSet == Set("train", "val", "test"))
   }
 
+  test("dictEncode: dense order-preserving codes, band-count invariant, dup/null safe") {
+    val vals = Seq("pear", "apple", "pear", "fig", null, "banana", "apple", "kiwi")
+    val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("s", "i")
+    val want = vals.filter(_ != null).distinct.sorted.zipWithIndex
+      .map { case (v, i) => (i + 1L, v) }
+    Seq(1, 3, 32).foreach { nb =>
+      val got = Encodings.dictEncode(df, $"s", nBands = nb)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"nBands=$nb got=$got")
+    }
+    // codes join back losslessly and preserve range predicates
+    val dict = Encodings.dictEncode(df, $"s")
+    val joined = df.filter($"s".isNotNull)
+      .join(dict, df("s") === dict("value"))
+    assert(joined.count() == vals.count(_ != null))
+    val lo = dict.filter($"value" >= "banana" && $"value" <= "kiwi")
+      .agg(min($"code"), max($"code")).as[(Long, Long)].head()
+    assert(lo == ((2L, 4L))) // banana, fig, kiwi are codes 2..4
+  }
+
   // -- Approx (sketch aggregates) -----------------------------------------
 
   test("HLL distinct check: estimates in tolerance, merge invariant holds") {
@@ -201,6 +221,28 @@ class OperatorsSpec extends SparkSpec {
         df.unionByName(df), $"v", pmod($"shard", lit(3L)), b = 8)
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(dup == got.map { case (r, m, n) => (r, m, 2 * n) })
+  }
+
+  test("kmvSketch equals MD5 brute replay; shard-merge exact; k past distinct count") {
+    import graft.operators.Approx
+    val vals = (0L until 300L).map(i => i * 131L % 97L) // 97 distinct, dense dups
+    val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "shard")
+    def brute(k: Int) = vals.distinct.map { v =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+      (h, v)
+    }.sorted.take(k).zipWithIndex.map { case ((h, v), i) => (i + 1L, h, v) }
+    def got(k: Int, shard: org.apache.spark.sql.Column) =
+      Approx.kmvSketch(df, $"v", shard, k)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got(16, pmod($"shard", lit(5L))) == brute(16))
+    // merge law: any sharding (or none) gives the same bottom-k
+    assert(got(16, pmod($"shard", lit(2L))) == brute(16))
+    assert(got(16, lit(0)) == brute(16))
+    // k beyond the distinct count returns all 97, still exactly ranked
+    assert(got(500, pmod($"shard", lit(3L))) == brute(500))
+    assert(got(500, lit(0)).size == 97)
   }
 
   test("quantile sketch check: rank brackets hold, and catch a wrong value") {
