@@ -979,6 +979,40 @@ object StoreQueries {
              |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // LATE-DATA CENSUS: per-hour watermark-drop accounting over a
+    // deterministic out-of-order trail (on-time even days, on-time odd
+    // days, then every straggler event_id%7==0). Pinned semantics
+    // (StreamingSpec): batch-2 stragglers filter against the watermark
+    // COMMITTED WITH BATCH 1 (= max batch-0 ts − 1 min — the late-wm
+    // lags eviction one batch), the filter keys on WINDOW END (an open
+    // window absorbs a straggler whose raw ts is behind the wm), and
+    // Append emits windows whose end ≤ the final watermark. The oracle
+    // replays all three predicates in µs arithmetic.
+    Q("q_stream_late",
+      (s, dir) => {
+        val store = Replay.ensureEventsLateStore(s, dir)
+        Replay.lateCensusReplay(s, store, store + "_census_out")
+          .orderBy("bucket_us")
+      },
+      Some("""WITH d0 AS (SELECT min(date_trunc('day', ts)) AS d FROM events),
+             |wml AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events, d0
+             |        WHERE event_id % 7 <> 0
+             |          AND date_diff('day', d0.d, date_trunc('day', ts)) % 2 = 0),
+             |wmf AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events),
+             |e AS (SELECT date_trunc('hour', ts) AS h,
+             |             event_id % 7 = 0 AS straggler FROM events),
+             |kept AS (SELECT h FROM e WHERE NOT straggler
+             |         UNION ALL
+             |         SELECT h FROM e, wml
+             |         WHERE straggler AND h + INTERVAL 1 HOUR > wml.w),
+             |em AS (SELECT h, count(*) AS n_emitted FROM kept GROUP BY h),
+             |tot AS (SELECT h, count(*) AS n_total FROM e GROUP BY h)
+             |SELECT epoch_us(em.h) AS bucket_us, n_emitted, n_total,
+             |       n_total - n_emitted AS n_dropped
+             |FROM em JOIN tot USING (h), wmf
+             |WHERE em.h + INTERVAL 1 HOUR <= wmf.w
+             |ORDER BY bucket_us""".stripMargin)),
+
     // Streaming HLL: the bit-deterministic register census maintained
     // incrementally across micro-batches (per-batch ≤2⁸-row partials
     // merged by register max / count sum — sketch state through the

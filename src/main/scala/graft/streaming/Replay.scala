@@ -442,6 +442,113 @@ object Replay {
     appendReplayToFiles(spark, registry, outPath, "dedupReplay")
   }
 
+  /** Build the three-file OUT-OF-ORDER ingest store for
+    * [[lateCensusReplay]]: file 0 / file 1 = the on-time slice
+    * (event_id % 7 != 0) split by even/odd day index, file 2 = the
+    * stragglers (event_id % 7 == 0, every day), with strictly increasing
+    * mtimes so the file source replays them as three micro-batches in
+    * that order. THREE batches because Spark's late-event filter runs a
+    * batch BEHIND eviction (late-wm for batch B = the wm committed with
+    * batch B−1): stragglers in batch 2 are filtered against the
+    * watermark established by batch 0 — a two-batch trail filters
+    * against wm 0 and drops nothing. Idempotent per sf dir. */
+  def ensureEventsLateStore(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = s"${graft.store.SnapshotStore.root}/events_" +
+        s"${java.nio.file.Paths.get(sfDir).getFileName}_late"
+      val done = new java.io.File(path, "_SUCCESS")
+      if (!done.exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+        new java.io.File(path).mkdirs()
+        val t0 = (System.currentTimeMillis() / 1000L) * 1000L - 3600L * 1000L
+        val ev = graft.sources.Tables.events(spark, sfDir)
+        val day0 = ev.agg(min(date_trunc("day", col("ts")))).head().getTimestamp(0)
+        val dayIdx = datediff(date_trunc("day", col("ts")), lit(day0))
+        val onTime = col("event_id") % 7 =!= 0L
+        Seq(("ontime_even", onTime && dayIdx % 2 === 0),
+            ("ontime_odd", onTime && dayIdx % 2 === 1),
+            ("late", col("event_id") % 7 === 0L)).zipWithIndex
+          .foreach { case ((tag, pred), i) =>
+            val tmp = s"$path/_tmp$tag"
+            ev.filter(pred)
+              .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(f => f.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(path, f"file_$i%02d_$tag.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+            assert(dst.setLastModified(t0 + i * 2000L))
+          }
+        done.createNewFile()
+        ()
+      }
+      path
+    }
+
+  /** LATE-DATA CENSUS — the watermark-drop observability primitive a
+    * production ingest pipeline ships with: how many events did the
+    * watermark silently discard, per hour? The replay feeds the on-time
+    * slice as batches 0-1 and ALL stragglers as batch 2
+    * ([[ensureEventsLateStore]]); Spark filters batch-2 late events
+    * against the watermark COMMITTED WITH BATCH 1 — i.e. the one batch 0
+    * established, max(batch-0 ts) − delay (the late-wm lags eviction by
+    * one batch; pinned in StreamingSpec) — and Append emits exactly the
+    * windows whose end ≤ the final watermark. Both predicates are pure
+    * arithmetic on the event_id % 7 / even-day split, so the ORACLE
+    * replays drop and emission exactly — nothing about lateness handling
+    * is left unchecked.
+    *
+    * The census then joins the emitted counts against the batch-side
+    * per-hour totals: n_dropped = n_total − n_emitted, per emitted
+    * hour — the number an on-call engineer alarms on. Scale shape: the
+    * streaming agg holds one state row per open (hour) window; the
+    * totals join is a domain-bounded hour census. Output: (bucket_us,
+    * n_emitted, n_total, n_dropped). */
+  def lateCensusReplay(
+      spark: SparkSession,
+      lateStorePath: String,
+      outPath: String,
+      delayThreshold: String = "1 minute",
+      expectedBatches: Int = 3): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath + "_chk"))
+    val src = spark.readStream
+      .schema(spark.read.parquet(lateStorePath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(lateStorePath)
+    val agg = src
+      .withWatermark("ts", delayThreshold)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_emitted"))
+      .select(expr("unix_micros(w.start)").as("bucket_us"), col("n_emitted"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", outPath + "_chk")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the late trail NEEDS its exact batch count (on-time even, on-time
+      // odd, stragglers) — the inverse of appendReplayToFiles'
+      // single-batch contract, and the late-wm lag makes the count part
+      // of the semantics
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == expectedBatches,
+        s"lateCensusReplay trail broken: backlog ran as $dataBatches batches, " +
+          s"want $expectedBatches")
+    }
+    val emitted = spark.read.parquet(outPath)
+    val totals = spark.read.parquet(lateStorePath)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts))").as("bucket_us"))
+      .agg(count(lit(1)).as("n_total"))
+    emitted.join(totals, Seq("bucket_us"))
+      .withColumn("n_dropped", col("n_total") - col("n_emitted"))
+      .select(col("bucket_us"), col("n_emitted"), col("n_total"), col("n_dropped"))
+  }
+
   // ---- streaming ingest near-dup dedup (staged index, batch probes) -----
 
   /** Build the deterministic ingest source for [[ingestDedupReplay]]:

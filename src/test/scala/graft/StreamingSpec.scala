@@ -263,6 +263,46 @@ class StreamingSpec extends SparkSpec {
     assert(v0n < 24, s"first version should be partial, counts $v0n rows")
   }
 
+  test("late census replay: watermark drops pinned per hour, open windows absorb stragglers") {
+    // batch 0 (on-time A): H0 ×2, H2 ×1 (max 12:02 → wm after = 12:01 —
+    //   this is the LATE-WM batch-2 stragglers are filtered against)
+    // batch 1 (on-time B): H1 ×1 (max unchanged)
+    // batch 2 (stragglers), late-wm = 12:01:
+    //   10:15 → H0 (end 11:00 ≤ 12:01) → DROPPED either way
+    //   12:00:30 → ts < 12:01 but H2 end 13:00 > 12:01 → the
+    //     drop-predicate DISCRIMINATOR: kept iff the filter keys on
+    //     WINDOW END, dropped iff it keys on raw ts
+    //   13:59 → new global max → final wm 13:58 → H2 emits, H3 doesn't
+    val files = Seq(
+      ("ontime_a", Seq((1L, ts("2024-01-01 10:10:00")), (2L, ts("2024-01-01 10:20:00")),
+        (4L, ts("2024-01-01 12:02:00")))),
+      ("ontime_b", Seq((3L, ts("2024-01-01 11:10:00")))),
+      ("late", Seq((7L, ts("2024-01-01 10:15:00")), (14L, ts("2024-01-01 12:00:30")),
+        (21L, ts("2024-01-01 13:59:00")))))
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "latecensus").toString
+    val t0 = (System.currentTimeMillis() / 1000L) * 1000L - 3600L * 1000L
+    files.zipWithIndex.foreach { case ((tag, rows), i) =>
+      val tmp = s"$path/_tmp$tag"
+      rows.toDF("event_id", "ts")
+        .withColumn("event_type", lit("a")).withColumn("value", lit(1.0))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(path, f"file_$i%02d_$tag.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      assert(dst.setLastModified(t0 + i * 2000L))
+    }
+    val got = Replay.lateCensusReplay(spark, path, path + "_out")
+      .orderBy("bucket_us").as[(Long, Long, Long, Long)].collect().toSeq
+    def hourUs(s: String) = ts(s).getTime * 1000L
+    assert(got == Seq(
+      (hourUs("2024-01-01 10:00:00"), 2L, 3L, 1L), // straggler to closed H0 dropped
+      (hourUs("2024-01-01 11:00:00"), 1L, 1L, 0L),
+      (hourUs("2024-01-01 12:00:00"), 2L, 2L, 0L)  // open H2 absorbed its straggler
+    ), got.toString) // H3 (end 14:00 > final wm 13:58) never emits
+  }
+
   test("topk replay: incremental heavy hitters equal the batch census, deterministic ties") {
     val events = Seq(
       (1L, ts("2024-01-01 10:15:00"), 7L, 1.5),
