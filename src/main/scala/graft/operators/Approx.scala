@@ -167,6 +167,68 @@ object Approx {
       .select(col("rank"), col("_h").as("h"), col("value"))
   }
 
+  /** KMV SET OPERATIONS — the deterministic face of theta-sketch
+    * intersections: for every pair of `keyCol` groups, merge their
+    * [[kmvSketch]]s into the union's bottom-k and count how many of
+    * those k survivors belong to both sides. jaccard_est_ppm =
+    * 10⁶·n_common DIV k_eff estimates |A∩B|/|A∪B| with k-sample
+    * accuracy, and — because the sketches are md5-ordered — every
+    * number here is EXACTLY reproducible in SQL: the estimator itself
+    * is oracle-checked, not just bounded. The audience-overlap /
+    * join-cardinality primitive at fixed state: pairwise work is
+    * k-row frames per pair, never raw-id intersections
+    * ([[setOpSketchCheck]] is the library-sketch sibling whose HIP
+    * estimates only admit tolerance checks).
+    *
+    * Scale shape: one distinct pass per group (map-side combinable),
+    * per-group bottom-k via partitioned rank, the pair stage touches
+    * only |groups|²·k sketch rows — domain-bounded. Output per pair:
+    * (key_a, key_b, k_eff, n_common, jaccard_est_ppm). */
+  def kmvSetOps(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val distinctKeys = df.select(col(keyCol).as("_k"), valueCol.as("_v")).distinct()
+      .withColumn("_h", md5(col("_v").cast("string").cast("binary")))
+    val wG = Window.partitionBy(col("_k")).orderBy(col("_h"), col("_v"))
+    val sketches = distinctKeys
+      .withColumn("_r", row_number().over(wG))
+      .filter(col("_r") <= k)
+      .select(col("_k"), col("_h"), col("_v"))
+    // pairwise union of the two sketches, re-ranked; keep the union's
+    // bottom-k (k_eff = min(k, |union|)) and count two-sided members
+    val pairs = sketches.select(col("_k").as("key_a")).distinct()
+      .crossJoin(sketches.select(col("_k").as("key_b")).distinct())
+      .filter(col("key_a") < col("key_b"))
+    val both = sketches.select(col("_k").as("key_a"), col("_h"), col("_v"))
+      .join(sketches.select(col("_k").as("key_b"), col("_h"), col("_v")),
+        Seq("_h", "_v"))
+    val wP = Window.partitionBy(col("key_a"), col("key_b"))
+      .orderBy(col("_h"), col("_v"))
+    val merged = pairs.join(sketches.select(col("_k").as("key_a"), col("_h"), col("_v")),
+        Seq("key_a"))
+      .unionByName(pairs.join(
+        sketches.select(col("_k").as("key_b"), col("_h"), col("_v")), Seq("key_b"))
+        .select(col("key_a"), col("key_b"), col("_h"), col("_v")))
+      .select(col("key_a"), col("key_b"), col("_h"), col("_v")).distinct()
+      .withColumn("_r", row_number().over(wP))
+      .filter(col("_r") <= k)
+    merged
+      .join(both.select(col("key_a"), col("key_b"), col("_h"), col("_v"),
+          lit(1L).as("_c")),
+        Seq("key_a", "key_b", "_h", "_v"), "left")
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(coalesce(col("_c"), lit(0L))).as("n_common"))
+      .withColumn("jaccard_est_ppm",
+        expr("CAST(n_common * 1000000 DIV k_eff AS BIGINT)"))
+      .select(col("key_a"), col("key_b"), col("k_eff"),
+        col("n_common"), col("jaccard_est_ppm"))
+  }
+
   /** Per-`keyCol` quantile-sketch accuracy check: `percentile_approx`
     * (GK summary, rank error ≤ n/accuracy) at each q in `percents`, then
     * a second exact pass verifies the returned value's RANK bracket —

@@ -2887,6 +2887,40 @@ object PipelineQueries {
              |SELECT CAST(rank AS BIGINT) AS rank, h, value
              |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin)),
 
+    // KMV set operations — the deterministic theta-sketch face: per
+    // event-type bottom-64 user sketches, pairwise merged to the
+    // union's bottom-64, n_common = two-sided members, jaccard_est =
+    // n_common/k_eff. Every number (including the ESTIMATOR itself)
+    // replays exactly in SQL because md5 order is the sample order —
+    // q_approx_setops' library-sketch sibling can only bound its HIP
+    // estimates; this one is hash-checked.
+    Q("q_kmv_setops",
+      (s, dir) =>
+        graft.operators.Approx.kmvSetOps(
+            Tables.events(s, dir), "event_type", col("user_id"), k = 64)
+          .orderBy("key_a", "key_b"),
+      Some("""WITH d AS (SELECT DISTINCT event_type AS k, user_id AS v FROM events),
+             |h AS (SELECT k, v, md5(v::VARCHAR) AS h FROM d),
+             |s AS (SELECT k, v, h FROM h
+             |      QUALIFY row_number() OVER (PARTITION BY k ORDER BY h, v) <= 64),
+             |p AS (SELECT a.k AS key_a, b.k AS key_b
+             |      FROM (SELECT DISTINCT k FROM s) a, (SELECT DISTINCT k FROM s) b
+             |      WHERE a.k < b.k),
+             |u AS (SELECT DISTINCT p.key_a, p.key_b, s.h, s.v
+             |      FROM p JOIN s ON s.k = p.key_a OR s.k = p.key_b),
+             |m AS (SELECT key_a, key_b, h, v FROM u
+             |      QUALIFY row_number() OVER (PARTITION BY key_a, key_b
+             |              ORDER BY h, v) <= 64),
+             |b2 AS (SELECT sa.k AS key_a, sb.k AS key_b, sa.h, sa.v
+             |       FROM s sa JOIN s sb
+             |         ON sa.h = sb.h AND sa.v = sb.v AND sa.k < sb.k)
+             |SELECT m.key_a, m.key_b, CAST(count(*) AS BIGINT) AS k_eff,
+             |       CAST(count(b2.h) AS BIGINT) AS n_common,
+             |       CAST(count(b2.h) * 1000000 // count(*) AS BIGINT) AS jaccard_est_ppm
+             |FROM m LEFT JOIN b2 ON m.key_a = b2.key_a AND m.key_b = b2.key_b
+             |                   AND m.h = b2.h AND m.v = b2.v
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Sketch set operations: distinct-user INTERSECTION of every
     // event-type pair by inclusion-exclusion over Datasketches HLL —
     // the audience-overlap primitive (per-group sketch is KBs; the

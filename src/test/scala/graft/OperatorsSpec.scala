@@ -245,6 +245,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got(500, lit(0)).size == 97)
   }
 
+  test("kmvSetOps equals brute sketch replay; exact Jaccard when k covers the union") {
+    import graft.operators.Approx
+    // a = 0..299, b = 200..499 (|∩|=100, |∪|=500, J=0.2), c disjoint
+    val rows = ((0L until 300L).map(("a", _)) ++ (200L until 500L).map(("b", _)) ++
+      (900L until 950L).map(("c", _)))
+    val df = rows.toDF("k", "v")
+    def md5hex(v: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
+    def bruteSketch(vs: Seq[Long], k: Int) =
+      vs.distinct.map(v => (md5hex(v), v)).sorted.take(k)
+    def brutePair(avs: Seq[Long], bvs: Seq[Long], k: Int) = {
+      val (sa, sb) = (bruteSketch(avs, k), bruteSketch(bvs, k))
+      val merged = (sa ++ sb).distinct.sorted.take(k)
+      val common = sa.toSet & sb.toSet
+      val nc = merged.count(common)
+      (merged.size.toLong, nc.toLong, nc.toLong * 1000000L / merged.size)
+    }
+    Seq(16, 64, 2000).foreach { k =>
+      val got = Approx.kmvSetOps(df, "k", $"v", k)
+        .as[(String, String, Long, Long, Long)].collect()
+        .map(r => ((r._1, r._2), (r._3, r._4, r._5))).toMap
+      assert(got(("a", "b")) == brutePair(rows.filter(_._1 == "a").map(_._2),
+        rows.filter(_._1 == "b").map(_._2), k), s"k=$k")
+      assert(got(("a", "c"))._2 == 0L && got(("a", "c"))._3 == 0L)
+    }
+    // k ≥ |union| ⇒ the estimator IS the exact Jaccard (⌊0.2·10⁶⌋)
+    val exact = Approx.kmvSetOps(df, "k", $"v", 2000)
+      .filter($"key_a" === "a" && $"key_b" === "b")
+      .select($"k_eff", $"jaccard_est_ppm").as[(Long, Long)].head()
+    assert(exact == ((500L, 200000L)), exact.toString)
+  }
+
   test("quantile sketch check: rank brackets hold, and catch a wrong value") {
     val df = (1 to 1000).map(i => ("g", i.toLong)).toDF("lang", "n_chars")
     val flags = graft.operators.Approx.quantileSketchCheck(
