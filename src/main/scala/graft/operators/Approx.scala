@@ -90,31 +90,9 @@ object Approx {
       df: DataFrame,
       valueCol: Column,
       shardCol: Column,
-      b: Int = 8): DataFrame = {
-    require(b % 4 == 0 && b >= 4 && b <= 16, s"b must be a nibble multiple in [4,16]: $b")
-    val nNib = b / 4
-    val base = df.select(shardCol.as("_s"),
-      md5(valueCol.cast("string").cast("binary")).as("_h"))
-    val reg = (1 to nNib).map(i =>
-        s"(instr('0123456789abcdef', substring(_h, $i, 1)) - 1) * ${1 << (4 * (nNib - i))}L")
-      .mkString(" + ")
-    val scored = base
-      .withColumn("register", expr(s"CAST($reg AS BIGINT)"))
-      .withColumn("_sub", expr(s"substring(_h, ${nNib + 1}, 16)"))
-      .withColumn("_rest", expr("trim(LEADING '0' FROM _sub)"))
-      .withColumn("rho", expr(
-        """CAST(CASE WHEN _rest = '' THEN 65
-          |  ELSE 4 * (16 - length(_rest))
-          |     + CASE WHEN substring(_rest, 1, 1) = '1' THEN 3
-          |            WHEN substring(_rest, 1, 1) IN ('2', '3') THEN 2
-          |            WHEN substring(_rest, 1, 1) IN ('4', '5', '6', '7') THEN 1
-          |            ELSE 0 END + 1 END AS BIGINT)""".stripMargin))
-    scored
-      .groupBy(col("_s"), col("register"))
-      .agg(max(col("rho")).as("_mr"), count(lit(1)).as("_n"))
-      .groupBy(col("register"))
-      .agg(max(col("_mr")).as("max_rho"), sum(col("_n")).as("n_rows"))
-  }
+      b: Int = 8): DataFrame =
+    hllRegisterCensusBy(df, lit(0), valueCol, shardCol, b)
+      .select(col("register"), col("max_rho"), col("n_rows"))
 
   /** KMV (k-minimum-values / bottom-k) sketch — the third deterministic
     * sketch face after [[hllRegisterCensus]] (cardinality state) and the
@@ -165,6 +143,43 @@ object Approx {
       .groupBy(col("_h"), col("value"))
       .agg((count(col("_h2")) + 1L).as("rank"))
       .select(col("rank"), col("_h").as("h"), col("value"))
+  }
+
+  /** Per-GROUP [[hllRegisterCensus]] — the cardinality CUBE a pipeline
+    * actually operates ("distinct users per source per day"): one
+    * ≤2^b-row register census per `groupCol` value, same md5-nibble
+    * determinism, same shard-merge law (engine merges per-shard
+    * partials; the oracle replays one pass per group). State is
+    * |groups|·2^b rows — the fixed-size answer to a question whose
+    * exact form (count_distinct per group) shuffles every id at 100 TB.
+    * Output: (g, register, max_rho, n_rows). */
+  def hllRegisterCensusBy(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      shardCol: Column,
+      b: Int = 8): DataFrame = {
+    require(b % 4 == 0 && b >= 4 && b <= 16, s"b must be a nibble multiple in [4,16]: $b")
+    val nNib = b / 4
+    val base = df.select(groupCol.as("g"), shardCol.as("_s"),
+      md5(valueCol.cast("string").cast("binary")).as("_h"))
+    val reg = (1 to nNib).map(i =>
+        s"(instr('0123456789abcdef', substring(_h, $i, 1)) - 1) * ${1 << (4 * (nNib - i))}L")
+      .mkString(" + ")
+    base
+      .withColumn("register", expr(s"CAST($reg AS BIGINT)"))
+      .withColumn("_rest", expr(s"trim(LEADING '0' FROM substring(_h, ${nNib + 1}, 16))"))
+      .withColumn("rho", expr(
+        """CAST(CASE WHEN _rest = '' THEN 65
+          |  ELSE 4 * (16 - length(_rest))
+          |     + CASE WHEN substring(_rest, 1, 1) = '1' THEN 3
+          |            WHEN substring(_rest, 1, 1) IN ('2', '3') THEN 2
+          |            WHEN substring(_rest, 1, 1) IN ('4', '5', '6', '7') THEN 1
+          |            ELSE 0 END + 1 END AS BIGINT)""".stripMargin))
+      .groupBy(col("g"), col("_s"), col("register"))
+      .agg(max(col("rho")).as("_mr"), count(lit(1)).as("_n"))
+      .groupBy(col("g"), col("register"))
+      .agg(max(col("_mr")).as("max_rho"), sum(col("_n")).as("n_rows"))
   }
 
   /** KMV SET OPERATIONS — the deterministic face of theta-sketch

@@ -77,4 +77,27 @@ object Normalize {
       .hint("shuffle_hash")
     saltedFact.join(expDim, Seq(keyCol, "_salt")).drop("_salt")
   }
+
+  /** ONE-SCAN table profile — the ANALYZE-TABLE census a lakehouse runs
+    * before planning ingest or choosing layout keys: per column, the
+    * row/null/exact-NDV counts, from a SINGLE pass over the data
+    * (`stack` unpivots to (column, value) rows; C per-column scans would
+    * read the table C times). Values are CAST to string for the common
+    * unpivot type — injective for every atomic type, so the distinct
+    * counts are exact, and no value is EMITTED (dtype-safe compare).
+    * Shuffle after the map-side partial dedup carries distinct
+    * (column, value) pairs, the same payload C separate count_distincts
+    * would move — the saving is strictly the C−1 avoided scans.
+    * Output: (column_name, n_rows, n_null, n_distinct). */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileTable needs at least one column")
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
+      ") AS (column_name, _v)"
+    df.select(expr(stackExpr))
+      .groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("_v"))).as("n_null"),
+        count_distinct(col("_v")).as("n_distinct"))
+  }
 }

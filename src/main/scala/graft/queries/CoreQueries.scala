@@ -543,6 +543,28 @@ object CoreQueries {
              |       value
              |FROM d ORDER BY code""".stripMargin)),
 
+    // ONE-SCAN table profile of lineitem (ANALYZE-TABLE): per column the
+    // row/null/exact-NDV counts from a single stack-unpivot pass —
+    // C per-column scans would read the table C times. String cast is
+    // injective per atomic type, so NDV is exact; oracle = one
+    // per-column SELECT each, unioned.
+    Q("q_profile_table",
+      (s, dir) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        Normalize.profileTable(Tables.lineitem(s, dir), cols)
+          .orderBy("column_name")
+      },
+      Some(Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .map(c =>
+          s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))),
+
     // JSON field extraction from a string column (the document-parse
     // scalar family, /root/reference/stores/file_store.py:22-24 json.load;
     // SURVEY.md §2.8 to_json/from_json) — codegen'd get_json_object, plus

@@ -2868,6 +2868,33 @@ object PipelineQueries {
           .orderBy("register"),
       Some(hllCensusOracleSql)),
 
+    // Per-GROUP HLL register cube — "distinct users per event type" as
+    // fixed-size sketch state (|groups|·2⁸ rows) instead of a per-group
+    // id shuffle; per-day partials merged by register max, single-pass
+    // oracle per group.
+    Q("q_hll_census_by",
+      (s, dir) =>
+        graft.operators.Approx.hllRegisterCensusBy(
+            Tables.events(s, dir), col("event_type"), col("user_id"),
+            date_trunc("day", col("ts")))
+          .orderBy("g", "register"),
+      Some("""WITH h AS (SELECT event_type AS g, md5(user_id::VARCHAR) AS h FROM events),
+             |x AS (SELECT g,
+             |             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             |           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS register,
+             |             ltrim(substr(h, 3, 16), '0') AS rest FROM h),
+             |r AS (SELECT g, CAST(register AS BIGINT) AS register,
+             |        CAST(CASE WHEN rest = '' THEN 65
+             |          ELSE 4 * (16 - length(rest))
+             |             + CASE WHEN substr(rest, 1, 1) = '1' THEN 3
+             |                    WHEN substr(rest, 1, 1) IN ('2', '3') THEN 2
+             |                    WHEN substr(rest, 1, 1) IN ('4', '5', '6', '7') THEN 1
+             |                    ELSE 0 END + 1 END AS BIGINT) AS rho
+             |      FROM x)
+             |SELECT g, register, max(rho) AS max_rho,
+             |       CAST(count(*) AS BIGINT) AS n_rows
+             |FROM r GROUP BY g, register ORDER BY g, register""".stripMargin)),
+
     // KMV bottom-k sketch of distinct users: per-day bottom-64 merged
     // (bottom-k of shard bottom-ks == bottom-k of the whole — min-order
     // is global, so the merge law is EXACT and the oracle replays one

@@ -223,6 +223,32 @@ class OperatorsSpec extends SparkSpec {
     assert(dup == got.map { case (r, m, n) => (r, m, 2 * n) })
   }
 
+  test("hllRegisterCensusBy: per-group census equals the global census of each slice") {
+    import graft.operators.Approx
+    val df = (0L until 200L).map(i => (s"g${i % 3}", i * 53L % 41L, i))
+      .toDF("g", "v", "shard")
+    val byG = Approx.hllRegisterCensusBy(df, $"g", $"v", pmod($"shard", lit(4L)))
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq)
+    Seq("g0", "g1", "g2").foreach { g =>
+      val solo = Approx.hllRegisterCensus(
+          df.filter($"g" === g), $"v", pmod($"shard", lit(4L)))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(byG(g) == solo, s"group $g diverged")
+    }
+  }
+
+  test("profileTable: one-scan null/NDV census matches per-column brute") {
+    import graft.operators.Normalize
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "x", 1.5), (2L, "x", null), (2L, null, 2.5),
+      (null, "y", 2.5), (3L, "y", null))
+      .toDF("a", "b", "c")
+    val got = Normalize.profileTable(df, Seq("a", "b", "c"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 5L, 1L, 3L), ("b", 5L, 1L, 2L), ("c", 5L, 2L, 2L)), got.toString)
+  }
+
   test("kmvSketch equals MD5 brute replay; shard-merge exact; k past distinct count") {
     import graft.operators.Approx
     val vals = (0L until 300L).map(i => i * 131L % 97L) // 97 distinct, dense dups
