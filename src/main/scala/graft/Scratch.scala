@@ -191,7 +191,16 @@ object Scratch {
       "q_colocation" -> "co-location: (user, cell, hour) presence dedup BEFORE the pair join — occupancy-bounded, never users squared",
       "q_turning" -> "turning census: one user-keyed two-lag window + map-side agg — integer cross products, no atan2",
       "q_dominant_period" -> "dominant period: acfPpm's single hash(user) Exchange + row-local greatest/CASE argmax",
-      "q_ips_eval" -> "IPS policy eval: 1-row TakeOrdered policy broadcast + two conditional map-side aggs")
+      "q_ips_eval" -> "IPS policy eval: 1-row TakeOrdered policy broadcast + two conditional map-side aggs",
+      "q_ann_incremental_delete" -> "IVF delete: tombstone anti-join on the compact postings view — vectors never shuffle to get deleted",
+      "q_ann_compact" -> "IVF compaction: staged postings rewrite, search identical to the live view (no vector access)",
+      "q_knn_classify" -> "ANN-candidate kNN: IVF bucket + LSH band candidates, exact re-rank — no |eval|x|train| stage",
+      "q_hll_census" -> "HLL register census: md5-nibble projection + two map-side-combined max/count aggs — fixed 2^b-row state",
+      "q_kmv_sketch" -> "KMV bottom-k: per-shard WindowGroupLimit rank + TakeOrdered merge — no global sort",
+      "q_kmv_setops" -> "KMV set ops: pairwise sketch frames only (groups^2 x k rows), estimator exact by md5 order",
+      "q_dict_encode" -> "order-preserving dictionary: staged range-partitioned census + broadcast offsets + partition-local rank",
+      "q_profile_table" -> "one-scan ANALYZE: stack unpivot + partial+final distinct agg — C columns, one table read",
+      "q_stream_late" -> "late census read-back: emitted windows joined to an hour-bucketed batch census")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

@@ -500,8 +500,11 @@ object Graph {
     deg.join(triangleCorners(edges), Seq("node"), "left")
       .na.fill(0L, Seq("n_triangles"))
       .withColumnRenamed("n_triangles", "n_tri")
+      // n_tri reaches d(d−1)/2 ≈ 4.5e12 for a d=3e6 hub, so ×2·10⁶ wraps
+      // BIGINT — widen like modularity's products (round-10 self-audit)
       .withColumn("cc_ppm",
-        when(col("d") >= 2, expr("2 * n_tri * 1000000 DIV (d * (d - 1))")))
+        when(col("d") >= 2, expr(
+          "CAST(2 * CAST(n_tri AS DECIMAL(38,0)) * 1000000 DIV (CAST(d AS DECIMAL(38,0)) * (d - 1)) AS BIGINT)")))
   }
 
   /** Resource-allocation link prediction (Zhou-Lü-Zhang 2009) — the

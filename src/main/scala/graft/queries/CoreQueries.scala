@@ -2544,8 +2544,10 @@ object CoreQueries {
           .groupBy(col("event_type"))
           .agg(sum((col("user_id") % 2 === 0).cast("long")).as("n0"),
             sum((col("user_id") % 2 =!= 0).cast("long")).as("n1"))
-          .withColumn("srm_chi2_ppm",
-            expr("(n0 - n1) * (n0 - n1) * 1000000 DIV (n0 + n1)"))
+          // (n0−n1)²·10⁶ wraps BIGINT past a ~3e6 arm imbalance — widen
+          // (round-10 self-audit, the runsTest class)
+          .withColumn("srm_chi2_ppm", expr(
+            "CAST((CAST(n0 AS DECIMAL(38,0)) - n1) * (CAST(n0 AS DECIMAL(38,0)) - n1) * 1000000 DIV (n0 + n1) AS BIGINT)"))
           .orderBy("event_type")
       },
       Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -5824,9 +5826,11 @@ object CoreQueries {
           .agg(count(lit(1)).as("n_users"),
             sum((col("p0") === 1L && col("p1") === 0L).cast("long")).as("b"),
             sum((col("p0") === 0L && col("p1") === 1L).cast("long")).as("c"))
+          // (b−c)²·10⁶ wraps BIGINT past ~3e6 discordant imbalance —
+          // widen (round-10 self-audit, the runsTest class)
           .withColumn("chi2_ppm",
-            when(col("b") + col("c") > 0,
-              expr("(b - c) * (b - c) * 1000000 DIV (b + c)")))
+            when(col("b") + col("c") > 0, expr(
+              "CAST((CAST(b AS DECIMAL(38,0)) - c) * (CAST(b AS DECIMAL(38,0)) - c) * 1000000 DIV (b + c) AS BIGINT)")))
           .orderBy("event_type")
       },
       Some("""WITH pu AS (SELECT event_type, user_id,
