@@ -227,6 +227,27 @@ object Replay {
 
   // ---- streaming-maintained materialized view (foreachBatch MERGE) ------
 
+  /** Latest committed view version STRICTLY BELOW `below` — the
+    * replay-idempotence guard every versioned-view merge must use:
+    * foreachBatch is at-least-once, so a batch replayed after a
+    * checkpoint-commit crash would otherwise read its OWN crashed
+    * attempt's committed v<batchId> as "previous" and merge the batch
+    * twice. Reading only versions < batchId makes the re-run
+    * bit-identical to the first attempt (same input version, same
+    * partial, same overwrite target). Final readers pass
+    * `below = Long.MaxValue`. */
+  private[graft] def latestView(viewRoot: String, below: Long): Option[String] = {
+    val d = new java.io.File(viewRoot)
+    if (!d.exists()) None
+    else d.listFiles()
+      .filter(f => f.getName.startsWith("v") &&
+        f.getName.drop(1).forall(_.isDigit) &&
+        f.getName.drop(1).toLong < below &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName.drop(1).toLong)
+      .lastOption.map(_.getAbsolutePath)
+  }
+
   /** Incrementally-maintained aggregate view: each micro-batch's partial
     * per-(day, event_type) counts/sums MERGE into a versioned parquet
     * view inside `foreachBatch` — the streaming-materialized-view
@@ -251,15 +272,6 @@ object Replay {
       filesPerBatch: Int = 8): DataFrame = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
-    def latest(): Option[String] = {
-      val d = new java.io.File(viewRoot)
-      if (!d.exists()) None
-      else d.listFiles()
-        .filter(f => f.getName.startsWith("v") &&
-          new java.io.File(f, "_SUCCESS").exists())
-        .sortBy(_.getName.drop(1).toLong)
-        .lastOption.map(_.getAbsolutePath)
-    }
     val src = spark.readStream
       .schema(spark.read.parquet(storePath).schema)
       .option("maxFilesPerTrigger", filesPerBatch)
@@ -271,7 +283,9 @@ object Replay {
             col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
-        val merged = latest() match {
+        // versions < batchId only: a replayed batch must not read its
+        // own crashed attempt (see latestView)
+        val merged = latestView(viewRoot, below = batchId) match {
           case Some(prev) =>
             spark.read.parquet(prev).unionByName(partial)
               .groupBy(col("day_us"), col("event_type"))
@@ -286,7 +300,7 @@ object Replay {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(latest().getOrElse(
+    spark.read.parquet(latestView(viewRoot, Long.MaxValue).getOrElse(
       sys.error("matviewReplay: no view version was committed")))
   }
 
@@ -310,15 +324,6 @@ object Replay {
       b: Int = 8): DataFrame = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
-    def latest(): Option[String] = {
-      val d = new java.io.File(viewRoot)
-      if (!d.exists()) None
-      else d.listFiles()
-        .filter(f => f.getName.startsWith("v") &&
-          new java.io.File(f, "_SUCCESS").exists())
-        .sortBy(_.getName.drop(1).toLong)
-        .lastOption.map(_.getAbsolutePath)
-    }
     val src = spark.readStream
       .schema(spark.read.parquet(storePath).schema)
       .option("maxFilesPerTrigger", filesPerBatch)
@@ -327,7 +332,8 @@ object Replay {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val partial = graft.operators.Approx.hllRegisterCensus(
           batch.toDF(), col("user_id"), lit(0), b)
-        val merged = latest() match {
+        // versions < batchId only: replay-idempotent (see latestView)
+        val merged = latestView(viewRoot, below = batchId) match {
           case Some(prev) =>
             spark.read.parquet(prev).unionByName(partial)
               .groupBy(col("register"))
@@ -343,7 +349,7 @@ object Replay {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(latest().getOrElse(
+    spark.read.parquet(latestView(viewRoot, Long.MaxValue).getOrElse(
       sys.error("hllCensusReplay: no view version was committed")))
   }
 
@@ -368,15 +374,6 @@ object Replay {
       filesPerBatch: Int = 8): DataFrame = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
-    def latest(): Option[String] = {
-      val d = new java.io.File(viewRoot)
-      if (!d.exists()) None
-      else d.listFiles()
-        .filter(f => f.getName.startsWith("v") &&
-          new java.io.File(f, "_SUCCESS").exists())
-        .sortBy(_.getName.drop(1).toLong)
-        .lastOption.map(_.getAbsolutePath)
-    }
     val src = spark.readStream
       .schema(spark.read.parquet(storePath).schema)
       .option("maxFilesPerTrigger", filesPerBatch)
@@ -386,7 +383,8 @@ object Replay {
         val partial = batch.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n"),
             sum(floor(col("value") * 1000).cast("long")).as("value_mils"))
-        val merged = latest() match {
+        // versions < batchId only: replay-idempotent (see latestView)
+        val merged = latestView(viewRoot, below = batchId) match {
           case Some(prev) =>
             spark.read.parquet(prev).unionByName(partial)
               .groupBy(col("user_id"))
@@ -400,7 +398,7 @@ object Replay {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(latest().getOrElse(
+    spark.read.parquet(latestView(viewRoot, Long.MaxValue).getOrElse(
         sys.error("topkReplay: no view version was committed")))
       .orderBy(col("n").desc, col("user_id"))
       .limit(k)

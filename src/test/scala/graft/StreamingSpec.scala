@@ -263,6 +263,22 @@ class StreamingSpec extends SparkSpec {
     assert(v0n < 24, s"first version should be partial, counts $v0n rows")
   }
 
+  test("latestView: replayed batch never sees its own crashed attempt; uncommitted ignored") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "views").toString
+    Seq(0L, 1L, 2L).foreach { v =>
+      val d = new java.io.File(root, s"v$v"); d.mkdirs()
+      if (v < 2) new java.io.File(d, "_SUCCESS").createNewFile() // v2 = crashed write
+    }
+    def name(o: Option[String]) = o.map(p => new java.io.File(p).getName)
+    // batch 1 replayed after a crash must read v0, not its own v1
+    assert(name(Replay.latestView(root, below = 1L)) == Some("v0"))
+    assert(name(Replay.latestView(root, below = 2L)) == Some("v1"))
+    // final reader: newest COMMITTED version (v2 has no _SUCCESS)
+    assert(name(Replay.latestView(root, Long.MaxValue)) == Some("v1"))
+    assert(Replay.latestView(root, below = 0L).isEmpty)
+  }
+
   test("late census replay: watermark drops pinned per hour, open windows absorb stragglers") {
     // batch 0 (on-time A): H0 ×2, H2 ×1 (max 12:02 → wm after = 12:01 —
     //   this is the LATE-WM batch-2 stragglers are filtered against)
