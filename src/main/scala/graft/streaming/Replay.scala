@@ -623,7 +623,7 @@ object Replay {
       .option("maxFilesPerTrigger", 1)
       .parquet(docStorePath)
     val q = src.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val docs = batch.select(col("doc_id"), col("text"))
           .withColumn("_toks", TextAnalysis.tokens(col("text")))
         val sh = docs.select(col("doc_id"),
@@ -632,11 +632,17 @@ object Replay {
             Dedup.tokenShingles(col("_toks"), 3), 64)
           .join(sh, Seq("doc_id"))
           .persist()
-        // snapshot the prior index BEFORE any append this batch
+        // prior-index snapshot = partitions batch < batchId. foreachBatch
+        // is at-least-once: both sinks write batch=<id> partition dirs
+        // (OVERWRITE, not append), so a replayed batch rewrites its own
+        // output instead of duplicating it, and this pruned read can
+        // never observe the replayed batch's crashed attempt — the
+        // listing-order snapshot argument becomes a partition-pruning
+        // fact.
         val prior =
-          if (new java.io.File(idxPath, "_SUCCESS").exists() ||
-            new java.io.File(idxPath).exists())
-            Some(spark.read.parquet(idxPath))
+          if (new java.io.File(idxPath).exists())
+            Some(spark.read.parquet(idxPath)
+              .filter(col("batch") < batchId).drop("batch"))
           else None
         val matched = prior match {
           case Some(p) =>
@@ -670,12 +676,12 @@ object Replay {
         // batch's decisions (O(B²) cumulative over a long-running
         // stream).
         decisions.persist()
-        decisions.write.mode("append").parquet(decPath)
+        decisions.write.mode("overwrite").parquet(s"$decPath/batch=$batchId")
         val kept = decisions
           .filter(col("kept") === 1L)
           .join(newIdx, Seq("doc_id"))
           .select(col("doc_id"), col("sig"), col("sh"))
-        kept.write.mode("append").parquet(idxPath)
+        kept.write.mode("overwrite").parquet(s"$idxPath/batch=$batchId")
         decisions.unpersist()
         newIdx.unpersist()
         ()
@@ -684,7 +690,7 @@ object Replay {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(decPath)
+    spark.read.parquet(decPath).drop("batch")
   }
 
   // ---- stream-stream interval join --------------------------------------
