@@ -113,6 +113,18 @@ object PipelineQueries {
       |       CAST(count(*) AS BIGINT) AS n_rows
       |FROM r GROUP BY register ORDER BY register""".stripMargin
 
+  /** Single-pass bottom-64 of distinct users — ONE SQL text shared by
+    * q_kmv_sketch (batch, per-day shards) and q_stream_kmv (per-batch
+    * partials): bottom-k merge is exact, so any sharding hashes to this
+    * one replay. */
+  private[queries] def kmvSketchOracleSql: String =
+    """WITH d AS (SELECT DISTINCT user_id AS value FROM events),
+      |h AS (SELECT md5(value::VARCHAR) AS h, value FROM d),
+      |r AS (SELECT h, value,
+      |        row_number() OVER (ORDER BY h, value) AS rank FROM h)
+      |SELECT CAST(rank AS BIGINT) AS rank, h, value
+      |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin
+
   private val IngestBuckets = 5
 
   /** q_stream_ingest_dedup's oracle: the sequential batch recurrence
@@ -2907,12 +2919,7 @@ object PipelineQueries {
             Tables.events(s, dir), col("user_id"),
             date_trunc("day", col("ts")), k = 64)
           .orderBy("rank"),
-      Some("""WITH d AS (SELECT DISTINCT user_id AS value FROM events),
-             |h AS (SELECT md5(value::VARCHAR) AS h, value FROM d),
-             |r AS (SELECT h, value,
-             |        row_number() OVER (ORDER BY h, value) AS rank FROM h)
-             |SELECT CAST(rank AS BIGINT) AS rank, h, value
-             |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin)),
+      Some(kmvSketchOracleSql)),
 
     // KMV set operations — the deterministic theta-sketch face: per
     // event-type bottom-64 user sketches, pairwise merged to the

@@ -1028,6 +1028,19 @@ object StoreQueries {
       },
       Some(PipelineQueries.hllCensusOracleSql)),
 
+    // Streaming KMV: the bottom-64 distinct-user sketch maintained
+    // incrementally (per-batch bottom-k partials, running
+    // truncate-union view — ≤k rows of state forever). Min-order is
+    // global, so the oracle is LITERALLY q_kmv_sketch's single-pass
+    // SQL: batch boundaries leave no trace, hash-checked.
+    Q("q_stream_kmv",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.kmvReplay(s, store, store + "_kmv_view", k = 64)
+          .orderBy("rank")
+      },
+      Some(PipelineQueries.kmvSketchOracleSql)),
+
     // Streaming heavy hitters: top-20 most-active users maintained
     // incrementally across micro-batches — the q_stream_matview merge
     // pattern on the HIGH-CARDINALITY key, ranked only at readout

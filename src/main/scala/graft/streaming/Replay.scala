@@ -353,6 +353,60 @@ object Replay {
       sys.error("hllCensusReplay: no view version was committed")))
   }
 
+  /** Streaming KMV — the bottom-k distinct sketch
+    * (Approx.kmvSketch) maintained incrementally: each micro-batch
+    * contributes its own batch-local bottom-k of md5(distinct user)
+    * and the versioned view keeps the RUNNING bottom-k of the union
+    * (min-order is global, so merge == truncate-union — the exactness
+    * [[hllCensusReplay]]'s max-merge has, for order statistics). View
+    * state is ≤ k rows forever; the final readout re-ranks k rows.
+    * Oracle = the single-pass bottom-k (q_kmv_sketch's SQL): batch
+    * boundaries provably leave no trace. */
+  def kmvReplay(
+      spark: SparkSession,
+      storePath: String,
+      viewRoot: String,
+      k: Int,
+      filesPerBatch: Int = 8): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(storePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = graft.operators.Approx.kmvSketch(
+            batch.toDF(), col("user_id"), lit(0), k)
+          .select(col("h"), col("value"))
+        // versions < batchId only: replay-idempotent (see latestView)
+        val merged = latestView(viewRoot, below = batchId) match {
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(partial).distinct()
+              .orderBy(col("h"), col("value")).limit(k)
+          case None => partial
+        }
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$viewRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", viewRoot + "_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val view = spark.read.parquet(latestView(viewRoot, Long.MaxValue).getOrElse(
+      sys.error("kmvReplay: no view version was committed")))
+    // final rank over ≤ k rows — the kmvSketch broadcast rank-join shape
+    val other = view.select(col("h").as("_h2"), col("value").as("_v2"))
+    view.join(broadcast(other),
+        col("_h2") < col("h") ||
+          (col("_h2") === col("h") && col("_v2") < col("value")),
+        "left")
+      .groupBy(col("h"), col("value"))
+      .agg((count(col("_h2")) + 1L).as("rank"))
+      .select(col("rank"), col("h"), col("value"))
+  }
+
   /** Streaming HEAVY HITTERS — the top-k most-active keys maintained
     * incrementally across micro-batches (the trending-entities /
     * hot-key monitor a feed pipeline keeps): [[matviewReplay]]'s
