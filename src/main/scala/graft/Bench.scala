@@ -150,11 +150,16 @@ object Bench {
       materialize(spark.read.parquet(
         graft.queries.CoreQueries.ensureCanonicalGeoStore(spark, sfDir)))
     } else {
-      // subset probe: stores build untimed so the listed queries time the
-      // same read/replay workload they see in the full sweep
+      // subset probe: ALL shared stores build untimed so the listed
+      // queries time the same read/replay workload they see in the full
+      // sweep — a subset member touching the JSON or geo stores must not
+      // pay a first-touch build inside pass 1's timing (ADVICE r10)
       SnapshotStore.ensureEventsStore(spark, sfDir)
       SnapshotStore.ensureReplayStore(spark, sfDir)
-      ()
+      graft.store.JsonStore.ensureEventsJsonStore(spark, sfDir)
+      graft.store.JsonStore.ensureConcatAllStore(spark, sfDir)
+      materialize(spark.read.parquet(
+        graft.queries.CoreQueries.ensureCanonicalGeoStore(spark, sfDir)))
     }
 
     // One store DataFrame shared by probe derivation AND the semi-join:

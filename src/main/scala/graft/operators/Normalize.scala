@@ -91,8 +91,13 @@ object Normalize {
     * Output: (column_name, n_rows, n_null, n_distinct). */
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileTable needs at least one column")
+    // names are interpolated into SQL as 'literal' + `identifier`:
+    // escape both quote kinds so a hostile column name cannot break the
+    // parse or mislabel a census row (ADVICE r10)
+    def lit_(c: String) = c.replace("\\", "\\\\").replace("'", "\\'")
+    def ident(c: String) = c.replace("`", "``")
     val stackExpr = s"stack(${cols.size}, " +
-      cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
+      cols.map(c => s"'${lit_(c)}', CAST(`${ident(c)}` AS STRING)").mkString(", ") +
       ") AS (column_name, _v)"
     df.select(expr(stackExpr))
       .groupBy(col("column_name"))

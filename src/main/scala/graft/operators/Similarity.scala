@@ -334,6 +334,26 @@ object Similarity {
       k: Int,
       nCentroids: Int = 8,
       nprobe: Int = 2): DataFrame = {
+    val (cent, live) =
+      ivfLiveView(corpus, deletePred, appendPred, idCol, vecCol, nCentroids)
+    val assigned = live.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol, k, nprobe)
+  }
+
+  /** Shared live-view construction for the tombstoned index: frozen
+    * quantizer centroids plus the (id, cid, norm) postings view =
+    * (staged base over ¬append, plus delta assignment over append),
+    * anti-joined against the delete tombstones. [[ivfIncrementalDeleteTopK]]
+    * searches this view directly; [[ivfCompactTopK]] rewrites it as a
+    * fresh staged index first — both MUST see the identical view, which
+    * is why it is built in exactly one place. */
+  private def ivfLiveView(
+      corpus: DataFrame,
+      deletePred: Column,
+      appendPred: Column,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int): (DataFrame, DataFrame) = {
     val cent = ivfCentroids(corpus, idCol, vecCol, nCentroids)
     def norm(df: DataFrame) =
       df.select(col(idCol), col(vecCol)).withColumn("_n", l2norm(col(vecCol)))
@@ -346,8 +366,7 @@ object Similarity {
     val tombstones = corpus.filter(deletePred).select(col(idCol))
     val live = basePostings.unionByName(deltaPostings)
       .join(tombstones, Seq(idCol), "left_anti")
-    val assigned = live.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-    ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol, k, nprobe)
+    (cent, live)
   }
 
   /** COMPACTION of the tombstoned index — the OPTIMIZE step that closes
@@ -376,20 +395,9 @@ object Similarity {
       k: Int,
       nCentroids: Int = 8,
       nprobe: Int = 2): DataFrame = {
-    val cent = ivfCentroids(corpus, idCol, vecCol, nCentroids)
-    def norm(df: DataFrame) =
-      df.select(col(idCol), col(vecCol)).withColumn("_n", l2norm(col(vecCol)))
-    val basePostings = graft.store.Staging.stage(
-      ivfAssign(norm(corpus.filter(!appendPred)), cent, idCol, vecCol)
-        .select(col(idCol), col("cid"), col("_n")),
-      "ivf_postings_base")
-    val deltaPostings = ivfAssign(norm(corpus.filter(appendPred)), cent, idCol, vecCol)
-      .select(col(idCol), col("cid"), col("_n"))
-    val tombstones = corpus.filter(deletePred).select(col(idCol))
-    val compacted = graft.store.Staging.stage(
-      basePostings.unionByName(deltaPostings)
-        .join(tombstones, Seq(idCol), "left_anti"),
-      "ivf_postings_compacted")
+    val (cent, live) =
+      ivfLiveView(corpus, deletePred, appendPred, idCol, vecCol, nCentroids)
+    val compacted = graft.store.Staging.stage(live, "ivf_postings_compacted")
     val assigned = compacted.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
     ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol, k, nprobe)
   }

@@ -522,9 +522,18 @@ object Replay {
             ("late", col("event_id") % 7 === 0L)).zipWithIndex
           .foreach { case ((tag, pred), i) =>
             val tmp = s"$path/_tmp$tag"
-            ev.filter(pred)
+            val slice = ev.filter(pred)
               .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            // lateCensusReplay hard-requires a 3-data-batch trail, so an
+            // empty slice (e.g. a single-day corpus leaving ontime_odd
+            // empty) must fail HERE with a cause, not downstream as a
+            // mysterious batch-count mismatch (ADVICE r10)
+            require(!slice.isEmpty,
+              s"ensureEventsLateStore: slice '$tag' is empty for $sfDir — " +
+                "the corpus is too degenerate (needs >=2 distinct days and " +
+                "event_ids on both sides of the %7 split) to build the " +
+                "3-batch late-data trail")
+            slice.coalesce(1).write.mode("overwrite").parquet(tmp)
             val part = new java.io.File(tmp).listFiles()
               .find(f => f.getName.endsWith(".parquet")).get
             val dst = new java.io.File(path, f"file_$i%02d_$tag.parquet")

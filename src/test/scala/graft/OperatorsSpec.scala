@@ -247,6 +247,12 @@ class OperatorsSpec extends SparkSpec {
     val got = Normalize.profileTable(df, Seq("a", "b", "c"))
       .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq(("a", 5L, 1L, 3L), ("b", 5L, 1L, 2L), ("c", 5L, 2L, 2L)), got.toString)
+    // hostile names: a quote in the label literal and a backtick in the
+    // identifier must neither break the parse nor mislabel a row
+    val hostile = df.withColumnRenamed("a", "it's").withColumnRenamed("b", "x`y")
+    val got2 = Normalize.profileTable(hostile, Seq("it's", "x`y"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq(("it's", 5L, 1L, 3L), ("x`y", 5L, 1L, 2L)), got2.toString)
   }
 
   test("kmvSketch equals MD5 brute replay; shard-merge exact; k past distinct count") {

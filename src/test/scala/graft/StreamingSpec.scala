@@ -280,21 +280,29 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("late census replay: watermark drops pinned per hour, open windows absorb stragglers") {
-    // batch 0 (on-time A): H0 ×2, H2 ×1 (max 12:02 → wm after = 12:01 —
-    //   this is the LATE-WM batch-2 stragglers are filtered against)
-    // batch 1 (on-time B): H1 ×1 (max unchanged)
-    // batch 2 (stragglers), late-wm = 12:01:
-    //   10:15 → H0 (end 11:00 ≤ 12:01) → DROPPED either way
-    //   12:00:30 → ts < 12:01 but H2 end 13:00 > 12:01 → the
+    // batch 0 (on-time A): H10 ×2, H12 ×1 (max 12:02 → wm candidate A =
+    //   12:01)
+    // batch 1 (on-time B): H11 ×1, plus 13:30 RAISING the on-time max
+    //   above batch 0's → wm candidate B = 13:29. Candidates A and B
+    //   differ, so batch 2 discriminates WHICH watermark filters late
+    //   rows (ADVICE r10: with b1max < b0max the lag was unpinned).
+    // batch 2 (stragglers) — filter wm OBSERVED = candidate A (the lag
+    // is real; a candidate-B filter would drop the 12:30 row, asserted
+    // below):
+    //   10:15 → H10 (end 11:00 ≤ both candidates) → DROPPED either way
+    //   12:00:30 → raw ts < 12:01 but H12 end 13:00 > 12:01 → the
     //     drop-predicate DISCRIMINATOR: kept iff the filter keys on
     //     WINDOW END, dropped iff it keys on raw ts
-    //   13:59 → new global max → final wm 13:58 → H2 emits, H3 doesn't
+    //   12:30 → H12 end 13:00: kept iff the filter wm is candidate A
+    //     (13:00 > 12:01), dropped iff candidate B (13:00 ≤ 13:29) —
+    //     the LAG discriminator
+    //   14:59 → new global max → final wm 14:58 → H13 emits, H14 doesn't
     val files = Seq(
       ("ontime_a", Seq((1L, ts("2024-01-01 10:10:00")), (2L, ts("2024-01-01 10:20:00")),
         (4L, ts("2024-01-01 12:02:00")))),
-      ("ontime_b", Seq((3L, ts("2024-01-01 11:10:00")))),
-      ("late", Seq((7L, ts("2024-01-01 10:15:00")), (14L, ts("2024-01-01 12:00:30")),
-        (21L, ts("2024-01-01 13:59:00")))))
+      ("ontime_b", Seq((3L, ts("2024-01-01 11:10:00")), (5L, ts("2024-01-01 13:30:00")))),
+      ("late", Seq((7L, ts("2024-01-01 10:15:00")), (35L, ts("2024-01-01 12:00:30")),
+        (14L, ts("2024-01-01 12:30:00")), (21L, ts("2024-01-01 14:59:00")))))
     val path = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "latecensus").toString
     val t0 = (System.currentTimeMillis() / 1000L) * 1000L - 3600L * 1000L
@@ -313,10 +321,15 @@ class StreamingSpec extends SparkSpec {
       .orderBy("bucket_us").as[(Long, Long, Long, Long)].collect().toSeq
     def hourUs(s: String) = ts(s).getTime * 1000L
     assert(got == Seq(
-      (hourUs("2024-01-01 10:00:00"), 2L, 3L, 1L), // straggler to closed H0 dropped
+      (hourUs("2024-01-01 10:00:00"), 2L, 3L, 1L), // straggler to closed H10 dropped
       (hourUs("2024-01-01 11:00:00"), 1L, 1L, 0L),
-      (hourUs("2024-01-01 12:00:00"), 2L, 2L, 0L)  // open H2 absorbed its straggler
-    ), got.toString) // H3 (end 14:00 > final wm 13:58) never emits
+      // H12 emits ALL THREE: the 12:30 row survives, so the filter wm is
+      // candidate A (batch-0's max, lagging batch 1's) — the one-batch
+      // late-wm lag q_stream_late's oracle (`wml` over the batch-0 slice
+      // only) depends on is now pinned, not coincidental
+      (hourUs("2024-01-01 12:00:00"), 3L, 3L, 0L),
+      (hourUs("2024-01-01 13:00:00"), 1L, 1L, 0L)
+    ), got.toString) // H14 (end 15:00 > final wm 14:58) never emits
   }
 
   test("topk replay: incremental heavy hitters equal the batch census, deterministic ties") {
