@@ -598,7 +598,28 @@ object ScaleProbe {
     // 58x on 0.1 -> 5.8 MB ABSOLUTE: the base pre-collapses to 5 fold
     // rows in ~1 split while the replica's partial-distinct state is
     // splits × users — matched layouts => linear in users)
-    "q_group_folds" -> true
+    "q_group_folds" -> true,
+    // round-11 wave 1:
+    // prefix dedup = one (hash, hash) pair shuffle per doc — the
+    // q_dedup_exact shape with a second hash column
+    "q_dedup_prefix" -> false,
+    // hapax / zipf ride the (lang, term) frequency census; vocab is
+    // constant across verbatim copies (the q_chi2_terms class), zipf
+    // adds only a class-census window (domain-bounded)
+    "q_hapax_ratio" -> false,
+    "q_zipf_fit" -> false,
+    // CMS census = ×4 explode + 1,024 DOMAIN-bounded register groups;
+    // partial-agg state = input_partitions × 1,024 (the q_hotspot /
+    // q_embed_drift layout class — flat on matched layouts)
+    "q_cms_census" -> true,
+    // CMS estimate adds the user-keyed true-count agg — the
+    // q_abtest/q_seq_pairs (user)-keyed base-single-split class
+    "q_cms_estimate" -> true,
+    // PR curve / AP / Brier = the q_auc (day, bin) census class: one
+    // map-side count agg, window over the domain-bounded census only
+    "q_pr_curve" -> false,
+    "q_avg_precision" -> false,
+    "q_brier" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

@@ -394,4 +394,56 @@ object Approx {
         (abs(col("_est_inter") - col("n_inter")) <=
           greatest(col("n_union") * tolFrac, lit(1.0))).as("incl_excl_ok"))
   }
+
+  /** Count-min sketch REGISTER census — the frequency twin of
+    * [[hllRegisterCensus]] (HLL answers "how many distinct", CMS answers
+    * "about how often does key X occur" in O(depth·width) space — the
+    * building block of streaming heavy-hitter and per-key rate-limit
+    * state): `depth` independent md5-derived rows × `width` counters,
+    * each event incrementing one counter per row. The census IS the
+    * sketch state, so two engines agreeing on every register agree on
+    * every possible point query — bit-determinism by construction, the
+    * [[hllRegisterCensus]] oracle argument. Cost: one `explode(depth)` +
+    * one (row, col) count agg, ≤ depth·width result rows.
+    * Output: (row_id, col_id, n). */
+  def cmsRegisterCensus(
+      df: DataFrame,
+      keyCol: Column,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(width == 256, s"width fixed at 256 (one md5 byte): $width")
+    df.select(keyCol.cast("string").as("_k"))
+      .withColumn("row_id", explode(sequence(lit(0L), lit(depth - 1L))))
+      .withColumn("col_id",
+        expr("CAST(conv(substring(md5(concat(row_id, ':', _k)), 1, 2), 16, 10) AS BIGINT)"))
+      .groupBy(col("row_id"), col("col_id"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** CMS point-query check — estimates (min over the key's `depth`
+    * registers) against true counts for the heaviest keys, the
+    * overestimate-only contract (est ≥ true always; est−true is the
+    * collision noise a capacity planner sizes width against). Probe keys
+    * are the top-k true-count keys (deterministic ties by key). The
+    * register frame is domain-bounded (depth·width), broadcast onto the
+    * k probe rows. Output: (key, n_true, n_est, overcount). */
+  def cmsPointChecks(
+      df: DataFrame,
+      keyCol: Column,
+      topK: Int,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val regs = cmsRegisterCensus(df, keyCol, depth, width)
+    val top = df.select(keyCol.cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("key")).limit(topK)
+    top
+      .withColumn("row_id", explode(sequence(lit(0L), lit(depth - 1L))))
+      .withColumn("col_id",
+        expr("CAST(conv(substring(md5(concat(row_id, ':', key)), 1, 2), 16, 10) AS BIGINT)"))
+      .join(broadcast(regs), Seq("row_id", "col_id"))
+      .groupBy(col("key"), col("n_true"))
+      .agg(min(col("n")).as("n_est"))
+      .withColumn("overcount", col("n_est") - col("n_true"))
+  }
 }

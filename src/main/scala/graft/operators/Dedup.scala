@@ -669,6 +669,29 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** PREFIX dedup census — the cheap first-pass a crawl pipeline runs
+    * before any shingling (boilerplate mirrors, re-hosted articles and
+    * truncated re-crawls share their opening bytes long before they
+    * agree end-to-end): group by the md5 of the first `prefixChars`
+    * characters, report groups that collide, with the exact-duplicate
+    * count inside each prefix group so "same opening, different body"
+    * (the near-dup candidates a MinHash pass should verify) is separated
+    * from plain exact copies. Shuffles one (hash, hash) pair per doc —
+    * the text never moves. Output: (prefix_md5, n_docs, n_distinct_texts,
+    * keeper_id). */
+  def prefixDupGroups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefixChars: Int): DataFrame =
+    df.select(md5(substring(col(textCol), 1, prefixChars).cast("binary")).as("prefix_md5"),
+        md5(col(textCol).cast("binary")).as("_full_md5"), col(idCol))
+      .groupBy(col("prefix_md5"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("_full_md5")).as("n_distinct_texts"),
+        min(col(idCol)).as("keeper_id"))
+      .filter(col("n_docs") > 1L)
+
   // nibble ≥ 8 ⟺ ascii(hex char) ≥ '8' (56): '0'-'7' are 48-55, '8'/'9'
   // are 56/57, 'a'-'f' are 97-102 — one integer compare per nibble instead
   // of an 8-way string IN

@@ -1955,4 +1955,114 @@ object Stats {
       .select(col("_g").as("g"), col("n_pos"), col("n_neg"),
         col("_u2").cast("long").as("u2"), col("auc_ppm"))
   }
+
+  /** Exact per-group precision-recall curve — the threshold-sweep
+    * companion of [[aucByGroup]] (AUC summarizes rank order; the PR
+    * curve shows WHERE the ranker is usable, the question a curation
+    * team asks before picking a quality-score cutoff): one point per
+    * distinct score bucket, scanning thresholds from the highest bucket
+    * down. Census-first like AUC: the row-sized work is ONE
+    * (group, bucket) count agg; the cumulative window runs over the
+    * domain-bounded census only. Output: (g, bucket, tp, fp, fn,
+    * precision_ppm, recall_ppm, f1_ppm). */
+  def prCurveByGroup(
+      df: DataFrame,
+      groupCol: Column,
+      bucketCol: Column,
+      posCol: Column): DataFrame = {
+    val census = df
+      .select(groupCol.as("g"), bucketCol.as("bucket"),
+        posCol.cast("long").as("_p"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(sum(col("_p")).as("_np"), sum(lit(1L) - col("_p")).as("_nn"))
+    val w = Window.partitionBy(col("g")).orderBy(col("bucket").desc)
+    val wAll = Window.partitionBy(col("g"))
+    census
+      .withColumn("tp", sum(col("_np")).over(w))
+      .withColumn("fp", sum(col("_nn")).over(w))
+      .withColumn("fn", sum(col("_np")).over(wAll) - col("tp"))
+      .withColumn("precision_ppm",
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV (tp + fp) AS BIGINT)"))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0L,
+          expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV (tp + fn) AS BIGINT)")))
+      .withColumn("f1_ppm",
+        when(expr("2 * tp + fp + fn") > 0L,
+          expr("CAST(2 * CAST(tp AS DECIMAL(38,0)) * 1000000 DIV (2 * tp + fp + fn) AS BIGINT)")))
+      .select(col("g"), col("bucket"), col("tp"), col("fp"), col("fn"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+  }
+
+  /** Average precision per group — the single-number PR-curve summary
+    * (the retrieval-eval twin of AUC under class imbalance): AP =
+    * Σ_buckets Δtp · precision / P over the SAME score-bucket census as
+    * [[prCurveByGroup]], evaluated highest-bucket-first — Δtp at a
+    * bucket is its positive count, precision is the floored ppm at that
+    * threshold, and the final division floors last, so the number
+    * replays exactly cross-engine. Output: (g, n_pos, ap_ppm). */
+  def avgPrecisionByGroup(
+      df: DataFrame,
+      groupCol: Column,
+      bucketCol: Column,
+      posCol: Column): DataFrame = {
+    val census = df
+      .select(groupCol.as("g"), bucketCol.as("bucket"),
+        posCol.cast("long").as("_p"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(sum(col("_p")).as("_np"), sum(lit(1L) - col("_p")).as("_nn"))
+    val w = Window.partitionBy(col("g")).orderBy(col("bucket").desc)
+    census
+      .withColumn("tp", sum(col("_np")).over(w))
+      .withColumn("fp", sum(col("_nn")).over(w))
+      .withColumn("_prec",
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV (tp + fp) AS BIGINT)"))
+      .groupBy(col("g"))
+      .agg(sum(col("_np")).as("n_pos"),
+        sum(expr("CAST(_np AS DECIMAL(38,0)) * _prec")).as("_ap_num"))
+      .withColumn("ap_ppm",
+        when(col("n_pos") > 0L, expr("CAST(_ap_num DIV n_pos AS BIGINT)")))
+      .select(col("g"), col("n_pos"), col("ap_ppm"))
+  }
+
+  /** Brier-score decomposition — the probabilistic-forecast quality
+    * census (reliability / resolution / uncertainty; Murphy 1973): how
+    * well do claimed probabilities match observed outcome rates, and
+    * how much of the error is miscalibration vs inherent noise? All
+    * integer: probabilities arrive as milli-units (0..1000), every
+    * division is a floor division in a defined order, so the ppm
+    * outputs replay exactly cross-engine. Cost: one row-sized agg for
+    * the Brier sum + one `bins`-row calibration census. Output one row:
+    * (n, brier_ppm, rel_ppm, res_ppm, unc_ppm). */
+  def brierDecomposition(
+      df: DataFrame,
+      probMilliCol: Column,
+      posCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1 && 1000 % bins == 0, s"bins must divide 1000: $bins")
+    val b = df.select(probMilliCol.cast("long").as("_p"),
+      posCol.cast("long").as("_o"))
+      .withColumn("_bin", expr(s"_p DIV ${1000 / bins}"))
+    val perBin = b.groupBy(col("_bin"))
+      .agg(count(lit(1)).as("_n"), sum(col("_p")).as("_sp"),
+        sum(col("_o")).as("_so"),
+        sum(expr("CAST((_p - 1000 * _o) AS DECIMAL(38,0)) * (_p - 1000 * _o)")).as("_se"))
+      .withColumn("_om", expr("1000 * _so DIV _n"))
+    // 1-row global (count, Brier sum, reliability sum, base rate) joined
+    // back by broadcast — the bins-row census never leaves the executors
+    val glob = perBin
+      .agg(sum(col("_n")).as("n"), sum(col("_se")).as("_sum_e"),
+        sum(expr("""(CAST(_sp AS DECIMAL(38,0)) - 1000 * _so)
+                   | * (CAST(_sp AS DECIMAL(38,0)) - 1000 * _so) DIV _n""".stripMargin))
+          .as("_rel"),
+        sum(col("_so")).as("_sot"))
+      .withColumn("_omg", expr("1000 * _sot DIV n"))
+    perBin.crossJoin(broadcast(glob))
+      .groupBy(col("n"), col("_sum_e"), col("_rel"), col("_omg"))
+      .agg(sum(expr("CAST(_n AS DECIMAL(38,0)) * (_om - _omg) * (_om - _omg)")).as("_res"))
+      .select(col("n"),
+        expr("CAST(_sum_e DIV n AS BIGINT)").as("brier_ppm"),
+        expr("CAST(_rel DIV n AS BIGINT)").as("rel_ppm"),
+        expr("CAST(_res DIV n AS BIGINT)").as("res_ppm"),
+        expr("CAST(_omg * (1000 - _omg) AS BIGINT)").as("unc_ppm"))
+  }
 }

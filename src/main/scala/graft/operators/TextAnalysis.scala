@@ -911,4 +911,76 @@ object TextAnalysis {
       .orderBy(col("score_ppm").desc, col("phrase"))
       .limit(topK)
   }
+
+  /** Vocabulary-richness census per group — the lexical-diversity
+    * quality gate (a spammy or template-generated slice shows a
+    * collapsed type-token ratio; an OCR-noise slice shows an inflated
+    * hapax share): per group, token count, vocabulary size, hapax count
+    * (corpus-frequency-1 terms), type-token ratio and hapax/vocab share
+    * in ppm. Cost is ONE (group, term) frequency census (the same
+    * shuffle any tf pass pays); the per-group rollup rides the census,
+    * never the raw tokens twice. */
+  def hapaxCensus(docs: DataFrame, groupCol: Column, textCol: String): DataFrame = {
+    val tf = docs
+      .select(groupCol.as("g"), explode(tokens(col(textCol))).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .groupBy(col("g"), col("_t")).agg(count(lit(1)).as("_f"))
+    tf.groupBy(col("g"))
+      .agg(sum(col("_f")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(when(col("_f") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_ppm",
+        expr("CAST(CAST(n_vocab AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)"))
+      .withColumn("hapax_ppm",
+        expr("CAST(CAST(n_hapax AS DECIMAL(38,0)) * 1000000 DIV n_vocab AS BIGINT)"))
+  }
+
+  /** Zipf-law fit per group — the power-law sanity check of a corpus
+    * census (natural language shows rank-frequency slope near −1 in
+    * log-log space; machine-generated or truncated corpora drift): OLS
+    * slope over (x, y) = (⌊log₂ rank⌋, ⌊log₂ freq⌋), all-integer via
+    * bit length (`length(bin(n)) − 1`), so the fit replays exactly in
+    * any engine with a binary formatter — no libm on either side.
+    *
+    * Scale shape: terms are never individually ranked. x depends only
+    * on the rank's log₂ bucket, so the fit needs just the per-group
+    * (freq → n_terms) CLASS census (O(√tokens) rows by Zipf itself):
+    * a freq class ordered by freq desc occupies the contiguous rank
+    * range [hi−nt+1, hi] (any within-class tiebreak permutes positions
+    * inside the range, leaving every per-class rank multiset — and so
+    * every sum below — unchanged), and the class×log-bucket overlap
+    * counts are closed-form. The only window runs over the class
+    * census, not the vocabulary. Output: (g, n_terms, sum_x, sum_y,
+    * sum_xy, sum_xx, slope_ppm). */
+  def zipfFit(docs: DataFrame, groupCol: Column, textCol: String): DataFrame = {
+    val tf = docs
+      .select(groupCol.as("g"), explode(tokens(col(textCol))).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .groupBy(col("g"), col("_t")).agg(count(lit(1)).as("_f"))
+    val classes = tf.groupBy(col("g"), col("_f")).agg(count(lit(1)).as("_nt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("_f").desc)
+    val ranged = classes
+      .withColumn("_hi", sum(col("_nt")).over(w))
+      .withColumn("_lo", col("_hi") - col("_nt") + 1L)
+    def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val buckets = ranged
+      .withColumn("_y", ilog2(col("_f")))
+      .withColumn("_k", explode(sequence(ilog2(col("_lo")), ilog2(col("_hi")))))
+      // ranks of this class inside log-bucket k: [max(lo, 2^k), min(hi, 2^(k+1)-1)]
+      .withColumn("_cnt",
+        least(col("_hi"), expr("shiftleft(CAST(1 AS BIGINT), CAST(_k AS INT) + 1) - 1")) -
+          greatest(col("_lo"), expr("shiftleft(CAST(1 AS BIGINT), CAST(_k AS INT))")) + 1L)
+    buckets.groupBy(col("g"))
+      .agg(sum(col("_cnt")).as("n_terms"),
+        sum(col("_cnt") * col("_k")).as("sum_x"),
+        sum(col("_cnt") * col("_y")).as("sum_y"),
+        sum(col("_cnt") * col("_k") * col("_y")).as("sum_xy"),
+        sum(col("_cnt") * col("_k") * col("_k")).as("sum_xx"))
+      .withColumn("slope_ppm",
+        when(col("n_terms") * col("sum_xx") - col("sum_x") * col("sum_x") =!= 0L,
+          expr("""CAST((CAST(n_terms AS DECIMAL(38,0)) * sum_xy - CAST(sum_x AS DECIMAL(38,0)) * sum_y)
+                 |  * 1000000
+                 |  DIV (CAST(n_terms AS DECIMAL(38,0)) * sum_xx - CAST(sum_x AS DECIMAL(38,0)) * sum_x)
+                 |  AS BIGINT)""".stripMargin)))
+  }
 }

@@ -6303,6 +6303,102 @@ object CoreQueries {
              |            END AS BIGINT) AS auc_ppm
              |FROM a ORDER BY day""".stripMargin)),
 
+    // Exact per-day precision-recall curve — the threshold sweep AUC
+    // summarizes away (WHERE is the ranker usable — the question before
+    // picking a quality-score cutoff). Census-first like q_auc: one
+    // (day, score-bin) count agg; the cumulative window runs over the
+    // domain-bounded census only. Bins are the q_calibration_ece 50k
+    // score bands.
+    Q("q_pr_curve",
+      (s, dir) => Stats.prCurveByGroup(Tables.events(s, dir),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"),
+          expr("CAST(floor(value * 1000) AS BIGINT) DIV 50000"),
+          (col("event_type") === "purchase").cast("long"))
+        .withColumnRenamed("g", "day").orderBy("day", "bucket"),
+      Some("""WITH b AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |                  CAST(floor(value * 1000) AS BIGINT) // 50000 AS bucket,
+             |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             |           FROM events),
+             |c AS (SELECT day, bucket, CAST(sum(p) AS BIGINT) AS np,
+             |             CAST(sum(1 - p) AS BIGINT) AS nn FROM b GROUP BY 1, 2),
+             |w AS (SELECT day, bucket,
+             |             sum(np) OVER (PARTITION BY day ORDER BY bucket DESC) AS tp,
+             |             sum(nn) OVER (PARTITION BY day ORDER BY bucket DESC) AS fp,
+             |             sum(np) OVER (PARTITION BY day) - sum(np)
+             |               OVER (PARTITION BY day ORDER BY bucket DESC) AS fn
+             |      FROM c)
+             |SELECT day, bucket, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             |       CAST(fn AS BIGINT) AS fn,
+             |       CAST(CAST(tp AS HUGEINT) * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+             |       CAST(CASE WHEN tp + fn > 0
+             |            THEN CAST(tp AS HUGEINT) * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
+             |       CAST(CASE WHEN 2 * tp + fp + fn > 0
+             |            THEN 2 * CAST(tp AS HUGEINT) * 1000000 // (2 * tp + fp + fn)
+             |            END AS BIGINT) AS f1_ppm
+             |FROM w ORDER BY day, bucket""".stripMargin)),
+
+    // Average precision per day — the single-number PR summary (the
+    // class-imbalance-honest twin of AUC): Σ Δtp·precision ÷ P over the
+    // same score-bin census, floor divisions in a defined order.
+    Q("q_avg_precision",
+      (s, dir) => Stats.avgPrecisionByGroup(Tables.events(s, dir),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"),
+          expr("CAST(floor(value * 1000) AS BIGINT) DIV 50000"),
+          (col("event_type") === "purchase").cast("long"))
+        .withColumnRenamed("g", "day").orderBy("day"),
+      Some("""WITH b AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |                  CAST(floor(value * 1000) AS BIGINT) // 50000 AS bucket,
+             |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             |           FROM events),
+             |c AS (SELECT day, bucket, CAST(sum(p) AS BIGINT) AS np,
+             |             CAST(sum(1 - p) AS BIGINT) AS nn FROM b GROUP BY 1, 2),
+             |w AS (SELECT day, np,
+             |             sum(np) OVER (PARTITION BY day ORDER BY bucket DESC) AS tp,
+             |             sum(nn) OVER (PARTITION BY day ORDER BY bucket DESC) AS fp
+             |      FROM c),
+             |a AS (SELECT day, CAST(sum(np) AS BIGINT) AS n_pos,
+             |             sum(CAST(np AS HUGEINT)
+             |                 * (CAST(tp AS HUGEINT) * 1000000 // (tp + fp))) AS ap_num
+             |      FROM w GROUP BY 1)
+             |SELECT day, n_pos,
+             |       CAST(CASE WHEN n_pos > 0 THEN ap_num // n_pos END AS BIGINT) AS ap_ppm
+             |FROM a ORDER BY day""".stripMargin)),
+
+    // Brier-score decomposition (reliability / resolution / uncertainty,
+    // Murphy 1973) — does the claimed probability match the observed
+    // rate, and is the error miscalibration or inherent noise? The
+    // pseudo-forecast is the value's milli fraction (deterministic);
+    // outcome = purchase. One row-sized agg + one 10-bin census, every
+    // division floored in a defined order — replays exactly.
+    Q("q_brier",
+      (s, dir) => Stats.brierDecomposition(Tables.events(s, dir),
+          expr("CAST(floor(value * 1000) AS BIGINT) % 1000"),
+          (col("event_type") === "purchase").cast("long"))
+        .orderBy("n"),
+      Some("""WITH b AS (SELECT CAST(floor(value * 1000) AS BIGINT) % 1000 AS p,
+             |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
+             |           FROM events),
+             |pb AS (SELECT p // 100 AS bin, CAST(count(*) AS BIGINT) AS n_k,
+             |              CAST(sum(p) AS BIGINT) AS sp, CAST(sum(o) AS BIGINT) AS so,
+             |              sum(CAST(p - 1000 * o AS HUGEINT) * (p - 1000 * o)) AS se
+             |       FROM b GROUP BY 1),
+             |pb2 AS (SELECT *, 1000 * so // n_k AS om FROM pb),
+             |g AS (SELECT CAST(sum(n_k) AS BIGINT) AS n, sum(se) AS sum_e,
+             |             sum((CAST(sp AS HUGEINT) - 1000 * so)
+             |                 * (CAST(sp AS HUGEINT) - 1000 * so) // n_k) AS rel,
+             |             CAST(sum(so) AS BIGINT) AS sot
+             |      FROM pb2),
+             |g2 AS (SELECT *, 1000 * sot // n AS omg FROM g),
+             |r AS (SELECT g2.n, g2.sum_e, g2.rel, g2.omg,
+             |             sum(CAST(pb2.n_k AS HUGEINT) * (pb2.om - g2.omg)
+             |                 * (pb2.om - g2.omg)) AS res
+             |      FROM pb2 CROSS JOIN g2 GROUP BY 1, 2, 3, 4)
+             |SELECT n, CAST(sum_e // n AS BIGINT) AS brier_ppm,
+             |       CAST(rel // n AS BIGINT) AS rel_ppm,
+             |       CAST(res // n AS BIGINT) AS res_ppm,
+             |       CAST(omg * (1000 - omg) AS BIGINT) AS unc_ppm
+             |FROM r ORDER BY n""".stripMargin)),
+
     // Leave-one-out m-estimate target encoding of event_type on value —
     // the leak-safe high-cardinality categorical feature: each row's own
     // target is excluded from its category mean and rare categories

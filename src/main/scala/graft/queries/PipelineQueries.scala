@@ -267,6 +267,77 @@ object PipelineQueries {
       Some("""SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // PREFIX dedup census — the cheap first pass before shingling:
+    // mirror sites and truncated re-crawls share their opening bytes
+    // long before they agree end-to-end. Groups colliding on the
+    // md5 of the first 64 chars, split into exact copies vs
+    // same-opening-different-body (the MinHash candidates). One
+    // (hash, hash) pair per doc shuffles; text never moves.
+    Q("q_dedup_prefix",
+      (s, dir) =>
+        Dedup.prefixDupGroups(Tables.documents(s, dir), "doc_id", "text", 64)
+          .orderBy("prefix_md5"),
+      Some("""SELECT md5(substr(text, 1, 64)) AS prefix_md5,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+             |       min(doc_id) AS keeper_id
+             |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
+
+    // Vocabulary-richness census — the lexical-diversity quality gate
+    // (template spam collapses the type-token ratio; OCR noise inflates
+    // the hapax share). One (lang, term) frequency census; the rollup
+    // rides the census.
+    Q("q_hapax_ratio",
+      (s, dir) => TextAnalysis.hapaxCensus(
+          Tables.documents(s, dir), col("lang"), "text")
+        .withColumnRenamed("g", "lang").orderBy("lang"),
+      Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+             |           FROM documents),
+             |tf AS (SELECT lang, term, count(*) AS f FROM t
+             |       WHERE term <> '' GROUP BY 1, 2),
+             |a AS (SELECT lang, CAST(sum(f) AS BIGINT) AS n_tokens,
+             |             CAST(count(*) AS BIGINT) AS n_vocab,
+             |             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+             |      FROM tf GROUP BY 1)
+             |SELECT lang, n_tokens, n_vocab, n_hapax,
+             |       CAST(CAST(n_vocab AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+             |       CAST(CAST(n_hapax AS HUGEINT) * 1000000 // n_vocab AS BIGINT) AS hapax_ppm
+             |FROM a ORDER BY lang""".stripMargin)),
+
+    // Zipf-law fit per language — the power-law census sanity check
+    // (natural language sits near slope −1 in log-log rank-frequency;
+    // generated or truncated corpora drift). All-integer via bit
+    // length; terms are NEVER individually ranked — the fit runs on
+    // the (freq, n_terms) class census, whose rank ranges are closed
+    // form (see TextAnalysis.zipfFit). The oracle ranks naively: any
+    // within-class tiebreak leaves the per-class rank multiset — and
+    // every sum — unchanged, which is the equivalence the spec pins.
+    Q("q_zipf_fit",
+      (s, dir) => TextAnalysis.zipfFit(
+          Tables.documents(s, dir), col("lang"), "text")
+        .withColumnRenamed("g", "lang").orderBy("lang"),
+      Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+             |           FROM documents),
+             |tf AS (SELECT lang, term, count(*) AS f FROM t
+             |       WHERE term <> '' GROUP BY 1, 2),
+             |r AS (SELECT lang, f,
+             |             row_number() OVER (PARTITION BY lang ORDER BY f DESC, term) AS rk
+             |      FROM tf),
+             |xy AS (SELECT lang, CAST(length(bin(rk)) - 1 AS BIGINT) AS x,
+             |              CAST(length(bin(f)) - 1 AS BIGINT) AS y FROM r),
+             |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+             |             CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+             |             CAST(sum(x * y) AS BIGINT) AS sum_xy,
+             |             CAST(sum(x * x) AS BIGINT) AS sum_xx
+             |      FROM xy GROUP BY 1)
+             |SELECT lang, n_terms, sum_x, sum_y, sum_xy, sum_xx,
+             |       CAST(CASE WHEN n_terms * sum_xx - sum_x * sum_x <> 0 THEN
+             |         (CAST(n_terms AS HUGEINT) * sum_xy - CAST(sum_x AS HUGEINT) * sum_y)
+             |           * 1000000
+             |           // (CAST(n_terms AS HUGEINT) * sum_xx - CAST(sum_x AS HUGEINT) * sum_x)
+             |         END AS BIGINT) AS slope_ppm
+             |FROM a ORDER BY lang""".stripMargin)),
+
     Q("q_dedup_minhash",
       (s, dir) => {
         // _toks bound as a real column BEFORE the shingle HOF (see
@@ -2879,6 +2950,62 @@ object PipelineQueries {
             date_trunc("day", col("ts")))
           .orderBy("register"),
       Some(hllCensusOracleSql)),
+
+    // Count-min sketch register census — the FREQUENCY twin of
+    // q_hll_census (HLL: how many distinct; CMS: about how often per
+    // key, in depth×width space — streaming heavy-hitter / rate-limit
+    // state). The census IS the sketch: engines agreeing on every
+    // register agree on every point query. 4 md5-derived rows × 256
+    // byte-columns, one explode + one count agg.
+    Q("q_cms_census",
+      (s, dir) =>
+        graft.operators.Approx.cmsRegisterCensus(
+            Tables.events(s, dir), col("user_id"))
+          .orderBy("row_id", "col_id"),
+      Some("""WITH r AS (SELECT CAST(x AS BIGINT) AS row_id FROM (VALUES (0), (1), (2), (3)) v(x)),
+             |h AS (SELECT row_id,
+             |             md5(CAST(row_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) AS h
+             |      FROM events CROSS JOIN r),
+             |c AS (SELECT row_id,
+             |             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             |                + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT) AS col_id
+             |      FROM h)
+             |SELECT row_id, col_id, CAST(count(*) AS BIGINT) AS n
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // CMS point-query audit: estimates (min over the key's 4 registers)
+    // vs true counts for the 20 heaviest users — the overestimate-only
+    // contract (est ≥ true; the overcount is the collision noise width
+    // is sized against), hash-checked cross-engine.
+    Q("q_cms_estimate",
+      (s, dir) =>
+        graft.operators.Approx.cmsPointChecks(
+            Tables.events(s, dir), col("user_id"), topK = 20)
+          .orderBy(col("n_true").desc, col("key")),
+      Some("""WITH t AS (SELECT CAST(user_id AS VARCHAR) AS key,
+             |                  CAST(count(*) AS BIGINT) AS n_true
+             |           FROM events GROUP BY 1
+             |           ORDER BY n_true DESC, key LIMIT 20),
+             |r AS (SELECT CAST(x AS BIGINT) AS row_id FROM (VALUES (0), (1), (2), (3)) v(x)),
+             |h AS (SELECT row_id,
+             |             md5(CAST(row_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) AS h
+             |      FROM events CROSS JOIN r),
+             |regs AS (SELECT row_id,
+             |                CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             |                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT) AS col_id,
+             |                CAST(count(*) AS BIGINT) AS n
+             |         FROM h GROUP BY 1, 2),
+             |p AS (SELECT t.key, t.n_true, r.row_id,
+             |             md5(CAST(r.row_id AS VARCHAR) || ':' || t.key) AS h
+             |      FROM t CROSS JOIN r),
+             |pc AS (SELECT key, n_true, row_id,
+             |              CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             |                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT) AS col_id
+             |       FROM p),
+             |est AS (SELECT pc.key, pc.n_true, min(regs.n) AS n_est
+             |        FROM pc JOIN regs USING (row_id, col_id) GROUP BY 1, 2)
+             |SELECT key, n_true, n_est, n_est - n_true AS overcount
+             |FROM est ORDER BY n_true DESC, key""".stripMargin)),
 
     // Per-GROUP HLL register cube — "distinct users per event type" as
     // fixed-size sketch state (|groups|·2⁸ rows) instead of a per-group

@@ -840,4 +840,23 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
     assert(g2 == ((5L, 3L, 0L, 0L, 700000L, None)), g2.toString)
   }
+
+  test("prefixDupGroups: shared opening separates exact copies from near-dup candidates") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "shared opening words then body one"),
+      (2L, "shared opening words then body two"), // same prefix, different body
+      (3L, "shared opening words then body one"), // exact copy of 1
+      (4L, "a unique document entirely"),
+      (5L, "another singleton text")).toDF("doc_id", "text")
+    val got = Dedup.prefixDupGroups(docs, "doc_id", "text", prefixChars = 20)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // only the shared-prefix group (docs 1,2,3) collides: 3 docs, 2
+    // distinct full texts, keeper 1; singletons filtered
+    assert(got.size == 1, got.toString)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("shared opening words then body one".take(20).getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+    assert(got.head == ((h, 3L, 2L, 1L)), got.head.toString)
+  }
 }

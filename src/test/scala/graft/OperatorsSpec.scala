@@ -1879,4 +1879,91 @@ class OperatorsSpec extends SparkSpec {
     }.sortBy(r => (r._3, r._1)).map(r => (r._1, r._2, r._3, r._4))
     assert(got == want, s"got=$got want=$want")
   }
+
+  test("prCurveByGroup + avgPrecisionByGroup match the brute threshold sweep") {
+    import graft.operators.Stats
+    // group "a": scores with ties and a pure-negative bucket;
+    // group "b": all positives (recall defined, fp = 0 everywhere)
+    val rows = Seq(
+      ("a", 3L, 1L), ("a", 3L, 0L), ("a", 2L, 1L), ("a", 2L, 1L),
+      ("a", 1L, 0L), ("a", 0L, 0L),
+      ("b", 5L, 1L), ("b", 4L, 1L)).toDF("g", "s", "p")
+    val got = Stats.prCurveByGroup(rows, $"g", $"s", $"p")
+      .orderBy("g", "bucket")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    def brute(g: String, data: Seq[(Long, Long)]) = {
+      val pTot = data.map(_._2).sum
+      data.map(_._1).distinct.sorted.map { t =>
+        val tp = data.filter(r => r._1 >= t).map(_._2).sum
+        val fp = data.count(r => r._1 >= t) - tp
+        val fn = pTot - tp
+        (g, t, tp, fp, fn, tp * 1000000L / (tp + fp),
+          if (tp + fn > 0) tp * 1000000L / (tp + fn) else -1L,
+          if (2 * tp + fp + fn > 0) 2 * tp * 1000000L / (2 * tp + fp + fn) else -1L)
+      }
+    }
+    val aData = Seq((3L, 1L), (3L, 0L), (2L, 1L), (2L, 1L), (1L, 0L), (0L, 0L))
+    val bData = Seq((5L, 1L), (4L, 1L))
+    assert(got == brute("a", aData) ++ brute("b", bData), got.toString)
+    val ap = Stats.avgPrecisionByGroup(rows, $"g", $"s", $"p")
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    def bruteAp(g: String, data: Seq[(Long, Long)]) = {
+      val byBucket = data.groupBy(_._1).toSeq.sortBy(-_._1)
+      var tp = 0L; var fp = 0L; var num = BigInt(0)
+      byBucket.foreach { case (_, rs) =>
+        val np = rs.map(_._2).sum; val nn = rs.size - np
+        tp += np; fp += nn
+        num += BigInt(np) * (tp * 1000000L / (tp + fp))
+      }
+      (g, data.map(_._2).sum, (num / data.map(_._2).sum).toLong)
+    }
+    assert(ap == Seq(bruteAp("a", aData), bruteAp("b", bData)), ap.toString)
+  }
+
+  test("brierDecomposition: perfectly-calibrated bins show zero reliability; hand case exact") {
+    import graft.operators.Stats
+    // bin 0 (p=50 milli): 1 of 20 positive (om=50 → gap 0 exact)
+    // bin 9 (p=950 milli): 19 of 20 positive (om=950 → gap 0 exact)
+    val calib = (0 until 20).map(i => (50L, if (i == 0) 1L else 0L)) ++
+      (0 until 20).map(i => (950L, if (i < 19) 1L else 0L))
+    val g1 = Stats.brierDecomposition(calib.toDF("p", "o"), $"p", $"o")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // brier_sum = (50-0)²·19 + (50-1000)² + (950-1000)²·19 + 950²
+    val sumE = 2500L * 19 + 950L * 950 + 2500L * 19 + 950L * 950
+    val om = (1000L * 20) / 40 // base rate 20/40 = 500 milli
+    assert(g1 == (40L, sumE / 40, 0L,
+      (20L * (50 - om) * (50 - om) + 20L * (950 - om) * (950 - om)) / 40,
+      om * (1000 - om)), g1.toString)
+    // decomposition sanity on the calibrated case: brier ≈ unc − res
+    assert(g1._2 == g1._5 - g1._4 + g1._3)
+  }
+
+  test("cms register census + point checks: md5 replay exact, estimates never undercount") {
+    import graft.operators.Approx
+    val keys = (0L until 400L).map(i => i * 31L % 23L) // 23 keys, skewed dups
+    val df = keys.toDF("k")
+    val got = Approx.cmsRegisterCensus(df, $"k", depth = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    def reg(r: Long, k: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$k".getBytes("UTF-8"))
+      (h(0) & 0xFF).toLong
+    }
+    val want = keys.flatMap(k => Seq(0L, 1L).map(r => (r, reg(r, k))))
+      .groupBy(identity).map { case ((r, c), v) => (r, c, v.size.toLong) }
+      .toSeq.sorted
+    assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
+    val checks = Approx.cmsPointChecks(df, $"k", topK = 5, depth = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(checks.size == 5)
+    checks.foreach { case (k, nTrue, nEst, over) =>
+      val trueN = keys.count(_.toString == k).toLong
+      assert(nTrue == trueN, s"key $k true count")
+      val wantEst = Seq(0L, 1L).map { r =>
+        val c = reg(r, k.toLong)
+        keys.count(x => reg(r, x) == c).toLong
+      }.min
+      assert(nEst == wantEst && over == nEst - nTrue && nEst >= nTrue, s"key $k est")
+    }
+  }
 }

@@ -480,4 +480,44 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().map(_._1).toSet
     assert(gp == Set("good", "bad dog"), gp.toString) // "cat." is a delimiter
   }
+
+  test("hapaxCensus: brute per-group frequency replay") {
+    val docs = Seq(
+      (1L, "en", "a b a c"), (2L, "en", "a d  e"), // double space → empty token dropped
+      (3L, "fr", "x x x")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.hapaxCensus(docs, $"lang", "text")
+      .orderBy("g").as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // en: tokens a,b,a,c,a,d,e = 7; vocab {a,b,c,d,e} = 5; hapax {b,c,d,e} = 4
+    // fr: tokens 3; vocab 1; hapax 0
+    assert(got == Seq(
+      ("en", 7L, 5L, 4L, 5000000L / 7, 4000000L / 5),
+      ("fr", 3L, 1L, 0L, 1000000L / 3, 0L)), got.toString)
+  }
+
+  test("zipfFit: class-range bucketing equals the naive per-term ranking") {
+    // skewed corpus: term frequencies 8,4,4,2,1,1,1,1 (9 terms incl ties)
+    val text = (Seq.fill(8)("t0") ++ Seq.fill(4)("t1") ++ Seq.fill(4)("t2") ++
+      Seq.fill(2)("t3") ++ Seq("t4", "t5", "t6", "t7")).mkString(" ")
+    val docs = Seq((1L, "en", text), (2L, "de", "x y y")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.zipfFit(docs, $"lang", "text")
+      .orderBy("g").as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    def ilog2(n: Long) = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    def naive(freqs: Seq[Long]) = {
+      val ranked = freqs.sorted(Ordering[Long].reverse).zipWithIndex
+        .map { case (f, i) => (ilog2(i + 1L), ilog2(f)) }
+      val n = ranked.size.toLong
+      val sx = ranked.map(_._1.toLong).sum; val sy = ranked.map(_._2.toLong).sum
+      val sxy = ranked.map(r => r._1.toLong * r._2).sum
+      val sxx = ranked.map(r => r._1.toLong * r._1).sum
+      val den = n * sxx - sx * sx
+      (n, sx, sy, sxy, sxx, if (den != 0) (n * sxy - sx * sy) * 1000000L / den else Long.MinValue)
+    }
+    val en = naive(Seq(8L, 4L, 4L, 2L, 1L, 1L, 1L, 1L))
+    // de "x y y": ranks (1,f=2),(2,f=1) → (x,y) = (0,1),(1,0):
+    // sx=1 sy=1 sxy=0 sxx=1 → slope = (2·0 − 1·1)·1e6 ÷ (2·1 − 1) = −1e6
+    assert(got.head == (("de", 2L, 1L, 1L, 0L, 1L, -1000000L)), got.head.toString)
+    assert(got(1) == (("en", en._1, en._2, en._3, en._4, en._5, en._6)), got(1).toString)
+    // slope for a Zipf-ish tail is negative and near −1e6 ppm
+    assert(en._6 < 0, s"slope ${en._6}")
+  }
 }
