@@ -619,7 +619,16 @@ object ScaleProbe {
     // map-side count agg, window over the domain-bounded census only
     "q_pr_curve" -> false,
     "q_avg_precision" -> false,
-    "q_brier" -> false
+    "q_brier" -> false,
+    // token-budget draw = one (group, 256-bucket) histogram agg + a
+    // codegen'd keep filter + a boundary-bucket-only (1/256 slice)
+    // window — linear in docs; driver math is ≤ groups×256 rows
+    "q_token_budget" -> false,
+    // global exact-k sample = one TakeOrdered (k-heap per partition)
+    "q_reservoir" -> false,
+    // per-source dup census = one (hash) count agg + one hash-keyed
+    // join back + a source rollup — the q_dedup_exact shuffle shape
+    "q_dup_by_source" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -707,7 +716,10 @@ object ScaleProbe {
     "q_harmonic_centrality",
     // round-9 wave 44: blocking-quality audit — the q_er_* fixed
     // 500-row customer ER scope
-    "q_er_quality")
+    "q_er_quality",
+    // round-11: bipartite check runs on the lineitem co-purchase axis
+    // (one q_bfs_hops BFS + one edges⋈labels join — the same class)
+    "q_bipartite")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

@@ -99,6 +99,36 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Bipartite check by BFS 2-coloring within a hop horizon — the
+    * parity audit behind sides-of-market / interaction-graph modeling
+    * (a user↔item graph that ISN'T bipartite has contaminated edges; an
+    * odd cycle is the witness). Colors are [[bfsHops]] hop parities; a
+    * CONFLICT is an edge joining two same-parity reached nodes. The
+    * standard BFS argument gives exactness on the reached subgraph: a
+    * same-parity edge closes an odd walk through the BFS tree (an odd
+    * cycle exists), and with no such edge the parity IS a proper
+    * 2-coloring — so `bipartite = (n_conflicts == 0)` characterizes
+    * bipartiteness of the subgraph induced on the reached nodes, not a
+    * heuristic. Cost: one BFS + one edges⋈labels⋈labels hash join.
+    * Output 1 row: (n_reached, n_edges, n_conflicts, bipartite). */
+  def bipartiteCheck(edges: DataFrame, seed: Long, maxHops: Int): DataFrame = {
+    val hops = graft.store.Staging.stage(
+      bfsHops(edges, seed, maxHops), "bip_hops")
+    val und = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().filter(col("u") < col("v")) // each undirected edge once
+    val labeled = und
+      .join(hops.select(col("node").as("u"), col("hop").as("_hu")), Seq("u"))
+      .join(hops.select(col("node").as("v"), col("hop").as("_hv")), Seq("v"))
+    labeled
+      .agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(when(pmod(col("_hu") + col("_hv"), lit(2L)) === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_conflicts"))
+      .crossJoin(broadcast(hops.agg(count(lit(1)).as("n_reached"))))
+      .select(col("n_reached"), col("n_edges"), col("n_conflicts"),
+        when(col("n_conflicts") === 0L, 1L).otherwise(0L).as("bipartite"))
+  }
+
   /** Single-source shortest hop counts by frontier expansion (unweighted
     * BFS — the reachability/radius primitive PageRank and triangles
     * don't cover). Undirected: edges are symmetrized. Each round joins

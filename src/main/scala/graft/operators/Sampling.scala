@@ -94,4 +94,85 @@ object Sampling {
         (offsetExpr + col("_cum") - col("_w")).as("cum_before"))
       .filter(mults(col("cum_before") + col("weight")) > mults(col("cum_before")))
   }
+
+  /** Per-group TOKEN-BUDGET corpus draw — the mixture knob a training
+    * run actually turns (q_mix_sample's quota counts DOCUMENTS; a
+    * token-budgeted mixture weighs the corpus in the unit the model
+    * consumes): per group, take documents in deterministic md5-hash
+    * order while the cumulative token weight stays within
+    * budget = total·num/den.
+    *
+    * Scale shape — the selection is the grouped 2-pass pattern
+    * (histogram → driver prefix walk → boundary-bucket-only fine pass),
+    * NOT a per-group cumulative window over all docs: md5 order is
+    * refined by its first byte, so a (group, bucket≤256) weight
+    * histogram finds each group's BOUNDARY bucket and the in-bucket
+    * remainder on the driver (≤ 256·groups rows, enforced), whole
+    * buckets below the boundary are kept by a codegen'd filter, and the
+    * per-group ordered cumsum runs over the boundary bucket's ~1/256
+    * slice only. A doc is kept iff its global-hash-order cumulative
+    * weight ≤ budget — bucket order IS hash-prefix order, so the two
+    * formulations are provably identical (spec'd against the naive
+    * window). Output per group: (g, n_docs, total_w, budget_w,
+    * n_selected, w_selected, sel_id_sum, sel_id_min, sel_id_max). */
+  def tokenBudgetSample(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: Column,
+      idCol: String,
+      weightCol: Column,
+      budgetNum: Long = 1L,
+      budgetDen: Long = 2L,
+      maxGroups: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, s"bad budget $budgetNum/$budgetDen")
+    val d = df.select(groupCol.cast("string").as("g"), col(idCol),
+        weightCol.cast("long").as("_w"),
+        md5(col(idCol).cast("string").cast("binary")).as("_h"))
+      .withColumn("_bucket",
+        expr("CAST(conv(substring(_h, 1, 2), 16, 10) AS INT)"))
+    val hist = d.groupBy(col("g"), col("_bucket")).agg(sum(col("_w")).as("_s"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    require(hist.length <= maxGroups * 256,
+      s"tokenBudgetSample: histogram ${hist.length} rows exceeds " +
+        s"${maxGroups * 256} — raise maxGroups deliberately or pre-aggregate")
+    // driver prefix walk per group: boundary bucket + in-bucket remainder
+    val decisions = hist.groupBy(_._1).map { case (g, rows) =>
+      val byBucket = rows.sortBy(_._2)
+      val total = byBucket.map(_._3).sum
+      val budget = Math.floorDiv(total * budgetNum, budgetDen)
+      var cum = 0L
+      var bstar = 256 // sentinel: everything fits
+      var rem = 0L
+      byBucket.iterator.takeWhile(_ => bstar == 256).foreach { case (_, b, s) =>
+        if (cum + s > budget) { bstar = b; rem = budget - cum }
+        else cum += s
+      }
+      (g, bstar, rem, total, budget)
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = broadcast(
+      decisions.toDF("g", "_bstar", "_rem", "total_w", "budget_w"))
+    val keyed = d.join(dec, Seq("g"))
+    val below = keyed.filter(col("_bucket") < col("_bstar"))
+    val wBound = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("_h"), col(idCol))
+    val boundary = keyed.filter(col("_bucket") === col("_bstar"))
+      .withColumn("_cum", sum(col("_w")).over(wBound))
+      .filter(col("_cum") <= col("_rem"))
+      .drop("_cum")
+    val sel = below.unionByName(boundary)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("_w")).as("w_selected"),
+        sum(col(idCol)).as("sel_id_sum"), min(col(idCol)).as("sel_id_min"),
+        max(col(idCol)).as("sel_id_max"))
+    val totals = d.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    totals.join(dec.select(col("g"), col("total_w"), col("budget_w")), Seq("g"))
+      .join(sel, Seq("g"), "left")
+      .select(col("g"), col("n_docs"), col("total_w"), col("budget_w"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("w_selected"), lit(0L)).as("w_selected"),
+        coalesce(col("sel_id_sum"), lit(0L)).as("sel_id_sum"),
+        coalesce(col("sel_id_min"), lit(-1L)).as("sel_id_min"),
+        coalesce(col("sel_id_max"), lit(-1L)).as("sel_id_max"))
+  }
 }

@@ -2037,16 +2037,31 @@ object Stats {
       df: DataFrame,
       probMilliCol: Column,
       posCol: Column,
+      bins: Int = 10): DataFrame =
+    brierFromCensus(brierCensus(df, probMilliCol, posCol, bins))
+
+  /** The per-bin calibration census [[brierDecomposition]] reduces:
+    * (_bin, _n, _sp, _so, _se) — pure SUMS, so shards/micro-batches
+    * merge by addition and the decomposition read from a maintained
+    * view equals the batch one (the q_stream_brier contract). */
+  def brierCensus(
+      df: DataFrame,
+      probMilliCol: Column,
+      posCol: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 1 && 1000 % bins == 0, s"bins must divide 1000: $bins")
-    val b = df.select(probMilliCol.cast("long").as("_p"),
-      posCol.cast("long").as("_o"))
+    df.select(probMilliCol.cast("long").as("_p"),
+        posCol.cast("long").as("_o"))
       .withColumn("_bin", expr(s"_p DIV ${1000 / bins}"))
-    val perBin = b.groupBy(col("_bin"))
+      .groupBy(col("_bin"))
       .agg(count(lit(1)).as("_n"), sum(col("_p")).as("_sp"),
         sum(col("_o")).as("_so"),
         sum(expr("CAST((_p - 1000 * _o) AS DECIMAL(38,0)) * (_p - 1000 * _o)")).as("_se"))
-      .withColumn("_om", expr("1000 * _so DIV _n"))
+  }
+
+  /** Decomposition readout over a [[brierCensus]] frame. */
+  def brierFromCensus(census: DataFrame): DataFrame = {
+    val perBin = census.withColumn("_om", expr("1000 * _so DIV _n"))
     // 1-row global (count, Brier sum, reliability sum, base rate) joined
     // back by broadcast — the bins-row census never leaves the executors
     val glob = perBin

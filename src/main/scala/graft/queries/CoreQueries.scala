@@ -32,6 +32,50 @@ final case class Q(
   */
 object CoreQueries {
 
+  /** Single-pass nearest-rank p50/90/99 of value_mils — ONE SQL text
+    * shared by q_exact_quantiles (batch 2-pass selection) and
+    * q_stream_quantile (micro-batch-maintained census): count merges
+    * are associative, so any sharding must hash to this single-pass
+    * replay. */
+  private[queries] def exactQuantilesOracleSql: String =
+    """WITH v AS (SELECT CAST(floor(value*1000) AS BIGINT) AS v FROM events),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+      |             CAST(count(*) OVER () AS BIGINT) AS n FROM v)
+      |SELECT p.pct, r.n, r.v AS value_mils
+      |FROM (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+      |             (CAST(99 AS BIGINT))) p(pct)
+      |JOIN r ON r.rn = (r.n * p.pct + 99) // 100
+      |ORDER BY pct""".stripMargin
+
+  /** Single-pass Brier decomposition over events — ONE SQL text shared
+    * by q_brier (batch) and q_stream_brier (micro-batch-maintained
+    * census): the census columns are pure sums, so any sharding must
+    * hash to this single-pass replay. */
+  private[queries] def brierOracleSql: String =
+    """WITH b AS (SELECT CAST(floor(value * 1000) AS BIGINT) % 1000 AS p,
+      |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
+      |           FROM events),
+      |pb AS (SELECT p // 100 AS bin, CAST(count(*) AS BIGINT) AS n_k,
+      |              CAST(sum(p) AS BIGINT) AS sp, CAST(sum(o) AS BIGINT) AS so,
+      |              sum(CAST(p - 1000 * o AS HUGEINT) * (p - 1000 * o)) AS se
+      |       FROM b GROUP BY 1),
+      |pb2 AS (SELECT *, 1000 * so // n_k AS om FROM pb),
+      |g AS (SELECT CAST(sum(n_k) AS BIGINT) AS n, sum(se) AS sum_e,
+      |             sum((CAST(sp AS HUGEINT) - 1000 * so)
+      |                 * (CAST(sp AS HUGEINT) - 1000 * so) // n_k) AS rel,
+      |             CAST(sum(so) AS BIGINT) AS sot
+      |      FROM pb2),
+      |g2 AS (SELECT *, 1000 * sot // n AS omg FROM g),
+      |r AS (SELECT g2.n, g2.sum_e, g2.rel, g2.omg,
+      |             sum(CAST(pb2.n_k AS HUGEINT) * (pb2.om - g2.omg)
+      |                 * (pb2.om - g2.omg)) AS res
+      |      FROM pb2 CROSS JOIN g2 GROUP BY 1, 2, 3, 4)
+      |SELECT n, CAST(sum_e // n AS BIGINT) AS brier_ppm,
+      |       CAST(rel // n AS BIGINT) AS rel_ppm,
+      |       CAST(res // n AS BIGINT) AS res_ppm,
+      |       CAST(omg * (1000 - omg) AS BIGINT) AS unc_ppm
+      |FROM r ORDER BY n""".stripMargin
+
   /** Build-once canonical GeoJSON store (the reference's true 11-field
     * pyarrow schema, nest → flatten → parquet with the timestamp[:13]
     * hour-file layout). Shared by q_geojson_canonical and Bench's
@@ -1059,6 +1103,41 @@ object CoreQueries {
              |  WHERE w.hop < 3)
              |SELECT node, min(hop) AS hop FROM walk GROUP BY node ORDER BY node""".stripMargin)),
 
+    // Bipartite check by BFS 2-coloring within the q_bfs_hops horizon —
+    // the parity audit of interaction-graph modeling: a same-parity
+    // edge among reached nodes is an odd-cycle witness, and zero
+    // conflicts IS a proper 2-coloring of the induced subgraph (exact
+    // characterization, not a heuristic — GraphSpec pins both
+    // directions). One BFS + one edges⋈labels⋈labels join.
+    Q("q_bipartite",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        Graph.bipartiteCheck(und, seed = 1L, maxHops = 3).orderBy("n_reached")
+      },
+      Some("""WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+             |ed AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+             |walk(node, hop) AS (
+             |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+             |  UNION
+             |  SELECT e.v, w.hop + 1 FROM walk w JOIN ed e ON w.node = e.u
+             |  WHERE w.hop < 3),
+             |lab AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node),
+             |j AS (SELECT a.hop AS hu, b.hop AS hv
+             |      FROM und JOIN lab a ON und.u = a.node JOIN lab b ON und.v = b.node)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_reached,
+             |       CAST(count(*) AS BIGINT) AS n_edges,
+             |       CAST(coalesce(sum(CASE WHEN (hu + hv) % 2 = 0 THEN 1 ELSE 0 END), 0)
+             |            AS BIGINT) AS n_conflicts,
+             |       CAST(CASE WHEN coalesce(sum(CASE WHEN (hu + hv) % 2 = 0 THEN 1 ELSE 0 END), 0) = 0
+             |            THEN 1 ELSE 0 END AS BIGINT) AS bipartite
+             |FROM j""".stripMargin)),
+
     // Weighted single-source shortest paths (Bellman-Ford, 4 relaxation
     // rounds) over the co-purchase graph with deterministic integer
     // weights 1 + (u+v) % 7 — the travel-time companion to q_bfs_hops'
@@ -2025,14 +2104,7 @@ object CoreQueries {
         Tables.events(s, dir)
           .select(floor(col("value") * 1000).cast("long").as("value_mils")),
         "value_mils", Seq(50, 90, 99)),
-      Some("""WITH v AS (SELECT CAST(floor(value*1000) AS BIGINT) AS v FROM events),
-             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
-             |             CAST(count(*) OVER () AS BIGINT) AS n FROM v)
-             |SELECT p.pct, r.n, r.v AS value_mils
-             |FROM (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
-             |             (CAST(99 AS BIGINT))) p(pct)
-             |JOIN r ON r.rn = (r.n * p.pct + 99) // 100
-             |ORDER BY pct""".stripMargin)),
+      Some(exactQuantilesOracleSql)),
 
     // Subsequence DTW shape search: rank users by how well their value
     // sequence (first 48 points) contains a segment matching a fixed
@@ -6274,6 +6346,21 @@ object CoreQueries {
              |SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, user_id
              |FROM r WHERE rk <= 50 ORDER BY event_type, rk""".stripMargin)),
 
+    // Deterministic GLOBAL exact-k sample — the whole-corpus eval/debug
+    // draw (q_group_sample is per-stratum; audits also need one
+    // reproducible corpus-wide handful): the k = 100 events with the
+    // smallest md5(event_id), TakeOrdered (k-heap per partition +
+    // driver merge of k·partitions rows — never a global sort), hash
+    // column in the output so rows self-identify.
+    Q("q_reservoir",
+      (s, dir) => Tables.events(s, dir)
+        .select(md5(col("event_id").cast("string").cast("binary")).as("h"),
+          col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("h"), col("event_id"))
+        .limit(100),
+      Some("""SELECT md5(CAST(event_id AS VARCHAR)) AS h, event_id, user_id, event_type
+             |FROM events ORDER BY h, event_id LIMIT 100""".stripMargin)),
+
     // Exact per-day ROC-AUC of event value as a purchase-ranker — the
     // rank-semantics classifier metric (does value order purchases above
     // the rest?), computed census-first: the row-sized work is ONE
@@ -6375,29 +6462,7 @@ object CoreQueries {
           expr("CAST(floor(value * 1000) AS BIGINT) % 1000"),
           (col("event_type") === "purchase").cast("long"))
         .orderBy("n"),
-      Some("""WITH b AS (SELECT CAST(floor(value * 1000) AS BIGINT) % 1000 AS p,
-             |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
-             |           FROM events),
-             |pb AS (SELECT p // 100 AS bin, CAST(count(*) AS BIGINT) AS n_k,
-             |              CAST(sum(p) AS BIGINT) AS sp, CAST(sum(o) AS BIGINT) AS so,
-             |              sum(CAST(p - 1000 * o AS HUGEINT) * (p - 1000 * o)) AS se
-             |       FROM b GROUP BY 1),
-             |pb2 AS (SELECT *, 1000 * so // n_k AS om FROM pb),
-             |g AS (SELECT CAST(sum(n_k) AS BIGINT) AS n, sum(se) AS sum_e,
-             |             sum((CAST(sp AS HUGEINT) - 1000 * so)
-             |                 * (CAST(sp AS HUGEINT) - 1000 * so) // n_k) AS rel,
-             |             CAST(sum(so) AS BIGINT) AS sot
-             |      FROM pb2),
-             |g2 AS (SELECT *, 1000 * sot // n AS omg FROM g),
-             |r AS (SELECT g2.n, g2.sum_e, g2.rel, g2.omg,
-             |             sum(CAST(pb2.n_k AS HUGEINT) * (pb2.om - g2.omg)
-             |                 * (pb2.om - g2.omg)) AS res
-             |      FROM pb2 CROSS JOIN g2 GROUP BY 1, 2, 3, 4)
-             |SELECT n, CAST(sum_e // n AS BIGINT) AS brier_ppm,
-             |       CAST(rel // n AS BIGINT) AS rel_ppm,
-             |       CAST(res // n AS BIGINT) AS res_ppm,
-             |       CAST(omg * (1000 - omg) AS BIGINT) AS unc_ppm
-             |FROM r ORDER BY n""".stripMargin)),
+      Some(brierOracleSql)),
 
     // Leave-one-out m-estimate target encoding of event_type on value —
     // the leak-safe high-cardinality categorical feature: each row's own

@@ -92,6 +92,22 @@ object PipelineQueries {
       |                      for i in range(1, len(s)-1)]) AS sh
       |FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)""".stripMargin
 
+  /** Single-pass CMS register census over events.user_id — ONE SQL text
+    * shared by q_cms_census (batch) and q_stream_cms (per-micro-batch
+    * partials merged by register sum): the CMS merge law says any
+    * sharding must hash to this single-pass replay. */
+  private[queries] def cmsCensusOracleSql: String =
+    """WITH r AS (SELECT CAST(x AS BIGINT) AS row_id FROM (VALUES (0), (1), (2), (3)) v(x)),
+      |h AS (SELECT row_id,
+      |             md5(CAST(row_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) AS h
+      |      FROM events CROSS JOIN r),
+      |c AS (SELECT row_id,
+      |             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |                + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT) AS col_id
+      |      FROM h)
+      |SELECT row_id, col_id, CAST(count(*) AS BIGINT) AS n
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Single-pass HLL register census over events.user_id — ONE SQL text
     * shared by q_hll_census (batch, per-day shards merged) and
     * q_stream_hll (per-micro-batch partials merged): the merge law says
@@ -2962,16 +2978,7 @@ object PipelineQueries {
         graft.operators.Approx.cmsRegisterCensus(
             Tables.events(s, dir), col("user_id"))
           .orderBy("row_id", "col_id"),
-      Some("""WITH r AS (SELECT CAST(x AS BIGINT) AS row_id FROM (VALUES (0), (1), (2), (3)) v(x)),
-             |h AS (SELECT row_id,
-             |             md5(CAST(row_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) AS h
-             |      FROM events CROSS JOIN r),
-             |c AS (SELECT row_id,
-             |             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-             |                + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT) AS col_id
-             |      FROM h)
-             |SELECT row_id, col_id, CAST(count(*) AS BIGINT) AS n
-             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+      Some(cmsCensusOracleSql)),
 
     // CMS point-query audit: estimates (min over the key's 4 registers)
     // vs true counts for the 20 heaviest users — the overestimate-only
@@ -4477,6 +4484,78 @@ object PipelineQueries {
     // the one floor(sqrt·1000): quota = (target · s_l) div Σs, target =
     // half the corpus. The output fingerprints the SELECTED SET (count,
     // id-sum, min/max id), not just the quota arithmetic.
+    // Per-SOURCE duplication census — the curation dashboard row that
+    // decides which feed gets its crawler fixed: per source, how many
+    // docs duplicate ANY corpus doc (cross-source mirrors included) vs
+    // duplicate within the source itself, in ppm. One md5 census + a
+    // hash-keyed join back; text never shuffles twice.
+    Q("q_dup_by_source",
+      (s, dir) => {
+        val m = Tables.documents(s, dir)
+          .select(col("source"), md5(col("text").cast("binary")).as("_h"))
+        val global = m.groupBy(col("_h")).agg(count(lit(1)).as("_ng"))
+        val bySrc = m.groupBy(col("source"), col("_h"))
+          .agg(count(lit(1)).as("_ns"))
+        bySrc.join(global, Seq("_h"))
+          .groupBy(col("source"))
+          .agg(sum(col("_ns")).as("n_docs"),
+            sum(when(col("_ng") > 1L, col("_ns")).otherwise(0L)).as("n_dup_any"),
+            sum(when(col("_ns") > 1L, col("_ns")).otherwise(0L)).as("n_dup_within"))
+          .withColumn("dup_any_ppm",
+            expr("CAST(CAST(n_dup_any AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)"))
+          .withColumn("dup_within_ppm",
+            expr("CAST(CAST(n_dup_within AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (SELECT source, md5(text) AS h FROM documents),
+             |g AS (SELECT h, count(*) AS ng FROM m GROUP BY 1),
+             |s AS (SELECT source, h, count(*) AS ns FROM m GROUP BY 1, 2),
+             |a AS (SELECT source, CAST(sum(ns) AS BIGINT) AS n_docs,
+             |             CAST(sum(CASE WHEN ng > 1 THEN ns ELSE 0 END) AS BIGINT) AS n_dup_any,
+             |             CAST(sum(CASE WHEN ns > 1 THEN ns ELSE 0 END) AS BIGINT) AS n_dup_within
+             |      FROM s JOIN g USING (h) GROUP BY 1)
+             |SELECT source, n_docs, n_dup_any, n_dup_within,
+             |       CAST(CAST(n_dup_any AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS dup_any_ppm,
+             |       CAST(CAST(n_dup_within AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS dup_within_ppm
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // Token-budget mixture draw — the knob a training run actually
+    // turns (q_mix_sample's quota counts DOCUMENTS; the model consumes
+    // TOKENS): per language, documents in deterministic md5 order while
+    // the cumulative token count stays within half the language's
+    // total. The selection is the grouped 2-pass pattern (hash-prefix
+    // bucket histogram → driver prefix walk → boundary-bucket-only
+    // cumsum), provably equal to the naive per-group cumulative window
+    // the oracle runs (bucket order IS hash order; SamplingSpec).
+    Q("q_token_budget",
+      (s, dir) => graft.operators.Sampling.tokenBudgetSample(
+          Tables.documents(s, dir)
+            .withColumn("_w", size(split(col("text"), " ")).cast("long")),
+          col("lang"), "doc_id", col("_w"))
+        .withColumnRenamed("g", "lang").orderBy("lang"),
+      Some("""WITH d AS (SELECT lang, doc_id,
+             |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             |                  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |             CAST(sum(w) AS BIGINT) AS total_w,
+             |             CAST(sum(w) // 2 AS BIGINT) AS budget_w
+             |      FROM d GROUP BY 1),
+             |r AS (SELECT lang, doc_id, w,
+             |             sum(w) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum
+             |      FROM d),
+             |sel AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n_selected,
+             |               CAST(sum(w) AS BIGINT) AS w_selected,
+             |               CAST(sum(doc_id) AS BIGINT) AS sel_id_sum,
+             |               min(doc_id) AS sel_id_min, max(doc_id) AS sel_id_max
+             |        FROM r JOIN t USING (lang) WHERE cum <= t.budget_w GROUP BY 1)
+             |SELECT t.lang, n_docs, total_w, budget_w,
+             |       coalesce(n_selected, 0) AS n_selected,
+             |       coalesce(w_selected, 0) AS w_selected,
+             |       coalesce(sel_id_sum, 0) AS sel_id_sum,
+             |       coalesce(sel_id_min, -1) AS sel_id_min,
+             |       coalesce(sel_id_max, -1) AS sel_id_max
+             |FROM t LEFT JOIN sel USING (lang) ORDER BY lang""".stripMargin)),
+
     Q("q_mix_sample",
       (s, dir) => {
         val docs = Tables.documents(s, dir)

@@ -1041,6 +1041,46 @@ object StoreQueries {
       },
       Some(PipelineQueries.kmvSketchOracleSql)),
 
+    // Streaming CMS: the count-min register census maintained
+    // incrementally (per-batch depth×width partials merged by register
+    // SUM — the CMS merge law, exact like the HLL register max). The
+    // oracle is LITERALLY q_cms_census's single-pass SQL: micro-batch
+    // boundaries must leave no trace, hash-checked cross-engine.
+    Q("q_stream_cms",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.cmsReplay(s, store, store + "_cms_view")
+          .orderBy("row_id", "col_id")
+      },
+      Some(PipelineQueries.cmsCensusOracleSql)),
+
+    // Streaming Brier calibration: the per-bin (count, p/o/(p−1000o)²
+    // sums) census maintained across micro-batches — every column is a
+    // SUM, so partials merge by addition and the decomposition read
+    // from the view equals the batch one. Oracle is LITERALLY
+    // q_brier's single-pass SQL, hash-checked cross-engine.
+    Q("q_stream_brier",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.brierReplay(s, store, store + "_brier_view")
+          .orderBy("n")
+      },
+      Some(CoreQueries.brierOracleSql)),
+
+    // Streaming EXACT quantiles: the per-value count census maintained
+    // across micro-batches, nearest-rank p50/90/99 read from the final
+    // view via the guarded 2-pass selection (coarse-bin driver walk +
+    // boundary-bin resolve — never a global rank window). Count merges
+    // are associative, so the oracle is LITERALLY q_exact_quantiles'
+    // single-pass SQL, hash-checked cross-engine.
+    Q("q_stream_quantile",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.histQuantileReplay(s, store, store + "_quant_view", Seq(50, 90, 99))
+          .orderBy("pct")
+      },
+      Some(CoreQueries.exactQuantilesOracleSql)),
+
     // Streaming heavy hitters: top-20 most-active users maintained
     // incrementally across micro-batches — the q_stream_matview merge
     // pattern on the HIGH-CARDINALITY key, ranked only at readout

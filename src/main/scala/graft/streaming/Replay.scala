@@ -458,6 +458,171 @@ object Replay {
       .limit(k)
   }
 
+  /** Streaming EXACT QUANTILES — the latency/size-percentile monitor a
+    * pipeline keeps live, maintained as a per-value count census across
+    * micro-batches ([[matviewReplay]]'s merge pattern keyed by
+    * value_mils): count merges are associative, so the final census is
+    * batch-boundary-free and the nearest-rank quantiles read from it
+    * equal the single-pass batch selection — q_exact_quantiles' ORACLE
+    * is shared verbatim. The readout is the guarded 2-pass selection on
+    * the census (coarse-bin driver prefix walk + boundary-bin resolve),
+    * never a global rank window; view state is value-DOMAIN-bounded,
+    * independent of row count. Output: (pct, n, value_mils). */
+  def histQuantileReplay(
+      spark: SparkSession,
+      storePath: String,
+      viewRoot: String,
+      percents: Seq[Int],
+      filesPerBatch: Int = 8,
+      binWidth: Long = 512L,
+      maxBins: Int = 1 << 20): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in 1..100: $percents")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(storePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = batch
+          .select(floor(col("value") * 1000).cast("long").as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("n"))
+        // versions < batchId only: replay-idempotent (see latestView)
+        val merged = latestView(viewRoot, below = batchId) match {
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(partial)
+              .groupBy(col("v")).agg(sum(col("n")).as("n"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$viewRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", viewRoot + "_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val census = spark.read.parquet(latestView(viewRoot, Long.MaxValue).getOrElse(
+      sys.error("histQuantileReplay: no view version was committed")))
+    // 2-pass selection over the census: coarse bins to the driver
+    // (enforced valve), boundary bins resolved from the census slice
+    import spark.implicits._
+    val coarse = census.withColumn("_bin", expr(s"v DIV $binWidth"))
+      .groupBy(col("_bin")).agg(sum(col("n")).as("_c"))
+      .orderBy(col("_bin"))
+      .as[(Long, Long)].collect()
+    require(coarse.length <= maxBins,
+      s"histQuantileReplay: ${coarse.length} coarse bins exceed $maxBins")
+    val n = coarse.map(_._2).sum
+    val ps = percents.distinct.sorted
+    val targets = ps.map { p =>
+      val rank = (n * p + 99) / 100
+      var cum = 0L; var i = 0
+      while (cum + coarse(i)._2 < rank) { cum += coarse(i)._2; i += 1 }
+      (p.toLong, coarse(i)._1, rank - cum)
+    }
+    val bins = targets.map(_._2).distinct
+    val fine = census.withColumn("_bin", expr(s"v DIV $binWidth"))
+      .filter(col("_bin").isin(bins: _*))
+      .select(col("_bin"), col("v"), col("n"))
+      .orderBy(col("v"))
+      .as[(Long, Long, Long)].collect()
+    val rows = targets.map { case (p, bin, off) =>
+      var cum = 0L
+      val v = fine.iterator.filter(_._1 == bin).collectFirst {
+        case (_, value, c) if { cum += c; cum >= off } => value
+      }.getOrElse(sys.error(s"histQuantileReplay: rank $off not found in bin $bin"))
+      (p, n, v)
+    }
+    rows.toDF("pct", "n", "value_mils")
+  }
+
+  /** Streaming BRIER calibration — the per-bin forecast-quality census
+    * (Stats.brierCensus: per bin, count and the p/o/(p−1000o)² sums)
+    * maintained incrementally: every column is a SUM, so micro-batch
+    * partials merge by addition and the decomposition read from the
+    * final view (Stats.brierFromCensus) equals the batch one —
+    * q_brier's ORACLE is shared verbatim. View state is `bins` rows
+    * forever. */
+  def brierReplay(
+      spark: SparkSession,
+      storePath: String,
+      viewRoot: String,
+      filesPerBatch: Int = 8): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(storePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = graft.operators.Stats.brierCensus(batch.toDF(),
+          expr("CAST(floor(value * 1000) AS BIGINT) % 1000"),
+          (col("event_type") === "purchase").cast("long"))
+        // versions < batchId only: replay-idempotent (see latestView)
+        val merged = latestView(viewRoot, below = batchId) match {
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(partial)
+              .groupBy(col("_bin"))
+              .agg(sum(col("_n")).as("_n"), sum(col("_sp")).as("_sp"),
+                sum(col("_so")).as("_so"), sum(col("_se")).as("_se"))
+          case None => partial
+        }
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$viewRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", viewRoot + "_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Stats.brierFromCensus(
+      spark.read.parquet(latestView(viewRoot, Long.MaxValue).getOrElse(
+        sys.error("brierReplay: no view version was committed"))))
+  }
+
+  /** Streaming COUNT-MIN sketch — the CMS register census
+    * (Approx.cmsRegisterCensus) maintained incrementally: register
+    * counts merge by SUM (the CMS merge law — exact, like the HLL
+    * register max), so micro-batch boundaries leave no trace and the
+    * maintained view hashes identically to the batch census —
+    * q_cms_census's ORACLE is shared verbatim. View state is
+    * depth×width rows forever. */
+  def cmsReplay(
+      spark: SparkSession,
+      storePath: String,
+      viewRoot: String,
+      filesPerBatch: Int = 8): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(storePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = graft.operators.Approx.cmsRegisterCensus(
+          batch.toDF(), col("user_id"))
+        // versions < batchId only: replay-idempotent (see latestView)
+        val merged = latestView(viewRoot, below = batchId) match {
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(partial)
+              .groupBy(col("row_id"), col("col_id"))
+              .agg(sum(col("n")).as("n"))
+          case None => partial
+        }
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$viewRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", viewRoot + "_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(latestView(viewRoot, Long.MaxValue).getOrElse(
+      sys.error("cmsReplay: no view version was committed")))
+  }
+
   // ---- streaming first-seen dim registry (watermarked dedup) ------------
 
   /** The reference's first-seen hash registry

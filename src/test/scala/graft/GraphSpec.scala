@@ -426,4 +426,23 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(g2 == ((1L, 3L, 1833333L)), g2.toString)
   }
+
+  test("bipartiteCheck: even cycle clean, odd cycle witnessed, horizon respected") {
+    def run(edges: Seq[(Long, Long)], hops: Int) =
+      Graph.bipartiteCheck(edges.toDF("u", "v"), seed = 1L, maxHops = hops)
+        .as[(Long, Long, Long, Long)].collect().head
+    // 4-cycle: bipartite — 4 reached, 4 edges, 0 conflicts
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(run(c4, 4) == ((4L, 4L, 0L, 1L)))
+    // 5-cycle: odd — hops from 1 are 0,1,2,2,1: exactly ONE same-parity
+    // edge (the far edge between the two hop-2 nodes)
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    assert(run(c5, 4) == ((5L, 5L, 1L, 0L)))
+    // horizon: with maxHops = 1 only nodes {1,2,5} are reached; the
+    // conflict edge (3,4) is outside the induced subgraph → clean
+    assert(run(c5, 1) == ((3L, 2L, 0L, 1L)))
+    // disconnected odd triangle far from the seed never contaminates
+    val tri = c4 ++ Seq((10L, 11L), (11L, 12L), (12L, 10L))
+    assert(run(tri, 4) == ((4L, 4L, 0L, 1L)))
+  }
 }

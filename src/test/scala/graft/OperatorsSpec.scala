@@ -1880,6 +1880,42 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("tokenBudgetSample: bucketed 2-pass selection equals the naive hash-order cumsum") {
+    import graft.operators.Sampling
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
+    // two groups; weights chosen so the budget boundary lands MID-bucket
+    // for g1 (several ids share a first byte is unlikely at n=40, so the
+    // boundary bucket typically holds one doc — the mid-bucket partial
+    // keep is still exercised when that doc overflows the remainder)
+    val rows = (0L until 40L).map(i => ("g1", i, 10L + i % 7)) ++
+      (100L until 110L).map(i => ("g2", i, 5L))
+    val df = rows.toDF("g", "doc_id", "w")
+    val got = Sampling.tokenBudgetSample(df, $"g", "doc_id", $"w")
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    def naive(g: String, data: Seq[(Long, Long)]) = {
+      val total = data.map(_._2).sum
+      val budget = total / 2
+      val ordered = data.sortBy { case (id, _) => (h(id), id) }
+      val sel = ordered.scanLeft((0L, -1L, 0L)) { case ((cum, _, _), (id, w)) =>
+        (cum + w, id, w)
+      }.drop(1).takeWhile(_._1 <= budget)
+      val ids = sel.map(_._2)
+      (g, data.size.toLong, total, budget, ids.size.toLong, sel.map(_._3).sum,
+        if (ids.isEmpty) 0L else ids.sum,
+        if (ids.isEmpty) -1L else ids.min, if (ids.isEmpty) -1L else ids.max)
+    }
+    val g1 = (0L until 40L).map(i => (i, 10L + i % 7))
+    val g2 = (100L until 110L).map(i => (i, 5L))
+    assert(got == Seq(naive("g1", g1), naive("g2", g2)), got.toString)
+    // zero-budget edge: nothing selected, sentinels intact
+    val z = Sampling.tokenBudgetSample(df.filter($"g" === "g2"), $"g", "doc_id", $"w",
+        budgetNum = 0L, budgetDen = 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(z == (("g2", 10L, 50L, 0L, 0L, 0L, 0L, -1L, -1L)), z.toString)
+  }
+
   test("prCurveByGroup + avgPrecisionByGroup match the brute threshold sweep") {
     import graft.operators.Stats
     // group "a": scores with ties and a pure-negative bucket;

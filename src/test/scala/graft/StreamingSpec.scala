@@ -236,6 +236,73 @@ class StreamingSpec extends SparkSpec {
     assert(v0n < 4, s"first version should be partial, holds $v0n rows' worth")
   }
 
+  test("cms replay: multi-batch register-sum merge equals the batch census") {
+    val events = (0L until 24L).map { i =>
+      (i, ts(f"2024-01-0${i % 3 + 1}%d 0${i % 8 + 1}%d:15:00"), "a", 1.0, i * 37L % 11L)
+    }.toDF("id", "ts", "event_type", "value", "user_id")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "cmsview").toString
+    events.withColumn("bucket", SnapshotStore.dayBucketExpr($"ts"))
+      .repartition($"bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    val viewRoot = path + "_cms_view"
+    val got = Replay.cmsReplay(spark, path, viewRoot, filesPerBatch = 1)
+      .orderBy("row_id", "col_id").as[(Long, Long, Long)].collect().toSeq
+    val want = graft.operators.Approx.cmsRegisterCensus(
+        spark.read.parquet(path), $"user_id")
+      .orderBy("row_id", "col_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
+    // genuinely incremental: the first committed version is partial
+    val versions = new java.io.File(viewRoot).listFiles()
+      .filter(f => f.getName.startsWith("v") && new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName.drop(1).toLong)
+    assert(versions.length >= 3, s"expected >=3 view versions, got ${versions.length}")
+    val v0n = spark.read.parquet(versions.head.getAbsolutePath)
+      .agg(sum($"n")).as[Long].head()
+    assert(v0n < 24 * 4, s"first version should be partial, counts $v0n increments")
+  }
+
+  test("brier replay: summed census decomposition equals the batch decomposition") {
+    val events = (0L until 30L).map { i =>
+      (i, ts(f"2024-01-0${i % 3 + 1}%d 10:15:00"),
+        if (i % 4 == 0L) "purchase" else "view", (i * 97 % 1000) / 1000.0, i)
+    }.toDF("id", "ts", "event_type", "value", "user_id")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "brierview").toString
+    events.withColumn("bucket", SnapshotStore.dayBucketExpr($"ts"))
+      .repartition($"bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    val got = Replay.brierReplay(spark, path, path + "_bv", filesPerBatch = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val want = graft.operators.Stats.brierDecomposition(
+        spark.read.parquet(path),
+        expr("CAST(floor(value * 1000) AS BIGINT) % 1000"),
+        ($"event_type" === "purchase").cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("hist quantile replay: merged census selection equals the single-pass nearest rank") {
+    // values chosen so p50/p90/p99 land on DIFFERENT coarse bins
+    // (binWidth = 2 forces multi-bin resolution through the 2-pass path)
+    val vals = Seq(1L, 1L, 2L, 3L, 5L, 8L, 8L, 9L, 100L, 101L)
+    val events = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(f"2024-01-0${i % 3 + 1}%d 10:15:00"), "a", v / 1000.0, i.toLong)
+    }.toDF("id", "ts", "event_type", "value", "user_id")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "quantview").toString
+    events.withColumn("bucket", SnapshotStore.dayBucketExpr($"ts"))
+      .repartition($"bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    val got = Replay.histQuantileReplay(spark, path, path + "_qv",
+        Seq(50, 90, 99), filesPerBatch = 1, binWidth = 2L)
+      .orderBy("pct").as[(Long, Long, Long)].collect().toSeq
+    // nearest rank ⌈n·p/100⌉ over sorted values
+    def nr(p: Int) = vals.sorted.apply(((vals.size * p + 99) / 100 - 1).toInt)
+    assert(got == Seq((50L, 10L, nr(50)), (90L, 10L, nr(90)), (99L, 10L, nr(99))),
+      got.toString)
+  }
+
   test("hll census replay: multi-batch sketch merge equals the single-pass census") {
     val events = (0L until 24L).map { i =>
       (i, ts(f"2024-01-0${i % 3 + 1}%d 0${i % 8 + 1}%d:15:00"), "a", 1.0, i * 37L % 11L)
