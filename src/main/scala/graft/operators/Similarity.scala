@@ -211,7 +211,7 @@ object Similarity {
 
   /** Frozen coarse quantizer: the deterministic seeded centroid frame
     * shared by [[ivfTopK]] and [[ivfIncrementalTopK]]. */
-  private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+  private[graft] def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int): DataFrame =
     corpus.filter(col(idCol) < nCentroids)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("_cvec"))
@@ -223,7 +223,7 @@ object Similarity {
   /** Per-id nearest-centroid assignment (smaller cid wins ties):
     * broadcast of C centroid rows, map-side-combined argmax — corpus
     * vectors never shuffle to get assigned. */
-  private def ivfAssign(corpusN: DataFrame, cent: DataFrame,
+  private[graft] def ivfAssign(corpusN: DataFrame, cent: DataFrame,
       idCol: String, vecCol: String): DataFrame =
     corpusN.crossJoin(broadcast(cent))
       .withColumn("_csim", centSimPpm(col(vecCol), col("_n")))
@@ -233,7 +233,7 @@ object Similarity {
 
   /** Probe + verify tail shared by the batch and incremental IVF paths:
     * nprobe nearest centroid buckets per query, exact cosine within. */
-  private def ivfSearch(assigned: DataFrame, cent: DataFrame, queries: DataFrame,
+  private[graft] def ivfSearch(assigned: DataFrame, cent: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, nprobe: Int): DataFrame = {
     val queriesN = queries.withColumn("_qn", l2norm(col(qVecCol)))

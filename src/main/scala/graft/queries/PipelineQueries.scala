@@ -2023,6 +2023,27 @@ object PipelineQueries {
     // the quantizer is frozen, so the merged index is bit-identical to
     // a full rebuild, and the ORACLE IS q_ann_ivf's full-build SQL:
     // incremental == rebuild is the checked contract.
+    // STREAMING ANN ingest: vectors arrive as mtime-ordered
+    // micro-batches, each assigning only ITS vectors to the
+    // offline-trained (frozen) quantizer and appending compact
+    // (id, cid, norm) postings to a versioned view — the embedding
+    // store's write path under the streaming engine. Per-row assignment
+    // independence makes the final view == full rebuild, so the oracle
+    // IS q_ann_ivf's full-build SQL: batch boundaries provably leave no
+    // trace.
+    Q("q_stream_ann",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val store = graft.streaming.Replay.ensureEmbIngestStore(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        graft.streaming.Replay.annIngestReplay(s, store, emb,
+            s"${graft.store.SnapshotStore.root}/ann_ingest_view", queries,
+            "vec_id", "embedding", "q_id", "q_vec", 10, nCentroids = 8, nprobe = 2)
+          .orderBy("q_id", "rank")
+      },
+      Some(ivfSearchOracleSql())),
+
     Q("q_ann_incremental",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

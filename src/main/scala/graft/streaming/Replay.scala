@@ -712,6 +712,97 @@ object Replay {
       path
     }
 
+  /** Build the mtime-ordered micro-batch source for [[annIngestReplay]]:
+    * the embeddings table split into `buckets` parquet files
+    * (bucket = vec_id % buckets) with strictly increasing mtimes — the
+    * [[ensureDocIngestStore]] contract on the vector axis. Idempotent
+    * per sf dir. */
+  def ensureEmbIngestStore(spark: SparkSession, sfDir: String, buckets: Int = 4): String =
+    synchronized {
+      val path = s"${graft.store.SnapshotStore.root}/emb_" +
+        s"${java.nio.file.Paths.get(sfDir).getFileName}_ingest"
+      val done = new java.io.File(path, "_SUCCESS")
+      if (!done.exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+        new java.io.File(path).mkdirs()
+        val t0 = (System.currentTimeMillis() / 1000L) * 1000L - 3600L * 1000L
+        (0 until buckets).foreach { b =>
+          val tmp = s"$path/_tmp$b"
+          graft.sources.Tables.embeddings(spark, sfDir)
+            .filter(pmod(col("vec_id"), lit(buckets.toLong)) === b.toLong)
+            .select(col("vec_id"), col("embedding"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(path, f"bucket_$b%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+          assert(dst.setLastModified(t0 + b * 2000L))
+        }
+        done.createNewFile()
+        ()
+      }
+      path
+    }
+
+  /** Streaming ANN INGEST — the embedding-store write path run under the
+    * streaming engine: vectors arrive in micro-batches, each batch
+    * assigns ONLY ITS vectors to the offline-trained coarse quantizer
+    * (the frozen-centroid contract of Similarity.ivfIncrementalTopK —
+    * production trains the quantizer offline and streams postings), and
+    * the compact (id, cid, norm) postings append to a versioned view.
+    * Per-row assignment independence under a frozen quantizer makes the
+    * final view bit-identical to a full rebuild, so the post-ingest
+    * search ORACLE is q_ann_ivf's full-build SQL — streaming boundaries
+    * provably leave no trace. Vectors ride only their own batch's
+    * assignment; the final search joins them back by id. */
+  def annIngestReplay(
+      spark: SparkSession,
+      embStorePath: String,
+      staticCorpus: DataFrame,
+      viewRoot: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nCentroids: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    import graft.operators.Similarity
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
+    val cent = Similarity.ivfCentroids(staticCorpus, idCol, vecCol, nCentroids)
+      .localCheckpoint() // frozen quantizer, computed once before the stream
+    val src = spark.readStream
+      .schema(spark.read.parquet(embStorePath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(embStorePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bn = batch.toDF().select(col(idCol), col(vecCol))
+          .withColumn("_n", Similarity.l2norm(col(vecCol)))
+        val partial = Similarity.ivfAssign(bn, cent, idCol, vecCol)
+          .select(col(idCol), col("cid"), col("_n"))
+        // versions < batchId only: replay-idempotent (see latestView)
+        val merged = latestView(viewRoot, below = batchId) match {
+          case Some(prev) => spark.read.parquet(prev).unionByName(partial)
+          case None       => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$viewRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", viewRoot + "_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val postings = spark.read.parquet(latestView(viewRoot, Long.MaxValue).getOrElse(
+      sys.error("annIngestReplay: no view version was committed")))
+    val assigned = postings.join(
+      staticCorpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    Similarity.ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol, k, nprobe)
+  }
+
   /** LATE-DATA CENSUS — the watermark-drop observability primitive a
     * production ingest pipeline ships with: how many events did the
     * watermark silently discard, per hour? The replay feeds the on-time

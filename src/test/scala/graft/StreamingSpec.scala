@@ -262,6 +262,43 @@ class StreamingSpec extends SparkSpec {
     assert(v0n < 24 * 4, s"first version should be partial, counts $v0n increments")
   }
 
+  test("ann ingest replay: streamed postings equal the batch build; view grew incrementally") {
+    import graft.operators.Similarity
+    // 12 vectors, 3 dims, deterministic; centroids = ids 0..1
+    val vecs = (0L until 12L).map { i =>
+      (i, Array(1.0f + i % 3, 2.0f + i % 5, 1.0f + i % 7))
+    }.toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "annsrc").toString
+    val t0 = (System.currentTimeMillis() / 1000L) * 1000L - 3600L * 1000L
+    (0 until 3).foreach { b =>
+      val tmp = s"$path/_t$b"
+      vecs.filter($"vec_id" % 3 === b.toLong).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(path, f"b$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      assert(dst.setLastModified(t0 + b * 2000L))
+    }
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val viewRoot = path + "_view"
+    val got = Replay.annIngestReplay(spark, path, vecs, viewRoot, queries,
+        "vec_id", "embedding", "q_id", "q_vec", k = 5, nCentroids = 2, nprobe = 1)
+      .orderBy("q_id", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val want = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+        "q_id", "q_vec", 5, nCentroids = 2, nprobe = 1)
+      .orderBy("q_id", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got=$got want=$want")
+    // incremental: 3 committed versions, the first partial (4 postings)
+    val versions = new java.io.File(viewRoot).listFiles()
+      .filter(f => f.getName.startsWith("v") && new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName.drop(1).toLong)
+    assert(versions.length == 3, s"expected 3 view versions, got ${versions.length}")
+    assert(spark.read.parquet(versions.head.getAbsolutePath).count() == 4)
+  }
+
   test("brier replay: summed census decomposition equals the batch decomposition") {
     val events = (0L until 30L).map { i =>
       (i, ts(f"2024-01-0${i % 3 + 1}%d 10:15:00"),
