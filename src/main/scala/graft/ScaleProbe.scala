@@ -626,6 +626,10 @@ object ScaleProbe {
     "q_token_budget" -> false,
     // global exact-k sample = one TakeOrdered (k-heap per partition)
     "q_reservoir" -> false,
+    // mutual NN is brute |corpus|² by definition and the replica grows
+    // both axes — 25x on 5x by construction, the q_knn_classify /
+    // q_hard_negatives class; ANN-candidate swap documented
+    "q_mutual_nn" -> true,
     // per-source dup census = one (hash) count agg + one hash-keyed
     // join back + a source rollup — the q_dedup_exact shuffle shape
     "q_dup_by_source" -> false
@@ -719,7 +723,9 @@ object ScaleProbe {
     "q_er_quality",
     // round-11: bipartite check runs on the lineitem co-purchase axis
     // (one q_bfs_hops BFS + one edges⋈labels join — the same class)
-    "q_bipartite")
+    "q_bipartite",
+    // round-11: 2-sweep diameter — the same axis, two q_bfs_hops BFS
+    "q_diameter")
 
   /** Dedup/ANN candidate-generation probes (VERDICT r5 Next #4), run
     * against the UNIQUE-TEXT replica: verbatim text replication makes

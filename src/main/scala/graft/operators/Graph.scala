@@ -99,6 +99,30 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Diameter lower bound by the classic 2-sweep heuristic, horizon-
+    * bounded: BFS from the seed, restart from the farthest node found
+    * (ties → smallest id), report that node's horizon eccentricity —
+    * on real graphs the 2-sweep bound is usually tight, at exactly
+    * double one BFS's cost (the q_bfs_hops frontier plan twice). Both
+    * sweeps honor `maxHops`, so the numbers are horizon eccentricities
+    * (the practical monitoring variant — an unbounded sweep on a
+    * 100 TB graph is a policy decision, not a default). The only
+    * driver materialization is the 1-row argmax between sweeps.
+    * Output 1 row: (ecc_seed, far_node, diameter_lb, far_node2). */
+  def diameter2Sweep(edges: DataFrame, seed: Long, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def far(hops: DataFrame): (Long, Long) = {
+      val r = hops.orderBy(col("hop").desc, col("node")).limit(1)
+        .as[(Long, Long)].head()
+      (r._1, r._2)
+    }
+    val (u, ecc1) = far(bfsHops(edges, seed, maxHops))
+    val (u2, ecc2) = far(bfsHops(edges, u, maxHops))
+    Seq((ecc1, u, ecc2, u2))
+      .toDF("ecc_seed", "far_node", "diameter_lb", "far_node2")
+  }
+
   /** Bipartite check by BFS 2-coloring within a hop horizon — the
     * parity audit behind sides-of-market / interaction-graph modeling
     * (a user↔item graph that ISN'T bipartite has contaminated edges; an

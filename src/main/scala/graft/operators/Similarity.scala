@@ -86,6 +86,33 @@ object Similarity {
       .select(col(qIdCol), col("rank"), col(idCol), col("sim_ppm"))
   }
 
+  /** Mutual nearest-neighbor pairs — the highest-precision tier of
+    * embedding dedup/ER (a one-directional nearest neighbor is a
+    * candidate; MUTUAL top-1 is the classic high-precision match rule
+    * bitext mining and record linkage both use): pairs (a, b), a < b,
+    * where each is the other's exact top-1 cosine neighbor
+    * (ties → smaller id, self excluded). Brute by definition on the
+    * benchmark corpus — |corpus|² row-local dots through [[topKExact]]'s
+    * two-phase shard rank, the q_knn_classify/q_hard_negatives class —
+    * with the same documented corpus-scale swap: generate top-1
+    * candidates per side from the IVF/LSH bucket joins and keep the
+    * mutual filter (one self-join on the k=1 frame) unchanged.
+    * Output: (id_a, id_b, sim_ppm). */
+  def mutualNnPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      shards: Int = 32): DataFrame = {
+    val q = corpus.select(col(idCol).as("_mq_id"), col(vecCol).as("_mq_vec"))
+    val nn = topKExact(corpus, q, idCol, vecCol, "_mq_id", "_mq_vec", k = 1, shards)
+      .select(col("_mq_id").as("src"), col(idCol).as("dst"), col("sim_ppm"))
+    nn.as("a").join(nn.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+          col("a.src") < col("a.dst"))
+      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"),
+        col("a.sim_ppm").as("sim_ppm"))
+  }
+
   /** Random-hyperplane signatures: bit j = sign of Σᵢ vᵢ·hᵢⱼ where the
     * plane coefficients hᵢⱼ = ±1 derive from xxhash64(j, i).
     * Deterministic, data-independent (no training pass — unlike IVF).

@@ -1138,6 +1138,43 @@ object CoreQueries {
              |            THEN 1 ELSE 0 END AS BIGINT) AS bipartite
              |FROM j""".stripMargin)),
 
+    // Diameter lower bound by the 2-sweep heuristic (horizon-bounded):
+    // BFS from the seed, restart from the farthest node (ties →
+    // smallest id), report its horizon eccentricity — double
+    // q_bfs_hops' cost for the usually-tight practical bound. The
+    // oracle replays both walks with the second seeded by the first's
+    // argmax scalar.
+    Q("q_diameter",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.as("a")
+          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        Graph.diameter2Sweep(und, seed = 1L, maxHops = 3).orderBy("ecc_seed")
+      },
+      Some("""WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+             |ed AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+             |w1(node, hop) AS (
+             |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+             |  UNION
+             |  SELECT e.v, w.hop + 1 FROM w1 w JOIN ed e ON w.node = e.u
+             |  WHERE w.hop < 3),
+             |l1 AS (SELECT node, min(hop) AS hop FROM w1 GROUP BY node),
+             |f1 AS (SELECT node, hop FROM l1 ORDER BY hop DESC, node LIMIT 1),
+             |w2(node, hop) AS (
+             |  SELECT node, CAST(0 AS BIGINT) FROM f1
+             |  UNION
+             |  SELECT e.v, w.hop + 1 FROM w2 w JOIN ed e ON w.node = e.u
+             |  WHERE w.hop < 3),
+             |l2 AS (SELECT node, min(hop) AS hop FROM w2 GROUP BY node),
+             |f2 AS (SELECT node, hop FROM l2 ORDER BY hop DESC, node LIMIT 1)
+             |SELECT f1.hop AS ecc_seed, f1.node AS far_node,
+             |       f2.hop AS diameter_lb, f2.node AS far_node2
+             |FROM f1, f2 ORDER BY ecc_seed""".stripMargin)),
+
     // Weighted single-source shortest paths (Bellman-Ford, 4 relaxation
     // rounds) over the co-purchase graph with deterministic integer
     // weights 1 + (u+v) % 7 — the travel-time companion to q_bfs_hops'

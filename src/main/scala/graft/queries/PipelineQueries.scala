@@ -1209,6 +1209,30 @@ object PipelineQueries {
     // q_classifier_metrics). The operating point is DENSE because these
     // embeddings are near-random — the measured sweep and the
     // per-corpus density argument live on knnClassifyAnn's scaladoc.
+    // Mutual nearest-neighbor pairs — the high-precision embedding
+    // match rule (each side the other's exact top-1, ties → smaller
+    // id): the precision tier ABOVE q_dedup_embed's threshold pairs.
+    // Brute by definition here (the q_knn_classify class, ANN-candidate
+    // swap documented in the scaladoc); the mutual filter is one
+    // self-join on the k=1 frame.
+    Q("q_mutual_nn",
+      (s, dir) => Similarity.mutualNnPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("id_a"),
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
+             |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             |             CAST(floor(list_dot_product(a.ve, b.ve) / (a.nn * b.nn)
+             |                  * 1000000.0) AS BIGINT) AS sim_ppm
+             |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+             |r AS (SELECT src, dst, sim_ppm,
+             |             row_number() OVER (PARTITION BY src
+             |               ORDER BY sim_ppm DESC, dst) AS rk FROM s),
+             |nn1 AS (SELECT src, dst, sim_ppm FROM r WHERE rk = 1)
+             |SELECT a.src AS id_a, a.dst AS id_b, a.sim_ppm
+             |FROM nn1 a JOIN nn1 b ON a.src = b.dst AND a.dst = b.src
+             |WHERE a.src < a.dst ORDER BY id_a""".stripMargin)),
+
     Q("q_knn_classify",
       (s, dir) => Similarity.knnClassifyAnn(
           Tables.embeddings(s, dir), "vec_id", "embedding", "label",

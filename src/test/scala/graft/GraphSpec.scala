@@ -427,6 +427,19 @@ class GraphSpec extends SparkSpec {
     assert(g2 == ((1L, 3L, 1833333L)), g2.toString)
   }
 
+  test("diameter2Sweep: path graph recovers the true diameter from a middle seed") {
+    // path 1-2-3-4-5, seed 3 (middle): ecc(3)=2, farthest = node 1
+    // (tie with 5 broken by id), second sweep from 1 reaches 5 at hop 4
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = Graph.diameter2Sweep(path, seed = 3L, maxHops = 6)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((2L, 1L, 4L, 5L)), got.toString)
+    // horizon cap: maxHops = 1 from the middle bounds both sweeps
+    val capped = Graph.diameter2Sweep(path, seed = 3L, maxHops = 1)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(capped == ((1L, 2L, 1L, 1L)), capped.toString)
+  }
+
   test("bipartiteCheck: even cycle clean, odd cycle witnessed, horizon respected") {
     def run(edges: Seq[(Long, Long)], hops: Int) =
       Graph.bipartiteCheck(edges.toDF("u", "v"), seed = 1L, maxHops = hops)

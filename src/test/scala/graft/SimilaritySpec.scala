@@ -502,4 +502,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) == ((2L, 3L, 2L, Some(666666L), Some(1000000L), Some(800000L))), got.toString)
     assert(got(3L) == ((1L, 0L, 0L, None, Some(0L), Some(0L))), got.toString)
   }
+
+  test("mutualNnPairs: brute replay exact; one-directional neighbors excluded") {
+    import org.apache.spark.sql.functions.col
+    // 0 and 1 are mutual twins; 2's NN is 0 but 0's NN is 1 (one-way);
+    // 3 is a far outlier whose NN is nobody's NN
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f)),
+      (2L, Array(0.9f, 0.3f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mutualNnPairs(vecs, "vec_id", "embedding")
+      .orderBy("id_a").as[(Long, Long, Long)].collect().toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    val m = Seq(0L -> Array(1.0f, 0.0f, 0.0f), 1L -> Array(0.99f, 0.01f, 0.0f),
+      2L -> Array(0.9f, 0.3f, 0.0f), 3L -> Array(0.0f, 0.0f, 1.0f)).toMap
+    def nn(i: Long) = m.keys.filter(_ != i)
+      .map(j => (j, math.floor(cos(m(i), m(j)) * 1e6).toLong))
+      .minBy { case (j, s) => (-s, j) }
+    val want = m.keys.toSeq.sorted.flatMap { a =>
+      val (b, s) = nn(a)
+      if (a < b && nn(b)._1 == a) Some((a, b, s)) else None
+    }
+    assert(got == want && got.map(p => (p._1, p._2)) == Seq((0L, 1L)), got.toString)
+  }
 }
