@@ -407,11 +407,18 @@ object Stats {
     def hist(df: DataFrame, n: String): DataFrame =
       df.select(col(byCol).as("g"), bin(col(valueCol)).as("bin"))
         .groupBy(col("g"), col("bin")).agg(count(lit(1)).as(n))
-    val r = hist(ref, "n_ref")
-    val c = hist(cur, "n_cur")
+    driftFromHists(hist(ref, "n_ref"), hist(cur, "n_cur"), bins)
+  }
+
+  /** Drift arithmetic over PRE-AGGREGATED (g, bin, count) histograms —
+    * the tail [[histogramDrift]] shares with the streaming twin
+    * (Replay.driftReplay maintains the histograms as a summed census;
+    * counts merge associatively, so the maintained view feeds this
+    * identically to the batch pass). */
+  def driftFromHists(r: DataFrame, c: DataFrame, bins: Int): DataFrame = {
     val grid = r.select(col("g")).union(c.select(col("g"))).distinct()
       .crossJoin(broadcast(
-        ref.sparkSession.range(bins).select(col("id").as("bin"))))
+        r.sparkSession.range(bins).select(col("id").as("bin"))))
     val cells = grid.join(r, Seq("g", "bin"), "left")
       .join(c, Seq("g", "bin"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur"))

@@ -92,6 +92,39 @@ object PipelineQueries {
       |                      for i in range(1, len(s)-1)]) AS sh
       |FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)""".stripMargin
 
+  /** Single-pass drift census over events — ONE SQL text shared by
+    * q_drift_hist (batch two-slice pass) and q_stream_drift (micro-
+    * batch-maintained histogram census): counts merge associatively,
+    * so any sharding must hash to this single-pass replay. */
+  private[queries] def driftHistOracleSql: String =
+    """WITH e AS (SELECT event_type AS g,
+      |                  CASE WHEN epoch_us(ts) < 1705363200000000 THEN 0 ELSE 1 END AS per,
+      |                  CAST(least(greatest(floor(value/10.0), 0), 9) AS BIGINT) AS bin
+      |           FROM events),
+      |r AS (SELECT g, bin, count(*) AS n_ref FROM e WHERE per = 0 GROUP BY 1, 2),
+      |c AS (SELECT g, bin, count(*) AS n_cur FROM e WHERE per = 1 GROUP BY 1, 2),
+      |grid AS (SELECT g, bin FROM (SELECT DISTINCT g FROM e),
+      |                            (SELECT unnest(generate_series(0, 9)) AS bin)),
+      |cells AS (SELECT grid.g, grid.bin,
+      |                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      |          FROM grid LEFT JOIN r ON grid.g = r.g AND grid.bin = r.bin
+      |                    LEFT JOIN c ON grid.g = c.g AND grid.bin = c.bin),
+      |t AS (SELECT g, sum(n_ref) AS tr, sum(n_cur) AS tc FROM cells GROUP BY 1),
+      |d AS (SELECT cells.g, bin, n_ref, n_cur,
+      |             CASE WHEN tr > 0 AND tc > 0
+      |                  THEN abs(n_ref*tc - n_cur*tr) * 1000000 // (tr*tc)
+      |                  ELSE 0 END AS dev_ppm,
+      |             CASE WHEN tr > 0 AND tc > 0 AND n_ref*tc + n_cur*tr > 0
+      |                  THEN (n_ref*tc - n_cur*tr) * (n_ref*tc - n_cur*tr) * 1000000
+      |                       // ((tr*tc) * (n_ref*tc + n_cur*tr))
+      |                  ELSE 0 END AS chi2_ppm
+      |      FROM cells JOIN t ON cells.g = t.g)
+      |SELECT g AS event_type, CAST(sum(n_ref) AS BIGINT) AS n_ref,
+      |       CAST(sum(n_cur) AS BIGINT) AS n_cur,
+      |       CAST(sum(dev_ppm) AS BIGINT) AS tv2_ppm,
+      |       CAST(sum(chi2_ppm) AS BIGINT) AS chi2_ppm
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Single-pass CMS register census over events.user_id — ONE SQL text
     * shared by q_cms_census (batch) and q_stream_cms (per-micro-batch
     * partials merged by register sum): the CMS merge law says any
@@ -2337,33 +2370,7 @@ object PipelineQueries {
             sum(col("dev_ppm")).as("tv2_ppm"), sum(col("chi2_ppm")).as("chi2_ppm"))
           .orderBy("event_type")
       },
-      Some("""WITH e AS (SELECT event_type AS g,
-             |                  CASE WHEN epoch_us(ts) < 1705363200000000 THEN 0 ELSE 1 END AS per,
-             |                  CAST(least(greatest(floor(value/10.0), 0), 9) AS BIGINT) AS bin
-             |           FROM events),
-             |r AS (SELECT g, bin, count(*) AS n_ref FROM e WHERE per = 0 GROUP BY 1, 2),
-             |c AS (SELECT g, bin, count(*) AS n_cur FROM e WHERE per = 1 GROUP BY 1, 2),
-             |grid AS (SELECT g, bin FROM (SELECT DISTINCT g FROM e),
-             |                            (SELECT unnest(generate_series(0, 9)) AS bin)),
-             |cells AS (SELECT grid.g, grid.bin,
-             |                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
-             |          FROM grid LEFT JOIN r ON grid.g = r.g AND grid.bin = r.bin
-             |                    LEFT JOIN c ON grid.g = c.g AND grid.bin = c.bin),
-             |t AS (SELECT g, sum(n_ref) AS tr, sum(n_cur) AS tc FROM cells GROUP BY 1),
-             |d AS (SELECT cells.g, bin, n_ref, n_cur,
-             |             CASE WHEN tr > 0 AND tc > 0
-             |                  THEN abs(n_ref*tc - n_cur*tr) * 1000000 // (tr*tc)
-             |                  ELSE 0 END AS dev_ppm,
-             |             CASE WHEN tr > 0 AND tc > 0 AND n_ref*tc + n_cur*tr > 0
-             |                  THEN (n_ref*tc - n_cur*tr) * (n_ref*tc - n_cur*tr) * 1000000
-             |                       // ((tr*tc) * (n_ref*tc + n_cur*tr))
-             |                  ELSE 0 END AS chi2_ppm
-             |      FROM cells JOIN t ON cells.g = t.g)
-             |SELECT g AS event_type, CAST(sum(n_ref) AS BIGINT) AS n_ref,
-             |       CAST(sum(n_cur) AS BIGINT) AS n_cur,
-             |       CAST(sum(dev_ppm) AS BIGINT) AS tv2_ppm,
-             |       CAST(sum(chi2_ppm) AS BIGINT) AS chi2_ppm
-             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(driftHistOracleSql)),
 
     // Binless drift: exact two-sample Kolmogorov-Smirnov distance of
     // every event_type's value-mils distribution vs the 'click'

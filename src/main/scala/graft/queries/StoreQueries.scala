@@ -1054,6 +1054,23 @@ object StoreQueries {
       },
       Some(PipelineQueries.cmsCensusOracleSql)),
 
+    // Streaming DRIFT monitor: the (group, period, bin) value-histogram
+    // census maintained across micro-batches, deviation + χ² read from
+    // the final view — the live data-drift alarm. Counts merge
+    // associatively, so the oracle is LITERALLY q_drift_hist's
+    // single-pass SQL, hash-checked cross-engine.
+    Q("q_stream_drift",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        val cells = Replay.driftReplay(s, store, store + "_drift_view",
+          cutUs = 1705363200000000L, lo = 0.0, binWidth = 10.0, bins = 10)
+        cells.groupBy(col("g").as("event_type"))
+          .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+            sum(col("dev_ppm")).as("tv2_ppm"), sum(col("chi2_ppm")).as("chi2_ppm"))
+          .orderBy("event_type")
+      },
+      Some(PipelineQueries.driftHistOracleSql)),
+
     // Streaming Brier calibration: the per-bin (count, p/o/(p−1000o)²
     // sums) census maintained across micro-batches — every column is a
     // SUM, so partials merge by addition and the decomposition read

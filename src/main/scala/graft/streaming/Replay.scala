@@ -582,6 +582,61 @@ object Replay {
         sys.error("brierReplay: no view version was committed"))))
   }
 
+  /** Streaming DRIFT MONITOR — the (group, period, bin) value-histogram
+    * census maintained across micro-batches (period = before/after the
+    * cut timestamp), with the reference-vs-current deviation and χ²
+    * arithmetic (Stats.driftFromHists) read from the final view: counts
+    * merge associatively, so the maintained monitor equals the batch
+    * two-slice pass — q_drift_hist's ORACLE is shared verbatim. View
+    * state is groups × 2 × bins rows forever; this is the live
+    * data-drift alarm a feature pipeline keeps. */
+  def driftReplay(
+      spark: SparkSession,
+      storePath: String,
+      viewRoot: String,
+      cutUs: Long,
+      lo: Double,
+      binWidth: Double,
+      bins: Int,
+      filesPerBatch: Int = 8): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(storePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = batch.toDF()
+          .select(col("event_type").as("g"),
+            when(unix_micros(col("ts")) < cutUs, 0L).otherwise(1L).as("per"),
+            least(greatest(floor((col("value") - lit(lo)) / lit(binWidth)), lit(0.0)),
+              lit((bins - 1).toDouble)).cast("long").as("bin"))
+          .groupBy(col("g"), col("per"), col("bin"))
+          .agg(count(lit(1)).as("n"))
+        // versions < batchId only: replay-idempotent (see latestView)
+        val merged = latestView(viewRoot, below = batchId) match {
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(partial)
+              .groupBy(col("g"), col("per"), col("bin"))
+              .agg(sum(col("n")).as("n"))
+          case None => partial
+        }
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$viewRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", viewRoot + "_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val census = spark.read.parquet(latestView(viewRoot, Long.MaxValue).getOrElse(
+      sys.error("driftReplay: no view version was committed")))
+    graft.operators.Stats.driftFromHists(
+      census.filter(col("per") === 0L).select(col("g"), col("bin"), col("n").as("n_ref")),
+      census.filter(col("per") === 1L).select(col("g"), col("bin"), col("n").as("n_cur")),
+      bins)
+  }
+
   /** Streaming COUNT-MIN sketch — the CMS register census
     * (Approx.cmsRegisterCensus) maintained incrementally: register
     * counts merge by SUM (the CMS merge law — exact, like the HLL

@@ -299,6 +299,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(versions.head.getAbsolutePath).count() == 4)
   }
 
+  test("drift replay: maintained histogram census equals the batch two-slice pass") {
+    val cut = ts("2024-01-02 00:00:00").getTime * 1000L
+    val events = (0L until 30L).map { i =>
+      (i, ts(f"2024-01-0${i % 3 + 1}%d 10:15:00"),
+        if (i % 2 == 0L) "a" else "b", (i * 13 % 100).toDouble, i)
+    }.toDF("id", "ts", "event_type", "value", "user_id")
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "driftview").toString
+    events.withColumn("bucket", SnapshotStore.dayBucketExpr($"ts"))
+      .repartition($"bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    val got = Replay.driftReplay(spark, path, path + "_dv",
+        cutUs = cut, lo = 0.0, binWidth = 10.0, bins = 10, filesPerBatch = 1)
+      .orderBy("g", "bin").as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val ev = spark.read.parquet(path)
+    val want = graft.operators.Stats.histogramDrift(
+        ev.filter(unix_micros($"ts") < cut), ev.filter(unix_micros($"ts") >= cut),
+        "event_type", "value", lo = 0.0, binWidth = 10.0, bins = 10)
+      .orderBy("g", "bin").as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got=${got.take(4)} want=${want.take(4)}")
+    assert(got.map(_._3).sum > 0 && got.map(_._4).sum > 0, "both periods populated")
+  }
+
   test("brier replay: summed census decomposition equals the batch decomposition") {
     val events = (0L until 30L).map { i =>
       (i, ts(f"2024-01-0${i % 3 + 1}%d 10:15:00"),
