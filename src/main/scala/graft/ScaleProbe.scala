@@ -630,6 +630,11 @@ object ScaleProbe {
     // both axes — 25x on 5x by construction, the q_knn_classify /
     // q_hard_negatives class; ANN-candidate swap documented
     "q_mutual_nn" -> true,
+    // PGM decode / resize = pure row-local render→parse→array-math
+    // projections (the q_chunk_tokens zero-shuffle class; the ordered
+    // output adds one range exchange)
+    "q_image_decode" -> false,
+    "q_image_resize" -> false,
     // per-source dup census = one (hash) count agg + one hash-keyed
     // join back + a source rollup — the q_dedup_exact shuffle shape
     "q_dup_by_source" -> false

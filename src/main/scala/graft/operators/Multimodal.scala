@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One opaque media blob with typed metadata. */
@@ -13,9 +13,14 @@ final case class BlobFeatures(doc_id: Long, n_frames: Int, features: Array[Float
   * columns with typed metadata, plus the Spark-side plumbing for
   * decode / feature-extract / frame-sample pipelines.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment): `decodeFeaturesStub` derives deterministic fake features
-  * from the byte content. Everything around it — schema, binary column
+  * Compressed-codec decode (JPEG/PNG/audio) is STUBBED (no codec
+  * libraries in this environment): `decodeFeaturesStub` derives
+  * deterministic fake features from the byte content. The Netpbm P2
+  * path below ([[pgmBlob]]/[[pgmFeatures]]/[[pgmDownsample2x]]) is a
+  * REAL decode — honest grammar parsing, feature extraction and a
+  * box-filter resize for a real (if plain-text) image format — so the
+  * decode→features→resize pipeline shape is exercised end-to-end with
+  * no fake step. Everything around both — schema, binary column
   * lifecycle, partition-preserving batch shape (`mapPartitions`), and the
   * declarative frame-sampling — is real and tested.
   *
@@ -224,5 +229,84 @@ object Multimodal {
         BlobFeatures(b.doc_id, frames, feats)
       }
     }
+  }
+
+  // ---- Netpbm (P2 / ASCII PGM): a REAL image decode path ---------------
+  // JPEG/PNG stay environmental stubs (no codec libs in this sandbox);
+  // Netpbm is a real, spec'd image format whose grammar is plain text, so
+  // the full decode → feature-extract → resize pipeline runs as honest
+  // parsing code — the multimodal column lifecycle with no fake step.
+
+  /** Render a P2 (ASCII PGM, Netpbm) image blob deterministically from an
+    * id: pixel(i) = (id·31 + i·17) mod 256 — pure arithmetic, so an
+    * external SQL engine reproduces the corpus bit-for-bit and the decode
+    * below is checkable as an encode/decode ROUND-TRIP (parse(render(id))
+    * must equal the closed form). */
+  def pgmBlob(id: Column, w: Int, h: Int): Column = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val pix = transform(sequence(lit(0L), lit((w * h - 1).toLong)),
+      i => pmod(id * 31L + i * 17L, lit(256L)))
+    concat(lit(s"P2\n$w $h\n255\n"), array_join(pix, " ")).cast("binary")
+  }
+
+  /** Decode a P2 blob: whitespace-token grammar (magic, width, height,
+    * maxval, then width·height pixel values). Returns the token array
+    * column for downstream feature/resize stages — callers bind it ONCE
+    * (withColumn) per the interpreted-HOF capture rule. */
+  def pgmTokens(blob: Column): Column = split(trim(blob.cast("string")), "\\s+")
+
+  /** Image features off the decoded tokens: dims, pixel count/mean/min/
+    * max, and a format validity flag (magic == P2, token count matches
+    * the declared dims). All codegen'd array ops; pixels never explode
+    * to rows. */
+  def pgmFeatures(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val withToks = df.withColumn("_t", pgmTokens(col(blobCol)))
+      .withColumn("_w", element_at(col("_t"), 2).cast("long"))
+      .withColumn("_h", element_at(col("_t"), 3).cast("long"))
+      .withColumn("_px",
+        transform(slice(col("_t"), lit(5), size(col("_t")) - 4), s => s.cast("long")))
+    withToks.select(
+      col(idCol),
+      col("_w").as("width"),
+      col("_h").as("height"),
+      size(col("_px")).cast("long").as("n_pixels"),
+      (element_at(col("_t"), 1) === "P2" &&
+        size(col("_px")) === (col("_w") * col("_h")).cast("int"))
+        .as("ok_format"),
+      expr("CAST(aggregate(_px, CAST(0 AS BIGINT), (a, x) -> a + x) DIV size(_px) AS BIGINT)")
+        .as("mean_pixel"),
+      array_min(col("_px")).cast("long").as("min_pixel"),
+      array_max(col("_px")).cast("long").as("max_pixel"))
+  }
+
+  /** 2× box-filter downsample of a decoded P2 image: out(r, c) =
+    * ⌊(p(2r,2c) + p(2r,2c+1) + p(2r+1,2c) + p(2r+1,2c+1)) / 4⌋ — the
+    * real resize kernel, row-local over the pixel array (element_at
+    * arithmetic, no explode). Output: (id, out_w, out_h, px_sum,
+    * px_md5) where px_md5 fingerprints the resized image exactly. */
+  def pgmDownsample2x(
+      df: DataFrame, idCol: String, blobCol: String, w: Int, h: Int): DataFrame = {
+    require(w % 2 == 0 && h % 2 == 0, s"dims must be even: ${w}x$h")
+    val (ow, oh) = (w / 2, h / 2)
+    val out = df.withColumn("_t", pgmTokens(col(blobCol)))
+      .withColumn("_px",
+        transform(slice(col("_t"), lit(5), size(col("_t")) - 4), s => s.cast("long")))
+      .withColumn("_rs",
+        transform(sequence(lit(0), lit(ow * oh - 1)), o => {
+          // Column `/` is double division — block coordinates need the
+          // integral quotient
+          val r = floor(o / lit(ow)).cast("int") * 2
+          val c = pmod(o, lit(ow)) * 2
+          def p(rr: Column, cc: Column) =
+            element_at(col("_px"), (rr * w + cc + 1).cast("int"))
+          floor((p(r, c) + p(r, c + 1) + p(r + 1, c) + p(r + 1, c + 1)) / 4.0)
+            .cast("long")
+        }))
+    out.select(
+      col(idCol),
+      lit(ow.toLong).as("out_w"),
+      lit(oh.toLong).as("out_h"),
+      expr("CAST(aggregate(_rs, CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)").as("px_sum"),
+      md5(array_join(col("_rs"), " ").cast("binary")).as("px_md5"))
   }
 }

@@ -3554,6 +3554,61 @@ object PipelineQueries {
     // proxy), magic-prefix format sniff. Blob content never shuffles —
     // only (doc_id, byte, count) tuples move; modal ties to the
     // smallest byte.
+    // REAL image decode — Netpbm P2 (ASCII PGM): render a deterministic
+    // 8×6 grayscale image per doc (pixel(i) = (doc_id·31 + i·17) mod
+    // 256), then DECODE it with honest grammar parsing (magic, dims,
+    // maxval, pixels) and extract features. The oracle derives the
+    // features from the CLOSED FORM — Spark's render→parse round-trip
+    // must land exactly on the independent arithmetic, so both the
+    // encoder and the decoder are checked. (JPEG/PNG stay labeled
+    // environmental stubs; Netpbm needs no codec lib.)
+    Q("q_image_decode",
+      (s, dir) =>
+        graft.operators.Multimodal.pgmFeatures(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              graft.operators.Multimodal.pgmBlob(col("doc_id"), 8, 6).as("img")),
+          "doc_id", "img")
+        .orderBy("doc_id"),
+      Some("""WITH px AS (SELECT doc_id,
+             |                   [CAST((doc_id*31 + i*17) % 256 AS BIGINT)
+             |                    for i in range(48)] AS p
+             |            FROM documents)
+             |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+             |       CAST(48 AS BIGINT) AS n_pixels, TRUE AS ok_format,
+             |       CAST(list_sum(p) // 48 AS BIGINT) AS mean_pixel,
+             |       list_min(p) AS min_pixel, list_max(p) AS max_pixel
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // REAL image resize — 2× box-filter downsample of the decoded P2
+    // image (out(r,c) = ⌊mean of the 2×2 block⌋), row-local element_at
+    // arithmetic over the pixel array, fingerprinted exactly by
+    // md5(resized). Oracle replays the kernel from the closed-form
+    // pixels.
+    Q("q_image_resize",
+      (s, dir) =>
+        graft.operators.Multimodal.pgmDownsample2x(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              graft.operators.Multimodal.pgmBlob(col("doc_id"), 8, 6).as("img")),
+          "doc_id", "img", w = 8, h = 6)
+        .orderBy("doc_id"),
+      Some("""WITH px AS (SELECT doc_id,
+             |                   [CAST((doc_id*31 + i*17) % 256 AS BIGINT)
+             |                    for i in range(48)] AS p
+             |            FROM documents),
+             |rs AS (SELECT doc_id,
+             |              [CAST(floor((p[((o//4)*2)*8 + (o%4)*2 + 1]
+             |                         + p[((o//4)*2)*8 + (o%4)*2 + 2]
+             |                         + p[((o//4)*2+1)*8 + (o%4)*2 + 1]
+             |                         + p[((o//4)*2+1)*8 + (o%4)*2 + 2]) / 4.0) AS BIGINT)
+             |               for o in range(12)] AS r
+             |       FROM px)
+             |SELECT doc_id, CAST(4 AS BIGINT) AS out_w, CAST(3 AS BIGINT) AS out_h,
+             |       CAST(list_sum(r) AS BIGINT) AS px_sum,
+             |       md5(array_to_string(r, ' ')) AS px_md5
+             |FROM rs ORDER BY doc_id""".stripMargin)),
+
     Q("q_blob_stats",
       (s, dir) => Multimodal.blobByteStats(
           Multimodal.toBlobTable(Tables.documents(s, dir), "doc_id", "text", "text"))

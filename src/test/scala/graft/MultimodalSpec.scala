@@ -109,4 +109,28 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("pgm decode: foreign-encoded P2 parses exactly; malformed blob flagged") {
+    import org.apache.spark.sql.functions._
+    // hand-written 4x2 image (NOT via pgmBlob — checks the parser
+    // against an independent encoder, incl. multi-space/newline mixing)
+    val img = "P2\n4 2\n255\n0 10  20 30\n255 100 5 40"
+    val bad = "P5\n4 2\n255\n0 1 2 3 4 5 6 7" // wrong magic
+    val short = "P2\n4 2\n255\n1 2 3"           // token count mismatch
+    val df = Seq((1L, img), (2L, bad), (3L, short))
+      .toDF("id", "s").select($"id", $"s".cast("binary").as("img"))
+    val got = Multimodal.pgmFeatures(df, "id", "img")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Boolean, Long, Long, Long)].collect().toSeq
+    assert(got.head == ((1L, 4L, 2L, 8L, true, 460L / 8, 0L, 255L)), got.head.toString)
+    assert(!got(1)._5 && !got(2)._5, got.toString) // both flagged invalid
+    // 2x downsample of the hand image: blocks ⌊(0+10+255+100)/4⌋=91,
+    // ⌊(20+30+5+40)/4⌋=23
+    val rs = Multimodal.pgmDownsample2x(
+        df.filter($"id" === 1L), "id", "img", w = 4, h = 2)
+      .as[(Long, Long, Long, Long, String)].collect().head
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("91 23".getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
+    assert(rs == ((1L, 2L, 1L, 114L, h)), rs.toString)
+  }
 }
