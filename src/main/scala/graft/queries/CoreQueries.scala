@@ -47,6 +47,14 @@ object CoreQueries {
       |JOIN r ON r.rn = (r.n * p.pct + 99) // 100
       |ORDER BY pct""".stripMargin
 
+  /** Single-pass bottom-100 row sample — ONE SQL text shared by
+    * q_reservoir (batch TakeOrdered) and q_stream_reservoir (per-batch
+    * bottom-k truncate-union merged): min-order is global, so any
+    * sharding must hash to this single-pass replay. */
+  private[queries] def reservoirOracleSql: String =
+    """SELECT md5(CAST(event_id AS VARCHAR)) AS h, event_id, user_id, event_type
+      |FROM events ORDER BY h, event_id LIMIT 100""".stripMargin
+
   /** Single-pass Brier decomposition over events — ONE SQL text shared
     * by q_brier (batch) and q_stream_brier (micro-batch-maintained
     * census): the census columns are pure sums, so any sharding must
@@ -6395,8 +6403,7 @@ object CoreQueries {
           col("event_id"), col("user_id"), col("event_type"))
         .orderBy(col("h"), col("event_id"))
         .limit(100),
-      Some("""SELECT md5(CAST(event_id AS VARCHAR)) AS h, event_id, user_id, event_type
-             |FROM events ORDER BY h, event_id LIMIT 100""".stripMargin)),
+      Some(reservoirOracleSql)),
 
     // Exact per-day ROC-AUC of event value as a purchase-ranker — the
     // rank-semantics classifier metric (does value order purchases above

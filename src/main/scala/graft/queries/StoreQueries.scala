@@ -1054,6 +1054,17 @@ object StoreQueries {
       },
       Some(PipelineQueries.cmsCensusOracleSql)),
 
+    // Streaming RESERVOIR: the deterministic global bottom-100 row
+    // sample maintained incrementally (per-batch bottom-k, running
+    // truncate-union — kmvReplay's min-order exactness on the ROW
+    // sample). Oracle is LITERALLY q_reservoir's single-pass SQL.
+    Q("q_stream_reservoir",
+      (s, dir) => {
+        val store = SnapshotStore.ensureReplayStore(s, dir)
+        Replay.reservoirReplay(s, store, store + "_rsv_view", k = 100)
+      },
+      Some(CoreQueries.reservoirOracleSql)),
+
     // Streaming DRIFT monitor: the (group, period, bin) value-histogram
     // census maintained across micro-batches, deviation + χ² read from
     // the final view — the live data-drift alarm. Counts merge

@@ -582,6 +582,52 @@ object Replay {
         sys.error("brierReplay: no view version was committed"))))
   }
 
+  /** Streaming RESERVOIR — the deterministic global exact-k sample
+    * (q_reservoir's k smallest md5(event_id)) maintained incrementally:
+    * each micro-batch contributes its own bottom-k and the versioned
+    * view keeps the running bottom-k of the union (min-order is global,
+    * so merge == truncate-union — the [[kmvReplay]] exactness applied
+    * to the ROW sample instead of the distinct sketch). View state is
+    * ≤ k rows forever; the oracle is LITERALLY q_reservoir's
+    * single-pass SQL. */
+  def reservoirReplay(
+      spark: SparkSession,
+      storePath: String,
+      viewRoot: String,
+      k: Int,
+      filesPerBatch: Int = 8): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewRoot + "_chk"))
+    val src = spark.readStream
+      .schema(spark.read.parquet(storePath).schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(storePath)
+    def bottomK(df: DataFrame) = df
+      .select(md5(col("event_id").cast("string").cast("binary")).as("h"),
+        col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("h"), col("event_id")).limit(k)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = bottomK(batch.toDF())
+        // versions < batchId only: replay-idempotent (see latestView)
+        val merged = latestView(viewRoot, below = batchId) match {
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(partial).distinct()
+              .orderBy(col("h"), col("event_id")).limit(k)
+          case None => partial
+        }
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$viewRoot/v$batchId")
+        ()
+      }
+      .option("checkpointLocation", viewRoot + "_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(latestView(viewRoot, Long.MaxValue).getOrElse(
+        sys.error("reservoirReplay: no view version was committed")))
+      .orderBy(col("h"), col("event_id"))
+  }
+
   /** Streaming DRIFT MONITOR — the (group, period, bin) value-histogram
     * census maintained across micro-batches (period = before/after the
     * cut timestamp), with the reference-vs-current deviation and χ²
