@@ -279,6 +279,93 @@ object Multimodal {
       array_max(col("_px")).cast("long").as("max_pixel"))
   }
 
+  // ---- WAV (RIFF PCM16): a REAL audio decode path ----------------------
+  // Same contract as the Netpbm path: the canonical 44-byte RIFF/WAVE
+  // header plus 16-bit little-endian PCM is a real, spec'd audio
+  // container whose grammar is byte arithmetic — the decode below is
+  // honest binary parsing (hex-materialized once, the blobByteStats
+  // idiom), no codec library.
+
+  private def hexByte(b: Column): Column = lpad(hex(b), 2, "0")
+
+  /** Render a canonical mono 16-bit 8 kHz WAV blob deterministically
+    * from an id: sample(i) = ((id·7 + i·13) mod 2000) − 1000. Pure
+    * arithmetic, so an external engine reproduces the corpus and the
+    * decode is checkable as a render→parse ROUND-TRIP against the
+    * closed form. */
+  def wavBlob(id: Column, nSamples: Int): Column = {
+    require(nSamples > 0, s"nSamples must be positive: $nSamples")
+    val dataSize = nSamples * 2
+    val chunkSize = 36 + dataSize
+    def le32(v: Int): String =
+      f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+    val header = "52494646" + le32(chunkSize) + "57415645" + // RIFF size WAVE
+      "666D7420" + le32(16) + "0100" + "0100" +              // fmt , PCM, mono
+      le32(8000) + le32(16000) + "0200" + "1000" +           // rate, byterate, align, bits
+      "64617461" + le32(dataSize)                            // data, size
+    val samplesHex = array_join(
+      transform(sequence(lit(0L), lit(nSamples - 1L)), i => {
+        val u = pmod(pmod(id * 7L + i * 13L, lit(2000L)) - 1000L + 65536L, lit(65536L))
+        // little-endian: low byte first; Column `/` is double division,
+        // so the high byte goes through an exact floor
+        concat(hexByte(pmod(u, lit(256L))), hexByte(floor(u / 256L).cast("long")))
+      }), "")
+    unhex(concat(lit(header), samplesHex))
+  }
+
+  /** Decode a PCM16 WAV blob: header fields parsed from the
+    * hex-materialized bytes (magic, WAVE tag, bits-per-sample, sample
+    * rate, data size), samples as signed little-endian 16-bit. Features:
+    * sample count/rate, peak |s|, Σ|s|, Σs² (exact DECIMAL), and the
+    * zero-crossing count — the no-libm audio QC set. Row-local
+    * codegen'd array ops; audio bytes never explode to rows. */
+  def wavFeatures(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val withHex = df.withColumn("_hx", hex(col(blobCol)))
+    // fixed-offset header byte (0-based): hex chars [2·off+1, 2·off+2]
+    def b(off: Int): Column =
+      conv(substring(col("_hx"), 2 * off + 1, 2), 16, 10).cast("long")
+    // column-offset byte for the sample loop
+    def bAt(off: Column): Column =
+      conv(col("_hx").substr((off * 2L + 1L).cast("int"), lit(2)), 16, 10).cast("long")
+    val parsed = withHex
+      .withColumn("_rate", b(24) + b(25) * 256L + b(26) * 65536L + b(27) * 16777216L)
+      .withColumn("_dsz", b(40) + b(41) * 256L + b(42) * 65536L + b(43) * 16777216L)
+      // parse only bytes actually present — a truncated blob whose
+      // header CLAIMS more data must not read past the buffer (it is
+      // still flagged by ok_format's length check below)
+      .withColumn("_n",
+        floor(least(col("_dsz"),
+          greatest(octet_length(col(blobCol)).cast("long") - 44L, lit(0L))) / 2L)
+          .cast("long"))
+      .withColumn("_ok",
+        substring(col("_hx"), 1, 8) === "52494646" &&
+          substring(col("_hx"), 17, 8) === "57415645" &&
+          b(34) === 16L && b(35) === 0L &&
+          octet_length(col(blobCol)).cast("long") === lit(44L) + col("_dsz"))
+      .withColumn("_s",
+        when(col("_n") > 0L,
+          transform(sequence(lit(0L), col("_n") - 1L), i => {
+            val u = bAt(lit(44L) + i * 2L) + bAt(lit(45L) + i * 2L) * 256L
+            u - when(u >= 32768L, 65536L).otherwise(0L) // signed 16-bit LE
+          })).otherwise(array().cast("array<bigint>")))
+    parsed.select(
+      col(idCol),
+      col("_n").as("n_samples"),
+      col("_rate").as("sample_rate"),
+      col("_ok").as("ok_format"),
+      coalesce(array_max(transform(col("_s"), s => abs(s))), lit(0L)).as("peak_abs"),
+      expr("CAST(aggregate(_s, CAST(0 AS BIGINT), (a, x) -> a + abs(x)) AS BIGINT)")
+        .as("sum_abs"),
+      expr("CAST(aggregate(_s, CAST(0 AS DECIMAL(38,0)), (a, x) -> a + CAST(x AS DECIMAL(38,0)) * x) AS BIGINT)")
+        .as("sum_sq"),
+      when(col("_n") > 1L,
+        expr("""CAST(aggregate(sequence(CAST(1 AS BIGINT), size(_s) - 1),
+               |  CAST(0 AS BIGINT),
+               |  (a, i) -> a + CAST((_s[CAST(i AS INT)] < 0) != (_s[CAST(i AS INT) - 1] < 0) AS INT))
+               |  AS BIGINT)""".stripMargin))
+        .otherwise(0L).as("n_zero_cross"))
+  }
+
   /** 2× box-filter downsample of a decoded P2 image: out(r, c) =
     * ⌊(p(2r,2c) + p(2r,2c+1) + p(2r+1,2c) + p(2r+1,2c+1)) / 4⌋ — the
     * real resize kernel, row-local over the pixel array (element_at

@@ -3580,6 +3580,35 @@ object PipelineQueries {
              |       list_min(p) AS min_pixel, list_max(p) AS max_pixel
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio decode — RIFF/WAVE PCM16: render a deterministic mono
+    // 8 kHz 32-sample clip per doc (sample(i) = (doc_id·7 + i·13) mod
+    // 2000 − 1000), then DECODE the canonical 44-byte header and the
+    // signed little-endian 16-bit samples with honest byte parsing
+    // (hex-materialized once) and extract the no-libm audio QC set:
+    // peak, Σ|s|, Σs², zero crossings. The oracle derives everything
+    // from the closed form — render AND parse both checked. (Compressed
+    // codecs stay labeled environmental stubs; RIFF needs none.)
+    Q("q_audio_decode",
+      (s, dir) =>
+        graft.operators.Multimodal.wavFeatures(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              graft.operators.Multimodal.wavBlob(col("doc_id"), 32).as("wav")),
+          "doc_id", "wav")
+        .orderBy("doc_id"),
+      Some("""WITH s AS (SELECT doc_id,
+             |                  [CAST((doc_id*7 + i*13) % 2000 - 1000 AS BIGINT)
+             |                   for i in range(32)] AS sm
+             |           FROM documents)
+             |SELECT doc_id, CAST(32 AS BIGINT) AS n_samples,
+             |       CAST(8000 AS BIGINT) AS sample_rate, TRUE AS ok_format,
+             |       list_max(list_transform(sm, x -> abs(x))) AS peak_abs,
+             |       CAST(list_sum(list_transform(sm, x -> abs(x))) AS BIGINT) AS sum_abs,
+             |       CAST(list_sum(list_transform(sm, x -> x*x)) AS BIGINT) AS sum_sq,
+             |       CAST(len(list_filter(range(1, 32),
+             |                i -> (sm[i+1] < 0) != (sm[i] < 0))) AS BIGINT) AS n_zero_cross
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // REAL image resize — 2× box-filter downsample of the decoded P2
     // image (out(r,c) = ⌊mean of the 2×2 block⌋), row-local element_at
     // arithmetic over the pixel array, fingerprinted exactly by

@@ -110,6 +110,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wav decode: foreign-encoded PCM16 parses exactly; truncated blob flagged") {
+    import org.apache.spark.sql.functions._
+    // hand-assembled 4-sample clip at 44100 Hz: samples 100, -2, 0, -32768
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val samples = Seq(100, -2, 0, -32768)
+    val wav: Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + 8) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(44100) ++ le32(88200) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(8) ++
+        samples.flatMap(s => le16(s & 0xFFFF)).toArray
+    val truncated = wav.dropRight(2) // dataSize claims more than present
+    val df = Seq((1L, wav), (2L, truncated)).toDF("id", "wav")
+    val got = Multimodal.wavFeatures(df, "id", "wav")
+      .orderBy("id")
+      .as[(Long, Long, Long, Boolean, Long, Long, Long, Long)].collect().toSeq
+    // zero crossings with sign = (s < 0): 100→-2 (1), -2→0 (1), 0→-32768 (1)
+    assert(got.head == ((1L, 4L, 44100L, true, 32768L,
+      100L + 2L + 0L + 32768L,
+      100L * 100 + 4 + 0 + 32768L * 32768L, 3L)), got.head.toString)
+    // truncated → flagged, and the parser reads only the 3 present
+    // samples instead of running past the buffer
+    assert(got(1) == ((2L, 3L, 44100L, false, 100L, 102L, 10004L, 2L)),
+      got(1).toString)
+  }
+
   test("pgm decode: foreign-encoded P2 parses exactly; malformed blob flagged") {
     import org.apache.spark.sql.functions._
     // hand-written 4x2 image (NOT via pgmBlob — checks the parser
