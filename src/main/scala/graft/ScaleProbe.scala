@@ -635,8 +635,9 @@ object ScaleProbe {
     // output adds one range exchange)
     "q_image_decode" -> false,
     "q_image_resize" -> false,
-    // WAV render→parse = the same row-local projection class
+    // WAV / Y4M render→parse = the same row-local projection class
     "q_audio_decode" -> false,
+    "q_video_decode" -> false,
     // per-source dup census = one (hash) count agg + one hash-keyed
     // join back + a source rollup — the q_dedup_exact shuffle shape
     "q_dup_by_source" -> false

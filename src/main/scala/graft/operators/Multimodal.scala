@@ -366,6 +366,114 @@ object Multimodal {
         .otherwise(0L).as("n_zero_cross"))
   }
 
+  // ---- Y4M (YUV4MPEG2): a REAL video decode path ------------------------
+  // Completes the real-decode trio (P2 image, WAV audio): YUV4MPEG2 is a
+  // real, spec'd video container — a plain-text header line, then
+  // "FRAME\n"-delimited raw planes. Synthesized here as grayscale-only
+  // (Y plane) clips; the decode is honest byte parsing: the header line
+  // is FOUND (first 0x0A scan), dims come from its W/H tokens, every
+  // frame marker is validated, and the pixel math never leaves hex.
+
+  /** Render a deterministic grayscale Y4M clip: pixel(f, i) =
+    * (id·3 + ⌊(f + id)/2⌋·97 + i·7) mod 256 — frames pair up into
+    * near-identical groups whose BOUNDARIES shift with the id, so the
+    * scene-cut census below varies per doc. Closed-form arithmetic:
+    * an external engine reproduces the corpus exactly. */
+  def y4mBlob(id: Column, w: Int, h: Int, nFrames: Int): Column = {
+    require(w > 0 && h > 0 && nFrames > 0, s"bad clip ${w}x$h x$nFrames")
+    def asciiHex(s: String): String =
+      s.getBytes("UTF-8").map(b => f"${b & 0xFF}%02X").mkString
+    val header = asciiHex(s"YUV4MPEG2 W$w H$h F25:1\n")
+    val frameMark = asciiHex("FRAME\n")
+    val frames = (0 until nFrames).map { f =>
+      val px = array_join(
+        transform(sequence(lit(0L), lit(w * h - 1L)), i =>
+          hexByte(pmod(id * 3L + floor((lit(f.toLong) + id) / 2L).cast("long") * 97L
+            + i * 7L, lit(256L)))), "")
+      concat(lit(frameMark), px)
+    }
+    unhex(concat(lit(header) +: frames: _*))
+  }
+
+  /** Decode a grayscale Y4M clip: locate the header line (first 0x0A
+    * within the first 64 bytes), parse W/H from its ASCII tokens,
+    * validate every FRAME marker, and extract per-frame Y planes.
+    * Features: dims, frame count, global mean luma, and the SCENE-CUT
+    * census — the count of consecutive-frame pairs whose mean absolute
+    * pixel difference reaches `cutMeanDiff` (the no-libm shot-boundary
+    * detector). Row-local nested array folds; video bytes never explode
+    * to rows. Output: (id, width, height, n_frames, ok_format, mean_y,
+    * n_scene_cuts). */
+  def y4mFeatures(
+      df: DataFrame, idCol: String, blobCol: String, cutMeanDiff: Int = 30): DataFrame = {
+    val withHex = df.withColumn("_hx", hex(col(blobCol)))
+      .withColumn("_len", octet_length(col(blobCol)).cast("long"))
+    def bAt(off: Column): Column =
+      conv(col("_hx").substr((off * 2L + 1L).cast("int"), lit(2)), 16, 10).cast("long")
+    val parsed = withHex
+      // first 0x0A byte in the first 64 bytes = end of the header line
+      .withColumn("_hdrNl", expr(
+        """aggregate(sequence(CAST(0 AS BIGINT), CAST(63 AS BIGINT)),
+          |  CAST(-1 AS BIGINT),
+          |  (acc, o) -> CASE WHEN acc >= 0 THEN acc
+          |    WHEN conv(substring(_hx, CAST(o * 2 + 1 AS INT), 2), 16, 10) = '10'
+          |    THEN o ELSE acc END)""".stripMargin))
+      .withColumn("_hdr",
+        when(col("_hdrNl") > 0L,
+          decode(unhex(col("_hx").substr(lit(1), (col("_hdrNl") * 2L).cast("int"))), "UTF-8"))
+          .otherwise(""))
+      .withColumn("_w",
+        when(regexp_extract(col("_hdr"), " W(\\d+)", 1) =!= "",
+          regexp_extract(col("_hdr"), " W(\\d+)", 1).cast("long")).otherwise(0L))
+      .withColumn("_h",
+        when(regexp_extract(col("_hdr"), " H(\\d+)", 1) =!= "",
+          regexp_extract(col("_hdr"), " H(\\d+)", 1).cast("long")).otherwise(0L))
+      .withColumn("_hl", col("_hdrNl") + 1L)
+      .withColumn("_fsz", lit(6L) + col("_w") * col("_h"))
+      .withColumn("_nf",
+        when(col("_fsz") > 6L, floor((col("_len") - col("_hl")) / col("_fsz")).cast("long"))
+          .otherwise(0L))
+      .withColumn("_marksOk", expr(
+        """_nf > 0 AND aggregate(sequence(CAST(0 AS BIGINT), _nf - 1),
+          |  true,
+          |  (acc, f) -> acc AND substring(_hx,
+          |    CAST((_hl + f * _fsz) * 2 + 1 AS INT), 12) = '4652414D450A')""".stripMargin))
+      .withColumn("_ok",
+        col("_hdr").startsWith("YUV4MPEG2 ") && col("_marksOk") &&
+          col("_len") === col("_hl") + col("_nf") * col("_fsz"))
+    // per-frame pixel sums and consecutive-frame |diff| sums, all off the
+    // hex column via NESTED folds (pixel(f, i) lives at byte
+    // _hl + f·_fsz + 6 + i) — video bytes never explode to rows
+    def pxByte(f: Column, i: Column): Column =
+      conv(col("_hx").substr(
+        ((col("_hl") + f * col("_fsz") + 6L + i) * 2L + 1L).cast("int"), lit(2)),
+        16, 10).cast("long")
+    def pixSeq: Column = sequence(lit(0L), col("_w") * col("_h") - 1L)
+    val summed = parsed
+      .withColumn("_fsum",
+        when(col("_nf") > 0L,
+          transform(sequence(lit(0L), col("_nf") - 1L), f =>
+            aggregate(pixSeq, lit(0L), (a, i) => a + pxByte(f, i))))
+          .otherwise(array().cast("array<bigint>")))
+      .withColumn("_dsum",
+        when(col("_nf") > 1L,
+          transform(sequence(lit(1L), col("_nf") - 1L), f =>
+            aggregate(pixSeq, lit(0L),
+              (a, i) => a + abs(pxByte(f, i) - pxByte(f - 1L, i)))))
+          .otherwise(array().cast("array<bigint>")))
+    summed.select(
+      col(idCol),
+      col("_w").as("width"),
+      col("_h").as("height"),
+      col("_nf").as("n_frames"),
+      col("_ok").as("ok_format"),
+      when(col("_nf") > 0L, expr(
+        "CAST(aggregate(_fsum, CAST(0 AS BIGINT), (a, x) -> a + x) DIV (_nf * _w * _h) AS BIGINT)"))
+        .otherwise(0L).as("mean_y"),
+      expr(s"""CAST(size(filter(_dsum, d -> d >= $cutMeanDiff * _w * _h))
+              |  AS BIGINT)""".stripMargin).as("n_scene_cuts"))
+  }
+
   /** 2× box-filter downsample of a decoded P2 image: out(r, c) =
     * ⌊(p(2r,2c) + p(2r,2c+1) + p(2r+1,2c) + p(2r+1,2c+1)) / 4⌋ — the
     * real resize kernel, row-local over the pixel array (element_at

@@ -3609,6 +3609,38 @@ object PipelineQueries {
              |                i -> (sm[i+1] < 0) != (sm[i] < 0))) AS BIGINT) AS n_zero_cross
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // REAL video decode — YUV4MPEG2 (Y4M): render a deterministic
+    // 6-frame 4×4 grayscale clip per doc, then DECODE the container
+    // honestly — the header line is FOUND (first 0x0A scan), dims come
+    // from its W/H tokens, every FRAME marker is validated — and run
+    // the no-libm SHOT-BOUNDARY detector: consecutive-frame mean
+    // absolute pixel difference vs a threshold. Frame groups shift
+    // with the doc id, so the cut census varies per row. The oracle
+    // derives everything from the closed-form pixels: render AND parse
+    // both checked. Completes the real-decode trio (P2, WAV, Y4M).
+    Q("q_video_decode",
+      (s, dir) =>
+        graft.operators.Multimodal.y4mFeatures(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              graft.operators.Multimodal.y4mBlob(col("doc_id"), 4, 4, 6).as("clip")),
+          "doc_id", "clip")
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id,
+             |                  [[CAST((doc_id*3 + ((f + doc_id)//2)*97 + i*7) % 256
+             |                     AS BIGINT) for i in range(16)]
+             |                   for f in range(6)] AS fr
+             |           FROM documents)
+             |SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+             |       CAST(6 AS BIGINT) AS n_frames, TRUE AS ok_format,
+             |       CAST(list_sum(list_transform(fr, l -> list_sum(l))) // 96
+             |            AS BIGINT) AS mean_y,
+             |       CAST(len(list_filter(
+             |              [list_sum([abs(fr[f+1][i+1] - fr[f][i+1]) for i in range(16)])
+             |               for f in range(1, 6)],
+             |              d -> d >= 480)) AS BIGINT) AS n_scene_cuts
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     // REAL image resize — 2× box-filter downsample of the decoded P2
     // image (out(r,c) = ⌊mean of the 2×2 block⌋), row-local element_at
     // arithmetic over the pixel array, fingerprinted exactly by

@@ -110,6 +110,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("y4m decode: foreign-encoded clip parses; scene cut detected; bad marker flagged") {
+    import org.apache.spark.sql.functions._
+    // hand-assembled 2x2 clip, 3 frames: two near-identical, then a jump
+    // (the real Y4M grammar incl. extra header tokens the parser must skip)
+    val header = "YUV4MPEG2 W2 H2 F25:1 Ip A1:1\n".getBytes("UTF-8")
+    def frame(px: Seq[Int]): Array[Byte] =
+      "FRAME\n".getBytes("UTF-8") ++ px.map(_.toByte).toArray
+    val clip = header ++ frame(Seq(10, 20, 30, 40)) ++
+      frame(Seq(11, 21, 29, 40)) ++ frame(Seq(200, 220, 230, 240))
+    // corrupt the second frame marker
+    val bad = clip.clone(); bad(header.length + 10 + 0) = 'G'.toByte
+    val df = Seq((1L, clip), (2L, bad)).toDF("id", "clip")
+    val got = Multimodal.y4mFeatures(df, "id", "clip", cutMeanDiff = 30)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Boolean, Long, Long)].collect().toSeq
+    // frame sums: 100, 101, 890 → mean = 1091/12 = 90
+    // diffs: |1|+|1|+|1|+|0| = 3 (< 120); |189|+|199|+|201|+|200| = 789 → 1 cut
+    assert(got.head == ((1L, 2L, 2L, 3L, true, 1091L / 12, 1L)), got.head.toString)
+    assert(!got(1)._5, got(1).toString) // corrupted marker → ok_format false
+  }
+
   test("wav decode: foreign-encoded PCM16 parses exactly; truncated blob flagged") {
     import org.apache.spark.sql.functions._
     // hand-assembled 4-sample clip at 44100 Hz: samples 100, -2, 0, -32768
