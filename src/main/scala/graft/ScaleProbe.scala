@@ -638,6 +638,10 @@ object ScaleProbe {
     // WAV / Y4M render→parse = the same row-local projection class
     "q_audio_decode" -> false,
     "q_video_decode" -> false,
+    // LSH tuning table runs three band joins over the verbatim replica,
+    // where every doc is a 5-way near-dup — candidate volume ~25x on 5x
+    // BY CONSTRUCTION (the q_dedup_minhash pair_blowup_expected class)
+    "q_lsh_tuning" -> true,
     // per-source dup census = one (hash) count agg + one hash-keyed
     // join back + a source rollup — the q_dedup_exact shuffle shape
     "q_dup_by_source" -> false

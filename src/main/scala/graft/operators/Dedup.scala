@@ -143,6 +143,56 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH OPERATING-POINT tuning census — the design table an engineer
+    * reads before picking (bands, rows): for each configuration of the
+    * SAME k-component signature, the candidate-pair volume the band join
+    * would emit and how many candidates the exact verify confirms
+    * (precision). More rows per band → fewer, higher-precision
+    * candidates (the 1−(1−s^r)^b S-curve steepens); this measures the
+    * trade on the actual corpus instead of assuming s. Uses the
+    * md5-string signature family ([[minhashSignaturesMd5]]) with
+    * slice-literal band keys, so every stage — signature, band key,
+    * candidate, verify — replays bit-identically in an external SQL
+    * engine. Signatures and shingle sets are staged ONCE and shared by
+    * all configurations; each config adds one band self-join + one
+    * candidate-sized verify. Output: (bands, rows_per_band,
+    * n_candidates, n_verified, precision_ppm). */
+  def lshTuning(
+      docs: DataFrame,
+      idCol: String,
+      shingles: Column,
+      k: Int,
+      configs: Seq[(Int, Int)],
+      thresholdPpm: Long): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) => b * r == k },
+      s"each (bands, rows) must multiply to k=$k: $configs")
+    val sigs = graft.store.Staging.stage(
+      minhashSignaturesMd5(docs, idCol, shingles, k), "lsh_tune_sigs")
+    val sh = graft.store.Staging.stage(
+      docs.repartition(col(idCol))
+        .select(col(idCol), shingles.as("sh"))
+        .filter(size(col("sh")) > 0),
+      "lsh_tune_sh")
+    val frames = configs.map { case (b, r) =>
+      val keys = transform(sequence(lit(0), lit(b - 1)),
+        j => concat_ws("|", j.cast("string"),
+          concat_ws(",", slice(col("sig"), j * r + 1, lit(r)))))
+      val ver = candidatePairs(sigs, idCol, keys)
+        .join(sh.select(col(idCol).as("id_a"), col("sh").as("_sa")), Seq("id_a"))
+        .join(sh.select(col(idCol).as("id_b"), col("sh").as("_sb")), Seq("id_b"))
+        .withColumn("_j", graft.functions.SetOps.jaccardPpmCol(col("_sa"), col("_sb")))
+      ver.agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("_j") >= thresholdPpm, 1L).otherwise(0L)), lit(0L))
+            .as("n_verified"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"))
+    }
+    frames.reduce(_.unionByName(_))
+      .withColumn("precision_ppm",
+        when(col("n_candidates") > 0L,
+          expr("CAST(CAST(n_verified AS DECIMAL(38,0)) * 1000000 DIV n_candidates AS BIGINT)")))
+  }
+
   /** Cross-corpus candidate pairs — the INCREMENTAL ingest shape: band
     * keys of an incoming batch probed against the banded signature index
     * of the existing corpus. At 100 TB this is the whole point of

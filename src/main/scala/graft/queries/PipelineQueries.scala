@@ -316,6 +316,69 @@ object PipelineQueries {
       Some("""SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // LSH operating-point tuning table — candidates vs verified
+    // precision for three (bands, rows) splits of ONE 16-component
+    // md5 minhash signature: the design census behind the registry's
+    // (16, 4) production point. Every stage (signature, slice band
+    // key, candidate join, exact Jaccard verify) replays
+    // bit-identically in the oracle.
+    Q("q_lsh_tuning",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        Dedup.lshTuning(docs, "doc_id", Dedup.tokenShingles(col("_toks"), 3),
+            k = 16, configs = Seq((8, 2), (4, 4), (2, 8)),
+            thresholdPpm = JaccardThresholdPpm)
+          .orderBy(col("bands").desc)
+      },
+      Some(s"""WITH sh0 AS ($duckShingles),
+              |sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+              |sigs AS (SELECT doc_id,
+              |                [list_min(list_transform(sh,
+              |                   s -> md5(CAST(i AS VARCHAR) || ':' || s)))
+              |                 for i in range(16)] AS sig
+              |         FROM sh),
+              |jac AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+              |               CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |                    / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS j
+              |        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+              |b82 AS (SELECT doc_id, CAST(t.j AS VARCHAR) || '|' ||
+              |               array_to_string(sig[t.j*2+1 : t.j*2+2], ',') AS bk
+              |        FROM sigs, unnest(range(8)) AS t(j)),
+              |c82 AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+              |        FROM b82 a JOIN b82 b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+              |b44 AS (SELECT doc_id, CAST(t.j AS VARCHAR) || '|' ||
+              |               array_to_string(sig[t.j*4+1 : t.j*4+4], ',') AS bk
+              |        FROM sigs, unnest(range(4)) AS t(j)),
+              |c44 AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+              |        FROM b44 a JOIN b44 b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+              |b28 AS (SELECT doc_id, CAST(t.j AS VARCHAR) || '|' ||
+              |               array_to_string(sig[t.j*8+1 : t.j*8+8], ',') AS bk
+              |        FROM sigs, unnest(range(2)) AS t(j)),
+              |c28 AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+              |        FROM b28 a JOIN b28 b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+              |agg AS (
+              |  SELECT CAST(8 AS BIGINT) AS bands, CAST(2 AS BIGINT) AS rows_per_band,
+              |         CAST(count(*) AS BIGINT) AS n_candidates,
+              |         CAST(coalesce(sum(CASE WHEN j >= $JaccardThresholdPpm
+              |                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified
+              |  FROM c82 JOIN jac USING (ia, ib)
+              |  UNION ALL
+              |  SELECT 4, 4, CAST(count(*) AS BIGINT),
+              |         CAST(coalesce(sum(CASE WHEN j >= $JaccardThresholdPpm
+              |                           THEN 1 ELSE 0 END), 0) AS BIGINT)
+              |  FROM c44 JOIN jac USING (ia, ib)
+              |  UNION ALL
+              |  SELECT 2, 8, CAST(count(*) AS BIGINT),
+              |         CAST(coalesce(sum(CASE WHEN j >= $JaccardThresholdPpm
+              |                           THEN 1 ELSE 0 END), 0) AS BIGINT)
+              |  FROM c28 JOIN jac USING (ia, ib))
+              |SELECT bands, rows_per_band, n_candidates, n_verified,
+              |       CAST(CASE WHEN n_candidates > 0 THEN
+              |         CAST(n_verified AS HUGEINT) * 1000000 // n_candidates
+              |         END AS BIGINT) AS precision_ppm
+              |FROM agg ORDER BY bands DESC""".stripMargin)),
+
     // PREFIX dedup census — the cheap first pass before shingling:
     // mirror sites and truncated re-crawls share their opening bytes
     // long before they agree end-to-end. Groups colliding on the

@@ -841,6 +841,57 @@ class DedupSpec extends SparkSpec {
     assert(g2 == ((5L, 3L, 0L, 0L, 700000L, None)), g2.toString)
   }
 
+  test("lshTuning: brute banding replay exact; finer bands nest coarser candidates") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    // near-dup pair (1,2), exact dup pair (3,4), singletons 5,6
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text about spark catalyst planning"),
+      (4L, "completely different text about spark catalyst planning"),
+      (5L, "a unique document with its own words entirely"),
+      (6L, "another standalone piece of text nothing shared"))
+      .toDF("doc_id", "text")
+      .withColumn("_toks", TextAnalysis.tokens(col("text")))
+    val configs = Seq((8, 2), (4, 4), (2, 8))
+    val got = Dedup.lshTuning(docs, "doc_id",
+        Dedup.tokenShingles(col("_toks"), 3), k = 16, configs, thresholdPpm = 600000L)
+      .orderBy(col("bands").desc)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    // brute replay: md5-string minhash -> slice band keys -> pairs -> verify
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
+    val sh = docs.select(col("doc_id"), Dedup.tokenShingles(col("_toks"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val sig = sh.map { case (id, s) =>
+      id -> (0 until 16).map(i => s.map(x => md5hex(s"$i:$x")).min)
+    }
+    def jac(a: Seq[String], b: Seq[String]) = {
+      val (sa, sb) = (a.toSet, b.toSet)
+      math.floor(sa.intersect(sb).size * 1000000.0 / sa.union(sb).size).toLong
+    }
+    val want = configs.map { case (b, r) =>
+      val keys = sig.map { case (id, sg) =>
+        id -> (0 until b).map(j => s"$j|" + sg.slice(j * r, j * r + r).mkString(","))
+      }
+      val ids = sig.keys.toSeq.sorted
+      val cand = for {
+        i <- ids; j <- ids if i < j
+        if keys(i).intersect(keys(j)).nonEmpty
+      } yield (i, j)
+      val nv = cand.count { case (i, j) => jac(sh(i), sh(j)) >= 600000L }
+      (b.toLong, r.toLong, cand.size.toLong, nv.toLong,
+        if (cand.nonEmpty) Some(nv * 1000000L / cand.size) else None)
+    }
+    assert(got == want, s"got=$got want=$want")
+    // a shared 4-row band implies both constituent 2-row bands: nesting
+    val byR = got.map(g => g._2 -> g._3).toMap
+    assert(byR(2L) >= byR(4L) && byR(4L) >= byR(8L), got.toString)
+    // the planted dup pairs survive even the strictest config
+    assert(got.last._4 >= 1L, got.toString)
+  }
+
   test("prefixDupGroups: shared opening separates exact copies from near-dup candidates") {
     import graft.operators.Dedup
     val docs = Seq(
