@@ -177,7 +177,10 @@ object Dedup {
       val keys = transform(sequence(lit(0), lit(b - 1)),
         j => concat_ws("|", j.cast("string"),
           concat_ws(",", slice(col("sig"), j * r + 1, lit(r)))))
-      val ver = candidatePairs(sigs, idCol, keys)
+      // Design-table census, not a production path: the maxBucket skew
+      // valve must be OFF here or a boilerplate-heavy corpus would make
+      // n_candidates diverge from the uncapped replay in the oracle.
+      val ver = candidatePairs(sigs, idCol, keys, maxBucket = Int.MaxValue)
         .join(sh.select(col(idCol).as("id_a"), col("sh").as("_sa")), Seq("id_a"))
         .join(sh.select(col(idCol).as("id_b"), col("sh").as("_sb")), Seq("id_b"))
         .withColumn("_j", graft.functions.SetOps.jaccardPpmCol(col("_sa"), col("_sb")))

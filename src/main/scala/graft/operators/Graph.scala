@@ -140,7 +140,10 @@ object Graph {
       bfsHops(edges, seed, maxHops), "bip_hops")
     val und = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct().filter(col("u") < col("v")) // each undirected edge once
+      // Each undirected edge once; keep self-loops (u == v): a reached
+      // self-loop is an odd cycle, and since its endpoints share a hop
+      // label the parity test below counts it as a conflict.
+      .distinct().filter(col("u") <= col("v"))
     val labeled = und
       .join(hops.select(col("node").as("u"), col("hop").as("_hu")), Seq("u"))
       .join(hops.select(col("node").as("v"), col("hop").as("_hv")), Seq("v"))

@@ -260,18 +260,26 @@ object Multimodal {
     * the declared dims). All codegen'd array ops; pixels never explode
     * to rows. */
   def pgmFeatures(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    // try_cast throughout: a malformed blob (non-numeric dim or pixel
+    // tokens) must surface as ok_format = false, not an ANSI cast error.
     val withToks = df.withColumn("_t", pgmTokens(col(blobCol)))
-      .withColumn("_w", element_at(col("_t"), 2).cast("long"))
-      .withColumn("_h", element_at(col("_t"), 3).cast("long"))
+      .withColumn("_w", expr("try_cast(element_at(_t, 2) AS BIGINT)"))
+      .withColumn("_h", expr("try_cast(element_at(_t, 3) AS BIGINT)"))
       .withColumn("_px",
-        transform(slice(col("_t"), lit(5), size(col("_t")) - 4), s => s.cast("long")))
+        expr("transform(slice(_t, 5, size(_t) - 4), s -> try_cast(s AS BIGINT))"))
     withToks.select(
       col(idCol),
       col("_w").as("width"),
       col("_h").as("height"),
       size(col("_px")).cast("long").as("n_pixels"),
-      (element_at(col("_t"), 1) === "P2" &&
-        size(col("_px")) === (col("_w") * col("_h")).cast("int"))
+      // coalesce: non-numeric width/height tokens cast to NULL, which
+      // would propagate through && — a malformed blob must read
+      // ok_format = false, not NULL.
+      coalesce(
+        element_at(col("_t"), 1) === "P2" &&
+          size(col("_px")) === (col("_w") * col("_h")).cast("int") &&
+          !expr("exists(_px, x -> x IS NULL)"),
+        lit(false))
         .as("ok_format"),
       expr("CAST(aggregate(_px, CAST(0 AS BIGINT), (a, x) -> a + x) DIV size(_px) AS BIGINT)")
         .as("mean_pixel"),

@@ -2157,8 +2157,11 @@ object PipelineQueries {
         val store = graft.streaming.Replay.ensureEmbIngestStore(s, dir)
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        // View root derives from the sfDir-keyed ingest store path, like
+        // every other replay view — concurrent runs over different scale
+        // dirs must not clobber each other's view/checkpoint.
         graft.streaming.Replay.annIngestReplay(s, store, emb,
-            s"${graft.store.SnapshotStore.root}/ann_ingest_view", queries,
+            store + "_view", queries,
             "vec_id", "embedding", "q_id", "q_vec", 10, nCentroids = 8, nprobe = 2)
           .orderBy("q_id", "rank")
       },

@@ -515,6 +515,9 @@ object Replay {
     require(coarse.length <= maxBins,
       s"histQuantileReplay: ${coarse.length} coarse bins exceed $maxBins")
     val n = coarse.map(_._2).sum
+    require(n > 0,
+      "histQuantileReplay: census is empty (no rows survived the store " +
+        "scan) — quantiles of an empty distribution are undefined")
     val ps = percents.distinct.sorted
     val targets = ps.map { p =>
       val rank = (n * p + 99) / 100
@@ -529,11 +532,19 @@ object Replay {
       .orderBy(col("v"))
       .as[(Long, Long, Long)].collect()
     val rows = targets.map { case (p, bin, off) =>
+      // Explicit prefix scan over the bin's slice (no side effects
+      // inside a collectFirst guard, whose evaluation count is not
+      // contractual).
       var cum = 0L
-      val v = fine.iterator.filter(_._1 == bin).collectFirst {
-        case (_, value, c) if { cum += c; cum >= off } => value
-      }.getOrElse(sys.error(s"histQuantileReplay: rank $off not found in bin $bin"))
-      (p, n, v)
+      var v = Option.empty[Long]
+      val it = fine.iterator.filter(_._1 == bin)
+      while (v.isEmpty && it.hasNext) {
+        val (_, value, c) = it.next()
+        cum += c
+        if (cum >= off) v = Some(value)
+      }
+      (p, n, v.getOrElse(
+        sys.error(s"histQuantileReplay: rank $off not found in bin $bin")))
     }
     rows.toDF("pct", "n", "value_mils")
   }

@@ -457,5 +457,10 @@ class GraphSpec extends SparkSpec {
     // disconnected odd triangle far from the seed never contaminates
     val tri = c4 ++ Seq((10L, 11L), (11L, 12L), (12L, 10L))
     assert(run(tri, 4) == ((4L, 4L, 0L, 1L)))
+    // a reached SELF-LOOP is an odd cycle (length 1): its endpoints
+    // trivially share a hop label, so it must count as a conflict —
+    // the pre-r12 u < v edge filter silently dropped it
+    val loop = c4 ++ Seq((2L, 2L))
+    assert(run(loop, 4) == ((4L, 5L, 1L, 0L)))
   }
 }

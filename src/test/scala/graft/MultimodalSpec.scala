@@ -175,6 +175,14 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Boolean, Long, Long, Long)].collect().toSeq
     assert(got.head == ((1L, 4L, 2L, 8L, true, 460L / 8, 0L, 255L)), got.head.toString)
     assert(!got(1)._5 && !got(2)._5, got.toString) // both flagged invalid
+    // non-numeric dim/pixel tokens: try_cast yields NULL — ok_format
+    // must collapse to FALSE (never NULL, never an ANSI cast error)
+    val junk = Seq((9L, "P2\nX Y\n255\n1 2"), (10L, "P2\n2 1\n255\n1 Z"))
+      .toDF("id", "s").select($"id", $"s".cast("binary").as("img"))
+    Multimodal.pgmFeatures(junk, "id", "img").collect().foreach { jr =>
+      assert(!jr.isNullAt(jr.fieldIndex("ok_format")) &&
+        !jr.getBoolean(jr.fieldIndex("ok_format")), jr.toString)
+    }
     // 2x downsample of the hand image: blocks ⌊(0+10+255+100)/4⌋=91,
     // ⌊(20+30+5+40)/4⌋=23
     val rs = Multimodal.pgmDownsample2x(
