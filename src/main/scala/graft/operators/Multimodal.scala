@@ -3,26 +3,20 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One opaque media blob with typed metadata. */
-final case class Blob(doc_id: Long, kind: String, content: Array[Byte], n_bytes: Long)
-
-/** Stubbed "decoded" features for one blob (see decodeFeaturesStub). */
-final case class BlobFeatures(doc_id: Long, n_frames: Int, features: Array[Float])
-
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, plus the Spark-side plumbing for
   * decode / feature-extract / frame-sample pipelines.
   *
-  * Compressed-codec decode (JPEG/PNG/audio) is STUBBED (no codec
-  * libraries in this environment): `decodeFeaturesStub` derives
-  * deterministic fake features from the byte content. The Netpbm P2
-  * path below ([[pgmBlob]]/[[pgmFeatures]]/[[pgmDownsample2x]]) is a
-  * REAL decode — honest grammar parsing, feature extraction and a
-  * box-filter resize for a real (if plain-text) image format — so the
-  * decode→features→resize pipeline shape is exercised end-to-end with
-  * no fake step. Everything around both — schema, binary column
-  * lifecycle, partition-preserving batch shape (`mapPartitions`), and the
-  * declarative frame-sampling — is real and tested.
+  * Every decode path here is REAL (no stubs since round 12): JPEG and
+  * PNG through the in-JDK `javax.imageio` codecs
+  * ([[imageioFeatures]]), Netpbm P2 grammar parsing
+  * ([[pgmFeatures]]/[[pgmDownsample2x]]), RIFF/WAVE PCM16 byte parsing
+  * ([[wavFeatures]]), and YUV4MPEG2 frame walking with shot-boundary
+  * detection ([[y4mFeatures]]) — the decode→features→resize pipeline
+  * runs end-to-end with no fake step, and each format's corpus renders
+  * from a closed form so the features are oracle-checkable in plain
+  * SQL (for lossy JPEG via the DC-only block-constant construction,
+  * see the imageio section).
   *
   * Scale notes: blobs never pass through a shuffle here; metadata extraction
   * and frame sampling are per-row projections, and the mapPartitions decode
@@ -207,28 +201,138 @@ object Multimodal {
     Dedup.simhash64Frame(withHex, idCol, shingles)
   }
 
-  implicit private val blobEnc: Encoder[Blob] = Encoders.product[Blob]
-  implicit private val featEnc: Encoder[BlobFeatures] = Encoders.product[BlobFeatures]
+  // ---- JPEG / PNG via javax.imageio: REAL compressed-codec decode ------
+  // The codec ships IN the JDK (ImageIO's PNG and JPEG plugins), so the
+  // decode below is an honest binary-format decode of the two formats a
+  // multimodal corpus actually carries — no external library, no stub.
+  // Oracle strategy mirrors the PGM/WAV/Y4M trio: the corpus is rendered
+  // from a CLOSED FORM and encoded with the real codec, so an external
+  // SQL engine reproduces the expected features from arithmetic alone.
+  // PNG is lossless, so any per-pixel form round-trips; JPEG is lossy,
+  // but an image whose 8×8 blocks are CONSTANT grayscale is DC-only and
+  // at ImageIO quality 1.0 the scaled quantization table is all ones, so
+  // the DC coefficient quantizes losslessly and the decode is BIT-EXACT
+  // (verified over ids × qualities in graft.ImgProbe) — a closed-form
+  // oracle for a lossy codec.
 
-  /** STUB media decoder. Real pipelines would JNI/FFI into an image or
-    * audio codec per batch here; this derives an 8-dim deterministic fake
-    * feature vector from byte statistics so the batch shape, encoder
-    * plumbing, and downstream schema are exercised end-to-end. */
-  def decodeFeaturesStub(spark: SparkSession, blobs: DataFrame, frameStep: Int = 64): Dataset[BlobFeatures] = {
-    val ds = blobs.select(col("doc_id"), col("kind"), col("content"), col("n_bytes")).as[Blob]
-    ds.mapPartitions { it =>
-      it.map { b =>
-        // STUB: stand-in for decode(); deterministic byte-statistic features
-        val frames = math.max(1, (b.n_bytes / frameStep).toInt)
-        val feats = Array.tabulate(8) { i =>
-          var acc = 0L
-          var j = i
-          while (j < b.content.length) { acc += (b.content(j) & 0xff); j += 8 }
-          (acc % 1000).toFloat / 1000f
-        }
-        BlobFeatures(b.doc_id, frames, feats)
+  final case class ImgBlob(doc_id: Long, img: Array[Byte])
+  final case class ImgFeatures(doc_id: Long, width: Long, height: Long,
+    n_pixels: Long, n_channels: Long, ok_format: Boolean,
+    mean_pixel: Long, min_pixel: Long, max_pixel: Long)
+  implicit private val imgBlobEnc: Encoder[ImgBlob] = Encoders.product[ImgBlob]
+  implicit private val imgFeatEnc: Encoder[ImgFeatures] = Encoders.product[ImgFeatures]
+
+  /** Render the deterministic grayscale corpus and encode it with the
+    * real in-JDK codec: per id, a w×h TYPE_BYTE_GRAY image with
+    * pixel(i) = (id·31 + i·17) mod 256 (`blockConstant = false`, the
+    * [[pgmBlob]] form — use with lossless "png"), or with 8×8 blocks
+    * constant at block(b) = (id·31 + b·17) mod 256 (`blockConstant =
+    * true`, dims must be multiples of 8 — the DC-only form that makes
+    * "jpeg" at quality 1.0 bit-exact). mapPartitions batch shape: one
+    * ImageWriter per partition, one image in flight at a time. */
+  def imageioRenderGray(
+      spark: SparkSession,
+      ids: DataFrame,
+      idCol: String,
+      w: Int,
+      h: Int,
+      fmt: String,
+      blockConstant: Boolean,
+      quality: Float = 1.0f): DataFrame = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    require(!blockConstant || (w % 8 == 0 && h % 8 == 0),
+      s"block-constant dims must be multiples of 8: ${w}x$h")
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+      val params = writer.getDefaultWriteParam
+      if (params.canWriteCompressed) {
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(quality)
       }
-    }
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v =
+              if (blockConstant) {
+                val b = (y / 8) * (w / 8) + (x / 8)
+                ((id * 31 + b * 17) % 256).toInt
+              } else ((id * 31 + (y.toLong * w + x) * 17) % 256).toInt
+            r.setSample(x, y, 0, v)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+        ios.close()
+        ImgBlob(id, out.toByteArray)
+      }
+    }.toDF("doc_id", "img")
+  }
+
+  /** REAL compressed-image decode: parse each blob with ImageIO (PNG,
+    * JPEG, GIF, BMP — whatever the in-JDK registry serves) and extract
+    * dims, channel count and per-pixel luma stats. Luma is the integer
+    * Rec.601 form floor((299·R + 587·G + 114·B) / 1000) for 3+ bands,
+    * the raw sample for grayscale — pinned so a foreign-encoded RGB
+    * fixture is spec-checkable. An unreadable/corrupt blob reports
+    * ok_format = false with zeroed stats (never a task failure: a
+    * 100 TB ingest must quarantine bad blobs, not die on them).
+    * mapPartitions batch shape, one image in flight per task —
+    * constant memory, partitioning preserved, content never shuffles. */
+  def imageioFeatures(
+      spark: SparkSession,
+      blobs: DataFrame,
+      idCol: String,
+      blobCol: String): DataFrame = {
+    import spark.implicits._
+    blobs.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("img"))
+      .as[ImgBlob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.img))
+            catch { case _: Exception => null }
+          if (img == null)
+            ImgFeatures(b.doc_id, 0L, 0L, 0L, 0L, ok_format = false, 0L, 0L, 0L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            val nch = raster.getNumBands
+            var sum = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v =
+                  if (nch >= 3)
+                    (299 * raster.getSample(x, y, 0) +
+                      587 * raster.getSample(x, y, 1) +
+                      114 * raster.getSample(x, y, 2)) / 1000
+                  else raster.getSample(x, y, 0)
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            ImgFeatures(b.doc_id, w.toLong, h.toLong, n, nch.toLong,
+              ok_format = true, sum / n, mn.toLong, mx.toLong)
+          }
+        }
+      }.toDF()
   }
 
   // ---- Netpbm (P2 / ASCII PGM): a REAL image decode path ---------------

@@ -91,13 +91,12 @@ object Similarity {
     * candidate; MUTUAL top-1 is the classic high-precision match rule
     * bitext mining and record linkage both use): pairs (a, b), a < b,
     * where each is the other's exact top-1 cosine neighbor
-    * (ties → smaller id, self excluded). Brute by definition on the
-    * benchmark corpus — |corpus|² row-local dots through [[topKExact]]'s
-    * two-phase shard rank, the q_knn_classify/q_hard_negatives class —
-    * with the same documented corpus-scale swap: generate top-1
-    * candidates per side from the IVF/LSH bucket joins and keep the
-    * mutual filter (one self-join on the k=1 frame) unchanged.
-    * Output: (id_a, id_b, sim_ppm). */
+    * (ties → smaller id, self excluded). Brute |corpus|² row-local dots
+    * through [[topKExact]]'s two-phase shard rank — since round 12 this
+    * is the ORACLE/recall-reference path only; the registered
+    * production path is [[mutualNnPairsAnn]] (IVF ∪ multi-probe-LSH
+    * bucket candidates, unchanged mutual filter), hash-checked equal
+    * to this frame at every SF. Output: (id_a, id_b, sim_ppm). */
   def mutualNnPairs(
       corpus: DataFrame,
       idCol: String,
@@ -107,6 +106,110 @@ object Similarity {
     val nn = topKExact(corpus, q, idCol, vecCol, "_mq_id", "_mq_vec", k = 1, shards)
       .select(col("_mq_id").as("src"), col(idCol).as("dst"), col("sim_ppm"))
     nn.as("a").join(nn.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+          col("a.src") < col("a.dst"))
+      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"),
+        col("a.sim_ppm").as("sim_ppm"))
+  }
+
+  /** [[mutualNnPairs]] on ANN CANDIDATES — the registered production
+    * path (the brute corpus² scorer above becomes the ORACLE, the
+    * q_knn_classify r9/r10 swap applied to the last registered
+    * all-pairs query): per-side top-1 candidates come from the union of
+    * two bucket-join generators with complementary failure modes —
+    * the IVF inverted file (every vector probes its `nprobe` nearest
+    * centroid buckets against the staged (id, cid) postings index;
+    * misses a neighbor only when it hides past nprobe buckets) and
+    * random-hyperplane LSH banding (signature block-key self-join;
+    * misses only when all `bands` band keys differ) — verified by
+    * exact cosine within candidates, per-side argmax, and the mutual
+    * self-join filter UNCHANGED from the brute path.
+    *
+    * RECALL CONTRACT (the [[knnClassifyAnn]] discipline): the result
+    * equals the brute mutual-NN frame iff each side of every mutual
+    * pair finds its true top-1 in the candidate set AND no vector whose
+    * true top-1 is missed forms a spurious coherent pair; on the
+    * benchmark corpus that equality is hash-checked against the brute
+    * SQL oracle at every SF, and the default operating point below is
+    * the cheapest sweep point with zero pair mismatches at 3 SFs
+    * (graft.MnnProbe, round 12): nprobe=2 of 8 IVF buckets + 16-bit/
+    * 8-band LSH WITH Hamming-1 multi-probe — the multi-probe keys are
+    * what close the last 1-spurious-pair gap that even nprobe=7
+    * plain banding left (probe table in BUILDER_NOTES). Near-random
+    * embeddings are ANN's adversarial case, so the point is still
+    * dense in candidate volume; a clustered production corpus runs
+    * sparse at the recall the q_ann_recall_* twins measure.
+    *
+    * Scale shape: no corpus×corpus stage anywhere — IVF candidates ride
+    * a cid bucket join against the staged postings, LSH candidates ride
+    * band-bucket self-joins (skew-capped), vectors join back only for
+    * candidate-sized verify, and top-1 is one map-side-combinable
+    * argmax. Output: (id_a, id_b, sim_ppm), id_a < id_b. */
+  def mutualNnPairsAnn(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 8,
+      nprobe: Int = 2,
+      nbits: Int = 16,
+      bands: Int = 8,
+      maxBucket: Int = 100000,
+      multiProbe: Boolean = true): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    val corpusN = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_n", l2norm(col(vecCol)))
+    // IVF side: staged compact postings; every vector (as query) probes
+    // its nprobe nearest centroid buckets — a cid-keyed bucket join
+    val postings = graft.store.Staging.stage(
+      ivfAssign(corpusN, cent, idCol, vecCol).select(col(idCol), col("cid")),
+      "mnn_postings")
+    val wp = Window.partitionBy(col(idCol)).orderBy(col("_qsim").desc, col("cid"))
+    val probes = corpusN.crossJoin(broadcast(cent))
+      .withColumn("_qsim", centSimPpm(col(vecCol), col("_n")))
+      .withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nprobe)
+      .select(col(idCol).as("src"), col("cid"))
+    val ivfCand = probes
+      .join(postings.select(col(idCol).as("dst"), col("cid")), Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    // LSH side: band-bucket self-join over the staged signature frame,
+    // BOTH directions (src, dst) — each side generates its own top-1
+    val sigs = graft.store.Staging.stage(
+      rhpSignatures(corpus, idCol, col(vecCol), nbits), "mnn_sigs")
+    val bandRows = sigs.select(col(idCol),
+        explode(Dedup.simhashBlockKeys(col("sig"), nbits, bands)).as("_band"))
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("_band"))))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
+    // multiProbe widens the SRC side's keys to every Hamming-1 block
+    // perturbation ([[multiProbeBlockKeys]]): a pair is then found when
+    // SOME band differs by ≤ 1 bit instead of none — the dominant
+    // recall loss of plain banding — at probe-key cost (width+1 keys
+    // per block on one side), not index-size cost.
+    val srcRows =
+      if (!multiProbe) bandRows.select(col(idCol).as("src"), col("_band"))
+      else sigs.select(col(idCol).as("src"),
+        explode(multiProbeBlockKeys(col("sig"), nbits, bands)).as("_band"))
+    val lshCand = srcRows
+      .join(bandRows.select(col(idCol).as("dst"), col("_band")), Seq("_band"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val cands = ivfCand.unionByName(lshCand).distinct()
+    // exact verify on candidates only; top-1 = one map-side argmax
+    // (ties → smaller dst, matching the brute row_number order)
+    val top1 = cands
+      .join(corpusN.select(col(idCol).as("src"), col(vecCol).as("_vs"),
+        col("_n").as("_ns")), Seq("src"))
+      .join(corpusN.select(col(idCol).as("dst"), col(vecCol).as("_vd"),
+        col("_n").as("_nd")), Seq("dst"))
+      .withColumn("sim_ppm",
+        floor(dot(col("_vs"), col("_vd")) / (col("_ns") * col("_nd")) * 1e6).cast("long"))
+      .groupBy(col("src"))
+      .agg(max(struct(col("sim_ppm").as("s"), (-col("dst")).as("nd"))).as("_m"))
+      .select(col("src"), (-col("_m.nd")).as("dst"), col("_m.s").as("sim_ppm"))
+    // the mutual filter — byte-identical to the brute path's
+    top1.as("a").join(top1.as("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
           col("a.src") < col("a.dst"))
       .select(col("a.src").as("id_a"), col("a.dst").as("id_b"),
@@ -721,6 +824,90 @@ object Similarity {
         (-col("_neg.ni")).as("neg_id"), col("_neg.s").as("neg_sim_ppm"),
         col("_pos.i").as("pos_id"), col("_pos.s").as("pos_sim_ppm"),
         (col("_pos.s") - col("_neg.s")).as("margin_ppm"))
+  }
+
+  /** [[hardNegatives]]' hardest-NEGATIVE half on ANN CANDIDATES — the
+    * corpus-scale variant of the triplet miner (the broadcast-exact
+    * scorer above stays the oracle): each anchor's most-similar
+    * DIFFERENT-label vector found among bucket-join candidates only —
+    * the anchors probe the staged IVF postings index (`nprobe` nearest
+    * centroid buckets) plus the corpus LSH band index (with Hamming-1
+    * multi-probe on the anchor side, [[multiProbeBlockKeys]] — anchors
+    * are few, so extra probe keys are cheap where extra index keys are
+    * not), exact cosine verifies within candidates, and ONE map-side
+    * argmax picks the hardest negative (ties → smaller id, the
+    * [[hardNegatives]] currency).
+    *
+    * Only the negative half swaps: the hardest POSITIVE is a
+    * FARTHEST-point search (least-similar same-label vector), which
+    * similarity-bucket candidates structurally cannot serve — a
+    * production pipeline mines positives from metadata (same source
+    * doc, augmentation pair) rather than embedding distance, so the ANN
+    * variant emits (a_id, a_label, neg_id, neg_sim_ppm).
+    *
+    * RECALL CONTRACT, same as [[mutualNnPairsAnn]]: exact equality with
+    * the brute argmax is hash-checked against the brute SQL oracle at
+    * every SF; the default operating point is the cheapest
+    * graft.HnProbe sweep point with zero mismatches at 3 SFs —
+    * (nCentroids 8, nprobe 2, 32-bit/8-band LSH): notably SPARSER than
+    * mutualNnPairsAnn's (4-bit blocks, N/16 buckets), because the
+    * anchor-side Hamming-1 multi-probe is built in and a hardest
+    * negative only needs ONE direction found. */
+  def hardNegativesAnn(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchorFilter: Column,
+      nCentroids: Int = 8,
+      nprobe: Int = 2,
+      nbits: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val corpus = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        col(labelCol).cast("long").as("_l"))
+      .withColumn("_n", l2norm(col("_v")))
+    val anchors = emb.filter(anchorFilter)
+      .select(col(idCol).as("a_id"), col(vecCol).as("_av"),
+        col(labelCol).cast("long").as("a_label"))
+      .withColumn("_an", l2norm(col("_av")))
+    // IVF side: anchors probe the staged compact postings index
+    val cent = ivfCentroids(emb, idCol, vecCol, nCentroids)
+    val corpusN = emb.select(col(idCol), col(vecCol))
+      .withColumn("_n", l2norm(col(vecCol)))
+    val postings = graft.store.Staging.stage(
+      ivfAssign(corpusN, cent, idCol, vecCol).select(col(idCol), col("cid")),
+      "hn_postings")
+    val wp = Window.partitionBy(col("a_id")).orderBy(col("_qsim").desc, col("cid"))
+    val probes = anchors.crossJoin(broadcast(cent))
+      .withColumn("_qsim", centSimPpm(col("_av"), col("_an")))
+      .withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nprobe)
+      .select(col("a_id"), col("cid"))
+    val ivfCand = postings.join(broadcast(probes), Seq("cid"))
+      .select(col("a_id"), col(idCol).as("_id"))
+    // LSH side: staged corpus band index probed by multi-probe anchor keys
+    val sigs = graft.store.Staging.stage(
+      rhpSignatures(emb, idCol, col(vecCol), nbits), "hn_sigs")
+    val corpusBands = sigs.select(col(idCol).as("_id"),
+      explode(Dedup.simhashBlockKeys(col("sig"), nbits, bands)).as("_band"))
+    val anchorBands = rhpSignatures(emb.filter(anchorFilter), idCol, col(vecCol), nbits)
+      .select(col(idCol).as("a_id"),
+        explode(multiProbeBlockKeys(col("sig"), nbits, bands)).as("_band"))
+    val lshCand = corpusBands.join(broadcast(anchorBands), Seq("_band"))
+      .select(col("a_id"), col("_id"))
+    val cands = ivfCand.unionByName(lshCand).distinct()
+      .filter(col("_id") =!= col("a_id"))
+    // exact verify within candidates; different-label argmax only
+    cands
+      .join(corpus, Seq("_id"))
+      .join(broadcast(anchors), Seq("a_id"))
+      .filter(col("_l") =!= col("a_label"))
+      .withColumn("sim_ppm",
+        floor(dot(col("_v"), col("_av")) / (col("_n") * col("_an")) * 1e6).cast("long"))
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(max(struct(col("sim_ppm").as("s"), (-col("_id")).as("ni"))).as("_neg"))
+      .select(col("a_id"), col("a_label"),
+        (-col("_neg.ni")).as("neg_id"), col("_neg.s").as("neg_sim_ppm"))
   }
 
   /** Per-DIMENSION robust statistics of an embedding column — the

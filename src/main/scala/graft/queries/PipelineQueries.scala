@@ -1308,11 +1308,14 @@ object PipelineQueries {
     // Mutual nearest-neighbor pairs — the high-precision embedding
     // match rule (each side the other's exact top-1, ties → smaller
     // id): the precision tier ABOVE q_dedup_embed's threshold pairs.
-    // Brute by definition here (the q_knn_classify class, ANN-candidate
-    // swap documented in the scaladoc); the mutual filter is one
-    // self-join on the k=1 frame.
+    // Runs the ANN-CANDIDATE plan (IVF bucket join ∪ multi-probe LSH
+    // band self-join, exact verify in buckets, mutual filter unchanged
+    // — the q_knn_classify r10 swap applied to the last registered
+    // corpus² query); the brute mutualNnPairs frame is the ORACLE the
+    // SQL below replays, and the operating point is the cheapest
+    // MnnProbe sweep point with zero pair mismatches at 3 SFs.
     Q("q_mutual_nn",
-      (s, dir) => Similarity.mutualNnPairs(
+      (s, dir) => Similarity.mutualNnPairsAnn(
           Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy("id_a"),
       Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
@@ -1489,6 +1492,35 @@ object PipelineQueries {
              |       p.pos_id, p.pos_sim_ppm,
              |       p.pos_sim_ppm - n.neg_sim_ppm AS margin_ppm
              |FROM a JOIN n USING (a_id) JOIN p USING (a_id)
+             |ORDER BY a_id""".stripMargin)),
+
+    // The hardest-NEGATIVE half of the triplet miner on ANN CANDIDATES
+    // — the corpus-scale plan (anchors probe the staged IVF postings +
+    // the corpus LSH band index with anchor-side Hamming-1 multi-probe;
+    // different-label argmax over candidates only). The broadcast-exact
+    // q_hard_negatives above is the ORACLE — this SQL is its negative
+    // half verbatim — and the operating point is the cheapest HnProbe
+    // sweep point with zero mismatches at 3 SFs. The hardest POSITIVE
+    // deliberately does not swap: it is a farthest-point search that
+    // similarity buckets structurally cannot serve (scaladoc).
+    Q("q_hard_negatives_ann",
+      (s, dir) => Similarity.hardNegativesAnn(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+          pmod(col("vec_id"), lit(25L)) === 0L)
+        .orderBy("a_id"),
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS ve,
+             |                 CAST(label AS BIGINT) AS label FROM embeddings),
+             |a AS (SELECT vec_id AS a_id, ve AS av, label AS a_label
+             |      FROM c WHERE vec_id % 25 = 0),
+             |s AS (SELECT a.a_id, a.a_label, c.vec_id, c.label,
+             |        CAST(floor(list_dot_product(c.ve, a.av)
+             |          / (sqrt(list_dot_product(c.ve, c.ve)) * sqrt(list_dot_product(a.av, a.av)))
+             |          * 1000000.0) AS BIGINT) AS sim_ppm
+             |      FROM a JOIN c ON c.vec_id <> a.a_id)
+             |SELECT a_id, a_label, vec_id AS neg_id, sim_ppm AS neg_sim_ppm
+             |FROM s WHERE label <> a_label
+             |QUALIFY row_number() OVER (PARTITION BY a_id
+             |        ORDER BY sim_ppm DESC, vec_id) = 1
              |ORDER BY a_id""".stripMargin)),
 
     // Per-dimension robust stats of the embedding corpus (feature QC):
@@ -3626,8 +3658,9 @@ object PipelineQueries {
     // maxval, pixels) and extract features. The oracle derives the
     // features from the CLOSED FORM — Spark's render→parse round-trip
     // must land exactly on the independent arithmetic, so both the
-    // encoder and the decoder are checked. (JPEG/PNG stay labeled
-    // environmental stubs; Netpbm needs no codec lib.)
+    // encoder and the decoder are checked. (JPEG/PNG decode for real
+    // below via the in-JDK javax.imageio codecs — q_image_decode_png /
+    // q_image_decode_jpeg.)
     Q("q_image_decode",
       (s, dir) =>
         graft.operators.Multimodal.pgmFeatures(
@@ -3645,6 +3678,62 @@ object PipelineQueries {
              |       CAST(list_sum(p) // 48 AS BIGINT) AS mean_pixel,
              |       list_min(p) AS min_pixel, list_max(p) AS max_pixel
              |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // REAL compressed-image decode — PNG via the in-JDK javax.imageio
+    // codec (no external library): render the same 16×8 closed-form
+    // grayscale corpus (pixel(i) = (doc_id·31 + i·17) mod 256), ENCODE
+    // it through the real PNG writer, then DECODE with ImageIO and
+    // extract dims/channels/luma stats. PNG is lossless, so the oracle
+    // derives every feature from the closed form — the full binary
+    // encode→decode round-trip of a real compressed format is checked
+    // against independent arithmetic. mapPartitions batch shape,
+    // content never shuffles.
+    Q("q_image_decode_png",
+      (s, dir) => {
+        val blobs = graft.operators.Multimodal.imageioRenderGray(s,
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          16, 8, "png", blockConstant = false)
+        graft.operators.Multimodal.imageioFeatures(s, blobs, "doc_id", "img")
+          .orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT doc_id,
+             |                   [CAST((doc_id*31 + i*17) % 256 AS BIGINT)
+             |                    for i in range(128)] AS p
+             |            FROM documents)
+             |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+             |       CAST(128 AS BIGINT) AS n_pixels, CAST(1 AS BIGINT) AS n_channels,
+             |       TRUE AS ok_format,
+             |       CAST(list_sum(p) // 128 AS BIGINT) AS mean_pixel,
+             |       list_min(p) AS min_pixel, list_max(p) AS max_pixel
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // REAL compressed-image decode — JPEG, the LOSSY codec, still with
+    // a closed-form oracle: the rendered 32×16 grayscale corpus is
+    // CONSTANT within each 8×8 block (block(b) = (doc_id·31 + b·17) mod
+    // 256), so every block is DC-only, and at ImageIO quality 1.0 the
+    // scaled quantization table is all ones — the DC coefficient
+    // quantizes losslessly and the decode is BIT-EXACT (property
+    // verified over ids × qualities in graft.ImgProbe, pinned in
+    // MultimodalSpec). The oracle reads the 8 block values straight off
+    // the closed form; Spark runs the real JFIF encode→decode.
+    Q("q_image_decode_jpeg",
+      (s, dir) => {
+        val blobs = graft.operators.Multimodal.imageioRenderGray(s,
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          32, 16, "jpeg", blockConstant = true)
+        graft.operators.Multimodal.imageioFeatures(s, blobs, "doc_id", "img")
+          .orderBy("doc_id")
+      },
+      Some("""WITH bv AS (SELECT doc_id,
+             |                   [CAST((doc_id*31 + b*17) % 256 AS BIGINT)
+             |                    for b in range(8)] AS v
+             |            FROM documents)
+             |SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |       CAST(512 AS BIGINT) AS n_pixels, CAST(1 AS BIGINT) AS n_channels,
+             |       TRUE AS ok_format,
+             |       CAST(list_sum(v) * 64 // 512 AS BIGINT) AS mean_pixel,
+             |       list_min(v) AS min_pixel, list_max(v) AS max_pixel
+             |FROM bv ORDER BY doc_id""".stripMargin)),
 
     // REAL audio decode — RIFF/WAVE PCM16: render a deterministic mono
     // 8 kHz 32-sample clip per doc (sample(i) = (doc_id·7 + i·13) mod

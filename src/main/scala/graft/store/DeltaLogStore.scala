@@ -1,0 +1,175 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The Delta Lake TRANSACTION-LOG wire format, read (and minimally
+  * written) without the delta-spark jar — closing the one §2.1
+  * reference capability (`delta_lake.py:31-40`: `format("delta")`
+  * append + filtered read) that [[MergeStore]]'s semantic substitute
+  * could not serve: a real `_delta_log` on disk. The protocol is
+  * public and simple — a table is a directory of parquet data files
+  * plus `_delta_log/%020d.json` commit files, each a sequence of
+  * JSON-line ACTIONS (`protocol`, `metaData`, `add{path,size,
+  * modificationTime,dataChange}`, `remove{path,deletionTimestamp}`);
+  * the snapshot at version v is the set of paths whose LAST action at
+  * any version ≤ v is an `add`.
+  *
+  * Scope (documented, honest): JSON commits only — no `_last_checkpoint`
+  * / checkpoint-parquet compaction (an optimization real readers use to
+  * skip old JSON, not a correctness requirement while the JSON files
+  * are retained), no column-mapping/deletion-vector reader features
+  * (protocol minReaderVersion 1). A table written here is a
+  * protocol-conformant simple append/rewrite table; a simple table
+  * written by delta-spark (reader version 1) is readable here.
+  *
+  * Scale notes: the log scan is a DISTRIBUTED schema'd JSON read (log
+  * files can number in the millions at 100 TB — they never collect);
+  * live-set resolution is an argmax over the FILE-count-sized action
+  * frame (files, not rows); the data read is a plain parquet scan, so
+  * predicate pushdown and column pruning are untouched by the log
+  * layer. */
+object DeltaLogStore {
+
+  private def logDir(tablePath: String) = s"$tablePath/_delta_log"
+
+  private def commitFile(tablePath: String, version: Long) =
+    new java.io.File(logDir(tablePath), f"$version%020d.json")
+
+  /** Append one commit: write `df` as parquet part files under the table
+    * root (named part-v{version}-{i}), then the JSON commit with one
+    * `add` action per file — version 0 also carries the `protocol` and
+    * `metaData` actions (schemaString = Spark's StructType JSON, which
+    * IS Delta's schema encoding). `removePaths` lists table-relative
+    * paths this commit logically deletes (the OPTIMIZE/rewrite case);
+    * removed files stay on disk for time travel, exactly the Delta
+    * contract (VACUUM is what reclaims them). */
+  def commit(
+      spark: SparkSession,
+      tablePath: String,
+      df: Option[DataFrame],
+      version: Long,
+      removePaths: Seq[String] = Nil): Unit = {
+    require(version >= 0, s"version must be >= 0: $version")
+    val dir = new java.io.File(tablePath)
+    dir.mkdirs()
+    new java.io.File(logDir(tablePath)).mkdirs()
+    val target = commitFile(tablePath, version)
+    require(!target.exists(), s"commit $version already exists: $target")
+    val now = 1700000000000L + version // deterministic mtimes, ordered
+    val added = df match {
+      case None => Nil
+      case Some(d) =>
+        val tmp = s"$tablePath/_tmp_v$version"
+        d.write.mode("overwrite").parquet(tmp)
+        val parts = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+        val moved = parts.zipWithIndex.map { case (p, i) =>
+          val name = f"part-v$version%05d-$i%04d.snappy.parquet"
+          val dst = new java.io.File(tablePath, name)
+          java.nio.file.Files.move(p.toPath, dst.toPath)
+          (name, dst.length())
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        moved
+    }
+    val header =
+      if (version == 0L) {
+        val schemaJson = df.map(_.schema.json).getOrElse(new StructType().json)
+        val tid = java.util.UUID.nameUUIDFromBytes(
+          tablePath.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+        Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"$tid","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":${jsonQuote(schemaJson)},"partitionColumns":[],""" +
+            s""""configuration":{},"createdTime":$now}}""")
+      } else Nil
+    val removes = removePaths.map { p =>
+      s"""{"remove":{"path":${jsonQuote(p)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    val adds = added.map { case (p, sz) =>
+      s"""{"add":{"path":${jsonQuote(p)},"partitionValues":{},"size":$sz,""" +
+        s""""modificationTime":$now,"dataChange":true}}"""
+    }
+    val tmpCommit = new java.io.File(logDir(tablePath), f".$version%020d.json.tmp")
+    java.nio.file.Files.write(tmpCommit.toPath,
+      (header ++ removes ++ adds).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // atomic rename = the Delta commit point (mutual exclusion on a real
+    // object store needs a LogStore; local rename-if-absent suffices here)
+    require(tmpCommit.renameTo(target), s"commit rename failed: $target")
+  }
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private val actionSchema = new StructType()
+    .add("add", new StructType()
+      .add("path", StringType).add("size", LongType)
+      .add("modificationTime", LongType).add("dataChange", BooleanType))
+    .add("remove", new StructType()
+      .add("path", StringType).add("deletionTimestamp", LongType)
+      .add("dataChange", BooleanType))
+
+  /** Latest committed version (the driver-side directory listing a real
+    * client also does), or -1 for an empty/absent log. */
+  def latestVersion(tablePath: String): Long = {
+    val files = Option(new java.io.File(logDir(tablePath)).listFiles()).getOrElse(Array.empty)
+    val vs = files.map(_.getName).filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong)
+    if (vs.isEmpty) -1L else vs.max
+  }
+
+  /** The live file set at `versionAsOf` (None = latest): one row per
+    * live data file with (path, size, add_version). Distributed schema'd
+    * JSON scan of the commit files; per-path last-action-wins argmax on
+    * the action frame (file-count-sized). */
+  def snapshotFiles(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val asOf = versionAsOf.getOrElse(latestVersion(tablePath))
+    require(asOf >= 0, s"no commits at or below requested version in $tablePath")
+    val actions = spark.read.schema(actionSchema)
+      .json(s"${logDir(tablePath)}/*.json")
+      .withColumn("_v",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json$", 1).cast("long"))
+      .filter(col("_v") <= asOf)
+    val events = actions
+      .select(col("_v"),
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.path").isNotNull.as("_isAdd"),
+        col("add.size").as("size"))
+      .filter(col("path").isNotNull)
+    // last action per path wins (a single commit never both adds and
+    // removes one path — Delta's action-reconciliation invariant)
+    events.groupBy(col("path"))
+      .agg(max(struct(col("_v").as("v"), col("_isAdd").as("a"),
+        col("size").as("s"))).as("_m"))
+      .filter(col("_m.a"))
+      .select(col("path"), col("_m.s").as("size"), col("_m.v").as("add_version"))
+  }
+
+  /** Read the table snapshot `VERSION AS OF versionAsOf` (None = latest):
+    * resolve the live file set from the log, then a plain parquet scan
+    * over exactly those files — pushdown and pruning intact. */
+  def read(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    // bounded collect: file METADATA, not rows — the same cardinality
+    // every parquet scan's driver-side file listing already carries
+    // (real Delta materializes the same live list to plan its scan)
+    val files = snapshotFiles(spark, tablePath, versionAsOf)
+      .select("path").collect().map(r => s"$tablePath/${r.getString(0)}")
+    require(files.nonEmpty, s"empty snapshot for $tablePath at $versionAsOf")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+}

@@ -33,16 +33,90 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.toSeq == Seq((0, 0L, 97L), (1, 4L, 101L)))
   }
 
-  test("decodeFeaturesStub: deterministic, batch-shaped, right schema") {
-    val blobs = Multimodal.toBlobTable(docs, "doc_id", "text", "text")
-    val f1 = Multimodal.decodeFeaturesStub(spark, blobs).collect().sortBy(_.doc_id)
-    val f2 = Multimodal.decodeFeaturesStub(spark, blobs).collect().sortBy(_.doc_id)
-    assert(f1.length == 2)
-    assert(f1.forall(_.features.length == 8))
-    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
-    assert(f1.forall(f => f.features.forall(v => v >= 0f && v < 1f)))
-    val byId = f1.map(f => f.doc_id -> f).toMap
-    assert(byId(1L).n_frames == 1 && byId(2L).n_frames == 1) // 6/64=0→max(1); 100/64=1
+  test("imageio decode: foreign-encoded PNG parses exactly; corrupt blob flagged") {
+    import org.apache.spark.sql.functions._
+    // hand-assembled 3x2 grayscale PNG via in-JDK Deflater/CRC32 — a
+    // FOREIGN encoder (ImageIO never touches the write side here), so
+    // the decoder is checked against an independent implementation of
+    // the wire format, the q_audio_decode discipline. Pixels:
+    //   10  20  30
+    //  255   0 128
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      out.toByteArray
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(3).putInt(2)                    // width, height
+      .put(8.toByte).put(0.toByte)            // bit depth 8, color type 0 (gray)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      .array()
+    // scanlines: filter byte 0 + row pixels
+    val raw = Array[Byte](0, 10, 20, 30, 0, 255.toByte, 0, 128.toByte)
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](64)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", defl) ++ chunk("IEND", Array.empty)
+    val corrupt = png.take(20) // truncated mid-IHDR
+    val df = Seq((1L, png), (2L, corrupt)).toDF("id", "img")
+    val got = Multimodal.imageioFeatures(spark, df, "id", "img")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Boolean, Long, Long, Long)]
+      .collect().toSeq
+    // sum = 10+20+30+255+0+128 = 443; mean = 443/6 = 73
+    assert(got.head == ((1L, 3L, 2L, 6L, 1L, true, 73L, 0L, 255L)), got.head.toString)
+    assert(got(1) == ((2L, 0L, 0L, 0L, 0L, false, 0L, 0L, 0L)), got(1).toString)
+  }
+
+  test("imageio decode: RGB luma pinned; encode-decode round-trips closed forms") {
+    import org.apache.spark.sql.functions._
+    // 1x2 RGB PNG written via ImageIO (lossless): (255,0,0) and (0,0,255)
+    // → Rec.601 integer luma floor(299R+587G+114B)/1000 = 76 and 29
+    val rgb = new java.awt.image.BufferedImage(
+      1, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xFF0000); rgb.setRGB(0, 1, 0x0000FF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", out)
+    val df = Seq((1L, out.toByteArray)).toDF("id", "img")
+    val got = Multimodal.imageioFeatures(spark, df, "id", "img")
+      .as[(Long, Long, Long, Long, Long, Boolean, Long, Long, Long)].collect().head
+    assert(got == ((1L, 1L, 2L, 2L, 3L, true, (76L + 29L) / 2, 29L, 76L)), got.toString)
+    // PNG per-pixel closed form round-trips exactly (lossless)
+    val ids = Seq(0L, 5L, 99L).toDF("doc_id")
+    val png = Multimodal.imageioRenderGray(spark, ids, "doc_id", 16, 8, "png",
+      blockConstant = false)
+    val pf = Multimodal.imageioFeatures(spark, png, "doc_id", "img")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Boolean, Long, Long, Long)].collect()
+    pf.foreach { r =>
+      val id = r._1
+      val px = (0 until 128).map(i => (id * 31 + i * 17) % 256)
+      assert(r == ((id, 16L, 8L, 128L, 1L, true,
+        px.sum / 128, px.min, px.max)), r.toString)
+    }
+    // JPEG block-constant closed form is BIT-EXACT at quality 1.0
+    // (DC-only blocks, unit quantization — the ImgProbe property)
+    val jpg = Multimodal.imageioRenderGray(spark, ids, "doc_id", 32, 16, "jpeg",
+      blockConstant = true)
+    val jf = Multimodal.imageioFeatures(spark, jpg, "doc_id", "img")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Boolean, Long, Long, Long)].collect()
+    jf.foreach { r =>
+      val id = r._1
+      val bv = (0 until 8).map(b => (id * 31 + b * 17) % 256)
+      assert(r == ((id, 32L, 16L, 512L, 1L, true,
+        bv.sum * 64 / 512, bv.min, bv.max)), r.toString)
+    }
   }
 
   test("blobByteStats: histogram, modal tie to smallest byte, empty blob, magic sniff") {

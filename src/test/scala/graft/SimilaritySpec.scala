@@ -530,4 +530,41 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got == want && got.map(p => (p._1, p._2)) == Seq((0L, 1L)), got.toString)
   }
+
+  test("mutualNnPairsAnn == brute on a spread fixture; no cartesian product") {
+    // 24 deterministic 8-dim vectors (md5-derived components): large
+    // enough that buckets differentiate, small enough to brute-check
+    val vecs = (0L until 24L).map { i =>
+      (i, (0 until 8).map { d =>
+        val b = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i:$d".getBytes("UTF-8"))(0)
+        ((b & 0xFF) - 128) / 128.0f
+      })
+    }.toDF("id", "vec")
+    val brute = Similarity.mutualNnPairs(vecs, "id", "vec")
+      .as[(Long, Long, Long)].collect().toSet
+    val ann = Similarity.mutualNnPairsAnn(vecs, "id", "vec")
+    val got = ann.as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture produced no mutual pairs — weaken it")
+    assert(got == brute, s"ann=$got brute=$brute")
+    assert(!ann.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("hardNegativesAnn == brute negatives on the fixture; no cartesian product") {
+    val vecs = (0L until 24L).map { i =>
+      (i, (0 until 8).map { d =>
+        val b = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i:$d".getBytes("UTF-8"))(0)
+        ((b & 0xFF) - 128) / 128.0f
+      }, i % 3) // 3 labels
+    }.toDF("id", "vec", "label")
+    val anchorF = $"id" % 5 === 0
+    val brute = Similarity.hardNegatives(vecs, "id", "vec", "label", anchorF)
+      .select($"a_id", $"a_label", $"neg_id", $"neg_sim_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ann = Similarity.hardNegativesAnn(vecs, "id", "vec", "label", anchorF)
+    val got = ann.as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == brute, s"ann=$got brute=$brute")
+    assert(!ann.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
 }
