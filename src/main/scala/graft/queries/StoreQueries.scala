@@ -131,6 +131,36 @@ object StoreQueries {
              |FROM st WHERE rn = 1 AND op <> 'D'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The REAL Delta Lake wire format (delta_lake.py:31-40's capability,
+    // served without the delta-spark jar): a 4-commit `_delta_log` table
+    // over orders slices — append (v0, v1), OPTIMIZE-style rewrite
+    // (v2 removes v0's two files, re-adds the same rows as one compacted
+    // file) and append again (v3). The query reads the snapshot VERSION
+    // AS OF each v through the distributed JSON action scan and reports
+    // rows/sum (must be invariant under the v2 rewrite) plus the live
+    // FILE count (must see the rewrite: 2/3/2/3). The oracle replays the
+    // slice algebra; file counts are protocol constants of the fixture.
+    Q("q_delta_log",
+      (s, dir) => {
+        val path = graft.store.DeltaLogStore.ensureOrdersDeltaTable(s, dir)
+        (0L to 3L).map { v =>
+          val nf = graft.store.DeltaLogStore.snapshotFiles(s, path, Some(v))
+            .agg(count(lit(1)).as("n_files"))
+          graft.store.DeltaLogStore.read(s, path, Some(v))
+            .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
+            .crossJoin(broadcast(nf))
+            .select(lit(v).as("version"), col("n_files"), col("n_rows"), col("sum_key"))
+        }.reduce(_.unionByName(_)).orderBy("version")
+      },
+      Some("""WITH v(version, maxr, n_files) AS (
+             |  VALUES (0, 0, 2), (1, 1, 3), (2, 1, 2), (3, 2, 3))
+             |SELECT CAST(version AS BIGINT) AS version,
+             |       CAST(n_files AS BIGINT) AS n_files,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM v JOIN orders ON o_orderkey % 5 <= v.maxr
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
     // Checkpoint + vacuum on the merge-on-read log (Delta OPTIMIZE +
     // VACUUM): compact history ≤ v1 into one checkpoint dir, then prove
     // reads at asOf ≥ v1 are unchanged — the replay depth is now

@@ -172,4 +172,36 @@ object DeltaLogStore {
     require(files.nonEmpty, s"empty snapshot for $tablePath at $versionAsOf")
     spark.read.parquet(files.toIndexedSeq: _*)
   }
+
+  /** The q_delta_log fixture: a 4-commit Delta table over orders slices
+    * exercising append, OPTIMIZE-style rewrite (remove + re-add as one
+    * compacted file) and time travel —
+    *   v0 adds o_orderkey%5==0 as TWO files,
+    *   v1 adds %5==1 as one file,
+    *   v2 rewrites v0's two files into one compacted file (same rows),
+    *   v3 adds %5==2.
+    * Snapshot rows by version: {0} / {0,1} / {0,1} / {0,1,2}; live file
+    * counts 2/3/2/3 — v2 changes the file set but not the rows, which
+    * is exactly what the query checks. Idempotent per sf dir. */
+  def ensureOrdersDeltaTable(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = s"${SnapshotStore.root}/delta_" +
+        s"${java.nio.file.Paths.get(sfDir).getFileName}_orders"
+      val done = new java.io.File(path, "_GRAFT_DONE")
+      if (!done.exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+        val orders = graft.sources.Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        def slice(r: Long) = orders.filter(pmod(col("o_orderkey"), lit(5L)) === r)
+        commit(spark, path, Some(slice(0L).repartition(2)), 0L)
+        commit(spark, path, Some(slice(1L).coalesce(1)), 1L)
+        val v0files = snapshotFiles(spark, path, Some(0L))
+          .select("path").collect().map(_.getString(0)).toSeq.sorted
+        commit(spark, path, Some(slice(0L).coalesce(1)), 2L, removePaths = v0files)
+        commit(spark, path, Some(slice(2L).coalesce(1)), 3L)
+        done.createNewFile()
+        ()
+      }
+      path
+    }
 }

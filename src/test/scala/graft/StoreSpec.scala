@@ -563,4 +563,45 @@ class StoreSpec extends SparkSpec {
     // empty survivor set (prefix beyond every zone) returns zero rows
     assert(StringZoneStore.prefixScan(spark, path, idx, "zzzz").count() == 0L)
   }
+
+  test("DeltaLogStore: protocol-shaped commits, remove shadowing, time travel") {
+    import graft.store.DeltaLogStore
+    val path = tmp("graft_delta") + "/tbl"
+    val d0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val d1 = Seq((3L, "c")).toDF("k", "s")
+    DeltaLogStore.commit(spark, path, Some(d0.coalesce(1)), 0L)
+    DeltaLogStore.commit(spark, path, Some(d1.coalesce(1)), 1L)
+    assert(DeltaLogStore.latestVersion(path) == 1L)
+    // commit 0 carries protocol + metaData actions with the schema JSON
+    val v0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_delta_log",
+        "0" * 19 + "0.json")), "UTF-8")
+    assert(v0.contains("\"protocol\"") && v0.contains("\"minReaderVersion\":1"))
+    assert(v0.contains("\"metaData\"") && v0.contains("schemaString"))
+    assert(v0.contains("\"add\""))
+    // snapshots: v0 = d0; latest = d0 ∪ d1
+    assert(DeltaLogStore.read(spark, path, Some(0L)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(DeltaLogStore.read(spark, path).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // OPTIMIZE-style rewrite: remove v0's file, re-add same rows compacted
+    val f0 = DeltaLogStore.snapshotFiles(spark, path, Some(0L))
+      .select("path").as[String].collect().toSeq
+    assert(f0.length == 1)
+    DeltaLogStore.commit(spark, path, Some(d0.coalesce(1)), 2L, removePaths = f0)
+    // rows invariant under the rewrite; removed file no longer live but
+    // still on disk (time travel) and still served for VERSION AS OF 0
+    assert(DeltaLogStore.read(spark, path, Some(2L)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val live2 = DeltaLogStore.snapshotFiles(spark, path, Some(2L))
+      .select("path").as[String].collect().toSet
+    assert(!live2.contains(f0.head) && new java.io.File(path, f0.head).exists())
+    assert(DeltaLogStore.read(spark, path, Some(0L)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // double-commit of an existing version refuses (the commit point is
+    // the rename-if-absent)
+    intercept[IllegalArgumentException] {
+      DeltaLogStore.commit(spark, path, Some(d1), 2L)
+    }
+  }
 }
