@@ -252,6 +252,67 @@ object SuffixArray {
     * n_removed_tokens — tokens covered by a window occurrence that is
     * NOT its key's corpus-first occurrence (min (doc_id, pos)), i.e.
     * the all-but-one-copy removal policy. */
+  /** Cross-corpus exact-substring DECONTAMINATION — [[substringDedup]]'s
+    * ACROSS-frames twin and the sequence-level complement of the n-gram
+    * q_decontaminate pass (Lee et al. 2022's train/test overlap: an eval
+    * document containing a verbatim ≥ L-token span of the training
+    * corpus is contaminated — its benchmark score measures memorization,
+    * not generalization). Every L-token window of the train corpus
+    * becomes a 16-byte md5 key in a STAGED distinct index (the
+    * production asset: built once per train snapshot, probed by every
+    * eval refresh — the q_dedup_incremental contract, never an
+    * eval×train product); eval windows semi-join the index and
+    * overlapping hits merge into maximal leaked spans per eval doc (the
+    * same union-of-L-windows = union-of-maximal-repeats-≥L argument as
+    * substringDedup).
+    *
+    * Output, one row per EVAL doc: (doc_id, n_tokens, n_leak_spans,
+    * n_leak_tokens, leak_ppm). */
+  def crossSubstringLeak(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int): DataFrame = {
+    require(l > 0, s"window length must be positive: $l")
+    def windows(docs: DataFrame) = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(TextAnalysis.tokens(col(textCol)), array().cast("array<string>"))
+          .as("_toks"))
+      .filter(size(col("_toks")) >= l)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("_toks")) - l, lit(1))).as("pos"),
+        col("_toks"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("_toks"), col("pos") + 1, lit(l)))
+          .cast("binary")).as("h"))
+    val trainIdx = Staging.stage(
+      windows(train).select(col("h")).distinct(), "substr_train_idx")
+    val hits = windows(evalDocs).join(trainIdx, Seq("h"), "left_semi")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("_newIsland",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(wDoc), lit(Long.MinValue / 2))
+          + l, 1).otherwise(when(lag(col("pos"), 1).over(wDoc).isNull, 1).otherwise(0)))
+      .withColumn("_island", sum(col("_newIsland")).over(wDoc))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg((max(col("pos")) + l - min(col("pos"))).as("_spanTok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_leak_spans"), sum(col("_spanTok")).as("n_leak_tokens"))
+    evalDocs
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(size(TextAnalysis.tokens(col(textCol))), lit(0))
+          .cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_leak_spans"), lit(0L)).as("n_leak_spans"),
+        coalesce(col("n_leak_tokens"), lit(0L)).as("n_leak_tokens"))
+      .withColumn("leak_ppm",
+        when(col("n_tokens") > 0,
+          expr("CAST(CAST(n_leak_tokens AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)"))
+          .otherwise(0L))
+  }
+
   def substringDedup(docs: DataFrame, idCol: String, textCol: String, l: Int): DataFrame = {
     require(l > 0, s"window length must be positive: $l")
     val base = docs.select(

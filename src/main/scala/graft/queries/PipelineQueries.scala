@@ -4780,6 +4780,24 @@ object PipelineQueries {
           .orderBy("doc_id"),
       Some(substrOracle(SubstrL))),
 
+    // Sequence-level (exact-substring) CROSS-corpus decontamination —
+    // q_decontaminate's verbatim twin (Lee et al. 2022 train/test
+    // overlap): eval docs (doc_id % 10 == 5) probe the STAGED distinct
+    // L-token window index of the train corpus; overlapping hits merge
+    // into maximal leaked spans per eval doc. The train index is the
+    // production asset — built once, probed by every eval refresh;
+    // never an eval×train product.
+    Q("q_decontaminate_substr",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.SuffixArray.crossSubstringLeak(
+            docs.filter(pmod(col("doc_id"), lit(10L)) =!= 5L),
+            docs.filter(pmod(col("doc_id"), lit(10L)) === 5L),
+            "doc_id", "text", CrossSubstrL)
+          .orderBy("doc_id")
+      },
+      Some(crossSubstrOracle(CrossSubstrL))),
+
     // -- BPE tokenization ----------------------------------------------
     // Sennrich-style byte-pair-encoding merge training over the distinct
     // word table (weighted by corpus counts; argmax pair per round, ties
@@ -5355,6 +5373,7 @@ object PipelineQueries {
   // inlined at use sites and immune to the object-init-order trap the
   // `all` val otherwise has with later vals (see QuantizedEmbeddings)
   private final val SubstrL = 15
+  private final val CrossSubstrL = 5
   private final val BpeMerges = 16
 
   /** WITH-chain for the BPE oracles: distinct word counts, char-symbol
@@ -5426,6 +5445,44 @@ object PipelineQueries {
     * (gaps-and-islands on window starts, new island iff pos > prev + L)
     * for both the any-duplicate and the removable (non-first-occurrence)
     * coverage. */
+  /** Oracle for q_decontaminate_substr: train-window distinct index,
+    * eval-window IN-probe, then the same island merge as
+    * [[substrOracle]] restricted to the eval split. */
+  private def crossSubstrOracle(l: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         md5(array_to_string(toks[i:i+${l - 1}], ' ')) AS h
+       |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) - ${l - 1} + 1)) AS i) u
+       |  WHERE len(toks) >= $l
+       |), tr AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 <> 5),
+       |hv AS (SELECT doc_id, pos FROM w
+       |       WHERE doc_id % 10 = 5 AND h IN (SELECT h FROM tr)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $l
+       |              THEN 1 ELSE 0 END AS ni
+       |  FROM hv
+       |), isl2 AS (
+       |  SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_leak_spans, sum(span_tok) AS n_leak_tokens
+       |  FROM (SELECT doc_id, island, max(pos) + $l - min(pos) AS span_tok
+       |        FROM isl2 GROUP BY 1, 2) GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(a.n_leak_spans, 0) AS BIGINT) AS n_leak_spans,
+       |       CAST(coalesce(a.n_leak_tokens, 0) AS BIGINT) AS n_leak_tokens,
+       |       CASE WHEN len(string_split(d.text, ' ')) > 0
+       |            THEN CAST(CAST(coalesce(a.n_leak_tokens, 0) AS HUGEINT) * 1000000
+       |                      // len(string_split(d.text, ' ')) AS BIGINT)
+       |            ELSE 0 END AS leak_ppm
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |WHERE d.doc_id % 10 = 5 ORDER BY d.doc_id""".stripMargin
+
   private def substrOracle(l: Int): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |w AS (

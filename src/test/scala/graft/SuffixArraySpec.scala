@@ -65,4 +65,35 @@ class SuffixArraySpec extends SparkSpec {
     // two disjoint 15-token spans; the later one is removable
     assert(row == ((7L, 32L, 2L, 30L, 15L)))
   }
+
+  test("crossSubstringLeak: planted verbatim leak found, sub-L overlap not flagged") {
+    val leak = (1 to 7).map(i => s"v$i").mkString(" ") // 7-token verbatim span
+    val train = Seq(
+      (0L, s"train zero alpha $leak omega"),
+      (1L, "train one totally different words entirely"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, s"eval intro $leak closing remark"),      // planted 7-token leak
+      (11L, "v1 v2 v3 v4 unrelated tail words here"), // only 4 shared: < L
+      (12L, "clean evaluation document nothing shared"))
+      .toDF("doc_id", "text")
+    val got = SuffixArray.crossSubstringLeak(train, eval_, "doc_id", "text", l = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 10: 11 tokens, the 3 overlapping 5-windows of the leak merge
+    // into ONE maximal 7-token span → 636363 ppm
+    assert(got(10L) == ((11L, 1L, 7L, 636363L)), got(10L).toString)
+    // 4-token overlap is below the L=5 detection floor — NOT a leak
+    assert(got(11L) == ((8L, 0L, 0L, 0L)), got(11L).toString)
+    assert(got(12L) == ((5L, 0L, 0L, 0L)), got(12L).toString)
+    // brute replay: every eval 5-window checked against every train
+    // 5-window by string equality must reproduce the hit positions
+    def wins(s: String) = s.split(" ").sliding(5).map(_.mkString(" ")).toSet
+    val trainW = wins("train zero alpha " + leak + " omega") ++
+      wins("train one totally different words entirely")
+    val hitPos = ("eval intro " + leak + " closing remark").split(" ")
+      .sliding(5).zipWithIndex
+      .collect { case (w, i) if trainW.contains(w.mkString(" ")) => i }.toSeq
+    assert(hitPos == Seq(2, 3, 4)) // exactly the three leak windows
+  }
 }
