@@ -994,27 +994,35 @@ object Dedup {
     * drop on id equality. Output: (contained_id, container_id,
     * contain_ppm ≥ minContainPpm).
     *
-    * WORST CASE (ADVICE r7): unlike [[candidatePairs]]' maxBucket valve,
-    * the container-side inverted index is uncapped — a ubiquitous
-    * shingle that still lands in a TINY contained doc's rarest-k prefix
-    * (e.g. |A| = 3, t = 0.6 ⇒ k_A = 2) joins against a posting list of
-    * nearly every container, so one degenerate probe doc can fan out to
-    * ~|corpus| candidates. Rarity ordering makes this the exception
-    * (a probe doc hits it only when nearly ALL its shingles are
-    * corpus-ubiquitous), and the Σ|B| index cost itself stays linear.
-    * `maxPrefixDf` is the opt-in valve: prefix postings whose document
-    * frequency exceeds it are dropped BEFORE the join. This trades the
-    * exact-recall pigeonhole for a fan-out bound — a contained doc whose
-    * k_A rarest shingles are ALL above the cap generates no candidates —
-    * so it is off by default and should be sized to corpus df stats
-    * (e.g. p99.9 df) when enabled. */
+    * WORST CASE (ADVICE r7, default-closed in r12): unlike
+    * [[candidatePairs]]' maxBucket valve, the container-side inverted
+    * index is uncapped — a ubiquitous shingle that still lands in a
+    * TINY contained doc's rarest-k prefix (e.g. |A| = 3, t = 0.6 ⇒
+    * k_A = 2) joins against a posting list of nearly every container,
+    * so one degenerate probe doc can fan out to ~|corpus| candidates.
+    * The df CAP closes it: prefix postings whose document frequency
+    * exceeds the cap are dropped BEFORE the join. `maxPrefixDf` sets
+    * the cap explicitly; by DEFAULT (`autoCap = true`, maxPrefixDf
+    * None) the cap is the p99.9 (nearest-rank) of the corpus shingle
+    * document-frequency distribution, computed from the staged dfreq
+    * frame via a domain-bounded (df value → count) histogram and a
+    * driver prefix walk. The trade is documented IN THE OUTPUT: a
+    * dropped prefix posting voids the pigeonhole recall guarantee for
+    * that contained doc only, and every emitted pair carries
+    * `prefix_capped` = 1 iff its contained doc had any prefix posting
+    * dropped (0 = the exact-recall guarantee held). On a sane corpus
+    * the rarest-k prefix sits far below p99.9 and nothing drops; the
+    * degenerate all-ubiquitous probe doc is bounded instead of fanning
+    * out. Pass `autoCap = false` (and no maxPrefixDf) for the uncapped
+    * exact-recall-everywhere behavior. */
   def containmentPairs(
       corpus: DataFrame,
       contained: DataFrame,
       idCol: String,
       shingles: Column,
       minContainPpm: Long,
-      maxPrefixDf: Option[Long] = None): DataFrame = {
+      maxPrefixDf: Option[Long] = None,
+      autoCap: Boolean = true): DataFrame = {
     require(minContainPpm > 0 && minContainPpm <= 1000000L,
       s"minContainPpm in (0, 1e6]: $minContainPpm")
     def ceilT(n: Column): Column =
@@ -1023,12 +1031,33 @@ object Dedup {
       corpus.select(col(idCol), array_distinct(shingles).as("_sh")), "contain_sh")
     val inv = shCorpus.select(col(idCol).as("container_id"),
       size(col("_sh")).cast("long").as("_nb"), explode(col("_sh")).as("_g"))
-    val dfreq = inv.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    // staged: the df frame feeds both the cap histogram and the prefix join
+    val dfreq = graft.store.Staging.stage(
+      inv.groupBy(col("_g")).agg(count(lit(1)).as("_df")), "contain_df")
+    val cap: Option[Long] = maxPrefixDf.orElse {
+      if (!autoCap) None
+      else Some {
+        // p99.9 nearest-rank over shingle dfs: the histogram keys on the
+        // df VALUE (distinct values ≪ distinct shingles — df is a count
+        // ≤ |corpus|), so the collect is domain-bounded; valve enforced
+        val maxHist = 1 << 20
+        val hist = dfreq.groupBy(col("_df")).agg(count(lit(1)).as("_c"))
+          .orderBy(col("_df")).limit(maxHist + 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(hist.length <= maxHist,
+          s"containmentPairs: > $maxHist distinct df values — set maxPrefixDf explicitly")
+        val n = hist.map(_._2).sum
+        val rank = (n * 999L + 999L) / 1000L
+        var cum = 0L
+        hist.find { case (_, c) => cum += c; cum >= rank }.map(_._1)
+          .getOrElse(Long.MaxValue) // empty corpus: cap is moot
+      }
+    }
     val shIn = contained.select(col(idCol), array_distinct(shingles).as("_sh"))
     // k_A = |A| − ⌈t·|A|⌉ + 1 rarest shingles (exact integer ceil)
     val kA = (size(col("_sh")).cast("long")
       - ceilT(size(col("_sh")).cast("long")) + 1L)
-    val prefix = shIn
+    val prefixAll = shIn
       .select(col(idCol).as("contained_id"), explode(col("_sh")).as("_g"),
         kA.as("_k"), size(col("_sh")).cast("long").as("_na"))
       .join(dfreq, Seq("_g"), "left")
@@ -1037,7 +1066,12 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("contained_id")).orderBy(col("_df"), col("_g"))))
       .filter(col("_r") <= col("_k"))
-      .filter(maxPrefixDf.fold(lit(true))(cap => col("_df") <= cap))
+    val overCap = cap.fold(lit(false))(c => col("_df") > c)
+    // per-doc recall-trust flag: 1 iff any prefix posting was dropped
+    val flags = prefixAll.groupBy(col("contained_id"))
+      .agg(max(overCap.cast("long")).as("prefix_capped"))
+    val prefix = prefixAll
+      .filter(!overCap)
       .select(col("contained_id"), col("_g"), col("_na"))
     // size filter at the candidate join (exact: |A∩B| ≤ |B|, so a
     // container smaller than ⌈t·|A|⌉ can never qualify) — prunes the
@@ -1054,6 +1088,8 @@ object Dedup {
         floor(size(array_intersect(col("_sa"), col("_sb"))).cast("long") * 1000000L
           / size(col("_sa"))).cast("long"))
       .filter(col("contain_ppm") >= minContainPpm)
-      .select(col("contained_id"), col("container_id"), col("contain_ppm"))
+      .join(flags, Seq("contained_id"))
+      .select(col("contained_id"), col("container_id"), col("contain_ppm"),
+        col("prefix_capped"))
   }
 }

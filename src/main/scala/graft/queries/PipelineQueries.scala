@@ -1658,8 +1658,14 @@ object PipelineQueries {
     // the asymmetric-threshold case Jaccard-LSH structurally misses
     // (small-inside-big pairs have near-zero Jaccard). Candidates via
     // the containment-transposed PPJoin prefix (k_A rarest shingles
-    // probe the full inverted index — EXACT recall by pigeonhole);
-    // oracle is the brute probe×corpus intersect join.
+    // probe the full inverted index — exact recall by pigeonhole),
+    // with the r12 default df cap: prefix postings rarer than the
+    // p99.9 corpus df always survive, the degenerate all-ubiquitous
+    // probe is bounded, and every pair carries prefix_capped recording
+    // whether its probe doc's recall guarantee held. The oracle
+    // REPLAYS the full capped generation (cap rank-selection, prefix,
+    // size filter, verify, flag) — candidate machinery is
+    // value-checked end-to-end, the q_dedup_minhash discipline.
     Q("q_containment",
       (s, dir) => {
         val docs = Tables.documents(s, dir).repartition(col("doc_id"))
@@ -1669,15 +1675,43 @@ object PipelineQueries {
             minContainPpm = 600000L)
           .orderBy("contained_id", "container_id")
       },
-      Some(s"""WITH sh AS ($duckShingles)
-              |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+      Some(s"""WITH sh AS ($duckShingles),
+              |inv AS (SELECT doc_id AS container_id, len(sh) AS nb, unnest(sh) AS g
+              |        FROM sh),
+              |dfr AS (SELECT g, count(*) AS df FROM inv GROUP BY 1),
+              |cap AS (SELECT df AS c
+              |        FROM (SELECT df, row_number() OVER (ORDER BY df) AS r FROM dfr)
+              |        WHERE r = (SELECT (count(*) * 999 + 999) // 1000 FROM dfr)),
+              |pr AS (SELECT a.doc_id AS contained_id, u.g, len(a.sh) AS na,
+              |              len(a.sh) - (600000 * len(a.sh) + 999999) // 1000000 + 1 AS k,
+              |              coalesce(d.df, 0) AS df
+              |       FROM sh a
+              |       CROSS JOIN LATERAL (SELECT unnest(a.sh) AS g) u
+              |       LEFT JOIN dfr d ON u.g = d.g
+              |       WHERE a.doc_id % 5 = 2),
+              |pk AS (SELECT * FROM (SELECT pr.*, row_number() OVER (
+              |                        PARTITION BY contained_id ORDER BY df, g) AS r
+              |                      FROM pr) WHERE r <= k),
+              |fl AS (SELECT contained_id,
+              |              max(CASE WHEN df > (SELECT c FROM cap) THEN 1 ELSE 0 END)
+              |                AS prefix_capped
+              |       FROM pk GROUP BY 1),
+              |cand AS (SELECT DISTINCT contained_id, container_id, na
+              |         FROM pk JOIN inv USING (g)
+              |         WHERE df <= (SELECT c FROM cap)
+              |           AND contained_id <> container_id
+              |           AND nb >= (600000 * na + 999999) // 1000000)
+              |SELECT c.contained_id, c.container_id,
               |       CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
-              |                  / len(a.sh)) AS BIGINT) AS contain_ppm
-              |FROM sh a JOIN sh b ON a.doc_id % 5 = 2 AND a.doc_id != b.doc_id
-              |WHERE len(a.sh) > 0
-              |  AND floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+              |                  / len(a.sh)) AS BIGINT) AS contain_ppm,
+              |       CAST(f.prefix_capped AS BIGINT) AS prefix_capped
+              |FROM cand c
+              |JOIN sh a ON a.doc_id = c.contained_id
+              |JOIN sh b ON b.doc_id = c.container_id
+              |JOIN fl f ON f.contained_id = c.contained_id
+              |WHERE floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
               |            / len(a.sh)) >= 600000
-              |ORDER BY contained_id, container_id""".stripMargin)),
+              |ORDER BY c.contained_id, c.container_id""".stripMargin)),
 
     Q("q_ngram_jaccard",
       (s, dir) => {

@@ -730,9 +730,11 @@ class DedupSpec extends SparkSpec {
       (ia, sa) <- byId.toSeq; (ib, sb) <- byId.toSeq if ia != ib && sa.nonEmpty
       ppm = sa.intersect(sb).size.toLong * 1000000L / sa.size if ppm >= 800000L
     } yield (ia, ib, ppm)).toSet
-    val got = Dedup.containmentPairs(corpus, corpus, "doc_id",
+    val rows = Dedup.containmentPairs(corpus, corpus, "doc_id",
         Dedup.tokenShingles(col("_toks"), 3), minContainPpm = 800000L)
-      .as[(Long, Long, Long)].collect().toSet
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.forall(_._4 == 0L), "sane corpus must not trip the df cap")
+    val got = rows.map(r => (r._1, r._2, r._3)).toSet
     assert(got == brute, s"got=$got brute=$brute")
     assert(got.exists(p => p._1 == 101L && p._2 == 100L)) // the planted quote
     assert(!got.exists(_._1 == 103L))  // under-threshold probe stays out
@@ -755,6 +757,7 @@ class DedupSpec extends SparkSpec {
     for (tPpm <- Seq(500000L, 700000L, 900000L, 1000000L)) {
       val got = Dedup.containmentPairs(corpus, corpus, "doc_id",
           Dedup.tokenShingles(col("_toks"), 3), minContainPpm = tPpm)
+        .select($"contained_id", $"container_id", $"contain_ppm")
         .as[(Long, Long, Long)].collect().toSet
       val sh = texts.map { case (i, t) =>
         i -> t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
@@ -767,6 +770,46 @@ class DedupSpec extends SparkSpec {
       assert(got == brute, s"t=$tPpm: got=${got.size} brute=${brute.size} " +
         s"missing=${(brute diff got).take(3)} extra=${(got diff brute).take(3)}")
     }
+  }
+
+  test("containmentPairs df cap: degenerate all-ubiquitous probe bounded, sane probes exact, trade flagged") {
+    import graft.operators.Dedup
+    // 700 fillers with unique shingles + a twin doc; EVERY corpus doc
+    // ends with the same 4 tokens, making two corpus-wide ubiquitous
+    // shingles (df = 701). n ≈ 2103 distinct shingles → p99.9 rank
+    // lands inside the df=1 mass → cap = 1 → the ubiquitous shingles
+    // are over-cap in any prefix.
+    val fillers = (0L until 700L).map(i =>
+      (i, s"f${i}a f${i}b f${i}c ZZZ YYY XXX WWW"))
+    val corpus = (fillers :+ ((9000L, "q1 ZZZ YYY XXX WWW")))
+      .toDF("doc_id", "text").withColumn("_toks", split($"text", " "))
+    val probes = Seq(
+      (9991L, "ZZZ YYY XXX WWW"),          // ONLY ubiquitous shingles
+      (9992L, "q1 ZZZ YYY XXX WWW"),       // 1 rare + 2 ubiquitous, k_A=2
+      (9993L, "f7a f7b f7c ZZZ YYY XXX WWW")) // filler-7 twin: rare-rich
+      .toDF("doc_id", "text").withColumn("_toks", split($"text", " "))
+    def run(auto: Boolean) = Dedup.containmentPairs(corpus, probes, "doc_id",
+        Dedup.tokenShingles(col("_toks"), 3), minContainPpm = 600000L,
+        autoCap = auto)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val capped = run(auto = true)
+    // degenerate probe: its whole prefix is over-cap → BOUNDED (no
+    // fan-out to the 701 containers the uncapped path visits)
+    assert(!capped.exists(_._1 == 9991L), capped.filter(_._1 == 9991L).toString)
+    // flagged probe: the rare shingle still finds the twin, and every
+    // emitted pair carries prefix_capped = 1 (recall not guaranteed —
+    // the 700 filler pairs at 666666 ppm are the documented loss)
+    val p2 = capped.filter(_._1 == 9992L)
+    assert(p2 == Seq((9992L, 9000L, 1000000L, 1L)), p2.toString)
+    // rare-rich probe: prefix never touches the cap → exact + unflagged
+    val p3 = capped.filter(_._1 == 9993L)
+    assert(p3 == Seq((9993L, 7L, 1000000L, 0L)), p3.toString)
+    // uncapped twin run: exact recall everywhere (the degenerate probe
+    // fans out to all 701 containers), zero flags
+    val exact = run(auto = false)
+    assert(exact.count(_._1 == 9991L) == 701, exact.count(_._1 == 9991L).toString)
+    assert(exact.count(_._1 == 9992L) == 701) // twin at 1e6 + 700 at 666666
+    assert(exact.forall(_._4 == 0L))
   }
 
   test("incrementalComponents == from-scratch CC (bridge, new nodes, no-op merges)") {
