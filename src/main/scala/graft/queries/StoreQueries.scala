@@ -432,6 +432,25 @@ object StoreQueries {
              |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Rate-source-paced twin of q_stream_replay (VERDICT r11 Next #9):
+    // the SAME hourly census driven by the deterministic rate-micro-batch
+    // source (get_data.py:29's 20 s poll cadence as the logical clock)
+    // instead of a file listing — each tick's values index one staged
+    // event row via a stream–static join, the windowed agg keeps the only
+    // state, and the query stops itself once all N rows are covered
+    // (unbounded source, self-terminating collector). Shares
+    // q_stream_replay's batch oracle verbatim.
+    Q("q_stream_rate",
+      (s, dir) => {
+        val sink = "stream_rate_" + Paths.get(dir).getFileName.toString.replace('.', '_')
+        Replay.ratePacedReplay(s, dir, sink)
+          .orderBy("bucket_us", "event_type")
+      },
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Watermarked APPEND-mode replay (SURVEY §2.10's watermark row; the
     // scale-safe streaming shape — state dropped at watermark, file sink,
     // no Complete-mode re-emission). One availableNow batch ⇒ the final

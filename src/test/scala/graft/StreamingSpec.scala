@@ -997,6 +997,37 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("ratePacedReplay: rate-micro-batch-driven census equals the batch aggregation") {
+    // an sfDir-shaped fixture: Tables.events reads $dir/events.parquet
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ratesf").toString
+    // 11 rows with batches=8 -> rowsPerBatch 2, 6 non-empty rate batches,
+    // a partial final batch, and values >= 11 filtered before the join
+    val events = (1L to 11L).map { i =>
+      (i, ts(f"2024-01-01 ${9 + (i % 3)}%02d:15:00"), if (i % 2 == 0) "a" else "b", i * 0.5)
+    }.toDF("event_id", "ts", "event_type", "value")
+    events.coalesce(1).write.parquet(s"$dir/events.parquet")
+
+    val got = Replay.ratePacedReplay(spark, dir, "t_rate")
+      .orderBy("bucket_us", "event_type")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val want = events
+      .groupBy(expr("unix_micros(date_trunc('hour', ts))").as("bucket_us"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(floor($"value" * 1000).cast("long")).as("value_mils"))
+      .orderBy("bucket_us", "event_type")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._3).sum == 11)
+
+    // the staged static side is partitioned by ingest bucket (idx div 2):
+    // a production foreachBatch poll prunes to exactly one dir per tick
+    val (idxPath, n) = Replay.ensureRateIndexStore(spark, dir, 2L)
+    assert(n == 11)
+    val buckets = new java.io.File(idxPath).listFiles()
+      .filter(_.getName.startsWith("ibucket=")).map(_.getName).sorted
+    assert(buckets.toSeq == (0 to 5).map(b => s"ibucket=$b"))
+  }
 }
 
 /** Probe processor for the v2 timer boundary: registers one event-time
