@@ -30,6 +30,10 @@ import graft.store.SnapshotStore
   * is a true min-of-two (VERDICT r9 Next #2). The detail file carries BOTH
   * per-pass per-query maps (`queries_pass1`/`queries_pass2`) so cross-round
   * drift analysis can separate draw variance from plan regressions.
+  * The 10 highest-draw-variance workloads (BENCH_VARIANCE.json, a census
+  * over the four committed same-code round-11 draws) additionally get a
+  * THIRD pass and record min-of-three — targeted where the variance
+  * evidence says the gate band is tightest (VERDICT r11 Next #5).
   *
   * `SPARK_GRAFT_ONLY=q_a,q_b,...` runs just those workloads (store builds
   * happen lazily via the ensure* calls instead of being timed) — the
@@ -211,6 +215,40 @@ object Bench {
     val stagingCount = Seq(stg1._2 - stg0._2, stg2._2 - stg1._2)
     pass1.foreach { case (name, t1) => results(name) = math.min(t1, pass2(name)) }
 
+    // Min-of-THREE for the highest-draw-variance workloads (VERDICT r11
+    // Next #5): BENCH_VARIANCE.json (tools/variance_census.py over the
+    // four committed same-code r11 draws) names the 10 workloads whose
+    // historical draw envelope comes closest to the regression-gate band;
+    // one extra draw for just those members shrinks exactly the variance
+    // the census measured, at ~15 s total cost instead of a 460 s third
+    // full pass. Registry queries only (lookup_1000 never ranked).
+    val pinned: Set[String] = {
+      val f = new java.io.File("BENCH_VARIANCE.json")
+      if (!f.isFile) Set.empty
+      else {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"top_variance":\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+          .map(_.group(1).split(",").iterator
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty)
+      }
+    }
+    val pass3 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        pinned.contains(name) && results.contains(name) &&
+          only.forall(_.contains(name))
+      }
+      .foreach { case (name, fn) =>
+        pass3(name) = time(materialize(fn(spark, sfDir)))
+      }
+    pass3.foreach { case (name, t3) =>
+      results(name) = math.min(results(name), t3)
+    }
+
     // Emit (round-7 brief): the r6 driver artifact came back
     // `parsed: null` — the single line had grown past what the driver's
     // parser keeps (131 queries × two maps ≈ 8 KB). The PRIMARY line is
@@ -238,6 +276,8 @@ object Bench {
         s""""queries":${jmap(results)},""" +
         s""""queries_pass1":${jmap(pass1)},""" +
         s""""queries_pass2":${jmap(pass2)},""" +
+        s""""queries_pass3":${jmap(pass3)},""" +
+        s""""variance_pinned":[${pass3.keys.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""shuffle_mb":${jmap(shuffleMb)},""" +
         s""""pass_totals":[${j(p1)},${j(p2)}],""" +
         s""""staging_build_s":[${stagingBuild.map(j).mkString(",")}],""" +
