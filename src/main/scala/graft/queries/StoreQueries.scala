@@ -759,6 +759,42 @@ object StoreQueries {
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // XML sink + explicit-schema scan round-trip — Spark 4's native XML
+    // data source, same projection contract as q_csv_roundtrip (epoch-µs
+    // BIGINT timestamps, shortest-toString doubles, markup escaping in
+    // `props`). rowTag-bounded record split keeps the scan parallel per
+    // row element; explicit schema skips the inference pass.
+    Q("q_xml_roundtrip",
+      (s, dir) => {
+        val path = FormatStore.ensureXmlEvents(s, dir)
+        FormatStore.readXmlEvents(s, path)
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Scalar XML serialize/parse round-trip (the to_xml/from_xml twin of
+    // the §2.8 JSON serialize/parse row): each event renders one XML
+    // fragment, the parser recovers the struct, and the census aggregates
+    // the RECOVERED fields — any render/parse asymmetry (escaping, type
+    // coercion) would shift the counts.
+    Q("q_xml_extract",
+      (s, dir) => {
+        val xmlSchema = "STRUCT<event_type: STRING, value_mils: BIGINT>"
+        Tables.events(s, dir)
+          .withColumn("_x", to_xml(struct(col("event_type"),
+            floor(col("value") * 1000).cast("long").as("value_mils"))))
+          .withColumn("_r", from_xml(col("_x"), lit(xmlSchema)))
+          .groupBy(col("_r.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("_r.value_mils")).as("value_mils"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Co-located bucketed join: events and the per-user dim table share
     // bucket count + key, so the fact ⋈ dim join (and the dim build's own
     // aggregation) plans ZERO Exchange — both sides stream pre-hashed

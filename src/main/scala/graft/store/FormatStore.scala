@@ -82,4 +82,35 @@ object FormatStore {
       .schema(csvEventsSchema)
       .option("header", "true")
       .csv(path)
+
+  /** Idempotent XML copy of `events` — Spark 4's NATIVE XML data source
+    * (spark-xml was folded into spark-sql in 4.0), same projection
+    * contract as the CSV store: ts as epoch-µs BIGINT (a textual
+    * timestamp would round to the writer's format), doubles via
+    * shortest-round-trip toString, markup characters in `props`
+    * (quotes, '<', '&') escaped by the writer and restored by the
+    * parser. One row element per event under a single root. */
+  def ensureXmlEvents(spark: SparkSession, sfDir: String): String = synchronized {
+    val path = s"${SnapshotStore.root}/events_${sfName(sfDir)}_xml"
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      csvProjection(spark, sfDir)
+        .write
+        .option("rowTag", "event")
+        .option("rootTag", "events")
+        .mode("overwrite")
+        .format("xml")
+        .save(path)
+    }
+    path
+  }
+
+  /** Explicit-schema XML scan — schema-on-read like the CSV path (no
+    * sampling/inference pass over 100 TB), rowTag-bounded record split so
+    * the multi-gigabyte file still parallelizes per row element. */
+  def readXmlEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(csvEventsSchema)
+      .option("rowTag", "event")
+      .format("xml")
+      .load(path)
 }

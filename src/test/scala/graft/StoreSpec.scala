@@ -165,6 +165,32 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("XML round-trips markup characters, doubles and longs exactly") {
+    val path = tmp("xml")
+    val in = Seq(
+      (1L, 0.1 + 0.2, """<b att="x">&amp; raw & brackets</b>"""),
+      (2L, 1.0 / 3.0, "plain text"),
+      (3L, -0.0, "a]]>b"),          // CDATA-terminator lookalike
+      (4L, 4.9e-324, "tab\tand\nnewline")
+    ).toDF("event_id", "value", "props")
+    in.write.option("rowTag", "event").option("rootTag", "events")
+      .mode("overwrite").format("xml").save(path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val back = spark.read.schema(schema).option("rowTag", "event")
+      .format("xml").load(path)
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    val exp = in.as[(Long, Double, String)].collect().sortBy(_._1)
+    back.zip(exp).foreach { case ((bi, bv, bp), (ei, ev, ep)) =>
+      assert(bi == ei)
+      assert(java.lang.Double.doubleToRawLongBits(bv) ==
+        java.lang.Double.doubleToRawLongBits(ev), s"double drift at id $bi")
+      assert(bp == ep, s"string drift at id $bi: got [$bp] want [$ep]")
+    }
+  }
+
   test("morton key: roundtrip, known values, per-coordinate monotonicity") {
     import graft.functions.ZOrder
     // reference values: interleave bits of x at even, y at odd positions
