@@ -175,4 +175,63 @@ object Sampling {
         coalesce(col("sel_id_min"), lit(-1L)).as("sel_id_min"),
         coalesce(col("sel_id_max"), lit(-1L)).as("sel_id_max"))
   }
+
+  /** DSIR-style targeted data selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank raw-pool docs
+    * by how much their HASHED-BIGRAM profile resembles a small trusted
+    * TARGET slice — the "select web text that looks like Wikipedia" move.
+    *
+    * Fixed-point, RNG-free variant: the paper's per-bucket log-likelihood
+    * ratio and Gumbel-noise draw are replaced by (a) a Laplace-smoothed
+    * LINEAR likelihood ratio per bucket,
+    *   ratio_ppm[b] = ⌊10⁶ · ((t_b+1)/(T+B)) / ((r_b+1)/(R+B))⌋
+    * exact in one DECIMAL(38,0) floor-division (no libm, engine-exact),
+    * and (b) a deterministic top-k by the per-gram mean ratio
+    * (score DIV n_grams) with doc_id tie-break — the same determinism
+    * substitutions the rest of this module makes (hash order for RNG).
+    *
+    * Scale shape: text leaves the scan only as (doc_id, bucket) pairs —
+    * grams hash row-local to one of `buckets` ids, the (doc, bucket)
+    * count aggregation is map-side combinable, the bucket model is a
+    * `buckets`-row broadcast, and the final top-k is TakeOrderedAndProject
+    * (never a global sort). Docs with < 2 tokens have no bigrams and
+    * drop out of the pool, matching the oracle's comprehension range. */
+  def dsirSelect(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      isTarget: Column,
+      buckets: Int = 256,
+      topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("_tgt"),
+        split(col(textCol), " ").as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc_id"), col("_tgt"), explode(expr(
+        """zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("_g"))
+      .withColumn("_b", expr(
+        s"pmod(CAST(conv(substring(md5(CAST(_g AS BINARY)), 1, 12), 16, 10) AS BIGINT), $buckets)"))
+    val docBuckets = grams.groupBy(col("doc_id"), col("_tgt"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val bucketTotals = docBuckets.groupBy(col("_b")).agg(
+      sum(when(col("_tgt"), col("_c")).otherwise(0L)).as("_tc"),
+      sum(when(!col("_tgt"), col("_c")).otherwise(0L)).as("_rc"))
+    val grand = bucketTotals.agg(
+      sum(col("_tc")).as("_tt"), sum(col("_rc")).as("_rt"))
+    val ratios = bucketTotals.crossJoin(broadcast(grand))
+      .withColumn("ratio_ppm", expr(
+        s"""CAST((CAST(_tc + 1 AS DECIMAL(38,0)) * (_rt + $buckets) * 1000000) DIV
+           |     (CAST(_rc + 1 AS DECIMAL(38,0)) * (_tt + $buckets)) AS BIGINT)""".stripMargin))
+      .select(col("_b"), col("ratio_ppm"))
+    docBuckets.filter(!col("_tgt"))
+      .join(broadcast(ratios), Seq("_b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_c")).as("n_grams"),
+        sum(col("_c").cast("decimal(38,0)") * col("ratio_ppm")).as("_score"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("CAST(_score DIV n_grams AS BIGINT)").as("dsir_ppm"))
+      .orderBy(col("dsir_ppm").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -4931,6 +4931,42 @@ object PipelineQueries {
              |       coalesce(sel_id_max, -1) AS sel_id_max
              |FROM t LEFT JOIN sel USING (lang) ORDER BY lang""".stripMargin)),
 
+    // DSIR-style targeted selection (Xie et al. 2023): rank the raw pool
+    // by hashed-bigram resemblance to a trusted target slice (src1/src2
+    // play "Wikipedia"). Fixed-point substitutions — Laplace-smoothed
+    // LINEAR per-bucket likelihood ratio in one DECIMAL(38,0) floor
+    // division instead of the paper's log-ratio, deterministic top-k by
+    // per-gram mean ratio instead of a Gumbel draw — keep it engine-exact
+    // and RNG-free. Text leaves the scan only as (doc, bucket) pairs; the
+    // 256-row bucket model broadcasts; top-k is TakeOrderedAndProject.
+    Q("q_dsir_select",
+      (s, dir) => graft.operators.Sampling.dsirSelect(
+        Tables.documents(s, dir), "text", "doc_id",
+        col("source").isin("src1", "src2")),
+      Some("""WITH d AS (SELECT doc_id, source IN ('src1', 'src2') AS tgt,
+             |                  string_split(text, ' ') AS tk FROM documents),
+             |g AS (SELECT doc_id, tgt,
+             |             unnest([tk[i] || ' ' || tk[i+1]
+             |                     for i in range(1, len(tk))]) AS gm
+             |      FROM d),
+             |bk AS (SELECT doc_id, tgt,
+             |              CAST(('0x' || substr(md5(gm), 1, 12)) AS BIGINT) % 256 AS b
+             |       FROM g),
+             |c AS (SELECT doc_id, tgt, b, count(*) AS c FROM bk GROUP BY 1, 2, 3),
+             |bt AS (SELECT b, sum(CASE WHEN tgt THEN c ELSE 0 END) AS tc,
+             |              sum(CASE WHEN NOT tgt THEN c ELSE 0 END) AS rc
+             |       FROM c GROUP BY 1),
+             |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM bt),
+             |r AS (SELECT b, ((tc + 1) * (rt + 256) * 1000000)
+             |               // ((rc + 1) * (tt + 256)) AS ratio_ppm
+             |      FROM bt, tot),
+             |sc AS (SELECT doc_id, sum(c) AS n_grams,
+             |              sum(c * ratio_ppm) AS score
+             |       FROM c JOIN r USING (b) WHERE NOT tgt GROUP BY 1)
+             |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+             |       CAST(score // n_grams AS BIGINT) AS dsir_ppm
+             |FROM sc ORDER BY dsir_ppm DESC, doc_id LIMIT 50""".stripMargin)),
+
     Q("q_mix_sample",
       (s, dir) => {
         val docs = Tables.documents(s, dir)

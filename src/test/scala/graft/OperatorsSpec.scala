@@ -1916,6 +1916,49 @@ class OperatorsSpec extends SparkSpec {
     assert(z == (("g2", 10L, 50L, 0L, 0L, 0L, 0L, -1L, -1L)), z.toString)
   }
 
+  test("dsirSelect: BigInt brute replay exact; target-like docs outrank; short docs drop") {
+    import graft.operators.Sampling
+    val rows = Seq(
+      (1L, "alpha beta alpha beta alpha beta", true),
+      (2L, "alpha beta gamma delta", true),
+      (10L, "alpha beta alpha beta", false), // raw, pure target-like grams
+      (11L, "zeta eta theta iota", false),   // raw, no target grams
+      (12L, "single", false),                // <2 tokens: no bigrams, excluded
+      (13L, "alpha beta zeta eta", false))   // raw, mixed
+    val B = 16
+    val got = Sampling.dsirSelect(rows.toDF("doc_id", "text", "tgt"),
+        "text", "doc_id", $"tgt", buckets = B, topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+
+    // brute replay with BigInt arithmetic and a JVM md5
+    def bucket(g: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 12), 16) % B).toInt
+    }
+    def grams(t: String): Seq[Int] =
+      t.split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
+        .map(p => bucket(p.mkString(" "))).toSeq
+    val byDoc = rows.map { case (id, t, tgt) => (id, tgt, grams(t)) }
+    val tc = Array.fill(B)(0L); val rc = Array.fill(B)(0L)
+    byDoc.foreach { case (_, tgt, gs) =>
+      gs.foreach(b => if (tgt) tc(b) += 1 else rc(b) += 1) }
+    val (tt, rt) = (tc.sum, rc.sum)
+    def ratio(b: Int): BigInt =
+      (BigInt(tc(b) + 1) * (rt + B) * 1000000) / (BigInt(rc(b) + 1) * (tt + B))
+    val brute = byDoc.filter(d => !d._2 && d._3.nonEmpty).map { case (id, _, gs) =>
+      val score = gs.map(ratio).sum
+      (id, gs.size.toLong, (score / gs.size).toLong)
+    }.sortBy { case (id, _, ppm) => (-ppm, id) }
+    assert(got == brute, s"got $got want $brute")
+    // semantics: the all-target-gram doc outranks the mixed one outranks
+    // the disjoint one; the 1-token doc never appears
+    val rank = got.map(_._1)
+    assert(rank.indexOf(10L) < rank.indexOf(13L))
+    assert(rank.indexOf(13L) < rank.indexOf(11L))
+    assert(!rank.contains(12L) && !rank.contains(1L) && !rank.contains(2L))
+  }
+
   test("prCurveByGroup + avgPrecisionByGroup match the brute threshold sweep") {
     import graft.operators.Stats
     // group "a": scores with ties and a pure-negative bucket;
