@@ -402,6 +402,41 @@ object Clustering {
       .select(col(idCol), col("cluster"), coalesce(col("_p"), lit(1)).as("kept"))
   }
 
+  /** Prototype-based example pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws: beating power law scaling via data pruning"):
+    * in the abundant-data regime the best examples to DROP are the most
+    * PROTOTYPICAL — those closest to their k-means centroid; the hard
+    * (far) members carry the information the next epoch needs. The dual
+    * of [[semDedup]] (which drops near-DUPLICATE members): this prunes
+    * by position within the cluster, not by pairwise similarity, so it
+    * never forms pairs at all.
+    *
+    * Deterministic threshold contract: per cluster, the exact
+    * nearest-rank `prunePct`-th percentile of the int64 squared
+    * distance ([[Stats.groupedExactQuantiles]] — the grouped 2-pass
+    * selection, never a per-cluster rank window that would funnel each
+    * cluster through one task) is the cut; members strictly below it
+    * are pruned (kept = 0), ties at the cut survive. The pruned
+    * fraction approaches prunePct/100 as distance ties thin out.
+    *
+    * Scale shape: assignment is row-local against driver-held
+    * centroids; the quantile pass collects a (k × bins) histogram and
+    * rescans only boundary bins; thresholds rejoin as a k-row
+    * broadcast. Nothing ever shuffles on the cluster key. */
+  def prototypePrune(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, prunePct: Int,
+      binWidth: Long = 1000000L): DataFrame = {
+    require(prunePct >= 1 && prunePct <= 100, s"bad prunePct $prunePct")
+    val asg = graft.store.Staging.stage(
+      kmeans(points, idCol, vecCol, k, iters), s"protoprune_asg${k}i$iters")
+    val thr = Stats.groupedExactQuantiles(
+        asg, col("cluster").cast("string"), "dist", Seq(prunePct), binWidth)
+      .select(col("g").cast("long").as("cluster"), col("dist").as("_thr"))
+    asg.join(broadcast(thr), Seq("cluster"))
+      .select(col(idCol), col("cluster"), col("dist"),
+        (col("dist") >= col("_thr")).cast("long").as("kept"))
+  }
+
   /** Diversity-maximizing subset selection: Gonzalez k-center greedy —
     * the data-curation primitive for a maximally-spread coreset (seed
     * examples, eval probes, annotation batches) with the classic 2-approx

@@ -4447,6 +4447,28 @@ object PipelineQueries {
           |       CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
           |FROM af LEFT JOIN dup d ON af.vec_id = d.vid ORDER BY af.vec_id""".stripMargin)),
 
+    // Prototype pruning (Sorscher et al. 2022) — semDedup's dual: drop
+    // the most PROTOTYPICAL quarter of each k-means cluster (closest to
+    // centroid; nearest-rank p25 of the exact int64 squared distance is
+    // the per-cluster cut, ties survive) and keep the hard examples. No
+    // pairs ever form; the threshold pass is the grouped 2-pass
+    // selection + a k-row broadcast join back.
+    Q("q_prototype_prune",
+      (s, dir) =>
+        Clustering.prototypePrune(Tables.embeddings(s, dir), "vec_id",
+            "embedding", k = 8, iters = 3, prunePct = 25)
+          .orderBy("vec_id"),
+      Some(kmeansOracle(k = 8, iters = 3, dims = 64) +
+        """, r AS (SELECT vec_id, c, dist,
+          |         row_number() OVER (PARTITION BY c ORDER BY dist, vec_id) AS rn,
+          |         count(*) OVER (PARTITION BY c) AS n FROM af),
+          |thr AS (SELECT c, max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+          |                           THEN dist END) AS thr
+          |        FROM r GROUP BY c)
+          |SELECT r.vec_id, r.c AS cluster, r.dist,
+          |       CAST(CASE WHEN r.dist >= t.thr THEN 1 ELSE 0 END AS BIGINT) AS kept
+          |FROM r JOIN thr t ON r.c = t.c ORDER BY r.vec_id""".stripMargin)),
+
     // Product quantization (Jégou et al. 2011): 8 independent sub-space
     // codebooks (k=16, 2 Lloyd iterations each — the same exact-integer
     // training as q_cluster_kmeans), every vector encoded as 8 packed

@@ -187,4 +187,44 @@ class ClusteringSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(x => x._1 -> x._3).toMap
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 1L), r.toString)
   }
+
+  test("prototypePrune drops the sub-threshold core; ties at the cut survive") {
+    // one tight blob around the origin, one around (1,1,1,1); within each,
+    // distances to the converged centroid are distinct except a planted tie
+    // origin blob: distances to the converged centroid sort as
+    // d(1) < d(2) == d(3) < d(4) — the symmetric pair plants a TIE at
+    // the p50 cut (rank 2 of 4), so 1 is pruned and 2/3/4 survive
+    val vecs = Seq(
+      (1L, Seq(0.00f, 0.00f, 0.00f, 0.00f)),
+      (2L, Seq(0.20f, 0.00f, 0.00f, 0.00f)),
+      (3L, Seq(0.00f, 0.20f, 0.00f, 0.00f)),  // mirror of 2: same dist
+      (4L, Seq(0.00f, 0.00f, 0.40f, 0.00f)),
+      (5L, Seq(1.00f, 1.00f, 1.00f, 1.00f)),
+      (6L, Seq(1.00f, 1.00f, 1.00f, 0.80f)),
+      (7L, Seq(1.00f, 0.60f, 1.00f, 1.00f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.prototypePrune(vecs, "vec_id", "embedding",
+        k = 2, iters = 3, prunePct = 50, binWidth = 100L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // brute replay: per cluster, thr = dist at nearest-rank ceil(n/2);
+    // kept iff dist >= thr
+    val byCluster = got.groupBy(_._2)
+    val expect = byCluster.toSeq.flatMap { case (_, xs) =>
+      val ds = xs.map(_._3).sorted
+      val thr = ds((ds.length * 50 + 99) / 100 - 1)
+      xs.toSeq.map(x => x._1 -> (if (x._3 >= thr) 1L else 0L))
+    }.toMap
+    got.foreach { case (id, _, _, kept) =>
+      assert(kept == expect(id), s"doc $id: kept=$kept want ${expect(id)}") }
+    // the planted tie sits exactly AT the cut (rank 2 of 4): both tied
+    // members survive together (threshold semantics, never id order),
+    // while the sub-threshold core member drops
+    val tied = got.filter(r => r._1 == 2L || r._1 == 3L)
+    assert(tied.map(_._3).toSet.size == 1, s"tie not planted: $got")
+    assert(tied.map(_._4).toSet == Set(1L), s"tied members split fates: $got")
+    assert(got.find(_._1 == 1L).get._4 == 0L, s"core member kept: $got")
+    // pruning is real on both clusters: something dropped, something kept
+    byCluster.values.foreach { xs =>
+      assert(xs.map(_._4).toSet == Set(0L, 1L), xs.mkString(",")) }
+  }
 }
