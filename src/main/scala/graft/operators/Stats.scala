@@ -2087,4 +2087,58 @@ object Stats {
         expr("CAST(_res DIV n AS BIGINT)").as("res_ppm"),
         expr("CAST(_omg * (1000 - _omg) AS BIGINT)").as("unc_ppm"))
   }
+
+  /** k-anonymity / l-diversity release audit (Sweeney 2002;
+    * Machanavajjhala et al. 2007) — the re-identification check a
+    * training-data release runs after PII scrubbing: group the release
+    * by its quasi-identifier combination and measure how identifying
+    * each equivalence class is. A class seen for fewer than k distinct
+    * entities re-identifies them by linkage; a class whose sensitive
+    * attribute takes fewer than l values leaks it even at k-anonymity
+    * (the homogeneity attack l-diversity exists for).
+    *
+    * Output: the `topK` weakest classes (fewest distinct entities,
+    * then the class key) with the release-wide census repeated on each
+    * row — k_entity_min IS the k-anonymity of the release, l_min its
+    * l-diversity; n_viol_classes / n_exposed_rows / n_low_l_classes
+    * size the suppression work a k/l-safe release needs.
+    *
+    * Scale shape: ONE map-side-combinable groupBy over the QI columns
+    * (two count_distincts share the scan via Expand), a 1-row census
+    * over the O(classes) frame broadcast back, and TakeOrderedAndProject
+    * for the weakest-class list. Rows never shuffle twice; the class
+    * frame is bounded by the QI domain, not the data. */
+  def kAnonymityCensus(
+      df: DataFrame,
+      quasiIds: Seq[(String, Column)],
+      entity: Column,
+      sensitive: Column,
+      k: Long,
+      l: Long,
+      topK: Int = 20): DataFrame = {
+    require(quasiIds.nonEmpty && k >= 1 && l >= 1 && topK >= 1,
+      s"bad audit params (qi=${quasiIds.size}, k=$k, l=$l, topK=$topK)")
+    val base = df.select(
+      quasiIds.map { case (n, c) => c.as(n) } ++
+        Seq(entity.as("_e"), sensitive.as("_s")): _*)
+    val classes = base
+      .groupBy(quasiIds.map { case (n, _) => col(n) }: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("_e")).as("n_entities"),
+        count_distinct(col("_s")).as("n_sensitive"))
+    val census = classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("n_rows")).as("total_rows"),
+      min(col("n_entities")).as("k_entity_min"),
+      min(col("n_rows")).as("k_row_min"),
+      min(col("n_sensitive")).as("l_min"),
+      sum(when(col("n_entities") < k, 1L).otherwise(0L)).as("n_viol_classes"),
+      sum(when(col("n_entities") < k, col("n_rows")).otherwise(0L)).as("n_exposed_rows"),
+      sum(when(col("n_sensitive") < l, 1L).otherwise(0L)).as("n_low_l_classes"))
+    classes
+      .orderBy(col("n_entities") +: col("n_rows") +:
+        quasiIds.map { case (n, _) => col(n) }: _*)
+      .limit(topK)
+      .crossJoin(broadcast(census))
+  }
 }

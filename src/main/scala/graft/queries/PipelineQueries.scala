@@ -2946,6 +2946,43 @@ object PipelineQueries {
            |FROM e ORDER BY doc_id""".stripMargin
       }),
 
+    // k-anonymity / l-diversity audit — q_pii_scrub's structural
+    // companion: scrubbing hides direct identifiers, this measures
+    // LINKAGE risk. Quasi-identifiers = (hour-of-day, 50-wide value
+    // band); entity = user_id; sensitive = event_type. Output: the 20
+    // weakest equivalence classes + the release-wide census on each row
+    // (k_entity_min IS the release's k-anonymity). One map-side groupBy
+    // over the bounded QI domain; weakest-class list plans as
+    // TakeOrderedAndProject.
+    Q("q_k_anonymity",
+      (s, dir) => graft.operators.Stats.kAnonymityCensus(
+        Tables.events(s, dir),
+        Seq("hod" -> hour(col("ts")).cast("long"),
+          "vband" -> floor(col("value") / 50).cast("long")),
+        entity = col("user_id"), sensitive = col("event_type"),
+        k = 5L, l = 3L),
+      Some("""WITH b AS (SELECT CAST(hour(ts) AS BIGINT) AS hod,
+             |                  CAST(floor(value / 50) AS BIGINT) AS vband,
+             |                  user_id, event_type FROM events),
+             |cl AS (SELECT hod, vband, CAST(count(*) AS BIGINT) AS n_rows,
+             |              CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+             |              CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive
+             |       FROM b GROUP BY 1, 2),
+             |cs AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             |              CAST(sum(n_rows) AS BIGINT) AS total_rows,
+             |              min(n_entities) AS k_entity_min,
+             |              min(n_rows) AS k_row_min,
+             |              min(n_sensitive) AS l_min,
+             |              CAST(sum(CASE WHEN n_entities < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |                AS n_viol_classes,
+             |              CAST(sum(CASE WHEN n_entities < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+             |                AS n_exposed_rows,
+             |              CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |                AS n_low_l_classes
+             |       FROM cl)
+             |SELECT cl.*, cs.* FROM cl, cs
+             |ORDER BY n_entities, n_rows, hod, vband LIMIT 20""".stripMargin)),
+
     // Gopher/C4-style repetition filters: top-token fraction, top-bigram
     // fraction and distinct-token ratio per doc, integer ppm — the
     // boilerplate/spam signals a quality pipeline thresholds on. Docs
@@ -4955,7 +4992,12 @@ object PipelineQueries {
 
     // DSIR-style targeted selection (Xie et al. 2023): rank the raw pool
     // by hashed-bigram resemblance to a trusted target slice (src1/src2
-    // play "Wikipedia"). Fixed-point substitutions — Laplace-smoothed
+    // play "Wikipedia"). q_dsir_weight scores per-doc FLUENCY under
+    // raw-bigram LMs (unbounded vocabulary — model size tracks the
+    // corpus); this is the paper's HASHED variant plus the selection
+    // step: the model is a fixed 256-bucket table regardless of corpus
+    // size, the property that lets it price 100 TB against a broadcast.
+    // Fixed-point substitutions — Laplace-smoothed
     // LINEAR per-bucket likelihood ratio in one DECIMAL(38,0) floor
     // division instead of the paper's log-ratio, deterministic top-k by
     // per-gram mean ratio instead of a Gumbel draw — keep it engine-exact

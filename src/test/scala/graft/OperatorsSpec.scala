@@ -1916,6 +1916,38 @@ class OperatorsSpec extends SparkSpec {
     assert(z == (("g2", 10L, 50L, 0L, 0L, 0L, 0L, -1L, -1L)), z.toString)
   }
 
+  test("kAnonymityCensus: hand fixture — weakest classes first, census exact") {
+    import graft.operators.Stats
+    // class A: 1 entity (k-violation), 1 sensitive value (l-violation)
+    // class B: 2 entities, 2 sensitive values (k-violation only, k=3)
+    // class C: 3 entities, 3 sensitive values (clean)
+    val rows = Seq(
+      ("A", 1L, "x"), ("A", 1L, "x"),
+      ("B", 1L, "x"), ("B", 2L, "y"), ("B", 2L, "y"),
+      ("C", 1L, "x"), ("C", 2L, "y"), ("C", 3L, "z"), ("C", 3L, "x")
+    ).toDF("qi", "user", "sens")
+    val got = Stats.kAnonymityCensus(rows, Seq("qi" -> $"qi"),
+        entity = $"user", sensitive = $"sens", k = 3L, l = 2L, topK = 2)
+      .collect()
+    // topK=2 keeps the two weakest classes in (n_entities, n_rows) order
+    assert(got.map(_.getString(0)).toSeq == Seq("A", "B"))
+    val a = got.head
+    assert(a.getLong(a.fieldIndex("n_rows")) == 2L)
+    assert(a.getLong(a.fieldIndex("n_entities")) == 1L)
+    assert(a.getLong(a.fieldIndex("n_sensitive")) == 1L)
+    // census (identical on every row): k-anonymity 1, l-diversity 1,
+    // two k-violating classes covering 5 rows, one low-l class
+    assert(a.getLong(a.fieldIndex("n_classes")) == 3L)
+    assert(a.getLong(a.fieldIndex("total_rows")) == 9L)
+    assert(a.getLong(a.fieldIndex("k_entity_min")) == 1L)
+    assert(a.getLong(a.fieldIndex("k_row_min")) == 2L)
+    assert(a.getLong(a.fieldIndex("l_min")) == 1L)
+    assert(a.getLong(a.fieldIndex("n_viol_classes")) == 2L)
+    assert(a.getLong(a.fieldIndex("n_exposed_rows")) == 5L)
+    assert(a.getLong(a.fieldIndex("n_low_l_classes")) == 1L)
+    assert(got(1).getLong(got(1).fieldIndex("n_classes")) == 3L) // census repeats
+  }
+
   test("dsirSelect: BigInt brute replay exact; target-like docs outrank; short docs drop") {
     import graft.operators.Sampling
     val rows = Seq(
