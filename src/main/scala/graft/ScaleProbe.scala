@@ -626,10 +626,14 @@ object ScaleProbe {
     "q_token_budget" -> false,
     // global exact-k sample = one TakeOrdered (k-heap per partition)
     "q_reservoir" -> false,
-    // mutual NN is brute |corpus|² by definition and the replica grows
-    // both axes — 25x on 5x by construction, the q_knn_classify /
-    // q_hard_negatives class; ANN-candidate swap documented
-    "q_mutual_nn" -> true,
+    // q_mutual_nn moved to CandProbes after the r12 ANN swap: on the
+    // VERBATIM replica every vector is a 5-way exact duplicate, which
+    // collapses identical signatures into shared dense-operating-point
+    // buckets and degenerates the candidate aggregation (measured: the
+    // verbatim probe ran 50+ min before being aborted) — the dup-dense
+    // corpus class belongs to the dedup family, which runs BEFORE ANN
+    // in any real pipeline; the jittered unique replica shows the
+    // natural-corpus candidate growth the swap must certify.
     // PGM decode / resize = pure row-local render→parse→array-math
     // projections (the q_chunk_tokens zero-shuffle class; the ordered
     // output adds one range exchange)
@@ -644,7 +648,23 @@ object ScaleProbe {
     "q_lsh_tuning" -> true,
     // per-source dup census = one (hash) count agg + one hash-keyed
     // join back + a source rollup — the q_dedup_exact shuffle shape
-    "q_dup_by_source" -> false
+    "q_dup_by_source" -> false,
+    // round-12: hashed-bigram DSIR selection = gram explode hashed
+    // row-local to 256 buckets → one (doc, bucket) map-side agg +
+    // 256-row broadcast model + TakeOrdered top-k — linear in docs
+    // (bucket model size is FIXED, independent of corpus)
+    "q_dsir_select" -> false,
+    // round-12: prototype pruning = row-local centroid assignment +
+    // domain-bounded (k × bins) histogram + k-row broadcast threshold
+    "q_prototype_prune" -> false,
+    // round-12: scalar XML render→parse is row-local projection (the
+    // q_chunk_tokens class) + a 5-group agg; the file-store twin
+    // q_xml_roundtrip is store-class, bench-covered like q_orc/q_csv
+    "q_xml_extract" -> false,
+    // round-12: longitudinal k-anonymity = ONE (hod × vband) map-side
+    // agg over a ~288-class domain; distinct-entity partial state is
+    // (class, user) pairs — users ×5 ⇒ linear; census is O(classes)
+    "q_k_anonymity" -> false
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose
@@ -801,7 +821,13 @@ object ScaleProbe {
     // (absorbed by the warm-up pass like q_cc_incremental — it is the
     // persisted index); the measured pass is the batch-sized delta
     // assignment + the fixed 5-query probe/verify
-    "q_ann_incremental"
+    "q_ann_incremental",
+    // round-12: mutual top-1 on ANN candidates (IVF postings +
+    // multi-probe LSH bands) — jittered embeddings keep buckets from
+    // collapsing (the q_ann_ivfpq reason); on the verbatim replica the
+    // 5-way identical vectors degenerate the dense operating point
+    // (moved here from Probes after a 50-min aborted verbatim run)
+    "q_mutual_nn"
   )
 
   /** Per-query conf pins for the probe. ppjoin's verify joins fit under

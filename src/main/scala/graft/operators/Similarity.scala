@@ -195,7 +195,17 @@ object Similarity {
       .join(bandRows.select(col(idCol).as("dst"), col("_band")), Seq("_band"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
-    val cands = ivfCand.unionByName(lshCand).distinct()
+    // NO distinct, and an explicit src exchange (r12 probe finding): a
+    // (src, dst) pair found by several band keys scores once in an
+    // argmax anyway, so the distinct only built a corpus-scale hash map
+    // — inside the same skewed task that generated the pairs, because a
+    // band bucket is ONE join key and the vector joins below broadcast
+    // (no exchange of their own). At a dense operating point that left
+    // every verify dot product of a bucket on one core (a 5x probe
+    // corpus pinned one task for 50+ min). Repartitioning the slim
+    // (src, dst) stream by src spreads the verify across the cluster
+    // and the argmax reuses the same partitioning.
+    val cands = ivfCand.unionByName(lshCand).repartition(col("src"))
     // exact verify on candidates only; top-1 = one map-side argmax
     // (ties → smaller dst, matching the brute row_number order)
     val top1 = cands
