@@ -664,7 +664,13 @@ object ScaleProbe {
     // round-12: longitudinal k-anonymity = ONE (hod × vband) map-side
     // agg over a ~288-class domain; distinct-entity partial state is
     // (class, user) pairs — users ×5 ⇒ linear; census is O(classes)
-    "q_k_anonymity" -> false
+    "q_k_anonymity" -> false,
+    // round-12: split-conformal = two grouped 2-pass selections over
+    // domain-bounded (group, bin) histograms + one coverage agg — the
+    // q_exact_quantiles class, flagged for the same LAYOUT artifact
+    // (partial-agg state = input_partitions × domain bins; the sf0.1
+    // base lands in ~1 parquet split vs the replica's 32)
+    "q_conformal" -> true
   )
 
   /** Explicit scoped-input exemptions (VERDICT r6 Next #8): queries whose

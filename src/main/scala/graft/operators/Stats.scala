@@ -2088,6 +2088,83 @@ object Stats {
         expr("CAST(_omg * (1000 - _omg) AS BIGINT)").as("unc_ppm"))
   }
 
+  /** Split-conformal calibration + marginal-coverage audit (Vovk et al.;
+    * Papadopoulos et al. 2002; Lei et al. 2018) — the distribution-free
+    * uncertainty wrapper a production scorer ships with: hold out a
+    * calibration split, compute nonconformity scores s_i against a point
+    * predictor, and the threshold qhat = the ⌈(n+1)(1−α)⌉-th smallest
+    * calibration score guarantees P(s <= qhat) >= 1-alpha on exchangeable eval
+    * data — for ANY predictor and ANY score function. This runs the
+    * whole loop per group and AUDITS the guarantee on the eval split.
+    *
+    * Deterministic, engine-exact: calibration membership is the md5
+    * nibble of the row id (< 8 ⇒ calibration — the [[Sampling]] split
+    * contract), the predictor is the exact nearest-rank calibration
+    * MEDIAN, the score is |v − median| (integer mils), and qhat is the
+    * exact finite-sample conformal rank min(n, ⌈(n+1)(100−α)/100⌉) —
+    * the +1 is what makes the guarantee hold at finite n.
+    *
+    * Scale shape: two grouped 2-pass selections (the
+    * [[groupedExactQuantiles]] pattern — domain-bounded histograms to
+    * the driver, boundary-bin rescans; never a per-group rank window
+    * that would funnel each group through one task) + broadcast joins
+    * of the O(groups) median/threshold frames + one coverage agg.
+    * Output: (g, n_cal, n_eval, med_mils, qhat_mils, n_covered,
+    * coverage_ppm). */
+  def conformalCoverage(
+      df: DataFrame,
+      groupCol: Column,
+      idCol: Column,
+      valueMils: Column,
+      alphaPct: Int = 10,
+      binWidth: Long = 10000L,
+      maxHistRows: Int = 1 << 20): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99, s"alphaPct must be in 1..99: $alphaPct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(groupCol.cast("string").as("_g"),
+      valueMils.cast("long").as("_v"),
+      (Sampling.hashNibble(idCol) < 8).as("_cal"))
+    val med = groupedExactQuantiles(base.filter(col("_cal")), col("_g"), "_v",
+        Seq(50), binWidth, maxHistRows)
+      .select(col("g").as("_g"), col("n").as("n_cal"), col("_v").as("med_mils"))
+    val scored = base.join(broadcast(med), Seq("_g"))
+      .withColumn("_s", abs(col("_v") - col("med_mils")))
+    val sv = scored.filter(col("_cal"))
+      .select(col("_g"), col("_s").as("_v"))
+      .withColumn("_bin", expr(s"_v DIV $binWidth"))
+    val histRows = sv.groupBy(col("_g"), col("_bin")).agg(count(lit(1)).as("_c"))
+      .limit(maxHistRows + 1)
+      .as[(String, Long, Long)].collect()
+    require(histRows.length <= maxHistRows,
+      s"conformalCoverage: (groups x bins) histogram exceeds $maxHistRows — raise binWidth")
+    val targets = histRows.groupBy(_._1).toSeq.map { case (g, rows) =>
+      val bins = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val n = bins.map(_._2).sum
+      val rank = math.min(n, ((n + 1) * (100L - alphaPct) + 99) / 100)
+      var cum = 0L; var i = 0
+      while (cum + bins(i)._2 < rank) { cum += bins(i)._2; i += 1 }
+      (g, bins(i)._1, rank - cum)
+    }
+    val tdf = targets.toDF("_g", "_bin", "_off")
+    val wBin = Window.partitionBy(col("_g"), col("_bin")).orderBy(col("_v"))
+    val qhat = sv
+      .join(broadcast(tdf.select(col("_g"), col("_bin")).distinct()), Seq("_g", "_bin"))
+      .withColumn("_r", row_number().over(wBin))
+      .join(broadcast(tdf), Seq("_g", "_bin"))
+      .filter(col("_r") === col("_off"))
+      .select(col("_g"), col("_v").as("qhat_mils"))
+    scored.filter(!col("_cal"))
+      .join(broadcast(qhat), Seq("_g"))
+      .groupBy(col("_g"), col("med_mils"), col("qhat_mils"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum((col("_s") <= col("qhat_mils")).cast("long")).as("n_covered"))
+      .join(broadcast(med.select(col("_g"), col("n_cal"))), Seq("_g"))
+      .select(col("_g").as("g"), col("n_cal"), col("n_eval"),
+        col("med_mils"), col("qhat_mils"), col("n_covered"),
+        expr("CAST(n_covered * 1000000 DIV n_eval AS BIGINT)").as("coverage_ppm"))
+  }
+
   /** k-anonymity / l-diversity release audit (Sweeney 2002;
     * Machanavajjhala et al. 2007) — the re-identification check a
     * training-data release runs after PII scrubbing: group the release

@@ -2273,6 +2273,44 @@ object CoreQueries {
              |       CAST(f.iso AS BIGINT) AS iso_ppm
              |FROM bins b JOIN fit f ON b.bin = f.i ORDER BY bin""".stripMargin)),
 
+    // Split-conformal calibration + coverage audit: per event type, the
+    // md5-nibble calibration split trains the exact-median predictor,
+    // the conformal threshold is the ceil((n+1)(1-alpha))-th smallest
+    // |v - median| (the +1 IS the finite-sample guarantee), and the
+    // eval split's coverage_ppm audits P(s <= qhat) >= 90%. Both
+    // selections are grouped 2-pass (never per-group rank windows);
+    // medians/thresholds broadcast back as O(groups) frames.
+    Q("q_conformal",
+      (s, dir) => Stats.conformalCoverage(
+          Tables.events(s, dir), col("event_type"), col("event_id"),
+          floor(col("value") * 1000).cast("long"), alphaPct = 10)
+        .orderBy("g"),
+      Some("""WITH b AS (SELECT event_type AS g,
+             |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) AS BIGINT) < 8 AS cal,
+             |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+             |cm AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             |              count(*) OVER (PARTITION BY g) AS n
+             |       FROM b WHERE cal),
+             |med AS (SELECT g, CAST(max(n) AS BIGINT) AS n_cal,
+             |               max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med_mils
+             |        FROM cm GROUP BY g),
+             |sc AS (SELECT b.g, cal, abs(v - med_mils) AS s, med_mils
+             |       FROM b JOIN med USING (g)),
+             |cq AS (SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s) AS rn,
+             |              count(*) OVER (PARTITION BY g) AS n
+             |       FROM sc WHERE cal),
+             |qh AS (SELECT g, max(CASE WHEN rn = least(n, ((n + 1) * 90 + 99) // 100)
+             |                          THEN s END) AS qhat_mils
+             |       FROM cq GROUP BY g),
+             |ev AS (SELECT sc.g, CAST(count(*) AS BIGINT) AS n_eval,
+             |              CAST(sum(CASE WHEN s <= qhat_mils THEN 1 ELSE 0 END) AS BIGINT)
+             |                AS n_covered
+             |       FROM sc JOIN qh USING (g) WHERE NOT cal GROUP BY 1)
+             |SELECT med.g, n_cal, n_eval, med_mils, qhat_mils, n_covered,
+             |       CAST(n_covered * 1000000 // n_eval AS BIGINT) AS coverage_ppm
+             |FROM med JOIN qh USING (g) JOIN ev USING (g)
+             |ORDER BY med.g""".stripMargin)),
+
     // Winsorization census — the robust-preprocessing audit: clip event
     // values at the EXACT nearest-rank p1/p99 (2-pass selection, no
     // global sort) and report what clipping changes (clipped counts,

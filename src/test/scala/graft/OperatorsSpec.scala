@@ -1916,6 +1916,57 @@ class OperatorsSpec extends SparkSpec {
     assert(z == (("g2", 10L, 50L, 0L, 0L, 0L, 0L, -1L, -1L)), z.toString)
   }
 
+  test("conformalCoverage: brute replay exact; +1 finite-sample rank; clamp at tiny n") {
+    import graft.operators.Stats
+    def nib(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16)
+    }
+    val calIds = (0L to 200L).filter(nib(_) < 8)
+    val evalIds = (0L to 200L).filter(nib(_) >= 8)
+    // group A: exactly 10 calibration rows — ceil((10+1)*0.9) = 10 but
+    // ceil(10*0.9) = 9, so the finite-sample +1 is DISCRIMINATED when
+    // the 9th and 10th smallest scores differ (distinct values below)
+    val aRows = calIds.take(10).zipWithIndex.map { case (id, i) => ("A", id, 100L + i * 10L) } ++
+      evalIds.take(5).zipWithIndex.map { case (id, i) => ("A", id, 95L + i * 25L) }
+    // group B: 3 calibration rows — rank min(3, ceil(4*0.9)=4) clamps to n
+    val bRows = calIds.drop(10).take(3).zipWithIndex.map { case (id, i) => ("B", id, 50L + i * 7L) } ++
+      evalIds.drop(5).take(3).zipWithIndex.map { case (id, i) => ("B", id, 40L + i * 30L) }
+    val rows = aRows ++ bRows
+    val got = Stats.conformalCoverage(rows.toDF("g", "id", "v"),
+        $"g", $"id", $"v", alphaPct = 10, binWidth = 8L)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+
+    def brute(g: String) = {
+      val mine = rows.filter(_._1 == g)
+      val cal = mine.filter(r => nib(r._2) < 8).map(_._3).sorted
+      val n = cal.length
+      val med = cal((n + 1) / 2 - 1)
+      val scores = mine.filter(r => nib(r._2) < 8).map(r => math.abs(r._3 - med)).sorted
+      val rank = math.min(n.toLong, ((n + 1) * 90L + 99) / 100)
+      val qhat = scores(rank.toInt - 1)
+      val ev = mine.filter(r => nib(r._2) >= 8).map(r => math.abs(r._3 - med))
+      val cov = ev.count(_ <= qhat).toLong
+      (g, n.toLong, ev.size.toLong, med, qhat, cov, cov * 1000000L / ev.size)
+    }
+    assert(got == Seq(brute("A"), brute("B")), s"got $got")
+    // the +1 rank is discriminating for A: qhat is the 10th (max)
+    // calibration score, not the 9th
+    val aCal = rows.filter(r => r._1 == "A" && nib(r._2) < 8).map(_._3).sorted
+    val aMed = aCal(4)
+    val aScores = rows.filter(r => r._1 == "A" && nib(r._2) < 8)
+      .map(r => math.abs(r._3 - aMed)).sorted
+    assert(aScores(9) != aScores(8), "fixture degenerate: top scores tied")
+    assert(got.head._5 == aScores(9), s"qhat must use the (n+1) rank: $got")
+    // clamp for B: qhat = the max calibration score
+    val bCal = rows.filter(r => r._1 == "B" && nib(r._2) < 8).map(_._3).sorted
+    val bScores = rows.filter(r => r._1 == "B" && nib(r._2) < 8)
+      .map(r => math.abs(r._3 - bCal(1))).sorted
+    assert(got(1)._5 == bScores.last, s"tiny-n clamp: $got")
+  }
+
   test("kAnonymityCensus: hand fixture — weakest classes first, census exact") {
     import graft.operators.Stats
     // class A: 1 entity (k-violation), 1 sensitive value (l-violation)
