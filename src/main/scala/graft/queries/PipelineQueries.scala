@@ -2946,14 +2946,18 @@ object PipelineQueries {
            |FROM e ORDER BY doc_id""".stripMargin
       }),
 
-    // k-anonymity / l-diversity audit — q_pii_scrub's structural
-    // companion: scrubbing hides direct identifiers, this measures
-    // LINKAGE risk. Quasi-identifiers = (hour-of-day, 50-wide value
-    // band); entity = user_id; sensitive = event_type. Output: the 20
-    // weakest equivalence classes + the release-wide census on each row
-    // (k_entity_min IS the release's k-anonymity). One map-side groupBy
-    // over the bounded QI domain; weakest-class list plans as
-    // TakeOrderedAndProject.
+    // LONGITUDINAL k-anonymity / l-diversity audit — the multi-row-per-
+    // entity completion of the q_k_anon / q_l_diversity / q_t_closeness
+    // triad: those audit CUSTOMER (one row per person, so row-count k =
+    // person k); an event RELEASE has many rows per user and row counts
+    // overstate anonymity — the k that matters is DISTINCT ENTITIES per
+    // quasi-identifier class, carried here next to the row count and the
+    // sensitive-value diversity in one pass. Quasi-identifiers =
+    // (hour-of-day, 50-wide value band); entity = user_id; sensitive =
+    // event_type. Output: the 20 weakest classes + the release-wide
+    // census on each row (k_entity_min IS the release's k-anonymity).
+    // One map-side groupBy over the bounded QI domain; weakest-class
+    // list plans as TakeOrderedAndProject.
     Q("q_k_anonymity",
       (s, dir) => graft.operators.Stats.kAnonymityCensus(
         Tables.events(s, dir),
