@@ -222,12 +222,17 @@ object Bench {
     // one extra draw for just those members shrinks exactly the variance
     // the census measured, at ~15 s total cost instead of a 460 s third
     // full pass. Registry queries only (lookup_1000 never ranked).
+    // pinnedParseOk distinguishes "no census file" (fine) from "census
+    // file present but the top_variance parse came back empty" (ADVICE
+    // r12: a silent format drift would disable the third pass while the
+    // artifact still claims min-of-3 coverage) — the failure is warned on
+    // stderr AND recorded in the detail artifact.
+    val varianceFile = new java.io.File("BENCH_VARIANCE.json")
     val pinned: Set[String] = {
-      val f = new java.io.File("BENCH_VARIANCE.json")
-      if (!f.isFile) Set.empty
+      if (!varianceFile.isFile) Set.empty
       else {
         val txt = new String(
-          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.file.Files.readAllBytes(varianceFile.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
         """"top_variance":\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
           .map(_.group(1).split(",").iterator
@@ -236,6 +241,11 @@ object Bench {
           .getOrElse(Set.empty)
       }
     }
+    val pinnedParseOk = !varianceFile.isFile || pinned.nonEmpty
+    if (!pinnedParseOk)
+      System.err.println(
+        "[bench] WARNING: BENCH_VARIANCE.json exists but top_variance " +
+          "parsed empty — min-of-3 pass DISABLED this run (format drift?)")
     val pass3 = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
@@ -278,6 +288,7 @@ object Bench {
         s""""queries_pass2":${jmap(pass2)},""" +
         s""""queries_pass3":${jmap(pass3)},""" +
         s""""variance_pinned":[${pass3.keys.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""variance_parse_ok":$pinnedParseOk,""" +
         s""""shuffle_mb":${jmap(shuffleMb)},""" +
         s""""pass_totals":[${j(p1)},${j(p2)}],""" +
         s""""staging_build_s":[${stagingBuild.map(j).mkString(",")}],""" +

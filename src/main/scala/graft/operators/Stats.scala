@@ -2212,10 +2212,17 @@ object Stats {
       sum(when(col("n_entities") < k, 1L).otherwise(0L)).as("n_viol_classes"),
       sum(when(col("n_entities") < k, col("n_rows")).otherwise(0L)).as("n_exposed_rows"),
       sum(when(col("n_sensitive") < l, 1L).otherwise(0L)).as("n_low_l_classes"))
+    // The trailing orderBy is a CONTRACT, not a cosmetic (ADVICE r12):
+    // orderBy().limit() above picks the topK set, but row ORDER surviving
+    // the crossJoin is a BroadcastNestedLoopJoin implementation detail —
+    // the oracle is ORDER BY'd, so the output order must be declared on
+    // the final frame, after the join.
     classes
       .orderBy(col("n_entities") +: col("n_rows") +:
         quasiIds.map { case (n, _) => col(n) }: _*)
       .limit(topK)
       .crossJoin(broadcast(census))
+      .orderBy(col("n_entities") +: col("n_rows") +:
+        quasiIds.map { case (n, _) => col(n) }: _*)
   }
 }

@@ -76,16 +76,28 @@ object Replay {
     * deterministically ordered frame), never a single-task global window.
     * Idempotent per (sf dir, rowsPerBatch); returns (path, rowCount).
     *
+    * `expectedTotal` (when >= 0) is a STALENESS GUARD, not an assertion
+    * (ADVICE r12): the path is keyed by (dir name, rowsPerBatch) only, so
+    * if the events table is regenerated with a different row count whose
+    * ceil(total/batches) happens to collide, the completed store would
+    * otherwise serve stale rows forever — on count mismatch the store is
+    * deleted and rebuilt instead of require-failing.
+    *
     * Scale note: partitioning by ibucket means a production ingest loop
     * (foreachBatch reading `ibucket = batchId`) prunes to exactly one
     * partition per poll — the layout carries the pacing contract. */
   def ensureRateIndexStore(
       spark: SparkSession,
       sfDir: String,
-      rowsPerBatch: Long): (String, Long) = synchronized {
+      rowsPerBatch: Long,
+      expectedTotal: Long = -1L): (String, Long) = synchronized {
     val path = s"${graft.store.SnapshotStore.root}/events_" +
       s"${java.nio.file.Paths.get(sfDir).getFileName}_rateidx_$rowsPerBatch"
     val done = new java.io.File(path, "_SUCCESS")
+    if (done.exists() && expectedTotal >= 0 &&
+        spark.read.parquet(path).count() != expectedTotal) {
+      graft.store.SnapshotStore.deleteRecursively(new java.io.File(path))
+    }
     if (!done.exists()) {
       val ev = graft.sources.Tables.events(spark, sfDir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -137,7 +149,7 @@ object Replay {
       batches: Int = 8): DataFrame = {
     val total = graft.sources.Tables.events(spark, sfDir).count()
     val rowsPerBatch = (total + batches - 1) / batches
-    val (idxPath, n) = ensureRateIndexStore(spark, sfDir, rowsPerBatch)
+    val (idxPath, n) = ensureRateIndexStore(spark, sfDir, rowsPerBatch, total)
     require(n == total, s"rate index store $idxPath is stale: $n != $total")
     val statik = spark.read.parquet(idxPath)
     val src = spark.readStream
