@@ -11,6 +11,18 @@ package object graftbridge {
   def columnOf(e: Expression): Column = ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unload every cached streaming state-store provider on this JVM
+    * (closes RocksDB natives, drops the HDFS-backed in-memory maps, and
+    * stops the maintenance task — it restarts lazily on the next store
+    * load). The bench sweep runs ~30 streaming workloads twice in one
+    * JVM; without this, each query's providers stay cached long after
+    * the query stopped — exactly the cross-workload accumulated state
+    * VERDICT r12 Next #1 suspects behind the mid-sweep streaming
+    * degradation. Spark's own StreamTest harness calls the same stop()
+    * between tests. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   /** Register graft's native expressions as SQL functions on a session,
     * so `spark.sql("SELECT szudzik_pair(x, y) ...")` works alongside the
     * Column API (SURVEY.md §3.2: same query from SQL plans identically
