@@ -1,18 +1,30 @@
 #!/usr/bin/env python3
-"""Bench regression gate (VERDICT r9 Next #3).
+"""Bench regression gate (VERDICT r9 Next #3; per-workload envelopes
+VERDICT r12 Next #2).
 
 Diffs a fresh BENCH_DETAIL.json against the last COMMITTED one (default:
-`git show HEAD:BENCH_DETAIL.json`), calibration-normalized, and flags any
-common workload outside the 2x + 0.5 s band. The r9 drift slipped through
-because mid-session diffs compared session-to-session instead of against
-the committed artifact - this tool only ever compares against a committed
-baseline.
+`git show HEAD:BENCH_DETAIL.json`), calibration-normalized, and flags
+regressions. The r9 drift slipped through because mid-session diffs
+compared session-to-session instead of against the committed artifact -
+this tool only ever compares against a committed baseline.
 
 Normalization: each side's times divide by that run's calib_cpu_s (the
 pure-codegen CPU probe) and, separately, by calib_fs_s (the pinned parquet
 scan probe). A workload is flagged only if BOTH normalized ratios exceed
 the band - a query that looks slow raw but is explained by either probe
 (box-wide CPU contention or FS band) is not a regression.
+
+Per-workload envelopes (BENCH_VARIANCE.json, tools/variance_census.py over
+the committed same-code r12 draws) refine the flat 2x + 0.5 s band in BOTH
+directions:
+  - DOWNGRADE: a flat-band flag whose fresh time still sits inside the
+    workload's same-code envelope is draw variance, warned not failed -
+    but ONLY when the baseline time also lies inside the envelope
+    (ADVICE r12: an envelope from draws the current code has since beaten
+    is STALE and stops speaking; stale envelopes are reported).
+  - TIGHTEN: an envelope member whose fresh time exceeds
+    ENV_MARGIN * env.max (+ the abs floor) is flagged even if the flat
+    band missed it because the baseline happened to be drawn high.
 
 Usage:
   python3 tools/bench_gate.py                      # fresh BENCH_DETAIL.json vs HEAD
@@ -26,7 +38,8 @@ import subprocess
 import sys
 
 BAND_RATIO = 2.0
-BAND_ABS = 0.5  # seconds
+BAND_ABS = 0.5   # seconds
+ENV_MARGIN = 1.5  # fresh > 1.5 * same-code envelope max => flag
 
 
 def load(path):
@@ -64,11 +77,6 @@ def main(argv):
             if fresh["calib_fs_s"] > 0 else raw
         return raw, cpu, fs
 
-    # Same-code draw-variance census (tools/variance_census.py over the
-    # four committed r11 draws): a flagged workload whose fresh time still
-    # sits inside its recorded same-code envelope is quoted as draw
-    # variance — the evidence the r11 round could only state as prose —
-    # and downgraded to a warning instead of a gate failure.
     try:
         with open("BENCH_VARIANCE.json") as f:
             census = json.load(f)["workloads"]
@@ -77,19 +85,35 @@ def main(argv):
 
     flagged = []
     variance_explained = []
+    stale_envelopes = []
     rows = []
     for name in common:
         raw, cpu, fs = norm_ratios(name)
         bad = (min(cpu, fs) > BAND_RATIO
                and fq[name] - bq[name] > BAND_ABS)
+        why = "band" if bad else ""
         env = census.get(name)
-        if bad and env and fq[name] <= env["max"]:
-            variance_explained.append(
-                (name, fq[name], env["min"], env["max"], env["spread"]))
-            bad = False
-        rows.append((name, bq[name], fq[name], raw, cpu, fs, bad))
+        # an envelope speaks for the current code only if the committed
+        # baseline also lies inside it (ADVICE r12 staleness guard)
+        env_live = env and bq[name] >= env["min"]
+        if env and not env_live:
+            stale_envelopes.append((name, bq[name], env["min"]))
+        if env_live:
+            if bad and fq[name] <= env["max"]:
+                variance_explained.append(
+                    (name, fq[name], env["min"], env["max"], env["spread"]))
+                bad = False
+                why = ""
+            elif (not bad
+                  and fq[name] > ENV_MARGIN * env["max"] + BAND_ABS
+                  and min(cpu, fs) > 1.0):
+                # envelope-tightened flag: beyond every same-code draw by
+                # 1.5x, not explained by either calibration probe
+                bad = True
+                why = f"envelope (max {env['max']:.2f}s over same-code draws)"
+        rows.append((name, bq[name], fq[name], raw, cpu, fs, bad, why))
         if bad:
-            flagged.append(name)
+            flagged.append((name, why))
 
     ft, bt = sum(fq[n] for n in common), sum(bq[n] for n in common)
     print(f"baseline: n={len(bq)} calib_cpu={base['calib_cpu_s']:.3f} "
@@ -109,24 +133,32 @@ def main(argv):
     show = [r for r in rows if r[6]] or rows[:10]
     hdr = f"{'workload':<28}{'base_s':>8}{'fresh_s':>9}{'raw':>7}{'cpuN':>7}{'fsN':>7}  flag"
     print("\n" + hdr)
-    for name, b, f, raw, cpu, fs, bad in show:
+    for name, b, f, raw, cpu, fs, bad, why in show:
         print(f"{name:<28}{b:>8.2f}{f:>9.2f}{raw:>7.2f}{cpu:>7.2f}{fs:>7.2f}"
-              f"  {'REGRESSION' if bad else ''}")
+              f"  {'REGRESSION [' + why + ']' if bad else ''}")
 
     if variance_explained:
         print(f"\nDRAW-VARIANCE ({len(variance_explained)} workload(s) "
               f"outside the band but inside their committed same-code "
-              f"r11 draw envelope — warned, not failed):")
+              f"draw envelope, baseline also in-envelope — warned, not "
+              f"failed):")
         for name, f, lo, hi, spread in variance_explained:
             print(f"  {name}: fresh {f:.2f}s within envelope "
-                  f"[{lo:.2f}, {hi:.2f}]s (spread {spread:.2f}x over 4 draws)")
+                  f"[{lo:.2f}, {hi:.2f}]s (spread {spread:.2f}x)")
+    if stale_envelopes:
+        print(f"\nSTALE ENVELOPES ({len(stale_envelopes)} — baseline now "
+              f"faster than the envelope min; these no longer downgrade "
+              f"or tighten; regenerate tools/variance_census.py):")
+        for name, b, lo in stale_envelopes[:10]:
+            print(f"  {name}: baseline {b:.2f}s < envelope min {lo:.2f}s")
+        if len(stale_envelopes) > 10:
+            print(f"  ... and {len(stale_envelopes) - 10} more")
     if flagged:
-        print(f"\nGATE FAIL: {len(flagged)} workload(s) outside the "
-              f"{BAND_RATIO}x + {BAND_ABS}s calib-normalized band: "
-              + ", ".join(flagged))
+        print(f"\nGATE FAIL: {len(flagged)} workload(s): "
+              + ", ".join(f"{n} [{w}]" for n, w in flagged))
         return 1
-    print(f"\nGATE OK: no common workload outside the {BAND_RATIO}x + "
-          f"{BAND_ABS}s calib-normalized band")
+    print(f"\nGATE OK: no workload outside the {BAND_RATIO}x + {BAND_ABS}s "
+          f"calib-normalized band or its {ENV_MARGIN}x same-code envelope")
     return 0
 
 

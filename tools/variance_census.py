@@ -1,44 +1,60 @@
 #!/usr/bin/env python3
-"""Same-code draw-variance census over committed BENCH_DETAIL artifacts
-(VERDICT r11 Next #5).
+"""Same-code draw-variance census over BENCH_DETAIL artifacts
+(VERDICT r11 Next #5, regenerated per round — VERDICT r12 Next #2).
 
-Round 11 recorded four full-sweep draws of IDENTICAL code for the common
-workloads (the round's waves were additive) whose totals spread 437-486 s;
-the attribution ("pure draw variance") lived in prose. This tool makes that
-evidence a committed artifact: for every workload present in ALL draws it
-records min/max/spread and a `flag_risk` score — max / (2*min + 0.5), i.e.
-how close historical same-code draws alone come to tripping bench_gate's
-2x + 0.5 s band (risk >= 1 means two honest draws of the same code could
-flag each other).
+Round 11 recorded four full-sweep draws of IDENTICAL code whose totals
+spread 437-486 s; the attribution ("pure draw variance") lived in prose.
+This tool makes that evidence a committed artifact: for every workload
+present in ALL draws it records min/max/spread and a `flag_risk` score —
+max / (2*min + 0.5), i.e. how close historical same-code draws alone come
+to tripping bench_gate's 2x + 0.5 s band (risk >= 1 means two honest draws
+of the same code could flag each other).
 
 Outputs BENCH_VARIANCE.json:
-  draws:        the refs used, with totals and calibration probes
+  draws:        the refs/files used, with totals and calibration probes
   workloads:    {name: {min, max, spread, risk}}
-  top_variance: the 10 highest-risk workloads — Bench.scala gives exactly
-                these a third timed pass (min-of-3); bench_gate.py quotes
-                the envelope for any flagged member.
+  top_variance: the 10 highest-risk workloads PLUS the full q_stream_*
+                family and q_cc_incremental (VERDICT r12 Next #2: the
+                streaming rows are where the mid-sweep degradation
+                lands, and q_cc_incremental is the standing watch item)
+                — Bench.scala gives exactly these a third timed pass
+                (min-of-3); bench_gate.py gates flagged members against
+                their envelope.
+
+Envelope staleness contract (ADVICE r12): bench_gate only lets an
+envelope downgrade a flag when the BASELINE time also lies inside the
+envelope — an envelope from draws of code the baseline has since beaten
+stops speaking. Regenerate this census whenever a round commits >= 2
+same-code full-sweep draws.
 
 Usage:
-  python3 tools/variance_census.py                 # default r11 draw refs
-  python3 tools/variance_census.py REF [REF ...]   # explicit commits
+  python3 tools/variance_census.py                 # default r12 draw refs
+  python3 tools/variance_census.py REF_OR_FILE ... # explicit commits/files
 """
 import json
+import os
 import subprocess
 import sys
 
-# the four round-11 same-code full-sweep draws (BUILDER_NOTES "Round 11,
-# close": totals 437.4 / 461.3 / 486.5 / 461.2 s)
-DEFAULT_REFS = ["bffd17c", "ec4412a", "09ac8a2", "8ebd70d"]
+# the round-12 same-code 401-workload full-sweep draws (BUILDER_NOTES
+# "Round 12, close": builder 570.2 s on a throttled box calib_cpu 1.758,
+# driver 591.4 s at calib_cpu 0.912; the builder's 694.3 s draw 1 was a
+# pre-close code state and was never committed as an artifact)
+DEFAULT_REFS = ["9d93cf2", "0f62a82"]
 
 
-def load_git(ref):
+def load_ref(ref):
+    """A ref is either a path to a BENCH_DETAIL-shaped file or a commit."""
+    if os.path.isfile(ref):
+        with open(ref) as f:
+            return json.load(f)
     out = subprocess.check_output(["git", "show", f"{ref}:BENCH_DETAIL.json"])
     return json.loads(out)
 
 
 def main(argv):
     refs = argv[1:] if len(argv) > 1 else DEFAULT_REFS
-    draws = [(r, load_git(r)) for r in refs]
+    draws = [(r, load_ref(r)) for r in refs]
     common = set(draws[0][1]["queries"])
     for _, d in draws[1:]:
         common &= set(d["queries"])
@@ -54,7 +70,13 @@ def main(argv):
             "risk": round(hi / (2 * lo + 0.5), 3),
         }
 
-    top = sorted(workloads, key=lambda n: -workloads[n]["risk"])[:10]
+    by_risk = sorted(workloads, key=lambda n: -workloads[n]["risk"])
+    pinned = list(by_risk[:10])
+    # the min-of-3 family extension (VERDICT r12 Next #2)
+    for n in sorted(workloads):
+        if (n.startswith("q_stream") or n == "q_cc_incremental") \
+                and n not in pinned:
+            pinned.append(n)
     out = {
         "draws": [
             {
@@ -68,7 +90,7 @@ def main(argv):
         ],
         "n_common": len(common),
         "workloads": workloads,
-        "top_variance": top,
+        "top_variance": pinned,
     }
     with open("BENCH_VARIANCE.json", "w") as f:
         json.dump(out, f, indent=1, sort_keys=False)
@@ -78,8 +100,10 @@ def main(argv):
     print(f"census over {len(draws)} draws, {len(common)} common workloads")
     print(f"workloads whose historical draws alone could trip the gate "
           f"(risk >= 1): {len(risky)}")
+    print(f"pinned (min-of-3) set: {len(pinned)} "
+          f"(top-10 risk + streaming family + q_cc_incremental)")
     print(f"{'workload':<28}{'min_s':>8}{'max_s':>8}{'spread':>8}{'risk':>7}")
-    for n in top:
+    for n in by_risk[:10]:
         w = workloads[n]
         print(f"{n:<28}{w['min']:>8.2f}{w['max']:>8.2f}"
               f"{w['spread']:>8.2f}{w['risk']:>7.2f}")
