@@ -146,7 +146,11 @@ object StoreQueries {
         (0L to 3L).map { v =>
           val nf = graft.store.DeltaLogStore.snapshotFiles(s, path, Some(v))
             .agg(count(lit(1)).as("n_files"))
-          graft.store.DeltaLogStore.read(s, path, Some(v))
+          // data read through the first-class V2 source (VERDICT r12
+          // Next #5) — the log layer resolves files, the scan is
+          // Spark's own V2 parquet table (pushdown asserted in
+          // StoreSpec "graftdelta source")
+          s.read.format("graftdelta").option("versionAsOf", v).load(path)
             .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
             .crossJoin(broadcast(nf))
             .select(lit(v).as("version"), col("n_files"), col("n_rows"), col("sum_key"))

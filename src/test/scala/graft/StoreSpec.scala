@@ -630,4 +630,120 @@ class StoreSpec extends SparkSpec {
       DeltaLogStore.commit(spark, path, Some(d1), 2L)
     }
   }
+
+  test("DeltaLogStore checkpoints: parquet state equals JSON replay, old JSON skippable") {
+    import graft.store.DeltaLogStore
+    val path = tmp("graft_delta_cp") + "/tbl"
+    // 25 commits at the delta-spark default cadence (checkpoint every
+    // 10): v0..v24 each append one row; v12 additionally DELETES v0's
+    // file so the checkpointed state carries a remove tombstone
+    def row(v: Long) = Seq((v, s"r$v")).toDF("k", "s").coalesce(1)
+    DeltaLogStore.commit(spark, path, Some(row(0L)), 0L, checkpointEvery = 10)
+    val f0 = DeltaLogStore.snapshotFiles(spark, path, Some(0L))
+      .select("path").as[String].collect().toSeq
+    (1L to 24L).foreach { v =>
+      DeltaLogStore.commit(spark, path, Some(row(v)), v,
+        removePaths = if (v == 12L) f0 else Nil, checkpointEvery = 10)
+    }
+    // commit-integrated cadence wrote exactly the v10 and v20 checkpoints
+    assert(DeltaLogStore.checkpointVersions(path) == Seq(10L, 20L))
+    assert(DeltaLogStore.lastCheckpointVersion(path) == 20L)
+    // the wire artifact: classic checkpoint rows, exactly one action each
+    val cp20 = spark.read.parquet(
+      s"$path/_delta_log/${"0" * 18}20.checkpoint.parquet")
+    assert(cp20.columns.toSet == Set("protocol", "metaData", "add", "remove"))
+    val counts = cp20.select(
+      sum(when($"protocol".isNotNull, 1).otherwise(0)),
+      sum(when($"metaData".isNotNull, 1).otherwise(0)),
+      sum(when($"add".isNotNull, 1).otherwise(0)),
+      sum(when($"remove".isNotNull, 1).otherwise(0))).as[(Long, Long, Long, Long)].head()
+    assert(counts._1 == 1L && counts._2 == 1L, s"protocol/metaData rows: $counts")
+    assert(counts._4 == 1L, s"v12's tombstone must ride the checkpoint: $counts")
+    assert(cp20.count() == counts._1 + counts._2 + counts._3 + counts._4)
+    // EQUALITY, checkpointed vs JSON-replayed: a twin table built from
+    // the same commits with no checkpoints must resolve identical
+    // snapshots at every probed version (across both checkpoints, the
+    // rewrite, and versions below/between/after them)
+    val twin = tmp("graft_delta_nocp") + "/tbl"
+    DeltaLogStore.commit(spark, twin, Some(row(0L)), 0L)
+    val t0 = DeltaLogStore.snapshotFiles(spark, twin, Some(0L))
+      .select("path").as[String].collect().toSeq
+    (1L to 24L).foreach { v =>
+      DeltaLogStore.commit(spark, twin, Some(row(v)), v,
+        removePaths = if (v == 12L) t0 else Nil)
+    }
+    assert(DeltaLogStore.checkpointVersions(twin).isEmpty)
+    for (v <- Seq(0L, 9L, 10L, 11L, 12L, 19L, 20L, 24L)) {
+      assert(
+        DeltaLogStore.read(spark, path, Some(v)).as[(Long, String)].collect().toSet ==
+          DeltaLogStore.read(spark, twin, Some(v)).as[(Long, String)].collect().toSet,
+        s"checkpointed vs replayed rows diverge at v$v")
+      // live FILE SETS must match too, not just rows (the rewrite case)
+      assert(
+        DeltaLogStore.snapshotFiles(spark, path, Some(v))
+          .select("path").as[String].collect().toSet ==
+          DeltaLogStore.snapshotFiles(spark, twin, Some(v))
+            .select("path").as[String].collect().toSet,
+        s"checkpointed vs replayed file sets diverge at v$v")
+    }
+    // the 100 TB point: resolution above the checkpoint touches ONLY the
+    // JSON after it — prove it by deleting everything the checkpoint
+    // covers (Delta metadata cleanup) and resolving unchanged
+    val before24 = DeltaLogStore.read(spark, path, Some(24L))
+      .as[(Long, String)].collect().toSet
+    val beforeLatest = DeltaLogStore.read(spark, path)
+      .as[(Long, String)].collect().toSet
+    val deleted = DeltaLogStore.cleanupLog(path)
+    assert(deleted == 22, s"expected 21 JSON (v0..v20) + cp10, got $deleted")
+    assert(DeltaLogStore.latestVersion(path) == 24L)
+    assert(DeltaLogStore.read(spark, path, Some(24L))
+      .as[(Long, String)].collect().toSet == before24)
+    assert(DeltaLogStore.read(spark, path)
+      .as[(Long, String)].collect().toSet == beforeLatest)
+    assert(DeltaLogStore.read(spark, path, Some(20L)).count() == 20L) // k=1..20: v12 deleted k=0
+    // time travel below the checkpoint is gone with the cleaned JSON —
+    // the documented Delta retention trade
+    intercept[Exception] {
+      DeltaLogStore.read(spark, path, Some(9L)).collect()
+    }
+    ()
+  }
+
+  test("graftdelta source: versionAsOf reads, PushedFilters reach the parquet scan") {
+    import graft.store.DeltaLogStore
+    val path = tmp("graft_delta_src") + "/tbl"
+    val d0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val d1 = Seq((3L, "c")).toDF("k", "s")
+    DeltaLogStore.commit(spark, path, Some(d0.coalesce(1)), 0L)
+    DeltaLogStore.commit(spark, path, Some(d1.coalesce(1)), 1L)
+    // latest + time travel through the public reader API
+    assert(spark.read.format("graftdelta").load(path)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(spark.read.format("graftdelta").option("versionAsOf", 0L).load(path)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // the data plane is the stock V2 parquet scan: a filter must reach
+    // the scan as PushedFilters, and the plan must be a BatchScan over
+    // parquet — the log layer adds no execution operator of its own
+    val q = spark.read.format("graftdelta").load(path).filter($"k" === 2L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), plan.take(2000))
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(k)")
+      && plan.contains("EqualTo(k,2)"), plan.take(2000))
+    assert(q.as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    // column pruning reaches the scan (ReadSchema carries only `s`)
+    val pr = spark.read.format("graftdelta").load(path).select($"s")
+    assert(pr.queryExecution.executedPlan.toString.contains("ReadSchema: struct<s:string>"),
+      pr.queryExecution.executedPlan.toString.take(2000))
+    // a checkpoint-backed snapshot serves the same source path: write a
+    // checkpoint at v1, drop the JSON it covers, read again unchanged
+    DeltaLogStore.writeCheckpoint(spark, path, 1L)
+    assert(DeltaLogStore.cleanupLog(path) == 2)
+    assert(spark.read.format("graftdelta").load(path)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // bad usage errors early and explicitly
+    intercept[Exception] {
+      spark.read.format("graftdelta").option("versionAsOf", 99L).load(path).collect()
+    }
+    ()
+  }
 }
