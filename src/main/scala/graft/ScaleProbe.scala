@@ -833,7 +833,15 @@ object ScaleProbe {
     // collapsing (the q_ann_ivfpq reason); on the verbatim replica the
     // 5-way identical vectors degenerate the dense operating point
     // (moved here from Probes after a 50-min aborted verbatim run)
-    "q_mutual_nn"
+    "q_mutual_nn",
+    // round-13 (VERDICT r12 Next #3): the SPARSE-regime pricing — the
+    // clustered fixture re-derives its vectors from (vec_id, raw value),
+    // so the replica's jitter only perturbs the planted noise; cluster
+    // count scales with corpus size (bounded cluster SIZE), which is
+    // exactly why these two should grow ~linearly where dense
+    // q_mutual_nn measured 24.5x at 5x
+    "q_mutual_nn_clustered",
+    "q_embed_leakage_clustered"
   )
 
   /** Per-query conf pins for the probe. ppjoin's verify joins fit under

@@ -154,8 +154,17 @@ object Similarity {
       nbits: Int = 16,
       bands: Int = 8,
       maxBucket: Int = 100000,
-      multiProbe: Boolean = true): DataFrame = {
-    val cent = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+      multiProbe: Boolean = true,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    // bands = 0 => IVF-ONLY (no signature/band stage at all): the sparse
+    // operating point for a clustered corpus, where full-recall LSH is
+    // structurally quadratic — a (nbits, bands) config has at most
+    // bands * 2^(nbits/bands) distinct band keys, so bucket sizes grow
+    // linearly with n and the self-join quadratically; the 5x probe
+    // measured 41x shuffle with the belt on vs ~5x IVF-only. `centroids`
+    // injects an externally-seeded quantizer (the design-sample check
+    // seeds from the full corpus so id-residue samples keep all seeds).
+    val cent = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nCentroids))
     val corpusN = corpus.select(col(idCol), col(vecCol))
       .withColumn("_n", l2norm(col(vecCol)))
     // IVF side: staged compact postings; every vector (as query) probes
@@ -163,38 +172,49 @@ object Similarity {
     val postings = graft.store.Staging.stage(
       ivfAssign(corpusN, cent, idCol, vecCol).select(col(idCol), col("cid")),
       "mnn_postings")
-    val wp = Window.partitionBy(col(idCol)).orderBy(col("_qsim").desc, col("cid"))
-    val probes = corpusN.crossJoin(broadcast(cent))
-      .withColumn("_qsim", centSimPpm(col(vecCol), col("_n")))
-      .withColumn("_pr", row_number().over(wp))
-      .filter(col("_pr") <= nprobe)
-      .select(col(idCol).as("src"), col("cid"))
+    // nprobe=1 probe selection IS the assignment (same argmax, same
+    // smaller-cid tie-break), so the staged postings serve both sides
+    // and the n x nC probe-ranking window disappears — the r13 5x probe
+    // traced its shuffle growth to exactly that window (n grows AND
+    // clusterCount(n) grows, so n*nC rows is the superlinear term)
+    val probes =
+      if (nprobe == 1) postings.select(col(idCol).as("src"), col("cid"))
+      else {
+        val wp = Window.partitionBy(col(idCol)).orderBy(col("_qsim").desc, col("cid"))
+        corpusN.crossJoin(broadcast(cent))
+          .withColumn("_qsim", centSimPpm(col(vecCol), col("_n")))
+          .withColumn("_pr", row_number().over(wp))
+          .filter(col("_pr") <= nprobe)
+          .select(col(idCol).as("src"), col("cid"))
+      }
     val ivfCand = probes
       .join(postings.select(col(idCol).as("dst"), col("cid")), Seq("cid"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
     // LSH side: band-bucket self-join over the staged signature frame,
     // BOTH directions (src, dst) — each side generates its own top-1
-    val sigs = graft.store.Staging.stage(
-      rhpSignatures(corpus, idCol, col(vecCol), nbits), "mnn_sigs")
-    val bandRows = sigs.select(col(idCol),
-        explode(Dedup.simhashBlockKeys(col("sig"), nbits, bands)).as("_band"))
-      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("_band"))))
-      .filter(col("_bn") <= maxBucket)
-      .drop("_bn")
-    // multiProbe widens the SRC side's keys to every Hamming-1 block
-    // perturbation ([[multiProbeBlockKeys]]): a pair is then found when
-    // SOME band differs by ≤ 1 bit instead of none — the dominant
-    // recall loss of plain banding — at probe-key cost (width+1 keys
-    // per block on one side), not index-size cost.
-    val srcRows =
-      if (!multiProbe) bandRows.select(col(idCol).as("src"), col("_band"))
-      else sigs.select(col(idCol).as("src"),
-        explode(multiProbeBlockKeys(col("sig"), nbits, bands)).as("_band"))
-    val lshCand = srcRows
-      .join(bandRows.select(col(idCol).as("dst"), col("_band")), Seq("_band"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
+    val lshCand: Option[DataFrame] = if (bands == 0) None else Some {
+      val sigs = graft.store.Staging.stage(
+        rhpSignatures(corpus, idCol, col(vecCol), nbits), "mnn_sigs")
+      val bandRows = sigs.select(col(idCol),
+          explode(Dedup.simhashBlockKeys(col("sig"), nbits, bands)).as("_band"))
+        .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("_band"))))
+        .filter(col("_bn") <= maxBucket)
+        .drop("_bn")
+      // multiProbe widens the SRC side's keys to every Hamming-1 block
+      // perturbation ([[multiProbeBlockKeys]]): a pair is then found when
+      // SOME band differs by ≤ 1 bit instead of none — the dominant
+      // recall loss of plain banding — at probe-key cost (width+1 keys
+      // per block on one side), not index-size cost.
+      val srcRows =
+        if (!multiProbe) bandRows.select(col(idCol).as("src"), col("_band"))
+        else sigs.select(col(idCol).as("src"),
+          explode(multiProbeBlockKeys(col("sig"), nbits, bands)).as("_band"))
+      srcRows
+        .join(bandRows.select(col(idCol).as("dst"), col("_band")), Seq("_band"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+    }
     // NO distinct, and an explicit src exchange (r12 probe finding): a
     // (src, dst) pair found by several band keys scores once in an
     // argmax anyway, so the distinct only built a corpus-scale hash map
@@ -205,7 +225,7 @@ object Similarity {
     // corpus pinned one task for 50+ min). Repartitioning the slim
     // (src, dst) stream by src spreads the verify across the cluster
     // and the argmax reuses the same partitioning.
-    val cands = ivfCand.unionByName(lshCand).repartition(col("src"))
+    val cands = lshCand.fold(ivfCand)(ivfCand.unionByName).repartition(col("src"))
     // exact verify on candidates only; top-1 = one map-side argmax
     // (ties → smaller dst, matching the brute row_number order)
     val top1 = cands
@@ -347,6 +367,191 @@ object Similarity {
     val corpusN = corpus.select(col(idCol), col(vecCol)).withColumn("_n", l2norm(col(vecCol)))
     val assigned = ivfAssign(corpusN, cent, idCol, vecCol)
     ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol, k, nprobe)
+  }
+
+
+  // --------- clustered-embedding fixture + ANN operating-point tuning ---
+  // (VERDICT r12 Next #3: price the ANN SPARSE regime — the benchmark's
+  // near-random embeddings are ANN's adversarial case, so the dense
+  // q_mutual_nn operating point proves recall machinery but not the
+  // sparse physics a production embedding corpus runs at. The fixture
+  // below PLANTS cluster structure deterministically in BOTH engines;
+  // the clustered twins then derive their operating point from a design
+  // table instead of hardcoded defaults, and ScaleProbe prices the 5x
+  // shuffle growth of the sparse regime.)
+
+  /** Clusters for an n-vector corpus: bounded cluster SIZE (~256), not
+    * bounded cluster count — the property that makes a clustered corpus
+    * ANN-sparse at any scale (bucket-join cost is sum of cluster sizes
+    * squared = n * 256, linear in n; a FIXED cluster count would be
+    * n^2 / C, quadratic). Capped at 256 clusters by the inlined center
+    * matrix (the testdata + 5x-replica range; a production fixture
+    * passes nClusters explicitly). */
+  def clusterCount(n: Long): Int =
+    math.min(256L, math.max(8L, n / 256L)).toInt
+
+  /** Derive a CLUSTERED twin of an embedding table: vector i becomes
+    * center(i % nClusters) + eps * vector_i, where center(c) is the
+    * deterministic Rademacher (+-1 per dim) vertex with sign = first md5
+    * nibble of "ctr:c:d" (the [[rhpSignaturesMd5]] coefficient trick, so
+    * an external SQL engine derives the SAME vectors bit-for-bit:
+    * ascii(substr(md5('ctr:' || c || ':' || d), 1, 1)) >= 56). With
+    * 64-dim centers of norm 8 and eps = 0.25, within-cluster cosine sits
+    * ~0.9 and cross-cluster ~|0.12| — the separated regime SemDeDup-
+    * style corpora exhibit. The center matrix is data-independent and
+    * inlined as a literal (nClusters x 64 doubles), so the per-row cost
+    * is an array lookup, not an md5 chain; dims beyond 64 throw loudly
+    * under ANSI (the rhpSignaturesMd5 honesty contract).
+    *
+    * `nClusters <= 0` derives [[clusterCount]] from one corpus count —
+    * a bounded driver scalar, mirrored by the oracle's scalar subquery.
+    * Output: (idCol, vecCol as array<double>, cluster). */
+  def clusteredEmbeddings(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int = -1,
+      eps: Double = 0.25): DataFrame = {
+    val nC = if (nClusters > 0) nClusters else clusterCount(emb.count())
+    require(nC <= 256, s"inlined center matrix caps at 256 clusters: $nC")
+    val maxDim = 64
+    val centers: Seq[Seq[Double]] = (0 until nC).map { c =>
+      (0 until maxDim).map { d =>
+        val b = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"ctr:$c:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+        if ((b & 0xFF) >= 0x80) 1.0 else -1.0
+      }
+    }
+    val cluster = pmod(col(idCol), lit(nC.toLong))
+    emb.select(
+      col(idCol),
+      transform(col(vecCol), (x, d) =>
+        element_at(
+          element_at(typedlit(centers), cluster.cast("int") + 1),
+          d + 1) + lit(eps) * x.cast("double")).as(vecCol),
+      cluster.as("cluster"))
+  }
+
+  /** Random-hyperplane LSH DESIGN TABLE — [[graft.operators.Dedup.lshTuning]]
+    * for the embedding family: per (nbits, bands) config, the candidate
+    * count of the band self-join and how many of the corpus's true
+    * >= thresholdPpm cosine pairs the bands find. The caller passes a
+    * bounded DESIGN SAMPLE (all-pairs truth is computed on it — this is
+    * the tuning table, never a production path; at 100 TB the sample is
+    * the same 10^4-vector draw the quantizer trains on). md5 signatures,
+    * so the whole table replays in the SQL oracle.
+    * Output per config: (nbits, bands, n_candidates, n_true, n_found,
+    * recall_ppm, precision_ppm); recall/precision null when the
+    * denominator is 0. */
+  def rhpTuning(
+      sample: DataFrame,
+      idCol: String,
+      vecCol: String,
+      configs: Seq[(Int, Int)],
+      thresholdPpm: Long): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (nb, b) =>
+      nb > 0 && b > 0 && nb % b == 0 && nb <= 64 },
+      s"each (nbits, bands) needs bands | nbits <= 64: $configs")
+    val ids = sample.select(col(idCol), col(vecCol))
+    val truth = graft.store.Staging.stage(
+      ids.as("a").join(ids.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          cosinePpm(col(s"a.$vecCol"), col(s"b.$vecCol")).as("sim_ppm"))
+        .filter(col("sim_ppm") >= thresholdPpm)
+        .select(col("id_a"), col("id_b")),
+      "rhp_tune_truth")
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val frames = configs.map { case (nb, b) =>
+      val sigs = rhpSignaturesMd5(ids, idCol, col(vecCol), nb)
+      val bandRows = sigs.select(col(idCol),
+        explode(Dedup.simhashBlockKeys(col("sig"), nb, b)).as("_k"))
+      val cand = bandRows.as("x")
+        .join(bandRows.as("y"),
+          col("x._k") === col("y._k") && col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+        .distinct()
+      cand.join(truth.withColumn("_t", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("_t")), lit(0L)).as("n_found"))
+        .select(lit(nb.toLong).as("nbits"), lit(b.toLong).as("bands"),
+          col("n_candidates"), col("n_found"))
+    }
+    frames.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nTrue))
+      .withColumn("recall_ppm",
+        when(col("n_true") > 0L,
+          expr("CAST(CAST(n_found AS DECIMAL(38,0)) * 1000000 DIV n_true AS BIGINT)")))
+      .withColumn("precision_ppm",
+        when(col("n_candidates") > 0L,
+          expr("CAST(CAST(n_found AS DECIMAL(38,0)) * 1000000 DIV n_candidates AS BIGINT)")))
+      .select(col("nbits"), col("bands"), col("n_candidates"), col("n_true"),
+        col("n_found"), col("recall_ppm"), col("precision_ppm"))
+  }
+
+  /** [[mutualNnPairsAnn]] at a SPARSE operating point DERIVED from
+    * design-sample measurements instead of the hardcoded dense defaults
+    * (VERDICT r12 Next #3). Two measured decisions, both on an
+    * ABSOLUTELY bounded sample (id % max(4, n/500) == 1, so the design
+    * cost is fixed ~500 vectors at any corpus size — the same draw a
+    * production quantizer trains on):
+    *
+    *  1. IVF sufficiency: brute mutual top-1 pairs on the sample vs the
+    *     IVF-only candidate path (nprobe=1 over [[clusterCount]]
+    *     centroids seeded from the FULL corpus). Equal => the corpus
+    *     run is IVF-ONLY — on a clustered corpus the planted structure
+    *     IS the inverted file, candidate volume is
+    *     sum-of-cluster-sizes squared (linear in n at bounded cluster
+    *     size), and the LSH belt is OFF, because full-recall LSH is
+    *     structurally quadratic: a (nbits, bands) config has at most
+    *     bands * 2^(nbits/bands) band keys, so its self-join grows
+    *     n^2 / keys no matter how clustered the data is (the r13 5x
+    *     probe measured exactly this: 41x shuffle with the belt on,
+    *     ~5x IVF-only).
+    *  2. Belt fallback: if the sample shows IVF misses, the belt comes
+    *     back on at the CHEAPEST full-recall config of the
+    *     [[rhpTuning]] design table (threshold pairs on the same
+    *     sample), or the dense registered default if none reaches full
+    *     recall — the recall contract outranks the cost win.
+    *
+    * Both design collects are bounded (sample mutual pairs / one row
+    * per config). Equality vs the brute oracle is hash-checked at
+    * every SF like q_mutual_nn. */
+  def mutualNnClusteredTuned(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      thresholdPpm: Long = 700000L,
+      configs: Seq[(Int, Int)] = Seq((16, 8), (16, 4), (8, 4), (8, 2))): DataFrame = {
+    val n = corpus.count()
+    val nC = clusterCount(n)
+    val sampleMod = math.max(4L, n / 500L)
+    val sample = corpus.filter(pmod(col(idCol), lit(sampleMod)) === 1L)
+    val cent = ivfCentroids(corpus, idCol, vecCol, nC)
+    val sampleBrute = mutualNnPairs(sample, idCol, vecCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sampleIvf = mutualNnPairsAnn(sample, idCol, vecCol,
+        nCentroids = nC, nprobe = 1, bands = 0, centroids = Some(cent))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    if (sampleIvf == sampleBrute && sampleBrute.nonEmpty) {
+      mutualNnPairsAnn(corpus, idCol, vecCol,
+        nCentroids = nC, nprobe = 1, bands = 0)
+    } else {
+      val design = rhpTuning(sample, idCol, vecCol, configs, thresholdPpm)
+        .collect() // bounded: one row per config
+      val full = design.filter { r =>
+        r.getAs[Long]("n_true") == 0L ||
+          (!r.isNullAt(r.fieldIndex("recall_ppm")) &&
+            r.getAs[Long]("recall_ppm") == 1000000L)
+      }
+      val (nb, bd, mp) =
+        if (full.nonEmpty) {
+          val best = full.minBy(r => (r.getAs[Long]("n_candidates"),
+            r.getAs[Long]("nbits"), r.getAs[Long]("bands")))
+          (best.getAs[Long]("nbits").toInt, best.getAs[Long]("bands").toInt, false)
+        } else (16, 8, true)
+      mutualNnPairsAnn(corpus, idCol, vecCol,
+        nCentroids = nC, nprobe = 1, nbits = nb, bands = bd, multiProbe = mp)
+    }
   }
 
   /** Frozen coarse quantizer: the deterministic seeded centroid frame

@@ -92,6 +92,31 @@ object PipelineQueries {
       |                      for i in range(1, len(s)-1)]) AS sh
       |FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)""".stripMargin
 
+  /** DuckDB-side clustered-embedding twin (mirrors
+    * Similarity.clusteredEmbeddings: Rademacher md5 centers + 0.25 noise,
+    * cluster count = least(256, greatest(8, n // 256)) — the bounded-
+    * cluster-SIZE derivation that keeps the corpus ANN-sparse at scale).
+    * Yields CTEs v (raw), p (cluster count), cl (vec_id, cluster, ve2). */
+  private val duckClustered =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+      |p AS (SELECT least(256, greatest(8, count(*) // 256)) AS nc FROM v),
+      |cl AS (SELECT vec_id, vec_id % p.nc AS cluster,
+      |         list_transform(range(0, 64), d ->
+      |           CASE WHEN ascii(substr(md5('ctr:' ||
+      |             (vec_id % p.nc) || ':' || d), 1, 1)) >= 56
+      |                THEN 1.0 ELSE -1.0 END + 0.25 * ve[d::INT + 1]) AS ve2
+      |       FROM v, p)""".stripMargin
+
+  /** md5 random-hyperplane signature over a DOUBLE[] column `vcol` at
+    * `nbits` — the SQL twin of Similarity.rhpSignaturesMd5 (bit j at
+    * position nbits-1-j; coefficient sign = first md5 nibble of "j:i"). */
+  private def duckRhpSig(vcol: String, nbits: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, $nbits), j ->
+       |  CASE WHEN list_sum(list_transform(range(0, 64), i ->
+       |         $vcol[i::INT + 1] * CASE WHEN ascii(substr(md5(j || ':' || i), 1, 1)) >= 56
+       |                                  THEN 1.0 ELSE -1.0 END)) > 0
+       |       THEN (1::BIGINT << (${nbits - 1} - j::INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
+
   /** Single-pass drift census over events — ONE SQL text shared by
     * q_drift_hist (batch two-slice pass) and q_stream_drift (micro-
     * batch-maintained histogram census): counts merge associatively,
@@ -1651,6 +1676,147 @@ object PipelineQueries {
              |  FROM cand JOIN v x ON test_id = x.vec_id JOIN v y ON train_id = y.vec_id)
              |SELECT test_id, train_id, sim_ppm FROM sc WHERE sim_ppm >= 350000
              |ORDER BY test_id, train_id""".stripMargin)),
+
+    // ---- the ANN SPARSE regime, priced (VERDICT r12 Next #3) ----------
+    // q_mutual_nn runs on the benchmark's near-random embeddings — ANN's
+    // adversarial case, where any zero-mismatch operating point is
+    // near-dense in candidates (CandProbe r12: 24.5x shuffle at 5x). The
+    // three queries below plant deterministic cluster structure (the
+    // regime a production embedding corpus actually exhibits) and run
+    // the SAME machinery sparse: the design table derives the operating
+    // point, the IVF side probes one planted cluster per vector, and
+    // ScaleProbe prices the 5x shuffle growth (bounded cluster size =>
+    // candidate volume linear in n).
+
+    // The rhp-LSH design table on the clustered fixture's deterministic
+    // id-residue sample: per (nbits, bands) config, candidate volume vs
+    // recall/precision of true >= 0.7-cosine pairs — Dedup.lshTuning's
+    // discipline for the embedding family. The oracle REPLAYS the whole
+    // table (md5 signatures, band self-joins, brute sample truth).
+    Q("q_ann_tuning",
+      (s, dir) => Similarity.rhpTuning(
+          Similarity.clusteredEmbeddings(
+              Tables.embeddings(s, dir), "vec_id", "embedding")
+            .filter(col("vec_id") % 4 === 1),
+          "vec_id", "embedding",
+          Seq((16, 8), (16, 4), (8, 4), (8, 2)), 700000L)
+        .orderBy(col("nbits").desc, col("bands").desc),
+      Some(s"""WITH $duckClustered,
+              |sm AS (SELECT vec_id, ve2 FROM cl WHERE vec_id % 4 = 1),
+              |n AS (SELECT vec_id, ve2, sqrt(list_dot_product(ve2, ve2)) AS nn FROM sm),
+              |tr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |       FROM n a JOIN n b ON a.vec_id < b.vec_id
+              |       WHERE CAST(floor(list_dot_product(a.ve2, b.ve2)
+              |               / (a.nn * b.nn) * 1000000.0) AS BIGINT) >= 700000),
+              |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tr),
+              |s16 AS (SELECT vec_id, ${duckRhpSig("ve2", 16)} AS sig FROM sm),
+              |s8 AS (SELECT vec_id, ${duckRhpSig("ve2", 8)} AS sig FROM sm),
+              |b16_8 AS (SELECT vec_id, t.b, (sig >> (t.b::INT * 2)) & 3 AS bv
+              |          FROM s16, range(0, 8) t(b)),
+              |b16_4 AS (SELECT vec_id, t.b, (sig >> (t.b::INT * 4)) & 15 AS bv
+              |          FROM s16, range(0, 4) t(b)),
+              |b8_4 AS (SELECT vec_id, t.b, (sig >> (t.b::INT * 2)) & 3 AS bv
+              |         FROM s8, range(0, 4) t(b)),
+              |b8_2 AS (SELECT vec_id, t.b, (sig >> (t.b::INT * 4)) & 15 AS bv
+              |         FROM s8, range(0, 2) t(b)),
+              |c16_8 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              |          FROM b16_8 a JOIN b16_8 b ON a.b = b.b AND a.bv = b.bv
+              |            AND a.vec_id < b.vec_id),
+              |c16_4 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              |          FROM b16_4 a JOIN b16_4 b ON a.b = b.b AND a.bv = b.bv
+              |            AND a.vec_id < b.vec_id),
+              |c8_4 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              |         FROM b8_4 a JOIN b8_4 b ON a.b = b.b AND a.bv = b.bv
+              |           AND a.vec_id < b.vec_id),
+              |c8_2 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              |         FROM b8_2 a JOIN b8_2 b ON a.b = b.b AND a.bv = b.bv
+              |           AND a.vec_id < b.vec_id),
+              |agg AS (
+              |  SELECT CAST(16 AS BIGINT) AS nbits, CAST(8 AS BIGINT) AS bands,
+              |         CAST(count(*) AS BIGINT) AS n_candidates,
+              |         CAST(coalesce(sum(CASE WHEN tr.id_a IS NOT NULL
+              |                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_found
+              |  FROM c16_8 c LEFT JOIN tr ON c.id_a = tr.id_a AND c.id_b = tr.id_b
+              |  UNION ALL
+              |  SELECT 16, 4, CAST(count(*) AS BIGINT),
+              |         CAST(coalesce(sum(CASE WHEN tr.id_a IS NOT NULL
+              |                           THEN 1 ELSE 0 END), 0) AS BIGINT)
+              |  FROM c16_4 c LEFT JOIN tr ON c.id_a = tr.id_a AND c.id_b = tr.id_b
+              |  UNION ALL
+              |  SELECT 8, 4, CAST(count(*) AS BIGINT),
+              |         CAST(coalesce(sum(CASE WHEN tr.id_a IS NOT NULL
+              |                           THEN 1 ELSE 0 END), 0) AS BIGINT)
+              |  FROM c8_4 c LEFT JOIN tr ON c.id_a = tr.id_a AND c.id_b = tr.id_b
+              |  UNION ALL
+              |  SELECT 8, 2, CAST(count(*) AS BIGINT),
+              |         CAST(coalesce(sum(CASE WHEN tr.id_a IS NOT NULL
+              |                           THEN 1 ELSE 0 END), 0) AS BIGINT)
+              |  FROM c8_2 c LEFT JOIN tr ON c.id_a = tr.id_a AND c.id_b = tr.id_b)
+              |SELECT nbits, bands, n_candidates, (SELECT n_true FROM nt) AS n_true,
+              |       n_found,
+              |       CAST(CASE WHEN (SELECT n_true FROM nt) > 0 THEN
+              |         CAST(n_found AS HUGEINT) * 1000000 // (SELECT n_true FROM nt)
+              |         END AS BIGINT) AS recall_ppm,
+              |       CAST(CASE WHEN n_candidates > 0 THEN
+              |         CAST(n_found AS HUGEINT) * 1000000 // n_candidates
+              |         END AS BIGINT) AS precision_ppm
+              |FROM agg ORDER BY nbits DESC, bands DESC""".stripMargin)),
+
+    // Mutual top-1 on the clustered fixture at the design-table-derived
+    // SPARSE operating point (nprobe=1 over clusterCount centroids, the
+    // cheapest full-recall LSH config, no multi-probe) — the brute SQL
+    // oracle is UNCHANGED from q_mutual_nn's shape, so recall equality
+    // is hash-checked, not assumed.
+    Q("q_mutual_nn_clustered",
+      (s, dir) => Similarity.mutualNnClusteredTuned(
+          Similarity.clusteredEmbeddings(
+            Tables.embeddings(s, dir), "vec_id", "embedding"),
+          "vec_id", "embedding")
+        .orderBy("id_a"),
+      Some(s"""WITH $duckClustered,
+              |n AS (SELECT vec_id, ve2, sqrt(list_dot_product(ve2, ve2)) AS nn FROM cl),
+              |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+              |             CAST(floor(list_dot_product(a.ve2, b.ve2) / (a.nn * b.nn)
+              |                  * 1000000.0) AS BIGINT) AS sim_ppm
+              |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+              |r AS (SELECT src, dst, sim_ppm,
+              |             row_number() OVER (PARTITION BY src
+              |               ORDER BY sim_ppm DESC, dst) AS rk FROM s),
+              |nn1 AS (SELECT src, dst, sim_ppm FROM r WHERE rk = 1)
+              |SELECT a.src AS id_a, a.dst AS id_b, a.sim_ppm
+              |FROM nn1 a JOIN nn1 b ON a.src = b.dst AND a.dst = b.src
+              |WHERE a.src < a.dst ORDER BY id_a""".stripMargin)),
+
+    // Train/test embedding decontamination on the clustered fixture —
+    // q_embed_leakage's twin in the sparse regime (same candidate
+    // machinery, same oracle shape replaying the bands; threshold 0.70
+    // so only planted same-cluster pairs flag).
+    Q("q_embed_leakage_clustered",
+      (s, dir) => {
+        val cl = Similarity.clusteredEmbeddings(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        val isTest = col("vec_id") % 10 === 7
+        Similarity.embedLeakagePairs(
+            cl.filter(!isTest), cl.filter(isTest), "vec_id", "embedding",
+            minSimPpm = 700000L, signatures = Similarity.rhpSignaturesMd5)
+          .orderBy("test_id", "train_id")
+      },
+      Some(s"""WITH $duckClustered,
+              |sig AS (SELECT vec_id, ${duckRhpSig("ve2", 16)} AS sig FROM cl),
+              |bands AS (SELECT vec_id, b, (sig >> (b::INT * 4)) & 15 AS bv
+              |          FROM sig, range(0, 4) t(b)),
+              |cand AS (
+              |  SELECT DISTINCT t.vec_id AS test_id, tr.vec_id AS train_id
+              |  FROM bands t JOIN bands tr ON t.b = tr.b AND t.bv = tr.bv
+              |  WHERE t.vec_id % 10 = 7 AND tr.vec_id % 10 != 7),
+              |sc AS (
+              |  SELECT test_id, train_id,
+              |    CAST(floor(list_dot_product(x.ve2, y.ve2)
+              |      / (sqrt(list_dot_product(x.ve2, x.ve2)) * sqrt(list_dot_product(y.ve2, y.ve2)))
+              |      * 1000000.0) AS BIGINT) AS sim_ppm
+              |  FROM cand JOIN cl x ON test_id = x.vec_id JOIN cl y ON train_id = y.vec_id)
+              |SELECT test_id, train_id, sim_ppm FROM sc WHERE sim_ppm >= 700000
+              |ORDER BY test_id, train_id""".stripMargin)),
 
     // Shingle-containment search (quote/inclusion detection): docs with
     // doc_id % 5 == 2 play the probe batch; a probe is flagged when

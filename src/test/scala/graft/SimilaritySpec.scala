@@ -567,4 +567,53 @@ class SimilaritySpec extends SparkSpec {
     assert(got == brute, s"ann=$got brute=$brute")
     assert(!ann.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
+
+  test("clusteredEmbeddings: planted separation, md5-sign centers, derived count") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cl = Similarity.clusteredEmbeddings(emb, "vec_id", "embedding")
+    // 500 vectors -> 8 derived clusters, balanced to ±1
+    val sizes = cl.groupBy($"cluster").count().as[(Long, Long)].collect().toMap
+    assert(sizes.keySet == (0L until 8L).toSet && sizes.values.forall(n => n >= 62 && n <= 63), sizes)
+    // the center sign matrix replays the documented md5 formula
+    val b00 = java.security.MessageDigest.getInstance("MD5")
+      .digest("ctr:0:0".getBytes("UTF-8"))(0)
+    val v0 = cl.filter($"vec_id" === 0L).select($"embedding").as[Seq[Double]].head()
+    val raw0 = emb.filter($"vec_id" === 0L).select($"embedding")
+      .as[Seq[Float]].head()
+    val expectedSign = if ((b00 & 0xFF) >= 0x80) 1.0 else -1.0
+    assert(math.abs(v0.head - (expectedSign + 0.25 * raw0.head.toDouble)) == 0.0)
+    // separation: within-cluster cosine far above cross-cluster
+    val sims = cl.as("a").join(cl.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.vec_id") < 50 && col("b.vec_id") < 50)
+      .select((col("a.cluster") === col("b.cluster")).as("same"),
+        Similarity.cosinePpm(col("a.embedding"), col("b.embedding")).as("s"))
+      .groupBy($"same").agg(min($"s").as("mn"), max($"s").as("mx"))
+      .as[(Boolean, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sims(true)._1 > 800000L, s"within-cluster min too low: $sims")
+    assert(sims(false)._2 < 450000L, s"cross-cluster max too high: $sims")
+  }
+
+  test("mutualNnClusteredTuned == brute on the clustered fixture; sparse point picked") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cl = Similarity.clusteredEmbeddings(emb, "vec_id", "embedding")
+    val brute = Similarity.mutualNnPairs(cl, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect().toSet
+    val tuned = Similarity.mutualNnClusteredTuned(cl, "vec_id", "embedding")
+    val got = tuned.as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(got == brute,
+      s"missing=${(brute diff got).size} spurious=${(got diff brute).size}")
+    assert(!tuned.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // the design table itself: full-recall configs exist and recall is
+    // monotone in band count (more, narrower bands -> more candidates)
+    val sample = cl.filter($"vec_id" % 4 === 1)
+    val design = Similarity.rhpTuning(sample, "vec_id", "embedding",
+        Seq((16, 8), (16, 4), (8, 4), (8, 2)), 700000L)
+      .orderBy($"nbits".desc, $"bands".desc)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(design.length == 4)
+    assert(design.forall(_._4 > 0L), s"no true pairs in the design sample: ${design.toSeq}")
+    assert(design.exists(r => r._6.contains(1000000L)),
+      s"no full-recall config: ${design.toSeq}")
+  }
 }
