@@ -30,10 +30,12 @@ import graft.store.SnapshotStore
   * is a true min-of-two (VERDICT r9 Next #2). The detail file carries BOTH
   * per-pass per-query maps (`queries_pass1`/`queries_pass2`) so cross-round
   * drift analysis can separate draw variance from plan regressions.
-  * The 10 highest-draw-variance workloads (BENCH_VARIANCE.json, a census
-  * over the four committed same-code round-11 draws) additionally get a
-  * THIRD pass and record min-of-three — targeted where the variance
-  * evidence says the gate band is tightest (VERDICT r11 Next #5).
+  * The pinned high-variance workloads (BENCH_VARIANCE.json's
+  * top_variance — the census top-10 risk members plus the full
+  * streaming family and q_cc_incremental, regenerated each round from
+  * that round's committed same-code draws) additionally get a THIRD
+  * pass and record min-of-three — targeted where the variance evidence
+  * says the gate band is tightest (VERDICT r11 Next #5, r12 Next #2).
   *
   * `SPARK_GRAFT_ONLY=q_a,q_b,...` runs just those workloads (store builds
   * happen lazily via the ensure* calls instead of being timed) — the

@@ -36,11 +36,12 @@ import os
 import subprocess
 import sys
 
-# the round-12 same-code 401-workload full-sweep draws (BUILDER_NOTES
-# "Round 12, close": builder 570.2 s on a throttled box calib_cpu 1.758,
-# driver 591.4 s at calib_cpu 0.912; the builder's 694.3 s draw 1 was a
-# pre-close code state and was never committed as an artifact)
-DEFAULT_REFS = ["9d93cf2", "0f62a82"]
+# the round-13 same-code 404-workload full-sweep draws (BUILDER_NOTES
+# "Round-13 close": draw 1 = 626.3 s at calib_cpu 1.136 (c467a63),
+# draw 2 = 604.8 s at calib_cpu 1.020 (c3a7d47) — fresh-state streaming
+# numbers (state-store hygiene on), so the envelopes gate the honest
+# per-pass workload, not the r12 warm-state minimums
+DEFAULT_REFS = ["c467a63", "c3a7d47"]
 
 
 def load_ref(ref):
