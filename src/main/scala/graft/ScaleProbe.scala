@@ -853,6 +853,14 @@ object ScaleProbe {
     * restored after each measure. */
   private val ProbeConf: Map[String, Seq[(String, String)]] = Map(
     "q_dedup_ppjoin" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    // Same regime-boundary artifact, round 13: the clustered twins'
+    // verify joins broadcast the corpus vector frame at 1x/5x (10k x
+    // 520B ~ 5 MB < the 10 MB threshold) but SMJ at 25x (26 MB), so the
+    // raw 5x->25x exponent reads the PLAN FLIP (2.3/2.45), not growth.
+    // Pinned off, every scale measures the SMJ regime — the only one at
+    // 100 TB, where a corpus vector map never broadcasts.
+    "q_mutual_nn_clustered" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    "q_embed_leakage_clustered" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
     // Same plan-flip artifact as ppjoin, root-caused by per-round SaProbe
     // attribution (BUILDER_NOTES r8): at sf0.1 the tied set after round 1
     // drops under the broadcast threshold so doubling rounds 2-3 plan as

@@ -1788,33 +1788,44 @@ object PipelineQueries {
               |WHERE a.src < a.dst ORDER BY id_a""".stripMargin)),
 
     // Train/test embedding decontamination on the clustered fixture —
-    // q_embed_leakage's twin in the sparse regime (same candidate
-    // machinery, same oracle shape replaying the bands; threshold 0.70
-    // so only planted same-cluster pairs flag).
+    // q_embed_leakage's twin in the SPARSE regime: candidates ride the
+    // IVF inverted file (staged train postings, each test vector probes
+    // its own assigned bucket), NOT the LSH bands — fixed-key-space
+    // banding is structurally quadratic in n (the r13 25x expfit
+    // measured exp 3.83 for the (16,4) band variant), while
+    // sum-of-bucket-sizes squared is linear at bounded cluster size.
+    // Threshold 0.70 so only planted same-cluster pairs flag; the
+    // oracle replays the centroid assignment and the threshold verify.
     Q("q_embed_leakage_clustered",
       (s, dir) => {
         val cl = Similarity.clusteredEmbeddings(
           Tables.embeddings(s, dir), "vec_id", "embedding")
         val isTest = col("vec_id") % 10 === 7
-        Similarity.embedLeakagePairs(
+        Similarity.embedLeakagePairsIvf(
             cl.filter(!isTest), cl.filter(isTest), "vec_id", "embedding",
-            minSimPpm = 700000L, signatures = Similarity.rhpSignaturesMd5)
+            minSimPpm = 700000L,
+            centroids = Similarity.clusterCentroids(cl, "vec_id", "embedding"))
           .orderBy("test_id", "train_id")
       },
       Some(s"""WITH $duckClustered,
-              |sig AS (SELECT vec_id, ${duckRhpSig("ve2", 16)} AS sig FROM cl),
-              |bands AS (SELECT vec_id, b, (sig >> (b::INT * 4)) & 15 AS bv
-              |          FROM sig, range(0, 4) t(b)),
+              |n AS (SELECT vec_id, ve2, sqrt(list_dot_product(ve2, ve2)) AS nn FROM cl),
+              |cent AS (SELECT vec_id AS cid, ve2 AS cv, nn AS cn
+              |         FROM n, p WHERE vec_id < p.nc),
+              |asg AS (
+              |  SELECT n.vec_id,
+              |    -((max(struct_pack(s := CAST(floor(list_dot_product(n.ve2, cent.cv)
+              |                                       / (n.nn * cent.cn) * 1000000.0) AS BIGINT),
+              |                       nc := -cent.cid))).nc) AS cid
+              |  FROM n, cent GROUP BY n.vec_id),
               |cand AS (
-              |  SELECT DISTINCT t.vec_id AS test_id, tr.vec_id AS train_id
-              |  FROM bands t JOIN bands tr ON t.b = tr.b AND t.bv = tr.bv
+              |  SELECT t.vec_id AS test_id, tr.vec_id AS train_id
+              |  FROM asg t JOIN asg tr ON t.cid = tr.cid
               |  WHERE t.vec_id % 10 = 7 AND tr.vec_id % 10 != 7),
               |sc AS (
               |  SELECT test_id, train_id,
-              |    CAST(floor(list_dot_product(x.ve2, y.ve2)
-              |      / (sqrt(list_dot_product(x.ve2, x.ve2)) * sqrt(list_dot_product(y.ve2, y.ve2)))
-              |      * 1000000.0) AS BIGINT) AS sim_ppm
-              |  FROM cand JOIN cl x ON test_id = x.vec_id JOIN cl y ON train_id = y.vec_id)
+              |    CAST(floor(list_dot_product(x.ve2, y.ve2) / (x.nn * y.nn)
+              |         * 1000000.0) AS BIGINT) AS sim_ppm
+              |  FROM cand JOIN n x ON test_id = x.vec_id JOIN n y ON train_id = y.vec_id)
               |SELECT test_id, train_id, sim_ppm FROM sc WHERE sim_ppm >= 700000
               |ORDER BY test_id, train_id""".stripMargin)),
 
