@@ -616,4 +616,29 @@ class SimilaritySpec extends SparkSpec {
     assert(design.exists(r => r._6.contains(1000000L)),
       s"no full-recall config: ${design.toSeq}")
   }
+
+  test("embedLeakagePairsIvf == brute threshold pairs on the clustered fixture") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cl = Similarity.clusteredEmbeddings(emb, "vec_id", "embedding")
+    val isTest = $"vec_id" % 10 === 7
+    val train = cl.filter(!isTest)
+    val test = cl.filter(isTest)
+    // brute truth: every test x train pair at >= 0.70 cosine — the
+    // recall bar the IVF candidates must clear exactly (the SQL oracle
+    // REPLAYS the assignment, so only this brute diff would catch an
+    // assignment-split recall loss, e.g. a quantizer seeded from one
+    // split orphaning a cluster)
+    val brute = test.as("t").join(train.as("r"), expr("true"))
+      .select(col("t.vec_id").as("test_id"), col("r.vec_id").as("train_id"),
+        Similarity.cosinePpm(col("t.embedding"), col("r.embedding")).as("sim_ppm"))
+      .filter($"sim_ppm" >= 700000L)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Similarity.embedLeakagePairsIvf(train, test, "vec_id", "embedding",
+        minSimPpm = 700000L,
+        centroids = Similarity.clusterCentroids(cl, "vec_id", "embedding"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(got == brute,
+      s"missing=${(brute diff got).size} spurious=${(got diff brute).size}")
+  }
 }
