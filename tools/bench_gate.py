@@ -83,6 +83,18 @@ def main(argv):
     except (OSError, ValueError, KeyError):
         census = {}
 
+    # Environment scale for the ENVELOPE comparison: envelopes are RAW
+    # seconds from census-era draws, and the baseline (guarded to lie
+    # inside the envelope) shares that era's environment — so a fresh
+    # draw on a degraded box must scale the envelope by the more
+    # generous calibration ratio before the tighten rule may fire
+    # (round 13: a calib_fs 1.93x draw raw-flagged six store writes that
+    # normalize to 1.2-1.75x, all inside the band).
+    env_scale = max(
+        fresh["calib_cpu_s"] / base["calib_cpu_s"] if base["calib_cpu_s"] > 0 else 1.0,
+        fresh["calib_fs_s"] / base["calib_fs_s"] if base["calib_fs_s"] > 0 else 1.0,
+        1.0)
+
     flagged = []
     variance_explained = []
     stale_envelopes = []
@@ -105,7 +117,7 @@ def main(argv):
                 bad = False
                 why = ""
             elif (not bad
-                  and fq[name] > ENV_MARGIN * env["max"] + BAND_ABS
+                  and fq[name] > ENV_MARGIN * env["max"] * env_scale + BAND_ABS
                   and min(cpu, fs) > 1.0):
                 # envelope-tightened flag: beyond every same-code draw by
                 # 1.5x, not explained by either calibration probe
