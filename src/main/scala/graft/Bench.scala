@@ -18,33 +18,66 @@ import graft.store.SnapshotStore
   * semi-join of the hour-partitioned store against 1000 deterministic
   * probe keys, not 1000 driver round-trips.
   *
+  * TIMEOUT-PROOF ARTIFACT (VERDICT r13 Next #1): the r13 driver sweep was
+  * killed at its wall budget (rc=124) and, because this file used to emit
+  * BENCH_DETAIL.json only at the very end, the round lost EVERY per-query
+  * row. Three defenses, all in this file:
+  *   (a) BENCH_DETAIL.json is rewritten ATOMICALLY (tmp + move) after
+  *       every completed workload with `"complete":false` until the final
+  *       write — a killed sweep still leaves per-query rows for everything
+  *       that finished;
+  *   (b) pass 2 is ADAPTIVE: instead of re-measuring all ~400 reads, it
+  *       re-draws only (i) the variance-pinned members (census
+  *       top_variance), (ii) pass-1 outliers vs the COMMITTED baseline or
+  *       their same-code envelope (both env-scaled by the calibration
+  *       ratio, so a throttled box doesn't re-queue the whole registry),
+  *       and (iii) queries new since the committed baseline. Everything
+  *       else records its pass-1 draw — on a steady box this cuts ~500 s
+  *       of the ~680 s full second pass;
+  *   (c) a WALL-BUDGET guard (SPARK_GRAFT_WALL_BUDGET_S, default 1800 s
+  *       from JVM start): once elapsed time crosses the budget, remaining
+  *       pass-2/pass-3 re-draws are skipped (`"degraded":true`, skipped
+  *       names counted) — mandatory pass-1 coverage always completes, the
+  *       optional variance passes are what degrade.
+  *
   * Two-pass measurement (VERDICT r4 What's-wrong #1): the sandbox FS puts
-  * single-draw timings in a ~2× variance band, so every READ query runs
-  * twice and the recorded number is the per-query min; both pass totals
-  * are emitted alongside so the variance is visible, not hidden. Store
-  * WRITES stay single-pass — they delete + rebuild, so a second pass
-  * would measure a different (cache-warm FS) workload. STREAMING queries
-  * get the same two draws as batch reads: each replay deletes its sink +
-  * checkpoint on entry (Replay.appendReplayToFiles), so pass 2 re-executes
-  * the full streaming job from a fresh checkpoint, and the recorded value
-  * is a true min-of-two (VERDICT r9 Next #2). The detail file carries BOTH
-  * per-pass per-query maps (`queries_pass1`/`queries_pass2`) so cross-round
-  * drift analysis can separate draw variance from plan regressions.
+  * single-draw timings in a ~2× variance band; the recorded number for a
+  * re-drawn query is the per-pass min. Store WRITES stay single-pass —
+  * they delete + rebuild, so a second pass would measure a different
+  * (cache-warm FS) workload. STREAMING queries replay from a fresh
+  * checkpoint every pass (Replay.appendReplayToFiles deletes sink +
+  * checkpoint on entry), so a re-draw re-executes the full job. The
+  * detail file carries the per-pass maps (`queries_pass1`/`queries_pass2`/
+  * `queries_pass3`) so drift analysis can separate draw variance from
+  * plan regressions; pass 2/3 maps now cover only their adaptive/pinned
+  * members.
+  *
   * The pinned high-variance workloads (BENCH_VARIANCE.json's
-  * top_variance — the census top-10 risk members plus the full
-  * streaming family and q_cc_incremental, regenerated each round from
-  * that round's committed same-code draws) additionally get a THIRD
-  * pass and record min-of-three — targeted where the variance evidence
-  * says the gate band is tightest (VERDICT r11 Next #5, r12 Next #2).
+  * top_variance — the census top-10 risk members plus the full streaming
+  * family and q_cc_incremental, regenerated each round from that round's
+  * committed same-code draws) additionally get a THIRD pass and record
+  * min-of-three — targeted where the variance evidence says the gate band
+  * is tightest (VERDICT r11 Next #5, r12 Next #2).
+  *
+  * Shuffle attribution moved to pass 1 (it used to ride pass 2, which is
+  * now partial): bytes are a property of the plan, not the draw, so the
+  * first full pass is the right host.
   *
   * `SPARK_GRAFT_ONLY=q_a,q_b,...` runs just those workloads (store builds
   * happen lazily via the ensure* calls instead of being timed) — the
   * fresh-JVM attribution probe for flagged queries: a subset run isolates
   * a query from the 350-workload JVM aging (code cache, GC history,
-  * listener backlog) of the full sweep.
+  * listener backlog) of the full sweep. Subset probes keep FULL min-of-2
+  * for every member (they exist to re-draw specific queries) and write
+  * BENCH_DETAIL_SUBSET.json, never the committed artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - tStart) / 1e9
+    val wallBudget =
+      sys.env.get("SPARK_GRAFT_WALL_BUDGET_S").map(_.toDouble).getOrElse(1800.0)
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -96,6 +129,52 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // ---- committed baseline + same-code envelopes, loaded BEFORE the
+    // incremental emitter can overwrite BENCH_DETAIL.json. Jackson rides
+    // Spark's own classpath; a parse failure degrades to "no baseline"
+    // (adaptive selection then re-draws pinned + new only).
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def loadJson(path: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+      try {
+        val f = new java.io.File(path)
+        if (f.isFile) Some(mapper.readTree(f)) else None
+      } catch { case _: Throwable => None }
+    import scala.jdk.CollectionConverters._
+    def objToMap(node: com.fasterxml.jackson.databind.JsonNode)(
+        f: com.fasterxml.jackson.databind.JsonNode => Double): Map[String, Double] =
+      try node.fields().asScala.map(e => e.getKey -> f(e.getValue)).toMap
+      catch { case _: Throwable => Map.empty }
+    val baselineNode = loadJson("BENCH_DETAIL.json")
+    val baseQueries: Map[String, Double] = baselineNode
+      .flatMap(n => Option(n.get("queries")))
+      .map(objToMap(_)(_.asDouble()))
+      .getOrElse(Map.empty)
+    val baseCalibCpu = baselineNode.flatMap(n => Option(n.get("calib_cpu_s")))
+      .map(_.asDouble()).getOrElse(0.0)
+    val baseCalibFs = baselineNode.flatMap(n => Option(n.get("calib_fs_s")))
+      .map(_.asDouble()).getOrElse(0.0)
+
+    val varianceFile = new java.io.File("BENCH_VARIANCE.json")
+    val varianceNode = loadJson("BENCH_VARIANCE.json")
+    val envMax: Map[String, Double] = varianceNode
+      .flatMap(n => Option(n.get("workloads")))
+      .map(objToMap(_)(_.get("max").asDouble()))
+      .getOrElse(Map.empty)
+    // pinnedParseOk distinguishes "no census file" (fine) from "census
+    // file present but the top_variance parse came back empty" (ADVICE
+    // r12: a silent format drift would disable the third pass while the
+    // artifact still claims min-of-3 coverage) — the failure is warned on
+    // stderr AND recorded in the detail artifact.
+    val pinned: Set[String] = varianceNode
+      .flatMap(n => Option(n.get("top_variance")))
+      .map(_.elements().asScala.map(_.asText()).toSet)
+      .getOrElse(Set.empty)
+    val pinnedParseOk = !varianceFile.isFile || pinned.nonEmpty
+    if (!pinnedParseOk)
+      System.err.println(
+        "[bench] WARNING: BENCH_VARIANCE.json exists but top_variance " +
+          "parsed empty — min-of-3 pass DISABLED this run (format drift?)")
+
     // warm up codegen/executors so the first timed query isn't charged
     // for JVM startup
     materialize(spark.range(1000).toDF("i"))
@@ -130,6 +209,16 @@ object Bench {
         sum(col("h").bitwiseAND(lit(0x7FFFFFFFL))), sum(col("k")))))
     val calibFs = math.min(fsScan(), fsScan())
 
+    // environment scale for baseline/envelope comparisons (same rule as
+    // tools/bench_gate.py): a fresh draw on a degraded box compares
+    // against the committed numbers scaled UP by the more generous
+    // calibration ratio, floored at 1.0 — otherwise a throttled box
+    // queues the entire registry for pass 2 and the wall blows up,
+    // exactly the failure mode this rework exists to prevent.
+    val envScale = math.max(1.0, math.max(
+      if (baseCalibCpu > 0) calibCpu / baseCalibCpu else 1.0,
+      if (baseCalibFs > 0) calibFs / baseCalibFs else 1.0))
+
     // Rolling mid-sweep environment attribution (VERDICT r12 Next #1):
     // the start-of-run calibration probes provably cannot see a
     // degradation that develops DURING the 400-workload sweep (the r12
@@ -149,7 +238,6 @@ object Bench {
       val micro = time(materialize(
         spark.range(32L * 1000 * 1000)
           .select(sum(xxhash64(col("id")).bitwiseAND(lit(0x7FFFFFFFL))))))
-      import scala.jdk.CollectionConverters._
       val pools = java.lang.management.ManagementFactory
         .getMemoryPoolMXBeans.asScala
       def poolMb(prefix: String): Double =
@@ -173,9 +261,99 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] unload: ${e.getMessage}") }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val pass1 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val pass2 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val pass3 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var skippedPass2 = 0
+    var skippedPass3 = 0
+    var prunedN = 0
+    var prunedBytes = 0L
+    // staging attribution state referenced by emitDetail — mutable so the
+    // incremental writer always has current numbers
+    var stagingBuild: Seq[Double] = Seq(0.0, 0.0)
+    var stagingCount: Seq[Long] = Seq(0L, 0L)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // ---- incremental atomic detail emission (VERDICT r13 Next #1a):
+    // the full detail JSON is rebuilt from current state and swapped in
+    // via tmp + ATOMIC_MOVE after every completed workload — a sweep
+    // killed at ANY point leaves a parseable artifact with per-query
+    // rows for everything that finished, flagged `"complete":false`.
+    // subset probes write their own detail file — BENCH_DETAIL.json is a
+    // committed artifact the regression gate diffs against, and a probe
+    // must not clobber it
+    val detailPath = new java.io.File(
+      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_SUBSET.json"
+    ).getAbsolutePath
+    def j(v: Double): String =
+      if (v.isNaN || v.isInfinite) "-1" else f"$v%.3f"
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
+    def emitDetail(complete: Boolean): Unit = {
+      val total = results.values.sum
+      val readKeys = pass1.keySet
+      val writesTotal = total - readKeys.iterator.map(results).sum
+      val p1 = writesTotal + pass1.values.sum
+      // pass 2 is adaptive: its total counts re-drawn values where they
+      // exist and the pass-1 draw elsewhere, so the two totals stay
+      // comparable across rounds
+      val p2 = writesTotal +
+        pass1.iterator.map { case (n, t1) => pass2.getOrElse(n, t1) }.sum
+      val detail =
+        s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
+          s""""complete":$complete,""" +
+          s""""degraded":${skippedPass2 + skippedPass3 > 0},""" +
+          s""""pass2_adaptive":${only.isEmpty},""" +
+          s""""pass2_n":${pass2.size},"pass2_skipped_n":$skippedPass2,""" +
+          s""""pass3_skipped_n":$skippedPass3,""" +
+          s""""wall_budget_s":${j(wallBudget)},"elapsed_s":${j(elapsed())},""" +
+          s""""queries":${jmap(results)},""" +
+          s""""queries_pass1":${jmap(pass1)},""" +
+          s""""queries_pass2":${jmap(pass2)},""" +
+          s""""queries_pass3":${jmap(pass3)},""" +
+          s""""variance_pinned":[${pass3.keys.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""variance_parse_ok":$pinnedParseOk,""" +
+          s""""shuffle_mb":${jmap(shuffleMb)},""" +
+          s""""pass_totals":[${j(p1)},${j(p2)}],""" +
+          s""""staging_build_s":[${stagingBuild.map(j).mkString(",")}],""" +
+          s""""staging_builds_n":[${stagingCount.mkString(",")}],""" +
+          s""""staging_frames":${
+            graft.store.Staging.frameBuilds.sortBy(-_._2._2).map {
+              case (k, (n, s, b)) =>
+                "\"" + k + "\":{\"n\":" + n + ",\"s\":" + j(s) +
+                  ",\"mb\":" + j(b / 1e6) + "}"
+            }.mkString("{", ",", "}")},""" +
+          s""""staging_pruned_n":$prunedN,""" +
+          s""""staging_pruned_mb":${j(prunedBytes / 1e6)},""" +
+          s""""env_samples":${
+            envSamples.map { e =>
+              "{\"at\":\"" + e.at + "\",\"pass\":" + e.pass +
+                ",\"micro_s\":" + j(e.microS) +
+                ",\"code_cache_mb\":" + j(e.codeCacheMb) +
+                ",\"metaspace_mb\":" + j(e.metaspaceMb) +
+                ",\"gc_ms\":" + e.gcMs +
+                ",\"heap_mb\":" + j(e.heapMb) + "}"
+            }.mkString("[", ",", "]")},""" +
+          s""""calib_cpu_s":${j(calibCpu)},"calib_fs_s":${j(calibFs)},""" +
+          s""""n_queries":${results.size},"sf":"$sfDir"}"""
+      val target = java.nio.file.Paths.get(detailPath)
+      val tmp = java.nio.file.Paths.get(detailPath + ".tmp")
+      java.nio.file.Files.write(tmp,
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+      }
+      ()
+    }
 
     if (only.isEmpty) {
       // the write path is its own metric (the reference times writes and
@@ -184,13 +362,16 @@ object Bench {
       // Delete any prior store so the write is actually measured.
       SnapshotStore.deleteRecursively(new java.io.File(SnapshotStore.root))
       results("store_write") = time(SnapshotStore.ensureEventsStore(spark, sfDir))
+      emitDetail(complete = false)
       results("json_store_write") = time(graft.store.JsonStore.ensureEventsJsonStore(spark, sfDir))
       results("json_concat_write") = time(graft.store.JsonStore.ensureConcatAllStore(spark, sfDir))
+      emitDetail(complete = false)
       // coarse day-bucketed replay source for the streaming queries —
       // built here so q_stream_* time STREAMING, not a first-touch write
       results("replay_store_write") = time(SnapshotStore.ensureReplayStore(spark, sfDir))
       results("geojson_store_write") =
         time(graft.queries.CoreQueries.ensureCanonicalGeoStore(spark, sfDir))
+      emitDetail(complete = false)
       // pre-touch the geo store like the events store below: q_geojson_*
       // queries should time re-nesting, not the first-touch FS cost of the
       // store written seconds ago (VERDICT r5 What's-wrong #3 — two rounds
@@ -217,171 +398,133 @@ object Bench {
     val storePath = SnapshotStore.ensureEventsStore(spark, sfDir)
     val store = SnapshotStore.read(spark, storePath)
 
-    // the read workload, run twice (per-query min recorded): the full
-    // registry plus the reference's 1000 seeded random point lookups —
-    // probe keys = the 1000 smallest xxhash64(ts) timestamps
-    // (deterministic), answered in one broadcast-join pass.
-    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def readPass(recordShuffle: Boolean): scala.collection.mutable.LinkedHashMap[String, Double] = {
-      val passNo = if (recordShuffle) 2 else 1
-      val pass = scala.collection.mutable.LinkedHashMap[String, Double]()
-      def run(name: String)(fn: => Unit): Unit =
-        if (recordShuffle) {
-          var t = 0.0
-          val sb = measureShuffle { t = time(fn) }
-          pass(name) = t
-          shuffleMb(name) = math.rint(sb / 1e5) / 10.0
-        } else pass(name) = time(fn)
-      var i = 0
-      SparkEntry.queries.toSeq.sortBy(_._1)
+    // the read workload: the full registry plus the reference's 1000
+    // seeded random point lookups — probe keys = the 1000 smallest
+    // xxhash64(ts) timestamps (deterministic), one broadcast-join pass.
+    // lookup_1000 joins the registry list so the adaptive pass-2 rules
+    // apply to it uniformly.
+    def lookup1000(): Unit = {
+      val probes = store.select(col("ts"))
+        .orderBy(xxhash64(col("ts")))
+        .limit(1000)
+      materialize(store.join(broadcast(probes), Seq("ts"), "left_semi"))
+    }
+    val readWork: Seq[(String, () => Unit)] =
+      (SparkEntry.queries.toSeq.sortBy(_._1)
+        .map { case (name, fn) => name -> (() => materialize(fn(spark, sfDir))) } :+
+        ("lookup_1000" -> (() => lookup1000())))
         .filter { case (name, _) => only.forall(_.contains(name)) }
-        .foreach { case (name, fn) =>
-          val streaming = name.startsWith("q_stream")
-          if (streaming || i % 25 == 0) envSample(name, passNo)
-          run(name)(materialize(fn(spark, sfDir)))
-          if (streaming) streamHygiene()
-          i += 1
-        }
-      envSample("_pass_end", passNo)
-      if (only.forall(_.contains("lookup_1000"))) run("lookup_1000") {
-        val probes = store.select(col("ts"))
-          .orderBy(xxhash64(col("ts")))
-          .limit(1000)
-        materialize(store.join(broadcast(probes), Seq("ts"), "left_semi"))
-      }
-      pass
-    }
-    // per-pass staging attribution (VERDICT r7 Next #7): the cold pass
-    // pays content-keyed index CONSTRUCTION (Staging builds), the warm
-    // pass reads them back — snapshotting the build clock around each
-    // pass decomposes the cold/warm gap
-    val stg0 = (graft.store.Staging.buildSeconds, graft.store.Staging.buildsSoFar)
-    val pass1 = readPass(recordShuffle = false)
-    val stg1 = (graft.store.Staging.buildSeconds, graft.store.Staging.buildsSoFar)
-    // shuffle volumes recorded on the WARM pass: bytes are a property of
-    // the plan, not the FS band, so one attribution suffices
-    val pass2 = readPass(recordShuffle = true)
-    val stg2 = (graft.store.Staging.buildSeconds, graft.store.Staging.buildsSoFar)
-    val stagingBuild = Seq(stg1._1 - stg0._1, stg2._1 - stg1._1)
-    val stagingCount = Seq(stg1._2 - stg0._2, stg2._2 - stg1._2)
-    pass1.foreach { case (name, t1) => results(name) = math.min(t1, pass2(name)) }
 
-    // Min-of-THREE for the highest-draw-variance workloads (VERDICT r11
-    // Next #5): BENCH_VARIANCE.json (tools/variance_census.py over the
-    // four committed same-code r11 draws) names the 10 workloads whose
-    // historical draw envelope comes closest to the regression-gate band;
-    // one extra draw for just those members shrinks exactly the variance
-    // the census measured, at ~15 s total cost instead of a 460 s third
-    // full pass. Registry queries only (lookup_1000 never ranked).
-    // pinnedParseOk distinguishes "no census file" (fine) from "census
-    // file present but the top_variance parse came back empty" (ADVICE
-    // r12: a silent format drift would disable the third pass while the
-    // artifact still claims min-of-3 coverage) — the failure is warned on
-    // stderr AND recorded in the detail artifact.
-    val varianceFile = new java.io.File("BENCH_VARIANCE.json")
-    val pinned: Set[String] = {
-      if (!varianceFile.isFile) Set.empty
-      else {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(varianceFile.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-        """"top_variance":\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-          .map(_.group(1).split(",").iterator
-            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-            .filter(_.nonEmpty).toSet)
-          .getOrElse(Set.empty)
-      }
-    }
-    val pinnedParseOk = !varianceFile.isFile || pinned.nonEmpty
-    if (!pinnedParseOk)
-      System.err.println(
-        "[bench] WARNING: BENCH_VARIANCE.json exists but top_variance " +
-          "parsed empty — min-of-3 pass DISABLED this run (format drift?)")
-    val pass3 = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) =>
-        pinned.contains(name) && results.contains(name) &&
-          only.forall(_.contains(name))
-      }
-      .foreach { case (name, fn) =>
+    // ---- pass 1: full coverage, shuffle attribution, incremental emit
+    val stg0 = (graft.store.Staging.buildSeconds, graft.store.Staging.buildsSoFar)
+    locally {
+      var i = 0
+      readWork.foreach { case (name, fn) =>
         val streaming = name.startsWith("q_stream")
-        if (streaming) envSample(name, 3)
-        pass3(name) = time(materialize(fn(spark, sfDir)))
+        if (streaming || i % 25 == 0) envSample(name, 1)
+        var t = 0.0
+        val sb = measureShuffle { t = time(fn()) }
+        pass1(name) = t
+        results(name) = t
+        shuffleMb(name) = math.rint(sb / 1e5) / 10.0
         if (streaming) streamHygiene()
+        stagingBuild = Seq(graft.store.Staging.buildSeconds - stg0._1, 0.0)
+        stagingCount = Seq(graft.store.Staging.buildsSoFar - stg0._2, 0L)
+        emitDetail(complete = false)
+        i += 1
       }
-    pass3.foreach { case (name, t3) =>
-      results(name) = math.min(results(name), t3)
     }
+    envSample("_pass_end", 1)
+    val stg1 = (graft.store.Staging.buildSeconds, graft.store.Staging.buildsSoFar)
+
+    // ---- adaptive pass-2 membership (VERDICT r13 Next #1b)
+    val band = 1.5
+    def outlier(name: String, t1: Double): Boolean = {
+      val vsBase = baseQueries.get(name)
+        .exists(b => t1 > band * b * envScale + 0.5)
+      val vsEnv = envMax.get(name)
+        .exists(m => t1 > band * m * envScale + 0.5)
+      vsBase || vsEnv
+    }
+    val adaptive: Seq[(String, () => Unit)] =
+      if (only.nonEmpty) readWork // subset probes keep full min-of-2
+      else readWork.filter { case (name, _) =>
+        pinned.contains(name) ||
+          !baseQueries.contains(name) || // new since the committed baseline
+          outlier(name, pass1(name))
+      }
+
+    // ---- pass 2 (adaptive re-draws, wall-budget guarded)
+    adaptive.foreach { case (name, fn) =>
+      if (elapsed() > wallBudget) skippedPass2 += 1
+      else {
+        val streaming = name.startsWith("q_stream")
+        if (streaming) envSample(name, 2)
+        val t = time(fn())
+        pass2(name) = t
+        results(name) = math.min(results(name), t)
+        if (streaming) streamHygiene()
+        stagingBuild = Seq(stg1._1 - stg0._1,
+          graft.store.Staging.buildSeconds - stg1._1)
+        stagingCount = Seq(stg1._2 - stg0._2,
+          graft.store.Staging.buildsSoFar - stg1._2)
+        emitDetail(complete = false)
+      }
+    }
+    envSample("_pass_end", 2)
+    val stg2 = (graft.store.Staging.buildSeconds, graft.store.Staging.buildsSoFar)
+    stagingBuild = Seq(stg1._1 - stg0._1, stg2._1 - stg1._1)
+    stagingCount = Seq(stg1._2 - stg0._2, stg2._2 - stg1._2)
+
+    // ---- pass 3: min-of-THREE for the variance-pinned members (VERDICT
+    // r11 Next #5) — one extra draw for exactly the workloads whose
+    // historical same-code envelope comes closest to the gate band.
+    // Registry queries only (lookup_1000 never ranked).
+    readWork
+      .filter { case (name, _) => pinned.contains(name) && results.contains(name) }
+      .foreach { case (name, fn) =>
+        if (elapsed() > wallBudget) skippedPass3 += 1
+        else {
+          val streaming = name.startsWith("q_stream")
+          if (streaming) envSample(name, 3)
+          val t = time(fn())
+          pass3(name) = t
+          results(name) = math.min(results(name), t)
+          if (streaming) streamHygiene()
+          emitDetail(complete = false)
+        }
+      }
 
     // Staging prune (VERDICT r12 Next #6): a FULL sweep has touched every
     // frame any registered query references, so whatever remains under
     // _staging belongs to deregistered queries or dead sessions — delete
     // it and record what went. Subset probes never prune (they touch only
     // their members' frames).
-    val (prunedN, prunedBytes) =
-      if (only.isEmpty) graft.store.Staging.pruneUntouched() else (0, 0L)
+    if (only.isEmpty) {
+      val pruned = graft.store.Staging.pruneUntouched()
+      prunedN = pruned._1
+      prunedBytes = pruned._2
+    }
 
-    // Emit (round-7 brief): the r6 driver artifact came back
-    // `parsed: null` — the single line had grown past what the driver's
-    // parser keeps (131 queries × two maps ≈ 8 KB). The PRIMARY line is
-    // now compact and fixed-size: total, pass totals, calibration
-    // probes, the top-10 slowest queries, and a pointer to the detail
-    // file that carries the full per-query seconds + shuffle-volume
-    // maps. All numbers print as plain %.3f decimals (no scientific
-    // notation, NaN/Inf mapped to -1) so any JSON parser takes the line.
-    def j(v: Double): String =
-      if (v.isNaN || v.isInfinite) "-1" else f"$v%.3f"
+    emitDetail(complete = true)
+
+    // Emit the PRIMARY stdout line (round-7 brief): compact and
+    // fixed-size — total, pass totals, calibration probes, the top-10
+    // slowest queries, and a pointer to the detail file that carries the
+    // full per-query seconds + shuffle-volume maps. All numbers print as
+    // plain %.3f decimals (no scientific notation, NaN/Inf mapped to -1)
+    // so any JSON parser takes the line.
     val total = results.values.sum
     val writesTotal = total - pass1.keys.map(results).sum
     val p1 = writesTotal + pass1.values.sum
-    val p2 = writesTotal + pass2.values.sum
-    def jmap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
-    // subset probes write their own detail file — BENCH_DETAIL.json is a
-    // committed artifact the regression gate diffs against, and a probe
-    // must not clobber it
-    val detailPath = new java.io.File(
-      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_SUBSET.json"
-    ).getAbsolutePath
-    val detail =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
-        s""""queries":${jmap(results)},""" +
-        s""""queries_pass1":${jmap(pass1)},""" +
-        s""""queries_pass2":${jmap(pass2)},""" +
-        s""""queries_pass3":${jmap(pass3)},""" +
-        s""""variance_pinned":[${pass3.keys.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""variance_parse_ok":$pinnedParseOk,""" +
-        s""""shuffle_mb":${jmap(shuffleMb)},""" +
-        s""""pass_totals":[${j(p1)},${j(p2)}],""" +
-        s""""staging_build_s":[${stagingBuild.map(j).mkString(",")}],""" +
-        s""""staging_builds_n":[${stagingCount.mkString(",")}],""" +
-        s""""staging_frames":${
-          graft.store.Staging.frameBuilds.sortBy(-_._2._2).map {
-            case (k, (n, s, b)) =>
-              "\"" + k + "\":{\"n\":" + n + ",\"s\":" + j(s) +
-                ",\"mb\":" + j(b / 1e6) + "}"
-          }.mkString("{", ",", "}")},""" +
-        s""""staging_pruned_n":$prunedN,""" +
-        s""""staging_pruned_mb":${j(prunedBytes / 1e6)},""" +
-        s""""env_samples":${
-          envSamples.map { e =>
-            "{\"at\":\"" + e.at + "\",\"pass\":" + e.pass +
-              ",\"micro_s\":" + j(e.microS) +
-              ",\"code_cache_mb\":" + j(e.codeCacheMb) +
-              ",\"metaspace_mb\":" + j(e.metaspaceMb) +
-              ",\"gc_ms\":" + e.gcMs +
-              ",\"heap_mb\":" + j(e.heapMb) + "}"
-          }.mkString("[", ",", "]")},""" +
-        s""""calib_cpu_s":${j(calibCpu)},"calib_fs_s":${j(calibFs)},""" +
-        s""""n_queries":${results.size},"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(detailPath),
-      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val p2 = writesTotal +
+      pass1.iterator.map { case (n, t1) => pass2.getOrElse(n, t1) }.sum
     val top10 = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(10)
     println(
       s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
         s""""queries":${jmap(top10)},""" +
         s""""pass_totals":[${j(p1)},${j(p2)}],""" +
+        s""""pass2_n":${pass2.size},"degraded":${skippedPass2 + skippedPass3 > 0},""" +
         s""""staging_build_s":[${stagingBuild.map(j).mkString(",")}],""" +
         s""""calib_cpu_s":${j(calibCpu)},"calib_fs_s":${j(calibFs)},""" +
         s""""n_queries":${results.size},"detail_file":"$detailPath",""" +

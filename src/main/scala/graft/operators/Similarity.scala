@@ -521,9 +521,52 @@ object Similarity {
       idCol: String,
       vecCol: String,
       thresholdPpm: Long = 700000L,
-      configs: Seq[(Int, Int)] = Seq((16, 8), (16, 4), (8, 4), (8, 2))): DataFrame = {
+      configs: Seq[(Int, Int)] = Seq((16, 8), (16, 4), (8, 4), (8, 2))): DataFrame =
+    mutualNnTuned(corpus, idCol, vecCol, thresholdPpm, configs,
+      fallbackCentroids = -1, fallbackNprobe = 1)
+
+  /** The sample-sufficiency discipline GENERALIZED to any corpus density
+    * (VERDICT r13 Next #3): the registered q_mutual_nn used to hardcode
+    * its dense operating point (nprobe=2 + 16/8 multi-probe LSH, the r12
+    * zero-mismatch sweep point); now the SAME bounded design sample that
+    * prices the clustered twin decides PER CORPUS —
+    *
+    *  1. IVF-only sufficiency (the sparse regime): sample brute mutual
+    *     pairs == sample IVF-only candidates' pairs => run the corpus
+    *     IVF-only. A clustered corpus earns its linear candidate volume
+    *     here; near-random embeddings (ANN's adversarial case) fail this
+    *     check because a top-1 neighbor lands past the single probed
+    *     bucket.
+    *  2. Belt pricing: if the sample shows IVF misses AND carries
+    *     >= thresholdPpm structure (n_true > 0), the [[rhpTuning]]
+    *     design table picks the cheapest full-recall banding config.
+    *     n_true == 0 no longer counts as full recall (r13 soundness
+    *     hole, latent while only clustered corpora took this path): an
+    *     empty truth set prices NOTHING — a dense corpus's sample has no
+    *     0.7-cosine pairs, and "cheapest config against zero evidence"
+    *     would have shipped a recall-losing plan. Empty truth falls
+    *     through to 3.
+    *  3. Dense fallback: the zero-mismatch operating point
+    *     (`fallbackCentroids`/`fallbackNprobe` + 16/8 multi-probe; the
+    *     registered q_mutual_nn passes its r12-swept 8/2) — the recall
+    *     contract outranks the cost win, and the brute oracle replays
+    *     UNCHANGED whichever branch runs.
+    *
+    * The decision prints one stderr line (`[graft] mutualNnTuned: ...`)
+    * so any probe run can attribute which regime a corpus earned.
+    * `fallbackCentroids = -1` derives [[clusterCount]] from the corpus
+    * count. All design collects are bounded (~500-vector sample). */
+  def mutualNnTuned(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      thresholdPpm: Long = 700000L,
+      configs: Seq[(Int, Int)] = Seq((16, 8), (16, 4), (8, 4), (8, 2)),
+      fallbackCentroids: Int = -1,
+      fallbackNprobe: Int = 1): DataFrame = {
     val n = corpus.count()
     val nC = clusterCount(n)
+    val fbC = if (fallbackCentroids > 0) fallbackCentroids else nC
     val sampleMod = math.max(4L, n / 500L)
     val sample = corpus.filter(pmod(col(idCol), lit(sampleMod)) === 1L)
     val cent = ivfCentroids(corpus, idCol, vecCol, nC)
@@ -533,24 +576,35 @@ object Similarity {
         nCentroids = nC, nprobe = 1, bands = 0, centroids = Some(cent))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     if (sampleIvf == sampleBrute && sampleBrute.nonEmpty) {
+      System.err.println(s"[graft] mutualNnTuned: IVF-only " +
+        s"(sample ${sampleBrute.size} mutual pairs, full parity)")
       mutualNnPairsAnn(corpus, idCol, vecCol,
         nCentroids = nC, nprobe = 1, bands = 0)
     } else {
       val design = rhpTuning(sample, idCol, vecCol, configs, thresholdPpm)
         .collect() // bounded: one row per config
       val full = design.filter { r =>
-        r.getAs[Long]("n_true") == 0L ||
-          (!r.isNullAt(r.fieldIndex("recall_ppm")) &&
-            r.getAs[Long]("recall_ppm") == 1000000L)
+        r.getAs[Long]("n_true") > 0L &&
+          !r.isNullAt(r.fieldIndex("recall_ppm")) &&
+          r.getAs[Long]("recall_ppm") == 1000000L
       }
-      val (nb, bd, mp) =
-        if (full.nonEmpty) {
-          val best = full.minBy(r => (r.getAs[Long]("n_candidates"),
-            r.getAs[Long]("nbits"), r.getAs[Long]("bands")))
-          (best.getAs[Long]("nbits").toInt, best.getAs[Long]("bands").toInt, false)
-        } else (16, 8, true)
-      mutualNnPairsAnn(corpus, idCol, vecCol,
-        nCentroids = nC, nprobe = 1, nbits = nb, bands = bd, multiProbe = mp)
+      if (full.nonEmpty) {
+        val best = full.minBy(r => (r.getAs[Long]("n_candidates"),
+          r.getAs[Long]("nbits"), r.getAs[Long]("bands")))
+        val (nb, bd) =
+          (best.getAs[Long]("nbits").toInt, best.getAs[Long]("bands").toInt)
+        System.err.println(s"[graft] mutualNnTuned: belt ($nb, $bd) " +
+          s"(cheapest full-recall of ${full.length}/${design.length} configs)")
+        mutualNnPairsAnn(corpus, idCol, vecCol,
+          nCentroids = nC, nprobe = 1, nbits = nb, bands = bd, multiProbe = false)
+      } else {
+        System.err.println(s"[graft] mutualNnTuned: dense fallback " +
+          s"(sample demanded it: ivf parity=${sampleIvf == sampleBrute}, " +
+          s"truth pairs=${design.headOption.map(_.getAs[Long]("n_true")).getOrElse(-1L)})")
+        mutualNnPairsAnn(corpus, idCol, vecCol,
+          nCentroids = fbC, nprobe = fallbackNprobe,
+          nbits = 16, bands = 8, multiProbe = true)
+      }
     }
   }
 

@@ -1337,11 +1337,16 @@ object PipelineQueries {
     // band self-join, exact verify in buckets, mutual filter unchanged
     // — the q_knn_classify r10 swap applied to the last registered
     // corpus² query); the brute mutualNnPairs frame is the ORACLE the
-    // SQL below replays, and the operating point is the cheapest
-    // MnnProbe sweep point with zero pair mismatches at 3 SFs.
+    // SQL below replays. The operating point is now CHOSEN AT RUNTIME
+    // by mutualNnTuned's bounded design sample (VERDICT r13 Next #3):
+    // a clustered corpus earns IVF-only, this near-random fixture's
+    // sample demands the dense fallback — the cheapest MnnProbe sweep
+    // point with zero pair mismatches at 3 SFs (nprobe=2 of 8 buckets +
+    // 16/8 multi-probe LSH), now EARNED per corpus, not hardcoded.
     Q("q_mutual_nn",
-      (s, dir) => Similarity.mutualNnPairsAnn(
-          Tables.embeddings(s, dir), "vec_id", "embedding")
+      (s, dir) => Similarity.mutualNnTuned(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          fallbackCentroids = 8, fallbackNprobe = 2)
         .orderBy("id_a"),
       Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
              |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),

@@ -195,6 +195,15 @@ object DeltaLogStore {
     val cpv = checkpointVersions(tablePath).filter(_ <= asOf).lastOption
     val events = cpv match {
       case None =>
+        // ADVICE r13: after [[cleanupLog]], versions below the retained
+        // checkpoint have no JSON left — resolving one must fail loudly,
+        // not glob zero commits and silently return an empty file set.
+        // Cleanup deletes a PREFIX of the commits, so version 0's JSON
+        // being present proves the full (0..asOf] prefix is.
+        require(commitFile(tablePath, 0L).isFile,
+          s"version $asOf of $tablePath removed by log cleanup" +
+            checkpointVersions(tablePath).headOption
+              .map(v => s" (earliest retained checkpoint: $v)").getOrElse(""))
         shred(spark.read.schema(actionSchema)
           .json(s"${logDir(tablePath)}/*.json")
           .withColumn("_v",
@@ -298,6 +307,28 @@ object DeltaLogStore {
     ()
   }
 
+  /** The schema the log DECLARES at `asOf`: `metaData.schemaString`
+    * (which IS Spark's StructType JSON) from the newest checkpoint
+    * at-or-below `asOf`, else from the version-0 commit — how a reader
+    * types an EMPTY snapshot, where no parquet footer exists to infer
+    * from (ADVICE r13; real Delta always types from metaData). */
+  def snapshotSchema(spark: SparkSession, tablePath: String, asOf: Long): StructType = {
+    val src = checkpointVersions(tablePath).filter(_ <= asOf).lastOption match {
+      case Some(cv) =>
+        spark.read.parquet(checkpointFile(tablePath, cv).toString)
+          .select(col("metaData.schemaString").as("s"))
+      case None =>
+        require(commitFile(tablePath, 0L).isFile,
+          s"version $asOf of $tablePath removed by log cleanup")
+        spark.read.schema(pmSchema)
+          .json(commitFile(tablePath, 0L).toString)
+          .select(col("metaData.schemaString").as("s"))
+    }
+    val js = src.filter(col("s").isNotNull).limit(1).collect()
+    require(js.nonEmpty, s"no metaData action in $tablePath log at or below $asOf")
+    DataType.fromJson(js.head.getString(0)).asInstanceOf[StructType]
+  }
+
   /** Version named by `_last_checkpoint`, or -1 if absent. */
   def lastCheckpointVersion(tablePath: String): Long = {
     val lc = new java.io.File(logDir(tablePath), "_last_checkpoint")
@@ -330,6 +361,28 @@ object DeltaLogStore {
       stale.foreach(f => java.nio.file.Files.delete(f.toPath))
       stale.length
     }
+  }
+
+  /** Physical file reclamation — Delta VACUUM (retention 0 for the
+    * sandbox; production keeps a deletionTimestamp horizon): delete data
+    * files under the table root that are NOT live at the LATEST version —
+    * the tombstoned ones time travel was keeping. The latest snapshot is
+    * untouched; reads of old versions whose files are gone fail, exactly
+    * the Delta trade. Returns bytes reclaimed. (The sandbox listing is
+    * driver-side; at 100 TB a real VACUUM distributes the listing and
+    * joins it against the tombstone frame — the log side here,
+    * [[snapshotFiles]], is already distributed.) */
+  def vacuum(spark: SparkSession, tablePath: String): Long = {
+    val live = snapshotFiles(spark, tablePath, None)
+      .select("path").collect().map(_.getString(0)).toSet
+    Option(new java.io.File(tablePath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !live.contains(f.getName))
+      .map { f =>
+        val n = f.length()
+        java.nio.file.Files.delete(f.toPath)
+        n
+      }.sum
   }
 
   /** Read the table snapshot `VERSION AS OF versionAsOf` (None = latest):

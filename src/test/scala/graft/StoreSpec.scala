@@ -746,4 +746,102 @@ class StoreSpec extends SparkSpec {
     }
     ()
   }
+
+  test("graftdelta write path: append + overwrite commit through the log") {
+    import graft.store.DeltaLogStore
+    val path = tmp("graft_delta_w") + "/tbl"
+    // creation is a version-0 library commit (metaData/protocol header);
+    // the writer API serves the reference's APPEND shape
+    // (delta_lake.py:31-33) against an existing table
+    DeltaLogStore.commit(spark, path,
+      Some(Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)), 0L)
+    Seq((3L, "c")).toDF("k", "s")
+      .write.format("graftdelta").mode("append").save(path)
+    assert(DeltaLogStore.latestVersion(path) == 1L)
+    assert(spark.read.format("graftdelta").load(path)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // overwrite = remove every live file + add the new data, ONE commit;
+    // history stays time-travelable
+    Seq((9L, "z")).toDF("k", "s")
+      .write.format("graftdelta").mode("overwrite").save(path)
+    assert(DeltaLogStore.latestVersion(path) == 2L)
+    assert(spark.read.format("graftdelta").load(path)
+      .as[(Long, String)].collect().toSet == Set((9L, "z")))
+    assert(spark.read.format("graftdelta").option("versionAsOf", 1L).load(path)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // both round trips also read through the library reader (same log)
+    assert(DeltaLogStore.read(spark, path).as[(Long, String)]
+      .collect().toSet == Set((9L, "z")))
+    // a write to a path with no log refuses with the creation hint
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("k", "s")
+        .write.format("graftdelta").mode("append").save(tmp("graft_delta_w2"))
+    }
+    assert(e.getMessage.contains("no graftdelta log"), e.getMessage)
+    ()
+  }
+
+  test("graftdelta: empty snapshot reads as zero rows with the declared schema") {
+    import graft.store.DeltaLogStore
+    val path = tmp("graft_delta_e") + "/tbl"
+    DeltaLogStore.commit(spark, path,
+      Some(Seq((1L, "a")).toDF("k", "s").coalesce(1)), 0L)
+    val f0 = DeltaLogStore.snapshotFiles(spark, path, Some(0L))
+      .select("path").as[String].collect().toSeq
+    // v1 removes every live file — a valid Delta state (all-tombstone)
+    DeltaLogStore.commit(spark, path, None, 1L, removePaths = f0)
+    val empty = spark.read.format("graftdelta").load(path)
+    assert(empty.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("k", "long"), ("s", "string")))
+    assert(empty.count() == 0L)
+    // filters/projections on the empty table still plan and run
+    assert(empty.filter($"k" > 0).select($"s").collect().isEmpty)
+    // time travel back to the non-empty version unaffected
+    assert(spark.read.format("graftdelta").option("versionAsOf", 0L).load(path)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    ()
+  }
+
+  test("DeltaLogStore: cleaned-up versions fail loudly; vacuum shrinks the store size") {
+    import graft.store.DeltaLogStore
+    val path = tmp("graft_delta_v") + "/tbl"
+    def row(v: Long) = Seq((v, s"r$v")).toDF("k", "s").coalesce(1)
+    DeltaLogStore.commit(spark, path, Some(row(0L)), 0L)
+    // q_store_size teeth (VERDICT r13 Next #8): the size stat must
+    // STRICTLY GROW with appends ...
+    val s0 = SnapshotStore.totalSizeBytes(path)
+    assert(s0 > 0L)
+    DeltaLogStore.commit(spark, path, Some(row(1L)), 1L)
+    val s1 = SnapshotStore.totalSizeBytes(path)
+    assert(s1 > s0, s"append must grow the store: $s0 -> $s1")
+    // rewrite keeps the old files for time travel — size still grows
+    val live1 = DeltaLogStore.snapshotFiles(spark, path, Some(1L))
+      .select("path").as[String].collect().toSeq
+    DeltaLogStore.commit(spark, path,
+      Some(Seq((0L, "r0"), (1L, "r1")).toDF("k", "s").coalesce(1)), 2L,
+      removePaths = live1)
+    val s2 = SnapshotStore.totalSizeBytes(path)
+    assert(s2 > s1, s"rewrite keeps history: $s1 -> $s2")
+    // ... and SHRINK after VACUUM reclaims the tombstoned files
+    val reclaimed = DeltaLogStore.vacuum(spark, path)
+    assert(reclaimed > 0L)
+    val s3 = SnapshotStore.totalSizeBytes(path)
+    assert(s3 < s2 && s3 == s2 - reclaimed, s"vacuum must shrink: $s2 -> $s3")
+    // the latest snapshot is untouched by vacuum
+    assert(DeltaLogStore.read(spark, path).as[(Long, String)]
+      .collect().toSet == Set((0L, "r0"), (1L, "r1")))
+    // ADVICE r13: a version whose JSON was removed by log cleanup must
+    // fail with an explicit error, not resolve to an empty file set
+    DeltaLogStore.writeCheckpoint(spark, path, 2L)
+    assert(DeltaLogStore.cleanupLog(path) == 3) // v0..v2 JSON
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogStore.snapshotFiles(spark, path, Some(1L)).collect()
+    }
+    assert(e.getMessage.contains("removed by log cleanup"), e.getMessage)
+    // the checkpointed head still resolves
+    assert(DeltaLogStore.read(spark, path).count() == 2L)
+    ()
+  }
 }

@@ -90,10 +90,26 @@ def main(argv):
     # generous calibration ratio before the tighten rule may fire
     # (round 13: a calib_fs 1.93x draw raw-flagged six store writes that
     # normalize to 1.2-1.75x, all inside the band).
-    env_scale = max(
+    calib_ratio = max(
         fresh["calib_cpu_s"] / base["calib_cpu_s"] if base["calib_cpu_s"] > 0 else 1.0,
-        fresh["calib_fs_s"] / base["calib_fs_s"] if base["calib_fs_s"] > 0 else 1.0,
-        1.0)
+        fresh["calib_fs_s"] / base["calib_fs_s"] if base["calib_fs_s"] > 0 else 1.0)
+    env_scale = max(calib_ratio, 1.0)
+    # DOWNGRADE scale (ADVICE r13): on a box FASTER than the census era
+    # (calib_ratio < 1) a genuine ~2x code regression can land back inside
+    # the raw envelope — regression x faster-box cancels — so the envelope
+    # SHRINKS by the unclamped ratio. On a slower box it stays raw
+    # (min 1.0 cap): a waiver never widens with the environment.
+    env_scale_dn = min(calib_ratio, 1.0)
+    # TIGHTEN needs enough census draws to trust the envelope max: with
+    # only two same-code draws the per-workload spread is badly
+    # underestimated and 1.5x env.max false-flags honest draws (ADVICE
+    # r13) — the rule disarms below three draws.
+    n_draws = 0
+    try:
+        with open("BENCH_VARIANCE.json") as f:
+            n_draws = json.load(f).get("n_draws", 0)
+    except (OSError, ValueError):
+        pass
 
     flagged = []
     variance_explained = []
@@ -111,12 +127,13 @@ def main(argv):
         if env and not env_live:
             stale_envelopes.append((name, bq[name], env["min"]))
         if env_live:
-            if bad and fq[name] <= env["max"]:
+            if bad and fq[name] <= env["max"] * env_scale_dn:
                 variance_explained.append(
                     (name, fq[name], env["min"], env["max"], env["spread"]))
                 bad = False
                 why = ""
             elif (not bad
+                  and n_draws >= 3
                   and fq[name] > ENV_MARGIN * env["max"] * env_scale + BAND_ABS
                   and min(cpu, fs) > 1.0):
                 # envelope-tightened flag: beyond every same-code draw by

@@ -79,6 +79,9 @@ def main(argv):
                 and n not in pinned:
             pinned.append(n)
     out = {
+        # bench_gate disarms its envelope-TIGHTEN rule below 3 draws
+        # (ADVICE r13: two-draw envelopes underestimate true spread)
+        "n_draws": len(draws),
         "draws": [
             {
                 "ref": r,
