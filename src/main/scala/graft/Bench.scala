@@ -437,15 +437,22 @@ object Bench {
     envSample("_pass_end", 1)
     val stg1 = (graft.store.Staging.buildSeconds, graft.store.Staging.buildsSoFar)
 
-    // ---- adaptive pass-2 membership (VERDICT r13 Next #1b)
+    // ---- adaptive pass-2 membership (VERDICT r13 Next #1b).
+    // Two triggers per committed reference value (baseline and envelope
+    // max): the 1.5x + 0.5 s outlier band, plus a MIRROR of
+    // bench_gate.py's own flag condition (normalized 2x AND +0.5 s abs)
+    // at a 10% safety margin — without the mirror, a small-base workload
+    // (0.3-0.7 s) can draw inside 1.5x + 0.5 yet still normalize past
+    // the gate's 2x band and get flagged on a single draw (observed on
+    // the first r14 draw: six such flags, all of which a second draw
+    // would have re-priced).
     val band = 1.5
-    def outlier(name: String, t1: Double): Boolean = {
-      val vsBase = baseQueries.get(name)
-        .exists(b => t1 > band * b * envScale + 0.5)
-      val vsEnv = envMax.get(name)
-        .exists(m => t1 > band * m * envScale + 0.5)
-      vsBase || vsEnv
-    }
+    def over(t1: Double, ref: Double): Boolean =
+      t1 > band * ref * envScale + 0.5 ||
+        (t1 > 1.8 * ref * envScale && t1 > ref * envScale + 0.45)
+    def outlier(name: String, t1: Double): Boolean =
+      baseQueries.get(name).exists(over(t1, _)) ||
+        envMax.get(name).exists(over(t1, _))
     val adaptive: Seq[(String, () => Unit)] =
       if (only.nonEmpty) readWork // subset probes keep full min-of-2
       else readWork.filter { case (name, _) =>

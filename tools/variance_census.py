@@ -36,12 +36,14 @@ import os
 import subprocess
 import sys
 
-# the round-13 same-code 404-workload full-sweep draws (BUILDER_NOTES
-# "Round-13 close": draw 1 = 626.3 s at calib_cpu 1.136 (c467a63),
-# draw 2 = 604.8 s at calib_cpu 1.020 (c3a7d47) — fresh-state streaming
-# numbers (state-store hygiene on), so the envelopes gate the honest
-# per-pass workload, not the r12 warm-state minimums
-DEFAULT_REFS = ["c467a63", "c3a7d47"]
+# the round-14 same-code 404-workload full-sweep draws (BUILDER_NOTES
+# "Round-14 close"): draw 2 = 679.4 s at calib_cpu 1.030 (committed as
+# the gate baseline), draw 3 = 724.2 s at 1.329 (5bd5f02), draw 4 =
+# 721.4 s at 1.187 (4f539a4) — the FIRST census with >= 3 draws, which
+# arms bench_gate's envelope-tighten rule (ADVICE r13), and the first
+# under the adaptive-pass-2 harness (most reads single-draw, so the
+# envelopes carry the honest single-draw spread the gate will see)
+DEFAULT_REFS = ["HEAD", "5bd5f02", "4f539a4"]
 
 
 def load_ref(ref):
