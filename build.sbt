@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program stdout must pass through UNDECORATED: the bench/verify
+// mains emit one machine-parseable JSON line as their final output, and
+// sbt's default logger wraps forked stdout as "[info] {...}" (and forked
+// stderr as "[error] ..."), which defeats any line-oriented JSON parser
+// reading the sbt process's stdout (BENCH_r13/r14 `parsed: null`).
+// StdoutOutput inherits the parent's raw stdout/stderr instead.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+// ...and suppress the "[success] Total time: ..." footer sbt appends
+// after the program exits, so the program's own final line stays the
+// last line of stdout.
+Global / showSuccess := false
+// showSuccess is consumed by the command loop, not a task — silence the
+// unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -215,9 +215,16 @@ object Bench {
     // calibration ratio, floored at 1.0 — otherwise a throttled box
     // queues the entire registry for pass 2 and the wall blows up,
     // exactly the failure mode this rework exists to prevent.
-    val envScale = math.max(1.0, math.max(
+    val calibRatio = math.max(
       if (baseCalibCpu > 0) calibCpu / baseCalibCpu else 1.0,
-      if (baseCalibFs > 0) calibFs / baseCalibFs else 1.0))
+      if (baseCalibFs > 0) calibFs / baseCalibFs else 1.0)
+    val envScale = math.max(1.0, calibRatio)
+    // DOWNGRADE mirror (ADVICE r14): bench_gate SHRINKS the variance
+    // waiver by min(calibRatio, 1) on a faster-than-census box, so a
+    // pass-1 draw inside the raw 1.5x/1.8x bands can still exceed
+    // env.max * envScaleDn at the gate with no second draw to re-price
+    // it. Envelope-based triggers below compare against the shrunk ref.
+    val envScaleDn = math.min(1.0, calibRatio)
 
     // Rolling mid-sweep environment attribution (VERDICT r12 Next #1):
     // the start-of-run calibration probes provably cannot see a
@@ -251,6 +258,14 @@ object Bench {
         poolMb("CodeHeap"), poolMb("Metaspace"), gc, heap)
       ()
     }
+    // Per-query environment attribution (VERDICT r14 Next #2a): the row
+    // that made a query's recorded time also records the micro_s of the
+    // NEAREST PRECEDING env probe, so a reader can normalize a
+    // throttle-window row mechanically (the r14 driver draw had ten
+    // alphabetically-contiguous rows 12-95x slow under a micro_s of
+    // 5.97 vs the 0.3 norm — attributable only by eyeballing the sample
+    // array against sweep order until now).
+    val envMicro = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Streaming hygiene between workloads (same VERDICT item): unload
     // cached state-store providers (RocksDB natives + HDFS-backed maps)
     // once a streaming workload finishes — in production each query owns
@@ -267,6 +282,7 @@ object Bench {
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     var skippedPass2 = 0
     var skippedPass3 = 0
+    var pass2Reserve = 0
     var prunedN = 0
     var prunedBytes = 0L
     // staging attribution state referenced by emitDetail — mutable so the
@@ -308,6 +324,7 @@ object Bench {
           s""""degraded":${skippedPass2 + skippedPass3 > 0},""" +
           s""""pass2_adaptive":${only.isEmpty},""" +
           s""""pass2_n":${pass2.size},"pass2_skipped_n":$skippedPass2,""" +
+          s""""pass2_reserve_n":$pass2Reserve,""" +
           s""""pass3_skipped_n":$skippedPass3,""" +
           s""""wall_budget_s":${j(wallBudget)},"elapsed_s":${j(elapsed())},""" +
           s""""queries":${jmap(results)},""" +
@@ -317,6 +334,7 @@ object Bench {
           s""""variance_pinned":[${pass3.keys.map("\"" + _ + "\"").mkString(",")}],""" +
           s""""variance_parse_ok":$pinnedParseOk,""" +
           s""""shuffle_mb":${jmap(shuffleMb)},""" +
+          s""""env_micro_s":${jmap(envMicro)},""" +
           s""""pass_totals":[${j(p1)},${j(p2)}],""" +
           s""""staging_build_s":[${stagingBuild.map(j).mkString(",")}],""" +
           s""""staging_builds_n":[${stagingCount.mkString(",")}],""" +
@@ -421,11 +439,15 @@ object Bench {
       var i = 0
       readWork.foreach { case (name, fn) =>
         val streaming = name.startsWith("q_stream")
-        if (streaming || i % 25 == 0) envSample(name, 1)
+        // probe cadence every 10 workloads (was 25 — VERDICT r14 Next
+        // #2c: the r14 throttle window spanned ten workloads and the
+        // coarser cadence left its edges unbracketed)
+        if (streaming || i % 10 == 0) envSample(name, 1)
         var t = 0.0
         val sb = measureShuffle { t = time(fn()) }
         pass1(name) = t
         results(name) = t
+        envMicro(name) = envSamples.last.microS
         shuffleMb(name) = math.rint(sb / 1e5) / 10.0
         if (streaming) streamHygiene()
         stagingBuild = Seq(graft.store.Staging.buildSeconds - stg0._1, 0.0)
@@ -450,9 +472,14 @@ object Bench {
     def over(t1: Double, ref: Double): Boolean =
       t1 > band * ref * envScale + 0.5 ||
         (t1 > 1.8 * ref * envScale && t1 > ref * envScale + 0.45)
+    // envelope refs are shrunk by envScaleDn before the band test — the
+    // mirror of bench_gate's shrunk waiver (ADVICE r14): on a box faster
+    // than the census era the gate compares against env.max * dn, so the
+    // re-draw trigger must too or a single-draw row gets gate-flagged
+    // with no second draw on file.
     def outlier(name: String, t1: Double): Boolean =
       baseQueries.get(name).exists(over(t1, _)) ||
-        envMax.get(name).exists(over(t1, _))
+        envMax.get(name).exists(m => over(t1, m * envScaleDn))
     val adaptive: Seq[(String, () => Unit)] =
       if (only.nonEmpty) readWork // subset probes keep full min-of-2
       else readWork.filter { case (name, _) =>
@@ -461,15 +488,42 @@ object Bench {
           outlier(name, pass1(name))
       }
 
+    // ---- pass-2 ordering + reserve (VERDICT r14 Next #2b): the r14
+    // driver draw burned ~1100 s of the 1800 s budget on ten
+    // throttle-window rows and reached pass 2 with nothing left
+    // (pass2_n=0) — exactly the rows a re-draw would have re-priced.
+    // Two defenses: (i) re-draws run MOST-SUSPICIOUS-FIRST (pass-1 time
+    // over the best committed reference), so whatever budget survives
+    // pass 1 goes to the rows that distort the total most; (ii) the ten
+    // worst OUTLIERS keep a reserve slice past the wall budget
+    // (+min(300 s, 25%)) — re-pricing ten inflated rows costs ~30 s at
+    // normal speed and saves ~1000 s of reported total.
+    def severity(name: String): Double = {
+      val refs = baseQueries.get(name).toSeq ++
+        envMax.get(name).map(_ * envScaleDn).toSeq
+      if (refs.isEmpty) 1.0
+      else pass1(name) / math.max(1e-9, refs.min * envScale)
+    }
+    val adaptiveOrdered = adaptive.sortBy { case (name, _) => -severity(name) }
+    val reserveNames: Set[String] = adaptive.iterator
+      .map(_._1).filter(n => outlier(n, pass1(n)))
+      .toSeq.sortBy(n => -severity(n)).take(10).toSet
+    val reserveBudget = wallBudget + math.min(300.0, 0.25 * wallBudget)
+
     // ---- pass 2 (adaptive re-draws, wall-budget guarded)
-    adaptive.foreach { case (name, fn) =>
-      if (elapsed() > wallBudget) skippedPass2 += 1
+    adaptiveOrdered.foreach { case (name, fn) =>
+      val limit = if (reserveNames.contains(name)) reserveBudget else wallBudget
+      if (elapsed() > limit) skippedPass2 += 1
       else {
+        if (elapsed() > wallBudget) pass2Reserve += 1
         val streaming = name.startsWith("q_stream")
         if (streaming) envSample(name, 2)
         val t = time(fn())
         pass2(name) = t
-        results(name) = math.min(results(name), t)
+        if (t < results(name)) {
+          results(name) = t
+          envMicro(name) = envSamples.last.microS
+        }
         if (streaming) streamHygiene()
         stagingBuild = Seq(stg1._1 - stg0._1,
           graft.store.Staging.buildSeconds - stg1._1)
@@ -496,7 +550,10 @@ object Bench {
           if (streaming) envSample(name, 3)
           val t = time(fn())
           pass3(name) = t
-          results(name) = math.min(results(name), t)
+          if (t < results(name)) {
+            results(name) = t
+            envMicro(name) = envSamples.last.microS
+          }
           if (streaming) streamHygiene()
           emitDetail(complete = false)
         }
@@ -527,6 +584,13 @@ object Bench {
     val p2 = writesTotal +
       pass1.iterator.map { case (n, t1) => pass2.getOrElse(n, t1) }.sum
     val top10 = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(10)
+    // stop Spark BEFORE printing the summary: executor/session shutdown
+    // logs to stderr, and a stream-merging caller (the driver captures
+    // 2>&1) must see the JSON as the LAST line of output. Combined with
+    // build.sbt's StdoutOutput + showSuccess:=false, the line below
+    // reaches the caller bare — no "[info] " prefix, no "[success]"
+    // footer (VERDICT r14 Next #1: parsed was null two rounds running).
+    spark.stop()
     println(
       s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
         s""""queries":${jmap(top10)},""" +
@@ -536,6 +600,6 @@ object Bench {
         s""""calib_cpu_s":${j(calibCpu)},"calib_fs_s":${j(calibFs)},""" +
         s""""n_queries":${results.size},"detail_file":"$detailPath",""" +
         s""""sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -1144,10 +1144,18 @@ object ScaleProbe {
     * Next #6) — checked per-table OUTSIDE [[buildUniqueReplica]]'s done
     * marker so pre-existing r13 replicas pick them up:
     *  - customer: key offset 10M (so `pmod(key, 10M)` recovers the
-    *    per-copy scope) + digit-rotated names for copies > 0 — one
-    *    bijection per copy keeps each copy's internal edit-distance
-    *    structure intact while making cross-copy names disjoint (the
-    *    rotated-alphabet trick above);
+    *    per-copy scope) + per-copy LETTER+digit rotated names for
+    *    copies > 0 — one character bijection per copy keeps each copy's
+    *    internal edit-distance structure exactly intact while pushing
+    *    cross-copy name pairs far apart in edit distance: the lowercase
+    *    shift 5·i mod 26 is distinct for every i < 26, so any two
+    *    copies' names differ at ALL seven lowercase positions of
+    *    "Customer#NNNNNNNNN" (ed >= 7 >> the ed-2 probe threshold).
+    *    Digits alone (the r14 scheme, shift 3·i mod 10) had period 10:
+    *    copies {0,10,20} drew IDENTICAL name sets, so the 25x
+    *    q_fuzzy_join2 point picked up cross-copy ed-0 pairs and the
+    *    fitted exponent read superlinear (ADVICE r14). Disjointness is
+    *    asserted in ScaleProbeSpec;
     *  - lineitem: order/part/supp keys offset 10M per copy → `copies`
     *    DISJOINT co-purchase graphs with identical degree structure
     *    (triangle/graph probes measure plan growth, not new physics);
@@ -1162,15 +1170,24 @@ object ScaleProbe {
     def missing(name: String) =
       !java.nio.file.Files.exists(java.nio.file.Paths.get(out, name, "_SUCCESS"))
 
-    if (missing("customer.parquet")) {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // scheme marker forces a one-time rebuild of replicas written under
+    // the digit-only r14 name scheme (collisions at copies {0,10,20})
+    val nameSchemeV2 =
+      java.nio.file.Paths.get(out, "customer.parquet", "_NAME_SCHEME_V2")
+    if (missing("customer.parquet") ||
+        !java.nio.file.Files.exists(nameSchemeV2)) {
       val cust = spark.read.parquet(s"$base/customer.parquet")
       (0 until copies).map { i =>
         val d = cust.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
         if (i == 0) d
-        else d.withColumn("c_name", translate(col("c_name"), digits, rot(digits, 3 * i)))
+        else d.withColumn("c_name", translate(col("c_name"),
+          alpha + digits, rot(alpha, 5 * i) + rot(digits, 3 * i)))
       }.reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      java.nio.file.Files.createFile(nameSchemeV2)
+      ()
     }
     if (missing("lineitem.parquet")) {
       val li = spark.read.parquet(s"$base/lineitem.parquet")

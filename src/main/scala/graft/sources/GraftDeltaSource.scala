@@ -53,12 +53,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Write design (the V1Write bridge every simple connector uses): APPEND
   * and OVERWRITE commit through [[graft.store.DeltaLogStore.commit]] —
   * parquet part files + one JSON commit with `add` (and, for overwrite,
-  * `remove`) actions, version = latest + 1. Creating a NEW table goes
-  * through `DeltaLogStore.commit(version = 0)` (the metaData/protocol
-  * header is a creation-time decision, reference `delta_lake.py:26-29`
-  * creates before appending); the writer rejects a missing log with an
-  * explicit error, and rejects `versionAsOf` (writes go to the head, not
-  * into history). */
+  * `remove`) actions, version = latest + 1. A FIRST append (or
+  * overwrite) to a fresh directory CREATES the table: commit(version=0)
+  * writes the protocol/metaData header from the incoming DataFrame's
+  * schema — the reference's `store_document` appends to a directory it
+  * never explicitly created and relies on exactly this Delta semantic
+  * (`delta_lake.py:31-36`; ADVICE r14). The writer rejects `versionAsOf`
+  * (writes go to the head, not into history), and READS of a
+  * never-created table still fail loudly. */
 class GraftDeltaSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graftdelta"
@@ -87,8 +89,15 @@ class GraftDeltaSource extends TableProvider with DataSourceRegister {
           val spark = SparkSession.active
           val asOfOpt = Option(options.get("versionAsOf")).map(_.toLong)
           val latest = graft.store.DeltaLogStore.latestVersion(tablePath)
-          require(latest >= 0, s"no graftdelta log found at $tablePath " +
-            "(create version 0 with DeltaLogStore.commit)")
+          // a missing log is legal here ONLY for the create-on-first-
+          // append write path (ADVICE r14: the reference appends to a
+          // fresh directory and relies on Delta's create-table-on-first-
+          // append; `resolve` also fronts writes, so it must not throw).
+          // Reads of the not-yet-created table still fail loudly — in
+          // newScanBuilder, the first point that is read-specific.
+          require(latest >= 0 || asOfOpt.isEmpty,
+            s"no graftdelta log found at $tablePath (cannot time-travel " +
+              "a table that was never created)")
           val asOf = asOfOpt.getOrElse(latest)
           val t = new GraftDeltaTable(spark, tablePath, asOf,
             timeTraveled = asOfOpt.isDefined, options)
@@ -119,12 +128,20 @@ private[sources] class GraftDeltaTable(
     options: CaseInsensitiveStringMap)
   extends Table with SupportsRead with SupportsWrite {
 
+  // asOf == -1 <=> the table was never created (no log on disk): a
+  // write-only state — the first append commits version 0 with the
+  // incoming DataFrame's schema (Delta's create-table-on-first-append,
+  // ADVICE r14); any read attempt fails in newScanBuilder
+  private val notYetCreated = asOf < 0
+
   // bounded driver-side collect: file METADATA (the same cardinality
   // every parquet scan's driver file listing carries), resolved once at
   // table construction — schema and file list come from the SAME snapshot
-  private val files: Seq[String] = graft.store.DeltaLogStore
-    .snapshotFiles(spark, tablePath, Some(asOf))
-    .select("path").collect().map(r => s"$tablePath/${r.getString(0)}").toIndexedSeq
+  private val files: Seq[String] =
+    if (notYetCreated) Nil
+    else graft.store.DeltaLogStore
+      .snapshotFiles(spark, tablePath, Some(asOf))
+      .select("path").collect().map(r => s"$tablePath/${r.getString(0)}").toIndexedSeq
 
   private val parquet: Option[ParquetTable] =
     if (files.isEmpty) None
@@ -134,22 +151,34 @@ private[sources] class GraftDeltaTable(
   override def name(): String =
     s"graftdelta $tablePath${if (timeTraveled) s"@v$asOf" else ""}"
 
-  override def schema(): StructType = parquet match {
-    case Some(p) => p.schema
-    // empty snapshot: the schema the log declares (metaData.schemaString
-    // IS Spark's StructType JSON) — zero rows, real schema, like Delta
-    case None => graft.store.DeltaLogStore.snapshotSchema(spark, tablePath, asOf)
-  }
+  override def schema(): StructType =
+    if (notYetCreated) new StructType() // first append supplies the schema
+    else parquet match {
+      case Some(p) => p.schema
+      // empty snapshot: the schema the log declares (metaData.schemaString
+      // IS Spark's StructType JSON) — zero rows, real schema, like Delta
+      case None => graft.store.DeltaLogStore.snapshotSchema(spark, tablePath, asOf)
+    }
 
   // BATCH_WRITE is what DataFrameWriter.save gates the V2 write path on;
   // V1_BATCH_WRITE is what routes the planned AppendData/Overwrite through
-  // the V1Write bridge below — both are required
-  override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  // the V1Write bridge below — both are required. A not-yet-created table
+  // additionally declares ACCEPT_ANY_SCHEMA: its declared schema is empty
+  // (there is no log to read one from), so analysis must not validate the
+  // incoming columns against it — version 0 adopts the data's schema,
+  // after which appends validate against the real table schema as usual.
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    (if (notYetCreated) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
+  }
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    parquet match {
+    if (notYetCreated)
+      throw new IllegalArgumentException(
+        s"no graftdelta log found at $tablePath " +
+          "(create the table by appending to it, or with DeltaLogStore.commit)")
+    else parquet match {
       case Some(p) => p.newScanBuilder(o)
       case None =>
         val s = schema()
@@ -184,10 +213,13 @@ private[sources] class GraftDeltaTable(
               // commit under the head version current AT WRITE TIME (a
               // reader holding this table object keeps its resolved
               // snapshot — Delta's snapshot-isolation contract)
+              // head == -1 on a fresh directory: commit(version = 0)
+              // writes the protocol/metaData header from the data's
+              // schema — Delta's create-table-on-first-append (and
+              // first-overwrite) semantics (ADVICE r14)
               val head = graft.store.DeltaLogStore.latestVersion(tablePath)
-              require(head >= 0, s"no graftdelta log found at $tablePath")
               val removes =
-                if (!(overwrite || legacyOverwrite)) Nil
+                if (head < 0 || !(overwrite || legacyOverwrite)) Nil
                 else graft.store.DeltaLogStore
                   .snapshotFiles(session, tablePath, Some(head))
                   .select("path").collect().map(_.getString(0)).toSeq

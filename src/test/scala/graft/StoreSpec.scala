@@ -774,12 +774,48 @@ class StoreSpec extends SparkSpec {
     // both round trips also read through the library reader (same log)
     assert(DeltaLogStore.read(spark, path).as[(Long, String)]
       .collect().toSet == Set((9L, "z")))
-    // a write to a path with no log refuses with the creation hint
+    ()
+  }
+
+  test("graftdelta: first append to a fresh directory creates the table") {
+    import graft.store.DeltaLogStore
+    // the reference's store_document appends to a directory it never
+    // explicitly created (delta_lake.py:31-36) — Delta creates the table
+    // on first append, and so does graftdelta (ADVICE r14)
+    val path = tmp("graft_delta_create") + "/tbl"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.format("graftdelta").mode("append").save(path)
+    assert(DeltaLogStore.latestVersion(path) == 0L)
+    // version 0 adopted the data's schema via the metaData header
+    assert(spark.read.format("graftdelta").load(path)
+      .schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("k", "long"), ("s", "string")))
+    assert(spark.read.format("graftdelta").load(path)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // subsequent appends extend the created table as usual
+    Seq((3L, "c")).toDF("k", "s")
+      .write.format("graftdelta").mode("append").save(path)
+    assert(DeltaLogStore.latestVersion(path) == 1L)
+    assert(spark.read.format("graftdelta").load(path).count() == 3L)
+    // first OVERWRITE on a fresh directory also creates (nothing to
+    // remove, version 0 carries only adds)
+    val path2 = tmp("graft_delta_create2") + "/tbl"
+    Seq((9L, "z")).toDF("k", "s")
+      .write.format("graftdelta").mode("overwrite").save(path2)
+    assert(DeltaLogStore.latestVersion(path2) == 0L)
+    assert(spark.read.format("graftdelta").load(path2)
+      .as[(Long, String)].collect().toSet == Set((9L, "z")))
+    // READS of a never-created table still fail loudly...
     val e = intercept[Exception] {
-      Seq((1L, "x")).toDF("k", "s")
-        .write.format("graftdelta").mode("append").save(tmp("graft_delta_w2"))
+      spark.read.format("graftdelta").load(tmp("graft_delta_nope")).collect()
     }
     assert(e.getMessage.contains("no graftdelta log"), e.getMessage)
+    // ...and time travel cannot target a table that was never created
+    val e2 = intercept[Exception] {
+      Seq((1L, "x")).toDF("k", "s").write.format("graftdelta")
+        .option("versionAsOf", 0L).mode("append").save(tmp("graft_delta_nope2"))
+    }
+    assert(e2.getMessage.contains("never created"), e2.getMessage)
     ()
   }
 

@@ -43,7 +43,11 @@ import sys
 # arms bench_gate's envelope-tighten rule (ADVICE r13), and the first
 # under the adaptive-pass-2 harness (most reads single-draw, so the
 # envelopes carry the honest single-draw spread the gate will see)
-DEFAULT_REFS = ["HEAD", "5bd5f02", "4f539a4"]
+# all three refs are IMMUTABLE SHAs (ADVICE r14: "HEAD" silently moved
+# with every new commit, so regenerated envelopes drifted from the
+# documented draw set): 1b1e544 is the commit that recorded draw 2 / the
+# committed gate baseline.
+DEFAULT_REFS = ["1b1e544", "5bd5f02", "4f539a4"]
 
 
 def load_ref(ref):
