@@ -317,6 +317,46 @@ object Clustering {
     }.reduce(_ + _)
   }
 
+  /** PQ-ADC candidate stream for all-corpus mutual-NN (VERDICT r14 Next
+    * #4): every vector — as a query, by its quantized `_qv` — scans the
+    * BROADCAST 8-byte code frame row-locally and keeps only its ADC
+    * top-`m`. The broadcast nested-loop join is narrow (no exchange of
+    * the scored stream), and the per-src top-m runs through a BOUNDED
+    * typed aggregator whose map-side combine reduces each partition to
+    * ≤ m rows per src before any shuffle — so the candidate stage ships
+    * ~n·m slim (src, dst) pairs where the dense LSH belt shuffles a
+    * vector-width stream. Compute is n²/p codegen'd ADC sums per task:
+    * the dense regime's physics, deliberately paid in CPU against codes
+    * instead of shuffle against vectors (the [[pqTopK]] "codes fit RAM"
+    * premise; at 100 TB the code frame is the only corpus-sized
+    * broadcast, 8 B/vector). Ordering ties break toward the smaller
+    * dst, matching the exact-verify tie rule downstream. Output:
+    * (src, dst), self-matches excluded. */
+  def pqAdcCandidates(
+      enc: DataFrame, // (idCol, code) from pqEncode
+      qq: DataFrame, // (idCol, _qv) quantized queries
+      idCol: String,
+      books: Array[Array[Array[Long]]],
+      dims: Int,
+      m: Int): DataFrame = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val scored = qq.select(col(idCol).as("src"), col("_qv"))
+      .crossJoin(broadcast(enc.select(col(idCol).as("_dst"), col("code"))))
+      .filter(col("src") =!= col("_dst"))
+      .select(col("src"), adcDist(books, dims).as("_dist"), col("_dst"))
+      .as[(Long, Long, Long)]
+    // rank = ADC position (1-based, ascending distance, ties → smaller
+    // dst): a top-m' for any m' <= m is the rank <= m' prefix, which is
+    // what lets mutualNnTuned price several budgets off ONE scan
+    scored.groupByKey(_._1)
+      .agg(new TopMByDist(m).toColumn)
+      .flatMap { case (src, tops) =>
+        tops.iterator.zipWithIndex.map { case (t, i) => (src, t._2, i + 1) }
+      }
+      .toDF("src", "dst", "rank")
+  }
+
   /** IVF-PQ (Jégou et al. 2011 §V — the FAISS `IVFx,PQy` architecture):
     * a coarse inverted file restricts the search to `nprobe` probed
     * buckets, and within them ranking runs on 8-byte PQ codes via ADC —
@@ -489,4 +529,32 @@ object Clustering {
     base.unpersist()
     chosen.toSeq.toDF("round", "center_id", "sel_sim_ppm")
   }
+}
+
+/** Bounded top-m typed aggregator over (src, dist, dst) rows: keeps the
+  * m smallest (dist, dst) pairs in ascending tuple order (ties toward
+  * the smaller dst, matching the exact-verify tie rule). The buffer
+  * never exceeds m entries, so PARTIAL (map-side) aggregation bounds
+  * the per-group shuffle at m rows — the whole point vs a window rank,
+  * which exchanges the full scored stream before it can rank anything. */
+private[operators] class TopMByDist(m: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  require(m > 0, s"top-m needs m > 0: $m")
+  // invariant: buffers are ascending-sorted and at most m long
+  override def zero: Seq[(Long, Long)] = Nil
+  override def reduce(
+      b: Seq[(Long, Long)], a: (Long, Long, Long)): Seq[(Long, Long)] = {
+    val cand = (a._2, a._3)
+    if (b.lengthCompare(m) >= 0 && Ordering[(Long, Long)].lteq(b.last, cand)) b
+    else (cand +: b).sorted.take(m)
+  }
+  override def merge(
+      x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (x ++ y).sorted.take(m)
+  override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
 }

@@ -225,7 +225,24 @@ object Similarity {
     // corpus pinned one task for 50+ min). Repartitioning the slim
     // (src, dst) stream by src spreads the verify across the cluster
     // and the argmax reuses the same partitioning.
-    val cands = lshCand.fold(ivfCand)(ivfCand.unionByName).repartition(col("src"))
+    val cands = lshCand.fold(ivfCand)(ivfCand.unionByName)
+    mutualFromCandidates(cands, corpusN, idCol, vecCol)
+  }
+
+  /** Exact-cosine verify + per-side argmax + mutual filter over a slim
+    * (src, dst) candidate stream — the shared tail of every mutual-NN
+    * candidate generator ([[mutualNnPairsAnn]], [[mutualNnPairsPq]]).
+    * Repartitions the candidate stream by src first (r12 probe finding:
+    * the generators' bucket joins otherwise leave a skewed bucket's
+    * verify dot products on one core); verify joins touch vectors only
+    * at candidate cardinality; top-1 is one map-side-combinable argmax
+    * with the brute path's tie rule (ties → smaller dst). */
+  private def mutualFromCandidates(
+      candidates: DataFrame,
+      corpusN: DataFrame, // (idCol, vecCol, _n)
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val cands = candidates.repartition(col("src"))
     // exact verify on candidates only; top-1 = one map-side argmax
     // (ties → smaller dst, matching the brute row_number order)
     val top1 = cands
@@ -244,6 +261,41 @@ object Similarity {
           col("a.src") < col("a.dst"))
       .select(col("a.src").as("id_a"), col("a.dst").as("id_b"),
         col("a.sim_ppm").as("sim_ppm"))
+  }
+
+  /** [[mutualNnPairs]] on PQ ASYMMETRIC-DISTANCE candidates (VERDICT r14
+    * Next #4) — the dense regime's cheap candidate generator: the corpus
+    * is represented by 8-byte PQ codes (trained once per corpus and
+    * cached by [[Clustering.pqEncode]]), every vector scans the
+    * BROADCAST code frame row-locally and keeps its ADC top-`m`, and
+    * only those n·m slim (src, dst) pairs reach a shuffle (bounded
+    * typed aggregation — see [[Clustering.pqAdcCandidates]]). Compute
+    * stays n²/p per task — the dense regime's physics on near-random
+    * embeddings — but the candidate stage ships codes, never the
+    * vector-width n² stream the 16/8 multi-probe belt shuffles at this
+    * operating point (the r13/r14 CandProbe 24.4x-at-5x contract).
+    * Exact-cosine verify + the mutual filter are [[mutualFromCandidates]]
+    * — byte-identical to every other path. Recall is NOT structural
+    * (quantization can demote a true top-1 past rank m): the point must
+    * be EARNED per corpus by [[mutualNnTuned]]'s sample parity check at
+    * half the candidate budget (m/2) before this path runs. */
+  def mutualNnPairsPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      subspaces: Int = 8,
+      kCodes: Int = 16,
+      iters: Int = 2,
+      m: Int = 16): DataFrame = {
+    val (enc, books) = Clustering.pqEncode(
+      corpus, idCol, vecCol, dims, subspaces, kCodes, iters)
+    val qq = corpus.select(col(idCol),
+      Clustering.quantizeMils(col(vecCol)).as("_qv"))
+    val corpusN = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_n", l2norm(col(vecCol)))
+    val cands = Clustering.pqAdcCandidates(enc, qq, idCol, books, dims, m)
+    mutualFromCandidates(cands, corpusN, idCol, vecCol)
   }
 
   /** Random-hyperplane signatures: bit j = sign of Σᵢ vᵢ·hᵢⱼ where the
@@ -555,7 +607,14 @@ object Similarity {
     * The decision prints one stderr line (`[graft] mutualNnTuned: ...`)
     * so any probe run can attribute which regime a corpus earned.
     * `fallbackCentroids = -1` derives [[clusterCount]] from the corpus
-    * count. All design collects are bounded (~500-vector sample). */
+    * count. All design collects are bounded (~500-vector sample).
+    *
+    * The earned decision is CACHED in a ledger keyed by a corpus
+    * fingerprint — row count + order-independent bit_xor of
+    * xxhash64(id, vec), one aggregate pass that doubles as the count —
+    * plus the parameter tuple (VERDICT r14 Next #3): repeat invocations
+    * over the same corpus skip the design jobs entirely, any content or
+    * parameter change misses and re-earns the regime at runtime. */
   def mutualNnTuned(
       corpus: DataFrame,
       idCol: String,
@@ -564,47 +623,216 @@ object Similarity {
       configs: Seq[(Int, Int)] = Seq((16, 8), (16, 4), (8, 4), (8, 2)),
       fallbackCentroids: Int = -1,
       fallbackNprobe: Int = 1): DataFrame = {
-    val n = corpus.count()
+    def phase[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[graft] mutualNnTuned phase $label: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // ---- tuning-decision ledger (VERDICT r14 Next #3): the design
+    // sample, centroids, sample-brute pairs and rhpTuning table used to
+    // be recomputed on EVERY invocation — a stable ~6 s regression at
+    // sf0.1 for a decision that is a pure function of (corpus content,
+    // tuning parameters). The decision is cached keyed by a corpus
+    // FINGERPRINT (row count + order-independent bit_xor of
+    // xxhash64(id, vec) — one cheap aggregate that also replaces the
+    // count() pass) plus the parameter tuple; any corpus or parameter
+    // change misses and re-earns the regime. The ledger lives beside the
+    // staging tree (wiped with the store root, so every full bench sweep
+    // still earns pass 1 cold — re-draws and later sessions hit).
+    val fp = phase("fingerprint")(
+      corpus.select(xxhash64(col(idCol), col(vecCol)).as("h"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head())
+    val n = fp.getLong(0)
     val nC = clusterCount(n)
     val fbC = if (fallbackCentroids > 0) fallbackCentroids else nC
-    val sampleMod = math.max(4L, n / 500L)
-    val sample = corpus.filter(pmod(col(idCol), lit(sampleMod)) === 1L)
-    val cent = ivfCentroids(corpus, idCol, vecCol, nC)
-    val sampleBrute = mutualNnPairs(sample, idCol, vecCol)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val sampleIvf = mutualNnPairsAnn(sample, idCol, vecCol,
-        nCentroids = nC, nprobe = 1, bands = 0, centroids = Some(cent))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    if (sampleIvf == sampleBrute && sampleBrute.nonEmpty) {
-      System.err.println(s"[graft] mutualNnTuned: IVF-only " +
-        s"(sample ${sampleBrute.size} mutual pairs, full parity)")
-      mutualNnPairsAnn(corpus, idCol, vecCol,
-        nCentroids = nC, nprobe = 1, bands = 0)
-    } else {
-      val design = rhpTuning(sample, idCol, vecCol, configs, thresholdPpm)
-        .collect() // bounded: one row per config
-      val full = design.filter { r =>
-        r.getAs[Long]("n_true") > 0L &&
-          !r.isNullAt(r.fieldIndex("recall_ppm")) &&
-          r.getAs[Long]("recall_ppm") == 1000000L
-      }
-      if (full.nonEmpty) {
-        val best = full.minBy(r => (r.getAs[Long]("n_candidates"),
-          r.getAs[Long]("nbits"), r.getAs[Long]("bands")))
-        val (nb, bd) =
-          (best.getAs[Long]("nbits").toInt, best.getAs[Long]("bands").toInt)
-        System.err.println(s"[graft] mutualNnTuned: belt ($nb, $bd) " +
-          s"(cheapest full-recall of ${full.length}/${design.length} configs)")
+    val ledgerKey = {
+      val params = s"$thresholdPpm|${configs.mkString(",")}|$fbC|$fallbackNprobe"
+      f"${n}%d_${fp.getLong(1)}%016x_${java.util.UUID.nameUUIDFromBytes(
+        params.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)}"
+    }
+    val ledgerDir = new java.io.File(
+      s"${graft.store.SnapshotStore.root}/_mnn_tune")
+    val ledgerFile = new java.io.File(ledgerDir, s"$ledgerKey.txt")
+    def runDecision(decision: String): DataFrame = decision.split(":") match {
+      case Array("ivf") =>
         mutualNnPairsAnn(corpus, idCol, vecCol,
-          nCentroids = nC, nprobe = 1, nbits = nb, bands = bd, multiProbe = false)
-      } else {
-        System.err.println(s"[graft] mutualNnTuned: dense fallback " +
-          s"(sample demanded it: ivf parity=${sampleIvf == sampleBrute}, " +
-          s"truth pairs=${design.headOption.map(_.getAs[Long]("n_true")).getOrElse(-1L)})")
+          nCentroids = nC, nprobe = 1, bands = 0)
+      case Array("belt", nb, bd) =>
+        mutualNnPairsAnn(corpus, idCol, vecCol, nCentroids = nC, nprobe = 1,
+          nbits = nb.toInt, bands = bd.toInt, multiProbe = false)
+      case Array("pq", dims, sub, kc, it, mm) =>
+        mutualNnPairsPq(corpus, idCol, vecCol, dims.toInt,
+          subspaces = sub.toInt, kCodes = kc.toInt, iters = it.toInt,
+          m = mm.toInt)
+      case Array("dense") =>
         mutualNnPairsAnn(corpus, idCol, vecCol,
           nCentroids = fbC, nprobe = fallbackNprobe,
           nbits = 16, bands = 8, multiProbe = true)
-      }
+      case other => throw new IllegalStateException(
+        s"corrupt mutualNnTuned ledger entry: ${other.mkString(":")}")
+    }
+    val cachedDecision: Option[String] =
+      if (!ledgerFile.isFile) None
+      else Some(new String(java.nio.file.Files.readAllBytes(ledgerFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    cachedDecision match {
+      case Some(decision) =>
+        System.err.println(
+          s"[graft] mutualNnTuned: $decision (ledger hit $ledgerKey)")
+        runDecision(decision)
+      case None =>
+        val sampleMod = math.max(4L, n / 500L)
+        val sample = corpus.filter(pmod(col(idCol), lit(sampleMod)) === 1L)
+        val cent = ivfCentroids(corpus, idCol, vecCol, nC)
+        val sampleBrute = phase("sampleBrute")(
+          mutualNnPairs(sample, idCol, vecCol)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+        val sampleIvf = phase("sampleIvf")(
+          mutualNnPairsAnn(sample, idCol, vecCol,
+            nCentroids = nC, nprobe = 1, bands = 0, centroids = Some(cent))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+        val decision =
+          if (sampleIvf == sampleBrute && sampleBrute.nonEmpty) {
+            System.err.println(s"[graft] mutualNnTuned: IVF-only " +
+              s"(sample ${sampleBrute.size} mutual pairs, full parity)")
+            "ivf"
+          } else {
+            val design = phase("design")(
+              rhpTuning(sample, idCol, vecCol, configs, thresholdPpm)
+                .collect()) // bounded: one row per config
+            val full = design.filter { r =>
+              r.getAs[Long]("n_true") > 0L &&
+                !r.isNullAt(r.fieldIndex("recall_ppm")) &&
+                r.getAs[Long]("recall_ppm") == 1000000L
+            }
+            if (full.nonEmpty) {
+              val best = full.minBy(r => (r.getAs[Long]("n_candidates"),
+                r.getAs[Long]("nbits"), r.getAs[Long]("bands")))
+              val (nb, bd) =
+                (best.getAs[Long]("nbits").toInt, best.getAs[Long]("bands").toInt)
+              System.err.println(s"[graft] mutualNnTuned: belt ($nb, $bd) " +
+                s"(cheapest full-recall of ${full.length}/${design.length} configs)")
+              s"belt:$nb:$bd"
+            } else {
+              // PQ-ADC pricing before the dense registered default
+              // (VERDICT r14 Next #4): codes come from the PRODUCTION
+              // quantizer (trained on the corpus, cached per path), and
+              // the sample must reach exact mutual-pair parity at HALF
+              // the production candidate budget (m/2 = 8 of m = 16) —
+              // the margin that buys headroom between a sample-priced
+              // point and the corpus run. Parity => the corpus runs on
+              // code-width candidates; any miss => the vector-width
+              // dense belt keeps the recall contract.
+              val pqDecision = phase("pqParity") {
+                val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+                val (sub, kc, it) = (8, 16, 2)
+                val budgets = Seq(8, 16, 32, 64) // half-budgets priced
+                if (dims % sub != 0 || sampleBrute.isEmpty) None
+                else {
+                  val qqS = sample.select(col(idCol),
+                    Clustering.quantizeMils(col(vecCol)).as("_qv"))
+                  val sampleN = sample.select(col(idCol), col(vecCol))
+                    .withColumn("_n", l2norm(col(vecCol)))
+                  def missAt(ranked: DataFrame, mHalf: Int): (Int, Int) = {
+                    val samplePq = mutualFromCandidates(
+                      ranked.filter(col("rank") <= mHalf)
+                        .select(col("src"), col("dst")),
+                      sampleN, idCol, vecCol)
+                      .collect()
+                      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+                      .toSet
+                    ((sampleBrute diff samplePq).size,
+                      (samplePq diff sampleBrute).size)
+                  }
+                  // CHEAP pre-check against the OPTIMISTIC bound: a
+                  // quantizer trained on the sample itself, encoding
+                  // exactly the vectors it trained on — the most
+                  // favorable codebook PQ can have for this probe. If
+                  // even that misses > 5% of the sample's mutual pairs
+                  // at the smallest budget, the production (corpus-
+                  // trained) quantizer cannot do better and the
+                  // refutation closes without ever training on the
+                  // corpus (the expensive step this phase used to pay).
+                  val (encPre, booksPre) = Clustering.pqEncode(
+                    sample, idCol, vecCol, dims, sub, kc, it)
+                  val preRanked = Clustering.pqAdcCandidates(
+                    encPre, qqS, idCol, booksPre, dims, budgets.head)
+                  val (preMiss, preSpur) = missAt(preRanked, budgets.head)
+                  System.err.println(s"[graft] mutualNnTuned pq parity " +
+                    s"PRE (in-sample books) m/2=${budgets.head}: " +
+                    s"missed=$preMiss spurious=$preSpur of " +
+                    s"${sampleBrute.size} sample mutual pairs")
+                  if (preMiss > math.max(1, sampleBrute.size / 20)) None
+                  else {
+                    // the pre-check survived: price the PRODUCTION
+                    // quantizer (corpus-trained) — ONE ADC scan at the
+                    // largest half-budget; each smaller budget is its
+                    // rank-prefix (pqAdcCandidates contract). Ascending
+                    // sweep with an early exit: measured on the
+                    // near-random fixture, quadrupling the budget only
+                    // HALVES the missed pairs (93→75→57→33 of 121 at
+                    // 8/16/32/64) — once a budget misses > 5% of pairs,
+                    // zero misses is out of reach this side of brute.
+                    val (encC, books) = Clustering.pqEncode(
+                      corpus, idCol, vecCol, dims, sub, kc, it)
+                    val encS = encC
+                      .filter(pmod(col(idCol), lit(sampleMod)) === 1L)
+                    val ranked = graft.store.Staging.stage(
+                      Clustering.pqAdcCandidates(encS, qqS, idCol, books,
+                        dims, budgets.max),
+                      "mnn_pq_parity")
+                    var verdict: Option[String] = None
+                    var hopeless = false
+                    budgets.iterator
+                      .takeWhile(_ => verdict.isEmpty && !hopeless)
+                      .foreach { mHalf =>
+                        val (miss, spur) = missAt(ranked, mHalf)
+                        System.err.println(s"[graft] mutualNnTuned pq " +
+                          s"parity m/2=$mHalf: missed=$miss spurious=$spur " +
+                          s"of ${sampleBrute.size} sample mutual pairs")
+                        if (miss == 0 && spur == 0)
+                          verdict = Some(s"pq:$dims:$sub:$kc:$it:${mHalf * 2}")
+                        else if (miss > math.max(1, sampleBrute.size / 20))
+                          hopeless = true
+                      }
+                    verdict
+                  }
+                }
+              }
+              pqDecision match {
+                case Some(d) =>
+                  System.err.println(s"[graft] mutualNnTuned: $d " +
+                    s"(sample parity at half budget, " +
+                    s"${sampleBrute.size} mutual pairs)")
+                  d
+                case None =>
+                  System.err.println(s"[graft] mutualNnTuned: dense fallback " +
+                    s"(sample demanded it: ivf parity=${sampleIvf == sampleBrute}, " +
+                    s"truth pairs=${design.headOption.map(_.getAs[Long]("n_true")).getOrElse(-1L)}, " +
+                    s"pq parity=false)")
+                  "dense"
+              }
+            }
+          }
+        // atomic publish (tmp + move) so a killed run never leaves a
+        // half-written entry
+        ledgerDir.mkdirs()
+        val tmp = new java.io.File(ledgerDir, s".$ledgerKey.tmp")
+        java.nio.file.Files.write(tmp.toPath,
+          (decision + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try java.nio.file.Files.move(tmp.toPath, ledgerFile.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch {
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            java.nio.file.Files.move(tmp.toPath, ledgerFile.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+        }
+        runDecision(decision)
     }
   }
 

@@ -675,4 +675,96 @@ class SimilaritySpec extends SparkSpec {
     assert(got == brute,
       s"missing=${(brute diff got).size} spurious=${(got diff brute).size}")
   }
+
+  test("pqAdcCandidates: equals the full ADC ranking's top-m; self excluded; rank-prefix") {
+    import graft.operators.Clustering
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (enc, books) = Clustering.pqEncode(emb, "vec_id", "embedding", 64, 8, 16, 2)
+    val qq = emb.select($"vec_id", Clustering.quantizeMils($"embedding").as("_qv"))
+    val m = 5
+    val cands = Clustering.pqAdcCandidates(enc, qq, "vec_id", books, 64, m)
+      .as[(Long, Long, Int)].collect()
+    assert(cands.forall(c => c._1 != c._2), "self-match leaked into candidates")
+    val bySrc = cands.groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    assert(bySrc.values.forall(_.length <= m))
+    // ranks are the contiguous 1..len prefix — filtering rank <= m' IS
+    // the top-m' (the budget-sweep contract)
+    assert(bySrc.values.forall(r => r.map(_._3).toSeq == (1 to r.length)))
+    // oracle: the FULL ADC ranking over the same codes/books (pqTopK at
+    // topK = n), self rows dropped, re-ranked by (dist, id) — the top-m
+    // prefix per src must match candidates and ranks exactly
+    val n = emb.count().toInt
+    val full = Clustering.pqTopK(enc,
+        qq.select($"vec_id".as("q"), $"_qv"), "q", "vec_id", books, 64, n)
+      .filter($"q" =!= $"vec_id")
+      .select($"q", $"vec_id", $"adc_dist").as[(Long, Long, Long)].collect()
+    val oracle = full.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(r => (r._3, r._2)).take(m).toSeq
+        .zipWithIndex.map { case (r, i) => (r._2, i + 1) }
+    }
+    assert(bySrc.keySet == oracle.keySet)
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(r => (r._2, r._3)).toSeq == oracle(src),
+        s"src=$src: ${rows.toSeq} vs ${oracle(src)}")
+    }
+  }
+
+  test("mutualNnPairsPq == brute when clusters fit the candidate budget") {
+    // 3 tight, far-apart clusters of 4 vectors in 8 dims with paired
+    // jitters: per cluster the mutual top-1 pairs are (c, c+3) and
+    // (c+6, c+9). Quantization may collapse a cluster to one code, but
+    // with m >= cluster size the ADC top-m always contains the true
+    // top-1, so exact verify + the mutual filter reproduce brute.
+    val base = Seq(
+      Array(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 0f, 10f, 0f, 0f))
+    val jit = Seq(0f, 0.001f, 0.5f, 0.501f)
+    val vecs = (0 until 12).map { i =>
+      val b = base(i % 3).clone()
+      b(7) = jit(i / 3)
+      (i.toLong, b.toSeq)
+    }.toDF("id", "vec")
+    val brute = Similarity.mutualNnPairs(vecs, "id", "vec")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.size == 6, s"fixture drifted: $brute")
+    val got = Similarity.mutualNnPairsPq(vecs, "id", "vec", dims = 8,
+        subspaces = 4, kCodes = 4, iters = 2, m = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute,
+      s"missing=${(brute diff got).size} spurious=${(got diff brute).size}")
+  }
+
+  test("mutualNnTuned ledger: earned once, hit reproduces, content-keyed") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = new java.io.File(
+      s"${graft.store.SnapshotStore.root}/_mnn_tune")
+    graft.store.SnapshotStore.deleteRecursively(dir)
+    def entries() = Option(dir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".txt"))
+    val r1 = Similarity.mutualNnTuned(emb, "vec_id", "embedding",
+        fallbackCentroids = 8, fallbackNprobe = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(entries().length == 1, "first invocation must earn ONE entry")
+    val decision = new String(java.nio.file.Files.readAllBytes(
+      entries().head.toPath)).trim
+    // the near-random fixture demands the dense fallback (and the PQ
+    // pre-check must have refuted, not earned, on it)
+    assert(decision == "dense", decision)
+    // ledger hit: same corpus, same frame, no new entry
+    val r2 = Similarity.mutualNnTuned(emb, "vec_id", "embedding",
+        fallbackCentroids = 8, fallbackNprobe = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r2 == r1)
+    assert(entries().length == 1)
+    // content-keyed: a perturbed corpus fingerprints differently and
+    // earns its own entry
+    val emb2 = emb.withColumn("embedding",
+      transform($"embedding", x => x + lit(1.0f)))
+    Similarity.mutualNnTuned(emb2, "vec_id", "embedding",
+        fallbackCentroids = 8, fallbackNprobe = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(entries().length == 2, "perturbed corpus must earn a new entry")
+  }
 }
