@@ -904,7 +904,17 @@ object ScaleProbe {
     // the oriented triangle join fits a broadcast at 1x/5x but not 25x —
     // pin the SMJ regime at every scale (at 100 TB a node-degree frame
     // never broadcasts; the q_acf precedent).
-    "q_triangle_count" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    "q_triangle_count" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    // Round-15 expfit sweep (VERDICT r14 Next #5) — the rest of the
+    // heavy-shuffle graph family gets the q_triangle_count treatment:
+    // their per-round degree/survivor/frontier frames flip between
+    // broadcast and SMJ across 1x/5x/25x, and only the SMJ regime
+    // exists at 100 TB.
+    "q_kcore" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    "q_harmonic_centrality" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    "q_ktruss" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    "q_clustering_coeff" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    "q_bfs_hops" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
   )
 
   /** Probe-only SCALED twins for expfit (VERDICT r13 Next #6): a

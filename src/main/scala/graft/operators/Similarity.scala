@@ -421,6 +421,61 @@ object Similarity {
     ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol, k, nprobe)
   }
 
+  /** FILTERED ANN search with the pre-filter RECALL CONTRACT (VERDICT
+    * r14 Next #8): top-k over only the vectors satisfying `pred`, on
+    * the inverted file. Two decisions make the pre-filter path sound
+    * under selective predicates:
+    *
+    *  1. The quantizer stays FULL-CORPUS (centroid seeds and probe
+    *     ranking never see the predicate) — filtering the quantizer
+    *     itself would re-shape buckets per predicate and orphan
+    *     survivor clusters (and make every filter a retrain at 100 TB).
+    *     Only the POSTINGS are filtered, which at scale is a pushed
+    *     predicate on the postings index scan.
+    *  2. nprobe WIDENS inversely with the measured survivor fraction:
+    *     nprobeEff = min(nC, nprobe · ceil(total / survivors)) — a
+    *     predicate keeping 1/s of the corpus thins every probed bucket
+    *     ~s×, so holding the EXPECTED surviving-candidate count needs
+    *     s× the buckets. At the cap (nprobeEff = nC) the probe set
+    *     covers every bucket and the search is EXACT over survivors —
+    *     the correct degenerate for highly selective predicates, where
+    *     the survivor set is small enough to scan outright. Without the
+    *     widening, a fixed nprobe inspects ~1/s the candidates and
+    *     recall decays with selectivity (measured by
+    *     q_ann_filtered_selective's naive-vs-contract census).
+    *
+    * The widening derives from two count aggregates (one job) —
+    * statistics a production table already has. `widen` overrides the
+    * derived factor (widen = 1 reproduces the naive fixed-nprobe path
+    * the census prices). */
+  def annFilteredTopK(
+      corpus: DataFrame,
+      pred: Column,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nCentroids: Int = 8,
+      nprobe: Int = 2,
+      widen: Option[Long] = None): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    val factor = widen.getOrElse {
+      val r = corpus.agg(count(lit(1)).as("n"),
+        count(when(pred, lit(1))).as("s")).head()
+      val (n, s) = (r.getLong(0), r.getLong(1))
+      require(s > 0, "annFilteredTopK: predicate keeps no vectors")
+      (n + s - 1) / s
+    }
+    val nprobeEff = math.min(nCentroids.toLong, nprobe * factor).toInt
+    val corpusN = corpus.filter(pred).select(col(idCol), col(vecCol))
+      .withColumn("_n", l2norm(col(vecCol)))
+    val assigned = ivfAssign(corpusN, cent, idCol, vecCol)
+    ivfSearch(assigned, cent, queries, idCol, vecCol, qIdCol, qVecCol,
+      k, nprobeEff)
+  }
+
 
   // --------- clustered-embedding fixture + ANN operating-point tuning ---
   // (VERDICT r12 Next #3: price the ANN SPARSE regime — the benchmark's

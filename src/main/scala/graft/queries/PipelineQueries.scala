@@ -1490,6 +1490,115 @@ object PipelineQueries {
              |         AS recall_post_ppm
              |FROM q ORDER BY q_id""".stripMargin)),
 
+    // Pre-filter ANN recall CONTRACT under a SELECTIVE predicate
+    // (VERDICT r14 Next #8): q_ann_filtered above prices a mild mod-2
+    // filter; this census prices a 1/16-selective one, where the
+    // pre-filter path's fixed nprobe inspects ~1/16 the candidates per
+    // probed bucket and recall decays. The CONTRACT (annFilteredTopK's
+    // scaladoc): keep the FULL-corpus quantizer, filter only the
+    // postings, and widen nprobe inversely with the measured survivor
+    // fraction — nprobeEff = min(nC, nprobe · ceil(total/survivors)).
+    // At the cap the probe set covers every bucket and the filtered
+    // search is EXACT over survivors (the correct degenerate when the
+    // survivor set is scan-small). Output per query: brute-filtered
+    // truth size, hits of the naive (widen=1) and contract paths, and
+    // both recall ppms — the oracle replays quantizer, widening
+    // arithmetic and both paths deterministically.
+    Q("q_ann_filtered_selective",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pred = pmod(col("vec_id"), lit(16L)) === 1L
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val truth = Similarity.topKExact(emb.filter(pred), queries,
+          "vec_id", "embedding", "q_id", "q_vec", 10)
+        val naive = Similarity.annFilteredTopK(emb, pred, queries,
+          "vec_id", "embedding", "q_id", "q_vec", 10,
+          nCentroids = 8, nprobe = 2, widen = Some(1L))
+        val contract = Similarity.annFilteredTopK(emb, pred, queries,
+          "vec_id", "embedding", "q_id", "q_vec", 10,
+          nCentroids = 8, nprobe = 2)
+        def hits(path: org.apache.spark.sql.DataFrame, as: String) =
+          truth.select(col("q_id"), col("vec_id"))
+            .join(path.select(col("q_id"), col("vec_id")),
+              Seq("q_id", "vec_id"), "left_semi")
+            .groupBy(col("q_id")).agg(count(lit(1)).as(as))
+        truth.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+          .join(hits(naive, "n_naive_hit"), Seq("q_id"), "left")
+          .join(hits(contract, "n_contract_hit"), Seq("q_id"), "left")
+          .na.fill(0L, Seq("n_naive_hit", "n_contract_hit"))
+          .withColumn("recall_naive_ppm",
+            expr("n_naive_hit * 1000000 DIV n_true"))
+          .withColumn("recall_contract_ppm",
+            expr("n_contract_hit * 1000000 DIV n_true"))
+          .orderBy("q_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
+             |cent AS (SELECT vec_id AS cid, ve AS cv, nn AS cn FROM n WHERE vec_id < 8),
+             |f AS (SELECT * FROM n WHERE vec_id % 16 = 1),
+             |wd AS (SELECT least(CAST(8 AS BIGINT),
+             |         2 * (((SELECT count(*) FROM n) + (SELECT count(*) FROM f) - 1)
+             |              // (SELECT count(*) FROM f))) AS np),
+             |q AS (SELECT vec_id AS q_id, ve AS qv, nn AS qn FROM n WHERE vec_id < 5),
+             |ts AS (SELECT q.q_id, f.vec_id,
+             |         CAST(floor(list_dot_product(f.ve, q.qv) / (f.nn * q.qn)
+             |              * 1000000.0) AS BIGINT) AS sim_ppm
+             |       FROM q JOIN f ON q.q_id <> f.vec_id),
+             |truth AS (SELECT q_id, vec_id FROM ts
+             |          QUALIFY row_number() OVER (PARTITION BY q_id
+             |                  ORDER BY sim_ppm DESC, vec_id) <= 10),
+             |asg AS (
+             |  SELECT f.vec_id, f.ve, f.nn,
+             |    -((max(struct_pack(s := CAST(floor(list_dot_product(f.ve, cent.cv)
+             |                                       / (f.nn * cent.cn) * 1000000.0) AS BIGINT),
+             |                       nc := -cent.cid))).nc) AS cid
+             |  FROM f, cent GROUP BY f.vec_id, f.ve, f.nn),
+             |prq AS (
+             |  SELECT q.q_id, cent.cid,
+             |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |      CAST(floor(list_dot_product(q.qv, cent.cv)
+             |                 / (q.qn * cent.cn) * 1000000.0) AS BIGINT) DESC,
+             |      cent.cid) AS pno
+             |  FROM q, cent),
+             |candc AS (
+             |  SELECT q.q_id, a.vec_id,
+             |    CAST(floor(list_dot_product(a.ve, q.qv) / (a.nn * q.qn)
+             |         * 1000000.0) AS BIGINT) AS sim_ppm
+             |  FROM asg a
+             |  JOIN (SELECT q_id, cid FROM prq WHERE pno <= (SELECT np FROM wd)) p
+             |    ON a.cid = p.cid
+             |  JOIN q ON q.q_id = p.q_id WHERE a.vec_id <> q.q_id),
+             |pathc AS (SELECT q_id, vec_id FROM candc
+             |          QUALIFY row_number() OVER (PARTITION BY q_id
+             |                  ORDER BY sim_ppm DESC, vec_id) <= 10),
+             |candn AS (
+             |  SELECT q.q_id, a.vec_id,
+             |    CAST(floor(list_dot_product(a.ve, q.qv) / (a.nn * q.qn)
+             |         * 1000000.0) AS BIGINT) AS sim_ppm
+             |  FROM asg a
+             |  JOIN (SELECT q_id, cid FROM prq WHERE pno <= 2) p ON a.cid = p.cid
+             |  JOIN q ON q.q_id = p.q_id WHERE a.vec_id <> q.q_id),
+             |pathn AS (SELECT q_id, vec_id FROM candn
+             |          QUALIFY row_number() OVER (PARTITION BY q_id
+             |                  ORDER BY sim_ppm DESC, vec_id) <= 10),
+             |hitsn AS (SELECT t.q_id, count(*) AS h FROM truth t
+             |          JOIN pathn p ON t.q_id = p.q_id AND t.vec_id = p.vec_id
+             |          GROUP BY 1),
+             |hitsc AS (SELECT t.q_id, count(*) AS h FROM truth t
+             |          JOIN pathc p ON t.q_id = p.q_id AND t.vec_id = p.vec_id
+             |          GROUP BY 1),
+             |tr AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_true
+             |       FROM truth GROUP BY 1)
+             |SELECT tr.q_id AS q_id, tr.n_true,
+             |  CAST(coalesce(hn.h, 0) AS BIGINT) AS n_naive_hit,
+             |  CAST(coalesce(hc.h, 0) AS BIGINT) AS n_contract_hit,
+             |  CAST(coalesce(hn.h, 0) * 1000000 // tr.n_true AS BIGINT) AS recall_naive_ppm,
+             |  CAST(coalesce(hc.h, 0) * 1000000 // tr.n_true AS BIGINT) AS recall_contract_ppm
+             |FROM tr LEFT JOIN hitsn hn ON tr.q_id = hn.q_id
+             |LEFT JOIN hitsc hc ON tr.q_id = hc.q_id
+             |ORDER BY tr.q_id""".stripMargin)),
+
     // Hard-example triplet mining (contrastive fine-tuning batch
     // construction): every 25th vector anchors; its hardest NEGATIVE is
     // the most-similar different-label vector, its hardest POSITIVE the
@@ -5175,6 +5284,59 @@ object PipelineQueries {
              |       coalesce(sel_id_min, -1) AS sel_id_min,
              |       coalesce(sel_id_max, -1) AS sel_id_max
              |FROM t LEFT JOIN sel USING (lang) ORDER BY lang""".stripMargin)),
+
+    // q_token_budget measured the budget in WHITESPACE words — the
+    // proxy every pre-tokenizer census uses; the model's context window
+    // consumes TRAINED-TOKENIZER tokens, and fertility differs per
+    // language (q_bpe_ratio), so a word-budget draw systematically
+    // over-serves high-fertility languages. This closes the loop
+    // (VERDICT r14 Next #8): the SAME grouped 2-pass budget selection,
+    // weighted by each document's BPE token count under the
+    // corpus-learned merges (Bpe.learn staged + Bpe.encode's broadcast
+    // vocab join — the trained-tokenizer APPLICATION at corpus scale).
+    // Scale shape unchanged: encode is one explode + broadcast join +
+    // map-side agg; the selection stays the hash-bucket histogram →
+    // driver prefix walk → boundary-bucket-only cumsum pattern.
+    Q("q_token_budget_bpe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val enc = Bpe.encode(docs, "doc_id", "text",
+          Bpe.learn(docs, "text", BpeMerges)._2)
+        graft.operators.Sampling.tokenBudgetSample(
+            docs.select(col("doc_id"), col("lang"))
+              .join(enc.select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id")),
+            col("lang"), "doc_id", col("n_bpe_tokens"))
+          .withColumnRenamed("g", "lang").orderBy("lang")
+      },
+      Some(bpeChain(BpeMerges) + s""",
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |vv AS (SELECT word,
+        |             CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS nsym
+        |      FROM w$BpeMerges),
+        |enc AS (SELECT doc_id, CAST(sum(nsym) AS BIGINT) AS n_bpe
+        |        FROM tok JOIN vv USING (word) GROUP BY 1),
+        |d AS (SELECT dd.lang, dd.doc_id, enc.n_bpe AS w,
+        |             md5(CAST(dd.doc_id AS VARCHAR)) AS h
+        |      FROM documents dd JOIN enc USING (doc_id)),
+        |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(w) AS BIGINT) AS total_w,
+        |             CAST(sum(w) // 2 AS BIGINT) AS budget_w
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT lang, doc_id, w,
+        |             sum(w) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum
+        |      FROM d),
+        |sel AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n_selected,
+        |               CAST(sum(w) AS BIGINT) AS w_selected,
+        |               CAST(sum(doc_id) AS BIGINT) AS sel_id_sum,
+        |               min(doc_id) AS sel_id_min, max(doc_id) AS sel_id_max
+        |        FROM r JOIN t USING (lang) WHERE cum <= t.budget_w GROUP BY 1)
+        |SELECT t.lang, n_docs, total_w, budget_w,
+        |       coalesce(n_selected, 0) AS n_selected,
+        |       coalesce(w_selected, 0) AS w_selected,
+        |       coalesce(sel_id_sum, 0) AS sel_id_sum,
+        |       coalesce(sel_id_min, -1) AS sel_id_min,
+        |       coalesce(sel_id_max, -1) AS sel_id_max
+        |FROM t LEFT JOIN sel USING (lang) ORDER BY lang""".stripMargin)),
 
     // DSIR-style targeted selection (Xie et al. 2023): rank the raw pool
     // by hashed-bigram resemblance to a trusted target slice (src1/src2

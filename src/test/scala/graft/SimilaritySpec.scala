@@ -735,6 +735,36 @@ class SimilaritySpec extends SparkSpec {
       s"missing=${(brute diff got).size} spurious=${(got diff brute).size}")
   }
 
+  test("annFilteredTopK: widened nprobe is exact over survivors at the cap") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = pmod($"vec_id", lit(16L)) === 1L
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val truth = Similarity.topKExact(emb.filter(pred), queries,
+        "vec_id", "embedding", "q_id", "q_vec", 10)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // 1/16 selectivity widens nprobe 2 -> min(8, 2*16) = 8 = nC: the
+    // probe set covers every bucket, so the filtered search must equal
+    // the brute-filtered top-k EXACTLY (rank, id and sim included)
+    val contract = Similarity.annFilteredTopK(emb, pred, queries,
+        "vec_id", "embedding", "q_id", "q_vec", 10,
+        nCentroids = 8, nprobe = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    assert(contract == truth,
+      s"missing=${(truth diff contract).size} spurious=${(contract diff truth).size}")
+    // the naive fixed-nprobe path is a strict candidate subset — its
+    // hits never exceed the contract path's
+    val naive = Similarity.annFilteredTopK(emb, pred, queries,
+        "vec_id", "embedding", "q_id", "q_vec", 10,
+        nCentroids = 8, nprobe = 2, widen = Some(1L))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert((naive diff contract).forall { case (q, _, id, s) =>
+      // a naive row absent from truth can only be a lower-sim filler
+      truth.exists { case (tq, _, _, ts) => tq == q && ts >= s }
+    })
+  }
+
   test("mutualNnTuned ledger: earned once, hit reproduces, content-keyed") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = new java.io.File(
