@@ -22,6 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SetOps {
 
+  // MessageDigest.getInstance does a JCA provider lookup per call —
+  // hoisted out of the per-ROW winnowing path into a thread-local
+  // (md.reset() before each gram; MessageDigest is not thread-safe)
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** static entry point for generated code. Both-empty → 0 (callers
     * shingle non-empty docs; matches the declarative NULL≈no-pair
     * treatment after the ≥threshold filter). */
@@ -129,7 +137,7 @@ object SetOps {
     }
     offs(numChars) = bytes.length
     val nGrams = numChars - k + 1
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val hex = "0123456789abcdef".toCharArray
     val hashes = new Array[String](nGrams)
     i = 0

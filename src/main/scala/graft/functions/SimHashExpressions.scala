@@ -32,10 +32,19 @@ object SimHash {
     * (bit j votes +1 iff md5 hex nibble j ≥ 8; MSB = nibble 1) — the
     * externally-reproducible oracle family. One MD5 per token, one pass
     * over the text bytes. */
+  // MessageDigest.getInstance does a JCA provider lookup — hoisted out
+  // of the per-ROW path into a thread-local (reset() before each token
+  // keeps digests independent; MessageDigest is not thread-safe, hence
+  // per-thread instances rather than one shared one)
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def simhash32Md5(text: UTF8String): Long = {
     val bytes = text.getBytes
     val votes = new Array[Int](32)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val n = bytes.length
     var start = 0
     var i = 0

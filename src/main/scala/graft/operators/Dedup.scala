@@ -173,18 +173,36 @@ object Dedup {
         .select(col(idCol), shingles.as("sh"))
         .filter(size(col("sh")) > 0),
       "lsh_tune_sh")
-    val frames = configs.map { case (b, r) =>
+    // Per-config candidate pairs staged once each; the exact-Jaccard
+    // verify then runs ONCE over the distinct union instead of once per
+    // config (configs' candidate sets overlap heavily — wider rows are
+    // near-subsets of narrower ones), so the expensive part — shuffling
+    // full shingle ARRAYS through two joins — happens one time, and each
+    // config's rollup is a pair-keyed lookup against the compact
+    // (id_a, id_b, j) frame (guide §2.3: shuffle the proxy, not the
+    // payload; §2.4: share the exchange). Numbers are unchanged: every
+    // candidate pair gets the same exact _j it was verified with before.
+    // Design-table census, not a production path: the maxBucket skew
+    // valve must be OFF here or a boilerplate-heavy corpus would make
+    // n_candidates diverge from the uncapped replay in the oracle.
+    val pairFrames = configs.map { case (b, r) =>
       val keys = transform(sequence(lit(0), lit(b - 1)),
         j => concat_ws("|", j.cast("string"),
           concat_ws(",", slice(col("sig"), j * r + 1, lit(r)))))
-      // Design-table census, not a production path: the maxBucket skew
-      // valve must be OFF here or a boilerplate-heavy corpus would make
-      // n_candidates diverge from the uncapped replay in the oracle.
-      val ver = candidatePairs(sigs, idCol, keys, maxBucket = Int.MaxValue)
+      (b, r, graft.store.Staging.stage(
+        candidatePairs(sigs, idCol, keys, maxBucket = Int.MaxValue),
+        s"lsh_tune_cand_${b}_$r"))
+    }
+    val verified = graft.store.Staging.stage(
+      pairFrames.map(_._3).reduce(_.unionByName(_)).distinct()
         .join(sh.select(col(idCol).as("id_a"), col("sh").as("_sa")), Seq("id_a"))
         .join(sh.select(col(idCol).as("id_b"), col("sh").as("_sb")), Seq("id_b"))
-        .withColumn("_j", graft.functions.SetOps.jaccardPpmCol(col("_sa"), col("_sb")))
-      ver.agg(count(lit(1)).as("n_candidates"),
+        .select(col("id_a"), col("id_b"),
+          graft.functions.SetOps.jaccardPpmCol(col("_sa"), col("_sb")).as("_j")),
+      "lsh_tune_ver")
+    val frames = pairFrames.map { case (b, r, cand) =>
+      cand.join(verified, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_candidates"),
           coalesce(sum(when(col("_j") >= thresholdPpm, 1L).otherwise(0L)), lit(0L))
             .as("n_verified"))
         .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
@@ -638,11 +656,18 @@ object Dedup {
     // variants ("aa" → both deletions give "a"). Staged once — both
     // join sides read the parquet frame instead of re-running the
     // explode (the Staging contract).
+    // variants ship as xxhash64 LONGS, not strings (guide §2.3 narrower
+    // types): the staged frame and the self-join shuffle 8 bytes per
+    // variant instead of ~len(s). A hash collision can only ADD a
+    // candidate pair, and every candidate is verified by the thresholded
+    // levenshtein below — recall stays exact (FastSS: every true pair
+    // already shares a REAL variant), spurious pairs are filtered.
     val variants = graft.store.Staging.stage(
       strs.select(col("_s"), explode(array_union(
         array(col("_s")),
         expr("transform(sequence(1, length(_s)), i -> concat(left(_s, i-1), substring(_s, i+1)))")))
-        .as("_v")),
+        .as("_v"))
+        .select(col("_s"), xxhash64(col("_v")).as("_v")),
       "fuzzy_variants")
     val pruned = maxBucket.fold(variants) { cap =>
       val hot = variants.groupBy(col("_v")).count()
@@ -699,7 +724,10 @@ object Dedup {
                |                substring(_s, i+1, j-i-1),
                |                substring(_s, j+1)))))
                |ELSE array() END""".stripMargin))))
-        .as("_v")),
+        .as("_v"))
+        // same hash-the-join-key narrowing as fuzzyPairsEd1: collisions
+        // only add verifier-filtered candidates, recall unchanged
+        .select(col("_s"), xxhash64(col("_v")).as("_v")),
       "fuzzy_variants_ed2")
     val pruned = maxBucket.fold(variants) { cap =>
       val hot = variants.groupBy(col("_v")).count()

@@ -168,10 +168,14 @@ object Graph {
   def bfsHops(edges: DataFrame, seed: Long, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val spark = edges.sparkSession
+    // label shared with multiBfsHops/labelPropagation/kCorePeel: the
+    // symmetrized frame of the SAME input plan content-keys identically,
+    // so one staged build serves every operator in a sweep (it used to
+    // build once per label — bfs_edges/mbfs_edges/... with the same key)
     val e = graft.store.Staging.stage(
       edges.select(col("u"), col("v"))
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-        .distinct(), "bfs_edges")
+        .distinct(), "sym_edges")
     import spark.implicits._
     var labels = graft.store.Staging.stage(
       Seq((seed, 0L)).toDF("node", "hop"), "bfs_seed")
@@ -213,7 +217,7 @@ object Graph {
     val e = graft.store.Staging.stage(
       edges.select(col("u"), col("v"))
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-        .distinct(), "mbfs_edges")
+        .distinct(), "sym_edges")
     import spark.implicits._
     var labels = graft.store.Staging.stage(
       seeds.distinct.map(s => (s, s, 0L)).toDF("seed", "node", "hop"),
@@ -432,7 +436,7 @@ object Graph {
     val e = graft.store.Staging.stage(
       edges.select(col("u"), col("v"))
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-        .distinct(), "lpa_edges")
+        .distinct(), "sym_edges")
     var labels = graft.store.Staging.stage(
       e.select(col("u").as("node")).distinct().withColumn("label", col("node")),
       "lpa_init")
@@ -480,10 +484,17 @@ object Graph {
     * deduped here. */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1 ($k), rounds >= 1 ($rounds)")
+    // symmetrize-then-dedup (was dedup-then-union): identical rows for
+    // any deduped undirected input, and the construction now matches
+    // bfsHops/multiBfsHops/labelPropagation exactly — same plan, same
+    // content key, same label, ONE staged build per sweep. (On an input
+    // carrying both (a,b) and (b,a) the old form double-counted degrees;
+    // the new form dedupes — strictly saner semantics, GraphSpec-pinned.)
     var ed = graft.store.Staging.stage(
-      edges.select(col("u"), col("v")).distinct()
-        .unionByName(edges.select(col("v").as("u"), col("u").as("v"))),
-      "kcore_edges")
+      edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        .distinct(),
+      "sym_edges")
     var edgeCount = ed.count()
     var i = 0
     var stable = false
@@ -715,14 +726,19 @@ object Graph {
   def edgeSupport(und: DataFrame): DataFrame = {
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    val oriented = und
+    // staged like triangleCorners' oriented frame: the three-way
+    // middle-vertex join below scans this frame THREE times — unstaged,
+    // each scan re-executed the degree joins (3x the orientation work
+    // per trussPeel round, the 19 s truss_e0 build of the r14 sweep)
+    val oriented = graft.store.Staging.stage(und
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
           .otherwise(col("v")).as("s"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-          .otherwise(col("u")).as("t"))
+          .otherwise(col("u")).as("t")),
+      "sup_oriented")
     val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
     val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
     val e3 = oriented.select(col("s").as("a2"), col("t").as("c2"))

@@ -1066,12 +1066,7 @@ object CoreQueries {
     // triangle participation (Σ n_triangles = 3 × total triangles).
     Q("q_triangle_count",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-        Graph.triangleCorners(und).orderBy("node")
+        Graph.triangleCorners(coEdges(s, dir)).orderBy("node")
       },
       Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
              |und AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
@@ -1093,11 +1088,7 @@ object CoreQueries {
     // hop bound.
     Q("q_bfs_hops",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = coEdges(s, dir)
         Graph.bfsHops(und, seed = 1L, maxHops = 3).orderBy("node")
       },
       Some("""WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -1119,11 +1110,7 @@ object CoreQueries {
     // directions). One BFS + one edges⋈labels⋈labels join.
     Q("q_bipartite",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = coEdges(s, dir)
         Graph.bipartiteCheck(und, seed = 1L, maxHops = 3).orderBy("n_reached")
       },
       Some("""WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -1154,11 +1141,7 @@ object CoreQueries {
     // argmax scalar.
     Q("q_diameter",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = coEdges(s, dir)
         Graph.diameter2Sweep(und, seed = 1L, maxHops = 3).orderBy("ecc_seed")
       },
       Some("""WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -1191,11 +1174,7 @@ object CoreQueries {
     // equality); per round one dist⋈edges hash join + one min agg.
     Q("q_sssp",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = coEdges(s, dir)
           .withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(7L)))
         Graph.ssspRounds(und, seed = 1L, rounds = 4).orderBy("node")
       },
@@ -1232,11 +1211,7 @@ object CoreQueries {
     // frame, staged durable.
     Q("q_kcore",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = coEdges(s, dir)
         Graph.kCorePeel(und, k = 80, rounds = 8).orderBy("node")
       },
       Some {
@@ -1322,14 +1297,7 @@ object CoreQueries {
     // max-count-then-min-label), equality never depends on convergence.
     Q("q_label_prop",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
-          .select(col("u"), col("v"))
+        val und = coEdges2(s, dir)
         Graph.labelPropagation(und, rounds = 4).orderBy("node")
       },
       Some {
@@ -1359,14 +1327,7 @@ object CoreQueries {
     // edges anti-joined out, top-50 via TakeOrdered.
     Q("q_link_predict",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
-          .select(col("u"), col("v"))
+        val und = coEdges2(s, dir)
         Graph.linkPredict(und, topK = 50)
       },
       Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -1401,10 +1362,8 @@ object CoreQueries {
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
         val total = oi.select(countDistinct(col("o")).as("n_orders"))
         val cnt = oi.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
-        oi.as("a")
-          .join(oi.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
-          .agg(count(lit(1)).as("n_co"))
+        coPairCounts(s, dir)
+          .select(col("u").as("part_a"), col("v").as("part_b"), col("n_co"))
           .filter(col("n_co") >= 2)
           .join(cnt.select(col("p").as("part_a"), col("n_p").as("_na")), Seq("part_a"))
           .join(cnt.select(col("p").as("part_b"), col("n_p").as("_nb")), Seq("part_b"))
@@ -1444,10 +1403,8 @@ object CoreQueries {
         val oi = Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
         val cnt = oi.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
-        oi.as("a")
-          .join(oi.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
-          .agg(count(lit(1)).as("n_co"))
+        coPairCounts(s, dir)
+          .select(col("u").as("part_a"), col("v").as("part_b"), col("n_co"))
           .filter(col("n_co") >= 2)
           .join(cnt.select(col("p").as("part_a"), col("n_p").as("_na")), Seq("part_a"))
           .join(cnt.select(col("p").as("part_b"), col("n_p").as("_nb")), Seq("part_b"))
@@ -2535,11 +2492,7 @@ object CoreQueries {
     // via shiftleft.
     Q("q_degree_dist",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = coEdges(s, dir)
         val deg = und.select(col("u").as("n")).unionByName(und.select(col("v").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("d"))
         deg.groupBy(length(bin(col("d"))).cast("long").as("bin_bits"))
@@ -4250,11 +4203,7 @@ object CoreQueries {
     // early stop is sound (an unchanged count is an unchanged set).
     Q("q_ktruss",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = coEdges(s, dir)
         Graph.trussPeel(und, support = 12, rounds = 3).orderBy("node")
       },
       Some {
@@ -4575,11 +4524,7 @@ object CoreQueries {
     // degree-1 nodes report NULL (undefined), triangle-free nodes 0.
     Q("q_clustering_coeff",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = coEdges(s, dir)
         Graph.clusteringCoeff(und).orderBy("node")
       },
       Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -4605,14 +4550,7 @@ object CoreQueries {
     // cost class, top-50 via TakeOrdered.
     Q("q_link_ra",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
-          .select(col("u"), col("v"))
+        val und = coEdges2(s, dir)
         Graph.linkPredictRA(und, topK = 50)
       },
       Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -4745,14 +4683,7 @@ object CoreQueries {
     // rounds verbatim then the same per-community floor.
     Q("q_modularity",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
-          .select(col("u"), col("v"))
+        val und = coEdges2(s, dir)
         Graph.modularity(und, Graph.labelPropagation(und, rounds = 4))
           .orderBy("label")
       },
@@ -4800,14 +4731,7 @@ object CoreQueries {
     // the same LPA rounds.
     Q("q_conductance",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
-          .select(col("u"), col("v"))
+        val und = coEdges2(s, dir)
         Graph.conductance(und, Graph.labelPropagation(und, rounds = 4))
           .orderBy("label")
       },
@@ -4991,11 +4915,7 @@ object CoreQueries {
     // spearman two-floored-division trick, sign separate.
     Q("q_assortativity",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = coEdges(s, dir)
         Graph.assortativity(und)
       },
       Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -6767,11 +6687,7 @@ object CoreQueries {
     // join across all seeds. Terms floor to ppm before summing.
     Q("q_harmonic_centrality",
       (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.as("a")
-          .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = coEdges(s, dir)
         Graph.harmonicCentrality(und, seeds = Seq(1L, 2L, 3L, 4L, 5L),
           maxHops = 3).orderBy("seed")
       },
@@ -6978,6 +6894,39 @@ object CoreQueries {
       "CAST(floor(1000000.0 * (_m4 / (_m2 * _m2) - 3.0)) AS BIGINT)",
     "jb_ppm" -> ("CAST(floor(1000000.0 * _nd * ((_m3 * _m3) / (_m2 * _m2 * _m2) / 6.0"
       + " + (_m4 / (_m2 * _m2) - 3.0) * (_m4 / (_m2 * _m2) - 3.0) / 24.0)) AS BIGINT)"))
+
+  /** Shared co-purchase pair frame for the graph family: distinct
+    * (part, part) pairs sharing an order, with their co-order count.
+    * The exploding lineitem self-join behind it used to run inside every
+    * graph query — and once per self-join BRANCH inside a query's DAG
+    * (q_assortativity re-derived it three times, q_link_predict four).
+    * Staged content-keyed it is built ONCE per corpus and every consumer
+    * re-plans as a parquet scan of (u, v, n_co) longs — the optimization
+    * guide's §2.4 "remove shuffles outright" (one exchange shared by 18
+    * queries) and §2.3 "shuffle a compact proxy" (three longs, never the
+    * lineitem rows). At 100 TB this is exactly the materialize-the-edge-
+    * list-once contract every production graph pipeline ships. */
+  private def coPairCounts(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    graft.store.Staging.stage(
+      lp.as("a")
+        .join(lp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("n_co")),
+      "co_pairs")
+  }
+
+  /** The distinct undirected co-purchase edge set (u < v) — the groupBy
+    * key set of [[coPairCounts]] IS the distinct pair set, so this is a
+    * pure projection of the staged frame. */
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    coPairCounts(s, dir).select(col("u"), col("v"))
+
+  /** The support-filtered (co-bought in >= 2 orders) edge set — the
+    * assoc-rules flavor the community-detection queries run on. */
+  private def coEdges2(s: SparkSession, dir: String): DataFrame =
+    coPairCounts(s, dir).filter(col("n_co") >= 2).select(col("u"), col("v"))
 
   /** Shared point frame for the spatial family: events with exact
     * integer coords derived from event_id and micros timestamps. */
