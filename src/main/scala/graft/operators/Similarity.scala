@@ -156,6 +156,27 @@ object Similarity {
       maxBucket: Int = 100000,
       multiProbe: Boolean = true,
       centroids: Option[DataFrame] = None): DataFrame = {
+    val corpusN = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_n", l2norm(col(vecCol)))
+    mutualFromCandidates(
+      annMutualCandidates(corpus, idCol, vecCol, nCentroids, nprobe, nbits,
+        bands, maxBucket, multiProbe, centroids),
+      corpusN, idCol, vecCol)
+  }
+
+  /** The candidate stream of [[mutualNnPairsAnn]] (IVF bucket join ∪
+    * multi-probe LSH band join), exposed for stage-level cost probes. */
+  private[graft] def annMutualCandidates(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      nprobe: Int,
+      nbits: Int,
+      bands: Int,
+      maxBucket: Int,
+      multiProbe: Boolean,
+      centroids: Option[DataFrame]): DataFrame = {
     // bands = 0 => IVF-ONLY (no signature/band stage at all): the sparse
     // operating point for a clustered corpus, where full-recall LSH is
     // structurally quadratic — a (nbits, bands) config has at most
@@ -225,8 +246,7 @@ object Similarity {
     // corpus pinned one task for 50+ min). Repartitioning the slim
     // (src, dst) stream by src spreads the verify across the cluster
     // and the argmax reuses the same partitioning.
-    val cands = lshCand.fold(ivfCand)(ivfCand.unionByName)
-    mutualFromCandidates(cands, corpusN, idCol, vecCol)
+    lshCand.fold(ivfCand)(ivfCand.unionByName)
   }
 
   /** Exact-cosine verify + per-side argmax + mutual filter over a slim
@@ -242,7 +262,19 @@ object Similarity {
       corpusN: DataFrame, // (idCol, vecCol, _n)
       idCol: String,
       vecCol: String): DataFrame = {
-    val cands = candidates.repartition(col("src"))
+    // DEDUP the stream before the verify (r15 optimization): the
+    // multi-probe band join emits each (src, dst) through every matching
+    // band key — measured 24.9M candidate rows for a 2000-vector corpus
+    // (6.2x the full n² cross product), all previously shuffled by the
+    // bare repartition and dot-product-verified per copy. distinct() is
+    // result-identical (argmax ignores multiplicity, same tie rule) and
+    // strictly better-shaped: the map-side partial aggregate dedupes
+    // INSIDE the generator tasks, so the exchange ships unique pairs
+    // (<= n²) hashed on (src, dst) — which both spreads a skewed
+    // bucket's pairs like the old repartition("src") did (r12 finding)
+    // and caps verify work at one dot product per unique pair
+    // (guide §2.3 aggregate-before-shuffle, §2.4).
+    val cands = candidates.distinct()
     // exact verify on candidates only; top-1 = one map-side argmax
     // (ties → smaller dst, matching the brute row_number order)
     val top1 = cands
@@ -256,6 +288,47 @@ object Similarity {
       .agg(max(struct(col("sim_ppm").as("s"), (-col("dst")).as("nd"))).as("_m"))
       .select(col("src"), (-col("_m.nd")).as("dst"), col("_m.s").as("sim_ppm"))
     // the mutual filter — byte-identical to the brute path's
+    top1.as("a").join(top1.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+          col("a.src") < col("a.dst"))
+      .select(col("a.src").as("id_a"), col("a.dst").as("id_b"),
+        col("a.sim_ppm").as("sim_ppm"))
+  }
+
+  /** EXPLICIT dense mutual-NN scan — the correct degenerate for the
+    * tuned ladder's fallback regime (r15 optimization): when no
+    * sub-quadratic candidate generator earned its recall (IVF parity
+    * failed, no full-recall belt priced, PQ refuted), the corpus is in
+    * ANN's adversarial near-random regime where ANY banding emits a
+    * candidate stream ≥ the cross product — measured 24.9M candidate
+    * rows against n² = 4M at sf0.1 (6.2x), i.e. the old "dense operating
+    * point" belt cost MORE than brute in both compute and shuffle at
+    * every scale. This path does what the regime physically requires,
+    * honestly: one broadcast pass (n² dots row-local, compute n²/p per
+    * task), ONE map-side-combinable argmax per side (shuffle O(n) rows —
+    * where the belt shuffled 6n² and [[mutualNnPairs]]'s oracle windows
+    * shuffle n²), then the byte-identical mutual filter. Same
+    * tie-breaking, same floor(dot/(n·n)·1e6) expression as the brute
+    * oracle — provably the identical frame, so the fallback's recall
+    * contract holds STRUCTURALLY instead of by per-SF sweep. The
+    * broadcast bound (8 GB) is the documented dense-regime policy
+    * limit, exactly as in [[topKExact]]. */
+  private[graft] def mutualNnPairsDense(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val corpusN = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_n", l2norm(col(vecCol)))
+    val q = broadcast(corpusN.select(col(idCol).as("_qid"),
+      col(vecCol).as("_qv"), col("_n").as("_qn")))
+    val top1 = corpusN.crossJoin(q)
+      .filter(col(idCol) =!= col("_qid"))
+      .withColumn("sim_ppm",
+        floor(dot(col(vecCol), col("_qv")) / (col("_n") * col("_qn")) * 1e6)
+          .cast("long"))
+      .groupBy(col("_qid").as("src"))
+      .agg(max(struct(col("sim_ppm").as("s"), (-col(idCol)).as("nd"))).as("_m"))
+      .select(col("src"), (-col("_m.nd")).as("dst"), col("_m.s").as("sim_ppm"))
     top1.as("a").join(top1.as("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
           col("a.src") < col("a.dst"))
@@ -723,9 +796,13 @@ object Similarity {
           subspaces = sub.toInt, kCodes = kc.toInt, iters = it.toInt,
           m = mm.toInt)
       case Array("dense") =>
-        mutualNnPairsAnn(corpus, idCol, vecCol,
-          nCentroids = fbC, nprobe = fallbackNprobe,
-          nbits = 16, bands = 8, multiProbe = true)
+        // r15: the fallback runs the EXPLICIT dense scan — the old
+        // 16/8 multi-probe belt at this regime emitted 6.2x the cross
+        // product as candidates (see mutualNnPairsDense scaladoc), so
+        // the "ANN" point cost strictly more than dense in both axes
+        // while its recall was only sweep-checked; the dense scan is
+        // oracle-identical by construction.
+        mutualNnPairsDense(corpus, idCol, vecCol)
       case other => throw new IllegalStateException(
         s"corrupt mutualNnTuned ledger entry: ${other.mkString(":")}")
     }
