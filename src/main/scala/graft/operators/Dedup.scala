@@ -823,12 +823,23 @@ object Dedup {
     * ([[graft.functions.SimHash]]), so the frame is a pure projection —
     * no token explode, no 32/64-column vote aggregate, no shuffle. The
     * explode-and-vote frames above remain as the general token-array API
-    * and the differential reference (DedupSpec pins bit-identity). */
+    * and the differential reference (DedupSpec pins bit-identity).
+    *
+    * repartition(id) before the projection (r15 optimization, the same
+    * input-parallelism move the explode frames always made): a small
+    * corpus arrives as ONE scan partition (a 128 MB-split file), so the
+    * per-row MD5 kernel otherwise runs the whole corpus on one core —
+    * the 11.7 s simhash_fp stage build of the r15 baseline sweep. At
+    * scale the exchange ships each row once, the same price the
+    * explode twins already pay, and the downstream band join reuses the
+    * id partitioning. */
   def simhash32FpFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), graft.functions.SimHash.simhash32Md5Col(col(textCol)).as("fp"))
+    docs.repartition(col(idCol))
+      .select(col(idCol), graft.functions.SimHash.simhash32Md5Col(col(textCol)).as("fp"))
 
   def simhash64FpFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), graft.functions.SimHash.simhash64Col(col(textCol)).as("fp"))
+    docs.repartition(col(idCol))
+      .select(col(idCol), graft.functions.SimHash.simhash64Col(col(textCol)).as("fp"))
 
   /** Hamming distance between two fingerprint columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -28,7 +28,13 @@ object Multimodal {
     * columns (n_bytes, content md5, kind). In production the binary comes
     * from image/audio files; bytes-from-text keeps it deterministic here. */
   def toBlobTable(docs: DataFrame, idCol: String, textCol: String, kind: String): DataFrame =
-    docs.select(
+    // repartition(id) before the row-local kernels (r15 optimization —
+    // the q_ngram_jaccard idiom): a small corpus arrives as ONE scan
+    // partition, so the md5 here and every downstream byte kernel
+    // (hex/explode histograms, frame sampling, blob simhash) otherwise
+    // runs the whole corpus on one core. The exchange ships each blob
+    // exactly once; every consumer's per-doc work then spreads.
+    docs.repartition(col(idCol)).select(
       col(idCol).cast("long").as("doc_id"),
       lit(kind).as("kind"),
       col(textCol).cast("binary").as("content"),
@@ -243,7 +249,10 @@ object Multimodal {
     require(!blockConstant || (w % 8 == 0 && h % 8 == 0),
       s"block-constant dims must be multiples of 8: ${w}x$h")
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    // repartition the slim id frame so the encoder runs on every core
+    // instead of the input file's single scan partition (r15)
+    ids.select(col(idCol).cast("long")).repartition(col(idCol))
+      .as[Long].mapPartitions { it =>
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
       val params = writer.getDefaultWriteParam
       if (params.canWriteCompressed) {

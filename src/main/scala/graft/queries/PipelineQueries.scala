@@ -4031,6 +4031,7 @@ object PipelineQueries {
       (s, dir) =>
         graft.operators.Multimodal.pgmFeatures(
           Tables.documents(s, dir)
+            .select(col("doc_id")).repartition(col("doc_id"))
             .select(col("doc_id"),
               graft.operators.Multimodal.pgmBlob(col("doc_id"), 8, 6).as("img")),
           "doc_id", "img")
@@ -4113,6 +4114,7 @@ object PipelineQueries {
       (s, dir) =>
         graft.operators.Multimodal.wavFeatures(
           Tables.documents(s, dir)
+            .select(col("doc_id")).repartition(col("doc_id"))
             .select(col("doc_id"),
               graft.operators.Multimodal.wavBlob(col("doc_id"), 32).as("wav")),
           "doc_id", "wav")
@@ -4143,6 +4145,7 @@ object PipelineQueries {
       (s, dir) =>
         graft.operators.Multimodal.y4mFeatures(
           Tables.documents(s, dir)
+            .select(col("doc_id")).repartition(col("doc_id"))
             .select(col("doc_id"),
               graft.operators.Multimodal.y4mBlob(col("doc_id"), 4, 4, 6).as("clip")),
           "doc_id", "clip")
@@ -4171,6 +4174,7 @@ object PipelineQueries {
       (s, dir) =>
         graft.operators.Multimodal.pgmDownsample2x(
           Tables.documents(s, dir)
+            .select(col("doc_id")).repartition(col("doc_id"))
             .select(col("doc_id"),
               graft.operators.Multimodal.pgmBlob(col("doc_id"), 8, 6).as("img")),
           "doc_id", "img", w = 8, h = 6)

@@ -34,9 +34,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * once, every later job reads it" contract. Iterative frames (connected
   * components) stay naturally distinct: each round's plan reads the
   * previous round's stage path, so its hash differs. Plans with any
-  * non-file leaf (in-memory test relations — canonicalization does not
-  * capture their DATA, only their schema) fall back to a fresh
-  * session-unique suffix; set `-Dgraft.staging.refresh=true` (or env
+  * non-file leaf fall back to a fresh session-unique suffix — except
+  * SMALL LocalRelations (the iterative ops' seed frames), whose rows
+  * hash into the key since canonicalization alone captures only their
+  * schema (r15); set `-Dgraft.staging.refresh=true` (or env
   * `SPARK_GRAFT_STAGE_REFRESH=1`) to force rebuilds in a correctness
   * sweep over possibly-stale stages.
   */
@@ -67,6 +68,17 @@ object Staging {
     *    therefore breaks the chain and the derived stage goes fresh too;
     *    keyed (`_<hex>`) stage leaves are fine — their path IS their
     *    content hash, recursively grounded in stable store paths. */
+  /** Small in-memory leaves are content-addressable too (r15): a
+    * LocalRelation's canonicalized PLAN hides its data, but the data
+    * itself is already materialized on the driver, so hashing the rows
+    * into the key (see [[planKey]]) pins the computation exactly. This
+    * matters for the iterative graph ops: their SEED frame is a 1-row
+    * `Seq(...).toDF`, which used to force the whole per-round stage
+    * chain onto session-unique `_v` paths — rebuilt on every pass and
+    * never shared between bfs-seeded queries. Capped so a huge local
+    * frame never pays a driver-side hash of itself. */
+  private val maxLocalRows = 10000
+
   private def fileBacked(plan: LogicalPlan): Boolean = {
     val leaves = plan.collectLeaves()
     leaves.nonEmpty && leaves.forall {
@@ -74,6 +86,8 @@ object Staging {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall(p => stablePath(p.toString))
         case _ => false
       }
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        loc.data.lengthCompare(maxLocalRows) <= 0
       // v2 file scans (csv/orc under useV1SourceList overrides)
       case l => l.getClass.getSimpleName == "DataSourceV2Relation"
     }
@@ -95,6 +109,11 @@ object Staging {
         case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
         case other => other.toString
       }
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        // data rows + output types: the canonicalized plan text carries
+        // only the schema of a LocalRelation, never its values
+        "local[" + loc.output.map(_.dataType.sql).mkString(",") + "](" +
+          loc.data.map(_.toString).mkString("|") + ")"
       case l => l.toString
     }.mkString(";")
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 import graft.store.Staging
 
 /** The staging layer's reuse contract: deterministic (content-keyed)
-  * stage paths are reused across calls, but ONLY when every plan leaf is
-  * a stable file path — in-memory relations and `_v`-suffixed stage dirs
-  * (whose content changes across JVMs while the canonicalized plan does
-  * not) must break the chain and fall back to fresh suffixes. */
+  * stage paths are reused across calls when every plan leaf is a stable
+  * file path, or (r15) a SMALL LocalRelation — whose rows are hashed
+  * into the key, so identical in-memory data reuses and different data
+  * never collides. `_v`-suffixed stage dirs (whose content changes
+  * across JVMs while the canonicalized plan does not) still break the
+  * chain and fall back to fresh suffixes. */
 class StagingSpec extends SparkSpec {
 
   private def tmpDir(name: String): String = {
@@ -53,12 +55,42 @@ class StagingSpec extends SparkSpec {
     assert(stageDirs("t_in").size >= 2, stageDirs("t_in").toString)
   }
 
-  test("in-memory leaves never reuse: two stages of different data both materialize") {
+  test("in-memory leaves never collide: two stages of different data both materialize") {
     import spark.implicits._
     val r1 = Staging.stage(Seq((1L, "x")).toDF("id", "v"), "t_mem")
     val r2 = Staging.stage(Seq((2L, "y")).toDF("id", "v"), "t_mem")
     assert(r1.as[(Long, String)].collect().toSeq == Seq((1L, "x")))
     assert(r2.as[(Long, String)].collect().toSeq == Seq((2L, "y")))
+  }
+
+  test("small local relations are content-keyed: same data reuses one dir") {
+    import spark.implicits._
+    // the iterative-graph seed shape: a tiny Seq.toDF at the root of a
+    // staged chain — identical data + plan must map to ONE keyed dir
+    // (it used to force a fresh _v dir per call, rebuilding the whole
+    // bfs chain every pass), while different data maps elsewhere.
+    // Earlier suite runs leave this label's keyed dirs behind (staging
+    // is durable by design) — clear them so the counts below see only
+    // this run's writes.
+    stageDirs("t_localkey").foreach { d =>
+      val root = Paths.get(Staging.root, d)
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    val mk = () => Staging.stage(
+      Seq((42L, 0L)).toDF("node", "hop").select(col("node"), col("hop")),
+      "t_localkey")
+    mk().collect()
+    val after1 = stageDirs("t_localkey").filter(_.matches("""t_localkey_[0-9a-f]{12}"""))
+    assert(after1.size == 1, s"expected one keyed dir: ${stageDirs("t_localkey")}")
+    mk().collect()
+    val after2 = stageDirs("t_localkey").filter(_.matches("""t_localkey_[0-9a-f]{12}"""))
+    assert(after2 == after1, s"same local data must reuse, not add: $after2")
+    Staging.stage(
+      Seq((43L, 0L)).toDF("node", "hop").select(col("node"), col("hop")),
+      "t_localkey").collect()
+    val after3 = stageDirs("t_localkey").filter(_.matches("""t_localkey_[0-9a-f]{12}"""))
+    assert(after3.size == 2, s"different local data must get its own dir: $after3")
   }
 
   test("a _v-suffixed leaf breaks content addressing (stale-bloom regression)") {
