@@ -1092,11 +1092,19 @@ object Dedup {
           .getOrElse(Long.MaxValue) // empty corpus: cap is moot
       }
     }
-    val shIn = contained.select(col(idCol), array_distinct(shingles).as("_sh"))
+    // staged: the probe arrays feed the prefix build AND the verify's
+    // _sa side — one tokenize+shingle pass instead of two
+    val shIn = graft.store.Staging.stage(
+      contained.select(col(idCol), array_distinct(shingles).as("_sh")),
+      "contain_sh_probe")
     // k_A = |A| − ⌈t·|A|⌉ + 1 rarest shingles (exact integer ceil)
     val kA = (size(col("_sh")).cast("long")
       - ceilT(size(col("_sh")).cast("long")) + 1L)
-    val prefixAll = shIn
+    // staged: this compact (probe doc, prefix shingle) frame feeds THREE
+    // consumers — the recall-trust flags, the candidate join's probe
+    // side, and the semi-join prefilter's broadcast key set — as one
+    // file scan instead of three window-join re-executions
+    val prefixAll = graft.store.Staging.stage(shIn
       .select(col(idCol).as("contained_id"), explode(col("_sh")).as("_g"),
         kA.as("_k"), size(col("_sh")).cast("long").as("_na"))
       .join(dfreq, Seq("_g"), "left")
@@ -1104,7 +1112,7 @@ object Dedup {
       .withColumn("_r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("contained_id")).orderBy(col("_df"), col("_g"))))
-      .filter(col("_r") <= col("_k"))
+      .filter(col("_r") <= col("_k")), "contain_prefix")
     val overCap = cap.fold(lit(false))(c => col("_df") > c)
     // per-doc recall-trust flag: 1 iff any prefix posting was dropped
     val flags = prefixAll.groupBy(col("contained_id"))
@@ -1114,8 +1122,20 @@ object Dedup {
       .select(col("contained_id"), col("_g"), col("_na"))
     // size filter at the candidate join (exact: |A∩B| ≤ |B|, so a
     // container smaller than ⌈t·|A|⌉ can never qualify) — prunes the
-    // fan-out BEFORE the distinct and the array-shipping verify
-    prefix.join(inv, Seq("_g"))
+    // fan-out BEFORE the distinct and the array-shipping verify.
+    //
+    // Semi-join prefilter on the index side (guide §3): the candidate
+    // join only consumes inverted-index postings whose shingle appears
+    // in some probe PREFIX — by construction the rarest ~(1−t) fraction
+    // of each probe doc's shingles, df-capped at p99.9 — so the full
+    // corpus explode is pruned by a broadcast semi-join on the distinct
+    // prefix keys BEFORE it shuffles. Exact (an inner join on _g follows;
+    // dropping rows that cannot match changes nothing). The broadcast
+    // side is bounded by the probe batch's prefix vocabulary, a
+    // production knob (probes arrive in batches), not by corpus size.
+    val prefixKeys = prefix.select(col("_g")).distinct()
+    val invPruned = inv.join(broadcast(prefixKeys), Seq("_g"), "left_semi")
+    prefix.join(invPruned, Seq("_g"))
       .filter(col("contained_id") =!= col("container_id") &&
         col("_nb") >= ceilT(col("_na")))
       .select(col("contained_id"), col("container_id")).distinct()

@@ -75,8 +75,33 @@ object Graph {
     * Wagner 2005) that survives skew (a celebrity node of degree 10⁶
     * gets outdegree ~√m, not 10⁶). All three join sides read ONE staged
     * parquet frame of (src, dst) longs. */
-  def triangleCorners(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("u"), col("v")).distinct()
+  def triangleCorners(edges: DataFrame): DataFrame =
+    stagedTriangles(normalizedEdges(edges))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+
+  /** Canonical staged undirected edge frame: (u, v) with u < v, deduped,
+    * content-keyed under ONE shared label — so every triangle consumer
+    * (triangle count, clustering coefficient, k-truss round 0) maps the
+    * same input edges to the SAME staged path, which in turn makes their
+    * downstream oriented/triangle stage keys collide and the expensive
+    * enumeration build exactly once per corpus. No-op on already
+    * normalized input (the co-purchase frames are u < v deduped). */
+  def normalizedEdges(edges: DataFrame): DataFrame =
+    graft.store.Staging.stage(
+      edges.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") < col("v")).distinct(),
+      "und_edges")
+
+  /** The staged triangle list (a, b, c) of an undirected (u < v, deduped)
+    * edge frame by degree-oriented enumeration — the O(m^1.5)
+    * middle-vertex join is the expensive pass of the whole graph family,
+    * so its RESULT is content-keyed ("tris"): q_triangle_count,
+    * q_clustering_coeff and the truss peel's round-0 support all read one
+    * build. Each triangle appears exactly once (a = lowest-degree
+    * corner). */
+  def stagedTriangles(und: DataFrame): DataFrame = {
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val oriented = graft.store.Staging.stage(
@@ -92,11 +117,11 @@ object Graph {
     val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
     val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
     val e3 = oriented.select(col("s").as("a2"), col("t").as("c2"))
-    val tris = e1.join(e2, Seq("b"))
-      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
-      .select(col("a"), col("b"), col("c"))
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    graft.store.Staging.stage(
+      e1.join(e2, Seq("b"))
+        .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+        .select(col("a"), col("b"), col("c")),
+      "tris")
   }
 
   /** Diameter lower bound by the classic 2-sweep heuristic, horizon-
@@ -724,27 +749,15 @@ object Graph {
     * triangle get no row. Input (u, v) deduped; output (u, v, sup)
     * with u < v. */
   def edgeSupport(und: DataFrame): DataFrame = {
-    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // staged like triangleCorners' oriented frame: the three-way
-    // middle-vertex join below scans this frame THREE times — unstaged,
-    // each scan re-executed the degree joins (3x the orientation work
-    // per trussPeel round, the 19 s truss_e0 build of the r14 sweep)
-    val oriented = graft.store.Staging.stage(und
-      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
-      .select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
-          .otherwise(col("v")).as("s"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-          .otherwise(col("u")).as("t")),
-      "sup_oriented")
-    val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
-    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
-    val e3 = oriented.select(col("s").as("a2"), col("t").as("c2"))
-    val tris = e1.join(e2, Seq("b"))
-      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
-      .select(col("a"), col("b"), col("c"))
+    // triangles via the SHARED staged enumeration (same labels as
+    // triangleCorners): when the input frame is the canonical staged
+    // edge set — trussPeel seeds its round 0 through [[normalizedEdges]]
+    // — the round-0 support pass reads the very "tris" build
+    // q_triangle_count / q_clustering_coeff already paid for, instead of
+    // re-running the O(m^1.5) middle-vertex join (the 17-19 s truss_e0
+    // build of the r14/r15-baseline sweeps). Later peel rounds stage
+    // their own shrunk frames, so their keys stay distinct.
+    val tris = stagedTriangles(und)
     tris.select(explode(array(
         struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
         struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")),
@@ -773,11 +786,10 @@ object Graph {
   def trussPeel(edges: DataFrame, support: Int, rounds: Int): DataFrame = {
     require(support >= 1 && rounds >= 1,
       s"need support >= 1 ($support), rounds >= 1 ($rounds)")
-    var ed = graft.store.Staging.stage(
-      edges.select(least(col("u"), col("v")).as("u"),
-          greatest(col("u"), col("v")).as("v"))
-        .filter(col("u") < col("v")).distinct(),
-      "truss_edges")
+    // round 0 reads the canonical shared edge frame ("und_edges") so its
+    // edgeSupport pass shares the staged triangle enumeration with the
+    // other triangle consumers (see [[stagedTriangles]])
+    var ed = normalizedEdges(edges)
     var edgeCount = ed.count()
     var i = 0
     var stable = false
