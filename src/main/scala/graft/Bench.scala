@@ -92,6 +92,16 @@ object Bench {
       // per store build. (Trade-off: failed jobs may leave partial
       // output; fine for a bench whose stores are rebuilt from scratch.)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // raw local FS: Hadoop's LocalFileSystem is a ChecksumFileSystem
+      // that writes a .crc sidecar per file — the hour-partitioned
+      // stores' 720 one-file dirs become 1442 file creates, and every
+      // content-keyed staging build pays the same doubling. The
+      // reference writes raw parquet with no sidecars
+      // (apache_parquet.py), and on a cluster the FS is HDFS/S3 where
+      // this knob is moot — so raw file:// is the faithful local
+      // equivalent, not a benchmark trick. Integrity stays with
+      // parquet's own page/footer checksums.
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

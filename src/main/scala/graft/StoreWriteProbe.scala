@@ -29,6 +29,8 @@ object StoreWriteProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("GRAFT_FILE_FS", "org.apache.hadoop.fs.LocalFileSystem"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.store.SnapshotStore

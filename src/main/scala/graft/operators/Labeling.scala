@@ -37,8 +37,13 @@ object Labeling {
       labelCol: String): DataFrame = {
     val v = votes.select(col(itemCol).as("_item"), col(annotCol).as("_annot"),
       col(labelCol).as("_label"))
-    // round 1: per-item majority, ties to smallest label
-    val c1 = v.groupBy(col("_item"), col("_label")).agg(count(lit(1)).as("_n"))
+    // round 1: per-item majority, ties to smallest label. The per-(item,
+    // label) census is staged: majority, the final revote tie-frame and
+    // the per-item vote counts all derive from it, and unstaged each
+    // consumer re-ran the full vote-log scan + aggregation
+    val c1 = graft.store.Staging.stage(
+      v.groupBy(col("_item"), col("_label")).agg(count(lit(1)).as("_n")),
+      "vote_counts")
     val wMaj = Window.partitionBy(col("_item"))
       .orderBy(col("_n").desc, col("_label"))
     val maj = c1.withColumn("_rn", row_number().over(wMaj))
@@ -58,7 +63,9 @@ object Labeling {
     val fin = c2.withColumn("_rn", row_number().over(wFin))
       .filter(col("_rn") === 1)
       .select(col("_item"), col("_label").as("final_label"))
-    val nAnnot = v.groupBy(col("_item")).agg(count(lit(1)).as("n_annot"))
+    // per-item vote count from the staged census (Σ _n ≡ count(*)),
+    // instead of a fourth full scan of the vote log
+    val nAnnot = c1.groupBy(col("_item")).agg(sum(col("_n")).as("n_annot"))
     nAnnot.join(maj, Seq("_item")).join(fin, Seq("_item"))
       .select(col("_item").as(itemCol), col("n_annot"),
         col("maj_label"), col("final_label"),

@@ -529,16 +529,21 @@ object Multimodal {
       df: DataFrame, idCol: String, blobCol: String, cutMeanDiff: Int = 30): DataFrame = {
     val withHex = df.withColumn("_hx", hex(col(blobCol)))
       .withColumn("_len", octet_length(col(blobCol)).cast("long"))
-    def bAt(off: Column): Column =
-      conv(col("_hx").substr((off * 2L + 1L).cast("int"), lit(2)), 16, 10).cast("long")
+      // the byte ARRAY, materialized once per row: every downstream
+      // access is an element_at integer lookup instead of a fresh
+      // substr+conv string decode — the pixel folds below previously ran
+      // ~2 string allocations per pixel ACCESS (≈ 5 per pixel across
+      // mean/diff passes), now the whole row decodes each byte once
+      .withColumn("_by", expr(
+        """CASE WHEN _len > 0 THEN transform(sequence(CAST(0 AS BIGINT), _len - 1),
+          |  o -> CAST(conv(substring(_hx, CAST(o * 2 + 1 AS INT), 2), 16, 10) AS BIGINT))
+          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
     val parsed = withHex
       // first 0x0A byte in the first 64 bytes = end of the header line
-      .withColumn("_hdrNl", expr(
-        """aggregate(sequence(CAST(0 AS BIGINT), CAST(63 AS BIGINT)),
-          |  CAST(-1 AS BIGINT),
-          |  (acc, o) -> CASE WHEN acc >= 0 THEN acc
-          |    WHEN conv(substring(_hx, CAST(o * 2 + 1 AS INT), 2), 16, 10) = '10'
-          |    THEN o ELSE acc END)""".stripMargin))
+      // (array_position: 1-based first index, 0 when absent — minus 1
+      // reproduces the old fold's 0-based offset / -1-absent contract)
+      .withColumn("_hdrNl",
+        array_position(slice(col("_by"), 1, 64), 10L) - 1L)
       .withColumn("_hdr",
         when(col("_hdrNl") > 0L,
           decode(unhex(col("_hx").substr(lit(1), (col("_hdrNl") * 2L).cast("int"))), "UTF-8"))
@@ -566,9 +571,7 @@ object Multimodal {
     // hex column via NESTED folds (pixel(f, i) lives at byte
     // _hl + f·_fsz + 6 + i) — video bytes never explode to rows
     def pxByte(f: Column, i: Column): Column =
-      conv(col("_hx").substr(
-        ((col("_hl") + f * col("_fsz") + 6L + i) * 2L + 1L).cast("int"), lit(2)),
-        16, 10).cast("long")
+      element_at(col("_by"), (col("_hl") + f * col("_fsz") + 6L + i + 1L).cast("int"))
     def pixSeq: Column = sequence(lit(0L), col("_w") * col("_h") - 1L)
     val summed = parsed
       .withColumn("_fsum",

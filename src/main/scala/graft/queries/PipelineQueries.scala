@@ -291,14 +291,21 @@ object PipelineQueries {
       .select(col("doc_id"), Dedup.tokenShingles(col("_toks"), 3).as("sh"))
     val sig = Dedup.minhashSignatures(docs, "doc_id",
       Dedup.tokenShingles(col("_toks"), 3), MinhashK)
-    Dedup.candidatePairs(
-        sig, "doc_id", Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand))
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard_ppm",
-        graft.functions.SetOps.jaccardPpmCol(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard_ppm") >= JaccardThresholdPpm)
-      .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
+    // the verified pair frame is consumed by FIVE registry queries
+    // (clusters, cluster audit, keep-list, incremental CC, and the pairs
+    // view itself) — each used to re-run the whole tokenize → minhash →
+    // band join → array verify pipeline; the compact (id_a, id_b, j)
+    // result is now content-keyed so the corpus pays ONE build per sweep
+    graft.store.Staging.stage(
+      Dedup.candidatePairs(
+          sig, "doc_id", Dedup.lshBandKeys(col("sig"), Bands, RowsPerBand))
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard_ppm",
+          graft.functions.SetOps.jaccardPpmCol(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard_ppm") >= JaccardThresholdPpm)
+        .select(col("id_a"), col("id_b"), col("jaccard_ppm")),
+      "mh_pairs")
   }
 
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) =

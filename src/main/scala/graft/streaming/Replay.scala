@@ -1176,16 +1176,28 @@ object Replay {
       .schema(spark.read.parquet(docStorePath).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(docStorePath)
+    val dbg = sys.env.contains("GRAFT_INGEST_DEBUG")
     val q = src.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val docs = batch.select(col("doc_id"), col("text"))
-          .withColumn("_toks", TextAnalysis.tokens(col("text")))
-        val sh = docs.select(col("doc_id"),
-          Dedup.tokenShingles(col("_toks"), 3).as("sh"))
-        val newIdx = Dedup.minhashSignatures(docs, "doc_id",
-            Dedup.tokenShingles(col("_toks"), 3), 64)
+        val tB0 = System.nanoTime()
+        def mark(label: String): Unit =
+          if (dbg) System.err.println(
+            f"[ingest-dbg] batch $batchId $label: ${(System.nanoTime() - tB0) / 1e9}%.2f s")
+        // tokenize+shingle ONCE into a persisted, id-spread frame: the
+        // signature build and the shingle side of newIdx previously each
+        // re-scanned the batch file and re-tokenized (and the shingle
+        // side ran on the batch's SINGLE scan partition — each ingest
+        // file is one coalesced parquet), so every batch paid the text
+        // kernel twice, once serially
+        val sh = batch.select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            Dedup.tokenShingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+          .persist()
+        val newIdx = Dedup.minhashSignatures(sh, "doc_id", col("sh"), 64)
           .join(sh, Seq("doc_id"))
           .persist()
+        mark("newIdx defined")
         // prior-index snapshot = partitions batch < batchId. foreachBatch
         // is at-least-once: both sinks write batch=<id> partition dirs
         // (OVERWRITE, not append), so a replayed batch rewrites its own
@@ -1230,14 +1242,18 @@ object Replay {
         // batch's decisions (O(B²) cumulative over a long-running
         // stream).
         decisions.persist()
+        mark("pre decisions write")
         decisions.write.mode("overwrite").parquet(s"$decPath/batch=$batchId")
+        mark("decisions written")
         val kept = decisions
           .filter(col("kept") === 1L)
           .join(newIdx, Seq("doc_id"))
           .select(col("doc_id"), col("sig"), col("sh"))
         kept.write.mode("overwrite").parquet(s"$idxPath/batch=$batchId")
+        mark("kept written")
         decisions.unpersist()
         newIdx.unpersist()
+        sh.unpersist()
         ()
       }
       .option("checkpointLocation", s"$workRoot/_chk")
