@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Row-local SimHash kernels — the same explode-free rewrite that paid
@@ -105,6 +105,85 @@ object SimHash {
 
   def simhash32Md5Col(text: Column): Column = columnOf(SimHash32Md5Expr(expressionOf(text)))
   def simhash64Col(text: Column): Column = columnOf(SimHash64Expr(expressionOf(text)))
+  def blobSimhash32Md5Col(content: Column, n: Int): Column =
+    columnOf(BlobSimHash32Md5Expr(expressionOf(content), n))
+  def blobSimhash64Col(content: Column, n: Int): Column =
+    columnOf(BlobSimHash64Expr(expressionOf(content), n))
+
+  private val HEX = "0123456789ABCDEF".getBytes("US-ASCII")
+
+  /** Byte-n-gram 32-bit md5-nibble simhash of a BINARY blob, row-local:
+    * token i is the UPPERCASE-hex rendering of bytes [i, i+n) — exactly
+    * `substr(hex(content), 2i+1, 2n)` — so the fingerprint is
+    * bit-identical to the explode-and-vote plan over those hex-string
+    * shingles (the q_dedup_blob oracle family), at one md5 per WINDOW
+    * with zero explode, zero shuffle and zero per-nibble string
+    * allocation. Fewer than n bytes → caller must filter (the explode
+    * plan drops such rows). */
+  def blobSimhash32Md5(content: Array[Byte], n: Int): Long = {
+    val m = content.length
+    val votes = new Array[Int](32)
+    val md = md5Local.get()
+    val hexTok = new Array[Byte](2 * n)
+    var i = 0
+    val last = m - n
+    while (i <= last) {
+      var k = 0
+      while (k < n) {
+        val b = content(i + k) & 0xFF
+        hexTok(2 * k) = HEX(b >> 4)
+        hexTok(2 * k + 1) = HEX(b & 0xF)
+        k += 1
+      }
+      md.reset()
+      md.update(hexTok)
+      val d = md.digest()
+      var j = 0
+      while (j < 32) {
+        val nib = if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xF else d(j >> 1) & 0xF
+        votes(j) += (if (nib >= 8) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) { fp = (fp << 1) | (if (votes(j) > 0) 1L else 0L); j += 1 }
+    fp
+  }
+
+  /** Byte-n-gram 64-bit xxhash64 simhash of a BINARY blob, row-local:
+    * same hex-window tokens, same seed chain as the declarative
+    * `xxhash64(tok, lit(j))` votes (hash(tok, 42) then hashInt(j)) —
+    * and the token hash computes ONCE per window where the explode plan
+    * re-hashed the token string once per bit. */
+  def blobSimhash64Xx(content: Array[Byte], n: Int): Long = {
+    val m = content.length
+    val votes = new Array[Int](64)
+    val hexTok = new Array[Byte](2 * n)
+    var i = 0
+    val last = m - n
+    while (i <= last) {
+      var k = 0
+      while (k < n) {
+        val b = content(i + k) & 0xFF
+        hexTok(2 * k) = HEX(b >> 4)
+        hexTok(2 * k + 1) = HEX(b & 0xF)
+        k += 1
+      }
+      val base = XXH64.hashUTF8String(UTF8String.fromBytes(hexTok), 42L)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (XXH64.hashInt(j + 1, base) > 0L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { fp = (fp << 1) | (if (votes(j) > 0) 1L else 0L); j += 1 }
+    fp
+  }
 }
 
 /** (string) → bigint: 32-bit md5-nibble simhash fingerprint. NULL in →
@@ -141,6 +220,44 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.simhash64Xx($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (binary) → bigint: byte-n-gram 32-bit md5-nibble simhash over
+  * hex-window tokens. NULL in → NULL out. */
+case class BlobSimHash32Md5Expr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"blob_simhash32_md5 expects BINARY, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "blob_simhash32_md5"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SimHash.blobSimhash32Md5(t.asInstanceOf[Array[Byte]], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.blobSimhash32Md5($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (binary) → bigint: byte-n-gram 64-bit xxhash64 simhash over
+  * hex-window tokens. NULL in → NULL out. */
+case class BlobSimHash64Expr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"blob_simhash64 expects BINARY, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "blob_simhash64"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SimHash.blobSimhash64Xx(t.asInstanceOf[Array[Byte]], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.blobSimhash64Xx($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -131,34 +131,31 @@ object Multimodal {
     *
     * Output: (doc_id, n_bytes, n_distinct, top_byte, top_ppm, format);
     * empty blobs report (0, 0, NULL, 0, 'empty'). */
-  def blobByteStats(blobs: DataFrame): DataFrame = {
-    val hexed = blobs.select(col("doc_id"), col("n_bytes"),
-      hex(col("content")).as("_hx"))
-    val counts = hexed
-      .select(col("doc_id"),
-        explode(when(col("n_bytes") > 0,
-          expr("transform(sequence(0, n_bytes - 1), i -> CAST(conv(substr(_hx, CAST(2 * i + 1 AS INT), 2), 16, 10) AS BIGINT))"))
-          .otherwise(array().cast("array<bigint>"))).as("_b"))
-      .groupBy(col("doc_id"), col("_b")).agg(count(lit(1)).as("_c"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_distinct"),
-        max(struct(col("_c").as("_c"), (-col("_b")).as("_nb"))).as("_top"))
-      .select(col("doc_id"), col("n_distinct"),
-        (-col("_top._nb")).as("top_byte"), col("_top._c").as("_topc"))
-    hexed.join(counts, Seq("doc_id"), "left")
+  def blobByteStats(blobs: DataFrame): DataFrame =
+    // row-local histogram kernel (r15): the declarative plan exploded
+    // every byte to a row (1.47M rows at sf0.1, each decoded by a
+    // hex-substr+conv string pass) through two groupBys and a join; the
+    // kernel computes the same (n_distinct, top_byte, top_count) — same
+    // smallest-byte tie rule, NULL struct for empty blobs standing in
+    // for the explode plan's absent rows — in one int[256] pass per
+    // blob. Format detection needs only the first 4 bytes, not a
+    // hex rendering of the whole blob.
+    blobs
       .select(col("doc_id"), col("n_bytes"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        col("top_byte"),
-        when(col("n_bytes") > 0, expr("_topc * 1000000 DIV n_bytes"))
+        graft.functions.BlobStats.byteStatsCol(col("content")).as("_st"),
+        hex(substring(col("content"), 1, 4)).as("_hd"))
+      .select(col("doc_id"), col("n_bytes"),
+        coalesce(col("_st.n_distinct"), lit(0L)).as("n_distinct"),
+        col("_st.top_byte").as("top_byte"),
+        when(col("n_bytes") > 0, expr("_st.top_c * 1000000 DIV n_bytes"))
           .otherwise(0L).as("top_ppm"),
         when(col("n_bytes") === 0, "empty")
-          .when(col("_hx").startsWith("89504E47"), "png")
-          .when(col("_hx").startsWith("FFD8FF"), "jpeg")
-          .when(col("_hx").startsWith("1F8B"), "gzip")
-          .when(col("_hx").startsWith("25504446"), "pdf")
-          .when(col("_hx").startsWith("52494646"), "riff")
+          .when(col("_hd").startsWith("89504E47"), "png")
+          .when(col("_hd").startsWith("FFD8FF"), "jpeg")
+          .when(col("_hd").startsWith("1F8B"), "gzip")
+          .when(col("_hd").startsWith("25504446"), "pdf")
+          .when(col("_hd").startsWith("52494646"), "riff")
           .otherwise("unknown").as("format"))
-  }
 
   /** 32-bit md5-nibble SimHash over BYTE n-gram shingles of the blob —
     * content-level near-dup fingerprints that need NO codec: a re-encoded
@@ -173,16 +170,18 @@ object Multimodal {
     * have no shingles and drop from the fingerprint frame (they cannot
     * pair). Reuses [[Dedup.simhash32Frame]]'s explode → md5 → vote → pack
     * shape: one shuffle of (id, 32 counters), blob bytes never shuffle. */
-  def blobSimhash32(blobs: DataFrame, idCol: String, n: Int = 4): DataFrame = {
-    val withHex = blobs.select(
-      col(idCol), col("n_bytes"), hex(col("content")).as("_hex"))
-    val grams = transform(
-      sequence(lit(1L), greatest(col("n_bytes") - (n - 1), lit(1L))),
-      i => col("_hex").substr((i * 2 - 1).cast("int"), lit(2 * n)))
-    val shingles = when(col("n_bytes") >= n, grams)
-      .otherwise(array().cast("array<string>"))
-    Dedup.simhash32Frame(withHex, idCol, shingles)
-  }
+  def blobSimhash32(blobs: DataFrame, idCol: String, n: Int = 4): DataFrame =
+    // row-local kernel (r15): the explode-and-vote plan shuffled ~1.5M
+    // hex-shingle strings at sf0.1 and evaluated 32 substring+ascii vote
+    // expressions PER SHINGLE (the 14 s half of the 23 s simhash_fp
+    // staging pair); the kernel computes the identical fingerprint —
+    // same hex-window tokens, same md5-nibble votes, differential-tested
+    // in DedupSpec — in one pass per blob with zero explode. Blobs
+    // shorter than n have no shingles and drop, exactly like the explode
+    // plan's empty-array rows.
+    blobs.filter(col("n_bytes") >= n)
+      .select(col(idCol),
+        graft.functions.SimHash.blobSimhash32Md5Col(col("content"), n).as("fp"))
 
   /** The PRODUCTION blob near-dup family: same byte n-gram shingles, but
     * 64-bit xxhash64 simhash ([[Dedup.simhash64Frame]]). The scale law
@@ -196,16 +195,14 @@ object Multimodal {
     * blocks first, then fall back to the maxBucket valve. Keep
     * [[blobSimhash32]] as the value oracle — its md5-nibble votes are
     * engine-replayable — and run THIS at scale. */
-  def blobSimhash64(blobs: DataFrame, idCol: String, n: Int = 4): DataFrame = {
-    val withHex = blobs.select(
-      col(idCol), col("n_bytes"), hex(col("content")).as("_hex"))
-    val grams = transform(
-      sequence(lit(1L), greatest(col("n_bytes") - (n - 1), lit(1L))),
-      i => col("_hex").substr((i * 2 - 1).cast("int"), lit(2 * n)))
-    val shingles = when(col("n_bytes") >= n, grams)
-      .otherwise(array().cast("array<string>"))
-    Dedup.simhash64Frame(withHex, idCol, shingles)
-  }
+  def blobSimhash64(blobs: DataFrame, idCol: String, n: Int = 4): DataFrame =
+    // row-local kernel (r15), same rewrite as [[blobSimhash32]]; the
+    // 64-bit declarative plan additionally re-hashed each shingle string
+    // once PER BIT (64 xxhash64 calls) where the kernel hashes the token
+    // once and derives the bits by hashInt — bit-identical seed chain
+    blobs.filter(col("n_bytes") >= n)
+      .select(col(idCol),
+        graft.functions.SimHash.blobSimhash64Col(col("content"), n).as("fp"))
 
   // ---- JPEG / PNG via javax.imageio: REAL compressed-codec decode ------
   // The codec ships IN the JDK (ImageIO's PNG and JPEG plugins), so the

@@ -196,6 +196,40 @@ class DedupSpec extends SparkSpec {
     assert(kernel64 == frame64)
   }
 
+  test("row-local BLOB simhash kernels are bit-identical to the explode-and-vote hex-shingle frames") {
+    // the r15 kernels replace the explode plans inside
+    // Multimodal.blobSimhash32/64; equality must hold on binary content
+    // incl. zero bytes, high bytes, exactly-n, shorter-than-n (dropped)
+    val rows = Seq(
+      (1L, Array[Byte](0, 1, 2, 3, 4, 5)),
+      (2L, Array[Byte](-1, -128, 127, 0)),          // exactly n = 4
+      (3L, "YUV4MPEG2 W4 H4\nFRAME\n".getBytes("UTF-8")),
+      (4L, Array[Byte](9, 9)),                      // < n: no shingles, drops
+      (5L, Array.tabulate[Byte](300)(i => (i * 37 % 251).toByte)))
+    val blobs = rows.toDF("doc_id", "content")
+      .withColumn("n_bytes", octet_length($"content").cast("long"))
+    def explode32(n: Int) = {
+      val withHex = blobs.select($"doc_id", $"n_bytes", hex($"content").as("_hex"))
+      val grams = transform(
+        sequence(lit(1L), greatest($"n_bytes" - (n - 1), lit(1L))),
+        i => $"_hex".substr((i * 2 - 1).cast("int"), lit(2 * n)))
+      val sh = when($"n_bytes" >= n, grams).otherwise(array().cast("array<string>"))
+      (Dedup.simhash32Frame(withHex, "doc_id", sh).as[(Long, Long)].collect().toMap,
+        Dedup.simhash64Frame(withHex, "doc_id", sh).as[(Long, Long)].collect().toMap)
+    }
+    for (n <- Seq(2, 4)) {
+      val (f32, f64) = explode32(n)
+      val k32 = graft.operators.Multimodal.blobSimhash32(blobs, "doc_id", n)
+        .as[(Long, Long)].collect().toMap
+      val k64 = graft.operators.Multimodal.blobSimhash64(blobs, "doc_id", n)
+        .as[(Long, Long)].collect().toMap
+      assert(k32 == f32, s"n=$n 32-bit")
+      assert(k64 == f64, s"n=$n 64-bit")
+      // shorter-than-n blobs drop in both plans (id 4 is 2 bytes)
+      if (n == 4) assert(!k32.contains(4L))
+    }
+  }
+
   test("winnowHashesRoll equals an independent rolling-winnow reimplementation") {
     def fmix(x0: Long): Long = {
       var x = x0
