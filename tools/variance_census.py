@@ -47,7 +47,13 @@ import sys
 # with every new commit, so regenerated envelopes drifted from the
 # documented draw set): 1b1e544 is the commit that recorded draw 2 / the
 # committed gate baseline.
-DEFAULT_REFS = ["1b1e544", "5bd5f02", "4f539a4"]
+# round-15 same-code full-sweep draws at the optimization-round close
+# (OPTIMIZATION_r15.md close-out): draw 1 = 618.6 s at calib_cpu 1.195
+# (74987a5), draw 2 = 596.0 s at 1.219 (7b26b1d), draw 3 = 577.1 s at
+# 0.985 (7b96d7d, the committed gate baseline). All immutable SHAs; the
+# r14 envelopes are retired — 115 of them had gone stale against the
+# optimized baseline (bench_gate "STALE ENVELOPES" at the r15 close).
+DEFAULT_REFS = ["74987a5", "7b26b1d", "7b96d7d"]
 
 
 def load_ref(ref):
